@@ -1,13 +1,677 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ §2b extensions), with DuckDB-runnable oracle SQL.
+  *
+  * Implementation lives in graft.operators / graft.functions; this object
+  * only binds operators to the harness test tables. Constants chosen so
+  * every query is deterministic (ties broken by keys, doubles rounded after
+  * deterministic arithmetic) and scale-invariant (absolute bounds on the
+  * intentionally-quadratic pair oracles).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Flagship query on sf=0.001 (reference/main.py:146-150 transplanted):
+    * distinct open tickets. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q_open_tickets(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- spine
+
+  /** T18/S10: SELECT DISTINCT open keys (reference/main.py:146-150). */
+  private def q_open_tickets(s: SparkSession, d: String): DataFrame =
+    Relational.distinctOpenKeys(Tables.orders(s, d), "o_orderkey", "o_orderstatus", "F")
+      .select(col("o_orderkey").cast(StringType).as("n_ticket"))
+
+  /** T1/T7/T10: pushed time-range filter + project/rename + cast. */
+  private def q_filter_project(s: SparkSession, d: String): DataFrame = {
+    val filtered = Relational.timeRange(Tables.lineitem(s, d), "l_shipdate",
+      "1998-01-01 00:00:00", "1998-12-31 23:59:59")
+    val renamed = Relational.projectRename(filtered, Seq(
+      "l_orderkey" -> "order_id", "l_linenumber" -> "line_no",
+      "l_quantity" -> "qty", "l_returnflag" -> "flag"))
+    Relational.castAll(renamed, Seq("order_id" -> "string"))
+  }
+
+  /** T2/T3: orderBy + limit (deterministic tiebreak). */
+  private def q_sort_limit(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** T6/T11: backfill absent columns as nulls + constant overwrite. */
+  private def q_backfill(s: SparkSession, d: String): DataFrame =
+    ColumnHygiene.backfill(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
+      Seq("backfilled_col" -> StringType))
+      .withColumn("contact_cf_n_mero_do_ticket", lit(""))
+
+  /** T9: left enrichment join against a broadcast dimension. */
+  private def q_left_join(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d).select(
+      col("c_custkey").as("o_custkey"), col("c_name"), col("c_mktsegment"))
+    Joins.enrichLeft(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      dim, "o_custkey")
+  }
+
+  /** T12: full-outer entity merge with collision suffixing. */
+  private def q_full_outer_merge(s: SparkSession, d: String): DataFrame = {
+    val left = Tables.orders(s, d)
+      .select(col("o_custkey").as("cust"), col("o_orderstatus").as("status"))
+    val right = Tables.customer(s, d)
+      .select(col("c_custkey").as("cust2"), col("c_mktsegment").as("status"))
+    Joins.fullOuterMerge(left, right, "cust", "cust2")
+  }
+
+  /** S11: membership probe as left-semi join. */
+  private def q_semi_join(s: SparkSession, d: String): DataFrame =
+    Joins.semiJoin(
+      Tables.customer(s, d),
+      Tables.orders(s, d).filter(col("o_orderstatus") =!= "F")
+        .select(col("o_custkey").as("c_custkey")),
+      "c_custkey")
+
+  /** T16: dedup-vs-destination anti-join. */
+  private def q_anti_dedup(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val dest = orders.filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    Joins.dedupAgainst(orders, dest, Seq("o_orderkey"))
+  }
+
+  /** T19/S3: union of (column-drifting) scan slices. */
+  private def q_union_slices(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val s1 = Relational.timeRange(orders, "o_orderdate",
+      "1997-01-01 00:00:00", "1997-12-31 23:59:59")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val s2 = Relational.timeRange(orders, "o_orderdate",
+      "1998-01-01 00:00:00", "1998-12-31 23:59:59")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Joins.unionSlices(Seq(s1, s2))
+  }
+
+  /** T4: fixed-width (7-day) time bucketing. */
+  private def q_window_bucket(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(Relational.timeBucket(col("o_orderdate"), 7L * 86400).as("bucket_start"))
+      .groupBy(col("bucket_start"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** T5: ISO-8601 formatting with numeric offset. */
+  private def q_iso_format(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_orderkey"),
+      Relational.isoFormat(col("o_orderdate")).as("created_iso"))
+
+  /** T13: null-or-blank key synthesis (deterministic generator for oracle). */
+  private def q_key_synthesis(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_orderkey"),
+      when(col("o_orderstatus") === "F", lit(""))
+        .otherwise(col("o_orderkey").cast(StringType)).as("uuid"))
+    Relational.synthesizeKey(base, "uuid",
+      concat(lit("gen-"), col("o_orderkey").cast(StringType)))
+  }
+
+  /** T15/T17: column-name sanitize + duplicate-column drop keep-first. */
+  private def q_sanitize_names(s: SparkSession, d: String): DataFrame = {
+    val weird = Tables.lineitem(s, d).select(
+      col("l_orderkey").as("99 número-do pedido"),
+      col("l_linenumber").as("line#no"),
+      col("l_quantity"),
+      col("l_quantity"))
+    ColumnHygiene.dropDuplicateColumns(ColumnHygiene.sanitizeColumns(weird))
+  }
+
+  /** K3: keyed upsert (MERGE emulation: anti-join + union). */
+  private def q_upsert(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val dest = orders.filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val updates = orders.filter(col("o_orderstatus") === "P")
+      .select(col("o_orderkey"), lit("Resolvido").as("o_orderstatus"), col("o_totalprice"))
+    Joins.upsert(dest, updates, "o_orderkey")
+  }
+
+  /** S5 shape: event pivot to evt_<type> presence columns. */
+  private def q_events_pivot(s: SparkSession, d: String): DataFrame =
+    Nested.pivotEventPresence(Tables.events(s, d), "user_id", "event_type", eventTypes)
+
+  /** S4/T21 shape: JSON attribute extraction + aggregate. */
+  private def q_json_extract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+
+  // ------------------------------------------------- aggregation / window
+
+  /** §2b hash aggregate: TPC-H Q1 pricing summary. */
+  private def q1_pricing_summary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** §2b per-group top-k via row_number window. */
+  private def q_topk_per_group(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  /** §2b rollup. */
+  private def q_rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** §2b cube. */
+  private def q_cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+
+  /** §2b grouping sets (SQL surface). */
+  private def q_grouping_sets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+    s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
+             FROM lineitem_gs
+             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+  }
+
+  /** §2b window functions: rank + lag + running sum per customer. */
+  private def q_window_rank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      rank().over(w).cast("long").as("rnk"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      round(sum(col("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+        .as("running_spend"))
+  }
+
+  /** §2b set ops: INTERSECT. */
+  private def q_intersect(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    def custs(y: String) = Relational.timeRange(orders, "o_orderdate",
+      s"$y-01-01 00:00:00", s"$y-12-31 23:59:59").select(col("o_custkey"))
+    custs("1997").intersect(custs("1998"))
+  }
+
+  /** §2b set ops: EXCEPT. */
+  private def q_except(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    def custs(y: String) = Relational.timeRange(orders, "o_orderdate",
+      s"$y-01-01 00:00:00", s"$y-12-31 23:59:59").select(col("o_custkey"))
+    custs("1997").except(custs("1998"))
+  }
+
+  /** §2b multiway join + aggregate with broadcast dimensions (Q5 shape). */
+  private def q_join_agg_region(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+
+  /** §2b approximate distinct (HLL++). No DuckDB oracle — estimator
+    * differs by design; driver does the weaker rows-only check. */
+  private def q_approx_distinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
+  // ------------------------------------------------------ text / LLM prep
+
+  /** §2b exact dedup by canonical-text fingerprint. */
+  private def q_dedup_exact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactByFingerprint(Tables.documents(s, d), "doc_id", "text")
+
+  /** §2b text statistics: token/stopword/char counts. */
+  private def q_token_stats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextFunctions.stopwordCount(col("text")).cast("long").as("n_stopwords"),
+      length(col("text")).cast("long").as("n_chars_actual"))
+
+  /** §2b quality scoring (deterministic blend, rounded). */
+  private def q_text_quality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+
+  /** §2b language-ID heuristic vs declared lang. */
+  private def q_lang_id(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("lang").as("declared_lang"),
+      TextFunctions.langIdHeuristic(col("text")).as("lang_guess"))
+
+  /** §2b distinct-token cardinality per document. */
+  private def q_unique_tokens(s: SparkSession, d: String): DataFrame =
+    Dedup.tokenSets(Tables.documents(s, d), "doc_id", "text")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_unique_tokens"))
+
+  /** §2b n-gram Jaccard near-dup pairs via inverted-index join (bounded id
+    * range keeps the oracle cheap; the operator itself is linear-ish). */
+  private def q_jaccard_pairs(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, d).filter(col("doc_id") < 60),
+      "doc_id", "text", 0.3)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+
+  /** §2b MinHash signatures (portable md5-derived hashes, bounded ids). */
+  private def q_minhash_signatures(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashSignatures(Tables.documents(s, d).filter(col("doc_id") < 40),
+      "doc_id", "text", 16)
+      .withColumn("seed", col("seed").cast("long"))
+
+  /** §2b SimHash 60-bit signatures. Rows-only check (bit-packing SQL oracle
+    * is impractical); unit-tested against hand-computed values instead. */
+  private def q_simhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simHash(Tables.documents(s, d).filter(col("doc_id") < 40), "doc_id", "text")
+
+  // ------------------------------------------------------- similarity
+
+  /** §2b brute-force cosine top-k against the vec_id=0 query vector
+    * (set-oriented: 1-row broadcast, no driver collect). */
+  private def q_cosine_topk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorFunctions.cosineSimilarity(col("embedding"), col("qv")), 6)
+          .as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** §2b exact near-dup pairs over a bounded id range (oracle for LSH). */
+  private def q_embedding_pairs(s: SparkSession, d: String): DataFrame =
+    Similarity.exactPairs(Tables.embeddings(s, d).filter(col("vec_id") < 150),
+      "vec_id", "embedding", 0.3)
+      .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+
+  /** §2b LSH-bucketed ANN near-dup pairs — the 100 TB scale path. Rows-only
+    * here; recall vs exact is asserted in SimilaritySpec. */
+  private def q_lsh_neardup(s: SparkSession, d: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+      Similarity.hyperplanes(6, 64), 0.3)
+      .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+
+  // ----------------------------------------------------- events / streams
+
+  /** §2b tumbling-window aggregate (batch twin of the streaming query). */
+  private def q_event_hourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** §2b sessionization: gap>30min splits, via lag + running sum. */
+  private def q_sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = lit(30L * 60 * 1000000)
+    val withFlag = Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          (unix_micros(col("ts")) - col("prev_us")) > gapUs, 1L).otherwise(0L))
+    withFlag
+      .withColumn("session_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+  }
+
+  /** §2b multimodal plumbing: opaque binary payload + typed metadata.
+    * (Text bytes stand in for image bytes; decode itself is stubbed in
+    * graft.operators.Multimodal — the Spark-side schema/batching is real.) */
+  private def q_multimodal_meta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        substring(col("text"), 1, 4).as("magic"))
+
+  // --------------------------------------------------------------- wiring
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_open_tickets" -> (q_open_tickets _),
+    "q_filter_project" -> (q_filter_project _),
+    "q_sort_limit" -> (q_sort_limit _),
+    "q_backfill" -> (q_backfill _),
+    "q_left_join" -> (q_left_join _),
+    "q_full_outer_merge" -> (q_full_outer_merge _),
+    "q_semi_join" -> (q_semi_join _),
+    "q_anti_dedup" -> (q_anti_dedup _),
+    "q_union_slices" -> (q_union_slices _),
+    "q_window_bucket" -> (q_window_bucket _),
+    "q_iso_format" -> (q_iso_format _),
+    "q_key_synthesis" -> (q_key_synthesis _),
+    "q_sanitize_names" -> (q_sanitize_names _),
+    "q_upsert" -> (q_upsert _),
+    "q_events_pivot" -> (q_events_pivot _),
+    "q_json_extract" -> (q_json_extract _),
+    "q1_pricing_summary" -> (q1_pricing_summary _),
+    "q_topk_per_group" -> (q_topk_per_group _),
+    "q_rollup" -> (q_rollup _),
+    "q_cube" -> (q_cube _),
+    "q_grouping_sets" -> (q_grouping_sets _),
+    "q_window_rank" -> (q_window_rank _),
+    "q_intersect" -> (q_intersect _),
+    "q_except" -> (q_except _),
+    "q_join_agg_region" -> (q_join_agg_region _),
+    "q_approx_distinct" -> (q_approx_distinct _),
+    "q_dedup_exact" -> (q_dedup_exact _),
+    "q_token_stats" -> (q_token_stats _),
+    "q_text_quality" -> (q_text_quality _),
+    "q_lang_id" -> (q_lang_id _),
+    "q_unique_tokens" -> (q_unique_tokens _),
+    "q_jaccard_pairs" -> (q_jaccard_pairs _),
+    "q_minhash_signatures" -> (q_minhash_signatures _),
+    "q_simhash" -> (q_simhash _),
+    "q_cosine_topk" -> (q_cosine_topk _),
+    "q_embedding_pairs" -> (q_embedding_pairs _),
+    "q_lsh_neardup" -> (q_lsh_neardup _),
+    "q_event_hourly" -> (q_event_hourly _),
+    "q_sessionize" -> (q_sessionize _),
+    "q_multimodal_meta" -> (q_multimodal_meta _),
+  )
+
+  /** DuckDB oracle SQL per query (same tables, same column names).
+    * Omitted: q_approx_distinct (estimator), q_simhash (bit-packing),
+    * q_lsh_neardup (bucketing is engine-side; recall asserted in tests). */
+  def oracleSql: Map[String, String] = Map(
+    "q_open_tickets" ->
+      """SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS n_ticket FROM orders
+         WHERE o_orderkey IS NOT NULL AND o_orderstatus <> 'F'""",
+    "q_filter_project" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS order_id, l_linenumber AS line_no,
+                l_quantity AS qty, l_returnflag AS flag
+         FROM lineitem
+         WHERE l_shipdate BETWEEN TIMESTAMP '1998-01-01 00:00:00'
+                              AND TIMESTAMP '1998-12-31 23:59:59'""",
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_backfill" ->
+      """SELECT o_orderkey, o_orderstatus, CAST(NULL AS VARCHAR) AS backfilled_col,
+                '' AS contact_cf_n_mero_do_ticket
+         FROM orders""",
+    "q_left_join" ->
+      """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+         FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
+    "q_full_outer_merge" ->
+      """SELECT COALESCE(l.cust, r.cust2) AS merge_key,
+                l.status AS status_chat, r.status AS status_ticket
+         FROM (SELECT o_custkey AS cust, o_orderstatus AS status FROM orders) l
+         FULL OUTER JOIN
+              (SELECT c_custkey AS cust2, c_mktsegment AS status FROM customer) r
+         ON l.cust = r.cust2""",
+    "q_semi_join" ->
+      """SELECT * FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_orderstatus <> 'F' AND o.o_custkey = c.c_custkey)""",
+    "q_anti_dedup" ->
+      """SELECT * FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM orders d
+                           WHERE d.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+                             AND d.o_orderkey = o.o_orderkey)""",
+    "q_union_slices" ->
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+         FROM orders
+         WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                               AND TIMESTAMP '1997-12-31 23:59:59'
+         UNION ALL
+         SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+         FROM orders
+         WHERE o_orderdate BETWEEN TIMESTAMP '1998-01-01 00:00:00'
+                               AND TIMESTAMP '1998-12-31 23:59:59'""",
+    "q_window_bucket" ->
+      """SELECT CAST(floor(epoch(o_orderdate) / 604800) AS BIGINT) * 604800 AS bucket_start,
+                count(*) AS n_orders
+         FROM orders GROUP BY 1""",
+    "q_iso_format" ->
+      """SELECT o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '+0000' AS created_iso
+         FROM orders""",
+    "q_key_synthesis" ->
+      """SELECT o_orderkey,
+                CASE WHEN u IS NULL OR trim(u) = ''
+                     THEN 'gen-' || CAST(o_orderkey AS VARCHAR) ELSE u END AS uuid
+         FROM (SELECT o_orderkey,
+                      CASE WHEN o_orderstatus = 'F' THEN ''
+                           ELSE CAST(o_orderkey AS VARCHAR) END AS u
+               FROM orders)""",
+    "q_sanitize_names" ->
+      """SELECT l_orderkey AS _99_n_mero_do_pedido, l_linenumber AS line_no,
+                l_quantity
+         FROM lineitem""",
+    "q_upsert" ->
+      """WITH dest AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+                       WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'),
+              upd AS (SELECT o_orderkey, 'Resolvido' AS o_orderstatus, o_totalprice
+                      FROM orders WHERE o_orderstatus = 'P')
+         SELECT * FROM dest
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+         UNION ALL SELECT * FROM upd""",
+    "q_events_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click') > 0 AS evt_click,
+                count(*) FILTER (WHERE event_type = 'error') > 0 AS evt_error,
+                count(*) FILTER (WHERE event_type = 'purchase') > 0 AS evt_purchase,
+                count(*) FILTER (WHERE event_type = 'signup') > 0 AS evt_signup,
+                count(*) FILTER (WHERE event_type = 'view') > 0 AS evt_view
+         FROM events GROUP BY user_id""",
+    "q_json_extract" ->
+      """SELECT event_type,
+                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                count(*) AS n
+         FROM events GROUP BY event_type""",
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                round(avg(l_quantity), 4) AS avg_qty,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                round(sum(o_totalprice), 2) AS revenue
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+                RANK() OVER w AS rnk,
+                LAG(o_totalprice, 1) OVER w AS prev_price,
+                round(SUM(o_totalprice) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                  AS running_spend
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders
+         WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                               AND TIMESTAMP '1997-12-31 23:59:59'
+         INTERSECT
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate BETWEEN TIMESTAMP '1998-01-01 00:00:00'
+                               AND TIMESTAMP '1998-12-31 23:59:59'""",
+    "q_except" ->
+      """SELECT o_custkey FROM orders
+         WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                               AND TIMESTAMP '1997-12-31 23:59:59'
+         EXCEPT
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate BETWEEN TIMESTAMP '1998-01-01 00:00:00'
+                               AND TIMESTAMP '1998-12-31 23:59:59'""",
+    "q_join_agg_region" ->
+      """SELECT r_name, round(sum(o_totalprice), 2) AS revenue,
+                count(DISTINCT o_custkey) AS n_custs
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '[^0-9a-z]', '', 'g')) AS fingerprint,
+                min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1""",
+    "q_token_stats" ->
+      """SELECT doc_id,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+                  AS BIGINT) AS n_stopwords,
+                CAST(length(text) AS BIGINT) AS n_chars_actual
+         FROM documents""",
+    "q_text_quality" ->
+      """SELECT doc_id, round(
+           0.4 * (CASE WHEN n BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+         + 0.3 * least((CASE WHEN n > 0 THEN ns / n ELSE 0.0 END) * 5.0, 1.0)
+         + 0.3 * (CASE WHEN (CASE WHEN length(text) > 0
+                    THEN np / CAST(length(text) AS DOUBLE) ELSE 0.0 END) < 0.2
+                    THEN 1.0 ELSE 0.0 END), 6) AS quality
+         FROM (SELECT doc_id, text,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                   t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+                   AS BIGINT) AS ns,
+                 length(text) - length(regexp_replace(text,
+                   '[.,;:!?''"()\[\]{}-]', '', 'g')) AS np
+               FROM documents)""",
+    "q_lang_id" ->
+      """SELECT doc_id, lang AS declared_lang,
+                CASE WHEN (CASE WHEN n > 0 THEN ns / n ELSE 0.0 END) >= 0.05
+                     THEN 'en' ELSE 'unknown' END AS lang_guess
+         FROM (SELECT doc_id, lang,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                   t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+                   AS BIGINT) AS ns
+               FROM documents)""",
+    "q_unique_tokens" ->
+      """SELECT doc_id, count(DISTINCT t) AS n_unique_tokens
+         FROM (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS t
+               FROM documents)
+         GROUP BY doc_id""",
+    "q_jaccard_pairs" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+                        UNNEST(string_split_regex(trim(text), '\s+')) AS token
+                      FROM documents WHERE doc_id < 60),
+              sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                        FROM tok a JOIN tok b
+                          ON a.token = b.token AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+         SELECT i.id_a, i.id_b,
+                round(i.n_common / (sa.n + sb.n - i.n_common), 6) AS jaccard
+         FROM inter i
+         JOIN sizes sa ON i.id_a = sa.doc_id
+         JOIN sizes sb ON i.id_b = sb.doc_id
+         WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.3""",
+    "q_minhash_signatures" ->
+      """SELECT doc_id, seed,
+                min(CAST(('0x' || substring(md5(seed || ':' || token), 1, 15))
+                    AS BIGINT)) AS min_hash
+         FROM (SELECT DISTINCT doc_id,
+                 UNNEST(string_split_regex(trim(text), '\s+')) AS token
+               FROM documents WHERE doc_id < 40),
+              (SELECT UNNEST(generate_series(0, 15)) AS seed)
+         GROUP BY doc_id, seed""",
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+                    WHERE vec_id = 0)
+         SELECT vec_id,
+                round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                  / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
+         FROM embeddings, q
+         ORDER BY cosine_sim DESC, vec_id LIMIT 10""",
+    "q_embedding_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id < 150)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+         FROM e a, e b
+         WHERE a.vec_id < b.vec_id
+           AND list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) >= 0.3""",
+    "q_event_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2""",
+    "q_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+                  CASE WHEN prev_us IS NULL
+                         OR (epoch_us(ts) - prev_us) > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM (SELECT user_id, event_id, ts, value,
+                        LAG(epoch_us(ts), 1) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                 FROM events)),
+              sess AS (
+           SELECT user_id, value,
+                  CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS BIGINT)
+                    AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+                round(sum(value), 2) AS session_value
+         FROM sess GROUP BY user_id, session_id""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                substring(text, 1, 4) AS magic
+         FROM documents""",
+  )
 }

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline surface
+  * (SURVEY.md §2b): tokenization, token counting, quality signals,
+  * language-ID heuristic, document fingerprinting.
+  *
+  * Everything is built from `org.apache.spark.sql.functions` built-ins
+  * (codegen'd, whole-stage-compatible) — no UDFs, so the hot path over a
+  * 100 TB `documents` table stays vectorized and Catalyst can prune/push.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of trimmed text. Empty text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Token count (whitespace segmentation). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: count of alternating letter/digit/punct runs.
+    * Deterministic and cheap; a stand-in for real tokenizer cost models. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[a-zA-Z])(?=[^a-zA-Z\\s])|(?<=[^a-zA-Z\\s])(?=[a-zA-Z])|\\s+"),
+      t => length(t) > 0))
+
+  /** Small English stopword list used by the quality/language heuristics. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Number of tokens that are stopwords. */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(lit): _*)))
+
+  /** Count of punctuation characters. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?'\"()\\[\\]{}-]", ""))
+
+  /** Quality score in [0,1]: blend of length band, stopword presence and
+    * punctuation sanity — the standard cheap pre-filter for LLM corpus
+    * cleaning. Deterministic arithmetic (rounded by callers for oracles). */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lengthOk = when(n.between(5, 5000), lit(1.0)).otherwise(lit(0.0))
+    val stopRatio = when(n > 0, stopwordCount(text) / n).otherwise(lit(0.0))
+    val punctRatio = when(length(text) > 0, punctCount(text) / length(text).cast("double"))
+      .otherwise(lit(0.0))
+    val punctOk = when(punctRatio < lit(0.2), lit(1.0)).otherwise(lit(0.0))
+    (lengthOk * 0.4) + (least(stopRatio * 5.0, lit(1.0)) * 0.3) + (punctOk * 0.3)
+  }
+
+  /** Language-ID heuristic: stopword-hit ratio over an n-gram/stopword
+    * profile. With only an English profile this is en-vs-unknown; real
+    * deployments add one profile per language (same expression shape). */
+  def langIdHeuristic(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val ratio = when(n > 0, stopwordCount(text) / n).otherwise(lit(0.0))
+    when(ratio >= 0.05, lit("en")).otherwise(lit("unknown"))
+  }
+
+  /** Canonical-form document fingerprint: lowercase, strip non-alphanumerics,
+    * md5. Equal fingerprints ⇒ near-identical documents modulo
+    * case/punctuation/whitespace — the first-stage exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^0-9a-z]", ""))
+
+  /** Word n-gram shingles (default 3): `["a","b","c","d"]` → `["a b c",
+    * "b c d"]`. Built from sequence+transform+slice — pure codegen. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ts = tokens(text)
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+  }
+
+  /** Portable 60-bit token hash: first 15 hex chars of md5 as a long.
+    * Identical value is computable in any engine (DuckDB, Trino, …), which
+    * keeps MinHash signatures oracle-checkable. */
+  def portableHash(s: Column, seed: Int): Column = portableHash(s, lit(seed))
+
+  /** As above with a column seed (for exploded per-seed MinHash passes). */
+  def portableHash(s: Column, seed: Column): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit(":"), s)), 1, 15), 16, 10)
+      .cast("long")
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the LLM-data-pipeline surface (SURVEY.md §2b):
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH banding, SimHash.
+  *
+  * Scale shape: exact dedup is one shuffle on the content hash; near-dup
+  * methods never do an O(n²) crossJoin — candidates come from an equi-join
+  * on shingle/band/bucket keys, so the shuffle volume is proportional to
+  * the collision count, not n².
+  */
+object Dedup {
+
+  /** Exact dedup by content fingerprint: one row per distinct canonical
+    * text, keeping the lowest id. A single hash-aggregate shuffle on the
+    * 128-bit fingerprint — the canonical first pass over a 100 TB corpus. */
+  def exactByFingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word-token set per document (exploded form). Exploded rather
+    * than array-valued so downstream similarity joins are equi-joins. */
+  def tokenSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .distinct()
+
+  /** Pairwise n-gram/token Jaccard similarity via inverted-index equi-join
+    * (no crossJoin): |A∩B| from a token-on-token join, |A∪B| from set sizes.
+    * Emits ordered pairs (idA < idB) with similarity ≥ `threshold`.
+    * At scale, drop ultra-frequent tokens first (stop-token pruning) to
+    * bound the join fan-out; for word-shingles the fan-out is naturally
+    * tiny because shingles are near-unique. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double): DataFrame = {
+    val sets = tokenSets(docs, idCol, textCol).cache()
+    val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    val a = sets.toDF("id_a", "token")
+    val b = sets.toDF("id_b", "token")
+    val inter = a.join(b, Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.toDF("id_a", "size_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "size_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum portable token hash. One exploded equi-shuffle; signature rows
+    * are (id, seed, min_hash). Portable hashing (md5-derived) keeps the
+    * signature reproducible in any engine. */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int): DataFrame = {
+    val toks = tokenSets(docs, idCol, textCol)
+    val withSeed = toks.select(col(idCol), col("token"),
+      explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
+    withSeed
+      .withColumn("h", TextFunctions.portableHash(col("token"), col("seed")))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(col("h")).as("min_hash"))
+  }
+
+  /** MinHash-LSH candidate pairs: group the signature into `bands` bands of
+    * `rowsPerBand` hashes, hash each band, and equi-join documents sharing
+    * any band hash. Probability of a pair colliding ≈ 1-(1-s^r)^b — tune
+    * (b, r) to the target similarity threshold. Only candidates are emitted;
+    * callers re-rank with exact Jaccard. */
+  def minHashLshCandidates(signatures: DataFrame, idCol: String,
+                           bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = signatures
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(md5(concat_ws(",", sort_array(collect_list(col("min_hash"))))).as("band_hash"))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** SimHash: 64-bit locality-sensitive content hash — sum ±1 per bit over
+    * token hashes, take sign bits. Near-identical docs differ in few bits. */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokenSets(docs, idCol, textCol)
+      .withColumn("h", TextFunctions.portableHash(col("token"), 7))
+    val bitCols = (0 until 60).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$bit")
+    }
+    val sums = toks.groupBy(col(idCol)).agg(bitCols.head, bitCols.tail: _*)
+    val packed = (0 until 60).foldLeft(lit(0L)) { (acc, bit) =>
+      acc.bitwiseOR(when(col(s"b$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L)))
+    }
+    sums.select(col(idCol), packed.as("simhash"))
+  }
+}

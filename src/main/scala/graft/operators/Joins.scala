@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join-shaped operators (SURVEY.md §2: T9, T12, T16, T19, S11, K3).
+  *
+  * Scale posture: enrichment joins against bounded dimensions are
+  * broadcast (no shuffle); the entity merge and dedup anti-join shuffle
+  * both sides on the join key once — Catalyst/AQE pick broadcast-hash
+  * automatically when a side is small, and handle skew at runtime.
+  */
+object Joins {
+
+  /** Left enrichment join (reference/main.py:91): fact LEFT JOIN a small
+    * extracted-attributes table on a key. `hint`s broadcast when the right
+    * side is a bounded dimension. */
+  def enrichLeft(fact: DataFrame, dim: DataFrame, key: String,
+                 broadcastDim: Boolean = true): DataFrame = {
+    val right = if (broadcastDim) broadcast(dim) else dim
+    fact.join(right, Seq(key), "left")
+  }
+
+  /** Full-outer entity merge with collision suffixing (reference/chat.py:119-132
+    * `merge_ou_concat_campo_ticket`): chats ⟗ tickets on
+    * `leftKey = rightKey`; columns present on both sides get deterministic
+    * `_<leftSuffix>` / `_<rightSuffix>` suffixes (pandas merge suffixes are
+    * implicit; Spark joins don't auto-suffix, so we rename before joining);
+    * the join keys are coalesced into one output key column. */
+  def fullOuterMerge(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     leftSuffix: String = "chat", rightSuffix: String = "ticket",
+                     outKey: String = "merge_key"): DataFrame = {
+    val collisions = (left.columns.toSet intersect right.columns.toSet) - leftKey - rightKey
+    def suffixed(df: DataFrame, suffix: String) =
+      df.toDF(df.columns.map(c =>
+        if (collisions.contains(c)) s"${c}_$suffix" else c).toIndexedSeq: _*)
+    val l = suffixed(left, leftSuffix)
+    val r = suffixed(right, rightSuffix)
+    val joined = l.join(r, l(leftKey) === r(rightKey), "full_outer")
+    val outCols = coalesce(l(leftKey), r(rightKey)).as(outKey) +:
+      (l.columns.filterNot(_ == leftKey).map(l(_)) ++
+       r.columns.filterNot(_ == rightKey).map(r(_)))
+    joined.select(outCols.toIndexedSeq: _*)
+  }
+
+  /** Membership probe, set-oriented (reference/manutencao.py:39-54
+    * `IN UNNEST(@valores)` → left-semi join). */
+  def semiJoin(df: DataFrame, keys: DataFrame, key: String): DataFrame =
+    df.join(keys, Seq(key), "left_semi")
+
+  /** Dedup-vs-destination (reference/manutencao.py:12-62 `duplicidade_no_df`):
+    * drop batch rows whose key already exists in the destination, per key
+    * column. The reference ships the batch key-set to BigQuery; here the
+    * anti-join IS the semantics, and Catalyst broadcasts the smaller side. */
+  def dedupAgainst(batch: DataFrame, dest: DataFrame, keyCols: Seq[String]): DataFrame =
+    keyCols.foldLeft(batch) { (b, k) =>
+      b.join(dest.select(col(k)).na.drop().distinct(), Seq(k), "left_anti")
+    }
+
+  /** Union of scan slices (reference/ticket.py:65 `pd.concat` of bisected
+    * window halves), tolerant of column drift between slices. */
+  def unionSlices(slices: Seq[DataFrame]): DataFrame =
+    slices.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Keyed upsert = MERGE emulation without a transactional table format
+    * (reference/ticket.py:151-212 per-row UPDATE loop → set-oriented):
+    * rows of `dest` whose key appears in `updates` are replaced by the
+    * update row. One anti-join + one union; both sides shuffle on the key
+    * at most once. Column sets must match (use ColumnHygiene.backfill). */
+  def upsert(dest: DataFrame, updates: DataFrame, key: String): DataFrame =
+    dest.join(updates.select(col(key)).distinct(), Seq(key), "left_anti")
+      .unionByName(updates.select(dest.columns.map(col).toIndexedSeq: _*))
+}

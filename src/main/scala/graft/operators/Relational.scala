@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Core relational spine (SURVEY.md §2: T1-T5, T7, T10, T13-T14, T18).
+  *
+  * Every operator here is a thin, declarative composition over the DataFrame
+  * API: Catalyst pushes the filters/projections into the parquet scan and
+  * plans distributed execution; nothing below materializes on the driver.
+  */
+object Relational {
+
+  /** Time-range predicate (reference/ticket.py:109-115). Declarative so the
+    * predicate is pushed down to parquet row-group pruning. */
+  def timeRange(df: DataFrame, tsCol: String, start: String, end: String): DataFrame =
+    df.filter(col(tsCol).between(lit(start).cast("timestamp"), lit(end).cast("timestamp")))
+
+  /** Project + rename in one select (reference/main.py:46-62): renameMap is
+    * source-column (possibly dotted nested path) → business name. */
+  def projectRename(df: DataFrame, renameMap: Seq[(String, String)]): DataFrame =
+    df.select(renameMap.map { case (src, dst) => col(src).alias(dst) }.toIndexedSeq: _*)
+
+  /** Cast a set of columns to a target type (reference/main.py:96-98). */
+  def castAll(df: DataFrame, casts: Seq[(String, String)]): DataFrame =
+    casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
+
+  /** `SELECT DISTINCT key WHERE key IS NOT NULL AND status != closed` — the
+    * reference's open-ticket scan (reference/main.py:146-150,
+    * update_tickets.py:4-8). Distinct is a hash aggregate: partial per
+    * partition, one shuffle on the key. */
+  def distinctOpenKeys(df: DataFrame, keyCol: String, statusCol: String,
+                       closedValue: String): DataFrame =
+    df.filter(col(keyCol).isNotNull && col(statusCol) =!= closedValue)
+      .select(col(keyCol))
+      .distinct()
+
+  /** Null-or-blank key synthesis (reference/main.py:106-108): keep the key if
+    * present and non-blank, else synthesize one. The reference uses uuid4();
+    * callers pass a generator column (`expr("uuid()")`, or a deterministic
+    * surrogate for oracle-checked runs). */
+  def synthesizeKey(df: DataFrame, keyCol: String, generator: Column): DataFrame =
+    df.withColumn(keyCol,
+      when(col(keyCol).isNull || trim(col(keyCol)) === "", generator)
+        .otherwise(col(keyCol)))
+
+  /** Audit timestamp constant per run (reference/main.py:110-112). */
+  def auditTimestamp(df: DataFrame, colName: String = "upload"): DataFrame =
+    df.withColumn(colName, current_timestamp())
+
+  /** ISO-8601 formatting with numeric offset, offset rendered without colon —
+    * the reference's `format_iso` / strftime('%Y-%m-%dT%H:%M:%S%z')
+    * (reference/ticket.py:26-28). The session timezone supplies the offset. */
+  def isoFormat(ts: Column, utcOffset: String = "+0000"): Column =
+    concat(date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), lit(utcOffset))
+
+  /** Fixed-width time bucketing (reference/ticket.py:31-38 `split_windows`):
+    * assign each row the epoch-second start of its `widthSec`-wide window.
+    * Used both as a query operator and as a scan-partitioning scheme: at
+    * 100 TB the bucket column is the partition key, so range queries prune. */
+  def timeBucket(ts: Column, widthSec: Long): Column =
+    (floor(unix_timestamp(ts) / widthSec) * widthSec).cast("long")
+}

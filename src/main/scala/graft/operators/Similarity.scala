@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2b similarity search).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k against a single query vector —
+  *    a scan + per-row scalar expression + top-k sort. Linear, fully
+  *    distributed; the baseline and the re-rank primitive.
+  *  - [[lshTopK]] / [[nearDupPairs]]: random-hyperplane LSH bucketing prunes
+  *    the candidate space so the pairwise work is per-bucket, not O(n²) —
+  *    the 100 TB path.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine similarity to one literal query vector.
+    * The query is inlined into the expression (no join); Spark executes a
+    * TakeOrdered (per-partition top-k + merge), so no full sort/shuffle. */
+  def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    embeddings
+      .select(col(idCol),
+        VectorFunctions.cosineSimilarity(col(vecCol), q).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (xorshift-seeded), so LSH
+    * bucketing is reproducible across runs/engines. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    var state = seed
+    def next(): Double = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      (state.toDouble / Long.MaxValue)
+    }
+    Seq.fill(numPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** Assign each vector an LSH bucket id from `numPlanes` hyperplane sign
+    * bits. 2^numPlanes buckets; per-bucket population n/2^p in expectation. */
+  def withLshBucket(embeddings: DataFrame, vecCol: String,
+                    planes: Seq[Seq[Double]]): DataFrame =
+    embeddings.withColumn("lsh_bucket",
+      VectorFunctions.lshBucket(col(vecCol), planes))
+
+  /** ANN top-k: probe only the query's LSH bucket, exact re-rank inside it.
+    * Recall is tuned by numPlanes (fewer planes → bigger buckets → higher
+    * recall, more work). Multi-probe (flipping low-confidence bits) is the
+    * standard recall booster; single-probe keeps this round deterministic. */
+  def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, planes: Seq[Seq[Double]]): DataFrame = {
+    val queryBucket = {
+      var b = 0
+      planes.zipWithIndex.foreach { case (p, i) =>
+        val dot = p.zip(query).map { case (x, y) => x * y }.sum
+        if (dot >= 0.0) b |= (1 << i)
+      }
+      b
+    }
+    withLshBucket(embeddings, vecCol, planes)
+      .filter(col("lsh_bucket") === queryBucket)
+      .select(col(idCol),
+        VectorFunctions.cosineSimilarity(col(vecCol), array(query.map(lit): _*))
+          .as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: bucket with LSH, self-join per bucket
+    * (equi-join on bucket id — shuffle ∝ Σ bucket²; with enough planes this
+    * is linear-ish), exact cosine re-rank, keep pairs ≥ threshold. */
+  def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                   planes: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    val bucketed = withLshBucket(embeddings, vecCol, planes)
+      .select(col(idCol), col(vecCol), col("lsh_bucket"))
+    val a = bucketed.toDF("id_a", "vec_a", "lsh_bucket")
+    val b = bucketed.toDF("id_b", "vec_b", "lsh_bucket")
+    a.join(b, Seq("lsh_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim",
+        VectorFunctions.cosineSimilarity(col("vec_a"), col("vec_b")))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+
+  /** Exact all-pairs cosine over a bounded id range — the correctness oracle
+    * for the LSH path and the re-rank building block. Callers MUST bound the
+    * input (this one is O(n²) by design). */
+  def exactPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                 threshold: Double): DataFrame = {
+    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim",
+        VectorFunctions.cosineSimilarity(col("vec_a"), col("vec_b")))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+}

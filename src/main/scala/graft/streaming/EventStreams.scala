@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface over the `events` table (SURVEY.md §2b).
+  *
+  * The reference is daily batch; this is the north-star streaming extension.
+  * Batch/stream parity is by construction: [[tumblingCounts]] applies the
+  * same transformation to a static or streaming frame, so the DuckDB oracle
+  * validates the batch twin and StreamingSpec asserts stream == batch.
+  *
+  * Scale posture: watermark bounds state; tumbling windows shuffle once on
+  * (window, event_type); `dropDuplicatesWithinWatermark` bounds dedup state.
+  */
+object EventStreams {
+
+  /** Tumbling-window count/sum per event type. Works on static and
+    * streaming frames alike (watermark is a no-op in batch). */
+  def tumblingCounts(events: DataFrame, windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding-window variant. */
+  def slidingCounts(events: DataFrame, windowLength: String = "1 hour",
+                    slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowLength, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows with a gap timeout (streaming-native sessionization;
+    * the batch twin is SparkEntry.q_sessionize's lag/sum formulation). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"))
+
+  /** Streaming dedup on event_id bounded by the watermark. */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Read an events parquet path as a stream (for tests/demos: one file =
+    * one micro-batch). Takes the RAW on-disk schema (nanos-as-long) and
+    * applies the same ts normalization as the batch loader, so batch and
+    * stream pipelines see identical frames. */
+  def readEventStream(spark: SparkSession, path: String, rawSchema: StructType): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema).parquet(path))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.ColumnHygiene
+import org.apache.spark.sql.types.StringType
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Name-sanitization rules from reference/chat.py:21-31 and duplicate/
+  * backfill handling from reference/main.py:85-87,125. */
+class ColumnHygieneSpec extends AnyFunSuite {
+
+  // Hand-rolled property driver (no scalatest+scalacheck bridge in the
+  // offline cache): deterministic seeds, 200 cases per property.
+  private def forAllSampled[A](gen: Gen[A], cases: Int = 200)(check: A => Unit): Unit =
+    (0 until cases).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(check)
+    }
+
+  test("sanitize replaces non-alphanumerics, prefixes digits, truncates at 300") {
+    assert(ColumnHygiene.sanitizeName("número do ticket") === "n_mero_do_ticket")
+    assert(ColumnHygiene.sanitizeName("99 pedidos") === "_99_pedidos")
+    assert(ColumnHygiene.sanitizeName("ok_name") === "ok_name")
+    assert(ColumnHygiene.sanitizeName("a" * 400).length === 300)
+    assert(ColumnHygiene.sanitizeName("1" + "b" * 400).length === 300)
+  }
+
+  test("sanitize output always matches BigQuery-style name rules (property)") {
+    val gen = Gen.nonEmptyListOf(Gen.asciiPrintableChar).map(_.mkString)
+    forAllSampled(gen) { name =>
+      val out = ColumnHygiene.sanitizeName(name)
+      assert(out.matches("^[A-Za-z_][0-9A-Za-z_]{0,299}$"), s"input=$name out=$out")
+    }
+  }
+
+  test("sanitize is idempotent (property)") {
+    val gen = Gen.nonEmptyListOf(Gen.asciiPrintableChar).map(_.mkString)
+    forAllSampled(gen) { name =>
+      val once = ColumnHygiene.sanitizeName(name)
+      assert(ColumnHygiene.sanitizeName(once) === once)
+    }
+  }
+}
+
+class ColumnHygieneSparkSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("dropDuplicateColumns keeps first occurrence") {
+    val df = Seq((1, "a", 9.0)).toDF("k", "v", "x")
+      .select($"k", $"v", $"x".as("v"))
+    val out = ColumnHygiene.dropDuplicateColumns(df)
+    assert(out.columns.toSeq === Seq("k", "v"))
+    assert(out.collect().head.getString(1) === "a")
+  }
+
+  test("backfill adds only the missing expected columns as typed nulls") {
+    val df = Seq((1, "x")).toDF("id", "present")
+    val out = ColumnHygiene.backfill(df,
+      Seq("present" -> StringType, "missing" -> StringType))
+    assert(out.columns.toSeq === Seq("id", "present", "missing"))
+    val row = out.collect().head
+    assert(row.getString(1) === "x")
+    assert(row.isNullAt(2))
+  }
+
+  test("sanitizeColumns renames via sanitizeName") {
+    val df = Seq((1, 2)).toDF("99 número", "b#c")
+    assert(ColumnHygiene.sanitizeColumns(df).columns.toSeq ===
+      Seq("_99_n_mero", "b_c"))
+  }
+}

@@ -1,0 +1,27 @@
+package graft
+
+/** Smoke: the driver contract — entry() returns rows; every declared query
+  * runs at sf0.001 and every oracle key refers to a declared query. */
+class EntrySpec extends SparkSuite {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without a query impl: $missing")
+  }
+
+  test("every query runs and is non-empty at sf0.001") {
+    val empties = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (n == 0) Some(name) else None
+    }
+    // q_embedding_pairs/q_lsh_neardup may legitimately be sparse, everything
+    // else must produce rows at the smallest SF.
+    val allowedEmpty = Set("q_embedding_pairs", "q_lsh_neardup")
+    assert((empties.toSet -- allowedEmpty).isEmpty,
+      s"unexpected empty results: ${empties.toSet -- allowedEmpty}")
+  }
+}

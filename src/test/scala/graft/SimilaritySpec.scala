@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cosineSimilarity matches hand-computed values") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),   // identical → 1
+      (2L, Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),   // orthogonal → 0
+      (3L, Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f)),  // opposite → -1
+      (4L, Seq(0.0f, 0.0f), Seq(1.0f, 0.0f)))   // zero-norm → 0 (guarded)
+      .toDF("id", "a", "b")
+    val out = df.select($"id",
+      VectorFunctions.cosineSimilarity($"a", $"b").as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-12)
+    assert(math.abs(out(2L)) < 1e-12)
+    assert(math.abs(out(3L) + 1.0) < 1e-12)
+    assert(out(4L) === 0.0)
+  }
+
+  test("bruteForceTopK returns self first for a vector from the corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" === 7).select($"embedding")
+      .as[Seq[Float]].collect().head.map(_.toDouble)
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 === 7L)
+    assert(math.abs(top.head._2 - 1.0) < 1e-9)
+    // descending similarity
+    assert(top.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("lshTopK results are a subset of the corpus ranked identically within bucket") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" === 7).select($"embedding")
+      .as[Seq[Float]].collect().head.map(_.toDouble)
+    val planes = Similarity.hyperplanes(4, 64)
+    val top = Similarity.lshTopK(emb, "vec_id", "embedding", q, 5, planes)
+      .as[(Long, Double)].collect()
+    // the query's own bucket contains the query vector → exact self-match first
+    assert(top.head._1 === 7L)
+  }
+
+  test("nearDupPairs is a subset of exactPairs and finds planted duplicates") {
+    val base = Tables.embeddings(spark, sf).filter($"vec_id" < 50)
+      .select($"vec_id", $"embedding")
+    // plant an exact duplicate of vec 3 with id 9003
+    val dup = base.filter($"vec_id" === 3)
+      .select(lit(9003L).as("vec_id"), $"embedding")
+    val emb = base.unionByName(dup)
+    val planes = Similarity.hyperplanes(6, 64)
+    val lsh = Similarity.nearDupPairs(emb, "vec_id", "embedding", planes, 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.exactPairs(emb, "vec_id", "embedding", 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((3L, 9003L)))  // identical vectors share every bucket
+  }
+
+  test("hyperplanes are deterministic") {
+    assert(Similarity.hyperplanes(3, 8) === Similarity.hyperplanes(3, 8))
+  }
+}

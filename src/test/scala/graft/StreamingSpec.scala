@@ -1,0 +1,46 @@
+package graft
+
+import graft.streaming.EventStreams
+
+/** Stream/batch parity: the same tumbling-window transform over the events
+  * table must produce identical results via Structured Streaming (memory
+  * sink, parquet source) and plain batch execution. */
+class StreamingSpec extends SparkSuite {
+
+  test("streaming tumbling counts equal batch tumbling counts") {
+    val batchEvents = Tables.events(spark, sf)
+    val expected = EventStreams.tumblingCounts(batchEvents)
+      .collect().map(_.toSeq).toSet
+
+    val stream = EventStreams.readEventStream(spark, s"$sf/events.parquet",
+      Tables.rawEventSchema(spark, sf))
+    val q = EventStreams.tumblingCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling_out").collect().map(_.toSeq).toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event ids within watermark") {
+    val batchEvents = Tables.events(spark, sf).limit(100).cache()
+    val doubled = batchEvents.unionByName(batchEvents)
+    // batch twin of dropDuplicatesWithinWatermark is plain dropDuplicates
+    assert(doubled.dropDuplicates("event_id").count() === 100)
+
+    val stream = EventStreams.readEventStream(spark, s"$sf/events.parquet",
+      Tables.rawEventSchema(spark, sf))
+    val q = EventStreams.dedupedStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").count()
+      assert(n === Tables.events(spark, sf).count())
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class TextAndDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "The quick brown fox"),
+    (1L, "the quick  brown fox!!"),   // dup of 0 modulo case/space/punct
+    (2L, "completely different words here"),
+    (3L, "")).toDF("doc_id", "text")
+
+  test("tokenCount handles empty and multi-space text") {
+    val out = docs.select($"doc_id", TextFunctions.tokenCount($"text").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(out(0L) === 4)
+    assert(out(1L) === 4)
+    assert(out(3L) === 0)
+  }
+
+  test("fingerprint collapses case/punctuation/whitespace variants") {
+    val fp = docs.select($"doc_id", TextFunctions.fingerprint($"text").as("f"))
+      .as[(Long, String)].collect().toMap
+    assert(fp(0L) === fp(1L))
+    assert(fp(0L) !== fp(2L))
+  }
+
+  test("exactByFingerprint groups dups and keeps lowest id") {
+    val out = Dedup.exactByFingerprint(docs, "doc_id", "text")
+    val byKeep = out.select($"keep_id", $"n_dups").as[(Long, Long)].collect().toMap
+    assert(byKeep(0L) === 2L)    // docs 0 and 1 collapse
+    assert(byKeep(2L) === 1L)
+  }
+
+  test("shingles produce overlapping n-grams") {
+    val s = Seq(("a b c d")).toDF("text")
+      .select(TextFunctions.shingles($"text", 3).as("sh"))
+      .as[Seq[String]].collect().head
+    assert(s === Seq("a b c", "b c d"))
+  }
+
+  test("shingles of short text are empty, not an error") {
+    val s = Seq(("a b")).toDF("text")
+      .select(TextFunctions.shingles($"text", 3).as("sh"))
+      .as[Seq[String]].collect().head
+    assert(s.isEmpty)
+  }
+
+  test("jaccardPairs matches hand-computed overlap") {
+    val d = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    // |{a,b,c} ∩| = 3, union = 5 → 0.6; doc3 shares nothing
+    assert(pairs === Set((1L, 2L, 0.6)))
+  }
+
+  test("identical docs get identical minhash signatures") {
+    val d = Seq((1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4"), (3L, "q r s t"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minHashSignatures(d, "doc_id", "text", 8)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(3L))
+  }
+
+  test("minhash LSH finds identical docs as candidates") {
+    val d = Seq((1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4"), (3L, "q r s t"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minHashSignatures(d, "doc_id", "text", 8)
+    val cands = Dedup.minHashLshCandidates(sig, "doc_id", bands = 2, rowsPerBand = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)))
+  }
+
+  test("identical docs get identical simhash; near-identical stay close") {
+    val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "omega psi chi phi")).toDF("doc_id", "text")
+    val sh = Dedup.simHash(d, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 0)
+  }
+
+  test("langIdHeuristic flags stopword-rich text as en") {
+    val d = Seq((1L, "the cat is in the hat and it is fine"),
+      (2L, "zzz qqq www rrr")).toDF("doc_id", "text")
+    val out = d.select($"doc_id", TextFunctions.langIdHeuristic($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "unknown")
+  }
+}
