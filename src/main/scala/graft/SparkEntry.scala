@@ -491,7 +491,7 @@ object SparkEntry {
          FROM events GROUP BY user_id""",
     "q_json_extract" ->
       """SELECT event_type,
-                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                 count(*) AS n
          FROM events GROUP BY event_type""",
     "q1_pricing_summary" ->
@@ -562,8 +562,8 @@ object SparkEntry {
          FROM documents GROUP BY 1""",
     "q_token_stats" ->
       """SELECT doc_id,
-                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END,
                   t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
                   AS BIGINT) AS n_stopwords,
                 CAST(length(text) AS BIGINT) AS n_chars_actual
@@ -576,8 +576,8 @@ object SparkEntry {
                     THEN np / CAST(length(text) AS DOUBLE) ELSE 0.0 END) < 0.2
                     THEN 1.0 ELSE 0.0 END), 6) AS quality
          FROM (SELECT doc_id, text,
-                 CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n,
-                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                 CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS DOUBLE) AS n,
+                 CAST(len(list_filter(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END,
                    t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
                    AS BIGINT) AS ns,
                  length(text) - length(regexp_replace(text,
@@ -588,19 +588,19 @@ object SparkEntry {
                 CASE WHEN (CASE WHEN n > 0 THEN ns / n ELSE 0.0 END) >= 0.05
                      THEN 'en' ELSE 'unknown' END AS lang_guess
          FROM (SELECT doc_id, lang,
-                 CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n,
-                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                 CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS DOUBLE) AS n,
+                 CAST(len(list_filter(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END,
                    t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
                    AS BIGINT) AS ns
                FROM documents)""",
     "q_unique_tokens" ->
       """SELECT doc_id, count(DISTINCT t) AS n_unique_tokens
-         FROM (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS t
+         FROM (SELECT doc_id, UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS t
                FROM documents)
          GROUP BY doc_id""",
     "q_jaccard_pairs" ->
       """WITH tok AS (SELECT DISTINCT doc_id,
-                        UNNEST(string_split_regex(trim(text), '\s+')) AS token
+                        UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS token
                       FROM documents WHERE doc_id < 60),
               sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
               inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
@@ -618,7 +618,7 @@ object SparkEntry {
                 min(CAST(('0x' || substring(md5(seed || ':' || token), 1, 15))
                     AS BIGINT)) AS min_hash
          FROM (SELECT DISTINCT doc_id,
-                 UNNEST(string_split_regex(trim(text), '\s+')) AS token
+                 UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS token
                FROM documents WHERE doc_id < 40),
               (SELECT UNNEST(generate_series(0, 15)) AS seed)
          GROUP BY doc_id, seed""",

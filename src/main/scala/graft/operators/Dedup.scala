@@ -77,10 +77,15 @@ object Dedup {
     * callers re-rank with exact Jaccard. */
   def minHashLshCandidates(signatures: DataFrame, idCol: String,
                            bands: Int, rowsPerBand: Int): DataFrame = {
+    // Band hash must be computed over the min-hashes in SEED order (the
+    // signature is a vector indexed by seed, not a set): collect
+    // (seed, min_hash) structs, sort by seed, then hash the ordered values.
     val banded = signatures
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
       .groupBy(col(idCol), col("band"))
-      .agg(md5(concat_ws(",", sort_array(collect_list(col("min_hash"))))).as("band_hash"))
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("seed"), col("min_hash")))),
+          s => s.getField("min_hash")))).as("band_hash"))
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
     a.join(b, Seq("band", "band_hash"))

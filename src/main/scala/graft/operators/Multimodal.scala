@@ -21,7 +21,7 @@ object Multimodal {
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = true),
-    StructField("media_type", StringType, nullable = true),
+    StructField("media_type", StringType, nullable = false),
     StructField("n_bytes", LongType, nullable = true),
     StructField("magic_hex", StringType, nullable = true)))
 

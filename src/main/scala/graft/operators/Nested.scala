@@ -21,18 +21,25 @@ object Nested {
     * names afterwards). Arrays are left intact (flattened only by explicit
     * explode/pivot operators). */
   def flattenStructs(df: DataFrame, sep: String = "."): DataFrame = {
-    def expandNested(schema: StructType, path: String): Seq[Column] =
+    // Column references are built with each path segment backtick-quoted, so
+    // field names containing dots/spaces/special characters (the messy JSON
+    // names json_normalize must cope with, e.g. "Número do ticket") resolve
+    // as field accesses rather than being re-parsed as nested paths. The
+    // unquoted dotted string is kept only as the output alias.
+    def quote(seg: String): String = "`" + seg.replace("`", "``") + "`"
+    def expandNested(schema: StructType, path: String, quoted: String): Seq[Column] =
       schema.fields.flatMap { f =>
         val p = s"$path.${f.name}"
+        val q = s"$quoted.${quote(f.name)}"
         f.dataType match {
-          case st: StructType => expandNested(st, p)
-          case _ => Seq(col(p).alias(p.replace(".", sep)))
+          case st: StructType => expandNested(st, p, q)
+          case _ => Seq(col(q).alias(p.replace(".", sep)))
         }
       }
     val cols = df.schema.fields.flatMap { f =>
       f.dataType match {
-        case st: StructType => expandNested(st, f.name)
-        case _ => Seq(col(f.name))
+        case st: StructType => expandNested(st, f.name, quote(f.name))
+        case _ => Seq(col(quote(f.name)))
       }
     }
     df.select(cols.toIndexedSeq: _*)

@@ -50,9 +50,12 @@ object Relational {
 
   /** ISO-8601 formatting with numeric offset, offset rendered without colon —
     * the reference's `format_iso` / strftime('%Y-%m-%dT%H:%M:%S%z')
-    * (reference/ticket.py:26-28). The session timezone supplies the offset. */
-  def isoFormat(ts: Column, utcOffset: String = "+0000"): Column =
-    concat(date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), lit(utcOffset))
+    * (reference/ticket.py:26-28). The offset is derived from the session
+    * timezone by the same `date_format` call that renders the local time
+    * ('xx' = ISO offset without colon), so value and suffix always agree —
+    * "+0000" under UTC, "-0300" under America/Sao_Paulo. */
+  def isoFormat(ts: Column): Column =
+    date_format(ts, "yyyy-MM-dd'T'HH:mm:ssxx")
 
   /** Fixed-width time bucketing (reference/ticket.py:31-38 `split_windows`):
     * assign each row the epoch-second start of its `widthSec`-wide window.

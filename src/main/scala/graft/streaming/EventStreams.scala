@@ -54,10 +54,22 @@ object EventStreams {
   /** Read an events parquet path as a stream (for tests/demos: one file =
     * one micro-batch). Takes the RAW on-disk schema (nanos-as-long) and
     * applies the same ts normalization as the batch loader, so batch and
-    * stream pipelines see identical frames. */
+    * stream pipelines see identical frames.
+    *
+    * The file stream source requires a DIRECTORY (it watches for new files);
+    * a single-file path is staged into a temp dir first, which also models
+    * the production layout (a landing directory parquet files arrive in). */
   def readEventStream(spark: SparkSession, path: String, rawSchema: StructType): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = java.nio.file.Paths.get(path)
+    val dir =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val d = java.nio.file.Files.createTempDirectory("graft-stream-")
+        java.nio.file.Files.copy(p, d.resolve(p.getFileName))
+        d.toFile.deleteOnExit()
+        d.toString
+      } else path
     graft.Tables.normalizeEventTs(
-      spark.readStream.schema(rawSchema).parquet(path))
+      spark.readStream.schema(rawSchema).parquet(dir))
   }
 }

@@ -28,7 +28,7 @@ class MultimodalSpec extends SparkSuite {
     val out = Multimodal.stubDecode(assets, featureDim = 8)
     assert(out.schema === Multimodal.decodedSchema)
     val rows = out.collect().map(r => r.getLong(0) -> r).toMap
-    assert(rows(1L).getAs[Seq[Float]]("feature").length === 8)
+    assert(rows(1L).getSeq[Float](1).length === 8)
     assert(rows(1L).isNullAt(2))
     assert(rows(2L).isNullAt(1))
     assert(rows(2L).getString(2) === "null payload")
@@ -37,8 +37,8 @@ class MultimodalSpec extends SparkSuite {
   test("stubDecode is deterministic") {
     val df = Seq((1L, pngMagic)).toDF("id", "bytes")
     val assets = Multimodal.toAssets(df, "id", "bytes")
-    val a = Multimodal.stubDecode(assets).collect().head.getAs[Seq[Float]](1)
-    val b = Multimodal.stubDecode(assets).collect().head.getAs[Seq[Float]](1)
+    val a = Multimodal.stubDecode(assets).collect().head.getSeq[Float](1)
+    val b = Multimodal.stubDecode(assets).collect().head.getSeq[Float](1)
     assert(a === b)
   }
 }

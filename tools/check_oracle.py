@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Dev-loop oracle checker mimicking the driver: run each oracle SQL in
+DuckDB over the sf parquet tables, compare row count / columns / value hash
+against the Verify parquet dump."""
+import duckdb, json, sys, glob, os
+import pandas as pd
+import hashlib
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/verify_out"
+only = set(sys.argv[3:])
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize ints/floats like the driver roughly does
+    rows = []
+    for row in df.itertuples(index=False):
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                vals.append(f"{v:.9g}")
+            else:
+                vals.append(str(v))
+        rows.append("\x1f".join(vals))
+    rows.sort()
+    return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    if only and name not in only: continue
+    pq = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not pq:
+        print(f"{name:24s} NO SPARK OUTPUT"); fails += 1; continue
+    spark_df = pd.concat([pd.read_parquet(p) for p in pq], ignore_index=True)
+    try:
+        ora_df = con.execute(sql).df()
+    except Exception as e:
+        print(f"{name:24s} ORACLE SQL ERROR: {e}"); fails += 1; continue
+    ok_rows = len(spark_df) == len(ora_df)
+    ok_cols = sorted(spark_df.columns) == sorted(ora_df.columns)
+    ok_hash = ok_rows and ok_cols and canon(spark_df) == canon(ora_df)
+    status = "OK" if (ok_rows and ok_cols and ok_hash) else f"rows={ok_rows}({len(spark_df)}/{len(ora_df)}) cols={ok_cols} hash={ok_hash}"
+    if not (ok_rows and ok_cols and ok_hash):
+        fails += 1
+        if ok_rows and ok_cols:
+            # show dtype and a sample diff
+            print(f"{name:24s} {status}")
+            print("  spark dtypes:", dict(spark_df.dtypes.astype(str)))
+            print("  oracle dtypes:", dict(ora_df.dtypes.astype(str)))
+            continue
+    print(f"{name:24s} {status}")
+print(f"\n{fails} failures")
