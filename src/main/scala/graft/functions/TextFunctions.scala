@@ -86,4 +86,11 @@ object TextFunctions {
   def portableHash(s: Column, seed: Column): Column =
     conv(substring(md5(concat(seed.cast("string"), lit(":"), s)), 1, 15), 16, 10)
       .cast("long")
+
+  /** Karp-Rabin polynomial rolling hash over code points (native codegen
+    * expression): h = Σ h*31 + cp (mod 1e9+7). Engine-portable (the same
+    * recurrence runs in DuckDB via list_reduce), cheaper than md5 — the
+    * shard-local content fingerprint for winnowing-style sketches. */
+  def rollingHash(text: Column): Column =
+    org.apache.spark.sql.graft.expressions.rollingHash(text)
 }

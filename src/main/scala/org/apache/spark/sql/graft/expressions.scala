@@ -1,0 +1,224 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the vector/text hot paths (SURVEY.md §2b).
+  *
+  * Spark's higher-order functions (`aggregate`/`zip_with`) are evaluated
+  * interpreted — each lambda application binds variables and allocates — and
+  * they break whole-stage codegen for the surrounding operators. For the
+  * per-row inner loops that dominate a 100 TB similarity scan (dot products
+  * over `array<float>`, content hashes over strings), these expressions
+  * generate tight primitive Java loops via `doGenCode` and read packed
+  * `ArrayData` without boxing. Same results as the HOF formulations (asserted
+  * in VectorFunctionsSpec), ~an order of magnitude less per-row cost.
+  *
+  * Lives under `org.apache.spark.sql` because the Catalyst extension points
+  * it builds on (`AbstractDataType`, the Column↔Expression bridge) are
+  * `private[sql]` — the conventional placement for Spark-native extension
+  * libraries; only the `Column`-returning wrappers are used from graft code.
+  */
+object expressions {
+
+  /** Both vector expressions accept `array<float>` OR `array<double>` on
+    * each side independently (embeddings are float32; hyperplane/query
+    * literals are float64 — mixing them must not force a lossy cast). The
+    * element accessor is resolved from the static child type, so the
+    * generated loop stays branch-free. */
+  private val vecType = org.apache.spark.sql.types.TypeCollection(
+    ArrayType(FloatType), ArrayType(DoubleType))
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def evalGet(arr: ArrayData, i: Int, dt: DataType): Double = dt match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+
+  private def genGet(arr: String, i: String, dt: DataType): String = dt match {
+    case FloatType => s"((double) $arr.getFloat($i))"
+    case _ => s"$arr.getDouble($i)"
+  }
+
+  /** Dot product of two float/double-array columns in double precision.
+    * Null if either side is null; arrays shorter than the other contribute
+    * only their common prefix (mirrors `zip_with` semantics). */
+  case class DotProductFloat(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(vecType, vecType)
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val (lt, rt) = (elemType(left), elemType(right))
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += evalGet(x, i, lt) * evalGet(y, i, rt); i += 1 }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += ${genGet(a, i, elemType(left))} * ${genGet(b, i, elemType(right))};
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Cosine similarity of two float/double-array columns in ONE pass: dot
+    * and both norms accumulate in the same loop (the HOF formulation
+    * re-walks the arrays five times). Zero-norm inputs yield 0.0. */
+  case class CosineSimilarityFloat(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(vecType, vecType)
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_cosine"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val (lt, rt) = (elemType(left), elemType(right))
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = evalGet(x, i, lt); val yv = evalGet(y, i, rt)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb"); val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv"); val denom = ctx.freshName("denom")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = ${genGet(a, i, elemType(left))};
+           |  double $yv = ${genGet(b, i, elemType(right))};
+           |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+           |}
+           |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+           |${ev.value} = ($denom == 0.0) ? 0.0 : ($dot / $denom);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Karp-Rabin polynomial rolling hash of a string's code points:
+    * h = Σ h*B + cp (mod M), with B=31 and M=1e9+7 so every intermediate
+    * fits in a signed 64-bit value — the same recurrence is expressible in
+    * any engine with 64-bit integers (the DuckDB oracle uses list_reduce).
+    * The standard cheap content fingerprint for shard-local dedup and
+    * winnowing-style document sketches. */
+  case class RollingHash(child: Expression, base: Long = 31L, mod: Long = 1000000007L)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_rolling_hash"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      var h = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * base + cp) % mod
+        i += Character.charCount(cp)
+      }
+      h
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val s = ctx.freshName("s"); val h = ctx.freshName("h")
+        val i = ctx.freshName("i"); val cp = ctx.freshName("cp")
+        s"""
+           |java.lang.String $s = $c.toString();
+           |long $h = 0L;
+           |int $i = 0;
+           |while ($i < $s.length()) {
+           |  int $cp = $s.codePointAt($i);
+           |  $h = ($h * ${base}L + $cp) % ${mod}L;
+           |  $i += java.lang.Character.charCount($cp);
+           |}
+           |${ev.value} = $h;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Hamming distance between two 64-bit signatures (SimHash distance):
+    * popcount of the XOR. */
+  case class HammingDistance64(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_hamming64"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long]).toLong
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = (long) java.lang.Long.bitCount($a ^ $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // -------------------------------------------------------------- wrappers
+
+  import org.apache.spark.sql.classic.ExpressionUtils
+
+  private def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProductFloat(toExpr(a), toExpr(b)))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarityFloat(toExpr(a), toExpr(b)))
+
+  def rollingHash(c: Column): Column =
+    ExpressionUtils.column(RollingHash(toExpr(c)))
+
+  def hammingDistance(a: Column, b: Column): Column =
+    ExpressionUtils.column(HammingDistance64(toExpr(a), toExpr(b)))
+}
