@@ -154,6 +154,47 @@ object SparkEntry {
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
 
+  /** T8: whitelist custom-field extraction — kv array built from order
+    * attributes, whitelisted keys pivoted to ticket_* columns (the
+    * reference's extrair_custom_ticket over array<struct<key,value>>). */
+  private def q_custom_fields(s: SparkSession, d: String): DataFrame = {
+    val withKv = Tables.orders(s, d).select(col("o_orderkey"),
+      array(
+        struct(lit("status").as("key"), col("o_orderstatus").as("value")),
+        struct(lit("priority").as("key"),
+          when(col("o_orderstatus") === "O", col("o_orderpriority")).as("value")),
+        struct(lit("junk").as("key"), col("o_totalprice").cast(StringType).as("value"))
+      ).as("custom_fields"))
+    Nested.extractWhitelistedKV(withKv, "custom_fields",
+      Seq("status", "priority"), "ticket_")
+  }
+
+  /** S4/T7 shape: recursive struct flattening (json_normalize equivalent)
+    * with dotted/special-char field names, then name sanitization. */
+  private def q_flatten(s: SparkSession, d: String): DataFrame = {
+    val nested = Tables.customer(s, d).select(col("c_custkey"),
+      struct(
+        col("c_name").as("name"),
+        struct(col("c_mktsegment").as("segment"),
+          col("c_nationkey").as("nation.key")).as("contact info")
+      ).as("profile"))
+    ColumnHygiene.sanitizeColumns(Nested.flattenStructs(nested))
+  }
+
+  /** §2b as-of join: each click event enriched with the user's most recent
+    * purchase at-or-before it — union + one window pass, not a range join. */
+  private def q_asof_join(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("value"))
+    Joins.asOfJoin(clicks, purchases, "user_id", "ts", "ts",
+      Seq("ts", "value"), "last_purchase_")
+      .withColumn("last_purchase_value", round(col("last_purchase_value"), 2))
+  }
+
   // ------------------------------------------------- aggregation / window
 
   /** §2b hash aggregate: TPC-H Q1 pricing summary. */
@@ -349,6 +390,23 @@ object SparkEntry {
         round(sum(col("value")), 2).as("session_value"))
   }
 
+  /** §2b session windows via Spark's native session_window (batch twin of
+    * the streaming query; stream/batch parity in StreamingSpec). */
+  private def q_session_window(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.sessionSpans(Tables.events(s, d))
+
+  /** §2b TF-IDF: top-5 terms per document (rank on rounded score so
+    * cross-engine double ulps cannot flip ties). */
+  private def q_tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    TextAnalytics.tfIdf(docs, "doc_id", "text")
+      .withColumn("tf_idf", round(col("tf_idf"), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf_idf").desc, col("term").asc)).cast("long"))
+      .filter(col("rnk") <= 5)
+  }
+
   /** §2b multimodal plumbing: opaque binary payload + typed metadata.
     * (Text bytes stand in for image bytes; decode itself is stubbed in
     * graft.operators.Multimodal — the Spark-side schema/batching is real.) */
@@ -378,6 +436,11 @@ object SparkEntry {
     "q_upsert" -> (q_upsert _),
     "q_events_pivot" -> (q_events_pivot _),
     "q_json_extract" -> (q_json_extract _),
+    "q_custom_fields" -> (q_custom_fields _),
+    "q_flatten" -> (q_flatten _),
+    "q_asof_join" -> (q_asof_join _),
+    "q_session_window" -> (q_session_window _),
+    "q_tfidf" -> (q_tfidf _),
     "q1_pricing_summary" -> (q1_pricing_summary _),
     "q_topk_per_group" -> (q_topk_per_group _),
     "q_rollup" -> (q_rollup _),
@@ -494,6 +557,62 @@ object SparkEntry {
                 CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                 count(*) AS n
          FROM events GROUP BY event_type""",
+    "q_custom_fields" ->
+      """SELECT o_orderkey, o_orderstatus AS ticket_status,
+                CASE WHEN o_orderstatus = 'O' THEN o_orderpriority END AS ticket_priority
+         FROM orders""",
+    "q_flatten" ->
+      """SELECT c_custkey, c_name AS profile_name,
+                c_mktsegment AS profile_contact_info_segment,
+                c_nationkey AS profile_contact_info_nation_key
+         FROM customer""",
+    "q_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS value
+                    FROM events WHERE event_type = 'purchase'
+                    GROUP BY user_id, ts)
+         SELECT l.event_id, l.user_id, l.ts,
+                p.ts AS last_purchase_ts,
+                round(p.value, 2) AS last_purchase_value
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click') l
+         ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts""",
+    "q_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN prev_us IS NULL
+                         OR (epoch_us(ts) - prev_us) >= 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM (SELECT user_id, ts, value,
+                        LAG(epoch_us(ts), 1) OVER
+                          (PARTITION BY user_id ORDER BY ts) AS prev_us
+                 FROM events)),
+              sess AS (
+           SELECT user_id, ts, value,
+                  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_id
+           FROM flagged)
+         SELECT min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                user_id, count(*) AS n_events,
+                round(sum(value), 2) AS session_value
+         FROM sess GROUP BY user_id, session_id""",
+    "q_tfidf" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+              tok AS (SELECT doc_id,
+                        UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS term
+                      FROM docs),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+              dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs),
+              scored AS (
+           SELECT doc_id, term, tf, df,
+                  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tf_idf
+           FROM tf JOIN dfreq USING (term), n)
+         SELECT doc_id, term, tf, df, tf_idf, rnk FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY tf_idf DESC, term) AS rnk
+           FROM scored) WHERE rnk <= 5""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 2) AS sum_qty,

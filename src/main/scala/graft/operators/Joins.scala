@@ -63,6 +63,45 @@ object Joins {
   def unionSlices(slices: Seq[DataFrame]): DataFrame =
     slices.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** As-of join: for each left row (key, ts), attach the latest right row
+    * with the same key and rightTs <= leftTs (the time-series enrichment
+    * join Spark lacks natively).
+    *
+    * Implemented as union + one window pass — NOT an inequality join: a
+    * range-condition join degenerates to a per-key cross product (O(n·m)
+    * per key) and Catalyst can only plan it as broadcast-nested-loop at
+    * scale. Here both sides shuffle ONCE on the key, the merged stream is
+    * sorted per key, and `last(_, ignoreNulls)` carries the most recent
+    * right values forward — O((n+m) log(n+m)) per key, AQE-skew-safe.
+    *
+    * Right rows must be unique per (key, rightTs) (pre-aggregate if not);
+    * on ties (leftTs == rightTs) the right row is visible to the left row,
+    * matching ASOF `l.ts >= r.ts` semantics. */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, pickCols: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    val unified = left
+      .withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+      .select((Seq(col(key), col("__ts"), col("__side")) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        pickCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"$prefix$c"))).toIndexedSeq: _*)
+      .unionByName(right
+        .withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
+        .select((Seq(col(key), col("__ts"), col("__side")) ++
+          pickCols.map(c => col(c).as(s"$prefix$c"))).toIndexedSeq: _*),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = pickCols.foldLeft(unified) { (d, c) =>
+      d.withColumn(s"$prefix$c", last(col(s"$prefix$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((leftCols.map(col) ++ pickCols.map(c => col(s"$prefix$c"))).toIndexedSeq: _*)
+  }
+
   /** Keyed upsert = MERGE emulation without a transactional table format
     * (reference/ticket.py:151-212 per-row UPDATE loop → set-oriented):
     * rows of `dest` whose key appears in `updates` are replaced by the

@@ -45,6 +45,20 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n_events"))
 
+  /** Session spans via Spark's native `session_window`: one row per
+    * (user, session) with start (first event ts), end (last event ts + gap)
+    * and aggregates. Works on static and streaming frames; the batch twin
+    * is oracle-checked (SparkEntry.q_session_window), stream/batch parity
+    * is asserted in StreamingSpec. */
+  def sessionSpans(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
   /** Streaming dedup on event_id bounded by the watermark. */
   def dedupedStream(events: DataFrame): DataFrame =
     events

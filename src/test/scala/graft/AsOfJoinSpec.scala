@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Joins, TextAnalytics}
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOfJoin picks the latest right row at-or-before each left row") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 12:00:00")),
+      (3L, "u1", ts("2024-01-01 09:00:00")), // before any right row
+      (4L, "u2", ts("2024-01-01 10:30:00"))
+    ).toDF("id", "user", "ts")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:30:00"), 10.0),
+      ("u1", ts("2024-01-01 11:00:00"), 20.0),
+      ("u2", ts("2024-01-01 10:30:00"), 30.0)  // exact tie with left id=4
+    ).toDF("user", "ts", "v")
+
+    val out = Joins.asOfJoin(left, right, "user", "ts", "ts", Seq("ts", "v"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.toString), Option(r.get(4)))).toMap
+
+    assert(out(1L)._2 === Some(10.0)) // 10:00 sees 09:30
+    assert(out(2L)._2 === Some(20.0)) // 12:00 sees 11:00
+    assert(out(3L)._2 === None)       // nothing before 09:00
+    assert(out(4L)._2 === Some(30.0)) // tie: right row at same ts is visible
+  }
+
+  test("asOfJoin keeps all left rows and columns") {
+    val left = Seq((1L, "u1", ts("2024-01-01 10:00:00"), "extra"))
+      .toDF("id", "user", "ts", "payload")
+    val right = Seq(("u9", ts("2024-01-01 09:00:00"), 1.0)).toDF("user", "ts", "v")
+    val out = Joins.asOfJoin(left, right, "user", "ts", "ts", Seq("v"))
+    assert(out.columns.toSeq === Seq("id", "user", "ts", "payload", "asof_v"))
+    assert(out.count() === 1)
+    assert(out.collect().head.isNullAt(4)) // no matching key → null carry
+  }
+
+  test("tfIdf: shared terms get zero idf, unique terms positive") {
+    val docs = Seq((1L, "apple banana"), (2L, "apple cherry")).toDF("id", "text")
+    val out = TextAnalytics.tfIdf(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(out((1L, "apple")) === 0.0)           // in both docs: ln(2/2)=0
+    assert(out((1L, "banana")) === math.log(2.0)) // in one doc: 1*ln(2/1)
+    assert(out((2L, "cherry")) === math.log(2.0))
+  }
+
+  test("termFrequencies counts raw occurrences, not distinct") {
+    val docs = Seq((1L, "a a b")).toDF("id", "text")
+    val tf = TextAnalytics.termFrequencies(docs, "id", "text")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(tf === Map("a" -> 2L, "b" -> 1L))
+  }
+}
