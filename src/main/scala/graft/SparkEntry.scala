@@ -334,6 +334,30 @@ object SparkEntry {
   private def q_simhash(s: SparkSession, d: String): DataFrame =
     Dedup.simHash(Tables.documents(s, d).filter(col("doc_id") < 40), "doc_id", "text")
 
+  /** §2b rolling-hash document fingerprint (native codegen expression;
+    * engine-portable recurrence, oracle uses DuckDB list_reduce). */
+  private def q_rolling_hash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      TextFunctions.rollingHash(col("text")).as("rhash"))
+
+  /** §2b BPE-ish subword counting (RE2-compatible run-splitting). */
+  private def q_subword_count(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords"))
+
+  /** §2b MinHash-LSH banding: candidate pairs sharing any band hash
+    * (16 hashes, 4 bands × 4 rows — tuned for ~0.5 similarity). */
+  private def q_lsh_candidates(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashLshCandidates(
+      Dedup.minHashSignatures(Tables.documents(s, d).filter(col("doc_id") < 40),
+        "doc_id", "text", 16),
+      "doc_id", bands = 4, rowsPerBand = 4)
+
+  /** §2b frame sampling over a character-addressed payload (multimodal
+    * frame-extraction plumbing; every 4th 32-char frame, md5 fingerprint). */
+  private def q_frame_sample(s: SparkSession, d: String): DataFrame =
+    Multimodal.frameSample(Tables.documents(s, d), "doc_id", "text", 32, 4)
+
   // ------------------------------------------------------- similarity
 
   /** §2b brute-force cosine top-k against the vec_id=0 query vector
@@ -361,6 +385,20 @@ object SparkEntry {
     Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
       Similarity.hyperplanes(6, 64), 0.3)
       .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+
+  /** §2b IVF ANN top-k: coarse-quantize to 8 centroid cells (vec_id < 8 as
+    * the deterministic centroid set), probe the 2 cells nearest the query,
+    * exact re-rank inside them — the scan-fraction dial of a 100 TB ANN. */
+  private def q_ivf_topk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+      cents, "cent_id", "cvec")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    Similarity.ivfTopK(assigned, "vec_id", "embedding",
+      cents, "cent_id", "cvec", q, "qv", k = 10, nprobe = 2)
+  }
 
   // ----------------------------------------------------- events / streams
 
@@ -462,15 +500,127 @@ object SparkEntry {
     "q_cosine_topk" -> (q_cosine_topk _),
     "q_embedding_pairs" -> (q_embedding_pairs _),
     "q_lsh_neardup" -> (q_lsh_neardup _),
+    "q_rolling_hash" -> (q_rolling_hash _),
+    "q_subword_count" -> (q_subword_count _),
+    "q_lsh_candidates" -> (q_lsh_candidates _),
+    "q_frame_sample" -> (q_frame_sample _),
+    "q_ivf_topk" -> (q_ivf_topk _),
     "q_event_hourly" -> (q_event_hourly _),
     "q_sessionize" -> (q_sessionize _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
   )
 
+  /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
+    * text → empty list, not ['']). */
+  private val duckTokens: String =
+    "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) " +
+      "ELSE string_split_regex(trim(text), '\\s+') END"
+
+  /** DuckDB cosine between two DOUBLE[] expressions (same formula as the
+    * engine's single-pass native expression). */
+  private def duckCos(a: String, b: String): String =
+    s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+
+  /** Generated oracle for q_simhash: the 60 per-bit ±1 sums and the bit
+    * packing are mechanical, so the SQL is built programmatically — same
+    * portable md5-derived token hash as the engine. */
+  private def simhashOracleSql: String = {
+    val sums = (0 until 60)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(", ")
+    val pack = (0 until 60)
+      .map(b => s"(CASE WHEN b$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id, UNNEST($duckTokens) AS token
+                     FROM documents WHERE doc_id < 40),
+             h AS (SELECT doc_id,
+                     CAST(('0x' || substring(md5('7:' || token), 1, 15)) AS BIGINT) AS h
+                   FROM tok),
+             sums AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+        SELECT doc_id, $pack AS simhash FROM sums"""
+  }
+
+  /** Generated oracle for q_lsh_neardup: the engine's deterministic
+    * hyperplanes are inlined as DOUBLE[] literals so DuckDB reproduces the
+    * exact bucketing + re-rank. */
+  private def lshNeardupOracleSql: String = {
+    val planes = Similarity.hyperplanes(6, 64)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val lit = "[" + p.map(_.toString).mkString(", ") + "]"
+      s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             b AS (SELECT vec_id, v, $bucket AS bucket FROM e)
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               round(${duckCos("a.v", "c.v")}, 6) AS cosine_sim
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE ${duckCos("a.v", "c.v")} >= 0.3"""
+  }
+
   /** DuckDB oracle SQL per query (same tables, same column names).
-    * Omitted: q_approx_distinct (estimator), q_simhash (bit-packing),
-    * q_lsh_neardup (bucketing is engine-side; recall asserted in tests). */
+    * Omitted: q_approx_distinct (estimator differs by design → driver
+    * records the weaker rows-only check). */
   def oracleSql: Map[String, String] = Map(
+    "q_simhash" -> simhashOracleSql,
+    "q_lsh_neardup" -> lshNeardupOracleSql,
+    "q_rolling_hash" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    [CAST(unicode(c) AS BIGINT) FOR c IN string_split(text, '')]),
+                  (h, cp) -> (h * 31 + cp) % 1000000007) AS rhash
+         FROM documents""",
+    "q_subword_count" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[a-zA-Z]+'))
+                   + len(regexp_extract_all(text, '[0-9]+'))
+                   + len(regexp_extract_all(text, '[^a-zA-Z0-9\s]+')) AS BIGINT)
+                  AS n_subwords
+         FROM documents""",
+    "q_lsh_candidates" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+                        UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS token
+                      FROM documents WHERE doc_id < 40),
+              sig AS (SELECT doc_id, seed,
+                        min(CAST(('0x' || substring(md5(seed || ':' || token), 1, 15))
+                            AS BIGINT)) AS min_hash
+                      FROM tok, (SELECT UNNEST(generate_series(0, 15)) AS seed)
+                      GROUP BY doc_id, seed),
+              banded AS (SELECT doc_id, seed // 4 AS band,
+                           md5(string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY seed))
+                             AS band_hash
+                         FROM sig GROUP BY doc_id, band)
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b USING (band, band_hash)
+         WHERE a.doc_id < b.doc_id""",
+    "q_frame_sample" ->
+      """SELECT doc_id,
+                CAST(ceil(length(text) / 32.0) AS BIGINT) AS n_frames,
+                CAST(count(*) AS BIGINT) AS n_sampled,
+                md5(string_agg(substring(text, CAST(i * 32 + 1 AS INT), 32),
+                               '' ORDER BY i)) AS sample_md5
+         FROM documents,
+              UNNEST(generate_series(0, CAST(ceil(length(text) / 32.0) AS BIGINT) - 1))
+                AS t(i)
+         WHERE i % 4 = 0
+         GROUP BY doc_id, text""",
+    "q_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+              qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+              asg AS (SELECT vec_id, v, cent_id AS cell FROM (
+                 SELECT e.vec_id, e.v, c.cent_id,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cent_id) AS rn
+                 FROM e, c) WHERE rn = 1),
+              probe AS (SELECT cent_id AS cell FROM (
+                 SELECT c.cent_id,
+                        ROW_NUMBER() OVER (ORDER BY round(${duckCos("c.cv", "qv.q")}, 6) DESC,
+                                           c.cent_id) AS rn
+                 FROM c, qv) WHERE rn <= 2)
+         SELECT vec_id, cell, round(${duckCos("asg.v", "qv.q")}, 6) AS cosine_sim
+         FROM asg JOIN probe USING (cell), qv
+         ORDER BY round(${duckCos("asg.v", "qv.q")}, 6) DESC, vec_id LIMIT 10""",
     "q_open_tickets" ->
       """SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS n_ticket FROM orders
          WHERE o_orderkey IS NOT NULL AND o_orderstatus <> 'F'""",

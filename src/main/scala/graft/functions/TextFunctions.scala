@@ -21,11 +21,15 @@ object TextFunctions {
   /** Token count (whitespace segmentation). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** A BPE-ish subword proxy: count of alternating letter/digit/punct runs.
-    * Deterministic and cheap; a stand-in for real tokenizer cost models. */
+  /** A BPE-ish subword proxy: number of maximal runs of letters, digits and
+    * other non-space characters (a letter/digit/punct boundary starts a new
+    * "subword"). Deterministic and cheap; a stand-in for real tokenizer
+    * cost models. RE2-compatible patterns (no lookaround), so the same
+    * three regexes run in DuckDB/Trino for the oracle. */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?<=[a-zA-Z])(?=[^a-zA-Z\\s])|(?<=[^a-zA-Z\\s])(?=[a-zA-Z])|\\s+"),
-      t => length(t) > 0))
+    size(regexp_extract_all(text, lit("[a-zA-Z]+"), lit(0))) +
+      size(regexp_extract_all(text, lit("[0-9]+"), lit(0))) +
+      size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]+"), lit(0)))
 
   /** Small English stopword list used by the quality/language heuristics. */
   val stopwords: Seq[String] =

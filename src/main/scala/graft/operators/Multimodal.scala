@@ -41,6 +41,30 @@ object Multimodal {
           .otherwise("application/octet-stream"))
       .select(assetSchema.fieldNames.map(col).toIndexedSeq: _*)
 
+  /** Frame sampling over a (character-addressed) payload: split into
+    * `frameChars`-sized frames, keep every `every`-th, fingerprint the
+    * sampled content. The video/audio frame-sample shape — pure codegen'd
+    * expressions (sequence/filter/transform), no UDF, no shuffle; swap the
+    * substring for a byte-range decode call and the plumbing is unchanged.
+    * Output: id, n_frames, n_sampled, sample_md5. */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String,
+                  frameChars: Int, every: Int): DataFrame = {
+    val nFrames = ceil(length(col(payloadCol)) / lit(frameChars.toDouble)).cast("long")
+    df
+      .withColumn("n_frames", nFrames)
+      .withColumn("__frames",
+        when(col("n_frames") === 0, array().cast("array<string>"))
+          .otherwise(expr(
+            s"""transform(
+               |  filter(sequence(0, n_frames - 1), i -> i % $every = 0),
+               |  i -> substring($payloadCol, CAST(i * $frameChars + 1 AS INT), $frameChars))"""
+              .stripMargin)))
+      .select(col(idCol),
+        col("n_frames"),
+        size(col("__frames")).cast("long").as("n_sampled"),
+        md5(concat_ws("", col("__frames")).cast("binary")).as("sample_md5"))
+  }
+
   /** Output schema of the decode stage. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),

@@ -88,6 +88,52 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }
 
+  /** IVF (inverted-file) coarse quantization: assign every vector to its
+    * nearest centroid by cosine (ties → lowest centroid id). `centroids`
+    * is a bounded table (k rows) and is broadcast, so assignment is a
+    * map-side scan — the standard ANN index build, linear at 100 TB.
+    * (A production build would k-means the centroids; any deterministic
+    * centroid set — e.g. a fixed sample — gives the same operator shape.) */
+  def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, centIdCol: String, centVecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__cos").desc, col(centIdCol).asc)
+    embeddings
+      .crossJoin(broadcast(centroids.select(col(centIdCol), col(centVecCol))))
+      .withColumn("__cos", VectorFunctions.cosineSimilarity(col(vecCol), col(centVecCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col(centIdCol).as("cell"))
+  }
+
+  /** IVF ANN top-k: probe the `nprobe` centroid cells nearest the query,
+    * exact cosine re-rank within them. Scans only ~nprobe/k of the corpus
+    * (the recall/cost dial), never materializes O(n²) pairs. Ranking uses
+    * the score rounded to 6dp with id tiebreak so results are reproducible
+    * across engines. */
+  def ivfTopK(assigned: DataFrame, idCol: String, vecCol: String,
+              centroids: DataFrame, centIdCol: String, centVecCol: String,
+              query: DataFrame, queryVecCol: String, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qcells = centroids
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
+      .withColumn("__qcos",
+        round(VectorFunctions.cosineSimilarity(col(centVecCol), col("__qv")), 6))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy().orderBy(col("__qcos").desc, col(centIdCol).asc)))
+      .filter(col("__rn") <= nprobe)
+      .select(col(centIdCol).as("cell"))
+    assigned
+      .join(broadcast(qcells), Seq("cell"), "left_semi")
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
+      .withColumn("cosine_sim",
+        round(VectorFunctions.cosineSimilarity(col(vecCol), col("__qv")), 6))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cell"), col("cosine_sim"))
+  }
+
   /** Exact all-pairs cosine over a bounded id range — the correctness oracle
     * for the LSH path and the re-rank building block. Callers MUST bound the
     * input (this one is O(n²) by design). */

@@ -65,4 +65,35 @@ class SimilaritySpec extends SparkSuite {
   test("hyperplanes are deterministic") {
     assert(Similarity.hyperplanes(3, 8) === Similarity.hyperplanes(3, 8))
   }
+
+  test("ivfAssign puts every centroid in its own cell; ivfTopK finds the query") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+      cents, "cent_id", "cvec")
+    // a centroid's nearest centroid is itself (cosine 1)
+    val centCells = assigned.filter($"vec_id" < 8)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    (0L until 8L).foreach(i => assert(centCells(i) === i))
+    // every vector lands in exactly one cell
+    assert(assigned.count() === emb.count())
+
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val top = Similarity.ivfTopK(assigned, "vec_id", "embedding",
+      cents, "cent_id", "cvec", q, "qv", k = 5, nprobe = 2)
+      .select($"vec_id", $"cosine_sim").as[(Long, Double)].collect()
+    assert(top.head._1 === 0L)              // query is in a probed cell
+    assert(math.abs(top.head._2 - 1.0) < 1e-6)
+    assert(top.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("frameSample counts and fingerprints sampled frames") {
+    import graft.operators.Multimodal
+    val df = Seq((1L, "a" * 100), (2L, "xy")).toDF("id", "text")
+    val out = Multimodal.frameSample(df, "id", "text", frameChars = 32, every = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((4L, 1L)))  // 100 chars → 4 frames, sample frame 0 only
+    assert(out(2L) === ((1L, 1L)))  // short text → 1 frame, sampled
+  }
 }
