@@ -1,44 +1,43 @@
 package graft
 
-import graft.functions.VectorFunctions
+import graft.operators.Sinks
+import graft.streaming.EventStreams
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Scratch probe harness. Not part of the driver contract. */
 object Scratch {
-  def time[A](label: String)(f: => A): A = {
-    val t0 = System.nanoTime(); val r = f
-    println(f"TIME $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
-    r
-  }
-
   def main(args: Array[String]): Unit = {
-    val d = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000).selectExpr("sum(id)").collect()
+    import spark.implicits._
 
-    val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")).cache()
-    emb.count()
-    val a = emb.toDF("id_a", "va")
-    val b = emb.toDF("id_b", "vb")
-    def pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    // Drive the sink lifecycle end-to-end: create → append → evolve → dedup.
+    val dest = java.nio.file.Files.createTempDirectory("probe-").toString + "/dest"
+    val seed = StructType(Seq(StructField("chat_id", StringType), StructField("n_ticket", StringType)))
+    println(s"PROBE created=${Sinks.createIfMissing(spark, dest, seed)} again=${Sinks.createIfMissing(spark, dest, seed)}")
+    Sinks.appendEvolving(Seq(("c1", "t1")).toDF("chat_id", "n_ticket"), dest)
+    Sinks.appendEvolving(Seq(("c2", "t2", "open")).toDF("chat_id", "n_ticket", "status"), dest)
+    Sinks.readEvolved(spark, dest).orderBy("chat_id").show()
+    // probe: append a batch MISSING a seed column
+    Sinks.appendEvolving(Seq(("c3")).toDF("chat_id"), dest)
+    println("PROBE after missing-column append:")
+    Sinks.readEvolved(spark, dest).orderBy("chat_id").show()
 
-    def run(label: String, c: org.apache.spark.sql.Column): Unit =
-      time(label)(println("   sum=" + pairs.select(c.as("c")).agg(sum("c")).collect().head.getDouble(0)))
-
-    // warm both plans
-    pairs.select(VectorFunctions.cosineSimilarityHof(col("va"), col("vb")).as("c")).agg(sum("c")).collect()
-    pairs.select(VectorFunctions.cosineSimilarity(col("va"), col("vb")).as("c")).agg(sum("c")).collect()
-
-    run("cosine HOF  2M pairs", VectorFunctions.cosineSimilarityHof(col("va"), col("vb")))
-    run("cosine native 2M pairs", VectorFunctions.cosineSimilarity(col("va"), col("vb")))
-    run("cosine HOF  again", VectorFunctions.cosineSimilarityHof(col("va"), col("vb")))
-    run("cosine native again", VectorFunctions.cosineSimilarity(col("va"), col("vb")))
+    // Drive streaming custom state on the real events stream.
+    val sf = "/root/testdata/sf0.001"
+    val stream = EventStreams.readEventStream(spark, s"$sf/events.parquet",
+      Tables.rawEventSchema(spark, sf))
+    val q = EventStreams.runningUserStats(stream)
+      .writeStream.outputMode("update").format("memory").queryName("probe_stats").start()
+    q.processAllAvailable(); q.stop()
+    println("PROBE streaming state rows=" + spark.table("probe_stats").count())
+    spark.table("probe_stats").orderBy(desc("n_events")).show(3)
     spark.stop()
   }
 }

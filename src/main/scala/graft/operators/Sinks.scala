@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sink-side semantics of the reference pipeline (SURVEY.md §2: K1, K2).
+  *
+  * The reference appends to a warehouse table with schema evolution
+  * (reference/main.py:136-142, WRITE_APPEND + ALLOW_FIELD_ADDITION) and
+  * creates the destination with a seed schema on first run
+  * (reference/main.py:127-134). Here the destination is a parquet path:
+  * appends are partition-parallel writes, schema evolution is parquet
+  * `mergeSchema` on read, and create-if-missing is an empty first write.
+  * (On a cluster the same calls target a Delta/Iceberg table and K3
+  * becomes a real MERGE — Joins.upsert holds the set-oriented semantics.)
+  */
+object Sinks {
+
+  /** K1: append a batch, tolerating new columns (schema evolution). The
+    * write itself is append-only and distributed; readers see the union
+    * schema via [[readEvolved]]. */
+  def appendEvolving(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** Read an evolved destination: union schema across all appended batches
+    * (absent columns null-backfilled), the ALLOW_FIELD_ADDITION read view. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** K2: create the destination with a seed schema iff missing; returns
+    * true when it created. Mirrors get_table-or-create
+    * (reference/main.py:127-134): an empty write materializes the path
+    * with the seed schema so later appends/evolved reads line up. */
+  def createIfMissing(spark: SparkSession, path: String, seed: StructType): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(p)) false
+    else {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], seed)
+        .write.mode("overwrite").parquet(path)
+      true
+    }
+  }
+}

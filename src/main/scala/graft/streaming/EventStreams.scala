@@ -1,8 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 import org.apache.spark.sql.types.StructType
+
+/** Keyed state record for [[EventStreams.runningUserStats]]. */
+case class UserStat(user_id: Long, n_events: Long, last_us: Long)
 
 /** Structured Streaming surface over the `events` table (SURVEY.md §2b).
   *
@@ -64,6 +68,31 @@ object EventStreams {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user running totals carried in explicit keyed state — the
+    * `mapGroupsWithState` shape for custom streaming state the built-in
+    * aggregates can't express (per-key counters, custom session logic,
+    * model state). Emits the updated stat for every key touched by a
+    * micro-batch; state size is O(distinct users), bounded in production
+    * by a state TTL/timeout policy. Works identically on a static frame
+    * (single "batch"), which is how the parity spec pins semantics. */
+  def runningUserStats(events: DataFrame): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val prev = state.getOption.getOrElse(UserStat(user, 0L, Long.MinValue))
+          var n = prev.n_events
+          var last = prev.last_us
+          rows.foreach { case (_, us) => n += 1; if (us > last) last = us }
+          val updated = UserStat(user, n, last)
+          state.update(updated)
+          updated
+      }
+  }
 
   /** Read an events parquet path as a stream (for tests/demos: one file =
     * one micro-batch). Takes the RAW on-disk schema (nanos-as-long) and

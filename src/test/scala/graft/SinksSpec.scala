@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Sinks
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+class SinksSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tempPath(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-sink-").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "dest").getAbsolutePath
+  }
+
+  private val seed = StructType(Seq(
+    StructField("chat_id", StringType), StructField("n_ticket", StringType)))
+
+  test("createIfMissing creates once with the seed schema") {
+    val path = tempPath()
+    assert(Sinks.createIfMissing(spark, path, seed))
+    assert(!Sinks.createIfMissing(spark, path, seed)) // second call: no-op
+    val dest = Sinks.readEvolved(spark, path)
+    assert(dest.schema.fieldNames.toSeq === Seq("chat_id", "n_ticket"))
+    assert(dest.count() === 0)
+  }
+
+  test("appendEvolving + readEvolved: union schema, null backfill") {
+    val path = tempPath()
+    Sinks.createIfMissing(spark, path, seed)
+    Sinks.appendEvolving(Seq(("c1", "t1")).toDF("chat_id", "n_ticket"), path)
+    // second batch brings a NEW column (ALLOW_FIELD_ADDITION)
+    Sinks.appendEvolving(
+      Seq(("c2", "t2", "open")).toDF("chat_id", "n_ticket", "status"), path)
+    val dest = Sinks.readEvolved(spark, path)
+    assert(dest.schema.fieldNames.toSet === Set("chat_id", "n_ticket", "status"))
+    assert(dest.count() === 2)
+    val byChat = dest.collect().map(r =>
+      r.getString(r.fieldIndex("chat_id")) ->
+        Option(r.get(r.fieldIndex("status")))).toMap
+    assert(byChat("c1") === None)          // old rows: new column null
+    assert(byChat("c2") === Some("open"))
+  }
+
+  test("dedup-vs-destination composes with the evolved read (reference flow)") {
+    val path = tempPath()
+    Sinks.appendEvolving(Seq(("c1", "t1")).toDF("chat_id", "n_ticket"), path)
+    val batch = Seq(("c1", "t1"), ("c3", "t3")).toDF("chat_id", "n_ticket")
+    val fresh = graft.operators.Joins.dedupAgainst(
+      batch, Sinks.readEvolved(spark, path), Seq("n_ticket"))
+    assert(fresh.select("n_ticket").as[String].collect().toSeq === Seq("t3"))
+  }
+}

@@ -25,6 +25,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState running stats match batch aggregates") {
+    import org.apache.spark.sql.functions._
+    val batchEvents = Tables.events(spark, sf)
+    val expected = batchEvents.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(unix_micros(col("ts"))).as("last"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val stream = EventStreams.readEventStream(spark, s"$sf/events.parquet",
+      Tables.rawEventSchema(spark, sf))
+    val q = EventStreams.runningUserStats(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stats_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // one micro-batch → the latest emitted stat per user is the total
+      val got = spark.table("stats_out")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n"), max(col("last_us")).as("last"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids within watermark") {
     val batchEvents = Tables.events(spark, sf).limit(100).cache()
     val doubled = batchEvents.unionByName(batchEvents)
