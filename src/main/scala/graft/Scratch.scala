@@ -1,10 +1,7 @@
 package graft
 
-import graft.operators.Sinks
-import graft.streaming.EventStreams
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Scratch probe harness. Not part of the driver contract. */
 object Scratch {
@@ -15,29 +12,27 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
-    // Drive the sink lifecycle end-to-end: create → append → evolve → dedup.
-    val dest = java.nio.file.Files.createTempDirectory("probe-").toString + "/dest"
-    val seed = StructType(Seq(StructField("chat_id", StringType), StructField("n_ticket", StringType)))
-    println(s"PROBE created=${Sinks.createIfMissing(spark, dest, seed)} again=${Sinks.createIfMissing(spark, dest, seed)}")
-    Sinks.appendEvolving(Seq(("c1", "t1")).toDF("chat_id", "n_ticket"), dest)
-    Sinks.appendEvolving(Seq(("c2", "t2", "open")).toDF("chat_id", "n_ticket", "status"), dest)
-    Sinks.readEvolved(spark, dest).orderBy("chat_id").show()
-    // probe: append a batch MISSING a seed column
-    Sinks.appendEvolving(Seq(("c3")).toDF("chat_id"), dest)
-    println("PROBE after missing-column append:")
-    Sinks.readEvolved(spark, dest).orderBy("chat_id").show()
+    val df = spark.read.format("graft.sources.TicketDataSource")
+      .option("start", "2024-01-01T00:00:00Z")
+      .option("end", "2024-03-01T00:00:00Z")
+      .load()
+      .filter(col("created_at").between(
+        lit("2024-01-05 00:00:00").cast("timestamp"),
+        lit("2024-01-20 00:00:00").cast("timestamp")))
+      .filter(col("status") =!= "Resolvido") // residual, NOT pushable
+      .select(col("number"), col("status"), col("created_at"))
+    df.explain("formatted")
+    println("PROBE rows=" + df.count() + " partitions=" + df.rdd.getNumPartitions)
+    df.orderBy("number").show(3)
 
-    // Drive streaming custom state on the real events stream.
-    val sf = "/root/testdata/sf0.001"
-    val stream = EventStreams.readEventStream(spark, s"$sf/events.parquet",
-      Tables.rawEventSchema(spark, sf))
-    val q = EventStreams.runningUserStats(stream)
-      .writeStream.outputMode("update").format("memory").queryName("probe_stats").start()
-    q.processAllAvailable(); q.stop()
-    println("PROBE streaming state rows=" + spark.table("probe_stats").count())
-    spark.table("probe_stats").orderBy(desc("n_events")).show(3)
+    // probe: empty range (end before start after filters)
+    val empty = spark.read.format("graft.sources.TicketDataSource")
+      .option("start", "2024-01-01T00:00:00Z")
+      .option("end", "2024-01-02T00:00:00Z")
+      .load()
+      .filter(col("created_at") >= lit("2025-01-01 00:00:00").cast("timestamp"))
+    println("PROBE empty-range rows=" + empty.count())
     spark.stop()
   }
 }

@@ -1,0 +1,270 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector reproducing the reference's API-scan semantics
+  * Spark-first (SURVEY.md §2 S1-S5): a paginated ticket endpoint with
+  *  - server-side time-range filtering → `SupportsPushDownFilters` on
+  *    created_at (the reference's `createdAt ge/le` params, ticket.py:109-115)
+  *  - page-size limits → `SupportsPushDownLimit` (limit=100 cap, ticket.py:99)
+  *  - column selection → `SupportsPushDownRequiredColumns`
+  *  - time-window partitioning → one `InputPartition` per window
+  *    (`split_windows`, ticket.py:31-38): windows scan in parallel across
+  *    executors instead of the reference's sequential driver loop
+  *  - per-page retry with exponential backoff inside the `PartitionReader`
+  *    (≤3 attempts, 2^(n-1) backoff on 409/500, ticket.py:123-138)
+  *  - short-page termination (ticket.py:145-146).
+  *
+  * The HTTP layer is [[TicketApi]], a deterministic in-memory page server
+  * (this sandbox has zero egress); swap its `fetchPage` for a real client
+  * and every Spark-side piece is unchanged. Usage:
+  * {{{
+  * spark.read.format("graft.sources.TicketDataSource")
+  *   .option("start", "2024-01-01T00:00:00Z").option("end", "2024-03-01T00:00:00Z")
+  *   .load().filter($"created_at" >= ... )  // reaches the API as a filter
+  * }}}
+  */
+class TicketDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TicketApi.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TicketTable(new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] class TicketTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "tickets"
+  override def schema(): StructType = TicketApi.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new TicketScanBuilder(options)
+}
+
+private[sources] class TicketScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownLimit
+    with SupportsPushDownRequiredColumns {
+
+  private val startUs = TicketApi.parseIso(
+    Option(options.get("start")).getOrElse("2024-01-01T00:00:00Z"))
+  private val endUs = TicketApi.parseIso(
+    Option(options.get("end")).getOrElse("2024-06-01T00:00:00Z"))
+  private val windowUs: Long =
+    Option(options.get("windowDays")).map(_.toLong).getOrElse(7L) * 86400L * 1000000L
+  // page size capped at 100 like the reference API (chat.py:60)
+  private val pageSize: Int =
+    math.min(Option(options.get("pageSize")).map(_.toInt).getOrElse(100), 100)
+
+  private var geUs: Long = startUs
+  private var leUs: Long = endUs
+  private var pushed = Array.empty[Filter]
+  private var limit: Option[Int] = None
+  private var required: StructType = TicketApi.schema
+
+  /** Accept created_at range predicates (they become API filter params);
+    * everything else stays a Spark-side residual. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case GreaterThanOrEqual("created_at", _) | GreaterThan("created_at", _) |
+           LessThanOrEqual("created_at", _) | LessThan("created_at", _) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThanOrEqual("created_at", v) => geUs = math.max(geUs, TicketApi.toUs(v))
+      case GreaterThan("created_at", v) => geUs = math.max(geUs, TicketApi.toUs(v) + 1)
+      case LessThanOrEqual("created_at", v) => leUs = math.min(leUs, TicketApi.toUs(v))
+      case LessThan("created_at", v) => leUs = math.min(leUs, TicketApi.toUs(v) - 1)
+      case _ =>
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new TicketScan(geUs, leUs, windowUs, pageSize,
+    limit, required, pushed)
+}
+
+private[sources] class TicketScan(geUs: Long, leUs: Long, windowUs: Long,
+                                  pageSize: Int, limit: Option[Int],
+                                  required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"TicketScan PushedFilters: [${pushed.mkString(", ")}], " +
+      s"range=[$geUs,$leUs], window=${windowUs}us, pageSize=$pageSize, limit=$limit"
+
+  /** One partition per time window (split_windows, ticket.py:31-38) — the
+    * unit of parallelism AND of retry isolation. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (geUs > leUs) return Array.empty
+    Iterator.iterate(geUs)(_ + windowUs).takeWhile(_ <= leUs)
+      .map(lo => TicketWindowPartition(lo, math.min(lo + windowUs - 1, leUs)))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TicketReaderFactory(pageSize, limit, required)
+}
+
+private[sources] case class TicketWindowPartition(loUs: Long, hiUs: Long)
+    extends InputPartition
+
+private[sources] class TicketReaderFactory(pageSize: Int, limit: Option[Int],
+                                           required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TicketPartitionReader(partition.asInstanceOf[TicketWindowPartition],
+      pageSize, limit, required)
+}
+
+/** Pages through one time window with the reference's retry/backoff loop
+  * (≤3 attempts, 2^(n-1) backoff, ticket.py:123-138) and short-page
+  * termination (ticket.py:145-146). */
+private[sources] class TicketPartitionReader(part: TicketWindowPartition,
+                                             pageSize: Int, limit: Option[Int],
+                                             required: StructType)
+    extends PartitionReader[InternalRow] {
+  private var page = 1
+  private var emitted = 0
+  private var buffer: Iterator[TicketApi.Ticket] = Iterator.empty
+  private var exhausted = false
+  private var current: TicketApi.Ticket = _
+
+  private def fetchWithRetry(p: Int): Seq[TicketApi.Ticket] = {
+    val maxRetries = 3
+    var attempt = 1
+    while (true) {
+      try return TicketApi.fetchPage(part.loUs, part.hiUs, p, pageSize)
+      catch {
+        case e: TicketApi.ApiError if attempt < maxRetries && (e.code == 409 || e.code == 500) =>
+          Thread.sleep(1L << (attempt - 1)) // 2^(n-1), ms-scaled for tests
+          attempt += 1
+        case e: TicketApi.ApiError => throw e
+      }
+    }
+    Nil
+  }
+
+  override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false
+    while (!buffer.hasNext && !exhausted) {
+      val rows = fetchWithRetry(page)
+      if (rows.size < pageSize) exhausted = true // short page → last page
+      page += 1
+      buffer = rows.iterator
+    }
+    if (!buffer.hasNext) return false
+    current = buffer.next()
+    emitted += 1
+    true
+  }
+
+  override def get(): InternalRow = {
+    val vals = required.fields.map { f =>
+      f.name match {
+        case "uuid" => UTF8String.fromString(current.uuid)
+        case "number" => current.number
+        case "created_at" => current.createdUs
+        case "status" => UTF8String.fromString(current.status)
+        case "requester_email" => UTF8String.fromString(current.email)
+      }
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Deterministic in-memory "ticket API": the dataset is a pure function of
+  * the ticket index (one ticket every 137s from the 2024-01-01 anchor), so
+  * tests can compute the expected result of any pushed-down range/limit.
+  * Simulates transient 500s on a deterministic subset of page requests to
+  * exercise the reader's retry path; attempts are counted per request for
+  * assertions. */
+object TicketApi {
+  val schema: StructType = StructType(Seq(
+    StructField("uuid", StringType, nullable = false),
+    StructField("number", LongType, nullable = false),
+    StructField("created_at", TimestampType, nullable = false),
+    StructField("status", StringType, nullable = false),
+    StructField("requester_email", StringType, nullable = false)))
+
+  final case class Ticket(uuid: String, number: Long, createdUs: Long,
+                          status: String, email: String)
+  final case class ApiError(code: Int)
+      extends RuntimeException(s"HTTP $code") with scala.util.control.NoStackTrace
+
+  val anchorUs: Long = parseIso("2024-01-01T00:00:00Z")
+  val stepUs: Long = 137L * 1000000L
+  val totalTickets: Long = 200000L
+  private val statuses = Array("open", "pending", "Resolvido", "open", "waiting")
+
+  /** Attempt counts per (windowStart, page) — lets tests assert the retry
+    * path actually fired. */
+  val attempts = new java.util.concurrent.ConcurrentHashMap[(Long, Int), Integer]()
+
+  def parseIso(s: String): Long =
+    java.time.Instant.parse(s).toEpochMilli * 1000L
+
+  /** Spark pushes timestamp filter values as java.sql.Timestamp or Instant. */
+  def toUs(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000
+    case l: Long => l
+    case other => throw new IllegalArgumentException(s"unsupported filter value $other")
+  }
+
+  def ticketAt(k: Long): Ticket = Ticket(
+    uuid = s"tck-$k",
+    number = k,
+    createdUs = anchorUs + k * stepUs,
+    status = statuses((k % statuses.length).toInt),
+    email = s"user${k % 1000}@example.com")
+
+  /** One page of tickets with createdUs in [geUs, leUs], sorted ascending
+    * (the server honours filter + sort + pagination, ticket.py:109-119).
+    * Deterministically throws a 500 on the first attempt of every 5th page
+    * request to exercise client retries. */
+  def fetchPage(geUs: Long, leUs: Long, page: Int, limit: Int): Seq[Ticket] = {
+    val key = (geUs, page)
+    val attempt: Int = attempts.merge(key, Integer.valueOf(1),
+      (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+    if ((geUs / stepUs + page) % 5 == 2 && attempt == 1) throw ApiError(500)
+
+    val kLo = math.max(0L, ceilDiv(geUs - anchorUs, stepUs))
+    val kHi = math.min(totalTickets - 1, floorDiv(leUs - anchorUs, stepUs))
+    if (kLo > kHi) return Nil
+    val pageStart = kLo + (page - 1).toLong * limit
+    if (pageStart > kHi) Nil
+    else (pageStart to math.min(pageStart + limit - 1, kHi)).map(ticketAt)
+  }
+
+  /** Expected ticket count in a closed range — for test assertions. */
+  def countIn(geUs: Long, leUs: Long): Long = {
+    val kLo = math.max(0L, ceilDiv(geUs - anchorUs, stepUs))
+    val kHi = math.min(totalTickets - 1, floorDiv(leUs - anchorUs, stepUs))
+    math.max(0L, kHi - kLo + 1)
+  }
+
+  private def ceilDiv(a: Long, b: Long): Long = math.ceil(a.toDouble / b).toLong
+  private def floorDiv(a: Long, b: Long): Long = math.floor(a.toDouble / b).toLong
+}
