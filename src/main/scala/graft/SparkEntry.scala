@@ -268,6 +268,17 @@ object SparkEntry {
     custs("1997").except(custs("1998"))
   }
 
+  /** §2b skew-mitigating salted join: events (5 hot event_type keys — the
+    * pathological skew shape) joined to a type dimension on (key, salt) so
+    * each hot key spreads over 8 shuffle partitions. Result ≡ plain join. */
+  private def q_salted_join(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d).select(col("event_id"), col("event_type"))
+    val dim = events.select(col("event_type")).distinct()
+      .withColumn("type_label", upper(col("event_type")))
+    Joins.saltedJoin(events, dim, "event_type", buckets = 8)
+      .select(col("event_id"), col("type_label"))
+  }
+
   /** §2b multiway join + aggregate with broadcast dimensions (Q5 shape). */
   private def q_join_agg_region(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -391,13 +402,12 @@ object SparkEntry {
     * exact re-rank inside them — the scan-fraction dial of a 100 TB ANN. */
   private def q_ivf_topk(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val cents = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
-      cents, "cent_id", "cvec")
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    Similarity.ivfTopK(assigned, "vec_id", "embedding",
-      cents, "cent_id", "cvec", q, "qv", k = 10, nprobe = 2)
+    Similarity.ivfTopK(assigned, "vec_id", "embedding", cents,
+      q, "qv", k = 10, nprobe = 2)
   }
 
   // ----------------------------------------------------- events / streams
@@ -488,6 +498,7 @@ object SparkEntry {
     "q_intersect" -> (q_intersect _),
     "q_except" -> (q_except _),
     "q_join_agg_region" -> (q_join_agg_region _),
+    "q_salted_join" -> (q_salted_join _),
     "q_approx_distinct" -> (q_approx_distinct _),
     "q_dedup_exact" -> (q_dedup_exact _),
     "q_token_stats" -> (q_token_stats _),
@@ -825,6 +836,8 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""",
+    "q_salted_join" ->
+      """SELECT event_id, upper(event_type) AS type_label FROM events""",
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '[^0-9a-z]', '', 'g')) AS fingerprint,
                 min(doc_id) AS keep_id, count(*) AS n_dups

@@ -37,8 +37,13 @@ object Dedup {
     * bound the join fan-out; for word-shingles the fan-out is naturally
     * tiny because shingles are near-unique. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double): DataFrame = {
-    val sets = tokenSets(docs, idCol, textCol).cache()
+                   threshold: Double, cacheSets: Boolean = true): DataFrame = {
+    // The token-set relation feeds three consumers (both join sides + the
+    // size table); caching computes the tokenize+distinct once. At corpus
+    // sizes beyond executor storage, pass cacheSets=false (recompute) or
+    // checkpoint the relation instead — don't pin 100 TB in memory.
+    val sets0 = tokenSets(docs, idCol, textCol)
+    val sets = if (cacheSets) sets0.cache() else sets0
     val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
     val a = sets.toDF("id_a", "token")
     val b = sets.toDF("id_b", "token")

@@ -63,6 +63,23 @@ object Joins {
   def unionSlices(slices: Seq[DataFrame]): DataFrame =
     slices.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Skew-mitigating salted join: the big side's rows are salted into
+    * `buckets` sub-keys (uniform per-row hash — any salt works for an
+    * inner/left equi-join since the small side is replicated across all
+    * salts), the small side is replicated once per salt, and the join key
+    * becomes (key, salt) — a hot key's rows now spread over `buckets`
+    * shuffle partitions instead of one straggler. Use when AQE's runtime
+    * skew-join split isn't available/enough (e.g. a hot key inside one
+    * shuffle block); result is identical to `big.join(small, key, how)`. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 buckets: Int, how: String = "inner"): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(buckets)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, Seq(key, "__salt"), how).drop("__salt")
+  }
+
   /** As-of join: for each left row (key, ts), attach the latest right row
     * with the same key and rightTs <= leftTs (the time-series enrichment
     * join Spark lacks natively).

@@ -88,42 +88,55 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }
 
+  /** Collect a bounded centroid table to the driver (k rows — the one
+    * legitimate tiny-collect, like LSH plane literals). */
+  def collectCentroids(centroids: DataFrame, idCol: String, vecCol: String): Seq[(Long, Seq[Float])] =
+    centroids.select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .sortBy(_._1).toSeq
+
   /** IVF (inverted-file) coarse quantization: assign every vector to its
-    * nearest centroid by cosine (ties → lowest centroid id). `centroids`
-    * is a bounded table (k rows) and is broadcast, so assignment is a
-    * map-side scan — the standard ANN index build, linear at 100 TB.
+    * nearest centroid by cosine (ties → lowest centroid id). The centroids
+    * are inlined as literal arrays, so assignment is a per-row argmax
+    * expression chain — no crossJoin row expansion, no shuffle, no window:
+    * a pure map-side scan, the standard ANN index build, linear at 100 TB.
     * (A production build would k-means the centroids; any deterministic
     * centroid set — e.g. a fixed sample — gives the same operator shape.) */
   def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
-                centroids: DataFrame, centIdCol: String, centVecCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__cos").desc, col(centIdCol).asc)
-    embeddings
-      .crossJoin(broadcast(centroids.select(col(centIdCol), col(centVecCol))))
-      .withColumn("__cos", VectorFunctions.cosineSimilarity(col(vecCol), col(centVecCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col(centIdCol).as("cell"))
+                centroids: Seq[(Long, Seq[Float])]): DataFrame = {
+    val scored = centroids.sortBy(_._1).map { case (cid, cvec) =>
+      struct(
+        VectorFunctions.cosineSimilarity(col(vecCol), array(cvec.map(lit): _*)).as("cos"),
+        lit(cid).as("cell"))
+    }
+    // strict > keeps the earliest (lowest-id) centroid on ties
+    val best = scored.reduce((a, b) =>
+      when(b.getField("cos") > a.getField("cos"), b).otherwise(a))
+    embeddings.select(col(idCol), col(vecCol), best.getField("cell").as("cell"))
   }
 
   /** IVF ANN top-k: probe the `nprobe` centroid cells nearest the query,
     * exact cosine re-rank within them. Scans only ~nprobe/k of the corpus
     * (the recall/cost dial), never materializes O(n²) pairs. Ranking uses
     * the score rounded to 6dp with id tiebreak so results are reproducible
-    * across engines. */
+    * across engines. The query stays a (broadcast) 1-row frame — no
+    * driver-side collect of data vectors. */
   def ivfTopK(assigned: DataFrame, idCol: String, vecCol: String,
-              centroids: DataFrame, centIdCol: String, centVecCol: String,
+              centroids: Seq[(Long, Seq[Float])],
               query: DataFrame, queryVecCol: String, k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qcells = centroids
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val centsDf = centroids.toDF("cell", "cvec") // k rows
+    val qcells = centsDf
       .crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
       .withColumn("__qcos",
-        round(VectorFunctions.cosineSimilarity(col(centVecCol), col("__qv")), 6))
+        round(VectorFunctions.cosineSimilarity(col("cvec"), col("__qv")), 6))
       .withColumn("__rn", row_number().over(
-        Window.partitionBy().orderBy(col("__qcos").desc, col(centIdCol).asc)))
+        Window.partitionBy().orderBy(col("__qcos").desc, col("cell").asc)))
       .filter(col("__rn") <= nprobe)
-      .select(col(centIdCol).as("cell"))
+      .select(col("cell"))
     assigned
       .join(broadcast(qcells), Seq("cell"), "left_semi")
       .crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))

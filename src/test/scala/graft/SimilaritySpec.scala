@@ -68,10 +68,9 @@ class SimilaritySpec extends SparkSuite {
 
   test("ivfAssign puts every centroid in its own cell; ivfTopK finds the query") {
     val emb = Tables.embeddings(spark, sf)
-    val cents = emb.filter($"vec_id" < 8)
-      .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
-    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
-      cents, "cent_id", "cvec")
+    val cents = Similarity.collectCentroids(
+      emb.filter($"vec_id" < 8), "vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
     // a centroid's nearest centroid is itself (cosine 1)
     val centCells = assigned.filter($"vec_id" < 8)
       .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
@@ -81,7 +80,7 @@ class SimilaritySpec extends SparkSuite {
 
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
     val top = Similarity.ivfTopK(assigned, "vec_id", "embedding",
-      cents, "cent_id", "cvec", q, "qv", k = 5, nprobe = 2)
+      cents, q, "qv", k = 5, nprobe = 2)
       .select($"vec_id", $"cosine_sim").as[(Long, Double)].collect()
     assert(top.head._1 === 0L)              // query is in a probed cell
     assert(math.abs(top.head._2 - 1.0) < 1e-6)
