@@ -438,6 +438,23 @@ object SparkEntry {
         round(sum(col("value")), 2).as("session_value"))
   }
 
+  /** §2b sliding-window aggregate (batch twin of EventStreams.slidingCounts:
+    * 1-hour windows sliding every 15 min — each event lands in 4 windows). */
+  private def q_event_sliding(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.slidingCounts(Tables.events(s, d))
+
+  /** S4/chat.py:106-113 shape: dynamic KV pivot (explode + pivot over a
+    * bounded key domain) — the two-phase variant of q_custom_fields. */
+  private def q_pivot_kv(s: SparkSession, d: String): DataFrame = {
+    val withKv = Tables.orders(s, d).select(col("o_orderkey"),
+      array(
+        struct(lit("status").as("key"), col("o_orderstatus").as("value")),
+        struct(lit("priority").as("key"), col("o_orderpriority").as("value"))
+      ).as("kv"))
+    Nested.pivotKV(withKv, Seq("o_orderkey"), "kv",
+      Seq("status", "priority"), "cf_")
+  }
+
   /** §2b session windows via Spark's native session_window (batch twin of
     * the streaming query; stream/batch parity in StreamingSpec). */
   private def q_session_window(s: SparkSession, d: String): DataFrame =
@@ -488,6 +505,8 @@ object SparkEntry {
     "q_flatten" -> (q_flatten _),
     "q_asof_join" -> (q_asof_join _),
     "q_session_window" -> (q_session_window _),
+    "q_event_sliding" -> (q_event_sliding _),
+    "q_pivot_kv" -> (q_pivot_kv _),
     "q_tfidf" -> (q_tfidf _),
     "q1_pricing_summary" -> (q1_pricing_summary _),
     "q_topk_per_group" -> (q_topk_per_group _),
@@ -758,6 +777,16 @@ object SparkEntry {
                 user_id, count(*) AS n_events,
                 round(sum(value), 2) AS session_value
          FROM sess GROUP BY user_id, session_id""",
+    "q_event_sliding" ->
+      """SELECT CAST(to_timestamp((epoch_us(ts) // 900000000) * 900 - j * 900)
+                     AS TIMESTAMP) AS window_start,
+                event_type, count(*) AS n
+         FROM events, UNNEST(generate_series(0, 3)) AS t(j)
+         GROUP BY 1, 2""",
+    "q_pivot_kv" ->
+      """SELECT o_orderkey, o_orderstatus AS cf_status,
+                o_orderpriority AS cf_priority
+         FROM orders""",
     "q_tfidf" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
               tok AS (SELECT doc_id,
