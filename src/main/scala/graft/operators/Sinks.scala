@@ -27,6 +27,16 @@ object Sinks {
   def readEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Write a table bucketed (and sorted) on a join key: the shuffle happens
+    * once at write time, and every later join/aggregate on that key plans
+    * with NO exchange on this side (asserted in BucketedJoinSpec). The
+    * partitioning contract big fact-to-fact joins need at 100 TB — pair
+    * with identical bucket counts on both join sides. */
+  def writeBucketed(df: DataFrame, key: String, buckets: Int, table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table) // managed table in the session warehouse
+
   /** K2: create the destination with a seed schema iff missing; returns
     * true when it created. Mirrors get_table-or-create
     * (reference/main.py:127-134): an empty write materializes the path
