@@ -321,6 +321,21 @@ object SparkEntry {
     Tables.documents(s, d).select(col("doc_id"), col("lang").as("declared_lang"),
       TextFunctions.langIdHeuristic(col("text")).as("lang_guess"))
 
+  /** §2b n-gram language ID: per-profile trigram hit ratios + argmax guess
+    * (the production-shaped variant of the stopword heuristic q_lang_id). */
+  private def q_lang_ngram(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+    val scored = TextFunctions.trigramProfiles.foldLeft(
+      base.select(col("doc_id"), col("lang").as("declared_lang"), col("text"))) {
+      case (df, (lang, prof)) =>
+        df.withColumn(s"${lang}_score",
+          round(TextFunctions.ngramProfileScore(col("text"), prof), 6))
+    }
+    scored
+      .withColumn("lang_guess", TextFunctions.langIdNgram(col("text")))
+      .drop("text")
+  }
+
   /** §2b distinct-token cardinality per document. */
   private def q_unique_tokens(s: SparkSession, d: String): DataFrame =
     Dedup.tokenSets(Tables.documents(s, d), "doc_id", "text")
@@ -523,6 +538,7 @@ object SparkEntry {
     "q_token_stats" -> (q_token_stats _),
     "q_text_quality" -> (q_text_quality _),
     "q_lang_id" -> (q_lang_id _),
+    "q_lang_ngram" -> (q_lang_ngram _),
     "q_unique_tokens" -> (q_unique_tokens _),
     "q_jaccard_pairs" -> (q_jaccard_pairs _),
     "q_minhash_signatures" -> (q_minhash_signatures _),
@@ -587,10 +603,45 @@ object SparkEntry {
         WHERE ${duckCos("a.v", "c.v")} >= 0.3"""
   }
 
+  /** Generated oracle for q_lang_ngram: profile literals come from the same
+    * TextFunctions.trigramProfiles, so Spark and DuckDB score identical
+    * trigram sets by construction. */
+  private def langNgramOracleSql: String = {
+    val tri = """CASE WHEN length(norm) < 3 THEN CAST([] AS VARCHAR[])
+                 ELSE [substring(norm, CAST(i AS INT), 3)
+                       FOR i IN generate_series(1, length(norm) - 2)] END"""
+    def inList(prof: Seq[String]) = prof.map(p => s"'$p'").mkString(", ")
+    val scoreCols = TextFunctions.trigramProfiles.map { case (lang, prof) =>
+      s"""round(CASE WHEN len(tri) > 0
+             THEN CAST(len(list_filter(tri, t -> t IN (${inList(prof)}))) AS DOUBLE) / len(tri)
+             ELSE 0.0 END, 6) AS ${lang}_score"""
+    }.mkString(", ")
+    val rawScores = TextFunctions.trigramProfiles.map { case (lang, prof) =>
+      s"""CASE WHEN len(tri) > 0
+            THEN CAST(len(list_filter(tri, t -> t IN (${inList(prof)}))) AS DOUBLE) / len(tri)
+            ELSE 0.0 END AS ${lang}_raw"""
+    }.mkString(", ")
+    val best = TextFunctions.trigramProfiles.map(p => s"${p._1}_raw").mkString("greatest(", ", ", ")")
+    val guess = TextFunctions.trigramProfiles.foldRight("'unknown'") { case ((lang, _), acc) =>
+      s"CASE WHEN ${lang}_raw = best AND best >= 0.05 THEN '$lang' ELSE $acc END"
+    }
+    s"""WITH n AS (SELECT doc_id, lang AS declared_lang,
+                     trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS norm
+                   FROM documents),
+            t AS (SELECT doc_id, declared_lang, $tri AS tri FROM n),
+            s AS (SELECT doc_id, declared_lang, $scoreCols, $rawScores FROM t),
+            g AS (SELECT *, $best AS best FROM s)
+       SELECT doc_id, declared_lang,
+              ${TextFunctions.trigramProfiles.map(p => s"${p._1}_score").mkString(", ")},
+              $guess AS lang_guess
+       FROM g"""
+  }
+
   /** DuckDB oracle SQL per query (same tables, same column names).
     * Omitted: q_approx_distinct (estimator differs by design → driver
     * records the weaker rows-only check). */
   def oracleSql: Map[String, String] = Map(
+    "q_lang_ngram" -> langNgramOracleSql,
     "q_simhash" -> simhashOracleSql,
     "q_lsh_neardup" -> lshNeardupOracleSql,
     "q_rolling_hash" ->

@@ -65,6 +65,48 @@ object TextFunctions {
     when(ratio >= 0.05, lit("en")).otherwise(lit("unknown"))
   }
 
+  /** Character trigrams of the letter-normalized text (lowercase, non-letter
+    * runs collapsed to single spaces): the n-gram basis for profile-based
+    * language ID. Pure sequence/transform codegen, no UDF. */
+  def charTrigrams(text: Column): Column = {
+    val norm = trim(regexp_replace(lower(text), "[^a-z]+", " "))
+    when(length(norm) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(norm) - 2),
+        i => norm.substr(i, lit(3))))
+  }
+
+  /** Fraction of the text's character trigrams that hit a language profile
+    * (a small set of that language's most frequent trigrams) — 0 for texts
+    * with no trigrams. The classic cheap n-gram language-ID signal. */
+  def ngramProfileScore(text: Column, profile: Seq[String]): Column = {
+    val tri = charTrigrams(text)
+    when(size(tri) > 0,
+      size(filter(tri, t => t.isin(profile.map(lit): _*))).cast("double") / size(tri))
+      .otherwise(lit(0.0))
+  }
+
+  /** Frequent-trigram profiles (tiny, illustrative: production profiles are
+    * learned from a labeled corpus — the expression shape is identical). */
+  val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", "nd ", "and", "ing", "ng ", " th", "ed ",
+      "er ", " a ", "ion", "on ", "ta ", "dat", "ata"),
+    "de" -> Seq("der", "die", "und", "ein", "ich", "sch", "en ", "ch ",
+      "cht", "das", " de", "ung", "ber", "gen", "ten"))
+
+  /** N-gram language ID over [[trigramProfiles]]: the language with the
+    * best profile hit ratio, `unknown` below `minScore`; ties break to the
+    * first profile in declaration order. */
+  def langIdNgram(text: Column, minScore: Double = 0.05): Column = {
+    val scored = trigramProfiles.map { case (lang, prof) =>
+      lang -> ngramProfileScore(text, prof)
+    }
+    // argmax via a when-chain: first-declared profile wins ties
+    val bestScore = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("unknown")) { case ((lang, s), acc) =>
+      when(s === bestScore && bestScore >= minScore, lit(lang)).otherwise(acc)
+    }
+  }
+
   /** Canonical-form document fingerprint: lowercase, strip non-alphanumerics,
     * md5. Equal fingerprints ⇒ near-identical documents modulo
     * case/punctuation/whitespace — the first-stage exact-dedup key. */
