@@ -324,16 +324,25 @@ object SparkEntry {
   /** §2b n-gram language ID: per-profile trigram hit ratios + argmax guess
     * (the production-shaped variant of the stopword heuristic q_lang_id). */
   private def q_lang_ngram(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-    val scored = TextFunctions.trigramProfiles.foldLeft(
-      base.select(col("doc_id"), col("lang").as("declared_lang"), col("text"))) {
-      case (df, (lang, prof)) =>
-        df.withColumn(s"${lang}_score",
-          round(TextFunctions.ngramProfileScore(col("text"), prof), 6))
+    // Staged: normalize → trigrams → raw ratios are each materialized as a
+    // column so nothing non-cheap is re-evaluated inside a lambda or the
+    // argmax when-chain (inlined, the regexp re-runs per trigram: 50×+).
+    val profiles = TextFunctions.trigramProfiles
+    val staged = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("declared_lang"),
+        TextFunctions.letterNormalize(col("text")).as("__norm"))
+      .withColumn("__tri", TextFunctions.charTrigramsOf(col("__norm")))
+    val scored = profiles.foldLeft(staged) { case (df, (lang, prof)) =>
+      df.withColumn(s"__${lang}_raw",
+        TextFunctions.trigramProfileRatio(col("__tri"), prof))
     }
-    scored
-      .withColumn("lang_guess", TextFunctions.langIdNgram(col("text")))
-      .drop("text")
+    scored.select(
+      Seq(col("doc_id"), col("declared_lang")) ++
+        profiles.map { case (lang, _) =>
+          round(col(s"__${lang}_raw"), 6).as(s"${lang}_score") } :+
+        TextFunctions.langGuessFromScores(
+          profiles.map { case (lang, _) => lang -> col(s"__${lang}_raw") })
+          .as("lang_guess"): _*)
   }
 
   /** §2b distinct-token cardinality per document. */

@@ -65,25 +65,38 @@ object TextFunctions {
     when(ratio >= 0.05, lit("en")).otherwise(lit("unknown"))
   }
 
-  /** Character trigrams of the letter-normalized text (lowercase, non-letter
-    * runs collapsed to single spaces): the n-gram basis for profile-based
-    * language ID. Pure sequence/transform codegen, no UDF. */
-  def charTrigrams(text: Column): Column = {
-    val norm = trim(regexp_replace(lower(text), "[^a-z]+", " "))
+  /** Letter-normalization for n-gram profiling: lowercase, non-letter runs
+    * collapsed to single spaces, trimmed. */
+  def letterNormalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z]+", " "))
+
+  /** Character trigrams of an ALREADY letter-normalized column. The lambda
+    * references `norm` once per element, so callers MUST pass a
+    * materialized column (`withColumn`), not an inline expression — an
+    * inline `regexp_replace` would be re-evaluated for every trigram
+    * (measured 50×+ slowdown). Pure sequence/transform, no UDF. */
+  def charTrigramsOf(norm: Column): Column =
     when(length(norm) < 3, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), length(norm) - 2),
         i => norm.substr(i, lit(3))))
-  }
 
-  /** Fraction of the text's character trigrams that hit a language profile
-    * (a small set of that language's most frequent trigrams) — 0 for texts
-    * with no trigrams. The classic cheap n-gram language-ID signal. */
-  def ngramProfileScore(text: Column, profile: Seq[String]): Column = {
-    val tri = charTrigrams(text)
+  /** Convenience single-expression form for small/one-off inputs; for table
+    * scans stage [[letterNormalize]] into a column first (see caveat on
+    * [[charTrigramsOf]]). */
+  def charTrigrams(text: Column): Column = charTrigramsOf(letterNormalize(text))
+
+  /** Fraction of a trigram-array column's entries that hit a language
+    * profile (a small set of that language's most frequent trigrams) — 0
+    * for empty arrays. The classic cheap n-gram language-ID signal. Pass a
+    * materialized trigram column (same re-evaluation caveat as above). */
+  def trigramProfileRatio(tri: Column, profile: Seq[String]): Column =
     when(size(tri) > 0,
       size(filter(tri, t => t.isin(profile.map(lit): _*))).cast("double") / size(tri))
       .otherwise(lit(0.0))
-  }
+
+  /** One-shot score from raw text (small inputs only — see caveats). */
+  def ngramProfileScore(text: Column, profile: Seq[String]): Column =
+    trigramProfileRatio(charTrigrams(text), profile)
 
   /** Frequent-trigram profiles (tiny, illustrative: production profiles are
     * learned from a labeled corpus — the expression shape is identical). */
@@ -93,19 +106,23 @@ object TextFunctions {
     "de" -> Seq("der", "die", "und", "ein", "ich", "sch", "en ", "ch ",
       "cht", "das", " de", "ung", "ber", "gen", "ten"))
 
-  /** N-gram language ID over [[trigramProfiles]]: the language with the
-    * best profile hit ratio, `unknown` below `minScore`; ties break to the
-    * first profile in declaration order. */
-  def langIdNgram(text: Column, minScore: Double = 0.05): Column = {
-    val scored = trigramProfiles.map { case (lang, prof) =>
-      lang -> ngramProfileScore(text, prof)
-    }
-    // argmax via a when-chain: first-declared profile wins ties
+  /** N-gram language guess from per-language score COLUMNS (cheap double
+    * refs, safe to duplicate in the when-chain): the language with the best
+    * ratio, `unknown` below `minScore`; ties break to the first profile in
+    * declaration order. */
+  def langGuessFromScores(scored: Seq[(String, Column)], minScore: Double = 0.05): Column = {
     val bestScore = scored.map(_._2).reduce((a, b) => greatest(a, b))
     scored.foldRight(lit("unknown")) { case ((lang, s), acc) =>
       when(s === bestScore && bestScore >= minScore, lit(lang)).otherwise(acc)
     }
   }
+
+  /** One-shot n-gram language ID from raw text (small inputs only; table
+    * scans should stage trigrams + scores as columns — see q_lang_ngram). */
+  def langIdNgram(text: Column, minScore: Double = 0.05): Column =
+    langGuessFromScores(
+      trigramProfiles.map { case (l, p) => l -> ngramProfileScore(text, p) },
+      minScore)
 
   /** Canonical-form document fingerprint: lowercase, strip non-alphanumerics,
     * md5. Equal fingerprints ⇒ near-identical documents modulo
