@@ -65,6 +65,27 @@ object Multimodal {
         md5(concat_ws("", col("__frames")).cast("binary")).as("sample_md5"))
   }
 
+  /** STUB resize: compute the real target geometry (fit inside maxDim
+    * preserving aspect ratio — the part a production resize shares) and
+    * derive a deterministic stand-in payload of the scaled size (real
+    * codecs aren't in this sandbox). Schema/null handling mirror a real
+    * partition-batched resize; swap the payload expression for a codec
+    * call and nothing else changes. Expects (asset_id, payload, width,
+    * height) columns. */
+  def stubResize(assets: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(
+      lit(maxDim.toDouble) / greatest(col("width"), col("height")).cast("double"),
+      lit(1.0))
+    assets
+      .withColumn("out_width", ceil(col("width") * scale).cast("int"))
+      .withColumn("out_height", ceil(col("height") * scale).cast("int"))
+      .withColumn("out_payload",
+        when(col("payload").isNull, lit(null).cast("binary"))
+          // deterministic stand-in: truncate proportionally to pixel ratio
+          .otherwise(col("payload").substr(lit(1),
+            greatest(lit(1), ceil(length(col("payload")) * scale * scale)).cast("int"))))
+  }
+
   /** Output schema of the decode stage. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),

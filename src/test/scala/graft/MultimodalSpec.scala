@@ -34,6 +34,23 @@ class MultimodalSpec extends SparkSuite {
     assert(rows(2L).getString(2) === "null payload")
   }
 
+  test("stubResize fits within maxDim preserving aspect, never upscales") {
+    val df = Seq(
+      (1L, "0123456789".getBytes, 4000, 1000),
+      (2L, "0123456789".getBytes, 100, 200),   // already small → untouched
+      (3L, null.asInstanceOf[Array[Byte]], 800, 600)
+    ).toDF("asset_id", "payload", "width", "height")
+    val out = Multimodal.stubResize(df, maxDim = 1000)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(r.fieldIndex("out_width")), r.getInt(r.fieldIndex("out_height")),
+          Option(r.get(r.fieldIndex("out_payload")))
+            .map(_.asInstanceOf[Array[Byte]].length)))).toMap
+    assert(out(1L)._1 === 1000)
+    assert(out(1L)._2 === 250)           // aspect preserved
+    assert(out(2L) === ((100, 200, Some(10)))) // scale 1.0 → unchanged
+    assert(out(3L)._3 === None)          // null payload propagates
+  }
+
   test("stubDecode is deterministic") {
     val df = Seq((1L, pngMagic)).toDF("id", "bytes")
     val assets = Multimodal.toAssets(df, "id", "bytes")

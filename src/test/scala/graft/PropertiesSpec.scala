@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Joins, Relational}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style invariants over sampled inputs (SURVEY.md §5.3):
+  * window-split coverage, anti-join-dedup and upsert idempotence. */
+class PropertiesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def forAllSampled[A](gen: Gen[A], cases: Int = 50)(check: A => Unit): Unit =
+    (1 to cases).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(check)
+    }
+
+  test("timeBucket covers every instant exactly once (no gaps, no overlap)") {
+    val gen = for {
+      ts <- Gen.chooseNum(0L, 4102444800L) // 1970..2100 epoch seconds
+      width <- Gen.oneOf(3600L, 86400L, 7L * 86400L)
+    } yield (ts, width)
+    forAllSampled(gen) { case (ts, width) =>
+      val df = Seq(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(ts)))
+        .toDF("ts")
+      val bucket = df.select(Relational.timeBucket(col("ts"), width)).head().getLong(0)
+      assert(bucket % width === 0)           // aligned to the grid
+      assert(bucket <= ts && ts < bucket + width) // contains its instant
+    }
+  }
+
+  test("dedupAgainst is idempotent and removes exactly the overlap") {
+    val gen = for {
+      batch <- Gen.listOfN(30, Gen.chooseNum(0L, 20L))
+      dest <- Gen.listOfN(15, Gen.chooseNum(0L, 20L))
+    } yield (batch, dest)
+    forAllSampled(gen, cases = 20) { case (batchKeys, destKeys) =>
+      val batch = batchKeys.toDF("k")
+      val dest = destKeys.toDF("k")
+      val once = Joins.dedupAgainst(batch, dest, Seq("k"))
+      val twice = Joins.dedupAgainst(once, dest, Seq("k"))
+      val got = once.as[Long].collect().sorted.toSeq
+      assert(got === batchKeys.filterNot(destKeys.toSet).sorted)
+      assert(twice.as[Long].collect().sorted.toSeq === got)
+    }
+  }
+
+  test("upsert is idempotent and keeps exactly one row per key") {
+    val gen = for {
+      destKeys <- Gen.listOfN(20, Gen.chooseNum(0L, 15L))
+      updKeys <- Gen.listOfN(8, Gen.chooseNum(0L, 15L))
+    } yield (destKeys.distinct, updKeys.distinct)
+    forAllSampled(gen, cases = 20) { case (destKeys, updKeys) =>
+      val dest = destKeys.map(k => (k, s"old-$k")).toDF("k", "v")
+      val upd = updKeys.map(k => (k, s"new-$k")).toDF("k", "v")
+      val once = Joins.upsert(dest, upd, "k")
+      val twice = Joins.upsert(once, upd, "k")
+      val rows = once.as[(Long, String)].collect().toMap
+      assert(rows.keySet === (destKeys ++ updKeys).toSet)
+      updKeys.foreach(k => assert(rows(k) === s"new-$k"))
+      destKeys.filterNot(updKeys.toSet).foreach(k => assert(rows(k) === s"old-$k"))
+      assert(twice.as[(Long, String)].collect().toMap === rows)
+    }
+  }
+}
