@@ -219,6 +219,20 @@ object SparkEntry {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
   }
 
+  /** §2b custom UDAF: grouped top-k via a typed Aggregator — O(k) state
+    * with map-side partial merge (only k values per group cross the
+    * shuffle, vs a window sorting every row). */
+  private def q_topk_udaf(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new TopKAggregator(3))
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(topk(col("o_totalprice")).as("top_prices"))
+      .select(col("o_custkey"),
+        round(try_element_at(col("top_prices"), lit(1)), 2).as("p1"),
+        round(coalesce(try_element_at(col("top_prices"), lit(2)), lit(-1.0)), 2).as("p2"),
+        round(coalesce(try_element_at(col("top_prices"), lit(3)), lit(-1.0)), 2).as("p3"))
+  }
+
   /** §2b rollup. */
   private def q_rollup(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -534,6 +548,7 @@ object SparkEntry {
     "q_tfidf" -> (q_tfidf _),
     "q1_pricing_summary" -> (q1_pricing_summary _),
     "q_topk_per_group" -> (q_topk_per_group _),
+    "q_topk_udaf" -> (q_topk_udaf _),
     "q_rollup" -> (q_rollup _),
     "q_cube" -> (q_cube _),
     "q_grouping_sets" -> (q_grouping_sets _),
@@ -879,6 +894,14 @@ object SparkEntry {
                   ROW_NUMBER() OVER (PARTITION BY o_custkey
                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) WHERE rn <= 3""",
+    "q_topk_udaf" ->
+      """SELECT o_custkey,
+                round(t[1], 2) AS p1,
+                round(coalesce(t[2], -1.0), 2) AS p2,
+                round(coalesce(t[3], -1.0), 2) AS p3
+         FROM (SELECT o_custkey,
+                      (array_agg(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS t
+               FROM orders GROUP BY o_custkey)""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
                 count(*) AS n

@@ -25,6 +25,21 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows equal batch session windows") {
+    val expected = EventStreams.sessionSpans(Tables.events(spark, sf))
+      .collect().map(_.toSeq).toSet
+    val stream = EventStreams.readEventStream(spark, s"$sf/events.parquet",
+      Tables.rawEventSchema(spark, sf))
+    val q = EventStreams.sessionSpans(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("session_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("session_out").collect().map(_.toSeq).toSet === expected)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running stats match batch aggregates") {
     import org.apache.spark.sql.functions._
     val batchEvents = Tables.events(spark, sf)
