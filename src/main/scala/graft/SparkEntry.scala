@@ -303,6 +303,35 @@ object SparkEntry {
       .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
         countDistinct(col("o_custkey")).as("n_custs"))
 
+  /** §2b exact interpolated percentiles per group (linear interpolation —
+    * the same definition as DuckDB's quantile_cont). */
+  private def q_percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("price_p25"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("price_p95"))
+
+  /** §2b scalar-function battery: portable date/string/math built-ins in
+    * one projection (each must match DuckDB bit-for-bit or to 6dp). */
+  private def q_scalar_funcs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+      datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date"))
+        .cast("long").as("days_to_99"),
+      upper(col("o_orderpriority")).as("prio_upper"),
+      lpad(col("o_orderkey").cast(StringType), 12, "0").as("key_padded"),
+      regexp_extract(col("o_orderpriority"), "^(\\d+)", 1).as("prio_num"),
+      concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+      round(sqrt(col("o_totalprice")), 6).as("price_sqrt"),
+      round(log(col("o_totalprice") + 1), 6).as("price_ln"),
+      pmod(col("o_orderkey"), lit(7)).cast("long").as("key_mod7"),
+      abs(col("o_totalprice") - 1000).cast("double").as("price_abs_dev"))
+
   /** §2b approximate distinct (HLL++). No DuckDB oracle — estimator
     * differs by design; driver does the weaker rows-only check. */
   private def q_approx_distinct(s: SparkSession, d: String): DataFrame =
@@ -558,6 +587,8 @@ object SparkEntry {
     "q_join_agg_region" -> (q_join_agg_region _),
     "q_salted_join" -> (q_salted_join _),
     "q_approx_distinct" -> (q_approx_distinct _),
+    "q_percentiles" -> (q_percentiles _),
+    "q_scalar_funcs" -> (q_scalar_funcs _),
     "q_dedup_exact" -> (q_dedup_exact _),
     "q_token_stats" -> (q_token_stats _),
     "q_text_quality" -> (q_text_quality _),
@@ -950,6 +981,28 @@ object SparkEntry {
          GROUP BY r_name""",
     "q_salted_join" ->
       """SELECT event_id, upper(event_type) AS type_label FROM events""",
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+                round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25,
+                round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+                date_trunc('month', o_orderdate) AS month_start,
+                CAST(year(o_orderdate) AS BIGINT) AS yr,
+                CAST(day(o_orderdate) AS BIGINT) AS dom,
+                CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')
+                     AS BIGINT) AS days_to_99,
+                upper(o_orderpriority) AS prio_upper,
+                lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+                coalesce(regexp_extract(o_orderpriority, '^(\d+)', 1), '') AS prio_num,
+                concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+                round(sqrt(o_totalprice), 6) AS price_sqrt,
+                round(ln(o_totalprice + 1), 6) AS price_ln,
+                CAST(o_orderkey % 7 AS BIGINT) AS key_mod7,
+                CAST(abs(o_totalprice - 1000) AS DOUBLE) AS price_abs_dev
+         FROM orders""",
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '[^0-9a-z]', '', 'g')) AS fingerprint,
                 min(doc_id) AS keep_id, count(*) AS n_dups

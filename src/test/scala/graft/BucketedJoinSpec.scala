@@ -10,6 +10,25 @@ import org.apache.spark.sql.functions._
   * shuffle once at ingest, never at query time). */
 class BucketedJoinSpec extends SparkSuite {
 
+  test("partitioned writes prune partitions at planning time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = java.nio.file.Files.createTempDirectory("part-").toString + "/orders"
+    val orders = Tables.orders(spark, sf)
+      .withColumn("order_year", year(col("o_orderdate")))
+    Sinks.writePartitioned(orders, "order_year", path)
+
+    val pruned = spark.read.parquet(path).filter(col("order_year") === 1997)
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "expected a planning-time partition filter")
+    // only the 1997 directory is read
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .forall(_.values.getInt(0) === 1997))
+    assert(pruned.count() ===
+      orders.filter(col("order_year") === 1997).count())
+  }
+
   test("join of co-bucketed tables plans without a shuffle exchange") {
     val orders = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
     val customer = Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment"))
