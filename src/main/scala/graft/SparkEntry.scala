@@ -303,6 +303,17 @@ object SparkEntry {
       .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
         countDistinct(col("o_custkey")).as("n_custs"))
 
+  /** §2b statistical aggregates: sample stddev/variance, correlation and
+    * covariance per group (identical definitions in DuckDB). */
+  private def q_stats_agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"),
+        round(var_samp(col("l_extendedprice")), 2).as("price_var"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("qty_disc_covar"))
+
   /** §2b exact interpolated percentiles per group (linear interpolation —
     * the same definition as DuckDB's quantile_cont). */
   private def q_percentiles(s: SparkSession, d: String): DataFrame =
@@ -588,6 +599,7 @@ object SparkEntry {
     "q_salted_join" -> (q_salted_join _),
     "q_approx_distinct" -> (q_approx_distinct _),
     "q_percentiles" -> (q_percentiles _),
+    "q_stats_agg" -> (q_stats_agg _),
     "q_scalar_funcs" -> (q_scalar_funcs _),
     "q_dedup_exact" -> (q_dedup_exact _),
     "q_token_stats" -> (q_token_stats _),
@@ -981,6 +993,13 @@ object SparkEntry {
          GROUP BY r_name""",
     "q_salted_join" ->
       """SELECT event_id, upper(event_type) AS type_label FROM events""",
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+                round(stddev_samp(l_quantity), 6) AS qty_stddev,
+                round(var_samp(l_extendedprice), 2) AS price_var,
+                round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+                round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar
+         FROM lineitem GROUP BY l_returnflag""",
     "q_percentiles" ->
       """SELECT l_returnflag,
                 round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,

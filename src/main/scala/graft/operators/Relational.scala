@@ -63,4 +63,17 @@ object Relational {
     * 100 TB the bucket column is the partition key, so range queries prune. */
   def timeBucket(ts: Column, widthSec: Long): Column =
     (floor(unix_timestamp(ts) / widthSec) * widthSec).cast("long")
+
+  /** Driver-side scan planning (reference/ticket.py:31-38 `split_windows`):
+    * partition [startSec, endSec) into consecutive `widthSec`-wide
+    * [lo, hi) windows, the last one clipped. Exact cover: no gaps, no
+    * overlap (property-tested). Used to derive source partitions
+    * (graft.sources) and partitioned-write layouts. */
+  def splitWindows(startSec: Long, endSec: Long, widthSec: Long): Seq[(Long, Long)] = {
+    require(widthSec > 0)
+    Iterator.iterate(startSec)(_ + widthSec)
+      .takeWhile(_ < endSec)
+      .map(lo => (lo, math.min(lo + widthSec, endSec)))
+      .toSeq
+  }
 }

@@ -29,6 +29,27 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("splitWindows covers [start,end) exactly: no gaps, no overlap") {
+    val gen = for {
+      start <- Gen.chooseNum(0L, 1000000L)
+      span <- Gen.chooseNum(0L, 500000L)
+      width <- Gen.chooseNum(1L, 100000L)
+    } yield (start, start + span, width)
+    forAllSampled(gen) { case (start, end, width) =>
+      val ws = Relational.splitWindows(start, end, width)
+      if (start >= end) assert(ws.isEmpty)
+      else {
+        assert(ws.head._1 === start)
+        assert(ws.last._2 === end)
+        ws.foreach { case (lo, hi) => assert(lo < hi && hi - lo <= width) }
+        ws.sliding(2).foreach {
+          case Seq((_, hi1), (lo2, _)) => assert(hi1 === lo2) // contiguous
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("dedupAgainst is idempotent and removes exactly the overlap") {
     val gen = for {
       batch <- Gen.listOfN(30, Gen.chooseNum(0L, 20L))
