@@ -423,6 +423,12 @@ object SparkEntry {
   private def q_simhash(s: SparkSession, d: String): DataFrame =
     Dedup.simHash(Tables.documents(s, d).filter(col("doc_id") < 40), "doc_id", "text")
 
+  /** §2b SimHash near-dup pairs with pigeonhole band blocking (exact
+    * recall for hamming ≤ 8 with 10 bands of 6 bits). */
+  private def q_simhash_neardup(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashNearDups(Tables.documents(s, d).filter(col("doc_id") < 200),
+      "doc_id", "text")
+
   /** §2b rolling-hash document fingerprint (native codegen expression;
     * engine-portable recurrence, oracle uses DuckDB list_reduce). */
   private def q_rolling_hash(s: SparkSession, d: String): DataFrame =
@@ -610,6 +616,7 @@ object SparkEntry {
     "q_jaccard_pairs" -> (q_jaccard_pairs _),
     "q_minhash_signatures" -> (q_minhash_signatures _),
     "q_simhash" -> (q_simhash _),
+    "q_simhash_neardup" -> (q_simhash_neardup _),
     "q_cosine_topk" -> (q_cosine_topk _),
     "q_embedding_pairs" -> (q_embedding_pairs _),
     "q_lsh_neardup" -> (q_lsh_neardup _),
@@ -634,10 +641,11 @@ object SparkEntry {
   private def duckCos(a: String, b: String): String =
     s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
 
-  /** Generated oracle for q_simhash: the 60 per-bit ±1 sums and the bit
-    * packing are mechanical, so the SQL is built programmatically — same
-    * portable md5-derived token hash as the engine. */
-  private def simhashOracleSql: String = {
+  /** Shared generated CTE chain computing per-doc 60-bit simhash in DuckDB
+    * (the 60 per-bit ±1 sums and the bit packing are mechanical, so the
+    * SQL is built programmatically — same portable md5-derived token hash
+    * as the engine). Ends with relation `sh(doc_id, simhash)`. */
+  private def simhashCte(docFilter: String): String = {
     val sums = (0 until 60)
       .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
       .mkString(", ")
@@ -645,13 +653,30 @@ object SparkEntry {
       .map(b => s"(CASE WHEN b$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
     s"""WITH tok AS (SELECT DISTINCT doc_id, UNNEST($duckTokens) AS token
-                     FROM documents WHERE doc_id < 40),
+                     FROM documents WHERE $docFilter),
              h AS (SELECT doc_id,
                      CAST(('0x' || substring(md5('7:' || token), 1, 15)) AS BIGINT) AS h
                    FROM tok),
-             sums AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
-        SELECT doc_id, $pack AS simhash FROM sums"""
+             sums AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+             sh AS (SELECT doc_id, $pack AS simhash FROM sums)"""
   }
+
+  private def simhashOracleSql: String =
+    s"""${simhashCte("doc_id < 40")}
+        SELECT doc_id, simhash FROM sh"""
+
+  /** Generated oracle for q_simhash_neardup: same pigeonhole banding as
+    * the engine (10 bands × 6 bits, hamming via xor popcount). */
+  private def simhashNearDupOracleSql: String =
+    s"""${simhashCte("doc_id < 200")},
+             banded AS (SELECT doc_id, simhash, b AS band,
+                          (simhash >> (b * 6)) & 63 AS band_val
+                        FROM sh, (SELECT UNNEST(generate_series(0, 9)) AS b))
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+               bit_count(xor(a.simhash, c.simhash)) AS hamming
+        FROM banded a JOIN banded c USING (band, band_val)
+        WHERE a.doc_id < c.doc_id
+          AND bit_count(xor(a.simhash, c.simhash)) <= 8"""
 
   /** Generated oracle for q_lsh_neardup: the engine's deterministic
     * hyperplanes are inlined as DOUBLE[] literals so DuckDB reproduces the
@@ -710,6 +735,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_lang_ngram" -> langNgramOracleSql,
     "q_simhash" -> simhashOracleSql,
+    "q_simhash_neardup" -> simhashNearDupOracleSql,
     "q_lsh_neardup" -> lshNeardupOracleSql,
     "q_rolling_hash" ->
       """SELECT doc_id,

@@ -99,6 +99,35 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash near-duplicate pairs: block on `bands` equal-width bit bands
+    * of the 60-bit signature, equi-join within blocks, keep pairs with
+    * Hamming distance ≤ `maxHamming` (native popcount expression). By
+    * pigeonhole, a pair within maxHamming < bands differing bits must
+    * agree on at least one whole band — so the blocking has EXACT recall
+    * while the join stays an equi-join (shuffle ∝ collisions, never n²). */
+  def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 8, bands: Int = 10): DataFrame = {
+    require(maxHamming < bands, "pigeonhole recall needs maxHamming < bands")
+    val bitsPerBand = 60 / bands
+    val mask = (1L << bitsPerBand) - 1
+    val sigs = simHash(docs, idCol, textCol)
+    val banded = sigs.select(col(idCol), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bitsPerBand).bitwiseAND(mask).as("band_val"))
+      }: _*)).as("bv"))
+      .select(col(idCol), col("simhash"), col("bv.band"), col("bv.band_val"))
+    val a = banded.toDF("id_a", "sim_a", "band", "band_val")
+    val b = banded.toDF("id_b", "sim_b", "band", "band_val")
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        graft.functions.VectorFunctions.hammingDistance(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+  }
+
   /** SimHash: 64-bit locality-sensitive content hash — sum ±1 per bit over
     * token hashes, take sign bits. Near-identical docs differ in few bits. */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -85,6 +85,21 @@ class TextAndDedupSpec extends SparkSuite {
     assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 0)
   }
 
+  test("simHashNearDups finds planted near-duplicates, skips unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val d = Seq(
+      (1L, base),
+      (2L, base.replace("kappa", "kappa2")), // one token changed → few bits flip
+      (3L, "completely different words about other topics entirely unrelated here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearDups(d, "doc_id", "text", maxHamming = 8, bands = 10)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+    assert(!pairs.contains((2L, 3L)))
+  }
+
   test("langIdHeuristic flags stopword-rich text as en") {
     val d = Seq((1L, "the cat is in the hat and it is fine"),
       (2L, "zzz qqq www rrr")).toDF("doc_id", "text")
