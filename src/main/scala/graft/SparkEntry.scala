@@ -293,6 +293,43 @@ object SparkEntry {
       .select(col("event_id"), col("type_label"))
   }
 
+  /** §2b set ops, bag semantics: EXCEPT ALL (keeps duplicate multiplicity). */
+  private def q_except_all(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.select(col("l_orderkey"))
+      .exceptAll(li.filter(col("l_linenumber") === 1).select(col("l_orderkey")))
+  }
+
+  /** §2b set ops, bag semantics: INTERSECT ALL. */
+  private def q_intersect_all(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_quantity") >= 25).select(col("l_suppkey"))
+      .intersectAll(li.filter(col("l_returnflag") === "R").select(col("l_suppkey")))
+  }
+
+  /** §2b array/map scalar battery: higher-order and collection functions
+    * over arrays built from row data (each must match DuckDB's list/map
+    * semantics exactly). */
+  private def q_array_funcs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      concat_ws(",", sort_array(array(col("o_orderkey") % 7, col("o_orderkey") % 13,
+        col("o_orderkey") % 3))).as("mods_sorted"),
+      size(array_distinct(array(col("o_orderkey") % 2, col("o_orderkey") % 4)))
+        .cast("long").as("n_distinct_mods"),
+      aggregate(sequence(lit(1), lit(5)), lit(0L), (acc, x) => acc + x * x)
+        .as("sum_squares"),
+      array_contains(split(col("o_orderpriority"), "-"), "URGENT").as("is_urgent"),
+      element_at(map_from_arrays(
+        array(lit("status"), lit("priority")),
+        array(col("o_orderstatus"), col("o_orderpriority"))), "status").as("m_status"),
+      concat_ws(",", slice(sequence(col("o_orderkey") % 5, col("o_orderkey") % 5 + 4), 2, 2))
+        .as("mid_range"),
+      array_max(array(col("o_orderkey") % 11, col("o_orderkey") % 17))
+        .as("max_mod"),
+      concat_ws(",", flatten(array(array(col("o_orderstatus")),
+        array(col("o_orderpriority"))))).as("flat_pair"))
+
   /** §2b multiway join + aggregate with broadcast dimensions (Q5 shape). */
   private def q_join_agg_region(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -601,6 +638,9 @@ object SparkEntry {
     "q_window_rank" -> (q_window_rank _),
     "q_intersect" -> (q_intersect _),
     "q_except" -> (q_except _),
+    "q_except_all" -> (q_except_all _),
+    "q_intersect_all" -> (q_intersect_all _),
+    "q_array_funcs" -> (q_array_funcs _),
     "q_join_agg_region" -> (q_join_agg_region _),
     "q_salted_join" -> (q_salted_join _),
     "q_approx_distinct" -> (q_approx_distinct _),
@@ -1009,6 +1049,31 @@ object SparkEntry {
          SELECT o_custkey FROM orders
          WHERE o_orderdate BETWEEN TIMESTAMP '1998-01-01 00:00:00'
                                AND TIMESTAMP '1998-12-31 23:59:59'""",
+    "q_except_all" ->
+      """SELECT l_orderkey FROM lineitem
+         EXCEPT ALL
+         SELECT l_orderkey FROM lineitem WHERE l_linenumber = 1""",
+    "q_intersect_all" ->
+      """SELECT l_suppkey FROM lineitem WHERE l_quantity >= 25
+         INTERSECT ALL
+         SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'""",
+    "q_array_funcs" ->
+      """SELECT o_orderkey,
+                array_to_string(list_sort([o_orderkey % 7, o_orderkey % 13,
+                  o_orderkey % 3]), ',') AS mods_sorted,
+                CAST(len(list_distinct([o_orderkey % 2, o_orderkey % 4])) AS BIGINT)
+                  AS n_distinct_mods,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [CAST(x * x AS BIGINT) FOR x IN generate_series(1, 5)]),
+                  (acc, v) -> acc + v) AS sum_squares,
+                list_contains(string_split(o_orderpriority, '-'), 'URGENT')
+                  AS is_urgent,
+                o_orderstatus AS m_status,
+                array_to_string(generate_series(o_orderkey % 5, o_orderkey % 5 + 4)[2:3],
+                  ',') AS mid_range,
+                greatest(o_orderkey % 11, o_orderkey % 17) AS max_mod,
+                array_to_string([o_orderstatus, o_orderpriority], ',') AS flat_pair
+         FROM orders""",
     "q_join_agg_region" ->
       """SELECT r_name, round(sum(o_totalprice), 2) AS revenue,
                 count(DISTINCT o_custkey) AS n_custs

@@ -37,16 +37,33 @@ object Dedup {
     * bound the join fan-out; for word-shingles the fan-out is naturally
     * tiny because shingles are near-unique. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, cacheSets: Boolean = true): DataFrame = {
+                   threshold: Double, cacheSets: Boolean = true,
+                   maxDocFreq: Option[Long] = None): DataFrame = {
     // The token-set relation feeds three consumers (both join sides + the
     // size table); caching computes the tokenize+distinct once. At corpus
     // sizes beyond executor storage, pass cacheSets=false (recompute) or
     // checkpoint the relation instead — don't pin 100 TB in memory.
     val sets0 = tokenSets(docs, idCol, textCol)
     val sets = if (cacheSets) sets0.cache() else sets0
+    // |A∪B| uses the FULL set sizes regardless of pruning (pruning only
+    // shrinks the inverted index), so similarity is never overestimated.
     val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
-    val a = sets.toDF("id_a", "token")
-    val b = sets.toDF("id_b", "token")
+    // Stop-token pruning — the 100 TB fan-out bound: a token present in f
+    // documents contributes O(f²) join pairs, so ultra-frequent tokens
+    // dominate shuffle volume while carrying almost no similarity signal.
+    // Dropping them undercounts |A∩B| by at most (#pruned tokens shared),
+    // trading bounded recall loss for a bounded index. None = exact.
+    val index = maxDocFreq match {
+      case Some(m) =>
+        val rare = sets.groupBy(col("token"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") <= m)
+          .select(col("token"))
+        // semi join puts the join key first — restore (id, token) order
+        sets.join(rare, Seq("token"), "left_semi").select(col(idCol), col("token"))
+      case None => sets
+    }
+    val a = index.toDF("id_a", "token")
+    val b = index.toDF("id_b", "token")
     val inter = a.join(b, Seq("token"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))

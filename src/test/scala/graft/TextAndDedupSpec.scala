@@ -85,6 +85,25 @@ class TextAndDedupSpec extends SparkSuite {
     assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 0)
   }
 
+  test("jaccardPairs stop-token pruning bounds fan-out, never overestimates") {
+    val d = Seq(
+      (1L, "common alpha beta"), (2L, "common alpha gamma"),
+      (3L, "common delta epsilon"), (4L, "common zeta eta"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(d, "doc_id", "text", 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // prune 'common' (df=4 > 2): intersection counts can only shrink
+    val pruned = Dedup.jaccardPairs(d, "doc_id", "text", 0.0,
+      maxDocFreq = Some(2L))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    pruned.foreach { case (k, sim) => assert(sim <= exact(k) + 1e-12) }
+    assert(pruned.contains((1L, 2L)))      // 'alpha' (df=2) survives
+    assert(!pruned.contains((3L, 4L)))     // only shared 'common' → pruned away
+    assert(exact.contains((3L, 4L)))
+  }
+
   test("simHashNearDups finds planted near-duplicates, skips unrelated docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
