@@ -82,6 +82,15 @@ object SparkEntry {
         .select(col("o_custkey").as("c_custkey")),
       "c_custkey")
 
+  /** §2b right outer join (customers without orders survive). */
+  private def q_right_join(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"), "right")
+      .select(col("c_custkey"), col("c_mktsegment"), col("o_orderkey"),
+        col("o_totalprice"))
+
   /** T16: dedup-vs-destination anti-join. */
   private def q_anti_dedup(s: SparkSession, d: String): DataFrame = {
     val orders = Tables.orders(s, d)
@@ -611,6 +620,7 @@ object SparkEntry {
     "q_sort_limit" -> (q_sort_limit _),
     "q_backfill" -> (q_backfill _),
     "q_left_join" -> (q_left_join _),
+    "q_right_join" -> (q_right_join _),
     "q_full_outer_merge" -> (q_full_outer_merge _),
     "q_semi_join" -> (q_semi_join _),
     "q_anti_dedup" -> (q_anti_dedup _),
@@ -861,6 +871,10 @@ object SparkEntry {
          FULL OUTER JOIN
               (SELECT c_custkey AS cust2, c_mktsegment AS status FROM customer) r
          ON l.cust = r.cust2""",
+    "q_right_join" ->
+      """SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+         FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders) o
+         RIGHT JOIN customer c ON o.o_custkey = c.c_custkey""",
     "q_semi_join" ->
       """SELECT * FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o

@@ -15,6 +15,24 @@ class PropertiesSpec extends SparkSuite {
       gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(check)
     }
 
+  test("udf() surface: a registered scalar UDF matches the driver-side rule") {
+    // The engine prefers driver-side renames / native expressions, but the
+    // udf() escape hatch must exist for row-scoped custom logic (SURVEY.md
+    // §2b UDF surface). Wrap sanitizeName as a UDF and pin parity.
+    import graft.operators.ColumnHygiene
+    val slug = udf((s: String) => ColumnHygiene.sanitizeName(s))
+    spark.udf.register("graft_slug", slug)
+    val names = Seq("99 número-do pedido", "ok_name", "line#no", "", "a" * 400)
+    val viaUdf = names.toDF("n").select(slug(col("n")))
+      .collect().map(_.getString(0)).toSeq
+    assert(viaUdf === names.map(ColumnHygiene.sanitizeName))
+    // and via SQL registration
+    names.toDF("n").createOrReplaceTempView("names_v")
+    val viaSql = spark.sql("SELECT graft_slug(n) FROM names_v")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql === names.map(ColumnHygiene.sanitizeName))
+  }
+
   test("timeBucket covers every instant exactly once (no gaps, no overlap)") {
     val gen = for {
       ts <- Gen.chooseNum(0L, 4102444800L) // 1970..2100 epoch seconds
