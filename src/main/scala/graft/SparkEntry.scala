@@ -458,6 +458,15 @@ object SparkEntry {
       "doc_id", "text", 0.3)
       .withColumn("jaccard", round(col("jaccard"), 6))
 
+  /** §2b word-shingle (3-gram) Jaccard near-dup pairs — the n-gram variant:
+    * shingles are near-unique so the inverted index barely fans out. */
+  private def q_shingle_pairs(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairsFrom(
+      Dedup.shingleSets(Tables.documents(s, d).filter(col("doc_id") < 120),
+        "doc_id", "text"),
+      "doc_id", 0.05)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+
   /** §2b MinHash signatures (portable md5-derived hashes, bounded ids). */
   private def q_minhash_signatures(s: SparkSession, d: String): DataFrame =
     Dedup.minHashSignatures(Tables.documents(s, d).filter(col("doc_id") < 40),
@@ -664,6 +673,7 @@ object SparkEntry {
     "q_lang_ngram" -> (q_lang_ngram _),
     "q_unique_tokens" -> (q_unique_tokens _),
     "q_jaccard_pairs" -> (q_jaccard_pairs _),
+    "q_shingle_pairs" -> (q_shingle_pairs _),
     "q_minhash_signatures" -> (q_minhash_signatures _),
     "q_simhash" -> (q_simhash _),
     "q_simhash_neardup" -> (q_simhash_neardup _),
@@ -1184,6 +1194,23 @@ object SparkEntry {
          JOIN sizes sa ON i.id_a = sa.doc_id
          JOIN sizes sb ON i.id_b = sb.doc_id
          WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.3""",
+    "q_shingle_pairs" ->
+      """WITH tok AS (SELECT doc_id,
+                        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
+                      FROM documents WHERE doc_id < 120),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                     FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                        FROM sh a JOIN sh b
+                          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+         SELECT i.id_a, i.id_b,
+                round(i.n_common / (sa.n + sb.n - i.n_common), 6) AS jaccard
+         FROM inter i
+         JOIN sizes sa ON i.id_a = sa.doc_id
+         JOIN sizes sb ON i.id_b = sb.doc_id
+         WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.05""",
     "q_minhash_signatures" ->
       """SELECT doc_id, seed,
                 min(CAST(('0x' || substring(md5(seed || ':' || token), 1, 15))

@@ -30,6 +30,15 @@ object Dedup {
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
       .distinct()
 
+  /** Distinct word n-gram (shingle) set per document — the n-gram Jaccard
+    * basis. Shingles are near-unique across documents, so the inverted
+    * index barely fans out (no stop-token problem) at the cost of missing
+    * reordered near-dups. Documents with < n tokens contribute nothing. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs
+      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), n)).as("token"))
+      .distinct()
+
   /** Pairwise n-gram/token Jaccard similarity via inverted-index equi-join
     * (no crossJoin): |A∩B| from a token-on-token join, |A∪B| from set sizes.
     * Emits ordered pairs (idA < idB) with similarity ≥ `threshold`.
@@ -38,12 +47,19 @@ object Dedup {
     * tiny because shingles are near-unique. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, cacheSets: Boolean = true,
-                   maxDocFreq: Option[Long] = None): DataFrame = {
-    // The token-set relation feeds three consumers (both join sides + the
+                   maxDocFreq: Option[Long] = None): DataFrame =
+    jaccardPairsFrom(tokenSets(docs, idCol, textCol), idCol, threshold,
+      cacheSets, maxDocFreq)
+
+  /** Jaccard pairs from ANY exploded (id, token) set relation — word
+    * tokens, shingles, character n-grams, hashes. */
+  def jaccardPairsFrom(sets0: DataFrame, idCol: String,
+                       threshold: Double, cacheSets: Boolean = true,
+                       maxDocFreq: Option[Long] = None): DataFrame = {
+    // The set relation feeds three consumers (both join sides + the
     // size table); caching computes the tokenize+distinct once. At corpus
     // sizes beyond executor storage, pass cacheSets=false (recompute) or
     // checkpoint the relation instead — don't pin 100 TB in memory.
-    val sets0 = tokenSets(docs, idCol, textCol)
     val sets = if (cacheSets) sets0.cache() else sets0
     // |A∪B| uses the FULL set sizes regardless of pruning (pruning only
     // shrinks the inverted index), so similarity is never overestimated.
