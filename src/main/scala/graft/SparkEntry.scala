@@ -275,6 +275,23 @@ object SparkEntry {
         .as("running_spend"))
   }
 
+  /** §2b window functions, part 2: RANGE frame (30-day trailing spend),
+    * ntile, first_value and lead — the value-based frame that rowsBetween
+    * can't express. */
+  private def q_window_range(s: SparkSession, d: String): DataFrame = {
+    val days = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+    val byDay = Window.partitionBy(col("o_custkey")).orderBy(days)
+    val ordered = Window.partitionBy(col("o_custkey"))
+      .orderBy(days.asc, col("o_orderkey").asc)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      round(sum(col("o_totalprice")).over(byDay.rangeBetween(-30, 0)), 2)
+        .as("trailing_30d_spend"),
+      ntile(4).over(ordered).cast("long").as("quartile"),
+      first_value(col("o_orderkey")).over(ordered).as("first_order"),
+      lead(col("o_orderkey"), 1).over(ordered).as("next_order"))
+  }
+
   /** §2b set ops: INTERSECT. */
   private def q_intersect(s: SparkSession, d: String): DataFrame = {
     val orders = Tables.orders(s, d)
@@ -655,6 +672,7 @@ object SparkEntry {
     "q_cube" -> (q_cube _),
     "q_grouping_sets" -> (q_grouping_sets _),
     "q_window_rank" -> (q_window_rank _),
+    "q_window_range" -> (q_window_range _),
     "q_intersect" -> (q_intersect _),
     "q_except" -> (q_except _),
     "q_except_all" -> (q_except_all _),
@@ -1057,6 +1075,19 @@ object SparkEntry {
                   AS running_spend
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+                round(SUM(o_totalprice) OVER
+                  (PARTITION BY o_custkey ORDER BY d
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2)
+                  AS trailing_30d_spend,
+                CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+                FIRST_VALUE(o_orderkey) OVER w AS first_order,
+                LEAD(o_orderkey, 1) OVER w AS next_order
+         FROM (SELECT *, date_diff('day', DATE '1970-01-01',
+                                   CAST(o_orderdate AS DATE)) AS d
+               FROM orders)
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)""",
     "q_intersect" ->
       """SELECT o_custkey FROM orders
          WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
