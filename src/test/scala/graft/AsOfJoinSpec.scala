@@ -41,6 +41,32 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out.collect().head.isNullAt(4)) // no matching key → null carry
   }
 
+  test("asOfJoin matches a naive per-row reference on randomized inputs") {
+    val rnd = new scala.util.Random(42)
+    val leftRows = (1 to 120).map { i =>
+      (i.toLong, s"u${rnd.nextInt(6)}", ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"))
+    }
+    val rightRows = (1 to 40).map { _ =>
+      (s"u${rnd.nextInt(6)}", ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), rnd.nextInt(1000).toDouble)
+    }.distinct
+      // unique per (key, ts): keep max value like the operator contract asks
+      .groupBy(r => (r._1, r._2)).map { case (_, g) => g.maxBy(_._3) }.toSeq
+
+    val left = leftRows.toDF("id", "user", "ts")
+    val right = rightRows.toDF("user", "ts", "v")
+    val got = Joins.asOfJoin(left, right, "user", "ts", "ts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+
+    leftRows.foreach { case (id, u, lts) =>
+      val expected = rightRows
+        .filter(r => r._1 == u && !r._2.after(lts))
+        .sortBy(r => (r._2.getTime, r._3))
+        .lastOption.map(_._3)
+      assert(got(id) === expected, s"row $id user $u ts $lts")
+    }
+  }
+
   test("tfIdf: shared terms get zero idf, unique terms positive") {
     val docs = Seq((1L, "apple banana"), (2L, "apple cherry")).toDF("id", "text")
     val out = TextAnalytics.tfIdf(docs, "id", "text")
