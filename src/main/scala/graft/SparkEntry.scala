@@ -292,6 +292,26 @@ object SparkEntry {
       lead(col("o_orderkey"), 1).over(ordered).as("next_order"))
   }
 
+  /** §2b ranking distribution functions: percent_rank / cume_dist /
+    * dense_rank (unique full ordering → tie-free, engine-portable). */
+  private def q_window_dist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cum_dist"),
+      dense_rank().over(w).cast("long").as("drank"))
+  }
+
+  /** §2b generator with ordinal: posexplode (token position matters for
+    * n-gram/window features downstream). */
+  private def q_posexplode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") < 30)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "token")))
+      .withColumn("pos", col("pos").cast("long"))
+
   /** §2b set ops: INTERSECT. */
   private def q_intersect(s: SparkSession, d: String): DataFrame = {
     val orders = Tables.orders(s, d)
@@ -673,6 +693,8 @@ object SparkEntry {
     "q_grouping_sets" -> (q_grouping_sets _),
     "q_window_rank" -> (q_window_rank _),
     "q_window_range" -> (q_window_range _),
+    "q_window_dist" -> (q_window_dist _),
+    "q_posexplode" -> (q_posexplode _),
     "q_intersect" -> (q_intersect _),
     "q_except" -> (q_except _),
     "q_except_all" -> (q_except_all _),
@@ -1075,6 +1097,20 @@ object SparkEntry {
                   AS running_spend
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q_window_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+                round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+                round(CUME_DIST() OVER w, 6) AS cum_dist,
+                CAST(DENSE_RANK() OVER w AS BIGINT) AS drank
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey)""",
+    "q_posexplode" ->
+      """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS token
+         FROM (SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
+               FROM documents WHERE doc_id < 30),
+              UNNEST(generate_series(1, len(t))) AS u(i)""",
     "q_window_range" ->
       """SELECT o_custkey, o_orderkey,
                 round(SUM(o_totalprice) OVER
