@@ -28,7 +28,7 @@ object Nested {
     // unquoted dotted string is kept only as the output alias.
     def quote(seg: String): String = "`" + seg.replace("`", "``") + "`"
     def expandNested(schema: StructType, path: String, quoted: String): Seq[Column] =
-      schema.fields.flatMap { f =>
+      schema.fields.toIndexedSeq.flatMap { f =>
         val p = s"$path.${f.name}"
         val q = s"$quoted.${quote(f.name)}"
         f.dataType match {
