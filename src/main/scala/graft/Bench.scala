@@ -35,15 +35,19 @@ object Bench {
       try run(n) catch { case _: Throwable => () }
     }
 
+    // A failed query must be VISIBLE in the output — swallowing it would
+    // record a near-zero time and read as a perf win in the trend line.
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
+      try run(name) catch { case _: Throwable => errors += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

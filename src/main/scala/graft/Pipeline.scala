@@ -57,11 +57,13 @@ object Pipeline {
     }
     val projected = Relational.projectRename(backfilled, present)
       .withColumn("__uuid_key", col("uuid"))
-    // T8+T9: whitelist pivot carried on uuid, enrichment left join
+    // T8+T9: whitelist pivot carried on uuid, enrichment left join — built
+    // from the BACKFILLED frame so a payload with customField but no id
+    // flows through with null keys like the main branch (T6 guard).
     val custom =
-      if (tickets.columns.contains("customField"))
+      if (backfilled.columns.contains("customField"))
         Nested.extractWhitelistedKV(
-          tickets.select(col("id").as("__uuid_key"), col("customField")),
+          backfilled.select(col("id").as("__uuid_key"), col("customField")),
           "customField", customFieldWhitelist, "ticket_")
       else projected.select(col("__uuid_key")).limit(0)
     val joined = Joins.enrichLeft(projected, custom, "__uuid_key").drop("__uuid_key")

@@ -731,8 +731,10 @@ object SparkEntry {
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
-    * text → empty list, not ['']). */
-  private val duckTokens: String =
+    * text → empty list, not ['']). Several oracle strings carry inline
+    * copies of this expression; EntrySpec pins them byte-identical to this
+    * constant so tokenizer-semantics changes cannot drift. */
+  private[graft] val duckTokens: String =
     "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) " +
       "ELSE string_split_regex(trim(text), '\\s+') END"
 
@@ -877,7 +879,10 @@ object SparkEntry {
               UNNEST(generate_series(0, CAST(ceil(length(text) / 32.0) AS BIGINT) - 1))
                 AS t(i)
          WHERE i % 4 = 0
-         GROUP BY doc_id, text""",
+         GROUP BY doc_id, text
+         UNION ALL
+         SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), md5('')
+         FROM documents WHERE length(text) = 0""",
     "q_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),

@@ -99,24 +99,31 @@ object Joins {
                prefix: String = "asof_"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val leftCols = left.columns.toSeq
+    // The picked right columns travel as ONE struct, carried atomically by
+    // a single last(ignoreNulls) — per-column carries would skip a null
+    // FIELD and tear the result across different right rows (a right row
+    // with value=null must still win over an older non-null one, matching
+    // ASOF semantics and the DuckDB oracle).
     val unified = left
       .withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
       .select((Seq(col(key), col("__ts"), col("__side")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        pickCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"$prefix$c"))).toIndexedSeq: _*)
+        leftCols.filterNot(_ == key).map(col) :+
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          pickCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType))))
+          .as("__asof")).toIndexedSeq: _*)
       .unionByName(right
         .withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
-        .select((Seq(col(key), col("__ts"), col("__side")) ++
-          pickCols.map(c => col(c).as(s"$prefix$c"))).toIndexedSeq: _*),
+        .select((Seq(col(key), col("__ts"), col("__side")) :+
+          struct(pickCols.map(col): _*).as("__asof")).toIndexedSeq: _*),
         allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = pickCols.foldLeft(unified) { (d, c) =>
-      d.withColumn(s"$prefix$c", last(col(s"$prefix$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ pickCols.map(c => col(s"$prefix$c"))).toIndexedSeq: _*)
+    unified
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        pickCols.map(c => col("__asof").getField(c).as(s"$prefix$c"))).toIndexedSeq: _*)
   }
 
   /** Keyed upsert = MERGE emulation without a transactional table format

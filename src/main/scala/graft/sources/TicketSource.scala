@@ -113,11 +113,13 @@ private[sources] class TicketScan(geUs: Long, leUs: Long, windowUs: Long,
       s"range=[$geUs,$leUs], window=${windowUs}us, pageSize=$pageSize, limit=$limit"
 
   /** One partition per time window (split_windows, ticket.py:31-38) — the
-    * unit of parallelism AND of retry isolation. */
+    * unit of parallelism AND of retry isolation. Windows come from the
+    * shared splitter (half-open [lo, hi)), converted to the reader's
+    * inclusive [lo, hi] bounds. */
   override def planInputPartitions(): Array[InputPartition] = {
     if (geUs > leUs) return Array.empty
-    Iterator.iterate(geUs)(_ + windowUs).takeWhile(_ <= leUs)
-      .map(lo => TicketWindowPartition(lo, math.min(lo + windowUs - 1, leUs)))
+    graft.operators.Relational.splitWindows(geUs, leUs + 1, windowUs)
+      .map { case (lo, hi) => TicketWindowPartition(lo, hi - 1) }
       .toArray[InputPartition]
   }
 

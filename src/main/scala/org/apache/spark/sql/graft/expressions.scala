@@ -47,20 +47,25 @@ object expressions {
   }
 
   /** Dot product of two float/double-array columns in double precision.
-    * Null if either side is null; arrays shorter than the other contribute
-    * only their common prefix (mirrors `zip_with` semantics). */
+    * Null if either side is null OR the lengths differ — a dimension
+    * mismatch is an upstream bug (wrong plane width, truncated embedding)
+    * and must surface as null, exactly like the `zip_with`+`aggregate`
+    * spec formulation (zip_with pads with nulls → the sum is null), not
+    * as a plausible-looking prefix product. */
   case class DotProductFloat(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(vecType, vecType)
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "graft_dot"
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
+      if (x.numElements() != y.numElements()) return null
       val (lt, rt) = (elemType(left), elemType(right))
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
       var s = 0.0
       var i = 0
       while (i < n) { s += evalGet(x, i, lt) * evalGet(y, i, rt); i += 1 }
@@ -73,12 +78,16 @@ object expressions {
         val i = ctx.freshName("i")
         val s = ctx.freshName("s")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $s = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $s += ${genGet(a, i, elemType(left))} * ${genGet(b, i, elemType(right))};
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $a.numElements();
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $s += ${genGet(a, i, elemType(left))} * ${genGet(b, i, elemType(right))};
+           |  }
+           |  ${ev.value} = $s;
            |}
-           |${ev.value} = $s;
          """.stripMargin
       })
 
@@ -89,19 +98,22 @@ object expressions {
 
   /** Cosine similarity of two float/double-array columns in ONE pass: dot
     * and both norms accumulate in the same loop (the HOF formulation
-    * re-walks the arrays five times). Zero-norm inputs yield 0.0. */
+    * re-walks the arrays five times). Zero-norm inputs yield 0.0; length
+    * mismatch yields null (see [[DotProductFloat]]). */
   case class CosineSimilarityFloat(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(vecType, vecType)
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "graft_cosine"
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
+      if (x.numElements() != y.numElements()) return null
       val (lt, rt) = (elemType(left), elemType(right))
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
@@ -120,15 +132,19 @@ object expressions {
         val nb = ctx.freshName("nb"); val xv = ctx.freshName("xv")
         val yv = ctx.freshName("yv"); val denom = ctx.freshName("denom")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  double $xv = ${genGet(a, i, elemType(left))};
-           |  double $yv = ${genGet(b, i, elemType(right))};
-           |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $a.numElements();
+           |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $xv = ${genGet(a, i, elemType(left))};
+           |    double $yv = ${genGet(b, i, elemType(right))};
+           |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+           |  }
+           |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+           |  ${ev.value} = ($denom == 0.0) ? 0.0 : ($dot / $denom);
            |}
-           |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-           |${ev.value} = ($denom == 0.0) ? 0.0 : ($dot / $denom);
          """.stripMargin
       })
 

@@ -31,6 +31,19 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out(4L)._2 === Some(30.0)) // tie: right row at same ts is visible
   }
 
+  test("asOfJoin carries the picked columns atomically — a null field in the " +
+    "latest right row is not overwritten by an older non-null row") {
+    val left = Seq((1L, "u", ts("2024-01-01 11:00:00"))).toDF("id", "user", "ts")
+    val right = Seq(
+      ("u", ts("2024-01-01 09:00:00"), Some(5.0)),
+      ("u", ts("2024-01-01 10:00:00"), None: Option[Double]) // latest, null v
+    ).toDF("user", "ts", "v")
+    val row = Joins.asOfJoin(left, right, "user", "ts", "ts", Seq("ts", "v"))
+      .collect().head
+    assert(row.getTimestamp(3).toString.startsWith("2024-01-01 10:00:00"))
+    assert(row.isNullAt(4), "null value from the matched row must survive")
+  }
+
   test("asOfJoin keeps all left rows and columns") {
     val left = Seq((1L, "u1", ts("2024-01-01 10:00:00"), "extra"))
       .toDF("id", "user", "ts", "payload")

@@ -13,6 +13,17 @@ class EntrySpec extends SparkSuite {
     assert(missing.isEmpty, s"oracle entries without a query impl: $missing")
   }
 
+  test("every oracle tokenizer use is the canonical guarded expression") {
+    // Oracles carry inline copies of the guarded tokenizer; any copy that
+    // drifts from the canonical constant would silently diverge from
+    // TextFunctions.tokens on edge-case rows.
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val scrubbed = sql.replace(SparkEntry.duckTokens, "")
+      assert(!scrubbed.contains("string_split_regex"),
+        s"$name uses a tokenizer variant that differs from duckTokens")
+    }
+  }
+
   test("every query runs and is non-empty at sf0.001") {
     val empties = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val n = fn(spark, sf).count()

@@ -45,6 +45,18 @@ class VectorFunctionsSpec extends SparkSuite {
     got.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
   }
 
+  test("length mismatch yields null, matching the HOF spec (no silent prefix dot)") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dotProduct(col("a"), col("b")).as("native_dot"),
+      VectorFunctions.cosineSimilarity(col("a"), col("b")).as("native_cos"),
+      VectorFunctions.dotProductHof(col("a"), col("b")).as("hof_dot"))
+      .collect().head
+    assert(r.isNullAt(0))
+    assert(r.isNullAt(1))
+    assert(r.isNullAt(2)) // the spec formulation agrees
+  }
+
   test("null inputs propagate as null") {
     val df = Seq((Some(Array(1.0f)), None: Option[Array[Float]]))
       .toDF("a", "b")
