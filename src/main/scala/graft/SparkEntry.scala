@@ -636,17 +636,11 @@ object SparkEntry {
   private def q_session_window(s: SparkSession, d: String): DataFrame =
     graft.streaming.EventStreams.sessionSpans(Tables.events(s, d))
 
-  /** §2b TF-IDF: top-5 terms per document (rank on rounded score so
-    * cross-engine double ulps cannot flip ties). */
-  private def q_tfidf(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
-    TextAnalytics.tfIdf(docs, "doc_id", "text")
-      .withColumn("tf_idf", round(col("tf_idf"), 6))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("tf_idf").desc, col("term").asc)).cast("long"))
-      .filter(col("rnk") <= 5)
-  }
+  /** §2b TF-IDF: top-5 terms per document (topTerms ranks on the rounded
+    * score so cross-engine double ulps cannot flip ties). */
+  private def q_tfidf(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.topTerms(
+      Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id", "text", 5)
 
   /** §2b multimodal plumbing: opaque binary payload + typed metadata.
     * (Text bytes stand in for image bytes; decode itself is stubbed in

@@ -70,9 +70,14 @@ object Joins {
     * becomes (key, salt) — a hot key's rows now spread over `buckets`
     * shuffle partitions instead of one straggler. Use when AQE's runtime
     * skew-join split isn't available/enough (e.g. a hot key inside one
-    * shuffle block); result is identical to `big.join(small, key, how)`. */
+    * shuffle block); result is identical to `big.join(small, key, how)`.
+    * Inner/left joins only: an outer join would emit `buckets` copies of
+    * each unmatched replicated small-side row. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int, how: String = "inner"): DataFrame = {
+    require(how == "inner" || how == "left" || how == "leftouter" || how == "left_outer",
+      s"saltedJoin supports inner/left joins only (got '$how'): outer joins " +
+        "would duplicate unmatched small-side rows per salt bucket")
     val salted = big.withColumn("__salt",
       pmod(hash(monotonically_increasing_id()), lit(buckets)))
     val replicated = small.withColumn("__salt",

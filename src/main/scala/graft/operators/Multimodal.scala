@@ -80,7 +80,8 @@ object Multimodal {
       .withColumn("out_width", ceil(col("width") * scale).cast("int"))
       .withColumn("out_height", ceil(col("height") * scale).cast("int"))
       .withColumn("out_payload",
-        when(col("payload").isNull, lit(null).cast("binary"))
+        when(col("payload").isNull || col("width").isNull || col("height").isNull,
+          lit(null).cast("binary"))
           // deterministic stand-in: truncate proportionally to pixel ratio
           .otherwise(col("payload").substr(lit(1),
             greatest(lit(1), ceil(length(col("payload")) * scale * scale)).cast("int"))))

@@ -33,12 +33,18 @@ object TextAnalytics {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tf_idf"))
   }
 
-  /** Top-k terms per document by TF-IDF (ties broken by term), the bounded
-    * output form used by the harness oracle. */
-  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  /** Top-k terms per document by TF-IDF, ranked on the score rounded to
+    * `roundScale` decimals with a term tiebreak — rounding before ranking
+    * keeps the selection reproducible across engines (mathematically-equal
+    * scores computed as different float expressions round identically,
+    * where raw-double ordering could flip on the last ulp). This is the
+    * bounded output form the harness oracle checks (q_tfidf). */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
+               roundScale: Int = 6): DataFrame = {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tf_idf").desc, col("term").asc)
     tfIdf(docs, idCol, textCol)
+      .withColumn("tf_idf", round(col("tf_idf"), roundScale))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }

@@ -63,9 +63,11 @@ private[sources] class TicketScanBuilder(options: CaseInsensitiveStringMap)
     Option(options.get("end")).getOrElse("2024-06-01T00:00:00Z"))
   private val windowUs: Long =
     Option(options.get("windowDays")).map(_.toLong).getOrElse(7L) * 86400L * 1000000L
-  // page size capped at 100 like the reference API (chat.py:60)
+  // page size clamped to [1, 100] — capped like the reference API
+  // (chat.py:60); a floor of 1 because pageSize <= 0 would make the
+  // short-page termination test (rows < pageSize) unsatisfiable
   private val pageSize: Int =
-    math.min(Option(options.get("pageSize")).map(_.toInt).getOrElse(100), 100)
+    math.max(1, math.min(Option(options.get("pageSize")).map(_.toInt).getOrElse(100), 100))
 
   private var geUs: Long = startUs
   private var leUs: Long = endUs

@@ -36,6 +36,9 @@ object expressions {
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
   private def evalGet(arr: ArrayData, i: Int, dt: DataType): Double = dt match {
     case FloatType => arr.getFloat(i).toDouble
     case _ => arr.getDouble(i)
@@ -47,11 +50,13 @@ object expressions {
   }
 
   /** Dot product of two float/double-array columns in double precision.
-    * Null if either side is null OR the lengths differ — a dimension
-    * mismatch is an upstream bug (wrong plane width, truncated embedding)
-    * and must surface as null, exactly like the `zip_with`+`aggregate`
-    * spec formulation (zip_with pads with nulls → the sum is null), not
-    * as a plausible-looking prefix product. */
+    * Null if either side is null, the lengths differ, or any element is
+    * null — dimension mismatches and null slots are upstream bugs (wrong
+    * plane width, truncated or sparse embedding) and must surface as null,
+    * exactly like the `zip_with`+`aggregate` spec formulation, not as a
+    * plausible-looking partial product. The per-element null check is
+    * emitted only when the static schema has containsNull=true, so
+    * non-nullable arrays keep the branch-free loop. */
   case class DotProductFloat(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(vecType, vecType)
@@ -65,10 +70,14 @@ object expressions {
       val y = b.asInstanceOf[ArrayData]
       if (x.numElements() != y.numElements()) return null
       val (lt, rt) = (elemType(left), elemType(right))
+      val checkNulls = elemNullable(left) || elemNullable(right)
       val n = x.numElements()
       var s = 0.0
       var i = 0
-      while (i < n) { s += evalGet(x, i, lt) * evalGet(y, i, rt); i += 1 }
+      while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+        s += evalGet(x, i, lt) * evalGet(y, i, rt); i += 1
+      }
       s
     }
 
@@ -77,6 +86,12 @@ object expressions {
         val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val s = ctx.freshName("s")
+        // element-null check emitted only when the static schema allows
+        // nulls, so parquet float arrays keep the branch-free loop
+        val nullCheck =
+          if (elemNullable(left) || elemNullable(right))
+            s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+          else ""
         s"""
            |if ($a.numElements() != $b.numElements()) {
            |  ${ev.isNull} = true;
@@ -84,9 +99,10 @@ object expressions {
            |  int $n = $a.numElements();
            |  double $s = 0.0;
            |  for (int $i = 0; $i < $n; $i++) {
+           |    $nullCheck
            |    $s += ${genGet(a, i, elemType(left))} * ${genGet(b, i, elemType(right))};
            |  }
-           |  ${ev.value} = $s;
+           |  if (!${ev.isNull}) { ${ev.value} = $s; }
            |}
          """.stripMargin
       })
@@ -113,10 +129,12 @@ object expressions {
       val y = b.asInstanceOf[ArrayData]
       if (x.numElements() != y.numElements()) return null
       val (lt, rt) = (elemType(left), elemType(right))
+      val checkNulls = elemNullable(left) || elemNullable(right)
       val n = x.numElements()
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
         val xv = evalGet(x, i, lt); val yv = evalGet(y, i, rt)
         dot += xv * yv; na += xv * xv; nb += yv * yv
         i += 1
@@ -131,6 +149,10 @@ object expressions {
         val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
         val nb = ctx.freshName("nb"); val xv = ctx.freshName("xv")
         val yv = ctx.freshName("yv"); val denom = ctx.freshName("denom")
+        val nullCheck =
+          if (elemNullable(left) || elemNullable(right))
+            s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+          else ""
         s"""
            |if ($a.numElements() != $b.numElements()) {
            |  ${ev.isNull} = true;
@@ -138,12 +160,15 @@ object expressions {
            |  int $n = $a.numElements();
            |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
            |  for (int $i = 0; $i < $n; $i++) {
+           |    $nullCheck
            |    double $xv = ${genGet(a, i, elemType(left))};
            |    double $yv = ${genGet(b, i, elemType(right))};
            |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
            |  }
-           |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-           |  ${ev.value} = ($denom == 0.0) ? 0.0 : ($dot / $denom);
+           |  if (!${ev.isNull}) {
+           |    double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+           |    ${ev.value} = ($denom == 0.0) ? 0.0 : ($dot / $denom);
+           |  }
            |}
          """.stripMargin
       })

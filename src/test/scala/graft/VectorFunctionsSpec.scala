@@ -57,6 +57,19 @@ class VectorFunctionsSpec extends SparkSuite {
     assert(r.isNullAt(2)) // the spec formulation agrees
   }
 
+  test("a null element yields null, matching the HOF spec") {
+    val df = Seq((Seq(Some(1.0f), None, Some(2.0f)), Seq(Some(1.0f), Some(1.0f), Some(1.0f))))
+      .toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dotProduct(col("a"), col("b")).as("native_dot"),
+      VectorFunctions.cosineSimilarity(col("a"), col("b")).as("native_cos"),
+      VectorFunctions.dotProductHof(col("a"), col("b")).as("hof_dot"))
+      .collect().head
+    assert(r.isNullAt(0))
+    assert(r.isNullAt(1))
+    assert(r.isNullAt(2))
+  }
+
   test("null inputs propagate as null") {
     val df = Seq((Some(Array(1.0f)), None: Option[Array[Float]]))
       .toDF("a", "b")

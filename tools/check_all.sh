@@ -14,8 +14,9 @@ echo "== verify =="
 sbt -batch "runMain graft.Verify $VSF /root/verify_out" > /tmp/graft_verify.log 2>&1 \
   || { tail -20 /tmp/graft_verify.log; exit 1; }
 grep -E "verify\] " /tmp/graft_verify.log || true
-python3 tools/check_oracle.py "$VSF" /root/verify_out | tail -2
-python3 tools/check_oracle.py "$VSF" /root/verify_out | tail -1 | grep -q "^0 failures" \
+oracle_out=$(python3 tools/check_oracle.py "$VSF" /root/verify_out)
+echo "$oracle_out" | tail -2
+echo "$oracle_out" | tail -1 | grep -q "^0 failures" \
   || { echo "ORACLE FAILURES"; exit 1; }
 
 echo "== bench =="
