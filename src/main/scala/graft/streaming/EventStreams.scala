@@ -101,8 +101,10 @@ object EventStreams {
     *
     * The file stream source requires a DIRECTORY (it watches for new files);
     * a single-file path is staged into a temp dir first, which also models
-    * the production layout (a landing directory parquet files arrive in). */
-  def readEventStream(spark: SparkSession, path: String, rawSchema: StructType): DataFrame = {
+    * the production layout (a landing directory parquet files arrive in).
+    * `maxFilesPerTrigger` bounds each micro-batch (None = all available). */
+  def readEventStream(spark: SparkSession, path: String, rawSchema: StructType,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val p = java.nio.file.Paths.get(path)
     val dir =
@@ -112,7 +114,31 @@ object EventStreams {
         d.toFile.deleteOnExit()
         d.toString
       } else path
-    graft.Tables.normalizeEventTs(
-      spark.readStream.schema(rawSchema).parquet(dir))
+    val reader0 = spark.readStream.schema(rawSchema)
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+    graft.Tables.normalizeEventTs(reader.parquet(dir))
   }
+
+  /** Streaming ingestion with cross-batch dedup against the destination —
+    * the reference's dedupe-then-append flow (manutencao.py T16 +
+    * main.py K1) as a streaming sink: each micro-batch anti-joins the
+    * destination's current keys and appends only unseen rows, so replayed
+    * or overlapping batches (at-least-once sources) ingest idempotently.
+    * `foreachBatch` is the standard bridge from a stream to batch-only
+    * sinks/joins; the dedup is a broadcast anti-join on the key column. */
+  def dedupedIngest(stream: DataFrame, destPath: String, keyCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh =
+          if (new java.io.File(destPath).exists())
+            graft.operators.Joins.dedupAgainst(
+              batch, graft.operators.Sinks.readEvolved(spark, destPath), Seq(keyCol))
+          else batch
+        graft.operators.Sinks.appendEvolving(fresh, destPath)
+      }
+      .start()
 }

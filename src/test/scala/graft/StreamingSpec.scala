@@ -64,6 +64,24 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dedupedIngest is idempotent across replayed micro-batches") {
+    // landing dir with the SAME file twice → two identical micro-batches
+    val landing = java.nio.file.Files.createTempDirectory("graft-landing-")
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    java.nio.file.Files.copy(src, landing.resolve("batch1.parquet"))
+    java.nio.file.Files.copy(src, landing.resolve("batch2.parquet"))
+    val dest = java.nio.file.Files.createTempDirectory("graft-ingest-").toString + "/dest"
+
+    val stream = EventStreams.readEventStream(spark, landing.toString,
+      Tables.rawEventSchema(spark, sf), maxFilesPerTrigger = Some(1))
+    val q = EventStreams.dedupedIngest(stream, dest, "event_id")
+    try q.processAllAvailable() finally q.stop()
+
+    val n = Tables.events(spark, sf).count()
+    assert(spark.read.parquet(dest).count() === n,
+      "replayed batch must dedup to zero new rows")
+  }
+
   test("streaming dedup drops duplicate event ids within watermark") {
     val batchEvents = Tables.events(spark, sf).limit(100).cache()
     val doubled = batchEvents.unionByName(batchEvents)
