@@ -155,6 +155,17 @@ object SparkEntry {
   private def q_events_pivot(s: SparkSession, d: String): DataFrame =
     Nested.pivotEventPresence(Tables.events(s, d), "user_id", "event_type", eventTypes)
 
+  /** S4 shape: schema-full JSON parsing (from_json → typed struct →
+    * field access), the typed counterpart of q_json_extract's path API. */
+  private def q_from_json(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("parsed",
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))))
+      .select(col("event_id"), col("parsed.k").as("k"),
+        col("parsed").isNull.as("parse_failed"))
+
   /** S4/T21 shape: JSON attribute extraction + aggregate. */
   private def q_json_extract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -672,6 +683,7 @@ object SparkEntry {
     "q_upsert" -> (q_upsert _),
     "q_events_pivot" -> (q_events_pivot _),
     "q_json_extract" -> (q_json_extract _),
+    "q_from_json" -> (q_from_json _),
     "q_custom_fields" -> (q_custom_fields _),
     "q_flatten" -> (q_flatten _),
     "q_asof_join" -> (q_asof_join _),
@@ -984,6 +996,11 @@ object SparkEntry {
                 CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                 count(*) AS n
          FROM events GROUP BY event_type""",
+    "q_from_json" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                props IS NULL OR json_valid(props) = false AS parse_failed
+         FROM events""",
     "q_custom_fields" ->
       """SELECT o_orderkey, o_orderstatus AS ticket_status,
                 CASE WHEN o_orderstatus = 'O' THEN o_orderpriority END AS ticket_priority
