@@ -27,6 +27,24 @@ object Sinks {
   def readEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Format round-trip helpers: the engine is format-agnostic (any
+    * DataFrameReader source), but JSONL matters specifically because the
+    * reference's upstream is JSON documents — landing raw API pages as
+    * JSONL and reading them back with an enforced schema is the standard
+    * ingest layout. CSV requires the explicit schema (no type fidelity in
+    * the format itself). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
   /** Write partitioned by a (low-cardinality, typically time-derived)
     * column: each value becomes a directory, and any query filtering on it
     * prunes whole partitions at planning time (PartitionFilters in the

@@ -42,6 +42,24 @@ class SinksSpec extends SparkSuite {
     assert(byChat("c2") === Some("open"))
   }
 
+  test("jsonl and csv round-trip with schema fidelity") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .limit(500)
+    val schema = orders.schema
+    val base = java.nio.file.Files.createTempDirectory("graft-fmt-").toString
+
+    Sinks.writeJsonl(orders, s"$base/jsonl")
+    val fromJson = Sinks.readJsonl(spark, s"$base/jsonl", schema)
+    assert(fromJson.schema === schema)
+    assert(fromJson.exceptAll(orders).isEmpty && orders.exceptAll(fromJson).isEmpty)
+
+    Sinks.writeCsv(orders, s"$base/csv")
+    val fromCsv = Sinks.readCsv(spark, s"$base/csv", schema)
+    assert(fromCsv.schema === schema)
+    assert(fromCsv.exceptAll(orders).isEmpty && orders.exceptAll(fromCsv).isEmpty)
+  }
+
   test("dedup-vs-destination composes with the evolved read (reference flow)") {
     val path = tempPath()
     Sinks.appendEvolving(Seq(("c1", "t1")).toDF("chat_id", "n_ticket"), path)
