@@ -105,15 +105,19 @@ object Similarity {
     * centroid set — e.g. a fixed sample — gives the same operator shape.) */
   def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
                 centroids: Seq[(Long, Seq[Float])]): DataFrame = {
-    val scored = centroids.sortBy(_._1).map { case (cid, cvec) =>
+    // Argmax as array_max over (cos, -cell) structs: each centroid cosine is
+    // evaluated exactly once per row. (A when-chain reduce duplicates the
+    // accumulated branch at every level — 2^k copies of the innermost
+    // cosine by k centroids — which breaks whole-stage codegen long before
+    // a realistic k=256 IVF codebook.) Struct ordering compares cos first;
+    // the negated cell id makes ties resolve to the LOWEST centroid id.
+    val scored = array(centroids.sortBy(_._1).map { case (cid, cvec) =>
       struct(
         VectorFunctions.cosineSimilarity(col(vecCol), array(cvec.map(lit): _*)).as("cos"),
-        lit(cid).as("cell"))
-    }
-    // strict > keeps the earliest (lowest-id) centroid on ties
-    val best = scored.reduce((a, b) =>
-      when(b.getField("cos") > a.getField("cos"), b).otherwise(a))
-    embeddings.select(col(idCol), col(vecCol), best.getField("cell").as("cell"))
+        lit(-cid).as("negcell"))
+    }: _*)
+    embeddings.select(col(idCol), col(vecCol),
+      (-array_max(scored).getField("negcell")).as("cell"))
   }
 
   /** IVF ANN top-k: probe the `nprobe` centroid cells nearest the query,
