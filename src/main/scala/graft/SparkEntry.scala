@@ -663,6 +663,60 @@ object SparkEntry {
         length(col("payload")).cast("long").as("n_bytes"),
         substring(col("text"), 1, 4).as("magic"))
 
+  // ------------------------------------------------- corpus curation ops
+
+  /** §2b deterministic train/val/test split: md5-derived percentage bucket,
+    * pure map-side (same assignment on any cluster size / rerun). */
+  private def q_hash_split(s: SparkSession, d: String): DataFrame =
+    Corpus.hashSplit(Tables.documents(s, d), "doc_id",
+      Seq("train" -> 80, "val" -> 90, "test" -> 100))
+      .select(col("doc_id"), col("split_pct"), col("split"))
+
+  /** §2b per-group cap (deterministic md5-ordered sample): ≤50 docs kept
+    * per language. */
+  private def q_group_cap(s: SparkSession, d: String): DataFrame =
+    Corpus.capPerGroup(Tables.documents(s, d), "lang", "doc_id", 50)
+      .select(col("doc_id"), col("lang"), col("sample_rank").cast("long").as("sample_rank"))
+
+  /** §2b per-group z-score normalization from plain window sums (exact for
+    * the integer-valued quantity column → bit-stable across engines). */
+  private def q_zscore(s: SparkSession, d: String): DataFrame =
+    Corpus.zscore(Tables.lineitem(s, d), "l_returnflag", "l_quantity", "qty_z")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round(col("qty_z"), 6).as("qty_z"))
+
+  /** §2b quantile-threshold quality filter: drop the bottom quartile of
+    * quality score within each language (rank-based — no interpolation). */
+  private def q_quality_filter(s: SparkSession, d: String): DataFrame = {
+    val staged = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      TextFunctions.qualityScore(col("text")).as("__quality"))
+    Corpus.quantileFilter(staged, "lang", "__quality", "doc_id", 0.25)
+      .select(col("doc_id"), col("lang"),
+        round(col("__quality"), 6).as("quality"),
+        round(col("val_pct_rank"), 6).as("q_rank"))
+  }
+
+  /** §2b fixed-size token chunking (LLM sequence prep): 32-token chunks,
+    * stride 32, map-side explode only. */
+  private def q_token_chunks(s: SparkSession, d: String): DataFrame =
+    Corpus.tokenChunks(Tables.documents(s, d), "doc_id", "text", 32, 32)
+
+  /** §2b offset-based sequence packing into 512-token bins per language
+    * shard (exact integer arithmetic → reproducible layout). */
+  private def q_pack_bins(s: SparkSession, d: String): DataFrame =
+    Corpus.packBins(Tables.documents(s, d), "lang", "doc_id", "text", 512)
+
+  /** §2b LSH ANN top-k: probe only the query's hyperplane bucket, exact
+    * re-rank inside it (single-probe; the collected 1-row query vector is
+    * the legitimate tiny-collect, like the centroid table). */
+  private def q_lsh_topk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    Similarity.lshTopK(emb, "vec_id", "embedding", qv, 10,
+      Similarity.hyperplanes(6, 64))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -734,6 +788,13 @@ object SparkEntry {
     "q_event_hourly" -> (q_event_hourly _),
     "q_sessionize" -> (q_sessionize _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
+    "q_hash_split" -> (q_hash_split _),
+    "q_group_cap" -> (q_group_cap _),
+    "q_zscore" -> (q_zscore _),
+    "q_quality_filter" -> (q_quality_filter _),
+    "q_token_chunks" -> (q_token_chunks _),
+    "q_pack_bins" -> (q_pack_bins _),
+    "q_lsh_topk" -> (q_lsh_topk _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -789,12 +850,19 @@ object SparkEntry {
   /** Generated oracle for q_lsh_neardup: the engine's deterministic
     * hyperplanes are inlined as DOUBLE[] literals so DuckDB reproduces the
     * exact bucketing + re-rank. */
-  private def lshNeardupOracleSql: String = {
+  /** DuckDB expression computing the engine's hyperplane LSH bucket id of
+    * a DOUBLE[] column `v` (plane literals from the same deterministic
+    * generator the engine uses). */
+  private def lshBucketSql(v: String): String = {
     val planes = Similarity.hyperplanes(6, 64)
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
+    planes.zipWithIndex.map { case (p, i) =>
       val lit = "[" + p.map(_.toString).mkString(", ") + "]"
-      s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1 << i} ELSE 0 END)"
+      s"(CASE WHEN list_dot_product($v, $lit) >= 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
+  }
+
+  private def lshNeardupOracleSql: String = {
+    val bucket = lshBucketSql("v")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              b AS (SELECT vec_id, v, $bucket AS bucket FROM e)
         SELECT a.vec_id AS id_a, c.vec_id AS id_b,
@@ -802,6 +870,18 @@ object SparkEntry {
         FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
         WHERE ${duckCos("a.v", "c.v")} >= 0.3"""
   }
+
+  /** Generated oracle for q_lsh_topk: same plane literals; the query's
+    * bucket is computed in SQL, candidates are its bucket-mates, re-ranked
+    * by the 6dp-rounded cosine with id tiebreak. */
+  private def lshTopkOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             qb AS (SELECT ${lshBucketSql("qv")} AS bucket FROM q),
+             b AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM e)
+        SELECT vec_id, round(${duckCos("b.v", "q.qv")}, 6) AS cosine_sim
+        FROM b JOIN qb USING (bucket), q
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10"""
 
   /** Generated oracle for q_lang_ngram: profile literals come from the same
     * TextFunctions.trigramProfiles, so Spark and DuckDB score identical

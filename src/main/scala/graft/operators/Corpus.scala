@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for large-scale training-data pipelines
+  * (SURVEY.md §2b): deterministic splits/sampling, per-group capping,
+  * normalization, quantile filtering, token chunking and sequence packing.
+  *
+  * Everything here is hash- or window-based and shuffle-minimal:
+  *  - split/sample assignment is a pure map-side expression (no shuffle,
+  *    no RNG state — rerunning on 100 TB, on a different cluster size, or
+  *    on yesterday's data plus one new file gives the same assignment for
+  *    every unchanged row);
+  *  - group-wise ops (cap, z-score, quantile filter, packing) shuffle once
+  *    on the group key and do all their work inside that one partitioning.
+  */
+object Corpus {
+
+  /** Deterministic bucket in [0, 100) from the md5 of a key — the standard
+    * engine-portable "random but reproducible" percentage used for splits
+    * and downsampling. (First 8 md5 hex chars → int → mod 100; identical
+    * in any engine with md5 + hex parsing, unlike engine-native `hash`.) */
+  def hashPct(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
+  /** Train/val/test (or any) split assignment: `splits` maps names to
+    * cumulative upper percentage bounds, e.g.
+    * `Seq("train" -> 80, "val" -> 90, "test" -> 100)`. Map-side only. */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.last._2 == 100,
+      "split bounds are cumulative and must end at 100")
+    val pct = hashPct(col(idCol))
+    val assign = splits.init.foldRight(lit(splits.last._1): Column) {
+      case ((name, upper), rest) => when(pct < upper, name).otherwise(rest)
+    }
+    df.withColumn("split_pct", pct).withColumn("split", assign)
+  }
+
+  /** Keep at most `n` rows per group, chosen by md5 order of the id — a
+    * deterministic uniform-ish sample (the "cap documents per domain" op).
+    * One shuffle on the group key; survivors keep their sample_rank. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
+
+  /** Per-group z-score of `valCol` computed from plain window sums
+    * (sum, sum of squares, count) rather than a streaming variance
+    * aggregate: when the column is integer-valued (counts, cents), the
+    * double sums are EXACT, so the result is bit-identical regardless of
+    * partitioning / evaluation order — reproducible across engines and
+    * cluster sizes. One shuffle on the group key, no ordering needed. */
+  def zscore(df: DataFrame, groupCol: String, valCol: String,
+             outCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+    val v = col(valCol).cast("double")
+    val s = sum(v).over(w)
+    val s2 = sum(v * v).over(w)
+    val n = count(v).over(w).cast("double")
+    val mean = s / n
+    val variance = (s2 - (s * s) / n) / (n - lit(1.0))
+    df.withColumn(outCol, (v - mean) / sqrt(variance))
+  }
+
+  /** Keep rows at or above the `minPct` quantile of `valCol` within their
+    * group (e.g. "drop the bottom quartile of quality per language").
+    * percent_rank with an id tiebreak is deterministic and engine-portable
+    * (pure rank arithmetic — no interpolation of group aggregates). */
+  def quantileFilter(df: DataFrame, groupCol: String, valCol: String,
+                     idCol: String, minPct: Double): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valCol).asc, col(idCol).asc)
+    df.withColumn("val_pct_rank", percent_rank().over(w))
+      .filter(col("val_pct_rank") >= minPct)
+  }
+
+  /** Fixed-size token chunking with stride (LLM sequence prep): each
+    * document yields ceil(n_tokens/stride) chunks of up to `chunkSize`
+    * whitespace tokens starting every `stride` tokens (stride < chunkSize
+    * → overlapping windows). Pure map-side explode — linear at 100 TB,
+    * no shuffle. Empty documents yield no chunks. */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val staged = df
+      .select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__starts",
+        when(col("__n") === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), col("__n") - 1, lit(stride))))
+    staged
+      .select(col(idCol), col("__toks"),
+        posexplode(col("__starts")).as(Seq("chunk_id", "__start")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        size(slice(col("__toks"), col("__start") + 1, lit(chunkSize)))
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
+  /** Offset-based sequence packing: within each shard (a natural corpus
+    * partition — language, source, date), lay documents end-to-end in id
+    * order and open a new fixed-capacity bin every `capacity` tokens.
+    * bin = floor(tokens_before_this_doc / capacity) — exact BIGINT
+    * arithmetic, so the layout is reproducible anywhere. Returns per-bin
+    * occupancy. (True first-fit packing is inherently sequential; the
+    * offset formula is the standard scalable approximation — a doc whose
+    * tokens straddle a boundary is charged to the bin it starts in.)
+    * One shuffle on the shard key; shards pack independently — at 100 TB
+    * parallelism is the shard count, so shard by something with cardinality
+    * (source × date), not a 3-value enum. */
+  def packBins(df: DataFrame, shardCol: String, idCol: String,
+               textCol: String, capacity: Int): DataFrame = {
+    val nTok = graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__tok", nTok)
+      .withColumn("__before", sum(col("__tok")).over(w) - col("__tok"))
+      .withColumn("bin", floor(col("__before") / capacity).cast("long"))
+      .groupBy(col(shardCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("bin_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+  }
+}

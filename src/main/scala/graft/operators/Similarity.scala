@@ -65,7 +65,9 @@ object Similarity {
     withLshBucket(embeddings, vecCol, planes)
       .filter(col("lsh_bucket") === queryBucket)
       .select(col(idCol),
-        VectorFunctions.cosineSimilarity(col(vecCol), array(query.map(lit): _*))
+        // rank on the 6dp-rounded score with an id tiebreak so the top-k
+        // cut is reproducible across engines (double ulps cannot flip it)
+        round(VectorFunctions.cosineSimilarity(col(vecCol), array(query.map(lit): _*)), 6)
           .as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol).asc)
       .limit(k)
