@@ -509,10 +509,13 @@ object SparkEntry {
   /** §2b word-shingle (3-gram) Jaccard near-dup pairs — the n-gram variant:
     * shingles are near-unique so the inverted index barely fans out. */
   private def q_shingle_pairs(s: SparkSession, d: String): DataFrame =
+    // doc_id < 300 @ 0.02 yields ~116 qualifying pairs at sf0.01 — a
+    // non-vacuous oracle comparison (the earlier 120/0.05 cut matched on
+    // 0 = 0 rows, which a broken implementation would also "pass").
     Dedup.jaccardPairsFrom(
-      Dedup.shingleSets(Tables.documents(s, d).filter(col("doc_id") < 120),
+      Dedup.shingleSets(Tables.documents(s, d).filter(col("doc_id") < 300),
         "doc_id", "text"),
-      "doc_id", 0.05)
+      "doc_id", 0.02)
       .withColumn("jaccard", round(col("jaccard"), 6))
 
   /** §2b MinHash signatures (portable md5-derived hashes, bounded ids). */
@@ -688,11 +691,15 @@ object SparkEntry {
   /** §2b quantile-threshold quality filter: drop the bottom quartile of
     * quality score within each language (rank-based — no interpolation). */
   private def q_quality_filter(s: SparkSession, d: String): DataFrame = {
+    // Rank on the 6dp-ROUNDED score (with the doc_id tiebreak inside
+    // quantileFilter): ranking on raw doubles would let a cross-engine ulp
+    // flip the order of two near-equal scores and shift every downstream
+    // percent_rank in the group.
     val staged = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-      TextFunctions.qualityScore(col("text")).as("__quality"))
+      round(TextFunctions.qualityScore(col("text")), 6).as("__quality"))
     Corpus.quantileFilter(staged, "lang", "__quality", "doc_id", 0.25)
       .select(col("doc_id"), col("lang"),
-        round(col("__quality"), 6).as("quality"),
+        col("__quality").as("quality"),
         round(col("val_pct_rank"), 6).as("q_rank"))
   }
 
@@ -712,10 +719,25 @@ object SparkEntry {
   private def q_lsh_topk(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
-      .head().getSeq[Float](0).map(_.toDouble).toSeq
+      .limit(1).collect().headOption
+      .getOrElse(sys.error(
+        s"q_lsh_topk: embeddings at $d must contain query vector vec_id=0"))
+      .getSeq[Float](0).map(_.toDouble).toSeq
     Similarity.lshTopK(emb, "vec_id", "embedding", qv, 10,
       Similarity.hyperplanes(6, 64))
   }
+
+  /** §3.3 per-row error capture (reference chat.py:229-236, 289-291): the
+    * reference keeps a row whose chat lookup fails and stamps
+    * `error = 'chat not found'`. Fixture: customers with c_custkey % 3 == 0
+    * are removed from the dimension, so ~1/3 of orders miss and carry the
+    * error marker while matched rows enrich normally. */
+  private def q_enrich_errors(s: SparkSession, d: String): DataFrame =
+    Joins.enrichLeftWithError(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+      Tables.customer(s, d).filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("o_custkey"), col("c_name")),
+      "o_custkey")
 
   // --------------------------------------------------------------- wiring
 
@@ -795,6 +817,7 @@ object SparkEntry {
     "q_token_chunks" -> (q_token_chunks _),
     "q_pack_bins" -> (q_pack_bins _),
     "q_lsh_topk" -> (q_lsh_topk _),
+    "q_enrich_errors" -> (q_enrich_errors _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -921,6 +944,89 @@ object SparkEntry {
     * Omitted: q_approx_distinct (estimator differs by design → driver
     * records the weaker rows-only check). */
   def oracleSql: Map[String, String] = Map(
+    "q_lsh_topk" -> lshTopkOracleSql,
+    "q_hash_split" ->
+      """SELECT doc_id, pct AS split_pct,
+                CASE WHEN pct < 80 THEN 'train'
+                     WHEN pct < 90 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 100 AS pct
+               FROM documents)""",
+    "q_group_cap" ->
+      """SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
+         FROM (SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+               FROM documents)
+         WHERE rn <= 50""",
+    "q_zscore" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+                round((v - s / n)
+                  / sqrt(greatest((s2 - (s * s) / n) / (n - 1.0), 0.0)), 6) AS qty_z
+         FROM (SELECT l_orderkey, l_linenumber, l_returnflag,
+                 CAST(l_quantity AS DOUBLE) AS v,
+                 SUM(CAST(l_quantity AS DOUBLE))
+                   OVER (PARTITION BY l_returnflag) AS s,
+                 SUM(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE))
+                   OVER (PARTITION BY l_returnflag) AS s2,
+                 CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS n
+               FROM lineitem)""",
+    "q_quality_filter" ->
+      """WITH q AS (SELECT doc_id, round(
+              0.4 * (CASE WHEN n BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+            + 0.3 * least((CASE WHEN n > 0 THEN ns / n ELSE 0.0 END) * 5.0, 1.0)
+            + 0.3 * (CASE WHEN (CASE WHEN length(text) > 0
+                       THEN np / CAST(length(text) AS DOUBLE) ELSE 0.0 END) < 0.2
+                       THEN 1.0 ELSE 0.0 END), 6) AS quality
+            FROM (SELECT doc_id, text,
+                    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS DOUBLE) AS n,
+                    CAST(len(list_filter(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END,
+                      t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+                      AS BIGINT) AS ns,
+                    length(text) - length(regexp_replace(text,
+                      '[.,;:!?''"()\[\]{}-]', '', 'g')) AS np
+                  FROM documents)),
+           r AS (SELECT d.doc_id, d.lang, q.quality,
+                   percent_rank() OVER (PARTITION BY d.lang
+                     ORDER BY q.quality, d.doc_id) AS pr
+                 FROM documents d JOIN q ON d.doc_id = q.doc_id)
+         SELECT doc_id, lang, quality, round(pr, 6) AS q_rank
+         FROM r WHERE pr >= 0.25""",
+    "q_token_chunks" ->
+      """WITH t AS (SELECT doc_id,
+                      CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+                    FROM documents),
+              s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+              x AS (SELECT doc_id, toks,
+                      UNNEST(generate_series(0, n - 1, 32)) AS start FROM s)
+         SELECT doc_id,
+                CAST(start // 32 AS BIGINT) AS chunk_id,
+                CAST(len(toks[start + 1 : start + 32]) AS BIGINT) AS n_chunk_tokens,
+                array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+         FROM x""",
+    "q_pack_bins" ->
+      """WITH t AS (SELECT lang, doc_id,
+                      CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT) AS tok
+                    FROM documents),
+              r AS (SELECT lang, doc_id, tok,
+                      CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) - tok AS bef
+                    FROM t)
+         SELECT lang, CAST(floor(bef / 512.0) AS BIGINT) AS bin,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(tok) AS BIGINT) AS bin_tokens,
+                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM r GROUP BY lang, bin""",
+    "q_enrich_errors" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name,
+                CASE WHEN c.c_custkey IS NULL THEN 'chat not found'
+                     ELSE CAST(NULL AS VARCHAR) END AS error
+         FROM orders o
+         LEFT JOIN (SELECT c_custkey, c_name FROM customer
+                    WHERE c_custkey % 3 <> 0) c
+           ON o.o_custkey = c.c_custkey""",
     "q_lang_ngram" -> langNgramOracleSql,
     "q_simhash" -> simhashOracleSql,
     "q_simhash_neardup" -> simhashNearDupOracleSql,
@@ -1360,7 +1466,7 @@ object SparkEntry {
     "q_shingle_pairs" ->
       """WITH tok AS (SELECT doc_id,
                         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
-                      FROM documents WHERE doc_id < 120),
+                      FROM documents WHERE doc_id < 300),
               sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
                      FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -1373,7 +1479,7 @@ object SparkEntry {
          FROM inter i
          JOIN sizes sa ON i.id_a = sa.doc_id
          JOIN sizes sb ON i.id_b = sb.doc_id
-         WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.05""",
+         WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.02""",
     "q_minhash_signatures" ->
       """SELECT doc_id, seed,
                 min(CAST(('0x' || substring(md5(seed || ':' || token), 1, 15))

@@ -32,6 +32,12 @@ object Corpus {
                 splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.last._2 == 100,
       "split bounds are cumulative and must end at 100")
+    val bounds = splits.map(_._2)
+    // Out-of-order or duplicate bounds would silently shadow later branches
+    // (e.g. ("val"->90, "train"->80): the train arm becomes unreachable).
+    require(bounds.head > 0 && bounds == bounds.sorted &&
+        bounds.distinct.size == bounds.size,
+      s"split bounds must be strictly ascending and positive: $bounds")
     val pct = hashPct(col(idCol))
     val assign = splits.init.foldRight(lit(splits.last._1): Column) {
       case ((name, upper), rest) => when(pct < upper, name).otherwise(rest)
@@ -41,7 +47,15 @@ object Corpus {
 
   /** Keep at most `n` rows per group, chosen by md5 order of the id — a
     * deterministic uniform-ish sample (the "cap documents per domain" op).
-    * One shuffle on the group key; survivors keep their sample_rank. */
+    * One shuffle on the group key; survivors keep their sample_rank.
+    *
+    * Skew note (same caveat as [[packBins]]): a window partitioned by the
+    * group key puts each group in ONE task — a hot group (one dominant
+    * language/domain) serializes on a single core. At corpus scale either
+    * group by something with cardinality, or when only the CAP matters
+    * (not exact md5 rank), pre-thin hot groups with a cheap map-side pass
+    * first: filter hashPct(id) < p so ~n·(100/p) survivors reach the
+    * window, then rank those. */
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
                   n: Int): DataFrame = {
     val w = Window.partitionBy(col(groupCol))
@@ -64,14 +78,25 @@ object Corpus {
     val s2 = sum(v * v).over(w)
     val n = count(v).over(w).cast("double")
     val mean = s / n
-    val variance = (s2 - (s * s) / n) / (n - lit(1.0))
-    df.withColumn(outCol, (v - mean) / sqrt(variance))
+    // greatest(_, 0) clamps the tiny negative variance floating-point
+    // cancellation can produce on non-integer columns (sqrt(-ε) = NaN);
+    // singleton groups (n-1 = 0 → 0/0) get an explicit null instead of NaN.
+    val variance = greatest((s2 - (s * s) / n) / (n - lit(1.0)), lit(0.0))
+    df.withColumn(outCol,
+      when(n > 1 && variance > 0, (v - mean) / sqrt(variance)))
   }
 
   /** Keep rows at or above the `minPct` quantile of `valCol` within their
     * group (e.g. "drop the bottom quartile of quality per language").
     * percent_rank with an id tiebreak is deterministic and engine-portable
-    * (pure rank arithmetic — no interpolation of group aggregates). */
+    * (pure rank arithmetic — no interpolation of group aggregates).
+    *
+    * Skew note (same caveat as [[packBins]]): one window task per group —
+    * a hot group serializes on a single core. At corpus scale, cut hot
+    * groups with a distributed approximation instead: `percentile_approx`
+    * per group (a map-side-combinable aggregate) then a map-side
+    * `valCol >= threshold` filter — exactness at the boundary traded for
+    * parallelism. */
   def quantileFilter(df: DataFrame, groupCol: String, valCol: String,
                      idCol: String, minPct: Double): DataFrame = {
     val w = Window.partitionBy(col(groupCol))
@@ -87,6 +112,10 @@ object Corpus {
     * no shuffle. Empty documents yield no chunks. */
   def tokenChunks(df: DataFrame, idCol: String, textCol: String,
                   chunkSize: Int, stride: Int): DataFrame = {
+    // stride <= 0 would make sequence() throw deep in an executor;
+    // chunkSize <= 0 would yield empty chunks. Fail fast on the driver.
+    require(chunkSize > 0 && stride > 0,
+      s"chunkSize and stride must be positive (got $chunkSize, $stride)")
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
     val staged = df
       .select(col(idCol), toks.as("__toks"))

@@ -44,6 +44,28 @@ object Joins {
     joined.select(outCols.toIndexedSeq: _*)
   }
 
+  /** Left enrichment with per-row error capture (reference/chat.py:229-236,
+    * 289-291: a failed per-number chat lookup keeps the row and stamps
+    * `error = 'chat not found'` instead of dropping it). Set-oriented
+    * equivalent: LEFT JOIN + a `when/otherwise` error column — matched rows
+    * get a null error, misses keep every left column with the error marker
+    * (enrichment columns null), so downstream stages can route/retry
+    * failures without a second scan. Same broadcast posture as
+    * [[enrichLeft]]. */
+  def enrichLeftWithError(fact: DataFrame, dim: DataFrame, key: String,
+                          errCol: String = "error",
+                          missMsg: String = "chat not found",
+                          broadcastDim: Boolean = true): DataFrame = {
+    require(!fact.columns.contains(errCol) && !dim.columns.contains(errCol),
+      s"error column '$errCol' already exists in the input")
+    val marked = dim.withColumn("__hit", lit(1))
+    val right = if (broadcastDim) broadcast(marked) else marked
+    fact.join(right, Seq(key), "left")
+      .withColumn(errCol,
+        when(col("__hit").isNull, lit(missMsg)).otherwise(lit(null).cast("string")))
+      .drop("__hit")
+  }
+
   /** Membership probe, set-oriented (reference/manutencao.py:39-54
     * `IN UNNEST(@valores)` → left-semi join). */
   def semiJoin(df: DataFrame, keys: DataFrame, key: String): DataFrame =

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators (SURVEY.md §2b): deterministic splits,
+  * per-group capping, normalization, chunking, packing — plus the
+  * fail-fast argument guards (a bad stride must die on the driver with a
+  * clear message, not as an opaque executor error mid-job). */
+class CorpusSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "en", "alpha beta gamma delta epsilon zeta"),
+    (1L, "en", "one two three"),
+    (2L, "pt", "um dois tres quatro"),
+    (3L, "pt", "cinco seis"),
+    (4L, "de", "nur einer")).toDF("doc_id", "lang", "text")
+
+  test("hashSplit covers every row exactly once and is deterministic") {
+    val out = Corpus.hashSplit(docs, "doc_id",
+      Seq("train" -> 80, "val" -> 90, "test" -> 100))
+    assert(out.count() === 5)
+    assert(out.filter(col("split").isNull).count() === 0)
+    val again = Corpus.hashSplit(docs, "doc_id",
+      Seq("train" -> 80, "val" -> 90, "test" -> 100))
+    assert(out.select("doc_id", "split").collect().toSet ===
+      again.select("doc_id", "split").collect().toSet)
+  }
+
+  test("hashSplit rejects non-ascending, duplicate, or non-positive bounds") {
+    // ("val"->90, "train"->80): the train arm would be unreachable
+    intercept[IllegalArgumentException] {
+      Corpus.hashSplit(docs, "doc_id", Seq("val" -> 90, "train" -> 80, "test" -> 100))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.hashSplit(docs, "doc_id", Seq("a" -> 50, "b" -> 50, "test" -> 100))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.hashSplit(docs, "doc_id", Seq("a" -> 0, "test" -> 100))
+    }
+    intercept[IllegalArgumentException] { // must end at 100
+      Corpus.hashSplit(docs, "doc_id", Seq("a" -> 50, "b" -> 90))
+    }
+  }
+
+  test("capPerGroup keeps at most n per group with ranks 1..n") {
+    val out = Corpus.capPerGroup(docs, "lang", "doc_id", 1)
+    assert(out.count() === 3) // one per language
+    assert(out.select(max(col("sample_rank"))).as[Int].head() === 1)
+    // cap larger than any group keeps everything
+    assert(Corpus.capPerGroup(docs, "lang", "doc_id", 10).count() === 5)
+  }
+
+  test("zscore: singleton groups yield null, not NaN; n>1 groups sum to ~0") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("solo", 7.0))
+      .toDF("g", "v")
+    val out = Corpus.zscore(df, "g", "v", "z")
+    val solo = out.filter(col("g") === "solo").select("z").collect().head
+    assert(solo.isNullAt(0), "singleton group must produce null z-score")
+    val zs = out.filter(col("g") === "a").select("z").as[Double].collect()
+    assert(zs.forall(z => !z.isNaN))
+    assert(math.abs(zs.sum) < 1e-12)
+  }
+
+  test("zscore: zero-variance group yields null (guarded 0/0)") {
+    val df = Seq(("c", 5.0), ("c", 5.0)).toDF("g", "v")
+    val out = Corpus.zscore(df, "g", "v", "z")
+    assert(out.filter(col("z").isNull).count() === 2)
+  }
+
+  test("quantileFilter keeps the top (1-minPct) of each group") {
+    val df = (1 to 8).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val out = Corpus.quantileFilter(df, "g", "v", "id", 0.5)
+    // percent_rank = (rank-1)/(n-1); >= 0.5 keeps ranks 5..8 of 8
+    assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(5L, 6L, 7L, 8L))
+  }
+
+  test("tokenChunks: overlapping stride, exact chunk geometry, empty text") {
+    val df = Seq((1L, "a b c d e"), (2L, "   ")).toDF("doc_id", "text")
+    val out = Corpus.tokenChunks(df, "doc_id", "text", 3, 2)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // starts 0,2,4 → chunks (a b c), (c d e), (e)
+    assert(out === Seq((1L, 0L, 3L, "a b c"), (1L, 1L, 3L, "c d e"),
+      (1L, 2L, 1L, "e")))
+  }
+
+  test("tokenChunks rejects non-positive chunkSize/stride on the driver") {
+    intercept[IllegalArgumentException] {
+      Corpus.tokenChunks(docs, "doc_id", "text", 0, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.tokenChunks(docs, "doc_id", "text", 32, 0)
+    }
+  }
+
+  test("packBins: offset-based layout conserves tokens and respects order") {
+    val df = Seq((1L, "s", "a b c"), (2L, "s", "d e"), (3L, "s", "f g h i"))
+      .toDF("doc_id", "shard", "text")
+    val out = Corpus.packBins(df, "shard", "doc_id", "text", 4)
+      .orderBy("bin")
+      .select("bin", "n_docs", "bin_tokens", "first_doc", "last_doc")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // cumulative-before: doc1=0, doc2=3, doc3=5 → bins 0,0,1
+    assert(out === Seq((0L, 2L, 5L, 1L, 2L), (1L, 1L, 4L, 3L, 3L)))
+    assert(out.map(_._3).sum === 9L) // every token charged exactly once
+  }
+}

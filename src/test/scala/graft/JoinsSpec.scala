@@ -56,6 +56,27 @@ class JoinsSpec extends SparkSuite {
     assert(out.count() === 2)
   }
 
+  test("enrichLeftWithError keeps misses with the error marker (chat.py:234-236)") {
+    val fact = Seq((1L, "t1"), (2L, "t2"), (3L, "t3")).toDF("num", "title")
+    val dim = Seq((1L, "open"), (3L, "closed")).toDF("num", "status")
+    val out = Joins.enrichLeftWithError(fact, dim, "num")
+    assert(out.count() === 3, "misses must be kept, not dropped")
+    val rows = out.select("num", "status", "error").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)))).toSet
+    assert(rows === Set(
+      (1L, Some("open"), None),
+      (2L, None, Some("chat not found")),
+      (3L, Some("closed"), None)))
+  }
+
+  test("enrichLeftWithError rejects an error-column collision") {
+    val fact = Seq((1L, "boom")).toDF("num", "error")
+    val dim = Seq((1L, "open")).toDF("num", "status")
+    intercept[IllegalArgumentException] {
+      Joins.enrichLeftWithError(fact, dim, "num")
+    }
+  }
+
   test("empty-input guard shape: empty frame with expected schema unions cleanly") {
     // reference/main.py:73-83: one empty source → synthesize empty DF
     val s1 = Seq((1L, "x")).toDF("k", "a")
