@@ -727,6 +727,21 @@ object SparkEntry {
       Similarity.hyperplanes(6, 64))
   }
 
+  /** §2b multi-probe LSH ANN top-k: the query's bucket plus the 3 buckets
+    * across its lowest-margin hyperplanes (Similarity.lshProbeBuckets) —
+    * recovers neighbors a near-zero-margin plane split away at ~4/2^6 of
+    * the corpus scanned. Same tiny-collect for the query vector. */
+  private def q_lsh_topk_mp(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .limit(1).collect().headOption
+      .getOrElse(sys.error(
+        s"q_lsh_topk_mp: embeddings at $d must contain query vector vec_id=0"))
+      .getSeq[Float](0).map(_.toDouble).toSeq
+    Similarity.lshTopK(emb, "vec_id", "embedding", qv, 10,
+      Similarity.hyperplanes(6, 64), probes = 4)
+  }
+
   /** §3.3 per-row error capture (reference chat.py:229-236, 289-291): the
     * reference keeps a row whose chat lookup fails and stamps
     * `error = 'chat not found'`. Fixture: customers with c_custkey % 3 == 0
@@ -817,6 +832,7 @@ object SparkEntry {
     "q_token_chunks" -> (q_token_chunks _),
     "q_pack_bins" -> (q_pack_bins _),
     "q_lsh_topk" -> (q_lsh_topk _),
+    "q_lsh_topk_mp" -> (q_lsh_topk_mp _),
     "q_enrich_errors" -> (q_enrich_errors _),
   )
 
@@ -906,6 +922,33 @@ object SparkEntry {
         FROM b JOIN qb USING (bucket), q
         ORDER BY cosine_sim DESC, vec_id LIMIT 10"""
 
+  /** Generated oracle for q_lsh_topk_mp: DuckDB independently re-derives
+    * the multi-probe bucket set — base bucket from the plane-literal signs,
+    * plus one-bit flips of the `probes-1` lowest-|dot| planes (the same
+    * perturbation rule as Similarity.lshProbeBuckets) — then re-ranks the
+    * union of those buckets. */
+  private def lshTopkMpOracleSql: String = {
+    val planes = Similarity.hyperplanes(6, 64)
+    val planeValues = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.map(_.toString).mkString(", ")}])"
+    }.mkString(",\n                 ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             planes(i, p) AS (SELECT * FROM (VALUES
+                 $planeValues) t(i, p)),
+             dots AS (SELECT i, list_dot_product(p, qv) AS d FROM planes, q),
+             base AS (SELECT CAST(SUM(CASE WHEN d >= 0 THEN 1 << i ELSE 0 END)
+                        AS INT) AS b FROM dots),
+             flips AS (SELECT i FROM dots ORDER BY abs(d), i LIMIT 3),
+             buckets AS (SELECT b AS bucket FROM base
+                         UNION ALL
+                         SELECT xor(b, 1 << i) FROM base, flips),
+             vb AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM e)
+        SELECT vec_id, round(${duckCos("vb.v", "q.qv")}, 6) AS cosine_sim
+        FROM vb JOIN buckets USING (bucket), q
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10"""
+  }
+
   /** Generated oracle for q_lang_ngram: profile literals come from the same
     * TextFunctions.trigramProfiles, so Spark and DuckDB score identical
     * trigram sets by construction. */
@@ -945,6 +988,7 @@ object SparkEntry {
     * records the weaker rows-only check). */
   def oracleSql: Map[String, String] = Map(
     "q_lsh_topk" -> lshTopkOracleSql,
+    "q_lsh_topk_mp" -> lshTopkMpOracleSql,
     "q_hash_split" ->
       """SELECT doc_id, pct AS split_pct,
                 CASE WHEN pct < 80 THEN 'train'

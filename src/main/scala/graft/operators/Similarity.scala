@@ -48,22 +48,37 @@ object Similarity {
     embeddings.withColumn("lsh_bucket",
       VectorFunctions.lshBucket(col(vecCol), planes))
 
-  /** ANN top-k: probe only the query's LSH bucket, exact re-rank inside it.
-    * Recall is tuned by numPlanes (fewer planes → bigger buckets → higher
-    * recall, more work). Multi-probe (flipping low-confidence bits) is the
-    * standard recall booster; single-probe keeps this round deterministic. */
-  def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-              query: Seq[Double], k: Int, planes: Seq[Seq[Double]]): DataFrame = {
-    val queryBucket = {
-      var b = 0
-      planes.zipWithIndex.foreach { case (p, i) =>
-        val dot = p.zip(query).map { case (x, y) => x * y }.sum
-        if (dot >= 0.0) b |= (1 << i)
-      }
-      b
+  /** The deterministic multi-probe bucket sequence for a query: its own
+    * bucket first, then buckets reached by flipping ONE sign bit, in
+    * ascending |dot(query, plane)| order — the planes the query sits
+    * closest to are the ones most likely to have split true neighbors
+    * into the adjacent bucket (standard multi-probe LSH perturbation).
+    * Pure driver-side arithmetic on literals → reproducible anywhere. */
+  def lshProbeBuckets(query: Seq[Double], planes: Seq[Seq[Double]],
+                      probes: Int): Seq[Int] = {
+    require(probes >= 1 && probes <= planes.size + 1,
+      s"probes must be in [1, numPlanes+1] (got $probes for ${planes.size} planes)")
+    val dots = planes.map(p => p.zip(query).map { case (x, y) => x * y }.sum)
+    val base = dots.zipWithIndex.foldLeft(0) { case (b, (d, i)) =>
+      if (d >= 0.0) b | (1 << i) else b
     }
+    val flipOrder = dots.zipWithIndex.sortBy { case (d, i) => (math.abs(d), i) }
+    base +: flipOrder.take(probes - 1).map { case (_, i) => base ^ (1 << i) }
+  }
+
+  /** ANN top-k: probe the query's LSH bucket (plus, with `probes` > 1, the
+    * multi-probe perturbation buckets from [[lshProbeBuckets]]), exact
+    * re-rank inside the probed set. Recall is tuned by numPlanes (fewer
+    * planes → bigger buckets) and `probes` (more buckets scanned —
+    * recovering neighbors a near-zero-margin plane split away) — cost is
+    * ~probes/2^numPlanes of the corpus, still a map-side filter + TakeOrdered
+    * at 100 TB (the probe set is an `isin` literal list, no join). */
+  def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, planes: Seq[Seq[Double]],
+              probes: Int = 1): DataFrame = {
+    val buckets = lshProbeBuckets(query, planes, probes)
     withLshBucket(embeddings, vecCol, planes)
-      .filter(col("lsh_bucket") === queryBucket)
+      .filter(col("lsh_bucket").isin(buckets: _*))
       .select(col(idCol),
         // rank on the 6dp-rounded score with an id tiebreak so the top-k
         // cut is reproducible across engines (double ulps cannot flip it)

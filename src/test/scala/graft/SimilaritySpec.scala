@@ -66,6 +66,47 @@ class SimilaritySpec extends SparkSuite {
     assert(Similarity.hyperplanes(3, 8) === Similarity.hyperplanes(3, 8))
   }
 
+  test("lshProbeBuckets: base first, distinct one-bit perturbations, bounds") {
+    val planes = Similarity.hyperplanes(6, 64)
+    val q = (0 until 64).map(i => math.sin(i + 1.0))
+    val buckets = Similarity.lshProbeBuckets(q, planes, 4)
+    assert(buckets.size === 4)
+    assert(buckets.distinct.size === 4)
+    val base = buckets.head
+    // every perturbation is exactly one sign-bit flip away from the base
+    buckets.tail.foreach(b => assert(Integer.bitCount(b ^ base) === 1))
+    assert(Similarity.lshProbeBuckets(q, planes, 1) === Seq(base))
+    intercept[IllegalArgumentException] {
+      Similarity.lshProbeBuckets(q, planes, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.lshProbeBuckets(q, planes, 8) // > numPlanes + 1
+    }
+  }
+
+  test("multi-probe lshTopK recall vs exact is >= single-probe recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" === 7).select($"embedding")
+      .as[Seq[Float]].collect().head.map(_.toDouble)
+    val planes = Similarity.hyperplanes(6, 64)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k)
+      .select($"vec_id").as[Long].collect().toSet
+    def recall(probes: Int): Double = {
+      val ids = Similarity.lshTopK(emb, "vec_id", "embedding", q, k, planes, probes)
+        .select($"vec_id").as[Long].collect().toSet
+      (ids intersect exact).size.toDouble / k
+    }
+    val single = recall(1)
+    val multi = recall(4)
+    assert(multi >= single,
+      s"multi-probe recall $multi must not be below single-probe $single")
+    // probing more buckets can only widen the candidate set; the self-match
+    // lives in the base bucket, so it must survive at any probe count
+    assert(Similarity.lshTopK(emb, "vec_id", "embedding", q, k, planes, 4)
+      .select($"vec_id").as[Long].collect().head === 7L)
+  }
+
   test("ivfAssign puts every centroid in its own cell; ivfTopK finds the query") {
     val emb = Tables.embeddings(spark, sf)
     val cents = Similarity.collectCentroids(
