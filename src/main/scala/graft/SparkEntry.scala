@@ -518,6 +518,18 @@ object SparkEntry {
       "doc_id", 0.02)
       .withColumn("jaccard", round(col("jaccard"), 6))
 
+  /** §2b duplicate-cluster resolution: near-dup pairs → connected
+    * components (iterative min-label) → canonical survivor marker. The
+    * transitive closure matters: A~B, B~C land in ONE cluster even when
+    * (A,C) was never a pair. Oracle re-derives the closure with a DuckDB
+    * recursive CTE. */
+  private def q_dup_clusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.3)
+    Dedup.duplicateClusters(docs.select(col("doc_id")), pairs, "doc_id")
+      .withColumn("is_canonical", col("doc_id") === col("cluster"))
+  }
+
   /** §2b MinHash signatures (portable md5-derived hashes, bounded ids). */
   private def q_minhash_signatures(s: SparkSession, d: String): DataFrame =
     Dedup.minHashSignatures(Tables.documents(s, d).filter(col("doc_id") < 40),
@@ -811,6 +823,7 @@ object SparkEntry {
     "q_unique_tokens" -> (q_unique_tokens _),
     "q_jaccard_pairs" -> (q_jaccard_pairs _),
     "q_shingle_pairs" -> (q_shingle_pairs _),
+    "q_dup_clusters" -> (q_dup_clusters _),
     "q_minhash_signatures" -> (q_minhash_signatures _),
     "q_simhash" -> (q_simhash _),
     "q_simhash_neardup" -> (q_simhash_neardup _),
@@ -1524,6 +1537,31 @@ object SparkEntry {
          JOIN sizes sa ON i.id_a = sa.doc_id
          JOIN sizes sb ON i.id_b = sb.doc_id
          WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.02""",
+    "q_dup_clusters" ->
+      """WITH RECURSIVE
+           tok AS (SELECT DISTINCT doc_id,
+                     UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS token
+                   FROM documents WHERE doc_id < 60),
+           sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+           inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                     FROM tok a JOIN tok b
+                       ON a.token = b.token AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+           pairs AS (SELECT i.id_a, i.id_b
+                     FROM inter i
+                     JOIN sizes sa ON i.id_a = sa.doc_id
+                     JOIN sizes sb ON i.id_b = sb.doc_id
+                     WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.3),
+           edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                     UNION
+                     SELECT id_b AS src, id_a AS dst FROM pairs),
+           nodes AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 60),
+           walk(id, lbl) AS (
+             SELECT id, id FROM nodes
+             UNION
+             SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.id = e.src),
+           cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
+         SELECT id AS doc_id, cluster, (id = cluster) AS is_canonical FROM cl""",
     "q_minhash_signatures" ->
       """SELECT doc_id, seed,
                 min(CAST(('0x' || substring(md5(seed || ':' || token), 1, 15))

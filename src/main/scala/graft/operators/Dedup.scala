@@ -161,6 +161,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Resolve near-dup pairs into duplicate CLUSTERS: connected components
+    * over the pair graph by iterative min-label propagation — every
+    * document's cluster id converges to the smallest id reachable through
+    * any chain of near-dup pairs (A~B, B~C ⇒ {A,B,C} one cluster, even if
+    * A and C were never emitted as a pair). The canonical survivor of a
+    * cluster is then simply the row where id == cluster.
+    *
+    * Scale shape: each round is ONE equi-join + ONE min-aggregate on the
+    * id (no crossJoin, no driver-side graph); rounds needed = component
+    * diameter, which for dup clusters is tiny (near-dup graphs are dense
+    * cliques, diameter 1-2). `localCheckpoint` truncates the growing
+    * lineage each round — without it the plan doubles per iteration and
+    * the driver, not the data, becomes the bottleneck. Deterministic:
+    * min-label is schedule-independent.
+    *
+    * `nodes` = one row per document id (singletons keep cluster = own id);
+    * `pairs` must have id_a/id_b columns of the same type as `nodes`. */
+  def duplicateClusters(nodes: DataFrame, pairs: DataFrame, idCol: String,
+                        maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val propagated = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster"))
+      val next = labels.unionByName(propagated)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint()
+      // existence check, not a full count: any row that still improved?
+      val changed = next.join(labels.withColumnRenamed("cluster", "__old"), "id")
+        .filter(col("cluster") < col("__old")).limit(1).count()
+      converged = changed == 0L
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("id", idCol)
+  }
+
   /** SimHash: 64-bit locality-sensitive content hash — sum ±1 per bit over
     * token hashes, take sign bits. Near-identical docs differ in few bits. */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -119,6 +119,33 @@ class TextAndDedupSpec extends SparkSuite {
     assert(!pairs.contains((2L, 3L)))
   }
 
+  test("duplicateClusters: transitive closure, singletons, determinism") {
+    import org.apache.spark.sql.functions.col
+    // chain 1-2, 2-3 (diameter 2: needs >1 propagation round), pair 5-6,
+    // singleton 7
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(nodes, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // canonical survivor = the row whose id equals its cluster
+    assert(out.filter { case (id, cl) => id == cl }.keySet === Set(1L, 5L, 7L))
+    // empty pair set → everything is its own cluster
+    val solo = Dedup.duplicateClusters(nodes, pairs.limit(0), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(solo === nodes.as[Long].collect().map(i => i -> i).toMap)
+  }
+
+  test("duplicateClusters closes a long chain (diameter > 2)") {
+    import org.apache.spark.sql.functions.col
+    val n = 12L
+    val nodes = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(nodes, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out.values.toSet === Set(0L), "a single path must collapse to one cluster")
+  }
+
   test("langIdHeuristic flags stopword-rich text as en") {
     val d = Seq((1L, "the cat is in the hat and it is fine"),
       (2L, "zzz qqq www rrr")).toDF("doc_id", "text")
