@@ -64,26 +64,42 @@ object Corpus {
       .filter(col("sample_rank") <= n)
   }
 
-  /** Per-group z-score of `valCol` computed from plain window sums
-    * (sum, sum of squares, count) rather than a streaming variance
-    * aggregate: when the column is integer-valued (counts, cents), the
-    * double sums are EXACT, so the result is bit-identical regardless of
-    * partitioning / evaluation order — reproducible across engines and
-    * cluster sizes. One shuffle on the group key, no ordering needed. */
+  /** Per-group z-score of `valCol` computed from plain sums (sum, sum of
+    * squares, count) rather than a streaming variance aggregate: when the
+    * column is integer-valued (counts, cents), the double sums are EXACT,
+    * so the result is bit-identical regardless of partitioning /
+    * evaluation order — reproducible across engines and cluster sizes.
+    *
+    * Shape: groupBy().agg + join back, NOT a window. Z-score stats need no
+    * ordering, so a window partitioned by the group key would pay the
+    * single-task-per-group penalty (3 groups = 3 tasks for the whole
+    * table) for nothing; the aggregate gets map-side partial combine (a
+    * #groups-row stats table crosses the wire) and AQE turns the join
+    * back into a broadcast when the stats side is small — the input never
+    * shuffles. */
   def zscore(df: DataFrame, groupCol: String, valCol: String,
              outCol: String): DataFrame = {
-    val w = Window.partitionBy(col(groupCol))
     val v = col(valCol).cast("double")
-    val s = sum(v).over(w)
-    val s2 = sum(v * v).over(w)
-    val n = count(v).over(w).cast("double")
+    val stats = df.groupBy(col(groupCol)).agg(
+      sum(v).as("__s"), sum(v * v).as("__s2"),
+      count(v).cast("double").as("__n"))
+    val s = col("__s"); val s2 = col("__s2"); val n = col("__n")
     val mean = s / n
     // greatest(_, 0) clamps the tiny negative variance floating-point
     // cancellation can produce on non-integer columns (sqrt(-ε) = NaN);
     // singleton groups (n-1 = 0 → 0/0) get an explicit null instead of NaN.
     val variance = greatest((s2 - (s * s) / n) / (n - lit(1.0)), lit(0.0))
-    df.withColumn(outCol,
-      when(n > 1 && variance > 0, (v - mean) / sqrt(variance)))
+    // null-safe equality: a null group key is a group like any other (the
+    // window formulation treated it as its own partition; a plain equi-join
+    // would silently drop those rows). The broadcast hint pins the STATS
+    // side as the build side — #groups rows by construction; without it
+    // the static planner may broadcast whichever side its size estimate
+    // favors (at sf0.01 it picked the fact table — wrong at 100 TB).
+    df.join(broadcast(stats), df(groupCol) <=> stats(groupCol))
+      .drop(stats(groupCol))
+      .withColumn(outCol,
+        when(n > 1 && variance > 0, (v - mean) / sqrt(variance)))
+      .drop("__s", "__s2", "__n")
   }
 
   /** Keep rows at or above the `minPct` quantile of `valCol` within their

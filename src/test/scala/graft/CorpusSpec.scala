@@ -69,6 +69,14 @@ class CorpusSpec extends SparkSuite {
     assert(out.filter(col("z").isNull).count() === 2)
   }
 
+  test("zscore: null group key is a group, not dropped (null-safe join)") {
+    val df = Seq((Option("a"), 1.0), (Option("a"), 3.0),
+      (Option.empty[String], 2.0), (Option.empty[String], 4.0)).toDF("g", "v")
+    val out = Corpus.zscore(df, "g", "v", "z")
+    assert(out.count() === 4, "null-group rows must survive the stats join")
+    assert(out.filter(col("g").isNull && col("z").isNotNull).count() === 2)
+  }
+
   test("quantileFilter keeps the top (1-minPct) of each group") {
     val df = (1 to 8).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "id", "v")
     val out = Corpus.quantileFilter(df, "g", "v", "id", 0.5)
