@@ -98,6 +98,20 @@ object SparkEntry {
     Joins.dedupAgainst(orders, dest, Seq("o_orderkey"))
   }
 
+  /** T16 at scale: Bloom-prefiltered dedup-vs-destination. Semantics are
+    * identical to [[q_anti_dedup]]'s plain anti-join (the oracle is the
+    * same NOT EXISTS shape), but only sketch false-positives and true
+    * duplicates reach the exact join — the 100 TB ingest path.
+    * `expectedItems` is deliberately sized BELOW the destination's
+    * cardinality to exercise the saturated-sketch regime (higher fpp,
+    * still exact). */
+  private def q_anti_dedup_bloom(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val dest = orders.filter(col("o_orderstatus") === "F")
+    Joins.dedupAgainstBloom(orders, dest, Seq("o_orderkey"),
+      expectedItems = 2000L, fpp = 0.03)
+  }
+
   /** T19/S3: union of (column-drifting) scan slices. */
   private def q_union_slices(s: SparkSession, d: String): DataFrame = {
     val orders = Tables.orders(s, d)
@@ -778,6 +792,7 @@ object SparkEntry {
     "q_full_outer_merge" -> (q_full_outer_merge _),
     "q_semi_join" -> (q_semi_join _),
     "q_anti_dedup" -> (q_anti_dedup _),
+    "q_anti_dedup_bloom" -> (q_anti_dedup_bloom _),
     "q_union_slices" -> (q_union_slices _),
     "q_window_bucket" -> (q_window_bucket _),
     "q_iso_format" -> (q_iso_format _),
@@ -1187,6 +1202,11 @@ object SparkEntry {
       """SELECT * FROM orders o
          WHERE NOT EXISTS (SELECT 1 FROM orders d
                            WHERE d.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+                             AND d.o_orderkey = o.o_orderkey)""",
+    "q_anti_dedup_bloom" ->
+      """SELECT * FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM orders d
+                           WHERE d.o_orderstatus = 'F'
                              AND d.o_orderkey = o.o_orderkey)""",
     "q_union_slices" ->
       """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority

@@ -80,6 +80,49 @@ object Joins {
       b.join(dest.select(col(k)).na.drop().distinct(), Seq(k), "left_anti")
     }
 
+  /** [[dedupAgainst]]'s 100 TB scale path: same semantics (bit-identical
+    * output, asserted in JoinsSpec), but each key column's anti-join is
+    * pre-filtered by a Bloom sketch of the destination's keys.
+    *
+    * Why: at corpus scale the destination is the 100 TB side. A plain
+    * anti-join shuffles the ENTIRE batch against the destination's key
+    * set every ingest. Here the destination keys fold into one compact
+    * sketch (`BloomFilterAggregate` merges map-side — only KB-MB sketches
+    * cross the wire, no key shuffle), the batch probes it as a pure
+    * map-side filter, and only the ~fpp false-positive fraction plus the
+    * true duplicates reach the exact anti-join. "Definitely absent" is
+    * certain for a Bloom filter, so no-false-negative soundness holds and
+    * the exact join on the survivors restores exactness.
+    *
+    * The one-row sketch collect is a legitimate tiny-collect (like the
+    * IVF centroid table): the sketch is `optimalNumOfBits(expected, fpp)`
+    * bits regardless of destination size. Size `expectedItems` to the
+    * destination's distinct-key cardinality; an undersized sketch only
+    * raises the false-positive rate (more rows take the exact-join path),
+    * never breaks correctness. Rows with a null key hash skip the probe
+    * and take the exact path, matching the anti-join's null semantics. */
+  def dedupAgainstBloom(batch: DataFrame, dest: DataFrame, keyCols: Seq[String],
+                        expectedItems: Long = 1000000L,
+                        fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.graft.expressions.{bloomFilterAgg, mightContain}
+    keyCols.foldLeft(batch) { (b, k) =>
+      val destKeys = dest.select(col(k)).na.drop().distinct()
+      val hashOf = (c: org.apache.spark.sql.Column) => xxhash64(c.cast("string"))
+      val sketch = destKeys
+        .select(bloomFilterAgg(hashOf(col(k)), expectedItems, fpp).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      if (sketch == null) b // empty destination: everything is new
+      else {
+        val probe = mightContain(lit(sketch), hashOf(b(k)))
+        // probe null ⇔ null key: a null key never equi-joins, so the row is
+        // new by the anti-join's own semantics — route it to `fresh`.
+        val fresh = b.filter(probe.isNull || !probe)
+        val maybe = b.filter(probe)
+        fresh.unionByName(maybe.join(destKeys, Seq(k), "left_anti"))
+      }
+    }
+  }
+
   /** Union of scan slices (reference/ticket.py:65 `pd.concat` of bisected
     * window halves), tolerant of column drift between slices. */
   def unionSlices(slices: Seq[DataFrame]): DataFrame =

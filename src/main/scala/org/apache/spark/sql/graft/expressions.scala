@@ -251,6 +251,35 @@ object expressions {
 
   private def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Bloom-filter build/probe over `xxhash64` key hashes — thin Column
+    * wrappers around Spark's own runtime-filter expressions
+    * (`BloomFilterAggregate` / `BloomFilterMightContain`, the machinery
+    * behind `spark.sql.optimizer.runtimeFilter.bloomFilter`). Exposing them
+    * as first-class columns lets an operator build one compact sketch of a
+    * huge key set (the aggregate merges map-side; only KB-MB sketches cross
+    * the wire) and probe it as a pure map-side filter — the scale path for
+    * dedup-vs-destination where an exact anti-join would shuffle the whole
+    * batch. `keyHash` must be the SAME `xxhash64(...)` expression on both
+    * build and probe side; `numBits` is sized by
+    * `sketch.BloomFilter.optimalNumOfBits(n, fpp)`. */
+  def bloomFilterAgg(keyHash: Column, expectedItems: Long, fpp: Double): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        toExpr(keyHash), Literal(expectedItems), Literal(numBits), 0, 0)
+        .toAggregateExpression())
+  }
+
+  /** Probe: true = maybe present (false-positive rate ~fpp), false =
+    * DEFINITELY absent, null = null input hash. The false-is-certain side
+    * is what makes the dedup pre-filter sound. */
+  def mightContain(bloom: Column, keyHash: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        toExpr(bloom), toExpr(keyHash)))
+
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductFloat(toExpr(a), toExpr(b)))
 

@@ -41,6 +41,48 @@ class JoinsSpec extends SparkSuite {
     assert(Joins.dedupAgainst(batch, dest, Seq("n_ticket")).count() === 1)
   }
 
+  test("dedupAgainstBloom matches dedupAgainst exactly (incl. undersized sketch)") {
+    // 200 batch rows, half already in the destination; expectedItems=8 is
+    // far below the destination's 100 keys, saturating the sketch — the
+    // false-positive rate climbs but the exact-join backstop keeps the
+    // result bit-identical to the plain anti-join.
+    val batch = (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")
+    val dest = (1L to 100L).map(i => (i * 2, "d")).toDF("k", "w")
+    val exact = Joins.dedupAgainst(batch, dest, Seq("k")).collect().toSet
+    val bloom = Joins.dedupAgainstBloom(batch, dest, Seq("k"),
+      expectedItems = 8L, fpp = 0.03).collect().toSet
+    assert(bloom === exact)
+    assert(bloom.size === 100)
+  }
+
+  test("dedupAgainstBloom: empty destination keeps the whole batch") {
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val dest = Seq.empty[(Long, String)].toDF("k", "w")
+    assert(Joins.dedupAgainstBloom(batch, dest, Seq("k")).count() === 2)
+  }
+
+  test("dedupAgainstBloom: null batch keys are kept (anti-join null semantics)") {
+    val batch = Seq((Option(1L), "dup"), (Option.empty[Long], "nullkey"))
+      .toDF("k", "v")
+    val dest = Seq((1L, "d")).toDF("k", "w")
+    val out = Joins.dedupAgainstBloom(batch, dest, Seq("k"))
+    assert(out.select("v").as[String].collect().toSeq === Seq("nullkey"))
+  }
+
+  test("dedupAgainstBloom folds multiple key columns like dedupAgainst") {
+    val batch = Seq((1L, "x", "a"), (2L, "y", "b"), (3L, "z", "c"))
+      .toDF("k1", "k2", "v")
+    val dest = Seq((2L, "nope"), (99L, "z")).toDF("k1", "k2")
+    // dedupAgainst's using-joins move each key column first; compare on a
+    // fixed projection since only the row SET is the contract.
+    val exact = Joins.dedupAgainst(batch, dest, Seq("k1", "k2"))
+      .select("k1", "k2", "v").collect().toSet
+    val bloom = Joins.dedupAgainstBloom(batch, dest, Seq("k1", "k2"))
+      .select("k1", "k2", "v").collect().toSet
+    assert(bloom === exact)
+    assert(bloom.map(_.getString(2)) === Set("a"))
+  }
+
   test("upsert replaces matched keys and appends unmatched updates") {
     val dest = Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
     val updates = Seq((1L, "new"), (9L, "ins")).toDF("k", "v")
