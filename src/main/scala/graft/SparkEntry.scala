@@ -780,6 +780,46 @@ object SparkEntry {
         .select(col("c_custkey").as("o_custkey"), col("c_name")),
       "o_custkey")
 
+  /** §2b stratified deterministic sampling: per-language keep fractions,
+    * md5-salted so the decision is independent of the split assignment.
+    * Pure map-side (hashUnit is exact in doubles — no ulp drift vs the
+    * oracle). */
+  private def q_stratified_sample(s: SparkSession, d: String): DataFrame =
+    Corpus.stratifiedSample(Tables.documents(s, d), "lang", "doc_id",
+      Seq("en" -> 0.25, "zh" -> 0.5, "es" -> 0.75))
+      .select(col("doc_id"), col("lang"), col("sample_frac"), col("sample_u"))
+
+  /** §2b temperature rebalancing (alpha=0.5): en is ~3.4× fr in the
+    * documents table; after resampling, effective sizes follow n^0.5 —
+    * the multilingual-LLM mixing rule. */
+  private def q_temperature_mix(s: SparkSession, d: String): DataFrame =
+    Corpus.temperatureResample(Tables.documents(s, d), "lang", "doc_id", 0.5)
+      .select(col("doc_id"), col("lang"), col("n_group"), col("keep_frac"),
+        col("mix_u"))
+
+  /** §2b PII masking: documents text augmented with a synthetic email /
+    * phone / URL built from doc_id (both engines construct the identical
+    * input), then the url→email→phone regexp_replace chain. */
+  private def q_pii_mask(s: SparkSession, d: String): DataFrame = {
+    val synth = concat(col("text"),
+      lit(" Contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1 (555) 010-"),
+      lpad(col("doc_id").cast("string"), 4, "0"),
+      lit(" via https://ex.example/d/"), col("doc_id").cast("string"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.maskPii(synth).as("masked"))
+  }
+
+  /** §2b markup stripping: documents text wrapped in synthetic tags and
+    * entities (including the `&amp;lt;` double-escape trap), then
+    * stripMarkup. */
+  private def q_strip_markup(s: SparkSession, d: String): DataFrame = {
+    val wrapped = concat(lit("<div class=\"hero\"><h1>"), col("text"),
+      lit("</h1><p>&amp;lt; kept, &lt;raw&gt; &amp; &quot;quoted&quot; &#39;s</p><br/>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.stripMarkup(wrapped).as("clean"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -862,6 +902,10 @@ object SparkEntry {
     "q_lsh_topk" -> (q_lsh_topk _),
     "q_lsh_topk_mp" -> (q_lsh_topk_mp _),
     "q_enrich_errors" -> (q_enrich_errors _),
+    "q_stratified_sample" -> (q_stratified_sample _),
+    "q_temperature_mix" -> (q_temperature_mix _),
+    "q_pii_mask" -> (q_pii_mask _),
+    "q_strip_markup" -> (q_strip_markup _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -1099,6 +1143,53 @@ object SparkEntry {
          LEFT JOIN (SELECT c_custkey, c_name FROM customer
                     WHERE c_custkey % 3 <> 0) c
            ON o.o_custkey = c.c_custkey""",
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, sample_frac, sample_u
+         FROM (SELECT doc_id, lang,
+                 CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.5
+                           WHEN 'es' THEN 0.75 ELSE 1.0 END AS sample_frac,
+                 CAST(('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) / 4294967296.0 AS sample_u
+               FROM documents)
+         WHERE sample_u < sample_frac""",
+    "q_temperature_mix" ->
+      """WITH counts AS (SELECT lang, COUNT(*) AS n_group
+                         FROM documents GROUP BY lang),
+              stats AS (SELECT lang, n_group,
+                          ROUND(POW(CAST(n_group AS DOUBLE)
+                            / (SELECT MIN(n_group) FROM counts), -0.5), 6) AS keep_frac
+                        FROM counts)
+         SELECT doc_id, lang, n_group, keep_frac, mix_u
+         FROM (SELECT d.doc_id, d.lang, s.n_group, s.keep_frac,
+                 CAST(('0x' || substring(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) / 4294967296.0 AS mix_u
+               FROM documents d JOIN stats s ON d.lang = s.lang)
+         WHERE mix_u < keep_frac""",
+    "q_pii_mask" ->
+      """SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or +1 (555) 010-'
+                        || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+                        || ' via https://ex.example/d/' || CAST(doc_id AS VARCHAR),
+                      'https?://[^\s]+', '[URL]', 'g'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                  '\+?[0-9][0-9()\s.-]{6,}[0-9]', '[PHONE]', 'g') AS masked
+         FROM documents""",
+    "q_strip_markup" ->
+      """SELECT doc_id,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(
+                    regexp_replace(
+                      '<div class="hero"><h1>' || text
+                        || '</h1><p>&amp;lt; kept, &lt;raw&gt; &amp; &quot;quoted&quot; &#39;s</p><br/>',
+                      '<[^>]*>', ' ', 'g'),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&#39;', ''''), '&amp;', '&'),
+                  '\s+', ' ', 'g')) AS clean
+         FROM documents""",
     "q_lang_ngram" -> langNgramOracleSql,
     "q_simhash" -> simhashOracleSql,
     "q_simhash_neardup" -> simhashNearDupOracleSql,

@@ -124,6 +124,38 @@ object TextFunctions {
       trigramProfiles.map { case (l, p) => l -> ngramProfileScore(text, p) },
       minScore)
 
+  /** RE2-compatible PII patterns (no lookaround/backrefs — the same strings
+    * run in Java regex and DuckDB/RE2 for the oracle). Public so specs and
+    * oracles share the single definition. */
+  val urlPattern = "https?://[^\\s]+"
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+?[0-9][0-9()\\s.-]{6,}[0-9]"
+
+  /** Mask common PII shapes with typed placeholders — the standard scrub
+    * pass before LLM training text leaves curation. URLs first (so an
+    * address inside a URL can't be half-masked), then emails, then
+    * phone-ish digit runs. Pure regexp_replace chain: codegen'd, map-side,
+    * linear at 100 TB. Pattern-based masking is a floor, not a guarantee —
+    * production adds NER on top; the pipeline shape is identical. */
+  def maskPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlPattern, "[URL]"),
+        emailPattern, "[EMAIL]"),
+      phonePattern, "[PHONE]")
+
+  /** Strip HTML/XML-ish markup: tags → space, the five standard entities
+    * unescaped (literal `replace`, `&amp;` LAST so `&amp;lt;` yields the
+    * text `&lt;`, not a double-unescaped `<`), whitespace collapsed. The
+    * boilerplate-removal first pass for web-crawl corpora. */
+  def stripMarkup(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** Canonical-form document fingerprint: lowercase, strip non-alphanumerics,
     * md5. Equal fingerprints ⇒ near-identical documents modulo
     * case/punctuation/whitespace — the first-stage exact-dedup key. */

@@ -25,6 +25,68 @@ object Corpus {
   def hashPct(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100
 
+  /** Deterministic uniform [0,1) from the md5 of a key, salted by a purpose
+    * string: first 8 md5 hex chars / 2^32. Both the integer and the
+    * power-of-two division are EXACT in doubles, so the value is
+    * bit-identical in any engine with md5 — no RNG, no ulp drift. The salt
+    * decorrelates independent decisions on the same key (a row's split
+    * assignment must not predict its sampling fate — with a shared hash,
+    * "keep 10%" would keep only train-split rows). */
+  def hashUnit(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Per-group deterministic downsampling ("stratified sample"): keep each
+    * row iff hashUnit(id) < its group's fraction. Pure map-side — no
+    * shuffle, no state, same survivors on any cluster size / rerun /
+    * incremental re-ingest. `fractions` is a Seq (not a Map) so the
+    * when-chain is build-order stable; groups not listed get
+    * `defaultFraction`. */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                       fractions: Seq[(String, Double)],
+                       defaultFraction: Double = 1.0,
+                       salt: String = "strat"): DataFrame = {
+    require((fractions.map(_._2) :+ defaultFraction).forall(f => f >= 0.0 && f <= 1.0),
+      s"sampling fractions must be in [0,1]: $fractions default=$defaultFraction")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      s"duplicate group in fractions: $fractions")
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (g, f)) => when(col(groupCol) === g, lit(f)).otherwise(acc)
+    }
+    df.withColumn("sample_frac", frac)
+      .withColumn("sample_u", hashUnit(col(idCol), salt))
+      .filter(col("sample_u") < col("sample_frac"))
+  }
+
+  /** Temperature-based corpus rebalancing: downsample each group so
+    * effective sizes follow n^alpha (the standard multilingual-LLM mixing
+    * rule — alpha=1 keeps the natural distribution, alpha→0 flattens it).
+    * The smallest group keeps everything; a group of size n keeps
+    * (n/n_min)^(alpha-1) of its rows, chosen deterministically by
+    * [[hashUnit]].
+    *
+    * Shape: one count aggregate (map-side combinable, #groups rows), the
+    * min and per-group fraction computed ON the tiny stats frame, then a
+    * broadcast join back and a map-side filter — the corpus itself never
+    * shuffles. keep_frac is rounded to 6dp so a last-ulp `pow` difference
+    * between engines cannot flip a keep decision at the boundary. */
+  def temperatureResample(df: DataFrame, groupCol: String, idCol: String,
+                          alpha: Double, salt: String = "temp"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_group"))
+    // unpartitioned window over the #groups-row stats frame only — fine.
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val stats = counts
+      .withColumn("keep_frac",
+        round(pow(col("n_group").cast("double") / min(col("n_group")).over(all),
+          alpha - 1.0), 6))
+    df.join(broadcast(stats), df(groupCol) <=> stats(groupCol))
+      .drop(stats(groupCol))
+      .withColumn("mix_u", hashUnit(col(idCol), salt))
+      .filter(col("mix_u") < col("keep_frac"))
+  }
+
   /** Train/val/test (or any) split assignment: `splits` maps names to
     * cumulative upper percentage bounds, e.g.
     * `Seq("train" -> 80, "val" -> 90, "test" -> 100)`. Map-side only. */

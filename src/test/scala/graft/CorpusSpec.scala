@@ -77,6 +77,61 @@ class CorpusSpec extends SparkSuite {
     assert(out.filter(col("g").isNull && col("z").isNotNull).count() === 2)
   }
 
+  test("stratifiedSample: deterministic, honors per-group fractions, default=keep") {
+    val many = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "de", "t"))
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.stratifiedSample(many, "lang", "doc_id",
+      Seq("en" -> 0.25), defaultFraction = 1.0)
+    val again = Corpus.stratifiedSample(many, "lang", "doc_id",
+      Seq("en" -> 0.25), defaultFraction = 1.0)
+    assert(out.select("doc_id").collect().toSet ===
+      again.select("doc_id").collect().toSet)
+    // unlisted group keeps everything; listed group lands near its fraction
+    assert(out.filter(col("lang") === "de").count() === 200)
+    val en = out.filter(col("lang") === "en").count()
+    assert(en > 20 && en < 80, s"en keep count $en not near 0.25 * 200")
+  }
+
+  test("stratifiedSample: salt decorrelates decisions on the same ids") {
+    val many = (1L to 300L).map(i => (i, "en", "t")).toDF("doc_id", "lang", "text")
+    val a = Corpus.stratifiedSample(many, "lang", "doc_id", Seq("en" -> 0.5),
+      salt = "a").select("doc_id").as[Long].collect().toSet
+    val b = Corpus.stratifiedSample(many, "lang", "doc_id", Seq("en" -> 0.5),
+      salt = "b").select("doc_id").as[Long].collect().toSet
+    assert(a !== b, "different salts must pick different survivor sets")
+  }
+
+  test("stratifiedSample rejects out-of-range fractions and duplicate groups") {
+    intercept[IllegalArgumentException] {
+      Corpus.stratifiedSample(docs, "lang", "doc_id", Seq("en" -> 1.5))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.stratifiedSample(docs, "lang", "doc_id", Seq("en" -> 0.5, "en" -> 0.2))
+    }
+  }
+
+  test("temperatureResample: smallest group keeps all; alpha=1 keeps everything") {
+    val many = ((1L to 300L).map(i => (i, "en")) ++ (301L to 320L).map(i => (i, "fr")))
+      .map { case (i, l) => (i, l, "t") }.toDF("doc_id", "lang", "text")
+    val out = Corpus.temperatureResample(many, "lang", "doc_id", 0.5)
+    assert(out.filter(col("lang") === "fr").count() === 20,
+      "min-size group must keep every row (keep_frac = 1)")
+    val en = out.filter(col("lang") === "en").count()
+    // keep_frac = (300/20)^-0.5 ≈ 0.258 → expect ~77 of 300
+    assert(en > 40 && en < 120, s"en keep count $en not near 0.258 * 300")
+    assert(Corpus.temperatureResample(many, "lang", "doc_id", 1.0).count() === 320,
+      "alpha = 1 is the natural distribution — nothing dropped")
+  }
+
+  test("temperatureResample rejects alpha outside (0,1]") {
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureResample(docs, "lang", "doc_id", 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureResample(docs, "lang", "doc_id", 1.5)
+    }
+  }
+
   test("quantileFilter keeps the top (1-minPct) of each group") {
     val df = (1 to 8).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "id", "v")
     val out = Corpus.quantileFilter(df, "g", "v", "id", 0.5)

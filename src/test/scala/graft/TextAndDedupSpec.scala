@@ -146,6 +146,39 @@ class TextAndDedupSpec extends SparkSuite {
     assert(out.values.toSet === Set(0L), "a single path must collapse to one cluster")
   }
 
+  test("maskPii masks url/email/phone shapes and leaves clean text alone") {
+    val d = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.org today"),
+      (2L, "see https://ex.example/a?b=c&d=e for details"),
+      (3L, "call +1 (555) 010-1234 now"),
+      (4L, "no pii here at all")).toDF("doc_id", "text")
+    val out = d.select($"doc_id", TextFunctions.maskPii($"text").as("m"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "mail me at [EMAIL] today")
+    assert(out(2L) === "see [URL] for details")
+    assert(out(3L) === "call [PHONE] now")
+    assert(out(4L) === "no pii here at all")
+  }
+
+  test("maskPii masks a URL before its embedded email-like tail") {
+    val d = Seq((1L, "x https://h.example/u@v.example/p y")).toDF("doc_id", "text")
+    val out = d.select(TextFunctions.maskPii($"text")).as[String].head()
+    assert(out === "x [URL] y", "url must win over the email pattern inside it")
+  }
+
+  test("stripMarkup drops tags, unescapes entities once, collapses whitespace") {
+    val d = Seq(
+      (1L, "<div class=\"x\"><b>bold</b>  and\tplain</div>"),
+      (2L, "&amp;lt; stays escaped but &lt;this&gt; &amp; &quot;q&quot; &#39;s unescape"),
+      (3L, "plain text")).toDF("doc_id", "text")
+    val out = d.select($"doc_id", TextFunctions.stripMarkup($"text").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "bold and plain")
+    assert(out(2L) === "&lt; stays escaped but <this> & \"q\" 's unescape",
+      "&amp;lt; must single-unescape to the literal text &lt;")
+    assert(out(3L) === "plain text")
+  }
+
   test("langIdHeuristic flags stopword-rich text as en") {
     val d = Seq((1L, "the cat is in the hat and it is fine"),
       (2L, "zzz qqq www rrr")).toDF("doc_id", "text")
