@@ -820,6 +820,24 @@ object SparkEntry {
       .select(col("doc_id"), TextFunctions.stripMarkup(wrapped).as("clean"))
   }
 
+  /** §2b interval join (batch twin of EventStreams.attributedPurchases):
+    * purchases attributed to same-user clicks within the prior 30 minutes —
+    * equi-join on user_id with the time range as a post-filter, never a
+    * nested loop. */
+  private def q_interval_join(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.attributedPurchases(Tables.events(s, d))
+
+  /** §2b approximate quantile filter (the scale path of q_quality_filter):
+    * per-language threshold from a percentile_approx sketch instead of a
+    * per-group window. Rows-only in the driver: the GK sketch's boundary
+    * pick is not reproducible in a SQL oracle (same reason as
+    * q_approx_distinct); CorpusSpec pins it against the exact variant. */
+  private def q_quality_filter_approx(s: SparkSession, d: String): DataFrame = {
+    val staged = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+    Corpus.quantileFilterApprox(staged, "lang", "quality", 0.25)
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -906,6 +924,8 @@ object SparkEntry {
     "q_temperature_mix" -> (q_temperature_mix _),
     "q_pii_mask" -> (q_pii_mask _),
     "q_strip_markup" -> (q_strip_markup _),
+    "q_interval_join" -> (q_interval_join _),
+    "q_quality_filter_approx" -> (q_quality_filter_approx _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -1190,6 +1210,16 @@ object SparkEntry {
                     '&#39;', ''''), '&amp;', '&'),
                   '\s+', ' ', 'g')) AS clean
          FROM documents""",
+    "q_interval_join" ->
+      """SELECT c.user_id, c.click_id, c.click_ts,
+                p.purchase_id, p.purchase_ts, p.value
+         FROM (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click') c
+         JOIN (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+               FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.purchase_ts >= c.click_ts
+          AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE""",
     "q_lang_ngram" -> langNgramOracleSql,
     "q_simhash" -> simhashOracleSql,
     "q_simhash_neardup" -> simhashNearDupOracleSql,

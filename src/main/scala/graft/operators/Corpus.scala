@@ -183,6 +183,29 @@ object Corpus {
       .filter(col("val_pct_rank") >= minPct)
   }
 
+  /** [[quantileFilter]]'s hot-group scale path, made concrete: the
+    * per-group threshold comes from `percentile_approx` — a map-side-
+    * combinable sketch aggregate, so a dominant group spreads over every
+    * core instead of serializing into one window task — broadcast back and
+    * applied as a map-side `>=` filter. The trade: the cut happens at a
+    * sketch-approximate data value, not the exact percent_rank boundary
+    * (off by at most the sketch error around the quantile; `accuracy` is
+    * the GK sketch knob, error ~ 1/accuracy). Survivor sets of the two
+    * variants differ only at the boundary value — asserted in CorpusSpec.
+    * Null group keys form their own group (null-safe join), matching
+    * [[quantileFilter]]'s window semantics. */
+  def quantileFilterApprox(df: DataFrame, groupCol: String, valCol: String,
+                           minPct: Double, accuracy: Int = 10000): DataFrame = {
+    require(minPct >= 0.0 && minPct <= 1.0, s"minPct must be in [0,1]: $minPct")
+    require(accuracy > 0, s"accuracy must be positive: $accuracy")
+    val thresholds = df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valCol), lit(minPct), lit(accuracy))
+        .as("q_threshold"))
+    df.join(broadcast(thresholds), df(groupCol) <=> thresholds(groupCol))
+      .drop(thresholds(groupCol))
+      .filter(col(valCol) >= col("q_threshold"))
+  }
+
   /** Fixed-size token chunking with stride (LLM sequence prep): each
     * document yields ceil(n_tokens/stride) chunks of up to `chunkSize`
     * whitespace tokens starting every `stride` tokens (stride < chunkSize

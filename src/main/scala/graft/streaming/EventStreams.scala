@@ -63,6 +63,34 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join (attribution): each purchase matched to
+    * every click by the same user in the preceding `gap` window. The ONE
+    * join shape Structured Streaming can run unbounded: an equi-join on
+    * the user key plus a both-sided time-range condition, with watermarks
+    * on both inputs — the range bound + watermark lets Spark expire join
+    * state, so state is O(events within gap+watermark), not O(stream).
+    *
+    * Works identically on a static events frame (watermarks no-op, the
+    * range condition rides the user_id hash join as a post-filter — NOT a
+    * nested-loop join), which is how the batch twin q_interval_join is
+    * oracle-checked; stream/batch parity is asserted in StreamingSpec. */
+  def attributedPurchases(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+        col("click_user") === col("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $gap"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming dedup on event_id bounded by the watermark. */
   def dedupedStream(events: DataFrame): DataFrame =
     events

@@ -139,6 +139,31 @@ class CorpusSpec extends SparkSuite {
     assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(5L, 6L, 7L, 8L))
   }
 
+  test("quantileFilterApprox: self-consistent cut near the exact quantile") {
+    val df = (1 to 200).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val out = Corpus.quantileFilterApprox(df, "g", "v", 0.25)
+    val thr = out.agg(min(col("v"))).as[Double].head()
+    // sketch threshold lands on a data value near the exact 25th percentile
+    assert(math.abs(thr - 50.0) <= 2.0, s"threshold $thr far from exact 50")
+    // the filter keeps EXACTLY the rows >= its own threshold
+    assert(out.count() === df.filter(col("v") >= thr).count())
+    // and differs from the exact variant only at the boundary value
+    val exact = Corpus.quantileFilter(df, "g", "v", "id", 0.25)
+      .select("id").as[Long].collect().toSet
+    val approx = out.select("id").as[Long].collect().toSet
+    val sym = (exact diff approx) union (approx diff exact)
+    assert(sym.forall(id => math.abs(id.toDouble - 50.0) <= 2.0),
+      s"non-boundary disagreement with exact variant: $sym")
+  }
+
+  test("quantileFilterApprox: null group keys form their own group") {
+    val df = Seq((Option("a"), 1.0, 1L), (Option("a"), 2.0, 2L),
+      (Option.empty[String], 3.0, 3L), (Option.empty[String], 4.0, 4L))
+      .toDF("g", "v", "id")
+    val out = Corpus.quantileFilterApprox(df, "g", "v", 0.0)
+    assert(out.count() === 4, "minPct=0 must keep every row incl. null group")
+  }
+
   test("tokenChunks: overlapping stride, exact chunk geometry, empty text") {
     val df = Seq((1L, "a b c d e"), (2L, "   ")).toDF("doc_id", "text")
     val out = Corpus.tokenChunks(df, "doc_id", "text", 3, 2)

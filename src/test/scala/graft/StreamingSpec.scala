@@ -40,6 +40,22 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val expected = EventStreams.attributedPurchases(Tables.events(spark, sf))
+      .collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty, "fixture must produce attributed pairs")
+    val stream = EventStreams.readEventStream(spark, s"$sf/events.parquet",
+      Tables.rawEventSchema(spark, sf))
+    val q = EventStreams.attributedPurchases(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrib_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("attrib_out").collect().map(_.toSeq).toSet === expected)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running stats match batch aggregates") {
     import org.apache.spark.sql.functions._
     val batchEvents = Tables.events(spark, sf)
