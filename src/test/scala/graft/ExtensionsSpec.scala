@@ -1,0 +1,48 @@
+package graft
+
+/** SQL surface of the native expressions: after GraftExtensions.install the
+  * same codegen'd Catalyst expressions plan from SQL text as from the
+  * Column API (the Column parity values are pinned in VectorFunctionsSpec). */
+class ExtensionsSpec extends SparkSuite {
+
+  test("install registers the native functions for SQL") {
+    GraftExtensions.install(spark)
+    assert(spark.sql("SELECT graft_hamming64(7L, 1L) AS h")
+      .head().getLong(0) === 2L)
+    // 'a'=97, 'b'=98 → 97*31 + 98 = 3105
+    assert(spark.sql("SELECT graft_rolling_hash('ab') AS h")
+      .head().getLong(0) === 3105L)
+    val cos = spark.sql(
+      "SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    assert(spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0) === 11.0)
+  }
+
+  test("install is idempotent and SQL matches the Column API") {
+    GraftExtensions.install(spark)
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT graft_cosine(a, b) AS c FROM vecs")
+      .head().getDouble(0)
+    val viaCol = df.select(
+      org.apache.spark.sql.graft.expressions.cosineSimilarity(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(viaSql === viaCol)
+  }
+
+  test("wrong arity fails with a clear message") {
+    GraftExtensions.install(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_hamming64(1L)").collect()
+    }
+    assert(e.getMessage.contains("graft_hamming64"))
+  }
+}
