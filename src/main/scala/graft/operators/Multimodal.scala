@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata, and run decode /
   * feature-extract as distributed per-partition batch transforms.
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this
-  * sandbox): [[stubDecode]] derives a deterministic fake feature vector
-  * from the payload bytes. Everything around it — the schema contract, the
-  * partition-wise batching, null/error columns, metadata extraction — is
-  * the real Spark-side shape a production decode (JNI codec or Pandas UDF
-  * in PySpark) would drop into.
+  * Decode is REAL for PPM/P6 ([[decodePpm]]/[[resizePpm]]: pure-JVM pixel
+  * parsing, exact channel stats, nearest-neighbor resize emitting valid
+  * P6 — no codec library needed, so nothing is faked). For formats that
+  * DO need a native codec (jpeg/png/audio — not in this sandbox),
+  * [[stubDecode]]/[[stubResize]] keep the identical partition-batched
+  * boundary with a deterministic stand-in payload: swap the parser call,
+  * nothing else changes.
   */
 object Multimodal {
 
@@ -85,6 +86,138 @@ object Multimodal {
           // deterministic stand-in: truncate proportionally to pixel ratio
           .otherwise(col("payload").substr(lit(1),
             greatest(lit(1), ceil(length(col("payload")) * scale * scale)).cast("int"))))
+  }
+
+  // ------------------------------------------------ real decode: PPM (P6)
+
+  /** Parse a binary PPM (P6) payload: `P6` magic, whitespace/comment-
+    * tolerant ASCII header (width, height, maxval=255), one whitespace,
+    * then `w*h*3` RGB bytes. Pure JVM — no codec library — which is the
+    * point: for this format the decode boundary is REAL, not stubbed, and
+    * the mapPartitions plumbing around it is byte-identical to what a
+    * JNI/codec-library decode needs for jpeg/png. */
+  private[graft] def parsePpm(bytes: Array[Byte])
+      : Either[String, (Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6')
+      return Left("not a P6 ppm")
+    var i = 2
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def skipWs(): Unit = {
+      while (i < bytes.length && isWs(bytes(i))) i += 1
+      if (i < bytes.length && bytes(i) == '#') { // header comment to EOL
+        while (i < bytes.length && bytes(i) != '\n') i += 1
+        skipWs()
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipWs()
+      val s = i
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') i += 1
+      if (i == s || i - s > 9) None else Some(new String(bytes, s, i - s).toInt)
+    }
+    (readInt(), readInt(), readInt()) match {
+      case (Some(w), Some(h), Some(mv)) =>
+        if (mv != 255) Left(s"unsupported maxval $mv")
+        else if (w <= 0 || h <= 0) Left(s"bad dims ${w}x$h")
+        else {
+          i += 1 // exactly one whitespace byte separates header from pixels
+          val need = w.toLong * h * 3
+          if (bytes.length - i < need)
+            Left(s"truncated: need $need pixel bytes, have ${bytes.length - i}")
+          else Right((w, h, java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)))
+        }
+      case _ => Left("bad header")
+    }
+  }
+
+  /** Output schema of [[decodePpm]]: per-channel means are exact rational
+    * sums (integer byte values / pixel count). */
+  val imageStatsSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("mean_r", DoubleType, nullable = true),
+    StructField("mean_g", DoubleType, nullable = true),
+    StructField("mean_b", DoubleType, nullable = true),
+    StructField("decode_error", StringType, nullable = true)))
+
+  /** REAL image decode for PPM payloads: parse, extract dimensions and
+    * per-channel pixel means. Parse failures become `decode_error` rows
+    * (the per-row error-capture shape), never task failures. Same
+    * partition-batched boundary as [[stubDecode]] — swapping the parser
+    * for a jpeg codec changes one function, not the pipeline. */
+  def decodePpm(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rows = assets.select(col("asset_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (payload == null) Row(id, null, null, null, null, null, "null payload")
+        else parsePpm(payload) match {
+          case Left(err) => Row(id, null, null, null, null, null, err)
+          case Right((w, h, px)) =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var j = 0
+            while (j < px.length) {
+              sr += px(j) & 0xff; sg += px(j + 1) & 0xff; sb += px(j + 2) & 0xff
+              j += 3
+            }
+            val n = (w.toLong * h).toDouble
+            Row(id, w, h, sr / n, sg / n, sb / n, null)
+        }
+      }
+    }
+    spark.createDataFrame(rows, imageStatsSchema)
+  }
+
+  /** Output schema of [[resizePpm]]. */
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("out_width", IntegerType, nullable = true),
+    StructField("out_height", IntegerType, nullable = true),
+    StructField("out_payload", BinaryType, nullable = true),
+    StructField("resize_error", StringType, nullable = true)))
+
+  /** REAL resize for PPM payloads: fit inside `maxDim` preserving aspect
+    * ratio (never upscale), nearest-neighbor sampling with pure integer
+    * source mapping (`srcX = x*w/outW`) so the output is bit-deterministic
+    * on any JVM; emits a well-formed P6 payload. [[stubResize]] remains
+    * the geometry-only stand-in for codec-library formats. */
+  def resizePpm(assets: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, s"maxDim must be positive: $maxDim")
+    val spark = assets.sparkSession
+    val rows = assets.select(col("asset_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (payload == null) Row(id, null, null, null, "null payload")
+        else parsePpm(payload) match {
+          case Left(err) => Row(id, null, null, null, err)
+          case Right((w, h, px)) =>
+            val scale = math.min(maxDim.toDouble / math.max(w, h), 1.0)
+            val ow = math.max(1, math.ceil(w * scale).toInt)
+            val oh = math.max(1, math.ceil(h * scale).toInt)
+            val header = s"P6\n$ow $oh\n255\n".getBytes("US-ASCII")
+            val out = new Array[Byte](header.length + ow * oh * 3)
+            System.arraycopy(header, 0, out, 0, header.length)
+            var y = 0
+            while (y < oh) {
+              val sy = (y.toLong * h / oh).toInt
+              var x = 0
+              while (x < ow) {
+                val sx = (x.toLong * w / ow).toInt
+                val s = (sy.toLong * w + sx).toInt * 3
+                val d = header.length + (y * ow + x) * 3
+                out(d) = px(s); out(d + 1) = px(s + 1); out(d + 2) = px(s + 2)
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, ow, oh, out, null)
+        }
+      }
+    }
+    spark.createDataFrame(rows, resizedSchema)
   }
 
   /** Output schema of the decode stage. */

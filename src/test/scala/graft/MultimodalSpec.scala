@@ -51,6 +51,82 @@ class MultimodalSpec extends SparkSuite {
     assert(out(3L)._3 === None)          // null payload propagates
   }
 
+  // -------------------------------------------------- real PPM decode path
+
+  /** Deterministic P6 encoder for fixtures: pixel (x,y) = pixelFn(x,y). */
+  private def ppm(w: Int, h: Int,
+                  pixelFn: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pixelFn(x, y)
+      val d = header.length + (y * w + x) * 3
+      out(d) = r.toByte; out(d + 1) = g.toByte; out(d + 2) = b.toByte
+    }
+    out
+  }
+
+  test("decodePpm extracts exact dimensions and channel means") {
+    // 4x2: r = 10*x, g = 100*y, b = 7 → means r=15, g=50, b=7 exactly
+    val img = ppm(4, 2, (x, y) => (10 * x, 100 * y, 7))
+    val df = Seq((1L, img)).toDF("asset_id", "payload")
+    val r = Multimodal.decodePpm(df).collect().head
+    assert(r.getInt(1) === 4 && r.getInt(2) === 2)
+    assert(r.getDouble(3) === 15.0)
+    assert(r.getDouble(4) === 50.0)
+    assert(r.getDouble(5) === 7.0)
+    assert(r.isNullAt(6))
+  }
+
+  test("decodePpm tolerates header comments and captures parse errors per row") {
+    val good = ppm(2, 2, (_, _) => (1, 2, 3))
+    val commented = ("P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII")
+      ++ good.drop(s"P6\n2 2\n255\n".length))
+    val truncated = good.dropRight(5)
+    val wrongMagic = "P5\n2 2\n255\n".getBytes ++ Array.fill[Byte](12)(0)
+    val bigMaxval = "P6\n2 2\n65535\n".getBytes ++ Array.fill[Byte](24)(0)
+    val df = Seq(1L -> commented, 2L -> truncated, 3L -> wrongMagic,
+      4L -> bigMaxval, 5L -> null.asInstanceOf[Array[Byte]])
+      .toDF("asset_id", "payload")
+    val out = Multimodal.decodePpm(df).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(6))).toMap
+    assert(out(1L) === None, "comment in header must parse")
+    assert(out(2L).exists(_.startsWith("truncated")))
+    assert(out(3L) === Some("not a P6 ppm"))
+    assert(out(4L) === Some("unsupported maxval 65535"))
+    assert(out(5L) === Some("null payload"))
+  }
+
+  test("resizePpm: exact nearest-neighbor geometry, valid P6 out, no upscale") {
+    // 100x40, maxDim 10 → scale 0.1 → 10x4
+    val img = ppm(100, 40, (x, y) => (x % 256, y % 256, (x + y) % 256))
+    val df = Seq((1L, img)).toDF("asset_id", "payload")
+    val r = Multimodal.resizePpm(df, maxDim = 10).collect().head
+    assert(r.getInt(1) === 10 && r.getInt(2) === 4)
+    val parsed = Multimodal.parsePpm(r.getAs[Array[Byte]](3))
+    assert(parsed.isRight, "output must be a valid P6 payload")
+    val Right((ow, oh, px)) = parsed: @unchecked
+    assert((ow, oh) === ((10, 4)))
+    // nearest-neighbor integer mapping: out (x,y) = src (x*100/10, y*40/4)
+    for (y <- 0 until oh; x <- 0 until ow) {
+      val (sx, sy) = (x * 10, y * 10)
+      val d = (y * ow + x) * 3
+      assert((px(d) & 0xff) === sx % 256, s"pixel ($x,$y) red")
+      assert((px(d + 1) & 0xff) === sy % 256, s"pixel ($x,$y) green")
+      assert((px(d + 2) & 0xff) === (sx + sy) % 256, s"pixel ($x,$y) blue")
+    }
+  }
+
+  test("resizePpm leaves already-small images bit-identical in content") {
+    val img = ppm(6, 3, (x, y) => (x, y, x * y))
+    val df = Seq((1L, img)).toDF("asset_id", "payload")
+    val r = Multimodal.resizePpm(df, maxDim = 10).collect().head
+    assert(r.getInt(1) === 6 && r.getInt(2) === 3)
+    assert(r.getAs[Array[Byte]](3).toSeq === img.toSeq,
+      "scale clamped to 1 must reproduce the identical payload")
+  }
+
   test("stubDecode is deterministic") {
     val df = Seq((1L, pngMagic)).toDF("id", "bytes")
     val assets = Multimodal.toAssets(df, "id", "bytes")
