@@ -64,6 +64,23 @@ object Sinks {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table) // managed table in the session warehouse
 
+  /** Write range-sorted on an ordering column (typically event time):
+    * `repartitionByRange` gives each output file a DISJOINT value range
+    * and `sortWithinPartitions` orders rows inside each file, so parquet
+    * min/max statistics prune at two levels on any range predicate —
+    * whole files at planning/runtime, then row groups inside surviving
+    * files. The complement to [[writePartitioned]]: partitioning prunes on
+    * the coarse derived key (day), the sorted layout prunes WITHIN a
+    * partition (hour/minute ranges) without directory explosion — at
+    * 100 TB you want both. `files` sizes the range buckets; disjointness
+    * is asserted file-by-file in SinksSpec. */
+  def writeSorted(df: DataFrame, sortCol: String, files: Int, path: String): Unit = {
+    require(files > 0, s"files must be positive: $files")
+    df.repartitionByRange(files, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** K2: create the destination with a seed schema iff missing; returns
     * true when it created. Mirrors get_table-or-create
     * (reference/main.py:127-134): an empty write materializes the path

@@ -60,6 +60,35 @@ class SinksSpec extends SparkSuite {
     assert(fromCsv.exceptAll(orders).isEmpty && orders.exceptAll(fromCsv).isEmpty)
   }
 
+  test("writeSorted: disjoint per-file ranges, sorted within each file") {
+    val path = tempPath()
+    // shuffled input so the layout is earned, not inherited
+    val df = scala.util.Random.shuffle((1L to 1000L).toList)
+      .map(i => (i, s"v$i")).toDF("ts", "v")
+    Sinks.writeSorted(df, "ts", files = 4, path)
+
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(files.size === 4, s"expected 4 range files, got ${files.size}")
+    // per-file [min,max] ranges must not overlap → file-level skipping works
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("ts")), max(col("ts"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+    // rows inside each file are sorted → row-group stats are tight
+    files.foreach { f =>
+      val ts = spark.read.parquet(f).select("ts").as[Long].collect().toSeq
+      assert(ts === ts.sorted, s"file $f not internally sorted")
+    }
+    // nothing lost
+    assert(spark.read.parquet(path).count() === 1000)
+  }
+
   test("dedup-vs-destination composes with the evolved read (reference flow)") {
     val path = tempPath()
     Sinks.appendEvolving(Seq(("c1", "t1")).toDF("chat_id", "n_ticket"), path)
