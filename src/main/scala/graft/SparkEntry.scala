@@ -838,6 +838,22 @@ object SparkEntry {
     Corpus.quantileFilterApprox(staged, "lang", "quality", 0.25)
   }
 
+  /** §2b benchmark decontamination: docs with doc_id < 50 stand in for the
+    * eval set; corpus documents sharing any word 3-gram with it are
+    * flagged with their distinct overlapping shingle count. (3-grams, not
+    * the conventional 13, because the synthetic docs are ~50 tokens.) */
+  private def q_contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalytics.contamination(
+      docs.filter(col("doc_id") >= 50), "doc_id", "text",
+      docs.filter(col("doc_id") < 50), "text", n = 3)
+  }
+
+  /** §2b repetition quality signals (Gopher-rule family): repeated-token
+    * fraction + top-bigram share per document. */
+  private def q_repetition(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -926,6 +942,8 @@ object SparkEntry {
     "q_strip_markup" -> (q_strip_markup _),
     "q_interval_join" -> (q_interval_join _),
     "q_quality_filter_approx" -> (q_quality_filter_approx _),
+    "q_contamination" -> (q_contamination _),
+    "q_repetition" -> (q_repetition _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -1220,6 +1238,33 @@ object SparkEntry {
            ON c.user_id = p.user_id
           AND p.purchase_ts >= c.click_ts
           AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE""",
+    "q_contamination" ->
+      s"""WITH ctok AS (SELECT doc_id, $duckTokens AS t
+                        FROM documents WHERE doc_id >= 50),
+              btok AS (SELECT doc_id, $duckTokens AS t
+                       FROM documents WHERE doc_id < 50),
+              csh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                      FROM ctok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+              bsh AS (SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS shingle
+                      FROM btok, UNNEST(generate_series(1, len(t) - 2)) AS u(i))
+         SELECT c.doc_id, count(*) AS n_contaminated_shingles
+         FROM csh c JOIN bsh b ON c.shingle = b.shingle
+         GROUP BY c.doc_id""",
+    "q_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
+              base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                         CASE WHEN len(t) > 0
+                           THEN round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+                           ELSE 0.0 END AS dup_token_frac
+                       FROM tok),
+              bg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS b
+                     FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+              cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+              agg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg
+                      FROM cnt GROUP BY 1)
+         SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
+                round(coalesce(CAST(a.top_c AS DOUBLE) / a.n_bg, 0.0), 6) AS top_bigram_frac
+         FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id""",
     "q_lang_ngram" -> langNgramOracleSql,
     "q_simhash" -> simhashOracleSql,
     "q_simhash_neardup" -> simhashNearDupOracleSql,

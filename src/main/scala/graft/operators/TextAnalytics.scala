@@ -33,6 +33,62 @@ object TextAnalytics {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tf_idf"))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with a benchmark/eval set — the overlap check every serious
+    * training corpus runs before an eval score means anything (13-grams is
+    * the conventional width; any n works). Returns (id, n_contaminated
+    * _shingles = distinct overlapping n-grams); clean documents are absent
+    * (anti-join against the result to keep them).
+    *
+    * Scale shape: the benchmark side is eval suites — thousands of
+    * documents against a 100 TB corpus — so its distinct shingle set
+    * broadcasts (`broadcastBenchmark=false` falls back to a shuffle join
+    * if a giant holdout ever doesn't fit); the corpus side is one explode
+    * + one aggregate, shuffle ∝ matches, not corpus size. */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    n: Int = 13, broadcastBenchmark: Boolean = true): DataFrame = {
+    require(n > 0, s"shingle width must be positive: $n")
+    val docShingles = docs
+      .select(col(idCol),
+        explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val benchShingles = benchmark
+      .select(explode(TextFunctions.shingles(col(benchTextCol), n)).as("shingle"))
+      .distinct()
+    val probe = if (broadcastBenchmark) broadcast(benchShingles) else benchShingles
+    docShingles.join(probe, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated_shingles"))
+  }
+
+  /** Repetition quality signals (the Gopher-rule family): fraction of
+    * repeated tokens and the share of the single most frequent word bigram
+    * — high values mark boilerplate/spam for the quality filter. Rounded
+    * to 6dp before output so the oracle comparison is ulp-stable.
+    *
+    * Scale shape: token stats are map-side; the bigram mode needs one
+    * explode + two aggregates keyed by (doc, bigram) then doc — shuffle
+    * ∝ distinct bigrams, no window, no driver state. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("dup_token_frac",
+        when(col("n_tokens") > 0,
+          round(lit(1.0) -
+            size(array_distinct(col("__toks"))).cast("double") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)))
+    val bigramStats = docs.select(col(idCol),
+        explode(TextFunctions.shingles(col(textCol), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bg"))
+    base.join(bigramStats, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("dup_token_frac"),
+        round(coalesce(col("top_c").cast("double") / col("n_bg"), lit(0.0)), 6)
+          .as("top_bigram_frac"))
+  }
+
   /** Top-k terms per document by TF-IDF, ranked on the score rounded to
     * `roundScale` decimals with a term tiebreak — rounding before ranking
     * keeps the selection reproducible across engines (mathematically-equal

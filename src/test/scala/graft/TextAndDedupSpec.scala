@@ -179,6 +179,37 @@ class TextAndDedupSpec extends SparkSuite {
     assert(out(3L) === "plain text")
   }
 
+  test("contamination flags docs sharing an n-gram with the benchmark set") {
+    import graft.operators.TextAnalytics
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "somewhere the quick brown fox appears"), // shares 2 distinct 3-grams
+      (2L, "entirely unrelated content words only"),
+      (3L, "quick brown fox quick brown fox")        // repeated shingle counts once
+    ).toDF("doc_id", "text")
+    val out = TextAnalytics.contamination(corpus, "doc_id", "text", bench, "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 2L, 3L -> 1L),
+      "doc 1: {the quick brown, quick brown fox}; doc 3: distinct overlap only")
+  }
+
+  test("repetitionSignals: exact token and bigram repetition fractions") {
+    import graft.operators.TextAnalytics
+    val d = Seq(
+      (1L, "a a a a"),        // dup 1-1/4=0.75; bigram 'a a' 3/3 = 1.0
+      (2L, "x y x y z"),      // dup 1-3/5=0.4;  top 'x y' 2/4 = 0.5
+      (3L, "all unique tokens here"),
+      (4L, "")                // no tokens, no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalytics.repetitionSignals(d, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((4L, 0.75, 1.0)))
+    assert(out(2L) === ((5L, 0.4, 0.5)))
+    assert(out(3L) === ((4L, 0.0, 0.333333)))
+    assert(out(4L) === ((0L, 0.0, 0.0)))
+  }
+
   test("langIdHeuristic flags stopword-rich text as en") {
     val d = Seq((1L, "the cat is in the hat and it is fine"),
       (2L, "zzz qqq www rrr")).toDF("doc_id", "text")
