@@ -162,15 +162,30 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^0-9a-z]", ""))
 
-  /** Word n-gram shingles (default 3): `["a","b","c","d"]` → `["a b c",
-    * "b c d"]`. Built from sequence+transform+slice — pure codegen. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val ts = tokens(text)
-    when(size(ts) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(ts) - (n - 1)),
-        i => concat_ws(" ", slice(ts, i, lit(n)))))
+  /** Word n-gram shingles over an ALREADY-materialized token-array column:
+    * `["a","b","c","d"]`, n=3 → `["a b c", "b c d"]`.
+    *
+    * Built as n shifted slices folded with `zip_with` — each slice
+    * evaluates the token array ONCE PER ROW. The naive formulation
+    * (`transform(sequence(...), i => slice(toks, i, n))`) references the
+    * array inside the lambda, and interpreted HOFs re-evaluate that
+    * subexpression PER ELEMENT — same trap as [[charTrigramsOf]], measured
+    * as the dominant cost of the bigram/contamination queries. Pass a
+    * staged column (`withColumn`) so the tokenization itself also runs
+    * once, not n times. */
+  def shinglesOf(toks: Column, n: Int): Column = {
+    require(n > 0, s"shingle width must be positive: $n")
+    val m = size(toks) - (n - 1) // number of shingles
+    val joined = (1 to n)
+      .map(j => slice(toks, lit(j), m))
+      .reduce((acc, part) => zip_with(acc, part, (a, b) => concat(a, lit(" "), b)))
+    when(m <= 0, array().cast("array<string>")).otherwise(joined)
   }
+
+  /** One-shot form from raw text (small inputs / single use): tokenizes
+    * inline, which [[shinglesOf]]'s slices evaluate n times per row —
+    * table scans should stage the token array first. */
+  def shingles(text: Column, n: Int = 3): Column = shinglesOf(tokens(text), n)
 
   /** Portable 60-bit token hash: first 15 hex chars of md5 as a long.
     * Identical value is computable in any engine (DuckDB, Trino, …), which

@@ -36,7 +36,9 @@ object Dedup {
     * reordered near-dups. Documents with < n tokens contribute nothing. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs
-      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), n)).as("token"))
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(TextFunctions.shinglesOf(col("__toks"), n)).as("token"))
       .distinct()
 
   /** Pairwise n-gram/token Jaccard similarity via inverted-index equi-join

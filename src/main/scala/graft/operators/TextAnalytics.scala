@@ -49,12 +49,17 @@ object TextAnalytics {
                     benchmark: DataFrame, benchTextCol: String,
                     n: Int = 13, broadcastBenchmark: Boolean = true): DataFrame = {
     require(n > 0, s"shingle width must be positive: $n")
+    // stage the token arrays: shinglesOf's slices would otherwise re-run
+    // the tokenizing regex n times per row (and the naive transform
+    // formulation per ELEMENT — see TextFunctions.shinglesOf)
     val docShingles = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
-        explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+        explode(TextFunctions.shinglesOf(col("__toks"), n)).as("shingle"))
       .distinct()
     val benchShingles = benchmark
-      .select(explode(TextFunctions.shingles(col(benchTextCol), n)).as("shingle"))
+      .select(TextFunctions.tokens(col(benchTextCol)).as("__toks"))
+      .select(explode(TextFunctions.shinglesOf(col("__toks"), n)).as("shingle"))
       .distinct()
     val probe = if (broadcastBenchmark) broadcast(benchShingles) else benchShingles
     docShingles.join(probe, Seq("shingle"))
@@ -79,8 +84,9 @@ object TextAnalytics {
           round(lit(1.0) -
             size(array_distinct(col("__toks"))).cast("double") / col("n_tokens"), 6))
           .otherwise(lit(0.0)))
-    val bigramStats = docs.select(col(idCol),
-        explode(TextFunctions.shingles(col(textCol), 2)).as("bg"))
+    val bigramStats = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode(TextFunctions.shinglesOf(col("__t"), 2)).as("bg"))
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol)).agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bg"))
     base.join(bigramStats, Seq(idCol), "left")
