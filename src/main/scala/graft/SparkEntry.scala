@@ -854,6 +854,30 @@ object SparkEntry {
   private def q_repetition(s: SparkSession, d: String): DataFrame =
     TextAnalytics.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
 
+  /** §2b snapshot diff (T16/K3 generalized to a change feed): old = orders
+    * minus keys %7==0; new = orders minus keys %11==0 with totalprice
+    * bumped on %5==0 — yielding all four change types deterministically. */
+  private def q_snapshot_diff(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val oldSnap = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val newSnap = orders.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 10)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"))
+    Joins.diffSnapshots(oldSnap, newSnap, "o_orderkey",
+      Seq("o_totalprice", "o_orderstatus"))
+  }
+
+  /** §2b data-quality column profile: per-column null/distinct/min/max
+    * audit over orders (string/long columns only — a double min/max cast
+    * to string would be float-format-sensitive across engines). */
+  private def q_column_profile(s: SparkSession, d: String): DataFrame =
+    ColumnHygiene.columnProfile(Tables.orders(s, d),
+      Seq("o_orderstatus", "o_custkey", "o_orderpriority"))
+      .withColumnRenamed("column", "col_name")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -944,6 +968,8 @@ object SparkEntry {
     "q_quality_filter_approx" -> (q_quality_filter_approx _),
     "q_contamination" -> (q_contamination _),
     "q_repetition" -> (q_repetition _),
+    "q_snapshot_diff" -> (q_snapshot_diff _),
+    "q_column_profile" -> (q_column_profile _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -1238,6 +1264,42 @@ object SparkEntry {
            ON c.user_id = p.user_id
           AND p.purchase_ts >= c.click_ts
           AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE""",
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                    FROM orders WHERE o_orderkey % 7 <> 0),
+              n AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10
+                           ELSE o_totalprice END AS o_totalprice,
+                      o_orderstatus
+                    FROM orders WHERE o_orderkey % 11 <> 0)
+         SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+                CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                     WHEN n.o_orderkey IS NULL THEN 'delete'
+                     WHEN (n.o_totalprice IS DISTINCT FROM o.o_totalprice)
+                       OR (n.o_orderstatus IS DISTINCT FROM o.o_orderstatus)
+                       THEN 'update'
+                     ELSE 'unchanged' END AS change_type,
+                n.o_totalprice, n.o_orderstatus
+         FROM n FULL JOIN o ON n.o_orderkey = o.o_orderkey""",
+    "q_column_profile" ->
+      """SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
+                CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                count(DISTINCT o_orderstatus) AS n_distinct,
+                CAST(min(o_orderstatus) AS VARCHAR) AS min_str,
+                CAST(max(o_orderstatus) AS VARCHAR) AS max_str
+         FROM orders
+         UNION ALL
+         SELECT 'o_custkey', count(*),
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                count(DISTINCT o_custkey),
+                CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', count(*),
+                CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                count(DISTINCT o_orderpriority),
+                CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+         FROM orders""",
     "q_contamination" ->
       s"""WITH ctok AS (SELECT doc_id, $duckTokens AS t
                         FROM documents WHERE doc_id >= 50),

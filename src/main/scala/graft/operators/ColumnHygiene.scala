@@ -51,4 +51,31 @@ object ColumnHygiene {
       else d.withColumn(name, lit(null).cast(dt))
     }
   }
+
+  /** Data-quality profile of selected columns, one output row per column:
+    * row count, null count, exact distinct count, min/max (as strings so
+    * heterogeneous column types stack into one frame). The audit a
+    * pipeline publishes next to every batch so schema/volume drift is
+    * caught by diffing profiles, not by a consumer's failure.
+    *
+    * Single pass over the data: all per-column aggregates run in ONE
+    * aggregate (multiple exact countDistinct trigger Spark's standard
+    * expand — #cols × rows intermediate, fine for the handful of audited
+    * key columns; use approx_count_distinct for wide audits), then the
+    * 1-row result unpivots via `stack`. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      countDistinct(col(c)).as(s"__dist_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `__nulls_$c`, `__dist_$c`, `__min_$c`, `__max_$c`").mkString(", ")
+    wide.select(col("__n").as("n_rows"), expr(
+        s"stack(${cols.size}, $stackArgs) AS (column, n_nulls, n_distinct, min_str, max_str)"))
+      .select(col("column"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_str"), col("max_str"))
+  }
 }

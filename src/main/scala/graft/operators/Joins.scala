@@ -196,6 +196,38 @@ object Joins {
         pickCols.map(c => col("__asof").getField(c).as(s"$prefix$c"))).toIndexedSeq: _*)
   }
 
+  /** SCD-style snapshot diff: classify every key across two table versions
+    * as insert / delete / update / unchanged — the generalization of the
+    * reference's dedupe (T16: insert-vs-exists) and upsert (K3) to a full
+    * change feed, which is what an incremental 100 TB pipeline publishes
+    * downstream instead of re-shipping the table.
+    *
+    * One full-outer join on the key; per-column change detection is
+    * null-safe (`<=>` — a null→value transition IS an update). Output:
+    * key, change_type, and the NEW side's compare columns (null for
+    * deletes — the tombstone shape). Both sides shuffle once on the key;
+    * AQE broadcasts a small side (e.g. an incremental batch vs a bucketed
+    * destination). */
+  def diffSnapshots(oldDf: DataFrame, newDf: DataFrame, key: String,
+                    compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    val o = oldDf.select((key +: compareCols).map(col).toIndexedSeq: _*)
+      .toDF((s"__old_$key" +: compareCols.map(c => s"__old_$c")).toIndexedSeq: _*)
+    val n = newDf.select((key +: compareCols).map(col).toIndexedSeq: _*)
+    val joined = n.join(o, n(key) === o(s"__old_$key"), "full_outer")
+    val changed = compareCols
+      .map(c => not(col(s"__old_$c") <=> col(c)))
+      .reduce(_ || _)
+    joined
+      .withColumn("change_type",
+        when(col(s"__old_$key").isNull, "insert")
+          .when(col(key).isNull, "delete")
+          .when(changed, "update")
+          .otherwise("unchanged"))
+      .select((coalesce(col(key), col(s"__old_$key")).as(key) +:
+        col("change_type") +: compareCols.map(col)).toIndexedSeq: _*)
+  }
+
   /** Keyed upsert = MERGE emulation without a transactional table format
     * (reference/ticket.py:151-212 per-row UPDATE loop → set-oriented):
     * rows of `dest` whose key appears in `updates` are replaced by the

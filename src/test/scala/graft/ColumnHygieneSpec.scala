@@ -68,4 +68,19 @@ class ColumnHygieneSparkSpec extends SparkSuite {
     assert(ColumnHygiene.sanitizeColumns(df).columns.toSeq ===
       Seq("_99_n_mero", "b_c"))
   }
+
+  test("columnProfile: exact null/distinct/min/max per audited column") {
+    val df = Seq(
+      (Option("a"), Option(10L)),
+      (Option("b"), Option(20L)),
+      (Option("a"), Option.empty[Long]),
+      (Option.empty[String], Option(20L))).toDF("s", "n")
+    val out = ColumnHygiene.columnProfile(df, Seq("s", "n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.getString(4)), Option(r.getString(5))))).toMap
+    // countDistinct ignores nulls; min/max as strings
+    assert(out("s") === ((4L, 1L, 2L, Some("a"), Some("b"))))
+    assert(out("n") === ((4L, 1L, 2L, Some("10"), Some("20"))))
+  }
 }

@@ -90,6 +90,27 @@ class JoinsSpec extends SparkSuite {
     assert(out === Set((1L, "new"), (2L, "keep"), (9L, "ins")))
   }
 
+  test("diffSnapshots classifies insert/delete/update/unchanged, null-safe") {
+    val oldSnap = Seq(
+      (1L, Option("a")), (2L, Option("b")),
+      (3L, Option.empty[String]), (4L, Option("gone"))).toDF("k", "v")
+    val newSnap = Seq(
+      (1L, Option("a")),            // unchanged
+      (2L, Option("B")),            // update
+      (3L, Option("now-set")),      // update: null -> value must be an update
+      (5L, Option("fresh"))         // insert; 4 deleted
+    ).toDF("k", "v")
+    val out = Joins.diffSnapshots(oldSnap, newSnap, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(out === Map(
+      1L -> (("unchanged", Some("a"))),
+      2L -> (("update", Some("B"))),
+      3L -> (("update", Some("now-set"))),
+      4L -> (("delete", None)),
+      5L -> (("insert", Some("fresh")))))
+  }
+
   test("unionSlices tolerates column drift") {
     val s1 = Seq((1L, "x")).toDF("k", "a")
     val s2 = Seq((2L, 5.0)).toDF("k", "b")
