@@ -878,6 +878,23 @@ object SparkEntry {
       Seq("o_orderstatus", "o_custkey", "o_orderpriority"))
       .withColumnRenamed("column", "col_name")
 
+  /** §2b CDC apply: reconstruct the new snapshot from old + change feed —
+    * the oracle IS the new-snapshot definition, so the check closes the
+    * diff/apply roundtrip exactly. */
+  private def q_apply_diff(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val oldSnap = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    Joins.applyDiff(oldSnap, q_snapshot_diff(s, d), "o_orderkey",
+      Seq("o_totalprice", "o_orderstatus"))
+  }
+
+  /** §2b BM25 ranked retrieval: top-20 documents for a literal query-term
+    * set — early term filter, broadcast stats, TakeOrdered top-k. */
+  private def q_bm25(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.bm25(Tables.documents(s, d), "doc_id", "text",
+      Seq("data", "spark", "merge"), 20)
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -970,6 +987,8 @@ object SparkEntry {
     "q_repetition" -> (q_repetition _),
     "q_snapshot_diff" -> (q_snapshot_diff _),
     "q_column_profile" -> (q_column_profile _),
+    "q_apply_diff" -> (q_apply_diff _),
+    "q_bm25" -> (q_bm25 _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -1264,6 +1283,34 @@ object SparkEntry {
            ON c.user_id = p.user_id
           AND p.purchase_ts >= c.click_ts
           AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE""",
+    "q_apply_diff" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderstatus
+         FROM orders WHERE o_orderkey % 11 <> 0""",
+    "q_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
+              lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tok),
+              corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                                avg(dl) AS avgdl FROM lens),
+              tf AS (SELECT doc_id, term, count(*) AS tf
+                     FROM (SELECT doc_id, UNNEST(t) AS term FROM tok)
+                     WHERE term IN ('data', 'spark', 'merge')
+                     GROUP BY doc_id, term),
+              dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT doc_id, score FROM (
+           SELECT f.doc_id,
+                  round(sum(ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                    * f.tf * 2.2
+                    / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl))), 6) AS score
+           FROM tf f
+           JOIN dfreq d ON f.term = d.term
+           JOIN lens l ON f.doc_id = l.doc_id
+           CROSS JOIN corpus c
+           GROUP BY f.doc_id)
+         ORDER BY score DESC, doc_id ASC
+         LIMIT 20""",
     "q_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus
                     FROM orders WHERE o_orderkey % 7 <> 0),

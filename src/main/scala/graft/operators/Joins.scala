@@ -228,6 +228,22 @@ object Joins {
         col("change_type") +: compareCols.map(col)).toIndexedSeq: _*)
   }
 
+  /** Apply a [[diffSnapshots]] change feed to the old snapshot,
+    * reconstructing the new one exactly (CDC apply — the consumer side of
+    * the change feed; `applyDiff(old, diffSnapshots(old, new)) == new` is
+    * both property-tested and oracle-checked). One anti-join to retire
+    * deleted/updated keys + one union of insert/update rows. */
+  def applyDiff(oldDf: DataFrame, diff: DataFrame, key: String,
+                compareCols: Seq[String]): DataFrame = {
+    val retired = diff.filter(col("change_type").isin("delete", "update"))
+      .select(col(key))
+    val additions = diff.filter(col("change_type").isin("insert", "update"))
+      .select((key +: compareCols).map(col).toIndexedSeq: _*)
+    oldDf.select((key +: compareCols).map(col).toIndexedSeq: _*)
+      .join(retired, Seq(key), "left_anti")
+      .unionByName(additions)
+  }
+
   /** Keyed upsert = MERGE emulation without a transactional table format
     * (reference/ticket.py:151-212 per-row UPDATE loop → set-oriented):
     * rows of `dest` whose key appears in `updates` are replaced by the

@@ -33,6 +33,45 @@ object TextAnalytics {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tf_idf"))
   }
 
+  /** BM25 ranked retrieval for a literal query-term set: the standard
+    * lexical relevance score
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))`. Top-k by the 6dp-rounded score
+    * (id tiebreak) so cross-engine double ulps cannot flip the ranking.
+    *
+    * Scale shape: term frequencies are filtered to the query's terms
+    * BEFORE any shuffle (the explode feeds a filter, so only matching
+    * (doc, term) rows aggregate); doc-length and corpus stats are one
+    * aggregate each, joined back as broadcasts. No full-vocabulary state
+    * anywhere — cost ∝ documents containing query terms. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val tf = termFrequencies(docs, idCol, textCol)
+      .filter(col("term").isin(queryTerms.map(lit): _*))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val lengths = docs.select(col(idCol),
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("double").as("dl"))
+    val corpus = lengths.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val contrib = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(lengths, Seq(idCol))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("c",
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+    // orderBy().limit plans TakeOrdered (per-partition top-k + merge) — a
+    // global row_number window would funnel every matching doc into one task
+    contrib.groupBy(col(idCol))
+      .agg(round(sum(col("c")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with a benchmark/eval set — the overlap check every serious
     * training corpus runs before an eval score means anything (13-grams is

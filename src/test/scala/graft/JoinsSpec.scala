@@ -111,6 +111,16 @@ class JoinsSpec extends SparkSuite {
       5L -> (("insert", Some("fresh")))))
   }
 
+  test("applyDiff(old, diffSnapshots(old, new)) reconstructs new exactly") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (4L, "gone"), (7L, "same"))
+      .toDF("k", "v")
+    val newSnap = Seq((1L, "a2"), (2L, "b"), (5L, "fresh"), (7L, "same"))
+      .toDF("k", "v")
+    val diff = Joins.diffSnapshots(oldSnap, newSnap, "k", Seq("v"))
+    val rebuilt = Joins.applyDiff(oldSnap, diff, "k", Seq("v"))
+    assert(rebuilt.collect().toSet === newSnap.collect().toSet)
+  }
+
   test("unionSlices tolerates column drift") {
     val s1 = Seq((1L, "x")).toDF("k", "a")
     val s2 = Seq((2L, 5.0)).toDF("k", "b")

@@ -210,6 +210,24 @@ class TextAndDedupSpec extends SparkSuite {
     assert(out(4L) === ((0L, 0.0, 0.0)))
   }
 
+  test("bm25 ranks term-dense short docs first and bounds output to k") {
+    import graft.operators.TextAnalytics
+    val d = Seq(
+      (1L, "data data data"),                       // dense in one query term
+      (2L, "data filler filler filler filler filler filler filler"),
+      (3L, "spark merge data"),                     // hits all three terms
+      (4L, "nothing relevant here"),
+      (5L, "data spark")).toDF("doc_id", "text")
+    val out = TextAnalytics.bm25(d, "doc_id", "text",
+      Seq("data", "spark", "merge"), 3)
+      .as[(Long, Double)].collect()
+    assert(out.length === 3)
+    assert(!out.map(_._1).contains(4L), "no-hit docs must not rank")
+    assert(out.head._1 === 3L, "the all-terms doc must rank first")
+    assert(out.map(_._2).toSeq === out.map(_._2).sortBy(-_).toSeq,
+      "scores must be descending")
+  }
+
   test("langIdHeuristic flags stopword-rich text as en") {
     val d = Seq((1L, "the cat is in the hat and it is fine"),
       (2L, "zzz qqq www rrr")).toDF("doc_id", "text")
