@@ -626,6 +626,64 @@ object SparkEntry {
       q, "qv", k = 10, nprobe = 2)
   }
 
+  /** §2b k-means codebook training, one Lloyd iteration made auditable:
+    * assign to the 8 seed centroids (vec_id < 8), per-(cell, dim) means in
+    * long form. The full train loop just re-feeds these means as the next
+    * centroid literals ([[Similarity.kmeansTrain]]). */
+  private def q_kmeans_step(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+    Similarity.kmeansStep(emb, "vec_id", "embedding", cents)
+      .select(col("cell"), col("pos").cast("long").as("pos"),
+        round(col("c_val"), 6).as("c_val"), col("n"))
+  }
+
+  /** §2b IVF ANN with a TRAINED codebook: one Lloyd iteration refines the
+    * 8 seed centroids, then the standard assign → probe-3-cells → exact
+    * re-rank. The oracle unrolls the identical training step in SQL. */
+  private def q_ivf_trained(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 8, iters = 1)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    Similarity.ivfTopK(assigned, "vec_id", "embedding", cents,
+      q, "qv", k = 10, nprobe = 3)
+  }
+
+  /** §2b lexical-diversity signals: unigram entropy + type-token ratio. */
+  private def q_token_entropy(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+
+  /** §2b robust outlier fences: per-language Tukey IQR over doc length. */
+  private def q_iqr_outliers(s: SparkSession, d: String): DataFrame =
+    Corpus.iqrOutliers(Tables.documents(s, d), "lang", "n_chars")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("lo_fence"), 6).as("lo_fence"),
+        round(col("hi_fence"), 6).as("hi_fence"),
+        col("is_outlier"))
+
+  /** §2b exact-dup survivorship by quality: keep the longest copy of each
+    * fingerprint (tie → lowest doc_id), not just the lowest id. */
+  private def q_keep_best(s: SparkSession, d: String): DataFrame =
+    Dedup.keepBestCopy(Tables.documents(s, d), "doc_id", "text", "n_chars")
+
+  /** §2b end-to-end near-dup survivorship: Jaccard pairs → connected
+    * components → one surviving doc per cluster with its member count. */
+  private def q_neardup_survivors(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.3)
+    Dedup.nearDupSurvivors(docs.select(col("doc_id")), pairs, "doc_id")
+  }
+
+  /** §2b custom-state sessionization (flatMapGroupsWithState), batch twin:
+    * bounded input ⇒ end-of-data closes every session (emitOpen=true). */
+  private def q_stateful_sessions(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams
+      .statefulSessions(Tables.events(s, d), 30, emitOpen = true)
+      .toDF()
+      .withColumn("session_value", round(col("session_value"), 2))
+
   // ----------------------------------------------------- events / streams
 
   /** §2b tumbling-window aggregate (batch twin of the streaming query). */
@@ -965,6 +1023,13 @@ object SparkEntry {
     "q_lsh_candidates" -> (q_lsh_candidates _),
     "q_frame_sample" -> (q_frame_sample _),
     "q_ivf_topk" -> (q_ivf_topk _),
+    "q_kmeans_step" -> (q_kmeans_step _),
+    "q_ivf_trained" -> (q_ivf_trained _),
+    "q_token_entropy" -> (q_token_entropy _),
+    "q_iqr_outliers" -> (q_iqr_outliers _),
+    "q_keep_best" -> (q_keep_best _),
+    "q_neardup_survivors" -> (q_neardup_survivors _),
+    "q_stateful_sessions" -> (q_stateful_sessions _),
     "q_event_hourly" -> (q_event_hourly _),
     "q_sessionize" -> (q_sessionize _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
@@ -1439,6 +1504,123 @@ object SparkEntry {
          SELECT vec_id, cell, round(${duckCos("asg.v", "qv.q")}, 6) AS cosine_sim
          FROM asg JOIN probe USING (cell), qv
          ORDER BY round(${duckCos("asg.v", "qv.q")}, 6) DESC, vec_id LIMIT 10""",
+    "q_kmeans_step" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+              asg AS (SELECT vec_id, v, cent_id AS cell FROM (
+                 SELECT e.vec_id, e.v, c.cent_id,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cent_id) AS rn
+                 FROM e, c) WHERE rn = 1)
+         SELECT cell, t.pos, round(avg(v[t.pos + 1]), 6) AS c_val, count(*) AS n
+         FROM asg, range(64) t(pos)
+         GROUP BY cell, t.pos""",
+    "q_ivf_trained" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+              asg0 AS (SELECT vec_id, v, cent_id AS cell FROM (
+                 SELECT e.vec_id, e.v, c0.cent_id,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY ${duckCos("e.v", "c0.cv")} DESC, c0.cent_id) AS rn
+                 FROM e, c0) WHERE rn = 1),
+              m1 AS (SELECT cell, t.pos, avg(v[t.pos + 1]) AS cv
+                     FROM asg0, range(64) t(pos) GROUP BY cell, t.pos),
+              c1 AS (SELECT c0.cent_id,
+                            COALESCE(l.cv, c0.cv) AS cv
+                     FROM c0 LEFT JOIN
+                          (SELECT cell, list(cv ORDER BY pos) AS cv
+                           FROM m1 GROUP BY cell) l ON l.cell = c0.cent_id),
+              qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+              asg1 AS (SELECT vec_id, v, cent_id AS cell FROM (
+                 SELECT e.vec_id, e.v, c1.cent_id,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY ${duckCos("e.v", "c1.cv")} DESC, c1.cent_id) AS rn
+                 FROM e, c1) WHERE rn = 1),
+              probe AS (SELECT cent_id AS cell FROM (
+                 SELECT c1.cent_id,
+                        ROW_NUMBER() OVER (ORDER BY round(${duckCos("c1.cv", "qv.q")}, 6) DESC,
+                                           c1.cent_id) AS rn
+                 FROM c1, qv) WHERE rn <= 3)
+         SELECT vec_id, cell, round(${duckCos("asg1.v", "qv.q")}, 6) AS cosine_sim
+         FROM asg1 JOIN probe USING (cell), qv
+         ORDER BY round(${duckCos("asg1.v", "qv.q")}, 6) DESC, vec_id LIMIT 10""",
+    "q_token_entropy" ->
+      s"""WITH cnt AS (
+            SELECT doc_id, tok, count(*) AS c FROM (
+              SELECT doc_id, UNNEST($duckTokens) AS tok FROM documents)
+            GROUP BY doc_id, tok)
+         SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
+                round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+                round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio
+         FROM cnt GROUP BY doc_id""",
+    "q_iqr_outliers" ->
+      """WITH stats AS (SELECT lang, quantile_cont(n_chars, 0.25) AS q1,
+                               quantile_cont(n_chars, 0.75) AS q3
+                        FROM documents GROUP BY lang)
+         SELECT doc_id, d.lang, n_chars,
+                round(q1 - 1.5 * (q3 - q1), 6) AS lo_fence,
+                round(q3 + 1.5 * (q3 - q1), 6) AS hi_fence,
+                (n_chars < q1 - 1.5 * (q3 - q1)
+                  OR n_chars > q3 + 1.5 * (q3 - q1)) AS is_outlier
+         FROM documents d JOIN stats USING (lang)""",
+    "q_keep_best" ->
+      """WITH fp AS (SELECT doc_id, n_chars,
+                       md5(regexp_replace(lower(text), '[^0-9a-z]', '', 'g'))
+                         AS fingerprint
+                     FROM documents),
+              r AS (SELECT fingerprint, n_chars, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY fingerprint
+                        ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                      count(*) OVER (PARTITION BY fingerprint) AS n_dups
+                    FROM fp)
+         SELECT fingerprint, CAST(n_chars AS DOUBLE) AS best_quality,
+                doc_id AS keep_id, n_dups
+         FROM r WHERE rn = 1""",
+    "q_neardup_survivors" ->
+      """WITH RECURSIVE
+           tok AS (SELECT DISTINCT doc_id,
+                     UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS token
+                   FROM documents WHERE doc_id < 60),
+           sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+           inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                     FROM tok a JOIN tok b
+                       ON a.token = b.token AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+           pairs AS (SELECT i.id_a, i.id_b
+                     FROM inter i
+                     JOIN sizes sa ON i.id_a = sa.doc_id
+                     JOIN sizes sb ON i.id_b = sb.doc_id
+                     WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.3),
+           edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                     UNION
+                     SELECT id_b AS src, id_a AS dst FROM pairs),
+           nodes AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 60),
+           walk(id, lbl) AS (
+             SELECT id, id FROM nodes
+             UNION
+             SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.id = e.src),
+           cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
+         SELECT cluster AS doc_id, count(*) AS n_members FROM cl GROUP BY cluster""",
+    "q_stateful_sessions" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+                  CASE WHEN prev_us IS NULL
+                         OR (epoch_us(ts) - prev_us) > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM (SELECT user_id, event_id, ts, value,
+                        LAG(epoch_us(ts), 1) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                 FROM events)),
+              sess AS (
+           SELECT user_id, epoch_us(ts) AS us, value,
+                  CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS BIGINT) AS sid
+           FROM flagged)
+         SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
+                count(*) AS n_events, round(sum(value), 2) AS session_value
+         FROM sess GROUP BY user_id, sid""",
     "q_open_tickets" ->
       """SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS n_ticket FROM orders
          WHERE o_orderkey IS NOT NULL AND o_orderstatus <> 'F'""",

@@ -164,6 +164,32 @@ object Corpus {
       .drop("__s", "__s2", "__n")
   }
 
+  /** Per-group Tukey (IQR) outlier fences for `valCol`: rows outside
+    * [q1 − k·IQR, q3 + k·IQR] are flagged, not dropped — the robust
+    * complement to [[zscore]] (quartiles ignore the outliers themselves,
+    * where mean/stddev are dragged by them).
+    *
+    * Same scale shape as [[zscore]]: ONE group aggregate broadcast back
+    * (#groups rows), the data side never shuffles — NOT a per-group
+    * window. The exact `percentile` buffers each group's values inside
+    * the aggregate; at corpus scale swap in approx_percentile exactly as
+    * [[quantileFilterApprox]] does for [[quantileFilter]]. */
+  def iqrOutliers(df: DataFrame, groupCol: String, valCol: String,
+                  k: Double = 1.5): DataFrame = {
+    require(k >= 0, s"fence multiplier must be >= 0 (got $k)")
+    val stats = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valCol, 0.25)").as("__q1"),
+      expr(s"percentile($valCol, 0.75)").as("__q3"))
+    val iqr = col("__q3") - col("__q1")
+    df.join(broadcast(stats), df(groupCol) <=> stats(groupCol))
+      .drop(stats(groupCol))
+      .withColumn("lo_fence", col("__q1") - lit(k) * iqr)
+      .withColumn("hi_fence", col("__q3") + lit(k) * iqr)
+      .withColumn("is_outlier",
+        col(valCol) < col("lo_fence") || col(valCol) > col("hi_fence"))
+      .drop("__q1", "__q3")
+  }
+
   /** Keep rows at or above the `minPct` quantile of `valCol` within their
     * group (e.g. "drop the bottom quartile of quality per language").
     * percent_rank with an id tiebreak is deterministic and engine-portable

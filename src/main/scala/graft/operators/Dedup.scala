@@ -23,6 +23,41 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Exact-dup survivorship with a QUALITY policy: among rows sharing a
+    * content fingerprint keep the highest-quality copy (ties → lowest id)
+    * — the "best copy wins" generalization of [[exactByFingerprint]]'s
+    * min-id rule (dedup between a raw and a cleaned crawl should keep the
+    * better copy, not the earlier id). Still ONE hash-aggregate shuffle:
+    * the argmax is a struct max, so only (quality, id) pairs cross the
+    * wire, never document payloads. */
+  def keepBestCopy(docs: DataFrame, idCol: String, textCol: String,
+                   qualityCol: String): DataFrame =
+    docs
+      .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+      .groupBy(col("fingerprint"))
+      .agg(
+        // struct ordering compares quality first; the negated id makes
+        // quality ties resolve to the LOWEST id deterministically
+        max(struct(col(qualityCol).cast("double").as("q"),
+          (-col(idCol)).as("negid"))).as("__best"),
+        count(lit(1)).as("n_dups"))
+      .select(col("fingerprint"), col("__best.q").as("best_quality"),
+        (-col("__best.negid")).as("keep_id"), col("n_dups"))
+
+  /** End-to-end near-dup survivorship: resolve candidate pairs into
+    * connected-component clusters ([[duplicateClusters]]) and emit one row
+    * per surviving document (the cluster's minimum id) with its member
+    * count — the final "which rows does the dedup pass keep" answer,
+    * composing pair generation (Jaccard/LSH/SimHash — caller's choice) →
+    * clustering → survivor election. Singletons survive with n_members=1.
+    * Adds one count aggregate on top of the clustering rounds. */
+  def nearDupSurvivors(nodes: DataFrame, pairs: DataFrame, idCol: String,
+                       maxIter: Int = 20): DataFrame =
+    duplicateClusters(nodes, pairs, idCol, maxIter)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cluster").as(idCol), col("n_members"))
+
   /** Distinct word-token set per document (exploded form). Exploded rather
     * than array-valued so downstream similarity joins are equi-joins. */
   def tokenSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -106,11 +106,13 @@ object Similarity {
   }
 
   /** Collect a bounded centroid table to the driver (k rows — the one
-    * legitimate tiny-collect, like LSH plane literals). */
-  def collectCentroids(centroids: DataFrame, idCol: String, vecCol: String): Seq[(Long, Seq[Float])] =
+    * legitimate tiny-collect, like LSH plane literals). Values widen to
+    * Double so seed centroids and k-means-trained means share one type
+    * (float→double is exact; the cosine math is double either way). */
+  def collectCentroids(centroids: DataFrame, idCol: String, vecCol: String): Seq[(Long, Seq[Double])] =
     centroids.select(col(idCol).cast("long"), col(vecCol))
       .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
       .sortBy(_._1).toSeq
 
   /** IVF (inverted-file) coarse quantization: assign every vector to its
@@ -118,10 +120,10 @@ object Similarity {
     * are inlined as literal arrays, so assignment is a per-row argmax
     * expression chain — no crossJoin row expansion, no shuffle, no window:
     * a pure map-side scan, the standard ANN index build, linear at 100 TB.
-    * (A production build would k-means the centroids; any deterministic
-    * centroid set — e.g. a fixed sample — gives the same operator shape.) */
+    * Centroids come from any deterministic seed set or from [[kmeansTrain]]
+    * (Lloyd's iterations) for a data-adapted codebook. */
   def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
-                centroids: Seq[(Long, Seq[Float])]): DataFrame = {
+                centroids: Seq[(Long, Seq[Double])]): DataFrame = {
     // Argmax as array_max over (cos, -cell) structs: each centroid cosine is
     // evaluated exactly once per row. (A when-chain reduce duplicates the
     // accumulated branch at every level — 2^k copies of the innermost
@@ -144,7 +146,7 @@ object Similarity {
     * across engines. The query stays a (broadcast) 1-row frame — no
     * driver-side collect of data vectors. */
   def ivfTopK(assigned: DataFrame, idCol: String, vecCol: String,
-              centroids: Seq[(Long, Seq[Float])],
+              centroids: Seq[(Long, Seq[Double])],
               query: DataFrame, queryVecCol: String, k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = assigned.sparkSession
@@ -166,6 +168,47 @@ object Similarity {
       .orderBy(col("cosine_sim").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cell"), col("cosine_sim"))
+  }
+
+  /** One Lloyd (k-means) iteration as a dataflow: assign every vector to
+    * its nearest current centroid ([[ivfAssign]] — map-side argmax, no
+    * shuffle), then compute per-(cell, dimension) means with ONE
+    * hash-aggregate. posexplode expands n rows to n×dim, but the partial
+    * (map-side) combine collapses each partition to ≤ k×dim rows before
+    * the exchange — at 100 TB only k×dim×partitions tiny rows shuffle.
+    * Returns (cell, pos, c_val, n): the updated codebook in long form,
+    * n = cell population (repeated per pos). */
+  def kmeansStep(embeddings: DataFrame, idCol: String, vecCol: String,
+                 centroids: Seq[(Long, Seq[Double])]): DataFrame =
+    ivfAssign(embeddings, idCol, vecCol, centroids)
+      .select(col("cell"), posexplode(col(vecCol)))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("c_val"), count(lit(1)).as("n"))
+
+  /** Train an IVF codebook with `iters` Lloyd iterations. Seed centroids
+    * are the k lowest-id vectors (deterministic — reproducible across
+    * runs/engines, unlike a random init). Each iteration collects k×dim
+    * mean values to the driver (k ≤ a few hundred — the same legitimate
+    * tiny-collect as the centroid literals themselves); a cell that ends
+    * up empty keeps its previous centroid. Clustering quality is standard
+    * Lloyd's; for ANN coarse quantization a handful of iterations over a
+    * (deterministic) sample is the production recipe — the corpus itself
+    * is only ever touched map-side. */
+  def kmeansTrain(embeddings: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    require(k > 0 && iters >= 0, s"need k > 0 and iters >= 0 (got k=$k, iters=$iters)")
+    var cents = collectCentroids(
+      embeddings.orderBy(col(idCol).asc).limit(k), idCol, vecCol)
+    require(cents.size == k, s"need at least $k seed vectors (got ${cents.size})")
+    for (_ <- 1 to iters) {
+      val means = kmeansStep(embeddings, idCol, vecCol, cents)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (cell, rows) => cell -> rows.sortBy(_._2).map(_._3).toSeq }
+      cents = cents.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    }
+    cents
   }
 
   /** Exact all-pairs cosine over a bounded id range — the correctness oracle

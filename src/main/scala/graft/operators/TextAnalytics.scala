@@ -134,6 +134,30 @@ object TextAnalytics {
           .as("top_bigram_frac"))
   }
 
+  /** Per-document unigram Shannon entropy (nats) and type-token ratio —
+    * the lexical-diversity quality signals: near-zero entropy marks
+    * keyword-stuffing/boilerplate, entropy ≈ ln(n_tokens) marks fully
+    * distinct text. entropy = ln(n) − Σ c·ln(c) / n over token counts c.
+    *
+    * Scale shape: the classic wordcount — one explode + two hash
+    * aggregates (both with map-side partial combine), shuffle ∝ distinct
+    * (doc, token) pairs then docs; no window, no driver state. Token-less
+    * documents (blank text) have no rows here, matching the tokenizer's
+    * empty-array contract. */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        round(log(sum(col("c"))) -
+          sum(col("c").cast("double") * log(col("c"))) / sum(col("c")), 6)
+          .as("entropy"),
+        round(count(lit(1)).cast("double") / sum(col("c")), 6)
+          .as("type_token_ratio"))
+
   /** Top-k terms per document by TF-IDF, ranked on the score rounded to
     * `roundScale` decimals with a term tiebreak — rounding before ranking
     * keeps the selection reproducible across engines (mathematically-equal

@@ -8,6 +8,15 @@ import org.apache.spark.sql.types.StructType
 /** Keyed state record for [[EventStreams.runningUserStats]]. */
 case class UserStat(user_id: Long, n_events: Long, last_us: Long)
 
+/** A session in progress, carried as keyed state by
+  * [[EventStreams.statefulSessions]]. */
+case class OpenSession(start_us: Long, end_us: Long, n: Long, v: Double)
+
+/** One completed session emitted by [[EventStreams.statefulSessions]]. */
+case class SessionOut(user_id: Long, session_start_us: Long,
+                      session_end_us: Long, n_events: Long,
+                      session_value: Double)
+
 /** Structured Streaming surface over the `events` table (SURVEY.md §2b).
   *
   * The reference is daily batch; this is the north-star streaming extension.
@@ -119,6 +128,77 @@ object EventStreams {
           val updated = UserStat(user, n, last)
           state.update(updated)
           updated
+      }
+  }
+
+  /** Gap-based sessionization with EXPLICIT keyed state — the
+    * `flatMapGroupsWithState` shape for session logic the built-in
+    * `session_window` can't express (per-session custom folds, mid-session
+    * emissions, model state). Events are folded in (ts, event_id) order;
+    * a gap > `gapMinutes` closes the session and emits it.
+    *
+    * Batch vs stream: on a BOUNDED input end-of-data closes every session,
+    * so the batch twin passes `emitOpen = true` and emits the final open
+    * session per user too (this is what the DuckDB oracle checks — same
+    * sessions as the lag/sum formulation). In streaming, pass
+    * `emitOpen = false` (more data may still extend the open session): it
+    * stays in state with an event-time timeout of end + gap, and the
+    * timeout path emits it once the watermark passes — callers must set a
+    * watermark on `ts` upstream. State per key is ONE OpenSession record
+    * (4 scalars), not the event list — O(users) state, watermark-bounded.
+    *
+    * Within one invocation the group's rows are buffered to sort by
+    * (ts, event_id): per-key-per-batch volume, the same bound every
+    * mapGroups carries; the cross-batch accumulation lives in the
+    * 4-scalar state, never a growing buffer. */
+  def statefulSessions(events: DataFrame, gapMinutes: Int = 30,
+                       emitOpen: Boolean = false): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events
+      // the raw ts column rides along untouched: the streaming planner
+      // requires the WATERMARKED event-time attribute to reach the
+      // stateful operator's input (a unix_micros projection of it loses
+      // the watermark tag and fails analysis)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("value").cast("double"), col("ts"))
+      .as[(Long, Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) { (user, rows, state) =>
+        if (state.hasTimedOut) {
+          // watermark passed end + gap: nothing can extend this session
+          val s = state.get
+          state.remove()
+          Iterator(SessionOut(user, s.start_us, s.end_us, s.n, s.v))
+        } else {
+          val sorted = rows.toVector.sortBy { case (_, us, eid, _, _) => (us, eid) }
+          val out = Vector.newBuilder[SessionOut]
+          var open = state.getOption
+          sorted.foreach { case (_, us, _, v, _) =>
+            open match {
+              case Some(o) if us - o.end_us <= gapUs =>
+                open = Some(OpenSession(o.start_us, us, o.n + 1, o.v + v))
+              case Some(o) =>
+                out += SessionOut(user, o.start_us, o.end_us, o.n, o.v)
+                open = Some(OpenSession(us, us, 1L, v))
+              case None =>
+                open = Some(OpenSession(us, us, 1L, v))
+            }
+          }
+          open.foreach { o =>
+            if (emitOpen) {
+              out += SessionOut(user, o.start_us, o.end_us, o.n, o.v)
+              state.remove()
+            } else {
+              state.update(o)
+              // timeout is in millis event time; fires once watermark > it
+              state.setTimeoutTimestamp(o.end_us / 1000L + gapMinutes.toLong * 60000L)
+            }
+          }
+          out.result().iterator
+        }
       }
   }
 

@@ -184,6 +184,21 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
+  test("iqrOutliers: per-group Tukey fences flag only true outliers") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+      ("b", 10.0), ("b", 10.0), ("b", 10.0)).toDF("g", "v")
+    val out = Corpus.iqrOutliers(df, "g", "v")
+      .select("g", "v", "lo_fence", "hi_fence", "is_outlier")
+      .as[(String, Double, Double, Double, Boolean)].collect()
+    // group a: q1=2, q3=4 (linear interpolation over 5 points) → fences [-1, 7]
+    val aRows = out.filter(_._1 == "a")
+    assert(aRows.forall(r => r._3 === -1.0 && r._4 === 7.0))
+    assert(aRows.filter(_._5).map(_._2).toSeq === Seq(100.0))
+    // group b: zero IQR → fences collapse to the point, nothing flagged
+    val bRows = out.filter(_._1 == "b")
+    assert(bRows.forall(r => r._3 === 10.0 && r._4 === 10.0 && !r._5))
+  }
+
   test("packBins: offset-based layout conserves tokens and respects order") {
     val df = Seq((1L, "s", "a b c"), (2L, "s", "d e"), (3L, "s", "f g h i"))
       .toDF("doc_id", "shard", "text")

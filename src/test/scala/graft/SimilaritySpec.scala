@@ -128,6 +128,39 @@ class SimilaritySpec extends SparkSuite {
     assert(top.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("kmeansStep computes exact per-cell means; assignment honors cosine") {
+    // values chosen exact in binary floating point so means are exact
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),    // seed centroid 0
+      (1L, Seq(0.0f, 1.0f)),    // seed centroid 1
+      (2L, Seq(1.0f, 0.5f)),    // nearer (1,0) → cell 0
+      (3L, Seq(0.5f, 1.0f)))    // nearer (0,1) → cell 1
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.collectCentroids(
+      emb.filter($"vec_id" < 2), "vec_id", "embedding")
+    val step = Similarity.kmeansStep(emb, "vec_id", "embedding", cents)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(step((0L, 0)) === ((1.0, 2L)))    // mean(1.0, 1.0)
+    assert(step((0L, 1)) === ((0.25, 2L)))   // mean(0.0, 0.5)
+    assert(step((1L, 0)) === ((0.25, 2L)))
+    assert(step((1L, 1)) === ((1.0, 2L)))
+    val trained = Similarity.kmeansTrain(emb, "vec_id", "embedding", 2, 1).toMap
+    assert(trained(0L) === Seq(1.0, 0.25))
+    assert(trained(1L) === Seq(0.25, 1.0))
+  }
+
+  test("kmeansTrain keeps the previous centroid for a cell that empties") {
+    // identical seed vectors: ties assign everything to cell 0, cell 1
+    // gets no members — its centroid must survive unchanged, not vanish
+    val emb = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansTrain(emb, "vec_id", "embedding", 2, 3).toMap
+    assert(trained.keySet === Set(0L, 1L))
+    assert(trained(1L) === Seq(1.0, 0.0))
+  }
+
   test("frameSample counts and fingerprints sampled frames") {
     import graft.operators.Multimodal
     val df = Seq((1L, "a" * 100), (2L, "xy")).toDF("id", "text")

@@ -98,6 +98,55 @@ class StreamingSpec extends SparkSuite {
       "replayed batch must dedup to zero new rows")
   }
 
+  test("statefulSessions batch twin matches native session_window splits") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf)
+    // same gap semantics, two formulations: explicit keyed state vs the
+    // built-in session_window (start = first ts in both)
+    val expected = EventStreams.sessionSpans(events)
+      .select(unix_micros(col("session_start")), col("user_id"), col("n_events"))
+      .collect().map(_.toSeq).toSet
+    val got = EventStreams.statefulSessions(events, 30, emitOpen = true)
+      .toDF()
+      .select(col("session_start_us"), col("user_id"), col("n_events"))
+      .collect().map(_.toSeq).toSet
+    assert(got === expected)
+  }
+
+  test("statefulSessions streaming closes sessions via event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, Double)] // user, us, event, value
+    val input = ms.toDF().toDF("user_id", "us", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .withWatermark("ts", "1 minute")
+    val q = EventStreams.statefulSessions(input, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stateful_out")
+      .start()
+    try {
+      val t0 = 1700000000000000L
+      val min = 60L * 1000000L
+      ms.addData((1L, t0, 1L, 1.0), (1L, t0 + 5 * min, 2L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("stateful_out").isEmpty,
+        "open session must not emit before the watermark passes its gap")
+      // much later event advances the watermark past end+gap ...
+      ms.addData((2L, t0 + 180 * min, 3L, 5.0))
+      q.processAllAvailable()
+      // ... and the timeout fires on the following trigger
+      ms.addData((2L, t0 + 181 * min, 4L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("stateful_out")
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .collect().map(_.toSeq)
+      assert(rows.contains(Seq(1L, t0, t0 + 5 * min, 2L)),
+        "user 1's session must flush once the watermark passes end+gap")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids within watermark") {
     val batchEvents = Tables.events(spark, sf).limit(100).cache()
     val doubled = batchEvents.unionByName(batchEvents)

@@ -228,6 +228,41 @@ class TextAndDedupSpec extends SparkSuite {
       "scores must be descending")
   }
 
+  test("tokenEntropy: uniform repeats, single token, blank text") {
+    import graft.operators.TextAnalytics
+    val d = Seq((1L, "a a b b"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalytics.tokenEntropy(d, "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_types", "entropy", "type_token_ratio")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // two equiprobable types → entropy = ln 2
+    assert(out(1L) === ((4L, 2L, 0.693147, 0.5)))
+    assert(out(2L) === ((1L, 1L, 0.0, 1.0)))
+    assert(!out.contains(3L), "token-less docs have no entropy row")
+  }
+
+  test("keepBestCopy keeps the highest-quality copy, ties to lowest id") {
+    val d = Seq(
+      (0L, "The quick brown fox", 5L),
+      (1L, "the quick  brown fox!!", 9L),   // same fingerprint, better quality
+      (2L, "other text", 3L),
+      (3L, "other text", 3L))               // quality tie → keep id 2
+      .toDF("doc_id", "text", "quality")
+    val out = Dedup.keepBestCopy(d, "doc_id", "text", "quality")
+      .select("keep_id", "best_quality", "n_dups")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(out === Set((1L, 9.0, 2L), (2L, 3.0, 2L)))
+  }
+
+  test("nearDupSurvivors: transitive chain collapses to one survivor") {
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    // 0~1 and 1~2 (never 0~2 directly); 3 is a singleton
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.nearDupSurvivors(nodes, pairs, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(out === Set((0L, 3L), (3L, 1L)))
+  }
+
   test("langIdHeuristic flags stopword-rich text as en") {
     val d = Seq((1L, "the cat is in the hat and it is fine"),
       (2L, "zzz qqq www rrr")).toDF("doc_id", "text")
