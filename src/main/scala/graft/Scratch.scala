@@ -48,7 +48,13 @@ object Scratch {
       "q_temperature_mix" -> ("Temperature corpus mixing",
         "Counts aggregate partial+final over #groups rows; min/pow on the tiny stats frame only; broadcast join back + map-side keep filter — the corpus side never shuffles."),
       "q_stratified_sample" -> ("Stratified deterministic sample",
-        "Pure map-side salted-md5 filter over the scan — zero shuffle, zero aggregation."))
+        "Pure map-side salted-md5 filter over the scan — zero shuffle, zero aggregation."),
+      "q_kmeans_step" -> ("k-means training step",
+        "Cell assignment is the same zero-shuffle map-side argmax as IVF; the per-(cell,dim) means are ONE hash-aggregate whose partial combine collapses each partition to <= k*dim rows before the exchange."),
+      "q_winsorize" -> ("Per-group winsorization",
+        "Quantile stats aggregate once (#groups rows) and broadcast back; the data side never shuffles — the same shape as zscore, NOT a per-group window."),
+      "q_corpus_shuffle" -> ("Deterministic epoch shuffle",
+        "The shuffle key is a pure map-side md5 expression; the top-20 probe plans TakeOrdered (per-partition top-k + merge) — no global sort materializes, no single-task window."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans for flagship queries\n\n")

@@ -676,6 +676,31 @@ object SparkEntry {
     Dedup.nearDupSurvivors(docs.select(col("doc_id")), pairs, "doc_id")
   }
 
+  /** §2b winsorization: clamp doc length into its language's [p5, p95]. */
+  private def q_winsorize(s: SparkSession, d: String): DataFrame =
+    Corpus.winsorize(Tables.documents(s, d), "lang", "n_chars", "n_chars_w")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("n_chars_w"), 6).as("n_chars_w"))
+
+  /** §2b asymmetric containment pairs — subset-duplication detection. */
+  private def q_containment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(
+      Dedup.tokenSets(Tables.documents(s, d).filter(col("doc_id") < 60),
+        "doc_id", "text"), "doc_id", 0.5)
+      .withColumn("containment_a", round(col("containment_a"), 6))
+      .withColumn("containment_b", round(col("containment_b"), 6))
+
+  /** §2b deterministic epoch shuffle: first 20 docs in epoch-1 order. */
+  private def q_corpus_shuffle(s: SparkSession, d: String): DataFrame =
+    Corpus.shuffleKey(Tables.documents(s, d), "doc_id", "epoch1")
+      .orderBy(col("shuffle_key").asc, col("doc_id").asc)
+      .limit(20)
+      .select(col("doc_id"), col("shuffle_key"))
+
+  /** §2b vocabulary coverage curve: top-100 tokens with cumulative share. */
+  private def q_vocab_coverage(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.vocabCoverage(Tables.documents(s, d), "doc_id", "text", 100)
+
   /** §2b custom-state sessionization (flatMapGroupsWithState), batch twin:
     * bounded input ⇒ end-of-data closes every session (emitOpen=true). */
   private def q_stateful_sessions(s: SparkSession, d: String): DataFrame =
@@ -1030,6 +1055,10 @@ object SparkEntry {
     "q_keep_best" -> (q_keep_best _),
     "q_neardup_survivors" -> (q_neardup_survivors _),
     "q_stateful_sessions" -> (q_stateful_sessions _),
+    "q_winsorize" -> (q_winsorize _),
+    "q_containment" -> (q_containment _),
+    "q_corpus_shuffle" -> (q_corpus_shuffle _),
+    "q_vocab_coverage" -> (q_vocab_coverage _),
     "q_event_hourly" -> (q_event_hourly _),
     "q_sessionize" -> (q_sessionize _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
@@ -1553,6 +1582,45 @@ object SparkEntry {
                 round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
                 round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio
          FROM cnt GROUP BY doc_id""",
+    "q_winsorize" ->
+      """WITH stats AS (SELECT lang, quantile_cont(n_chars, 0.05) AS plo,
+                               quantile_cont(n_chars, 0.95) AS phi
+                        FROM documents GROUP BY lang)
+         SELECT doc_id, d.lang, n_chars,
+                round(least(greatest(CAST(n_chars AS DOUBLE), plo), phi), 6)
+                  AS n_chars_w
+         FROM documents d JOIN stats USING (lang)""",
+    "q_containment" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+                        UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS token
+                      FROM documents WHERE doc_id < 60),
+              sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                        FROM tok a JOIN tok b
+                          ON a.token = b.token AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+         SELECT i.id_a, i.id_b,
+                round(i.n_common / CAST(sa.n AS DOUBLE), 6) AS containment_a,
+                round(i.n_common / CAST(sb.n AS DOUBLE), 6) AS containment_b
+         FROM inter i
+         JOIN sizes sa ON i.id_a = sa.doc_id
+         JOIN sizes sb ON i.id_b = sb.doc_id
+         WHERE greatest(i.n_common / CAST(sa.n AS DOUBLE),
+                        i.n_common / CAST(sb.n AS DOUBLE)) >= 0.5""",
+    "q_corpus_shuffle" ->
+      """SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         FROM documents
+         ORDER BY shuffle_key, doc_id LIMIT 20""",
+    "q_vocab_coverage" ->
+      s"""WITH f AS (SELECT tok AS token, count(*) AS tf FROM (
+                       SELECT UNNEST($duckTokens) AS tok FROM documents)
+                     GROUP BY tok)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank,
+                token, tf,
+                round(SUM(tf) OVER (ORDER BY tf DESC, token
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      / CAST(SUM(tf) OVER () AS DOUBLE), 6) AS coverage
+         FROM f QUALIFY rank <= 100""",
     "q_iqr_outliers" ->
       """WITH stats AS (SELECT lang, quantile_cont(n_chars, 0.25) AS q1,
                                quantile_cont(n_chars, 0.75) AS q3

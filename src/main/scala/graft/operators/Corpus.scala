@@ -190,6 +190,39 @@ object Corpus {
       .drop("__q1", "__q3")
   }
 
+  /** Per-group winsorization: clamp `valCol` into its group's
+    * [loPct, hiPct] quantile band (outliers are CAPPED, not dropped — the
+    * standard treatment when the row must survive but its magnitude must
+    * not dominate a downstream mean/mixture weight). Emits `outCol` beside
+    * the original. Same scale shape as [[iqrOutliers]]: one aggregate
+    * broadcast back, data never shuffles; swap in approx_percentile at
+    * corpus scale as [[quantileFilterApprox]] does. */
+  def winsorize(df: DataFrame, groupCol: String, valCol: String,
+                outCol: String, loPct: Double = 0.05,
+                hiPct: Double = 0.95): DataFrame = {
+    require(loPct >= 0 && hiPct <= 1 && loPct <= hiPct,
+      s"need 0 <= loPct <= hiPct <= 1 (got $loPct, $hiPct)")
+    val stats = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valCol, $loPct)").as("__plo"),
+      expr(s"percentile($valCol, $hiPct)").as("__phi"))
+    df.join(broadcast(stats), df(groupCol) <=> stats(groupCol))
+      .drop(stats(groupCol))
+      .withColumn(outCol,
+        least(greatest(col(valCol).cast("double"), col("__plo")), col("__phi")))
+      .drop("__plo", "__phi")
+  }
+
+  /** Deterministic corpus shuffle KEY: md5 of (salt, id). Training-data
+    * pipelines need a reproducible global shuffle of document order per
+    * epoch (salt = epoch); emitting the KEY instead of a global row_number
+    * keeps it scale-sane — a total order exists (hash is unique modulo
+    * md5 collisions, id breaks ties) and consumers range-partition-sort
+    * by it, where a global `row_number()` would funnel 100 TB through one
+    * window task. Pure map-side, rerun/cluster-size invariant. */
+  def shuffleKey(df: DataFrame, idCol: String, salt: String): DataFrame =
+    df.withColumn("shuffle_key",
+      md5(concat(lit(salt + ":"), col(idCol).cast("string"))))
+
   /** Keep rows at or above the `minPct` quantile of `valCol` within their
     * group (e.g. "drop the bottom quartile of quality per language").
     * percent_rank with an id tiebreak is deterministic and engine-portable

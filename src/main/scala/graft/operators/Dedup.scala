@@ -130,6 +130,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Pairwise CONTAINMENT from an exploded (id, token) set relation —
+    * the asymmetric cousin of [[jaccardPairsFrom]]: |A∩B|/|A| and
+    * |A∩B|/|B|. Catches subset duplication Jaccard misses (a document
+    * quoted whole inside a much larger one scores containment ≈ 1 while
+    * Jaccard ≈ |A|/|B| ≈ 0). Keeps pairs whose LARGER containment clears
+    * `threshold`. Same inverted-index equi-join shape — shuffle ∝
+    * collisions, never n²; same stop-token pruning applies upstream. */
+  def containmentPairs(sets0: DataFrame, idCol: String,
+                       threshold: Double, cacheSets: Boolean = true): DataFrame = {
+    val sets = if (cacheSets) sets0.cache() else sets0
+    val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    val a = sets.toDF("id_a", "token")
+    val b = sets.toDF("id_b", "token")
+    val inter = a.join(b, Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.toDF("id_a", "size_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "size_b"), Seq("id_b"))
+      .withColumn("containment_a", col("n_common") / col("size_a"))
+      .withColumn("containment_b", col("n_common") / col("size_b"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment_a"), col("containment_b"))
+  }
+
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum portable token hash. One exploded equi-shuffle; signature rows
     * are (id, seed, min_hash). Portable hashing (md5-derived) keeps the

@@ -158,6 +158,32 @@ object TextAnalytics {
         round(count(lit(1)).cast("double") / sum(col("c")), 6)
           .as("type_token_ratio"))
 
+  /** Vocabulary coverage curve: corpus token frequencies ranked desc, with
+    * each token's cumulative share of all token occurrences — the "how big
+    * must the vocab be to cover 99% of the corpus" question a tokenizer
+    * build starts with. Returns the top `k` rows of the curve.
+    *
+    * Scale shape: frequencies are ONE hash-aggregate over the exploded
+    * tokens (map-side combined). The ranking/cumsum window runs over the
+    * aggregated VOCABULARY (≤ millions of rows), not the corpus — that
+    * single-task window is bounded by vocab size, never by corpus size;
+    * the corpus itself is touched exactly once, map-side. */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val freqs = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val whole = Window.partitionBy()
+    val ordered = Window.partitionBy().orderBy(col("tf").desc, col("token").asc)
+    freqs
+      .withColumn("rank", row_number().over(ordered).cast("long"))
+      .withColumn("coverage",
+        round(sum(col("tf")).over(ordered.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) / sum(col("tf")).over(whole), 6))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("token"), col("tf"), col("coverage"))
+  }
+
   /** Top-k terms per document by TF-IDF, ranked on the score rounded to
     * `roundScale` decimals with a term tiebreak — rounding before ranking
     * keeps the selection reproducible across engines (mathematically-equal

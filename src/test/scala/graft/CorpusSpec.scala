@@ -199,6 +199,31 @@ class CorpusSpec extends SparkSuite {
     assert(bRows.forall(r => r._3 === 10.0 && r._4 === 10.0 && !r._5))
   }
 
+  test("winsorize clamps into the per-group quantile band, keeps all rows") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0))
+      .toDF("g", "v")
+    // p5 over [1,2,3,4,100] = 1.2; p95 = 80.8 (linear interpolation)
+    val out = Corpus.winsorize(df, "g", "v", "v_w")
+      .select("v", "v_w").as[(Double, Double)].collect().toMap
+    assert(out.size === 5)
+    assert(math.abs(out(1.0) - 1.2) < 1e-9)
+    assert(math.abs(out(100.0) - 80.8) < 1e-9)
+    assert(out(3.0) === 3.0)
+  }
+
+  test("shuffleKey is deterministic, salt-sensitive, and map-side pure") {
+    val df = Seq(1L, 2L, 3L).toDF("id")
+    val k1 = Corpus.shuffleKey(df, "id", "e1").select("id", "shuffle_key")
+      .as[(Long, String)].collect().toMap
+    val k1b = Corpus.shuffleKey(df, "id", "e1").select("id", "shuffle_key")
+      .as[(Long, String)].collect().toMap
+    val k2 = Corpus.shuffleKey(df, "id", "e2").select("id", "shuffle_key")
+      .as[(Long, String)].collect().toMap
+    assert(k1 === k1b, "same salt → same keys")
+    assert(k1.values.toSet.intersect(k2.values.toSet).isEmpty,
+      "different epoch salt → different order keys")
+  }
+
   test("packBins: offset-based layout conserves tokens and respects order") {
     val df = Seq((1L, "s", "a b c"), (2L, "s", "d e"), (3L, "s", "f g h i"))
       .toDF("doc_id", "shard", "text")

@@ -263,6 +263,30 @@ class TextAndDedupSpec extends SparkSuite {
     assert(out === Set((0L, 3L), (3L, 1L)))
   }
 
+  test("containmentPairs scores a subset at 1.0 where Jaccard stays low") {
+    val d = Seq(
+      (0L, "alpha beta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "unrelated words entirely")).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(
+      Dedup.tokenSets(d, "doc_id", "text"), "doc_id", 0.9)
+      .select("id_a", "id_b", "containment_a", "containment_b")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.toSeq === Seq((0L, 1L, 1.0, 0.25)))
+    // the same pair's Jaccard (2/8) would never clear a 0.9 bar
+    assert(Dedup.jaccardPairs(d, "doc_id", "text", 0.9).isEmpty)
+  }
+
+  test("vocabCoverage ranks by frequency and accumulates to 1.0") {
+    import graft.operators.TextAnalytics
+    val d = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = TextAnalytics.vocabCoverage(d, "doc_id", "text", 10)
+      .select("rank", "token", "tf", "coverage")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, "a", 3L, 0.5), (2L, "b", 2L, 0.833333),
+      (3L, "c", 1L, 1.0)))
+  }
+
   test("langIdHeuristic flags stopword-rich text as en") {
     val d = Seq((1L, "the cat is in the hat and it is fine"),
       (2L, "zzz qqq www rrr")).toDF("doc_id", "text")
