@@ -429,8 +429,13 @@ object SparkEntry {
       .groupBy(col("l_returnflag"))
       .agg(
         round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("price_p25"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("price_p95"))
+        // both extendedprice percentiles from ONE aggregate: the exact
+        // percentile buffers the group's values in its state, so the
+        // array form halves the buffered data vs two separate aggs
+        expr("percentile(l_extendedprice, array(0.25D, 0.95D))").as("__pp"))
+      .select(col("l_returnflag"), col("qty_p50"),
+        round(col("__pp").getItem(0), 4).as("price_p25"),
+        round(col("__pp").getItem(1), 4).as("price_p95"))
 
   /** §2b scalar-function battery: portable date/string/math built-ins in
     * one projection (each must match DuckDB bit-for-bit or to 6dp). */
@@ -507,6 +512,11 @@ object SparkEntry {
           .as("lang_guess"): _*)
   }
 
+  /** §2b LM-based quality proxy: mean unigram log-likelihood under the
+    * corpus's own add-one-smoothed unigram model. */
+  private def q_unigram_loglik(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.unigramLogLik(Tables.documents(s, d), "doc_id", "text")
+
   /** §2b distinct-token cardinality per document. */
   private def q_unique_tokens(s: SparkSession, d: String): DataFrame =
     Dedup.tokenSets(Tables.documents(s, d), "doc_id", "text")
@@ -518,6 +528,17 @@ object SparkEntry {
   private def q_jaccard_pairs(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(s, d).filter(col("doc_id") < 60),
       "doc_id", "text", 0.3)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+
+  /** §2b prefix-filtered Jaccard pairs (PPJoin-style): identical contract
+    * and results as q_jaccard_pairs — the oracle SQL is shared — but the
+    * candidate set comes from each set's rarest-token prefix rather than
+    * the full inverted index (the 100 TB token-set path). */
+  private def q_jaccard_prefix(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairsPrefix(
+      Dedup.tokenSets(Tables.documents(s, d).filter(col("doc_id") < 60),
+        "doc_id", "text"),
+      "doc_id", 0.3)
       .withColumn("jaccard", round(col("jaccard"), 6))
 
   /** §2b word-shingle (3-gram) Jaccard near-dup pairs — the n-gram variant:
@@ -549,6 +570,16 @@ object SparkEntry {
     Dedup.minHashSignatures(Tables.documents(s, d).filter(col("doc_id") < 40),
       "doc_id", "text", 16)
       .withColumn("seed", col("seed").cast("long"))
+
+  /** §2b sketch-only MinHash similarity estimation: pairs scored by
+    * signature agreement alone (no exact re-verification) — the path used
+    * when re-joining raw token sets is too expensive. */
+  private def q_minhash_est(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashEstimate(
+      Dedup.minHashSignatures(
+        Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id", "text", 16),
+      "doc_id", 16, 0.25)
+      .withColumn("est_jaccard", round(col("est_jaccard"), 6))
 
   /** §2b SimHash 60-bit signatures. Rows-only check (bit-packing SQL oracle
     * is impractical); unit-tested against hand-computed values instead. */
@@ -736,6 +767,23 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("session_value"))
   }
+
+  /** §2b time-series regularization: irregular events → dense per-user
+    * hourly grid with forward-filled activity value (the sequence-model
+    * prep step — one row per (entity, hour), gaps carried forward). */
+  private def q_resample_fill(s: SparkSession, d: String): DataFrame =
+    TimeSeries.resampleHourlyFill(Tables.events(s, d), "user_id", "ts", "value")
+      .withColumn("v_filled", round(col("v_filled"), 2))
+
+  /** §2b per-event rolling features: lag-1, trailing-5 mean/sd (frame ends
+    * BEFORE the current row — no label leakage), rolling z-score. */
+  private def q_rolling_stats(s: SparkSession, d: String): DataFrame =
+    TimeSeries.rollingStats(
+      Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"), col("value")),
+      "user_id", "ts", "event_id", "value", 5)
+      .withColumn("trail_mean", round(col("trail_mean"), 6))
+      .withColumn("trail_sd", round(col("trail_sd"), 6))
+      .withColumn("rolling_z", round(col("rolling_z"), 6))
 
   /** §2b sliding-window aggregate (batch twin of EventStreams.slidingCounts:
     * 1-hour windows sliding every 15 min — each event lands in 4 windows). */
@@ -1034,10 +1082,13 @@ object SparkEntry {
     "q_lang_id" -> (q_lang_id _),
     "q_lang_ngram" -> (q_lang_ngram _),
     "q_unique_tokens" -> (q_unique_tokens _),
+    "q_unigram_loglik" -> (q_unigram_loglik _),
     "q_jaccard_pairs" -> (q_jaccard_pairs _),
+    "q_jaccard_prefix" -> (q_jaccard_prefix _),
     "q_shingle_pairs" -> (q_shingle_pairs _),
     "q_dup_clusters" -> (q_dup_clusters _),
     "q_minhash_signatures" -> (q_minhash_signatures _),
+    "q_minhash_est" -> (q_minhash_est _),
     "q_simhash" -> (q_simhash _),
     "q_simhash_neardup" -> (q_simhash_neardup _),
     "q_cosine_topk" -> (q_cosine_topk _),
@@ -1060,6 +1111,8 @@ object SparkEntry {
     "q_corpus_shuffle" -> (q_corpus_shuffle _),
     "q_vocab_coverage" -> (q_vocab_coverage _),
     "q_event_hourly" -> (q_event_hourly _),
+    "q_resample_fill" -> (q_resample_fill _),
+    "q_rolling_stats" -> (q_rolling_stats _),
     "q_sessionize" -> (q_sessionize _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
     "q_hash_split" -> (q_hash_split _),
@@ -1231,6 +1284,24 @@ object SparkEntry {
               $guess AS lang_guess
        FROM g"""
   }
+
+  /** Shared oracle for q_jaccard_pairs AND q_jaccard_prefix (the prefix
+    * filter is an exact optimization — both must match this bit-for-bit). */
+  private def jaccardPairsOracleSql: String =
+    """WITH tok AS (SELECT DISTINCT doc_id,
+                        UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS token
+                      FROM documents WHERE doc_id < 60),
+              sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                        FROM tok a JOIN tok b
+                          ON a.token = b.token AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+         SELECT i.id_a, i.id_b,
+                round(i.n_common / (sa.n + sb.n - i.n_common), 6) AS jaccard
+         FROM inter i
+         JOIN sizes sa ON i.id_a = sa.doc_id
+         JOIN sizes sb ON i.id_b = sb.doc_id
+         WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.3"""
 
   /** DuckDB oracle SQL per query (same tables, same column names).
     * Omitted: q_approx_distinct (estimator differs by design → driver
@@ -2050,21 +2121,21 @@ object SparkEntry {
          FROM (SELECT doc_id, UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS t
                FROM documents)
          GROUP BY doc_id""",
-    "q_jaccard_pairs" ->
-      """WITH tok AS (SELECT DISTINCT doc_id,
+    "q_unigram_loglik" ->
+      """WITH occ AS (SELECT doc_id,
                         UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS token
-                      FROM documents WHERE doc_id < 60),
-              sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-                        FROM tok a JOIN tok b
-                          ON a.token = b.token AND a.doc_id < b.doc_id
-                        GROUP BY 1, 2)
-         SELECT i.id_a, i.id_b,
-                round(i.n_common / (sa.n + sb.n - i.n_common), 6) AS jaccard
-         FROM inter i
-         JOIN sizes sa ON i.id_a = sa.doc_id
-         JOIN sizes sb ON i.id_b = sb.doc_id
-         WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.3""",
+                      FROM documents),
+              freqs AS (SELECT token, count(*) AS cnt FROM occ GROUP BY 1),
+              tot AS (SELECT sum(cnt) AS t_occ, count(*) AS v_size FROM freqs)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(avg(ln(CAST(cnt + 1 AS DOUBLE) / (t_occ + v_size))), 6)
+                  AS mean_loglik
+         FROM occ JOIN freqs USING (token), tot
+         GROUP BY doc_id""",
+    "q_jaccard_pairs" -> jaccardPairsOracleSql,
+    // identical result contract by construction (prefix filtering is an
+    // exact optimization), so the prefix variant shares the oracle
+    "q_jaccard_prefix" -> jaccardPairsOracleSql,
     "q_shingle_pairs" ->
       """WITH tok AS (SELECT doc_id,
                         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
@@ -2116,6 +2187,24 @@ object SparkEntry {
                FROM documents WHERE doc_id < 40),
               (SELECT UNNEST(generate_series(0, 15)) AS seed)
          GROUP BY doc_id, seed""",
+    "q_minhash_est" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+                        UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS token
+                      FROM documents WHERE doc_id < 200),
+              sig AS (SELECT doc_id, seed,
+                        min(CAST(('0x' || substring(md5(seed || ':' || token), 1, 15))
+                            AS BIGINT)) AS min_hash
+                      FROM tok, (SELECT UNNEST(generate_series(0, 15)) AS seed)
+                      GROUP BY doc_id, seed),
+              agree AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                               count(*) AS n_agree
+                        FROM sig a JOIN sig b
+                          ON a.seed = b.seed AND a.min_hash = b.min_hash
+                         AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+         SELECT id_a, id_b, n_agree,
+                round(CAST(n_agree AS DOUBLE) / 16, 6) AS est_jaccard
+         FROM agree WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.25""",
     "q_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
                     WHERE vec_id = 0)
@@ -2142,6 +2231,44 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
                 count(*) AS n, round(sum(value), 2) AS total_value
          FROM events GROUP BY 1, 2""",
+    "q_resample_fill" ->
+      """WITH hours AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+                               count(*) AS n, sum(value) AS v
+                        FROM events GROUP BY 1, 2),
+              span AS (SELECT user_id, min(hour) AS lo, max(hour) AS hi
+                       FROM hours GROUP BY 1),
+              grid AS (SELECT user_id,
+                              UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+                       FROM span)
+         SELECT g.user_id, g.hour, coalesce(h.n, 0) AS n,
+                round(last_value(h.v IGNORE NULLS) OVER (
+                        PARTITION BY g.user_id ORDER BY g.hour
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      2) AS v_filled
+         FROM grid g LEFT JOIN hours h
+           ON g.user_id = h.user_id AND g.hour = h.hour""",
+    "q_rolling_stats" ->
+      """WITH b AS (
+           SELECT user_id, ts, event_id, value,
+                  lag(value) OVER w AS prev_value,
+                  count(value) OVER wt AS n,
+                  avg(value) OVER wt AS m,
+                  sum(value * value) OVER wt AS ssq
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                  wt AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+         SELECT user_id, ts, event_id, value, prev_value,
+                round(CASE WHEN n >= 1 THEN m END, 6) AS trail_mean,
+                round(CASE WHEN n >= 2
+                      THEN sqrt(greatest((ssq - n * m * m) / (n - 1), 0.0))
+                      END, 6) AS trail_sd,
+                round(CASE WHEN n >= 2
+                        AND sqrt(greatest((ssq - n * m * m) / (n - 1), 0.0)) > 0
+                      THEN (value - m)
+                           / sqrt(greatest((ssq - n * m * m) / (n - 1), 0.0))
+                      END, 6) AS rolling_z
+         FROM b""",
     "q_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, event_id, ts, value,

@@ -130,6 +130,86 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Estimated Jaccard from MinHash signatures — the sketch-only dedup
+    * path: est(A,B) = (#seeds whose min-hash agrees) / numHashes, the
+    * standard unbiased MinHash estimator (Broder '97). Pairs agreeing on
+    * ZERO seeds never materialize (the join is on (seed, min_hash)), so
+    * with threshold > 0 the output is complete and the shuffle is
+    * ∝ signature collisions, never corpus² — this is what replaces exact
+    * verification when the token sets themselves are too big to rejoin.
+    * numHashes must match the signature width used upstream. */
+  def minHashEstimate(signatures: DataFrame, idCol: String,
+                      numHashes: Int, threshold: Double): DataFrame = {
+    require(numHashes > 0, s"numHashes must be positive (got $numHashes)")
+    require(threshold > 0,
+      "threshold must be > 0: zero-agreement pairs are never generated")
+    val a = signatures.select(col(idCol).as("id_a"), col("seed"), col("min_hash"))
+    val b = signatures.select(col(idCol).as("id_b"), col("seed"), col("min_hash"))
+    a.join(b, Seq("seed", "min_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_agree"))
+      .withColumn("est_jaccard",
+        col("n_agree").cast("double") / lit(numHashes))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_agree"), col("est_jaccard"))
+  }
+
+  /** Jaccard pairs via PREFIX FILTERING (the SSJoin/PPJoin family,
+    * Chaudhuri et al. ICDE'06, Xiao et al. WWW'08 — public literature):
+    * sort every set by one GLOBAL canonical token order (ascending
+    * document frequency — rarest first), index only each set's first
+    * |X| − ⌈t·|X|⌉ + 1 tokens, and verify candidates exactly. Any pair
+    * with Jaccard ≥ t shares ≥ ⌈t·|X|⌉ tokens (|A∩B| ≥ t·|A∪B| ≥ t·|X|),
+    * so two sets disjoint on those prefixes cannot qualify — recall is
+    * EXACT, bit-identical to [[jaccardPairsFrom]].
+    *
+    * Why this is the 100 TB token-set path: the full inverted index fans
+    * out O(df²) on every token; the prefix index (a) keeps only ~(1−t) of
+    * each set and (b) those survivors are the RAREST tokens — precisely
+    * the ones with the smallest df² blow-up. Verification touches only
+    * candidate pairs: two equi-joins proportional to Σ|candidate sets|,
+    * never the corpus cross product. */
+  def jaccardPairsPrefix(sets0: DataFrame, idCol: String,
+                         threshold: Double, cacheSets: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0 && threshold <= 1,
+      s"prefix filtering needs threshold in (0, 1] (got $threshold)")
+    val sets = if (cacheSets) sets0.cache() else sets0
+    val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    val tokenDf = sets.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    // canonical rank within each set: ascending global df, token tiebreak.
+    // The window partitions by DOCUMENT — bounded groups, fully parallel.
+    val ranked = sets
+      .join(tokenDf, Seq("token"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__df").asc, col("token").asc)))
+    val prefix = ranked
+      .join(sizes, Seq(idCol))
+      .filter(col("__rn") <=
+        col("set_size") - ceil(lit(threshold) * col("set_size")) + 1)
+      .select(col(idCol), col("token"))
+    val candidates = prefix.toDF("id_a", "token")
+      .join(prefix.toDF("id_b", "token"), Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // exact verification: expand candidates by side A's tokens, probe side
+    // B's tokens — cost ∝ Σ|A| over candidate pairs, not corpus²
+    val inter = candidates
+      .join(sets.toDF("id_a", "token"), Seq("id_a"))
+      .join(sets.toDF("id_b", "token"), Seq("id_b", "token"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.toDF("id_a", "size_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "size_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Pairwise CONTAINMENT from an exploded (id, token) set relation —
     * the asymmetric cousin of [[jaccardPairsFrom]]: |A∩B|/|A| and
     * |A∩B|/|B|. Catches subset duplication Jaccard misses (a document

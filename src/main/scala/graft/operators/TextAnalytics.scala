@@ -158,6 +158,38 @@ object TextAnalytics {
         round(count(lit(1)).cast("double") / sum(col("c")), 6)
           .as("type_token_ratio"))
 
+  /** Per-document mean unigram log-likelihood under the corpus's own
+    * add-one-smoothed unigram LM — the cheapest perplexity proxy: documents
+    * of common words score high, documents of rare/garbled tokens score
+    * low. This is the classic LM-based quality gate run before training
+    * (a real pipeline swaps in an external LM's logprobs; the plumbing —
+    * token join against a frequency table, per-doc mean — is identical).
+    *
+    * logp(t) = ln((cnt(t) + 1) / (T + V)), score(d) = mean over d's token
+    * OCCURRENCES (so repetition weighs in), T = total occurrences,
+    * V = vocabulary size.
+    *
+    * Scale shape: wordcount aggregate for the LM, then one equi-join of the
+    * exploded corpus against the frequency table (both sides shuffled by
+    * token — at a 100 TB corpus the frequency table is ≪ corpus and AQE
+    * picks a broadcast when it fits), one per-doc aggregate. The (T, V)
+    * scalar row enters as a 1-row broadcast. No window, no driver state. */
+  def unigramLogLik(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val freqs = occ.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val totals = freqs.agg(sum(col("cnt")).as("t_occ"),
+      count(lit(1)).as("v_size"))
+    occ
+      .join(freqs, Seq("token"))
+      .crossJoin(broadcast(totals))
+      .withColumn("logp",
+        log((col("cnt") + 1).cast("double") / (col("t_occ") + col("v_size"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("logp")), 6).as("mean_loglik"))
+  }
+
   /** Vocabulary coverage curve: corpus token frequencies ranked desc, with
     * each token's cumulative share of all token occurrences — the "how big
     * must the vocab be to cover 99% of the corpus" question a tokenizer

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalytics}
 import org.apache.spark.sql.functions._
 
 class TextAndDedupSpec extends SparkSuite {
@@ -57,6 +57,47 @@ class TextAndDedupSpec extends SparkSuite {
     assert(pairs === Set((1L, 2L, 0.6)))
   }
 
+  test("unigramLogLik matches hand-computed smoothed LM") {
+    // corpus: a×3, b×1, c×1 → T=5, V=3, denom=8
+    // logp: a=ln(4/8), b=c=ln(2/8)
+    val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalytics.unigramLogLik(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val lnA = math.log(4.0 / 8); val lnRare = math.log(2.0 / 8)
+    assert(got(1L)._1 === 3L)
+    assert(math.abs(got(1L)._2 - (2 * lnA + lnRare) / 3) < 1e-6)
+    assert(got(2L)._1 === 2L)
+    assert(math.abs(got(2L)._2 - (lnA + lnRare) / 2) < 1e-6)
+    // common-word doc scores higher than rare-word doc
+    assert(got(1L)._2 !== got(2L)._2)
+  }
+
+  test("jaccardPairsPrefix is bit-identical to the inverted-index join") {
+    // real corpus slice: every (pair, similarity) must agree exactly —
+    // prefix filtering is an exact optimization, not an approximation
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" < 80)
+    val sets = Dedup.tokenSets(docs, "doc_id", "text")
+    for (t <- Seq(0.2, 0.3, 0.5)) {
+      val full = Dedup.jaccardPairsFrom(sets, "doc_id", t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.jaccardPairsPrefix(sets, "doc_id", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref === full, s"threshold $t")
+      assert(full.nonEmpty || t > 0.4, s"vacuous comparison at $t")
+    }
+  }
+
+  test("jaccardPairsPrefix handles singleton and identical sets") {
+    val d = Seq((1L, "only"), (2L, "only"), (3L, "a b c d"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairsPrefix(
+      Dedup.tokenSets(d, "doc_id", "text"), "doc_id", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs === Set((1L, 2L, 1.0), (3L, 4L, 1.0)))
+  }
+
   test("identical docs get identical minhash signatures") {
     val d = Seq((1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4"), (3L, "q r s t"))
       .toDF("doc_id", "text")
@@ -65,6 +106,35 @@ class TextAndDedupSpec extends SparkSuite {
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
     assert(sig(1L) === sig(2L))
     assert(sig(1L) !== sig(3L))
+  }
+
+  test("minHashEstimate: identical docs estimate 1.0, disjoint docs absent") {
+    val d = Seq((1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4"), (3L, "q r s t"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minHashSignatures(d, "doc_id", "text", 8)
+    val est = Dedup.minHashEstimate(sig, "doc_id", 8, 0.5)
+      .select($"id_a", $"id_b", $"est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(est === Set((1L, 2L, 1.0)))
+  }
+
+  test("minHashEstimate tracks true Jaccard on a real corpus slice") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" < 80)
+    val sig = Dedup.minHashSignatures(docs, "doc_id", "text", 32)
+    val est = Dedup.minHashEstimate(sig, "doc_id", 32, 0.5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(est.nonEmpty, "vacuous: no high-estimate pairs in slice")
+    // every confidently-estimated pair must be a genuinely similar pair:
+    // 32 hashes at est >= 0.5 has binomial noise ~ ±0.27 at 3 sigma
+    est.foreach { case (pair, e) =>
+      val truth = exact.getOrElse(pair, 0.0)
+      assert(math.abs(e - truth) < 0.3, s"$pair est=$e true=$truth")
+    }
   }
 
   test("minhash LSH finds identical docs as candidates") {

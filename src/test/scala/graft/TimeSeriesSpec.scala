@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.TimeSeries
+import java.sql.Timestamp
+
+class TimeSeriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("resampleHourlyFill densifies gaps and forward-fills the value") {
+    // user 1: events at 00h (v=2.0 twice) and 03h (v=5.0) — hours 01,02
+    // are gaps that must appear with n=0 and the 00h sum carried forward
+    val events = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 1.5),
+      (1L, ts("2024-01-01 00:40:00"), 0.5),
+      (1L, ts("2024-01-01 03:05:00"), 5.0),
+      (2L, ts("2024-01-01 02:00:00"), 7.0))
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeries.resampleHourlyFill(events, "user_id", "ts", "value")
+      .as[(Long, Timestamp, Long, Double)].collect().toSet
+    assert(out === Set(
+      (1L, ts("2024-01-01 00:00:00"), 2L, 2.0),
+      (1L, ts("2024-01-01 01:00:00"), 0L, 2.0),
+      (1L, ts("2024-01-01 02:00:00"), 0L, 2.0),
+      (1L, ts("2024-01-01 03:00:00"), 1L, 5.0),
+      (2L, ts("2024-01-01 02:00:00"), 1L, 7.0)))
+  }
+
+  test("rollingStats: trailing frame excludes current row, z flags spikes") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 01:00:00"), 2L, 12.0),
+      (1L, ts("2024-01-01 02:00:00"), 3L, 11.0),
+      (1L, ts("2024-01-01 03:00:00"), 4L, 100.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.rollingStats(events, "user_id", "ts", "event_id", "value", 5)
+      .orderBy($"event_id")
+      .select($"prev_value", $"trail_mean", $"trail_sd", $"rolling_z")
+      .as[(Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect()
+    assert(out(0) === ((None, None, None, None)))           // empty frame
+    assert(out(1)._1 === Some(10.0))
+    assert(out(1)._2 === Some(10.0))
+    assert(out(1)._3 === None)                              // n=1: no sd
+    // row 4: trailing {10,12,11} mean=11 sd=1 → z=(100-11)/1=89
+    assert(out(3)._2 === Some(11.0))
+    assert(math.abs(out(3)._3.get - 1.0) < 1e-9)
+    assert(math.abs(out(3)._4.get - 89.0) < 1e-6)
+  }
+
+  test("rollingStats constant series yields null z, not NaN or Infinity") {
+    val events = (1 to 6).map(i => (1L, ts(f"2024-01-01 0$i:00:00"), i.toLong, 5.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.rollingStats(events, "user_id", "ts", "event_id", "value", 3)
+      .select($"trail_sd", $"rolling_z")
+      .as[(Option[Double], Option[Double])].collect()
+    assert(out.forall { case (sd, z) =>
+      z.isEmpty && sd.forall(v => v == 0.0 && !v.isNaN) })
+  }
+
+  test("resampleHourlyFill grid is exactly first..last hour per entity") {
+    val events = Tables.events(spark, sf)
+    val out = TimeSeries.resampleHourlyFill(events, "user_id", "ts", "value")
+    val perUser = out.groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"),
+        org.apache.spark.sql.functions.min($"hour").as("lo"),
+        org.apache.spark.sql.functions.max($"hour").as("hi"))
+      .as[(Long, Long, Timestamp, Timestamp)].collect()
+    assert(perUser.nonEmpty)
+    perUser.foreach { case (u, rows, lo, hi) =>
+      val hours = (hi.getTime - lo.getTime) / 3600000L + 1
+      assert(rows === hours, s"user $u grid not dense")
+    }
+    // no null fills: first grid row is always a real event hour
+    assert(out.filter($"v_filled".isNull).isEmpty)
+  }
+}
