@@ -517,6 +517,16 @@ object SparkEntry {
   private def q_unigram_loglik(s: SparkSession, d: String): DataFrame =
     TextAnalytics.unigramLogLik(Tables.documents(s, d), "doc_id", "text")
 
+  /** §2b bigram-conditional LM quality proxy (word-order sensitivity on
+    * top of q_unigram_loglik's word-choice score). */
+  private def q_bigram_loglik(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.bigramLogLik(Tables.documents(s, d), "doc_id", "text")
+
+  /** §2b PMI collocation mining: top-100 bigrams by pointwise mutual
+    * information with support >= 5. */
+  private def q_ngram_pmi(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.pmiCollocations(Tables.documents(s, d), "text", 5L, 100)
+
   /** §2b distinct-token cardinality per document. */
   private def q_unique_tokens(s: SparkSession, d: String): DataFrame =
     Dedup.tokenSets(Tables.documents(s, d), "doc_id", "text")
@@ -920,6 +930,30 @@ object SparkEntry {
       Seq("en" -> 0.25, "zh" -> 0.5, "es" -> 0.75))
       .select(col("doc_id"), col("lang"), col("sample_frac"), col("sample_u"))
 
+  /** §2b deterministic weighted sampling (Efraimidis–Spirakis): 20 docs
+    * per language, inclusion probability ∝ n_chars. */
+  private def q_weighted_sample(s: SparkSession, d: String): DataFrame =
+    Corpus.weightedSample(Tables.documents(s, d), "lang", "doc_id",
+      "n_chars", 20)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("es_key"),
+        col("rnk"))
+
+  /** §2b incremental aggregate-state merge: state built on pre-1998
+    * orders merged with the 1998+ delta must equal the from-scratch
+    * aggregate — which is exactly what the oracle computes. */
+  private def q_agg_state_merge(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val pre = orders.filter(col("o_orderdate") < lit("1998-01-01"))
+    val post = orders.filter(col("o_orderdate") >= lit("1998-01-01"))
+    Corpus.mergeAggState(
+      Corpus.aggState(pre, "o_orderstatus", "o_totalprice"),
+      Corpus.aggState(post, "o_orderstatus", "o_totalprice"),
+      "o_orderstatus")
+      .select(col("o_orderstatus"), col("state_cnt"),
+        round(col("state_sum"), 2).as("state_sum"),
+        col("state_min"), col("state_max"))
+  }
+
   /** §2b temperature rebalancing (alpha=0.5): en is ~3.4× fr in the
     * documents table; after resampling, effective sizes follow n^0.5 —
     * the multilingual-LLM mixing rule. */
@@ -1083,6 +1117,8 @@ object SparkEntry {
     "q_lang_ngram" -> (q_lang_ngram _),
     "q_unique_tokens" -> (q_unique_tokens _),
     "q_unigram_loglik" -> (q_unigram_loglik _),
+    "q_bigram_loglik" -> (q_bigram_loglik _),
+    "q_ngram_pmi" -> (q_ngram_pmi _),
     "q_jaccard_pairs" -> (q_jaccard_pairs _),
     "q_jaccard_prefix" -> (q_jaccard_prefix _),
     "q_shingle_pairs" -> (q_shingle_pairs _),
@@ -1125,6 +1161,8 @@ object SparkEntry {
     "q_lsh_topk_mp" -> (q_lsh_topk_mp _),
     "q_enrich_errors" -> (q_enrich_errors _),
     "q_stratified_sample" -> (q_stratified_sample _),
+    "q_weighted_sample" -> (q_weighted_sample _),
+    "q_agg_state_merge" -> (q_agg_state_merge _),
     "q_temperature_mix" -> (q_temperature_mix _),
     "q_pii_mask" -> (q_pii_mask _),
     "q_strip_markup" -> (q_strip_markup _),
@@ -1400,6 +1438,23 @@ object SparkEntry {
                    AS BIGINT) / 4294967296.0 AS sample_u
                FROM documents)
          WHERE sample_u < sample_frac""",
+    "q_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars, es_key, rnk
+         FROM (SELECT doc_id, lang, n_chars, es_key,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY es_key ASC, doc_id ASC) AS BIGINT) AS rnk
+               FROM (SELECT doc_id, lang, n_chars,
+                       round(-ln(CAST(('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) / 4294967296.0) / n_chars, 9) AS es_key
+                     FROM documents WHERE n_chars > 0))
+         WHERE rnk <= 20""",
+    "q_agg_state_merge" ->
+      """SELECT o_orderstatus,
+                count(o_totalprice) AS state_cnt,
+                round(sum(o_totalprice), 2) AS state_sum,
+                min(o_totalprice) AS state_min,
+                max(o_totalprice) AS state_max
+         FROM orders GROUP BY 1""",
     "q_temperature_mix" ->
       """WITH counts AS (SELECT lang, COUNT(*) AS n_group
                          FROM documents GROUP BY lang),
@@ -2132,6 +2187,44 @@ object SparkEntry {
                   AS mean_loglik
          FROM occ JOIN freqs USING (token), tot
          GROUP BY doc_id""",
+    "q_bigram_loglik" ->
+      """WITH tok AS (SELECT doc_id,
+                        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
+                      FROM documents),
+              occ AS (SELECT doc_id, t[i] AS w1,
+                        array_to_string(t[i:i+1], ' ') AS bigram
+                      FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+              bc AS (SELECT bigram, count(*) AS c_ab FROM occ GROUP BY 1),
+              uc AS (SELECT w, count(*) AS c_a
+                     FROM (SELECT UNNEST(t) AS w FROM tok) GROUP BY 1),
+              v AS (SELECT count(*) AS v_size FROM uc)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(avg(ln(CAST(c_ab + 1 AS DOUBLE) / (c_a + v_size))), 6)
+                  AS mean_loglik
+         FROM occ JOIN bc USING (bigram) JOIN uc ON occ.w1 = uc.w, v
+         GROUP BY doc_id""",
+    "q_ngram_pmi" ->
+      """WITH tok AS (SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
+                      FROM documents),
+              uc AS (SELECT w, count(*) AS c
+                     FROM (SELECT UNNEST(t) AS w FROM tok) GROUP BY 1),
+              ut AS (SELECT sum(c) AS n_uni FROM uc),
+              occ AS (SELECT t[i] AS w1, t[i+1] AS w2,
+                        array_to_string(t[i:i+1], ' ') AS bigram
+                      FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+              bc AS (SELECT bigram, any_value(w1) AS w1, any_value(w2) AS w2,
+                        count(*) AS c_ab
+                     FROM occ GROUP BY 1),
+              bt AS (SELECT sum(c_ab) AS n_bi FROM bc)
+         SELECT bigram, c_ab, u1.c AS c1, u2.c AS c2,
+                round(ln((CAST(c_ab AS DOUBLE) / n_bi) /
+                  ((CAST(u1.c AS DOUBLE) / n_uni) * (CAST(u2.c AS DOUBLE) / n_uni))), 6)
+                  AS pmi
+         FROM bc JOIN uc u1 ON bc.w1 = u1.w
+                 JOIN uc u2 ON bc.w2 = u2.w, bt, ut
+         WHERE c_ab >= 5
+         ORDER BY pmi DESC, bigram ASC
+         LIMIT 100""",
     "q_jaccard_pairs" -> jaccardPairsOracleSql,
     // identical result contract by construction (prefix filtering is an
     // exact optimization), so the prefix variant shares the oracle

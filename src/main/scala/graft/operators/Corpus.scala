@@ -319,4 +319,61 @@ object Corpus {
         min(col(idCol)).as("first_doc"),
         max(col(idCol)).as("last_doc"))
   }
+
+  /** Deterministic weighted sampling without replacement, k per group
+    * (Efraimidis–Spirakis exponential race): each row draws
+    * `es_key = −ln(u)/w` with `u` the engine-portable [[hashUnit]] and
+    * `w` its weight; the k SMALLEST keys per group win, giving inclusion
+    * probability ∝ weight with no RNG state — rerun/cluster-size/
+    * incremental-ingest invariant like every sampler here. Keys are
+    * rounded to 9dp before ranking (id tiebreak) so a last-ulp `ln`
+    * difference between engines cannot flip the boundary row. Rows with
+    * non-positive weight never qualify.
+    *
+    * Scale shape: the key is pure map-side; selection is one per-group
+    * window (row_number over groups that are numerous and individually
+    * bounded). For a single global draw prefer orderBy(es_key).limit(k)
+    * — TakeOrdered, no single-task window. */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+                     weightCol: String, k: Int,
+                     salt: String = "wsample"): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1: $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("es_key").asc, col(idCol).asc)
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key",
+        round(-log(hashUnit(col(idCol), salt)) / col(weightCol), 9))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Per-group aggregate STATE (count/sum/min/max) in the mergeable shape
+    * [[mergeAggState]] consumes — the incremental-ETL primitive: keep
+    * yesterday's state table, aggregate only today's slice, merge. The
+    * reference recomputes its daily window from scratch each run
+    * (main.py:40 — a 5-day lookback re-read daily); state merge is the
+    * set-oriented replacement that touches only the new data. */
+  def aggState(df: DataFrame, groupCol: String, valCol: String): DataFrame =
+    df.groupBy(col(groupCol)).agg(
+      count(col(valCol)).as("state_cnt"),
+      sum(col(valCol)).as("state_sum"),
+      min(col(valCol)).as("state_min"),
+      max(col(valCol)).as("state_max"))
+
+  /** Merge aggregate states: count/sum re-add, min/max re-extremize —
+    * exactly Spark's own partial/final aggregation contract, applied
+    * across BATCHES instead of partitions. `mergeAggState(aggState(a),
+    * aggState(b)) == aggState(a ∪ b)` for count/min/max exactly and for
+    * sum up to float re-association (round before comparing).
+    *
+    * Scale shape: a union of two already-aggregated (group-cardinality)
+    * tables and one hash aggregate — the 100 TB history is never re-read;
+    * cost ∝ groups + new batch. */
+  def mergeAggState(state: DataFrame, delta: DataFrame,
+                    groupCol: String): DataFrame =
+    state.unionByName(delta).groupBy(col(groupCol)).agg(
+      sum(col("state_cnt")).as("state_cnt"),
+      sum(col("state_sum")).as("state_sum"),
+      min(col("state_min")).as("state_min"),
+      max(col("state_max")).as("state_max"))
 }

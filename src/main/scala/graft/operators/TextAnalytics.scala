@@ -190,6 +190,93 @@ object TextAnalytics {
         round(avg(col("logp")), 6).as("mean_loglik"))
   }
 
+  /** Corpus word n-gram counts above a support threshold — the raw
+    * statistic behind collocation mining, LM smoothing tables and
+    * contamination indexes.
+    *
+    * Scale shape: one staged tokenization, one explode, ONE map-side-
+    * combined hash aggregate; the support filter runs post-aggregate so
+    * shuffle ∝ distinct n-grams (Zipf-bounded), not occurrences. */
+  def ngramCounts(docs: DataFrame, textCol: String, n: Int,
+                  minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    docs.select(TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(explode(TextFunctions.shinglesOf(col("__t"), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
+  /** Top-k PMI collocations: bigrams whose observed frequency most exceeds
+    * what their parts predict — `pmi = ln(p(ab) / (p(a)·p(b)))` with
+    * `p(ab) = c_ab/Σbigrams`, `p(a) = c_a/Σtokens`. High-PMI pairs are
+    * multiword units ("new york") a tokenizer/vocab build wants to know
+    * about; the `minCount` support floor drops the unstable hapax tail.
+    * Ranked on the 6dp-rounded score with a bigram tiebreak so the top-k
+    * cut is reproducible across engines.
+    *
+    * Scale shape: two wordcount aggregates (unigram, bigram — both
+    * map-side combined), two equi-joins of the bigram table against the
+    * unigram table (vocab-sized, ≪ corpus; AQE broadcasts when it fits),
+    * scalar totals enter as 1-row broadcasts, and the top-k is
+    * TakeOrdered — no window over the corpus, no driver state. */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long,
+                      k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"minCount=$minCount k=$k must be >= 1")
+    val toks = docs.select(TextFunctions.tokens(col(textCol)).as("__t"))
+    val uni = toks.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val uniTot = uni.agg(sum(col("c")).as("n_uni"))
+    val bi = toks.select(explode(TextFunctions.shinglesOf(col("__t"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+    val biTot = bi.agg(sum(col("c_ab")).as("n_bi"))
+    bi.filter(col("c_ab") >= minCount)
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(biTot))
+      .crossJoin(broadcast(uniTot))
+      .withColumn("pmi", round(
+        log((col("c_ab").cast("double") / col("n_bi")) /
+          ((col("c1").cast("double") / col("n_uni")) *
+           (col("c2").cast("double") / col("n_uni")))), 6))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(k)
+      .select(col("bigram"), col("c_ab"), col("c1"), col("c2"), col("pmi"))
+  }
+
+  /** Per-document mean bigram CONDITIONAL log-likelihood under the
+    * corpus's own add-one-smoothed bigram LM — one rung above
+    * [[unigramLogLik]] on the LM-quality ladder: scores word-ORDER
+    * plausibility, not just word choice (shuffled text keeps its unigram
+    * score but craters here). `logp(b|a) = ln((c_ab+1) / (c_a + V))`,
+    * averaged over the document's bigram occurrences; single-token and
+    * empty documents have no bigrams and are absent from the output.
+    *
+    * Scale shape: same as [[unigramLogLik]] with the frequency table keyed
+    * by bigram — one explode of the corpus, two vocab-sized join sides
+    * (bigram counts, unigram counts), the (V) scalar as a 1-row broadcast,
+    * one per-doc aggregate. No window, no driver state. */
+  def bigramLogLik(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+    val occ = toks.select(col(idCol),
+      explode(TextFunctions.shinglesOf(col("__t"), 2)).as("bigram"))
+    val biFreqs = occ.groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+    val uniFreqs = toks.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_a"))
+    val vocab = uniFreqs.agg(count(lit(1)).as("v_size"))
+    occ
+      .join(biFreqs, Seq("bigram"))
+      .join(uniFreqs.select(col("w"), col("c_a")),
+        element_at(split(col("bigram"), " "), 1) === col("w"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((col("c_ab") + 1).cast("double") / (col("c_a") + col("v_size"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("logp")), 6).as("mean_loglik"))
+  }
+
   /** Vocabulary coverage curve: corpus token frequencies ranked desc, with
     * each token's cumulative share of all token occurrences — the "how big
     * must the vocab be to cover 99% of the corpus" question a tokenizer

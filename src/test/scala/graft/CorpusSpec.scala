@@ -224,6 +224,53 @@ class CorpusSpec extends SparkSuite {
       "different epoch salt → different order keys")
   }
 
+  test("weightedSample: deterministic, caps at k per group, drops w<=0") {
+    val df = Seq(
+      (1L, "en", 100L), (2L, "en", 1L), (3L, "en", 50L), (4L, "en", 10L),
+      (5L, "pt", 30L), (6L, "pt", 0L), (7L, "pt", -5L)
+    ).toDF("doc_id", "lang", "w")
+    val out = Corpus.weightedSample(df, "lang", "doc_id", "w", 2)
+    val again = Corpus.weightedSample(df, "lang", "doc_id", "w", 2)
+    assert(out.select("doc_id").as[Long].collect().toSet ===
+      again.select("doc_id").as[Long].collect().toSet, "rerun-invariant")
+    val perGroup = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perGroup("en") === 2L)
+    assert(perGroup("pt") === 1L, "w<=0 rows never qualify; only doc 5 remains")
+    assert(!out.select("doc_id").as[Long].collect().toSet.exists(Set(6L, 7L)),
+      "non-positive weights excluded")
+    // the exponential-race key matches the hand formula for a known row
+    val key5 = out.filter(col("doc_id") === 5L).select("es_key").as[Double].head()
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("wsample:5".getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    val expected = BigDecimal(-math.log(u) / 30.0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(key5 - expected) < 1e-12)
+  }
+
+  test("weightedSample skews selection toward heavy rows") {
+    // one heavy row among light ones: across many ids, the heavy row must
+    // be picked into the k=1 slot (weight 10000 vs 1 → overwhelming odds)
+    val df = ((1L to 200L).map(i => (i, "g", 1L)) :+ (999L, "g", 1000000L))
+      .toDF("doc_id", "lang", "w")
+    val picked = Corpus.weightedSample(df, "lang", "doc_id", "w", 1)
+      .select("doc_id").as[Long].head()
+    assert(picked === 999L)
+  }
+
+  test("aggState + mergeAggState equals the from-scratch aggregate") {
+    val df = Seq(("a", 1.0), ("a", 5.0), ("a", 2.0), ("b", 4.0), ("b", -1.0))
+      .toDF("g", "v")
+    val full = Corpus.aggState(df, "g", "v")
+    val merged = Corpus.mergeAggState(
+      Corpus.aggState(df.filter(col("v") < 3.0), "g", "v"),
+      Corpus.aggState(df.filter(col("v") >= 3.0), "g", "v"), "g")
+    val f = full.orderBy("g").collect().map(_.toSeq).toSeq
+    val m = merged.orderBy("g").collect().map(_.toSeq).toSeq
+    assert(f === m)
+  }
+
   test("packBins: offset-based layout conserves tokens and respects order") {
     val df = Seq((1L, "s", "a b c"), (2L, "s", "d e"), (3L, "s", "f g h i"))
       .toDF("doc_id", "shard", "text")

@@ -357,6 +357,46 @@ class TextAndDedupSpec extends SparkSuite {
       (3L, "c", 1L, 1.0)))
   }
 
+  test("ngramCounts: exact bigram counts with support floor") {
+    import graft.operators.TextAnalytics
+    val d = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalytics.ngramCounts(d, "text", 2, 2L)
+      .as[(String, Long)].collect().toMap
+    // bigrams: doc1 = {a b, b a, a b}, doc2 = {a b, b c} → "a b" ×3 only
+    assert(out === Map("a b" -> 3L))
+  }
+
+  test("pmiCollocations: hand-computed PMI on a tiny corpus") {
+    import graft.operators.TextAnalytics
+    // corpus "x y x y": unigrams x×2 y×2 (n_uni=4); bigrams "x y"×2,
+    // "y x"×1 (n_bi=3). pmi(x y) = ln((2/3)/((2/4)*(2/4))) = ln(8/3)
+    val d = Seq((1L, "x y x y")).toDF("doc_id", "text")
+    val out = TextAnalytics.pmiCollocations(d, "text", 1L, 10)
+      .select("bigram", "c_ab", "c1", "c2", "pmi")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Seq(
+      ("x y", 2L, 2L, 2L, r6(math.log((2.0 / 3) / ((2.0 / 4) * (2.0 / 4))))),
+      ("y x", 1L, 2L, 2L, r6(math.log((1.0 / 3) / ((2.0 / 4) * (2.0 / 4)))))))
+    // support floor prunes the hapax pair
+    assert(TextAnalytics.pmiCollocations(d, "text", 2L, 10).count() === 1L)
+  }
+
+  test("bigramLogLik: hand-computed add-one-smoothed conditional score") {
+    import graft.operators.TextAnalytics
+    // corpus "a b a b": bigram counts {a b: 2, b a: 1}; unigram {a: 2,
+    // b: 2}; V=2. doc score = mean over occurrences of ln((c_ab+1)/(c_a+V))
+    val d = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val out = TextAnalytics.bigramLogLik(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    val exp = (math.log(3.0 / 4) + math.log(2.0 / 4) + math.log(3.0 / 4)) / 3
+    val r6 = BigDecimal(exp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Seq((1L, 3L, r6)))
+    // single-token and blank docs produce no bigrams → absent
+    val edge = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(TextAnalytics.bigramLogLik(edge, "doc_id", "text").count() === 0L)
+  }
+
   test("langIdHeuristic flags stopword-rich text as en") {
     val d = Seq((1L, "the cat is in the hat and it is fine"),
       (2L, "zzz qqq www rrr")).toDF("doc_id", "text")
