@@ -551,6 +551,13 @@ object SparkEntry {
       "doc_id", 0.3)
       .withColumn("jaccard", round(col("jaccard"), 6))
 
+  /** §2b character-level near-dup pairs: length-blocked levenshtein
+    * (maxDist=50 over a bounded doc slice — the O(len²) metric only ever
+    * runs on same-length-class candidates). */
+  private def q_edit_distance(s: SparkSession, d: String): DataFrame =
+    Dedup.editDistancePairs(
+      Tables.documents(s, d).filter(col("doc_id") < 80), "doc_id", "text", 50)
+
   /** §2b word-shingle (3-gram) Jaccard near-dup pairs — the n-gram variant:
     * shingles are near-unique so the inverted index barely fans out. */
   private def q_shingle_pairs(s: SparkSession, d: String): DataFrame =
@@ -992,6 +999,25 @@ object SparkEntry {
   private def q_interval_join(s: SparkSession, d: String): DataFrame =
     graft.streaming.EventStreams.attributedPurchases(Tables.events(s, d))
 
+  /** §2b keyless containment join via bucketing: lineitems shipped inside
+    * each sampled order's 90-day window — no equi-key, but the bucketed
+    * rewrite joins on a 7-day bucket id instead of a nested loop. */
+  private def q_range_join_bucketed(s: SparkSession, d: String): DataFrame = {
+    val points = Tables.lineitem(s, d).select(
+      datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("ship_day"))
+    val intervals = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 937 === 0)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("lo_day"))
+      .withColumn("hi_day", col("lo_day") + 90)
+    Joins.rangeJoinBucketed(points, "ship_day", intervals,
+        "lo_day", "hi_day", 7L)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped"),
+        min(col("ship_day")).as("first_day"),
+        max(col("ship_day")).as("last_day"))
+  }
+
   /** §2b approximate quantile filter (the scale path of q_quality_filter):
     * per-language threshold from a percentile_approx sketch instead of a
     * per-group window. Rows-only in the driver: the GK sketch's boundary
@@ -1121,6 +1147,7 @@ object SparkEntry {
     "q_ngram_pmi" -> (q_ngram_pmi _),
     "q_jaccard_pairs" -> (q_jaccard_pairs _),
     "q_jaccard_prefix" -> (q_jaccard_prefix _),
+    "q_edit_distance" -> (q_edit_distance _),
     "q_shingle_pairs" -> (q_shingle_pairs _),
     "q_dup_clusters" -> (q_dup_clusters _),
     "q_minhash_signatures" -> (q_minhash_signatures _),
@@ -1167,6 +1194,7 @@ object SparkEntry {
     "q_pii_mask" -> (q_pii_mask _),
     "q_strip_markup" -> (q_strip_markup _),
     "q_interval_join" -> (q_interval_join _),
+    "q_range_join_bucketed" -> (q_range_join_bucketed _),
     "q_quality_filter_approx" -> (q_quality_filter_approx _),
     "q_contamination" -> (q_contamination _),
     "q_repetition" -> (q_repetition _),
@@ -1448,6 +1476,16 @@ object SparkEntry {
                          AS BIGINT) / 4294967296.0) / n_chars, 9) AS es_key
                      FROM documents WHERE n_chars > 0))
          WHERE rnk <= 20""",
+    "q_range_join_bucketed" ->
+      """WITH iv AS (SELECT o_orderkey,
+                       date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo_day
+                     FROM orders WHERE o_orderkey % 937 = 0),
+              pt AS (SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS ship_day
+                     FROM lineitem)
+         SELECT o_orderkey, count(*) AS n_shipped,
+                min(ship_day) AS first_day, max(ship_day) AS last_day
+         FROM iv JOIN pt ON pt.ship_day BETWEEN iv.lo_day AND iv.lo_day + 90
+         GROUP BY 1""",
     "q_agg_state_merge" ->
       """SELECT o_orderstatus,
                 count(o_totalprice) AS state_cnt,
@@ -2229,6 +2267,12 @@ object SparkEntry {
     // identical result contract by construction (prefix filtering is an
     // exact optimization), so the prefix variant shares the oracle
     "q_jaccard_prefix" -> jaccardPairsOracleSql,
+    "q_edit_distance" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+         FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+         WHERE a.doc_id < 80 AND b.doc_id < 80
+           AND levenshtein(a.text, b.text) <= 50""",
     "q_shingle_pairs" ->
       """WITH tok AS (SELECT doc_id,
                         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t

@@ -350,6 +350,41 @@ object Dedup {
 
   /** SimHash: 64-bit locality-sensitive content hash — sum ±1 per bit over
     * token hashes, take sign bits. Near-identical docs differ in few bits. */
+  /** Blocked edit-distance near-dup pairs: all (id_a < id_b) pairs with
+    * `levenshtein(text_a, text_b) <= maxDist` — the character-level
+    * near-dup detector that catches single-typo / small-patch duplication
+    * token-set Jaccard dilutes away.
+    *
+    * Scale shape: the O(n²) pair space is pruned by LENGTH BLOCKING
+    * before any text comparison — two texts within edit distance d differ
+    * in length by at most d, so each document lands in one length bucket
+    * of width d+1 on the build side and probes three adjacent buckets
+    * (explode ×3) on the probe side; every qualifying pair meets in
+    * exactly one bucket, so no post-join dedup is needed. Candidates then
+    * pass a cheap exact-length prefilter before the quadratic
+    * `levenshtein` runs. Shuffle is one equi-join on the bucket id;
+    * fan-out ∝ documents per length bucket (pair a length-histogram-aware
+    * second blocking key — e.g. a SimHash band — if a single length class
+    * dominates the corpus). */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
+    val width = maxDist + 1
+    val base = docs.select(col(idCol), col(textCol),
+      floor(length(col(textCol)) / width).cast("long").as("__b"))
+    val probe = base.withColumn("__pb",
+      explode(array(col("__b") - 1, col("__b"), col("__b") + 1)))
+    probe.join(
+        base.select(col(idCol).as("id_b"), col(textCol).as("__tb"),
+          col("__b").as("__bb")),
+        col("__pb") === col("__bb") && col(idCol) < col("id_b"))
+      .filter(abs(length(col(textCol)) - length(col("__tb"))) <= maxDist)
+      .withColumn("edit_distance",
+        levenshtein(col(textCol), col("__tb")).cast("long"))
+      .filter(col("edit_distance") <= maxDist)
+      .select(col(idCol).as("id_a"), col("id_b"), col("edit_distance"))
+  }
+
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokenSets(docs, idCol, textCol)
       .withColumn("h", TextFunctions.portableHash(col("token"), 7))

@@ -252,4 +252,37 @@ object Joins {
   def upsert(dest: DataFrame, updates: DataFrame, key: String): DataFrame =
     dest.join(updates.select(col(key)).distinct(), Seq(key), "left_anti")
       .unionByName(updates.select(dest.columns.map(col).toIndexedSeq: _*))
+
+  /** Keyless range (containment) join at scale: pair each point with every
+    * interval `[lo, hi]` containing it — WITHOUT an equi-key, the shape
+    * Spark plans as BroadcastNestedLoopJoin (all pairs) once the interval
+    * side outgrows a broadcast. Bucketing restores an equi-join: each
+    * interval is exploded to the coarse buckets it covers, each point maps
+    * to its single bucket, the join runs on the bucket id, and the exact
+    * containment predicate filters inside the join. Every qualifying pair
+    * meets in exactly one bucket (the point's), so no dedup is needed.
+    *
+    * Scale shape: one equi-join shuffle on the bucket id; interval
+    * replication ∝ span/bucketWidth (size `bucketWidth` near the median
+    * interval span — too fine replicates intervals, too coarse piles
+    * unrelated points into one bucket). A hot bucket (clock-aligned
+    * bursts) is ordinary join skew — AQE skew-join or salting applies
+    * unchanged. Degenerate `hi < lo` intervals are dropped up front
+    * (Spark's `sequence` would otherwise step DOWNWARD through buckets
+    * the exact filter then discards). */
+  def rangeJoinBucketed(points: DataFrame, ptCol: String,
+                        intervals: DataFrame, loCol: String, hiCol: String,
+                        bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val ints = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__bucket", explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    points
+      .withColumn("__bucket", floor(col(ptCol) / bucketWidth).cast("long"))
+      .join(ints, Seq("__bucket"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__bucket")
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Joins
+import org.apache.spark.sql.functions.col
 
 /** Join-shaped operators: entity merge suffixing (reference/chat.py:119-132),
   * dedup-vs-destination (reference/manutencao.py:12-62), upsert (K3). */
@@ -148,6 +149,36 @@ class JoinsSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Joins.enrichLeftWithError(fact, dim, "num")
     }
+  }
+
+  test("rangeJoinBucketed: exact containment incl. boundaries, no dup pairs") {
+    val points = Seq(0L, 5L, 10L, 15L, 23L, 99L).toDF("pt")
+    val intervals = Seq(
+      ("a", 5L, 15L),   // spans buckets 0..1 (width 10); catches 5,10,15
+      ("b", 10L, 10L),  // degenerate single-point interval
+      ("c", 0L, 23L),   // spans 3 buckets
+      ("d", 50L, 40L)   // hi < lo → dropped
+    ).toDF("name", "lo", "hi")
+    val out = Joins.rangeJoinBucketed(points, "pt", intervals, "lo", "hi", 10L)
+      .select("name", "pt").as[(String, Long)].collect().toSeq
+    assert(out.length === out.distinct.length, "each pair appears exactly once")
+    assert(out.toSet === Set(
+      ("a", 5L), ("a", 10L), ("a", 15L),
+      ("b", 10L),
+      ("c", 0L), ("c", 5L), ("c", 10L), ("c", 15L), ("c", 23L)))
+  }
+
+  test("rangeJoinBucketed matches a plain inequality join on random data") {
+    val points = (1L to 300L).map(i => i * 7 % 200).toDF("pt")
+    val intervals = (1L to 40L).map(i => (i, (i * 13) % 150, (i * 13) % 150 + (i % 25)))
+      .toDF("iv_id", "lo", "hi")
+    val bucketed = Joins.rangeJoinBucketed(points, "pt", intervals, "lo", "hi", 8L)
+      .groupBy("iv_id").count()
+    val naive = points.join(intervals,
+        col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .groupBy("iv_id").count()
+    assert(bucketed.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(bucketed).count() === 0)
   }
 
   test("empty-input guard shape: empty frame with expected schema unions cleanly") {

@@ -397,6 +397,30 @@ class TextAndDedupSpec extends SparkSuite {
     assert(TextAnalytics.bigramLogLik(edge, "doc_id", "text").count() === 0L)
   }
 
+  test("editDistancePairs: exact distances, cross-bucket pairs, a<b order") {
+    import graft.operators.Dedup
+    val d = Seq(
+      (1L, "the quick brown fox"),   // len 19 → bucket 3 (width 6)
+      (2L, "the quick brown fix"),   // dist 1 to doc 1
+      (3L, "completely different"),  // len 20, same bucket, far from both
+      (4L, "the quick brown foxes"), // len 21 → bucket 3; dist 2 to doc 1
+      (5L, "cross bucket abcdefgh"), // len 21
+      (6L, "cross bucket abcdefghijk") // len 24 → bucket 4; dist 3 to doc 5
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(d, "doc_id", "text", 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L, 1L)))
+    assert(out.contains((1L, 4L, 2L)))
+    assert(out.contains((2L, 4L, 3L)))
+    assert(out.contains((5L, 6L, 3L)), "pair straddling a length-bucket boundary")
+    assert(out.forall { case (a, b, dist) => a < b && dist <= 5 })
+    assert(!out.exists { case (a, b, _) => a == 3L || b == 3L })
+    // no duplicate pairs from the 3-bucket probe
+    val rows = Dedup.editDistancePairs(d, "doc_id", "text", 5)
+      .select("id_a", "id_b").collect()
+    assert(rows.length === rows.distinct.length)
+  }
+
   test("langIdHeuristic flags stopword-rich text as en") {
     val d = Seq((1L, "the cat is in the hat and it is fine"),
       (2L, "zzz qqq www rrr")).toDF("doc_id", "text")
