@@ -699,6 +699,33 @@ object SparkEntry {
       q, "qv", k = 10, nprobe = 3)
   }
 
+  /** §2b SemDeDup semantic dedup: IVF cells (vec_id < 8 centroids) →
+    * within-cell cosine pairs ≥ 0.38 → connected components → canonical
+    * survivors. (0.38 because the synthetic embeddings are spread — max
+    * pairwise cosine ≈ 0.51; a real corpus runs this at ~0.95+.) */
+  private def q_semantic_dedup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+    Similarity.semanticDedup(emb, "vec_id", "embedding", cents, 0.38)
+  }
+
+  /** §2b ANN quality evaluation: recall@10 of IVF (nprobe=2 of 8 cells)
+    * against exact brute force, for query vectors vec_id < 5. */
+  private def q_ann_recall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopKMulti(
+      emb, "vec_id", "embedding", queries, "query_id", "qv", 10)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+    val approx = Similarity.ivfTopKMulti(assigned, "vec_id", "embedding",
+      cents, queries, "query_id", "qv", 10, 2)
+    Similarity.recallAtK(exact, approx, "query_id", "vec_id")
+  }
+
   /** §2b lexical-diversity signals: unigram entropy + type-token ratio. */
   private def q_token_entropy(s: SparkSession, d: String): DataFrame =
     TextAnalytics.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
@@ -1164,6 +1191,8 @@ object SparkEntry {
     "q_ivf_topk" -> (q_ivf_topk _),
     "q_kmeans_step" -> (q_kmeans_step _),
     "q_ivf_trained" -> (q_ivf_trained _),
+    "q_semantic_dedup" -> (q_semantic_dedup _),
+    "q_ann_recall" -> (q_ann_recall _),
     "q_token_entropy" -> (q_token_entropy _),
     "q_iqr_outliers" -> (q_iqr_outliers _),
     "q_keep_best" -> (q_keep_best _),
@@ -1737,6 +1766,62 @@ object SparkEntry {
          SELECT vec_id, cell, round(${duckCos("asg1.v", "qv.q")}, 6) AS cosine_sim
          FROM asg1 JOIN probe USING (cell), qv
          ORDER BY round(${duckCos("asg1.v", "qv.q")}, 6) DESC, vec_id LIMIT 10""",
+    "q_semantic_dedup" ->
+      s"""WITH RECURSIVE
+              e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+              asg AS (SELECT vec_id, v, cent_id AS cell FROM (
+                 SELECT e.vec_id, e.v, c.cent_id,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cent_id) AS rn
+                 FROM e, c) WHERE rn = 1),
+              pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                        FROM asg a JOIN asg b
+                          ON a.cell = b.cell AND a.vec_id < b.vec_id
+                        WHERE round(${duckCos("a.v", "b.v")}, 6) >= 0.38),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                        UNION
+                        SELECT id_b AS src, id_a AS dst FROM pairs),
+              walk(id, lbl) AS (
+                SELECT vec_id, vec_id FROM e
+                UNION
+                SELECT g.dst, w.lbl FROM walk w JOIN edges g ON w.id = g.src),
+              cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
+         SELECT id AS vec_id, cluster, (id = cluster) AS is_canonical FROM cl""",
+    "q_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+              q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+              ex AS (SELECT query_id, vec_id FROM (
+                 SELECT q.query_id, e.vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY q.query_id
+                          ORDER BY round(${duckCos("e.v", "q.qv")}, 6) DESC, e.vec_id) AS rn
+                 FROM q, e WHERE e.vec_id <> q.query_id) WHERE rn <= 10),
+              asg AS (SELECT vec_id, v, cent_id AS cell FROM (
+                 SELECT e.vec_id, e.v, c.cent_id,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cent_id) AS rn
+                 FROM e, c) WHERE rn = 1),
+              probe AS (SELECT query_id, cell FROM (
+                 SELECT q.query_id, c.cent_id AS cell,
+                        ROW_NUMBER() OVER (PARTITION BY q.query_id
+                          ORDER BY round(${duckCos("c.cv", "q.qv")}, 6) DESC, c.cent_id) AS rn
+                 FROM q, c) WHERE rn <= 2),
+              ap AS (SELECT query_id, vec_id FROM (
+                 SELECT p.query_id, a.vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY p.query_id
+                          ORDER BY round(${duckCos("a.v", "q.qv")}, 6) DESC, a.vec_id) AS rn
+                 FROM probe p JOIN asg a ON a.cell = p.cell
+                              JOIN q ON q.query_id = p.query_id
+                 WHERE a.vec_id <> p.query_id) WHERE rn <= 10),
+              n AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+              h AS (SELECT x.query_id, count(*) AS n_hits
+                    FROM ex x JOIN ap a
+                      ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+                    GROUP BY 1)
+         SELECT n.query_id, n.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
+                round(COALESCE(h.n_hits, 0) / n.n_exact, 6) AS recall
+         FROM n LEFT JOIN h USING (query_id)""",
     "q_token_entropy" ->
       s"""WITH cnt AS (
             SELECT doc_id, tok, count(*) AS c FROM (

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -224,5 +225,133 @@ object Similarity {
         VectorFunctions.cosineSimilarity(col("vec_a"), col("vec_b")))
       .filter(col("cosine_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+
+  /** SemDeDup-style semantic near-dup pairs: all (id_a < id_b) pairs
+    * WITHIN an IVF cell whose embedding cosine ≥ threshold (rounded to 6dp
+    * first so the cut is engine-reproducible). Pairs straddling cells are
+    * missed by design — that recall/cost trade is the whole point of
+    * clustering first (SemDeDup, arXiv 2303.09540): pair work collapses
+    * from O(n²) to Σ_cell O(|cell|²).
+    *
+    * Scale shape: one self-equi-join on the cell id. Cell population is
+    * corpus/k in expectation — size k so cells fit a task; a hot cell is
+    * ordinary join skew (AQE). Feed the output to
+    * [[graft.operators.Dedup.duplicateClusters]] for survivor selection. */
+  def semanticPairs(assigned: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double): DataFrame = {
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val b = assigned.select(col("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim",
+        round(VectorFunctions.cosineSimilarity(col("__va"), col("__vb")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("cell"), col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+
+  /** Semantic dedup end-to-end: IVF-assign → within-cell cosine pairs →
+    * connected components → per-cluster canonical survivor (lowest id).
+    * Returns every input id with its cluster label and survivor flag —
+    * filter `is_canonical` to materialize the deduplicated corpus. */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[(Long, Seq[Double])],
+                    threshold: Double): DataFrame = {
+    val assigned = ivfAssign(embeddings, idCol, vecCol, centroids)
+    val pairs = semanticPairs(assigned, idCol, vecCol, threshold)
+    Dedup.duplicateClusters(embeddings.select(col(idCol)),
+        pairs.select(col("id_a"), col("id_b")), idCol)
+      .withColumn("is_canonical", col(idCol) === col("cluster"))
+  }
+
+  /** Multi-query exact top-k: every query row against every vector — the
+    * ground-truth side of an ANN recall evaluation. O(nq·n) by design;
+    * bound the query set, never the corpus. Ranking uses the 6dp-rounded
+    * cosine with id tiebreak (reproducible across engines); a query never
+    * matches itself.
+    *
+    * Scale shape: queries broadcast (bounded eval set), candidates rank
+    * per query in a window — fan-in per query is the corpus, so this is
+    * an EVAL harness, not a serving path ([[bruteForceTopK]]'s TakeOrdered
+    * is the single-query serving shape). */
+  def bruteForceTopKMulti(embeddings: DataFrame, idCol: String, vecCol: String,
+                          queries: DataFrame, qidCol: String, qvecCol: String,
+                          k: Int): DataFrame = {
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+    broadcast(queries.select(col(qidCol), col(qvecCol)))
+      .join(embeddings, col(idCol) =!= col(qidCol))
+      .withColumn("cosine_sim",
+        round(VectorFunctions.cosineSimilarity(col(vecCol), col(qvecCol)), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(qidCol).as("query_id"), col(idCol), col("cosine_sim"),
+        col("rnk"))
+  }
+
+  /** Multi-query IVF ANN top-k: per query, rank the literal centroids by
+    * (6dp-rounded) cosine, probe the top `nprobe` cells, exact-rerank the
+    * candidates. Same ranking contract as [[bruteForceTopKMulti]], so the
+    * two compose directly into [[recallAtK]].
+    *
+    * Scale shape: cell choice is per-query arithmetic on broadcast
+    * literals; candidates come from ONE equi-join on the cell id
+    * (~nprobe/k of the corpus per query). The per-query rank window
+    * fans in those candidates — fine for an eval query set; a serving
+    * path would pre-top-k per partition first. */
+  def ivfTopKMulti(assigned: DataFrame, idCol: String, vecCol: String,
+                   centroids: Seq[(Long, Seq[Double])],
+                   queries: DataFrame, qidCol: String, qvecCol: String,
+                   k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}]: $nprobe")
+    val cellScores = array(centroids.sortBy(_._1).map { case (cid, cvec) =>
+      struct(
+        round(VectorFunctions.cosineSimilarity(col(qvecCol),
+          array(cvec.map(lit): _*)), 6).as("ccos"),
+        lit(cid).as("cell"))
+    }: _*)
+    val wc = Window.partitionBy(col(qidCol))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probed = queries
+      .select(col(qidCol), col(qvecCol), explode(cellScores).as("__sc"))
+      .select(col(qidCol), col(qvecCol),
+        col("__sc.ccos").as("ccos"), col("__sc.cell").as("cell"))
+      .withColumn("__crn", row_number().over(wc))
+      .filter(col("__crn") <= nprobe)
+      .select(col(qidCol), col(qvecCol), col("cell"))
+    val wr = Window.partitionBy(col(qidCol))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+    broadcast(probed)
+      .join(assigned, Seq("cell"))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("cosine_sim",
+        round(VectorFunctions.cosineSimilarity(col(vecCol), col(qvecCol)), 6))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(qidCol).as("query_id"), col(idCol), col("cell"),
+        col("cosine_sim"), col("rnk"))
+  }
+
+  /** Recall@k of an approximate top-k list against the exact one: per
+    * query, |approx ∩ exact| / |exact|. Inputs are any two rank lists
+    * sharing (query_id, id) columns — IVF vs brute force, LSH vs brute
+    * force, or two ANN variants against each other.
+    *
+    * Scale shape: one equi-join on (query, id) + two tiny aggregates —
+    * rows ∝ queries × k. */
+  def recallAtK(exact: DataFrame, approx: DataFrame,
+                queryCol: String, idCol: String): DataFrame = {
+    val n = exact.groupBy(col(queryCol)).agg(count(lit(1)).as("n_exact"))
+    val hits = exact.select(col(queryCol), col(idCol))
+      .join(approx.select(col(queryCol), col(idCol)), Seq(queryCol, idCol))
+      .groupBy(col(queryCol)).agg(count(lit(1)).as("n_hits"))
+    n.join(hits, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"), 6)
+          .as("recall"))
   }
 }

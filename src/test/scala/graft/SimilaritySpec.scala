@@ -161,6 +161,76 @@ class SimilaritySpec extends SparkSuite {
     assert(trained(1L) === Seq(1.0, 0.0))
   }
 
+  test("semanticDedup clusters tight within-cell groups, keeps lowest id") {
+    // two tight clusters near the two centroids + one lone vector
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),      // centroids
+      (2L, Seq(0.99f, 0.1f)), (3L, Seq(0.98f, 0.12f)),   // near centroid 0
+      (4L, Seq(0.1f, 0.99f)),                            // near centroid 1
+      (5L, Seq(-1.0f, -0.1f))                            // lone (own component)
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0))
+    val byId = Similarity.semanticDedup(emb, "vec_id", "embedding", cents, 0.95)
+      .select("vec_id", "cluster", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(0L) === ((0L, true)))
+    assert(byId(2L) === ((0L, false)), "tight pair joins centroid-0 cluster")
+    assert(byId(3L) === ((0L, false)))
+    assert(byId(1L)._1 === 1L)
+    assert(byId(5L) === ((5L, true)), "lone vector is its own canonical")
+    assert(byId.size === 6)
+  }
+
+  test("semanticPairs only pairs within a cell") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.9f, 0.45f)), (3L, Seq(0.45f, 0.9f))  // similar but split cells
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0))
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+    val pairs = Similarity.semanticPairs(assigned, "vec_id", "embedding", 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // 2 and 3 have cosine ~0.8 but live in different cells → not paired
+    assert(!pairs.contains((2L, 3L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  test("ivfTopKMulti with full probe matches bruteForceTopKMulti (recall 1)") {
+    val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 100)
+    val cents = Similarity.collectCentroids(
+      emb.filter($"vec_id" < 4), "vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val exact = Similarity.bruteForceTopKMulti(
+      emb, "vec_id", "embedding", queries, "query_id", "qv", 5)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+    val full = Similarity.ivfTopKMulti(assigned, "vec_id", "embedding",
+      cents, queries, "query_id", "qv", 5, nprobe = 4)
+    val rec = Similarity.recallAtK(exact, full, "query_id", "vec_id")
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    assert(rec.values.forall(_ === 1.0), s"full probe must be exact: $rec")
+    // partial probe recall is defined and <= 1
+    val part = Similarity.ivfTopKMulti(assigned, "vec_id", "embedding",
+      cents, queries, "query_id", "qv", 5, nprobe = 1)
+    val recP = Similarity.recallAtK(exact, part, "query_id", "vec_id")
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    assert(recP.values.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
+  test("recallAtK: hand-built lists incl. a zero-hit query") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "vec_id")
+    val approx = Seq((1L, 11L), (1L, 99L), (2L, 98L), (2L, 99L))
+      .toDF("query_id", "vec_id")
+    val m = Similarity.recallAtK(exact, approx, "query_id", "vec_id")
+      .select("query_id", "n_exact", "n_hits", "recall")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(m(1L) === ((2L, 1L, 0.5)))
+    assert(m(2L) === ((2L, 0L, 0.0)), "zero-hit query must appear with recall 0")
+  }
+
   test("frameSample counts and fingerprints sampled frames") {
     import graft.operators.Multimodal
     val df = Seq((1L, "a" * 100), (2L, "xy")).toDF("id", "text")
