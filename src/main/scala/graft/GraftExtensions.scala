@@ -18,8 +18,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   *    session (what the tests and notebooks use).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.GroupTopKStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -52,9 +54,15 @@ object GraftExtensions {
       unary("graft_rolling_hash")(RollingHash(_)))
 
   /** Register on a LIVE session (idempotent — re-registration overwrites
-    * with the identical builder). */
-  def install(spark: SparkSession): Unit =
+    * with the identical builder; the planner strategy is added once). */
+  def install(spark: SparkSession): Unit = {
     registrations.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
+    val strategy = org.apache.spark.sql.graft.GroupTopKStrategy
+    if (!spark.experimental.extraStrategies.contains(strategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ strategy
+    }
+  }
 }

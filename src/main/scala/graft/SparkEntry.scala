@@ -253,6 +253,20 @@ object SparkEntry {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
   }
 
+  /** §2b per-group top-k via the CUSTOM physical operator (GroupTopKNode →
+    * partial/final heap GroupTopKExec — no full-group sort, ≤k rows per
+    * (group, partition) cross the shuffle): same rows as the window
+    * formulation of q_topk_per_group, checked against the same kind of
+    * ROW_NUMBER oracle. */
+  private def q_group_topk_native(s: SparkSession, d: String): DataFrame = {
+    GraftExtensions.install(s)
+    org.apache.spark.sql.graft.GroupTopK.topKPerGroup(
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+  }
+
   /** §2b custom UDAF: grouped top-k via a typed Aggregator — O(k) state
     * with map-side partial merge (only k values per group cross the
     * shuffle, vs a window sorting every row). */
@@ -1144,6 +1158,7 @@ object SparkEntry {
     "q_tfidf" -> (q_tfidf _),
     "q1_pricing_summary" -> (q1_pricing_summary _),
     "q_topk_per_group" -> (q_topk_per_group _),
+    "q_group_topk_native" -> (q_group_topk_native _),
     "q_topk_udaf" -> (q_topk_udaf _),
     "q_rollup" -> (q_rollup _),
     "q_cube" -> (q_cube _),
@@ -2116,6 +2131,12 @@ object SparkEntry {
          GROUP BY l_returnflag, l_linestatus""",
     "q_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
+    "q_group_topk_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
                   ROW_NUMBER() OVER (PARTITION BY o_custkey
                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn

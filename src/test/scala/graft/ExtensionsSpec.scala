@@ -45,4 +45,54 @@ class ExtensionsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("graft_hamming64"))
   }
+
+  test("GroupTopK operator matches the window formulation exactly") {
+    GraftExtensions.install(spark)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.graft.GroupTopK
+    val df = Tables.orders(spark, sf)
+    val custom = GroupTopK.topKPerGroup(df, Seq("o_orderstatus"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 5)
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+    assert(custom.count() === expected.count())
+    assert(custom.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(custom).count() === 0)
+  }
+
+  test("GroupTopK plans partial+final heaps with no SortExec") {
+    GraftExtensions.install(spark)
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graft.GroupTopK
+    val df = Tables.orders(spark, sf)
+    val custom = GroupTopK.topKPerGroup(df, Seq("o_orderstatus"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+    val planStr = custom.queryExecution.executedPlan.toString
+    assert("GroupTopK \\[".r.findAllIn(planStr).size >= 2,
+      s"expected partial+final GroupTopKExec:\n$planStr")
+    assert(!planStr.contains("SortExec") && !planStr.contains("Window"),
+      s"custom top-k must not sort full groups:\n$planStr")
+  }
+
+  test("GroupTopK handles k > group size, ties, and singleton groups") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graft.GroupTopK
+    val df = Seq(
+      ("a", 3.0, 1L), ("a", 3.0, 2L), ("a", 1.0, 3L),
+      ("b", 9.0, 4L)).toDF("g", "v", "id")
+    val out = GroupTopK.topKPerGroup(df, Seq("g"),
+      Seq(col("v").desc, col("id").asc), 10)
+      .as[(String, Double, Long)].collect().toSet
+    assert(out.size === 4, "k larger than any group keeps everything")
+    val top1 = GroupTopK.topKPerGroup(df, Seq("g"),
+      Seq(col("v").desc, col("id").asc), 1)
+      .as[(String, Double, Long)].collect().toSet
+    assert(top1 === Set(("a", 3.0, 1L), ("b", 9.0, 4L)),
+      "tie resolves by the id tiebreak")
+  }
 }
