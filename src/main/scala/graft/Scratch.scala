@@ -54,7 +54,15 @@ object Scratch {
       "q_winsorize" -> ("Per-group winsorization",
         "Quantile stats aggregate once (#groups rows) and broadcast back; the data side never shuffles — the same shape as zscore, NOT a per-group window."),
       "q_corpus_shuffle" -> ("Deterministic epoch shuffle",
-        "The shuffle key is a pure map-side md5 expression; the top-20 probe plans TakeOrdered (per-partition top-k + merge) — no global sort materializes, no single-task window."))
+        "The shuffle key is a pure map-side md5 expression; the top-20 probe plans TakeOrdered (per-partition top-k + merge) — no global sort materializes, no single-task window."),
+      "q_group_topk_native" -> ("Custom per-group top-k operator",
+        "GroupTopK(partial) runs map-side bounded heaps BEFORE the exchange (<= k rows per group per input partition cross the wire), GroupTopK(final) reduces after it — no SortExec, no Window, no full-group materialization: the per-group TakeOrdered."),
+      "q_range_join_bucketed" -> ("Bucketed keyless range join",
+        "The containment join runs as an EQUI-join on the coarse bucket id (intervals exploded to covered buckets, points mapped to one bucket) with the exact range predicate as a post-filter — not the BroadcastNestedLoopJoin Spark plans for a raw inequality join."),
+      "q_weighted_sample" -> ("Deterministic weighted sample",
+        "The exponential-race key is a pure map-side md5+ln expression over the scan; selection is one per-group row_number window over numerous bounded groups."),
+      "q_agg_state_merge" -> ("Incremental aggregate-state merge",
+        "Two branch aggregates partial+final, then the merge is one more hash-aggregate over group-cardinality inputs — the 100 TB history side would enter as an already-aggregated state table, never re-read."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans for flagship queries\n\n")
