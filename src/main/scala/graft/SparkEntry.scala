@@ -451,6 +451,16 @@ object SparkEntry {
         round(col("__pp").getItem(0), 4).as("price_p25"),
         round(col("__pp").getItem(1), 4).as("price_p95"))
 
+  /** §2b exact percentiles via value binning (the scale path of
+    * q_percentiles: shuffle ∝ distinct values, no per-group value
+    * buffering) — must equal the buffering `percentile` bit-for-bit at
+    * 6dp. */
+  private def q_percentile_binned(s: SparkSession, d: String): DataFrame =
+    Corpus.percentilesBinned(Tables.lineitem(s, d), "l_returnflag",
+        "l_quantity", Seq(0.5, 0.95))
+      .withColumn("p50", round(col("p50"), 6))
+      .withColumn("p95", round(col("p95"), 6))
+
   /** §2b scalar-function battery: portable date/string/math built-ins in
     * one projection (each must match DuckDB bit-for-bit or to 6dp). */
   private def q_scalar_funcs(s: SparkSession, d: String): DataFrame =
@@ -1176,6 +1186,7 @@ object SparkEntry {
     "q_salted_join" -> (q_salted_join _),
     "q_approx_distinct" -> (q_approx_distinct _),
     "q_percentiles" -> (q_percentiles _),
+    "q_percentile_binned" -> (q_percentile_binned _),
     "q_stats_agg" -> (q_stats_agg _),
     "q_scalar_funcs" -> (q_scalar_funcs _),
     "q_dedup_exact" -> (q_dedup_exact _),
@@ -2261,6 +2272,11 @@ object SparkEntry {
                 round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
                 round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25,
                 round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_percentile_binned" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+                round(quantile_cont(l_quantity, 0.95), 6) AS p95
          FROM lineitem GROUP BY l_returnflag""",
     "q_scalar_funcs" ->
       """SELECT o_orderkey,

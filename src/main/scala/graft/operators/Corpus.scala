@@ -320,6 +320,54 @@ object Corpus {
         max(col(idCol)).as("last_doc"))
   }
 
+  /** Exact per-group percentiles via VALUE BINNING — the scale path for
+    * Spark's `percentile`, whose aggregation buffer holds every value of a
+    * group (OOM territory when one group is a terabyte). For columns with
+    * bounded distinct values (quantities, scores, lengths, anything
+    * integer-ish) the same exact interpolated result falls out of the
+    * value-count histogram: rank r = p·(n−1), v_lo/v_hi = values at
+    * ⌊r⌋/⌈r⌉ read off the cumulative counts, result = v_lo + (r−⌊r⌋)·
+    * (v_hi − v_lo) — Spark's own formula, computed without materializing
+    * rows.
+    *
+    * Scale shape: one map-combined hash aggregate to (group, value)
+    * counts — shuffle ∝ DISTINCT values, not rows — then a per-group
+    * window over the histogram (bounded by distinct-value count) and one
+    * final aggregate. Output column per requested p: `p50`, `p95`, ... */
+  def percentilesBinned(df: DataFrame, groupCol: String, valCol: String,
+                        ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0,1]: $ps")
+    val names = ps.map(p => s"p${math.round(p * 100)}")
+    require(names.distinct.size == names.size,
+      s"percentile labels collide after rounding: $names")
+    val counts = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol)).agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col(valCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = counts
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
+      val r = lit(p) * (col("__n") - 1).cast("double")
+      val lo = floor(r)
+      val hi = ceil(r)
+      Seq(
+        min(when(col("__cum") >= lo + 1, col(valCol))).as(s"__vlo$i"),
+        min(when(col("__cum") >= hi + 1, col(valCol))).as(s"__vhi$i"),
+        first(r - lo).as(s"__frac$i"))
+    }
+    val reduced = staged.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val out = ps.indices.foldLeft(reduced) { (d, i) =>
+      d.withColumn(names(i),
+        col(s"__vlo$i") +
+          col(s"__frac$i") * (col(s"__vhi$i") - col(s"__vlo$i")))
+    }
+    out.select((col(groupCol) +: names.map(col)).toIndexedSeq: _*)
+  }
+
   /** Deterministic weighted sampling without replacement, k per group
     * (Efraimidis–Spirakis exponential race): each row draws
     * `es_key = −ln(u)/w` with `u` the engine-portable [[hashUnit]] and

@@ -224,6 +224,28 @@ class CorpusSpec extends SparkSuite {
       "different epoch salt → different order keys")
   }
 
+  test("percentilesBinned equals the buffering percentile() exactly") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0),  // even count → interpolation
+      ("b", 7.0))                                        // singleton group
+      .toDF("g", "v")
+    val binned = Corpus.percentilesBinned(df, "g", "v", Seq(0.5, 0.9))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val buffered = df.groupBy("g").agg(
+        expr("percentile(v, 0.5)").as("p50"), expr("percentile(v, 0.9)").as("p90"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(binned.length === buffered.length)
+    binned.zip(buffered).foreach { case ((g1, a50, a90), (g2, b50, b90)) =>
+      assert(g1 === g2)
+      assert(math.abs(a50 - b50) < 1e-12, s"$g1 p50: $a50 vs $b50")
+      assert(math.abs(a90 - b90) < 1e-12, s"$g1 p90: $a90 vs $b90")
+    }
+    // repeated values collapse into one histogram bin and still interpolate
+    val rep = Seq(("c", 1.0), ("c", 1.0), ("c", 1.0), ("c", 2.0)).toDF("g", "v")
+    val p = Corpus.percentilesBinned(rep, "g", "v", Seq(0.5)).collect().head.getDouble(1)
+    assert(p === 1.0)
+  }
+
   test("weightedSample: deterministic, caps at k per group, drops w<=0") {
     val df = Seq(
       (1L, "en", 100L), (2L, "en", 1L), (3L, "en", 50L), (4L, "en", 10L),
