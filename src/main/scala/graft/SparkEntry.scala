@@ -853,6 +853,22 @@ object SparkEntry {
       .withColumn("trail_sd", round(col("trail_sd"), 6))
       .withColumn("rolling_z", round(col("rolling_z"), 6))
 
+  /** §2b Markov transition counts over each user's ordered event stream. */
+  private def q_transitions(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.transitionCounts(Tables.events(s, d),
+      "user_id", "ts", "event_id", "event_type")
+
+  /** §2b ordered funnel view → click → purchase: users per depth reached
+    * (each step strictly after the previous step's earliest time). */
+  private def q_funnel(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.funnelSteps(Tables.events(s, d),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+
+  /** §2b cohort retention matrix: first-event-day cohorts × active-day
+    * offset → distinct active users. */
+  private def q_cohort_retention(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.cohortRetention(Tables.events(s, d), "user_id", "ts")
+
   /** §2b sliding-window aggregate (batch twin of EventStreams.slidingCounts:
     * 1-hour windows sliding every 15 min — each event lands in 4 windows). */
   private def q_event_sliding(s: SparkSession, d: String): DataFrame =
@@ -1229,6 +1245,9 @@ object SparkEntry {
     "q_corpus_shuffle" -> (q_corpus_shuffle _),
     "q_vocab_coverage" -> (q_vocab_coverage _),
     "q_event_hourly" -> (q_event_hourly _),
+    "q_transitions" -> (q_transitions _),
+    "q_funnel" -> (q_funnel _),
+    "q_cohort_retention" -> (q_cohort_retention _),
     "q_resample_fill" -> (q_resample_fill _),
     "q_rolling_stats" -> (q_rolling_stats _),
     "q_sessionize" -> (q_sessionize _),
@@ -2528,6 +2547,45 @@ object SparkEntry {
                            / sqrt(greatest((ssq - n * m * m) / (n - 1), 0.0))
                       END, 6) AS rolling_z
          FROM b""",
+    "q_transitions" ->
+      """SELECT prev_type, event_type, count(*) AS n_transitions
+         FROM (SELECT event_type,
+                 LAG(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_type
+               FROM events)
+         WHERE prev_type IS NOT NULL
+         GROUP BY 1, 2""",
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+                     FROM events WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (SELECT s1.user_id, t1,
+                       min(CASE WHEN e.event_type = 'click'
+                                 AND epoch_us(e.ts) > t1
+                                THEN epoch_us(e.ts) END) AS t2
+                     FROM s1 LEFT JOIN events e USING (user_id)
+                     GROUP BY s1.user_id, t1),
+              s3 AS (SELECT s2.user_id, t1, t2,
+                       min(CASE WHEN e.event_type = 'purchase'
+                                 AND epoch_us(e.ts) > t2
+                                THEN epoch_us(e.ts) END) AS t3
+                     FROM s2 LEFT JOIN events e USING (user_id)
+                     GROUP BY s2.user_id, t1, t2)
+         SELECT steps_completed, count(*) AS n_users
+         FROM (SELECT CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+                         + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                         + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END
+                       AS BIGINT) AS steps_completed
+               FROM s3)
+         GROUP BY 1""",
+    "q_cohort_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+                    FROM events GROUP BY 1)
+         SELECT cohort_day,
+                CAST(date_diff('day', cohort_day,
+                  date_trunc('day', e.ts)) AS BIGINT) AS day_offset,
+                count(DISTINCT e.user_id) AS n_active
+         FROM events e JOIN f USING (user_id)
+         GROUP BY 1, 2""",
     "q_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, event_id, ts, value,

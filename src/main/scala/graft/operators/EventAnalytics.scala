@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event-behavior analytics over an event stream table (SURVEY.md
+  * §2b): transition matrices, ordered funnels, cohort retention — the
+  * product-analytics trio every event warehouse serves.
+  *
+  * Scale shape: everything is keyed by the entity (user) — per-user
+  * windows over individually-bounded series, or hash aggregates with
+  * map-side combine. Nothing materializes a per-user unbounded state and
+  * no operation is quadratic in events.
+  */
+object EventAnalytics {
+
+  /** First-order (Markov) transition counts: for each consecutive event
+    * pair in a user's (ts, tiebreak)-ordered stream, count (prev_type →
+    * type). Row-normalizing the counts gives the empirical transition
+    * matrix; a user's first event has no predecessor and contributes
+    * nothing.
+    *
+    * Scale shape: one per-user window pass (lag-1), one map-combined hash
+    * aggregate over |types|² keys. */
+  def transitionCounts(events: DataFrame, userCol: String, tsCol: String,
+                       tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    events
+      .select(col(userCol), col(typeCol),
+        lag(col(typeCol), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  /** Ordered funnel: how far each user progresses through `steps`, where
+    * step i+1 must occur STRICTLY AFTER the user's earliest qualifying
+    * step-i time (the standard unordered-events/ordered-funnel
+    * semantics). Returns (steps_completed, n_users) — users with no
+    * step-1 event are out of the funnel entirely (the conventional
+    * base is step-1 reachers).
+    *
+    * Scale shape: one filtered aggregate for step 1, then per additional
+    * step one left-join + conditional min aggregate — every phase keyed
+    * on the user, so after the first exchange the partitioning is reused
+    * (ENSURE_REQUIREMENTS inserts no further shuffles on the same key).
+    * Steps is a small literal list; cost ∝ steps × events-of-that-type. */
+  def funnelSteps(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"duplicate funnel step: $steps")
+    val ev = events.select(col(userCol), col(tsCol), col(typeCol))
+    var reached = ev.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t1"))
+    steps.tail.zipWithIndex.foreach { case (step, idx) =>
+      val prev = s"__t${idx + 1}"
+      val cur = s"__t${idx + 2}"
+      val keep = (1 to idx + 1).map(j => first(col(s"__t$j")).as(s"__t$j"))
+      val nextT = min(when(col(typeCol) === step && col(tsCol) > col(prev),
+        col(tsCol))).as(cur)
+      reached = reached.join(ev, Seq(userCol), "left")
+        .groupBy(col(userCol))
+        .agg(keep.head, (keep.tail :+ nextT).toIndexedSeq: _*)
+    }
+    // steps_completed = count of non-null step times (monotone: __t(i+1)
+    // non-null implies __t(i) non-null by construction)
+    val nNonNull = steps.indices
+      .map(i => when(col(s"__t${i + 1}").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    reached
+      .select(col(userCol), nNonNull.cast("long").as("steps_completed"))
+      .groupBy(col("steps_completed"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Cohort retention: users bucketed by the day of their FIRST event;
+    * for each (cohort_day, day_offset) the count of distinct cohort users
+    * active that day — the retention-curve matrix.
+    *
+    * Scale shape: first-seen is one min-aggregate on the user; activity
+    * days deduplicate in the same aggregate that counts them (distinct
+    * user per cell); both shuffles are on bounded keys. */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val first = events.groupBy(col(userCol))
+      .agg(date_trunc("day", min(col(tsCol))).as("cohort_day"))
+    events
+      .select(col(userCol), date_trunc("day", col(tsCol)).as("__day"))
+      .join(first, Seq(userCol))
+      .groupBy(col("cohort_day"),
+        datediff(col("__day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col(userCol)).as("n_active"))
+  }
+}
