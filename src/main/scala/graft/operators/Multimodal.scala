@@ -254,4 +254,61 @@ object Multimodal {
     }
     spark.createDataFrame(rows, decodedSchema)
   }
+
+  /** Output schema of [[aHashPpm]]. */
+  val aHashSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = true),
+    StructField("hash_error", StringType, nullable = true)))
+
+  /** Perceptual average-hash (aHash) for PPM/P6 payloads — the image
+    * near-dup fingerprint: decode, 8×8 nearest-neighbor downsample to
+    * luma (integer Rec.601 weights — bit-deterministic on any JVM), set
+    * bit (y·8+x) iff that cell's luma exceeds the 64-cell mean. Images
+    * differing by recompression/small edits land within a few bits;
+    * compare with the native `hammingDistance` codegen expression and
+    * block exactly like SimHash (pigeonhole bands) for corpus-scale
+    * pairing — the multimodal leg of the dedup stack.
+    *
+    * Scale shape: per-partition batch transform, one output row per
+    * asset; decode errors surface per row, never fail the job. */
+  def aHashPpm(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rows = assets.select(col("asset_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (payload == null) Row(id, null, "null payload")
+        else parsePpm(payload) match {
+          case Left(err) => Row(id, null, err)
+          case Right((w, h, px)) =>
+            val luma = new Array[Long](64)
+            var cy = 0
+            while (cy < 8) {
+              var cx = 0
+              while (cx < 8) {
+                val sx = cx * w / 8
+                val sy = cy * h / 8
+                val o = (sy * w + sx) * 3
+                // integer Rec.601: (299 R + 587 G + 114 B) / 1000
+                luma(cy * 8 + cx) =
+                  (299L * (px(o) & 0xff) + 587L * (px(o + 1) & 0xff) +
+                    114L * (px(o + 2) & 0xff)) / 1000L
+                cx += 1
+              }
+              cy += 1
+            }
+            val mean = luma.sum / 64L // integer mean: deterministic
+            var hash = 0L
+            var i = 0
+            while (i < 64) {
+              if (luma(i) > mean) hash |= (1L << i)
+              i += 1
+            }
+            Row(id, hash, null)
+        }
+      }
+    }
+    spark.createDataFrame(rows, aHashSchema)
+  }
 }

@@ -67,6 +67,30 @@ class MultimodalSpec extends SparkSuite {
     out
   }
 
+  test("aHashPpm: near-identical images within a few bits, contrast flips far") {
+    import graft.functions.VectorFunctions
+    val half = ppm(16, 16, (x, _) => if (x < 8) (250, 250, 250) else (5, 5, 5))
+    // same image with one pixel nudged: perceptually identical
+    val halfTweaked = ppm(16, 16, (x, y) =>
+      if (x == 3 && y == 3) (240, 240, 240)
+      else if (x < 8) (250, 250, 250) else (5, 5, 5))
+    val inverted = ppm(16, 16, (x, _) => if (x < 8) (5, 5, 5) else (250, 250, 250))
+    val bad = "nope".getBytes("US-ASCII")
+    val df = Seq((1L, half), (2L, halfTweaked), (3L, inverted), (4L, bad))
+      .toDF("asset_id", "payload")
+    val out = Multimodal.aHashPpm(df).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(4L) === None, "parse error yields null hash, not a crash")
+    val Seq(h1, h2, h3) = Seq(1L, 2L, 3L).map(out(_).get)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h1, h2) <= 2, s"near-identical images: ${ham(h1, h2)} bits apart")
+    assert(ham(h1, h3) >= 32, s"inverted image must flip ~all set bits: ${ham(h1, h3)}")
+    // native hamming expression agrees with the JVM popcount
+    val viaExpr = Seq((h1, h2)).toDF("a", "b")
+      .select(VectorFunctions.hammingDistance($"a", $"b")).head().getLong(0)
+    assert(viaExpr === ham(h1, h2).toLong)
+  }
+
   test("decodePpm extracts exact dimensions and channel means") {
     // 4x2: r = 10*x, g = 100*y, b = 7 → means r=15, g=50, b=7 exactly
     val img = ppm(4, 2, (x, y) => (10 * x, 100 * y, 7))
