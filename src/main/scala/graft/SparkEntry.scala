@@ -1028,6 +1028,46 @@ object SparkEntry {
         col("state_min"), col("state_max"))
   }
 
+  /** §2b data-quality expectations: a 5-check suite evaluated in ONE scan
+    * (conditional sums) — includes a deliberately-failing non-critical
+    * check (price ceiling) so the report shape is exercised, not just the
+    * all-green path. */
+  private def q_expectations(s: SparkSession, d: String): DataFrame =
+    ColumnHygiene.checkExpectations(Tables.orders(s, d), Seq(
+      ColumnHygiene.Expectation("orderkey_not_null",
+        col("o_orderkey").isNotNull, critical = true),
+      ColumnHygiene.Expectation("custkey_not_null",
+        col("o_custkey").isNotNull, critical = true),
+      ColumnHygiene.Expectation("status_in_domain",
+        col("o_orderstatus").isin("F", "O", "P")),
+      ColumnHygiene.Expectation("price_positive", col("o_totalprice") > 0),
+      ColumnHygiene.Expectation("price_under_100k",
+        col("o_totalprice") < 100000.0)))
+
+  /** §2b sorted-neighborhood blocking: per-language candidate pairs at
+    * rank distance <= 3 under the (length, id) sort. */
+  private def q_sorted_neighborhood(s: SparkSession, d: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 120),
+      "doc_id", "text", "lang", 3)
+
+  /** §2b mergeable distinct-count state (HLL sketches): state merged
+    * across the 1998 cutoff must estimate exactly what a from-scratch
+    * sketch estimates (HLL union is lossless over sketches). Rows-only in
+    * the driver — the sketch boundary is not SQL-reproducible (same as
+    * q_approx_distinct); CorpusSpec pins merge-vs-scratch equality and
+    * the error envelope vs exact COUNT(DISTINCT). */
+  private def q_hll_state_merge(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val pre = orders.filter(col("o_orderdate") < lit("1998-01-01"))
+    val post = orders.filter(col("o_orderdate") >= lit("1998-01-01"))
+    Corpus.mergeDistinctState(
+      Corpus.distinctState(pre, "o_orderstatus", "o_custkey"),
+      Corpus.distinctState(post, "o_orderstatus", "o_custkey"),
+      "o_orderstatus")
+      .select(col("o_orderstatus"), col("n_distinct_est"))
+  }
+
   /** §2b temperature rebalancing (alpha=0.5): en is ~3.4× fr in the
     * documents table; after resampling, effective sizes follow n^0.5 —
     * the multilingual-LLM mixing rule. */
@@ -1264,6 +1304,9 @@ object SparkEntry {
     "q_stratified_sample" -> (q_stratified_sample _),
     "q_weighted_sample" -> (q_weighted_sample _),
     "q_agg_state_merge" -> (q_agg_state_merge _),
+    "q_hll_state_merge" -> (q_hll_state_merge _),
+    "q_expectations" -> (q_expectations _),
+    "q_sorted_neighborhood" -> (q_sorted_neighborhood _),
     "q_temperature_mix" -> (q_temperature_mix _),
     "q_pii_mask" -> (q_pii_mask _),
     "q_strip_markup" -> (q_strip_markup _),
@@ -1567,6 +1610,33 @@ object SparkEntry {
                 min(o_totalprice) AS state_min,
                 max(o_totalprice) AS state_max
          FROM orders GROUP BY 1""",
+    "q_expectations" ->
+      """WITH base AS (SELECT count(*) AS n_rows,
+                sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v1,
+                sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v2,
+                sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS v3,
+                sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v4,
+                sum(CASE WHEN o_totalprice < 100000.0 THEN 0 ELSE 1 END) AS v5
+              FROM orders)
+         SELECT "check", n_rows, n_violations,
+                round(CASE WHEN n_rows > 0
+                  THEN CAST(n_violations AS DOUBLE) / n_rows ELSE 0.0 END, 6)
+                  AS violation_rate,
+                critical, n_violations = 0 AS passed
+         FROM (SELECT 'orderkey_not_null' AS "check", n_rows, v1 AS n_violations, true AS critical FROM base
+               UNION ALL SELECT 'custkey_not_null', n_rows, v2, true FROM base
+               UNION ALL SELECT 'status_in_domain', n_rows, v3, false FROM base
+               UNION ALL SELECT 'price_positive', n_rows, v4, false FROM base
+               UNION ALL SELECT 'price_under_100k', n_rows, v5, false FROM base)""",
+    "q_sorted_neighborhood" ->
+      """WITH ranked AS (SELECT lang, doc_id,
+                CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY length(text), doc_id) AS BIGINT) AS rnk
+              FROM documents WHERE doc_id < 120)
+         SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+                b.rnk - a.rnk AS rank_gap
+         FROM ranked a JOIN ranked b
+           ON a.lang = b.lang AND b.rnk > a.rnk AND b.rnk <= a.rnk + 3""",
     "q_temperature_mix" ->
       """WITH counts AS (SELECT lang, COUNT(*) AS n_group
                          FROM documents GROUP BY lang),

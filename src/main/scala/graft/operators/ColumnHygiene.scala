@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataType
 
@@ -77,5 +77,59 @@ object ColumnHygiene {
         s"stack(${cols.size}, $stackArgs) AS (column, n_nulls, n_distinct, min_str, max_str)"))
       .select(col("column"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_str"), col("max_str"))
+  }
+
+  /** A single data-quality expectation evaluated set-wise: `name`,
+    * the predicate a PASSING row satisfies, and whether a violation
+    * should fail the pipeline (`critical`) or just be reported. */
+  final case class Expectation(name: String, passes: Column,
+                               critical: Boolean = false)
+
+  /** Data-quality gate: evaluate every expectation in ONE pass over the
+    * data and emit a report row per check — (check, n_rows, n_violations,
+    * violation_rate, critical, passed). The conditional-sum formulation
+    * means a 50-check suite still costs a single scan + one 1-row
+    * aggregate; nothing shuffles but the partial sums.
+    *
+    * This is the set-oriented replacement for the reference's per-row
+    * validation-by-crash (chat.py catches per-row KeyErrors mid-loop):
+    * violations are COUNTED, the report is data, and the caller decides —
+    * [[requireExpectations]] enforces critical checks fail-fast. */
+  def checkExpectations(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
+    require(checks.nonEmpty, "checks must be non-empty")
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"duplicate expectation names: ${checks.map(_.name)}")
+    // coalesce: sum over an EMPTY frame is null, and an empty input must
+    // report 0 violations (pass), not nulls
+    val aggs = count(lit(1)).as("__n") +: checks.map(c =>
+      coalesce(sum(when(c.passes, 0L).otherwise(1L)), lit(0L))
+        .as(s"__viol_${c.name}"))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = checks.map(c =>
+      s"'${c.name}', `__viol_${c.name}`, ${c.critical}").mkString(", ")
+    wide.select(col("__n").as("n_rows"), expr(
+        s"stack(${checks.size}, $stackArgs) AS (check, n_violations, critical)"))
+      .select(col("check"), col("n_rows"), col("n_violations"),
+        round(when(col("n_rows") > 0,
+          col("n_violations").cast("double") / col("n_rows"))
+          .otherwise(lit(0.0)), 6).as("violation_rate"),
+        col("critical"),
+        (col("n_violations") === 0L).as("passed"))
+  }
+
+  /** Fail-fast wrapper: evaluates the report and throws (with the failing
+    * check names and counts) if any CRITICAL expectation has violations;
+    * returns the report for logging otherwise. */
+  def requireExpectations(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
+    val report = checkExpectations(df, checks)
+    val failedCritical = report
+      .filter(col("critical") && !col("passed"))
+      .select(col("check"), col("n_violations"))
+      .collect()
+    require(failedCritical.isEmpty,
+      "critical data-quality expectations failed: " + failedCritical
+        .map(r => s"${r.getString(0)} (${r.getLong(1)} violations)")
+        .mkString(", "))
+    report
   }
 }

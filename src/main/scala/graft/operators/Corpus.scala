@@ -418,10 +418,35 @@ object Corpus {
     * tables and one hash aggregate — the 100 TB history is never re-read;
     * cost ∝ groups + new batch. */
   def mergeAggState(state: DataFrame, delta: DataFrame,
-                    groupCol: String): DataFrame =
+                    groupCol: String): DataFrame = {
+    val want = Seq(groupCol, "state_cnt", "state_sum", "state_min", "state_max")
+    Seq(state, delta).foreach { df =>
+      require(want.forall(df.columns.contains),
+        s"aggState schema required (${want.mkString(", ")}); got ${df.columns.mkString(", ")}")
+    }
     state.unionByName(delta).groupBy(col(groupCol)).agg(
       sum(col("state_cnt")).as("state_cnt"),
       sum(col("state_sum")).as("state_sum"),
       min(col("state_min")).as("state_min"),
       max(col("state_max")).as("state_max"))
+  }
+
+  /** Approximate distinct-count STATE: one mergeable HLL (Datasketches)
+    * sketch per group — the approximate counterpart of [[aggState]] for
+    * COUNT(DISTINCT): exact distinct state is unbounded (the key set
+    * itself), a sketch is KBs per group at any cardinality. Merge daily
+    * states with [[mergeDistinctState]]; read with `hll_sketch_estimate`.
+    * HLL union is exact over sketches, so merged-then-estimated equals
+    * built-from-scratch-then-estimated — not just approximately. */
+  def distinctState(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(keyCol)).as("distinct_sketch"))
+
+  /** Merge two per-group distinct-count states and estimate. */
+  def mergeDistinctState(state: DataFrame, delta: DataFrame,
+                         groupCol: String): DataFrame =
+    state.unionByName(delta).groupBy(col(groupCol))
+      .agg(hll_union_agg(col("distinct_sketch")).as("distinct_sketch"))
+      .withColumn("n_distinct_est",
+        hll_sketch_estimate(col("distinct_sketch")))
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the LLM-data-pipeline surface (SURVEY.md §2b):
@@ -382,6 +383,41 @@ object Dedup {
 
   /** SimHash: 64-bit locality-sensitive content hash — sum ±1 per bit over
     * token hashes, take sign bits. Near-identical docs differ in few bits. */
+  /** Sorted-neighborhood candidate pairs — the classic entity-resolution
+    * blocking alternative to LSH: within each block, order rows by a
+    * cheap sort key (text length here, with an id tiebreak) and emit
+    * every pair at rank distance ≤ `windowSize`. Near-duplicates sort
+    * near each other under almost any content-correlated key, so the
+    * candidate count is block_size × windowSize — LINEAR, not quadratic —
+    * and recall degrades gracefully with window width. Score the emitted
+    * pairs with whatever metric fits (levenshtein, Jaccard, cosine);
+    * this operator only blocks.
+    *
+    * Scale shape: one per-block rank window + one self-equi-join on the
+    * block key with the rank band as the join condition — output is
+    * w-bounded per row. Blocks should be numerous and bounded (language,
+    * source, date); a single giant block serializes its rank window into
+    * one task — split it with a coarser second key first. */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String, textCol: String,
+                              blockCol: String, windowSize: Int): DataFrame = {
+    require(windowSize >= 1, s"windowSize must be >= 1: $windowSize")
+    val w = Window.partitionBy(col(blockCol))
+      .orderBy(length(col(textCol)).asc, col(idCol).asc)
+    val ranked = docs
+      .select(col(blockCol), col(idCol), col(textCol))
+      .withColumn("__rnk", row_number().over(w).cast("long"))
+      .drop(textCol)
+    val a = ranked.select(col(blockCol), col(idCol).as("id_a"),
+      col("__rnk").as("__ra"))
+    val b = ranked.select(col(blockCol), col(idCol).as("id_b"),
+      col("__rnk").as("__rb"))
+    a.join(b, Seq(blockCol))
+      .filter(col("__rb") > col("__ra") &&
+        col("__rb") <= col("__ra") + windowSize)
+      .select(col(blockCol), col("id_a"), col("id_b"),
+        (col("__rb") - col("__ra")).as("rank_gap"))
+  }
+
   /** Blocked edit-distance near-dup pairs: all (id_a < id_b) pairs with
     * `levenshtein(text_a, text_b) <= maxDist` — the character-level
     * near-dup detector that catches single-typo / small-patch duplication

@@ -83,4 +83,43 @@ class ColumnHygieneSparkSpec extends SparkSuite {
     assert(out("s") === ((4L, 1L, 2L, Some("a"), Some("b"))))
     assert(out("n") === ((4L, 1L, 2L, Some("10"), Some("20"))))
   }
+
+  test("checkExpectations: one-scan report, null counts as violation") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Option(1L), 5.0), (Option(2L), -1.0), (Option.empty[Long], 3.0)
+    ).toDF("id", "v")
+    val out = ColumnHygiene.checkExpectations(df, Seq(
+        ColumnHygiene.Expectation("id_not_null", col("id").isNotNull, critical = true),
+        ColumnHygiene.Expectation("v_positive", col("v") > 0)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out("id_not_null") === ((3L, 1L, true, false)))
+    assert(out("v_positive") === ((3L, 1L, false, false)))
+  }
+
+  test("requireExpectations: critical failure throws with names, else returns") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Option(1L), 5.0), (Option.empty[Long], 3.0)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      ColumnHygiene.requireExpectations(df, Seq(
+        ColumnHygiene.Expectation("id_not_null", col("id").isNotNull, critical = true)))
+    }
+    assert(e.getMessage.contains("id_not_null"))
+    // non-critical violations only → report returned, no throw
+    val rep = ColumnHygiene.requireExpectations(df, Seq(
+      ColumnHygiene.Expectation("id_not_null", col("id").isNotNull)))
+    assert(rep.collect().length === 1)
+  }
+
+  test("checkExpectations on an empty frame: zero rows, checks pass") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 2.0)).toDF("id", "v").filter(col("id") < 0)
+    val out = ColumnHygiene.checkExpectations(df,
+        Seq(ColumnHygiene.Expectation("v_positive", col("v") > 0)))
+      .collect().head
+    assert(out.getLong(1) === 0L)   // n_rows
+    assert(out.getLong(2) === 0L)   // n_violations (sum over empty → 0)
+    assert(out.getBoolean(5) === true)
+  }
 }

@@ -293,6 +293,27 @@ class CorpusSpec extends SparkSuite {
     assert(f === m)
   }
 
+  test("distinctState merge estimates exactly what a from-scratch sketch does") {
+    val df = (1L to 400L).map(i => (if (i % 3 == 0) "a" else "b", i % 97))
+      .toDF("g", "k")
+    val merged = Corpus.mergeDistinctState(
+      Corpus.distinctState(df.filter(col("k") < 50), "g", "k"),
+      Corpus.distinctState(df.filter(col("k") >= 50), "g", "k"), "g")
+      .select("g", "n_distinct_est").as[(String, Long)].collect().toMap
+    val scratch = Corpus.distinctState(df, "g", "k")
+      .withColumn("n_distinct_est", hll_sketch_estimate(col("distinct_sketch")))
+      .select("g", "n_distinct_est").as[(String, Long)].collect().toMap
+    assert(merged === scratch, "HLL union over sketches is lossless")
+    // error envelope vs exact distinct (97 keys, default lgConfigK=12 →
+    // well under 5%)
+    val exact = df.groupBy("g").agg(countDistinct(col("k")).as("n"))
+      .as[(String, Long)].collect().toMap
+    merged.foreach { case (g, est) =>
+      assert(math.abs(est - exact(g)).toDouble / exact(g) < 0.05,
+        s"group $g: est $est vs exact ${exact(g)}")
+    }
+  }
+
   test("packBins: offset-based layout conserves tokens and respects order") {
     val df = Seq((1L, "s", "a b c"), (2L, "s", "d e"), (3L, "s", "f g h i"))
       .toDF("doc_id", "shard", "text")

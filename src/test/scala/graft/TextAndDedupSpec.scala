@@ -421,6 +421,22 @@ class TextAndDedupSpec extends SparkSuite {
     assert(rows.length === rows.distinct.length)
   }
 
+  test("sortedNeighborhoodPairs: w-bounded pairs within blocks only") {
+    import graft.operators.Dedup
+    val d = Seq(
+      (1L, "en", "aa"), (2L, "en", "aaa"), (3L, "en", "aaaa"), (4L, "en", "aaaaa"),
+      (5L, "pt", "bb"), (6L, "pt", "bbb")
+    ).toDF("doc_id", "lang", "text")
+    val out = Dedup.sortedNeighborhoodPairs(d, "doc_id", "text", "lang", 2)
+      .select("id_a", "id_b", "rank_gap").as[(Long, Long, Long)].collect().toSet
+    // en ranks by length: 1,2,3,4 → gaps <=2; pt: 5,6
+    assert(out === Set(
+      (1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L), (2L, 4L, 2L), (3L, 4L, 1L),
+      (5L, 6L, 1L)))
+    assert(!out.exists { case (a, b, _) => (a <= 4) != (b <= 4) },
+      "no cross-block pairs")
+  }
+
   test("langIdHeuristic flags stopword-rich text as en") {
     val d = Seq((1L, "the cat is in the hat and it is fine"),
       (2L, "zzz qqq www rrr")).toDF("doc_id", "text")
