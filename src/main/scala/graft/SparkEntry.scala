@@ -853,6 +853,15 @@ object SparkEntry {
       .withColumn("trail_sd", round(col("trail_sd"), 6))
       .withColumn("rolling_z", round(col("rolling_z"), 6))
 
+  /** §2b SCD2 version windows: each user's events become versions valid
+    * until the next event (null = current) — point-in-time history from
+    * an append log. */
+  private def q_scd2(s: SparkSession, d: String): DataFrame =
+    Joins.scd2Versions(
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+      "user_id", "ts", "event_id")
+
   /** §2b Markov transition counts over each user's ordered event stream. */
   private def q_transitions(s: SparkSession, d: String): DataFrame =
     EventAnalytics.transitionCounts(Tables.events(s, d),
@@ -1285,6 +1294,7 @@ object SparkEntry {
     "q_corpus_shuffle" -> (q_corpus_shuffle _),
     "q_vocab_coverage" -> (q_vocab_coverage _),
     "q_event_hourly" -> (q_event_hourly _),
+    "q_scd2" -> (q_scd2 _),
     "q_transitions" -> (q_transitions _),
     "q_funnel" -> (q_funnel _),
     "q_cohort_retention" -> (q_cohort_retention _),
@@ -2617,6 +2627,14 @@ object SparkEntry {
                            / sqrt(greatest((ssq - n * m * m) / (n - 1), 0.0))
                       END, 6) AS rolling_z
          FROM b""",
+    "q_scd2" ->
+      """SELECT user_id, ts, event_id, event_type,
+                ts AS valid_from,
+                LEAD(ts, 1) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS valid_to,
+                LEAD(ts, 1) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) IS NULL AS is_current
+         FROM events""",
     "q_transitions" ->
       """SELECT prev_type, event_type, count(*) AS n_transitions
          FROM (SELECT event_type,

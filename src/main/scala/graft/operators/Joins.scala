@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join-shaped operators (SURVEY.md §2: T9, T12, T16, T19, S11, K3).
@@ -252,6 +253,26 @@ object Joins {
   def upsert(dest: DataFrame, updates: DataFrame, key: String): DataFrame =
     dest.join(updates.select(col(key)).distinct(), Seq(key), "left_anti")
       .unionByName(updates.select(dest.columns.map(col).toIndexedSeq: _*))
+
+  /** SCD type-2 version windows from an update/event feed: per key, each
+    * row becomes a version valid from its own timestamp until the NEXT
+    * version's timestamp (null = still current) — the standard
+    * slowly-changing-dimension shape that [[diffSnapshots]]' change feed
+    * (or any append log) turns into point-in-time queryable history.
+    * `tieCol` breaks timestamp ties deterministically (same-instant
+    * updates version in tiebreak order).
+    *
+    * Scale shape: ONE per-key window pass (lead), shuffle on the key
+    * only; keys are numerous and individually bounded. */
+  def scd2Versions(updates: DataFrame, key: String, tsCol: String,
+                   tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    updates
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 
   /** Keyless range (containment) join at scale: pair each point with every
     * interval `[lo, hi]` containing it — WITHOUT an equi-key, the shape

@@ -151,6 +151,25 @@ class JoinsSpec extends SparkSuite {
     }
   }
 
+  test("scd2Versions: chained validity windows, tie broken deterministically") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val updates = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "open"),
+      (1L, t("2024-01-02 10:00:00"), 2L, "pending"),
+      (1L, t("2024-01-02 10:00:00"), 3L, "closed"), // same instant: tie on id
+      (2L, t("2024-01-05 09:00:00"), 4L, "open")
+    ).toDF("k", "ts", "id", "status")
+    val out = Joins.scd2Versions(updates, "k", "ts", "id")
+      .select("id", "valid_to", "is_current").collect()
+      .map(r => r.getLong(0) -> ((Option(r.getTimestamp(1)), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((Some(t("2024-01-02 10:00:00")), false)))
+    assert(out(2L) === ((Some(t("2024-01-02 10:00:00")), false)),
+      "tie: id 2 versions before id 3")
+    assert(out(3L) === ((None, true)))
+    assert(out(4L) === ((None, true)), "each key has its own current version")
+  }
+
   test("rangeJoinBucketed: exact containment incl. boundaries, no dup pairs") {
     val points = Seq(0L, 5L, 10L, 15L, 23L, 99L).toDF("pt")
     val intervals = Seq(
