@@ -22,7 +22,10 @@ class EntrySpec extends SparkSuite {
       "q_approx_distinct", // HLL++ estimate differs from exact by design
       // GK-sketch boundary pick not reproducible in SQL; CorpusSpec pins
       // it against the exact quantileFilter instead.
-      "q_quality_filter_approx")
+      "q_quality_filter_approx",
+      // Datasketches HLL sketch bytes not reproducible in SQL; CorpusSpec
+      // pins merged-state == from-scratch and the error envelope instead.
+      "q_hll_state_merge")
     val unverified = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unverified == rowsOnly,
       s"queries without an oracle (add one or declare rows-only): " +
