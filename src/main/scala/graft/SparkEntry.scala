@@ -798,7 +798,7 @@ object SparkEntry {
 
   /** §2b vocabulary coverage curve: top-100 tokens with cumulative share. */
   private def q_vocab_coverage(s: SparkSession, d: String): DataFrame =
-    TextAnalytics.vocabCoverage(Tables.documents(s, d), "doc_id", "text", 100)
+    TextAnalytics.vocabCoverage(Tables.documents(s, d), "text", 100)
 
   /** §2b custom-state sessionization (flatMapGroupsWithState), batch twin:
     * bounded input ⇒ end-of-data closes every session (emitOpen=true). */

@@ -99,6 +99,13 @@ object ColumnHygiene {
     require(checks.nonEmpty, "checks must be non-empty")
     require(checks.map(_.name).distinct.size == checks.size,
       s"duplicate expectation names: ${checks.map(_.name)}")
+    // names are spliced into the stack() expr string — restrict to a safe
+    // identifier alphabet so a quote/backtick can't break (or inject into)
+    // the generated SQL
+    checks.map(_.name).foreach { n =>
+      require(n.matches("[A-Za-z0-9_][A-Za-z0-9_ .-]*"),
+        s"expectation name must be [A-Za-z0-9_ .-]+ (got '$n')")
+    }
     // coalesce: sum over an EMPTY frame is null, and an empty input must
     // report 0 violations (pass), not nulls
     val aggs = count(lit(1)).as("__n") +: checks.map(c =>

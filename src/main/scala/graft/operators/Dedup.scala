@@ -32,7 +32,13 @@ object Dedup {
     * the argmax is a struct max, so only (quality, id) pairs cross the
     * wire, never document payloads. */
   def keepBestCopy(docs: DataFrame, idCol: String, textCol: String,
-                   qualityCol: String): DataFrame =
+                   qualityCol: String): DataFrame = {
+    // the negated-id tiebreak needs a numeric id — on a string id the
+    // unary minus would cast-to-null and silently void every keep_id
+    require(docs.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"keepBestCopy needs a numeric id column for the tiebreak; " +
+        s"$idCol is ${docs.schema(idCol).dataType.simpleString}")
     docs
       .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
       .groupBy(col("fingerprint"))
@@ -44,6 +50,7 @@ object Dedup {
         count(lit(1)).as("n_dups"))
       .select(col("fingerprint"), col("__best.q").as("best_quality"),
         (-col("__best.negid")).as("keep_id"), col("n_dups"))
+  }
 
   /** End-to-end near-dup survivorship: resolve candidate pairs into
     * connected-component clusters ([[duplicateClusters]]) and emit one row
@@ -348,8 +355,12 @@ object Dedup {
     while (!converged && i < maxIter) {
       val propagated = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster"))
+      // checkpoint the propagation+aggregate ONCE — the two hops below
+      // each self-join their input, so an unmaterialized subtree here
+      // would appear four times in the round's plan
       val combined = labels.unionByName(propagated)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint()
       // pointer jumping ×2: adopt the label OF the current label, twice —
       // each hop halves remaining path length, so a round compresses ~4×.
       // Labels are always node ids (they start as self-ids and only ever
@@ -369,7 +380,9 @@ object Dedup {
       // keeps the sum exact at any node count / id magnitude.
       val s = next.agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
         .first().getDecimal(0)
-      converged = prevSum != null && s.compareTo(prevSum) == 0
+      // s == null ⇔ the edge-induced subgraph is empty (no pairs at all):
+      // nothing to propagate, converged immediately
+      converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       labels = next
       i += 1

@@ -287,8 +287,7 @@ object TextAnalytics {
     * aggregated VOCABULARY (≤ millions of rows), not the corpus — that
     * single-task window is bounded by vocab size, never by corpus size;
     * the corpus itself is touched exactly once, map-side. */
-  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int): DataFrame = {
+  def vocabCoverage(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val freqs = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("tf"))

@@ -178,11 +178,20 @@ object EventStreams {
           var open = state.getOption
           sorted.foreach { case (_, us, _, v, _) =>
             open match {
-              case Some(o) if us - o.end_us <= gapUs =>
-                open = Some(OpenSession(o.start_us, us, o.n + 1, o.v + v))
-              case Some(o) =>
+              // within gap of the open session on EITHER side: extend with
+              // min/max so a cross-batch out-of-order event can never move
+              // the session end backwards (or leave start unextended)
+              case Some(o) if us >= o.start_us - gapUs && us <= o.end_us + gapUs =>
+                open = Some(OpenSession(math.min(o.start_us, us),
+                  math.max(o.end_us, us), o.n + 1, o.v + v))
+              case Some(o) if us > o.end_us + gapUs =>
                 out += SessionOut(user, o.start_us, o.end_us, o.n, o.v)
                 open = Some(OpenSession(us, us, 1L, v))
+              case Some(_) =>
+                // stray older than (start - gap): its session was already
+                // flushed — emit as its own closed singleton, keep the
+                // open session untouched
+                out += SessionOut(user, us, us, 1L, v)
               case None =>
                 open = Some(OpenSession(us, us, 1L, v))
             }

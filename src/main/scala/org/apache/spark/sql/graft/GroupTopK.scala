@@ -33,6 +33,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   * each group are emitted (group-clustered, rank-ordered within a group).
   * Make the sort order total (add an id tiebreak) for deterministic
   * output — same contract as every rank-based operator in graft.
+  *
+  * Memory contract: each task holds (distinct groups in its partition) × k
+  * rows on heap with NO spill path — the trade against the Window plan's
+  * spillable full sort. Right-size by keeping k modest and, when group
+  * cardinality is extreme, pre-clustering the input (bucketed layout or a
+  * coarse repartition) so a partition sees fewer distinct groups.
   */
 case class GroupTopKNode(groupExprs: Seq[Expression], sortOrder: Seq[SortOrder],
                          k: Int, child: LogicalPlan) extends UnaryNode {

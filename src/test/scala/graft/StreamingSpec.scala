@@ -147,6 +147,43 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("statefulSessions: cross-batch out-of-order event extends start, never shrinks end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, Double)]
+    val input = ms.toDF().toDF("user_id", "us", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .withWatermark("ts", "1 hour") // generous: the late row must NOT be dropped
+    val q = EventStreams.statefulSessions(input, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ooo_out")
+      .start()
+    try {
+      val t0 = 1700000000000000L
+      val min = 60L * 1000000L
+      ms.addData((1L, t0 + 10 * min, 1L, 1.0))
+      q.processAllAvailable()
+      // batch 2: event 5 minutes BEFORE the stored session start — must
+      // extend the session downward, not rewrite its end backwards
+      ms.addData((1L, t0 + 5 * min, 2L, 2.0))
+      q.processAllAvailable()
+      // advance watermark way past end+gap to flush, then trigger timeout
+      ms.addData((2L, t0 + 400 * min, 3L, 0.0))
+      q.processAllAvailable()
+      ms.addData((2L, t0 + 401 * min, 4L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ooo_out")
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .collect().map(_.toSeq)
+      assert(rows.contains(Seq(1L, t0 + 5 * min, t0 + 10 * min, 2L)),
+        s"out-of-order event must merge as [start-5m, end]: $rows")
+      assert(!rows.exists(r => r(1).asInstanceOf[Long] > r(2).asInstanceOf[Long]),
+        s"no session may end before it starts: $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids within watermark") {
     val batchEvents = Tables.events(spark, sf).limit(100).cache()
     val doubled = batchEvents.unionByName(batchEvents)

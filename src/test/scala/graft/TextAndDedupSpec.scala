@@ -206,6 +206,18 @@ class TextAndDedupSpec extends SparkSuite {
     assert(solo === nodes.as[Long].collect().map(i => i -> i).toMap)
   }
 
+  test("duplicateClusters: empty pair set is every-node-a-singleton, no spin") {
+    import graft.operators.Dedup
+    val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val t0 = System.nanoTime()
+    val out = Dedup.duplicateClusters(nodes, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    assert(secs < 30.0, s"empty graph must converge immediately, took $secs s")
+  }
+
   test("duplicateClusters closes a long chain (diameter > 2)") {
     import org.apache.spark.sql.functions.col
     val n = 12L
@@ -350,7 +362,7 @@ class TextAndDedupSpec extends SparkSuite {
   test("vocabCoverage ranks by frequency and accumulates to 1.0") {
     import graft.operators.TextAnalytics
     val d = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
-    val out = TextAnalytics.vocabCoverage(d, "doc_id", "text", 10)
+    val out = TextAnalytics.vocabCoverage(d, "text", 10)
       .select("rank", "token", "tf", "coverage")
       .as[(Long, String, Long, Double)].collect().toSeq
     assert(out === Seq((1L, "a", 3L, 0.5), (2L, "b", 2L, 0.833333),
