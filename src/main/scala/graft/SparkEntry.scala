@@ -1077,6 +1077,49 @@ object SparkEntry {
       .select(col("o_orderstatus"), col("n_distinct_est"))
   }
 
+  /** §2b verbatim duplicated spans (the substring-dedup primitive,
+    * Lee et al. ACL'22): 8-token windows appearing in ≥2 distinct
+    * documents — the license-header / boilerplate duplication that
+    * document-level exact and Jaccard dedup both miss. Map-side window
+    * expansion + ONE hash aggregate on the portable fingerprint. */
+  private def q_dup_spans(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text", 8)
+
+  /** §2b k-anonymity privacy audit: quasi-identifier combinations
+    * (mktsegment, nation, account-balance band) held by fewer than k=3
+    * customers — the re-identification gate a dataset passes before
+    * release. One count aggregate on the quasi tuple. */
+  private def q_kanonymity(s: SparkSession, d: String): DataFrame = {
+    val staged = Tables.customer(s, d).select(col("c_mktsegment"),
+      col("c_nationkey"),
+      floor(col("c_acctbal") / 1000).cast("long").as("acctbal_band"))
+    ColumnHygiene.kAnonymity(staged,
+      Seq("c_mktsegment", "c_nationkey", "acctbal_band"), 3)
+  }
+
+  /** §2b Z-order layout key: Morton interleave of (l_partkey, l_suppkey),
+    * the two-dimensional data-skipping sort key behind Sinks.writeZOrdered
+    * — per-row bit arithmetic, zero shuffle. */
+  private def q_zorder_key(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"),
+      Sinks.mortonKey(col("l_partkey"), col("l_suppkey")).as("zkey"))
+
+  /** Deterministic dyadic-rational classifier parameters (multiples of
+    * 1/1024, exactly representable in binary → per-doc logits are EXACT
+    * sums, hash-comparable cross-engine with no rounding): a stand-in for
+    * weights learned offline, shipped to the score query as literals. */
+  private[graft] val classifierWeights: Seq[Double] =
+    (0 until 64).map(i => (((i * 37 + 11) % 97) - 48) / 1024.0)
+  private[graft] val classifierBias: Double = 3.0 / 1024.0
+
+  /** §2b hashed-feature linear classifier (fastText-style scoring): the
+    * learned quality-filter path — 64 hashed buckets, weights as a literal
+    * array, pure map-side fold over the token array. */
+  private def q_quality_classifier(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.hashedLinearScore(Tables.documents(s, d), "doc_id", "text",
+      classifierWeights, classifierBias)
+
   /** §2b temperature rebalancing (alpha=0.5): en is ~3.4× fr in the
     * documents table; after resampling, effective sizes follow n^0.5 —
     * the multilingual-LLM mixing rule. */
@@ -1329,6 +1372,10 @@ object SparkEntry {
     "q_column_profile" -> (q_column_profile _),
     "q_apply_diff" -> (q_apply_diff _),
     "q_bm25" -> (q_bm25 _),
+    "q_dup_spans" -> (q_dup_spans _),
+    "q_kanonymity" -> (q_kanonymity _),
+    "q_zorder_key" -> (q_zorder_key _),
+    "q_quality_classifier" -> (q_quality_classifier _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -1338,6 +1385,22 @@ object SparkEntry {
   private[graft] val duckTokens: String =
     "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) " +
       "ELSE string_split_regex(trim(text), '\\s+') END"
+
+  /** DuckDB expression for the Morton key of two BIGINT columns — the
+    * same static bit-interleave fold the engine codegens
+    * (Sinks.mortonKey), unrolled to SQL. */
+  private def mortonSql(x: String, y: String, bits: Int = 21): String =
+    (0 until bits).flatMap(b => Seq(
+      s"((($x >> $b) & 1) << ${2 * b})",
+      s"((($y >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
+
+  /** DuckDB DOUBLE[] literal of the classifier weights. The weights are
+    * dyadic rationals (multiples of 1/1024), so the 10-decimal forms below
+    * are EXACT — both engines parse back the identical double. */
+  private def classifierWeightsSql: String =
+    "[" + classifierWeights.map(w => f"$w%.10f").mkString(", ") + "]"
+
+  private def classifierBiasSql: String = f"$classifierBias%.10f"
 
   /** DuckDB cosine between two DOUBLE[] expressions (same formula as the
     * engine's single-pass native expression). */
@@ -2699,5 +2762,44 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 substring(text, 1, 4) AS magic
          FROM documents""",
+    "q_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+              s AS (SELECT doc_id, toks, len(toks) AS n FROM t
+                    WHERE len(toks) >= 8),
+              x AS (SELECT doc_id, UNNEST(generate_series(0, n - 8)) AS i,
+                           toks
+                    FROM s),
+              sp AS (SELECT doc_id,
+                            array_to_string(toks[i + 1 : i + 8], ' ') AS span
+                     FROM x)
+         SELECT md5(span) AS span_hash, MIN(span) AS span_example,
+                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                MIN(doc_id) AS first_doc
+         FROM sp GROUP BY md5(span)
+         HAVING COUNT(DISTINCT doc_id) >= 2""",
+    "q_kanonymity" ->
+      """SELECT c_mktsegment, c_nationkey,
+                CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+                CAST(COUNT(*) AS BIGINT) AS group_size
+         FROM customer
+         GROUP BY c_mktsegment, c_nationkey, acctbal_band
+         HAVING COUNT(*) < 3""",
+    "q_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                 CAST(${mortonSql("l_partkey", "l_suppkey")} AS BIGINT) AS zkey
+          FROM lineitem""",
+    "q_quality_classifier" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+              e AS (SELECT doc_id, UNNEST(toks) AS token FROM t),
+              s AS (SELECT doc_id,
+                      SUM(list_extract($classifierWeightsSql,
+                        CAST(CAST(('0x' || substring(md5('13:' || token), 1, 15))
+                          AS BIGINT) % 64 AS INTEGER) + 1)) AS sw
+                    FROM e GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                $classifierBiasSql + COALESCE(s.sw, 0.0) AS logit,
+                ($classifierBiasSql + COALESCE(s.sw, 0.0)) > 0.0 AS keep
+         FROM t LEFT JOIN s USING (doc_id)""",
   )
 }

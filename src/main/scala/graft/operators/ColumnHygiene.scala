@@ -139,4 +139,23 @@ object ColumnHygiene {
         .mkString(", "))
     report
   }
+
+  /** k-anonymity audit (public literature: Sweeney IJUFKS'02): every
+    * combination of quasi-identifier values shared by FEWER than k rows is
+    * a re-identification risk — the privacy gate a corpus passes before
+    * release, the flip side of [[checkExpectations]]'s validity gate.
+    * Emits the violating combinations with their group sizes, smallest
+    * (riskiest) first by (group_size, quasi values).
+    *
+    * Scale shape: ONE hash aggregate on the quasi-identifier tuple with
+    * map-side partials — count-only rows cross the wire, never payloads.
+    * The `< k` filter runs post-aggregate, so output is bounded by the
+    * number of rare combinations, typically a sliver of the input. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 2, s"k must be >= 2 (k=1 is vacuous): $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+  }
 }

@@ -138,6 +138,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact duplicated-span detection — the verbatim-substring dedup
+    * primitive (public literature: Lee et al. ACL'22 "Deduplicating
+    * Training Data Makes Language Models Better", there built on suffix
+    * arrays over the concatenated corpus; re-expressed here in Spark's
+    * wordcount shape): fingerprint every k-token window of every document
+    * and keep fingerprints occurring in ≥ `minDocs` distinct documents.
+    * Catches the boilerplate/license-header/quoted-paragraph duplication
+    * that document-level exact and Jaccard dedup both miss (the containing
+    * documents are different; the span is identical).
+    *
+    * Scale shape: map-side window expansion (one row per token position —
+    * [[shinglesOf]]'s shifted-slice build, evaluated k times per ROW, not
+    * per element) then ONE hash aggregate on the 128-bit md5 fingerprint
+    * with map-side partials. No joins, no windows — the same shape as the
+    * exact-dedup pass, ~k× wider on the wire. Portable hashing keeps the
+    * output oracle-checkable. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"span width k must be >= 2 (got $k)")
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    val spans = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(TextFunctions.shinglesOf(col("__toks"), k)).as("__span"))
+    spans
+      .select(col(idCol), md5(col("__span")).as("span_hash"), col("__span"))
+      .groupBy(col("span_hash"))
+      .agg(
+        min(col("__span")).as("span_example"),
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col(idCol)).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Estimated Jaccard from MinHash signatures — the sketch-only dedup
     * path: est(A,B) = (#seeds whose min-hash agrees) / numHashes, the
     * standard unbiased MinHash estimator (Broder '97). Pairs agreeing on

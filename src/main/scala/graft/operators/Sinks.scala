@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Sink-side semantics of the reference pipeline (SURVEY.md §2: K1, K2).
@@ -78,6 +78,45 @@ object Sinks {
     require(files > 0, s"files must be positive: $files")
     df.repartitionByRange(files, org.apache.spark.sql.functions.col(sortCol))
       .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Morton (Z-order) key: interleave the low `bits` bits of two
+    * non-negative integer columns — bit i of `x` lands at position 2i,
+    * bit i of `y` at 2i+1 (public: Morton '66; the layout behind every
+    * lakehouse OPTIMIZE ZORDER). Sorting by the interleaved key clusters
+    * BOTH dimensions at once, so a range predicate on EITHER column prunes
+    * files/row groups via parquet min/max stats — where a single-column
+    * sort ([[writeSorted]]) only ever prunes on its one column.
+    *
+    * Pure per-row bit arithmetic (a static fold of shift/and/or — one
+    * codegen'd projection, no shuffle, no UDF). Inputs must be
+    * non-negative; bits above `bits` are ignored (values alias into the
+    * low range — acceptable for clustering, wrong for equality, so keep
+    * `bits` ≥ the max value's width). */
+  def mortonKey(x: Column, y: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31]: $bits")
+    import org.apache.spark.sql.functions._
+    (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x.cast("long"), b).bitwiseAND(1L), 2 * b))
+        .bitwiseOR(shiftleft(shiftright(y.cast("long"), b).bitwiseAND(1L), 2 * b + 1))
+    }
+  }
+
+  /** Write Z-ordered on two dimensions: range-partition + sort on the
+    * Morton key of (xCol, yCol), so each output file covers a compact
+    * rectangle-ish region of the (x, y) plane and min/max skipping works
+    * for predicates on either column. Same two-level pruning story as
+    * [[writeSorted]], generalized to two dimensions. */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String, files: Int,
+                    path: String, bits: Int = 21): Unit = {
+    require(files > 0, s"files must be positive: $files")
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__zkey", mortonKey(col(xCol), col(yCol), bits))
+      .repartitionByRange(files, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
       .write.mode("overwrite").parquet(path)
   }
 

@@ -302,6 +302,41 @@ object TextAnalytics {
       .select(col("rank"), col("token"), col("tf"), col("coverage"))
   }
 
+  /** Hashed-feature linear text classifier — the fastText-style scoring
+    * shape (public literature: Joulin et al. '16 "Bag of Tricks"; feature
+    * hashing per Weinberger et al. ICML'09): each token hashes into one of
+    * `weights.length` buckets and the document logit is
+    * `bias + Σ weights(bucket(token))`. This is how a LEARNED quality /
+    * toxicity / domain filter runs at corpus scale once training happened
+    * elsewhere — the model is just a weight vector.
+    *
+    * Scale shape: the weight vector ships as a LITERAL array (same trick
+    * as the IVF centroid table — model parameters are query constants,
+    * not data), so scoring is pure map-side: zero shuffles, zero joins,
+    * one codegen'd projection; `aggregate` over the staged token array
+    * keeps the whole fold inside whole-stage codegen. The logit is a sum
+    * of dyadic-rational weights — keep weights exactly representable
+    * (multiples of 2^-n) and the score is EXACT, engine-portable with no
+    * rounding step. Empty/blank documents score `bias`.
+    *
+    * Emits (id, n_tokens, logit, keep = logit > threshold). */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+                        weights: Seq[Double], bias: Double,
+                        threshold: Double = 0.0, seed: Int = 13): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val f = weights.length
+    val w = typedlit(weights)
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        aggregate(col("__toks"), lit(bias),
+          (acc, t) => acc + element_at(w,
+            (pmod(TextFunctions.portableHash(t, seed), lit(f.toLong)) + 1)
+              .cast("int"))).as("logit"))
+      .withColumn("keep", col("logit") > threshold)
+  }
+
   /** Top-k terms per document by TF-IDF, ranked on the score rounded to
     * `roundScale` decimals with a term tiebreak — rounding before ranking
     * keeps the selection reproducible across engines (mathematically-equal

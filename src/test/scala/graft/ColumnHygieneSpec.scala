@@ -112,6 +112,23 @@ class ColumnHygieneSparkSpec extends SparkSuite {
     assert(rep.collect().length === 1)
   }
 
+  test("kAnonymity flags only quasi-identifier groups below k") {
+    val df = Seq(
+      ("NY", 10), ("NY", 10), ("NY", 10),      // size 3 → safe at k=3
+      ("SF", 20), ("SF", 20),                  // size 2 → violation
+      ("LA", 30)).toDF("city", "age")          // size 1 → violation
+    val out = ColumnHygiene.kAnonymity(df, Seq("city", "age"), 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("SF", 20) -> 2L, ("LA", 30) -> 1L))
+    // k must be meaningful and quasiCols non-empty
+    intercept[IllegalArgumentException] {
+      ColumnHygiene.kAnonymity(df, Seq.empty, 3)
+    }
+    intercept[IllegalArgumentException] {
+      ColumnHygiene.kAnonymity(df, Seq("city"), 1)
+    }
+  }
+
   test("checkExpectations on an empty frame: zero rows, checks pass") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, 2.0)).toDF("id", "v").filter(col("id") < 0)

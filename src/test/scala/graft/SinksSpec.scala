@@ -89,6 +89,41 @@ class SinksSpec extends SparkSuite {
     assert(spark.read.parquet(path).count() === 1000)
   }
 
+  test("mortonKey interleaves bits: known values, monotone locality") {
+    // x=0b101 (5), y=0b011 (3): x bits at even positions → 1_0_1 = 0b010001
+    // (17), y bits at odd positions → 0b001010 (10); key = 0b011011 = 27
+    val rows = Seq((5L, 3L), (0L, 0L), (7L, 7L), (1L, 0L), (0L, 1L))
+      .toDF("x", "y")
+      .select(Sinks.mortonKey(col("x"), col("y"), bits = 3).as("z"))
+      .as[Long].collect().toSeq
+    assert(rows === Seq(27L, 0L, 63L, 1L, 2L))
+  }
+
+  test("writeZOrdered: disjoint z-ranges AND both dimensions cluster") {
+    val path = tempPath()
+    // a 32x32 grid, shuffled — earned layout again
+    val grid = scala.util.Random.shuffle(
+      (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)).toList)
+      .toDF("x", "y")
+    Sinks.writeZOrdered(grid, "x", "y", files = 4, path, bits = 5)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(files.size === 4)
+    // each file covers a compact sub-rectangle of the plane: with 1024
+    // cells over 4 z-contiguous files, each file ≈ one 16×16 quadrant
+    // (a single-column sort would span the full 0..31 in the other
+    // dimension) → min/max pruning works for predicates on EITHER column.
+    // Tolerance 24: repartitionByRange boundaries are sample-approximate,
+    // so a file may lap slightly into the next quadrant.
+    files.foreach { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head()
+      assert(r.getLong(1) - r.getLong(0) <= 24, s"x span too wide in $f: $r")
+      assert(r.getLong(3) - r.getLong(2) <= 24, s"y span too wide in $f: $r")
+    }
+    assert(spark.read.parquet(path).count() === 1024)
+  }
+
   test("dedup-vs-destination composes with the evolved read (reference flow)") {
     val path = tempPath()
     Sinks.appendEvolving(Seq(("c1", "t1")).toDF("chat_id", "n_ticket"), path)

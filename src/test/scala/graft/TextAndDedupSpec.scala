@@ -49,6 +49,50 @@ class TextAndDedupSpec extends SparkSuite {
     assert(s.isEmpty)
   }
 
+  test("duplicatedSpans finds cross-doc verbatim windows, skips unique text") {
+    val d = Seq(
+      (1L, "intro words then SHARED SPAN OF TOKENS here"),
+      (2L, "other lead-in SHARED SPAN OF TOKENS trailing bits"),
+      (3L, "totally unrelated content with no repeats at all"),
+      (4L, "short")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(d, "doc_id", "text", k = 4)
+      .select($"span_example", $"n_docs", $"n_occurrences", $"first_doc")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("SHARED SPAN OF TOKENS", 2L, 2L, 1L)))
+  }
+
+  test("duplicatedSpans counts repeats within one doc but needs minDocs docs") {
+    // the span repeats twice in doc 1 only → n_docs=1 < minDocs → dropped
+    val d = Seq((1L, "x y x y"), (2L, "a b c d")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(d, "doc_id", "text", k = 2).count() === 0L)
+    // same span in both docs → kept, and the doc-1 double occurrence counts
+    val d2 = Seq((1L, "x y x y"), (2L, "x y z w")).toDF("doc_id", "text")
+    val row = Dedup.duplicatedSpans(d2, "doc_id", "text", k = 2)
+      .filter($"span_example" === "x y")
+      .select($"n_docs", $"n_occurrences").as[(Long, Long)].collect().toSeq
+    assert(row === Seq((2L, 3L)))
+  }
+
+  test("hashedLinearScore: empty doc scores bias, fold matches per-token sum") {
+    val w = (0 until 64).map(i => (((i * 37 + 11) % 97) - 48) / 1024.0)
+    val bias = 3.0 / 1024.0
+    val d = Seq((1L, "alpha beta alpha"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalytics.hashedLinearScore(d, "doc_id", "text", w, bias)
+      .select($"doc_id", $"n_tokens", $"logit", $"keep")
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(2L)._2 === 0L && out(2L)._3 === bias && out(2L)._4 === (bias > 0))
+    // recompute doc 1 by hand with the same portable hash
+    def bucket(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"13:$t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(md, 16) % 64).toInt
+    }
+    val expected = bias + w(bucket("alpha")) * 2 + w(bucket("beta"))
+    assert(out(1L)._2 === 3L && out(1L)._3 === expected)
+  }
+
   test("jaccardPairs matches hand-computed overlap") {
     val d = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")).toDF("doc_id", "text")
     val pairs = Dedup.jaccardPairs(d, "doc_id", "text", 0.1)
