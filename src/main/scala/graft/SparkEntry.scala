@@ -1120,6 +1120,33 @@ object SparkEntry {
     TextAnalytics.hashedLinearScore(Tables.documents(s, d), "doc_id", "text",
       classifierWeights, classifierBias)
 
+  /** §2b PageRank (3 fixed iterations) over the undirected part↔supplier
+    * graph from lineitem — importance scoring, the other iterative-join
+    * workhorse next to connected components. Prefixed string node ids
+    * keep the two key spaces disjoint; both edge directions satisfy
+    * Graph.pageRank's every-node-is-a-src contract. */
+  private def q_pagerank(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d).select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst")).distinct()
+    val edges = ps.unionByName(
+      ps.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRank(edges, 3)
+      .select(col("id"), round(col("rank"), 9).as("rank"))
+  }
+
+  /** §2b hot-key skew report: top-10 suppliers by lineitem row count with
+    * share and skew factor — the pre-flight check before keying a shuffle
+    * on l_suppkey. */
+  private def q_skew_report(s: SparkSession, d: String): DataFrame =
+    ColumnHygiene.skewReport(Tables.lineitem(s, d), "l_suppkey", 10)
+
+  /** §2b winnowing fingerprints (MOSS): k=5 shingles, w=4 windows — the
+    * sampled substring-dedup index. */
+  private def q_winnowing(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowingFingerprints(Tables.documents(s, d), "doc_id", "text",
+      k = 5, w = 4)
+
   /** §2b temperature rebalancing (alpha=0.5): en is ~3.4× fr in the
     * documents table; after resampling, effective sizes follow n^0.5 —
     * the multilingual-LLM mixing rule. */
@@ -1376,6 +1403,9 @@ object SparkEntry {
     "q_kanonymity" -> (q_kanonymity _),
     "q_zorder_key" -> (q_zorder_key _),
     "q_quality_classifier" -> (q_quality_classifier _),
+    "q_pagerank" -> (q_pagerank _),
+    "q_skew_report" -> (q_skew_report _),
+    "q_winnowing" -> (q_winnowing _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -1401,6 +1431,38 @@ object SparkEntry {
     "[" + classifierWeights.map(w => f"$w%.10f").mkString(", ") + "]"
 
   private def classifierBiasSql: String = f"$classifierBias%.10f"
+
+  /** Generated oracle for q_pagerank: the engine's 3 fixed iterations
+    * unrolled as CTEs. The teleport term is spelled as the SAME
+    * subtraction the engine computes ((1 - 0.85) is not the double 0.15),
+    * and every division is forced to DOUBLE so DuckDB's decimal literals
+    * can't change the arithmetic. */
+  private def pageRankOracleSql: String = {
+    val iters = (1 to 3).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i AS (SELECT e.dst AS id, SUM($prev.rank / od.outdeg) AS c
+                  FROM e JOIN $prev ON e.src = $prev.id
+                         JOIN od ON e.src = od.src
+                  GROUP BY e.dst),
+          r$i AS (SELECT nodes.id,
+                         (CAST(1 AS DOUBLE) - 0.85) / (SELECT n FROM nn)
+                           + 0.85 * COALESCE(c$i.c, CAST(0 AS DOUBLE)) AS rank
+                  FROM nodes LEFT JOIN c$i USING (id))"""
+    }.mkString(",\n")
+    s"""WITH ep AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                           's' || CAST(l_suppkey AS VARCHAR) AS dst
+                    FROM lineitem),
+            e AS (SELECT src, dst FROM ep
+                  UNION ALL SELECT dst AS src, src AS dst FROM ep),
+            nodes AS (SELECT DISTINCT src AS id FROM e),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+            od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+                   FROM e GROUP BY src),
+            r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
+                   FROM nodes),
+            $iters
+        SELECT id, round(rank, 9) AS rank FROM r3"""
+  }
 
   /** DuckDB cosine between two DOUBLE[] expressions (same formula as the
     * engine's single-pass native expression). */
@@ -2789,6 +2851,38 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                  CAST(${mortonSql("l_partkey", "l_suppkey")} AS BIGINT) AS zkey
           FROM lineitem""",
+    "q_pagerank" -> pageRankOracleSql,
+    "q_skew_report" ->
+      """WITH c AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM lineitem GROUP BY l_suppkey),
+              t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                           CAST(COUNT(*) AS BIGINT) AS nkeys FROM c)
+         SELECT c.l_suppkey, c.cnt,
+                round(c.cnt / t.total, 6) AS share,
+                round(CAST(c.cnt AS DOUBLE) * t.nkeys / t.total, 6) AS skew
+         FROM c, t
+         ORDER BY c.cnt DESC, c.l_suppkey ASC
+         LIMIT 10""",
+    "q_winnowing" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+              s AS (SELECT doc_id, toks, len(toks) AS n FROM t
+                    WHERE len(toks) >= 5),
+              pos AS (SELECT doc_id, toks,
+                             UNNEST(generate_series(0, n - 5)) AS i
+                      FROM s),
+              sh AS (SELECT doc_id, i,
+                       CAST(('0x' || substring(md5('17:' ||
+                         array_to_string(toks[i + 1 : i + 5], ' ')), 1, 15))
+                         AS BIGINT) AS h
+                     FROM pos),
+              hs AS (SELECT doc_id, array_agg(h ORDER BY i) AS hs
+                     FROM sh GROUP BY doc_id),
+              win AS (SELECT doc_id, hs,
+                             UNNEST(generate_series(0, len(hs) - 4)) AS j
+                      FROM hs WHERE len(hs) >= 4)
+         SELECT DISTINCT doc_id,
+                list_aggregate(hs[j + 1 : j + 4], 'min') AS fingerprint
+         FROM win""",
     "q_quality_classifier" ->
       s"""WITH t AS (SELECT doc_id, $duckTokens AS toks FROM documents),
               e AS (SELECT doc_id, UNNEST(toks) AS token FROM t),

@@ -158,4 +158,29 @@ object ColumnHygiene {
       .agg(count(lit(1)).as("group_size"))
       .filter(col("group_size") < k)
   }
+
+  /** Hot-key skew report for a prospective shuffle/join key: the top
+    * `topK` keys by row count, each with its share of all rows and its
+    * skew factor vs the mean key size. THE pre-flight check before keying
+    * a 100 TB shuffle: skew factor 100 means one reducer does 100× the
+    * average work — salt that key ([[Joins.saltedJoin]]) or let AQE split
+    * it, but FIND it before the job runs, not in its straggler tasks.
+    *
+    * One hash aggregate on the key + a 1-row aggregate of the per-key
+    * counts broadcast back + a TakeOrdered on the bounded top-k — nothing
+    * unbounded crosses the wire. Deterministic: count-desc with a key
+    * tiebreak. */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("__total"),
+      count(lit(1)).as("__nkeys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("cnt"),
+        round(col("cnt") / col("__total"), 6).as("share"),
+        round(col("cnt").cast("double") * col("__nkeys") / col("__total"), 6)
+          .as("skew"))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(topK)
+  }
 }

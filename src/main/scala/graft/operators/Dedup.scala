@@ -173,6 +173,37 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Winnowing document fingerprints (public: Schleimer, Wilkerson, Aiken
+    * SIGMOD'03 — the MOSS algorithm): hash every k-token shingle, slide a
+    * w-hash window across the hash sequence and keep each window's
+    * MINIMUM; the distinct kept hashes are the document's fingerprint
+    * set. Guarantee: any verbatim run of ≥ w+k−1 shared tokens yields at
+    * least one SHARED fingerprint, while only ~2/(w+1) of positions are
+    * stored — the sampled version of [[duplicatedSpans]] (which keeps
+    * every position); winnowing is what you INDEX at 100 TB. Join the
+    * output on `fingerprint` for candidate pairs — the same
+    * inverted-index equi-join shape as every other near-dup path.
+    *
+    * Scale shape: fully map-side (staged token array → staged shingle
+    * array → hash transform → per-position window minima → explode) plus
+    * one distinct aggregate; shuffle ∝ fingerprints kept. */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int = 5, w: Int = 4, seed: Int = 17): DataFrame = {
+    require(k >= 2, s"shingle width k must be >= 2 (got $k)")
+    require(w >= 1, s"window width w must be >= 1 (got $w)")
+    val hs = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), TextFunctions.shinglesOf(col("__toks"), k).as("__sh"))
+      .select(col(idCol),
+        transform(col("__sh"),
+          s => TextFunctions.portableHash(s, seed)).as("__hs"))
+      .filter(size(col("__hs")) >= w)
+    hs.select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("__hs")) - w),
+          j => array_min(slice(col("__hs"), j + 1, lit(w))))).as("fingerprint"))
+      .distinct()
+  }
+
   /** Estimated Jaccard from MinHash signatures — the sketch-only dedup
     * path: est(A,B) = (#seeds whose min-hash agrees) / numHashes, the
     * standard unbiased MinHash estimator (Broder '97). Pairs agreeing on

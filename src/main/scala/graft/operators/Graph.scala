@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph algorithms over edge-list DataFrames (SURVEY.md §2b). The dedup
+  * family already runs connected components (Dedup.duplicateClusters);
+  * this adds importance scoring — the other iterative-join workhorse a
+  * corpus pipeline needs (authority weighting of crawl sources, picking
+  * the canonical page among near-dups by link importance).
+  */
+object Graph {
+
+  /** PageRank with a FIXED iteration count (public: Page et al. '99) —
+    * fixed rather than convergence-tested so the result is a
+    * deterministic, oracle-checkable function of the input.
+    *
+    * `edges` must have `src`/`dst` columns; every node is expected to
+    * appear as a `src` at least once (pass both directions for an
+    * undirected graph — that also removes the dangling-node special case,
+    * whose redistribution term is the one non-portable piece of the
+    * textbook formulation). Ranks start uniform at 1/N and update as
+    * rank'(v) = (1-d)/N + d·Σ_{(u,v)∈E} rank(u)/outdeg(u).
+    *
+    * Scale shape: per iteration ONE equi-join of the per-node
+    * rank/outdeg weight against the edge list + ONE hash aggregate on
+    * dst — shuffle ∝ |E|, never N². The node count is a single scalar
+    * aggregate collected once (legitimate tiny-collect, like the IVF
+    * centroids). Iterations are a fixed small constant, so the unrolled
+    * plan stays shallow — no checkpointing needed (contrast the
+    * data-dependent loop in Dedup.duplicateClusters). */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 10,
+      s"iters must be in [1, 10] (fixed, unrolled plan): $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0, 1): $damping")
+    val e = edges.select(col("src"), col("dst")).cache()
+    val nodes = e.select(col("src").as("id")).distinct()
+    // contract: every node appears as src (see scaladoc) — so `nodes`
+    // from src alone covers the graph, and outdeg is never 0/null
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge list")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+    // teleport computed as (1 - damping) in BOTH engines: 1.0 - 0.85 is
+    // NOT the double 0.15, so the oracle must spell the same subtraction
+    val teleport = (1.0 - damping) / n
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    (1 to iters).foreach { _ =>
+      val weight = ranks.join(outdeg, ranks("id") === outdeg("src"))
+        .select(col("id").as("__u"), (col("rank") / col("__outdeg")).as("__w"))
+      val contrib = e.join(weight, e("src") === col("__u"))
+        .groupBy(col("dst")).agg(sum(col("__w")).as("__c"))
+        .withColumnRenamed("dst", "id")
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) + lit(damping) * coalesce(col("__c"), lit(0.0)))
+            .as("rank"))
+    }
+    ranks
+  }
+}

@@ -129,6 +129,19 @@ class ColumnHygieneSparkSpec extends SparkSuite {
     }
   }
 
+  test("skewReport: exact shares and skew factors, bounded deterministic top-k") {
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(2)("warm") ++ Seq("cold", "cool"))
+      .toDF("k")
+    val out = ColumnHygiene.skewReport(df, "k", 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toSeq
+    // 10 rows, 4 keys → mean 2.5; top-3 with count-desc then key-asc order
+    assert(out === Seq(
+      "hot" -> ((6L, 0.6, 2.4)),
+      "warm" -> ((2L, 0.2, 0.8)),
+      "cold" -> ((1L, 0.1, 0.4))))
+  }
+
   test("checkExpectations on an empty frame: zero rows, checks pass") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, 2.0)).toDF("id", "v").filter(col("id") < 0)

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def close(a: Double, b: Double, eps: Double = 1e-12): Boolean =
+    math.abs(a - b) < eps
+
+  test("pageRank: symmetric 2-node graph stays uniform") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val out = Graph.pageRank(edges, 3).as[(String, Double)].collect().toMap
+    assert(close(out("a"), 0.5) && close(out("b"), 0.5), out.toString)
+  }
+
+  test("pageRank: hub outranks spokes, mass conserved, hand-check 1 iter") {
+    // undirected star: hub h connected to s1..s3 (both directions)
+    val spokes = Seq("s1", "s2", "s3")
+    val edges = (spokes.map(("h", _)) ++ spokes.map((_, "h")))
+      .toDF("src", "dst")
+    val one = Graph.pageRank(edges, 1).as[(String, Double)].collect().toMap
+    // after 1 iter from uniform 1/4: hub = (1-d)/4 + d·(3·(1/4)/1)
+    // (each spoke's outdeg is 1); spoke = (1-d)/4 + d·((1/4)/3)
+    assert(close(one("h"), (1 - 0.85) / 4 + 0.85 * 3.0 / 4), one.toString)
+    spokes.foreach { s =>
+      assert(close(one(s), (1 - 0.85) / 4 + 0.85 / 12), one.toString)
+    }
+    val three = Graph.pageRank(edges, 3).as[(String, Double)].collect().toMap
+    assert(three("h") > three("s1"))
+    // every node has an out-edge → no dangling leakage, Σrank = 1
+    assert(close(three.values.sum, 1.0, 1e-9), three.toString)
+  }
+
+  test("pageRank validates its arguments") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    intercept[IllegalArgumentException](Graph.pageRank(edges, 0))
+    intercept[IllegalArgumentException](Graph.pageRank(edges, 11))
+    intercept[IllegalArgumentException](Graph.pageRank(edges, 3, damping = 1.0))
+    intercept[IllegalArgumentException](
+      Graph.pageRank(edges.filter(col("src") === "zz"), 3))
+  }
+}

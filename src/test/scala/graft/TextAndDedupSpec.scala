@@ -73,6 +73,26 @@ class TextAndDedupSpec extends SparkSuite {
     assert(row === Seq((2L, 3L)))
   }
 
+  test("winnowing guarantee: a shared w+k-1 token run yields a shared fingerprint") {
+    // k=3, w=2 → any shared run of >= 4 tokens must share a fingerprint
+    val d = Seq(
+      (1L, "aa bb COMMON RUN OF FOUR zz yy"),
+      (2L, "unrelated prefix COMMON RUN OF FOUR other suffix"),
+      (3L, "nothing in common with anything else at all")).toDF("doc_id", "text")
+    val fp = Dedup.winnowingFingerprints(d, "doc_id", "text", k = 3, w = 2)
+      .as[(Long, Long)].collect().toSeq
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      s"docs 1/2 share 'COMMON RUN OF FOUR' but no fingerprint: $byDoc")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    assert((byDoc(2L) intersect byDoc(3L)).isEmpty)
+    // output is distinct per (doc, fingerprint)
+    assert(fp.distinct.size === fp.size)
+    // sampling: fewer fingerprints than shingle positions (8-token doc:
+    // 6 shingles, 5 windows → at most 5 distinct mins survive)
+    assert(byDoc(1L).size < 6)
+  }
+
   test("hashedLinearScore: empty doc scores bias, fold matches per-token sum") {
     val w = (0 until 64).map(i => (((i * 37 + 11) % 97) - 48) / 1024.0)
     val bias = 3.0 / 1024.0
