@@ -1147,6 +1147,22 @@ object SparkEntry {
     Dedup.winnowingFingerprints(Tables.documents(s, d), "doc_id", "text",
       k = 5, w = 4)
 
+  /** §2b per-group closed-form OLS: quantity→price trend per returnflag —
+    * one hash aggregate, slope/intercept/r² composed post-aggregate from
+    * the cross-engine-stable covariance/variance/corr battery. */
+  private def q_group_ols(s: SparkSession, d: String): DataFrame =
+    Stats.groupOls(Tables.lineitem(s, d), "l_returnflag",
+      "l_quantity", "l_extendedprice")
+
+  /** §2b stream-static enrichment (batch twin): events left-joined to the
+    * broadcast customer dimension — the no-state streaming join shape;
+    * stream/batch parity is pinned in StreamingSpec. */
+  private def q_stream_enrich(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.enrichedStream(
+        Tables.events(s, d), Tables.customer(s, d), "user_id", "c_custkey")
+      .select(col("event_id"), col("user_id"), col("c_name"),
+        col("c_mktsegment"), col("value"))
+
   /** §2b temperature rebalancing (alpha=0.5): en is ~3.4× fr in the
     * documents table; after resampling, effective sizes follow n^0.5 —
     * the multilingual-LLM mixing rule. */
@@ -1406,6 +1422,8 @@ object SparkEntry {
     "q_pagerank" -> (q_pagerank _),
     "q_skew_report" -> (q_skew_report _),
     "q_winnowing" -> (q_winnowing _),
+    "q_group_ols" -> (q_group_ols _),
+    "q_stream_enrich" -> (q_stream_enrich _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -2852,6 +2870,24 @@ object SparkEntry {
                  CAST(${mortonSql("l_partkey", "l_suppkey")} AS BIGINT) AS zkey
           FROM lineitem""",
     "q_pagerank" -> pageRankOracleSql,
+    "q_group_ols" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                round(CASE WHEN var_samp(l_quantity) > 0
+                  THEN covar_samp(l_quantity, l_extendedprice)
+                         / var_samp(l_quantity) END, 6) AS slope,
+                round(avg(l_extendedprice)
+                  - (CASE WHEN var_samp(l_quantity) > 0
+                       THEN covar_samp(l_quantity, l_extendedprice)
+                              / var_samp(l_quantity) END)
+                    * avg(l_quantity), 6) AS intercept,
+                round((covar_samp(l_quantity, l_extendedprice)
+                         * covar_samp(l_quantity, l_extendedprice))
+                      / (var_samp(l_quantity) * var_samp(l_extendedprice)),
+                  6) AS r2
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
     "q_skew_report" ->
       """WITH c AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
                     FROM lineitem GROUP BY l_suppkey),

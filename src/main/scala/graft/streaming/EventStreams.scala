@@ -100,6 +100,20 @@ object EventStreams {
         col("purchase_id"), col("purchase_ts"), col("value"))
   }
 
+  /** Stream-static enrichment: left-join a streaming fact against a
+    * static (or slowly-refreshed) dimension — the streaming counterpart
+    * of Joins.enrichLeft. No state, no watermark requirement: the static
+    * side is re-planned (and a broadcast dim re-broadcast) every
+    * micro-batch, which is also what picks up dim-table updates between
+    * batches. Output is append-safe. At stream scale keep the dimension
+    * broadcast-able; a beyond-broadcast dim wants pre-bucketed layouts on
+    * both sides instead ([[graft.operators.Sinks.writeBucketed]]).
+    * Works identically on a static fact frame — the batch twin
+    * q_stream_enrich is oracle-checked, parity pinned in StreamingSpec. */
+  def enrichedStream(facts: DataFrame, dim: DataFrame,
+                     factKey: String, dimKey: String): DataFrame =
+    facts.join(broadcast(dim), col(factKey) === col(dimKey), "left")
+
   /** Streaming dedup on event_id bounded by the watermark. */
   def dedupedStream(events: DataFrame): DataFrame =
     events

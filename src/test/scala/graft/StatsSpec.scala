@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.Stats
+
+class StatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("groupOls: exact fit recovered, noisy fit hand-checked") {
+    val exact = Seq(("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0))
+      .toDF("grp", "x", "y")
+    val r = Stats.groupOls(exact, "grp", "x", "y").collect().head
+    assert(r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 2.0)   // slope
+    assert(r.getDouble(3) === 0.0)   // intercept
+    assert(r.getDouble(4) === 1.0)   // r2 of a perfect line
+    // y = 1 + x with one off-line point: slope from hand-computed sums
+    // x = 1,2,3 ; y = 2,3,5 → cov = 1.5, var(x) = 1 → slope 1.5,
+    // intercept = ȳ − 1.5·x̄ = 10/3 − 3 = 1/3
+    val noisy = Seq(("g", 1.0, 2.0), ("g", 2.0, 3.0), ("g", 3.0, 5.0))
+      .toDF("grp", "x", "y")
+    val n = Stats.groupOls(noisy, "grp", "x", "y").collect().head
+    assert(n.getDouble(2) === 1.5)
+    assert(n.getDouble(3) === 0.333333)
+  }
+
+  test("groupOls: singleton and zero-x-variance groups yield nulls, not NaN") {
+    val df = Seq(("solo", 1.0, 5.0),
+      ("flat", 2.0, 1.0), ("flat", 2.0, 9.0)).toDF("grp", "x", "y")
+    val out = Stats.groupOls(df, "grp", "x", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("solo").isNullAt(2) && out("solo").isNullAt(4))
+    assert(out("flat").isNullAt(2) && out("flat").isNullAt(3) &&
+      out("flat").isNullAt(4))
+  }
+}

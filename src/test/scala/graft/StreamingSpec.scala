@@ -56,6 +56,27 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment equals the batch broadcast join") {
+    import org.apache.spark.sql.functions._
+    val dim = Tables.customer(spark, sf)
+    val expected = EventStreams.enrichedStream(
+        Tables.events(spark, sf), dim, "user_id", "c_custkey")
+      .select(col("event_id"), col("user_id"), col("c_name"), col("value"))
+      .collect().map(_.toSeq).toSet
+    assert(expected.exists(_(2) != null), "fixture must enrich some rows")
+    val stream = EventStreams.readEventStream(spark, s"$sf/events.parquet",
+      Tables.rawEventSchema(spark, sf))
+    val q = EventStreams.enrichedStream(stream, dim, "user_id", "c_custkey")
+      .select(col("event_id"), col("user_id"), col("c_name"), col("value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("enrich_out").collect().map(_.toSeq).toSet === expected)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running stats match batch aggregates") {
     import org.apache.spark.sql.functions._
     val batchEvents = Tables.events(spark, sf)
