@@ -62,7 +62,25 @@ object Scratch {
       "q_weighted_sample" -> ("Deterministic weighted sample",
         "The exponential-race key is a pure map-side md5+ln expression over the scan; selection is one per-group row_number window over numerous bounded groups."),
       "q_agg_state_merge" -> ("Incremental aggregate-state merge",
-        "Two branch aggregates partial+final, then the merge is one more hash-aggregate over group-cardinality inputs — the 100 TB history side would enter as an already-aggregated state table, never re-read."))
+        "Two branch aggregates partial+final, then the merge is one more hash-aggregate over group-cardinality inputs — the 100 TB history side would enter as an already-aggregated state table, never re-read."),
+      "q_dup_spans" -> ("Verbatim duplicated spans",
+        "Window expansion + md5 fingerprint are map-side over the scan; the distinct-doc count plans the standard two-phase distinct aggregate. The harness query carries min(span text) for readability, which forces SortAggregate (string agg buffer) — duplicatedSpans(includeExample = false) is the corpus-scale path: all-numeric buffer, pure HashAggregate, only 16-byte fingerprints + counts on the wire."),
+      "q_quality_classifier" -> ("Hashed linear classifier",
+        "The whole score — tokenize, bucket-hash, literal-array weight lookup, fold — is a single map-side codegen projection over the scan: zero shuffle, zero join; the model ships as a literal like the IVF centroids."),
+      "q_zorder_key" -> ("Z-order layout key",
+        "The 21-bit Morton interleave folds to one codegen'd projection over the scan — zero shuffle; writeZOrdered adds only the repartitionByRange exchange any sorted layout pays."),
+      "q_pagerank" -> ("PageRank (3 fixed iterations)",
+        "Per iteration: one equi-join of the rank/outdeg weight against the cached edge list + one hash aggregate on dst (partial combine map-side) — shuffle proportional to |E| per iteration, and the fixed unrolled depth keeps the plan shallow with no checkpoint."),
+      "q_skew_report" -> ("Hot-key skew report",
+        "Per-key counts aggregate partial+final; the 1-row totals frame broadcasts back (BroadcastNestedLoopJoin on a single row); TakeOrdered bounds the output — nothing unbounded crosses the wire."),
+      "q_winnowing" -> ("Winnowing fingerprints",
+        "Shingle hashing and per-window minima are all map-side array transforms inside one projection; the only shuffle is the final distinct hash-aggregate over kept fingerprints (~2/(w+1) of positions)."),
+      "q_group_ols" -> ("Per-group closed-form OLS",
+        "ONE hash-aggregate (partial+final) computes count/covariance/variances/means; slope, intercept and r² are a post-aggregate projection — no second pass, no window."),
+      "q_stream_enrich" -> ("Stream-static enrichment",
+        "BroadcastHashJoin (LeftOuter, BuildRight): the fact side never shuffles; identical plan under readStream where the dim re-broadcasts per micro-batch."),
+      "q_kanonymity" -> ("k-anonymity audit",
+        "One hash-aggregate on the quasi-identifier tuple with map-side partial combine; the < k filter runs post-aggregate so only rare combinations survive."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans for flagship queries\n\n")

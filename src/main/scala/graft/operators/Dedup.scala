@@ -155,21 +155,29 @@ object Dedup {
     * exact-dedup pass, ~k× wider on the wire. Portable hashing keeps the
     * output oracle-checkable. */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int, minDocs: Int = 2): DataFrame = {
+                      k: Int, minDocs: Int = 2,
+                      includeExample: Boolean = true): DataFrame = {
     require(k >= 2, s"span width k must be >= 2 (got $k)")
     require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
     val spans = docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
         explode(TextFunctions.shinglesOf(col("__toks"), k)).as("__span"))
-    spans
-      .select(col(idCol), md5(col("__span")).as("span_hash"), col("__span"))
-      .groupBy(col("span_hash"))
-      .agg(
-        min(col("__span")).as("span_example"),
+    // includeExample carries min(span text) through the aggregate for
+    // human-readable output — but a STRING min forces SortAggregate (the
+    // hash-agg buffer only holds fixed-width types). At corpus scale pass
+    // false: the all-numeric buffer keeps the whole pass in HashAggregate
+    // and only 16-byte fingerprints + counts cross the wire.
+    val aggs =
+      (if (includeExample) Seq(min(col("__span")).as("span_example"))
+       else Seq.empty) ++ Seq(
         countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occurrences"),
         min(col(idCol)).as("first_doc"))
+    spans
+      .select(col(idCol), md5(col("__span")).as("span_hash"), col("__span"))
+      .groupBy(col("span_hash"))
+      .agg(aggs.head, aggs.tail: _*)
       .filter(col("n_docs") >= minDocs)
   }
 

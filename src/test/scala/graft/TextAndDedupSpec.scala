@@ -61,6 +61,18 @@ class TextAndDedupSpec extends SparkSuite {
     assert(out === Seq(("SHARED SPAN OF TOKENS", 2L, 2L, 1L)))
   }
 
+  test("duplicatedSpans scale path (no example) agrees with the full output") {
+    val d = Seq(
+      (1L, "intro words then SHARED SPAN OF TOKENS here"),
+      (2L, "other lead-in SHARED SPAN OF TOKENS trailing bits")).toDF("doc_id", "text")
+    val lean = Dedup.duplicatedSpans(d, "doc_id", "text", 4,
+      includeExample = false)
+    assert(!lean.columns.contains("span_example"))
+    val full = Dedup.duplicatedSpans(d, "doc_id", "text", 4)
+      .drop("span_example")
+    assert(lean.exceptAll(full).isEmpty && full.exceptAll(lean).isEmpty)
+  }
+
   test("duplicatedSpans counts repeats within one doc but needs minDocs docs") {
     // the span repeats twice in doc 1 only → n_docs=1 < minDocs → dropped
     val d = Seq((1L, "x y x y"), (2L, "a b c d")).toDF("doc_id", "text")
