@@ -1163,6 +1163,19 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("c_name"),
         col("c_mktsegment"), col("value"))
 
+  /** §2b referential-integrity audit: orders whose customer is missing
+    * from a fixture-thinned dimension (c_custkey % 3 == 0 removed, same
+    * fixture as q_enrich_errors) — distinct dangling keys with counts. */
+  private def q_ri_orphans(s: SparkSession, d: String): DataFrame =
+    ColumnHygiene.riOrphans(Tables.orders(s, d),
+      Tables.customer(s, d).filter(col("c_custkey") % 3 =!= 0),
+      "o_custkey", "c_custkey")
+
+  /** §2b per-document sentence statistics: count and mean/max sentence
+    * length in tokens — map-side array math, no explode. */
+  private def q_sentence_stats(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.sentenceStats(Tables.documents(s, d), "doc_id", "text")
+
   /** §2b temperature rebalancing (alpha=0.5): en is ~3.4× fr in the
     * documents table; after resampling, effective sizes follow n^0.5 —
     * the multilingual-LLM mixing rule. */
@@ -1424,15 +1437,27 @@ object SparkEntry {
     "q_winnowing" -> (q_winnowing _),
     "q_group_ols" -> (q_group_ols _),
     "q_stream_enrich" -> (q_stream_enrich _),
+    "q_ri_orphans" -> (q_ri_orphans _),
+    "q_sentence_stats" -> (q_sentence_stats _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
-    * text → empty list, not ['']). Several oracle strings carry inline
-    * copies of this expression; EntrySpec pins them byte-identical to this
-    * constant so tokenizer-semantics changes cannot drift. */
-  private[graft] val duckTokens: String =
-    "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) " +
-      "ELSE string_split_regex(trim(text), '\\s+') END"
+    * text → empty list, not ['']) over an arbitrary column/expression.
+    * Oracle strings must build every tokenizer use from this (or the
+    * `duckTokens` instance over `text`); EntrySpec pins all inline copies
+    * byte-identical so tokenizer-semantics changes cannot drift. */
+  private[graft] def duckTokensOf(c: String): String =
+    s"CASE WHEN trim($c) = '' THEN CAST([] AS VARCHAR[]) " +
+      s"ELSE string_split_regex(trim($c), '\\s+') END"
+
+  private[graft] val duckTokens: String = duckTokensOf("text")
+
+  /** Guarded DuckDB sentence splitter matching TextFunctions.sentences
+    * (same RE2 pattern, empty segments dropped) — pinned by EntrySpec like
+    * the tokenizer. */
+  private[graft] val duckSentences: String =
+    "list_filter(string_split_regex(trim(text), '[.!?]+\\s+|[.!?]+$'), " +
+      "s -> len(s) > 0)"
 
   /** DuckDB expression for the Morton key of two BIGINT columns — the
     * same static bit-interleave fold the engine codegens
@@ -2888,6 +2913,28 @@ object SparkEntry {
     "q_stream_enrich" ->
       """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+    "q_ri_orphans" ->
+      """SELECT o.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orphans
+         FROM orders o
+         WHERE o.o_custkey IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey % 3 <> 0
+                             AND c.c_custkey = o.o_custkey)
+         GROUP BY o.o_custkey""",
+    "q_sentence_stats" ->
+      s"""WITH t AS (SELECT doc_id, $duckSentences AS sents FROM documents),
+              c AS (SELECT doc_id, sents,
+                      list_transform(sents,
+                        s -> len(${duckTokensOf("s")})) AS counts
+                    FROM t)
+         SELECT doc_id,
+                CAST(len(sents) AS BIGINT) AS n_sentences,
+                round(CASE WHEN len(sents) > 0
+                  THEN CAST(list_aggregate(counts, 'sum') AS DOUBLE)
+                         / len(sents) END, 6) AS avg_sent_tokens,
+                CAST(list_aggregate(counts, 'max') AS BIGINT)
+                  AS max_sent_tokens
+         FROM c""",
     "q_skew_report" ->
       """WITH c AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
                     FROM lineitem GROUP BY l_suppkey),

@@ -187,6 +187,13 @@ object TextFunctions {
     * table scans should stage the token array first. */
   def shingles(text: Column, n: Int = 3): Column = shinglesOf(tokens(text), n)
 
+  /** Regex sentence segmentation: split on terminator runs ([.!?]+)
+    * followed by whitespace or end-of-text, dropping empty segments.
+    * RE2-portable (no lookaround), so the oracle runs the identical
+    * pattern in DuckDB. Blank text → empty array. */
+  def sentences(text: Column): Column =
+    filter(split(trim(text), "[.!?]+\\s+|[.!?]+$"), s => length(s) > 0)
+
   /** Portable 60-bit token hash: first 15 hex chars of md5 as a long.
     * Identical value is computable in any engine (DuckDB, Trino, …), which
     * keeps MinHash signatures oracle-checkable. */

@@ -159,6 +159,28 @@ object ColumnHygiene {
       .filter(col("group_size") < k)
   }
 
+  /** Referential-integrity audit: child rows whose foreign key has no
+    * match in the parent — the orphan check a warehouse load runs before
+    * promoting a batch (the set-oriented version of discovering the break
+    * later as a failed enrichment join). NULL foreign keys are reported
+    * separately, not as orphans (SQL semantics: a null FK can't dangle).
+    *
+    * One left-anti join (broadcast when the parent's key column is small,
+    * which a dimension's key projection usually is) + one 1-row count
+    * aggregate per side — child payloads never shuffle, only the FK
+    * column feeds the join. Returns (fk value, n_orphans) per distinct
+    * orphaned key, worst first, so the output is bounded by the number of
+    * DISTINCT dangling keys. */
+  def riOrphans(child: DataFrame, parent: DataFrame,
+                fkCol: String, pkCol: String): DataFrame = {
+    val keys = parent.select(col(pkCol)).distinct()
+    child
+      .filter(col(fkCol).isNotNull)
+      .join(keys, child(fkCol) === keys(pkCol), "left_anti")
+      .groupBy(col(fkCol))
+      .agg(count(lit(1)).as("n_orphans"))
+  }
+
   /** Hot-key skew report for a prospective shuffle/join key: the top
     * `topK` keys by row count, each with its share of all rows and its
     * skew factor vs the mean key size. THE pre-flight check before keying

@@ -302,6 +302,27 @@ object TextAnalytics {
       .select(col("rank"), col("token"), col("tf"), col("coverage"))
   }
 
+  /** Per-document sentence statistics (sentence count, mean/max tokens
+    * per sentence) — the readability/structure signals quality filters
+    * add next to the token-level ones (a wall of one 4000-token
+    * "sentence" and a list of 400 two-word fragments both score oddly
+    * here and normally in token stats). Everything is array math inside
+    * ONE map-side projection over staged columns: zero shuffles, zero
+    * explodes. Documents with no sentences report 0 with null mean/max. */
+  def sentenceStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.sentences(col(textCol)).as("__sents"))
+      .select(col(idCol), col("__sents"),
+        transform(col("__sents"),
+          s => size(TextFunctions.tokens(s))).as("__counts"))
+      .select(col(idCol),
+        size(col("__sents")).cast("long").as("n_sentences"),
+        round(when(size(col("__sents")) > 0,
+          aggregate(col("__counts"), lit(0L), (acc, x) => acc + x)
+            .cast("double") / size(col("__sents"))), 6)
+          .as("avg_sent_tokens"),
+        array_max(col("__counts")).cast("long").as("max_sent_tokens"))
+
   /** Hashed-feature linear text classifier — the fastText-style scoring
     * shape (public literature: Joulin et al. '16 "Bag of Tricks"; feature
     * hashing per Weinberger et al. ICML'09): each token hashes into one of

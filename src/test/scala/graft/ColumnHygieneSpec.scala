@@ -129,6 +129,18 @@ class ColumnHygieneSparkSpec extends SparkSuite {
     }
   }
 
+  test("riOrphans: dangling FKs counted per key, null FKs excluded") {
+    val child = Seq(Option(1L), Option(1L), Option(2L), Option(9L),
+      Option(9L), Option.empty[Long]).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = ColumnHygiene.riOrphans(child, parent, "fk", "pk")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(9L -> 2L))
+    // a clean child produces an empty report
+    assert(ColumnHygiene.riOrphans(
+      child.filter($"fk".isin(1L, 2L)), parent, "fk", "pk").count() === 0L)
+  }
+
   test("skewReport: exact shares and skew factors, bounded deterministic top-k") {
     val df = (Seq.fill(6)("hot") ++ Seq.fill(2)("warm") ++ Seq("cold", "cool"))
       .toDF("k")

@@ -38,9 +38,13 @@ class EntrySpec extends SparkSuite {
     // drifts from the canonical constant would silently diverge from
     // TextFunctions.tokens on edge-case rows.
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      val scrubbed = sql.replace(SparkEntry.duckTokens, "")
+      val scrubbed = sql
+        .replace(SparkEntry.duckTokens, "")
+        .replace(SparkEntry.duckTokensOf("s"), "")
+        .replace(SparkEntry.duckSentences, "")
       assert(!scrubbed.contains("string_split_regex"),
-        s"$name uses a tokenizer variant that differs from duckTokens")
+        s"$name uses a tokenizer/splitter variant that differs from the " +
+          "canonical guarded expressions")
     }
   }
 

@@ -105,6 +105,26 @@ class TextAndDedupSpec extends SparkSuite {
     assert(byDoc(1L).size < 6)
   }
 
+  test("sentences split on terminator runs; sentenceStats hand-check") {
+    val d = Seq(
+      (1L, "One two three. Four five! Six?"),
+      (2L, "no terminator at all"),
+      (3L, "")).toDF("doc_id", "text")
+    val sents = d.select($"doc_id", TextFunctions.sentences($"text").as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sents(1L) === Seq("One two three", "Four five", "Six"))
+    assert(sents(2L) === Seq("no terminator at all"))
+    assert(sents(3L) === Seq.empty)
+    val stats = TextAnalytics.sentenceStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(stats(1L).getLong(1) === 3L)        // 3 sentences
+    assert(stats(1L).getDouble(2) === 2.0)     // (3+2+1)/3 tokens
+    assert(stats(1L).getLong(3) === 3L)        // longest sentence
+    assert(stats(2L).getLong(1) === 1L && stats(2L).getDouble(2) === 4.0)
+    assert(stats(3L).getLong(1) === 0L &&
+      stats(3L).isNullAt(2) && stats(3L).isNullAt(3))
+  }
+
   test("hashedLinearScore: empty doc scores bias, fold matches per-token sum") {
     val w = (0 until 64).map(i => (((i * 37 + 11) % 97) - 48) / 1024.0)
     val bias = 3.0 / 1024.0
