@@ -1301,6 +1301,65 @@ object SparkEntry {
     TextAnalytics.bm25(Tables.documents(s, d), "doc_id", "text",
       Seq("data", "spark", "merge"), 20)
 
+  /** §2b triangle counting over the part co-occurrence graph (parts
+    * appearing in the same order, one-in-three order slice): per-node
+    * triangle participation — ordered wedge join + closing-edge semi-join,
+    * no cross product. */
+  private def q_triangles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("l").join(li.as("r"),
+        col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+      .select(col("l.pk").as("src"), col("r.pk").as("dst"))
+    Graph.triangleCount(edges)
+  }
+
+  /** §2b TF-IDF-weighted cosine pairs (the weighted Jaccard upgrade):
+    * inverted-index equi-join over the doc_id < 300 slice, rounded-cosine
+    * ≥ 0.8 keeps the filter ulp-stable cross-engine. */
+  private def q_cosine_pairs(s: SparkSession, d: String): DataFrame =
+    Dedup.tfidfCosinePairs(
+      Tables.documents(s, d).filter(col("doc_id") < 300),
+      "doc_id", "text", 0.8)
+
+  /** §2b linear interpolation over the hourly grid (the continuous-value
+    * sibling of q_resample_fill's carry-forward): gap hours get the
+    * time-weighted blend of the bracketing observed hourly sums. */
+  private def q_interp(s: SparkSession, d: String): DataFrame = {
+    // bit-exact pipeline: hourly sums snapped to integer CENTS (value is
+    // cent-quantized, so round-to-integer is never near its boundary),
+    // then the blend runs UNROUNDED over exact operands — identical IEEE
+    // expression in both engines → bit-identical doubles, no dependence
+    // on either engine's decimal-rounding implementation (hour fractions
+    // are dyadic, so rounded output would sit ON boundaries structurally)
+    val hours = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("c"))
+    val grid = hours.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("__lo"), max(col("hour")).as("__hi"))
+      .select(col("user_id"),
+        explode(sequence(col("__lo"), col("__hi"), expr("INTERVAL 1 HOUR")))
+          .as("hour"))
+    val sparse = grid.join(hours, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"), col("c").cast("double").as("v"))
+    TimeSeries.interpolateLinear(sparse, "user_id", "hour", "v",
+        roundScale = -1)
+      .select(col("user_id"), col("hour"),
+        (col("v_interp") / 100.0).as("v_interp"))
+  }
+
+  /** §2b gaps-and-islands: consecutive-active-day streaks per user — one
+    * window pass + one aggregate, no self-join. */
+  private def q_islands(s: SparkSession, d: String): DataFrame =
+    TimeSeries.islands(Tables.events(s, d), "user_id", "ts")
+      // DATE → TIMESTAMP for the dump: parquet DATE round-trips as a
+      // python date object while DuckDB's comes back datetime64 — same
+      // day, different canon string in the comparator
+      .select(col("user_id"),
+        col("start_day").cast("timestamp").as("start_day"),
+        col("end_day").cast("timestamp").as("end_day"),
+        col("n_days"))
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1439,6 +1498,10 @@ object SparkEntry {
     "q_stream_enrich" -> (q_stream_enrich _),
     "q_ri_orphans" -> (q_ri_orphans _),
     "q_sentence_stats" -> (q_sentence_stats _),
+    "q_triangles" -> (q_triangles _),
+    "q_cosine_pairs" -> (q_cosine_pairs _),
+    "q_interp" -> (q_interp _),
+    "q_islands" -> (q_islands _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -2978,5 +3041,82 @@ object SparkEntry {
                 $classifierBiasSql + COALESCE(s.sw, 0.0) AS logit,
                 ($classifierBiasSql + COALESCE(s.sw, 0.0)) > 0.0 AS keep
          FROM t LEFT JOIN s USING (doc_id)""",
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem WHERE l_orderkey % 3 = 0),
+              e AS (SELECT DISTINCT l.pk AS a, r.pk AS b FROM li l
+                    JOIN li r ON l.ok = r.ok AND l.pk < r.pk),
+              t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM e e1 JOIN e e2 ON e1.b = e2.a
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+         SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles
+         FROM (SELECT x AS id FROM t
+               UNION ALL SELECT y FROM t
+               UNION ALL SELECT z FROM t)
+         GROUP BY id""",
+    "q_cosine_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS toks FROM documents
+                     WHERE doc_id < 300),
+              tf0 AS (SELECT doc_id, UNNEST(toks) AS term FROM t),
+              g AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                    FROM tf0 GROUP BY doc_id, term),
+              d AS (SELECT term AS dterm, COUNT(*) AS df FROM g GROUP BY term),
+              n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs
+                    FROM t),
+              w AS (SELECT doc_id, term, tf * ln(n_docs / df) AS w
+                    FROM g JOIN d ON g.term = d.dterm CROSS JOIN n),
+              nm AS (SELECT doc_id, sqrt(SUM(w * w)) AS norm
+                     FROM w GROUP BY doc_id),
+              dt AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                            SUM(a.w * b.w) AS dot
+                     FROM w a JOIN w b
+                       ON a.term = b.term AND a.doc_id < b.doc_id
+                     GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b,
+                round(dot / (x.norm * y.norm), 6) AS cosine
+         FROM dt JOIN nm x ON id_a = x.doc_id JOIN nm y ON id_b = y.doc_id
+         WHERE x.norm > 0 AND y.norm > 0
+           AND round(dot / (x.norm * y.norm), 6) >= 0.8""",
+    "q_interp" ->
+      """WITH hours AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+                               CAST(round(sum(value) * 100, 0) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+              span AS (SELECT user_id, min(hour) AS lo, max(hour) AS hi
+                       FROM hours GROUP BY 1),
+              grid AS (SELECT user_id,
+                              UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+                       FROM span),
+              sparse AS (SELECT g.user_id, g.hour,
+                                CAST(h.c AS DOUBLE) AS v
+                         FROM grid g LEFT JOIN hours h
+                           ON g.user_id = h.user_id AND g.hour = h.hour),
+              ctx AS (SELECT user_id, hour, v, epoch(hour) AS t,
+                        last_value(v IGNORE NULLS) OVER wp AS pv,
+                        last_value(CASE WHEN v IS NOT NULL
+                          THEN epoch(hour) END IGNORE NULLS) OVER wp AS pt,
+                        first_value(v IGNORE NULLS) OVER wn AS nv,
+                        first_value(CASE WHEN v IS NOT NULL
+                          THEN epoch(hour) END IGNORE NULLS) OVER wn AS nt
+                      FROM sparse
+                      WINDOW wp AS (PARTITION BY user_id ORDER BY hour
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             wn AS (PARTITION BY user_id ORDER BY hour
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         SELECT user_id, hour,
+                (CASE WHEN v IS NOT NULL THEN v
+                      ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END) / 100.0
+                  AS v_interp
+         FROM ctx""",
+    "q_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                       FROM events),
+              r AS (SELECT user_id, day,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY day) AS rn
+                    FROM days)
+         SELECT user_id, CAST(min(day) AS TIMESTAMP) AS start_day,
+                CAST(max(day) AS TIMESTAMP) AS end_day,
+                CAST(COUNT(*) AS BIGINT) AS n_days
+         FROM r GROUP BY user_id, day - CAST(rn AS INTEGER)""",
   )
 }

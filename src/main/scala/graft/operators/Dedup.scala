@@ -138,6 +138,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** TF-IDF-weighted cosine similarity pairs — the weighted upgrade of
+    * [[jaccardPairs]]: common boilerplate words contribute almost nothing
+    * (idf ≈ 0) while rare shared terms dominate, so it separates "shares
+    * the template" from "shares the content". Weights are
+    * tf·ln(N/df); similarity is the cosine of the sparse weight vectors.
+    * Emits ordered pairs (id_a < id_b) with ROUNDED (6dp) cosine ≥
+    * `threshold` — the filter runs on the rounded value so a cross-engine
+    * double ulp cannot flip a keep.
+    *
+    * Scale shape: the same inverted-index equi-join as Jaccard — dot
+    * products come from a term-on-term join (fan-out Σ df², never n²),
+    * norms from one per-doc aggregate joined back. `maxDocFreq` prunes
+    * ultra-frequent terms from the INDEX only (norms stay exact): those
+    * terms carry the least weight (idf → 0) but the most fan-out
+    * (O(df²)), so pruning trades a bounded similarity UNDER-estimate for
+    * a bounded index — same contract as jaccardPairsFrom's pruning.
+    * Zero-norm documents (every term in every doc, idf all 0) are
+    * excluded by a norm > 0 guard rather than surfacing as NaN. */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double,
+                       maxDocFreq: Option[Long] = None): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col(idCol)).cast("double").as("n_docs"))
+    val w = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("term"),
+        (col("tf") * log(col("n_docs") / col("df"))).as("w"),
+        col("df"))
+    val norms = w.groupBy(col(idCol)).agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val index = maxDocFreq match {
+      case Some(m) => w.filter(col("df") <= m)
+      case None    => w
+    }
+    val a = index.select(col(idCol).as("id_a"), col("term"), col("w").as("w_a"))
+    val b = index.select(col(idCol).as("id_b"), col("term"), col("w").as("w_b"))
+    val dot = a.join(b, Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("w_a") * col("w_b")).as("dot"))
+    dot
+      .join(norms.select(col(idCol).as("id_a"), col("norm").as("norm_a")), Seq("id_a"))
+      .join(norms.select(col(idCol).as("id_b"), col("norm").as("norm_b")), Seq("id_b"))
+      .filter(col("norm_a") > 0 && col("norm_b") > 0)
+      .withColumn("cosine",
+        round(col("dot") / (col("norm_a") * col("norm_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Exact duplicated-span detection — the verbatim-substring dedup
     * primitive (public literature: Lee et al. ACL'22 "Deduplicating
     * Training Data Makes Language Models Better", there built on suffix

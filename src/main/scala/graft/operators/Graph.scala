@@ -29,6 +29,40 @@ object Graph {
     * centroids). Iterations are a fixed small constant, so the unrolled
     * plan stays shallow — no checkpointing needed (contrast the
     * data-dependent loop in Dedup.duplicateClusters). */
+  /** Per-node triangle participation counts (public: the ordered
+    * wedge-join formulation, e.g. Suri & Vassilvitskii WWW'11 "Counting
+    * triangles and the curse of the last reducer"). Triangles measure
+    * local clustering — in a corpus link graph they separate genuinely
+    * interlinked communities from star-shaped spam hubs, and they are the
+    * standard smoke test that an edge pipeline preserved adjacency.
+    *
+    * Accepts an undirected edge list in any form (either or both
+    * directions, duplicates, self-loops); canonicalizes to `a < b` first,
+    * so each triangle {x,y,z} materializes exactly once as the ordered
+    * triple x<y<z. Returns `(id, triangles)` — each node's triangle
+    * count — for nodes in ≥1 triangle.
+    *
+    * Scale shape: two equi-joins, no cross product. The wedge join
+    * produces Σ_b out(b)·in(b) rows — the ordered orientation caps that
+    * by splitting each node's degree, and the classic refinement (orient
+    * edges low-degree → high-degree) drops it to O(|E|^1.5); the closing
+    * edge check is a plain equi-join on the (a, c) pair. Everything
+    * shuffles on edge keys — never on the node set squared. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    // wedge x—y—z with x<y<z: e1=(x,y), e2=(y,z); ordering makes each
+    // candidate triangle appear exactly once
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tris = wedges.join(e.as("e3"),
+      col("x") === col("e3.a") && col("z") === col("e3.b"), "left_semi")
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1 && iters <= 10,
       s"iters must be in [1, 10] (fixed, unrolled plan): $iters")

@@ -74,4 +74,71 @@ object TimeSeries {
         coalesce(col("n"), lit(0L)).as("n"),
         last(col("__v"), ignoreNulls = true).over(w).as("v_filled"))
   }
+
+  /** Linear interpolation of null gaps in a per-entity series — the
+    * step up from forward-fill when the quantity is continuous (a sensor
+    * reading, a rate) rather than a state (a status, a last-known
+    * balance). Adds `v_interp`: the value itself where present, the
+    * time-weighted blend `prev + (next−prev)·(t−t_prev)/(t_next−t_prev)`
+    * on interior gaps, and null on leading/trailing gaps (interpolation
+    * only — no extrapolation past the observed range).
+    *
+    * Scale shape: two window passes over the same per-entity ordering
+    * (carry-forward of the previous observation, carry-backward of the
+    * next) — the partitioning is reused, entities are numerous and
+    * individually bounded, nothing global.
+    *
+    * `roundScale < 0` skips the output rounding entirely: when the input
+    * values are exact (integer-quantized) doubles the blend is a fixed
+    * IEEE expression over exact operands, so the UNROUNDED output is
+    * bit-deterministic — whereas rounding near a decimal boundary is
+    * engine-implementation-defined (Spark rounds the shortest decimal
+    * representation, other engines round a scaled double). Hourly grids
+    * make boundary-exact blends STRUCTURAL (time fractions are dyadic),
+    * so exact-input-no-rounding is the hash-stable configuration. */
+  def interpolateLinear(series: DataFrame, entityCol: String, tsCol: String,
+                        valCol: String, roundScale: Int = 6): DataFrame = {
+    val fwd = Window.partitionBy(col(entityCol)).orderBy(col(tsCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bwd = Window.partitionBy(col(entityCol)).orderBy(col(tsCol).asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val t = col(tsCol).cast("double")
+    val obsT = when(col(valCol).isNotNull, t)
+    val prevV = last(col(valCol), ignoreNulls = true).over(fwd)
+    val prevT = last(obsT, ignoreNulls = true).over(fwd)
+    val nextV = first(col(valCol), ignoreNulls = true).over(bwd)
+    val nextT = first(obsT, ignoreNulls = true).over(bwd)
+    val blended = prevV +
+      (nextV - prevV) * (t - prevT) / (nextT - prevT)
+    val interp = when(col(valCol).isNotNull, col(valCol)).otherwise(blended)
+    series.withColumn("v_interp",
+      if (roundScale < 0) interp else round(interp, roundScale))
+  }
+
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE active days per entity
+    * (the "current streak / longest streak" primitive — retention and
+    * habit metrics want runs, not raw activity). Returns one row per
+    * island: `(entity, start_day, end_day, n_days)`.
+    *
+    * The classic row_number trick: consecutive days share the constant
+    * anchor `day − row_number` (public folklore, e.g. Ben-Gan's
+    * gaps-and-islands chapters), so one window pass + one hash aggregate
+    * — no self-join, no iteration.
+    *
+    * Scale shape: distinct (entity, day) first — the window then runs
+    * over at most 365·years rows per entity regardless of raw event
+    * volume; partitioning by entity keeps tasks bounded and parallel. */
+  def islands(events: DataFrame, entityCol: String, tsCol: String): DataFrame = {
+    val days = events
+      .select(col(entityCol), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("day").asc)
+    days
+      .withColumn("__anchor", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col(entityCol), col("__anchor"))
+      .agg(min(col("day")).as("start_day"),
+        max(col("day")).as("end_day"),
+        count(lit(1)).as("n_days"))
+      .drop("__anchor")
+  }
 }

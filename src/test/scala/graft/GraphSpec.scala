@@ -33,6 +33,20 @@ class GraphSpec extends SparkSuite {
     assert(close(three.values.sum, 1.0, 1e-9), three.toString)
   }
 
+  test("triangleCount: K4 minus an edge, robust to direction/dup/self-loop") {
+    // K4 on {1,2,3,4} minus edge (1,4): triangles {1,2,3} and {2,3,4};
+    // fed as a messy mix of directions, duplicates and a self-loop
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (3L, 2L),
+      (2L, 4L), (4L, 3L), (2L, 2L)).toDF("src", "dst")
+    val out = Graph.triangleCount(edges).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L), out.toString)
+  }
+
+  test("triangleCount: triangle-free graph returns no rows") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.triangleCount(path).isEmpty)
+  }
+
   test("pageRank validates its arguments") {
     val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pageRank(edges, 0))

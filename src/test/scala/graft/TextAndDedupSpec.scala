@@ -455,6 +455,37 @@ class TextAndDedupSpec extends SparkSuite {
     assert(Dedup.jaccardPairs(d, "doc_id", "text", 0.9).isEmpty)
   }
 
+  test("tfidfCosinePairs: hand-computed cosine, disjoint docs absent") {
+    val d = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple banana"),
+      (3L, "cherry date")).toDF("doc_id", "text")
+    val out = Dedup.tfidfCosinePairs(d, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    // w1=(2ln1.5, ln1.5), w2=(ln1.5, ln1.5) → cos = 3/√10; (·,3) disjoint
+    assert(out === Seq((1L, 2L, math.rint(3.0 / math.sqrt(10) * 1e6) / 1e6)),
+      out.toString)
+  }
+
+  test("tfidfCosinePairs: all-stopword corpus yields no NaN pairs") {
+    // every term in every doc → idf 0 → zero norms → guarded out entirely
+    val d = Seq((1L, "x y"), (2L, "x y"), (3L, "y x")).toDF("doc_id", "text")
+    assert(Dedup.tfidfCosinePairs(d, "doc_id", "text", 0.0).isEmpty)
+  }
+
+  test("tfidfCosinePairs: maxDocFreq prunes the index, not the norms") {
+    val d = Seq(
+      (1L, "apple banana apple rare1"),
+      (2L, "apple banana rare2"),
+      (3L, "cherry date")).toDF("doc_id", "text")
+    // apple/banana have df=2 → pruned at maxDocFreq=1; only rare terms
+    // remain in the index and no pair shares one → empty
+    assert(Dedup.tfidfCosinePairs(d, "doc_id", "text", 0.01,
+      maxDocFreq = Some(1L)).isEmpty)
+    // unpruned, (1,2) clears the bar
+    assert(Dedup.tfidfCosinePairs(d, "doc_id", "text", 0.01).count() == 1)
+  }
+
   test("vocabCoverage ranks by frequency and accumulates to 1.0") {
     import graft.operators.TextAnalytics
     val d = Seq((1L, "a a a b b c")).toDF("doc_id", "text")

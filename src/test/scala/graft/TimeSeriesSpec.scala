@@ -59,6 +59,49 @@ class TimeSeriesSpec extends SparkSuite {
       z.isEmpty && sd.forall(v => v == 0.0 && !v.isNaN) })
   }
 
+  test("interpolateLinear blends interior gaps, leaves edges null") {
+    // user 1: known at 00h (10.0) and 03h (16.0); 01h/02h interior nulls
+    // interpolate to 12.0/14.0; user 2 has a LEADING null → stays null
+    val grid = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Some(10.0)),
+      (1L, ts("2024-01-01 01:00:00"), None),
+      (1L, ts("2024-01-01 02:00:00"), None),
+      (1L, ts("2024-01-01 03:00:00"), Some(16.0)),
+      (2L, ts("2024-01-01 00:00:00"), None),
+      (2L, ts("2024-01-01 01:00:00"), Some(4.0)))
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeries.interpolateLinear(grid, "user_id", "ts", "value")
+      .select($"user_id", $"ts", $"v_interp")
+      .as[(Long, Timestamp, Option[Double])].collect().toSet
+    assert(out === Set(
+      (1L, ts("2024-01-01 00:00:00"), Some(10.0)),
+      (1L, ts("2024-01-01 01:00:00"), Some(12.0)),
+      (1L, ts("2024-01-01 02:00:00"), Some(14.0)),
+      (1L, ts("2024-01-01 03:00:00"), Some(16.0)),
+      (2L, ts("2024-01-01 00:00:00"), None),
+      (2L, ts("2024-01-01 01:00:00"), Some(4.0))))
+  }
+
+  test("islands: consecutive days form one run, gaps split runs") {
+    val events = Seq(
+      // user 1: 1-2-3 Jan, gap, 5 Jan; multiple events on 2 Jan collapse
+      (1L, ts("2024-01-01 08:00:00"), 0.0),
+      (1L, ts("2024-01-02 09:00:00"), 0.0),
+      (1L, ts("2024-01-02 23:00:00"), 0.0),
+      (1L, ts("2024-01-03 01:00:00"), 0.0),
+      (1L, ts("2024-01-05 12:00:00"), 0.0),
+      (2L, ts("2024-02-10 00:00:00"), 0.0))
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeries.islands(events, "user_id", "ts")
+      .select($"user_id", $"start_day".cast("string"),
+        $"end_day".cast("string"), $"n_days")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(out === Set(
+      (1L, "2024-01-01", "2024-01-03", 3L),
+      (1L, "2024-01-05", "2024-01-05", 1L),
+      (2L, "2024-02-10", "2024-02-10", 1L)))
+  }
+
   test("resampleHourlyFill grid is exactly first..last hour per entity") {
     val events = Tables.events(spark, sf)
     val out = TimeSeries.resampleHourlyFill(events, "user_id", "ts", "value")
