@@ -1360,6 +1360,26 @@ object SparkEntry {
         col("end_day").cast("timestamp").as("end_day"),
         col("n_days"))
 
+  /** §2b exact heavy hitters (sketch → recount): document tokens with
+    * frequency > n/41, found by a Misra–Gries pass whose shuffle is O(k)
+    * per partition, then recounted exactly over the ≤ k candidates —
+    * never a full distinct-token aggregation. k=40 on the ~31-word
+    * synthetic vocabulary keeps the check non-vacuous: the rare 'dup'
+    * token falls below the threshold while the rest clear it. */
+  private def q_heavy_hitters(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    Corpus.heavyHitters(toks, "token", k = 40)
+  }
+
+  /** §2b robust outliers: events whose value sits more than 3 robust
+    * z-scores (MAD-based) from its event type's median — the
+    * outlier-immune counterpart of q_zscore. */
+  private def q_mad_outliers(s: SparkSession, d: String): DataFrame =
+    Stats.madOutliers(Tables.events(s, d), "event_type", "value", z = 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"), col("robust_z"))
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1498,6 +1518,8 @@ object SparkEntry {
     "q_stream_enrich" -> (q_stream_enrich _),
     "q_ri_orphans" -> (q_ri_orphans _),
     "q_sentence_stats" -> (q_sentence_stats _),
+    "q_heavy_hitters" -> (q_heavy_hitters _),
+    "q_mad_outliers" -> (q_mad_outliers _),
     "q_triangles" -> (q_triangles _),
     "q_cosine_pairs" -> (q_cosine_pairs _),
     "q_interp" -> (q_interp _),
@@ -2998,6 +3020,27 @@ object SparkEntry {
                 CAST(list_aggregate(counts, 'max') AS BIGINT)
                   AS max_sent_tokens
          FROM c""",
+    "q_heavy_hitters" ->
+      s"""WITH tok AS (SELECT token FROM documents,
+                         UNNEST($duckTokens) AS u(token)),
+              tot AS (SELECT COUNT(*) AS total FROM tok),
+              c AS (SELECT token AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM tok GROUP BY 1)
+         SELECT item, cnt FROM c, tot WHERE cnt * 41 > tot.total""",
+    "q_mad_outliers" ->
+      """WITH med AS (SELECT event_type, median(value) AS med
+                      FROM events GROUP BY 1),
+              mad AS (SELECT e.event_type,
+                             median(abs(e.value - med.med)) AS mad
+                      FROM events e JOIN med USING (event_type)
+                      GROUP BY 1)
+         SELECT e.event_id, e.event_type, e.value, med.med, mad.mad,
+                round(abs(e.value - med.med) / (mad.mad * 1.4826), 6)
+                  AS robust_z
+         FROM events e JOIN med USING (event_type)
+                       JOIN mad USING (event_type)
+         WHERE mad.mad > 0
+           AND round(abs(e.value - med.med) / (mad.mad * 1.4826), 6) > 3.0""",
     "q_skew_report" ->
       """WITH c AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
                     FROM lineitem GROUP BY l_suppkey),

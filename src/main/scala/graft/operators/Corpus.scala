@@ -449,4 +449,38 @@ object Corpus {
       .agg(hll_union_agg(col("distinct_sketch")).as("distinct_sketch"))
       .withColumn("n_distinct_est",
         hll_sketch_estimate(col("distinct_sketch")))
+
+  /** EXACT heavy hitters via the two-phase sketch-then-recount pattern:
+    * items whose frequency exceeds n/(k+1), computed without ever running
+    * a full distinct-item aggregation.
+    *
+    * Phase 1 runs a Misra–Gries sketch ([[graft.functions.MisraGriesAggregator]])
+    * as one global aggregate — each partition reduces to ≤ k counters
+    * map-side, so the shuffle carries one O(k) row per partition no matter
+    * how many distinct items exist. MG guarantees every item with true
+    * count > n/(k+1) survives in the sketch (it only ever under-counts),
+    * so the ≤ k surviving keys are a SUPERSET of the answer. Phase 2
+    * semi-joins the raw items against that broadcast candidate set and
+    * recounts exactly — map-side partial aggregation now collapses to
+    * ≤ k rows per partition because only candidates remain — then keeps
+    * items whose exact count clears the threshold.
+    *
+    * This is the 100 TB shape for "find the hot keys in a trillion-row
+    * column": a full wordcount shuffles every distinct key; this shuffles
+    * O(k · partitions) both passes. Output: (`item`, `cnt`), exact —
+    * identical to `GROUP BY item HAVING count(*)·(k+1) > n`. */
+  def heavyHitters(df: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val items = df.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    val mg = udaf(new graft.functions.MisraGriesAggregator(k))
+    val candidates = items.agg(mg(col("item")).as("sketch"))
+      .select(explode(map_keys(col("sketch"))).as("item"))
+    val counts = items.join(broadcast(candidates), Seq("item"), "left_semi")
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val total = items.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * (k + 1) > col("total"))
+      .select(col("item"), col("cnt"))
+  }
 }

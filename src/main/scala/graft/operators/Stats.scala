@@ -39,4 +39,36 @@ object Stats {
       round(col("__ybar") - slope * col("__xbar"), roundScale).as("intercept"),
       round(r2, roundScale).as("r2"))
   }
+
+  /** Per-group robust outliers by median absolute deviation (public:
+    * Hampel '74; the `1.4826` consistency constant makes MAD estimate σ
+    * under normality). Flags rows with
+    * |x − median| / (1.4826 · MAD) > z — the robust z-score, immune to
+    * the outliers themselves inflating the spread the way mean/stddev
+    * z-scores ([[graft.operators.Corpus.zscore]]) are.
+    *
+    * Shape: two aggregates and two joins, ALL keyed on the group column,
+    * so the partitioning established by the first shuffle is reused
+    * throughout (median needs to exist before deviations can be taken —
+    * two passes is inherent to MAD, not an implementation artifact).
+    * Groups with MAD = 0 (over half the values identical) yield null
+    * robust_z and are never flagged. Exact `percentile` buffers a group's
+    * values in one task — fine to ~10⁸ rows per group; beyond that swap
+    * in `percentile_approx` or [[graft.operators.Corpus.percentilesBinned]]
+    * (same two-pass shape, sketch/histogram medians). */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+                  z: Double = 3.0, consistency: Double = 1.4826,
+                  roundScale: Int = 6): DataFrame = {
+    val g = col(groupCol)
+    val med = df.groupBy(g).agg(percentile(col(valCol), lit(0.5)).as("med"))
+    val withMed = df.join(med, groupCol)
+    val mad = withMed.groupBy(g)
+      .agg(percentile(abs(col(valCol) - col("med")), lit(0.5)).as("mad"))
+    val robustZ = when(col("mad") > 0,
+      round(abs(col(valCol) - col("med")) / (col("mad") * consistency),
+        roundScale))
+    withMed.join(mad, groupCol)
+      .withColumn("robust_z", robustZ)
+      .filter(col("robust_z") > z)
+  }
 }

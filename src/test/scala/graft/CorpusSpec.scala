@@ -325,4 +325,35 @@ class CorpusSpec extends SparkSuite {
     assert(out === Seq((0L, 2L, 5L, 1L, 2L), (1L, 1L, 4L, 3L, 3L)))
     assert(out.map(_._3).sum === 9L) // every token charged exactly once
   }
+
+  test("heavyHitters equals the exact GROUP BY/HAVING answer on skewed data") {
+    // zipf-ish: 'hot' 400×, 'warm' 120×, then 80 distinct cold items 5×
+    // each → n = 920; k = 5 → threshold n/6 ≈ 153.3: only 'hot' qualifies,
+    // and the sketch (size 5 « 82 distinct items) must still surface it
+    val rows = Seq.fill(400)("hot") ++ Seq.fill(120)("warm") ++
+      (0 until 80).flatMap(i => Seq.fill(5)(s"cold$i"))
+    // interleave deterministically so partitions see mixed traffic
+    val df = rows.zipWithIndex.sortBy(_._2 % 7).map(_._1).toDF("item")
+      .repartition(4)
+    val out = Corpus.heavyHitters(df, "item", k = 5)
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("hot" -> 400L))
+    // k = 2 → threshold n/3 ≈ 306.7: still exactly {hot}; k = 920 →
+    // everything with cnt ≥ 1 > n/921 qualifies
+    assert(Corpus.heavyHitters(df, "item", k = 2)
+      .as[(String, Long)].collect().toMap === Map("hot" -> 400L))
+    assert(Corpus.heavyHitters(df, "item", k = 920).count() === 82L)
+  }
+
+  test("MisraGriesAggregator state stays bounded and keeps the guarantee") {
+    val agg = new graft.functions.MisraGriesAggregator(3)
+    // stream with a true majority item through reduce
+    val buf = ("a a b a c a d a e a f a".split(" ")).foldLeft(agg.zero)(agg.reduce)
+    assert(buf.size <= 3 && buf.contains("a"))
+    // merge two saturated states: sizes stay ≤ k, heavy key survives
+    val left = "x x x x y z".split(" ").foldLeft(agg.zero)(agg.reduce)
+    val right = "x x x w w v".split(" ").foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(left, right)
+    assert(merged.size <= 3 && merged.contains("x"))
+  }
 }

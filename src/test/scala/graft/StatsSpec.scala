@@ -32,4 +32,20 @@ class StatsSpec extends SparkSuite {
     assert(out("flat").isNullAt(2) && out("flat").isNullAt(3) &&
       out("flat").isNullAt(4))
   }
+
+  test("madOutliers flags only far points; MAD=0 groups flag nothing") {
+    // g: values 1..9 plus 100 → median 5.5, deviations 0.5..4.5 & 94.5
+    // → MAD = 2.5; robust z of 100 = 94.5/(2.5·1.4826) ≈ 25.5 — the only
+    // point past z=3 (next largest is 4.5/(2.5·1.4826) ≈ 1.21)
+    val g = (1 to 9).map(v => ("g", v.toDouble)) :+ (("g", 100.0))
+    // flat: >half identical → MAD = 0 → nothing flagged, not divide-by-0
+    val flat = Seq(("flat", 7.0), ("flat", 7.0), ("flat", 7.0), ("flat", 99.0))
+    val df = (g ++ flat).toDF("grp", "v")
+    val out = Stats.madOutliers(df, "grp", "v").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("grp") === "g" &&
+      out.head.getAs[Double]("v") === 100.0)
+    assert(out.head.getAs[Double]("med") === 5.5 &&
+      out.head.getAs[Double]("mad") === 2.5)
+  }
 }
