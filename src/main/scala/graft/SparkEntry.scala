@@ -1380,6 +1380,26 @@ object SparkEntry {
       .select(col("event_id"), col("event_type"), col("value"),
         col("med"), col("mad"), col("robust_z"))
 
+  /** §2b label propagation (3 fixed synchronous rounds) over the same
+    * undirected part↔supplier graph as q_pagerank — community detection
+    * as joins + argmax aggregates, deterministic via the (count desc,
+    * label asc) tie-break. */
+  private def q_label_prop(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d).select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst")).distinct()
+    val edges = ps.unionByName(
+      ps.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.labelPropagation(edges, 3)
+  }
+
+  /** §2b Zipf-law fit: per-language ln(freq) ~ ln(rank) OLS over the
+    * token frequency table — the corpus health check (the synthetic
+    * near-uniform vocabulary fits a shallow slope with low r²; real text
+    * sits near −1 with high r² — exactly the drift this flags). */
+  private def q_zipf_slope(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.zipfFit(Tables.documents(s, d), "lang", "text")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1520,6 +1540,8 @@ object SparkEntry {
     "q_sentence_stats" -> (q_sentence_stats _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_mad_outliers" -> (q_mad_outliers _),
+    "q_label_prop" -> (q_label_prop _),
+    "q_zipf_slope" -> (q_zipf_slope _),
     "q_triangles" -> (q_triangles _),
     "q_cosine_pairs" -> (q_cosine_pairs _),
     "q_interp" -> (q_interp _),
@@ -1590,6 +1612,29 @@ object SparkEntry {
                    FROM nodes),
             $iters
         SELECT id, round(rank, 9) AS rank FROM r3"""
+  }
+
+  /** Generated oracle for q_label_prop: 3 synchronous label-propagation
+    * rounds unrolled as CTEs; the argmax-with-min-label-tiebreak is the
+    * same (count desc, label asc) ordering the engine's min_by struct
+    * encodes. */
+  private def labelPropOracleSql: String = {
+    val iters = (1 to 3).map { i =>
+      s"""c$i AS (SELECT e.dst AS id, l${i - 1}.label, COUNT(*) AS c
+                  FROM e JOIN l${i - 1} ON e.src = l${i - 1}.id
+                  GROUP BY 1, 2),
+          l$i AS (SELECT id, label FROM c$i
+                  QUALIFY row_number() OVER (PARTITION BY id
+                    ORDER BY c DESC, label ASC) = 1)"""
+    }.mkString(",\n")
+    s"""WITH ep AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                           's' || CAST(l_suppkey AS VARCHAR) AS dst
+                    FROM lineitem),
+            e AS (SELECT src, dst FROM ep
+                  UNION ALL SELECT dst AS src, src AS dst FROM ep),
+            l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
+            $iters
+        SELECT id, label FROM l3"""
   }
 
   /** DuckDB cosine between two DOUBLE[] expressions (same formula as the
@@ -3041,6 +3086,27 @@ object SparkEntry {
                        JOIN mad USING (event_type)
          WHERE mad.mad > 0
            AND round(abs(e.value - med.med) / (mad.mad * 1.4826), 6) > 3.0""",
+    "q_label_prop" -> labelPropOracleSql,
+    "q_zipf_slope" ->
+      s"""WITH tok AS (SELECT lang, token FROM documents,
+                         UNNEST($duckTokens) AS u(token)),
+              f AS (SELECT lang, token, COUNT(*) AS cnt
+                    FROM tok GROUP BY 1, 2),
+              r AS (SELECT lang,
+                           ln(row_number() OVER (PARTITION BY lang
+                             ORDER BY cnt DESC, token ASC)) AS x,
+                           ln(cnt) AS y
+                    FROM f)
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                round(CASE WHEN var_samp(x) > 0
+                  THEN covar_samp(x, y) / var_samp(x) END, 6) AS slope,
+                round(CASE WHEN var_samp(x) > 0
+                  THEN avg(y) - (covar_samp(x, y) / var_samp(x)) * avg(x)
+                  END, 6) AS intercept,
+                round(CASE WHEN var_samp(x) > 0 AND var_samp(y) > 0
+                  THEN covar_samp(x, y) * covar_samp(x, y)
+                         / (var_samp(x) * var_samp(y)) END, 6) AS r2
+         FROM r GROUP BY lang""",
     "q_skew_report" ->
       """WITH c AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
                     FROM lineitem GROUP BY l_suppkey),

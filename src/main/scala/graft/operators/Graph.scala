@@ -91,4 +91,43 @@ object Graph {
     }
     ranks
   }
+
+  /** Synchronous label propagation (public: Raghavan et al. '07) with a
+    * FIXED iteration count and a deterministic tie-break — community
+    * detection as pure joins/aggregates, the third iterative-join
+    * workhorse next to connected components and PageRank (cluster a crawl
+    * host graph, group near-dup clusters into families).
+    *
+    * Same edge contract as [[pageRank]]: `src`/`dst`, both directions for
+    * undirected graphs (which also guarantees every node receives
+    * contributions each round). Labels start as each node's own id; each
+    * iteration every node adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — argmax count then min
+    * label makes the update a total function, so the unrolled result is
+    * oracle-checkable. Fixed synchronous rounds rather than
+    * run-to-convergence: convergence-tested LPA is order-dependent (and
+    * can oscillate on bipartite structure — a known property, not a bug);
+    * fixed rounds make the output a deterministic function of the input.
+    *
+    * Scale shape per iteration: ONE equi-join of labels onto the edge
+    * list + TWO hash aggregates (label counts per dst, then argmax via
+    * `min_by` over (−count, label) — no window, no per-node sort).
+    * Shuffle ∝ |E|; the label table never exceeds |V| rows. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8,
+      s"iters must be in [1, 8] (fixed, unrolled plan): $iters")
+    val e = edges.select(col("src"), col("dst")).cache()
+    val nodes = e.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("label", col("id"))
+    (1 to iters).foreach { _ =>
+      val counts = e.join(labels.select(col("id").as("__u"), col("label")),
+          e("src") === col("__u"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("__c"))
+      labels = counts.groupBy(col("dst"))
+        .agg(min_by(col("label"),
+          struct((-col("__c")).as("nc"), col("label").as("lb"))).as("label"))
+        .select(col("dst").as("id"), col("label"))
+    }
+    labels
+  }
 }

