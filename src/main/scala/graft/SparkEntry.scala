@@ -1400,6 +1400,22 @@ object SparkEntry {
   private def q_zipf_slope(s: SparkSession, d: String): DataFrame =
     TextAnalytics.zipfFit(Tables.documents(s, d), "lang", "text")
 
+  /** §2b product-quantization ANN: 64 dims → 4 subspaces × 8 codes
+    * (codebooks sliced from the same vec_id<8 seeds the IVF family uses,
+    * so the oracle rebuilds them in SQL), then ADC top-10 against the
+    * vec_id=0 query — per-row scoring is 4 lookups + 3 adds regardless of
+    * dimension. Codes are in the output, so the oracle checks the encode
+    * step per subspace, not just the ranking. */
+  private def q_pq_topk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val seeds = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+    val codebooks = Similarity.sliceCodebooks(seeds, nSub = 4)
+    val assigned = Similarity.pqAssign(emb, "vec_id", "embedding", codebooks)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    Similarity.pqTopK(assigned, "vec_id", codebooks, q, "qv", k = 10)
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1542,6 +1558,7 @@ object SparkEntry {
     "q_mad_outliers" -> (q_mad_outliers _),
     "q_label_prop" -> (q_label_prop _),
     "q_zipf_slope" -> (q_zipf_slope _),
+    "q_pq_topk" -> (q_pq_topk _),
     "q_triangles" -> (q_triangles _),
     "q_cosine_pairs" -> (q_cosine_pairs _),
     "q_interp" -> (q_interp _),
@@ -1635,6 +1652,54 @@ object SparkEntry {
             l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
             $iters
         SELECT id, label FROM l3"""
+  }
+
+  /** Squared-L2 distance between 1-based slices of two DuckDB list
+    * columns as the SAME left-associative addition chain the engine's
+    * Similarity.subDist folds — bit-identical doubles. */
+  private def pqDistSql(aVec: String, bVec: String,
+                        off: Int, subDim: Int): String =
+    (1 to subDim).map { i =>
+      val x = s"(CAST($aVec[${off + i}] AS DOUBLE) - CAST($bVec[${off + i}] AS DOUBLE))"
+      s"($x * $x)"
+    }.reduceLeft((a, b) => s"($a + $b)")
+
+  /** Generated oracle for q_pq_topk: per-subspace argmin encode (QUALIFY
+    * row_number over (dist, code) — the engine's array_min struct
+    * ordering) + ADC re-derived by joining each row's code back to the
+    * codebook. Codebooks are the vec_id<8 seed slices, rebuilt in SQL. */
+  private def pqTopkOracleSql: String = {
+    val subDim = 16
+    val assigns = (0 until 4).map { m =>
+      s"""a$m AS (SELECT vec_id, code FROM (
+                    SELECT e.vec_id, cb.code,
+                           ${pqDistSql("e.embedding", "cb.embedding", m * subDim, subDim)} AS d
+                    FROM embeddings e CROSS JOIN cb) t
+                  QUALIFY row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d ASC, code ASC) = 1)"""
+    }.mkString(",\n")
+    val adc = (0 until 4)
+      .map(m => pqDistSql("q.qv", s"c$m.embedding", m * subDim, subDim))
+      .reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH cb AS (SELECT vec_id AS code, embedding FROM embeddings
+                    WHERE vec_id < 8),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            $assigns
+        SELECT e.vec_id,
+               a0.code AS code_0, a1.code AS code_1,
+               a2.code AS code_2, a3.code AS code_3,
+               round($adc, 6) AS adc_dist
+        FROM embeddings e
+        JOIN a0 ON a0.vec_id = e.vec_id
+        JOIN a1 ON a1.vec_id = e.vec_id
+        JOIN a2 ON a2.vec_id = e.vec_id
+        JOIN a3 ON a3.vec_id = e.vec_id
+        JOIN cb c0 ON c0.code = a0.code
+        JOIN cb c1 ON c1.code = a1.code
+        JOIN cb c2 ON c2.code = a2.code
+        JOIN cb c3 ON c3.code = a3.code
+        CROSS JOIN q
+        ORDER BY adc_dist ASC, e.vec_id ASC LIMIT 10"""
   }
 
   /** DuckDB cosine between two DOUBLE[] expressions (same formula as the
@@ -3087,6 +3152,7 @@ object SparkEntry {
          WHERE mad.mad > 0
            AND round(abs(e.value - med.med) / (mad.mad * 1.4826), 6) > 3.0""",
     "q_label_prop" -> labelPropOracleSql,
+    "q_pq_topk" -> pqTopkOracleSql,
     "q_zipf_slope" ->
       s"""WITH tok AS (SELECT lang, token FROM documents,
                          UNNEST($duckTokens) AS u(token)),

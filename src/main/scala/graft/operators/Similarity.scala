@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -353,5 +353,88 @@ object Similarity {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"), 6)
           .as("recall"))
+  }
+
+  // ------------------------------------------------------------ product
+  // quantization (public: Jégou, Douze & Schmid, PAMI'11 "Product
+  // quantization for nearest neighbor search"). The memory-bound ANN
+  // path: each vector compresses to nSub small codes (here 4 bytes vs
+  // 256 float bytes), and query scoring becomes nSub table lookups — the
+  // shape that lets a 100 TB embedding corpus be scanned from RAM.
+
+  /** Slice full-dimension seed vectors into per-subspace codebooks:
+    * subspace m's codebook is every seed's dims [m·subDim, (m+1)·subDim).
+    * Seeds come from [[collectCentroids]] or per-subspace [[kmeansTrain]]
+    * runs; slicing shared seeds keeps the harness oracle derivable in
+    * pure SQL from the same table. */
+  def sliceCodebooks(seeds: Seq[(Long, Seq[Double])],
+                     nSub: Int): Seq[Seq[(Long, Seq[Double])]] = {
+    require(nSub > 0 && seeds.nonEmpty, s"need nSub > 0 and seeds: $nSub")
+    val dim = seeds.head._2.length
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val subDim = dim / nSub
+    (0 until nSub).map { m =>
+      seeds.map { case (code, v) => code -> v.slice(m * subDim, (m + 1) * subDim) }
+    }
+  }
+
+  /** Squared L2 distance between a slice of a vector column (element
+    * offset `off`, 0-based) and a literal centroid, accumulated as a
+    * LEFT-ASSOCIATIVE addition chain — the oracle spells the identical
+    * fold, so the doubles match bit-for-bit. */
+  private def subDist(vecCol: Column, off: Int, centroid: Seq[Double]): Column =
+    centroid.zipWithIndex.map { case (c, i) =>
+      val d = element_at(vecCol, off + i + 1).cast("double") - lit(c)
+      d * d
+    }.reduceLeft(_ + _)
+
+  /** PQ encode: per subspace, the code of the nearest (squared-L2)
+    * codebook centroid, ties to the LOWEST code. Codebooks are inlined
+    * literals (like [[ivfAssign]]'s centroids), so encoding is a pure
+    * map-side expression — array_min over (dist, code) structs evaluates
+    * each centroid exactly once per row; no join, no shuffle, no window.
+    * Output: input row + one `code_m` column per subspace. */
+  def pqAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+               codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "codebooks must be non-empty per subspace")
+    val subDim = codebooks.head.head._2.length
+    val codeCols = codebooks.zipWithIndex.map { case (cb, m) =>
+      val scored = array(cb.sortBy(_._1).map { case (code, cvec) =>
+        struct(subDist(col(vecCol), m * subDim, cvec).as("d"),
+          lit(code).as("code"))
+      }: _*)
+      array_min(scored).getField("code").as(s"code_$m")
+    }
+    embeddings.select(col("*") +: codeCols: _*)
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC): the query builds
+    * one lookup table per subspace (distance from its subvector to every
+    * centroid — computed ONCE, on the 1-row query frame), then every
+    * encoded row's approximate distance is nSub array lookups + adds.
+    * Per-corpus-row cost is O(nSub), independent of dimension — the PQ
+    * property that makes the scan memory-bandwidth-bound. Ranking uses
+    * the 6dp-rounded distance with id tiebreak (the engine-portable
+    * ranking contract shared with ivfTopK/bruteForceTopK). */
+  def pqTopK(assigned: DataFrame, idCol: String,
+             codebooks: Seq[Seq[(Long, Seq[Double])]],
+             query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val subDim = codebooks.head.head._2.length
+    val luts = query.select(codebooks.zipWithIndex.map { case (cb, m) =>
+      array(cb.sortBy(_._1).map { case (_, cvec) =>
+        subDist(col(queryVecCol), m * subDim, cvec)
+      }: _*).as(s"__lut$m")
+    }: _*)
+    val adc = codebooks.indices.map { m =>
+      element_at(col(s"__lut$m"), col(s"code_$m").cast("int") + 1)
+    }.reduceLeft(_ + _)
+    assigned.crossJoin(broadcast(luts))
+      .withColumn("adc_dist", round(adc, 6))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol) +: codebooks.indices.map(m => col(s"code_$m"))
+        :+ col("adc_dist"): _*)
   }
 }

@@ -239,4 +239,44 @@ class SimilaritySpec extends SparkSuite {
     assert(out(1L) === ((4L, 1L)))  // 100 chars → 4 frames, sample frame 0 only
     assert(out(2L) === ((1L, 1L)))  // short text → 1 frame, sampled
   }
+
+  test("pqAssign picks the nearest subspace centroid; pqTopK ranks by ADC") {
+    // 4 dims, 2 subspaces of 2; seeds: code 0 = (0,0 | 0,0),
+    // code 1 = (10,10 | 10,10)
+    val seeds = Seq(0L -> Seq(0.0, 0.0, 0.0, 0.0),
+      1L -> Seq(10.0, 10.0, 10.0, 10.0))
+    val cbs = Similarity.sliceCodebooks(seeds, nSub = 2)
+    assert(cbs.length === 2 && cbs.head.head._2 === Seq(0.0, 0.0))
+    // v1 near code0 in both; v2 near code1 in sub0 but code0 in sub1;
+    // v3 near code1 in both
+    val emb = Seq(
+      (1L, Seq(1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Seq(9.0f, 9.0f, 1.0f, 1.0f)),
+      (3L, Seq(9.0f, 9.0f, 9.0f, 9.0f))).toDF("vec_id", "embedding")
+    val assigned = Similarity.pqAssign(emb, "vec_id", "embedding", cbs)
+    assert(assigned.columns.toSeq ===
+      Seq("vec_id", "embedding", "code_0", "code_1"))
+    val byId = assigned.select($"vec_id", $"code_0", $"code_1")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(1L) === ((0L, 0L)))
+    assert(byId(2L) === ((1L, 0L)))
+    assert(byId(3L) === ((1L, 1L)))
+    // query at the origin: ADC dist = sum of sub-distances from q to the
+    // ASSIGNED centroids: v1 → 0+0 = 0; v2 → 200+0; v3 → 200+200
+    val q = Seq(Tuple1(Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("qv")
+    val top = Similarity.pqTopK(assigned, "vec_id", cbs, q, "qv", k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(top.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(top.map(_._4).toSeq === Seq(0.0, 200.0, 400.0))
+  }
+
+  test("pq ties break to the lowest code") {
+    // two identical centroids → equidistant from everything → code 0
+    val seeds = Seq(0L -> Seq(5.0, 5.0), 1L -> Seq(5.0, 5.0))
+    val cbs = Similarity.sliceCodebooks(seeds, nSub = 1)
+    val emb = Seq((1L, Seq(7.0f, 3.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.pqAssign(emb, "vec_id", "embedding", cbs)
+      .select($"code_0").as[Long].collect()
+    assert(out.toSeq === Seq(0L))
+  }
 }
