@@ -1416,6 +1416,14 @@ object SparkEntry {
     Similarity.pqTopK(assigned, "vec_id", codebooks, q, "qv", k = 10)
   }
 
+  /** §2b naive Bayes classifier audit: train multinomial NB on the
+    * documents table's own language labels and self-classify — documents
+    * whose label loses its own model's argmax are the mislabel/drift
+    * candidates. All wordcount aggregates + a #classes fan-out. */
+  private def q_naive_bayes(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.naiveBayesClassify(Tables.documents(s, d),
+      "doc_id", "text", "lang")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1559,6 +1567,7 @@ object SparkEntry {
     "q_label_prop" -> (q_label_prop _),
     "q_zipf_slope" -> (q_zipf_slope _),
     "q_pq_topk" -> (q_pq_topk _),
+    "q_naive_bayes" -> (q_naive_bayes _),
     "q_triangles" -> (q_triangles _),
     "q_cosine_pairs" -> (q_cosine_pairs _),
     "q_interp" -> (q_interp _),
@@ -3153,6 +3162,35 @@ object SparkEntry {
            AND round(abs(e.value - med.med) / (mad.mad * 1.4826), 6) > 3.0""",
     "q_label_prop" -> labelPropOracleSql,
     "q_pq_topk" -> pqTopkOracleSql,
+    "q_naive_bayes" ->
+      s"""WITH occ AS (SELECT doc_id, lang, token FROM documents,
+                         UNNEST($duckTokens) AS u(token)),
+              ct AS (SELECT lang AS cand, token, COUNT(*) AS ct_cnt
+                     FROM occ GROUP BY 1, 2),
+              ctot AS (SELECT cand, SUM(ct_cnt) AS c_occ FROM ct GROUP BY 1),
+              pri AS (SELECT lang AS cand, COUNT(*) AS c_docs
+                      FROM documents GROUP BY 1),
+              nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+              v AS (SELECT COUNT(DISTINCT token) AS v_size FROM occ),
+              dtf AS (SELECT doc_id, token, COUNT(*) AS tf
+                      FROM occ GROUP BY 1, 2),
+              sc AS (SELECT dtf.doc_id, ctot.cand,
+                            round(SUM(dtf.tf * ln(
+                                (COALESCE(ct.ct_cnt, 0) + 1)
+                                  / CAST(ctot.c_occ + v.v_size AS DOUBLE)))
+                              + ln(CAST(pri.c_docs AS DOUBLE) / nd.n_docs),
+                              6) AS score
+                     FROM dtf
+                     CROSS JOIN ctot
+                     JOIN pri ON pri.cand = ctot.cand
+                     CROSS JOIN nd CROSS JOIN v
+                     LEFT JOIN ct ON ct.cand = ctot.cand
+                                 AND ct.token = dtf.token
+                     GROUP BY dtf.doc_id, ctot.cand, pri.c_docs, nd.n_docs)
+         SELECT s.doc_id, d.lang, s.cand AS pred, s.score
+         FROM sc s JOIN documents d USING (doc_id)
+         QUALIFY row_number() OVER (PARTITION BY s.doc_id
+           ORDER BY s.score DESC, s.cand ASC) = 1""",
     "q_zipf_slope" ->
       s"""WITH tok AS (SELECT lang, token FROM documents,
                          UNNEST($duckTokens) AS u(token)),

@@ -374,6 +374,56 @@ object TextAnalytics {
       .filter(col("rnk") <= k)
   }
 
+  /** Multinomial naive Bayes with add-one smoothing (public: the
+    * textbook McCallum & Nigam '98 formulation), trained and applied as
+    * one dataflow: per-class token counts + document priors form the
+    * model, every document is scored against every class as
+    * score(d, c) = ln(docs_c/N) + Σ_t tf(d,t)·ln((cnt(t,c)+1)/(occ_c+V)),
+    * and the argmax (ties → smallest class label) is the prediction.
+    * Self-labelling the training corpus is the classifier-audit shape —
+    * documents whose own label loses the argmax are the mislabel/drift
+    * candidates a curation pipeline routes to review.
+    *
+    * Scale shape: everything is wordcount-style hash aggregates plus one
+    * fan-out of the (doc, token) term table by the CLASS COUNT (a
+    * broadcast of #classes rows — 5 languages means 5×, never corpus²)
+    * and one equi-join against the (class, token) model (vocab×classes
+    * rows — broadcastable for any real vocabulary; falls back to a plain
+    * shuffle join if not). Scores round to 6dp BEFORE the argmax so the
+    * prediction is reproducible cross-engine. Output:
+    * (id, actual class, pred, score). */
+  def naiveBayesClassify(docs: DataFrame, idCol: String, textCol: String,
+                         classCol: String): DataFrame = {
+    val occ = docs.select(col(idCol), col(classCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val ct = occ.groupBy(col(classCol).as("cand"), col("token"))
+      .agg(count(lit(1)).as("ct_cnt"))
+    val classTotals = ct.groupBy(col("cand")).agg(sum(col("ct_cnt")).as("c_occ"))
+    val priors = docs.groupBy(col(classCol).as("cand"))
+      .agg(count(lit(1)).as("c_docs"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val vocab = occ.agg(countDistinct(col("token")).as("v_size"))
+    val classes = classTotals.join(priors, Seq("cand"))
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(vocab))
+    val dtf = occ.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val scored = dtf.crossJoin(broadcast(classes))
+      .join(ct, Seq("cand", "token"), "left")
+      .withColumn("__logp", col("tf") *
+        log((coalesce(col("ct_cnt"), lit(0L)) + 1).cast("double")
+          / (col("c_occ") + col("v_size"))))
+      .groupBy(col(idCol), col("cand"), col("c_docs"), col("n_docs"))
+      .agg(sum(col("__logp")).as("__ll"))
+      .select(col(idCol), col("cand"),
+        round(col("__ll") + log(col("c_docs").cast("double") / col("n_docs")),
+          6).as("score"))
+    val best = scored.groupBy(col(idCol))
+      .agg(min_by(struct(col("cand"), col("score")),
+        struct((-col("score")).as("ns"), col("cand").as("cb"))).as("__best"))
+      .select(col(idCol), col("__best.cand").as("pred"),
+        col("__best.score").as("score"))
+    docs.select(col(idCol), col(classCol)).join(best, Seq(idCol))
+  }
+
   /** Zipf-law fit per group: OLS slope of ln(frequency) against ln(rank)
     * over the group's token frequency table — the classic corpus health
     * check (natural language sits near slope −1; a far-off slope flags

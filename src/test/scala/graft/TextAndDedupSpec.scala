@@ -584,4 +584,26 @@ class TextAndDedupSpec extends SparkSuite {
     assert(out(1L) === "en")
     assert(out(2L) === "unknown")
   }
+
+  test("naiveBayesClassify: hand-computed scores, deterministic tie-break") {
+    // docs: (1, "x", A), (2, "z", B). V=2, each class has 1 occurrence.
+    // score(1, A) = ln(1/2) + ln((1+1)/(1+2)) = ln(1/2) + ln(2/3)
+    // score(1, B) = ln(1/2) + ln((0+1)/(1+2)) = ln(1/2) + ln(1/3) — loses
+    val docs = Seq((1L, "x", "A"), (2L, "z", "B"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalytics.naiveBayesClassify(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getDouble(3)))).toMap
+    assert(out(1L)._1 === "A" && out(1L)._2 === "A")
+    assert(out(2L)._1 === "B" && out(2L)._2 === "B")
+    val expected = BigDecimal(math.log(0.5) + math.log(2.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._3 === expected, out(1L).toString)
+
+    // perfectly symmetric classes → every score ties → pred = min label
+    val tie = Seq((1L, "x", "B"), (2L, "x", "A")).toDF("doc_id", "text", "lang")
+    val tied = TextAnalytics.naiveBayesClassify(tie, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(tied === Map(1L -> "A", 2L -> "A"), tied.toString)
+  }
 }
