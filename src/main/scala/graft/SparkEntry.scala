@@ -1424,6 +1424,23 @@ object SparkEntry {
     TextAnalytics.naiveBayesClassify(Tables.documents(s, d),
       "doc_id", "text", "lang")
 
+  /** §2b BPE merge-step statistic: top-50 adjacent character pairs
+    * within words — map-side pair windows, one hash agg, TakeOrdered. */
+  private def q_char_pairs(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.charPairCounts(Tables.documents(s, d), "text", topN = 50)
+
+  /** §2b χ² feature selection: the 5 most language-discriminative tokens
+    * per lang by document-level presence — the vocabulary a language-ID
+    * profile actually wants (raw frequency ranks filler words first). */
+  private def q_chi2_tokens(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.chiSquaredTokens(Tables.documents(s, d),
+      "doc_id", "text", "lang", topK = 5)
+
+  /** §2b per-label embedding moments: mean/variance per dimension — the
+    * class-centroid + dead-dimension monitor over the embeddings table. */
+  private def q_vector_moments(s: SparkSession, d: String): DataFrame =
+    Stats.vectorMoments(Tables.embeddings(s, d), "label", "embedding")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1568,6 +1585,9 @@ object SparkEntry {
     "q_zipf_slope" -> (q_zipf_slope _),
     "q_pq_topk" -> (q_pq_topk _),
     "q_naive_bayes" -> (q_naive_bayes _),
+    "q_char_pairs" -> (q_char_pairs _),
+    "q_chi2_tokens" -> (q_chi2_tokens _),
+    "q_vector_moments" -> (q_vector_moments _),
     "q_triangles" -> (q_triangles _),
     "q_cosine_pairs" -> (q_cosine_pairs _),
     "q_interp" -> (q_interp _),
@@ -3162,6 +3182,67 @@ object SparkEntry {
            AND round(abs(e.value - med.med) / (mad.mad * 1.4826), 6) > 3.0""",
     "q_label_prop" -> labelPropOracleSql,
     "q_pq_topk" -> pqTopkOracleSql,
+    "q_char_pairs" ->
+      s"""WITH w AS (SELECT w FROM documents,
+                       UNNEST($duckTokens) AS u(w)
+                     WHERE length(w) >= 2),
+              p AS (SELECT pair FROM w,
+                      UNNEST(list_transform(generate_series(1, length(w) - 1),
+                        i -> substr(w, i, 2))) AS v(pair))
+         SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM p GROUP BY 1
+         ORDER BY cnt DESC, pair ASC LIMIT 50""",
+    "q_chi2_tokens" ->
+      s"""WITH pres AS (SELECT DISTINCT doc_id, lang, token FROM documents,
+                          UNNEST($duckTokens) AS u(token)),
+              pc AS (SELECT lang, token,
+                            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS a
+                     FROM pres GROUP BY 1, 2),
+              cd AS (SELECT lang, COUNT(*) AS n_class
+                     FROM documents GROUP BY 1),
+              td AS (SELECT token, COUNT(DISTINCT doc_id) AS n_token
+                     FROM pres GROUP BY 1),
+              nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+              cells AS (SELECT pc.lang, pc.token, pc.a,
+                          round(CASE WHEN
+                              CAST(td.n_token AS DOUBLE)
+                                * CAST(nd.n_docs - td.n_token AS DOUBLE)
+                                * CAST(cd.n_class AS DOUBLE)
+                                * CAST(nd.n_docs - cd.n_class AS DOUBLE) > 0
+                            THEN CAST(nd.n_docs AS DOUBLE)
+                              * (CAST(pc.a AS DOUBLE)
+                                  * CAST(nd.n_docs - cd.n_class
+                                      - (td.n_token - pc.a) AS DOUBLE)
+                                - CAST(td.n_token - pc.a AS DOUBLE)
+                                  * CAST(cd.n_class - pc.a AS DOUBLE))
+                              * (CAST(pc.a AS DOUBLE)
+                                  * CAST(nd.n_docs - cd.n_class
+                                      - (td.n_token - pc.a) AS DOUBLE)
+                                - CAST(td.n_token - pc.a AS DOUBLE)
+                                  * CAST(cd.n_class - pc.a AS DOUBLE))
+                              / (CAST(td.n_token AS DOUBLE)
+                                  * CAST(nd.n_docs - td.n_token AS DOUBLE)
+                                  * CAST(cd.n_class AS DOUBLE)
+                                  * CAST(nd.n_docs - cd.n_class AS DOUBLE))
+                            ELSE 0.0 END, 6) AS chi2
+                        FROM pc JOIN cd USING (lang)
+                                JOIN td USING (token)
+                                CROSS JOIN nd)
+         SELECT lang, token, a, chi2,
+                CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY chi2 DESC, token ASC) AS BIGINT) AS rnk
+         FROM cells
+         QUALIFY rnk <= 5""",
+    "q_vector_moments" ->
+      """WITH x AS (SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+                           CAST(embedding[i] AS DOUBLE) AS v
+                    FROM embeddings,
+                         UNNEST(generate_series(1, len(embedding))) AS t(i))
+         SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n,
+                round(avg(v), 6) AS mean,
+                CASE WHEN COUNT(*) > 1
+                  THEN round(greatest(var_samp(v), 0.0), 6) END AS variance
+         FROM x GROUP BY 1, 2""",
     "q_naive_bayes" ->
       s"""WITH occ AS (SELECT doc_id, lang, token FROM documents,
                          UNNEST($duckTokens) AS u(token)),

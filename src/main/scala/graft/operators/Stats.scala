@@ -40,6 +40,30 @@ object Stats {
       round(r2, roundScale).as("r2"))
   }
 
+  /** Per-group element-wise vector moments: count, mean and sample
+    * variance PER DIMENSION of an `array<float>` embedding column — the
+    * class-centroid / whitening-stats primitive (per-label centroids feed
+    * SemDeDup-style clustering; per-dim variances catch collapsed or
+    * dead embedding dimensions, the standard embedding-drift monitor).
+    *
+    * Shape: one posexplode (dim-count fan-out, a constant ×64-style
+    * factor — not a join) + ONE map-side-combined hash aggregate on
+    * (group, dim). Output is #groups × dim rows. Singleton groups get
+    * null variance (not NaN); float cancellation is clamped at 0. */
+  def vectorMoments(df: DataFrame, groupCol: String, vecCol: String,
+                    roundScale: Int = 6): DataFrame =
+    df.select(col(groupCol),
+        posexplode(col(vecCol)).as(Seq("pos", "__v")))
+      .select(col(groupCol), col("pos").cast("long").as("pos"),
+        col("__v").cast("double").as("__v"))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__v")), roundScale).as("mean"),
+        round(greatest(var_samp(col("__v")), lit(0.0)), roundScale)
+          .as("variance"))
+      .withColumn("variance",
+        when(col("n") > 1, col("variance")))
+
   /** Per-group robust outliers by median absolute deviation (public:
     * Hampel '74; the `1.4826` consistency constant makes MAD estimate σ
     * under normality). Flags rows with

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -372,6 +372,87 @@ object TextAnalytics {
       .withColumn("tf_idf", round(col("tf_idf"), roundScale))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** Adjacent-character-pair counts within words — the statistic one BPE
+    * merge iteration maximizes (public: Sennrich et al. ACL'16 "Neural
+    * machine translation of rare words with subword units"): tokenizer
+    * training at corpus scale starts by ranking symbol pairs by frequency;
+    * re-feeding merged symbols re-runs this same counting shape. Returns
+    * the top `topN` pairs by (count desc, pair asc) — TakeOrdered, never
+    * a full sort.
+    *
+    * Scale shape: pure map-side pair generation (one `transform` over a
+    * `sequence` of window starts — no per-char explode), ONE map-combined
+    * hash aggregate over the pair space (bounded by alphabet², Zipf-
+    * concentrated in practice), then TakeOrdered. Words shorter than 2
+    * chars contribute nothing. */
+  def charPairCounts(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN > 0, s"topN must be positive: $topN")
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("__w")) - 1),
+        i => col("__w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topN)
+  }
+
+  /** Per-class χ² feature selection (public: the standard contingency
+    * formulation, e.g. Yang & Pedersen ICML'97): for each (class, token),
+    * χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) over DOCUMENT-level
+    * presence counts — the top-k most class-discriminative tokens are the
+    * vocabulary a language-ID profile, a domain classifier, or a
+    * contamination probe actually needs (frequency alone ranks filler
+    * words first).
+    *
+    * All four cells derive from two aggregates: distinct-doc counts per
+    * (token, class) and per-class doc totals. The score is computed in
+    * DOUBLE throughout with an explicit multiply chain (no `pow`, whose
+    * libm rounding differs across engines; no long products, which
+    * overflow at corpus scale) — the oracle spells the identical IEEE
+    * expression, so equality holds exactly up to the 6dp round. Tokens
+    * present in EVERY document (or a single-class corpus) have a zero
+    * marginal → χ² defined as 0. Top-k per class ranks on the rounded
+    * score with a token tiebreak (the portable-ranking contract).
+    *
+    * Scale shape: one explode + one distinct + two hash aggregates; the
+    * per-class top-k is a window over the (class, token) table
+    * (vocab-sized, not corpus-sized). */
+  def chiSquaredTokens(docs: DataFrame, idCol: String, textCol: String,
+                       classCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val presence = docs.select(col(idCol), col(classCol),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .distinct()
+    val perClass = presence.groupBy(col(classCol), col("token"))
+      .agg(countDistinct(col(idCol)).as("a"))
+    val classDocs = docs.groupBy(col(classCol))
+      .agg(count(lit(1)).as("n_class"))
+    val tokenDocs = presence.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("n_token"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val cells = perClass
+      .join(classDocs, Seq(classCol))
+      .join(tokenDocs, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("b", col("n_token") - col("a"))
+      .withColumn("c", col("n_class") - col("a"))
+      .withColumn("d", col("n_docs") - col("n_class") - col("b"))
+    def dbl(c: Column) = c.cast("double")
+    val diff = dbl(col("a")) * dbl(col("d")) - dbl(col("b")) * dbl(col("c"))
+    val denom = dbl(col("n_token")) * dbl(col("n_docs") - col("n_token")) *
+      dbl(col("n_class")) * dbl(col("n_docs") - col("n_class"))
+    val chi2 = round(
+      when(denom > 0, dbl(col("n_docs")) * diff * diff / denom)
+        .otherwise(0.0), 6)
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(col("chi2").desc, col("token").asc)
+    cells.withColumn("chi2", chi2)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col(classCol), col("token"), col("a"), col("chi2"), col("rnk"))
   }
 
   /** Multinomial naive Bayes with add-one smoothing (public: the

@@ -58,6 +58,19 @@ class StatsSpec extends SparkSuite {
     assert(math.abs(head2.getDouble(2) - (-1.0)) < 1e-6, head2.toString)
   }
 
+  test("vectorMoments: per-dim mean/variance, singleton group gets null") {
+    val df = Seq(
+      (0, Seq(1.0f, 10.0f)), (0, Seq(3.0f, 10.0f)),
+      (1, Seq(5.0f, 6.0f))).toDF("label", "embedding")
+    val out = graft.operators.Stats.vectorMoments(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r).toMap
+    assert(out((0, 0L)).getDouble(3) === 2.0)      // mean of 1,3
+    assert(out((0, 0L)).getDouble(4) === 2.0)      // var_samp of 1,3
+    assert(out((0, 1L)).getDouble(4) === 0.0)      // constant dim
+    assert(out((1, 0L)).getLong(2) === 1L &&
+      out((1, 0L)).isNullAt(4))                    // singleton → null var
+  }
+
   test("madOutliers flags only far points; MAD=0 groups flag nothing") {
     // g: values 1..9 plus 100 → median 5.5, deviations 0.5..4.5 & 94.5
     // → MAD = 2.5; robust z of 100 = 94.5/(2.5·1.4826) ≈ 25.5 — the only

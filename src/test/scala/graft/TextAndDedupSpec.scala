@@ -606,4 +606,32 @@ class TextAndDedupSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(tied === Map(1L -> "A", 2L -> "A"), tied.toString)
   }
+
+  test("charPairCounts: exact windows, short words skipped, topN cut") {
+    // "abab" → ab, ba, ab; "ab" → ab; "x" skipped → ab:3, ba:1
+    val docs = Seq((1L, "abab ab x")).toDF("doc_id", "text")
+    val out = TextAnalytics.charPairCounts(docs, "text", topN = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("ab", 3L), ("ba", 1L)), out.toString)
+    // topN=1 keeps only the most frequent pair
+    assert(TextAnalytics.charPairCounts(docs, "text", topN = 1)
+      .as[(String, Long)].collect().toSeq === Seq(("ab", 3L)))
+  }
+
+  test("chiSquaredTokens: discriminative token outranks shared filler") {
+    // 4 docs, 2 classes; 'aa' only in A-docs, 'zz' in every doc
+    val docs = Seq(
+      (1L, "aa zz", "A"), (2L, "aa zz", "A"),
+      (3L, "bb zz", "B"), (4L, "bb zz", "B")).toDF("doc_id", "text", "lang")
+    val out = TextAnalytics
+      .chiSquaredTokens(docs, "doc_id", "text", "lang", topK = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    // 'aa' in class A: a=2, b=0, c=0, d=2 → χ² = 4·(2·2)²/(2·2·2·2) = 4
+    assert(out(("A", "aa")) === ((2L, 4.0, 1L)), out.toString)
+    assert(out(("B", "bb")) === ((2L, 4.0, 1L)))
+    // 'zz' appears everywhere → zero marginal → χ² defined 0, ranked last
+    // (class A only has presence rows for aa and zz, so zz is rank 2)
+    assert(out(("A", "zz"))._2 === 0.0 && out(("A", "zz"))._3 === 2L)
+  }
 }
