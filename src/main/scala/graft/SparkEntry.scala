@@ -1441,6 +1441,19 @@ object SparkEntry {
   private def q_vector_moments(s: SparkSession, d: String): DataFrame =
     Stats.vectorMoments(Tables.embeddings(s, d), "label", "embedding")
 
+  /** §2b record-linkage scoring: the q_sorted_neighborhood blocker's
+    * candidates scored as 0.5·token-jaccard(text) + 0.3·lev-sim(text) +
+    * 0.2·exact(source) — blocker proposes, comparator disposes; cost ∝
+    * candidate pairs, never n². */
+  private def q_er_score(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 120)
+    val cands = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text", "lang", 3)
+    Dedup.matchScore(cands, docs, "doc_id",
+      Seq(("text", "jaccard", 0.5), ("text", "lev", 0.3),
+        ("source", "exact", 0.2)),
+      threshold = 0.45)
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1588,6 +1601,7 @@ object SparkEntry {
     "q_char_pairs" -> (q_char_pairs _),
     "q_chi2_tokens" -> (q_chi2_tokens _),
     "q_vector_moments" -> (q_vector_moments _),
+    "q_er_score" -> (q_er_score _),
     "q_triangles" -> (q_triangles _),
     "q_cosine_pairs" -> (q_cosine_pairs _),
     "q_interp" -> (q_interp _),
@@ -3243,6 +3257,49 @@ object SparkEntry {
                 CASE WHEN COUNT(*) > 1
                   THEN round(greatest(var_samp(v), 0.0), 6) END AS variance
          FROM x GROUP BY 1, 2""",
+    "q_er_score" ->
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 120),
+              r AS (SELECT lang, doc_id,
+                           row_number() OVER (PARTITION BY lang
+                             ORDER BY length(text) ASC, doc_id ASC) AS rnk
+                    FROM d),
+              c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM r a JOIN r b ON a.lang = b.lang
+                     AND b.rnk > a.rnk AND b.rnk <= a.rnk + 3),
+              h AS (SELECT c.id_a, c.id_b,
+                           coalesce(da.text, '') AS ta,
+                           coalesce(db.text, '') AS tb,
+                           da.source AS sa, db.source AS sb,
+                           ${duckTokensOf("coalesce(da.text, '')")} AS tka,
+                           ${duckTokensOf("coalesce(db.text, '')")} AS tkb
+                    FROM c JOIN d da ON da.doc_id = c.id_a
+                           JOIN d db ON db.doc_id = c.id_b)
+         SELECT id_a, id_b,
+                round(0.5 * (CASE
+                    WHEN len(list_distinct(list_concat(tka, tkb))) = 0
+                    THEN 1.0
+                    ELSE CAST(len(list_filter(list_distinct(tka),
+                           t -> list_contains(tkb, t))) AS DOUBLE)
+                         / len(list_distinct(list_concat(tka, tkb))) END)
+                  + 0.3 * (CASE WHEN greatest(length(ta), length(tb)) = 0
+                    THEN 1.0
+                    ELSE 1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+                               / greatest(length(ta), length(tb)) END)
+                  + 0.2 * (CASE WHEN sa IS NOT DISTINCT FROM sb
+                    THEN 1.0 ELSE 0.0 END), 6) AS match_score
+         FROM h
+         WHERE round(0.5 * (CASE
+                    WHEN len(list_distinct(list_concat(tka, tkb))) = 0
+                    THEN 1.0
+                    ELSE CAST(len(list_filter(list_distinct(tka),
+                           t -> list_contains(tkb, t))) AS DOUBLE)
+                         / len(list_distinct(list_concat(tka, tkb))) END)
+                  + 0.3 * (CASE WHEN greatest(length(ta), length(tb)) = 0
+                    THEN 1.0
+                    ELSE 1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+                               / greatest(length(ta), length(tb)) END)
+                  + 0.2 * (CASE WHEN sa IS NOT DISTINCT FROM sb
+                    THEN 1.0 ELSE 0.0 END), 6) >= 0.45""",
     "q_naive_bayes" ->
       s"""WITH occ AS (SELECT doc_id, lang, token FROM documents,
                          UNNEST($duckTokens) AS u(token)),

@@ -593,6 +593,66 @@ object Dedup {
       .select(col(idCol).as("id_a"), col("id_b"), col("edit_distance"))
   }
 
+  /** Weighted multi-field match scoring for candidate entity pairs — the
+    * linear-comparator half of a Fellegi–Sunter record-linkage pipeline
+    * (public: Fellegi & Sunter JASA'69): a blocker
+    * ([[sortedNeighborhoodPairs]], [[minHashLshCandidates]], length
+    * blocking…) proposes (id_a, id_b) candidates, this scores each pair as
+    * Σ weight_f · sim_f over the entity's fields and keeps pairs at or
+    * above `threshold`.
+    *
+    * Comparator kinds per field: `exact` (null-safe equality → 0/1),
+    * `lev` (1 − levenshtein/max-length — character-level, catches typos),
+    * `jaccard` (distinct-token-set overlap — word-level, order-immune).
+    * Two empty/null fields compare as 1.0 for lev/jaccard (identically
+    * absent is evidence of a match for scoring purposes, like exact's
+    * null <=> null).
+    *
+    * Scale shape: two broadcast-or-shuffle equi-joins hydrate the pair
+    * list with both sides' fields, then scoring is pure map-side
+    * expressions — cost ∝ candidate pairs (the blocker's output), never
+    * n². Scores round to 6dp before the threshold filter (the portable
+    * cross-engine contract). */
+  def matchScore(cands: DataFrame, entities: DataFrame, idCol: String,
+                 fields: Seq[(String, String, Double)],
+                 threshold: Double): DataFrame = {
+    require(fields.nonEmpty, "need at least one scored field")
+    val kinds = Set("exact", "lev", "jaccard")
+    fields.foreach { case (f, kind, _) =>
+      require(kinds(kind), s"unknown comparator '$kind' for field $f " +
+        s"(expected one of ${kinds.mkString("/")})")
+    }
+    def side(suffix: String, idAs: String) = entities.select(
+      col(idCol).as(idAs) +:
+        fields.map(_._1).distinct // a field may be scored by several kinds
+          .map(f => col(f).as(s"__${f}_$suffix")): _*)
+    def toks(c: org.apache.spark.sql.Column) =
+      TextFunctions.tokens(coalesce(c, lit("")))
+    val sims = fields.map { case (f, kind, weight) =>
+      val (a, b) = (col(s"__${f}_a"), col(s"__${f}_b"))
+      val sim = kind match {
+        case "exact" => when(a <=> b, 1.0).otherwise(0.0)
+        case "lev" =>
+          val maxLen = greatest(length(coalesce(a, lit(""))),
+            length(coalesce(b, lit(""))))
+          when(maxLen === 0, 1.0).otherwise(
+            lit(1.0) - levenshtein(coalesce(a, lit("")),
+              coalesce(b, lit(""))).cast("double") / maxLen)
+        case "jaccard" =>
+          val u = size(array_union(toks(a), toks(b)))
+          when(u === 0, 1.0).otherwise(
+            size(array_intersect(toks(a), toks(b))).cast("double") / u)
+      }
+      lit(weight) * sim
+    }
+    cands.select(col("id_a"), col("id_b"))
+      .join(side("a", "id_a"), Seq("id_a"))
+      .join(side("b", "id_b"), Seq("id_b"))
+      .withColumn("match_score", round(sims.reduceLeft(_ + _), 6))
+      .filter(col("match_score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("match_score"))
+  }
+
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokenSets(docs, idCol, textCol)
       .withColumn("h", TextFunctions.portableHash(col("token"), 7))

@@ -634,4 +634,33 @@ class TextAndDedupSpec extends SparkSuite {
     // (class A only has presence rows for aa and zz, so zz is rank 2)
     assert(out(("A", "zz"))._2 === 0.0 && out(("A", "zz"))._3 === 2L)
   }
+
+  test("matchScore: hand-computed comparators, threshold, null handling") {
+    val ents = Seq(
+      (1L, "alpha beta", "s1"),
+      (2L, "alpha beta", "s1"),   // identical to 1 → score 1.0
+      (3L, "alpha gamma", "s2"),  // partial vs 1
+      (4L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("id", "text", "source")
+    val cands = Seq((1L, 2L), (1L, 3L), (4L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.matchScore(cands, ents, "id",
+      Seq(("text", "jaccard", 0.5), ("text", "lev", 0.3),
+        ("source", "exact", 0.2)), threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(out((1L, 2L)) === 1.0)
+    // (1,3): jaccard |{alpha}|/|{alpha,beta,gamma}| = 1/3;
+    // lev("alpha beta","alpha gamma") = 4 over maxlen 11 → 1 − 4/11;
+    // sources differ → 0. Score = 0.5/3 + 0.3·(7/11)
+    val expected = BigDecimal(0.5 / 3.0 + 0.3 * (1.0 - 4.0 / 11.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1L, 3L)) === expected, out.toString)
+    // both-null fields compare as matches
+    assert(out((4L, 4L)) === 1.0)
+    // threshold filters
+    assert(Dedup.matchScore(cands, ents, "id",
+      Seq(("text", "jaccard", 1.0)), threshold = 0.9).count() === 2L)
+    intercept[IllegalArgumentException](
+      Dedup.matchScore(cands, ents, "id", Seq(("text", "soundex", 1.0)), 0.5))
+  }
 }
