@@ -80,7 +80,23 @@ object Scratch {
       "q_stream_enrich" -> ("Stream-static enrichment",
         "BroadcastHashJoin (LeftOuter, BuildRight): the fact side never shuffles; identical plan under readStream where the dim re-broadcasts per micro-batch."),
       "q_kanonymity" -> ("k-anonymity audit",
-        "One hash-aggregate on the quasi-identifier tuple with map-side partial combine; the < k filter runs post-aggregate so only rare combinations survive."))
+        "One hash-aggregate on the quasi-identifier tuple with map-side partial combine; the < k filter runs post-aggregate so only rare combinations survive."),
+      "q_heavy_hitters" -> ("Exact heavy hitters (sketch → recount)",
+        "The Misra-Gries pass is ONE ObjectHashAggregate whose partials are O(k) maps — the full distinct-token shuffle never happens; the recount is a broadcast semi-join + hash aggregate over candidates only, and the n/(k+1) threshold joins as a 1-row broadcast."),
+      "q_pq_topk" -> ("Product-quantization ANN (encode + ADC)",
+        "Both the per-subspace argmin encode and the ADC lookup-sum are a single map-side codegen projection over the scan (codebooks and the query LUT are literals/1-row broadcasts); the ranking is TakeOrderedAndProject — no join, no window, no shuffle beyond the top-k."),
+      "q_label_prop" -> ("Label propagation (3 fixed rounds)",
+        "Per round: one equi-join of the label table onto the cached edge list + two hash aggregates (label counts, then min_by argmax) — shuffle proportional to |E|, the label table never exceeds |V| rows, and the fixed unrolled depth keeps the plan shallow."),
+      "q_naive_bayes" -> ("Naive Bayes classifier audit",
+        "Model and scoring are wordcount-shape hash aggregates; the class fan-out is a BroadcastNestedLoopJoin against a 5-row classes frame and the (class, token) model joins as a broadcast — the corpus-sized (doc, token) table shuffles only for its own aggregates."),
+      "q_chi2_tokens" -> ("Chi-squared feature selection",
+        "Presence dedup + two hash aggregates build the contingency marginals; the chi-squared arithmetic is a post-join projection and the per-class top-k windows over the vocab-sized (class, token) table — never the corpus."),
+      "q_er_score" -> ("Record-linkage match scoring",
+        "The sorted-neighborhood blocker is one rank window + a self-join on the block key; scoring hydrates pairs with two broadcast hash joins and evaluates all three comparators (jaccard/levenshtein/exact) as one map-side projection — cost proportional to candidate pairs."),
+      "q_dp_counts" -> ("DP-style noised release",
+        "ONE hash aggregate; the Laplace inverse-CDF noise is a post-aggregate projection over #groups rows (md5 hashUnit, sign/ln/clamp) — nothing but the group counts ever shuffles."),
+      "q_mad_outliers" -> ("MAD robust outliers",
+        "Two percentile aggregates and two joins, all keyed on the group column so the exchange is reused; the robust-z filter is a post-join projection. Exact medians buffer per group — percentile_approx or the binned-histogram path swaps in beyond ~10^8 rows/group."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans for flagship queries\n\n")

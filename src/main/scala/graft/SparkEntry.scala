@@ -1441,6 +1441,61 @@ object SparkEntry {
   private def q_vector_moments(s: SparkSession, d: String): DataFrame =
     Stats.vectorMoments(Tables.embeddings(s, d), "label", "embedding")
 
+  /** §2b DP-style released aggregate: per-source document counts with
+    * deterministic inverse-CDF Laplace noise (sensitivity-1 count, ε=1) —
+    * one hash agg, noise as a post-aggregate map-side expression. */
+  private def q_dp_counts(s: SparkSession, d: String): DataFrame =
+    ColumnHygiene.noisyCounts(Tables.documents(s, d), "source",
+      epsilon = 1.0, salt = "dp")
+
+  /** §2b profile drift: the pre-1998 orders snapshot vs the full table —
+    * null-rate delta, distinct-count ratio, min/max movement per column;
+    * two single-pass 1-row aggregates + a #columns join. */
+  private def q_profile_drift(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.orders(s, d)
+    val old = all.filter(col("o_orderdate") < lit("1998-01-01 00:00:00"))
+    ColumnHygiene.profileDrift(old, all,
+        Seq("o_orderstatus", "o_custkey", "o_totalprice"))
+      .withColumnRenamed("column", "col_name")
+  }
+
+  /** FLAGSHIP §2b composition — the end-to-end corpus-curation pipeline
+    * as ONE dataflow: quality gate (hashed linear classifier) → exact-dup
+    * survivorship (longest copy wins) → deterministic train/val split →
+    * fixed-size token chunking. Every stage is an already-oracle-checked
+    * operator; this query pins that they COMPOSE (filters stay pushed
+    * through the semi-joins, the split assignment is stable under the
+    * upstream dedup, chunk ids survive the final join). The lazy plan
+    * fuses the whole chain: the documents scan happens once per aggregate
+    * consumer, nothing materializes between stages. */
+  private def q_curation_pipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept = docs.join(
+      TextAnalytics.hashedLinearScore(docs, "doc_id", "text",
+          classifierWeights, classifierBias)
+        .filter(col("keep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val survivors = Dedup.keepBestCopy(kept, "doc_id", "text", "n_chars")
+      .select(col("keep_id").as("doc_id"))
+    val deduped = kept.join(survivors, Seq("doc_id"), "left_semi")
+    val split = Corpus.hashSplit(deduped, "doc_id",
+      Seq("train" -> 90, "val" -> 100))
+    Corpus.tokenChunks(split, "doc_id", "text", chunkSize = 32, stride = 32)
+      .join(split.select(col("doc_id"), col("split")), Seq("doc_id"))
+      .select(col("doc_id"), col("split"), col("chunk_id"),
+        col("n_chunk_tokens"), col("chunk_text"))
+  }
+
+  /** §2b Welch two-sample t-test: click vs view event values per market
+    * segment — the A/B readout as one (group, arm) hash aggregate + a
+    * two-arm self-join; no equal-variance assumption. */
+  private def q_welch_ttest(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).join(Tables.customer(s, d),
+      col("user_id") === col("c_custkey"))
+    Stats.welchTTest(e, "c_mktsegment", "event_type", "value",
+      armA = "click", armB = "view")
+  }
+
   /** §2b record-linkage scoring: the q_sorted_neighborhood blocker's
     * candidates scored as 0.5·token-jaccard(text) + 0.3·lev-sim(text) +
     * 0.2·exact(source) — blocker proposes, comparator disposes; cost ∝
@@ -1602,6 +1657,10 @@ object SparkEntry {
     "q_chi2_tokens" -> (q_chi2_tokens _),
     "q_vector_moments" -> (q_vector_moments _),
     "q_er_score" -> (q_er_score _),
+    "q_dp_counts" -> (q_dp_counts _),
+    "q_profile_drift" -> (q_profile_drift _),
+    "q_welch_ttest" -> (q_welch_ttest _),
+    "q_curation_pipeline" -> (q_curation_pipeline _),
     "q_triangles" -> (q_triangles _),
     "q_cosine_pairs" -> (q_cosine_pairs _),
     "q_interp" -> (q_interp _),
@@ -3257,6 +3316,131 @@ object SparkEntry {
                 CASE WHEN COUNT(*) > 1
                   THEN round(greatest(var_samp(v), 0.0), 6) END AS variance
          FROM x GROUP BY 1, 2""",
+    "q_curation_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+              e AS (SELECT doc_id, UNNEST(toks) AS token FROM t),
+              sc AS (SELECT doc_id,
+                       SUM(list_extract($classifierWeightsSql,
+                         CAST(CAST(('0x' || substring(md5('13:' || token), 1, 15))
+                           AS BIGINT) % 64 AS INTEGER) + 1)) AS sw
+                     FROM e GROUP BY doc_id),
+              kept AS (SELECT d.* FROM documents d
+                       LEFT JOIN sc ON sc.doc_id = d.doc_id
+                       WHERE $classifierBiasSql + COALESCE(sc.sw, 0.0) > 0.0),
+              r AS (SELECT doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY
+                        md5(regexp_replace(lower(text), '[^0-9a-z]', '', 'g'))
+                        ORDER BY n_chars DESC, doc_id ASC) AS rn
+                    FROM kept),
+              ded AS (SELECT k.* FROM kept k
+                      JOIN r ON r.doc_id = k.doc_id AND r.rn = 1),
+              sp AS (SELECT doc_id, text,
+                       CASE WHEN CAST(('0x' ||
+                           substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) % 100 < 90
+                         THEN 'train' ELSE 'val' END AS split
+                     FROM ded),
+              tk AS (SELECT doc_id, split, $duckTokens AS toks FROM sp),
+              s2 AS (SELECT doc_id, split, toks, len(toks) AS n
+                     FROM tk WHERE len(toks) > 0),
+              x AS (SELECT doc_id, split, toks,
+                      UNNEST(generate_series(0, n - 1, 32)) AS start
+                    FROM s2)
+         SELECT doc_id, split,
+                CAST(start // 32 AS BIGINT) AS chunk_id,
+                CAST(len(toks[start + 1 : start + 32]) AS BIGINT)
+                  AS n_chunk_tokens,
+                array_to_string(toks[start + 1 : start + 32], ' ')
+                  AS chunk_text
+         FROM x""",
+    "q_welch_ttest" ->
+      """WITH j AS (SELECT c.c_mktsegment AS g, e.event_type AS a, e.value AS v
+                    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+                    WHERE e.event_type IN ('click', 'view')),
+              s AS (SELECT g, a, COUNT(*) AS n, avg(v) AS m,
+                           var_samp(v) AS vv
+                    FROM j GROUP BY 1, 2),
+              aa AS (SELECT g, n AS n_a, m AS m_a, vv AS v_a
+                     FROM s WHERE a = 'click'),
+              bb AS (SELECT g, n AS n_b, m AS m_b, vv AS v_b
+                     FROM s WHERE a = 'view')
+         SELECT g AS c_mktsegment, n_a, n_b,
+                round(m_a - m_b, 6) AS mean_diff,
+                round(CASE WHEN n_a > 1 AND n_b > 1
+                             AND (v_a / n_a + v_b / n_b) > 0
+                  THEN (m_a - m_b) / sqrt(v_a / n_a + v_b / n_b) END, 6)
+                  AS t_stat,
+                round(CASE WHEN n_a > 1 AND n_b > 1
+                             AND (v_a / n_a + v_b / n_b) > 0
+                             AND ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+                               + (v_b / n_b) * (v_b / n_b) / (n_b - 1)) > 0
+                  THEN ((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b))
+                       / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+                         + (v_b / n_b) * (v_b / n_b) / (n_b - 1)) END, 6)
+                  AS welch_df
+         FROM aa JOIN bb USING (g)""",
+    "q_dp_counts" ->
+      """WITH c AS (SELECT source, COUNT(*) AS t FROM documents GROUP BY 1),
+              u AS (SELECT source, t,
+                      CAST(('0x' || substring(md5('dp:' || CAST(source AS VARCHAR)), 1, 8))
+                        AS BIGINT) / 4294967296.0 - 0.5 AS uu
+                    FROM c)
+         SELECT source,
+                round(t + (-1.0) * sign(uu)
+                  * ln(greatest(1.0 - 2.0 * abs(uu), 1.0 / 4294967296.0)),
+                  6) AS noisy_cnt
+         FROM u""",
+    "q_profile_drift" ->
+      """WITH oldt AS (SELECT * FROM orders
+                       WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+              po AS (
+                SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
+                       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                       count(DISTINCT o_orderstatus) AS n_distinct,
+                       CAST(min(o_orderstatus) AS VARCHAR) AS min_str,
+                       CAST(max(o_orderstatus) AS VARCHAR) AS max_str
+                FROM oldt
+                UNION ALL
+                SELECT 'o_custkey', count(*),
+                       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                       count(DISTINCT o_custkey),
+                       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+                FROM oldt
+                UNION ALL
+                SELECT 'o_totalprice', count(*),
+                       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                       count(DISTINCT o_totalprice),
+                       CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+                FROM oldt),
+              pn AS (
+                SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
+                       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                       count(DISTINCT o_orderstatus) AS n_distinct,
+                       CAST(min(o_orderstatus) AS VARCHAR) AS min_str,
+                       CAST(max(o_orderstatus) AS VARCHAR) AS max_str
+                FROM orders
+                UNION ALL
+                SELECT 'o_custkey', count(*),
+                       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                       count(DISTINCT o_custkey),
+                       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+                FROM orders
+                UNION ALL
+                SELECT 'o_totalprice', count(*),
+                       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                       count(DISTINCT o_totalprice),
+                       CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+                FROM orders)
+         SELECT po.col_name,
+                po.n_rows AS old_rows, pn.n_rows AS new_rows,
+                round(CAST(pn.n_nulls AS DOUBLE) / pn.n_rows
+                  - CAST(po.n_nulls AS DOUBLE) / po.n_rows, 6)
+                  AS null_rate_delta,
+                round(CAST(pn.n_distinct AS DOUBLE) / po.n_distinct, 6)
+                  AS distinct_ratio,
+                pn.min_str <> po.min_str AS min_changed,
+                pn.max_str <> po.max_str AS max_changed
+         FROM po JOIN pn USING (col_name)""",
     "q_er_score" ->
       s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 120),
               r AS (SELECT lang, doc_id,

@@ -79,6 +79,45 @@ object ColumnHygiene {
         col("n_distinct"), col("min_str"), col("max_str"))
   }
 
+  /** Schema/statistics drift report between two snapshots of a table:
+    * [[columnProfile]] run on each side, full-outer-joined per column,
+    * with the drift signals a nightly ingest monitor alerts on — null-rate
+    * delta, distinct-count ratio, and min/max range changes. The join is
+    * full-outer so callers pre-building profiles over differing column
+    * sets surface added/dropped columns as one-sided rows; with a shared
+    * `cols` list every row matches. This is the PROFILE-level
+    * complement of [[graft.operators.Joins.diffSnapshots]] (which diffs
+    * rows): at 100 TB you watch the profile every run and diff rows only
+    * when the profile moves.
+    *
+    * Shape: two single-pass 1-row aggregates (one per snapshot) +
+    * a #columns-row join — the data is scanned once per side regardless
+    * of column count. */
+  def profileDrift(oldDf: DataFrame, newDf: DataFrame,
+                   cols: Seq[String], roundScale: Int = 6): DataFrame = {
+    val po = columnProfile(oldDf, cols).select(col("column"),
+      col("n_rows").as("old_rows"), col("n_nulls").as("old_nulls"),
+      col("n_distinct").as("old_distinct"),
+      col("min_str").as("old_min"), col("max_str").as("old_max"))
+    val pn = columnProfile(newDf, cols).select(col("column"),
+      col("n_rows").as("new_rows"), col("n_nulls").as("new_nulls"),
+      col("n_distinct").as("new_distinct"),
+      col("min_str").as("new_min"), col("max_str").as("new_max"))
+    def rate(nulls: Column, rows: Column) =
+      when(rows > 0, nulls.cast("double") / rows)
+    po.join(pn, Seq("column"), "full_outer")
+      .select(col("column"),
+        col("old_rows"), col("new_rows"),
+        round(rate(col("new_nulls"), col("new_rows"))
+          - rate(col("old_nulls"), col("old_rows")), roundScale)
+          .as("null_rate_delta"),
+        when(col("old_distinct") > 0,
+          round(col("new_distinct").cast("double") / col("old_distinct"),
+            roundScale)).as("distinct_ratio"),
+        (col("new_min") =!= col("old_min")).as("min_changed"),
+        (col("new_max") =!= col("old_max")).as("max_changed"))
+  }
+
   /** A single data-quality expectation evaluated set-wise: `name`,
     * the predicate a PASSING row satisfies, and whether a violation
     * should fail the pipeline (`critical`) or just be reported. */
@@ -179,6 +218,33 @@ object ColumnHygiene {
       .join(keys, child(fkCol) === keys(pkCol), "left_anti")
       .groupBy(col(fkCol))
       .agg(count(lit(1)).as("n_orphans"))
+  }
+
+  /** Laplace-noised per-group counts — the differential-privacy RELEASE
+    * dataflow (public: Dwork et al. TCC'06; count queries have
+    * sensitivity 1, so noise scale is 1/ε): aggregate once, add
+    * inverse-CDF Laplace noise, release only the noised figure.
+    *
+    * Noise here is a DETERMINISTIC function of (salt, group) via the
+    * md5-based [[Corpus.hashUnit]] — rerunning the release yields the
+    * same figures (re-release under a fresh draw is itself a privacy
+    * leak), incremental reruns stay consistent, and the harness oracle
+    * can check the arithmetic. A production release would derive the
+    * same construction from a secret-keyed PRF instead of a public salt;
+    * the dataflow is identical. The inverse-CDF argument is clamped at
+    * 2⁻³² so a zero hash can't produce ln(0) = −∞.
+    *
+    * Shape: ONE hash aggregate; the noise is a post-aggregate map-side
+    * expression over #groups rows. */
+  def noisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
+                  salt: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    val u = Corpus.hashUnit(col(groupCol), salt) - 0.5
+    val arg = greatest(lit(1.0) - lit(2.0) * abs(u), lit(1.0 / 4294967296.0))
+    val noise = lit(-1.0 / epsilon) * signum(u) * log(arg)
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("__true"))
+      .select(col(groupCol),
+        round(col("__true") + noise, 6).as("noisy_cnt"))
   }
 
   /** Hot-key skew report for a prospective shuffle/join key: the top

@@ -40,6 +40,46 @@ object Stats {
       round(r2, roundScale).as("r2"))
   }
 
+  /** Welch's two-sample t statistic per metric group (public: Welch
+    * Biometrika'47) — the A/B experiment readout: for every group in
+    * `groupCol`, compare `valCol` between the `a` and `b` populations of
+    * `armCol`: t = (x̄_a − x̄_b)/√(s²_a/n_a + s²_b/n_b) with the
+    * Welch–Satterthwaite degrees of freedom. No equal-variance
+    * assumption (plain Student pooling is wrong the moment one arm is
+    * bigger or noisier — the normal case for a rollout).
+    *
+    * Shape: ONE hash aggregate on (group, arm) + a self-join of the
+    * two-arm rows — aggregates-only, any corpus size. Groups missing an
+    * arm or with n < 2 / zero variance in both arms yield null t (never
+    * NaN/∞). 6dp-rounded outputs. */
+  def welchTTest(df: DataFrame, groupCol: String, armCol: String,
+                 valCol: String, armA: String, armB: String,
+                 roundScale: Int = 6): DataFrame = {
+    val stats = df
+      .filter(col(armCol).isin(armA, armB))
+      .groupBy(col(groupCol), col(armCol))
+      .agg(count(lit(1)).as("n"), avg(col(valCol)).as("m"),
+        var_samp(col(valCol)).as("v"))
+    def arm(tag: String, a: String) = stats.filter(col(armCol) === a)
+      .select(col(groupCol), col("n").as(s"n_$tag"),
+        col("m").as(s"m_$tag"), col("v").as(s"v_$tag"))
+    val se2a = col("v_a") / col("n_a")
+    val se2b = col("v_b") / col("n_b")
+    val se2 = se2a + se2b
+    val t = when(col("n_a") > 1 && col("n_b") > 1 && se2 > 0,
+      (col("m_a") - col("m_b")) / sqrt(se2))
+    // Welch–Satterthwaite: (se²)² / (se2a²/(n_a−1) + se2b²/(n_b−1))
+    val dof = when(col("n_a") > 1 && col("n_b") > 1 && se2a + se2b > 0 &&
+        (se2a * se2a / (col("n_a") - 1) + se2b * se2b / (col("n_b") - 1)) > 0,
+      (se2 * se2) /
+        (se2a * se2a / (col("n_a") - 1) + se2b * se2b / (col("n_b") - 1)))
+    arm("a", armA).join(arm("b", armB), Seq(groupCol))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        round(col("m_a") - col("m_b"), roundScale).as("mean_diff"),
+        round(t, roundScale).as("t_stat"),
+        round(dof, roundScale).as("welch_df"))
+  }
+
   /** Per-group element-wise vector moments: count, mean and sample
     * variance PER DIMENSION of an `array<float>` embedding column — the
     * class-centroid / whitening-stats primitive (per-label centroids feed

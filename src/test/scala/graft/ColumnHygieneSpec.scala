@@ -164,4 +164,41 @@ class ColumnHygieneSparkSpec extends SparkSuite {
     assert(out.getLong(2) === 0L)   // n_violations (sum over empty → 0)
     assert(out.getBoolean(5) === true)
   }
+
+  test("noisyCounts: deterministic, near the true count, epsilon-scaled") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (Seq.fill(100)("a") ++ Seq.fill(50)("b")).toDF("g")
+    val run1 = ColumnHygiene.noisyCounts(df, "g", 1.0, "s")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val run2 = ColumnHygiene.noisyCounts(df, "g", 1.0, "s")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(run1 === run2)                      // same release on rerun
+    assert(math.abs(run1("a") - 100.0) < 25)   // Laplace(1) tail is tiny
+    assert(run1("a") !== 100.0)                // but noise is real
+    // 10× larger epsilon → 10× smaller noise, same sign (same u draw)
+    val tight = ColumnHygiene.noisyCounts(df, "g", 10.0, "s")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(tight("a") - 100.0) * 10 - math.abs(run1("a") - 100.0)
+      < 1e-4, s"$tight vs $run1")
+    intercept[IllegalArgumentException](
+      ColumnHygiene.noisyCounts(df, "g", 0.0, "s"))
+  }
+
+  test("profileDrift: null-rate delta, distinct ratio, range movement") {
+    import spark.implicits._
+    val oldDf = Seq((1L, Some("x")), (2L, Some("y")))
+      .toDF("id", "v")
+    val newDf = Seq((1L, Some("x")), (2L, Some("y")), (3L, Some("z")),
+      (4L, None: Option[String])).toDF("id", "v")
+    val out = ColumnHygiene.profileDrift(oldDf, newDf, Seq("id", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val v = out("v")
+    assert(v.getLong(1) === 2L && v.getLong(2) === 4L)
+    assert(v.getDouble(3) === 0.25)        // null rate 0 → 1/4
+    assert(v.getDouble(4) === 1.5)         // distinct 2 → 3
+    assert(!v.getBoolean(5) && v.getBoolean(6))  // min x..x, max y→z
+    val id = out("id")
+    assert(id.getDouble(4) === 2.0 && id.getBoolean(6))
+  }
 }

@@ -41,6 +41,8 @@ class EntrySpec extends SparkSuite {
       val scrubbed = sql
         .replace(SparkEntry.duckTokens, "")
         .replace(SparkEntry.duckTokensOf("s"), "")
+        .replace(SparkEntry.duckTokensOf("coalesce(da.text, '')"), "")
+        .replace(SparkEntry.duckTokensOf("coalesce(db.text, '')"), "")
         .replace(SparkEntry.duckSentences, "")
       assert(!scrubbed.contains("string_split_regex"),
         s"$name uses a tokenizer/splitter variant that differs from the " +

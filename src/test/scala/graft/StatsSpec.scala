@@ -58,6 +58,36 @@ class StatsSpec extends SparkSuite {
     assert(math.abs(head2.getDouble(2) - (-1.0)) < 1e-6, head2.toString)
   }
 
+  test("welchTTest: hand-computed t and Welch-Satterthwaite df") {
+    // arm a: 1,2,3 (n=3, m=2, v=1); arm b: 2,4 (n=2, m=3, v=2)
+    // se² = 1/3 + 1 = 4/3 → t = −1/√(4/3) ≈ −0.866025
+    // df = (4/3)² / ((1/3)²/2 + 1²/1) = 1.777778/1.055556 ≈ 1.684211
+    val df = Seq(
+      ("g", "a", 1.0), ("g", "a", 2.0), ("g", "a", 3.0),
+      ("g", "b", 2.0), ("g", "b", 4.0),
+      ("solo", "a", 1.0), ("solo", "a", 2.0),
+      ("g", "other", 99.0)).toDF("grp", "arm", "v")
+    val out = graft.operators.Stats
+      .welchTTest(df, "grp", "arm", "v", "a", "b").collect()
+    assert(out.length === 1)                    // 'solo' lacks arm b
+    val r = out.head
+    assert(r.getString(0) === "g" && r.getLong(1) === 3L && r.getLong(2) === 2L)
+    assert(r.getDouble(3) === -1.0)
+    assert(r.getDouble(4) === -0.866025, r.toString)
+    assert(r.getDouble(5) === 1.684211, r.toString)
+  }
+
+  test("welchTTest: degenerate arms yield null, never NaN") {
+    val df = Seq(("g", "a", 5.0), ("g", "b", 1.0), ("g", "b", 2.0),
+      ("h", "a", 3.0), ("h", "a", 3.0), ("h", "b", 3.0), ("h", "b", 3.0))
+      .toDF("grp", "arm", "v")
+    val out = graft.operators.Stats
+      .welchTTest(df, "grp", "arm", "v", "a", "b")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").isNullAt(4) && out("g").isNullAt(5))  // n_a = 1
+    assert(out("h").isNullAt(4) && out("h").isNullAt(5))  // both vars 0
+  }
+
   test("vectorMoments: per-dim mean/variance, singleton group gets null") {
     val df = Seq(
       (0, Seq(1.0f, 10.0f)), (0, Seq(3.0f, 10.0f)),
