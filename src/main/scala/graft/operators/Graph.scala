@@ -67,13 +67,21 @@ object Graph {
     require(iters >= 1 && iters <= 10,
       s"iters must be in [1, 10] (fixed, unrolled plan): $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1): $damping")
-    val e = edges.select(col("src"), col("dst")).cache()
-    val nodes = e.select(col("src").as("id")).distinct()
+    // the edge list is the big invariant side of every iteration's join:
+    // pre-partition it on the join key ONCE and cache — InMemoryRelation
+    // preserves the partitioning, so each iteration shuffles only the
+    // |V|-sized weight table, never |E| again
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).cache()
+    // nodes/outdeg are |V|-sized and referenced by EVERY unrolled
+    // iteration — cache them or each iteration re-runs the |E|-sized
+    // distinct/aggregate that derives them
+    val nodes = e.select(col("src").as("id")).distinct().cache()
     // contract: every node appears as src (see scaladoc) — so `nodes`
     // from src alone covers the graph, and outdeg is never 0/null
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge list")
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")).cache()
     // teleport computed as (1 - damping) in BOTH engines: 1.0 - 0.85 is
     // NOT the double 0.15, so the oracle must spell the same subtraction
     val teleport = (1.0 - damping) / n
@@ -81,7 +89,11 @@ object Graph {
     (1 to iters).foreach { _ =>
       val weight = ranks.join(outdeg, ranks("id") === outdeg("src"))
         .select(col("id").as("__u"), (col("rank") / col("__outdeg")).as("__w"))
-      val contrib = e.join(weight, e("src") === col("__u"))
+      // SHUFFLE_HASH on the weight side: hash-build the |V| rows, probe
+      // the pre-partitioned edges — no |E|-sized sort (SMJ would re-sort
+      // the edge list every iteration), no |V|-must-fit-on-the-driver
+      // broadcast assumption (a billion-node graph still works)
+      val contrib = e.join(weight.hint("shuffle_hash"), e("src") === col("__u"))
         .groupBy(col("dst")).agg(sum(col("__w")).as("__c"))
         .withColumnRenamed("dst", "id")
       ranks = nodes.join(contrib, Seq("id"), "left")
@@ -116,11 +128,16 @@ object Graph {
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 8,
       s"iters must be in [1, 8] (fixed, unrolled plan): $iters")
-    val e = edges.select(col("src"), col("dst")).cache()
+    // same iteration shape as pageRank: edges pre-partitioned on the join
+    // key and cached (shuffled once), the |V|-sized label table joins via
+    // shuffle-hash — no per-iteration |E| sort, no broadcast assumption
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).cache()
     val nodes = e.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("label", col("id"))
     (1 to iters).foreach { _ =>
-      val counts = e.join(labels.select(col("id").as("__u"), col("label")),
+      val counts = e.join(
+          labels.select(col("id").as("__u"), col("label")).hint("shuffle_hash"),
           e("src") === col("__u"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("__c"))
       labels = counts.groupBy(col("dst"))
