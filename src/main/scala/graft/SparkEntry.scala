@@ -1486,6 +1486,13 @@ object SparkEntry {
         col("n_chunk_tokens"), col("chunk_text"))
   }
 
+  /** §2b pairs-free class cohesion: mean intra-label pairwise cosine via
+    * the ‖Σu‖²−n identity — two aggregates, the pair count never appears
+    * in the plan; the embedding-collapse monitor. */
+  private def q_class_cohesion(s: SparkSession, d: String): DataFrame =
+    Similarity.intraClassCohesion(Tables.embeddings(s, d),
+      "label", "embedding")
+
   /** §2b Welch two-sample t-test: click vs view event values per market
     * segment — the A/B readout as one (group, arm) hash aggregate + a
     * two-arm self-join; no equal-variance assumption. */
@@ -1661,6 +1668,7 @@ object SparkEntry {
     "q_profile_drift" -> (q_profile_drift _),
     "q_welch_ttest" -> (q_welch_ttest _),
     "q_curation_pipeline" -> (q_curation_pipeline _),
+    "q_class_cohesion" -> (q_class_cohesion _),
     "q_triangles" -> (q_triangles _),
     "q_cosine_pairs" -> (q_cosine_pairs _),
     "q_interp" -> (q_interp _),
@@ -3316,6 +3324,23 @@ object SparkEntry {
                 CASE WHEN COUNT(*) > 1
                   THEN round(greatest(var_samp(v), 0.0), 6) END AS variance
          FROM x GROUP BY 1, 2""",
+    "q_class_cohesion" ->
+      """WITH nrm AS (SELECT label, vec_id, embedding,
+                             sqrt(list_dot_product(embedding, embedding)) AS nn
+                      FROM embeddings
+                      WHERE sqrt(list_dot_product(embedding, embedding)) > 0),
+              u AS (SELECT label, CAST(i AS BIGINT) AS pos,
+                           CAST(embedding[i] AS DOUBLE) / nn AS uv
+                    FROM nrm,
+                         UNNEST(generate_series(1, len(embedding))) AS t(i)),
+              cnt AS (SELECT label, COUNT(*) AS n FROM nrm GROUP BY 1),
+              s AS (SELECT label, pos, SUM(uv) AS sv FROM u GROUP BY 1, 2),
+              ss AS (SELECT label, SUM(sv * sv) AS ss FROM s GROUP BY 1)
+         SELECT cnt.label, cnt.n,
+                round(CASE WHEN cnt.n > 1
+                  THEN (ss.ss - cnt.n) / (cnt.n * (cnt.n - 1)) END, 6)
+                  AS cohesion
+         FROM cnt JOIN ss USING (label)""",
     "q_curation_pipeline" ->
       s"""WITH t AS (SELECT doc_id, $duckTokens AS toks FROM documents),
               e AS (SELECT doc_id, UNNEST(toks) AS token FROM t),

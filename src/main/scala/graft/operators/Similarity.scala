@@ -355,6 +355,41 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Mean intra-class pairwise cosine per label WITHOUT materializing a
+    * single pair: for L2-normalized vectors,
+    * Σ_{i≠j} u_i·u_j = ‖Σ u‖² − n, so the class-cohesion average is
+    * (‖Σ u‖² − n)/(n(n−1)) — the polarization identity every
+    * embedding-quality monitor should use instead of an O(n²) self-join
+    * (collapsed classes → cohesion ≈ 1; well-spread → ≈ 0; mislabeled
+    * blends sit in between).
+    *
+    * Shape: map-side normalize, one dim-fanout posexplode, TWO hash
+    * aggregates ((label, dim) sums, then per-label sum of squares) — at
+    * any corpus size the pair count never appears in the plan. Zero-norm
+    * vectors are dropped (they have no direction); singleton classes
+    * yield null. 6dp-rounded. */
+  def intraClassCohesion(df: DataFrame, labelCol: String,
+                         vecCol: String): DataFrame = {
+    val staged = df
+      .withColumn("__norm", VectorFunctions.l2Norm(col(vecCol)))
+      .filter(col("__norm") > 0)
+      .select(col(labelCol),
+        transform(col(vecCol), x => x.cast("double") / col("__norm"))
+          .as("__u"))
+    val n = staged.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+    val ss = staged
+      .select(col(labelCol), posexplode(col("__u")).as(Seq("__pos", "__v")))
+      .groupBy(col(labelCol), col("__pos"))
+      .agg(sum(col("__v")).as("__s"))
+      .groupBy(col(labelCol))
+      .agg(sum(col("__s") * col("__s")).as("__ss"))
+    n.join(ss, Seq(labelCol))
+      .select(col(labelCol), col("n"),
+        round(when(col("n") > 1,
+          (col("__ss") - col("n")) / (col("n") * (col("n") - 1))), 6)
+          .as("cohesion"))
+  }
+
   // ------------------------------------------------------------ product
   // quantization (public: Jégou, Douze & Schmid, PAMI'11 "Product
   // quantization for nearest neighbor search"). The memory-bound ANN

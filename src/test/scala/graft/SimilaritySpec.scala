@@ -270,6 +270,24 @@ class SimilaritySpec extends SparkSuite {
     assert(top.map(_._4).toSeq === Seq(0.0, 200.0, 400.0))
   }
 
+  test("intraClassCohesion: polarization identity matches hand pairs") {
+    // label 0: two x-axis + one y-axis unit vector → ordered pairs
+    // (1,1,0,0,0,0) → mean = 2/6; identity: s=(2,1), ‖s‖²−n = 5−3 = 2
+    // label 1: identical direction pair (norms differ — normalization
+    // must erase that) → cohesion exactly 1
+    // label 2: singleton → null; zero vector dropped before counting
+    val df = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(1.0f, 0.0f)), (0, Seq(0.0f, 1.0f)),
+      (1, Seq(2.0f, 0.0f)), (1, Seq(5.0f, 0.0f)),
+      (2, Seq(1.0f, 1.0f)), (2, Seq(0.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val out = Similarity.intraClassCohesion(df, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getLong(1) === 3L && out(0).getDouble(2) === 0.333333)
+    assert(out(1).getDouble(2) === 1.0)
+    assert(out(2).getLong(1) === 1L && out(2).isNullAt(2))
+  }
+
   test("pq ties break to the lowest code") {
     // two identical centroids → equidistant from everything → code 0
     val seeds = Seq(0L -> Seq(5.0, 5.0), 1L -> Seq(5.0, 5.0))
