@@ -96,7 +96,13 @@ object Scratch {
       "q_dp_counts" -> ("DP-style noised release",
         "ONE hash aggregate; the Laplace inverse-CDF noise is a post-aggregate projection over #groups rows (md5 hashUnit, sign/ln/clamp) — nothing but the group counts ever shuffles."),
       "q_mad_outliers" -> ("MAD robust outliers",
-        "Two percentile aggregates and two joins, all keyed on the group column so the exchange is reused; the robust-z filter is a post-join projection. Exact medians buffer per group — percentile_approx or the binned-histogram path swaps in beyond ~10^8 rows/group."))
+        "Two percentile aggregates and two joins, all keyed on the group column so the exchange is reused; the robust-z filter is a post-join projection. Exact medians buffer per group — percentile_approx or the binned-histogram path swaps in beyond ~10^8 rows/group."),
+      "q_class_cohesion" -> ("Pairs-free class cohesion",
+        "The polarization identity turns mean pairwise cosine into two hash aggregates over a dim-fanout posexplode — no self-join anywhere in the plan; the pair count never exists."),
+      "q_curation_pipeline" -> ("End-to-end curation pipeline",
+        "Quality gate, dedup survivorship, split and chunking fuse into one lazy dataflow: the classifier score and split key are map-side expressions, the two survivors filters are semi-joins, and the only shuffles are the dedup fingerprint aggregate and the final chunk join."),
+      "q_interp" -> ("Linear interpolation over a time grid",
+        "Both neighbor lookups are GROWING window frames (the next-observation side runs over the reversed ordering) — a shrinking (1, unboundedFollowing) frame recomputes per row, O(n^2) per entity, measured 16.5s vs 1.5s at sf0.1."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans for flagship queries\n\n")

@@ -1486,6 +1486,16 @@ object SparkEntry {
         col("n_chunk_tokens"), col("chunk_text"))
   }
 
+  /** §2b time-decay multi-touch attribution: each purchase's credit split
+    * over the user's click/view touches in a 4-hour lookback, halving per
+    * elapsed hour (stepped dyadic decay → exact credits); equi-join on
+    * user + range post-filter + one per-conversion window sum. */
+  private def q_attribution(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.timeDecayAttribution(Tables.events(s, d),
+      "user_id", "ts", "event_type", convType = "purchase",
+      touchTypes = Seq("click", "view"),
+      lookbackMinutes = 240, halfLifeMinutes = 60)
+
   /** §2b pairs-free class cohesion: mean intra-label pairwise cosine via
     * the ‖Σu‖²−n identity — two aggregates, the pair count never appears
     * in the plan; the embedding-collapse monitor. */
@@ -1669,6 +1679,7 @@ object SparkEntry {
     "q_welch_ttest" -> (q_welch_ttest _),
     "q_curation_pipeline" -> (q_curation_pipeline _),
     "q_class_cohesion" -> (q_class_cohesion _),
+    "q_attribution" -> (q_attribution _),
     "q_triangles" -> (q_triangles _),
     "q_cosine_pairs" -> (q_cosine_pairs _),
     "q_interp" -> (q_interp _),
@@ -3324,6 +3335,26 @@ object SparkEntry {
                 CASE WHEN COUNT(*) > 1
                   THEN round(greatest(var_samp(v), 0.0), 6) END AS variance
          FROM x GROUP BY 1, 2""",
+    "q_attribution" ->
+      """WITH conv AS (SELECT user_id, ts AS conv_ts FROM events
+                       WHERE event_type = 'purchase'),
+              touches AS (SELECT user_id, ts AS touch_ts,
+                                 event_type AS touch_type
+                          FROM events
+                          WHERE event_type IN ('click', 'view')),
+              j AS (SELECT c.user_id, c.conv_ts, t.touch_ts, t.touch_type,
+                           1.0 / CAST(1::BIGINT << CAST(least(
+                               floor(CAST(epoch_us(c.conv_ts)
+                                       - epoch_us(t.touch_ts) AS DOUBLE)
+                                     / 3600000000.0), 62) AS INTEGER)
+                             AS DOUBLE) AS w
+                    FROM conv c JOIN touches t USING (user_id)
+                    WHERE t.touch_ts < c.conv_ts
+                      AND t.touch_ts >= c.conv_ts - INTERVAL 240 MINUTES)
+         SELECT user_id, conv_ts, touch_ts, touch_type,
+                round(w / sum(w) OVER (PARTITION BY user_id, conv_ts), 6)
+                  AS credit
+         FROM j""",
     "q_class_cohesion" ->
       """WITH nrm AS (SELECT label, vec_id, embedding,
                              sqrt(list_dot_product(embedding, embedding)) AS nn

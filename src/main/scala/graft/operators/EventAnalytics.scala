@@ -93,4 +93,64 @@ object EventAnalytics {
         datediff(col("__day"), col("cohort_day")).cast("long").as("day_offset"))
       .agg(countDistinct(col(userCol)).as("n_active"))
   }
+
+  /** Time-decay multi-touch attribution: each conversion's credit is
+    * split over the user's touch events inside the lookback window,
+    * weighted by a half-life decay and NORMALIZED per conversion (credits
+    * sum to 1 per conversion — the standard marketing multi-touch model;
+    * time-decay per e.g. the Shao & Li KDD'11 data-driven-attribution
+    * framing's baseline).
+    *
+    * The decay is STEPPED: weight = 2^(−⌊Δt/halfLife⌋) — halving per
+    * whole half-life elapsed rather than continuously. Dyadic weights
+    * make every credit an exact ratio of small powers of two, so results
+    * are bit-reproducible across engines (a continuous 0.5^(Δt/h) runs
+    * through libm `pow`, whose rounding differs); floor-bucketed decay is
+    * also what you can precompute at 100 TB. Exponents clamp at 62 so the
+    * bit-shift stays in Long range (beyond ~62 half-lives the weight is 0
+    * at double precision anyway). While lookback/halfLife ≤ ~50, the
+    * per-conversion weight SUM is also exact (dyadics within 53 bits of
+    * precision add exactly in any order), so normalized credits are
+    * bit-reproducible regardless of aggregation order.
+    *
+    * Scale shape: one equi-join of conversions against touches on the
+    * USER key with the time-range predicate as a post-join filter (the
+    * state-bounded interval-join shape — the streaming twin is
+    * [[graft.streaming.EventStreams.attributedPurchases]]), then one
+    * per-conversion window sum to normalize. Join fan-out is bounded by
+    * touches-per-user-per-window, never the corpus. */
+  def timeDecayAttribution(events: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, convType: String,
+                           touchTypes: Seq[String], lookbackMinutes: Int,
+                           halfLifeMinutes: Int): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convType),
+      s"conversion type $convType cannot also be a touch type")
+    require(lookbackMinutes > 0 && halfLifeMinutes > 0,
+      s"lookback/halfLife must be positive: $lookbackMinutes/$halfLifeMinutes")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol), col(tsCol).as("conv_ts"))
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(tsCol).as("touch_ts"),
+        col(typeCol).as("touch_type"))
+    // Δt in exact integer microseconds (timestamps carry sub-second
+    // precision; second-truncation semantics differ across engines), one
+    // explicit double division, floor — the same IEEE ops everywhere
+    val halfMicros = halfLifeMinutes * 60000000.0
+    val dt = (unix_micros(col("conv_ts")) - unix_micros(col("touch_ts")))
+      .cast("double")
+    val halved = least(floor(dt / lit(halfMicros)).cast("long"), lit(62L))
+    val w = Window.partitionBy(col(userCol), col("conv_ts"))
+    conv.join(touches, Seq(userCol))
+      .filter(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES"))
+      .withColumn("__halved", halved)
+      // the Scala shiftleft wrapper only takes a literal shift — the SQL
+      // function accepts a column
+      .withColumn("__w", expr(
+        "1.0 / cast(shiftleft(cast(1 as bigint), cast(__halved as int)) as double)"))
+      .withColumn("credit", round(col("__w") / sum(col("__w")).over(w), 6))
+      .select(col(userCol), col("conv_ts"), col("touch_ts"),
+        col("touch_type"), col("credit"))
+  }
 }

@@ -59,4 +59,32 @@ class EventAnalyticsSpec extends SparkSuite {
       ("2024-01-02 00:00:00.0", 0L) -> 1L,
       ("2024-01-02 00:00:00.0", 1L) -> 1L))
   }
+
+  test("timeDecayAttribution: dyadic half-life credits, window + bounds") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1 purchase at 10:00; touches at 09:50 (Δ10m → w=1),
+    // 08:30 (Δ90m → 1 half-life → w=1/2), 05:00 (outside 4h lookback),
+    // 10:05 (after conversion — excluded). credits: 1/(3/2)=2/3, (1/2)/(3/2)=1/3
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "purchase"),
+      (1L, ts("2024-01-01 09:50:00"), "click"),
+      (1L, ts("2024-01-01 08:30:00"), "view"),
+      (1L, ts("2024-01-01 05:00:00"), "click"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (2L, ts("2024-01-01 12:00:00"), "purchase")  // no touches → no rows
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.timeDecayAttribution(events, "user_id", "ts",
+        "event_type", "purchase", Seq("click", "view"),
+        lookbackMinutes = 240, halfLifeMinutes = 60)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2)) ->
+        ((r.getString(3), r.getDouble(4)))).toMap
+    assert(out.size === 2, out.toString)
+    assert(out((1L, ts("2024-01-01 09:50:00"))) === (("click", 0.666667)))
+    assert(out((1L, ts("2024-01-01 08:30:00"))) === (("view", 0.333333)))
+    // per-conversion credits sum to 1 (within the 6dp round)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 2e-6)
+    intercept[IllegalArgumentException](
+      EventAnalytics.timeDecayAttribution(events, "user_id", "ts",
+        "event_type", "purchase", Seq("purchase"), 240, 60))
+  }
 }
