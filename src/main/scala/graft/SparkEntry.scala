@@ -1496,6 +1496,42 @@ object SparkEntry {
       touchTypes = Seq("click", "view"),
       lookbackMinutes = 240, halfLifeMinutes = 60)
 
+  /** §2b Kolmogorov–Smirnov distribution shift: click vs purchase event
+    * values — max ECDF gap from one hash aggregate + a distinct-value-
+    * sized cumulative window. */
+  private def q_ks_statistic(s: SparkSession, d: String): DataFrame =
+    Stats.ksStatistic(Tables.events(s, d), "event_type", "value",
+      sideA = "click", sideB = "purchase")
+
+  /** §2b language-ID confusion matrix: declared label vs the n-gram
+    * profile guess — the eval readout over q_lang_ngram's classifier;
+    * one extra hash aggregate. */
+  private def q_langid_confusion(s: SparkSession, d: String): DataFrame =
+    q_lang_ngram(s, d).groupBy(col("declared_lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+
+  /** §2b dedup-blocking quality eval: MinHash-LSH candidates (16 hashes,
+    * 4×4 bands) scored against exact Jaccard≥0.7 ground truth on the
+    * same docs — precision/recall in one row; both are strictly inside
+    * (0,1) on this fixture, so the check is non-vacuous. */
+  private def q_lsh_dedup_eval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
+    val cands = Dedup.minHashLshCandidates(
+      Dedup.minHashSignatures(docs, "doc_id", "text", 16),
+      "doc_id", bands = 4, rowsPerBand = 4)
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", 0.7)
+      .select(col("id_a"), col("id_b"))
+    val hits = cands.join(truth, Seq("id_a", "id_b"), "left_semi")
+    cands.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true_pairs")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_candidates"), col("n_true_pairs"), col("n_hits"),
+        round(when(col("n_candidates") > 0,
+          col("n_hits") / col("n_candidates")), 6).as("precision"),
+        round(when(col("n_true_pairs") > 0,
+          col("n_hits") / col("n_true_pairs")), 6).as("recall"))
+  }
+
   /** §2b pairs-free class cohesion: mean intra-label pairwise cosine via
     * the ‖Σu‖²−n identity — two aggregates, the pair count never appears
     * in the plan; the embedding-collapse monitor. */
@@ -1680,6 +1716,9 @@ object SparkEntry {
     "q_curation_pipeline" -> (q_curation_pipeline _),
     "q_class_cohesion" -> (q_class_cohesion _),
     "q_attribution" -> (q_attribution _),
+    "q_ks_statistic" -> (q_ks_statistic _),
+    "q_langid_confusion" -> (q_langid_confusion _),
+    "q_lsh_dedup_eval" -> (q_lsh_dedup_eval _),
     "q_triangles" -> (q_triangles _),
     "q_cosine_pairs" -> (q_cosine_pairs _),
     "q_interp" -> (q_interp _),
@@ -3335,6 +3374,70 @@ object SparkEntry {
                 CASE WHEN COUNT(*) > 1
                   THEN round(greatest(var_samp(v), 0.0), 6) END AS variance
          FROM x GROUP BY 1, 2""",
+    "q_ks_statistic" ->
+      """WITH x AS (SELECT value AS v,
+                      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS ca,
+                      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS cb
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase')
+                    GROUP BY 1),
+              c AS (SELECT v, ca, cb,
+                      SUM(ca) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cuma,
+                      SUM(cb) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cumb,
+                      SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+                    FROM x)
+         SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+                round(max(abs(cuma / na - cumb / nb)), 6) AS ks
+         FROM c""",
+    "q_langid_confusion" ->
+      s"""SELECT declared_lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+          FROM ($langNgramOracleSql) GROUP BY 1, 2""",
+    "q_lsh_dedup_eval" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+                        UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS token
+                      FROM documents WHERE doc_id < 40),
+              sig AS (SELECT doc_id, seed,
+                        min(CAST(('0x' || substring(md5(seed || ':' || token), 1, 15))
+                            AS BIGINT)) AS min_hash
+                      FROM tok, (SELECT UNNEST(generate_series(0, 15)) AS seed)
+                      GROUP BY doc_id, seed),
+              banded AS (SELECT doc_id, seed // 4 AS band,
+                           md5(string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY seed))
+                             AS band_hash
+                         FROM sig GROUP BY doc_id, band),
+              cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                       FROM banded a JOIN banded b USING (band, band_hash)
+                       WHERE a.doc_id < b.doc_id),
+              sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                               count(*) AS n_common
+                        FROM tok a JOIN tok b
+                          ON a.token = b.token AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              truth AS (SELECT i.id_a, i.id_b
+                        FROM inter i
+                        JOIN sizes sa ON i.id_a = sa.doc_id
+                        JOIN sizes sb ON i.id_b = sb.doc_id
+                        WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.7),
+              hits AS (SELECT c.* FROM cand c
+                       JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b)
+         SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+                (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+                (SELECT COUNT(*) FROM hits) AS n_hits,
+                round(CASE WHEN (SELECT COUNT(*) FROM cand) > 0
+                  THEN (SELECT COUNT(*) FROM hits)
+                       / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE) END, 6)
+                  AS precision,
+                round(CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                  THEN (SELECT COUNT(*) FROM hits)
+                       / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) END, 6)
+                  AS recall""",
     "q_attribution" ->
       """WITH conv AS (SELECT user_id, ts AS conv_ts FROM events
                        WHERE event_type = 'purchase'),

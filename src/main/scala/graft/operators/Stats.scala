@@ -40,6 +40,40 @@ object Stats {
       round(r2, roundScale).as("r2"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic: max |ECDF_a − ECDF_b| —
+    * THE distribution-shift detector (train/serve skew, sample-vs-
+    * population fidelity, drift between snapshots), sensitive to any
+    * difference in shape, not just mean/variance like a t-test.
+    *
+    * Shape: ONE hash aggregate collapses the data to per-DISTINCT-VALUE
+    * side counts, then one cumulative window + a 1-row max run over the
+    * distinct-value table (bounded like vocabCoverage's cumsum — never
+    * the raw rows; the global window is a single task over distinct
+    * values, so bin or round `valCol` first if it is continuous at
+    * billions of distinct points). ECDF fractions are exact-integer
+    * divisions — deterministic cross-engine. */
+  def ksStatistic(df: DataFrame, sideCol: String, valCol: String,
+                  sideA: String, sideB: String,
+                  roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perValue = df.filter(col(sideCol).isin(sideA, sideB))
+      .groupBy(col(valCol).as("__v"))
+      .agg(sum(when(col(sideCol) === sideA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sideCol) === sideB, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val entire = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perValue
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__na", sum(col("__ca")).over(entire))
+      .withColumn("__nb", sum(col("__cb")).over(entire))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        round(max(abs(col("__cuma") / col("__na")
+          - col("__cumb") / col("__nb"))), roundScale).as("ks"))
+  }
+
   /** Welch's two-sample t statistic per metric group (public: Welch
     * Biometrika'47) — the A/B experiment readout: for every group in
     * `groupCol`, compare `valCol` between the `a` and `b` populations of

@@ -58,6 +58,21 @@ class StatsSpec extends SparkSuite {
     assert(math.abs(head2.getDouble(2) - (-1.0)) < 1e-6, head2.toString)
   }
 
+  test("ksStatistic: hand-computed ECDF gap; identical samples give 0") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0),
+      ("ignored", 99.0)).toDF("side", "v")
+    val r = graft.operators.Stats
+      .ksStatistic(df, "side", "v", "a", "b").collect().head
+    // ECDFs: at v=1 gap 1/3; v=2 gap 2/3−1/3; v=3 gap 1−2/3; v=4 gap 0
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 0.333333, r.toString)
+    val same = Seq(("a", 5.0), ("b", 5.0), ("a", 7.0), ("b", 7.0))
+      .toDF("side", "v")
+    assert(graft.operators.Stats.ksStatistic(same, "side", "v", "a", "b")
+      .collect().head.getDouble(2) === 0.0)
+  }
+
   test("welchTTest: hand-computed t and Welch-Satterthwaite df") {
     // arm a: 1,2,3 (n=3, m=2, v=1); arm b: 2,4 (n=2, m=3, v=2)
     // se² = 1/3 + 1 = 4/3 → t = −1/√(4/3) ≈ −0.866025
