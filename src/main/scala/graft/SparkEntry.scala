@@ -1496,6 +1496,26 @@ object SparkEntry {
       touchTypes = Seq("click", "view"),
       lookbackMinutes = 240, halfLifeMinutes = 60)
 
+  /** §2b PII density metrics: per-doc URL/email/phone counts + per-kchar
+    * rate over a varied synthetic injection (email every 3rd doc, phone
+    * every 5th, URL every 7th — counts actually vary) — the
+    * which-sources-need-scrubbing readout next to q_pii_mask's scrub. */
+  private def q_pii_density(s: SparkSession, d: String): DataFrame = {
+    val synth = concat(col("text"),
+      when(col("doc_id") % 3 === 0, concat(lit(" user"),
+        col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(" call +1 (555) 010-0000"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, concat(lit(" https://ex.example/d/"),
+        col("doc_id").cast("string"))).otherwise(lit("")))
+    val counts = TextFunctions.piiCounts(synth)
+    val total = counts.map(_._2).reduceLeft(_ + _)
+    Tables.documents(s, d).select(
+      col("doc_id") +: counts.map { case (n, c) => c.as(n) } :+
+        round(when(length(synth) > 0, total * 1000.0 / length(synth))
+          .otherwise(0.0), 6).as("pii_per_kchar"): _*)
+  }
+
   /** §2b Kolmogorov–Smirnov distribution shift: click vs purchase event
     * values — max ECDF gap from one hash aggregate + a distinct-value-
     * sized cumulative window. */
@@ -1717,6 +1737,7 @@ object SparkEntry {
     "q_class_cohesion" -> (q_class_cohesion _),
     "q_attribution" -> (q_attribution _),
     "q_ks_statistic" -> (q_ks_statistic _),
+    "q_pii_density" -> (q_pii_density _),
     "q_langid_confusion" -> (q_langid_confusion _),
     "q_lsh_dedup_eval" -> (q_lsh_dedup_eval _),
     "q_triangles" -> (q_triangles _),
@@ -3374,6 +3395,41 @@ object SparkEntry {
                 CASE WHEN COUNT(*) > 1
                   THEN round(greatest(var_samp(v), 0.0), 6) END AS variance
          FROM x GROUP BY 1, 2""",
+    "q_pii_density" ->
+      """WITH s AS (SELECT doc_id,
+                      text
+                        || CASE WHEN doc_id % 3 = 0
+                             THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                             ELSE '' END
+                        || CASE WHEN doc_id % 5 = 0
+                             THEN ' call +1 (555) 010-0000' ELSE '' END
+                        || CASE WHEN doc_id % 7 = 0
+                             THEN ' https://ex.example/d/' || CAST(doc_id AS VARCHAR)
+                             ELSE '' END AS synth
+                    FROM documents),
+              m AS (SELECT doc_id, synth,
+                      regexp_replace(synth, 'https?://[^\s]+', '[URL]', 'g')
+                        AS no_url
+                    FROM s),
+              m2 AS (SELECT doc_id, synth, no_url,
+                       regexp_replace(no_url,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '[EMAIL]', 'g') AS no_email
+                     FROM m),
+              c AS (SELECT doc_id, synth,
+                      CAST(len(regexp_extract_all(synth,
+                        'https?://[^\s]+')) AS BIGINT) AS n_urls,
+                      CAST(len(regexp_extract_all(no_url,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                        AS BIGINT) AS n_emails,
+                      CAST(len(regexp_extract_all(no_email,
+                        '\+?[0-9][0-9()\s.-]{6,}[0-9]')) AS BIGINT) AS n_phones
+                    FROM m2)
+         SELECT doc_id, n_urls, n_emails, n_phones,
+                round(CASE WHEN length(synth) > 0
+                  THEN (n_urls + n_emails + n_phones) * 1000.0 / length(synth)
+                  ELSE 0.0 END, 6) AS pii_per_kchar
+         FROM c""",
     "q_ks_statistic" ->
       """WITH x AS (SELECT value AS v,
                       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)

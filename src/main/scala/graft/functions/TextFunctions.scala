@@ -144,6 +144,25 @@ object TextFunctions {
         emailPattern, "[EMAIL]"),
       phonePattern, "[PHONE]")
 
+  /** PII occurrence counts per text, staged like [[maskPii]] so the
+    * categories don't double-count (URLs counted on the raw text, emails
+    * on the URL-masked text — an address inside a URL is a URL — phones
+    * on the email-masked text). Returns (n_urls, n_emails, n_phones)
+    * columns; pure regexp expressions, map-side. The PRIVACY-METRIC
+    * complement of maskPii: masking scrubs, density tells you which
+    * sources need scrubbing (or excluding) in the first place. */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val noUrl = regexp_replace(text, urlPattern, "[URL]")
+    val noEmail = regexp_replace(noUrl, emailPattern, "[EMAIL]")
+    Seq(
+      "n_urls" -> size(regexp_extract_all(text, lit(urlPattern), lit(0)))
+        .cast("long"),
+      "n_emails" -> size(regexp_extract_all(noUrl, lit(emailPattern), lit(0)))
+        .cast("long"),
+      "n_phones" -> size(regexp_extract_all(noEmail, lit(phonePattern), lit(0)))
+        .cast("long"))
+  }
+
   /** Strip HTML/XML-ish markup: tags → space, the five standard entities
     * unescaped (literal `replace`, `&amp;` LAST so `&amp;lt;` yields the
     * text `&lt;`, not a double-unescaped `<`), whitespace collapsed. The

@@ -120,6 +120,31 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈current-bytes / targetBytes⌉ files. THE maintenance job every
+    * append-heavy table needs — a year of incremental micro-batches
+    * leaves thousands of KB-sized files, and at 100 TB the scan's task
+    * count (and the NameNode/listing pressure) is driven by file count,
+    * not data size. Sizing from the CURRENT on-disk footprint (not row
+    * counts) keeps the math right under compression and wide/narrow
+    * schemas alike. Writes to a NEW directory — Spark cannot safely
+    * overwrite an input path it is still reading; callers swap
+    * directories atomically afterwards. Returns the file count written. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    require(inDir != outDir, "compact cannot overwrite its input in place")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inDir)).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
   /** K2: create the destination with a seed schema iff missing; returns
     * true when it created. Mirrors get_table-or-create
     * (reference/main.py:127-134): an empty write materializes the path

@@ -124,6 +124,28 @@ class SinksSpec extends SparkSuite {
     assert(spark.read.parquet(path).count() === 1024)
   }
 
+  test("compact: rewrites a fragmented directory to the computed file count") {
+    val in = tempPath()
+    val out = tempPath()
+    // 500 rows scattered over 20 tiny files
+    spark.range(500).selectExpr("id", "id * 2 AS v")
+      .repartition(20).write.parquet(in)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(in), spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) === 20)
+    // a huge target collapses everything into one file
+    val n = graft.operators.Sinks.compact(spark, in, out, 1L << 30)
+    assert(n === 1 && parquetFiles(out) === 1)
+    // rows survive byte-identically
+    assert(spark.read.parquet(out).orderBy("id").collect().toSeq ===
+      spark.read.parquet(in).orderBy("id").collect().toSeq)
+    intercept[IllegalArgumentException](
+      graft.operators.Sinks.compact(spark, in, in, 100))
+  }
+
   test("dedup-vs-destination composes with the evolved read (reference flow)") {
     val path = tempPath()
     Sinks.appendEvolving(Seq(("c1", "t1")).toDF("chat_id", "n_ticket"), path)

@@ -338,6 +338,19 @@ class TextAndDedupSpec extends SparkSuite {
     assert(out(4L) === "no pii here at all")
   }
 
+  test("piiCounts: staged counting, no double-count inside URLs") {
+    val d = Seq(
+      (1L, "mail a@b.com and https://x.y/path?u=c@d.com call +1 555-010-0000"),
+      (2L, "clean text with no identifiers")).toDF("doc_id", "text")
+    val counts = TextFunctions.piiCounts($"text")
+    val out = d.select($"doc_id" +: counts.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // the c@d.com inside the URL is consumed by the URL count
+    assert(out(1L) === ((1L, 1L, 1L)), out.toString)
+    assert(out(2L) === ((0L, 0L, 0L)))
+  }
+
   test("maskPii masks a URL before its embedded email-like tail") {
     val d = Seq((1L, "x https://h.example/u@v.example/p y")).toDF("doc_id", "text")
     val out = d.select(TextFunctions.maskPii($"text")).as[String].head()
