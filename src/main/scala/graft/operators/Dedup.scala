@@ -587,9 +587,13 @@ object Dedup {
           col("__b").as("__bb")),
         col("__pb") === col("__bb") && col(idCol) < col("id_b"))
       .filter(abs(length(col(textCol)) - length(col("__tb"))) <= maxDist)
+      // threshold form: the DP abandons a pair the moment every cell in a
+      // row exceeds maxDist — O(maxDist·min(m,n)) per candidate instead of
+      // O(m·n), the difference between "typo radius" and "full matrix" on
+      // long documents (returns -1 above the threshold, filtered next)
       .withColumn("edit_distance",
-        levenshtein(col(textCol), col("__tb")).cast("long"))
-      .filter(col("edit_distance") <= maxDist)
+        levenshtein(col(textCol), col("__tb"), maxDist).cast("long"))
+      .filter(col("edit_distance") >= 0 && col("edit_distance") <= maxDist)
       .select(col(idCol).as("id_a"), col("id_b"), col("edit_distance"))
   }
 
