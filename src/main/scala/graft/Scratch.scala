@@ -102,7 +102,13 @@ object Scratch {
       "q_curation_pipeline" -> ("End-to-end curation pipeline",
         "Quality gate, dedup survivorship, split and chunking fuse into one lazy dataflow: the classifier score and split key are map-side expressions, the two survivors filters are semi-joins, and the only shuffles are the dedup fingerprint aggregate and the final chunk join."),
       "q_interp" -> ("Linear interpolation over a time grid",
-        "Both neighbor lookups are GROWING window frames (the next-observation side runs over the reversed ordering) — a shrinking (1, unboundedFollowing) frame recomputes per row, O(n^2) per entity, measured 16.5s vs 1.5s at sf0.1."))
+        "Both neighbor lookups are GROWING window frames (the next-observation side runs over the reversed ordering) — a shrinking (1, unboundedFollowing) frame recomputes per row, O(n^2) per entity, measured 16.5s vs 1.5s at sf0.1."),
+      "q_ks_statistic" -> ("Kolmogorov-Smirnov distribution shift",
+        "One hash aggregate collapses the raw rows to per-distinct-value side counts; the cumulative ECDF window and the max-gap aggregate run over that bounded table, never the events."),
+      "q_attribution" -> ("Time-decay multi-touch attribution",
+        "Conversions equi-join touches on the user key with the lookback range as a post-join filter (state-bounded interval-join shape); the stepped dyadic decay is a map-side shift expression and the per-conversion normalization is one window sum."),
+      "q_lsh_dedup_eval" -> ("LSH blocking quality eval",
+        "Candidate generation and exact-Jaccard truth are both inverted-index equi-joins on the bounded fixture; the three counts meet through 1-row broadcasts — the s-curve readout that tunes bands/rows before a corpus-scale dedup."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans for flagship queries\n\n")

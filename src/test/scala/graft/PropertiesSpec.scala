@@ -101,4 +101,76 @@ class PropertiesSpec extends SparkSuite {
       assert(twice.as[(Long, String)].collect().toMap === rows)
     }
   }
+
+  test("heavyHitters equals GROUP BY/HAVING on random zipf-ish streams") {
+    // The MG sketch only prunes; the recount must make the final answer
+    // EXACTLY the SQL definition for any stream and any k.
+    val gen = for {
+      nHot <- Gen.choose(0, 3)
+      hot <- Gen.listOfN(nHot, Gen.choose(50, 200))
+      nCold <- Gen.choose(5, 40)
+      k <- Gen.choose(2, 12)
+    } yield (hot, nCold, k)
+    forAllSampled(gen, cases = 15) { case (hot, nCold, k) =>
+      val rows = hot.zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)(s"hot$i")
+      } ++ (0 until nCold).flatMap(i => Seq.fill(1 + i % 4)(s"cold$i"))
+      val df = rows.zipWithIndex.sortBy(_._2 % 11).map(_._1).toDF("item")
+        .repartition(4)
+      val got = graft.operators.Corpus.heavyHitters(df, "item", k)
+        .as[(String, Long)].collect().toMap
+      val n = rows.size
+      val expected = rows.groupBy(identity).view
+        .mapValues(_.size.toLong)
+        .filter { case (_, c) => c * (k + 1) > n }.toMap
+      assert(got === expected, s"k=$k n=$n")
+    }
+  }
+
+  test("ksStatistic is symmetric-in-magnitude and bounded in [0, 1]") {
+    val gen = for {
+      a <- Gen.nonEmptyListOf(Gen.choose(0, 20))
+      b <- Gen.nonEmptyListOf(Gen.choose(0, 20))
+    } yield (a, b)
+    forAllSampled(gen, cases = 15) { case (a, b) =>
+      val df = (a.map(("a", _)) ++ b.map(("b", _)))
+        .map { case (s, v) => (s, v.toDouble) }.toDF("side", "v")
+      val ks = graft.operators.Stats.ksStatistic(df, "side", "v", "a", "b")
+        .collect().head.getDouble(2)
+      val flipped = graft.operators.Stats.ksStatistic(df, "side", "v", "b", "a")
+        .collect().head.getDouble(2)
+      assert(ks >= 0.0 && ks <= 1.0, s"ks=$ks")
+      assert(ks === flipped)  // |ECDF gap| is side-order invariant
+      // disjoint supports → ks = 1
+      val disjoint = (a.map(x => ("a", x.toDouble)) ++
+        b.map(x => ("b", x.toDouble + 1000))).toDF("side", "v")
+      assert(graft.operators.Stats.ksStatistic(disjoint, "side", "v", "a", "b")
+        .collect().head.getDouble(2) === 1.0)
+    }
+  }
+
+  test("matchScore stays within [0, weight-sum] and 1.0 means all-match") {
+    val gen = Gen.listOfN(6, Gen.alphaLowerStr.map(_.take(8)))
+    forAllSampled(gen, cases = 15) { texts =>
+      val ents = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "s") }
+        .toDF("id", "text", "src")
+      val cands = (for {
+        i <- texts.indices; j <- texts.indices if i < j
+      } yield (i.toLong, j.toLong)).toDF("id_a", "id_b")
+      val out = graft.operators.Dedup.matchScore(cands, ents, "id",
+        Seq(("text", "lev", 0.7), ("src", "exact", 0.3)), threshold = 0.0)
+        .collect()
+      out.foreach { r =>
+        val s = r.getDouble(2)
+        assert(s >= 0.0 && s <= 1.0 + 1e-9, r.toString)
+      }
+      // identical texts + identical src must score exactly 1.0
+      val dup = Seq((1L, "same", "s"), (2L, "same", "s")).toDF("id", "text", "src")
+      val one = graft.operators.Dedup.matchScore(
+        Seq((1L, 2L)).toDF("id_a", "id_b"), dup, "id",
+        Seq(("text", "lev", 0.7), ("src", "exact", 0.3)), 0.0)
+        .collect().head.getDouble(2)
+      assert(one === 1.0)
+    }
+  }
 }
