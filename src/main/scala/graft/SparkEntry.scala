@@ -1496,6 +1496,31 @@ object SparkEntry {
       touchTypes = Seq("click", "view"),
       lookbackMinutes = 240, halfLifeMinutes = 60)
 
+  /** FLAGSHIP §2b composition — the per-source corpus report card: doc
+    * and token volume, language breadth, exact-dup rate (via the dedup
+    * fingerprint) and mean classifier quality, in ONE aggregate over the
+    * corpus plus one over the scored frame. The dataset-card /
+    * ingest-dashboard query a curation team watches per source; dyadic
+    * classifier logits keep mean quality exact cross-engine. */
+  private def q_corpus_report(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"),
+      countDistinct(TextFunctions.fingerprint(col("text"))).as("__uniq"),
+      countDistinct(col("lang")).as("n_langs"))
+    val quality = TextAnalytics.hashedLinearScore(docs, "doc_id", "text",
+        classifierWeights, classifierBias)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(round(avg(col("logit")), 6).as("mean_quality"))
+    base.join(quality, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        round((col("n_docs") - col("__uniq")) / col("n_docs"), 6)
+          .as("dup_rate"),
+        col("mean_quality"))
+  }
+
   /** §2b PII density metrics: per-doc URL/email/phone counts + per-kchar
     * rate over a varied synthetic injection (email every 3rd doc, phone
     * every 5th, URL every 7th — counts actually vary) — the
@@ -1738,6 +1763,7 @@ object SparkEntry {
     "q_attribution" -> (q_attribution _),
     "q_ks_statistic" -> (q_ks_statistic _),
     "q_pii_density" -> (q_pii_density _),
+    "q_corpus_report" -> (q_corpus_report _),
     "q_langid_confusion" -> (q_langid_confusion _),
     "q_lsh_dedup_eval" -> (q_lsh_dedup_eval _),
     "q_triangles" -> (q_triangles _),
@@ -3395,6 +3421,32 @@ object SparkEntry {
                 CASE WHEN COUNT(*) > 1
                   THEN round(greatest(var_samp(v), 0.0), 6) END AS variance
          FROM x GROUP BY 1, 2""",
+    "q_corpus_report" ->
+      s"""WITH t AS (SELECT doc_id, source, lang, text,
+                       $duckTokens AS toks FROM documents),
+              base AS (SELECT source,
+                         CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+                         COUNT(DISTINCT md5(regexp_replace(lower(text),
+                           '[^0-9a-z]', '', 'g'))) AS uniq,
+                         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+                       FROM t GROUP BY source),
+              e AS (SELECT doc_id, UNNEST(toks) AS token FROM t),
+              sc AS (SELECT doc_id,
+                       SUM(list_extract($classifierWeightsSql,
+                         CAST(CAST(('0x' || substring(md5('13:' || token), 1, 15))
+                           AS BIGINT) % 64 AS INTEGER) + 1)) AS sw
+                     FROM e GROUP BY doc_id),
+              q AS (SELECT t.source,
+                      round(avg($classifierBiasSql + COALESCE(sc.sw, 0.0)), 6)
+                        AS mean_quality
+                    FROM t LEFT JOIN sc ON sc.doc_id = t.doc_id
+                    GROUP BY t.source)
+         SELECT base.source, base.n_docs, base.n_tokens, base.n_langs,
+                round((base.n_docs - base.uniq) / CAST(base.n_docs AS DOUBLE),
+                  6) AS dup_rate,
+                q.mean_quality
+         FROM base JOIN q USING (source)""",
     "q_pii_density" ->
       """WITH s AS (SELECT doc_id,
                       text
