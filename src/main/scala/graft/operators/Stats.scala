@@ -56,7 +56,12 @@ object Stats {
                   sideA: String, sideB: String,
                   roundScale: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // null values are excluded: an ECDF is defined over observed values,
+    // and engines disagree on where NULL sorts (Spark ascending = NULLS
+    // FIRST, DuckDB = NULLS LAST) — keeping them would make the cumsum
+    // engine-dependent
     val perValue = df.filter(col(sideCol).isin(sideA, sideB))
+      .filter(col(valCol).isNotNull)
       .groupBy(col(valCol).as("__v"))
       .agg(sum(when(col(sideCol) === sideA, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(sideCol) === sideB, 1L).otherwise(0L)).as("__cb"))
