@@ -1521,6 +1521,12 @@ object SparkEntry {
         col("mean_quality"))
   }
 
+  /** §2b interpolated (Jelinek–Mercer) bigram LM: λ=0.75 mix of the
+    * conditional bigram MLE and the unigram distribution — the smoothing
+    * step above q_bigram_loglik's add-one on the LM-quality ladder. */
+  private def q_interp_loglik(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.interpolatedLogLik(Tables.documents(s, d), "doc_id", "text")
+
   /** §2b PII density metrics: per-doc URL/email/phone counts + per-kchar
     * rate over a varied synthetic injection (email every 3rd doc, phone
     * every 5th, URL every 7th — counts actually vary) — the
@@ -1764,6 +1770,7 @@ object SparkEntry {
     "q_ks_statistic" -> (q_ks_statistic _),
     "q_pii_density" -> (q_pii_density _),
     "q_corpus_report" -> (q_corpus_report _),
+    "q_interp_loglik" -> (q_interp_loglik _),
     "q_langid_confusion" -> (q_langid_confusion _),
     "q_lsh_dedup_eval" -> (q_lsh_dedup_eval _),
     "q_triangles" -> (q_triangles _),
@@ -3421,6 +3428,24 @@ object SparkEntry {
                 CASE WHEN COUNT(*) > 1
                   THEN round(greatest(var_samp(v), 0.0), 6) END AS variance
          FROM x GROUP BY 1, 2""",
+    "q_interp_loglik" ->
+      """WITH tok AS (SELECT doc_id,
+                        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
+                      FROM documents),
+              occ AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2,
+                        array_to_string(t[i:i+1], ' ') AS bigram
+                      FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+              bc AS (SELECT bigram, count(*) AS c_ab FROM occ GROUP BY 1),
+              uc AS (SELECT w, count(*) AS c_w
+                     FROM (SELECT UNNEST(t) AS w FROM tok) GROUP BY 1),
+              tt AS (SELECT SUM(c_w) AS t_occ FROM uc)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(avg(ln(0.75 * (c_ab / ua.c_w)
+                  + 0.25 * (ub.c_w / t_occ))), 6) AS mean_loglik
+         FROM occ JOIN bc USING (bigram)
+                  JOIN uc ua ON occ.w1 = ua.w
+                  JOIN uc ub ON occ.w2 = ub.w, tt
+         GROUP BY doc_id""",
     "q_corpus_report" ->
       s"""WITH t AS (SELECT doc_id, source, lang, text,
                        $duckTokens AS toks FROM documents),

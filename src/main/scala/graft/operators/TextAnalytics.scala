@@ -277,6 +277,44 @@ object TextAnalytics {
         round(avg(col("logp")), 6).as("mean_loglik"))
   }
 
+  /** Jelinek–Mercer interpolated bigram scoring (public: Jelinek & Mercer
+    * '80; the smoothing real LM pipelines use where [[bigramLogLik]]'s
+    * add-one is the teaching baseline): per bigram,
+    * p(b|a) = λ·c_ab/c_a + (1−λ)·c_b/T — the conditional MLE backed off
+    * toward the unigram distribution, so unseen continuations score by
+    * word frequency instead of a flat pseudo-count. Returns per-doc
+    * (n_bigrams, mean ln p).
+    *
+    * λ defaults to 0.75 — a DYADIC rational, so the mix arithmetic is
+    * exact IEEE both engines; every probability is a ratio of exact
+    * integer counts. Same wordcount-join scale shape as bigramLogLik plus
+    * one more vocab-sized join (the right word's unigram count) and a
+    * 1-row total broadcast. */
+  def interpolatedLogLik(docs: DataFrame, idCol: String, textCol: String,
+                         lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    val toks = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+    val occ = toks.select(col(idCol),
+      explode(TextFunctions.shinglesOf(col("__t"), 2)).as("bigram"))
+    val biFreqs = occ.groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+    val uniFreqs = toks.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val totals = uniFreqs.agg(sum(col("c_w")).as("t_occ"))
+    val mix = lit(lambda) * (col("c_ab") / col("c_a")) +
+      lit(1.0 - lambda) * (col("c_b") / col("t_occ"))
+    occ
+      .join(biFreqs, Seq("bigram"))
+      .join(uniFreqs.select(col("w").as("__wa"), col("c_w").as("c_a")),
+        element_at(split(col("bigram"), " "), 1) === col("__wa"))
+      .join(uniFreqs.select(col("w").as("__wb"), col("c_w").as("c_b")),
+        element_at(split(col("bigram"), " "), 2) === col("__wb"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__logp", log(mix))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__logp")), 6).as("mean_loglik"))
+  }
+
   /** Vocabulary coverage curve: corpus token frequencies ranked desc, with
     * each token's cumulative share of all token occurrences — the "how big
     * must the vocab be to cover 99% of the corpus" question a tokenizer

@@ -620,6 +620,22 @@ class TextAndDedupSpec extends SparkSuite {
     assert(tied === Map(1L -> "A", 2L -> "A"), tied.toString)
   }
 
+  test("interpolatedLogLik: hand-computed Jelinek-Mercer mix") {
+    // "a a b": bigrams "a a","a b"; c(a)=2, c(b)=1, T=3
+    // p(a|a) = .75*(1/2) + .25*(2/3); p(b|a) = .75*(1/2) + .25*(1/3)
+    val docs = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val r = TextAnalytics.interpolatedLogLik(docs, "doc_id", "text")
+      .collect().head
+    assert(r.getLong(1) === 2L)
+    val expected = BigDecimal(
+      (math.log(0.75 * 0.5 + 0.25 * (2.0 / 3.0))
+        + math.log(0.75 * 0.5 + 0.25 * (1.0 / 3.0))) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) === expected, r.toString)
+    intercept[IllegalArgumentException](
+      TextAnalytics.interpolatedLogLik(docs, "doc_id", "text", lambda = 1.0))
+  }
+
   test("charPairCounts: exact windows, short words skipped, topN cut") {
     // "abab" → ab, ba, ab; "ab" → ab; "x" skipped → ab:3, ba:1
     val docs = Seq((1L, "abab ab x")).toDF("doc_id", "text")
