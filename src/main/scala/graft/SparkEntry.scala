@@ -3515,6 +3515,7 @@ object SparkEntry {
                         AS cb
                     FROM events
                     WHERE event_type IN ('click', 'purchase')
+                      AND value IS NOT NULL
                     GROUP BY 1),
               c AS (SELECT v, ca, cb,
                       SUM(ca) OVER (ORDER BY v
@@ -3572,9 +3573,9 @@ object SparkEntry {
                        / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) END, 6)
                   AS recall""",
     "q_attribution" ->
-      """WITH conv AS (SELECT user_id, ts AS conv_ts FROM events
+      """WITH conv AS (SELECT DISTINCT user_id, ts AS conv_ts FROM events
                        WHERE event_type = 'purchase'),
-              touches AS (SELECT user_id, ts AS touch_ts,
+              touches AS (SELECT DISTINCT user_id, ts AS touch_ts,
                                  event_type AS touch_type
                           FROM events
                           WHERE event_type IN ('click', 'view')),

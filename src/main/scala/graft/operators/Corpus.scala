@@ -459,11 +459,14 @@ object Corpus {
     * map-side, so the shuffle carries one O(k) row per partition no matter
     * how many distinct items exist. MG guarantees every item with true
     * count > n/(k+1) survives in the sketch (it only ever under-counts),
-    * so the ≤ k surviving keys are a SUPERSET of the answer. Phase 2
-    * semi-joins the raw items against that broadcast candidate set and
-    * recounts exactly — map-side partial aggregation now collapses to
-    * ≤ k rows per partition because only candidates remain — then keeps
-    * items whose exact count clears the threshold.
+    * so the ≤ k surviving keys are a SUPERSET of the answer. The total
+    * count rides in the SAME aggregate, and the ≤ k candidate keys +
+    * total are a legitimate tiny-collect (like the IVF centroids), so
+    * phase 2 is a single map-side `isin` filter + recount — map-side
+    * partial aggregation collapses to ≤ k rows per partition because
+    * only candidates remain — keeping items whose exact count clears the
+    * threshold. Exactly TWO passes over the input, the minimum any
+    * exact two-phase scheme can do.
     *
     * This is the 100 TB shape for "find the hot keys in a trillion-row
     * column": a full wordcount shuffles every distinct key; this shuffles
@@ -474,13 +477,16 @@ object Corpus {
     val items = df.select(col(itemCol).cast("string").as("item"))
       .filter(col("item").isNotNull)
     val mg = udaf(new graft.functions.MisraGriesAggregator(k))
-    val candidates = items.agg(mg(col("item")).as("sketch"))
-      .select(explode(map_keys(col("sketch"))).as("item"))
-    val counts = items.join(broadcast(candidates), Seq("item"), "left_semi")
+    val row = items
+      .agg(mg(col("item")).as("sketch"), count(lit(1)).as("total"))
+      .head()
+    val candidates = row.getMap[String, Long](0).keys.toSeq.sorted
+    val total = row.getLong(1)
+    if (candidates.isEmpty)
+      return items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+        .filter(lit(false))
+    items.filter(col("item").isin(candidates: _*))
       .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-    val total = items.agg(count(lit(1)).as("total"))
-    counts.crossJoin(broadcast(total))
-      .filter(col("cnt") * (k + 1) > col("total"))
-      .select(col("item"), col("cnt"))
+      .filter(col("cnt") * (k + 1) > total)
   }
 }

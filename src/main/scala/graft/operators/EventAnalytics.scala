@@ -128,11 +128,16 @@ object EventAnalytics {
       s"conversion type $convType cannot also be a touch type")
     require(lookbackMinutes > 0 && halfLifeMinutes > 0,
       s"lookback/halfLife must be positive: $lookbackMinutes/$halfLifeMinutes")
+    // a conversion's identity is (user, ts): both sides deduplicate, so
+    // an at-least-once feed (replayed batches, duplicate deliveries)
+    // yields the same credits as exactly-once input. Two REAL conversions
+    // sharing one timestamp therefore merge into one credit pool — carry
+    // a distinct event id into tsCol's role if that distinction matters.
     val conv = events.filter(col(typeCol) === convType)
-      .select(col(userCol), col(tsCol).as("conv_ts"))
+      .select(col(userCol), col(tsCol).as("conv_ts")).distinct()
     val touches = events.filter(col(typeCol).isin(touchTypes: _*))
       .select(col(userCol), col(tsCol).as("touch_ts"),
-        col(typeCol).as("touch_type"))
+        col(typeCol).as("touch_type")).distinct()
     // Δt in exact integer microseconds (timestamps carry sub-second
     // precision; second-truncation semantics differ across engines), one
     // explicit double division, floor — the same IEEE ops everywhere

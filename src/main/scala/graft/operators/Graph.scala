@@ -101,7 +101,12 @@ object Graph {
           (lit(teleport) + lit(damping) * coalesce(col("__c"), lit(0.0)))
             .as("rank"))
     }
-    ranks
+    // materialize the |V|-row result, then release the caches — a long
+    // session (the harness runs ~160 queries in one SparkSession) would
+    // otherwise accumulate a pinned edge table per graph call
+    val out = ranks.localCheckpoint()
+    Seq(e, nodes, outdeg).foreach(_.unpersist())
+    out
   }
 
   /** Synchronous label propagation (public: Raghavan et al. '07) with a
@@ -145,6 +150,9 @@ object Graph {
           struct((-col("__c")).as("nc"), col("label").as("lb"))).as("label"))
         .select(col("dst").as("id"), col("label"))
     }
-    labels
+    // same cache discipline as pageRank: materialize, then release
+    val out = labels.localCheckpoint()
+    e.unpersist()
+    out
   }
 }

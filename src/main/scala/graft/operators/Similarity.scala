@@ -428,16 +428,22 @@ object Similarity {
     * literals (like [[ivfAssign]]'s centroids), so encoding is a pure
     * map-side expression — array_min over (dist, code) structs evaluates
     * each centroid exactly once per row; no join, no shuffle, no window.
-    * Output: input row + one `code_m` column per subspace. */
+    *
+    * Codes are POSITIONS in the label-sorted codebook (0..n−1), the
+    * standard PQ definition — NOT the caller's centroid labels. That
+    * keeps [[pqTopK]]'s LUT lookup (`lut[code]`) correct for any label
+    * set; with dense 0..n−1 labels (the usual seed ids) the two notions
+    * coincide. Output: input row + one `code_m` column per subspace. */
   def pqAssign(embeddings: DataFrame, idCol: String, vecCol: String,
                codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
       "codebooks must be non-empty per subspace")
     val subDim = codebooks.head.head._2.length
     val codeCols = codebooks.zipWithIndex.map { case (cb, m) =>
-      val scored = array(cb.sortBy(_._1).map { case (code, cvec) =>
-        struct(subDist(col(vecCol), m * subDim, cvec).as("d"),
-          lit(code).as("code"))
+      val scored = array(cb.sortBy(_._1).zipWithIndex.map {
+        case ((_, cvec), pos) =>
+          struct(subDist(col(vecCol), m * subDim, cvec).as("d"),
+            lit(pos.toLong).as("code"))
       }: _*)
       array_min(scored).getField("code").as(s"code_$m")
     }

@@ -133,11 +133,15 @@ object Sinks {
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    require(inDir != outDir, "compact cannot overwrite its input in place")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(inDir)).getLength
+    // compare QUALIFIED paths — a raw string check lets trailing-slash /
+    // relative / scheme aliases smuggle an in-place overwrite through,
+    // and overwrite-while-reading deletes the input mid-job
+    val qIn = fs.makeQualified(new org.apache.hadoop.fs.Path(inDir))
+    val qOut = fs.makeQualified(new org.apache.hadoop.fs.Path(outDir))
+    require(qIn != qOut, "compact cannot overwrite its input in place")
+    val totalBytes = fs.getContentSummary(qIn).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir)
       .repartition(nFiles)

@@ -88,9 +88,12 @@ object Stats {
     * bigger or noisier — the normal case for a rollout).
     *
     * Shape: ONE hash aggregate on (group, arm) + a self-join of the
-    * two-arm rows — aggregates-only, any corpus size. Groups missing an
-    * arm or with n < 2 / zero variance in both arms yield null t (never
-    * NaN/∞). 6dp-rounded outputs. */
+    * two-arm rows — aggregates-only, any corpus size. Groups with both
+    * arms present but n < 2 or zero variance in both arms yield null t
+    * (never NaN/∞); groups MISSING an arm entirely are dropped by the
+    * inner join — there is no comparison to report (anti-join the output
+    * against the group list if absent-arm groups are themselves the
+    * signal you monitor). 6dp-rounded outputs. */
   def welchTTest(df: DataFrame, groupCol: String, armCol: String,
                  valCol: String, armA: String, armB: String,
                  roundScale: Int = 6): DataFrame = {

@@ -510,7 +510,11 @@ object TextAnalytics {
     * rows — broadcastable for any real vocabulary; falls back to a plain
     * shuffle join if not). Scores round to 6dp BEFORE the argmax so the
     * prediction is reproducible cross-engine. Output:
-    * (id, actual class, pred, score). */
+    * (id, actual class, pred, score). Documents with NO tokens carry no
+    * likelihood signal and are EXCLUDED from the output — route empties
+    * through the expectations gate
+    * ([[graft.operators.ColumnHygiene.checkExpectations]]) before this
+    * audit rather than letting a prior-only argmax launder them. */
   def naiveBayesClassify(docs: DataFrame, idCol: String, textCol: String,
                          classCol: String): DataFrame = {
     val occ = docs.select(col(idCol), col(classCol),

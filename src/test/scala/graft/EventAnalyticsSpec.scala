@@ -86,5 +86,13 @@ class EventAnalyticsSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       EventAnalytics.timeDecayAttribution(events, "user_id", "ts",
         "event_type", "purchase", Seq("purchase"), 240, 60))
+
+    // at-least-once replay: duplicating the whole feed changes nothing
+    val replayed = EventAnalytics.timeDecayAttribution(
+        events.unionAll(events), "user_id", "ts",
+        "event_type", "purchase", Seq("click", "view"), 240, 60)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2)) ->
+        ((r.getString(3), r.getDouble(4)))).toMap
+    assert(replayed === out, replayed.toString)
   }
 }

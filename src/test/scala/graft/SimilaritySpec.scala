@@ -288,6 +288,20 @@ class SimilaritySpec extends SparkSuite {
     assert(out(2).getLong(1) === 1L && out(2).isNullAt(2))
   }
 
+  test("pq codes are codebook positions, so sparse labels can't skew ADC") {
+    // sparse centroid labels {3, 9}: codes must be positions {0, 1}, and
+    // the LUT lookup must hit the right centroid's distance
+    val seeds = Seq(3L -> Seq(0.0, 0.0), 9L -> Seq(10.0, 10.0))
+    val cbs = Similarity.sliceCodebooks(seeds, nSub = 1)
+    val emb = Seq((1L, Seq(9.0f, 9.0f))).toDF("vec_id", "embedding")
+    val assigned = Similarity.pqAssign(emb, "vec_id", "embedding", cbs)
+    assert(assigned.select($"code_0").as[Long].collect().toSeq === Seq(1L))
+    val q = Seq(Tuple1(Seq(0.0f, 0.0f))).toDF("qv")
+    val top = Similarity.pqTopK(assigned, "vec_id", cbs, q, "qv", k = 1)
+      .collect().head
+    assert(top.getDouble(2) === 200.0, top.toString) // dist(q, (10,10))
+  }
+
   test("pq ties break to the lowest code") {
     // two identical centroids → equidistant from everything → code 0
     val seeds = Seq(0L -> Seq(5.0, 5.0), 1L -> Seq(5.0, 5.0))

@@ -144,6 +144,9 @@ class SinksSpec extends SparkSuite {
       spark.read.parquet(in).orderBy("id").collect().toSeq)
     intercept[IllegalArgumentException](
       graft.operators.Sinks.compact(spark, in, in, 100))
+    // path aliases must not defeat the self-overwrite guard
+    intercept[IllegalArgumentException](
+      graft.operators.Sinks.compact(spark, in, in + "/", 100))
   }
 
   test("dedup-vs-destination composes with the evolved read (reference flow)") {
