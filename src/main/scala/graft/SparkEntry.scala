@@ -1547,6 +1547,36 @@ object SparkEntry {
           .otherwise(0.0), 6).as("pii_per_kchar"): _*)
   }
 
+  /** §2b functional-dependency audit: does l_partkey determine
+    * l_suppkey? Every violation row is a part supplied by several
+    * suppliers — the key-trust check before a "by part" dedup/lookup. */
+  private def q_fd_violations(s: SparkSession, d: String): DataFrame =
+    ColumnHygiene.fdViolations(Tables.lineitem(s, d),
+      Seq("l_partkey"), "l_suppkey")
+
+  /** §2b debounce: collapse consecutive same-type events per user — one
+    * lag window keyed on user, (ts, event_id)-ordered. */
+  private def q_debounce(s: SparkSession, d: String): DataFrame =
+    Relational.debounce(Tables.events(s, d), "user_id", "ts", "event_id",
+        "event_type")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+
+  /** §2b personalized PageRank (3 rounds): teleport mass pinned to the
+    * five s0–s4 supplier seeds — proximity-to-seeds ordering over the
+    * same part↔supplier graph as q_pagerank. */
+  private def q_ppr(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d).select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst")).distinct()
+    val edges = ps.unionByName(
+      ps.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Tables.lineitem(s, d).filter(col("l_suppkey") < 5)
+      .select(concat(lit("s"), col("l_suppkey").cast("string")).as("id"))
+      .distinct()
+    Graph.personalizedPageRank(edges, seeds, 3)
+      .select(col("id"), round(col("rank"), 9).as("rank"))
+  }
+
   /** §2b Kolmogorov–Smirnov distribution shift: click vs purchase event
     * values — max ECDF gap from one hash aggregate + a distinct-value-
     * sized cumulative window. */
@@ -1771,6 +1801,9 @@ object SparkEntry {
     "q_pii_density" -> (q_pii_density _),
     "q_corpus_report" -> (q_corpus_report _),
     "q_interp_loglik" -> (q_interp_loglik _),
+    "q_fd_violations" -> (q_fd_violations _),
+    "q_debounce" -> (q_debounce _),
+    "q_ppr" -> (q_ppr _),
     "q_langid_confusion" -> (q_langid_confusion _),
     "q_lsh_dedup_eval" -> (q_lsh_dedup_eval _),
     "q_triangles" -> (q_triangles _),
@@ -1841,6 +1874,42 @@ object SparkEntry {
                    FROM e GROUP BY src),
             r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
                    FROM nodes),
+            $iters
+        SELECT id, round(rank, 9) AS rank FROM r3"""
+  }
+
+  /** Generated oracle for q_ppr: personalized PageRank's 3 iterations
+    * unrolled; the teleport column is built with the same left join +
+    * coalesce/|S| division the engine computes, and (1 − 0.85) is spelled
+    * as the same subtraction. */
+  private def pprOracleSql: String = {
+    val iters = (1 to 3).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i AS (SELECT e.dst AS id, SUM($prev.rank / od.outdeg) AS c
+                  FROM e JOIN $prev ON e.src = $prev.id
+                         JOIN od ON e.src = od.src
+                  GROUP BY e.dst),
+          r$i AS (SELECT tele.id,
+                         (CAST(1 AS DOUBLE) - 0.85) * tele.t
+                           + 0.85 * COALESCE(c$i.c, CAST(0 AS DOUBLE)) AS rank
+                  FROM tele LEFT JOIN c$i USING (id))"""
+    }.mkString(",\n")
+    s"""WITH ep AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                           's' || CAST(l_suppkey AS VARCHAR) AS dst
+                    FROM lineitem),
+            e AS (SELECT src, dst FROM ep
+                  UNION ALL SELECT dst AS src, src AS dst FROM ep),
+            nodes AS (SELECT DISTINCT src AS id FROM e),
+            seeds AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS id
+                      FROM lineitem WHERE l_suppkey < 5),
+            ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seeds),
+            tele AS (SELECT nodes.id,
+                            COALESCE(s.one, 0.0) / (SELECT n FROM ns) AS t
+                     FROM nodes LEFT JOIN
+                       (SELECT id, 1.0 AS one FROM seeds) s USING (id)),
+            od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+                   FROM e GROUP BY src),
+            r0 AS (SELECT id, t AS rank FROM tele),
             $iters
         SELECT id, round(rank, 9) AS rank FROM r3"""
   }
@@ -3366,6 +3435,27 @@ object SparkEntry {
          WHERE mad.mad > 0
            AND round(abs(e.value - med.med) / (mad.mad * 1.4826), 6) > 3.0""",
     "q_label_prop" -> labelPropOracleSql,
+    "q_ppr" -> pprOracleSql,
+    "q_fd_violations" ->
+      """SELECT l_partkey,
+                (COUNT(DISTINCT l_suppkey)
+                  + MAX(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END))
+                  AS n_rhs_values,
+                CAST(COUNT(*) AS BIGINT) AS n_rows
+         FROM lineitem
+         GROUP BY l_partkey
+         HAVING (COUNT(DISTINCT l_suppkey)
+                  + MAX(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)) > 1""",
+    "q_debounce" ->
+      """SELECT event_id, user_id, ts, event_type
+         FROM (SELECT event_id, user_id, ts, event_type,
+                      lag(event_type) OVER w AS prev_type,
+                      lag(event_id) OVER w AS prev_id
+               FROM events
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC))
+         WHERE prev_id IS NULL
+            OR (event_type IS DISTINCT FROM prev_type)""",
     "q_pq_topk" -> pqTopkOracleSql,
     "q_char_pairs" ->
       s"""WITH w AS (SELECT w FROM documents,

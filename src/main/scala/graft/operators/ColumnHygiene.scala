@@ -220,6 +220,29 @@ object ColumnHygiene {
       .agg(count(lit(1)).as("n_orphans"))
   }
 
+  /** Functional-dependency audit: determinant values for which X → Y
+    * does NOT hold — i.e. lhs tuples mapping to more than one distinct
+    * rhs value. THE schema-trust check before using a column as a lookup
+    * key, collapsing a dimension, or picking a dedup survivor "by key":
+    * every violation row is a key you believed unique-mapping and isn't.
+    * Null rhs values count as a value of their own (a key mapping to
+    * {x, null} is still ambiguous).
+    *
+    * Shape: ONE exact countDistinct aggregate on the determinant (the
+    * standard double hash-aggregate expansion); the > 1 filter runs
+    * post-aggregate so only violations survive. */
+  def fdViolations(df: DataFrame, lhsCols: Seq[String],
+                   rhsCol: String): DataFrame = {
+    require(lhsCols.nonEmpty, "need at least one determinant column")
+    // countDistinct skips nulls in BOTH engines, so the null "value" is
+    // re-added explicitly — portable, unlike counting distinct structs
+    df.groupBy(lhsCols.map(col): _*)
+      .agg((countDistinct(col(rhsCol)) +
+        max(when(col(rhsCol).isNull, 1L).otherwise(0L))).as("n_rhs_values"),
+        count(lit(1)).as("n_rows"))
+      .filter(col("n_rhs_values") > 1)
+  }
+
   /** Laplace-noised per-group counts — the differential-privacy RELEASE
     * dataflow (public: Dwork et al. TCC'06; count queries have
     * sensitivity 1, so noise scale is 1/ε): aggregate once, add

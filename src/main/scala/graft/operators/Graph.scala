@@ -109,6 +109,53 @@ object Graph {
     out
   }
 
+  /** Personalized PageRank (public: Page et al. '99 §6 "personalized";
+    * Jeh & Widom WWW'03): identical update to [[pageRank]] except the
+    * teleport mass returns to a SEED SET instead of spreading uniformly —
+    * rank'(v) = (1−d)·seed(v)/|S| + d·Σ rank(u)/outdeg(u). The
+    * "related to THESE" primitive: seed the near-dup cluster / trusted
+    * domains / one document, and the ranks order the graph by proximity
+    * to the seeds (far components decay to exactly 0).
+    *
+    * Same edge contract and per-iteration shape as pageRank (edges
+    * pre-partitioned + cached, shuffle-hash weight join, one hash
+    * aggregate per round); `seeds` is one extra |S|-row join building
+    * the teleport column. Seeds not present in the graph contribute
+    * teleport mass that simply decays — they are counted in |S|, which
+    * keeps the formula a function of the caller's declared seed set. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 10,
+      s"iters must be in [1, 10] (fixed, unrolled plan): $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0, 1): $damping")
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).cache()
+    val nodes = e.select(col("src").as("id")).distinct().cache()
+    val seedIds = seeds.select(col("id")).distinct().cache()
+    val nSeeds = seedIds.count()
+    require(nSeeds > 0, "personalizedPageRank needs a non-empty seed set")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")).cache()
+    val withTele = nodes.join(seedIds.withColumn("__s", lit(1.0)),
+        Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("__s"), lit(0.0)) / nSeeds).as("__tele")).cache()
+    var ranks = withTele.select(col("id"), col("__tele").as("rank"))
+    (1 to iters).foreach { _ =>
+      val weight = ranks.join(outdeg, ranks("id") === outdeg("src"))
+        .select(col("id").as("__u"), (col("rank") / col("__outdeg")).as("__w"))
+      val contrib = e.join(weight.hint("shuffle_hash"), e("src") === col("__u"))
+        .groupBy(col("dst")).agg(sum(col("__w")).as("__c"))
+        .withColumnRenamed("dst", "id")
+      ranks = withTele.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) * col("__tele")
+            + lit(damping) * coalesce(col("__c"), lit(0.0))).as("rank"))
+    }
+    val out = ranks.localCheckpoint()
+    Seq(e, nodes, seedIds, outdeg, withTele).foreach(_.unpersist())
+    out
+  }
+
   /** Synchronous label propagation (public: Raghavan et al. '07) with a
     * FIXED iteration count and a deterministic tie-break — community
     * detection as pure joins/aggregates, the third iterative-join

@@ -76,4 +76,27 @@ object Relational {
       .map(lo => (lo, math.min(lo + widthSec, endSec)))
       .toSeq
   }
+
+  /** Debounce: per key, keep only rows where the observed value CHANGES
+    * from the previous row — the consecutive-duplicate collapse every
+    * change-data / sensor / status stream needs before storage (a ticket
+    * that reports "open" 500 times is one fact plus 499 heartbeats; see
+    * the reference's status sync, which re-writes unchanged statuses
+    * every run — update_tickets flow). First row per key always kept;
+    * null-safe comparison so null→null runs collapse too.
+    *
+    * Shape: one lag window per key ordered by (ts, id) — the id tiebreak
+    * makes same-timestamp runs deterministic. One shuffle on the key;
+    * state is a single previous value per row. */
+  def debounce(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+               valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    df.withColumn("__prev", lag(col(valCol), 1).over(w))
+      .withColumn("__first",
+        lag(col(idCol), 1).over(w).isNull) // no previous row at all
+      .filter(col("__first") || !(col(valCol) <=> col("__prev")))
+      .drop("__prev", "__first")
+  }
 }

@@ -185,6 +185,35 @@ class ColumnHygieneSparkSpec extends SparkSuite {
       ColumnHygiene.noisyCounts(df, "g", 0.0, "s"))
   }
 
+  test("fdViolations: only multi-valued determinants survive; nulls count") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("x")), (1L, Some("x")),            // holds
+      (2L, Some("x")), (2L, Some("y")),            // violated
+      (3L, Some("x")), (3L, None: Option[String])  // {x, null} → ambiguous
+    ).toDF("k", "v")
+    val out = ColumnHygiene.fdViolations(df, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map(2L -> ((2L, 2L)), 3L -> ((2L, 2L))), out.toString)
+  }
+
+  test("debounce keeps first rows and value changes only, null-safe") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val ts = (s: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val df = Seq(
+      (1L, ts(1), 10L, Some("open")), (1L, ts(2), 11L, Some("open")),
+      (1L, ts(3), 12L, Some("closed")), (1L, ts(4), 13L, Some("closed")),
+      (1L, ts(5), 14L, Some("open")),
+      (2L, ts(1), 20L, None: Option[String]), (2L, ts(2), 21L, None),
+      (2L, ts(3), 22L, Some("open"))
+    ).toDF("k", "ts", "id", "v")
+    val kept = Relational.debounce(df, "k", "ts", "id", "v")
+      .select($"id").as[Long].collect().toSet
+    assert(kept === Set(10L, 12L, 14L, 20L, 22L), kept.toString)
+  }
+
   test("profileDrift: null-rate delta, distinct ratio, range movement") {
     import spark.implicits._
     val oldDf = Seq((1L, Some("x")), (2L, Some("y")))

@@ -70,6 +70,26 @@ class GraphSpec extends SparkSuite {
     assert(one === Map("a" -> "b", "b" -> "a", "c" -> "b"), one.toString)
   }
 
+  test("personalizedPageRank: teleport returns to the seed, hand-checked") {
+    // 2-node symmetric graph, seed {a}: r0 = (1, 0);
+    // r1 = (0.15·1 + 0.85·0, 0.85·1); r2 = (0.15 + 0.85·0.85, 0.85·0.15);
+    // r3 = (0.15 + 0.85·0.1275, 0.85·0.8725) = (0.258375, 0.741625)
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("id")
+    val out = Graph.personalizedPageRank(edges, seeds, 3)
+      .as[(String, Double)].collect().toMap
+    assert(close(out("a"), 0.15 + 0.85 * (0.85 * 0.15)), out.toString)
+    assert(close(out("b"), 0.85 * (0.15 + 0.85 * 0.85)), out.toString)
+    // an unreachable component gets rank exactly 0
+    val twoComp = Seq(("a", "b"), ("b", "a"), ("x", "y"), ("y", "x"))
+      .toDF("src", "dst")
+    val pr = Graph.personalizedPageRank(twoComp, seeds, 3)
+      .as[(String, Double)].collect().toMap
+    assert(pr("x") === 0.0 && pr("y") === 0.0, pr.toString)
+    intercept[IllegalArgumentException](
+      Graph.personalizedPageRank(edges, seeds.filter($"id" === "zz"), 3))
+  }
+
   test("labelPropagation validates its arguments") {
     val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.labelPropagation(edges, 0))
