@@ -1547,6 +1547,28 @@ object SparkEntry {
           .otherwise(0.0), 6).as("pii_per_kchar"): _*)
   }
 
+  /** §2b permutation-invariant fingerprint: md5 of each document's
+    * sorted token bag — the second exact-dedup key, catching reordered
+    * duplicates the character-normalized fingerprint misses. Value-
+    * checked per doc (the synthetic docs contain no true permutation
+    * pairs, so the md5 values themselves are the check). */
+  private def q_bag_fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      TextFunctions.bagFingerprint(col("text")).as("bag_fp"))
+
+  /** §2b source-level similarity matrix: distinct BIGRAM vocabularies
+    * per source, pairwise Jaccard via the same inverted-index join the
+    * document dedup uses — which sources draw from the same well. */
+  private def q_source_similarity(s: SparkSession, d: String): DataFrame = {
+    val sets = Tables.documents(s, d)
+      .select(col("source"),
+        explode(TextFunctions.shinglesOf(
+          TextFunctions.tokens(col("text")), 2)).as("token"))
+      .distinct()
+    Dedup.jaccardPairsFrom(sets, "source", threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+  }
+
   /** §2b functional-dependency audit: does l_partkey determine
     * l_suppkey? Every violation row is a part supplied by several
     * suppliers — the key-trust check before a "by part" dedup/lookup. */
@@ -1804,6 +1826,8 @@ object SparkEntry {
     "q_fd_violations" -> (q_fd_violations _),
     "q_debounce" -> (q_debounce _),
     "q_ppr" -> (q_ppr _),
+    "q_bag_fingerprint" -> (q_bag_fingerprint _),
+    "q_source_similarity" -> (q_source_similarity _),
     "q_langid_confusion" -> (q_langid_confusion _),
     "q_lsh_dedup_eval" -> (q_lsh_dedup_eval _),
     "q_triangles" -> (q_triangles _),
@@ -3436,6 +3460,28 @@ object SparkEntry {
            AND round(abs(e.value - med.med) / (mad.mad * 1.4826), 6) > 3.0""",
     "q_label_prop" -> labelPropOracleSql,
     "q_ppr" -> pprOracleSql,
+    "q_bag_fingerprint" ->
+      s"""SELECT doc_id,
+                 md5(array_to_string(list_sort($duckTokens), ' ')) AS bag_fp
+          FROM documents""",
+    "q_source_similarity" ->
+      s"""WITH tk AS (SELECT source, $duckTokens AS t FROM documents),
+              tok AS (SELECT DISTINCT source AS id,
+                             array_to_string(t[i : i + 1], ' ') AS token
+                      FROM tk,
+                           UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+              sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+              inter AS (SELECT a.id AS id_a, b.id AS id_b,
+                               count(*) AS n_common
+                        FROM tok a JOIN tok b
+                          ON a.token = b.token AND a.id < b.id
+                        GROUP BY 1, 2)
+         SELECT i.id_a, i.id_b,
+                round(i.n_common / (sa.n + sb.n - i.n_common), 6) AS jaccard
+         FROM inter i
+         JOIN sizes sa ON i.id_a = sa.id
+         JOIN sizes sb ON i.id_b = sb.id
+         WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.5""",
     "q_fd_violations" ->
       """SELECT l_partkey,
                 (COUNT(DISTINCT l_suppkey)
@@ -3450,11 +3496,11 @@ object SparkEntry {
       """SELECT event_id, user_id, ts, event_type
          FROM (SELECT event_id, user_id, ts, event_type,
                       lag(event_type) OVER w AS prev_type,
-                      lag(event_id) OVER w AS prev_id
+                      row_number() OVER w AS rn
                FROM events
                WINDOW w AS (PARTITION BY user_id
                             ORDER BY ts ASC, event_id ASC))
-         WHERE prev_id IS NULL
+         WHERE rn = 1
             OR (event_type IS DISTINCT FROM prev_type)""",
     "q_pq_topk" -> pqTopkOracleSql,
     "q_char_pairs" ->

@@ -181,6 +181,16 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^0-9a-z]", ""))
 
+  /** Permutation-invariant content fingerprint: md5 over the SORTED token
+    * bag (multiplicities kept). Equal fingerprints ⇔ the same words with
+    * the same counts in any order — the reordered-paragraph /
+    * shuffled-list duplication that [[fingerprint]]'s
+    * character-normalized hash misses. Feed to
+    * [[graft.operators.Dedup.exactByFingerprint]]-style grouping as a
+    * second exact-dedup key; map-side, codegen'd. */
+  def bagFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(tokens(text))))
+
   /** Word n-gram shingles over an ALREADY-materialized token-array column:
     * `["a","b","c","d"]`, n=3 → `["a b c", "b c d"]`.
     *

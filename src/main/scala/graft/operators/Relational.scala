@@ -94,9 +94,10 @@ object Relational {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col(idCol).asc)
     df.withColumn("__prev", lag(col(valCol), 1).over(w))
-      .withColumn("__first",
-        lag(col(idCol), 1).over(w).isNull) // no previous row at all
-      .filter(col("__first") || !(col(valCol) <=> col("__prev")))
-      .drop("__prev", "__first")
+      // row_number, not lag(id).isNull: a null id mid-stream must not
+      // masquerade as a partition head
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 || !(col(valCol) <=> col("__prev")))
+      .drop("__prev", "__rn")
   }
 }
