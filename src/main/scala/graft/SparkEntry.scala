@@ -1547,6 +1547,20 @@ object SparkEntry {
           .otherwise(0.0), 6).as("pii_per_kchar"): _*)
   }
 
+  /** §2b behavior motifs: top-20 length-3 event-type sequences — the
+    * n=3 generalization of q_transitions; one lag-chain window + one
+    * hash aggregate over the bounded type³ space. */
+  private def q_event_seqs(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.eventSequences(Tables.events(s, d),
+      "user_id", "ts", "event_id", "event_type", n = 3, topK = 20)
+
+  /** §2b sample-ratio-mismatch guardrail: χ² goodness of fit of the
+    * click/view traffic split vs 50/50 — run before q_welch_ttest's
+    * readout, not after. */
+  private def q_srm_check(s: SparkSession, d: String): DataFrame =
+    Stats.sampleRatioCheck(Tables.events(s, d), "event_type",
+      armA = "click", armB = "view")
+
   /** §2b permutation-invariant fingerprint: md5 of each document's
     * sorted token bag — the second exact-dedup key, catching reordered
     * duplicates the character-normalized fingerprint misses. Value-
@@ -1828,6 +1842,8 @@ object SparkEntry {
     "q_ppr" -> (q_ppr _),
     "q_bag_fingerprint" -> (q_bag_fingerprint _),
     "q_source_similarity" -> (q_source_similarity _),
+    "q_event_seqs" -> (q_event_seqs _),
+    "q_srm_check" -> (q_srm_check _),
     "q_langid_confusion" -> (q_langid_confusion _),
     "q_lsh_dedup_eval" -> (q_lsh_dedup_eval _),
     "q_triangles" -> (q_triangles _),
@@ -3460,6 +3476,37 @@ object SparkEntry {
            AND round(abs(e.value - med.med) / (mad.mad * 1.4826), 6) > 3.0""",
     "q_label_prop" -> labelPropOracleSql,
     "q_ppr" -> pprOracleSql,
+    "q_event_seqs" ->
+      """WITH s AS (SELECT event_type,
+                           lag(event_type, 1) OVER w AS p1,
+                           lag(event_type, 2) OVER w AS p2
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC))
+         SELECT p2 || '>' || p1 || '>' || event_type AS sequence,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM s WHERE p2 IS NOT NULL
+         GROUP BY 1
+         ORDER BY cnt DESC, sequence ASC
+         LIMIT 20""",
+    "q_srm_check" ->
+      """WITH c AS (SELECT
+                      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS n_a,
+                      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS n_b
+                    FROM events
+                    WHERE event_type IN ('click', 'view'))
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                round(CASE WHEN n_a + n_b > 0 THEN
+                    (n_a - CAST(n_a + n_b AS DOUBLE) * 0.5)
+                      * (n_a - CAST(n_a + n_b AS DOUBLE) * 0.5)
+                      / (CAST(n_a + n_b AS DOUBLE) * 0.5)
+                  + (n_b - CAST(n_a + n_b AS DOUBLE) * (1.0 - 0.5))
+                      * (n_b - CAST(n_a + n_b AS DOUBLE) * (1.0 - 0.5))
+                      / (CAST(n_a + n_b AS DOUBLE) * (1.0 - 0.5)) END, 6)
+                  AS srm_chi2
+         FROM c""",
     "q_bag_fingerprint" ->
       s"""SELECT doc_id,
                  md5(array_to_string(list_sort($duckTokens), ' ')) AS bag_fp

@@ -94,6 +94,38 @@ object EventAnalytics {
       .agg(countDistinct(col(userCol)).as("n_active"))
   }
 
+  /** Frequent event-type sequences of length `n` (behavior motifs): per
+    * user, the ordered event stream's consecutive n-grams, counted
+    * corpus-wide, top-k. [[transitionCounts]] is the n=2 special case;
+    * longer motifs separate funnel-like behavior ("view>click>purchase")
+    * from loops ("click>view>click") that a transition matrix blurs
+    * together.
+    *
+    * Shape: one lag-chain window per user ((ts, id)-ordered, the
+    * deterministic-ordering contract), ONE map-combined hash aggregate
+    * over the bounded type^n key space, TakeOrdered top-k with the
+    * (count desc, sequence asc) portable ranking. */
+  def eventSequences(events: DataFrame, userCol: String, tsCol: String,
+                     idCol: String, typeCol: String, n: Int,
+                     topK: Int): DataFrame = {
+    require(n >= 2 && n <= 5, s"sequence length must be in [2, 5]: $n")
+    require(topK > 0, s"topK must be positive: $topK")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val parts = (n - 1 to 0 by -1).map(i =>
+      if (i == 0) col(typeCol) else lag(col(typeCol), i).over(w))
+    events
+      .withColumn("__seq", concat_ws(">", parts: _*))
+      // a full window exists only when the oldest lag is non-null —
+      // staged as a column (window expressions can't sit in a filter)
+      .withColumn("__oldest", lag(col(typeCol), n - 1).over(w))
+      .filter(col("__oldest").isNotNull)
+      .groupBy(col("__seq").as("sequence"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("sequence").asc)
+      .limit(topK)
+  }
+
   /** Time-decay multi-touch attribution: each conversion's credit is
     * split over the user's touch events inside the lookback window,
     * weighted by a half-life decay and NORMALIZED per conversion (credits

@@ -40,6 +40,33 @@ object Stats {
       round(r2, roundScale).as("r2"))
   }
 
+  /** Sample-ratio-mismatch (SRM) check: the χ² goodness-of-fit statistic
+    * for "did the split actually deliver the expected ratio" — THE
+    * experiment guardrail that must run before any A/B readout (a biased
+    * assignment invalidates every downstream metric; large χ² ⇒
+    * investigate the bucketing, not the metrics). Expected counts follow
+    * `ratioA` (0.5 = even split); χ² = Σ (obs − exp)²/exp with 1 df.
+    *
+    * ONE aggregate over the filtered rows; exact integer counts and a
+    * dyadic default ratio keep the statistic engine-portable at the 6dp
+    * round. */
+  def sampleRatioCheck(df: DataFrame, armCol: String,
+                       armA: String, armB: String, ratioA: Double = 0.5,
+                       roundScale: Int = 6): DataFrame = {
+    require(ratioA > 0 && ratioA < 1, s"ratioA must be in (0,1): $ratioA")
+    val counts = df.filter(col(armCol).isin(armA, armB))
+      .agg(sum(when(col(armCol) === armA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(armCol) === armB, 1L).otherwise(0L)).as("n_b"))
+    val total = (col("n_a") + col("n_b")).cast("double")
+    val ea = total * ratioA
+    val eb = total * (1.0 - ratioA)
+    val chi2 = when(col("n_a") + col("n_b") > 0,
+      (col("n_a") - ea) * (col("n_a") - ea) / ea
+        + (col("n_b") - eb) * (col("n_b") - eb) / eb)
+    counts.select(col("n_a"), col("n_b"),
+      round(chi2, roundScale).as("srm_chi2"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic: max |ECDF_a − ECDF_b| —
     * THE distribution-shift detector (train/serve skew, sample-vs-
     * population fidelity, drift between snapshots), sensitive to any

@@ -60,6 +60,23 @@ class EventAnalyticsSpec extends SparkSuite {
       ("2024-01-02 00:00:00.0", 1L) -> 1L))
   }
 
+  test("eventSequences: exact motif counts, short streams contribute none") {
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val events = Seq(
+      (1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"), (1L, ts(3), 3L, "c"),
+      (1L, ts(4), 4L, "a"), (1L, ts(5), 5L, "b"), (1L, ts(6), 6L, "c"),
+      (2L, ts(1), 7L, "a"), (2L, ts(2), 8L, "b")   // too short for n=3
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.eventSequences(events,
+        "user_id", "ts", "event_id", "event_type", n = 3, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // user 1 stream abcabc: windows abc, bca, cab, abc
+    assert(out === Map("a>b>c" -> 2L, "b>c>a" -> 1L, "c>a>b" -> 1L),
+      out.toString)
+    intercept[IllegalArgumentException](EventAnalytics.eventSequences(
+      events, "user_id", "ts", "event_id", "event_type", 1, 10))
+  }
+
   test("timeDecayAttribution: dyadic half-life credits, window + bounds") {
     def ts(s: String) = Timestamp.valueOf(s)
     // user 1 purchase at 10:00; touches at 09:50 (Δ10m → w=1),

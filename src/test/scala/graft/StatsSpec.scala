@@ -58,6 +58,24 @@ class StatsSpec extends SparkSuite {
     assert(math.abs(head2.getDouble(2) - (-1.0)) < 1e-6, head2.toString)
   }
 
+  test("sampleRatioCheck: exact chi-squared, zero on a perfect split") {
+    // 60/40 on expected 50/50 of 100: chi2 = 10²/50 + 10²/50 = 4
+    val df = (Seq.fill(60)("a") ++ Seq.fill(40)("b") ++ Seq.fill(5)("x"))
+      .toDF("arm")
+    val r = graft.operators.Stats
+      .sampleRatioCheck(df, "arm", "a", "b").collect().head
+    assert(r.getLong(0) === 60L && r.getLong(1) === 40L)
+    assert(r.getDouble(2) === 4.0, r.toString)
+    val even = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("arm")
+    assert(graft.operators.Stats.sampleRatioCheck(even, "arm", "a", "b")
+      .collect().head.getDouble(2) === 0.0)
+    // expected 25/75 split delivered exactly → 0
+    val skewed = (Seq.fill(25)("a") ++ Seq.fill(75)("b")).toDF("arm")
+    assert(graft.operators.Stats
+      .sampleRatioCheck(skewed, "arm", "a", "b", ratioA = 0.25)
+      .collect().head.getDouble(2) === 0.0)
+  }
+
   test("ksStatistic: hand-computed ECDF gap; identical samples give 0") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
       ("b", 2.0), ("b", 3.0), ("b", 4.0),
