@@ -1547,6 +1547,13 @@ object SparkEntry {
           .otherwise(0.0), 6).as("pii_per_kchar"): _*)
   }
 
+  /** §2b mutual-information feature selection: the information-theoretic
+    * sibling of q_chi2_tokens over the same presence contingency — the 5
+    * highest-MI tokens per language. */
+  private def q_mi_tokens(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.mutualInfoTokens(Tables.documents(s, d),
+      "doc_id", "text", "lang", topK = 5)
+
   /** §2b behavior motifs: top-20 length-3 event-type sequences — the
     * n=3 generalization of q_transitions; one lag-chain window + one
     * hash aggregate over the bounded type³ space. */
@@ -1844,6 +1851,7 @@ object SparkEntry {
     "q_source_similarity" -> (q_source_similarity _),
     "q_event_seqs" -> (q_event_seqs _),
     "q_srm_check" -> (q_srm_check _),
+    "q_mi_tokens" -> (q_mi_tokens _),
     "q_langid_confusion" -> (q_langid_confusion _),
     "q_lsh_dedup_eval" -> (q_lsh_dedup_eval _),
     "q_triangles" -> (q_triangles _),
@@ -3476,6 +3484,53 @@ object SparkEntry {
            AND round(abs(e.value - med.med) / (mad.mad * 1.4826), 6) > 3.0""",
     "q_label_prop" -> labelPropOracleSql,
     "q_ppr" -> pprOracleSql,
+    "q_mi_tokens" ->
+      s"""WITH pres AS (SELECT DISTINCT doc_id, lang, token FROM documents,
+                          UNNEST($duckTokens) AS u(token)),
+              pc AS (SELECT lang, token,
+                            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS a
+                     FROM pres GROUP BY 1, 2),
+              cd AS (SELECT lang, COUNT(*) AS n_class
+                     FROM documents GROUP BY 1),
+              td AS (SELECT token, COUNT(DISTINCT doc_id) AS n_token
+                     FROM pres GROUP BY 1),
+              nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+              cells AS (SELECT pc.lang, pc.token, pc.a,
+                               td.n_token, cd.n_class, nd.n_docs,
+                               td.n_token - pc.a AS b,
+                               cd.n_class - pc.a AS c,
+                               nd.n_docs - cd.n_class - (td.n_token - pc.a)
+                                 AS d
+                        FROM pc JOIN cd USING (lang)
+                                JOIN td USING (token)
+                                CROSS JOIN nd),
+              scored AS (SELECT lang, token, a,
+                round(
+                  (CASE WHEN a > 0 THEN CAST(a AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                     * ln(CAST(a AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                          / (CAST(n_token AS DOUBLE) * CAST(n_class AS DOUBLE)))
+                   ELSE 0.0 END)
+                + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                     * ln(CAST(b AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                          / (CAST(n_token AS DOUBLE)
+                             * CAST(n_docs - n_class AS DOUBLE)))
+                   ELSE 0.0 END)
+                + (CASE WHEN c > 0 THEN CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                     * ln(CAST(c AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                          / (CAST(n_docs - n_token AS DOUBLE)
+                             * CAST(n_class AS DOUBLE)))
+                   ELSE 0.0 END)
+                + (CASE WHEN d > 0 THEN CAST(d AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                     * ln(CAST(d AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                          / (CAST(n_docs - n_token AS DOUBLE)
+                             * CAST(n_docs - n_class AS DOUBLE)))
+                   ELSE 0.0 END), 6) AS mi
+                FROM cells)
+         SELECT lang, token, a, mi,
+                CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY mi DESC, token ASC) AS BIGINT) AS rnk
+         FROM scored
+         QUALIFY rnk <= 5""",
     "q_event_seqs" ->
       """WITH s AS (SELECT event_type,
                            lag(event_type, 1) OVER w AS p1,

@@ -458,9 +458,13 @@ object TextAnalytics {
     * Scale shape: one explode + one distinct + two hash aggregates; the
     * per-class top-k is a window over the (class, token) table
     * (vocab-sized, not corpus-sized). */
-  def chiSquaredTokens(docs: DataFrame, idCol: String, textCol: String,
-                       classCol: String, topK: Int): DataFrame = {
-    require(topK > 0, s"topK must be positive: $topK")
+  /** Shared document-presence contingency table per (class, token): the
+    * a/b/c/d cells plus marginals that both [[chiSquaredTokens]] and
+    * [[mutualInfoTokens]] score. One explode + distinct + two hash
+    * aggregates; output is vocab×classes-sized. */
+  private def presenceContingency(docs: DataFrame, idCol: String,
+                                  textCol: String,
+                                  classCol: String): DataFrame = {
     val presence = docs.select(col(idCol), col(classCol),
         explode(TextFunctions.tokens(col(textCol))).as("token"))
       .distinct()
@@ -471,13 +475,19 @@ object TextAnalytics {
     val tokenDocs = presence.groupBy(col("token"))
       .agg(countDistinct(col(idCol)).as("n_token"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val cells = perClass
+    perClass
       .join(classDocs, Seq(classCol))
       .join(tokenDocs, Seq("token"))
       .crossJoin(broadcast(nDocs))
       .withColumn("b", col("n_token") - col("a"))
       .withColumn("c", col("n_class") - col("a"))
       .withColumn("d", col("n_docs") - col("n_class") - col("b"))
+  }
+
+  def chiSquaredTokens(docs: DataFrame, idCol: String, textCol: String,
+                       classCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val cells = presenceContingency(docs, idCol, textCol, classCol)
     def dbl(c: Column) = c.cast("double")
     val diff = dbl(col("a")) * dbl(col("d")) - dbl(col("b")) * dbl(col("c"))
     val denom = dbl(col("n_token")) * dbl(col("n_docs") - col("n_token")) *
@@ -491,6 +501,40 @@ object TextAnalytics {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= topK)
       .select(col(classCol), col("token"), col("a"), col("chi2"), col("rnk"))
+  }
+
+  /** Per-class mutual information feature selection (public: the standard
+    * MI formulation over the 2×2 presence contingency, e.g. Manning &
+    * Schütze ch. 5): I(token; class) = Σ_cells (n_cell/N)·ln(n_cell·N /
+    * (row·col)) — the information-theoretic sibling of
+    * [[chiSquaredTokens]] (χ² asks "is the association surprising", MI
+    * asks "how many nats does the token carry about the class"); ranking
+    * both and diffing the lists is the classic feature-selection sanity
+    * check. Zero cells contribute 0 (the x·ln x → 0 limit); all
+    * arithmetic is double with explicit casts, mirrored by the oracle.
+    * Top-k per class on the 6dp-rounded score with a token tiebreak. */
+  def mutualInfoTokens(docs: DataFrame, idCol: String, textCol: String,
+                       classCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val cells = presenceContingency(docs, idCol, textCol, classCol)
+    def dbl(c: Column) = c.cast("double")
+    val n = dbl(col("n_docs"))
+    def term(cell: Column, row: Column, colm: Column) =
+      when(cell > 0,
+        dbl(cell) / n * log(dbl(cell) * n / (dbl(row) * dbl(colm))))
+        .otherwise(0.0)
+    val mi = round(
+      term(col("a"), col("n_token"), col("n_class"))
+        + term(col("b"), col("n_token"), col("n_docs") - col("n_class"))
+        + term(col("c"), col("n_docs") - col("n_token"), col("n_class"))
+        + term(col("d"), col("n_docs") - col("n_token"),
+            col("n_docs") - col("n_class")), 6)
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(col("mi").desc, col("token").asc)
+    cells.withColumn("mi", mi)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col(classCol), col("token"), col("a"), col("mi"), col("rnk"))
   }
 
   /** Multinomial naive Bayes with add-one smoothing (public: the

@@ -664,6 +664,24 @@ class TextAndDedupSpec extends SparkSuite {
     assert(out(("A", "zz"))._2 === 0.0 && out(("A", "zz"))._3 === 2L)
   }
 
+  test("mutualInfoTokens: perfectly informative token carries H(class)") {
+    // 'aa' appears in exactly the A docs (2 of 4): MI = H(class) = ln 2
+    // for a balanced 2-class split; 'zz' in every doc carries 0 nats
+    val docs = Seq(
+      (1L, "aa zz", "A"), (2L, "aa zz", "A"),
+      (3L, "bb zz", "B"), (4L, "bb zz", "B")).toDF("doc_id", "text", "lang")
+    val out = TextAnalytics
+      .mutualInfoTokens(docs, "doc_id", "text", "lang", topK = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(3), r.getLong(4)))).toMap
+    val ln2 = BigDecimal(math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("A", "aa"))._1 === ln2, out.toString)
+    assert(out(("A", "aa"))._2 === 1L)
+    assert(out(("A", "zz"))._1 === 0.0 && out(("A", "zz"))._2 === 2L)
+    assert(out(("B", "bb"))._1 === ln2)
+  }
+
   test("matchScore: hand-computed comparators, threshold, null handling") {
     val ents = Seq(
       (1L, "alpha beta", "s1"),
