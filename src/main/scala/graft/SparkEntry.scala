@@ -1686,6 +1686,46 @@ object SparkEntry {
       threshold = 0.45)
   }
 
+  /** §2b ROC-AUC eval: the stopword-ratio "englishness" score ranked
+    * against the declared lang='en' label — Mann–Whitney midrank AUC as
+    * per-distinct-score aggregates + one bounded cumulative window; the
+    * threshold-free quality-filter readout. */
+  private def q_auc(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val n = size(toks).cast("double")
+    val scored = Tables.documents(s, d).select(
+      when(n > 0, TextFunctions.stopwordCount(col("text")).cast("double") / n)
+        .otherwise(0.0).as("en_score"),
+      (col("lang") === "en").as("is_en"))
+    Stats.rocAuc(scored, "en_score", "is_en")
+  }
+
+  /** §2b calibration eval: reliability bins of the quality-score blend
+    * against lang='en' — does a score of 0.8 actually mean 80%? One hash
+    * aggregate on the bin id, the readout any downstream threshold
+    * consumes. */
+  private def q_calibration(s: SparkSession, d: String): DataFrame =
+    Stats.calibrationBins(
+      Tables.documents(s, d).select(
+        round(TextFunctions.qualityScore(col("text")), 6).as("quality"),
+        (col("lang") === "en").as("is_en")),
+      "quality", "is_en", bins = 10)
+
+  /** §2b Cohen's kappa: chance-corrected agreement between the stopword
+    * lang-ID guess and the declared label — the one-number upgrade over
+    * raw accuracy when classes are imbalanced (guessing the majority
+    * class scores high p_o but κ≈0). */
+  private def q_kappa(s: SparkSession, d: String): DataFrame =
+    Stats.cohenKappa(q_lang_id(s, d), "declared_lang", "lang_guess")
+
+  /** §2b join cardinality pre-flight: System-R independence estimate vs
+    * the exact histogram count for lineitem⋈orders — computed from
+    * per-key counts (one row per distinct key), never by running the
+    * join. */
+  private def q_join_card(s: SparkSession, d: String): DataFrame =
+    Joins.joinCardEstimate(Tables.lineitem(s, d), "l_orderkey",
+      Tables.orders(s, d), "o_orderkey")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1858,6 +1898,10 @@ object SparkEntry {
     "q_cosine_pairs" -> (q_cosine_pairs _),
     "q_interp" -> (q_interp _),
     "q_islands" -> (q_islands _),
+    "q_auc" -> (q_auc _),
+    "q_calibration" -> (q_calibration _),
+    "q_kappa" -> (q_kappa _),
+    "q_join_card" -> (q_join_card _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -4184,5 +4228,122 @@ object SparkEntry {
                 CAST(max(day) AS TIMESTAMP) AS end_day,
                 CAST(COUNT(*) AS BIGINT) AS n_days
          FROM r GROUP BY user_id, day - CAST(rn AS INTEGER)""",
+    "q_auc" ->
+      s"""WITH base AS (SELECT round(CASE WHEN n > 0 THEN ns / n ELSE 0.0 END,
+                          6) AS s,
+                        (lang = 'en') AS y
+                 FROM (SELECT lang,
+                         CAST(len($duckTokens) AS DOUBLE) AS n,
+                         CAST(len(list_filter($duckTokens,
+                           t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+                           AS BIGINT) AS ns
+                       FROM documents)),
+              per AS (SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+                             sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cn
+                      FROM base GROUP BY s),
+              r AS (SELECT s, cp, cn,
+                           coalesce(sum(cp + cn) OVER (ORDER BY s
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS below
+                    FROM per)
+         SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+                CAST(sum(cn) AS BIGINT) AS n_neg,
+                round(CASE WHEN sum(cp) > 0 AND sum(cn) > 0 THEN
+                  (sum((CAST(below AS DOUBLE)
+                        + CAST(cp + cn + 1 AS DOUBLE) / 2.0) * cp)
+                    - CAST(sum(cp) AS DOUBLE)
+                      * CAST(sum(cp) + 1 AS DOUBLE) / 2.0)
+                  / (CAST(sum(cp) AS DOUBLE) * CAST(sum(cn) AS DOUBLE))
+                  END, 6) AS auc
+         FROM r""",
+    "q_calibration" ->
+      raw"""WITH scored AS (SELECT round(
+               0.4 * (CASE WHEN n BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * least((CASE WHEN n > 0 THEN ns / n ELSE 0.0 END) * 5.0,
+                 1.0)
+             + 0.3 * (CASE WHEN (CASE WHEN length(text) > 0
+                        THEN np / CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+                        < 0.2 THEN 1.0 ELSE 0.0 END), 6) AS q,
+               (lang = 'en') AS y
+             FROM (SELECT lang, text,
+                     CAST(len($duckTokens) AS DOUBLE) AS n,
+                     CAST(len(list_filter($duckTokens,
+                       t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+                       AS BIGINT) AS ns,
+                     length(text) - length(regexp_replace(text,
+                       '[.,;:!?''"()\[\]{}-]', '', 'g')) AS np
+                   FROM documents)),
+              clamped AS (SELECT greatest(least(q, 1.0), 0.0) AS s, y
+                          FROM scored)
+         SELECT CAST(least(CAST(floor(s * 10) AS BIGINT), 9) AS BIGINT)
+                  AS bin,
+                CAST(count(*) AS BIGINT) AS n,
+                round(avg(s), 6) AS mean_score,
+                round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6) AS pos_rate,
+                round(round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6)
+                  - round(avg(s), 6), 6) AS gap
+         FROM clamped GROUP BY 1""",
+    "q_kappa" ->
+      s"""WITH li AS (SELECT lang AS declared_lang,
+                        CASE WHEN (CASE WHEN n > 0 THEN ns / n ELSE 0.0 END)
+                               >= 0.05
+                             THEN 'en' ELSE 'unknown' END AS lang_guess
+                      FROM (SELECT lang,
+                              CAST(len($duckTokens) AS DOUBLE) AS n,
+                              CAST(len(list_filter($duckTokens,
+                                t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+                                AS BIGINT) AS ns
+                            FROM documents)),
+              t AS (SELECT count(*) AS n,
+                           sum(CASE WHEN declared_lang = lang_guess
+                               THEN 1 ELSE 0 END) AS n_agree
+                    FROM li),
+              ma AS (SELECT declared_lang AS l, count(*) AS ca
+                     FROM li GROUP BY 1),
+              mb AS (SELECT lang_guess AS l, count(*) AS cb
+                     FROM li GROUP BY 1),
+              pe AS (SELECT coalesce(sum(ca * cb), 0) AS pe_num
+                     FROM ma JOIN mb USING (l))
+         SELECT CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT) AS n_agree,
+                round(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                  AS p_observed,
+                round(CAST(pe_num AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_expected,
+                round(CASE WHEN CAST(pe_num AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0 THEN
+                  (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
+                    - CAST(pe_num AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                  / (1.0 - CAST(pe_num AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END, 6)
+                  AS kappa
+         FROM t, pe""",
+    "q_join_card" ->
+      """WITH lt AS (SELECT count(*) AS n_left,
+                            count(DISTINCT l_orderkey) AS ndv_left
+                     FROM lineitem),
+              rt AS (SELECT count(*) AS n_right,
+                            count(DISTINCT o_orderkey) AS ndv_right
+                     FROM orders),
+              lh AS (SELECT l_orderkey AS k, count(*) AS cl
+                     FROM lineitem GROUP BY 1),
+              rh AS (SELECT o_orderkey AS k, count(*) AS cr
+                     FROM orders GROUP BY 1),
+              a AS (SELECT coalesce(sum(CAST(cl AS DOUBLE) * cr), 0.0)
+                      AS actual
+                    FROM lh JOIN rh USING (k))
+         SELECT CAST(n_left AS BIGINT) AS n_left,
+                CAST(n_right AS BIGINT) AS n_right,
+                CAST(ndv_left AS BIGINT) AS ndv_left,
+                CAST(ndv_right AS BIGINT) AS ndv_right,
+                round(CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+                  / CAST(greatest(ndv_left, ndv_right) AS DOUBLE), 6)
+                  AS est_independence,
+                CAST(actual AS BIGINT) AS actual_rows,
+                round(CASE WHEN actual > 0 THEN
+                  CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+                    / CAST(greatest(ndv_left, ndv_right) AS DOUBLE) / actual
+                  END, 6) AS est_over_actual
+         FROM lt, rt, a""",
   )
 }

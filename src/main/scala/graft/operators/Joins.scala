@@ -245,6 +245,42 @@ object Joins {
       .unionByName(additions)
   }
 
+  /** Incremental aggregate maintenance (IVM for the count/sum family):
+    * fold a CDC delta into a previously materialized per-key aggregate
+    * WITHOUT touching the base data — the reason to keep aggregate state
+    * at all (re-scanning 100 TB to refresh a dashboard rollup is the
+    * anti-pattern; the delta is MBs). An update is modeled as
+    * delete(old image) + insert(new image), the standard CDC reduction.
+    *
+    * newState = baseAgg ⊕ Σ_inserts (1, x) ⊖ Σ_deletes (1, x): one hash
+    * aggregate over the (small) delta + one full-outer join on the key —
+    * work ∝ |delta| + |touched keys|, never ∝ |base data|. Keys whose
+    * count reaches 0 are dropped (fully retired). Unknown `op` values
+    * fail the job loudly (raise_error) rather than silently skewing the
+    * state. `maintainAgg(agg(base), delta) == agg(apply(base, delta))`
+    * is the oracle-checked contract; keep the summed column integral
+    * (e.g. cents) if you need that equality BIT-exact — float sums
+    * associate differently on the two paths. */
+  def maintainAgg(baseAgg: DataFrame, delta: DataFrame, key: String,
+                  valCol: String, cntName: String = "cnt",
+                  sumName: String = "sum_val",
+                  opCol: String = "op"): DataFrame = {
+    val sign = when(upper(col(opCol)) === "I", 1L)
+      .when(upper(col(opCol)) === "D", -1L)
+      .otherwise(raise_error(concat(lit("maintainAgg: unknown op "),
+        col(opCol))))
+    val deltaAgg = delta
+      .groupBy(col(key))
+      .agg(sum(sign).as("__dCnt"), sum(sign * col(valCol)).as("__dSum"))
+    baseAgg.join(deltaAgg, Seq(key), "full_outer")
+      .select(col(key),
+        (coalesce(col(cntName), lit(0L)) + coalesce(col("__dCnt"), lit(0L)))
+          .as(cntName),
+        (coalesce(col(sumName), lit(0L)) + coalesce(col("__dSum"), lit(0L)))
+          .as(sumName))
+      .filter(col(cntName) > 0)
+  }
+
   /** Keyed upsert = MERGE emulation without a transactional table format
     * (reference/ticket.py:151-212 per-row UPDATE loop → set-oriented):
     * rows of `dest` whose key appears in `updates` are replaced by the
@@ -305,5 +341,46 @@ object Joins {
       .join(ints, Seq("__bucket"))
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__bucket")
+  }
+
+  /** Join cardinality: the optimizer's independence estimate
+    * |A|·|B|/max(ndv_A, ndv_B) (System R's formula, what every
+    * cost-based planner guesses from table stats) next to the EXACT
+    * count Σ_k c_A(k)·c_B(k) computed from the two per-key histograms —
+    * WITHOUT materializing the join itself. The pre-flight check before
+    * keying an expensive shuffle: a histogram count ≫ the independence
+    * estimate means correlated/skewed keys, exactly where a blind join
+    * explodes.
+    *
+    * Shape: two table-level aggregates + two per-key hash aggregates
+    * joined on the key — the histogram join carries ONE ROW PER DISTINCT
+    * KEY, not per data row, so this costs a fraction of the join it
+    * predicts. Counts are exact integers; factors are cast to double
+    * before multiplying (row-count products overflow long at warehouse
+    * scale). */
+  def joinCardEstimate(left: DataFrame, leftKey: String,
+                       right: DataFrame, rightKey: String,
+                       roundScale: Int = 6): DataFrame = {
+    val lTot = left.agg(count(lit(1)).as("n_left"),
+      count_distinct(col(leftKey)).as("ndv_left"))
+    val rTot = right.agg(count(lit(1)).as("n_right"),
+      count_distinct(col(rightKey)).as("ndv_right"))
+    val lHist = left.groupBy(col(leftKey).as("__k"))
+      .agg(count(lit(1)).as("__cl"))
+    val rHist = right.groupBy(col(rightKey).as("__k"))
+      .agg(count(lit(1)).as("__cr"))
+    val actual = lHist.join(rHist, "__k")
+      .agg(coalesce(sum(col("__cl").cast("double") * col("__cr")), lit(0.0))
+        .cast("long").as("actual_rows"))
+    val est = col("n_left").cast("double") * col("n_right").cast("double") /
+      greatest(col("ndv_left"), col("ndv_right")).cast("double")
+    lTot.crossJoin(rTot).crossJoin(actual)
+      .select(col("n_left"), col("n_right"),
+        col("ndv_left"), col("ndv_right"),
+        round(est, roundScale).as("est_independence"),
+        col("actual_rows"),
+        round(when(col("actual_rows") > 0,
+          est / col("actual_rows").cast("double")), roundScale)
+          .as("est_over_actual"))
   }
 }

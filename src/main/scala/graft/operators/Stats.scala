@@ -204,4 +204,108 @@ object Stats {
       .withColumn("robust_z", robustZ)
       .filter(col("robust_z") > z)
   }
+
+  /** ROC-AUC of a score as a ranker of a boolean label, via the
+    * Mann–Whitney rank statistic with midrank tie handling — THE
+    * threshold-free readout for any learned quality filter (is the score
+    * actually ordering keep-worthy docs above junk, across ALL cutoffs,
+    * not just the one the filter shipped with).
+    *
+    * Shape mirrors [[ksStatistic]]: ONE hash aggregate collapses rows to
+    * per-DISTINCT-SCORE (pos, neg) counts, then a cumulative window + a
+    * 1-row reduce over the distinct-score table — the global window ranks
+    * score VALUES, never raw rows, so its single task is bounded by score
+    * cardinality (scores are rounded to `roundScale` first, which both
+    * bounds the cardinality and makes tie groups engine-portable).
+    * Midranks are exact halves and counts are integers, so everything is
+    * exact until the final division. Degenerate inputs (a single class)
+    * yield null auc. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
+             roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(round(col(scoreCol).cast("double"), roundScale).as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__cn"))
+    val below = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // midrank of every row in a tie group = (#rows strictly below) +
+    // (group size + 1)/2 — an exact half-integer
+    val mid = coalesce(sum(col("__cp") + col("__cn")).over(below), lit(0L))
+      .cast("double") + (col("__cp") + col("__cn") + 1).cast("double") / 2.0
+    perScore.withColumn("__mid", mid)
+      .agg(sum(col("__cp")).as("n_pos"), sum(col("__cn")).as("n_neg"),
+        sum(col("__mid") * col("__cp")).as("__rankSumPos"))
+      .select(col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("__rankSumPos")
+            - col("n_pos").cast("double") * (col("n_pos") + 1).cast("double")
+              / 2.0)
+            / (col("n_pos").cast("double") * col("n_neg").cast("double"))),
+          roundScale).as("auc"))
+  }
+
+  /** Reliability-diagram bins for a [0,1] score against a boolean label:
+    * per-bin support, mean score ("confidence") and empirical positive
+    * rate ("accuracy"), plus the signed gap — the calibration readout
+    * that pairs with [[rocAuc]] (AUC says the ORDER is right; this says
+    * whether the score VALUES mean what they claim, which is what any
+    * downstream threshold actually consumes).
+    *
+    * ONE map-side-combined hash aggregate on the bin id; scores are
+    * clamped into [0,1] and the top edge folds into the last bin. Exact
+    * integer counts; means rounded at `roundScale`. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int = 10, roundScale: Int = 6): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    val s = greatest(least(col(scoreCol).cast("double"), lit(1.0)), lit(0.0))
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(least(floor(s * bins).cast("long"), lit(bins - 1L)).as("bin"),
+        s.as("__s"), col(labelCol).cast("boolean").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__s")), roundScale).as("mean_score"),
+        round(avg(when(col("__y"), 1.0).otherwise(0.0)), roundScale)
+          .as("pos_rate"))
+      .withColumn("gap", round(col("pos_rate") - col("mean_score"),
+        roundScale))
+  }
+
+  /** Cohen's kappa between two categorical labelings (public: Cohen '60)
+    * — chance-corrected agreement, the standard answer to "do the
+    * heuristic labeler and the declared label actually agree beyond what
+    * class imbalance alone would produce". κ = (p_o − p_e)/(1 − p_e)
+    * with p_e from the marginal label distributions.
+    *
+    * Shape: one total aggregate + two marginal hash aggregates joined on
+    * the label value (a labels-cardinality-sized join, not a data-sized
+    * one). Integer counts and products throughout — exact until the final
+    * divisions. Perfect-chance inputs (p_e = 1, i.e. both sides constant
+    * and equal) yield null kappa. */
+  def cohenKappa(df: DataFrame, colA: String, colB: String,
+                 roundScale: Int = 6): DataFrame = {
+    val pairs = df
+      .select(col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val totals = pairs.agg(count(lit(1)).as("n"),
+      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("n_agree"))
+    val margA = pairs.groupBy(col("__a").as("__l")).agg(count(lit(1)).as("__ca"))
+    val margB = pairs.groupBy(col("__b").as("__l")).agg(count(lit(1)).as("__cb"))
+    // labels missing on either side contribute 0 to p_e — inner join
+    val peNum = margA.join(margB, "__l")
+      .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L)).as("__peNum"))
+    val nD = col("n").cast("double")
+    val po = col("n_agree").cast("double") / nD
+    val pe = col("__peNum").cast("double") / (nD * nD)
+    totals.crossJoin(peNum)
+      .select(col("n"), col("n_agree"),
+        round(po, roundScale).as("p_observed"),
+        round(pe, roundScale).as("p_expected"),
+        round(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), roundScale)
+          .as("kappa"))
+  }
 }

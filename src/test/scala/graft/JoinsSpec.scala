@@ -207,4 +207,49 @@ class JoinsSpec extends SparkSuite {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s1.schema)
     assert(Joins.unionSlices(Seq(s1, empty)).count() === 1)
   }
+
+  test("maintainAgg: incremental state equals full recompute; zero-count keys retire") {
+    import org.apache.spark.sql.functions._
+    val base = Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "v")
+    val baseAgg = base.groupBy($"k")
+      .agg(count(lit(1)).as("cnt"), sum($"v").as("sum_val"))
+    // insert into a, delete b entirely, insert a brand-new key c
+    val delta = Seq(("a", "I", 30L), ("b", "D", 5L), ("c", "I", 7L))
+      .toDF("k", "op", "v")
+    val out = Joins.maintainAgg(baseAgg, delta, "k", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map("a" -> ((3L, 60L)), "c" -> ((1L, 7L))))
+    // contract: maintainAgg(agg(base), delta) == agg(base patched by delta)
+    val patched = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("c", 7L))
+      .toDF("k", "v")
+    val full = patched.groupBy($"k")
+      .agg(count(lit(1)).as("cnt"), sum($"v").as("sum_val")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === full)
+  }
+
+  test("maintainAgg: unknown op fails loudly instead of skewing state") {
+    import org.apache.spark.sql.functions._
+    val baseAgg = Seq(("a", 1L, 10L)).toDF("k", "cnt", "sum_val")
+    val bad = Seq(("a", "UPSERT", 1L)).toDF("k", "op", "v")
+    val ex = intercept[Exception] {
+      Joins.maintainAgg(baseAgg, bad, "k", "v").collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("joinCardEstimate: histogram count is exact, independence formula matches") {
+    val left = Seq(1L, 1L, 2L, 3L).toDF("lk")
+    val right = Seq(1L, 2L, 2L, 4L).toDF("rk")
+    val r = Joins.joinCardEstimate(left, "lk", right, "rk").collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 4L)
+    assert(r.getLong(2) === 3L && r.getLong(3) === 3L)
+    assert(r.getDouble(4) === 5.333333)        // 4·4/3
+    assert(r.getLong(5) === 4L)                // 2·1 + 1·2
+    assert(r.getDouble(6) === 1.333333)
+    // disjoint keys: actual 0, ratio null
+    val disjoint = Joins.joinCardEstimate(left, "lk",
+      Seq(9L).toDF("rk"), "rk").collect().head
+    assert(disjoint.getLong(5) === 0L && disjoint.isNullAt(6))
+  }
 }

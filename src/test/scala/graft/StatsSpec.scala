@@ -134,6 +134,57 @@ class StatsSpec extends SparkSuite {
       out((1, 0L)).isNullAt(4))                    // singleton → null var
   }
 
+  test("rocAuc: hand-computed midrank AUC with ties; separable = 1") {
+    // pos {0.5, 0.9}, neg {0.1, 0.5}: midranks 0.1→1, 0.5→2.5, 0.9→4
+    // rankSumPos = 2.5 + 4 = 6.5 → AUC = (6.5 − 3)/(2·2) = 0.875
+    val mixed = Seq((0.5, true), (0.9, true), (0.1, false), (0.5, false))
+      .toDF("s", "y")
+    val m = Stats.rocAuc(mixed, "s", "y").collect().head
+    assert(m.getLong(0) === 2L && m.getLong(1) === 2L)
+    assert(m.getDouble(2) === 0.875)
+    val sep = Seq((0.9, true), (0.8, true), (0.7, false), (0.6, false))
+      .toDF("s", "y")
+    assert(Stats.rocAuc(sep, "s", "y").collect().head.getDouble(2) === 1.0)
+    // inverted ranker scores symmetric: AUC = 0
+    val inv = Seq((0.1, true), (0.2, true), (0.8, false), (0.9, false))
+      .toDF("s", "y")
+    assert(Stats.rocAuc(inv, "s", "y").collect().head.getDouble(2) === 0.0)
+  }
+
+  test("rocAuc: single-class input yields null, never NaN") {
+    val onlyPos = Seq((0.3, true), (0.7, true)).toDF("s", "y")
+    val r = Stats.rocAuc(onlyPos, "s", "y").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 0L && r.isNullAt(2))
+  }
+
+  test("calibrationBins: bin edges, clamping, and gap arithmetic") {
+    val df = Seq((0.05, false), (0.15, true), (0.95, true), (1.0, true),
+      (-0.5, false)).toDF("s", "y")
+    val bins = Stats.calibrationBins(df, "s", "y").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // score 1.0 folds into bin 9; -0.5 clamps to 0 → bin 0
+    assert(bins.keySet === Set(0L, 1L, 9L))
+    assert(bins(0L).getLong(1) === 2L)
+    assert(bins(0L).getDouble(3) === 0.0)          // pos_rate
+    assert(bins(9L).getLong(1) === 2L)
+    assert(bins(9L).getDouble(2) === 0.975)        // mean_score
+    assert(bins(9L).getDouble(3) === 1.0)
+    assert(bins(9L).getDouble(4) === 0.025)        // gap = 1 − 0.975
+  }
+
+  test("cohenKappa: textbook 2×2 table gives κ = 0.4; perfect-chance null") {
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val k = Stats.cohenKappa(rows.toDF("a", "b"), "a", "b").collect().head
+    assert(k.getLong(0) === 50L && k.getLong(1) === 35L)
+    assert(k.getDouble(2) === 0.7)   // p_observed
+    assert(k.getDouble(3) === 0.5)   // p_expected
+    assert(k.getDouble(4) === 0.4)
+    // both raters constant and equal: p_e = 1 → kappa undefined (null)
+    val const = Seq.fill(4)(("x", "x")).toDF("a", "b")
+    assert(Stats.cohenKappa(const, "a", "b").collect().head.isNullAt(4))
+  }
+
   test("madOutliers flags only far points; MAD=0 groups flag nothing") {
     // g: values 1..9 plus 100 → median 5.5, deviations 0.5..4.5 & 94.5
     // → MAD = 2.5; robust z of 100 = 94.5/(2.5·1.4826) ≈ 25.5 — the only
