@@ -1726,6 +1726,45 @@ object SparkEntry {
     Joins.joinCardEstimate(Tables.lineitem(s, d), "l_orderkey",
       Tables.orders(s, d), "o_orderkey")
 
+  /** §2b Poisson-bootstrap uncertainty: 32 deterministic resamples of
+    * per-doc n_chars — the spread of boot_mean across replicates IS the
+    * sampling distribution of the corpus mean (quantile it for a CI);
+    * map-side fan-out into one aggregate, no RNG, no second pass. */
+  private def q_bootstrap(s: SparkSession, d: String): DataFrame =
+    Corpus.bootstrapMeans(Tables.documents(s, d), "doc_id", "n_chars")
+
+  /** §2b EWMA smoothing: α=1/2 with a 16-row memory over each user's
+    * event values — dyadic weights keep every term exact; one bounded
+    * window pass per entity. */
+  private def q_ewma(s: SparkSession, d: String): DataFrame =
+    TimeSeries.ewmaHalving(Tables.events(s, d), "user_id", "ts",
+        "event_id", "value")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        col("ewma"))
+
+  /** §2b incremental aggregate maintenance (IVM): per-status order
+    * count/cents state folded forward from a CDC delta (the %7 slice
+    * arrives as inserts, the %11 slice of the base retires as deletes) —
+    * must equal the full recompute the oracle runs, at work ∝ |delta|.
+    * Cents (exact longs) rather than float dollars so the incremental
+    * and recomputed sums agree bit-for-bit. */
+  private def q_delta_agg(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("__cents"))
+    val base = orders.filter(col("o_orderkey") % 7 =!= 0)
+    val baseAgg = base.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("__cents")).as("sum_val"))
+    val inserts = orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderstatus"), lit("I").as("op"), col("__cents"))
+    val deletes = base.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderstatus"), lit("D").as("op"), col("__cents"))
+    Joins.maintainAgg(baseAgg, inserts.unionByName(deletes),
+        "o_orderstatus", "__cents")
+      .select(col("o_orderstatus"), col("cnt"),
+        col("sum_val").as("sum_cents"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1902,6 +1941,9 @@ object SparkEntry {
     "q_calibration" -> (q_calibration _),
     "q_kappa" -> (q_kappa _),
     "q_join_card" -> (q_join_card _),
+    "q_bootstrap" -> (q_bootstrap _),
+    "q_ewma" -> (q_ewma _),
+    "q_delta_agg" -> (q_delta_agg _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -4345,5 +4387,44 @@ object SparkEntry {
                     / CAST(greatest(ndv_left, ndv_right) AS DOUBLE) / actual
                   END, 6) AS est_over_actual
          FROM lt, rt, a""",
+    "q_bootstrap" ->
+      s"""WITH reps AS (SELECT UNNEST(generate_series(0, 31)) AS r),
+              u AS (SELECT r, n_chars,
+                      CAST(('0x' || substring(md5('boot:' || CAST(r AS VARCHAR)
+                        || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        / 4294967296.0 AS u
+                    FROM documents, reps),
+              k AS (SELECT r, n_chars,
+                      CASE ${Corpus.poissonCdfLiterals.zipWithIndex
+                        .map { case (t, i) => s"WHEN u < $t THEN $i" }
+                        .mkString(" ")} ELSE 8 END AS w
+                    FROM u)
+         SELECT CAST(r AS BIGINT) AS r, CAST(sum(w) AS BIGINT) AS n_eff,
+                round(CASE WHEN sum(w) > 0 THEN
+                  CAST(sum(w * n_chars) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+                  END, 6) AS boot_mean
+         FROM k GROUP BY r""",
+    "q_ewma" ->
+      """WITH s AS (SELECT user_id, ts, event_id, value,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC) AS rn
+                    FROM events WHERE value IS NOT NULL),
+              p AS (SELECT a.user_id, a.rn, a.ts, a.event_id, a.value AS v0,
+                           b.value AS v, a.rn - b.rn AS j
+                    FROM s a JOIN s b ON a.user_id = b.user_id
+                      AND b.rn BETWEEN a.rn - 15 AND a.rn)
+         SELECT user_id, ts, event_id, v0 AS value,
+                round(sum(v / CAST(1::BIGINT << (j + 1) AS DOUBLE))
+                  / (1.0 - 1.0 / CAST(1::BIGINT << least(rn, 16) AS DOUBLE)),
+                  6) AS ewma
+         FROM p GROUP BY user_id, rn, ts, event_id, v0""",
+    "q_delta_agg" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM orders
+         WHERE (o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0)
+            OR o_orderkey % 7 = 0
+         GROUP BY 1""",
   )
 }

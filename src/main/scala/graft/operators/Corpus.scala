@@ -489,4 +489,64 @@ object Corpus {
       .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * (k + 1) > total)
   }
+
+  /** Poisson(1) CDF thresholds P(X ≤ k), k = 0..7, as decimal literals.
+    * [[bootstrapMeans]] and its DuckDB oracle both build their
+    * inverse-CDF branch from these SAME strings, so the two engines parse
+    * the identical decimal to the identical double and take the identical
+    * branch for every hash — the resampling is bit-reproducible
+    * cross-engine. P(X > 7) ≈ 1e-5 is folded into weight 8. */
+  private[graft] val poissonCdfLiterals: Seq[String] = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253")
+
+  /** Inverse Poisson(1) CDF of a staged uniform column (8-branch when
+    * chain over [[poissonCdfLiterals]]). `u` must be a STAGED column
+    * reference, not an inline expression — each branch references it. */
+  private def poissonWeight(u: Column): Column =
+    poissonCdfLiterals.zipWithIndex.foldRight(lit(8L): Column) {
+      case ((t, k), acc) => when(u < t.toDouble, lit(k.toLong)).otherwise(acc)
+    }
+
+  /** Poisson bootstrap (public: Chamandy et al., "Estimating uncertainty
+    * for massive data streams", Google TR'12): `replicates` deterministic
+    * resamples of the corpus, each row entering replicate r with
+    * multiplicity w = F⁻¹_Poisson(1)(hashUnit(r:id)) — the standard way
+    * to put a confidence interval on ANY corpus mean without a second
+    * pass, a shuffle, or an RNG (resampling n rows with replacement
+    * needs coordination; independent Poisson(1) weights don't, and at
+    * corpus n the totals concentrate identically).
+    *
+    * Output: one row per replicate (r, n_eff, boot_mean) — the spread of
+    * boot_mean across replicates IS the sampling distribution of the
+    * mean (quantile it for a CI). `valCol` must be integral: weighted
+    * sums then stay exact integers, so the only float op is the final
+    * division (engine-portable at the 6dp round).
+    *
+    * Shape: a replicates× map-side fan-out (explode of a literal id
+    * range) into ONE map-side-combined hash aggregate on r — the shuffle
+    * carries `replicates` rows per input partition, never the data. The
+    * fan-out multiplies scan-side work by R: at 100 TB run it over the
+    * (much smaller) per-doc stat table, not raw text — the input here IS
+    * per-doc stats. */
+  def bootstrapMeans(df: DataFrame, idCol: String, valCol: String,
+                     replicates: Int = 32, salt: String = "boot",
+                     roundScale: Int = 6): DataFrame = {
+    require(replicates > 0, s"replicates must be positive: $replicates")
+    df.select(col(idCol).cast("string").as("__id"),
+        col(valCol).cast("long").as("__x"))
+      .select(col("__id"), col("__x"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("r"))
+      .withColumn("__u", hashUnit(
+        concat(col("r").cast("string"), lit(":"), col("__id")), salt))
+      .withColumn("__w", poissonWeight(col("__u")))
+      .groupBy(col("r").cast("long").as("r"))
+      .agg(sum(col("__w")).as("n_eff"),
+        sum(col("__w") * col("__x")).as("__wsum"))
+      .select(col("r"), col("n_eff"),
+        round(when(col("n_eff") > 0,
+          col("__wsum").cast("double") / col("n_eff").cast("double")),
+          roundScale).as("boot_mean"))
+  }
 }

@@ -147,4 +147,49 @@ object TimeSeries {
         count(lit(1)).as("n_days"))
       .drop("__anchor")
   }
+
+  /** Exponentially weighted moving average (α = 1/2) over each entity's
+    * ordered series, truncated to a `lookback`-row memory — the standard
+    * smoothing/trend signal (per-user engagement level, per-source rate
+    * baseline) without the unbounded recursion of textbook EWMA, which no
+    * set-oriented engine (or cross-engine oracle) can evaluate exactly.
+    *
+    * α = 1/2 makes every weight 2^{-(j+1)} an exact dyadic rational, and
+    * a double scaled by a power of two is EXACT — so each weighted term
+    * is exact and the only inexact ops are the final sum and divide
+    * (engine-portable at the 6dp round). The weight mass of a short head
+    * window (1 − 2^{-len}, also exact) normalizes the average so series
+    * heads are unbiased, not pulled toward 0. Truncation error vs the
+    * infinite EWMA is < 2^{-lookback} of the value scale.
+    *
+    * Shape: ONE per-entity window pass; the frame buffers ≤ `lookback`
+    * values per row (constant memory, like rollingStats' trailing
+    * window). Null values are excluded up front — a null inside
+    * collect_list would silently misalign the weight vector. */
+  def ewmaHalving(series: DataFrame, entityCol: String, tsCol: String,
+                  tieCol: String, valCol: String, lookback: Int = 16,
+                  roundScale: Int = 6): DataFrame = {
+    require(lookback > 0 && lookback <= 62,
+      s"lookback must be in [1,62]: $lookback")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(-(lookback - 1), 0)
+    val weights = array(
+      (0 until lookback).map(j => lit(1.0 / (1L << (j + 1)))): _*)
+    // 1 − 2^{-len} for len = 1..lookback, all exact dyadic
+    val denoms = array(
+      (1 to lookback).map(k => lit(1.0 - 1.0 / (1L << k))): _*)
+    series.filter(col(valCol).isNotNull)
+      // newest-first so weights[0] (the heaviest) lines up with the
+      // current row
+      .withColumn("__hist",
+        reverse(collect_list(col(valCol).cast("double")).over(w)))
+      .withColumn("ewma", round(
+        aggregate(
+          zip_with(col("__hist"), slice(weights, lit(1), size(col("__hist"))),
+            (x, wt) => x * wt),
+          lit(0.0), (acc, x) => acc + x)
+          / element_at(denoms, size(col("__hist"))), roundScale))
+      .drop("__hist")
+  }
 }

@@ -345,6 +345,29 @@ class CorpusSpec extends SparkSuite {
     assert(Corpus.heavyHitters(df, "item", k = 920).count() === 82L)
   }
 
+  test("bootstrapMeans: constant column is invariant, replicate count exact, deterministic") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 200L).map(i => (i, 42L)).toDF("id", "v")
+    val out = Corpus.bootstrapMeans(df, "id", "v", replicates = 8)
+    val rows = out.collect()
+    // exactly one row per replicate, every n_eff positive
+    assert(rows.map(_.getLong(0)).sorted === (0L to 7L).toArray)
+    assert(rows.forall(_.getLong(1) > 0))
+    // a constant column's weighted mean is the constant, whatever the weights
+    assert(rows.forall(_.getDouble(2) === 42.0))
+    // Poisson(1) weights: E[n_eff] = n; all replicates within 5·√n of it
+    rows.foreach(r => assert(math.abs(r.getLong(1) - 200L) < 5 * 15,
+      s"replicate ${r.getLong(0)} n_eff ${r.getLong(1)} far from 200"))
+    // deterministic: a second run is identical
+    val again = Corpus.bootstrapMeans(df, "id", "v", replicates = 8).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      === again.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1))
+    // non-constant values: replicate means bracket the true range
+    val varied = (1L to 200L).map(i => (i, i)).toDF("id", "v")
+    Corpus.bootstrapMeans(varied, "id", "v", replicates = 8).collect()
+      .foreach(r => assert(r.getDouble(2) > 1.0 && r.getDouble(2) < 200.0))
+  }
+
   test("MisraGriesAggregator state stays bounded and keeps the guarantee") {
     val agg = new graft.functions.MisraGriesAggregator(3)
     // stream with a true majority item through reduce

@@ -118,4 +118,32 @@ class TimeSeriesSpec extends SparkSuite {
     // no null fills: first grid row is always a real event hour
     assert(out.filter($"v_filled".isNull).isEmpty)
   }
+
+  test("ewmaHalving: hand-computed weights, head normalization, lookback truncation") {
+    val ts = (i: Int) => Timestamp.valueOf(f"2024-01-01 00:0$i:00")
+    val df = Seq((1L, ts(1), 1L, 2.0), (1L, ts(2), 2L, 4.0),
+      (2L, ts(1), 3L, 7.0)).toDF("u", "ts", "id", "v")
+    val out = TimeSeries.ewmaHalving(df, "u", "ts", "id", "v")
+      .collect().map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    // head row: single-term window normalizes to the value itself
+    assert(out(1L) === 2.0 && out(3L) === 7.0)
+    // second row: (4·1/2 + 2·1/4)/(3/4) = 10/3
+    assert(out(2L) === 3.333333)
+    // lookback=2 forgets the oldest value: row 3 sees [3,2] only
+    val three = Seq((1L, ts(1), 1L, 1.0), (1L, ts(2), 2L, 2.0),
+      (1L, ts(3), 3L, 3.0)).toDF("u", "ts", "id", "v")
+    val t3 = TimeSeries.ewmaHalving(three, "u", "ts", "id", "v", lookback = 2)
+      .collect().map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    // (3·1/2 + 2·1/4)/(3/4) = 8/3 → 2.666667 at 6dp
+    assert(t3(3L) === 2.666667)
+    // null values are excluded, not zero-filled
+    val withNull = Seq((1L, ts(1), 1L, Some(2.0)), (1L, ts(2), 2L, None),
+      (1L, ts(3), 3L, Some(4.0))).toDF("u", "ts", "id", "v")
+    val nn = TimeSeries.ewmaHalving(withNull, "u", "ts", "id", "v")
+      .collect()
+    assert(nn.length === 2)
+    val m = nn.map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    // row 3's window is [4, 2] — the null row simply isn't in the series
+    assert(m(3L) === 3.333333)
+  }
 }
