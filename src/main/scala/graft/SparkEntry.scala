@@ -1765,6 +1765,12 @@ object SparkEntry {
         col("sum_val").as("sum_cents"))
   }
 
+  /** §2b Gini vocabulary concentration per lang — the bounded diversity
+    * dial next to Zipf slope and token entropy; rank window over the
+    * vocabulary only, integer arithmetic to the final division. */
+  private def q_gini(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.giniConcentration(Tables.documents(s, d), "lang", "text")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1944,6 +1950,7 @@ object SparkEntry {
     "q_bootstrap" -> (q_bootstrap _),
     "q_ewma" -> (q_ewma _),
     "q_delta_agg" -> (q_delta_agg _),
+    "q_gini" -> (q_gini _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -4426,5 +4433,22 @@ object SparkEntry {
          WHERE (o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0)
             OR o_orderkey % 7 = 0
          GROUP BY 1""",
+    "q_gini" ->
+      s"""WITH f AS (SELECT lang, token, count(*) AS cnt
+                     FROM (SELECT lang, UNNEST($duckTokens) AS token
+                           FROM documents)
+                     GROUP BY 1, 2),
+              r AS (SELECT lang, cnt,
+                           row_number() OVER (PARTITION BY lang
+                                              ORDER BY cnt ASC, token ASC)
+                             AS r
+                    FROM f)
+         SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+                CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                round(2.0 * CAST(sum(r * cnt) AS DOUBLE)
+                  / (CAST(count(*) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE))
+                  - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE),
+                  6) AS gini
+         FROM r GROUP BY lang""",
   )
 }

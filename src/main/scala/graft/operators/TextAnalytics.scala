@@ -620,4 +620,40 @@ object TextAnalytics {
         log(col("__rank")).as("__x"), log(col("__cnt")).as("__y"))
     Stats.groupOls(ranked, groupCol, "__x", "__y")
   }
+
+  /** Per-group Gini concentration of the token-frequency distribution,
+    * in the sorted-rank form G = 2·Σ r·f_r / (n·Σf) − (n+1)/n with ranks
+    * ascending by count: 0 = perfectly even vocabulary use, →1 = a few
+    * tokens dominate. The bounded, unitless corpus-diversity dial next
+    * to [[zipfFit]]'s slope and [[tokenEntropy]]'s bits — a collapsing
+    * Gini across snapshots is the classic symptom of template/boilerplate
+    * flooding a source.
+    *
+    * Shape: one token-count hash aggregate, then a rank window over each
+    * group's VOCABULARY (distinct tokens — never raw token instances) +
+    * one final aggregate. Integer counts, ranks and products throughout;
+    * the only float ops are the closing divisions — cross-engine exact.
+    * Rank ties (equal counts) are broken by token so the ranking is
+    * deterministic, and any tie order gives the same Σ r·f_r within a
+    * tie group anyway. */
+  def giniConcentration(docs: DataFrame, groupCol: String, textCol: String,
+                        roundScale: Int = 6): DataFrame = {
+    val freqs = docs
+      .select(col(groupCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__token"))
+      .groupBy(col(groupCol), col("__token")).agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__cnt").asc, col("__token").asc)
+    freqs
+      .withColumn("__r", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("vocab"), sum(col("__cnt")).as("n_tokens"),
+        sum(col("__r") * col("__cnt")).as("__rf"))
+      .select(col(groupCol), col("vocab"), col("n_tokens"),
+        round(
+          lit(2.0) * col("__rf").cast("double")
+            / (col("vocab").cast("double") * col("n_tokens").cast("double"))
+            - (col("vocab") + 1).cast("double") / col("vocab").cast("double"),
+          roundScale).as("gini"))
+  }
 }

@@ -710,4 +710,18 @@ class TextAndDedupSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Dedup.matchScore(cands, ents, "id", Seq(("text", "soundex", 1.0)), 0.5))
   }
+
+  test("giniConcentration: 0 on even use, hand-computed on skew, 0 on one token") {
+    val docs = Seq(
+      (1L, "even", "a b c"),          // counts 1,1,1 → G = 0
+      (2L, "skew", "a a b"),          // ranks b:1,a:2 → rf=5, G=10/6−3/2
+      (3L, "mono", "z z z z")         // single token → G = 0
+    ).toDF("doc_id", "grp", "text")
+    val g = TextAnalytics.giniConcentration(docs, "grp", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(g("even").getDouble(3) === 0.0)
+    assert(g("skew").getLong(1) === 2L && g("skew").getLong(2) === 3L)
+    assert(g("skew").getDouble(3) === 0.166667)
+    assert(g("mono").getLong(1) === 1L && g("mono").getDouble(3) === 0.0)
+  }
 }
