@@ -108,7 +108,17 @@ object Scratch {
       "q_attribution" -> ("Time-decay multi-touch attribution",
         "Conversions equi-join touches on the user key with the lookback range as a post-join filter (state-bounded interval-join shape); the stepped dyadic decay is a map-side shift expression and the per-conversion normalization is one window sum."),
       "q_lsh_dedup_eval" -> ("LSH blocking quality eval",
-        "Candidate generation and exact-Jaccard truth are both inverted-index equi-joins on the bounded fixture; the three counts meet through 1-row broadcasts — the s-curve readout that tunes bands/rows before a corpus-scale dedup."))
+        "Candidate generation and exact-Jaccard truth are both inverted-index equi-joins on the bounded fixture; the three counts meet through 1-row broadcasts — the s-curve readout that tunes bands/rows before a corpus-scale dedup."),
+      "q_auc" -> ("ROC-AUC filter eval",
+        "One hash aggregate collapses the corpus to per-distinct-score class counts; the midrank cumulative window and the closing 1-row reduce run over that bounded score table — the same collapse-then-window shape as KS, never a rank over raw rows."),
+      "q_bootstrap" -> ("Poisson-bootstrap uncertainty",
+        "The 32-replicate fan-out is a map-side explode of a literal range feeding ONE partial+final hash aggregate on r — 32 rows per input partition cross the wire, no RNG, no second pass over the data."),
+      "q_join_card" -> ("Join-cardinality pre-flight",
+        "Both histograms aggregate partial+final to one row per distinct key; the histogram join and the three 1-row broadcasts are all key- or constant-sized — the join being predicted never executes."),
+      "q_ewma" -> ("Bounded-memory EWMA",
+        "A single per-entity window pass with a 16-row frame (constant buffer per row); the weight and head-normalization vectors are literal arrays, so the whole smoothing is one projection over the sorted frame."),
+      "q_delta_agg" -> ("Incremental aggregate maintenance",
+        "The delta aggregates partial+final to per-key signed adjustments; the full-outer merge against the state table is key-cardinality work — the base data is never re-read, which is the entire point of IVM."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans for flagship queries\n\n")

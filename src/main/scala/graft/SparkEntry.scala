@@ -1771,6 +1771,22 @@ object SparkEntry {
   private def q_gini(s: SparkSession, d: String): DataFrame =
     TextAnalytics.giniConcentration(Tables.documents(s, d), "lang", "text")
 
+  /** §2b CUPED variance reduction: per-user pre/post value sums split at
+    * 2024-01-15, deterministic md5 arm assignment, pooled θ — the A/B
+    * readout that shrinks the CI for free; aggregates only. */
+  private def q_cuped(s: SparkSession, d: String): DataFrame = {
+    val split = lit("2024-01-15").cast("timestamp")
+    val units = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("ts") < split, col("value"))), lit(0.0))
+          .as("x_pre"),
+        coalesce(sum(when(col("ts") >= split, col("value"))), lit(0.0))
+          .as("y"))
+      .withColumn("arm",
+        when(Corpus.hashPct(col("user_id")) < 50, "a").otherwise("b"))
+    Stats.cupedAdjusted(units, "arm", "x_pre", "y")
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1951,6 +1967,7 @@ object SparkEntry {
     "q_ewma" -> (q_ewma _),
     "q_delta_agg" -> (q_delta_agg _),
     "q_gini" -> (q_gini _),
+    "q_cuped" -> (q_cuped _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -4450,5 +4467,31 @@ object SparkEntry {
                   - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE),
                   6) AS gini
          FROM r GROUP BY lang""",
+    "q_cuped" ->
+      """WITH units AS (SELECT user_id,
+               coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                 THEN value END), 0.0) AS x,
+               coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                 THEN value END), 0.0) AS y,
+               CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 100 < 50
+                 THEN 'a' ELSE 'b' END AS arm
+             FROM events GROUP BY user_id),
+              pooled AS (SELECT avg(x) AS xbar, covar_samp(x, y) AS cov,
+                                var_samp(x) AS varx
+                         FROM units),
+              adj AS (SELECT arm, y,
+                        y - (CASE WHEN varx > 0 THEN cov / varx ELSE 0.0 END)
+                          * (x - xbar) AS ya
+                      FROM units, pooled)
+         SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                round(avg(y), 6) AS mean_y,
+                round(avg(ya), 6) AS mean_y_adj,
+                round(var_samp(y), 6) AS var_y,
+                round(var_samp(ya), 6) AS var_y_adj,
+                round(CASE WHEN var_samp(y) > 0
+                  THEN 1.0 - var_samp(ya) / var_samp(y) END, 6)
+                  AS var_reduction
+         FROM adj GROUP BY arm""",
   )
 }

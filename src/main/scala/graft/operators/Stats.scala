@@ -274,6 +274,47 @@ object Stats {
         roundScale))
   }
 
+  /** CUPED variance reduction (public: Deng, Xu, Kohavi & Walker,
+    * WSDM'13): adjust each unit's experiment-period metric by its
+    * PRE-period covariate, y′ = y − θ(x − x̄) with the pooled
+    * θ = cov(x,y)/var(x) — the industry-standard way to shrink an A/B
+    * test's confidence interval (often 40-60% variance off) without
+    * touching the treatment effect, since E[x] is identical across arms
+    * by randomization.
+    *
+    * Input is the per-unit frame (one row per user: arm, pre-period x,
+    * experiment y). Output per arm: n, raw and adjusted means, raw and
+    * adjusted sample variances, and the realized variance-reduction
+    * ratio 1 − var(y′)/var(y). θ pools BOTH arms (standard practice —
+    * a per-arm θ would re-introduce bias).
+    *
+    * Shape: one 1-row pooled aggregate broadcast back (the same
+    * stats battery groupOls runs on), one map-side adjustment, one
+    * per-arm aggregate — aggregates only, any number of units.
+    * Zero-variance x falls back to θ = 0 (no adjustment, never NaN);
+    * a zero-variance y reports null var_reduction. */
+  def cupedAdjusted(units: DataFrame, armCol: String, preCol: String,
+                    yCol: String, roundScale: Int = 6): DataFrame = {
+    val pooled = units.agg(
+      avg(col(preCol)).as("__xbar"),
+      covar_samp(col(preCol), col(yCol)).as("__cov"),
+      var_samp(col(preCol)).as("__varx"))
+    val theta = when(col("__varx") > 0, col("__cov") / col("__varx"))
+      .otherwise(0.0)
+    units.crossJoin(pooled)
+      .withColumn("__adj",
+        col(yCol) - theta * (col(preCol) - col("__xbar")))
+      .groupBy(col(armCol))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col(yCol)), roundScale).as("mean_y"),
+        round(avg(col("__adj")), roundScale).as("mean_y_adj"),
+        round(var_samp(col(yCol)), roundScale).as("var_y"),
+        round(var_samp(col("__adj")), roundScale).as("var_y_adj"),
+        round(when(var_samp(col(yCol)) > 0,
+          lit(1.0) - var_samp(col("__adj")) / var_samp(col(yCol))),
+          roundScale).as("var_reduction"))
+  }
+
   /** Cohen's kappa between two categorical labelings (public: Cohen '60)
     * — chance-corrected agreement, the standard answer to "do the
     * heuristic labeler and the declared label actually agree beyond what

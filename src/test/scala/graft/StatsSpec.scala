@@ -185,6 +185,35 @@ class StatsSpec extends SparkSuite {
     assert(Stats.cohenKappa(const, "a", "b").collect().head.isNullAt(4))
   }
 
+  test("cupedAdjusted: perfect covariate removes all variance, means preserved") {
+    // y = 2x + 10·1[arm=b], same x distribution per arm → pooled θ = 2,
+    // adjusted y is constant per arm: var_reduction = 1 exactly
+    val units = Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),
+      ("b", 1.0, 12.0), ("b", 2.0, 14.0), ("b", 3.0, 16.0))
+      .toDF("arm", "x", "y")
+    val out = Stats.cupedAdjusted(units, "arm", "x", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) === 3L)
+    assert(out("a").getDouble(2) === 4.0)    // mean_y
+    assert(out("a").getDouble(3) === 4.0)    // mean_y_adj = 2·x̄
+    assert(out("b").getDouble(2) === 14.0 && out("b").getDouble(3) === 14.0)
+    assert(out("a").getDouble(4) === 4.0)    // var_y of {2,4,6}
+    assert(out("a").getDouble(5) === 0.0 && out("a").getDouble(6) === 1.0)
+    assert(out("b").getDouble(5) === 0.0 && out("b").getDouble(6) === 1.0)
+  }
+
+  test("cupedAdjusted: zero-variance covariate falls back to no adjustment") {
+    val units = Seq(("a", 5.0, 1.0), ("a", 5.0, 3.0),
+      ("b", 5.0, 7.0), ("b", 5.0, 9.0)).toDF("arm", "x", "y")
+    val out = Stats.cupedAdjusted(units, "arm", "x", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // θ = 0: adjusted ≡ raw, reduction 0
+    assert(out("a").getDouble(2) === out("a").getDouble(3))
+    assert(out("a").getDouble(4) === out("a").getDouble(5))
+    assert(out("a").getDouble(6) === 0.0)
+  }
+
   test("madOutliers flags only far points; MAD=0 groups flag nothing") {
     // g: values 1..9 plus 100 → median 5.5, deviations 0.5..4.5 & 94.5
     // → MAD = 2.5; robust z of 100 = 94.5/(2.5·1.4826) ≈ 25.5 — the only
