@@ -1787,6 +1787,19 @@ object SparkEntry {
     Stats.cupedAdjusted(units, "arm", "x_pre", "y")
   }
 
+  /** §2b PR-AUC (average precision): the rare-positive companion to
+    * q_auc over the same englishness score — per-distinct-score collapse,
+    * one descending cumulative window, one reduce. */
+  private def q_pr_auc(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val n = size(toks).cast("double")
+    val scored = Tables.documents(s, d).select(
+      when(n > 0, TextFunctions.stopwordCount(col("text")).cast("double") / n)
+        .otherwise(0.0).as("en_score"),
+      (col("lang") === "en").as("is_en"))
+    Stats.averagePrecision(scored, "en_score", "is_en")
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1968,6 +1981,7 @@ object SparkEntry {
     "q_delta_agg" -> (q_delta_agg _),
     "q_gini" -> (q_gini _),
     "q_cuped" -> (q_cuped _),
+    "q_pr_auc" -> (q_pr_auc _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -4493,5 +4507,33 @@ object SparkEntry {
                   THEN 1.0 - var_samp(ya) / var_samp(y) END, 6)
                   AS var_reduction
          FROM adj GROUP BY arm""",
+    "q_pr_auc" ->
+      s"""WITH base AS (SELECT round(CASE WHEN n > 0 THEN ns / n ELSE 0.0 END,
+                          6) AS s,
+                        (lang = 'en') AS y
+                 FROM (SELECT lang,
+                         CAST(len($duckTokens) AS DOUBLE) AS n,
+                         CAST(len(list_filter($duckTokens,
+                           t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+                           AS BIGINT) AS ns
+                       FROM documents)),
+              per AS (SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+                             sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cn
+                      FROM base GROUP BY s),
+              c AS (SELECT s, cp, cn,
+                           sum(cp) OVER (ORDER BY s DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS tp,
+                           sum(cp + cn) OVER (ORDER BY s DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS al
+                    FROM per)
+         SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+                CAST(sum(cn) AS BIGINT) AS n_neg,
+                round(CASE WHEN sum(cp) > 0 THEN
+                  sum(CAST(cp AS DOUBLE)
+                      * (CAST(tp AS DOUBLE) / CAST(al AS DOUBLE)))
+                    / CAST(sum(cp) AS DOUBLE) END, 6) AS average_precision
+         FROM c""",
   )
 }

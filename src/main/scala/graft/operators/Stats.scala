@@ -248,6 +248,45 @@ object Stats {
           roundScale).as("auc"))
   }
 
+  /** Average precision — the step-wise area under the precision-recall
+    * curve, AP = Σ_k ΔR_k·P_k over thresholds descending through the
+    * distinct scores. The companion readout to [[rocAuc]] when positives
+    * are RARE (the normal case for a keep/drop corpus filter): ROC-AUC
+    * barely moves when the negative sea dwarfs the positives; AP is
+    * anchored to precision, which is what the kept corpus actually
+    * experiences.
+    *
+    * Same shape as [[rocAuc]]: collapse to per-DISTINCT-SCORE class
+    * counts, one cumulative window over the bounded score table
+    * (descending — each distinct score is one operating point; ties
+    * share a threshold), one closing reduce. Counts and cumulative
+    * sums are exact integers; precision ratios and the final division
+    * are the only float ops. No positives → null. */
+  def averagePrecision(df: DataFrame, scoreCol: String, labelCol: String,
+                       roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(round(col(scoreCol).cast("double"), roundScale).as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__cn"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perScore
+      .withColumn("__tp", sum(col("__cp")).over(w))
+      .withColumn("__all", sum(col("__cp") + col("__cn")).over(w))
+      .agg(sum(col("__cp")).as("n_pos"), sum(col("__cn")).as("n_neg"),
+        sum(col("__cp").cast("double")
+          * (col("__tp").cast("double") / col("__all").cast("double")))
+          .as("__apNum"))
+      .select(col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") > 0,
+          col("__apNum") / col("n_pos").cast("double")), roundScale)
+          .as("average_precision"))
+  }
+
   /** Reliability-diagram bins for a [0,1] score against a boolean label:
     * per-bin support, mean score ("confidence") and empirical positive
     * rate ("accuracy"), plus the signed gap — the calibration readout

@@ -17,6 +17,16 @@ case class SessionOut(user_id: Long, session_start_us: Long,
                       session_end_us: Long, n_events: Long,
                       session_value: Double)
 
+/** Bounded memory carried per key by [[EventStreams.ewmaStream]]: the
+  * last `lookback − 1` values, newest first. */
+case class EwmaMemory(recent: List[Double])
+
+/** One smoothed point emitted by [[EventStreams.ewmaStream]]. `ewma` is
+  * UNROUNDED — bit-equal to the batch twin's pre-round value; round at
+  * the consumer. */
+case class EwmaPoint(user_id: Long, us: Long, event_id: Long,
+                     value: Double, ewma: Double)
+
 /** Structured Streaming surface over the `events` table (SURVEY.md §2b).
   *
   * The reference is daily batch; this is the north-star streaming extension.
@@ -272,4 +282,55 @@ object EventStreams {
         graft.operators.Sinks.appendEvolving(fresh, destPath)
       }
       .start()
+
+  /** Streaming twin of [[graft.operators.TimeSeries.ewmaHalving]]: the
+    * same truncated α=1/2 EWMA, but carried as keyed state so each event
+    * is smoothed the moment it arrives instead of re-windowing a batch.
+    * State per key is the last `lookback − 1` values — a FIXED-size
+    * deque, so total state is O(keys · lookback) regardless of stream
+    * length (no timeout needed for boundedness; add one if key churn
+    * demands eviction).
+    *
+    * Parity is BIT-exact by construction, not approximate: the per-point
+    * arithmetic (newest-first zip with the dyadic weight vector, left
+    * fold, 1 − 2^{-len} normalizer) replays the batch operator's
+    * `aggregate(zip_with(...))` evaluation order double-for-double —
+    * StreamingSpec pins stream == batch on both a static frame and a
+    * replayed MemoryStream. Within a micro-batch, events are re-ordered
+    * by (ts, event_id); ACROSS batches arrival order is trusted (the
+    * watermark discipline that would buffer stragglers belongs to the
+    * source, as in statefulSessions).
+    *
+    * Null values must be filtered upstream (the batch twin does the
+    * same) — a null inside the memory would misalign the weights. */
+  def ewmaStream(events: DataFrame, lookback: Int = 16): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    require(lookback > 0 && lookback <= 62,
+      s"lookback must be in [1,62]: $lookback")
+    val weights = (0 until lookback).map(j => 1.0 / (1L << (j + 1))).toArray
+    events
+      .filter(col("value").isNotNull)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("value").cast("double"), col("ts"))
+      .as[(Long, Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaMemory, EwmaPoint](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        val sorted = rows.toVector.sortBy { case (_, us, eid, _, _) => (us, eid) }
+        var recent = state.getOption.map(_.recent).getOrElse(Nil)
+        val out = sorted.map { case (_, us, eid, v, _) =>
+          val hist = v :: recent.take(lookback - 1)
+          // identical evaluation order to the batch twin: products in
+          // newest-first order, left fold from 0.0, dyadic normalizer
+          val num = hist.iterator.zip(weights.iterator)
+            .map { case (x, w) => x * w }.foldLeft(0.0)(_ + _)
+          val den = 1.0 - 1.0 / (1L << hist.length)
+          recent = hist
+          EwmaPoint(user, us, eid, v, num / den)
+        }
+        state.update(EwmaMemory(recent.take(lookback - 1)))
+        out.iterator
+      }
+  }
 }

@@ -151,6 +151,20 @@ class StatsSpec extends SparkSuite {
     assert(Stats.rocAuc(inv, "s", "y").collect().head.getDouble(2) === 0.0)
   }
 
+  test("averagePrecision: hand-computed step AP; perfect ranking = 1; no positives = null") {
+    // descending thresholds: 0.9(p) → P=1, 0.8(n) → no ΔR, 0.7(p) → P=2/3
+    // AP = (1·1 + 1·2/3)/2 = 0.833333
+    val mixed = Seq((0.9, true), (0.8, false), (0.7, true)).toDF("s", "y")
+    val m = Stats.averagePrecision(mixed, "s", "y").collect().head
+    assert(m.getLong(0) === 2L && m.getLong(1) === 1L)
+    assert(m.getDouble(2) === 0.833333)
+    val sep = Seq((0.9, true), (0.8, true), (0.2, false)).toDF("s", "y")
+    assert(Stats.averagePrecision(sep, "s", "y").collect().head
+      .getDouble(2) === 1.0)
+    val none = Seq((0.9, false), (0.1, false)).toDF("s", "y")
+    assert(Stats.averagePrecision(none, "s", "y").collect().head.isNullAt(2))
+  }
+
   test("rocAuc: single-class input yields null, never NaN") {
     val onlyPos = Seq((0.3, true), (0.7, true)).toDF("s", "y")
     val r = Stats.rocAuc(onlyPos, "s", "y").collect().head

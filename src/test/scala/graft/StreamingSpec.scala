@@ -205,6 +205,51 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("ewmaStream on a static frame is bit-equal to the batch window twin") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val events = Tables.events(spark, sf).filter($"user_id" < 10)
+    val streamOut = EventStreams.ewmaStream(events)
+      .select($"event_id", round($"ewma", 6).as("ewma_s"))
+    val batchOut = graft.operators.TimeSeries
+      .ewmaHalving(events, "user_id", "ts", "event_id", "value")
+      .select($"event_id", $"ewma".as("ewma_b"))
+    val joined = streamOut.join(batchOut, "event_id")
+    assert(joined.count() > 0 &&
+      joined.count() === batchOut.count() && joined.count() === streamOut.count())
+    assert(joined.filter(not($"ewma_s" <=> $"ewma_b")).isEmpty,
+      "stream and batch EWMA must agree double-for-double")
+  }
+
+  test("ewmaStream carries exact state across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, Double)] // user, us, event, value
+    val input = ms.toDF().toDF("user_id", "us", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val q = EventStreams.ewmaStream(input)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_out").start()
+    try {
+      val t0 = 1700000000000000L
+      ms.addData((1L, t0, 1L, 2.0), (1L, t0 + 1000000L, 2L, 4.0))
+      q.processAllAvailable()
+      ms.addData((1L, t0 + 2000000L, 3L, 6.0))
+      q.processAllAvailable()
+      val got = spark.table("ewma_out")
+        .select($"event_id", round($"ewma", 6).as("e")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // e1 = 2; e2 = (4/2 + 2/4)/(3/4) = 10/3; the third event arrives in
+      // a LATER micro-batch and must still see [6,4,2]:
+      // (6/2 + 4/4 + 2/8)/(7/8) = 4.25/0.875
+      assert(got(1L) === 2.0)
+      assert(got(2L) === 3.333333)
+      assert(got(3L) === 4.857143)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids within watermark") {
     val batchEvents = Tables.events(spark, sf).limit(100).cache()
     val doubled = batchEvents.unionByName(batchEvents)
