@@ -534,7 +534,11 @@ object Corpus {
                      replicates: Int = 32, salt: String = "boot",
                      roundScale: Int = 6): DataFrame = {
     require(replicates > 0, s"replicates must be positive: $replicates")
-    df.select(col(idCol).cast("string").as("__id"),
+    // null metrics are excluded up front: sum() would skip their products
+    // but their weights would still land in n_eff, silently biasing the
+    // replicate means low
+    df.filter(col(valCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
         col(valCol).cast("long").as("__x"))
       .select(col("__id"), col("__x"),
         explode(sequence(lit(0), lit(replicates - 1))).as("r"))

@@ -269,7 +269,11 @@ object Joins {
       .when(upper(col(opCol)) === "D", -1L)
       .otherwise(raise_error(concat(lit("maintainAgg: unknown op "),
         col(opCol))))
+    // a null value in the delta would desync cnt from sum (count moves,
+    // sum doesn't) — reject loudly like an unknown op
     val deltaAgg = delta
+      .withColumn(valCol, when(col(valCol).isNotNull, col(valCol))
+        .otherwise(raise_error(lit("maintainAgg: null delta value"))))
       .groupBy(col(key))
       .agg(sum(sign).as("__dCnt"), sum(sign * col(valCol)).as("__dSum"))
     baseAgg.join(deltaAgg, Seq(key), "full_outer")
