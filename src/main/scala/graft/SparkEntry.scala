@@ -1686,19 +1686,24 @@ object SparkEntry {
       threshold = 0.45)
   }
 
+  /** Shared scored frame for the two threshold-metric evals (q_auc,
+    * q_pr_auc): the stopword-ratio "englishness" score vs the declared
+    * lang='en' label — ONE definition so the two metrics can never drift
+    * onto different scores. */
+  private def enScored(s: SparkSession, d: String): DataFrame = {
+    val n = size(TextFunctions.tokens(col("text"))).cast("double")
+    Tables.documents(s, d).select(
+      when(n > 0, TextFunctions.stopwordCount(col("text")).cast("double") / n)
+        .otherwise(0.0).as("en_score"),
+      (col("lang") === "en").as("is_en"))
+  }
+
   /** §2b ROC-AUC eval: the stopword-ratio "englishness" score ranked
     * against the declared lang='en' label — Mann–Whitney midrank AUC as
     * per-distinct-score aggregates + one bounded cumulative window; the
     * threshold-free quality-filter readout. */
-  private def q_auc(s: SparkSession, d: String): DataFrame = {
-    val toks = TextFunctions.tokens(col("text"))
-    val n = size(toks).cast("double")
-    val scored = Tables.documents(s, d).select(
-      when(n > 0, TextFunctions.stopwordCount(col("text")).cast("double") / n)
-        .otherwise(0.0).as("en_score"),
-      (col("lang") === "en").as("is_en"))
-    Stats.rocAuc(scored, "en_score", "is_en")
-  }
+  private def q_auc(s: SparkSession, d: String): DataFrame =
+    Stats.rocAuc(enScored(s, d), "en_score", "is_en")
 
   /** §2b calibration eval: reliability bins of the quality-score blend
     * against lang='en' — does a score of 0.8 actually mean 80%? One hash
@@ -1788,17 +1793,10 @@ object SparkEntry {
   }
 
   /** §2b PR-AUC (average precision): the rare-positive companion to
-    * q_auc over the same englishness score — per-distinct-score collapse,
-    * one descending cumulative window, one reduce. */
-  private def q_pr_auc(s: SparkSession, d: String): DataFrame = {
-    val toks = TextFunctions.tokens(col("text"))
-    val n = size(toks).cast("double")
-    val scored = Tables.documents(s, d).select(
-      when(n > 0, TextFunctions.stopwordCount(col("text")).cast("double") / n)
-        .otherwise(0.0).as("en_score"),
-      (col("lang") === "en").as("is_en"))
-    Stats.averagePrecision(scored, "en_score", "is_en")
-  }
+    * q_auc over the SAME [[enScored]] frame — per-distinct-score
+    * collapse, one descending cumulative window, one reduce. */
+  private def q_pr_auc(s: SparkSession, d: String): DataFrame =
+    Stats.averagePrecision(enScored(s, d), "en_score", "is_en")
 
   // --------------------------------------------------------------- wiring
 
@@ -4317,7 +4315,8 @@ object SparkEntry {
                          CAST(len(list_filter($duckTokens,
                            t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
                            AS BIGINT) AS ns
-                       FROM documents)),
+                       FROM documents
+                       WHERE lang IS NOT NULL)),
               per AS (SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
                              sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cn
                       FROM base GROUP BY s),
@@ -4352,7 +4351,8 @@ object SparkEntry {
                        AS BIGINT) AS ns,
                      length(text) - length(regexp_replace(text,
                        '[.,;:!?''"()\[\]{}-]', '', 'g')) AS np
-                   FROM documents)),
+                   FROM documents
+                   WHERE lang IS NOT NULL)),
               clamped AS (SELECT greatest(least(q, 1.0), 0.0) AS s, y
                           FROM scored)
          SELECT CAST(least(CAST(floor(s * 10) AS BIGINT), 9) AS BIGINT)
@@ -4373,7 +4373,8 @@ object SparkEntry {
                               CAST(len(list_filter($duckTokens,
                                 t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
                                 AS BIGINT) AS ns
-                            FROM documents)),
+                            FROM documents
+                            WHERE lang IS NOT NULL)),
               t AS (SELECT count(*) AS n,
                            sum(CASE WHEN declared_lang = lang_guess
                                THEN 1 ELSE 0 END) AS n_agree
@@ -4382,19 +4383,20 @@ object SparkEntry {
                      FROM li GROUP BY 1),
               mb AS (SELECT lang_guess AS l, count(*) AS cb
                      FROM li GROUP BY 1),
-              pe AS (SELECT coalesce(sum(ca * cb), 0) AS pe_num
+              pe AS (SELECT coalesce(sum(CAST(ca AS DOUBLE) * cb), 0.0)
+                       AS pe_num
                      FROM ma JOIN mb USING (l))
          SELECT CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT) AS n_agree,
                 round(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE), 6)
                   AS p_observed,
-                round(CAST(pe_num AS DOUBLE)
+                round(pe_num
                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_expected,
-                round(CASE WHEN CAST(pe_num AS DOUBLE)
+                round(CASE WHEN pe_num
                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0 THEN
                   (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
-                    - CAST(pe_num AS DOUBLE)
+                    - pe_num
                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
-                  / (1.0 - CAST(pe_num AS DOUBLE)
+                  / (1.0 - pe_num
                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END, 6)
                   AS kappa
          FROM t, pe""",
@@ -4476,7 +4478,7 @@ object SparkEntry {
                     FROM f)
          SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
                 CAST(sum(cnt) AS BIGINT) AS n_tokens,
-                round(2.0 * CAST(sum(r * cnt) AS DOUBLE)
+                round(2.0 * sum(CAST(r AS DOUBLE) * cnt)
                   / (CAST(count(*) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE))
                   - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE),
                   6) AS gini
@@ -4516,7 +4518,8 @@ object SparkEntry {
                          CAST(len(list_filter($duckTokens,
                            t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
                            AS BIGINT) AS ns
-                       FROM documents)),
+                       FROM documents
+                       WHERE lang IS NOT NULL)),
               per AS (SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
                              sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cn
                       FROM base GROUP BY s),

@@ -534,6 +534,18 @@ object Corpus {
                      replicates: Int = 32, salt: String = "boot",
                      roundScale: Int = 6): DataFrame = {
     require(replicates > 0, s"replicates must be positive: $replicates")
+    // integral-only input: a fractional column would TRUNCATE through the
+    // long cast and every replicate mean would be silently wrong — make
+    // the contract structural, not a docstring
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType)
+        .contains(df.schema(valCol).dataType),
+      s"bootstrapMeans needs an integral valCol (exact weighted sums); " +
+        s"got ${df.schema(valCol).dataType} — pre-quantize (e.g. cents) " +
+        "explicitly")
     // null metrics are excluded up front: sum() would skip their products
     // but their weights would still land in n_eff, silently biasing the
     // replicate means low

@@ -274,10 +274,13 @@ object Joins {
     val deltaAgg = delta
       .withColumn(valCol, when(col(valCol).isNotNull, col(valCol))
         .otherwise(raise_error(lit("maintainAgg: null delta value"))))
-      .groupBy(col(key))
+      .groupBy(col(key).as("__dKey"))
       .agg(sum(sign).as("__dCnt"), sum(sign * col(valCol)).as("__dSum"))
-    baseAgg.join(deltaAgg, Seq(key), "full_outer")
-      .select(col(key),
+    // null-safe merge: a NULL group key is a legitimate aggregate group,
+    // and a plain equi-join would fork it into two unmatched rows
+    // (null != null) — base state and delta state for the "same" key
+    baseAgg.join(deltaAgg, col(key) <=> col("__dKey"), "full_outer")
+      .select(coalesce(col(key), col("__dKey")).as(key),
         (coalesce(col(cntName), lit(0L)) + coalesce(col("__dCnt"), lit(0L)))
           .as(cntName),
         (coalesce(col(sumName), lit(0L)) + coalesce(col("__dSum"), lit(0L)))
@@ -365,14 +368,17 @@ object Joins {
   def joinCardEstimate(left: DataFrame, leftKey: String,
                        right: DataFrame, rightKey: String,
                        roundScale: Int = 6): DataFrame = {
-    val lTot = left.agg(count(lit(1)).as("n_left"),
-      count_distinct(col(leftKey)).as("ndv_left"))
-    val rTot = right.agg(count(lit(1)).as("n_right"),
-      count_distinct(col(rightKey)).as("ndv_right"))
     val lHist = left.groupBy(col(leftKey).as("__k"))
       .agg(count(lit(1)).as("__cl"))
     val rHist = right.groupBy(col(rightKey).as("__k"))
       .agg(count(lit(1)).as("__cr"))
+    // totals derive from the histograms (n = Σc, ndv = non-null hist
+    // rows) — one scan per table, not two; count(col) skips the null-key
+    // row exactly like count_distinct does
+    val lTot = lHist.agg(sum(col("__cl")).as("n_left"),
+      count(col("__k")).as("ndv_left"))
+    val rTot = rHist.agg(sum(col("__cr")).as("n_right"),
+      count(col("__k")).as("ndv_right"))
     val actual = lHist.join(rHist, "__k")
       .agg(coalesce(sum(col("__cl").cast("double") * col("__cr")), lit(0.0))
         .cast("long").as("actual_rows"))

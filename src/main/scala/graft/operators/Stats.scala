@@ -220,16 +220,23 @@ object Stats {
     * Midranks are exact halves and counts are integers, so everything is
     * exact until the final division. Degenerate inputs (a single class)
     * yield null auc. */
-  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
-             roundScale: Int = 6): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perScore = df
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+  /** Shared collapse for the threshold-metric family ([[rocAuc]],
+    * [[averagePrecision]]): per-DISTINCT-ROUNDED-SCORE positive/negative
+    * counts — one hash aggregate, null score/label rows dropped. Both
+    * metrics' tie semantics flow from this single definition. */
+  private def perScoreCounts(df: DataFrame, scoreCol: String,
+                             labelCol: String, roundScale: Int): DataFrame =
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(round(col(scoreCol).cast("double"), roundScale).as("__s"),
         col(labelCol).cast("boolean").as("__y"))
       .groupBy(col("__s"))
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("__cn"))
+
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
+             roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = perScoreCounts(df, scoreCol, labelCol, roundScale)
     val below = Window.orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // midrank of every row in a tie group = (#rows strictly below) +
@@ -265,13 +272,7 @@ object Stats {
   def averagePrecision(df: DataFrame, scoreCol: String, labelCol: String,
                        roundScale: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perScore = df
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
-      .select(round(col(scoreCol).cast("double"), roundScale).as("__s"),
-        col(labelCol).cast("boolean").as("__y"))
-      .groupBy(col("__s"))
-      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"),
-        sum(when(!col("__y"), 1L).otherwise(0L)).as("__cn"))
+    val perScore = perScoreCounts(df, scoreCol, labelCol, roundScale)
     val w = Window.orderBy(col("__s").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     perScore
@@ -367,20 +368,31 @@ object Stats {
     * and equal) yield null kappa. */
   def cohenKappa(df: DataFrame, colA: String, colB: String,
                  roundScale: Int = 6): DataFrame = {
-    val pairs = df
+    // ONE data-sized pass builds the labels² contingency; totals and both
+    // marginals re-aggregate that tiny table (the shared-contingency
+    // shape mutualInfoTokens uses)
+    val cont = df
       .select(col(colA).cast("string").as("__a"),
         col(colB).cast("string").as("__b"))
       .filter(col("__a").isNotNull && col("__b").isNotNull)
-    val totals = pairs.agg(count(lit(1)).as("n"),
-      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("n_agree"))
-    val margA = pairs.groupBy(col("__a").as("__l")).agg(count(lit(1)).as("__ca"))
-    val margB = pairs.groupBy(col("__b").as("__l")).agg(count(lit(1)).as("__cb"))
-    // labels missing on either side contribute 0 to p_e — inner join
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__cnt"))
+    val totals = cont.agg(coalesce(sum(col("__cnt")), lit(0L)).as("n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__cnt"))
+        .otherwise(0L)), lit(0L)).as("n_agree"))
+    val margA = cont.groupBy(col("__a").as("__l"))
+      .agg(sum(col("__cnt")).as("__ca"))
+    val margB = cont.groupBy(col("__b").as("__l"))
+      .agg(sum(col("__cnt")).as("__cb"))
+    // labels missing on either side contribute 0 to p_e — inner join.
+    // Marginal products are cast to double BEFORE multiplying: ca·cb
+    // approaches n², which wraps a long silently past ~3e9 rows (the
+    // ratio is divided by n² immediately, exactness is not needed)
     val peNum = margA.join(margB, "__l")
-      .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L)).as("__peNum"))
+      .agg(coalesce(sum(col("__ca").cast("double") * col("__cb")), lit(0.0))
+        .as("__peNum"))
     val nD = col("n").cast("double")
     val po = col("n_agree").cast("double") / nD
-    val pe = col("__peNum").cast("double") / (nD * nD)
+    val pe = col("__peNum") / (nD * nD)
     totals.crossJoin(peNum)
       .select(col("n"), col("n_agree"),
         round(po, roundScale).as("p_observed"),

@@ -647,11 +647,15 @@ object TextAnalytics {
     freqs
       .withColumn("__r", row_number().over(w))
       .groupBy(col(groupCol))
+      // rank·count products go through double BEFORE summing: Σ r·f
+      // approaches vocab·Σf, which wraps a long at corpus scale while
+      // DuckDB's HUGEINT sum wouldn't — double keeps the two engines on
+      // the same arithmetic (exact while < 2^53, same rounding beyond)
       .agg(count(lit(1)).as("vocab"), sum(col("__cnt")).as("n_tokens"),
-        sum(col("__r") * col("__cnt")).as("__rf"))
+        sum(col("__r").cast("double") * col("__cnt")).as("__rf"))
       .select(col(groupCol), col("vocab"), col("n_tokens"),
         round(
-          lit(2.0) * col("__rf").cast("double")
+          lit(2.0) * col("__rf")
             / (col("vocab").cast("double") * col("n_tokens").cast("double"))
             - (col("vocab") + 1).cast("double") / col("vocab").cast("double"),
           roundScale).as("gini"))

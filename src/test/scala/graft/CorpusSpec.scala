@@ -368,6 +368,14 @@ class CorpusSpec extends SparkSuite {
       .foreach(r => assert(r.getDouble(2) > 1.0 && r.getDouble(2) < 200.0))
   }
 
+  test("bootstrapMeans rejects fractional metrics instead of truncating them") {
+    val frac = Seq((1L, 0.5), (2L, 0.7)).toDF("id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Corpus.bootstrapMeans(frac, "id", "v")
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
   test("MisraGriesAggregator state stays bounded and keeps the guarantee") {
     val agg = new graft.functions.MisraGriesAggregator(3)
     // stream with a true majority item through reduce

@@ -228,6 +228,19 @@ class JoinsSpec extends SparkSuite {
     assert(out === full)
   }
 
+  test("maintainAgg: a null group key folds into the base state, not a forked row") {
+    import org.apache.spark.sql.functions._
+    val base = Seq((Some("a"), 10L), (None, 5L), (None, 3L)).toDF("k", "v")
+    val baseAgg = base.groupBy($"k")
+      .agg(count(lit(1)).as("cnt"), sum($"v").as("sum_val"))
+    val delta = Seq((Option.empty[String], "I", 2L)).toDF("k", "op", "v")
+    val out = Joins.maintainAgg(baseAgg, delta, "k", "v").collect()
+      .map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size === 2)
+    assert(out(None) === ((3L, 10L)), s"null-key state must merge: $out")
+    assert(out(Some("a")) === ((1L, 10L)))
+  }
+
   test("maintainAgg: unknown op fails loudly instead of skewing state") {
     import org.apache.spark.sql.functions._
     val baseAgg = Seq(("a", 1L, 10L)).toDF("k", "cnt", "sum_val")
