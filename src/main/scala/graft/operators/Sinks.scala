@@ -45,6 +45,17 @@ object Sinks {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
 
+  /** ORC round-trip — the OTHER columnar warehouse format next to
+    * parquet: typed schema travels in the file, and filters/projections
+    * push down to stripes exactly like parquet row groups (SinksSpec
+    * pins PushedFilters in the scan plan). Interop surface for
+    * Hive-lineage warehouses. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Write partitioned by a (low-cardinality, typically time-derived)
     * column: each value becomes a directory, and any query filtering on it
     * prunes whole partitions at planning time (PartitionFilters in the

@@ -173,4 +173,60 @@ class PropertiesSpec extends SparkSuite {
       assert(one === 1.0)
     }
   }
+
+  test("rocAuc is bounded in [0,1] and label inversion reflects it around 1/2") {
+    import graft.operators.Stats
+    val gen = Gen.listOfN(24, for {
+      s <- Gen.chooseNum(0, 100)
+      y <- Gen.oneOf(true, false)
+    } yield (s / 100.0, y))
+    forAllSampled(gen, cases = 10) { pts =>
+      val df = pts.toDF("s", "y")
+      val r = Stats.rocAuc(df, "s", "y").collect().head
+      if (!r.isNullAt(2)) {
+        val auc = r.getDouble(2)
+        assert(auc >= 0.0 && auc <= 1.0, pts.toString)
+        // flipping every label must mirror the metric: AUC' = 1 − AUC
+        val flipped = Stats.rocAuc(df.withColumn("y", not(col("y"))),
+          "s", "y").collect().head.getDouble(2)
+        assert(math.abs((1.0 - auc) - flipped) < 2e-6,
+          s"auc=$auc flipped=$flipped")
+      }
+    }
+  }
+
+  test("giniConcentration stays in [0, 1) and is invariant to uniform duplication") {
+    import graft.operators.TextAnalytics
+    val gen = Gen.listOfN(8, Gen.chooseNum(1, 6))
+    forAllSampled(gen, cases = 10) { counts =>
+      val text = counts.zipWithIndex
+        .map { case (c, i) => (s"t$i " * c).trim }.mkString(" ")
+      val df = Seq((1L, "g", text)).toDF("doc_id", "grp", "text")
+      val g = TextAnalytics.giniConcentration(df, "grp", "text")
+        .collect().head.getDouble(3)
+      assert(g >= 0.0 && g < 1.0, s"$counts → $g")
+      // doubling EVERY count rescales frequencies uniformly: same gini
+      val doubled = counts.zipWithIndex
+        .map { case (c, i) => (s"t$i " * (2 * c)).trim }.mkString(" ")
+      val g2 = TextAnalytics.giniConcentration(
+        Seq((1L, "g", doubled)).toDF("doc_id", "grp", "text"), "grp", "text")
+        .collect().head.getDouble(3)
+      assert(math.abs(g - g2) < 2e-6, s"$g vs $g2")
+    }
+  }
+
+  test("bootstrapMeans replicate means always bracket the metric's range") {
+    import graft.operators.Corpus
+    val gen = Gen.listOfN(40, Gen.chooseNum(1L, 1000L))
+    forAllSampled(gen, cases = 5) { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val out = Corpus.bootstrapMeans(df, "id", "v", replicates = 8).collect()
+      out.filter(!_.isNullAt(2)).foreach { r =>
+        val m = r.getDouble(2)
+        assert(m >= vals.min.toDouble && m <= vals.max.toDouble,
+          s"replicate mean $m outside [${vals.min}, ${vals.max}]")
+      }
+    }
+  }
 }

@@ -60,6 +60,23 @@ class SinksSpec extends SparkSuite {
     assert(fromCsv.exceptAll(orders).isEmpty && orders.exceptAll(fromCsv).isEmpty)
   }
 
+  test("orc round-trip: schema travels in the file, filters push down") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .limit(500)
+    val base = java.nio.file.Files.createTempDirectory("graft-orc-").toString
+    Sinks.writeOrc(orders, s"$base/orc")
+    val back = Sinks.readOrc(spark, s"$base/orc")
+    // no schema argument needed — ORC carries the types
+    assert(back.schema === orders.schema)
+    assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+    // predicate reaches the ORC scan like a parquet PushedFilters
+    val plan = back.filter(col("o_orderkey") < 100L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), " +
+      "LessThan(o_orderkey,100)]"), plan.take(600))
+  }
+
   test("writeSorted: disjoint per-file ranges, sorted within each file") {
     val path = tempPath()
     // shuffled input so the layout is earned, not inherited
