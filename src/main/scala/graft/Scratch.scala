@@ -118,7 +118,9 @@ object Scratch {
       "q_ewma" -> ("Bounded-memory EWMA",
         "A single per-entity window pass with a 16-row frame (constant buffer per row); the weight and head-normalization vectors are literal arrays, so the whole smoothing is one projection over the sorted frame."),
       "q_delta_agg" -> ("Incremental aggregate maintenance",
-        "The delta aggregates partial+final to per-key signed adjustments; the full-outer merge against the state table is key-cardinality work — the base data is never re-read, which is the entire point of IVM."))
+        "The delta aggregates partial+final to per-key signed adjustments; the full-outer merge against the state table is key-cardinality work — the base data is never re-read, which is the entire point of IVM."),
+      "q_kcore" -> ("k-core peeling fixpoint",
+        "Each data-dependent round is one degree hash-aggregate + two semi-joins on the shrinking edge set, localCheckpointed to keep the plan flat; convergence is a 1-row count (the node set shrinks monotonically, so equal counts mean fixpoint) — no join-based set comparison."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans for flagship queries\n\n")

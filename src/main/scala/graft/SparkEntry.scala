@@ -1798,6 +1798,62 @@ object SparkEntry {
   private def q_pr_auc(s: SparkSession, d: String): DataFrame =
     Stats.averagePrecision(enScored(s, d), "en_score", "is_en")
 
+  /** §2b k-core backbone: the 4-core of the hash-thinned (7%) part
+    * co-purchase graph. Thinning mirrors production sparsification of a
+    * dense co-occurrence graph — and gives the fixture REAL peel depth
+    * (2-4 data-dependent rounds at every SF, simulated up front), so the
+    * fixpoint loop is exercised, not vacuous. The oracle unrolls 8 peel
+    * rounds: sound for any true depth ≤ 8 because peeling is idempotent
+    * at the fixpoint. */
+  private def q_kcore(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pp = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey")
+        && col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+      .distinct()
+      .filter(Corpus.hashUnit(concat(col("x").cast("string"), lit(":"),
+        col("y").cast("string")), "kcore") < 0.07)
+    val edges = pp.select(col("x").as("src"), col("y").as("dst"))
+      .unionByName(pp.select(col("y").as("src"), col("x").as("dst")))
+    Graph.kCore(edges, 4)
+  }
+
+  /** DuckDB oracle for [[q_kcore]]: `rounds` unrolled peel rounds over
+    * the same thinned edge set — each round is one degree aggregate +
+    * an induced-subgraph join, and rounds past the fixpoint are no-ops.
+    * Every CTE is MATERIALIZED: each e/n level is referenced twice, and
+    * DuckDB's default inlining would otherwise expand the chain to 2^R
+    * copies of the base join (measured: minutes instead of
+    * milliseconds). */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val base =
+      s"""pp AS MATERIALIZED (
+                 SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+                 FROM lineitem a JOIN lineitem b
+                   ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey),
+          th AS MATERIALIZED (
+                 SELECT x, y FROM pp
+                 WHERE CAST(('0x' || substring(md5('kcore:'
+                     || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)),
+                     1, 8)) AS BIGINT) / 4294967296.0 < 0.07),
+          e0 AS MATERIALIZED (
+                 SELECT x AS src, y AS dst FROM th
+                 UNION SELECT y, x FROM th)"""
+    val peel = (1 to rounds).map { i =>
+      s"""n$i AS MATERIALIZED (
+                  SELECT src AS id, count(*) AS degree FROM e${i - 1}
+                  GROUP BY src HAVING count(*) >= $k),
+          e$i AS MATERIALIZED (
+                  SELECT e.src, e.dst FROM e${i - 1} e
+                  JOIN n$i a ON e.src = a.id
+                  JOIN n$i b ON e.dst = b.id)"""
+    }.mkString(",\n          ")
+    s"WITH $base,\n          $peel\n" +
+      s"   SELECT id, CAST(degree AS BIGINT) AS degree FROM n$rounds"
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1980,6 +2036,7 @@ object SparkEntry {
     "q_gini" -> (q_gini _),
     "q_cuped" -> (q_cuped _),
     "q_pr_auc" -> (q_pr_auc _),
+    "q_kcore" -> (q_kcore _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -4538,5 +4595,6 @@ object SparkEntry {
                       * (CAST(tp AS DOUBLE) / CAST(al AS DOUBLE)))
                     / CAST(sum(cp) AS DOUBLE) END, 6) AS average_precision
          FROM c""",
+    "q_kcore" -> kCoreOracleSql(k = 4, rounds = 8),
   )
 }

@@ -202,4 +202,56 @@ object Graph {
     e.unpersist()
     out
   }
+
+  /** k-core: the maximal subgraph where every node keeps degree ≥ k
+    * (public: Seidman '83, computed by iterated peeling) — the dense-
+    * backbone extraction that separates genuinely interlinked regions
+    * from peripheral tendrils (crawl-graph spam cores, co-occurrence
+    * backbones). Returns `(id, degree)` for core members, degree counted
+    * WITHIN the core.
+    *
+    * `edges` must carry both directions of an undirected graph (like
+    * pageRank). Self-loops and duplicate edges are dropped up front —
+    * both would inflate degrees.
+    *
+    * The loop is data-dependent (peel → recompute degrees on the induced
+    * subgraph → repeat to fixpoint), so rounds follow the CC pattern,
+    * not the fixed-unroll pattern: localCheckpoint each round to keep
+    * the plan flat, converge when the surviving-node count stops
+    * falling (the set shrinks monotonically, so equal counts ⇔ equal
+    * sets — a 1-row aggregate, no join). Per round: ONE degree hash
+    * aggregate + two semi-joins, shuffle ∝ surviving |E|. Round count
+    * is the peel depth — small for real graphs, bounded by maxIter.
+    *
+    * The DuckDB oracle unrolls a FIXED number of peel rounds; that is
+    * sound because a peel round is IDEMPOTENT at the fixpoint (peeling
+    * a k-core returns the same k-core), so any unroll depth ≥ the true
+    * peel depth yields the exact answer. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    var survivors = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= k).localCheckpoint()
+    var prev = -1L
+    var i = 0
+    var n = survivors.count()
+    while (prev != n && i < maxIter) {
+      prev = n
+      val keep = survivors.select(col("id"))
+      e = e
+        .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      survivors = e.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("degree"))
+        .filter(col("degree") >= k).localCheckpoint()
+      n = survivors.count()
+      i += 1
+    }
+    survivors
+  }
 }

@@ -104,4 +104,24 @@ class GraphSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Graph.pageRank(edges.filter(col("src") === "zz"), 3))
   }
+
+  test("kCore: cascading peel strips the tail, keeps the clique, reports core degrees") {
+    // triangle {1,2,3} + a chain 3—4—5: peeling 5 (deg 1) exposes 4
+    // (deg 1) — a 2-round cascade; the 2-core is exactly the triangle
+    def undirected(pairs: (Long, Long)*) =
+      pairs.toDF("src", "dst").unionByName(
+        pairs.map(_.swap).toDF("src", "dst"))
+    val g = undirected((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val core = Graph.kCore(g, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"2-core must be the triangle with in-core degrees: $core")
+    // k above the max degree: empty core, loop still terminates
+    assert(Graph.kCore(g, 10).isEmpty)
+    // self-loops and duplicate edges don't inflate degrees
+    val noisy = g.unionByName(Seq((1L, 1L), (1L, 2L)).toDF("src", "dst"))
+    val core2 = Graph.kCore(noisy, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 === core)
+  }
 }
