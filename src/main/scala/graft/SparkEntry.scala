@@ -1854,6 +1854,12 @@ object SparkEntry {
       s"   SELECT id, CAST(degree AS BIGINT) AS degree FROM n$rounds"
   }
 
+  /** §2b int8 embedding quantization: absmax scalar quantization of the
+    * embeddings table — pure map-side array projection (runs at read
+    * bandwidth at any scale); error columns are the acceptance readout. */
+  private def q_quantize_int8(s: SparkSession, d: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2037,6 +2043,7 @@ object SparkEntry {
     "q_cuped" -> (q_cuped _),
     "q_pr_auc" -> (q_pr_auc _),
     "q_kcore" -> (q_kcore _),
+    "q_quantize_int8" -> (q_quantize_int8 _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -4596,5 +4603,28 @@ object SparkEntry {
                     / CAST(sum(cp) AS DOUBLE) END, 6) AS average_precision
          FROM c""",
     "q_kcore" -> kCoreOracleSql(k = 4, rounds = 8),
+    "q_quantize_int8" ->
+      """WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                    FROM embeddings),
+              s AS (SELECT vec_id, e,
+                      list_max(list_transform(e, x -> abs(x))) / 127.0
+                        AS scale
+                    FROM v),
+              q AS (SELECT vec_id, scale,
+                      CASE WHEN scale > 0
+                        THEN list_transform(e,
+                          x -> CAST(round(x / scale) AS INTEGER))
+                        ELSE list_transform(e, x -> 0) END AS codes,
+                      CASE WHEN scale > 0
+                        THEN list_transform(e,
+                          x -> abs(x - round(x / scale) * scale))
+                        ELSE list_transform(e, x -> 0.0) END AS errs
+                    FROM s)
+         SELECT vec_id, round(scale, 6) AS scale, codes,
+                round(list_max(errs), 6) AS max_abs_err,
+                round(list_sum(list_transform(errs, x -> x * x))
+                  / len(errs), 6) AS mse
+         FROM q""",
   )
 }

@@ -478,4 +478,43 @@ object Similarity {
       .select(col(idCol) +: codebooks.indices.map(m => col(s"code_$m"))
         :+ col("adc_dist"): _*)
   }
+
+  /** Symmetric per-vector int8 quantization (absmax scaling, the
+    * standard embedding-storage compression: 4× smaller than float32,
+    * the layout faiss/scalar-quantized indexes and int8 GEMM kernels
+    * consume). Each vector gets its own scale = max|x|/127; codes are
+    * round(x/scale) ∈ [−127, 127]. Returns (id, scale, codes,
+    * max_abs_err, mse) — the error columns ARE the acceptance readout
+    * (max_abs_err ≤ scale/2 by construction; a vector violating that
+    * would flag a broken quantizer).
+    *
+    * Shape: a single map-side array projection over the scan — zero
+    * shuffle, zero join; at 100 TB this runs at read bandwidth, which
+    * is the entire point of quantizing there. The all-zero vector has
+    * scale 0 and quantizes to all-zero codes with zero error (guarded,
+    * never NaN). */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String,
+                   roundScale: Int = 6): DataFrame = {
+    val staged = emb
+      .select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("__e"))
+      .withColumn("__scale",
+        array_max(transform(col("__e"), x => abs(x))) / 127.0)
+    val codes = when(col("__scale") > 0,
+      transform(col("__e"), x => round(x / col("__scale")).cast("int")))
+      .otherwise(transform(col("__e"), _ => lit(0)))
+    val errs = when(col("__scale") > 0,
+      transform(col("__e"),
+        x => abs(x - round(x / col("__scale")) * col("__scale"))))
+      .otherwise(transform(col("__e"), _ => lit(0.0)))
+    staged
+      .withColumn("codes", codes)
+      .withColumn("__errs", errs)
+      .select(col(idCol),
+        round(col("__scale"), roundScale).as("scale"),
+        col("codes"),
+        round(array_max(col("__errs")), roundScale).as("max_abs_err"),
+        round(aggregate(col("__errs"), lit(0.0), (a, x) => a + x * x)
+          / size(col("__errs")), roundScale).as("mse"))
+  }
 }

@@ -311,4 +311,25 @@ class SimilaritySpec extends SparkSuite {
       .select($"code_0").as[Long].collect()
     assert(out.toSeq === Seq(0L))
   }
+
+  test("quantizeInt8: hand-computed codes and errors; zero vector is guarded") {
+    val emb = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(emb, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // scale = 1/127; codes = round(x·127): [127, -64, 32]
+    assert(out(1L).getDouble(1) === 0.007874)
+    assert(out(1L).getSeq[Int](2) === Seq(127, -64, 32))
+    // worst error |−0.5 − (−64/127)| = 0.003937 ≤ scale/2 + ulp
+    assert(out(1L).getDouble(3) === 0.003937)
+    assert(out(1L).getDouble(3) <= out(1L).getDouble(1) / 2 + 1e-9)
+    // mse = (0² + 0.003937…² + 0.001968…²)/3 → 0.000006 at 6dp
+    assert(out(1L).getDouble(4) === 0.000006)
+    // all-zero vector: scale 0, zero codes, zero error — never NaN
+    assert(out(2L).getDouble(1) === 0.0)
+    assert(out(2L).getSeq[Int](2) === Seq(0, 0, 0))
+    assert(out(2L).getDouble(3) === 0.0 && out(2L).getDouble(4) === 0.0)
+  }
 }
