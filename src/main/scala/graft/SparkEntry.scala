@@ -1860,6 +1860,14 @@ object SparkEntry {
   private def q_quantize_int8(s: SparkSession, d: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
 
+  /** §2b int8 MIPS top-k: inner-product search ON the quantized codes
+    * (integer MACs + one float multiply per row) against the vec_id=0
+    * query — the search path that justifies storing int8; map-side
+    * scoring + TakeOrdered, zero shuffle. */
+  private def q_int8_topk(s: SparkSession, d: String): DataFrame =
+    Similarity.int8TopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      queryId = 0L, k = 10)
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2044,6 +2052,7 @@ object SparkEntry {
     "q_pr_auc" -> (q_pr_auc _),
     "q_kcore" -> (q_kcore _),
     "q_quantize_int8" -> (q_quantize_int8 _),
+    "q_int8_topk" -> (q_int8_topk _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -4626,5 +4635,28 @@ object SparkEntry {
                 round(list_sum(list_transform(errs, x -> x * x))
                   / len(errs), 6) AS mse
          FROM q""",
+    "q_int8_topk" ->
+      """WITH v AS MATERIALIZED (
+                 SELECT vec_id, round(scale, 6) AS scale,
+                        CASE WHEN scale > 0
+                          THEN list_transform(e,
+                            x -> CAST(round(x / scale) AS INTEGER))
+                          ELSE list_transform(e, x -> 0) END AS codes
+                 FROM (SELECT vec_id, e,
+                         list_max(list_transform(e, x -> abs(x))) / 127.0
+                           AS scale
+                       FROM (SELECT vec_id,
+                               list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE)) AS e
+                             FROM embeddings))),
+              qv AS (SELECT scale AS qs, codes AS qc FROM v
+                     WHERE vec_id = 0)
+         SELECT vec_id,
+                round(scale * qs * CAST(ds AS DOUBLE), 6) AS approx_dot
+         FROM (SELECT vec_id, scale, qs,
+                 list_sum(list_transform(generate_series(1, len(codes)),
+                   i -> CAST(codes[i] AS BIGINT) * qc[i])) AS ds
+               FROM v, qv WHERE vec_id <> 0)
+         ORDER BY approx_dot DESC, vec_id ASC LIMIT 10""",
   )
 }

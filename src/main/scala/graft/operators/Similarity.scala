@@ -517,4 +517,36 @@ object Similarity {
         round(aggregate(col("__errs"), lit(0.0), (a, x) => a + x * x)
           / size(col("__errs")), roundScale).as("mse"))
   }
+
+  /** Top-k maximum-inner-product search ON the int8 codes: score ≈
+    * ⟨a,b⟩ reconstructed as scale_q·scale_x·Σ(cq_i·cx_i) — the search
+    * path that makes [[quantizeInt8]] worth storing: the inner sum is
+    * pure INTEGER arithmetic (≤ 127²·dim, exact in any engine), so the
+    * whole scan costs int8 MACs and one float multiply per row.
+    *
+    * The query's (codes, scale) ride along as literals (1-row collect,
+    * like the IVF centroids); scoring is a map-side zip_with fold over
+    * the scan + TakeOrdered — zero shuffle, zero join. Scores are
+    * rounded BEFORE ranking with an id tiebreak, so the top-k set is
+    * engine-deterministic. */
+  def int8TopK(emb: DataFrame, idCol: String, vecCol: String,
+               queryId: Long, k: Int, roundScale: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val quantized = quantizeInt8(emb, idCol, vecCol)
+      .select(col(idCol), col("scale"), col("codes"))
+    val qRows = quantized.filter(col(idCol) === queryId).take(1)
+    require(qRows.nonEmpty, s"query vector $idCol=$queryId not found")
+    val qScale = qRows.head.getDouble(1)
+    val qCodes = array(qRows.head.getSeq[Int](2).map(lit): _*)
+    val intDot = aggregate(
+      zip_with(col("codes"), qCodes, (a, b) => a.cast("long") * b),
+      lit(0L), (acc, x) => acc + x)
+    quantized
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(col("scale") * qScale * intDot.cast("double"), roundScale)
+          .as("approx_dot"))
+      .orderBy(col("approx_dot").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -332,4 +332,24 @@ class SimilaritySpec extends SparkSuite {
     assert(out(2L).getSeq[Int](2) === Seq(0, 0, 0))
     assert(out(2L).getDouble(3) === 0.0 && out(2L).getDouble(4) === 0.0)
   }
+
+  test("int8TopK preserves the exact inner-product ranking on separated vectors") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),            // query
+      (1L, Seq(2.0f, 0.0f)),            // dot 2
+      (2L, Seq(1.0f, 1.0f)),            // dot 1
+      (3L, Seq(0.0f, 1.0f))             // dot 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.int8TopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 3).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // reconstructed dots land within quantization error of the truth
+    val dots = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(dots(1L) - 2.0) < 0.02, dots.toString)
+    assert(math.abs(dots(2L) - 1.0) < 0.02, dots.toString)
+    assert(math.abs(dots(3L)) < 0.02, dots.toString)
+    // missing query id fails loudly
+    intercept[IllegalArgumentException](
+      Similarity.int8TopK(emb, "vec_id", "embedding", queryId = 99L, k = 1))
+  }
 }
