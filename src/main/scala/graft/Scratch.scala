@@ -120,7 +120,11 @@ object Scratch {
       "q_delta_agg" -> ("Incremental aggregate maintenance",
         "The delta aggregates partial+final to per-key signed adjustments; the full-outer merge against the state table is key-cardinality work — the base data is never re-read, which is the entire point of IVM."),
       "q_kcore" -> ("k-core peeling fixpoint",
-        "Each data-dependent round is one degree hash-aggregate + two semi-joins on the shrinking edge set, localCheckpointed to keep the plan flat; convergence is a 1-row count (the node set shrinks monotonically, so equal counts mean fixpoint) — no join-based set comparison."))
+        "Each data-dependent round is one degree hash-aggregate + two semi-joins on the shrinking edge set, localCheckpointed to keep the plan flat; convergence is a 1-row count (the node set shrinks monotonically, so equal counts mean fixpoint) — no join-based set comparison."),
+      "q_quantize_int8" -> ("int8 embedding quantization",
+        "The entire quantize — absmax, scale, codes, error stats — is ONE map-side array projection over the scan: zero shuffle, zero join; at corpus scale this runs at read bandwidth, which is the point of quantizing at ingest."),
+      "q_int8_topk" -> ("int8 MIPS top-k",
+        "Query codes and scale ride as literals (1-row collect like the IVF centroids); scoring is an integer zip_with fold + one float multiply per row, then TakeOrdered — the scan never shuffles and the integer dot is exact in any engine."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans for flagship queries\n\n")
