@@ -1868,6 +1868,39 @@ object SparkEntry {
     Similarity.int8TopK(Tables.embeddings(s, d), "vec_id", "embedding",
       queryId = 0L, k = 10)
 
+  /** §2b count-min sketch eval: 4×256 md5-bucketed sketch of the token
+    * stream, point estimates vs exact counts for the top-20 tokens —
+    * one-sided est ≥ truth guarantee, vocab-sized fan-out only. */
+  private def q_countmin(s: SparkSession, d: String): DataFrame =
+    Corpus.countMinEstimates(
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token")),
+      "token")
+
+  /** §2b hybrid-retrieval fusion: RRF merge of the BM25 lexical top-50
+    * and the embedding cosine top-50 over the shared id space — rank-only
+    * fusion over two bounded candidate lists. */
+  private def q_rrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = TextAnalytics.bm25(Tables.documents(s, d), "doc_id", "text",
+        Seq("data", "spark", "merge"), 50)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc))
+        .cast("long").as("rank"))
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val cos = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorFunctions.cosineSimilarity(col("embedding"), col("qv")),
+          6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+      .limit(50)
+      .select(col("vec_id").as("doc_id"), row_number().over(
+        Window.orderBy(col("cosine_sim").desc, col("vec_id").asc))
+        .cast("long").as("rank"))
+    Similarity.rrfFuse(bm, cos, "doc_id")
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2053,6 +2086,8 @@ object SparkEntry {
     "q_kcore" -> (q_kcore _),
     "q_quantize_int8" -> (q_quantize_int8 _),
     "q_int8_topk" -> (q_int8_topk _),
+    "q_countmin" -> (q_countmin _),
+    "q_rrf" -> (q_rrf _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -4658,5 +4693,74 @@ object SparkEntry {
                    i -> CAST(codes[i] AS BIGINT) * qc[i])) AS ds
                FROM v, qv WHERE vec_id <> 0)
          ORDER BY approx_dot DESC, vec_id ASC LIMIT 10""",
+    "q_countmin" ->
+      s"""WITH counts AS (SELECT token AS item, count(*) AS true_cnt
+                          FROM (SELECT UNNEST($duckTokens) AS token
+                                FROM documents)
+                          GROUP BY 1),
+              hashed AS (SELECT item, true_cnt, j,
+                           CAST(('0x' || substring(md5(CAST(j AS VARCHAR)
+                             || ':' || item), 1, 8)) AS BIGINT) % 256
+                             AS bucket
+                         FROM counts,
+                           (SELECT UNNEST(generate_series(0, 3)) AS j)),
+              sketch AS (SELECT j, bucket, sum(true_cnt) AS cell
+                         FROM hashed GROUP BY 1, 2),
+              top AS (SELECT item, true_cnt FROM counts
+                      ORDER BY true_cnt DESC, item ASC LIMIT 20)
+         SELECT t.item, CAST(t.true_cnt AS BIGINT) AS true_cnt,
+                CAST(min(s2.cell) AS BIGINT) AS cm_est
+         FROM top t
+         JOIN hashed h ON h.item = t.item
+         JOIN sketch s2 ON s2.j = h.j AND s2.bucket = h.bucket
+         GROUP BY 1, 2""",
+    "q_rrf" ->
+      s"""WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
+              lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tok),
+              corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                                avg(dl) AS avgdl FROM lens),
+              tf AS (SELECT doc_id, term, count(*) AS tf
+                     FROM (SELECT doc_id, UNNEST(t) AS term FROM tok)
+                     WHERE term IN ('data', 'spark', 'merge')
+                     GROUP BY doc_id, term),
+              dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              bm AS (SELECT doc_id, score FROM (
+                       SELECT f.doc_id,
+                              round(sum(ln(1.0 + (c.n_docs - d.df + 0.5)
+                                  / (d.df + 0.5))
+                                * f.tf * 2.2
+                                / (f.tf + 1.2 * (0.25 + 0.75 * l.dl
+                                    / c.avgdl))), 6) AS score
+                       FROM tf f
+                       JOIN dfreq d ON f.term = d.term
+                       JOIN lens l ON f.doc_id = l.doc_id
+                       CROSS JOIN corpus c
+                       GROUP BY f.doc_id)
+                     ORDER BY score DESC, doc_id ASC LIMIT 50),
+              bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC,
+                        doc_id ASC) AS ra
+                      FROM bm),
+              cq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                     FROM embeddings WHERE vec_id = 0),
+              cos AS (SELECT vec_id,
+                        round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                            qv)
+                          / (sqrt(list_dot_product(
+                               CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(qv, qv))), 6)
+                          AS cosine_sim
+                      FROM embeddings, cq
+                      ORDER BY cosine_sim DESC, vec_id LIMIT 50),
+              cosr AS (SELECT vec_id AS doc_id,
+                         row_number() OVER (ORDER BY cosine_sim DESC,
+                           vec_id ASC) AS rb
+                       FROM cos)
+         SELECT coalesce(bmr.doc_id, cosr.doc_id) AS doc_id,
+                round(coalesce(1.0 / (ra + 60), 0.0)
+                  + coalesce(1.0 / (rb + 60), 0.0), 6) AS rrf_score,
+                ra AS rank_a, rb AS rank_b
+         FROM bmr FULL JOIN cosr ON bmr.doc_id = cosr.doc_id
+         ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""",
   )
 }

@@ -490,6 +490,44 @@ object Corpus {
       .filter(col("cnt") * (k + 1) > total)
   }
 
+  /** Count-min sketch build + point-estimate eval (public: Cormode &
+    * Muthukrishnan '05): `depth` md5 hash rows × `width` buckets, cell =
+    * Σ counts of colliding items, estimate = min over rows — the
+    * fixed-size frequency summary for streams/corpora too wide to
+    * wordcount, with the one-sided guarantee est ≥ truth (collisions
+    * only ever ADD). Returns the top-`topK` true items with
+    * (item, true_cnt, cm_est) — the eval readout that sizes depth×width
+    * before trusting the sketch alone in production (where only the
+    * depth·width cells would be kept).
+    *
+    * Shape: one exact wordcount aggregate (the eval baseline), a
+    * VOCAB-sized depth× fan-out into the sketch aggregate (≤ depth·width
+    * rows out), and a topK·depth-row probe join — nothing data-sized
+    * shuffles twice. Deterministic md5 bucketing ⇒ identical sketches on
+    * any engine, rerun, or cluster size. */
+  def countMinEstimates(df: DataFrame, itemCol: String, depth: Int = 4,
+                        width: Int = 256, topK: Int = 20): DataFrame = {
+    require(depth >= 1 && width >= 2 && topK >= 1,
+      s"need depth>=1, width>=2, topK>=1: $depth/$width/$topK")
+    val counts = df.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("item")).agg(count(lit(1)).as("true_cnt"))
+    val hashed = counts
+      .select(col("item"), col("true_cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+          col("item"))), 1, 8), 16, 10).cast("long") % width)
+    val sketch = hashed.groupBy(col("j"), col("bucket"))
+      .agg(sum(col("true_cnt")).as("__cell"))
+    val top = counts
+      .orderBy(col("true_cnt").desc, col("item").asc).limit(topK)
+    top.join(hashed.drop("true_cnt"), Seq("item"))
+      .join(sketch, Seq("j", "bucket"))
+      .groupBy(col("item"), col("true_cnt"))
+      .agg(min(col("__cell")).as("cm_est"))
+  }
+
   /** Poisson(1) CDF thresholds P(X ≤ k), k = 0..7, as decimal literals.
     * [[bootstrapMeans]] and its DuckDB oracle both build their
     * inverse-CDF branch from these SAME strings, so the two engines parse

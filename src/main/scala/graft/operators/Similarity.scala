@@ -549,4 +549,34 @@ object Similarity {
       .orderBy(col("approx_dot").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (public: Cormack, Clarke & Büttcher
+    * SIGIR'09): merge two rankings of the same id space by
+    * score = Σ 1/(kConst + rank) — THE standard hybrid-retrieval merge
+    * (lexical BM25 + embedding ANN), robust precisely because it uses
+    * only ranks, never the incomparable raw scores. Ids present in one
+    * list only contribute that list's term.
+    *
+    * Inputs carry (idCol, rank); output: (idCol, rrf_score, rank_a,
+    * rank_b) top-`topN`. One full-outer join on the id over two
+    * ALREADY-bounded top-N lists (candidate-list-sized, not corpus-
+    * sized) + TakeOrdered. The two 1/(k+r) terms are added in a fixed
+    * order, so the score is engine-deterministic before its round. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              kConst: Int = 60, topN: Int = 20,
+              roundScale: Int = 6): DataFrame = {
+    require(kConst >= 1 && topN > 0,
+      s"need kConst>=1, topN>0: $kConst/$topN")
+    val ra = a.select(col(idCol), col("rank").as("__ra"))
+    val rb = b.select(col(idCol), col("rank").as("__rb"))
+    ra.join(rb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        round(
+          coalesce(lit(1.0) / (col("__ra") + kConst), lit(0.0))
+            + coalesce(lit(1.0) / (col("__rb") + kConst), lit(0.0)),
+          roundScale).as("rrf_score"),
+        col("__ra").as("rank_a"), col("__rb").as("rank_b"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(topN)
+  }
 }

@@ -376,6 +376,21 @@ class CorpusSpec extends SparkSuite {
     assert(ex.getMessage.contains("integral"))
   }
 
+  test("countMinEstimates: one-sided overestimate, exact when collision-free") {
+    import org.apache.spark.sql.functions._
+    val items = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("t")
+    // width 2 forces collisions: every estimate must still be >= truth
+    val tight = Corpus.countMinEstimates(items, "t", depth = 4, width = 2,
+      topK = 3).collect().map(r => r.getString(0) -> r).toMap
+    assert(tight.keySet === Set("a", "b", "c"))
+    tight.values.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"CM must never underestimate: $r"))
+    // a single distinct item cannot collide: estimate is exact
+    val solo = Corpus.countMinEstimates(Seq.fill(7)("x").toDF("t"), "t")
+      .collect().head
+    assert(solo.getLong(1) === 7L && solo.getLong(2) === 7L)
+  }
+
   test("MisraGriesAggregator state stays bounded and keeps the guarantee") {
     val agg = new graft.functions.MisraGriesAggregator(3)
     // stream with a true majority item through reduce

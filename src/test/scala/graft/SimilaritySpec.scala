@@ -352,4 +352,21 @@ class SimilaritySpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Similarity.int8TopK(emb, "vec_id", "embedding", queryId = 99L, k = 1))
   }
+
+  test("rrfFuse: hand-computed fusion; single-list ids contribute one term") {
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(a, b, "id").collect()
+    // id2 = 1/61 + 1/62, id1 = 1/61, id3 = 1/62
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L, 1L, 3L))
+    val m = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(2L) === r6(1.0 / 61 + 1.0 / 62))
+    assert(m(1L) === r6(1.0 / 61))
+    assert(m(3L) === r6(1.0 / 62))
+    // absent ranks surface as nulls, not zeros
+    val row3 = out.find(_.getLong(0) === 3L).get
+    assert(row3.isNullAt(2) && row3.getLong(3) === 2L)
+  }
 }
