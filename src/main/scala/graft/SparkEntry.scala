@@ -1901,6 +1901,25 @@ object SparkEntry {
     Similarity.rrfFuse(bm, cos, "doc_id")
   }
 
+  /** §2b quantization-loss eval: recall@10 of the int8 MIPS ranking
+    * against the exact float inner-product ranking for the same query —
+    * the acceptance readout that decides whether 4× compression costs
+    * any retrieval quality on this corpus. */
+  private def q_int8_recall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorFunctions.dotProduct(col("embedding"), col("qv")), 6)
+          .as("dot"))
+      .orderBy(col("dot").desc, col("vec_id").asc).limit(10)
+      .select(lit(0L).as("query_id"), col("vec_id"))
+    val approx = Similarity
+      .int8TopK(emb, "vec_id", "embedding", queryId = 0L, k = 10)
+      .select(lit(0L).as("query_id"), col("vec_id"))
+    Similarity.recallAtK(exact, approx, "query_id", "vec_id")
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2088,6 +2107,7 @@ object SparkEntry {
     "q_int8_topk" -> (q_int8_topk _),
     "q_countmin" -> (q_countmin _),
     "q_rrf" -> (q_rrf _),
+    "q_int8_recall" -> (q_int8_recall _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -4762,5 +4782,46 @@ object SparkEntry {
                 ra AS rank_a, rb AS rank_b
          FROM bmr FULL JOIN cosr ON bmr.doc_id = cosr.doc_id
          ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""",
+    "q_int8_recall" ->
+      """WITH v AS MATERIALIZED (
+                 SELECT vec_id, round(scale, 6) AS scale,
+                        CASE WHEN scale > 0
+                          THEN list_transform(e,
+                            x -> CAST(round(x / scale) AS INTEGER))
+                          ELSE list_transform(e, x -> 0) END AS codes
+                 FROM (SELECT vec_id, e,
+                         list_max(list_transform(e, x -> abs(x))) / 127.0
+                           AS scale
+                       FROM (SELECT vec_id,
+                               list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE)) AS e
+                             FROM embeddings))),
+              qv AS (SELECT scale AS qs, codes AS qc FROM v
+                     WHERE vec_id = 0),
+              approx AS (SELECT vec_id FROM (
+                           SELECT vec_id,
+                                  round(scale * qs * CAST(ds AS DOUBLE), 6)
+                                    AS approx_dot
+                           FROM (SELECT vec_id, scale, qs,
+                                   list_sum(list_transform(
+                                     generate_series(1, len(codes)),
+                                     i -> CAST(codes[i] AS BIGINT) * qc[i]))
+                                     AS ds
+                                 FROM v, qv WHERE vec_id <> 0))
+                         ORDER BY approx_dot DESC, vec_id ASC LIMIT 10),
+              eq AS (SELECT CAST(embedding AS DOUBLE[]) AS qd
+                     FROM embeddings WHERE vec_id = 0),
+              ex AS (SELECT vec_id FROM (
+                       SELECT vec_id,
+                              round(list_dot_product(
+                                CAST(embedding AS DOUBLE[]), qd), 6) AS dot
+                       FROM embeddings, eq WHERE vec_id <> 0)
+                     ORDER BY dot DESC, vec_id ASC LIMIT 10),
+              hits AS (SELECT count(*) AS n_hits
+                       FROM ex JOIN approx USING (vec_id))
+         SELECT CAST(0 AS BIGINT) AS query_id, CAST(10 AS BIGINT) AS n_exact,
+                CAST(n_hits AS BIGINT) AS n_hits,
+                round(CAST(n_hits AS DOUBLE) / 10.0, 6) AS recall
+         FROM hits""",
   )
 }
