@@ -2,7 +2,7 @@ package graft
 
 import graft.operators._
 import graft.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
@@ -1920,6 +1920,40 @@ object SparkEntry {
     Similarity.recallAtK(exact, approx, "query_id", "vec_id")
   }
 
+  /** Shared JL plane matrix (16×64, deterministic xorshift seed 7) for
+    * [[q_jl_distortion]] — generated once so the Spark projection and
+    * the oracle's literal matrix are the same doubles. */
+  private val jlPlanes: Seq[Seq[Double]] = Similarity.hyperplanes(16, 64, 7L)
+  private val jlScale: Double = math.sqrt(3.0 / jlPlanes.length)
+
+  /** §2b Johnson–Lindenstrauss distortion audit: project 64→16 dims and
+    * report per-pair distance ratios over a bounded id range — the
+    * (1±ε) readout that licenses indexing the projected vectors instead
+    * of the wide ones. Projection is map-side with the plane matrix as
+    * literals; the pair join is the documented bounded-input oracle
+    * primitive. */
+  private def q_jl_distortion(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 40)
+    val proj = Similarity.randomProject(emb, "vec_id", "embedding", jlPlanes)
+    val joined = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .join(proj, "vec_id")
+    val a = joined.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("proj").as("pa"))
+    val b = joined.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("proj").as("pb"))
+    def dist(x: Column, y: Column) = sqrt(aggregate(
+      zip_with(x, y, (u, w) => (u - w) * (u - w)), lit(0.0),
+      (acc, t) => acc + t))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dist(col("va"), col("vb")), 6).as("dist_orig"),
+        round(dist(col("pa"), col("pb")), 6).as("dist_proj"),
+        round(when(dist(col("va"), col("vb")) > 0,
+          dist(col("pa"), col("pb")) / dist(col("va"), col("vb"))), 6)
+          .as("ratio"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2108,6 +2142,7 @@ object SparkEntry {
     "q_countmin" -> (q_countmin _),
     "q_rrf" -> (q_rrf _),
     "q_int8_recall" -> (q_int8_recall _),
+    "q_jl_distortion" -> (q_jl_distortion _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -4823,5 +4858,31 @@ object SparkEntry {
                 CAST(n_hits AS BIGINT) AS n_hits,
                 round(CAST(n_hits AS DOUBLE) / 10.0, 6) AS recall
          FROM hits""",
+    "q_jl_distortion" ->
+      s"""WITH pl AS (SELECT ${jlPlanes.map(p =>
+                "[" + p.map(_.toString).mkString(", ") + "]")
+                .mkString("[", ", ", "]")} AS p),
+              e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings WHERE vec_id < 40),
+              pr AS MATERIALIZED (
+                    SELECT vec_id, v,
+                      list_transform(generate_series(1, 16),
+                        j -> list_sum(list_transform(generate_series(1, 64),
+                               i -> v[i] * p[j][i])) * $jlScale) AS proj
+                    FROM e, pl),
+              d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      sqrt(list_sum(list_transform(generate_series(1, 64),
+                        i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))))
+                        AS dorig,
+                      sqrt(list_sum(list_transform(generate_series(1, 16),
+                        i -> (a.proj[i] - b.proj[i])
+                           * (a.proj[i] - b.proj[i])))) AS dproj
+                    FROM pr a JOIN pr b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(dorig, 6) AS dist_orig,
+                round(dproj, 6) AS dist_proj,
+                round(CASE WHEN dorig > 0 THEN dproj / dorig END, 6)
+                  AS ratio
+         FROM d""",
   )
 }

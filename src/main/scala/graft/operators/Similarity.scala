@@ -550,6 +550,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Johnson–Lindenstrauss random projection: embed d-dim vectors into
+    * `planes.length` dims as proj_j = ⟨v, p_j⟩·√(3/k) — the dimensionality
+    * reduction that provably preserves pairwise distances within
+    * (1 ± ε) (JL lemma), the cheap pre-step before ANN indexing when
+    * the raw embedding width is the cost driver. Planes come from the
+    * deterministic [[hyperplanes]] generator, so projections are
+    * reproducible across engines/runs and the plane matrix ships as
+    * literals (zero shuffle — one map-side projection, like the IVF
+    * centroids). */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+                    planes: Seq[Seq[Double]]): DataFrame = {
+    require(planes.nonEmpty, "planes must be non-empty")
+    // hyperplanes() entries are U(−1,1) with variance 1/3, so the
+    // distance-preserving normalizer is √(3/k), not the unit-variance
+    // 1/√k (without the 3, every ratio sits at √⅓ ≈ 0.577 — measured)
+    val scale = math.sqrt(3.0 / planes.length.toDouble)
+    val proj = array(planes.map { p =>
+      aggregate(zip_with(col(vecCol), array(p.map(lit): _*),
+        (x, w) => x.cast("double") * w), lit(0.0),
+        (a, x) => a + x).multiply(scale)
+    }: _*)
+    emb.select(col(idCol), proj.as("proj"))
+  }
+
   /** Reciprocal-rank fusion (public: Cormack, Clarke & Büttcher
     * SIGIR'09): merge two rankings of the same id space by
     * score = Σ 1/(kConst + rank) — THE standard hybrid-retrieval merge

@@ -353,6 +353,43 @@ class SimilaritySpec extends SparkSuite {
       Similarity.int8TopK(emb, "vec_id", "embedding", queryId = 99L, k = 1))
   }
 
+  test("randomProject: exact on basis vectors, dims and determinism pinned") {
+    val planes = Similarity.hyperplanes(16, 64, 7L)
+    // e_1 projects to exactly √(3/16)·(first component of each plane)
+    val e1 = (1.0f +: Seq.fill(63)(0.0f)).toSeq
+    val df = Seq((1L, e1)).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(df, "vec_id", "embedding", planes)
+      .head().getSeq[Double](1)
+    assert(out.length === 16)
+    val sc = math.sqrt(3.0 / 16)
+    planes.indices.foreach(j => assert(out(j) === planes(j).head * sc,
+      s"dim $j"))
+    // deterministic: same planes, same projection
+    val again = Similarity.randomProject(df, "vec_id", "embedding", planes)
+      .head().getSeq[Double](1)
+    assert(out === again)
+    // JL on real data: distance ratios concentrate near 1
+    val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 20)
+    val proj = Similarity.randomProject(emb, "vec_id", "embedding", planes)
+      .withColumnRenamed("vec_id", "id")
+    import org.apache.spark.sql.functions._
+    val orig = emb.select($"vec_id".as("id"),
+      transform($"embedding", x => x.cast("double")).as("v"))
+      .join(proj, "id")
+    val a = orig.select($"id".as("ia"), $"v".as("va"), $"proj".as("pa"))
+    val b = orig.select($"id".as("ib"), $"v".as("vb"), $"proj".as("pb"))
+    def dist(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      sqrt(aggregate(zip_with(x, y, (u, w) => (u - w) * (u - w)),
+        lit(0.0), (acc, t) => acc + t))
+    val ratios = a.join(b, $"ia" < $"ib")
+      .select((dist($"pa", $"pb") / dist($"va", $"vb")).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(ratios.nonEmpty)
+    ratios.foreach(r => assert(r > 0.2 && r < 2.5, s"ratio $r out of range"))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3, s"mean ratio $mean")
+  }
+
   test("rrfFuse: hand-computed fusion; single-list ids contribute one term") {
     val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
     val b = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
