@@ -1819,6 +1819,25 @@ object SparkEntry {
     Graph.kCore(edges, 4)
   }
 
+  /** Shared DuckDB CTE for the int8 quantizer (codes from the UNROUNDED
+    * scale, rounded scale in the output) — ONE definition feeding both
+    * int8 oracles so the quantizer contract cannot drift between them
+    * (the Spark side is likewise shared via Similarity.quantizeInt8). */
+  private val int8QuantCteSql: String =
+    """v AS MATERIALIZED (
+                 SELECT vec_id, round(scale, 6) AS scale,
+                        CASE WHEN scale > 0
+                          THEN list_transform(e,
+                            x -> CAST(round(x / scale) AS INTEGER))
+                          ELSE list_transform(e, x -> 0) END AS codes
+                 FROM (SELECT vec_id, e,
+                         list_max(list_transform(e, x -> abs(x))) / 127.0
+                           AS scale
+                       FROM (SELECT vec_id,
+                               list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE)) AS e
+                             FROM embeddings)))"""
+
   /** DuckDB oracle for [[q_kcore]]: `rounds` unrolled peel rounds over
     * the same thinned edge set — each round is one degree aggregate +
     * an induced-subgraph join, and rounds past the fixpoint are no-ops.
@@ -1850,8 +1869,16 @@ object SparkEntry {
                   JOIN n$i a ON e.src = a.id
                   JOIN n$i b ON e.dst = b.id)"""
     }.mkString(",\n          ")
+    // self-checking: if the unroll did NOT reach the fixpoint (a deeper-
+    // peeling fixture or a changed thinning constant), emit a poison row
+    // no Spark run can produce — the compare then fails attributably to
+    // unroll depth, not to some phantom portability bug
     s"WITH $base,\n          $peel\n" +
-      s"   SELECT id, CAST(degree AS BIGINT) AS degree FROM n$rounds"
+      s"   SELECT id, CAST(degree AS BIGINT) AS degree FROM n$rounds\n" +
+      s"   UNION ALL\n" +
+      s"   SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)\n" +
+      s"   WHERE (SELECT count(*) FROM n$rounds)\n" +
+      s"      <> (SELECT count(*) FROM n${rounds - 1})"
   }
 
   /** §2b int8 embedding quantization: absmax scalar quantization of the
@@ -1881,7 +1908,6 @@ object SparkEntry {
     * and the embedding cosine top-50 over the shared id space — rank-only
     * fusion over two bounded candidate lists. */
   private def q_rrf(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bm = TextAnalytics.bm25(Tables.documents(s, d), "doc_id", "text",
         Seq("data", "spark", "merge"), 50)
       .select(col("doc_id"), row_number().over(
@@ -4701,7 +4727,7 @@ object SparkEntry {
                       * (CAST(tp AS DOUBLE) / CAST(al AS DOUBLE)))
                     / CAST(sum(cp) AS DOUBLE) END, 6) AS average_precision
          FROM c""",
-    "q_kcore" -> kCoreOracleSql(k = 4, rounds = 8),
+    "q_kcore" -> kCoreOracleSql(k = 4, rounds = 12),
     "q_quantize_int8" ->
       """WITH v AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -4726,19 +4752,7 @@ object SparkEntry {
                   / len(errs), 6) AS mse
          FROM q""",
     "q_int8_topk" ->
-      """WITH v AS MATERIALIZED (
-                 SELECT vec_id, round(scale, 6) AS scale,
-                        CASE WHEN scale > 0
-                          THEN list_transform(e,
-                            x -> CAST(round(x / scale) AS INTEGER))
-                          ELSE list_transform(e, x -> 0) END AS codes
-                 FROM (SELECT vec_id, e,
-                         list_max(list_transform(e, x -> abs(x))) / 127.0
-                           AS scale
-                       FROM (SELECT vec_id,
-                               list_transform(embedding,
-                                 x -> CAST(x AS DOUBLE)) AS e
-                             FROM embeddings))),
+      s"""WITH $int8QuantCteSql,
               qv AS (SELECT scale AS qs, codes AS qc FROM v
                      WHERE vec_id = 0)
          SELECT vec_id,
@@ -4818,19 +4832,7 @@ object SparkEntry {
          FROM bmr FULL JOIN cosr ON bmr.doc_id = cosr.doc_id
          ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""",
     "q_int8_recall" ->
-      """WITH v AS MATERIALIZED (
-                 SELECT vec_id, round(scale, 6) AS scale,
-                        CASE WHEN scale > 0
-                          THEN list_transform(e,
-                            x -> CAST(round(x / scale) AS INTEGER))
-                          ELSE list_transform(e, x -> 0) END AS codes
-                 FROM (SELECT vec_id, e,
-                         list_max(list_transform(e, x -> abs(x))) / 127.0
-                           AS scale
-                       FROM (SELECT vec_id,
-                               list_transform(embedding,
-                                 x -> CAST(x AS DOUBLE)) AS e
-                             FROM embeddings))),
+      s"""WITH $int8QuantCteSql,
               qv AS (SELECT scale AS qs, codes AS qc FROM v
                      WHERE vec_id = 0),
               approx AS (SELECT vec_id FROM (
