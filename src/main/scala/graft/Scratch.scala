@@ -124,7 +124,13 @@ object Scratch {
       "q_quantize_int8" -> ("int8 embedding quantization",
         "The entire quantize — absmax, scale, codes, error stats — is ONE map-side array projection over the scan: zero shuffle, zero join; at corpus scale this runs at read bandwidth, which is the point of quantizing at ingest."),
       "q_int8_topk" -> ("int8 MIPS top-k",
-        "Query codes and scale ride as literals (1-row collect like the IVF centroids); scoring is an integer zip_with fold + one float multiply per row, then TakeOrdered — the scan never shuffles and the integer dot is exact in any engine."))
+        "Query codes and scale ride as literals (1-row collect like the IVF centroids); scoring is an integer zip_with fold + one float multiply per row, then TakeOrdered — the scan never shuffles and the integer dot is exact in any engine."),
+      "q_countmin" -> ("Count-min sketch eval",
+        "The sketch builds from a VOCAB-sized depth-fold explode (never the raw token stream twice) into one partial+final aggregate bounded by depth x width cells; the probe side is topK x depth rows meeting the sketch through an equi-join."),
+      "q_rrf" -> ("Reciprocal-rank fusion",
+        "Both rankers end in TakeOrdered top-50 lists; the fusion is a full-outer join of two 50-row frames plus a fixed-order two-term projection — candidate-list-sized work after the retrieval stages, regardless of corpus size."),
+      "q_jl_distortion" -> ("JL projection distortion audit",
+        "The 16x64 plane matrix is inlined as literals, so projection is one map-side fold battery over the scan (zero shuffle, like IVF assignment); only the bounded id<40 audit pairs ever join."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans for flagship queries\n\n")
