@@ -1980,6 +1980,14 @@ object SparkEntry {
           .as("ratio"))
   }
 
+  /** §2b DP noised mean: per-source mean n_chars clipped to [0, 2000]
+    * (clipping actually binds on this fixture — the release is
+    * non-vacuous), Laplace((hi−lo)/(n·ε)) noise, ε=1 — the numeric
+    * sibling of q_dp_counts. */
+  private def q_dp_mean(s: SparkSession, d: String): DataFrame =
+    ColumnHygiene.noisyMeans(Tables.documents(s, d), "source", "n_chars",
+      lo = 0.0, hi = 2000.0, epsilon = 1.0, salt = "dpm")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2169,6 +2177,7 @@ object SparkEntry {
     "q_rrf" -> (q_rrf _),
     "q_int8_recall" -> (q_int8_recall _),
     "q_jl_distortion" -> (q_jl_distortion _),
+    "q_dp_mean" -> (q_dp_mean _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -4886,5 +4895,21 @@ object SparkEntry {
                 round(CASE WHEN dorig > 0 THEN dproj / dorig END, 6)
                   AS ratio
          FROM d""",
+    "q_dp_mean" ->
+      """WITH c AS (SELECT source, count(*) AS n,
+                      avg(greatest(least(CAST(n_chars AS DOUBLE), 2000.0),
+                        0.0)) AS m
+                    FROM documents WHERE n_chars IS NOT NULL
+                    GROUP BY 1),
+              u AS (SELECT source, n, m,
+                      CAST(('0x' || substring(md5('dpm:'
+                        || CAST(source AS VARCHAR)), 1, 8)) AS BIGINT)
+                        / 4294967296.0 - 0.5 AS uu
+                    FROM c)
+         SELECT source, CAST(n AS BIGINT) AS n,
+                round(m + (-2000.0) * sign(uu)
+                  * ln(greatest(1.0 - 2.0 * abs(uu), 1.0 / 4294967296.0))
+                  / n, 6) AS noisy_mean
+         FROM u""",
   )
 }

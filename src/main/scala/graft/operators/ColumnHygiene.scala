@@ -270,6 +270,37 @@ object ColumnHygiene {
         round(col("__true") + noise, 6).as("noisy_cnt"))
   }
 
+  /** Laplace-noised per-group CLIPPED means — the DP release for a
+    * numeric statistic (public: Dwork et al. TCC'06). Values are clipped
+    * to [lo, hi] FIRST (clipping is what bounds the sensitivity — without
+    * it one outlier row reveals itself), then the group mean gets
+    * Laplace((hi−lo)/(n·ε)) noise: the sensitivity of a known-n mean.
+    * Same deterministic hashUnit noise construction (and caveats) as
+    * [[noisyCounts]] — reruns release identical figures and the oracle
+    * can check the arithmetic; production would swap in a secret-keyed
+    * PRF.
+    *
+    * Shape: ONE hash aggregate; clipping is map-side, noise is a
+    * post-aggregate projection over #groups rows. */
+  def noisyMeans(df: DataFrame, groupCol: String, valCol: String,
+                 lo: Double, hi: Double, epsilon: Double,
+                 salt: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    require(hi > lo, s"need hi > lo: [$lo, $hi]")
+    val clipped = greatest(least(col(valCol).cast("double"), lit(hi)),
+      lit(lo))
+    val u = Corpus.hashUnit(col(groupCol), salt) - 0.5
+    val arg = greatest(lit(1.0) - lit(2.0) * abs(u),
+      lit(1.0 / 4294967296.0))
+    df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), avg(clipped).as("__mean"))
+      .select(col(groupCol), col("n"),
+        round(col("__mean")
+          + lit(-(hi - lo) / epsilon) * signum(u) * log(arg) / col("n"),
+          6).as("noisy_mean"))
+  }
+
   /** Hot-key skew report for a prospective shuffle/join key: the top
     * `topK` keys by row count, each with its share of all rows and its
     * skew factor vs the mean key size. THE pre-flight check before keying

@@ -230,4 +230,38 @@ class ColumnHygieneSparkSpec extends SparkSuite {
     val id = out("id")
     assert(id.getDouble(4) === 2.0 && id.getBoolean(6))
   }
+
+  test("noisyMeans: clipping binds, noise matches the md5 construction exactly") {
+    import graft.operators.ColumnHygiene
+    // values 10 and 3000 clipped to [0, 10] → both clip to 10, mean = 10
+    val df = Seq(("g", 10L), ("g", 3000L)).toDF("src", "v")
+    val out = ColumnHygiene.noisyMeans(df, "src", "v",
+      lo = 0.0, hi = 10.0, epsilon = 1.0, salt = "s").collect().head
+    assert(out.getLong(1) === 2L)
+    // replicate hashUnit + Laplace inverse-CDF double-for-double
+    def hu(key: String, salt: String): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val u = hu("g", "s") - 0.5
+    val noise = -10.0 * math.signum(u) *
+      math.log(math.max(1.0 - 2.0 * math.abs(u), 1.0 / 4294967296.0)) / 2
+    val expected = BigDecimal(10.0 + noise)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(2) === expected)
+    // deterministic release: a rerun yields the identical figure
+    val again = ColumnHygiene.noisyMeans(df, "src", "v", 0.0, 10.0, 1.0, "s")
+      .collect().head.getDouble(2)
+    assert(again === out.getDouble(2))
+    // a different salt draws different noise
+    val other = ColumnHygiene.noisyMeans(df, "src", "v", 0.0, 10.0, 1.0, "s2")
+      .collect().head.getDouble(2)
+    assert(other !== out.getDouble(2))
+    intercept[IllegalArgumentException](
+      ColumnHygiene.noisyMeans(df, "src", "v", 5.0, 5.0, 1.0, "s"))
+    intercept[IllegalArgumentException](
+      ColumnHygiene.noisyMeans(df, "src", "v", 0.0, 10.0, 0.0, "s"))
+  }
 }
