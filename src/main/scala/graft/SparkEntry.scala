@@ -1988,6 +1988,14 @@ object SparkEntry {
     ColumnHygiene.noisyMeans(Tables.documents(s, d), "source", "n_chars",
       lo = 0.0, hi = 2000.0, epsilon = 1.0, salt = "dpm")
 
+  /** §2b exact-total proportional sample: a 100-doc slice apportioned
+    * across sources by largest remainder — Σ quota == budget exactly,
+    * same md5 survivor order as group_cap; the "build an exactly-N-doc
+    * eval set" op. */
+  private def q_quota_sample(s: SparkSession, d: String): DataFrame =
+    Corpus.quotaSample(Tables.documents(s, d), "source", "doc_id", 100L)
+      .select(col("doc_id"), col("source"))
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2178,6 +2186,7 @@ object SparkEntry {
     "q_int8_recall" -> (q_int8_recall _),
     "q_jl_distortion" -> (q_jl_distortion _),
     "q_dp_mean" -> (q_dp_mean _),
+    "q_quota_sample" -> (q_quota_sample _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -4911,5 +4920,28 @@ object SparkEntry {
                   * ln(greatest(1.0 - 2.0 * abs(uu), 1.0 / 4294967296.0))
                   / n, 6) AS noisy_mean
          FROM u""",
+    "q_quota_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+              t AS (SELECT sum(n) AS tot FROM c),
+              b AS (SELECT source, n, (100 * n) // tot AS q0,
+                           (100 * n) % tot AS rem
+                    FROM c, t),
+              lo AS (SELECT 100 - sum(q0) AS leftover FROM b),
+              r AS (SELECT source, n, q0,
+                           row_number() OVER (ORDER BY rem DESC, source ASC)
+                             AS rk
+                    FROM b),
+              quota AS (SELECT source,
+                          least(n, q0 + (CASE WHEN rk <= leftover
+                            THEN 1 ELSE 0 END)) AS q
+                        FROM r, lo),
+              ranked AS (SELECT doc_id, source,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                               doc_id ASC) AS rn
+                         FROM documents)
+         SELECT doc_id, source
+         FROM ranked JOIN quota USING (source)
+         WHERE rn <= q""",
   )
 }

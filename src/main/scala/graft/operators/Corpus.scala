@@ -490,6 +490,48 @@ object Corpus {
       .filter(col("cnt") * (k + 1) > total)
   }
 
+  /** Exact-total proportional stratified sample (largest-remainder /
+    * Hamilton apportionment): allocate a global `budget` across groups
+    * proportionally to size — floor quotas, then the largest fractional
+    * remainders receive the leftover units — so Σ quota == budget
+    * EXACTLY. [[stratifiedSample]] takes per-group FRACTIONS and lands
+    * near a total; this takes the TOTAL (the "exactly-10M-doc eval
+    * slice across sources" op) and derives the per-group counts. Each
+    * group is then sampled to its quota with the same deterministic
+    * md5 ordering [[capPerGroup]] uses.
+    *
+    * Quotas clamp at group size (the only case the delivered total can
+    * fall short — budget > corpus returns everything). Apportionment is
+    * pure integer arithmetic (exact cross-engine); budget·maxGroupSize
+    * must stay < 2^63.
+    *
+    * Shape: one group-count aggregate; quota derivation is #groups-row
+    * work (its global remainder-rank window is bounded by group
+    * cardinality); one broadcast join back + one per-group rank
+    * window. */
+  def quotaSample(df: DataFrame, groupCol: String, idCol: String,
+                  budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(sum(col("__n")).as("__tot"))
+    val base = counts.crossJoin(broadcast(tot))
+      .withColumn("__q0", expr(s"($budget * __n) div __tot"))
+      .withColumn("__rem", expr(s"($budget * __n) % __tot"))
+    val leftover = base.agg((lit(budget) - sum(col("__q0"))).as("__left"))
+    val wr = Window.orderBy(col("__rem").desc, col(groupCol).asc)
+    val quotas = base.withColumn("__rk", row_number().over(wr))
+      .crossJoin(broadcast(leftover))
+      .withColumn("__quota", least(col("__n"),
+        col("__q0") + when(col("__rk") <= col("__left"), 1L).otherwise(0L)))
+      .select(col(groupCol), col("__quota"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.join(broadcast(quotas), groupCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
   /** Count-min sketch build + point-estimate eval (public: Cormode &
     * Muthukrishnan '05): `depth` md5 hash rows × `width` buckets, cell =
     * Σ counts of colliding items, estimate = min over rows — the

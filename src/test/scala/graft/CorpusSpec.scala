@@ -391,6 +391,38 @@ class CorpusSpec extends SparkSuite {
     assert(solo.getLong(1) === 7L && solo.getLong(2) === 7L)
   }
 
+  test("quotaSample delivers the budget exactly, apportioned proportionally") {
+    val many = ((1L to 600L).map(i => (i, "en")) ++
+      (601L to 900L).map(i => (i, "pt")) ++
+      (901L to 1000L).map(i => (i, "de")))
+      .map { case (i, l) => (i, l, "t") }.toDF("doc_id", "lang", "text")
+    val out = Corpus.quotaSample(many, "lang", "doc_id", 100L)
+    assert(out.count() === 100L, "largest-remainder quotas must sum to budget")
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // 600/300/100 of 1000 at budget 100 → exact integer quotas 60/30/10
+    assert(byLang === Map("en" -> 60L, "pt" -> 30L, "de" -> 10L))
+    // deterministic: same survivors on rerun
+    val again = Corpus.quotaSample(many, "lang", "doc_id", 100L)
+    assert(out.select("doc_id").as[Long].collect().toSet ===
+      again.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("quotaSample: remainder units land on largest fractions; clamp at group size") {
+    // sizes 7/2/1 of 10, budget 5 → floors 3/1/0, remainders .5/.0/.5 →
+    // one leftover unit; en and de tie on remainder, group-name ASC puts
+    // "de" first, so de (floor 0) receives it
+    val many = ((1L to 7L).map(i => (i, "en")) ++ Seq((8L, "pt"), (9L, "pt"),
+      (10L, "de"))).map { case (i, l) => (i, l, "t") }.toDF("doc_id", "lang", "text")
+    val byLang = Corpus.quotaSample(many, "lang", "doc_id", 5L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang === Map("en" -> 3L, "pt" -> 1L, "de" -> 1L))
+    // budget beyond corpus: clamp returns everything, total falls short
+    assert(Corpus.quotaSample(many, "lang", "doc_id", 50L).count() === 10L)
+    intercept[IllegalArgumentException] {
+      Corpus.quotaSample(many, "lang", "doc_id", 0L)
+    }
+  }
+
   test("MisraGriesAggregator state stays bounded and keeps the guarantee") {
     val agg = new graft.functions.MisraGriesAggregator(3)
     // stream with a true majority item through reduce
