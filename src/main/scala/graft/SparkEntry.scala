@@ -1996,6 +1996,23 @@ object SparkEntry {
     Corpus.quotaSample(Tables.documents(s, d), "source", "doc_id", 100L)
       .select(col("doc_id"), col("source"))
 
+  /** §2b Unicode canonicalization (native codegen expressions): the corpus
+    * is ASCII, so decomposed accents are synthesized deterministically
+    * (e→e+U+0301, o→o+U+0308) on BOTH engines, then NFC-composed and
+    * accent-folded. n_raw > n_nfc for any doc containing e/o proves the
+    * normalization actually fired (non-vacuous); folded text must round-trip
+    * back to the original ASCII. */
+  private def q_unicode_norm(s: SparkSession, d: String): DataFrame = {
+    val dec = regexp_replace(regexp_replace(col("text"),
+      lit("e"), lit("e\u0301")), lit("o"), lit("o\u0308"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(dec).as("n_raw"),
+      length(TextFunctions.normalizeUnicode(dec)).as("n_nfc"),
+      md5(TextFunctions.normalizeUnicode(dec)).as("nfc_md5"),
+      md5(TextFunctions.foldAccents(dec)).as("folded_md5"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2187,6 +2204,7 @@ object SparkEntry {
     "q_jl_distortion" -> (q_jl_distortion _),
     "q_dp_mean" -> (q_dp_mean _),
     "q_quota_sample" -> (q_quota_sample _),
+    "q_unicode_norm" -> (q_unicode_norm _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -4943,5 +4961,18 @@ object SparkEntry {
          SELECT doc_id, source
          FROM ranked JOIN quota USING (source)
          WHERE rn <= q""",
+    "q_unicode_norm" ->
+      """WITH syn AS (
+           SELECT doc_id,
+                  regexp_replace(regexp_replace(text,
+                    'e', 'e' || chr(769), 'g'),
+                    'o', 'o' || chr(776), 'g') AS dec
+           FROM documents)
+         SELECT doc_id,
+                length(dec) AS n_raw,
+                length(nfc_normalize(dec)) AS n_nfc,
+                md5(nfc_normalize(dec)) AS nfc_md5,
+                md5(strip_accents(dec)) AS folded_md5
+         FROM syn""",
   )
 }

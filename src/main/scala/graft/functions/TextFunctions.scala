@@ -239,4 +239,17 @@ object TextFunctions {
     * shard-local content fingerprint for winnowing-style sketches. */
   def rollingHash(text: Column): Column =
     org.apache.spark.sql.graft.expressions.rollingHash(text)
+
+  /** Unicode normalization (native codegen expression; Spark has no
+    * built-in). Canonicalize BEFORE any fingerprint/shingle/dedup pass:
+    * precomposed vs decomposed renderings of the same visible text hash
+    * differently until normalized. Forms: NFC (default), NFD, NFKC, NFKD. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graft.expressions.unicodeNormalize(text, form)
+
+  /** Accent folding (NFD + drop combining marks, native expression):
+    * é→e, ü→u — accent-insensitive matching and fingerprints. Matches
+    * DuckDB `strip_accents` on Latin text. */
+  def foldAccents(text: Column): Column =
+    org.apache.spark.sql.graft.expressions.stripAccents(text)
 }

@@ -245,6 +245,88 @@ object expressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD via `java.text.Normalizer`)
+    * as a codegen'd expression — Spark has no built-in for this, yet it is
+    * the mandatory first step of any web-corpus canonicalization: the same
+    * visible text arrives precomposed from one crawler and decomposed from
+    * another, and every downstream fingerprint/shingle/dedup operator
+    * treats those byte sequences as different documents unless they are
+    * normalized first. Form is validated at construction (driver-side
+    * fail-fast), not per row. */
+  case class UnicodeNormalize(child: Expression, form: String)
+      extends UnaryExpression with ExpectsInputTypes {
+    private val normForm = java.text.Normalizer.Form.valueOf(form)
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_unicode_normalize"
+
+    override def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        input.asInstanceOf[UTF8String].toString, normForm))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val s = ctx.freshName("s")
+        s"""
+           |java.lang.String $s = java.text.Normalizer.normalize(
+           |  $c.toString(), java.text.Normalizer.Form.${normForm.name()});
+           |${ev.value} = UTF8String.fromString($s);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Accent folding: canonical-decompose (NFD) then drop combining marks
+    * (Unicode category Mn) — é→e, ü→u — leaving base letters for
+    * accent-insensitive matching, fingerprints and language-agnostic
+    * joins. Character-category loop, no regex engine in the row path.
+    * Matches DuckDB `strip_accents` on Latin text (both are
+    * decompose-and-drop-marks). */
+  case class StripAccents(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_strip_accents"
+
+    override def nullSafeEval(input: Any): Any = {
+      val d = java.text.Normalizer.normalize(
+        input.asInstanceOf[UTF8String].toString,
+        java.text.Normalizer.Form.NFD)
+      val sb = new java.lang.StringBuilder(d.length)
+      var i = 0
+      while (i < d.length) {
+        val ch = d.charAt(i)
+        if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
+        i += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val d = ctx.freshName("d"); val sb = ctx.freshName("sb")
+        val i = ctx.freshName("i"); val ch = ctx.freshName("ch")
+        s"""
+           |java.lang.String $d = java.text.Normalizer.normalize(
+           |  $c.toString(), java.text.Normalizer.Form.NFD);
+           |java.lang.StringBuilder $sb = new java.lang.StringBuilder($d.length());
+           |for (int $i = 0; $i < $d.length(); $i++) {
+           |  char $ch = $d.charAt($i);
+           |  if (java.lang.Character.getType($ch) !=
+           |      java.lang.Character.NON_SPACING_MARK) $sb.append($ch);
+           |}
+           |${ev.value} = UTF8String.fromString($sb.toString());
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // -------------------------------------------------------------- wrappers
 
   import org.apache.spark.sql.classic.ExpressionUtils
@@ -291,4 +373,10 @@ object expressions {
 
   def hammingDistance(a: Column, b: Column): Column =
     ExpressionUtils.column(HammingDistance64(toExpr(a), toExpr(b)))
+
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    ExpressionUtils.column(UnicodeNormalize(toExpr(c), form))
+
+  def stripAccents(c: Column): Column =
+    ExpressionUtils.column(StripAccents(toExpr(c)))
 }

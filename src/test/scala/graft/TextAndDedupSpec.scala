@@ -724,4 +724,40 @@ class TextAndDedupSpec extends SparkSuite {
     assert(g("skew").getDouble(3) === 0.166667)
     assert(g("mono").getLong(1) === 1L && g("mono").getDouble(3) === 0.0)
   }
+
+  test("normalizeUnicode composes decomposed text; NFKC folds compatibility forms") {
+    val d = Seq(
+      (1L, "cafe\u0301"),          // decomposed e + combining acute
+      (2L, "café"),           // precomposed é — already NFC
+      (3L, "ﬁle ①")      // ﬁ ligature + circled-1: NFKC-only folds
+    ).toDF("doc_id", "text")
+    val out = d.select($"doc_id",
+      TextFunctions.normalizeUnicode($"text").as("nfc"),
+      TextFunctions.normalizeUnicode($"text", "NFKC").as("nfkc"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 === "café", "NFC must compose e+U+0301 into é")
+    assert(out(2L)._1 === "café", "already-NFC text is unchanged")
+    assert(out(3L)._1 === "ﬁle ①", "NFC leaves compatibility forms")
+    assert(out(3L)._2 === "file 1", "NFKC folds ligature and circled digit")
+    // null flows through (nullIntolerant), bad form dies on the driver
+    val n = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+      .select(TextFunctions.normalizeUnicode($"text")).collect()
+    assert(n.head.isNullAt(0))
+    intercept[IllegalArgumentException] {
+      d.select(TextFunctions.normalizeUnicode($"text", "NFX")).collect()
+    }
+  }
+
+  test("foldAccents strips marks from precomposed AND decomposed input") {
+    val d = Seq(
+      (1L, "café naïve"),   // precomposed é, ï
+      (2L, "cafe\u0301 nai\u0308ve"), // decomposed equivalents
+      (3L, "plain ascii")).toDF("doc_id", "text")
+    val out = d.select($"doc_id", TextFunctions.foldAccents($"text").as("f"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "cafe naive")
+    assert(out(2L) === "cafe naive",
+      "both renderings must fold to the same base letters")
+    assert(out(3L) === "plain ascii")
+  }
 }
