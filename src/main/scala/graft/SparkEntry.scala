@@ -1996,6 +1996,23 @@ object SparkEntry {
     Corpus.quotaSample(Tables.documents(s, d), "source", "doc_id", 100L)
       .select(col("doc_id"), col("source"))
 
+  /** §2b cross-corpus fuzzy decontamination: corpus docs near-duplicating a
+    * benchmark set. The benchmark is synthesized deterministically — every
+    * 50th doc with each 7th token dropped (a paraphrase-ish edit that
+    * defeats exact n-gram contamination) and ids offset by 1e6 — so true
+    * near-dup pairs exist by construction at every SF. MinHash(16)-LSH(4×4)
+    * candidates, exact-Jaccard re-rank ≥ 0.5. */
+  private def q_fuzzy_contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept = filter(TextFunctions.tokens(col("text")),
+      (t: Column, i: Column) => (i + 1) % 7 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", kept).as("text"))
+    Dedup.crossLshContamination(docs, bench, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+  }
+
   /** §2b Unicode canonicalization (native codegen expressions): the corpus
     * is ASCII, so decomposed accents are synthesized deterministically
     * (e→e+U+0301, o→o+U+0308) on BOTH engines, then NFC-composed and
@@ -2205,6 +2222,7 @@ object SparkEntry {
     "q_dp_mean" -> (q_dp_mean _),
     "q_quota_sample" -> (q_quota_sample _),
     "q_unicode_norm" -> (q_unicode_norm _),
+    "q_fuzzy_contamination" -> (q_fuzzy_contamination _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -4974,5 +4992,45 @@ object SparkEntry {
                 md5(nfc_normalize(dec)) AS nfc_md5,
                 md5(strip_accents(dec)) AS folded_md5
          FROM syn""",
+    "q_fuzzy_contamination" ->
+      s"""WITH ctok AS (SELECT DISTINCT doc_id, UNNEST($duckTokens) AS token
+                        FROM documents),
+              bt AS (SELECT doc_id + 1000000 AS bench_id, $duckTokens AS toks
+                     FROM documents WHERE doc_id % 50 = 3),
+              btok AS (SELECT DISTINCT bench_id, toks[i] AS token
+                       FROM bt, UNNEST(generate_series(1, len(toks))) AS t(i)
+                       WHERE i % 7 <> 0),
+              csig AS (SELECT doc_id, seed,
+                         min(CAST(('0x' || substring(md5(seed || ':' || token), 1, 15))
+                             AS BIGINT)) AS min_hash
+                       FROM ctok, (SELECT UNNEST(generate_series(0, 15)) AS seed)
+                       GROUP BY doc_id, seed),
+              bsig AS (SELECT bench_id, seed,
+                         min(CAST(('0x' || substring(md5(seed || ':' || token), 1, 15))
+                             AS BIGINT)) AS min_hash
+                       FROM btok, (SELECT UNNEST(generate_series(0, 15)) AS seed)
+                       GROUP BY bench_id, seed),
+              cband AS (SELECT doc_id, seed // 4 AS band,
+                          md5(string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY seed))
+                            AS band_hash
+                        FROM csig GROUP BY doc_id, band),
+              bband AS (SELECT bench_id, seed // 4 AS band,
+                          md5(string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY seed))
+                            AS band_hash
+                        FROM bsig GROUP BY bench_id, band),
+              cand AS (SELECT DISTINCT c.doc_id, b.bench_id
+                       FROM cband c JOIN bband b USING (band, band_hash)),
+              na AS (SELECT doc_id, count(*) AS n_a FROM ctok GROUP BY 1),
+              nb AS (SELECT bench_id, count(*) AS n_b FROM btok GROUP BY 1),
+              inter AS (SELECT cand.doc_id, cand.bench_id, count(*) AS ni
+                        FROM cand
+                        JOIN ctok ON ctok.doc_id = cand.doc_id
+                        JOIN btok ON btok.bench_id = cand.bench_id
+                                 AND btok.token = ctok.token
+                        GROUP BY 1, 2)
+         SELECT i.doc_id, i.bench_id,
+                round(CAST(ni AS DOUBLE) / (n_a + n_b - ni), 6) AS jaccard
+         FROM inter i JOIN na USING (doc_id) JOIN nb USING (bench_id)
+         WHERE round(CAST(ni AS DOUBLE) / (n_a + n_b - ni), 6) >= 0.5""",
   )
 }

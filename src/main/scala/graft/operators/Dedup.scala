@@ -393,21 +393,81 @@ object Dedup {
     * callers re-rank with exact Jaccard. */
   def minHashLshCandidates(signatures: DataFrame, idCol: String,
                            bands: Int, rowsPerBand: Int): DataFrame = {
-    // Band hash must be computed over the min-hashes in SEED order (the
-    // signature is a vector indexed by seed, not a set): collect
-    // (seed, min_hash) structs, sort by seed, then hash the ordered values.
-    val banded = signatures
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(md5(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("seed"), col("min_hash")))),
-          s => s.getField("min_hash")))).as("band_hash"))
+    val banded = bandHashes(signatures, idCol, rowsPerBand)
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+  }
+
+  /** Per-document LSH band hashes from a MinHash signature relation.
+    * Band hash must be computed over the min-hashes in SEED order (the
+    * signature is a vector indexed by seed, not a set): collect
+    * (seed, min_hash) structs, sort by seed, then hash the ordered
+    * values. Shared by same-corpus candidate pairing and cross-corpus
+    * decontamination. */
+  private def bandHashes(signatures: DataFrame, idCol: String,
+                         rowsPerBand: Int): DataFrame =
+    signatures
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("seed"), col("min_hash")))),
+          s => s.getField("min_hash")))).as("band_hash"))
+
+  /** Cross-corpus fuzzy decontamination: flag corpus documents that are
+    * NEAR-duplicates of any benchmark/eval document — the fuzzy sibling of
+    * exact n-gram contamination, and the standard pre-training hygiene step
+    * (eval answers paraphrased or lightly edited into the training set
+    * evade exact n-gram checks). MinHash signatures on both sides (same
+    * portable token hashes), LSH band equi-join corpus×bench for
+    * candidates, then an exact token-Jaccard re-rank keeps pairs ≥
+    * `threshold`. Emits (corpus id, bench id, jaccard 6dp).
+    *
+    * Recall is the LSH collision curve 1-(1-s^r)^b, NOT 1 — deterministic
+    * (seeded md5), so reruns and the oracle agree exactly on which pairs
+    * surface. Shape: bench is the small side everywhere (a benchmark is
+    * thousands of docs vs billions in-corpus) — its bands and token sets
+    * broadcast; candidate volume ∝ band collisions, never |corpus|·|bench|;
+    * the exact re-rank touches only candidates. */
+  def crossLshContamination(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, textCol: String,
+                            numHashes: Int, rowsPerBand: Int,
+                            threshold: Double): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be in [0,1]: $threshold")
+    val cBand = bandHashes(
+      minHashSignatures(corpus, idCol, textCol, numHashes), idCol, rowsPerBand)
+    val bBand = bandHashes(
+      minHashSignatures(bench, idCol, textCol, numHashes), idCol, rowsPerBand)
+    val cand = cBand.select(col(idCol).as("__cid"), col("band"), col("band_hash"))
+      .join(broadcast(bBand.select(col(idCol).as("__bid"),
+        col("band"), col("band_hash"))), Seq("band", "band_hash"))
+      .select(col("__cid"), col("__bid"))
+      .distinct()
+    val cTok = tokenSets(corpus, idCol, textCol)
+      .select(col(idCol).as("__cid"), col("token"))
+    val bTok = tokenSets(bench, idCol, textCol)
+      .select(col(idCol).as("__bid"), col("token"))
+    val cSize = cTok.groupBy(col("__cid")).agg(count(lit(1)).as("__na"))
+    val bSize = bTok.groupBy(col("__bid")).agg(count(lit(1)).as("__nb"))
+    val inter = cand
+      .join(cTok, "__cid")
+      .join(broadcast(bTok), Seq("__bid", "token"))
+      .groupBy(col("__cid"), col("__bid"))
+      .agg(count(lit(1)).as("__ni"))
+    inter
+      .join(cSize, "__cid")
+      .join(broadcast(bSize), "__bid")
+      .withColumn("jaccard", round(col("__ni").cast("double") /
+        (col("__na") + col("__nb") - col("__ni")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__cid").as("doc_id"), col("__bid").as("bench_id"),
+        col("jaccard"))
   }
 
   /** SimHash near-duplicate pairs: block on `bands` equal-width bit bands

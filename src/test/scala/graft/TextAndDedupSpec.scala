@@ -725,6 +725,29 @@ class TextAndDedupSpec extends SparkSuite {
     assert(g("mono").getLong(1) === 1L && g("mono").getDouble(3) === 0.0)
   }
 
+  test("crossLshContamination flags reordered benchmark twin, skips unrelated") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different content about other things entirely now")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      // same token SET as doc 1 reordered → identical signatures, all
+      // bands collide, exact jaccard 1.0 — recall is structural, not luck
+      (900L, "theta eta zeta epsilon delta gamma beta alpha"),
+      (901L, "unrelated benchmark prompt nothing shared here whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossLshContamination(corpus, bench, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out === Set((1L, 900L, 1.0)))
+    intercept[IllegalArgumentException] {
+      Dedup.crossLshContamination(corpus, bench, "doc_id", "text", 16, 5, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.crossLshContamination(corpus, bench, "doc_id", "text", 16, 4, 1.5)
+    }
+  }
+
   test("normalizeUnicode composes decomposed text; NFKC folds compatibility forms") {
     val d = Seq(
       (1L, "cafe\u0301"),          // decomposed e + combining acute
