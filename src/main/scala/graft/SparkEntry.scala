@@ -1996,6 +1996,13 @@ object SparkEntry {
     Corpus.quotaSample(Tables.documents(s, d), "source", "doc_id", 100L)
       .select(col("doc_id"), col("source"))
 
+  /** §2b diversity coreset: greedy k-center (farthest-point) selection of 8
+    * maximally-spread exemplars from the embedding table; radius column =
+    * covering-distance bound at each pick. Oracle = 7 unrolled MATERIALIZED
+    * selection rounds. */
+  private def q_kcenter(s: SparkSession, d: String): DataFrame =
+    Similarity.kCenterSelect(Tables.embeddings(s, d), "vec_id", "embedding", 8)
+
   /** §2b cross-corpus fuzzy decontamination: corpus docs near-duplicating a
     * benchmark set. The benchmark is synthesized deterministically — every
     * 50th doc with each 7th token dropped (a paraphrase-ish edit that
@@ -2223,6 +2230,7 @@ object SparkEntry {
     "q_quota_sample" -> (q_quota_sample _),
     "q_unicode_norm" -> (q_unicode_norm _),
     "q_fuzzy_contamination" -> (q_fuzzy_contamination _),
+    "q_kcenter" -> (q_kcenter _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -2396,6 +2404,33 @@ object SparkEntry {
         JOIN cb c3 ON c3.code = a3.code
         CROSS JOIN q
         ORDER BY adc_dist ASC, e.vec_id ASC LIMIT 10"""
+  }
+
+  /** Generated k-center oracle: the greedy selection unrolled into k-1
+    * MATERIALIZED 1-row rounds (round r cross-joins all previously selected
+    * 1-row CTEs and takes the max of the 6dp-rounded min cosine distance,
+    * id tiebreak — exactly the engine's per-round argmax). MATERIALIZED is
+    * load-bearing: each round references every earlier round, so the
+    * non-materialized form inlines exponentially. */
+  private def kcenterOracleSql(k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      val prev = "c1" +: (2 until r).map(i => s"s$i")
+      val dists = prev.map(p => s"1.0 - ${duckCos("e.v", s"$p.v")}")
+      val body =
+        if (dists.size == 1) dists.head else s"least(${dists.mkString(", ")})"
+      s"""s$r AS MATERIALIZED (
+            SELECT e.vec_id, e.v, round($body, 6) AS d
+            FROM e, ${prev.mkString(", ")}
+            ORDER BY d DESC, e.vec_id ASC LIMIT 1)"""
+    }
+    val selects =
+      s"SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS radius FROM c1" +:
+        (2 to k).map(r => s"SELECT CAST($r AS BIGINT), vec_id, d FROM s$r")
+    s"""WITH e AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c1 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 1),
+        ${rounds.mkString(",\n        ")}
+        ${selects.mkString("\n        UNION ALL ")}"""
   }
 
   /** DuckDB cosine between two DOUBLE[] expressions (same formula as the
@@ -5032,5 +5067,6 @@ object SparkEntry {
                 round(CAST(ni AS DOUBLE) / (n_a + n_b - ni), 6) AS jaccard
          FROM inter i JOIN na USING (doc_id) JOIN nb USING (bench_id)
          WHERE round(CAST(ni AS DOUBLE) / (n_a + n_b - ni), 6) >= 0.5""",
+    "q_kcenter" -> kcenterOracleSql(8),
   )
 }

@@ -603,4 +603,46 @@ object Similarity {
       .orderBy(col("rrf_score").desc, col(idCol).asc)
       .limit(topN)
   }
+
+  /** Greedy k-center (farthest-point traversal) coreset selection: pick the
+    * lowest-id point as the seed, then k-1 times pick the point FARTHEST
+    * (max min-cosine-distance, 6dp-rounded, id tiebreak) from everything
+    * chosen so far — the classic 2-approximation to the k-center cover and
+    * the standard diversity-based data-pruning selector (a coreset of
+    * maximally-spread exemplars; the final radius bounds how far any corpus
+    * point is from its nearest exemplar). Emits (sel_rank, vec_id, radius):
+    * radius = the selected point's min-distance at selection time,
+    * monotonically non-increasing; null for the seed.
+    *
+    * Each round is one map-side scan (centers are inlined literals — no
+    * join, no shuffle) + a 1-row TakeOrdered; k driver collects of one row
+    * each, like the IVF centroid pattern. Round r evaluates r-1 cosines per
+    * point, so total work is O(n·k²/2) distance evals with NO cached
+    * intermediate state — at k ≲ 64 recomputation is far cheaper than
+    * checkpointing an n-row min-distance column every round. */
+  def kCenterSelect(embeddings: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val pts = embeddings.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).as("__v"))
+    val seed = pts.orderBy(col("__id").asc).limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "kCenterSelect: empty embeddings input"))
+    var cvecs = Vector(seed.getSeq[Float](1).map(_.toDouble))
+    var sel = Vector[(Long, Long, Option[Double])]((1L, seed.getLong(0), None))
+    for (r <- 2 to k) {
+      val dists = cvecs.map(cv => lit(1.0) -
+        VectorFunctions.cosineSimilarity(col("__v"), array(cv.map(lit): _*)))
+      val mind = round(
+        if (dists.size == 1) dists.head else least(dists: _*), 6)
+      val best = pts.select(col("__id"), col("__v"), mind.as("__mind"))
+        .orderBy(col("__mind").desc, col("__id").asc)
+        .limit(1).collect().head
+      cvecs :+= best.getSeq[Float](1).map(_.toDouble)
+      sel :+= ((r.toLong, best.getLong(0), Some(best.getDouble(2))))
+    }
+    sel.toDF("sel_rank", "vec_id", "radius")
+  }
 }

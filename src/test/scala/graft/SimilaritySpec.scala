@@ -406,4 +406,27 @@ class SimilaritySpec extends SparkSuite {
     val row3 = out.find(_.getLong(0) === 3L).get
     assert(row3.isNullAt(2) && row3.getLong(3) === 2L)
   }
+
+  test("kCenterSelect: farthest-point order and covering radii, hand-checked") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),     // seed (lowest id)
+      (1L, Array(0.0f, 1.0f)),     // cosine dist 1.0 from seed
+      (2L, Array(1.0f, 0.01f)),    // ~0.00005 from seed
+      (3L, Array(-1.0f, 0.0f))     // dist 2.0 from seed — farthest
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterSelect(e, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(out === Seq(
+      (1L, 0L, None),              // seed, no radius
+      (2L, 3L, Some(2.0)),         // antipode first
+      (3L, 1L, Some(1.0)),         // orthogonal next
+      (4L, 2L, Some(5.0e-5))))     // near-dup of the seed last
+    // radius is monotonically non-increasing across picks
+    val radii = out.flatMap(_._3)
+    assert(radii === radii.sorted.reverse)
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterSelect(e.filter($"vec_id" < 0), "vec_id", "embedding", 2)
+    }
+  }
 }
