@@ -1996,6 +1996,15 @@ object SparkEntry {
     Corpus.quotaSample(Tables.documents(s, d), "source", "doc_id", 100L)
       .select(col("doc_id"), col("source"))
 
+  /** §2b DSIR targeted selection: resample 50 docs whose hashed-token
+    * distribution is closest to the src0 domain (64 hashed buckets,
+    * Laplace-smoothed log-ratio scoring, deterministic Gumbel-top-k). */
+  private def q_dsir_select(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalytics.dsirSelect(docs, docs.filter(col("source") === "src0"),
+      "doc_id", "text", buckets = 64, nSelect = 50)
+  }
+
   /** §2b diversity coreset: greedy k-center (farthest-point) selection of 8
     * maximally-spread exemplars from the embedding table; radius column =
     * covering-distance bound at each pick. Oracle = 7 unrolled MATERIALIZED
@@ -2231,6 +2240,7 @@ object SparkEntry {
     "q_unicode_norm" -> (q_unicode_norm _),
     "q_fuzzy_contamination" -> (q_fuzzy_contamination _),
     "q_kcenter" -> (q_kcenter _),
+    "q_dsir_select" -> (q_dsir_select _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -5068,5 +5078,35 @@ object SparkEntry {
          FROM inter i JOIN na USING (doc_id) JOIN nb USING (bench_id)
          WHERE round(CAST(ni AS DOUBLE) / (n_a + n_b - ni), 6) >= 0.5""",
     "q_kcenter" -> kcenterOracleSql(8),
+    "q_dsir_select" ->
+      s"""WITH rocc AS (SELECT doc_id,
+                          CAST(('0x' || substring(md5('0:' || token), 1, 15))
+                               AS BIGINT) % 64 AS b
+                        FROM (SELECT doc_id, UNNEST($duckTokens) AS token
+                              FROM documents)),
+              tocc AS (SELECT doc_id,
+                         CAST(('0x' || substring(md5('0:' || token), 1, 15))
+                              AS BIGINT) % 64 AS b
+                       FROM (SELECT doc_id, UNNEST($duckTokens) AS token
+                             FROM documents WHERE source = 'src0')),
+              rcnt AS (SELECT b, count(*) AS c_r FROM rocc GROUP BY 1),
+              tcnt AS (SELECT b, count(*) AS c_t FROM tocc GROUP BY 1),
+              tot AS (SELECT (SELECT count(*) FROM rocc) AS t_r,
+                             (SELECT count(*) FROM tocc) AS t_t),
+              stats AS (SELECT rcnt.b,
+                          ln(CAST(coalesce(c_t, 0) + 1 AS DOUBLE) / (t_t + 64))
+                        - ln(CAST(c_r + 1 AS DOUBLE) / (t_r + 64)) AS lr
+                        FROM rcnt LEFT JOIN tcnt USING (b), tot),
+              sc AS (SELECT doc_id, avg(lr) AS s FROM rocc
+                     JOIN stats USING (b) GROUP BY 1),
+              keyed AS (SELECT doc_id, s,
+                          round(s - ln(-ln(greatest(
+                            CAST(('0x' || substring(md5('dsir:' ||
+                              CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                              / 4294967296.0,
+                            1.0 / 4294967296.0))), 6) AS sel_key
+                        FROM sc)
+         SELECT doc_id, round(s, 6) AS score, sel_key
+         FROM keyed ORDER BY sel_key DESC, doc_id ASC LIMIT 50""",
   )
 }

@@ -660,4 +660,62 @@ object TextAnalytics {
             - (col("vocab") + 1).cast("double") / col("vocab").cast("double"),
           roundScale).as("gini"))
   }
+
+  /** DSIR-style targeted selection (public method: Xie et al., "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023): score every raw document by how much more likely its hashed
+    * token features are under the TARGET distribution than the raw one,
+    * then resample by score with Gumbel-top-k — selecting a raw subset
+    * that is token-distributed like the target domain without training a
+    * classifier.
+    *
+    * Features = portable-md5 token hash mod `buckets` (hashed n-gram
+    * buckets); both distributions are Laplace-smoothed over the bucket
+    * domain; doc score = mean per-occurrence log-ratio (length-normalized).
+    * Gumbel keys use the engine-portable [[Corpus.hashUnit]] — the
+    * Gumbel-max trick makes top-k(score+g) a sample without replacement
+    * ∝ softmax(score), but DETERMINISTIC: reruns, engines and cluster
+    * sizes agree row-for-row (the same rerun-invariance contract as
+    * [[Corpus.stratifiedSample]]).
+    *
+    * Shape: two token-count aggregates (bucket-domain-sized, ≪ vocab), a
+    * broadcast stats join back onto occurrences, one per-doc aggregate,
+    * TakeOrdered(nSelect) — no shuffle beyond the aggregates, no driver
+    * loop, no model training. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, buckets: Int, nSelect: Int,
+                 salt: String = "dsir"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    require(nSelect >= 1, s"nSelect must be >= 1: $nSelect")
+    def occ(df: DataFrame) = df
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .select(col(idCol),
+        pmod(TextFunctions.portableHash(col("token"), 0), lit(buckets)).as("b"))
+    val rawOcc = occ(raw)
+    val tgtOcc = occ(target)
+    val rawCnt = rawOcc.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+    val tgtCnt = tgtOcc.groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+    val totals = rawOcc.agg(count(lit(1)).as("t_r"))
+      .crossJoin(tgtOcc.agg(count(lit(1)).as("t_t")))
+    // every scored occurrence's bucket appears in rawCnt by construction;
+    // buckets unseen in the target get c_t = 0 and live off the smoothing
+    val stats = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .select(col("b"), col("c_r"), coalesce(col("c_t"), lit(0L)).as("c_t"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__lr",
+        log((col("c_t") + 1).cast("double") / (col("t_t") + buckets).cast("double"))
+          - log((col("c_r") + 1).cast("double") / (col("t_r") + buckets).cast("double")))
+      .select(col("b"), col("__lr"))
+    val scored = rawOcc
+      .join(broadcast(stats), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(avg(col("__lr")).as("__score"))
+    val u = greatest(Corpus.hashUnit(col(idCol), salt), lit(1.0 / 4294967296.0))
+    scored
+      .withColumn("sel_key", round(col("__score") - log(-log(u)), 6))
+      .withColumn("score", round(col("__score"), 6))
+      .orderBy(col("sel_key").desc, col(idCol).asc)
+      .limit(nSelect)
+      .select(col(idCol), col("score"), col("sel_key"))
+  }
 }

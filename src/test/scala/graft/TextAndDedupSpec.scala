@@ -725,6 +725,46 @@ class TextAndDedupSpec extends SparkSuite {
     assert(g("mono").getLong(1) === 1L && g("mono").getDouble(3) === 0.0)
   }
 
+  test("dsirSelect: hand-mirrored log-ratio scores and Gumbel keys; deterministic") {
+    import graft.operators.TextAnalytics
+    val raw = Seq((1L, "aa aa aa"), (2L, "bb")).toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" === 1L)
+    val out = TextAnalytics.dsirSelect(raw, target, "doc_id", "text",
+      buckets = 64, nSelect = 2)
+      .as[(Long, Double, Double)].collect().toSeq
+    // mirror the whole computation with the same portable md5 hashes
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(t: String): Long =
+      java.lang.Long.parseLong(md5hex(s"0:$t").substring(0, 15), 16) % 64
+    val occR = Seq("aa", "aa", "aa", "bb").map(bucket)
+    val occT = Seq("aa", "aa", "aa").map(bucket)
+    val cR = occR.groupBy(identity).view.mapValues(_.size).toMap
+    val cT = occT.groupBy(identity).view.mapValues(_.size).toMap
+    def lr(b: Long): Double =
+      math.log((cT.getOrElse(b, 0) + 1.0) / (occT.size + 64)) -
+        math.log((cR(b) + 1.0) / (occR.size + 64))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def key(id: Long, score: Double): Double = {
+      val u0 = java.lang.Long.parseLong(
+        md5hex(s"dsir:$id").substring(0, 8), 16) / 4294967296.0
+      r6(score - math.log(-math.log(math.max(u0, 1.0 / 4294967296.0))))
+    }
+    val s1 = lr(bucket("aa")); val s2 = lr(bucket("bb"))
+    val expect = Seq(
+      (1L, r6(s1), key(1L, s1)), (2L, r6(s2), key(2L, s2)))
+      .sortBy(t => (-t._3, t._1))
+    assert(out === expect)
+    // rerun-invariant
+    assert(TextAnalytics.dsirSelect(raw, target, "doc_id", "text", 64, 2)
+      .as[(Long, Double, Double)].collect().toSeq === out)
+    intercept[IllegalArgumentException] {
+      TextAnalytics.dsirSelect(raw, target, "doc_id", "text", 1, 2)
+    }
+  }
+
   test("crossLshContamination flags reordered benchmark twin, skips unrelated") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
