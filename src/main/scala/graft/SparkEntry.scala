@@ -1996,6 +1996,21 @@ object SparkEntry {
     Corpus.quotaSample(Tables.documents(s, d), "source", "doc_id", 100L)
       .select(col("doc_id"), col("source"))
 
+  /** §2b MMR diversified re-rank: top-20 cosine pool for query vec_id=0,
+    * greedily ordered by λ·relevance − (1−λ)·max-sim-to-selected (λ=0.7,
+    * k=10) — the redundancy-aware retrieval step. Oracle = unrolled
+    * MATERIALIZED greedy rounds over the same pool. */
+  private def q_mmr_rerank(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .limit(1).collect().headOption
+      .getOrElse(sys.error(
+        s"q_mmr_rerank: embeddings at $d must contain query vector vec_id=0"))
+      .getSeq[Float](0).map(_.toDouble).toSeq
+    Similarity.mmrRerank(emb, "vec_id", "embedding", qv,
+      poolSize = 20, k = 10, lambda = 0.7)
+  }
+
   /** §2b DSIR targeted selection: resample 50 docs whose hashed-token
     * distribution is closest to the src0 domain (64 hashed buckets,
     * Laplace-smoothed log-ratio scoring, deterministic Gumbel-top-k). */
@@ -2241,6 +2256,7 @@ object SparkEntry {
     "q_fuzzy_contamination" -> (q_fuzzy_contamination _),
     "q_kcenter" -> (q_kcenter _),
     "q_dsir_select" -> (q_dsir_select _),
+    "q_mmr_rerank" -> (q_mmr_rerank _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -2439,6 +2455,40 @@ object SparkEntry {
     s"""WITH e AS MATERIALIZED (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         c1 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 1),
+        ${rounds.mkString(",\n        ")}
+        ${selects.mkString("\n        UNION ALL ")}"""
+  }
+
+  /** Generated MMR oracle: pool = top-`pool` by 6dp relevance, then k-1
+    * unrolled MATERIALIZED greedy rounds. `(1.0 - λ)` is computed IN SQL
+    * (not pre-evaluated) so both engines run the identical double
+    * subtraction — 1.0-0.7 ≠ the literal 0.3 in IEEE doubles. */
+  private def mmrOracleSql(pool: Int, k: Int, lambda: Double): String = {
+    val rounds = (2 to k).map { r =>
+      val prev = (1 until r).map(i => s"m$i")
+      val sims = prev.map(p => s"round(${duckCos("p.v", s"$p.v")}, 6)")
+      val ms = if (sims.size == 1) sims.head
+               else s"greatest(${sims.mkString(", ")})"
+      val excl = prev.map(p => s"p.vec_id <> $p.vec_id").mkString(" AND ")
+      s"""m$r AS MATERIALIZED (
+            SELECT p.vec_id, p.v, p.rel,
+                   round($lambda * p.rel - (1.0 - $lambda) * $ms, 6) AS sc
+            FROM pool p, ${prev.mkString(", ")}
+            WHERE $excl
+            ORDER BY sc DESC, p.vec_id ASC LIMIT 1)"""
+    }
+    val selects =
+      s"SELECT CAST(1 AS BIGINT) AS mmr_rank, vec_id, rel AS relevance, CAST(NULL AS DOUBLE) AS mmr_score FROM m1" +:
+        (2 to k).map(r => s"SELECT CAST($r AS BIGINT), vec_id, rel, sc FROM m$r")
+    s"""WITH e AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        qv AS MATERIALIZED (SELECT v AS q FROM e WHERE vec_id = 0),
+        pool AS MATERIALIZED (
+          SELECT e.vec_id, e.v, round(${duckCos("e.v", "qv.q")}, 6) AS rel
+          FROM e, qv ORDER BY rel DESC, e.vec_id ASC LIMIT $pool),
+        m1 AS MATERIALIZED (
+          SELECT vec_id, v, rel FROM pool
+          ORDER BY rel DESC, vec_id ASC LIMIT 1),
         ${rounds.mkString(",\n        ")}
         ${selects.mkString("\n        UNION ALL ")}"""
   }
@@ -5078,6 +5128,7 @@ object SparkEntry {
          FROM inter i JOIN na USING (doc_id) JOIN nb USING (bench_id)
          WHERE round(CAST(ni AS DOUBLE) / (n_a + n_b - ni), 6) >= 0.5""",
     "q_kcenter" -> kcenterOracleSql(8),
+    "q_mmr_rerank" -> mmrOracleSql(20, 10, 0.7),
     "q_dsir_select" ->
       s"""WITH rocc AS (SELECT doc_id,
                           CAST(('0x' || substring(md5('0:' || token), 1, 15))

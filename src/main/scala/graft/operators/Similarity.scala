@@ -604,6 +604,70 @@ object Similarity {
       .limit(topN)
   }
 
+  /** MMR re-ranking (Carbonell & Goldstein, SIGIR'98): greedily order the
+    * top-`poolSize` retrieval candidates balancing relevance against
+    * redundancy — pick r maximizes λ·rel(c) − (1−λ)·max_{s∈selected}
+    * sim(c,s) — the standard diversified-retrieval step after a dense
+    * top-k (dedup-aware RAG context assembly). First pick = pure argmax
+    * relevance (mmr_score null); every cosine and every MMR score is
+    * 6dp-rounded before ranking with id tiebreaks, so the greedy
+    * trajectory is engine-deterministic.
+    *
+    * Shape: candidate generation is the distributed part (one scan +
+    * TakeOrdered(poolSize)); the greedy loop runs on the collected pool —
+    * a bounded tiny-collect (≤ poolSize rows, like the centroid/plane
+    * literals), NOT a corpus collect; O(poolSize²) driver arithmetic. */
+  def mmrRerank(embeddings: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Double], poolSize: Int, k: Int,
+                lambda: Double): DataFrame = {
+    require(poolSize >= k && k >= 1,
+      s"need poolSize >= k >= 1: $poolSize/$k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0,1]: $lambda")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = array(query.map(lit): _*)
+    val pool = embeddings
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+        round(VectorFunctions.cosineSimilarity(col(vecCol), q), 6).as("__rel"))
+      .orderBy(col("__rel").desc, col("__id").asc)
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getDouble(2)))
+    // driver cosine mirrors the native expression: left-assoc double loop
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var remaining = pool.toVector
+    var selected = Vector.empty[(Long, Array[Double], Double, Option[Double])]
+    for (r <- 1 to math.min(k, pool.length)) {
+      val pick =
+        if (r == 1) {
+          val p = remaining.maxBy(c => (c._3, -c._1))
+          (p._1, p._2, p._3, Option.empty[Double])
+        } else {
+          val scored = remaining.map { c =>
+            val ms = selected.map(s => r6(cos(c._2, s._2))).max
+            (c, r6(lambda * c._3 - (1.0 - lambda) * ms))
+          }
+          val (p, sc) = scored.maxBy { case (c, sc) => (sc, -c._1) }
+          (p._1, p._2, p._3, Some(sc))
+        }
+      selected :+= pick
+      remaining = remaining.filterNot(_._1 == pick._1)
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, rel, sc), i) => (i + 1L, id, rel, sc) }
+      .toDF("mmr_rank", "vec_id", "relevance", "mmr_score")
+  }
+
   /** Greedy k-center (farthest-point traversal) coreset selection: pick the
     * lowest-id point as the seed, then k-1 times pick the point FARTHEST
     * (max min-cosine-distance, 6dp-rounded, id tiebreak) from everything

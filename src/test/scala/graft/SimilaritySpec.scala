@@ -407,6 +407,37 @@ class SimilaritySpec extends SparkSuite {
     assert(row3.isNullAt(2) && row3.getLong(3) === 2L)
   }
 
+  test("mmrRerank: redundancy penalty reorders a near-dup below a diverse hit") {
+    // query = x-axis; 1 and 2 are a near-dup pair ABOVE the axis, 3 is
+    // the mirror-image hit BELOW it (same relevance as 2 but far from 1).
+    // Pure relevance ranks (1, 2, 3) — 2 beats 3 only on id tiebreak;
+    // MMR round 2 scores: cand 2 ≈ .5·0.894 − .5·0.99995 < 0 while
+    // cand 3 ≈ .5·0.894 − .5·0.607 > 0 → order (1, 3, 2).
+    val e = Seq(
+      (1L, Array(0.9f, 0.44f)),
+      (2L, Array(0.9f, 0.45f)),      // near-dup of 1
+      (3L, Array(0.9f, -0.45f))      // mirror image: diverse, same rel as 2
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(e, "vec_id", "embedding",
+      Seq(1.0, 0.0), poolSize = 3, k = 3, lambda = 0.5)
+      .collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 3L, 2L),
+      "near-dup must be demoted below the diverse equally-relevant hit")
+    // seed row carries no mmr_score; later rows do, and the demoted
+    // near-dup's score is negative (penalty exceeds relevance share)
+    assert(out.head.isNullAt(3) && out.tail.forall(!_.isNullAt(3)))
+    assert(out(1).getDouble(3) > 0 && out(2).getDouble(3) < 0)
+    // k clamps to pool when fewer candidates exist
+    assert(Similarity.mmrRerank(e, "vec_id", "embedding",
+      Seq(1.0, 0.0), 10, 10, 0.5).count() === 3)
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(e, "vec_id", "embedding", Seq(1.0, 0.0), 2, 4, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(e, "vec_id", "embedding", Seq(1.0, 0.0), 4, 2, 1.5)
+    }
+  }
+
   test("kCenterSelect: farthest-point order and covering radii, hand-checked") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)),     // seed (lowest id)
