@@ -750,6 +750,24 @@ object SparkEntry {
     Similarity.recallAtK(exact, approx, "query_id", "vec_id")
   }
 
+  /** §2b NDCG@10 + MRR ranking eval: same exact-vs-IVF setup as
+    * q_ann_recall, but graded — rel = 11 − exact_rank, gain 2^rel−1,
+    * dyadic-snapped discounts — so it reports WHERE the true neighbors
+    * landed in the ANN list, not just how many survived. */
+  private def q_ndcg(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopKMulti(
+      emb, "vec_id", "embedding", queries, "query_id", "qv", 10)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+    val approx = Similarity.ivfTopKMulti(assigned, "vec_id", "embedding",
+      cents, queries, "query_id", "qv", 10, 2)
+    Similarity.ndcgAtK(exact, approx, "query_id", "vec_id", "rnk", 10)
+  }
+
   /** §2b lexical-diversity signals: unigram entropy + type-token ratio. */
   private def q_token_entropy(s: SparkSession, d: String): DataFrame =
     TextAnalytics.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
@@ -2143,6 +2161,7 @@ object SparkEntry {
     "q_ivf_trained" -> (q_ivf_trained _),
     "q_semantic_dedup" -> (q_semantic_dedup _),
     "q_ann_recall" -> (q_ann_recall _),
+    "q_ndcg" -> (q_ndcg _),
     "q_token_entropy" -> (q_token_entropy _),
     "q_iqr_outliers" -> (q_iqr_outliers _),
     "q_keep_best" -> (q_keep_best _),
@@ -2491,6 +2510,64 @@ object SparkEntry {
           ORDER BY rel DESC, vec_id ASC LIMIT 1),
         ${rounds.mkString(",\n        ")}
         ${selects.mkString("\n        UNION ALL ")}"""
+  }
+
+  /** Generated NDCG oracle: the q_ann_recall exact/IVF CTEs with ranks
+    * kept, then gain/discount CASE chains built from the SAME dyadic
+    * constants as [[Similarity.ndcgDiscounts]] — every contribution is
+    * an exact multiple of 2⁻²⁰, so the per-query sums match Spark's
+    * bit-for-bit regardless of aggregation order. */
+  private def ndcgOracleSql(k: Int): String = {
+    val discs = operators.Similarity.ndcgDiscounts(k)
+    def discCase(pos: String): String =
+      s"CASE $pos " + (1 to k).map(i =>
+        s"WHEN $i THEN CAST(${new java.math.BigDecimal(discs(i - 1)).toPlainString} AS DOUBLE)")
+        .mkString(" ") + " END"
+    def gainCase(rn: String): String =
+      s"COALESCE(CASE $rn " + (1 to k).map(i =>
+        s"WHEN $i THEN ${(1L << (k + 1 - i)) - 1}").mkString(" ") +
+        " END, 0)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+            ex AS (SELECT query_id, vec_id, rn FROM (
+               SELECT q.query_id, e.vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY q.query_id
+                        ORDER BY round(${duckCos("e.v", "q.qv")}, 6) DESC, e.vec_id) AS rn
+               FROM q, e WHERE e.vec_id <> q.query_id) WHERE rn <= $k),
+            asg AS (SELECT vec_id, v, cent_id AS cell FROM (
+               SELECT e.vec_id, e.v, c.cent_id,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cent_id) AS rn
+               FROM e, c) WHERE rn = 1),
+            probe AS (SELECT query_id, cell FROM (
+               SELECT q.query_id, c.cent_id AS cell,
+                      ROW_NUMBER() OVER (PARTITION BY q.query_id
+                        ORDER BY round(${duckCos("c.cv", "q.qv")}, 6) DESC, c.cent_id) AS rn
+               FROM q, c) WHERE rn <= 2),
+            ap AS (SELECT query_id, vec_id, rn FROM (
+               SELECT p.query_id, a.vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY p.query_id
+                        ORDER BY round(${duckCos("a.v", "q.qv")}, 6) DESC, a.vec_id) AS rn
+               FROM probe p JOIN asg a ON a.cell = p.cell
+                            JOIN q ON q.query_id = p.query_id
+               WHERE a.vec_id <> p.query_id) WHERE rn <= $k),
+            g AS (SELECT a.query_id, a.rn AS pos,
+                         ${gainCase("x.rn")} AS gain
+                  FROM ap a LEFT JOIN ex x
+                    ON a.query_id = x.query_id AND a.vec_id = x.vec_id),
+            dc AS (SELECT query_id,
+                          sum(gain * ${discCase("pos")}) AS dcg,
+                          min(CASE WHEN gain > 0 THEN pos END) AS first_hit
+                   FROM g GROUP BY 1),
+            ic AS (SELECT query_id,
+                          sum(${gainCase("rn")} * ${discCase("rn")}) AS idcg
+                   FROM ex GROUP BY 1)
+       SELECT d.query_id, round(d.dcg, 6) AS dcg, round(i.idcg, 6) AS idcg,
+              round(d.dcg / i.idcg, 6) AS ndcg,
+              CAST(d.first_hit AS BIGINT) AS first_hit,
+              round(1.0 / d.first_hit, 6) AS rr
+       FROM dc d JOIN ic i USING (query_id)"""
   }
 
   /** DuckDB cosine between two DOUBLE[] expressions (same formula as the
@@ -5129,6 +5206,7 @@ object SparkEntry {
          WHERE round(CAST(ni AS DOUBLE) / (n_a + n_b - ni), 6) >= 0.5""",
     "q_kcenter" -> kcenterOracleSql(8),
     "q_mmr_rerank" -> mmrOracleSql(20, 10, 0.7),
+    "q_ndcg" -> ndcgOracleSql(10),
     "q_dsir_select" ->
       s"""WITH rocc AS (SELECT doc_id,
                           CAST(('0x' || substring(md5('0:' || token), 1, 15))

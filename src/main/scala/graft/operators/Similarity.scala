@@ -355,6 +355,69 @@ object Similarity {
           .as("recall"))
   }
 
+  /** DCG position discounts 1/log2(i+1) for i = 1..k, SNAPPED to the
+    * nearest multiple of 2⁻²⁰. Snapping makes every DCG contribution
+    * (integer gain × dyadic discount) an exact dyadic rational far below
+    * the 53-bit mantissa, so per-query sums are order-independent and
+    * the same literals ship verbatim into the harness oracle — no libm
+    * log2 runs inside either engine's plan. */
+  private[graft] def ndcgDiscounts(k: Int): Seq[Double] = {
+    val scale = (1 << 20).toDouble
+    (1 to k).map { i =>
+      math.rint(scale * math.log(2.0) / math.log(i + 1.0)) / scale
+    }
+  }
+
+  /** NDCG@k + reciprocal rank of an approximate rank list judged against
+    * the exact one (the standard graded retrieval eval: Järvelin &
+    * Kekäläinen, TOIS'02). Relevance is derived from the exact ranking —
+    * rel(item) = k+1 − exact_rank for members of the exact top-k, else 0
+    * — gain = 2^rel − 1, discount_i = [[ndcgDiscounts]]. IDCG re-scores
+    * the exact list in its own (ideal) order, so ndcg ∈ [0,1] measures
+    * pure rank degradation of the ANN list. `first_hit` / `rr` add the
+    * MRR readout (reciprocal rank of the first relevant item).
+    *
+    * Inputs are any two rank lists sharing (query, id, rank) columns —
+    * the same contract as [[recallAtK]], which this refines: recall says
+    * how many exact neighbors survived, NDCG says where they landed.
+    *
+    * Scale shape: one (query,id) equi-join + two tiny aggregates — rows
+    * ∝ queries × k, never corpus-sized. */
+  def ndcgAtK(exact: DataFrame, approx: DataFrame, queryCol: String,
+              idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val darr = array(ndcgDiscounts(k).map(lit): _*)
+    val gainArr = array((1 to k).map(rel => lit((1L << rel) - 1L)): _*)
+    val ex = exact.select(col(queryCol).as("query_id"),
+      col(idCol).as("__id"), col(rankCol).cast("int").as("__xrn"))
+    val ap = approx.select(col(queryCol).as("query_id"),
+      col(idCol).as("__id"), col(rankCol).cast("int").as("__pos"))
+    // NOTE: guard with when(isNull), not coalesce(element_at(..), 0) —
+    // ANSI element_at over a non-nullable-element literal array is deemed
+    // non-nullable, the optimizer elides the coalesce, and the join-miss
+    // NULL index then reads a garbage slot at runtime.
+    val graded = ap.join(ex, Seq("query_id", "__id"), "left")
+      .select(col("query_id"), col("__pos"),
+        when(col("__xrn").isNull, lit(0L))
+          .otherwise(element_at(gainArr, lit(k + 1) - col("__xrn")))
+          .as("__gain"))
+    val dcg = graded.groupBy(col("query_id")).agg(
+      sum(col("__gain").cast("double") * element_at(darr, col("__pos")))
+        .as("__dcg"),
+      min(when(col("__gain") > 0, col("__pos"))).cast("long")
+        .as("first_hit"))
+    val idcg = ex.groupBy(col("query_id")).agg(
+      sum(element_at(gainArr, lit(k + 1) - col("__xrn")).cast("double")
+        * element_at(darr, col("__xrn"))).as("__idcg"))
+    dcg.join(idcg, Seq("query_id"))
+      .select(col("query_id"),
+        round(col("__dcg"), 6).as("dcg"),
+        round(col("__idcg"), 6).as("idcg"),
+        round(col("__dcg") / col("__idcg"), 6).as("ndcg"),
+        col("first_hit"),
+        round(lit(1.0) / col("first_hit"), 6).as("rr"))
+  }
+
   /** Mean intra-class pairwise cosine per label WITHOUT materializing a
     * single pair: for L2-normalized vectors,
     * Σ_{i≠j} u_i·u_j = ‖Σ u‖² − n, so the class-cohesion average is

@@ -438,6 +438,34 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("ndcgAtK: graded demotion hand-check; perfect ranking scores exactly 1") {
+    // q7: exact top-3 = (1,2,3); approx puts the weakest hit first, drops
+    // item 2 for an irrelevant item 4. q8: approx misses entirely.
+    val exact = Seq((7L, 1L, 1L), (7L, 2L, 2L), (7L, 3L, 3L), (8L, 5L, 1L))
+      .toDF("query_id", "vec_id", "rnk")
+    val approx = Seq((7L, 3L, 1L), (7L, 1L, 2L), (7L, 4L, 3L), (8L, 6L, 1L))
+      .toDF("query_id", "vec_id", "rnk")
+    val out = Similarity.ndcgAtK(exact, approx, "query_id", "vec_id", "rnk", 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d = Similarity.ndcgDiscounts(3)
+    assert(d(0) === 1.0 && d(2) === 0.5, "log2(2) and log2(4) discounts are exact")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // rel: item1→3 (gain 7), item2→2 (gain 3), item3→1 (gain 1)
+    val dcg = 1.0 * d(0) + 7.0 * d(1)
+    val idcg = 7.0 * d(0) + 3.0 * d(1) + 1.0 * d(2)
+    val q7 = out(7L)
+    assert(q7.getDouble(1) === r6(dcg) && q7.getDouble(2) === r6(idcg))
+    assert(q7.getDouble(3) === r6(dcg / idcg))
+    assert(q7.getLong(4) === 1L && q7.getDouble(5) === 1.0)
+    // total miss: zero DCG, null first_hit/rr
+    val q8 = out(8L)
+    assert(q8.getDouble(3) === 0.0 && q8.isNullAt(4) && q8.isNullAt(5))
+    // approx == exact must score EXACTLY 1 (dyadic sums are bit-equal)
+    val perfect = Similarity.ndcgAtK(exact, exact, "query_id", "vec_id", "rnk", 3)
+      .collect().map(r => r.getDouble(3))
+    assert(perfect.forall(_ === 1.0))
+  }
+
   test("kCenterSelect: farthest-point order and covering radii, hand-checked") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)),     // seed (lowest id)
