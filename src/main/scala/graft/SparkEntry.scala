@@ -1115,6 +1115,18 @@ object SparkEntry {
       Seq("c_mktsegment", "c_nationkey", "acctbal_band"), 3)
   }
 
+  /** §2b distinct l-diversity audit: same quasi-identifiers as
+    * q_kanonymity, acctbal band as the sensitive attribute — every
+    * (segment, nation) group with its distinct-band count and the l=4
+    * diversity flag (homogeneity-attack risk readout). */
+  private def q_ldiversity(s: SparkSession, d: String): DataFrame = {
+    val staged = Tables.customer(s, d).select(col("c_mktsegment"),
+      col("c_nationkey"),
+      floor(col("c_acctbal") / 1000).cast("long").as("acctbal_band"))
+    ColumnHygiene.lDiversity(staged,
+      Seq("c_mktsegment", "c_nationkey"), "acctbal_band", 4)
+  }
+
   /** §2b Z-order layout key: Morton interleave of (l_partkey, l_suppkey),
     * the two-dimensional data-skipping sort key behind Sinks.writeZOrdered
     * — per-row bit arithmetic, zero shuffle. */
@@ -2209,6 +2221,7 @@ object SparkEntry {
     "q_bm25" -> (q_bm25 _),
     "q_dup_spans" -> (q_dup_spans _),
     "q_kanonymity" -> (q_kanonymity _),
+    "q_ldiversity" -> (q_ldiversity _),
     "q_zorder_key" -> (q_zorder_key _),
     "q_quality_classifier" -> (q_quality_classifier _),
     "q_pagerank" -> (q_pagerank _),
@@ -3953,6 +3966,15 @@ object SparkEntry {
          FROM customer
          GROUP BY c_mktsegment, c_nationkey, acctbal_band
          HAVING COUNT(*) < 3""",
+    "q_ldiversity" ->
+      """SELECT c_mktsegment, c_nationkey,
+                CAST(COUNT(*) AS BIGINT) AS group_size,
+                CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                     AS BIGINT) AS n_sensitive,
+                COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 4
+                  AS is_diverse
+         FROM customer
+         GROUP BY c_mktsegment, c_nationkey""",
     "q_zorder_key" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                  CAST(${mortonSql("l_partkey", "l_suppkey")} AS BIGINT) AS zkey

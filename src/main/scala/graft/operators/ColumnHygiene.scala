@@ -198,6 +198,29 @@ object ColumnHygiene {
       .filter(col("group_size") < k)
   }
 
+  /** Distinct l-diversity audit (Machanavajjhala et al., TKDD'07): a
+    * k-anonymous group is still re-identifiable when everyone in it
+    * shares the same SENSITIVE value — homogeneity attack. Reports every
+    * quasi-identifier group with its size and distinct-sensitive count
+    * plus an `is_diverse` flag (≥ l distinct values), so the release
+    * gate can quantify how much suppression l would cost, not just list
+    * violators. NULL sensitive values don't count toward diversity
+    * (count-distinct semantics on both engines).
+    *
+    * Scale shape: ONE hash aggregate on (quasi tuple) with a distinct
+    * count — Spark plans the standard two-phase partial-distinct
+    * aggregate, so only (quasi, sensitive) pairs cross the wire. Output
+    * is bounded by the number of quasi combinations. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(l >= 2, s"l must be >= 2 (l=1 is vacuous): $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("is_diverse", col("n_sensitive") >= l)
+  }
+
   /** Referential-integrity audit: child rows whose foreign key has no
     * match in the parent — the orphan check a warehouse load runs before
     * promoting a batch (the set-oriented version of discovering the break

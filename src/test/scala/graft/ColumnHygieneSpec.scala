@@ -129,6 +129,27 @@ class ColumnHygieneSparkSpec extends SparkSuite {
     }
   }
 
+  test("lDiversity: homogeneous groups flagged, null sensitive values don't count") {
+    val df = Seq(
+      ("NY", Some("flu")), ("NY", Some("cold")),          // 2 distinct → diverse at l=2
+      ("SF", Some("flu")), ("SF", Some("flu")),           // 1 distinct → homogeneous
+      ("LA", Some("hiv")), ("LA", None)                   // null ignored → 1 distinct
+    ).toDF("city", "diagnosis")
+    val out = ColumnHygiene.lDiversity(df, Seq("city"), "diagnosis", 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out === Map(
+      "NY" -> ((2L, 2L, true)),
+      "SF" -> ((2L, 1L, false)),
+      "LA" -> ((2L, 1L, false))))
+    intercept[IllegalArgumentException] {
+      ColumnHygiene.lDiversity(df, Seq.empty, "diagnosis", 2)
+    }
+    intercept[IllegalArgumentException] {
+      ColumnHygiene.lDiversity(df, Seq("city"), "diagnosis", 1)
+    }
+  }
+
   test("riOrphans: dangling FKs counted per key, null FKs excluded") {
     val child = Seq(Option(1L), Option(1L), Option(2L), Option(9L),
       Option(9L), Option.empty[Long]).toDF("fk")
