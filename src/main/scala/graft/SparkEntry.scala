@@ -768,6 +768,16 @@ object SparkEntry {
     Similarity.ndcgAtK(exact, approx, "query_id", "vec_id", "rnk", 10)
   }
 
+  /** §2b Davies-Bouldin cluster quality: scatter / separation / worst-pair
+    * DB ratio per populated cell of the vec_id<8 seed clustering — the
+    * choose-k readout before an IVF or semantic-dedup build. */
+  private def q_davies_bouldin(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+    Similarity.daviesBouldin(emb, "vec_id", "embedding", cents)
+  }
+
   /** §2b lexical-diversity signals: unigram entropy + type-token ratio. */
   private def q_token_entropy(s: SparkSession, d: String): DataFrame =
     TextAnalytics.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
@@ -2174,6 +2184,7 @@ object SparkEntry {
     "q_semantic_dedup" -> (q_semantic_dedup _),
     "q_ann_recall" -> (q_ann_recall _),
     "q_ndcg" -> (q_ndcg _),
+    "q_davies_bouldin" -> (q_davies_bouldin _),
     "q_token_entropy" -> (q_token_entropy _),
     "q_iqr_outliers" -> (q_iqr_outliers _),
     "q_keep_best" -> (q_keep_best _),
@@ -5229,6 +5240,31 @@ object SparkEntry {
     "q_kcenter" -> kcenterOracleSql(8),
     "q_mmr_rerank" -> mmrOracleSql(20, 10, 0.7),
     "q_ndcg" -> ndcgOracleSql(10),
+    "q_davies_bouldin" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+              asg AS (SELECT vec_id, cent_id, cosv FROM (
+                 SELECT e.vec_id, c.cent_id, ${duckCos("e.v", "c.cv")} AS cosv,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cent_id) AS rn
+                 FROM e, c) WHERE rn = 1),
+              sc AS (SELECT cent_id AS cell, CAST(count(*) AS BIGINT) AS n_members,
+                            round(CAST(sum(CAST(round(1 - round(cosv, 6), 6)
+                                               AS DECIMAL(18,6))) AS DOUBLE)
+                                  / count(*), 6) AS scatter
+                     FROM asg GROUP BY 1),
+              m AS (SELECT i.cent_id AS cell, j.cent_id AS cell_j,
+                           round(1 - round(${duckCos("i.cv", "j.cv")}, 6), 6) AS sep
+                    FROM c i, c j WHERE i.cent_id <> j.cent_id),
+              r AS (SELECT s.cell, s.n_members, s.scatter, m.cell_j,
+                           round((s.scatter + t.scatter) / m.sep, 6) AS ratio
+                    FROM sc s JOIN m ON m.cell = s.cell
+                              JOIN sc t ON t.cell = m.cell_j)
+         SELECT cell, n_members, scatter, cell_j AS worst_cell,
+                ratio AS db_ratio
+         FROM r
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY cell
+                                    ORDER BY ratio DESC, cell_j ASC) = 1""",
     "q_dsir_select" ->
       s"""WITH rocc AS (SELECT doc_id,
                           CAST(('0x' || substring(md5('0:' || token), 1, 15))

@@ -355,6 +355,72 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Davies-Bouldin cluster-quality readout (Davies & Bouldin, PAMI'79)
+    * over cosine distance: per populated cluster i, scatter S_i = mean
+    * member distance to the assigned centroid, separation M_ij = distance
+    * between centroid literals, and the DB ratio max_{j≠i}(S_i+S_j)/M_ij
+    * — high ratios mark cluster pairs that are wide relative to their
+    * gap, the dial for choosing k before an IVF/semantic-dedup build.
+    * Comparisons run among populated clusters only (an empty cell has no
+    * scatter).
+    *
+    * Determinism: assignment by unrounded argmax (lowest cell on ties,
+    * same contract as [[ivfAssign]]); distances 6dp-rounded, then summed
+    * as DECIMAL(18,6) — exact, order-independent — and only divided back
+    * to DOUBLE at the end; centroid separations are computed once on the
+    * driver with the same left-assoc loop as the native expression and
+    * shipped as literals.
+    *
+    * Scale shape: one map-side argmax scan + ONE hash aggregate (k rows
+    * out), then k² literal-pair arithmetic on broadcast frames — nothing
+    * corpus-sized shuffles. */
+  def daviesBouldin(embeddings: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(centroids.size >= 2, "need at least 2 centroids")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val scored = array(centroids.sortBy(_._1).map { case (cid, cvec) =>
+      struct(
+        VectorFunctions.cosineSimilarity(col(vecCol), array(cvec.map(lit): _*))
+          .as("cos"),
+        lit(-cid).as("negcell"))
+    }: _*)
+    val best = array_max(scored)
+    val members = embeddings.select(
+      (-best.getField("negcell")).as("cell"),
+      round(lit(1.0) - round(best.getField("cos"), 6), 6).as("__dist"))
+    val scatter = members.groupBy(col("cell")).agg(
+      count(lit(1)).as("n_members"),
+      round(sum(col("__dist").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("scatter"))
+    def dcos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pairs = for {
+      (ci, vi) <- centroids; (cj, vj) <- centroids if ci != cj
+    } yield {
+      val m = r6(1.0 - r6(dcos(vi, vj)))
+      require(m > 0, s"centroids $ci and $cj coincide (zero separation)")
+      (ci, cj, m)
+    }
+    val sj = scatter.select(col("cell").as("cell_j"), col("scatter").as("__sj"))
+    scatter.join(broadcast(pairs.toDF("cell", "cell_j", "__m")), Seq("cell"))
+      .join(broadcast(sj), Seq("cell_j"))
+      .withColumn("__ratio",
+        round((col("scatter") + col("__sj")) / col("__m"), 6))
+      .groupBy(col("cell"), col("n_members"), col("scatter"))
+      .agg(max(struct(col("__ratio").as("r"), (-col("cell_j")).as("negj")))
+        .as("__w"))
+      .select(col("cell"), col("n_members"), col("scatter"),
+        (-col("__w.negj")).as("worst_cell"), col("__w.r").as("db_ratio"))
+  }
+
   /** DCG position discounts 1/log2(i+1) for i = 1..k, SNAPPED to the
     * nearest multiple of 2⁻²⁰. Snapping makes every DCG contribution
     * (integer gain × dyadic discount) an exact dyadic rational far below

@@ -438,6 +438,28 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("daviesBouldin: hand-checked scatter/separation ratios, tie to lowest cell") {
+    // centroids: c0 = x-axis, c1 = y-axis (orthogonal → separation 1).
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),                 // centroid seeds double as members
+      (1L, Array(0.0f, 1.0f)),
+      (10L, Array(0.8f, 0.6f)),                // cell 0, dist 0.2
+      (11L, Array(0.6f, 0.8f)),                // cell 1, dist 0.2
+      (14L, Array(0.7071068f, 0.7071068f))     // equidistant → lowest cell (0)
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.collectCentroids(
+      e.filter(col("vec_id") < 2), "vec_id", "embedding")
+    val out = Similarity.daviesBouldin(e, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    // S0 = (0 + 0.2 + 0.292893)/3, S1 = (0 + 0.2)/2; M01 = 1
+    assert(out(0L) === ((3L, 0.164298, 1L, 0.264298)))
+    assert(out(1L) === ((2L, 0.1, 0L, 0.264298)))
+    intercept[IllegalArgumentException] {
+      Similarity.daviesBouldin(e, "vec_id", "embedding", cents.take(1))
+    }
+  }
+
   test("ndcgAtK: graded demotion hand-check; perfect ranking scores exactly 1") {
     // q7: exact top-3 = (1,2,3); approx puts the weakest hit first, drops
     // item 2 for an irrelevant item 4. q8: approx misses entirely.
