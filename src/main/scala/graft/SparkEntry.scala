@@ -1469,6 +1469,13 @@ object SparkEntry {
   private def q_char_pairs(s: SparkSession, d: String): DataFrame =
     TextAnalytics.charPairCounts(Tables.documents(s, d), "text", topN = 50)
 
+  /** §2b BPE merge-rule training: the first 8 learned merges (rank, pair,
+    * corpus count, merged symbol) over the whitespace-token vocabulary —
+    * actual tokenizer training, not just the pair statistic. Oracle =
+    * the same unrolled rounds as MATERIALIZED CTEs. */
+  private def q_bpe_merges(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.bpeTrain(Tables.documents(s, d), "text", rounds = 8)
+
   /** §2b χ² feature selection: the 5 most language-discriminative tokens
     * per lang by document-level presence — the vocabulary a language-ID
     * profile actually wants (raw frequency ranks filler words first). */
@@ -2249,6 +2256,7 @@ object SparkEntry {
     "q_pq_topk" -> (q_pq_topk _),
     "q_naive_bayes" -> (q_naive_bayes _),
     "q_char_pairs" -> (q_char_pairs _),
+    "q_bpe_merges" -> (q_bpe_merges _),
     "q_chi2_tokens" -> (q_chi2_tokens _),
     "q_vector_moments" -> (q_vector_moments _),
     "q_er_score" -> (q_er_score _),
@@ -2592,6 +2600,44 @@ object SparkEntry {
               CAST(d.first_hit AS BIGINT) AS first_hit,
               round(1.0 / d.first_hit, 6) AS rr
        FROM dc d JOIN ic i USING (query_id)"""
+  }
+
+  /** Generated BPE-training oracle: the same unrolled merge rounds as
+    * [[operators.TextAnalytics.bpeTrain]] over the U+001F-wrapped vocab.
+    * Every w_r is referenced by both the next round's pair count and the
+    * next merge, so each level is MATERIALIZED (non-materialized CTEs
+    * inline per reference → 2^rounds copies of the base plan). `replace`
+    * scans left-to-right non-overlapping in both engines — BPE's merge
+    * order — and the winning pair flows through CTE columns, never
+    * through string literals. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val S = "chr(31)"
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT s[i] AS a, s[i + 1] AS b, c FROM (
+              SELECT string_split(trim(w, $S), $S || $S) AS s, c
+              FROM w${r - 1}) t,
+              UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+            WHERE len(s) >= 2),
+          b$r AS MATERIALIZED (
+            SELECT a, b, CAST(sum(c) AS BIGINT) AS cnt FROM p$r
+            GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+          w$r AS MATERIALIZED (
+            SELECT replace(p.w, $S || b.a || $S || $S || b.b || $S,
+                           $S || b.a || b.b || $S) AS w, p.c
+            FROM w${r - 1} p, b$r b)"""
+    }
+    val selects = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b, " +
+        s"cnt AS pair_count, a || b AS merged FROM b$r")
+    s"""WITH w0 AS MATERIALIZED (
+          SELECT regexp_replace(word, '(.)', $S || '\\1' || $S, 'g') AS w,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT u.word AS word FROM documents,
+                  UNNEST($duckTokens) AS u(word)
+                WHERE length(u.word) > 0 AND NOT contains(u.word, $S)) t
+          GROUP BY word),
+        ${roundCtes.mkString(",\n        ")}
+        ${selects.mkString("\n        UNION ALL ")}"""
   }
 
   /** DuckDB cosine between two DOUBLE[] expressions (same formula as the
@@ -5240,6 +5286,7 @@ object SparkEntry {
     "q_kcenter" -> kcenterOracleSql(8),
     "q_mmr_rerank" -> mmrOracleSql(20, 10, 0.7),
     "q_ndcg" -> ndcgOracleSql(10),
+    "q_bpe_merges" -> bpeOracleSql(8),
     "q_davies_bouldin" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),

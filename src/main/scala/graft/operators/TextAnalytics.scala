@@ -718,4 +718,68 @@ object TextAnalytics {
       .limit(nSelect)
       .select(col(idCol), col("score"), col("sel_key"))
   }
+
+  /** BPE merge-rule training (Sennrich, Haddow & Birch, ACL'16): learn the
+    * first `rounds` byte-pair merges from a corpus — each round counts
+    * adjacent-symbol pairs weighted by word frequency, takes the most
+    * frequent pair ((count desc, a asc, b asc) — deterministic tiebreak),
+    * and merges it everywhere, left-to-right non-overlapping. Returns the
+    * learned merge table (rank, a, b, corpus pair count, merged symbol) —
+    * the artifact a tokenizer ships.
+    *
+    * Scale shape: the ONLY corpus-sized work is the initial word-frequency
+    * aggregate (one hash agg with map-side combine — exactly how real BPE
+    * trainers collapse the corpus to a vocab dict). Every round then runs
+    * over the DISTINCT-WORD table: one pair aggregate (bounded by
+    * vocab × word length) + a 1-row tiny-collect of the winning pair,
+    * which next round's merge inlines as a literal. The vocab frame is
+    * cached once and released before returning; round r's lineage is r
+    * map-side string replaces over that cache — no exponential re-derive.
+    *
+    * Determinism across engines: words are held as U+001F-wrapped symbol
+    * strings (`␟l␟␟o␟␟w␟`), and a merge is ONE literal `replace` of
+    * `␟a␟␟b␟` with `␟ab␟` — both engines scan left-to-right
+    * non-overlapping, which is exactly BPE's merge order; integer counts
+    * and codepoint string comparisons leave nothing float-dependent.
+    * Words containing the separator itself are excluded up front. */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64]: $rounds")
+    val sep = "\u001f"
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wrapped = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__word"))
+      .filter(length(col("__word")) > 0 && !col("__word").contains(sep))
+      .groupBy(col("__word")).agg(count(lit(1)).as("c"))
+      .select(regexp_replace(col("__word"), "(.)", s"$sep$$1$sep").as("w"),
+        col("c"))
+      .cache()
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var vocab = wrapped
+    for (r <- 1 to rounds) {
+      val syms = split(trim(col("w"), sep), sep + sep)
+      val best = vocab
+        .select(col("c"), syms.as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("c"), explode(transform(
+          sequence(lit(1), size(col("s")) - 1),
+          i => struct(element_at(col("s"), i).as("a"),
+            element_at(col("s"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect().headOption
+        .getOrElse(sys.error(
+          s"bpeTrain: vocabulary exhausted before round $r (corpus too small)"))
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      rules += ((r.toLong, a, b, cnt))
+      vocab = vocab.select(
+        replace(col("w"), lit(s"$sep$a$sep$sep$b$sep"), lit(s"$sep$a$b$sep"))
+          .as("w"),
+        col("c"))
+    }
+    wrapped.unpersist(false)
+    rules.toSeq.toDF("merge_rank", "sym_a", "sym_b", "pair_count")
+      .withColumn("merged", concat(col("sym_a"), col("sym_b")))
+  }
 }

@@ -823,4 +823,29 @@ class TextAndDedupSpec extends SparkSuite {
       "both renderings must fold to the same base letters")
     assert(out(3L) === "plain ascii")
   }
+
+  test("bpeTrain: classic low/lower merges with lexicographic tiebreaks") {
+    val docs = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    val out = TextAnalytics.bpeTrain(docs, "text", rounds = 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getString(4)))
+    // r1: (l,o) and (o,w) tie at 5 → 'l' < 'o'; r2: (lo,w)=5;
+    // r3: (low,e) and (e,r) tie at 2 → 'e' < 'low'
+    assert(out === Array(
+      (1L, "l", "o", 5L, "lo"),
+      (2L, "lo", "w", 5L, "low"),
+      (3L, "e", "r", 2L, "er")))
+    // overlapping run: 'aaa' has 2 (a,a) adjacencies, merges
+    // left-to-right non-overlapping → [aa, a] → then (aa,a) once
+    val aaa = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val out2 = TextAnalytics.bpeTrain(aaa, "text", rounds = 2)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out2 === Array((1L, "a", "a", 2L), (2L, "aa", "a", 1L)))
+    intercept[IllegalArgumentException] {
+      TextAnalytics.bpeTrain(aaa, "text", 0)
+    }
+  }
 }
