@@ -130,7 +130,11 @@ object Scratch {
       "q_rrf" -> ("Reciprocal-rank fusion",
         "Both rankers end in TakeOrdered top-50 lists; the fusion is a full-outer join of two 50-row frames plus a fixed-order two-term projection — candidate-list-sized work after the retrieval stages, regardless of corpus size."),
       "q_jl_distortion" -> ("JL projection distortion audit",
-        "The 16x64 plane matrix is inlined as literals, so projection is one map-side fold battery over the scan (zero shuffle, like IVF assignment); only the bounded id<40 audit pairs ever join."))
+        "The 16x64 plane matrix is inlined as literals, so projection is one map-side fold battery over the scan (zero shuffle, like IVF assignment); only the bounded id<40 audit pairs ever join."),
+      "q_ndcg" -> ("NDCG@10 + MRR ranking eval",
+        "Exact and IVF rank lists meet in ONE (query,id) equi-join; gain/discount arithmetic is dyadic-exact (2^-20 multiples) so the two per-query hash aggregates are order-independent — rows ∝ queries × k throughout, never corpus-sized."),
+      "q_davies_bouldin" -> ("Davies-Bouldin cluster quality",
+        "Assignment is the zero-shuffle map-side argmax over centroid literals; scatter is ONE k-row hash aggregate with DECIMAL(18,6)-exact sums; the k² pair frame and partner-scatter join are both broadcasts — nothing corpus-sized shuffles."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans for flagship queries\n\n")

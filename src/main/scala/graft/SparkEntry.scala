@@ -1476,6 +1476,30 @@ object SparkEntry {
   private def q_bpe_merges(s: SparkSession, d: String): DataFrame =
     TextAnalytics.bpeTrain(Tables.documents(s, d), "text", rounds = 8)
 
+  /** §2b BPE encoding: apply the 8 merges learned at this SF to every
+    * document — per-doc subword counts under the LEARNED tokenizer (the
+    * number that prices a training run), pure map-side after training. */
+  private def q_bpe_encode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val rules = TextAnalytics.bpeTrainRules(docs, "text", rounds = 8)
+    TextAnalytics.bpeEncode(docs, "doc_id", "text", rules)
+  }
+
+  /** §2b Flesch reading-ease readability: word/sentence/syllable counts
+    * and the classic score per document — map-side syntactic-density
+    * quality signal. */
+  private def q_readability(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.readabilitySignals(Tables.documents(s, d), "doc_id", "text")
+
+  /** §2b PSI drift readout: language-distribution stability of source
+    * src0 (reference) vs the rest of the corpus (current), Laplace-
+    * smoothed so one-sided bins stay finite. */
+  private def q_psi(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Stats.psi(docs.filter(col("source") === "src0"),
+      docs.filter(col("source") =!= "src0"), "lang")
+  }
+
   /** §2b χ² feature selection: the 5 most language-discriminative tokens
     * per lang by document-level presence — the vocabulary a language-ID
     * profile actually wants (raw frequency ranks filler words first). */
@@ -2257,6 +2281,9 @@ object SparkEntry {
     "q_naive_bayes" -> (q_naive_bayes _),
     "q_char_pairs" -> (q_char_pairs _),
     "q_bpe_merges" -> (q_bpe_merges _),
+    "q_bpe_encode" -> (q_bpe_encode _),
+    "q_readability" -> (q_readability _),
+    "q_psi" -> (q_psi _),
     "q_chi2_tokens" -> (q_chi2_tokens _),
     "q_vector_moments" -> (q_vector_moments _),
     "q_er_score" -> (q_er_score _),
@@ -2610,7 +2637,7 @@ object SparkEntry {
     * scans left-to-right non-overlapping in both engines — BPE's merge
     * order — and the winning pair flows through CTE columns, never
     * through string literals. */
-  private def bpeOracleSql(rounds: Int): String = {
+  private def bpeCtes(rounds: Int): String = {
     val S = "chr(31)"
     val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS (SELECT s[i] AS a, s[i + 1] AS b, c FROM (
@@ -2626,18 +2653,48 @@ object SparkEntry {
                            $S || b.a || b.b || $S) AS w, p.c
             FROM w${r - 1} p, b$r b)"""
     }
-    val selects = (1 to rounds).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b, " +
-        s"cnt AS pair_count, a || b AS merged FROM b$r")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
           SELECT regexp_replace(word, '(.)', $S || '\\1' || $S, 'g') AS w,
                  CAST(count(*) AS BIGINT) AS c
           FROM (SELECT u.word AS word FROM documents,
                   UNNEST($duckTokens) AS u(word)
                 WHERE length(u.word) > 0 AND NOT contains(u.word, $S)) t
           GROUP BY word),
-        ${roundCtes.mkString(",\n        ")}
+        ${roundCtes.mkString(",\n        ")}"""
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
+    val selects = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b, " +
+        s"cnt AS pair_count, a || b AS merged FROM b$r")
+    s"""WITH ${bpeCtes(rounds)}
         ${selects.mkString("\n        UNION ALL ")}"""
+  }
+
+  /** Generated BPE-encode oracle: the training CTE chain, then every
+    * document wrapped and pushed through the same rank-ordered replace
+    * chain (the b_r winners are 1-row CTEs cross-joined in). */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val S = "chr(31)"
+    val enc = (1 to rounds).foldLeft("wd.wd")((acc, r) =>
+      s"replace($acc, $S || b$r.a || $S || $S || b$r.b || $S, " +
+        s"$S || b$r.a || b$r.b || $S)")
+    val froms = (1 to rounds).map(r => s"b$r").mkString(", ")
+    s"""WITH ${bpeCtes(rounds)},
+        wd AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_words,
+                      array_to_string(list_transform($duckTokens,
+                        w -> regexp_replace(w, '(.)', $S || '\\1' || $S, 'g')),
+                        ' ') AS wd
+               FROM documents),
+        e AS (SELECT wd.doc_id, wd.n_words,
+                     (length($enc) - length(replace($enc, $S, ''))) // 2
+                       AS n_subwords
+              FROM wd, $froms)
+   SELECT doc_id, n_words, CAST(n_subwords AS BIGINT) AS n_subwords,
+          round(CASE WHEN n_words > 0
+            THEN CAST(n_subwords AS DOUBLE) / n_words END, 6)
+            AS subwords_per_word
+   FROM e"""
   }
 
   /** DuckDB cosine between two DOUBLE[] expressions (same formula as the
@@ -5287,6 +5344,44 @@ object SparkEntry {
     "q_mmr_rerank" -> mmrOracleSql(20, 10, 0.7),
     "q_ndcg" -> ndcgOracleSql(10),
     "q_bpe_merges" -> bpeOracleSql(8),
+    "q_bpe_encode" -> bpeEncodeOracleSql(8),
+    "q_readability" ->
+      s"""SELECT doc_id,
+                 CAST(len($duckTokens) AS BIGINT) AS n_words,
+                 CAST(len($duckSentences) AS BIGINT) AS n_sentences,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                      AS BIGINT) AS n_syllables,
+                 round(CASE WHEN len($duckTokens) > 0
+                             AND len($duckSentences) > 0
+                   THEN 206.835
+                        - 1.015 * (CAST(len($duckTokens) AS DOUBLE)
+                                   / len($duckSentences))
+                        - 84.6 * (CAST(len(regexp_extract_all(lower(text),
+                                     '[aeiouy]+')) AS DOUBLE)
+                                  / len($duckTokens)) END, 6) AS flesch
+          FROM documents""",
+    "q_psi" ->
+      """WITH r AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_ref
+                    FROM documents WHERE source = 'src0' GROUP BY 1),
+              c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_cur
+                    FROM documents WHERE source <> 'src0' GROUP BY 1),
+              j AS (SELECT lang, COALESCE(n_ref, 0) AS n_ref,
+                           COALESCE(n_cur, 0) AS n_cur
+                    FROM r FULL OUTER JOIN c USING (lang)),
+              t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+                           CAST(sum(n_cur) AS DOUBLE) AS tc,
+                           CAST(count(*) AS DOUBLE) AS k FROM j)
+         SELECT lang, n_ref, n_cur,
+                round((CAST(n_ref AS DOUBLE) + 0.5) / (tr + 0.5 * k), 6)
+                  AS p_ref,
+                round((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 0.5 * k), 6)
+                  AS p_cur,
+                round(((CAST(n_ref AS DOUBLE) + 0.5) / (tr + 0.5 * k)
+                       - (CAST(n_cur AS DOUBLE) + 0.5) / (tc + 0.5 * k))
+                      * ln(((CAST(n_ref AS DOUBLE) + 0.5) / (tr + 0.5 * k))
+                           / ((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 0.5 * k))),
+                      6) AS psi_contrib
+         FROM j, t""",
     "q_davies_bouldin" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),

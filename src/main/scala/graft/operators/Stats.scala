@@ -400,4 +400,33 @@ object Stats {
         round(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), roundScale)
           .as("kappa"))
   }
+
+  /** Population stability index per bin — the standard model-monitoring
+    * drift readout (banking scorecard lineage; conventional reading:
+    * < 0.1 stable, 0.1–0.25 shifting, > 0.25 shifted). Per bin,
+    * contribution = (p_ref − p_cur)·ln(p_ref/p_cur); the total PSI is the
+    * sum over bins. Shares are Laplace-smoothed — p = (n + 0.5)/(N + k/2)
+    * with k = #bins present in EITHER side — so a bin absent from one
+    * side contributes a large-but-finite term instead of ±∞ (the
+    * convention monitoring stacks use instead of dropping the bin, which
+    * would hide exactly the drift being measured).
+    *
+    * Scale shape: one count aggregate per side (map-side combine), a
+    * #bins-sized full-outer merge, and a 1-row totals broadcast — the
+    * inputs are never shuffled beyond the two aggregates. */
+  def psi(ref: DataFrame, cur: DataFrame, binCol: String): DataFrame = {
+    val r = ref.groupBy(col(binCol)).agg(count(lit(1)).as("n_ref"))
+    val c = cur.groupBy(col(binCol)).agg(count(lit(1)).as("n_cur"))
+    val bins = r.join(c, Seq(binCol), "full")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val totals = bins.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"), count(lit(1)).as("__k"))
+    val pRef = (col("n_ref") + lit(0.5)) / (col("__tr") + lit(0.5) * col("__k"))
+    val pCur = (col("n_cur") + lit(0.5)) / (col("__tc") + lit(0.5) * col("__k"))
+    bins.crossJoin(broadcast(totals))
+      .select(col(binCol), col("n_ref"), col("n_cur"),
+        round(pRef, 6).as("p_ref"),
+        round(pCur, 6).as("p_cur"),
+        round((pRef - pCur) * log(pRef / pCur), 6).as("psi_contrib"))
+  }
 }

@@ -719,6 +719,33 @@ object TextAnalytics {
       .select(col(idCol), col("score"), col("sel_key"))
   }
 
+  /** Flesch reading-ease readability signals (Flesch '48; the quality
+    * dimension length/punct ratios miss — syntactic density): per doc,
+    * words (whitespace tokens), sentences ([.!?]-terminated segments, the
+    * shared [[TextFunctions.sentences]] contract), and syllables
+    * approximated as ASCII vowel-group runs `[aeiouy]+` over the
+    * lowercased text (the standard cheap heuristic; tokens contain no
+    * whitespace, so counting over the whole text equals per-word
+    * counting). score = 206.835 − 1.015·(W/S) − 84.6·(Syl/W), null when
+    * either denominator is 0. All counts are integers and the constants
+    * are shared decimal literals, so the arithmetic is bit-deterministic
+    * cross-engine.
+    *
+    * Scale shape: pure map-side row arithmetic over the scan — zero
+    * shuffle, zero state. */
+  def readabilitySignals(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val w = TextFunctions.tokenCount(col(textCol)).cast("long")
+    val s = size(TextFunctions.sentences(col(textCol))).cast("long")
+    val syl = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    docs.select(col(idCol), w.as("n_words"), s.as("n_sentences"),
+      syl.as("n_syllables"),
+      round(when(w > 0 && s > 0,
+        lit(206.835) - lit(1.015) * (w.cast("double") / s)
+          - lit(84.6) * (syl.cast("double") / w)), 6).as("flesch"))
+  }
+
   /** BPE merge-rule training (Sennrich, Haddow & Birch, ACL'16): learn the
     * first `rounds` byte-pair merges from a corpus — each round counts
     * adjacent-symbol pairs weighted by word frequency, takes the most
@@ -743,10 +770,22 @@ object TextAnalytics {
     * and codepoint string comparisons leave nothing float-dependent.
     * Words containing the separator itself are excluded up front. */
   def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64]: $rounds")
-    val sep = "\u001f"
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeTrainRules(docs, textCol, rounds)
+      .toDF("merge_rank", "sym_a", "sym_b", "pair_count")
+      .withColumn("merged", concat(col("sym_a"), col("sym_b")))
+  }
+
+  /** Symbol separator for the wrapped-string BPE representation (U+001F). */
+  private[graft] val bpeSep = "\u001f"
+
+  /** [[bpeTrain]]'s learning loop returning the merge rules as plain
+    * values - the form [[bpeEncode]] inlines back as literals. */
+  def bpeTrainRules(docs: DataFrame, textCol: String,
+                    rounds: Int): Seq[(Long, String, String, Long)] = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64]: $rounds")
+    val sep = bpeSep
     val wrapped = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("__word"))
       .filter(length(col("__word")) > 0 && !col("__word").contains(sep))
@@ -779,7 +818,43 @@ object TextAnalytics {
         col("c"))
     }
     wrapped.unpersist(false)
-    rules.toSeq.toDF("merge_rank", "sym_a", "sym_b", "pair_count")
-      .withColumn("merged", concat(col("sym_a"), col("sym_b")))
+    rules.toSeq
+  }
+
+  /** Apply learned BPE merges to the corpus and report per-document
+    * subword statistics - the token-counting step under the learned
+    * tokenizer (the number that actually prices a training run, vs the
+    * whitespace proxy). Each document becomes its space-joined
+    * wrapped-word form and the `rules` are applied as a chain of literal
+    * `replace`s in rank order (for a self-consistent rule list this
+    * equals priority-fixpoint BPE encoding: a later merge can only
+    * create symbols no EARLIER rule references, since those symbols did
+    * not exist when the earlier rule was learned). Word boundaries are
+    * plain spaces, which no wrapped pattern can cross.
+    *
+    * Scale shape: training aside, encoding is a pure map-side expression
+    * chain over the scan - zero shuffle, `rules.size` string passes per
+    * row; subword count = separator count / 2, integer arithmetic. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                rules: Seq[(Long, String, String, Long)]): DataFrame = {
+    require(rules.nonEmpty, "rules must be non-empty")
+    val sep = bpeSep
+    val wrappedDoc = concat_ws(" ",
+      transform(TextFunctions.tokens(col(textCol)),
+        w => regexp_replace(w, "(.)", s"$sep$$1$sep")))
+    val encoded = rules.sortBy(_._1).foldLeft(wrappedDoc) {
+      case (acc, (_, a, b, _)) =>
+        replace(acc, lit(s"$sep$a$sep$sep$b$sep"), lit(s"$sep$a$b$sep"))
+    }
+    val nWords = TextFunctions.tokenCount(col(textCol)).cast("long")
+    docs
+      .select(col(idCol), nWords.as("n_words"), encoded.as("__enc"))
+      .select(col(idCol), col("n_words"),
+        ((length(col("__enc"))
+          - length(replace(col("__enc"), lit(sep), lit("")))) / 2)
+          .cast("long").as("n_subwords"))
+      .withColumn("subwords_per_word",
+        round(when(col("n_words") > 0,
+          col("n_subwords").cast("double") / col("n_words")), 6))
   }
 }

@@ -243,4 +243,25 @@ class StatsSpec extends SparkSuite {
     assert(out.head.getAs[Double]("med") === 5.5 &&
       out.head.getAs[Double]("mad") === 2.5)
   }
+
+  test("psi: smoothed shares, one-sided bins finite, contributions non-negative") {
+    val ref = Seq("a", "a", "b").toDF("bin")
+    val cur = Seq("a", "b", "b", "b", "c").toDF("bin")
+    val out = Stats.psi(ref, cur, "bin").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // k = 3 bins, totals 3 and 5 → denominators 4.5 and 6.5
+    val (pa, qa) = (2.5 / 4.5, 1.5 / 6.5)
+    assert(out("a") === ((2L, 1L, r6(pa), r6(qa),
+      r6((pa - qa) * math.log(pa / qa)))))
+    // bin absent from ref is still finite
+    val (pc, qc) = (0.5 / 4.5, 1.5 / 6.5)
+    assert(out("c")._1 === 0L &&
+      out("c")._5 === r6((pc - qc) * math.log(pc / qc)))
+    // (p−q) and ln(p/q) always share sign → every contribution ≥ 0
+    assert(out.values.forall(_._5 >= 0.0))
+  }
 }

@@ -848,4 +848,34 @@ class TextAndDedupSpec extends SparkSuite {
       TextAnalytics.bpeTrain(aaa, "text", 0)
     }
   }
+
+  test("bpeEncode: learned merges shrink subword counts, ratio per doc") {
+    val docs = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    val rules = TextAnalytics.bpeTrainRules(docs, "text", rounds = 3)
+    // rules: (l,o), (lo,w), (e,r) — low→[low], lower→[low,er], newest untouched
+    val out = TextAnalytics.bpeEncode(docs, "doc_id", "text", rules)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((3L, 3L, 1.0)))
+    assert(out(2L) === ((2L, 4L, 2.0)))
+    assert(out(3L) === ((1L, 6L, 6.0)))
+    intercept[IllegalArgumentException] {
+      TextAnalytics.bpeEncode(docs, "doc_id", "text", Seq.empty)
+    }
+  }
+
+  test("readabilitySignals: hand-checked Flesch on a two-sentence doc") {
+    val docs = Seq((1L, "The cat sat. It ran!"), (2L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalytics.readabilitySignals(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    // 5 words, 2 sentences, 5 vowel groups (e,a,a,i,a)
+    assert(d1.getLong(1) === 5L && d1.getLong(2) === 2L && d1.getLong(3) === 5L)
+    // 206.835 − 1.015·(5/2) − 84.6·(5/5) = 119.6975
+    assert(d1.getDouble(4) === 119.6975)
+    // blank doc: zero counts, null score
+    val d2 = out(2L)
+    assert(d2.getLong(1) === 0L && d2.isNullAt(4))
+  }
 }
