@@ -778,6 +778,41 @@ object SparkEntry {
     Similarity.daviesBouldin(emb, "vec_id", "embedding", cents)
   }
 
+  /** §2b RBO ranking-stability eval: top-weighted overlap of the IVF list
+    * against the exact list with NO relevance judgments (p=0.9, k=10) —
+    * the between-index-builds "how much did the ranking move" monitor. */
+  private def q_rbo(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopKMulti(
+      emb, "vec_id", "embedding", queries, "query_id", "qv", 10)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+    val approx = Similarity.ivfTopKMulti(assigned, "vec_id", "embedding",
+      cents, queries, "query_id", "qv", 10, 2)
+    Similarity.rboAtK(exact, approx, "query_id", "vec_id", "rnk", 10, 0.9)
+  }
+
+  /** §2b Matryoshka truncation eval: recall@10 of the 16-dim embedding
+    * prefix against the full 64-dim exact ranking — how much retrieval
+    * quality survives 4× dimensionality compression (MRL-style serving). */
+  private def q_matryoshka(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopKMulti(
+      emb, "vec_id", "embedding", queries, "query_id", "qv", 10)
+    val emb16 = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val q16 = queries.select(col("query_id"),
+      slice(col("qv"), 1, 16).as("qv"))
+    val approx = Similarity.bruteForceTopKMulti(
+      emb16, "vec_id", "embedding", q16, "query_id", "qv", 10)
+    Similarity.recallAtK(exact, approx, "query_id", "vec_id")
+  }
+
   /** §2b lexical-diversity signals: unigram entropy + type-token ratio. */
   private def q_token_entropy(s: SparkSession, d: String): DataFrame =
     TextAnalytics.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
@@ -2215,6 +2250,8 @@ object SparkEntry {
     "q_semantic_dedup" -> (q_semantic_dedup _),
     "q_ann_recall" -> (q_ann_recall _),
     "q_ndcg" -> (q_ndcg _),
+    "q_rbo" -> (q_rbo _),
+    "q_matryoshka" -> (q_matryoshka _),
     "q_davies_bouldin" -> (q_davies_bouldin _),
     "q_token_entropy" -> (q_token_entropy _),
     "q_iqr_outliers" -> (q_iqr_outliers _),
@@ -2538,10 +2575,13 @@ object SparkEntry {
   }
 
   /** Generated MMR oracle: pool = top-`pool` by 6dp relevance, then k-1
-    * unrolled MATERIALIZED greedy rounds. `(1.0 - λ)` is computed IN SQL
-    * (not pre-evaluated) so both engines run the identical double
-    * subtraction — 1.0-0.7 ≠ the literal 0.3 in IEEE doubles. */
+    * unrolled MATERIALIZED greedy rounds. `(1 − λ)` is computed ONCE on
+    * the driver and shipped as the same double literal the engine uses —
+    * DuckDB would evaluate in-SQL `1.0 - 0.7` in exact DECIMAL (0.3),
+    * which is NOT the double Scala computes (0.30000000000000004). */
   private def mmrOracleSql(pool: Int, k: Int, lambda: Double): String = {
+    val omLambda =
+      s"CAST(${new java.math.BigDecimal(1.0 - lambda).toPlainString} AS DOUBLE)"
     val rounds = (2 to k).map { r =>
       val prev = (1 until r).map(i => s"m$i")
       val sims = prev.map(p => s"round(${duckCos("p.v", s"$p.v")}, 6)")
@@ -2550,7 +2590,7 @@ object SparkEntry {
       val excl = prev.map(p => s"p.vec_id <> $p.vec_id").mkString(" AND ")
       s"""m$r AS MATERIALIZED (
             SELECT p.vec_id, p.v, p.rel,
-                   round($lambda * p.rel - (1.0 - $lambda) * $ms, 6) AS sc
+                   round($lambda * p.rel - $omLambda * $ms, 6) AS sc
             FROM pool p, ${prev.mkString(", ")}
             WHERE $excl
             ORDER BY sc DESC, p.vec_id ASC LIMIT 1)"""
@@ -2576,17 +2616,10 @@ object SparkEntry {
     * constants as [[Similarity.ndcgDiscounts]] — every contribution is
     * an exact multiple of 2⁻²⁰, so the per-query sums match Spark's
     * bit-for-bit regardless of aggregation order. */
-  private def ndcgOracleSql(k: Int): String = {
-    val discs = operators.Similarity.ndcgDiscounts(k)
-    def discCase(pos: String): String =
-      s"CASE $pos " + (1 to k).map(i =>
-        s"WHEN $i THEN CAST(${new java.math.BigDecimal(discs(i - 1)).toPlainString} AS DOUBLE)")
-        .mkString(" ") + " END"
-    def gainCase(rn: String): String =
-      s"COALESCE(CASE $rn " + (1 to k).map(i =>
-        s"WHEN $i THEN ${(1L << (k + 1 - i)) - 1}").mkString(" ") +
-        " END, 0)"
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** Shared oracle CTE chain for the exact-vs-IVF rank-list evals
+    * (q_ndcg, q_rbo): `ex` / `ap` are the two top-k lists with ranks. */
+  private def annListCtes(k: Int): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
             ex AS (SELECT query_id, vec_id, rn FROM (
@@ -2610,7 +2643,19 @@ object SparkEntry {
                         ORDER BY round(${duckCos("a.v", "q.qv")}, 6) DESC, a.vec_id) AS rn
                FROM probe p JOIN asg a ON a.cell = p.cell
                             JOIN q ON q.query_id = p.query_id
-               WHERE a.vec_id <> p.query_id) WHERE rn <= $k),
+               WHERE a.vec_id <> p.query_id) WHERE rn <= $k)"""
+
+  private def ndcgOracleSql(k: Int): String = {
+    val discs = operators.Similarity.ndcgDiscounts(k)
+    def discCase(pos: String): String =
+      s"CASE $pos " + (1 to k).map(i =>
+        s"WHEN $i THEN CAST(${new java.math.BigDecimal(discs(i - 1)).toPlainString} AS DOUBLE)")
+        .mkString(" ") + " END"
+    def gainCase(rn: String): String =
+      s"COALESCE(CASE $rn " + (1 to k).map(i =>
+        s"WHEN $i THEN ${(1L << (k + 1 - i)) - 1}").mkString(" ") +
+        " END, 0)"
+    s"""WITH ${annListCtes(k)},
             g AS (SELECT a.query_id, a.rn AS pos,
                          ${gainCase("x.rn")} AS gain
                   FROM ap a LEFT JOIN ex x
@@ -2627,6 +2672,26 @@ object SparkEntry {
               CAST(d.first_hit AS BIGINT) AS first_hit,
               round(1.0 / d.first_hit, 6) AS rr
        FROM dc d JOIN ic i USING (query_id)"""
+  }
+
+  /** Generated RBO oracle: matched items contribute the literal suffix
+    * sum S(max(ra, rb)) — the same dyadic constants as
+    * [[operators.Similarity.rboSuffixSums]] — and (1−p) arrives as the
+    * driver-computed double literal (DuckDB's in-SQL `1.0 - 0.9` is exact
+    * DECIMAL, not Spark's double). */
+  private def rboOracleSql(k: Int, p: Double): String = {
+    val sums = operators.Similarity.rboSuffixSums(k, p)
+    val sCase = (1 to k).map(m =>
+      s"WHEN $m THEN CAST(${new java.math.BigDecimal(sums(m - 1)).toPlainString} AS DOUBLE)")
+      .mkString(" ")
+    val omp = new java.math.BigDecimal(1.0 - p).toPlainString
+    s"""WITH ${annListCtes(k)},
+            m AS (SELECT a.query_id, greatest(x.rn, a.rn) AS m
+                  FROM ap a JOIN ex x
+                    ON a.query_id = x.query_id AND a.vec_id = x.vec_id)
+       SELECT query_id, CAST(count(*) AS BIGINT) AS n_overlap,
+              round(CAST($omp AS DOUBLE) * sum(CASE m $sCase END), 6) AS rbo
+       FROM m GROUP BY query_id"""
   }
 
   /** Generated BPE-training oracle: the same unrolled merge rounds as
@@ -5343,6 +5408,32 @@ object SparkEntry {
     "q_kcenter" -> kcenterOracleSql(8),
     "q_mmr_rerank" -> mmrOracleSql(20, 10, 0.7),
     "q_ndcg" -> ndcgOracleSql(10),
+    "q_rbo" -> rboOracleSql(10, 0.9),
+    "q_matryoshka" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+              ex AS (SELECT query_id, vec_id FROM (
+                 SELECT q.query_id, e.vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY q.query_id
+                          ORDER BY round(${duckCos("e.v", "q.qv")}, 6) DESC, e.vec_id) AS rn
+                 FROM q, e WHERE e.vec_id <> q.query_id) WHERE rn <= 10),
+              e16 AS (SELECT vec_id, v[1:16] AS v FROM e),
+              q16 AS (SELECT query_id, qv[1:16] AS qv FROM q),
+              ap AS (SELECT query_id, vec_id FROM (
+                 SELECT q.query_id, e.vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY q.query_id
+                          ORDER BY round(${duckCos("e.v", "q.qv")}, 6) DESC, e.vec_id) AS rn
+                 FROM q16 q, e16 e WHERE e.vec_id <> q.query_id) WHERE rn <= 10),
+              n AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+                    FROM ex GROUP BY 1),
+              h AS (SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_hits
+                    FROM ex x JOIN ap a
+                      ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+                    GROUP BY 1)
+         SELECT n.query_id, n.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
+                round(COALESCE(h.n_hits, 0) / CAST(n.n_exact AS DOUBLE), 6)
+                  AS recall
+         FROM n LEFT JOIN h USING (query_id)""",
     "q_bpe_merges" -> bpeOracleSql(8),
     "q_bpe_encode" -> bpeEncodeOracleSql(8),
     "q_readability" ->

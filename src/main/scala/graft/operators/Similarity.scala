@@ -484,6 +484,53 @@ object Similarity {
         round(lit(1.0) / col("first_hit"), 6).as("rr"))
   }
 
+  /** RBO coefficient suffix sums S(m) = Σ_{d=m..k} p^(d−1)/d, each term
+    * SNAPPED to a multiple of 2⁻²⁰ before summing — S(m) stays an exact
+    * dyadic rational, so per-query sums of matched-item contributions are
+    * order-independent and the same literals ship into the oracle. */
+  private[graft] def rboSuffixSums(k: Int, p: Double): Seq[Double] = {
+    val scale = (1 << 20).toDouble
+    val c = (1 to k).map { d =>
+      val pw = (1 until d).foldLeft(1.0)((acc, _) => acc * p)
+      math.rint(scale * pw / d) / scale
+    }
+    (1 to k).map(m => c.drop(m - 1).sum)
+  }
+
+  /** Rank-biased overlap @k (Webber, Moffat & Zobel, TOIS'10): top-weighted
+    * agreement of two rank lists with NO relevance judgments — the
+    * companion to [[ndcgAtK]] when there is no graded truth, and the
+    * standard "how much did the ranking change" monitor between index
+    * builds. RBO@k = (1−p)·Σ_{d=1..k} p^(d−1)·|A_d ∩ B_d|/d; re-grouped
+    * per matched ITEM, an item seen at ranks (ra, rb) contributes the
+    * coefficient suffix sum S(max(ra,rb)) — one equi-join + element_at on
+    * a literal array + one sum, no per-depth loop. Truncated (not
+    * extrapolated) RBO: scores are comparable only at the same k/p.
+    *
+    * Scale shape: one (query,id) equi-join + one tiny aggregate — rows ∝
+    * queries × k. Queries with zero overlap drop out (join semantics,
+    * mirrored by the oracle). */
+  def rboAtK(listA: DataFrame, listB: DataFrame, queryCol: String,
+             idCol: String, rankCol: String, k: Int,
+             p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1): $p")
+    val sArr = array(rboSuffixSums(k, p).map(lit): _*)
+    val a = listA.select(col(queryCol).as("query_id"),
+      col(idCol).as("__id"), col(rankCol).cast("int").as("__ra"))
+    val b = listB.select(col(queryCol).as("query_id"),
+      col(idCol).as("__id"), col(rankCol).cast("int").as("__rb"))
+    // (1−p) is computed ONCE here and shipped to the oracle as the same
+    // literal: DuckDB evaluates in-SQL `1.0 - 0.9` in exact DECIMAL (0.1),
+    // which is NOT the double Spark computes (0.0999…98)
+    a.join(b, Seq("query_id", "__id"))
+      .select(col("query_id"),
+        element_at(sArr, greatest(col("__ra"), col("__rb"))).as("__s"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_overlap"),
+        round(lit(1.0 - p) * sum(col("__s")), 6).as("rbo"))
+  }
+
   /** Mean intra-class pairwise cosine per label WITHOUT materializing a
     * single pair: for L2-normalized vectors,
     * Σ_{i≠j} u_i·u_j = ‖Σ u‖² − n, so the class-cohesion average is

@@ -488,6 +488,28 @@ class SimilaritySpec extends SparkSuite {
     assert(perfect.forall(_ === 1.0))
   }
 
+  test("rboAtK: per-item suffix-sum contributions, identical lists hit the truncated max") {
+    val a = Seq((7L, 1L, 1L), (7L, 2L, 2L), (7L, 3L, 3L))
+      .toDF("query_id", "vec_id", "rnk")
+    val b = Seq((7L, 3L, 1L), (7L, 1L, 2L), (7L, 4L, 3L))
+      .toDF("query_id", "vec_id", "rnk")
+    val sums = Similarity.rboSuffixSums(3, 0.5)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Similarity.rboAtK(a, b, "query_id", "vec_id", "rnk", 3, 0.5)
+      .collect().head
+    // matches: item1 at (1,2)→S(2), item3 at (3,1)→S(3)
+    assert(out.getLong(1) === 2L)
+    assert(out.getDouble(2) === r6((1.0 - 0.5) * (sums(1) + sums(2))))
+    // identical lists: every item contributes S(its rank) → the truncated max
+    val self = Similarity.rboAtK(a, a, "query_id", "vec_id", "rnk", 3, 0.5)
+      .collect().head
+    assert(self.getLong(1) === 3L)
+    assert(self.getDouble(2) === r6((1.0 - 0.5) * sums.sum))
+    intercept[IllegalArgumentException] {
+      Similarity.rboAtK(a, b, "query_id", "vec_id", "rnk", 3, 1.0)
+    }
+  }
+
   test("kCenterSelect: farthest-point order and covering radii, hand-checked") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)),     // seed (lowest id)
