@@ -936,6 +936,13 @@ object SparkEntry {
     EventAnalytics.funnelSteps(Tables.events(s, d),
       "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
 
+  /** §2b market-basket association rules: support/confidence/lift over
+    * per-user distinct event-type baskets — the "users who X also Y"
+    * segmentation readout. */
+  private def q_assoc_rules(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.associationRules(Tables.events(s, d),
+      "user_id", "event_type")
+
   /** §2b cohort retention matrix: first-event-day cohorts × active-day
     * offset → distinct active users. */
   private def q_cohort_retention(s: SparkSession, d: String): DataFrame =
@@ -2265,6 +2272,7 @@ object SparkEntry {
     "q_event_hourly" -> (q_event_hourly _),
     "q_scd2" -> (q_scd2 _),
     "q_transitions" -> (q_transitions _),
+    "q_assoc_rules" -> (q_assoc_rules _),
     "q_funnel" -> (q_funnel _),
     "q_cohort_retention" -> (q_cohort_retention _),
     "q_resample_fill" -> (q_resample_fill _),
@@ -4058,6 +4066,24 @@ object SparkEntry {
                 LEAD(ts, 1) OVER (PARTITION BY user_id
                   ORDER BY ts, event_id) IS NULL AS is_current
          FROM events""",
+    "q_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+              n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM b),
+              it AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+                     FROM b GROUP BY 1),
+              p AS (SELECT x.event_type AS item_a, y.event_type AS item_b,
+                           CAST(count(*) AS BIGINT) AS n_ab
+                    FROM b x JOIN b y ON x.user_id = y.user_id
+                                     AND x.event_type <> y.event_type
+                    GROUP BY 1, 2)
+         SELECT item_a, item_b, a.cnt AS n_a, c.cnt AS n_b, n_ab,
+                round(CAST(n_ab AS DOUBLE) / nu, 6) AS support,
+                round(CAST(n_ab AS DOUBLE) / a.cnt, 6) AS confidence,
+                round((CAST(n_ab AS DOUBLE) / nu)
+                      / ((CAST(a.cnt AS DOUBLE) / nu)
+                         * (CAST(c.cnt AS DOUBLE) / nu)), 6) AS lift
+         FROM p JOIN it a ON p.item_a = a.event_type
+                JOIN it c ON p.item_b = c.event_type, n""",
     "q_transitions" ->
       """SELECT prev_type, event_type, count(*) AS n_transitions
          FROM (SELECT event_type,

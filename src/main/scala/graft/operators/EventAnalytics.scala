@@ -190,4 +190,44 @@ object EventAnalytics {
       .select(col(userCol), col("conv_ts"), col("touch_ts"),
         col("touch_type"), col("credit"))
   }
+
+  /** Pairwise association rules over per-user item baskets (the classic
+    * market-basket support/confidence/lift readout, Agrawal et al.
+    * SIGMOD'93 measures): for every ordered pair A→B of co-occurring
+    * items, support = P(A,B), confidence = P(B|A), lift =
+    * P(A,B)/(P(A)·P(B)) — lift > 1 marks genuinely associated behaviors,
+    * the segmentation signal behind "users who X also Y". All
+    * probabilities are over distinct users.
+    *
+    * Scale shape: baskets are a distinct (user, item) projection (one
+    * aggregate); the pair expansion is a self-equi-join ON USER, so each
+    * user fans out to at most |itemset|² rows — bounded by the item
+    * vocabulary, never user-count-quadratic; then one (a,b) aggregate
+    * with map-side combine and two broadcast joins against the per-item
+    * counts. Integer counts, divisions forced to double, 6dp. */
+  def associationRules(events: DataFrame, userCol: String,
+                       itemCol: String): DataFrame = {
+    val baskets = events.select(col(userCol).as("__u"),
+      col(itemCol).as("__i")).distinct()
+    val nUsers = baskets.select(countDistinct(col("__u")).as("__n"))
+    val perItem = baskets.groupBy(col("__i")).agg(count(lit(1)).as("__cnt"))
+    val pairCounts = baskets.as("x")
+      .join(baskets.as("y"), col("x.__u") === col("y.__u")
+        && col("x.__i") =!= col("y.__i"))
+      .groupBy(col("x.__i").as("item_a"), col("y.__i").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairCounts
+      .join(broadcast(perItem.select(col("__i").as("item_a"),
+        col("__cnt").as("n_a"))), Seq("item_a"))
+      .join(broadcast(perItem.select(col("__i").as("item_b"),
+        col("__cnt").as("n_b"))), Seq("item_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        round(col("n_ab").cast("double") / col("__n"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+        round((col("n_ab").cast("double") / col("__n"))
+          / ((col("n_a").cast("double") / col("__n"))
+            * (col("n_b").cast("double") / col("__n"))), 6).as("lift"))
+  }
 }

@@ -112,4 +112,21 @@ class EventAnalyticsSpec extends SparkSuite {
         ((r.getString(3), r.getDouble(4)))).toMap
     assert(replayed === out, replayed.toString)
   }
+
+  test("associationRules: hand-checked support/confidence/lift, duplicates collapse") {
+    // u1:{a,b}, u2:{a,b,c}, u3:{a} — the repeated (u1,a) row must not count twice
+    val ev = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (2L, "c"), (3L, "a")).toDF("user_id", "event_type")
+    val out = EventAnalytics.associationRules(ev, "user_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    assert(out.size === 6)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a→b: 2 of 3 users, conf 2/3, lift exactly 1 (independent given coverage)
+    assert(out(("a", "b")) ===
+      ((3L, 2L, 2L, r6(2.0 / 3), r6(2.0 / 3), 1.0)))
+    // c→b: conf 1, lift (1/3)/((1/3)(2/3)) = 1.5
+    assert(out(("c", "b")) === ((1L, 2L, 1L, r6(1.0 / 3), 1.0, 1.5)))
+  }
 }
