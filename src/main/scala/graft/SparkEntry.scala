@@ -943,6 +943,13 @@ object SparkEntry {
     EventAnalytics.associationRules(Tables.events(s, d),
       "user_id", "event_type")
 
+  /** §2b Kaplan-Meier survival: product-limit curve over per-user
+    * first→last event-day lifetimes, a lifetime counting as an event when
+    * the user's final action is a purchase (else right-censored). */
+  private def q_survival(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.kaplanMeier(Tables.events(s, d),
+      "user_id", "ts", "event_id", "event_type", "purchase")
+
   /** §2b cohort retention matrix: first-event-day cohorts × active-day
     * offset → distinct active users. */
   private def q_cohort_retention(s: SparkSession, d: String): DataFrame =
@@ -2273,6 +2280,7 @@ object SparkEntry {
     "q_scd2" -> (q_scd2 _),
     "q_transitions" -> (q_transitions _),
     "q_assoc_rules" -> (q_assoc_rules _),
+    "q_survival" -> (q_survival _),
     "q_funnel" -> (q_funnel _),
     "q_cohort_retention" -> (q_cohort_retention _),
     "q_resample_fill" -> (q_resample_fill _),
@@ -4084,6 +4092,46 @@ object SparkEntry {
                          * (CAST(c.cnt AS DOUBLE) / nu)), 6) AS lift
          FROM p JOIN it a ON p.item_a = a.event_type
                 JOIN it c ON p.item_b = c.event_type, n""",
+    "q_survival" ->
+      """WITH lastev AS (SELECT user_id, event_type AS last_type FROM (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1),
+              u AS (SELECT e.user_id,
+                           CAST(date_diff('day', date_trunc('day', min(e.ts)),
+                                date_trunc('day', max(e.ts))) AS BIGINT) AS dur,
+                           max(l.last_type) = 'purchase' AS ev
+                    FROM events e JOIN lastev l USING (user_id)
+                    GROUP BY e.user_id),
+              g AS (SELECT dur,
+                           CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_events,
+                           CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT)
+                             AS n_censored
+                    FROM u GROUP BY 1),
+              w AS (SELECT dur, n_events, n_censored,
+                           sum(n_events + n_censored) OVER ()
+                             - COALESCE(sum(n_events + n_censored) OVER
+                                 (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS n_risk
+                    FROM g),
+              s AS (SELECT dur, n_events, n_censored, n_risk,
+                           sum(CASE WHEN n_events > 0 AND n_events = n_risk
+                                THEN 1 ELSE 0 END) OVER
+                             (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS zeros,
+                           sum(CASE WHEN n_events > 0 AND n_events < n_risk
+                                THEN ln(1.0 - CAST(n_events AS DOUBLE) / n_risk)
+                                ELSE 0.0 END) OVER
+                             (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS lnsum
+                    FROM w)
+         SELECT dur AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+                n_events, n_censored,
+                round(CASE WHEN zeros > 0 THEN 0.0 ELSE exp(lnsum) END, 6)
+                  AS survival
+         FROM s WHERE n_events > 0""",
     "q_transitions" ->
       """SELECT prev_type, event_type, count(*) AS n_transitions
          FROM (SELECT event_type,

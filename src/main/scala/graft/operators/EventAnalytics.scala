@@ -191,6 +191,64 @@ object EventAnalytics {
         col("touch_type"), col("credit"))
   }
 
+  /** Kaplan-Meier survival curve (Kaplan & Meier, JASA'58) over per-user
+    * observation lifetimes: a user's duration runs first-event-day →
+    * last-event-day; the lifetime counts as an EVENT when the user's
+    * final event (by the (ts, id) deterministic ordering) is
+    * `terminalType`, and as right-CENSORED otherwise — the product-limit
+    * estimator then reads S(t) = Π_{t_i ≤ t, d_i > 0} (1 − d_i/n_i),
+    * reported at event times only (the standard step points). When some
+    * d_i = n_i the curve hits exactly 0 and stays there (guarded — Spark
+    * ln(0) is null while DuckDB's is -inf, so the zero is tracked as a
+    * flag, not through the log).
+    *
+    * Scale shape: two user-level aggregates (map-side combined), one
+    * duration-level aggregate, then THREE cumulative windows over the
+    * DISTINCT-DURATION grid — bounded by the observation span in days,
+    * never user count; the single-partition window is over that tiny
+    * grid only. Cumulative ln-sums accumulate in dur order in both
+    * engines (the ks/ewma ordered-prefix contract). */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, typeCol: String,
+                  terminalType: String): DataFrame = {
+    val perUser = events.groupBy(col(userCol)).agg(
+      date_trunc("day", min(col(tsCol))).as("__first"),
+      date_trunc("day", max(col(tsCol))).as("__last"),
+      max(struct(col(tsCol), col(idCol), col(typeCol))).getField(typeCol)
+        .as("__lastType"))
+    val grid = perUser
+      .select(datediff(col("__last"), col("__first")).cast("long").as("dur"),
+        (col("__lastType") === terminalType).as("__ev"))
+      .groupBy(col("dur"))
+      .agg(sum(when(col("__ev"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("__ev"), 0L).otherwise(1L)).as("n_censored"))
+    val wPrev = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val atRisk = grid
+      .withColumn("__n_risk",
+        sum(col("n_events") + col("n_censored")).over(wAll)
+          - coalesce(sum(col("n_events") + col("n_censored")).over(wPrev),
+            lit(0L)))
+    val d = col("n_events")
+    atRisk
+      .withColumn("__zeros",
+        sum(when(d > 0 && d === col("__n_risk"), 1L).otherwise(0L))
+          .over(wCum))
+      .withColumn("__lnsum",
+        sum(when(d > 0 && d < col("__n_risk"),
+          log(lit(1.0) - d.cast("double") / col("__n_risk")))
+          .otherwise(lit(0.0))).over(wCum))
+      .filter(d > 0)
+      .select(col("dur").as("duration_days"), col("__n_risk").as("n_risk"),
+        col("n_events"), col("n_censored"),
+        round(when(col("__zeros") > 0, lit(0.0))
+          .otherwise(exp(col("__lnsum"))), 6).as("survival"))
+  }
+
   /** Pairwise association rules over per-user item baskets (the classic
     * market-basket support/confidence/lift readout, Agrawal et al.
     * SIGMOD'93 measures): for every ordered pair A→B of co-occurring

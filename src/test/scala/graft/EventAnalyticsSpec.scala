@@ -113,6 +113,29 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(replayed === out, replayed.toString)
   }
 
+  test("kaplanMeier: hand-checked product-limit steps, exhaustion pins S to 0") {
+    // u1: dies day0; u2: censored day2; u3: dies day2; u4: dies day5
+    val ev = Seq(
+      (1L, "2024-01-01 09:00:00", 1L, "purchase"),
+      (2L, "2024-01-01 09:00:00", 2L, "view"),
+      (2L, "2024-01-03 09:00:00", 3L, "error"),
+      (3L, "2024-01-01 09:00:00", 4L, "view"),
+      (3L, "2024-01-03 09:00:00", 5L, "purchase"),
+      (4L, "2024-01-01 09:00:00", 6L, "view"),
+      (4L, "2024-01-06 09:00:00", 7L, "purchase")
+    ).toDF("user_id", "s", "event_id", "event_type")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val out = EventAnalytics.kaplanMeier(ev, "user_id", "ts", "event_id",
+      "event_type", "purchase")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // S(0) = 3/4; S(2) = 3/4 · 2/3 = 1/2; S(5): d = n_risk → exactly 0
+    assert(out === Map(
+      0L -> ((4L, 1L, 0L, 0.75)),
+      2L -> ((3L, 1L, 1L, 0.5)),
+      5L -> ((1L, 1L, 0L, 0.0))))
+  }
+
   test("associationRules: hand-checked support/confidence/lift, duplicates collapse") {
     // u1:{a,b}, u2:{a,b,c}, u3:{a} — the repeated (u1,a) row must not count twice
     val ev = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
