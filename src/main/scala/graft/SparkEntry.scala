@@ -950,6 +950,17 @@ object SparkEntry {
     EventAnalytics.kaplanMeier(Tables.events(s, d),
       "user_id", "ts", "event_id", "event_type", "purchase")
 
+  /** §2b CUSUM change-point alarm: one-sided Page statistic over the
+    * daily event-count series (slack 0.5σ, threshold 4σ) — the pipeline
+    * throughput drift detector, windows only over the day grid. */
+  private def q_cusum(s: SparkSession, d: String): DataFrame =
+    TimeSeries.cusumDaily(Tables.events(s, d), "ts")
+
+  /** §2b Benford first-digit audit over order totals: observed vs
+    * log10(1+1/d) shares + χ² contributions — the fabricated-data screen. */
+  private def q_benford(s: SparkSession, d: String): DataFrame =
+    ColumnHygiene.benford(Tables.orders(s, d), "o_totalprice")
+
   /** §2b cohort retention matrix: first-event-day cohorts × active-day
     * offset → distinct active users. */
   private def q_cohort_retention(s: SparkSession, d: String): DataFrame =
@@ -2281,6 +2292,8 @@ object SparkEntry {
     "q_transitions" -> (q_transitions _),
     "q_assoc_rules" -> (q_assoc_rules _),
     "q_survival" -> (q_survival _),
+    "q_cusum" -> (q_cusum _),
+    "q_benford" -> (q_benford _),
     "q_funnel" -> (q_funnel _),
     "q_cohort_retention" -> (q_cohort_retention _),
     "q_resample_fill" -> (q_resample_fill _),
@@ -2776,6 +2789,30 @@ object SparkEntry {
             THEN CAST(n_subwords AS DOUBLE) / n_words END, 6)
             AS subwords_per_word
    FROM e"""
+  }
+
+  /** Generated Benford oracle: the same 2⁻²⁰-snapped expected-share
+    * literals as [[operators.ColumnHygiene.benfordShares]], leading digit
+    * via the identical `%.10e` formatting. */
+  private def benfordOracleSql: String = {
+    val eCase = "CASE digit " + (1 to 9).map(d =>
+      s"WHEN $d THEN CAST(${new java.math.BigDecimal(
+        operators.ColumnHygiene.benfordShares(d - 1)).toPlainString} AS DOUBLE)")
+      .mkString(" ") + " END"
+    s"""WITH c AS (SELECT CAST(substring(printf('%.10e', abs(o_totalprice)),
+                               1, 1) AS INTEGER) AS digit,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM orders
+                   WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) > 0
+                   GROUP BY 1),
+             t AS (SELECT CAST(sum(n) AS DOUBLE) AS tt FROM c)
+        SELECT digit, n,
+               round(CAST(n AS DOUBLE) / tt, 6) AS share,
+               round($eCase, 6) AS expected_share,
+               round((CAST(n AS DOUBLE) - tt * ($eCase))
+                     * (CAST(n AS DOUBLE) - tt * ($eCase))
+                     / (tt * ($eCase)), 6) AS chi2_contrib
+        FROM c, t"""
   }
 
   /** DuckDB cosine between two DOUBLE[] expressions (same formula as the
@@ -4092,6 +4129,33 @@ object SparkEntry {
                          * (CAST(c.cnt AS DOUBLE) / nu)), 6) AS lift
          FROM p JOIN it a ON p.item_a = a.event_type
                 JOIN it c ON p.item_b = c.event_type, n""",
+    "q_cusum" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS day,
+                           CAST(count(*) AS BIGINT) AS n_events
+                    FROM events GROUP BY 1),
+              st AS (SELECT CAST(sum(n_events) AS DOUBLE) AS s,
+                            CAST(sum(n_events * n_events) AS DOUBLE) AS ss,
+                            CAST(count(*) AS DOUBLE) AS n FROM c),
+              p AS (SELECT day, n_events,
+                           sum(CAST(n_events AS DOUBLE)
+                               - (s / n + 0.5 * sqrt(greatest(ss / n
+                                    - (s / n) * (s / n), 0.0))))
+                             OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS pt,
+                           4.0 * sqrt(greatest(ss / n - (s / n) * (s / n),
+                                      0.0)) AS h
+                    FROM c, st),
+              s2 AS (SELECT day, n_events,
+                            pt - least(0.0, min(pt) OVER (ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)) AS s_t,
+                            h
+                     FROM p)
+         SELECT day, n_events, round(s_t, 6) AS cusum,
+                round(h, 6) AS threshold,
+                round(s_t, 6) > round(h, 6) AS alarm
+         FROM s2""",
+    "q_benford" -> benfordOracleSql,
     "q_survival" ->
       """WITH lastev AS (SELECT user_id, event_type AS last_type FROM (
                 SELECT user_id, event_type,

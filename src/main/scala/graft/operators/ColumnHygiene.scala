@@ -198,6 +198,43 @@ object ColumnHygiene {
       .filter(col("group_size") < k)
   }
 
+  /** Benford's-law expected first-digit shares log10(1 + 1/d), SNAPPED to
+    * multiples of 2⁻²⁰ and shipped as the same literals to both engines
+    * (no libm log10 inside either plan). */
+  private[graft] def benfordShares: Seq[Double] = {
+    val scale = (1 << 20).toDouble
+    (1 to 9).map(d => math.rint(scale * math.log10(1.0 + 1.0 / d)) / scale)
+  }
+
+  /** Benford's-law first-digit audit — the fabricated/truncated-data
+    * screen for naturally-spanning numeric columns (amounts, populations):
+    * per leading digit, observed count vs the log10(1+1/d) expectation
+    * and the χ² contribution (O−E)²/E. The leading digit is extracted
+    * from `%.10e` scientific formatting — correctly-rounded decimal
+    * conversion in both the JVM and C printf, so the digit is
+    * engine-identical even for doubles one ulp off a power of ten.
+    * Zero and NULL values are excluded (they have no leading digit).
+    *
+    * Scale shape: one map-side digit projection + ONE 9-bucket hash
+    * aggregate + a 1-row total broadcast — nothing else moves. */
+  def benford(df: DataFrame, valCol: String): DataFrame = {
+    val eArr = array(benfordShares.map(lit): _*)
+    val lead = substring(
+      format_string("%.10e", abs(col(valCol))), 1, 1).cast("int")
+    val counts = df
+      .filter(col(valCol).isNotNull && abs(col(valCol)) > lit(0.0))
+      .select(lead.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).cast("double").as("__t"))
+    val e = element_at(eArr, col("digit"))
+    val dev = col("n").cast("double") - col("__t") * e
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("__t"), 6).as("share"),
+        round(e, 6).as("expected_share"),
+        round(dev * dev / (col("__t") * e), 6).as("chi2_contrib"))
+  }
+
   /** Distinct l-diversity audit (Machanavajjhala et al., TKDD'07): a
     * k-anonymous group is still re-identifiable when everyone in it
     * shares the same SENSITIVE value — homogeneity attack. Reports every

@@ -192,4 +192,45 @@ object TimeSeries {
           / element_at(denoms, size(col("__hist"))), roundScale))
       .drop("__hist")
   }
+
+  /** One-sided CUSUM change-point detection (Page, Biometrika'54) over the
+    * daily event-count series — the drift alarm for pipeline throughput:
+    * S_t = max(0, S_{t−1} + x_t − μ − k) with slack k = `slackSigmas`·σ,
+    * alarm when S_t > `hSigmas`·σ. The recursion is re-expressed through
+    * the prefix-sum identity S_t = P_t − min(0, min_{i≤t} P_i) with
+    * P_t = Σ(x − μ − k), so it needs only a cumulative sum and a
+    * cumulative min — no sequential state. The alarm compares the
+    * 6dp-ROUNDED statistic against the 6dp-rounded threshold, so the flag
+    * is as engine-stable as the printed numbers.
+    *
+    * Scale shape: one day-grain count aggregate (map-side combined), a
+    * 1-row stats broadcast, then two cumulative windows over the
+    * DAY GRID — bounded by the observation span, never event count. */
+  def cusumDaily(events: DataFrame, tsCol: String,
+                 slackSigmas: Double = 0.5,
+                 hSigmas: Double = 4.0): DataFrame = {
+    require(slackSigmas >= 0 && hSigmas > 0,
+      s"need slackSigmas >= 0 and hSigmas > 0: $slackSigmas/$hSigmas")
+    val counts = events
+      .groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = counts.agg(
+      sum(col("n_events")).cast("double").as("__s"),
+      sum(col("n_events") * col("n_events")).cast("double").as("__ss"),
+      count(lit(1)).cast("double").as("__n"))
+    val mu = col("__s") / col("__n")
+    val sigma = sqrt(greatest(col("__ss") / col("__n") - mu * mu, lit(0.0)))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    counts.crossJoin(broadcast(stats))
+      .withColumn("__p",
+        sum(col("n_events").cast("double") - (mu + lit(slackSigmas) * sigma))
+          .over(wCum))
+      .withColumn("__s_t",
+        col("__p") - least(lit(0.0), min(col("__p")).over(wCum)))
+      .select(col("day"), col("n_events"),
+        round(col("__s_t"), 6).as("cusum"),
+        round(lit(hSigmas) * sigma, 6).as("threshold"))
+      .withColumn("alarm", col("cusum") > col("threshold"))
+  }
 }

@@ -150,6 +150,21 @@ class ColumnHygieneSparkSpec extends SparkSuite {
     }
   }
 
+  test("benford: leading digits via %.10e, zeros/nulls excluded, chi2 hand-check") {
+    val df = Seq(Some(1.0), Some(1.5), Some(25.0), Some(-3.2), Some(0.0), None)
+      .toDF("v")
+    val out = ColumnHygiene.benford(df, "v").collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet === Set(1, 2, 3))
+    val e1 = ColumnHygiene.benfordShares.head
+    val dev = 2.0 - 4.0 * e1
+    assert(out(1) === ((2L, 0.5, r6(e1), r6(dev * dev / (4.0 * e1)))))
+    assert(out(2)._1 === 1L && out(2)._2 === 0.25)
+    assert(out(3)._1 === 1L, "negative value contributes via abs")
+  }
+
   test("riOrphans: dangling FKs counted per key, null FKs excluded") {
     val child = Seq(Option(1L), Option(1L), Option(2L), Option(9L),
       Option(9L), Option.empty[Long]).toDF("fk")

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.TimeSeries
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.col
 
 class TimeSeriesSpec extends SparkSuite {
   import spark.implicits._
@@ -145,5 +146,27 @@ class TimeSeriesSpec extends SparkSuite {
     val m = nn.map(r => r.getLong(2) -> r.getDouble(4)).toMap
     // row 3's window is [4, 2] — the null row simply isn't in the series
     assert(m(3L) === 3.333333)
+  }
+
+  test("cusumDaily: window identity matches the direct max(0, ...) recursion") {
+    val ev = Seq(("2024-01-01", 10), ("2024-01-02", 10), ("2024-01-03", 10),
+      ("2024-01-04", 30), ("2024-01-05", 32))
+      .flatMap { case (d, n) => (1 to n).map(i => s"$d 01:00:00") }
+      .toDF("s").withColumn("ts", col("s").cast("timestamp"))
+    val out = TimeSeries.cusumDaily(ev, "ts")
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    val xs = out.map(_._1.toDouble)
+    val mu = xs.sum / xs.length
+    val sigma = math.sqrt(math.max(xs.map(x => x * x).sum / xs.length - mu * mu, 0.0))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var s = 0.0
+    out.zip(xs).foreach { case ((_, cusum, threshold, alarm), x) =>
+      s = math.max(0.0, s + x - mu - 0.5 * sigma)
+      // output is 6dp-rounded; the recursion is exact
+      assert(math.abs(cusum - s) <= 5.0e-7, s"cusum $cusum vs recursion $s")
+      assert(threshold === r6(4.0 * sigma))
+      assert(alarm === (cusum > threshold))
+    }
   }
 }
