@@ -582,6 +582,13 @@ object SparkEntry {
     Dedup.editDistancePairs(
       Tables.documents(s, d).filter(col("doc_id") < 80), "doc_id", "text", 50)
 
+  /** §2b Jaro-Winkler fuzzy matching: within-nation customer-name pairs
+    * scoring ≥ 0.95 under the native codegen comparator — the blocked
+    * fuzzy-name step of a record-linkage pipeline. */
+  private def q_jaro_winkler(s: SparkSession, d: String): DataFrame =
+    Dedup.jaroWinklerPairs(Tables.customer(s, d),
+      "c_custkey", "c_name", "c_nationkey", 0.95)
+
   /** §2b word-shingle (3-gram) Jaccard near-dup pairs — the n-gram variant:
     * shingles are near-unique so the inverted index barely fans out. */
   private def q_shingle_pairs(s: SparkSession, d: String): DataFrame =
@@ -2294,6 +2301,7 @@ object SparkEntry {
     "q_survival" -> (q_survival _),
     "q_cusum" -> (q_cusum _),
     "q_benford" -> (q_benford _),
+    "q_jaro_winkler" -> (q_jaro_winkler _),
     "q_funnel" -> (q_funnel _),
     "q_cohort_retention" -> (q_cohort_retention _),
     "q_resample_fill" -> (q_resample_fill _),
@@ -4156,6 +4164,12 @@ object SparkEntry {
                 round(s_t, 6) > round(h, 6) AS alarm
          FROM s2""",
     "q_benford" -> benfordOracleSql,
+    "q_jaro_winkler" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw_sim
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+         WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.95""",
     "q_survival" ->
       """WITH lastev AS (SELECT user_id, event_type AS last_type FROM (
                 SELECT user_id, event_type,

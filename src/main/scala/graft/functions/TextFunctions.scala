@@ -252,4 +252,11 @@ object TextFunctions {
     * DuckDB `strip_accents` on Latin text. */
   def foldAccents(text: Column): Column =
     org.apache.spark.sql.graft.expressions.stripAccents(text)
+
+  /** Jaro-Winkler similarity (native codegen expression; Spark ships only
+    * levenshtein) — the record-linkage standard, transposition-tolerant
+    * with a common-prefix boost. Bit-equal to DuckDB's
+    * `jaro_winkler_similarity` (validated over randomized pairs). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.expressions.jaroWinkler(a, b)
 }

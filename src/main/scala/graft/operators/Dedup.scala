@@ -657,6 +657,34 @@ object Dedup {
       .select(col(idCol).as("id_a"), col("id_b"), col("edit_distance"))
   }
 
+  /** Blocked Jaro-Winkler near-match pairs: all (id_a < id_b) pairs within
+    * a blocking key whose names score ≥ `minSim` under the native
+    * [[graft.functions.TextFunctions.jaroWinkler]] expression — the
+    * fuzzy-name comparator of a record-linkage pipeline (transposition-
+    * tolerant where levenshtein over-penalizes, prefix-boosted where
+    * identifiers agree on their stem). Scores are 6dp-rounded BEFORE the
+    * threshold so the survivor set is engine-exact.
+    *
+    * Scale shape: one equi-join on the blocking key — fan-out ∝ block
+    * size², never corpus²; the comparator runs inside whole-stage codegen
+    * on the joined pairs. Pick the block key so the largest block stays
+    * rectangle-safe (nation, zip prefix, sorted-neighborhood window…). */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, nameCol: String,
+                       blockCol: String, minSim: Double): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0, s"minSim must be in (0,1]: $minSim")
+    val a = df.select(col(blockCol).as("__blk"), col(idCol).as("id_a"),
+      col(nameCol).as("__na"))
+    val b = df.select(col(blockCol).as("__blk"), col(idCol).as("id_b"),
+      col(nameCol).as("__nb"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw_sim",
+        round(graft.functions.TextFunctions.jaroWinkler(
+          col("__na"), col("__nb")), 6))
+      .filter(col("jw_sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("jw_sim"))
+  }
+
   /** Weighted multi-field match scoring for candidate entity pairs — the
     * linear-comparator half of a Fellegi–Sunter record-linkage pipeline
     * (public: Fellegi & Sunter JASA'69): a blocker

@@ -279,6 +279,94 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** Jaro-Winkler similarity (Winkler '90) as a codegen'd expression —
+    * Spark ships levenshtein but not the similarity measure record-linkage
+    * actually standardized on (edit distance over-penalizes transposed
+    * name parts). Classic parameters: match window ⌊max(len)/2⌋−1,
+    * transpositions = ⌊mismatched-match-positions / 2⌋, prefix boost
+    * 0.1·l (l ≤ 4) applied only when jaro > 0.7. Verified bit-equal to
+    * DuckDB's `jaro_winkler_similarity` over randomized pairs (including
+    * the empty-vs-empty → 0.0 convention), so the harness oracle compares
+    * hash-exact after 6dp rounding. Operates on UTF-16 code units (same
+    * as codepoints outside supplementary planes — matching the intended
+    * identifier/name workloads).
+    *
+    * The generated code is the same allocation-light primitive loop as
+    * the interpreted path: two boolean flag arrays sized by the inputs,
+    * no regex, no boxing — linkage-scale pair scans stay inside
+    * whole-stage codegen. */
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_jaro_winkler"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      expressions.jaroWinklerSim(
+        a.asInstanceOf[UTF8String].toString,
+        b.asInstanceOf[UTF8String].toString)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) => {
+        val a = ctx.freshName("a"); val b = ctx.freshName("b")
+        s"""
+           |java.lang.String $a = $l.toString();
+           |java.lang.String $b = $r.toString();
+           |${ev.value} = org.apache.spark.sql.graft.expressions$$.MODULE$$
+           |  .jaroWinklerSim($a, $b);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** The Jaro-Winkler kernel shared by the interpreted and generated
+    * paths (a single static call keeps the two bit-identical; the loop
+    * itself is primitive arrays only). Public so the generated class can
+    * link against it. */
+  def jaroWinklerSim(a: String, b: String): Double = {
+    val la = a.length; val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val ma = new Array[Boolean](la); val mb = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+          ma(i) = true; mb(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0
+    i = 0
+    while (i < la) {
+      if (ma(i)) {
+        while (!mb(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val jaro = (m.toDouble / la + m.toDouble / lb
+      + (m - t / 2).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    val maxPref = math.min(4, math.min(la, lb))
+    var l = 0
+    while (l < maxPref && a.charAt(l) == b.charAt(l)) l += 1
+    jaro + 0.1 * l * (1.0 - jaro)
+  }
+
   /** Accent folding: canonical-decompose (NFD) then drop combining marks
     * (Unicode category Mn) — é→e, ü→u — leaving base letters for
     * accent-insensitive matching, fingerprints and language-agnostic
@@ -379,4 +467,7 @@ object expressions {
 
   def stripAccents(c: Column): Column =
     ExpressionUtils.column(StripAccents(toExpr(c)))
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaroWinkler(toExpr(a), toExpr(b)))
 }

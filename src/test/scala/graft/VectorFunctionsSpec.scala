@@ -97,6 +97,40 @@ class VectorFunctionsSpec extends SparkSuite {
     assert(got.toSeq === Seq(0L, 1L, 64L, 8L))
   }
 
+  test("jaroWinkler: classic reference values through the codegen path") {
+    val pairs = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),   // Winkler's canonical example
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("ab", "ba", 0.0),                          // window 0: nothing matches
+      ("aaaaabbbbb", "aaaaaccccc", 0.6666666666666666), // jaro ≤ 0.7: no boost
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0)                               // DuckDB's empty-empty convention
+    )
+    val got = pairs.toDF("a", "b", "want")
+      .select(TextFunctions.jaroWinkler(col("a"), col("b")).as("jw"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) === r.getDouble(1), r.toString))
+    // null propagation
+    val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+      .select(TextFunctions.jaroWinkler(col("a"), col("b"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("jaroWinkler: interpreted path agrees with codegen") {
+    val pairs = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("", ""))
+      .toDF("a", "b")
+    val viaCodegen = pairs
+      .select(TextFunctions.jaroWinkler(col("a"), col("b"))).collect().map(_.getDouble(0))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interpreted = pairs
+        .select(TextFunctions.jaroWinkler(col("a"), col("b"))).collect().map(_.getDouble(0))
+      assert(interpreted.toSeq === viaCodegen.toSeq)
+    }
+  }
+
   test("interpreted eval path agrees with codegen (expressions used in agg keys)") {
     // Force the interpreted path by evaluating via a literal-only projection
     // with codegen disabled for this plan.
