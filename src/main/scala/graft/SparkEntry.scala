@@ -968,6 +968,24 @@ object SparkEntry {
   private def q_benford(s: SparkSession, d: String): DataFrame =
     ColumnHygiene.benford(Tables.orders(s, d), "o_totalprice")
 
+  /** §2b numeric-drift PSI: doc-length distribution of the rest of the
+    * corpus vs source src0, binned by src0's OWN decile edges (strict->
+    * bin assignment) — the numeric companion to q_psi's categorical form,
+    * reusing Stats.psi for the smoothed contribution arithmetic. */
+  private def q_psi_numeric(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ref = docs.filter(col("source") === "src0")
+    val cur = docs.filter(col("source") =!= "src0")
+    val qs = (1 to 9).map(_ / 10.0)
+    val edges = ref.agg(
+      expr(s"percentile(n_chars, array(${qs.mkString(",")}))").as("__q"))
+    def binned(df: DataFrame): DataFrame = df.crossJoin(broadcast(edges))
+      .select((1 to 9).foldLeft(lit(1)) { (acc, i) =>
+        acc + when(col("n_chars") > element_at(col("__q"), i), 1).otherwise(0)
+      }.as("decile"))
+    Stats.psi(binned(ref), binned(cur), "decile")
+  }
+
   /** §2b cohort retention matrix: first-event-day cohorts × active-day
     * offset → distinct active users. */
   private def q_cohort_retention(s: SparkSession, d: String): DataFrame =
@@ -2302,6 +2320,7 @@ object SparkEntry {
     "q_cusum" -> (q_cusum _),
     "q_benford" -> (q_benford _),
     "q_jaro_winkler" -> (q_jaro_winkler _),
+    "q_psi_numeric" -> (q_psi_numeric _),
     "q_funnel" -> (q_funnel _),
     "q_cohort_retention" -> (q_cohort_retention _),
     "q_resample_fill" -> (q_resample_fill _),
@@ -4210,6 +4229,51 @@ object SparkEntry {
                 round(CASE WHEN zeros > 0 THEN 0.0 ELSE exp(lnsum) END, 6)
                   AS survival
          FROM s WHERE n_events > 0""",
+    "q_psi_numeric" ->
+      """WITH e AS (SELECT quantile_cont(n_chars,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+                    FROM documents WHERE source = 'src0'),
+              rb AS (SELECT 1 + CAST((n_chars > q[1]) AS INT)
+                       + CAST((n_chars > q[2]) AS INT)
+                       + CAST((n_chars > q[3]) AS INT)
+                       + CAST((n_chars > q[4]) AS INT)
+                       + CAST((n_chars > q[5]) AS INT)
+                       + CAST((n_chars > q[6]) AS INT)
+                       + CAST((n_chars > q[7]) AS INT)
+                       + CAST((n_chars > q[8]) AS INT)
+                       + CAST((n_chars > q[9]) AS INT) AS decile
+                     FROM documents, e WHERE source = 'src0'),
+              cb AS (SELECT 1 + CAST((n_chars > q[1]) AS INT)
+                       + CAST((n_chars > q[2]) AS INT)
+                       + CAST((n_chars > q[3]) AS INT)
+                       + CAST((n_chars > q[4]) AS INT)
+                       + CAST((n_chars > q[5]) AS INT)
+                       + CAST((n_chars > q[6]) AS INT)
+                       + CAST((n_chars > q[7]) AS INT)
+                       + CAST((n_chars > q[8]) AS INT)
+                       + CAST((n_chars > q[9]) AS INT) AS decile
+                     FROM documents, e WHERE source <> 'src0'),
+              r AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_ref
+                    FROM rb GROUP BY 1),
+              c AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_cur
+                    FROM cb GROUP BY 1),
+              j AS (SELECT decile, COALESCE(n_ref, 0) AS n_ref,
+                           COALESCE(n_cur, 0) AS n_cur
+                    FROM r FULL OUTER JOIN c USING (decile)),
+              t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+                           CAST(sum(n_cur) AS DOUBLE) AS tc,
+                           CAST(count(*) AS DOUBLE) AS k FROM j)
+         SELECT decile, n_ref, n_cur,
+                round((CAST(n_ref AS DOUBLE) + 0.5) / (tr + 0.5 * k), 6)
+                  AS p_ref,
+                round((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 0.5 * k), 6)
+                  AS p_cur,
+                round(((CAST(n_ref AS DOUBLE) + 0.5) / (tr + 0.5 * k)
+                       - (CAST(n_cur AS DOUBLE) + 0.5) / (tc + 0.5 * k))
+                      * ln(((CAST(n_ref AS DOUBLE) + 0.5) / (tr + 0.5 * k))
+                           / ((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 0.5 * k))),
+                      6) AS psi_contrib
+         FROM j, t""",
     "q_transitions" ->
       """SELECT prev_type, event_type, count(*) AS n_transitions
          FROM (SELECT event_type,
