@@ -1260,6 +1260,16 @@ object SparkEntry {
       .select(col("id"), round(col("rank"), 9).as("rank"))
   }
 
+  /** §2b HITS hubs & authorities: 3 unrolled rounds over the DIRECTED
+    * part→supplier purchase graph — parts score as hubs, suppliers as
+    * authorities; integer-exact sums, max-normalized once at the end. */
+  private def q_hits(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.lineitem(s, d).select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    Graph.hits(edges, 3)
+  }
+
   /** §2b hot-key skew report: top-10 suppliers by lineitem row count with
     * share and skew factor — the pre-flight check before keying a shuffle
     * on l_suppkey. */
@@ -2360,6 +2370,7 @@ object SparkEntry {
     "q_zorder_key" -> (q_zorder_key _),
     "q_quality_classifier" -> (q_quality_classifier _),
     "q_pagerank" -> (q_pagerank _),
+    "q_hits" -> (q_hits _),
     "q_skew_report" -> (q_skew_report _),
     "q_winnowing" -> (q_winnowing _),
     "q_group_ols" -> (q_group_ols _),
@@ -2840,6 +2851,33 @@ object SparkEntry {
                      * (CAST(n AS DOUBLE) - tt * ($eCase))
                      / (tt * ($eCase)), 6) AS chi2_contrib
         FROM c, t"""
+  }
+
+  /** Generated HITS oracle: the same unrolled a/h rounds, MATERIALIZED
+    * (each level is referenced twice). All sums stay integer-valued
+    * doubles, so the only real arithmetic is the final max division. */
+  private def hitsOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      val hp = s"h${r - 1}"
+      s"""a$r AS MATERIALIZED (
+            SELECT e.dst AS id, sum($hp.val) AS val
+            FROM e JOIN $hp ON e.src = $hp.id GROUP BY 1),
+          h$r AS MATERIALIZED (
+            SELECT e.src AS id, sum(a$r.val) AS val
+            FROM e JOIN a$r ON e.dst = a$r.id GROUP BY 1)"""
+    }
+    s"""WITH e AS MATERIALIZED (
+          SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                 's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM lineitem),
+        n AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        h0 AS (SELECT id, CAST(1 AS DOUBLE) AS val FROM n),
+        ${rounds.mkString(",\n        ")},
+        m AS (SELECT (SELECT max(val) FROM a$iters) AS ma,
+                     (SELECT max(val) FROM h$iters) AS mh)
+     SELECT n.id, round(COALESCE(a$iters.val, 0) / ma, 6) AS authority,
+            round(COALESCE(h$iters.val, 0) / mh, 6) AS hub
+     FROM n LEFT JOIN a$iters USING (id) LEFT JOIN h$iters USING (id), m"""
   }
 
   /** DuckDB cosine between two DOUBLE[] expressions (same formula as the
@@ -4375,6 +4413,7 @@ object SparkEntry {
                  CAST(${mortonSql("l_partkey", "l_suppkey")} AS BIGINT) AS zkey
           FROM lineitem""",
     "q_pagerank" -> pageRankOracleSql,
+    "q_hits" -> hitsOracleSql(3),
     "q_group_ols" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
                 round(CASE WHEN var_samp(l_quantity) > 0

@@ -109,6 +109,55 @@ object Graph {
     out
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM'99) over a DIRECTED edge
+    * list, `iters` unrolled rounds: a_r(v) = Σ_{u→v} h_{r−1}(u), then
+    * h_r(u) = Σ_{u→v} a_r(v) — run UNNORMALIZED and divided by the final
+    * max once at the end. On integer-seeded graphs every intermediate
+    * score stays an integer-valued double (sums of integers), so as long
+    * as magnitudes stay under 2⁵³ — deg³-ish growth, comfortably true for
+    * ≤ ~4 rounds at warehouse degrees — every aggregate is EXACT and
+    * order-independent, and the final max-division is the only real
+    * arithmetic. No per-round L1/L2 normalization, whose global float
+    * sum would be schedule-dependent.
+    *
+    * Same per-round shape as [[pageRank]]: the edge list is cached twice,
+    * pre-partitioned on src AND on dst (each update joins a |V|-row score
+    * table against the matching copy with a shuffle-hash hint — no
+    * per-round |E| sort, no broadcast assumption); per-node sums are one
+    * hash aggregate with map-side combine. Nodes missing from a side
+    * (pure hubs / pure authorities) score 0 there. */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 4,
+      s"iters must be in [1, 4] (integer-exact growth bound): $iters")
+    val eSrc = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).cache()
+    val eDst = eSrc.repartition(col("dst")).cache()
+    val nodes = eSrc.select(col("src").as("id"))
+      .unionByName(eSrc.select(col("dst").as("id"))).distinct().cache()
+    var h = nodes.withColumn("val", lit(1.0))
+    var a: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val hRen = h.select(col("id").as("__u"), col("val"))
+      a = eSrc.join(hRen.hint("shuffle_hash"), eSrc("src") === col("__u"))
+        .groupBy(eSrc("dst").as("id")).agg(sum(col("val")).as("val"))
+      val aRen = a.select(col("id").as("__v"), col("val"))
+      h = eDst.join(aRen.hint("shuffle_hash"), eDst("dst") === col("__v"))
+        .groupBy(eDst("src").as("id")).agg(sum(col("val")).as("val"))
+    }
+    val maxes = a.agg(max(col("val")).as("__ma"))
+      .crossJoin(h.agg(max(col("val")).as("__mh")))
+    val out = nodes
+      .join(a.select(col("id"), col("val").as("__a")), Seq("id"), "left")
+      .join(h.select(col("id"), col("val").as("__h")), Seq("id"), "left")
+      .crossJoin(broadcast(maxes))
+      .select(col("id"),
+        round(coalesce(col("__a"), lit(0.0)) / col("__ma"), 6).as("authority"),
+        round(coalesce(col("__h"), lit(0.0)) / col("__mh"), 6).as("hub"))
+      .localCheckpoint()
+    Seq(eSrc, eDst, nodes).foreach(_.unpersist())
+    out
+  }
+
   /** Personalized PageRank (public: Page et al. '99 §6 "personalized";
     * Jeh & Widom WWW'03): identical update to [[pageRank]] except the
     * teleport mass returns to a SEED SET instead of spreading uniformly —

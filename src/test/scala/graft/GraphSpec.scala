@@ -124,4 +124,19 @@ class GraphSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(core2 === core)
   }
+
+  test("hits: hand-traced 3 rounds on a directed bipartite graph") {
+    // p1→s1, p2→s1, p2→s2: a3 = (s1:13, s2:8), h3 = (p1:13, p2:21)
+    val edges = Seq(("p1", "s1"), ("p2", "s1"), ("p2", "s2"))
+      .toDF("src", "dst")
+    val out = Graph.hits(edges, 3).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Map(
+      "s1" -> ((1.0, 0.0)),
+      "s2" -> ((r6(8.0 / 13), 0.0)),
+      "p1" -> ((0.0, r6(13.0 / 21))),
+      "p2" -> ((0.0, 1.0))))
+    intercept[IllegalArgumentException] { Graph.hits(edges, 5) }
+  }
 }
