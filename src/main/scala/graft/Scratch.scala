@@ -134,7 +134,17 @@ object Scratch {
       "q_ndcg" -> ("NDCG@10 + MRR ranking eval",
         "Exact and IVF rank lists meet in ONE (query,id) equi-join; gain/discount arithmetic is dyadic-exact (2^-20 multiples) so the two per-query hash aggregates are order-independent — rows ∝ queries × k throughout, never corpus-sized."),
       "q_davies_bouldin" -> ("Davies-Bouldin cluster quality",
-        "Assignment is the zero-shuffle map-side argmax over centroid literals; scatter is ONE k-row hash aggregate with DECIMAL(18,6)-exact sums; the k² pair frame and partner-scatter join are both broadcasts — nothing corpus-sized shuffles."))
+        "Assignment is the zero-shuffle map-side argmax over centroid literals; scatter is ONE k-row hash aggregate with DECIMAL(18,6)-exact sums; the k² pair frame and partner-scatter join are both broadcasts — nothing corpus-sized shuffles."),
+      "q_jaro_winkler" -> ("Blocked Jaro-Winkler fuzzy matching",
+        "One equi-join on the nation blocking key (fan-out ∝ block², never corpus²); the native JaroWinkler comparator and the 6dp threshold filter run inside whole-stage codegen on the joined pairs — no UDF, no driver loop."),
+      "q_bpe_encode" -> ("BPE encoding under learned merges",
+        "After training (vocab-sized, tiny-collected winners), encoding is a pure map-side chain of 8 literal string replaces over the scan — zero shuffle, zero state; subword counting is integer length arithmetic in the same projection."),
+      "q_survival" -> ("Kaplan-Meier survival curve",
+        "Two user-level hash aggregates (map-side combined) collapse events to lifetimes; all windows run over the distinct-duration DAY GRID — bounded by observation span, never user count — so the single-partition window is a few dozen rows."),
+      "q_assoc_rules" -> ("Market-basket association rules",
+        "The pair expansion is a self-equi-join ON USER over the distinct (user, item) projection — fan-out ≤ itemset² per user, bounded by the item vocabulary; one (a,b) aggregate with map-side combine, per-item counts and the user total join back as broadcasts."),
+      "q_hits" -> ("HITS hubs & authorities",
+        "Each unrolled round joins the |V|-row score table (shuffle_hash) against the edge copy pre-partitioned on the matching key — no per-round |E| sort, no broadcast assumption; per-node sums are integer-exact so no normalization runs until the final max division."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans for flagship queries\n\n")
