@@ -986,6 +986,18 @@ object SparkEntry {
     Stats.psi(binned(ref), binned(cur), "decile")
   }
 
+  /** §2b contribution-bounded DP histogram (user-level DP shape): cap
+    * each SOURCE's contribution at C=16 docs (md5-ranked, deterministic),
+    * then Laplace(C/ε)-noise the per-lang counts (ε=1) — bounding the
+    * unit-of-privacy's influence FIRST is what makes the noise scale
+    * meaningful, the step record-level DP releases skip. ε passed as the
+    * dyadic 1/16 so the noise scale is exactly −16.0 in both engines. */
+  private def q_dp_contrib_hist(s: SparkSession, d: String): DataFrame = {
+    val capped = Corpus.capPerGroup(
+      Tables.documents(s, d), "source", "doc_id", 16)
+    ColumnHygiene.noisyCounts(capped.drop("sample_rank"), "lang", 0.0625, "dpc")
+  }
+
   /** §2b cohort retention matrix: first-event-day cohorts × active-day
     * offset → distinct active users. */
   private def q_cohort_retention(s: SparkSession, d: String): DataFrame =
@@ -2331,6 +2343,7 @@ object SparkEntry {
     "q_benford" -> (q_benford _),
     "q_jaro_winkler" -> (q_jaro_winkler _),
     "q_psi_numeric" -> (q_psi_numeric _),
+    "q_dp_contrib_hist" -> (q_dp_contrib_hist _),
     "q_funnel" -> (q_funnel _),
     "q_cohort_retention" -> (q_cohort_retention _),
     "q_resample_fill" -> (q_resample_fill _),
@@ -4911,6 +4924,22 @@ object SparkEntry {
                     FROM c)
          SELECT source,
                 round(t + (-1.0) * sign(uu)
+                  * ln(greatest(1.0 - 2.0 * abs(uu), 1.0 / 4294967296.0)),
+                  6) AS noisy_cnt
+         FROM u""",
+    "q_dp_contrib_hist" ->
+      """WITH capped AS (SELECT doc_id, lang FROM (
+               SELECT doc_id, lang,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+               FROM documents) WHERE rn <= 16),
+              c AS (SELECT lang, COUNT(*) AS t FROM capped GROUP BY 1),
+              u AS (SELECT lang, t,
+                      CAST(('0x' || substring(md5('dpc:' || CAST(lang AS VARCHAR)), 1, 8))
+                        AS BIGINT) / 4294967296.0 - 0.5 AS uu
+                    FROM c)
+         SELECT lang,
+                round(t + (-16.0) * sign(uu)
                   * ln(greatest(1.0 - 2.0 * abs(uu), 1.0 / 4294967296.0)),
                   6) AS noisy_cnt
          FROM u""",
