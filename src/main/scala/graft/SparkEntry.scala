@@ -957,6 +957,18 @@ object SparkEntry {
     EventAnalytics.kaplanMeier(Tables.events(s, d),
       "user_id", "ts", "event_id", "event_type", "purchase")
 
+  /** §2b time-decayed popularity: top-20 parts by 6-month-half-life
+    * decayed order volume — the freshness-weighted leaderboard, with
+    * integer×dyadic exact contributions. */
+  private def q_decayed_topk(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      col("l_partkey").as("part_id"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+    TimeSeries.decayedTopK(
+      li.join(o, col("l_orderkey") === col("o_orderkey")),
+      "part_id", "o_orderdate")
+  }
+
   /** §2b CUSUM change-point alarm: one-sided Page statistic over the
     * daily event-count series (slack 0.5σ, threshold 4σ) — the pipeline
     * throughput drift detector, windows only over the day grid. */
@@ -2344,6 +2356,7 @@ object SparkEntry {
     "q_jaro_winkler" -> (q_jaro_winkler _),
     "q_psi_numeric" -> (q_psi_numeric _),
     "q_dp_contrib_hist" -> (q_dp_contrib_hist _),
+    "q_decayed_topk" -> (q_decayed_topk _),
     "q_funnel" -> (q_funnel _),
     "q_cohort_retention" -> (q_cohort_retention _),
     "q_resample_fill" -> (q_resample_fill _),
@@ -2891,6 +2904,27 @@ object SparkEntry {
      SELECT n.id, round(COALESCE(a$iters.val, 0) / ma, 6) AS authority,
             round(COALESCE(h$iters.val, 0) / mh, 6) AS hub
      FROM n LEFT JOIN a$iters USING (id) LEFT JOIN h$iters USING (id), m"""
+  }
+
+  /** Generated decayed-popularity oracle: the same 2⁻²⁰-snapped decay
+    * weight literals as [[operators.TimeSeries.decayWeights]] as a
+    * DOUBLE[] literal indexed by the month bucket. */
+  private def decayedTopkOracleSql(halfLife: Double, k: Int,
+                                   maxBuckets: Int): String = {
+    val ws = operators.TimeSeries.decayWeights(maxBuckets, halfLife)
+      .map(w => s"CAST(${new java.math.BigDecimal(w).toPlainString} AS DOUBLE)")
+      .mkString(", ")
+    s"""WITH mx AS (SELECT max(o_orderdate) AS md FROM orders),
+            ag AS (SELECT l.l_partkey AS part_id,
+                          least(CAST(date_diff('day', o.o_orderdate, mx.md)
+                                     // 30 AS INT), ${maxBuckets - 1}) AS b,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM lineitem l
+                   JOIN orders o ON l.l_orderkey = o.o_orderkey, mx
+                   GROUP BY 1, 2)
+       SELECT part_id, round(sum(c * ([$ws])[b + 1]), 6) AS decayed_score
+       FROM ag GROUP BY part_id
+       ORDER BY decayed_score DESC, part_id ASC LIMIT $k"""
   }
 
   /** DuckDB cosine between two DOUBLE[] expressions (same formula as the
@@ -4927,6 +4961,7 @@ object SparkEntry {
                   * ln(greatest(1.0 - 2.0 * abs(uu), 1.0 / 4294967296.0)),
                   6) AS noisy_cnt
          FROM u""",
+    "q_decayed_topk" -> decayedTopkOracleSql(6.0, 20, 120),
     "q_dp_contrib_hist" ->
       """WITH capped AS (SELECT doc_id, lang FROM (
                SELECT doc_id, lang,

@@ -193,6 +193,46 @@ object TimeSeries {
       .drop("__hist")
   }
 
+  /** Exponential-decay weights 2^(−bucket/halfLife) for month buckets
+    * 0..n−1, SNAPPED to multiples of 2⁻²⁰ — shipped as the same literals
+    * to both engines, and every (integer count × weight) product stays an
+    * exact dyadic rational, so decayed scores sum order-independently. */
+  private[graft] def decayWeights(n: Int, halfLife: Double): Seq[Double] = {
+    val scale = (1 << 20).toDouble
+    (0 until n).map(b => math.rint(scale * math.pow(0.5, b / halfLife)) / scale)
+  }
+
+  /** Time-decayed popularity top-k — the freshness-weighted leaderboard
+    * (recency-biased demand, trending detection): each row contributes
+    * 2^(−age/halfLife) where age is its MONTH bucket (30-day) behind the
+    * dataset's newest timestamp, so score = Σ_bucket count·weight with
+    * [[decayWeights]] literals. Bucketing by month keeps the weight table
+    * a literal array instead of a per-day expression, and makes every
+    * contribution integer×dyadic = exact — the ranking is deterministic
+    * with (score desc, id asc) tiebreak on the 6dp-rounded score.
+    *
+    * Scale shape: one 1-row max broadcast, ONE (id, bucket) hash
+    * aggregate with map-side combine, one id-level aggregate, then
+    * TakeOrdered — no window, no full sort. */
+  def decayedTopK(df: DataFrame, idCol: String, tsCol: String,
+                  halfLifeMonths: Double = 6.0, k: Int = 20,
+                  maxBuckets: Int = 120): DataFrame = {
+    require(halfLifeMonths > 0 && k >= 1 && maxBuckets >= 1,
+      s"bad params: $halfLifeMonths/$k/$maxBuckets")
+    val wArr = array(decayWeights(maxBuckets, halfLifeMonths).map(lit): _*)
+    val mx = df.agg(max(col(tsCol)).as("__md"))
+    df.crossJoin(broadcast(mx))
+      .select(col(idCol),
+        least(floor(datediff(col("__md"), col(tsCol)) / 30).cast("int"),
+          lit(maxBuckets - 1)).as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__c").cast("double")
+        * element_at(wArr, col("__b") + 1)), 6).as("decayed_score"))
+      .orderBy(col("decayed_score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** One-sided CUSUM change-point detection (Page, Biometrika'54) over the
     * daily event-count series — the drift alarm for pipeline throughput:
     * S_t = max(0, S_{t−1} + x_t − μ − k) with slack k = `slackSigmas`·σ,

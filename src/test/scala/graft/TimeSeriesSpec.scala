@@ -148,6 +148,22 @@ class TimeSeriesSpec extends SparkSuite {
     assert(m(3L) === 3.333333)
   }
 
+  test("decayedTopK: month-bucketed half-life weights, exact scores") {
+    // newest = 2024-12-31; 2024-07-04 is 180 days = bucket 6 = weight 1/2
+    val rows =
+      Seq.fill(3)((1L, "2024-12-31")) ++
+        Seq.fill(10)((2L, "2024-07-04")) ++
+        (Seq.fill(2)((3L, "2024-12-31")) ++ Seq.fill(4)((3L, "2024-07-04")))
+    val df = rows.toDF("part_id", "s")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val out = TimeSeries.decayedTopK(df, "part_id", "ts", 6.0, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq === Seq((2L, 5.0), (3L, 4.0), (1L, 3.0)))
+    intercept[IllegalArgumentException] {
+      TimeSeries.decayedTopK(df, "part_id", "ts", 0.0, 3)
+    }
+  }
+
   test("cusumDaily: window identity matches the direct max(0, ...) recursion") {
     val ev = Seq(("2024-01-01", 10), ("2024-01-02", 10), ("2024-01-03", 10),
       ("2024-01-04", 30), ("2024-01-05", 32))
