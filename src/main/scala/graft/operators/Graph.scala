@@ -144,6 +144,11 @@ object Graph {
       h = eDst.join(aRen.hint("shuffle_hash"), eDst("dst") === col("__v"))
         .groupBy(eDst("src").as("id")).agg(sum(col("val")).as("val"))
     }
+    // the h-side lineage CONTAINS the a-side's (h_r joins a_r), and both
+    // feed the max aggregates AND the output joins below — materialize
+    // once or the 6-join round lineage is re-evaluated up to 4×
+    a = a.localCheckpoint()
+    h = h.localCheckpoint()
     val maxes = a.agg(max(col("val")).as("__ma"))
       .crossJoin(h.agg(max(col("val")).as("__mh")))
     val out = nodes
