@@ -51,7 +51,10 @@ object GraftExtensions {
       binary("graft_dot")(DotProductFloat(_, _)),
       binary("graft_cosine")(CosineSimilarityFloat(_, _)),
       binary("graft_hamming64")(HammingDistance64(_, _)),
-      unary("graft_rolling_hash")(RollingHash(_)))
+      unary("graft_rolling_hash")(RollingHash(_)),
+      binary("graft_jaro_winkler")(JaroWinkler(_, _)),
+      unary("graft_strip_accents")(StripAccents(_)),
+      unary("graft_unicode_nfc")(UnicodeNormalize(_, "NFC")))
 
   /** Register on a LIVE session (idempotent — re-registration overwrites
     * with the identical builder; the planner strategy is added once). */

@@ -20,6 +20,13 @@ class ExtensionsSpec extends SparkSuite {
     assert(spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .head().getDouble(0) === 11.0)
+    assert(spark.sql("SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS j")
+      .head().getDouble(0) === 0.9611111111111111)
+    assert(spark.sql("SELECT graft_strip_accents('café') AS s")
+      .head().getString(0) === "cafe")
+    // decomposed e + U+0301 in, precomposed U+00E9 out
+    assert(spark.sql("SELECT graft_unicode_nfc('café') AS s")
+      .head().getString(0) === "café")
   }
 
   test("install is idempotent and SQL matches the Column API") {
