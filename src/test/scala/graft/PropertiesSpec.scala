@@ -229,4 +229,35 @@ class PropertiesSpec extends SparkSuite {
       }
     }
   }
+
+  test("jaroWinkler kernel: symmetric, bounded, 1 iff equal non-empty (property)") {
+    import org.apache.spark.sql.graft.expressions.jaroWinklerSim
+    val str = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    forAllSampled(Gen.zip(str, str), cases = 200) { case (a, b) =>
+      val s = jaroWinklerSim(a, b)
+      assert(s === jaroWinklerSim(b, a), s"asymmetric on $a/$b")
+      assert(s >= 0.0 && s <= 1.0, s"out of range on $a/$b: $s")
+      if (a == b && a.nonEmpty) assert(s === 1.0)
+    }
+    assert(jaroWinklerSim("", "") === 0.0, "empty-empty pins to 0 (DuckDB parity)")
+  }
+
+  test("ranking-eval coefficient tables are positive and strictly ordered (property)") {
+    import graft.operators.{Similarity, TimeSeries, ColumnHygiene}
+    val discs = Similarity.ndcgDiscounts(10)
+    assert(discs.head === 1.0 && discs === discs.sorted.reverse)
+    assert(discs.forall(d => d > 0 && d <= 1.0))
+    // RBO suffix sums strictly decrease and S(k) = last coefficient > 0
+    val sums = Similarity.rboSuffixSums(10, 0.9)
+    assert(sums === sums.sorted.reverse && sums.last > 0)
+    assert(sums.zip(sums.tail).forall { case (x, y) => x > y })
+    // decay weights decrease from exactly 1 toward 0, never negative
+    val ws = TimeSeries.decayWeights(120, 6.0)
+    assert(ws.head === 1.0 && ws === ws.sorted.reverse && ws.forall(_ >= 0))
+    // Benford shares are a near-partition of 1 (snapping error ≤ 9·2⁻²⁰)
+    val sh = ColumnHygiene.benfordShares
+    assert(sh.length === 9 && sh === sh.sorted.reverse)
+    assert(math.abs(sh.sum - 1.0) <= 9.0 / (1 << 20))
+  }
 }
