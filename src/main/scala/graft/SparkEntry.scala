@@ -1604,6 +1604,12 @@ object SparkEntry {
     TextAnalytics.bpeEncode(docs, "doc_id", "text", rules)
   }
 
+  /** §2b Heaps'-law vocabulary growth: cumulative (tokens, vocab) over 10
+    * hash-nested corpus prefixes + the log-log OLS exponent — the vocab
+    * budget planner. */
+  private def q_heaps_law(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.heapsLaw(Tables.documents(s, d), "doc_id", "text")
+
   /** §2b Flesch reading-ease readability: word/sentence/syllable counts
     * and the classic score per document — map-side syntactic-density
     * quality signal. */
@@ -2413,6 +2419,7 @@ object SparkEntry {
     "q_bpe_merges" -> (q_bpe_merges _),
     "q_bpe_encode" -> (q_bpe_encode _),
     "q_readability" -> (q_readability _),
+    "q_heaps_law" -> (q_heaps_law _),
     "q_psi" -> (q_psi _),
     "q_chi2_tokens" -> (q_chi2_tokens _),
     "q_vector_moments" -> (q_vector_moments _),
@@ -5755,6 +5762,44 @@ object SparkEntry {
          FROM n LEFT JOIN h USING (query_id)""",
     "q_bpe_merges" -> bpeOracleSql(8),
     "q_bpe_encode" -> bpeEncodeOracleSql(8),
+    "q_heaps_law" ->
+      s"""WITH st AS (SELECT doc_id,
+                CAST(floor(CAST(('0x' || substring(md5('heaps:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) / 4294967296.0 * 10) AS INT) + 1 AS b,
+                $duckTokens AS toks
+              FROM documents),
+              tpb AS (SELECT b, CAST(sum(len(toks)) AS BIGINT) AS t
+                      FROM st GROUP BY 1),
+              fb AS (SELECT tok, min(b) AS fbk FROM (
+                       SELECT b, UNNEST(toks) AS tok FROM st) GROUP BY 1),
+              vpb AS (SELECT fbk AS b, CAST(count(*) AS BIGINT) AS v
+                      FROM fb GROUP BY 1),
+              grid AS (SELECT UNNEST(generate_series(1, 10)) AS b),
+              cum AS (SELECT CAST(g.b AS INTEGER) AS checkpoint,
+                        CAST(sum(COALESCE(t, 0)) OVER (ORDER BY g.b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS tokens_cum,
+                        CAST(sum(COALESCE(v, 0)) OVER (ORDER BY g.b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS vocab_cum
+                      FROM grid g LEFT JOIN tpb ON g.b = tpb.b
+                                  LEFT JOIN vpb ON g.b = vpb.b),
+              pts AS (SELECT checkpoint, tokens_cum, vocab_cum,
+                        ln(CAST(tokens_cum AS DOUBLE)) AS x,
+                        ln(CAST(vocab_cum AS DOUBLE)) AS y
+                      FROM cum WHERE tokens_cum > 0 AND vocab_cum > 0),
+              fit AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+                        covar_samp(x, y) AS cov, var_samp(x) AS vx,
+                        var_samp(y) AS vy, avg(x) AS xb, avg(y) AS yb
+                      FROM pts)
+         SELECT checkpoint, tokens_cum, vocab_cum, n_points,
+                round(CASE WHEN vx > 0 THEN cov / vx END, 6)
+                  AS heaps_exponent,
+                round(yb - (CASE WHEN vx > 0 THEN cov / vx END) * xb, 6)
+                  AS heaps_lnk,
+                round(CASE WHEN vx > 0 AND vy > 0
+                      THEN (cov * cov) / (vx * vy) END, 6) AS r2
+         FROM pts, fit""",
     "q_readability" ->
       s"""SELECT doc_id,
                  CAST(len($duckTokens) AS BIGINT) AS n_words,

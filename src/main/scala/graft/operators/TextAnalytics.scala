@@ -719,6 +719,56 @@ object TextAnalytics {
       .select(col(idCol), col("score"), col("sel_key"))
   }
 
+  /** Heaps'-law vocabulary-growth fit (Heaps '78): V(T) ≈ k·T^β over
+    * nested corpus prefixes — the tokenizer/vocab budget planner (β ≈
+    * 0.4–0.6 for natural text; β drifting up means the corpus keeps
+    * minting new tokens — OCR noise, ids — and a fixed vocab will see
+    * rising OOV). Prefixes are HASH-NESTED: a doc belongs to prefix j iff
+    * hashUnit(id) < j/buckets, so prefix membership is a pure map-side
+    * expression and prefixes are nested BY CONSTRUCTION — no global
+    * row-ordering window anywhere (a rank-based prefix would serialize
+    * the corpus into one task). V_j counts tokens whose FIRST bucket ≤ j
+    * (one min-aggregate over the vocabulary); the β/ln k fit is
+    * [[Stats.groupOls]] on (ln T_j, ln V_j).
+    *
+    * Scale shape: two hash aggregates (per-bucket token sums; per-token
+    * min bucket) + cumulative windows over the BUCKET GRID (k rows) + a
+    * k-point OLS — nothing corpus-sized beyond the aggregates. */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+               buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets must be in [2,1000]: $buckets")
+    val spark = docs.sparkSession
+    val staged = docs.select(col(idCol).as("__id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__b",
+        (floor(Corpus.hashUnit(col("__id"), "heaps") * buckets) + 1)
+          .cast("int"))
+    val tpb = staged.groupBy(col("__b"))
+      .agg(sum(size(col("__toks")).cast("long")).as("__t"))
+    val vpb = staged.select(col("__b"), explode(col("__toks")).as("__tok"))
+      .groupBy(col("__tok")).agg(min(col("__b")).as("__fb"))
+      .groupBy(col("__fb").as("__b")).agg(count(lit(1)).as("__v"))
+    val grid = spark.range(1, buckets + 1)
+      .select(col("id").cast("int").as("__b"))
+    val wCum = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pts = grid.join(tpb, Seq("__b"), "left").join(vpb, Seq("__b"), "left")
+      .na.fill(0L, Seq("__t", "__v"))
+      .withColumn("tokens_cum", sum(col("__t")).over(wCum))
+      .withColumn("vocab_cum", sum(col("__v")).over(wCum))
+      .filter(col("tokens_cum") > 0 && col("vocab_cum") > 0)
+      .select(col("__b").as("checkpoint"), col("tokens_cum"),
+        col("vocab_cum"),
+        log(col("tokens_cum").cast("double")).as("__x"),
+        log(col("vocab_cum").cast("double")).as("__y"))
+    val fit = Stats.groupOls(pts.withColumn("__g", lit(1)), "__g", "__x", "__y")
+      .select(col("n").as("n_points"), col("slope").as("heaps_exponent"),
+        col("intercept").as("heaps_lnk"), col("r2"))
+    pts.select(col("checkpoint"), col("tokens_cum"), col("vocab_cum"))
+      .crossJoin(broadcast(fit))
+  }
+
   /** Flesch reading-ease readability signals (Flesch '48; the quality
     * dimension length/punct ratios miss — syntactic density): per doc,
     * words (whitespace tokens), sentences ([.!?]-terminated segments, the

@@ -865,6 +865,27 @@ class TextAndDedupSpec extends SparkSuite {
     }
   }
 
+  test("heapsLaw: cumulative vocab/token curves are monotone, fit well-formed") {
+    val docs = (1L to 40L).map(i =>
+      (i, (0 to (i % 7).toInt).map(j => s"w${(i * 3 + j) % 29}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalytics.heapsLaw(docs, "doc_id", "text", 5)
+      .orderBy("checkpoint").collect()
+    assert(out.nonEmpty && out.length <= 5)
+    val toks = out.map(_.getLong(1)); val vocab = out.map(_.getLong(2))
+    assert(toks.toSeq === toks.sorted.toSeq && vocab.toSeq === vocab.sorted.toSeq,
+      "cumulative curves must be monotone")
+    assert(toks.last === 40L * 0 + (1L to 40L).map(i => (i % 7) + 1).sum,
+      "final checkpoint covers the whole corpus")
+    assert(vocab.last <= 29L, "vocab bounded by the generator's key space")
+    // fit columns are constant across rows
+    assert(out.map(_.getLong(3)).distinct.length === 1)
+    assert(out.map(_.getDouble(4)).distinct.length === 1)
+    intercept[IllegalArgumentException] {
+      TextAnalytics.heapsLaw(docs, "doc_id", "text", 1)
+    }
+  }
+
   test("readabilitySignals: hand-checked Flesch on a two-sentence doc") {
     val docs = Seq((1L, "The cat sat. It ran!"), (2L, "   ")).toDF("doc_id", "text")
     val out = TextAnalytics.readabilitySignals(docs, "doc_id", "text").collect()
