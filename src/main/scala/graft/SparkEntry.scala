@@ -1604,6 +1604,14 @@ object SparkEntry {
     TextAnalytics.bpeEncode(docs, "doc_id", "text", rules)
   }
 
+  /** §2b Simpson's-paradox guard: src0-vs-src1 long-doc rate (n_chars >
+    * 300) pooled vs lang-stratified — the confounded-readout gate every
+    * segmented comparison needs before shipping. */
+  private def q_simpsons(s: SparkSession, d: String): DataFrame =
+    Stats.simpsonsCheck(
+      Tables.documents(s, d).withColumn("is_long", col("n_chars") > 300),
+      "source", "lang", "is_long", "src0", "src1")
+
   /** §2b Heaps'-law vocabulary growth: cumulative (tokens, vocab) over 10
     * hash-nested corpus prefixes + the log-log OLS exponent — the vocab
     * budget planner. */
@@ -2420,6 +2428,7 @@ object SparkEntry {
     "q_bpe_encode" -> (q_bpe_encode _),
     "q_readability" -> (q_readability _),
     "q_heaps_law" -> (q_heaps_law _),
+    "q_simpsons" -> (q_simpsons _),
     "q_psi" -> (q_psi _),
     "q_chi2_tokens" -> (q_chi2_tokens _),
     "q_vector_moments" -> (q_vector_moments _),
@@ -5762,6 +5771,32 @@ object SparkEntry {
          FROM n LEFT JOIN h USING (query_id)""",
     "q_bpe_merges" -> bpeOracleSql(8),
     "q_bpe_encode" -> bpeEncodeOracleSql(8),
+    "q_simpsons" ->
+      """WITH cells AS (
+           SELECT lang AS stratum,
+                  CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN source = 'src0' AND n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS s_a,
+                  CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                  CAST(sum(CASE WHEN source = 'src1' AND n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS s_b
+           FROM documents WHERE source IN ('src0', 'src1')
+           GROUP BY 1),
+              f AS (SELECT * FROM cells WHERE n_a > 0 AND n_b > 0),
+              t AS (SELECT sum(s_a) AS sa, sum(n_a) AS na,
+                           sum(s_b) AS sb, sum(n_b) AS nb,
+                           sum((CAST(s_a AS DOUBLE) / n_a
+                                - CAST(s_b AS DOUBLE) / n_b)
+                               * CAST(n_a + n_b AS DOUBLE)) AS wd,
+                           sum(n_a + n_b) AS n
+                    FROM f)
+         SELECT stratum, n_a, s_a, n_b, s_b,
+                round(CAST(s_a AS DOUBLE) / n_a, 6) AS rate_a,
+                round(CAST(s_b AS DOUBLE) / n_b, 6) AS rate_b,
+                round(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb, 6)
+                  AS pooled_diff,
+                round(wd / CAST(n AS DOUBLE), 6) AS weighted_diff,
+                round(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb, 6)
+                  * round(wd / CAST(n AS DOUBLE), 6) < 0 AS sign_flip
+         FROM f, t""",
     "q_heaps_law" ->
       s"""WITH st AS (SELECT doc_id,
                 CAST(floor(CAST(('0x' || substring(md5('heaps:' || CAST(doc_id AS VARCHAR)), 1, 8))

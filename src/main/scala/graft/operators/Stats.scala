@@ -401,6 +401,51 @@ object Stats {
           .as("kappa"))
   }
 
+  /** Simpson's-paradox guard for a two-group rate comparison: the pooled
+    * rate difference vs the stratum-size-weighted difference (the
+    * crude/adjusted contrast of a stratified analysis — Cochran-style
+    * direct standardization). When the two disagree in sign, the pooled
+    * readout is confounded by the stratum mix and must not be shipped —
+    * the classic kidney-stone/Berkeley failure, and the first sanity
+    * gate on any segmented A/B metric. Emits one row per stratum (rates
+    * + weight) plus the two aggregate contrasts and the flip flag on
+    * every row.
+    *
+    * Scale shape: ONE (stratum × group) count aggregate with map-side
+    * combine, then arithmetic over #strata rows — inputs never shuffle
+    * beyond the aggregate. Integer counts; divisions forced to double. */
+  def simpsonsCheck(df: DataFrame, groupCol: String, strataCol: String,
+                    successCol: String, groupA: String,
+                    groupB: String): DataFrame = {
+    val cells = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(strataCol).as("stratum"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(groupCol) === groupA && col(successCol), 1L)
+          .otherwise(0L)).as("s_a"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(groupCol) === groupB && col(successCol), 1L)
+          .otherwise(0L)).as("s_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    val rA = col("s_a").cast("double") / col("n_a")
+    val rB = col("s_b").cast("double") / col("n_b")
+    val tot = cells.agg(
+      sum(col("s_a")).as("__sa"), sum(col("n_a")).as("__na"),
+      sum(col("s_b")).as("__sb"), sum(col("n_b")).as("__nb"),
+      sum((rA - rB) * (col("n_a") + col("n_b")).cast("double")).as("__wd"),
+      sum(col("n_a") + col("n_b")).as("__n"))
+    val pooled = (col("__sa").cast("double") / col("__na")
+      - col("__sb").cast("double") / col("__nb"))
+    val weighted = col("__wd") / col("__n").cast("double")
+    cells.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+        round(rA, 6).as("rate_a"), round(rB, 6).as("rate_b"),
+        round(pooled, 6).as("pooled_diff"),
+        round(weighted, 6).as("weighted_diff"),
+        (round(pooled, 6) * round(weighted, 6) < 0).as("sign_flip"))
+  }
+
   /** Population stability index per bin — the standard model-monitoring
     * drift readout (banking scorecard lineage; conventional reading:
     * < 0.1 stable, 0.1–0.25 shifting, > 0.25 shifted). Per bin,

@@ -244,6 +244,27 @@ class StatsSpec extends SparkSuite {
       out.head.getAs[Double]("mad") === 2.5)
   }
 
+  test("simpsonsCheck: kidney-stone numbers flip sign between pooled and stratified") {
+    // A wins both strata (small: .931 vs .867, large: .730 vs .687) yet
+    // loses pooled (.780 vs .826) — the canonical confounding example
+    def rows(g: String, st: String, succ: Int, total: Int) =
+      Seq.fill(succ)((g, st, true)) ++ Seq.fill(total - succ)((g, st, false))
+    val df = (rows("A", "small", 81, 87) ++ rows("B", "small", 234, 270) ++
+      rows("A", "large", 192, 263) ++ rows("B", "large", 55, 80))
+      .toDF("grp", "stratum", "ok")
+    val out = Stats.simpsonsCheck(df, "grp", "stratum", "ok", "A", "B")
+      .collect().map(r => r.getString(0) -> r).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val small = out("small")
+    assert(small.getLong(1) === 87L && small.getLong(2) === 81L)
+    assert(small.getDouble(5) === r6(81.0 / 87) && small.getDouble(6) === r6(234.0 / 270))
+    // pooled favors B, weighted favors A → flip on every row
+    val pooled = 273.0 / 350 - 289.0 / 350
+    assert(small.getDouble(7) === r6(pooled) && pooled < 0)
+    assert(small.getDouble(8) > 0 && small.getBoolean(9))
+    assert(out("large").getBoolean(9))
+  }
+
   test("psi: smoothed shares, one-sided bins finite, contributions non-negative") {
     val ref = Seq("a", "a", "b").toDF("bin")
     val cur = Seq("a", "b", "b", "b", "c").toDF("bin")
