@@ -613,6 +613,17 @@ object SparkEntry {
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
   }
 
+  /** §2b golden-record survivorship: field-level merge over the same
+    * Jaccard dup clusters as q_dup_clusters — longest text + modal lang
+    * per cluster, lowest id as the canonical key (the MDM merge step). */
+  private def q_golden_record(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.3)
+    val clusters = Dedup.duplicateClusters(
+      docs.select(col("doc_id")), pairs, "doc_id")
+    Dedup.goldenRecord(docs, "doc_id", clusters, "text", "lang")
+  }
+
   /** §2b MinHash signatures (portable md5-derived hashes, bounded ids). */
   private def q_minhash_signatures(s: SparkSession, d: String): DataFrame =
     Dedup.minHashSignatures(Tables.documents(s, d).filter(col("doc_id") < 40),
@@ -2331,6 +2342,7 @@ object SparkEntry {
     "q_edit_distance" -> (q_edit_distance _),
     "q_shingle_pairs" -> (q_shingle_pairs _),
     "q_dup_clusters" -> (q_dup_clusters _),
+    "q_golden_record" -> (q_golden_record _),
     "q_minhash_signatures" -> (q_minhash_signatures _),
     "q_minhash_est" -> (q_minhash_est _),
     "q_simhash" -> (q_simhash _),
@@ -4140,6 +4152,49 @@ object SparkEntry {
              SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.id = e.src),
            cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
          SELECT id AS doc_id, cluster, (id = cluster) AS is_canonical FROM cl""",
+    "q_golden_record" ->
+      """WITH RECURSIVE
+           tok AS (SELECT DISTINCT doc_id,
+                     UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS token
+                   FROM documents WHERE doc_id < 60),
+           sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+           inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                     FROM tok a JOIN tok b
+                       ON a.token = b.token AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+           pairs AS (SELECT i.id_a, i.id_b
+                     FROM inter i
+                     JOIN sizes sa ON i.id_a = sa.doc_id
+                     JOIN sizes sb ON i.id_b = sb.doc_id
+                     WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.3),
+           edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                     UNION
+                     SELECT id_b AS src, id_a AS dst FROM pairs),
+           nodes AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 60),
+           walk(id, lbl) AS (
+             SELECT id, id FROM nodes
+             UNION
+             SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.id = e.src),
+           cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id),
+           j AS (SELECT d.doc_id, d.text, d.lang, c.cluster
+                 FROM documents d JOIN cl c ON d.doc_id = c.id
+                 WHERE d.doc_id < 60),
+           base AS (SELECT cluster, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+                           CAST(count(*) AS BIGINT) AS n_members
+                    FROM j GROUP BY 1),
+           pick AS (SELECT cluster, text AS text_golden FROM (
+                      SELECT cluster, text,
+                             ROW_NUMBER() OVER (PARTITION BY cluster
+                               ORDER BY length(text) DESC, doc_id ASC) AS rn
+                      FROM j) WHERE rn = 1),
+           md AS (SELECT cluster, lang AS lang_golden FROM (
+                    SELECT cluster, lang, count(*) AS c,
+                           ROW_NUMBER() OVER (PARTITION BY cluster
+                             ORDER BY count(*) DESC, lang ASC) AS rn
+                    FROM j GROUP BY cluster, lang) WHERE rn = 1)
+         SELECT b.cluster, b.canonical_id, b.n_members,
+                pick.text_golden, md.lang_golden
+         FROM base b JOIN pick USING (cluster) JOIN md USING (cluster)""",
     "q_minhash_signatures" ->
       """SELECT doc_id, seed,
                 min(CAST(('0x' || substring(md5(seed || ':' || token), 1, 15))

@@ -685,6 +685,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jw_sim"))
   }
 
+  /** Field-level survivorship ("golden record") over duplicate clusters —
+    * the MDM merge step after [[duplicateClusters]]: instead of keeping
+    * one winning ROW, each field takes its own best value across the
+    * cluster — the longest `longestCol` (richest content wins, id
+    * tiebreak) and the modal `modeCol` (majority metadata wins,
+    * lexicographic tiebreak) — plus the lowest member id as the stable
+    * canonical key. Both picks are deterministic argmaxes, so the merged
+    * record is reproducible across engines and reruns.
+    *
+    * Scale shape: one equi-join on the id, then per-cluster aggregates —
+    * the longest-pick is a struct-argmax inside ONE hash aggregate (no
+    * window); the mode needs a (cluster, value) aggregate plus a
+    * per-cluster rank over DISTINCT values only. Null field values are
+    * never picked while any member has a real one (null-length sorts
+    * below every real length; null mode values group separately). */
+  def goldenRecord(df: DataFrame, idCol: String, clusters: DataFrame,
+                   longestCol: String, modeCol: String): DataFrame = {
+    val j = df.join(clusters.select(col(idCol), col("cluster")), Seq(idCol))
+    val base = j.groupBy(col("cluster")).agg(
+      min(col(idCol)).as("canonical_id"),
+      count(lit(1)).as("n_members"),
+      max(struct(length(col(longestCol)).as("l"), (-col(idCol)).as("t"),
+        col(longestCol).as("v"))).getField("v").as(s"${longestCol}_golden"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("__c").desc, col(modeCol).asc)
+    val mode = j.groupBy(col("cluster"), col(modeCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col(modeCol).as(s"${modeCol}_golden"))
+    base.join(mode, Seq("cluster"))
+  }
+
   /** Weighted multi-field match scoring for candidate entity pairs — the
     * linear-comparator half of a Fellegi–Sunter record-linkage pipeline
     * (public: Fellegi & Sunter JASA'69): a blocker

@@ -865,6 +865,22 @@ class TextAndDedupSpec extends SparkSuite {
     }
   }
 
+  test("goldenRecord: longest text and modal category, canonical = lowest id") {
+    val df = Seq(
+      (1L, "short", "en"), (2L, "the longest text here", "de"),
+      (3L, "medium text", "de"),
+      (9L, "solo", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster")
+    val out = Dedup.goldenRecord(df, "doc_id", clusters, "text", "lang")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(out(1L) === ((1L, 3L, "the longest text here", "de")),
+      "field-level picks: longest text from doc 2, modal lang de (2 of 3)")
+    assert(out(9L) === ((9L, 1L, "solo", "fr")), "singleton keeps its own fields")
+  }
+
   test("heapsLaw: cumulative vocab/token curves are monotone, fit well-formed") {
     val docs = (1L to 40L).map(i =>
       (i, (0 to (i % 7).toInt).map(j => s"w${(i * 3 + j) % 29}").mkString(" ")))
