@@ -624,6 +624,27 @@ object SparkEntry {
     Dedup.goldenRecord(docs, "doc_id", clusters, "text", "lang")
   }
 
+  /** §2b train/test leakage report: near-dup pairs (token Jaccard ≥ 0.3)
+    * that STRADDLE the deterministic 90/10 hash split — the eval-
+    * integrity audit a split must pass before its test scores mean
+    * anything (same-split near-dups are waste; cross-split ones are
+    * leakage). Pure composition: jaccardPairs × hashSplit. */
+  private def q_split_leakage(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.3)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+    val split = Corpus.hashSplit(docs.select(col("doc_id")), "doc_id",
+      Seq("train" -> 90, "test" -> 100)).select(col("doc_id"), col("split"))
+    pairs
+      .join(split.select(col("doc_id").as("id_a"),
+        col("split").as("split_a")), Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"),
+        col("split").as("split_b")), Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("split_a"), col("split_b"))
+  }
+
   /** §2b MinHash signatures (portable md5-derived hashes, bounded ids). */
   private def q_minhash_signatures(s: SparkSession, d: String): DataFrame =
     Dedup.minHashSignatures(Tables.documents(s, d).filter(col("doc_id") < 40),
@@ -1615,6 +1636,11 @@ object SparkEntry {
     TextAnalytics.bpeEncode(docs, "doc_id", "text", rules)
   }
 
+  /** §2b χ² independence audit: lang × source contingency — which cells
+    * drive the language-mix dependence across sources. */
+  private def q_chisq_indep(s: SparkSession, d: String): DataFrame =
+    Stats.chiSquareIndependence(Tables.documents(s, d), "lang", "source")
+
   /** §2b Simpson's-paradox guard: src0-vs-src1 long-doc rate (n_chars >
     * 300) pooled vs lang-stratified — the confounded-readout gate every
     * segmented comparison needs before shipping. */
@@ -2343,6 +2369,7 @@ object SparkEntry {
     "q_shingle_pairs" -> (q_shingle_pairs _),
     "q_dup_clusters" -> (q_dup_clusters _),
     "q_golden_record" -> (q_golden_record _),
+    "q_split_leakage" -> (q_split_leakage _),
     "q_minhash_signatures" -> (q_minhash_signatures _),
     "q_minhash_est" -> (q_minhash_est _),
     "q_simhash" -> (q_simhash _),
@@ -2441,6 +2468,7 @@ object SparkEntry {
     "q_readability" -> (q_readability _),
     "q_heaps_law" -> (q_heaps_law _),
     "q_simpsons" -> (q_simpsons _),
+    "q_chisq_indep" -> (q_chisq_indep _),
     "q_psi" -> (q_psi _),
     "q_chi2_tokens" -> (q_chi2_tokens _),
     "q_vector_moments" -> (q_vector_moments _),
@@ -4101,6 +4129,31 @@ object SparkEntry {
          ORDER BY pmi DESC, bigram ASC
          LIMIT 100""",
     "q_jaccard_pairs" -> jaccardPairsOracleSql,
+    "q_split_leakage" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+                        UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS token
+                      FROM documents WHERE doc_id < 60),
+              sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                        FROM tok a JOIN tok b
+                          ON a.token = b.token AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              p AS (SELECT i.id_a, i.id_b,
+                           round(i.n_common / (sa.n + sb.n - i.n_common), 6) AS jaccard
+                    FROM inter i
+                    JOIN sizes sa ON i.id_a = sa.doc_id
+                    JOIN sizes sb ON i.id_b = sb.doc_id
+                    WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.3),
+              sp AS (SELECT doc_id,
+                       CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT) % 100 < 90
+                            THEN 'train' ELSE 'test' END AS split
+                     FROM documents WHERE doc_id < 60)
+         SELECT p.id_a, p.id_b, p.jaccard,
+                a.split AS split_a, b.split AS split_b
+         FROM p JOIN sp a ON p.id_a = a.doc_id
+                JOIN sp b ON p.id_b = b.doc_id
+         WHERE a.split <> b.split""",
     // identical result contract by construction (prefix filtering is an
     // exact optimization), so the prefix variant shares the oracle
     "q_jaccard_prefix" -> jaccardPairsOracleSql,
@@ -5826,6 +5879,20 @@ object SparkEntry {
          FROM n LEFT JOIN h USING (query_id)""",
     "q_bpe_merges" -> bpeOracleSql(8),
     "q_bpe_encode" -> bpeEncodeOracleSql(8),
+    "q_chisq_indep" ->
+      """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+                        FROM documents GROUP BY 1, 2),
+              rt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS ra
+                     FROM cells GROUP BY 1),
+              ct AS (SELECT source, CAST(sum(n) AS BIGINT) AS cb
+                     FROM cells GROUP BY 1),
+              g AS (SELECT CAST(sum(n) AS BIGINT) AS gt FROM cells)
+         SELECT c.lang, c.source, c.n,
+                round(CAST(ra AS DOUBLE) * cb / gt, 6) AS expected,
+                round((CAST(c.n AS DOUBLE) - CAST(ra AS DOUBLE) * cb / gt)
+                      * (CAST(c.n AS DOUBLE) - CAST(ra AS DOUBLE) * cb / gt)
+                      / (CAST(ra AS DOUBLE) * cb / gt), 6) AS chi2_contrib
+         FROM cells c JOIN rt USING (lang) JOIN ct USING (source), g""",
     "q_simpsons" ->
       """WITH cells AS (
            SELECT lang AS stratum,

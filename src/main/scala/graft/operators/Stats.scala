@@ -401,6 +401,38 @@ object Stats {
           .as("kappa"))
   }
 
+  /** Pearson χ² independence audit for two categorical columns — "is the
+    * language mix the same across sources" as a single defensible number
+    * per cell: E = row_total·col_total/N, contribution (O−E)²/E (written
+    * as x·x, never pow). The per-cell grain keeps the interesting part —
+    * WHICH cells drive the dependence — instead of only the summed
+    * statistic; Σ chi2_contrib against χ²_{(r−1)(c−1)} is the test.
+    *
+    * Scale shape: ONE (a, b) count aggregate (map-side combined), then
+    * two marginal re-aggregations of the CELL table (≤ |A|·|B| rows) and
+    * broadcast joins back — the input never shuffles twice. Zero-count
+    * cells are absent (their contribution E is still counted by the
+    * margins; the summed statistic over present cells understates by
+    * exactly Σ_absent E, negligible unless the table is mostly empty —
+    * documented, deterministic). */
+  def chiSquareIndependence(df: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy(col(aCol)).agg(sum(col("n")).as("__ra"))
+    val colTot = cells.groupBy(col(bCol)).agg(sum(col("n")).as("__cb"))
+    val grand = cells.agg(sum(col("n")).as("__g"))
+    val e = col("__ra").cast("double") * col("__cb") / col("__g")
+    val dev = col("n").cast("double") - e
+    cells
+      .join(broadcast(rowTot), Seq(aCol))
+      .join(broadcast(colTot), Seq(bCol))
+      .crossJoin(broadcast(grand))
+      .select(col(aCol), col(bCol), col("n"),
+        round(e, 6).as("expected"),
+        round(dev * dev / e, 6).as("chi2_contrib"))
+  }
+
   /** Simpson's-paradox guard for a two-group rate comparison: the pooled
     * rate difference vs the stratum-size-weighted difference (the
     * crude/adjusted contrast of a stratified analysis — Cochran-style
