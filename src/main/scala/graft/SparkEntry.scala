@@ -1492,6 +1492,13 @@ object SparkEntry {
     TextAnalytics.bm25(Tables.documents(s, d), "doc_id", "text",
       Seq("data", "spark", "merge"), 20)
 
+  /** §2b PRF query expansion: BM25 top-3 feedback docs for the same
+    * query, top-10 expansion terms by feedback-tf × corpus IDF — the
+    * second-pass retrieval vocabulary. */
+  private def q_prf_expansion(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.prfExpansion(Tables.documents(s, d), "doc_id", "text",
+      Seq("data", "spark", "merge"), fbDocs = 3, nTerms = 10)
+
   /** §2b triangle counting over the part co-occurrence graph (parts
     * appearing in the same order, one-in-three order slice): per-node
     * triangle participation — ordered wedge join + closing-edge semi-join,
@@ -2443,6 +2450,7 @@ object SparkEntry {
     "q_column_profile" -> (q_column_profile _),
     "q_apply_diff" -> (q_apply_diff _),
     "q_bm25" -> (q_bm25 _),
+    "q_prf_expansion" -> (q_prf_expansion _),
     "q_dup_spans" -> (q_dup_spans _),
     "q_kanonymity" -> (q_kanonymity _),
     "q_ldiversity" -> (q_ldiversity _),
@@ -3367,6 +3375,41 @@ object SparkEntry {
            GROUP BY f.doc_id)
          ORDER BY score DESC, doc_id ASC
          LIMIT 20""",
+    "q_prf_expansion" ->
+      s"""WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
+              lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tok),
+              corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                                avg(dl) AS avgdl FROM lens),
+              tfq AS (SELECT doc_id, term, count(*) AS tf
+                      FROM (SELECT doc_id, UNNEST(t) AS term FROM tok)
+                      WHERE term IN ('data', 'spark', 'merge')
+                      GROUP BY doc_id, term),
+              dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+              fb AS (SELECT doc_id FROM (
+                 SELECT f.doc_id,
+                        round(sum(ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                          * f.tf * 2.2
+                          / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl))), 6) AS score
+                 FROM tfq f
+                 JOIN dfq d ON f.term = d.term
+                 JOIN lens l ON f.doc_id = l.doc_id
+                 CROSS JOIN corpus c
+                 GROUP BY f.doc_id)
+               ORDER BY score DESC, doc_id ASC LIMIT 3),
+              tfa AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                      FROM (SELECT doc_id, UNNEST(t) AS term FROM tok)
+                      GROUP BY 1, 2),
+              dfa AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                      FROM tfa GROUP BY 1),
+              fbt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS tf_feedback
+                      FROM tfa JOIN fb USING (doc_id)
+                      WHERE term NOT IN ('data', 'spark', 'merge')
+                      GROUP BY 1)
+         SELECT term, tf_feedback, df,
+                round(CAST(tf_feedback AS DOUBLE) * ln(c.n_docs / df), 6)
+                  AS expansion_weight
+         FROM fbt JOIN dfa USING (term), corpus c
+         ORDER BY expansion_weight DESC, term ASC LIMIT 10""",
     "q_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus
                     FROM orders WHERE o_orderkey % 7 <> 0),

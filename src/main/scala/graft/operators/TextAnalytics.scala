@@ -719,6 +719,40 @@ object TextAnalytics {
       .select(col(idCol), col("score"), col("sel_key"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (RM3-lite; Lavrenko &
+    * Croft SIGIR'01 lineage): retrieve the [[bm25]] top-`fbDocs`, then
+    * rank the terms of those feedback documents by feedback-frequency ×
+    * corpus IDF (query terms excluded) — the expanded-query term list
+    * that makes the second retrieval pass recall what the literal query
+    * missed. Weights are 6dp-rounded BEFORE the (weight desc, term asc)
+    * rank so the expansion set is engine-exact.
+    *
+    * Scale shape: the bm25 stage's own bounded shapes, then the feedback
+    * join is a broadcast of `fbDocs` ids against the term-frequency
+    * table — term work ∝ feedback-doc vocabulary, never the corpus; IDF
+    * comes from one full-vocabulary aggregate (the same table a TF-IDF
+    * pass already builds). */
+  def prfExpansion(docs: DataFrame, idCol: String, textCol: String,
+                   queryTerms: Seq[String], fbDocs: Int,
+                   nTerms: Int): DataFrame = {
+    require(fbDocs >= 1 && nTerms >= 1, s"bad params: $fbDocs/$nTerms")
+    val top = bm25(docs, idCol, textCol, queryTerms, fbDocs)
+      .select(col(idCol))
+    val tf = termFrequencies(docs, idCol, textCol)
+    val n = docs.select(count(lit(1)).cast("double").as("__n"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(top), Seq(idCol))
+      .filter(!col("term").isin(queryTerms.map(lit): _*))
+      .groupBy(col("term")).agg(sum(col("tf")).as("tf_feedback"))
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("tf_feedback"), col("df"),
+        round(col("tf_feedback").cast("double")
+          * log(col("__n") / col("df")), 6).as("expansion_weight"))
+      .orderBy(col("expansion_weight").desc, col("term").asc)
+      .limit(nTerms)
+  }
+
   /** Heaps'-law vocabulary-growth fit (Heaps '78): V(T) ≈ k·T^β over
     * nested corpus prefixes — the tokenizer/vocab budget planner (β ≈
     * 0.4–0.6 for natural text; β drifting up means the corpus keeps

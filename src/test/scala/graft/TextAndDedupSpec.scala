@@ -865,6 +865,26 @@ class TextAndDedupSpec extends SparkSuite {
     }
   }
 
+  test("prfExpansion: feedback terms weighted by tf × idf, query terms excluded") {
+    val docs = Seq(
+      (1L, "spark fast engine"),
+      (2L, "spark data engine engine"),   // 2 query terms → top feedback doc
+      (3L, "cats purr"),
+      (4L, "engine room")
+    ).toDF("doc_id", "text")
+    val out = TextAnalytics.prfExpansion(docs, "doc_id", "text",
+      Seq("spark", "data"), fbDocs = 1, nTerms = 3).collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // only 'engine' survives (tf 2 in doc 2, df 3 of 4 docs)
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "engine" && r.getLong(1) === 2L && r.getLong(2) === 3L)
+    assert(r.getDouble(3) === r6(2.0 * math.log(4.0 / 3.0)))
+    intercept[IllegalArgumentException] {
+      TextAnalytics.prfExpansion(docs, "doc_id", "text", Seq("x"), 0, 3)
+    }
+  }
+
   test("goldenRecord: longest text and modal category, canonical = lowest id") {
     val df = Seq(
       (1L, "short", "en"), (2L, "the longest text here", "de"),
