@@ -144,7 +144,17 @@ object Scratch {
       "q_assoc_rules" -> ("Market-basket association rules",
         "The pair expansion is a self-equi-join ON USER over the distinct (user, item) projection — fan-out ≤ itemset² per user, bounded by the item vocabulary; one (a,b) aggregate with map-side combine, per-item counts and the user total join back as broadcasts."),
       "q_hits" -> ("HITS hubs & authorities",
-        "Each unrolled round joins the |V|-row score table (shuffle_hash) against the edge copy pre-partitioned on the matching key — no per-round |E| sort, no broadcast assumption; per-node sums are integer-exact so no normalization runs until the final max division."))
+        "Each unrolled round joins the |V|-row score table (shuffle_hash) against the edge copy pre-partitioned on the matching key — no per-round |E| sort, no broadcast assumption; per-node sums are integer-exact so no normalization runs until the final max division."),
+      "q_heaps_law" -> ("Heaps'-law vocabulary growth",
+        "Prefix membership is a map-side hashUnit bucket expression (nested by construction) — NO global row-order window; the only windows run over the 10-row bucket grid, and the fit is a 10-point OLS aggregate."),
+      "q_decayed_topk" -> ("Time-decayed popularity top-k",
+        "One (id, month-bucket) hash aggregate with map-side combine, weights as a 120-entry dyadic literal array (integer×dyadic contributions = exact sums), then TakeOrdered — no window, no full sort, 1-row max-date broadcast."),
+      "q_golden_record" -> ("Golden-record survivorship",
+        "The longest-content pick is a struct-argmax inside ONE hash aggregate — no per-cluster window over member rows; the mode ranks only DISTINCT (cluster, value) combinations. Cluster derivation reuses duplicateClusters' checkpointed pointer-jumping."),
+      "q_prf_expansion" -> ("PRF query expansion",
+        "The BM25 stage's filters run before any shuffle; the feedback join broadcasts 3 doc ids against the term-frequency table, so candidate-term work ∝ feedback vocabulary — the corpus-sized aggregates are the same two a TF-IDF pass already pays."),
+      "q_split_leakage" -> ("Train/test split leakage",
+        "Near-dup candidates come from the bounded token-Jaccard equi-join; split assignment is a pure map-side md5 expression joined in twice — the leakage filter adds no shuffle beyond the parents'."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans for flagship queries\n\n")
