@@ -789,6 +789,19 @@ object SparkEntry {
     Similarity.recallAtK(exact, approx, "query_id", "vec_id")
   }
 
+  /** §2b mutual-nearest-neighbor pairs: exact top-1 within vec_id<100,
+    * kept only when the match is reciprocal — the high-precision
+    * alignment/dedup primitive (hubs fail mutuality). */
+  private def q_mutual_nn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+    val queries = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val top1 = Similarity.bruteForceTopKMulti(
+      emb, "vec_id", "embedding", queries, "query_id", "qv", 1)
+    Similarity.mutualNearestNeighbors(top1, "query_id", "vec_id",
+      "cosine_sim")
+  }
+
   /** §2b NDCG@10 + MRR ranking eval: same exact-vs-IVF setup as
     * q_ann_recall, but graded — rel = 11 − exact_rank, gain 2^rel−1,
     * dyadic-snapped discounts — so it reports WHERE the true neighbors
@@ -2394,6 +2407,7 @@ object SparkEntry {
     "q_semantic_dedup" -> (q_semantic_dedup _),
     "q_ann_recall" -> (q_ann_recall _),
     "q_ndcg" -> (q_ndcg _),
+    "q_mutual_nn" -> (q_mutual_nn _),
     "q_rbo" -> (q_rbo _),
     "q_matryoshka" -> (q_matryoshka _),
     "q_davies_bouldin" -> (q_davies_bouldin _),
@@ -5894,6 +5908,20 @@ object SparkEntry {
     "q_kcenter" -> kcenterOracleSql(8),
     "q_mmr_rerank" -> mmrOracleSql(20, 10, 0.7),
     "q_ndcg" -> ndcgOracleSql(10),
+    "q_mutual_nn" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings WHERE vec_id < 100),
+              t1 AS (SELECT query_id, vec_id AS nn, cs FROM (
+                 SELECT q.vec_id AS query_id, e.vec_id,
+                        round(${duckCos("e.v", "q.v")}, 6) AS cs,
+                        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                          ORDER BY round(${duckCos("e.v", "q.v")}, 6) DESC,
+                                   e.vec_id) AS rn
+                 FROM e q JOIN e ON e.vec_id <> q.vec_id) WHERE rn = 1)
+         SELECT x.query_id AS id_a, x.nn AS id_b, x.cs AS cosine_sim
+         FROM t1 x JOIN t1 y
+           ON x.nn = y.query_id AND y.nn = x.query_id
+         WHERE x.query_id < x.nn""",
     "q_rbo" -> rboOracleSql(10, 0.9),
     "q_matryoshka" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

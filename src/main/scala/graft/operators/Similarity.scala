@@ -484,6 +484,28 @@ object Similarity {
         round(lit(1.0) / col("first_hit"), 6).as("rr"))
   }
 
+  /** Mutual-nearest-neighbor pairs from any top-1 list (brute, LSH or
+    * IVF — the same rank-list contract as [[recallAtK]]): (a,b) survives
+    * iff a's nearest neighbor is b AND b's is a — the high-precision
+    * match primitive behind batch-effect alignment (Haghverdi et al.,
+    * Nat. Biotech '18), bilingual lexicon mining, and conservative
+    * semantic dedup (one-directional NN over-matches hubs; mutuality
+    * filters them). Emits each pair once (id_a < id_b) with a's stored
+    * similarity (6dp per the list contract, so both directions agree).
+    *
+    * Scale shape: ONE self-equi-join of the |V|-row top-1 list on the
+    * neighbor column — no vectors, no re-scoring; cost ∝ list size. */
+  def mutualNearestNeighbors(top1: DataFrame, queryCol: String,
+                             idCol: String, simCol: String): DataFrame = {
+    val x = top1.select(col(queryCol).as("__qa"), col(idCol).as("__na"),
+      col(simCol).as("__sa"))
+    val y = top1.select(col(queryCol).as("__qb"), col(idCol).as("__nb"))
+    x.join(y, col("__na") === col("__qb") && col("__nb") === col("__qa"))
+      .filter(col("__qa") < col("__na"))
+      .select(col("__qa").as("id_a"), col("__na").as("id_b"),
+        col("__sa").as("cosine_sim"))
+  }
+
   /** RBO coefficient suffix sums S(m) = Σ_{d=m..k} p^(d−1)/d, each term
     * SNAPPED to a multiple of 2⁻²⁰ before summing — S(m) stays an exact
     * dyadic rational, so per-query sums of matched-item contributions are

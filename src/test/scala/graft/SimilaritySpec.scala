@@ -488,6 +488,22 @@ class SimilaritySpec extends SparkSuite {
     assert(perfect.forall(_ === 1.0))
   }
 
+  test("mutualNearestNeighbors: reciprocal pairs only, one-directional hubs drop") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),     // mutual pair
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.95f)),    // mutual pair
+      (5L, Array(0.8f, 0.2f))                               // nn(5)=2 but nn(2)=1
+    ).toDF("vec_id", "embedding")
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val top1 = Similarity.bruteForceTopKMulti(e, "vec_id", "embedding",
+      q, "query_id", "qv", 1)
+    val out = Similarity.mutualNearestNeighbors(top1, "query_id", "vec_id",
+      "cosine_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L), (3L, 4L)),
+      "only reciprocal nearest neighbors survive; the hub edge 5→2 does not")
+  }
+
   test("rboAtK: per-item suffix-sum contributions, identical lists hit the truncated max") {
     val a = Seq((7L, 1L, 1L), (7L, 2L, 2L), (7L, 3L, 3L))
       .toDF("query_id", "vec_id", "rnk")
