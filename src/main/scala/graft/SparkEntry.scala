@@ -1014,6 +1014,12 @@ object SparkEntry {
       "part_id", "o_orderdate")
   }
 
+  /** §2b burstiness audit: per-event-type variance-to-mean ratio of the
+    * daily count series — Poisson-stable feeds sit at VMR ≈ 1; bursts and
+    * replays push it far above. */
+  private def q_burstiness(s: SparkSession, d: String): DataFrame =
+    Stats.burstiness(Tables.events(s, d), "event_type", "ts")
+
   /** §2b CUSUM change-point alarm: one-sided Page statistic over the
     * daily event-count series (slack 0.5σ, threshold 4σ) — the pipeline
     * throughput drift detector, windows only over the day grid. */
@@ -2426,6 +2432,7 @@ object SparkEntry {
     "q_assoc_rules" -> (q_assoc_rules _),
     "q_survival" -> (q_survival _),
     "q_cusum" -> (q_cusum _),
+    "q_burstiness" -> (q_burstiness _),
     "q_benford" -> (q_benford _),
     "q_jaro_winkler" -> (q_jaro_winkler _),
     "q_psi_numeric" -> (q_psi_numeric _),
@@ -4422,6 +4429,27 @@ object SparkEntry {
                          * (CAST(c.cnt AS DOUBLE) / nu)), 6) AS lift
          FROM p JOIN it a ON p.item_a = a.event_type
                 JOIN it c ON p.item_b = c.event_type, n""",
+    "q_burstiness" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                               CAST(count(*) AS BIGINT) AS x
+                        FROM events GROUP BY 1, 2),
+              st AS (SELECT event_type,
+                            CAST(count(*) AS BIGINT) AS n_days,
+                            CAST(sum(x) AS BIGINT) AS s,
+                            CAST(sum(x * x) AS BIGINT) AS ss
+                     FROM daily GROUP BY 1)
+         SELECT event_type, n_days,
+                round(CAST(s AS DOUBLE) / n_days, 6) AS mean_daily,
+                round(CASE WHEN n_days > 1 THEN greatest(
+                  (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                     * (CAST(s AS DOUBLE) / n_days))
+                  / (CAST(n_days AS DOUBLE) - 1.0), 0.0) END, 6) AS var_daily,
+                round(CASE WHEN n_days > 1 THEN greatest(
+                  (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                     * (CAST(s AS DOUBLE) / n_days))
+                  / (CAST(n_days AS DOUBLE) - 1.0), 0.0) END
+                  / (CAST(s AS DOUBLE) / n_days), 6) AS vmr
+         FROM st""",
     "q_cusum" ->
       """WITH c AS (SELECT date_trunc('day', ts) AS day,
                            CAST(count(*) AS BIGINT) AS n_events

@@ -401,6 +401,36 @@ object Stats {
           .as("kappa"))
   }
 
+  /** Burstiness audit: per-key variance-to-mean ratio (index of
+    * dispersion) of the daily event-count series — a Poisson-stable feed
+    * sits at VMR ≈ 1, VMR ≫ 1 marks bursty/batchy arrival (replayed
+    * dumps, thundering herds) and VMR < 1 suspiciously regular (synthetic
+    * traffic). Computed from plain integer sums (n, Σx, Σx²), which are
+    * EXACT in doubles — the zscore determinism contract — with
+    * singleton-day keys yielding null (var undefined).
+    *
+    * Scale shape: one (key, day) count aggregate then one key-level
+    * aggregate, both map-side combined; nothing else moves. */
+  def burstiness(events: DataFrame, keyCol: String, tsCol: String,
+                 roundScale: Int = 6): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__x"))
+    val st = daily.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("__x")).as("__s"),
+      sum(col("__x") * col("__x")).as("__ss"))
+    val n = col("n_days").cast("double")
+    val mean = col("__s").cast("double") / n
+    val varS = when(col("n_days") > 1,
+      greatest((col("__ss").cast("double") - col("__s").cast("double") * mean)
+        / (n - 1.0), lit(0.0)))
+    st.select(col(keyCol), col("n_days"),
+      round(mean, roundScale).as("mean_daily"),
+      round(varS, roundScale).as("var_daily"),
+      round(varS / mean, roundScale).as("vmr"))
+  }
+
   /** Pearson χ² independence audit for two categorical columns — "is the
     * language mix the same across sources" as a single defensible number
     * per cell: E = row_total·col_total/N, contribution (O−E)²/E (written

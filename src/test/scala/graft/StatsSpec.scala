@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Stats
+import org.apache.spark.sql.functions.col
 
 class StatsSpec extends SparkSuite {
   import spark.implicits._
@@ -242,6 +243,23 @@ class StatsSpec extends SparkSuite {
       out.head.getAs[Double]("v") === 100.0)
     assert(out.head.getAs[Double]("med") === 5.5 &&
       out.head.getAs[Double]("mad") === 2.5)
+  }
+
+  test("burstiness: VMR exact from integer sums, singleton key yields null") {
+    // key a: days with 2,2,2 events → var 0, VMR 0; key b: 1,5 → var 8, VMR 8/3
+    val rows =
+      Seq("2024-01-01", "2024-01-01", "2024-01-02", "2024-01-02",
+        "2024-01-03", "2024-01-03").map(("a", _)) ++
+        (Seq.fill(1)(("b", "2024-01-01")) ++ Seq.fill(5)(("b", "2024-01-02"))) ++
+        Seq(("c", "2024-01-01"))
+    val df = rows.toDF("k", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = Stats.burstiness(df, "k", "ts").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) === 3L && out("a").getDouble(2) === 2.0)
+    assert(out("a").getDouble(3) === 0.0 && out("a").getDouble(4) === 0.0)
+    assert(out("b").getDouble(2) === 3.0 && out("b").getDouble(3) === 8.0)
+    assert(out("b").getDouble(4) === 2.666667)
+    assert(out("c").getLong(1) === 1L && out("c").isNullAt(3) && out("c").isNullAt(4))
   }
 
   test("simpsonsCheck: kidney-stone numbers flip sign between pooled and stratified") {
