@@ -2150,9 +2150,19 @@ object SparkEntry {
 
   /** §2b int8 embedding quantization: absmax scalar quantization of the
     * embeddings table — pure map-side array projection (runs at read
-    * bandwidth at any scale); error columns are the acceptance readout. */
+    * bandwidth at any scale); error columns are the acceptance readout.
+    * The raw array<int> `codes` column is projected to an md5 digest +
+    * length for the harness (the driver's pandas canonicalizer cannot
+    * sort raw arrays — round-6 red); the digest still pins every code
+    * byte-for-byte, and q_int8_topk / q_int8_recall exercise the raw
+    * codes end-to-end. */
   private def q_quantize_int8(s: SparkSession, d: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), col("scale"),
+        md5(concat_ws(",", transform(col("codes"), c => c.cast("string"))))
+          .as("codes_md5"),
+        size(col("codes")).cast("long").as("dim"),
+        col("max_abs_err"), col("mse"))
 
   /** §2b int8 MIPS top-k: inner-product search ON the quantized codes
     * (integer MACs + one float multiply per row) against the vec_id=0
@@ -3295,11 +3305,11 @@ object SparkEntry {
          FROM orders GROUP BY 1""",
     "q_expectations" ->
       """WITH base AS (SELECT count(*) AS n_rows,
-                sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v1,
-                sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v2,
-                sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS v3,
-                sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v4,
-                sum(CASE WHEN o_totalprice < 100000.0 THEN 0 ELSE 1 END) AS v5
+                CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+                CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+                CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+                CAST(sum(CASE WHEN o_totalprice < 100000.0 THEN 0 ELSE 1 END) AS BIGINT) AS v5
               FROM orders)
          SELECT "check", n_rows, n_violations,
                 round(CASE WHEN n_rows > 0
@@ -3660,7 +3670,7 @@ object SparkEntry {
             SELECT doc_id, tok, count(*) AS c FROM (
               SELECT doc_id, UNNEST($duckTokens) AS tok FROM documents)
             GROUP BY doc_id, tok)
-         SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
                 round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
                 round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio
          FROM cnt GROUP BY doc_id""",
@@ -5701,7 +5711,11 @@ object SparkEntry {
                           x -> abs(x - round(x / scale) * scale))
                         ELSE list_transform(e, x -> 0.0) END AS errs
                     FROM s)
-         SELECT vec_id, round(scale, 6) AS scale, codes,
+         SELECT vec_id, round(scale, 6) AS scale,
+                md5(array_to_string(
+                  list_transform(codes, x -> CAST(x AS VARCHAR)), ','))
+                  AS codes_md5,
+                len(codes) AS dim,
                 round(list_max(errs), 6) AS max_abs_err,
                 round(list_sum(list_transform(errs, x -> x * x))
                   / len(errs), 6) AS mse

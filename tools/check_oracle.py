@@ -17,18 +17,16 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
 def canon(df):
+    """Driver-strict canonicalization: sort_values over ALL columns (raises
+    TypeError on unhashable cells, e.g. raw arrays — exactly like the
+    driver's pandas canonicalizer), then hash str(cell) per value so dtype
+    drift (int64 vs float64: '5' vs '5.0') fails the hash as it does in
+    the driver. No float reformatting — the repo's portability contract
+    requires bit-identical doubles, so leniency here only hides bugs."""
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize ints/floats like the driver roughly does
-    rows = []
-    for row in df.itertuples(index=False):
-        vals = []
-        for v in row:
-            if isinstance(v, float):
-                vals.append(f"{v:.9g}")
-            else:
-                vals.append(str(v))
-        rows.append("\x1f".join(vals))
-    rows.sort()
+    df = df.sort_values(by=list(df.columns))
+    rows = ["\x1f".join(str(v) for v in row)
+            for row in df.itertuples(index=False)]
     return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
 
 fails = 0
@@ -44,7 +42,14 @@ for name, sql in sorted(oracle.items()):
         print(f"{name:24s} ORACLE SQL ERROR: {e}"); fails += 1; continue
     ok_rows = len(spark_df) == len(ora_df)
     ok_cols = sorted(spark_df.columns) == sorted(ora_df.columns)
-    ok_hash = ok_rows and ok_cols and canon(spark_df) == canon(ora_df)
+    try:
+        ok_hash = ok_rows and ok_cols and canon(spark_df) == canon(ora_df)
+    except TypeError as e:
+        # the driver's canonicalizer crashes on unsortable cells (raw
+        # arrays) and records the row as err — fail it here too
+        print(f"{name:24s} CANON CRASH (unsortable column): {e}")
+        fails += 1
+        continue
     status = "OK" if (ok_rows and ok_cols and ok_hash) else f"rows={ok_rows}({len(spark_df)}/{len(ora_df)}) cols={ok_cols} hash={ok_hash}"
     if not (ok_rows and ok_cols and ok_hash):
         fails += 1
