@@ -47,6 +47,30 @@ class GraphSpec extends SparkSuite {
     assert(Graph.triangleCount(path).isEmpty)
   }
 
+  test("triangleCount: degree orientation kills hub wedges on skewed graph") {
+    // hub 50 with a MIDDLE id, 40 leaves below (1..40) and 40 above
+    // (51..90), plus one triangle {1, 2, 50}. The old id-ordered wedge
+    // join centers a wedge at every (smaller, 50, larger) pair: 40·40 =
+    // 1600 wedges land in the hub's reducer. Degree ordering points every
+    // leaf AT the hub (deg 80), so the hub emits zero wedges.
+    val star = ((1L to 40L) ++ (51L to 90L)).map((50L, _))
+    val edges = (star ++ Seq((1L, 2L))).toDF("src", "dst")
+    // id-ordered wedge volume (the old formulation), for contrast
+    val und = edges.select(least($"src", $"dst").as("a"),
+      greatest($"src", $"dst").as("b")).distinct()
+    val idWedges = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .count()
+    val degWedges = Graph.orientedWedges(edges).count()
+    // degree orientation: only node 1 (deg 2) has two out-edges — toward
+    // node 2 (deg 2, by id tiebreak) and toward the hub — giving exactly
+    // the single candidate wedge (1, 2, 50), which closes via 2→50
+    assert(degWedges == 1L, s"degree-ordered wedges: $degWedges")
+    assert(idWedges >= 1600L, s"id-ordered wedges should blow up: $idWedges")
+    val out = Graph.triangleCount(edges).as[(Long, Long)].collect().toMap
+    assert(out == Map(50L -> 1L, 1L -> 1L, 2L -> 1L), out.toString)
+  }
+
   test("labelPropagation: two cliques joined by a bridge split cleanly") {
     // cliques {a,b,c} and {x,y,z} plus bridge c—x; undirected (both dirs).
     // Round 1: inside a triangle every node sees two distinct neighbor
