@@ -2338,6 +2338,54 @@ object SparkEntry {
       md5(TextFunctions.foldAccents(dec)).as("folded_md5"))
   }
 
+  /** FLAGSHIP §3 composition — the reference's ENTIRE main.py dataflow as
+    * ONE oracle-checked query at sf scale, through the SAME [[Pipeline.run]]
+    * a reference user calls: nested-ticket scan → backfill (T6, `summary`
+    * is deliberately absent so the typed-null path fires) → dotted-path
+    * flatten/rename (T7) → whitelist custom-field pivot + enrichment join
+    * (T8/T9, one non-whitelisted key proves the filter) → casts + constant
+    * overwrite (T10/T11) → full-outer chat merge with collision suffixing
+    * (T12 — `nome_do_requisitante` exists on both sides) → key synthesis
+    * for chat-only rows (T13, deterministic generator) → audit stamp (T14,
+    * overwritten with a pinned timestamp so the oracle can match) → name
+    * sanitize + dup-column drop (T15/T17) → dedup-vs-destination (T16).
+    * Tickets are orders rows re-shaped into the reference's nested JSON
+    * layout; chats derive from customer with a ticketNumber that hits ~a
+    * quarter of tickets (both merge sides exercise their outer branch). */
+  private def q_octadesk_e2e(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val tickets = o.select(
+      concat(lit("T"), col("o_orderkey").cast("string")).as("id"),
+      col("o_orderkey").as("number"),
+      Relational.isoFormat(col("o_orderdate")).as("createdAt"),
+      Relational.isoFormat(col("o_orderdate")).as("updatedAt"),
+      concat(col("o_orderstatus"), lit(","), col("o_orderpriority")).as("tags"),
+      struct(col("o_orderstatus").as("name")).as("status"),
+      struct(col("o_orderpriority").as("name")).as("channel"),
+      struct(concat(lit("Clerk#"), (col("o_custkey") % 1000).cast("string")).as("name"),
+        concat(lit("clerk"), (col("o_custkey") % 1000).cast("string"),
+          lit("@example.com")).as("email")).as("requester"),
+      struct((col("o_custkey") % 10).as("id")).as("group"),
+      struct(struct(col("o_orderstatus").as("status")).as("propertiesChanges"))
+        .as("lastHumanInteraction"),
+      array(
+        struct(lit("n_do_pedido").as("key"),
+          col("o_orderkey").cast("string").as("value")),
+        struct(lit("produto").as("key"), col("o_orderpriority").as("value")),
+        struct(lit("nao_listado").as("key"), lit("drop me").as("value"))
+      ).as("customField"))
+    val chats = Tables.customer(s, d).select(
+      concat(lit("C"), col("c_custkey").cast("string")).as("chat_id"),
+      (col("c_custkey") * 4).cast("string").as("evt_ticket_ticketNumber"),
+      col("c_mktsegment").as("segmento"),
+      col("c_name").as("nome_do_requisitante"))
+    val dest = o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+      .select(col("o_orderkey").cast("string").as("n_ticket"))
+    Pipeline.run(tickets, chats, dest,
+        uuidGen = concat(lit("gen-"), col("n_ticket")))
+      .withColumn("upload", lit("2026-08-13 00:00:00").cast("timestamp"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2357,6 +2405,7 @@ object SparkEntry {
     "q_key_synthesis" -> (q_key_synthesis _),
     "q_sanitize_names" -> (q_sanitize_names _),
     "q_upsert" -> (q_upsert _),
+    "q_octadesk_e2e" -> (q_octadesk_e2e _),
     "q_events_pivot" -> (q_events_pivot _),
     "q_json_extract" -> (q_json_extract _),
     "q_from_json" -> (q_from_json _),
@@ -2952,13 +3001,13 @@ object SparkEntry {
 
   /** Generated Benford oracle: the same 2⁻²⁰-snapped expected-share
     * literals as [[operators.ColumnHygiene.benfordShares]], leading digit
-    * via the identical `%.10e` formatting. */
+    * via the identical carry-free `%.16e` formatting. */
   private def benfordOracleSql: String = {
     val eCase = "CASE digit " + (1 to 9).map(d =>
       s"WHEN $d THEN CAST(${new java.math.BigDecimal(
         operators.ColumnHygiene.benfordShares(d - 1)).toPlainString} AS DOUBLE)")
       .mkString(" ") + " END"
-    s"""WITH c AS (SELECT CAST(substring(printf('%.10e', abs(o_totalprice)),
+    s"""WITH c AS (SELECT CAST(substring(printf('%.16e', abs(o_totalprice)),
                                1, 1) AS INTEGER) AS digit,
                           CAST(count(*) AS BIGINT) AS n
                    FROM orders
@@ -3863,6 +3912,60 @@ object SparkEntry {
          SELECT * FROM dest
          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
          UNION ALL SELECT * FROM upd""",
+    "q_octadesk_e2e" ->
+      """WITH tickets AS (
+           SELECT 'T' || CAST(o_orderkey AS VARCHAR) AS uuid,
+                  CAST(o_orderkey AS VARCHAR) AS n_ticket,
+                  CAST(NULL AS VARCHAR) AS titulo,
+                  o_orderstatus || ',' || o_orderpriority AS tags,
+                  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '+0000' AS criado_em,
+                  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '+0000' AS atualizado_em,
+                  o_orderstatus AS status_ticket,
+                  o_orderpriority AS channel_ticket,
+                  'Clerk#' || CAST(o_custkey % 1000 AS VARCHAR) AS nome_do_requisitante_ticket,
+                  'clerk' || CAST(o_custkey % 1000 AS VARCHAR) || '@example.com' AS email_requisitante,
+                  CAST(o_custkey % 10 AS BIGINT) AS grupo_responsavel_ticket,
+                  o_orderstatus AS ultimo_status_humano,
+                  CAST(NULL AS VARCHAR) AS ticket_codigo_de_rastreio,
+                  CAST(NULL AS VARCHAR) AS ticket_cpf,
+                  CAST(NULL AS VARCHAR) AS ticket_data_de_pagamento,
+                  CAST(NULL AS VARCHAR) AS ticket_email_do_cliente,
+                  CAST(NULL AS VARCHAR) AS ticket_motivo_de_contatos,
+                  CAST(NULL AS VARCHAR) AS ticket_n_da_nota_fiscal,
+                  CAST(o_orderkey AS VARCHAR) AS ticket_n_do_pedido,
+                  CAST(NULL AS VARCHAR) AS ticket_n_do_pedido_bling,
+                  o_orderpriority AS ticket_produto,
+                  CAST(NULL AS VARCHAR) AS ticket_tipo_do_problema,
+                  '' AS contact_cf_n_mero_do_ticket
+           FROM orders),
+         chats AS (
+           SELECT 'C' || CAST(c_custkey AS VARCHAR) AS chat_id,
+                  CAST(c_custkey * 4 AS VARCHAR) AS ck,
+                  c_mktsegment AS segmento,
+                  c_name AS nome_do_requisitante_chat
+           FROM customer),
+         merged AS (
+           SELECT COALESCE(c.ck, t.n_ticket) AS n_ticket,
+                  c.chat_id, c.segmento, c.nome_do_requisitante_chat,
+                  t.uuid, t.titulo, t.tags, t.criado_em, t.atualizado_em,
+                  t.status_ticket, t.channel_ticket,
+                  t.nome_do_requisitante_ticket, t.email_requisitante,
+                  t.grupo_responsavel_ticket, t.ultimo_status_humano,
+                  t.ticket_codigo_de_rastreio, t.ticket_cpf,
+                  t.ticket_data_de_pagamento, t.ticket_email_do_cliente,
+                  t.ticket_motivo_de_contatos, t.ticket_n_da_nota_fiscal,
+                  t.ticket_n_do_pedido, t.ticket_n_do_pedido_bling,
+                  t.ticket_produto, t.ticket_tipo_do_problema,
+                  t.contact_cf_n_mero_do_ticket
+           FROM chats c FULL OUTER JOIN tickets t ON c.ck = t.n_ticket)
+         SELECT * REPLACE (
+                  CASE WHEN uuid IS NULL OR trim(uuid) = ''
+                       THEN 'gen-' || n_ticket ELSE uuid END AS uuid),
+                TIMESTAMP '2026-08-13 00:00:00' AS upload
+         FROM merged m
+         WHERE NOT EXISTS (SELECT 1 FROM orders dd
+                           WHERE dd.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+                             AND CAST(dd.o_orderkey AS VARCHAR) = m.n_ticket)""",
     "q_events_pivot" ->
       """SELECT user_id,
                 count(*) FILTER (WHERE event_type = 'click') > 0 AS evt_click,
@@ -4799,7 +4902,8 @@ object SparkEntry {
                                  ORDER BY ts ASC, event_id ASC))
          SELECT p2 || '>' || p1 || '>' || event_type AS sequence,
                 CAST(COUNT(*) AS BIGINT) AS cnt
-         FROM s WHERE p2 IS NOT NULL
+         FROM s WHERE p2 IS NOT NULL AND p1 IS NOT NULL
+                  AND event_type IS NOT NULL
          GROUP BY 1
          ORDER BY cnt DESC, sequence ASC
          LIMIT 20""",

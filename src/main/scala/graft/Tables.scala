@@ -26,14 +26,22 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark's vectorized reader rejects. Read nanos as long (legacy conf) and
-    * truncate to microsecond TimestampType with integer division (plain `/`
-    * would go through double and lose precision above 2^53 ns). */
+  /** The events table's `ts` physical type has drifted across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * read nanos as long via the legacy conf and truncate with integer
+    * division; plain `/` would go through double and lose precision above
+    * 2^53 ns) and plain TIMESTAMP(MICROS) without the UTC-adjusted flag
+    * (which Spark reads as TIMESTAMP_NTZ). Either way, normalize to the
+    * session-zone TimestampType every downstream operator expects
+    * (watermarks, unix_micros, window()); under the UTC session the NTZ
+    * cast is a pure reinterpretation, matching DuckDB's naive reading. */
   def normalizeEventTs(raw: DataFrame): DataFrame =
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
 
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

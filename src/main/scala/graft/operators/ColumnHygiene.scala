@@ -210,17 +210,22 @@ object ColumnHygiene {
     * screen for naturally-spanning numeric columns (amounts, populations):
     * per leading digit, observed count vs the log10(1+1/d) expectation
     * and the χ² contribution (O−E)²/E. The leading digit is extracted
-    * from `%.10e` scientific formatting — correctly-rounded decimal
+    * from `%.16e` scientific formatting — correctly-rounded decimal
     * conversion in both the JVM and C printf, so the digit is
-    * engine-identical even for doubles one ulp off a power of ten.
-    * Zero and NULL values are excluded (they have no leading digit).
+    * engine-identical. Precision matters: at `%.10e` a double just below
+    * a power of ten (e.g. 9.99999999996) rounds clear across all ten
+    * mantissa digits and misreports digit 9 as 1; at 17 significant
+    * digits that carry is IMPOSSIBLE, because the nearest double below
+    * 10^k sits ~1.1e-16 relative away — beyond the 0.5e-16 the rounding
+    * step could bridge. Zero and NULL values are excluded (they have no
+    * leading digit).
     *
     * Scale shape: one map-side digit projection + ONE 9-bucket hash
     * aggregate + a 1-row total broadcast — nothing else moves. */
   def benford(df: DataFrame, valCol: String): DataFrame = {
     val eArr = array(benfordShares.map(lit): _*)
     val lead = substring(
-      format_string("%.10e", abs(col(valCol))), 1, 1).cast("int")
+      format_string("%.16e", abs(col(valCol))), 1, 1).cast("int")
     val counts = df
       .filter(col(valCol).isNotNull && abs(col(valCol)) > lit(0.0))
       .select(lead.as("digit"))

@@ -115,11 +115,16 @@ object EventAnalytics {
     val parts = (n - 1 to 0 by -1).map(i =>
       if (i == 0) col(typeCol) else lag(col(typeCol), i).over(w))
     events
-      .withColumn("__seq", concat_ws(">", parts: _*))
-      // a full window exists only when the oldest lag is non-null —
-      // staged as a column (window expressions can't sit in a filter)
-      .withColumn("__oldest", lag(col(typeCol), n - 1).over(w))
-      .filter(col("__oldest").isNotNull)
+      // a full window exists only when EVERY part is non-null — testing
+      // just the oldest lag would let concat_ws silently skip a null
+      // mid-window and count the truncated (n−1)-token string as a full
+      // n-gram. Parts are staged as columns (window expressions can't
+      // sit in a filter); SQL `||` NULL-propagation is the oracle twin.
+      .withColumns(
+        parts.zipWithIndex.map { case (p, i) => s"__p$i" -> p }.toMap)
+      .filter((0 until n).map(i => col(s"__p$i").isNotNull).reduce(_ && _))
+      .withColumn("__seq",
+        concat_ws(">", (0 until n).map(i => col(s"__p$i")): _*))
       .groupBy(col("__seq").as("sequence"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("sequence").asc)

@@ -150,7 +150,7 @@ class ColumnHygieneSparkSpec extends SparkSuite {
     }
   }
 
-  test("benford: leading digits via %.10e, zeros/nulls excluded, chi2 hand-check") {
+  test("benford: leading digits via %.16e, zeros/nulls excluded, chi2 hand-check") {
     val df = Seq(Some(1.0), Some(1.5), Some(25.0), Some(-3.2), Some(0.0), None)
       .toDF("v")
     val out = ColumnHygiene.benford(df, "v").collect()
@@ -163,6 +163,17 @@ class ColumnHygieneSparkSpec extends SparkSuite {
     assert(out(1) === ((2L, 0.5, r6(e1), r6(dev * dev / (4.0 * e1)))))
     assert(out(2)._1 === 1L && out(2)._2 === 0.25)
     assert(out(3)._1 === 1L, "negative value contributes via abs")
+  }
+
+  test("benford: no rounding carry for doubles just below a power of ten") {
+    // at %.10e these formatted as 1.0000000000e+0{1,3} and misreported
+    // digit 9 as 1; 17 significant digits cannot carry (nearest double
+    // below 10^k is ~1.1e-16 relative away, beyond the rounding step)
+    val df = Seq(9.99999999996, 999.9999999999998, 9.9999999999999982e99)
+      .toDF("v")
+    val out = ColumnHygiene.benford(df, "v").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out === Map(9 -> 3L), out.toString)
   }
 
   test("riOrphans: dangling FKs counted per key, null FKs excluded") {

@@ -77,6 +77,25 @@ class EventAnalyticsSpec extends SparkSuite {
       events, "user_id", "ts", "event_id", "event_type", 1, 10))
   }
 
+  test("eventSequences: a null type mid-window kills the window, not the separator") {
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // stream a, NULL, c, a: every 3-window contains the null → no motifs
+    // (concat_ws would silently have emitted the truncated "a>c" and
+    // "c>a" as fake 3-grams); 2-windows away from the null still count
+    val events = Seq(
+      (1L, ts(1), 1L, Option("a")), (1L, ts(2), 2L, Option.empty[String]),
+      (1L, ts(3), 3L, Option("c")), (1L, ts(4), 4L, Option("a"))
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out3 = EventAnalytics.eventSequences(events,
+        "user_id", "ts", "event_id", "event_type", n = 3, topK = 10)
+      .collect()
+    assert(out3.isEmpty, out3.mkString(","))
+    val out2 = EventAnalytics.eventSequences(events,
+        "user_id", "ts", "event_id", "event_type", n = 2, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2 === Map("c>a" -> 1L), out2.toString)
+  }
+
   test("timeDecayAttribution: dyadic half-life credits, window + bounds") {
     def ts(s: String) = Timestamp.valueOf(s)
     // user 1 purchase at 10:00; touches at 09:50 (Δ10m → w=1),
