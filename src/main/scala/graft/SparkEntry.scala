@@ -802,6 +802,18 @@ object SparkEntry {
       "cosine_sim")
   }
 
+  /** §2b hard-negative mining (DPR recipe): per vec_id<10 anchor, the 5
+    * most-similar vectors with a DIFFERENT label — the contrastive-
+    * training batch builder ([[Similarity.hardNegatives]]). */
+  private def q_hard_negatives(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val anchors = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      anchors, "query_id", "qv", "qlabel", 5)
+  }
+
   /** §2b NDCG@10 + MRR ranking eval: same exact-vs-IVF setup as
     * q_ann_recall, but graded — rel = 11 − exact_rank, gain 2^rel−1,
     * dyadic-snapped discounts — so it reports WHERE the true neighbors
@@ -1470,6 +1482,13 @@ object SparkEntry {
   private def q_repetition(s: SparkSession, d: String): DataFrame =
     TextAnalytics.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
 
+  /** §2b corpus-level distinct-1/2/3 diversity per source — the
+    * synthetic-data acceptance gate ([[TextAnalytics.distinctNgramRatio]];
+    * low distinct-n marks template/self-repetitive slices). */
+  private def q_distinct_ngrams(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.distinctNgramRatio(Tables.documents(s, d), "source",
+      "text", Seq(1, 2, 3))
+
   /** §2b snapshot diff (T16/K3 generalized to a change feed): old = orders
     * minus keys %7==0; new = orders minus keys %11==0 with totalprice
     * bumped on %5==0 — yielding all four change types deterministically. */
@@ -1693,6 +1712,15 @@ object SparkEntry {
   private def q_psi(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     Stats.psi(docs.filter(col("source") === "src0"),
+      docs.filter(col("source") =!= "src0"), "lang")
+  }
+
+  /** §2b Jensen–Shannon drift readout over the same src0-vs-rest split as
+    * q_psi — bounded in [0, ln 2], so the alarm threshold transfers
+    * across corpora (PSI's doesn't). */
+  private def q_jsd_drift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Stats.jsDivergence(docs.filter(col("source") === "src0"),
       docs.filter(col("source") =!= "src0"), "lang")
   }
 
@@ -2473,6 +2501,7 @@ object SparkEntry {
     "q_ann_recall" -> (q_ann_recall _),
     "q_ndcg" -> (q_ndcg _),
     "q_mutual_nn" -> (q_mutual_nn _),
+    "q_hard_negatives" -> (q_hard_negatives _),
     "q_rbo" -> (q_rbo _),
     "q_matryoshka" -> (q_matryoshka _),
     "q_davies_bouldin" -> (q_davies_bouldin _),
@@ -2526,6 +2555,7 @@ object SparkEntry {
     "q_quality_filter_approx" -> (q_quality_filter_approx _),
     "q_contamination" -> (q_contamination _),
     "q_repetition" -> (q_repetition _),
+    "q_distinct_ngrams" -> (q_distinct_ngrams _),
     "q_snapshot_diff" -> (q_snapshot_diff _),
     "q_column_profile" -> (q_column_profile _),
     "q_apply_diff" -> (q_apply_diff _),
@@ -2558,6 +2588,7 @@ object SparkEntry {
     "q_simpsons" -> (q_simpsons _),
     "q_chisq_indep" -> (q_chisq_indep _),
     "q_psi" -> (q_psi _),
+    "q_jsd_drift" -> (q_jsd_drift _),
     "q_chi2_tokens" -> (q_chi2_tokens _),
     "q_vector_moments" -> (q_vector_moments _),
     "q_er_score" -> (q_er_score _),
@@ -3553,6 +3584,24 @@ object SparkEntry {
          SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
                 round(coalesce(CAST(a.top_c AS DOUBLE) / a.n_bg, 0.0), 6) AS top_bigram_frac
          FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id""",
+    "q_distinct_ngrams" ->
+      s"""WITH tok AS (SELECT source, $duckTokens AS t FROM documents),
+              b1 AS (SELECT source, 1 AS n, UNNEST(t) AS gram FROM tok),
+              b2 AS (SELECT source, 2 AS n,
+                            array_to_string(t[i:i+1], ' ') AS gram
+                     FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+              b3 AS (SELECT source, 3 AS n,
+                            array_to_string(t[i:i+2], ' ') AS gram
+                     FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+              allg AS (SELECT * FROM b1 UNION ALL
+                       SELECT * FROM b2 UNION ALL
+                       SELECT * FROM b3),
+              cnt AS (SELECT source, n, gram, count(*) AS c
+                      FROM allg GROUP BY 1, 2, 3)
+         SELECT source, n, CAST(count(*) AS BIGINT) AS distinct_ngrams,
+                CAST(sum(c) AS BIGINT) AS total_ngrams,
+                round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio
+         FROM cnt GROUP BY 1, 2""",
     "q_lang_ngram" -> langNgramOracleSql,
     "q_simhash" -> simhashOracleSql,
     "q_simhash_neardup" -> simhashNearDupOracleSql,
@@ -6068,6 +6117,19 @@ object SparkEntry {
          FROM t1 x JOIN t1 y
            ON x.nn = y.query_id AND y.nn = x.query_id
          WHERE x.query_id < x.nn""",
+    "q_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                     FROM embeddings),
+              q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+                    FROM e WHERE vec_id < 10),
+              s AS (SELECT q.query_id, e.vec_id, e.label,
+                           round(${duckCos("e.v", "q.qv")}, 6) AS cosine_sim
+                    FROM q JOIN e ON e.label <> q.qlabel),
+              r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, vec_id ASC) AS BIGINT) AS rnk
+                    FROM s)
+         SELECT query_id, vec_id, label, cosine_sim, rnk
+         FROM r WHERE rnk <= 5""",
     "q_rbo" -> rboOracleSql(10, 0.9),
     "q_matryoshka" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -6210,6 +6272,33 @@ object SparkEntry {
                       * ln(((CAST(n_ref AS DOUBLE) + 0.5) / (tr + 0.5 * k))
                            / ((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 0.5 * k))),
                       6) AS psi_contrib
+         FROM j, t""",
+    "q_jsd_drift" ->
+      """WITH r AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_ref
+                    FROM documents WHERE source = 'src0' GROUP BY 1),
+              c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_cur
+                    FROM documents WHERE source <> 'src0' GROUP BY 1),
+              j AS (SELECT lang, COALESCE(n_ref, 0) AS n_ref,
+                           COALESCE(n_cur, 0) AS n_cur
+                    FROM r FULL OUTER JOIN c USING (lang)),
+              t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+                           CAST(sum(n_cur) AS DOUBLE) AS tc FROM j)
+         SELECT lang, n_ref, n_cur,
+                round(CAST(n_ref AS DOUBLE) / tr, 6) AS p_ref,
+                round(CAST(n_cur AS DOUBLE) / tc, 6) AS p_cur,
+                round(
+                  CASE WHEN n_ref > 0
+                       THEN CAST(n_ref AS DOUBLE) / tr
+                            * ln((CAST(n_ref AS DOUBLE) / tr)
+                                 / ((CAST(n_ref AS DOUBLE) / tr
+                                     + CAST(n_cur AS DOUBLE) / tc) / 2.0)) / 2.0
+                       ELSE 0.0 END
+                + CASE WHEN n_cur > 0
+                       THEN CAST(n_cur AS DOUBLE) / tc
+                            * ln((CAST(n_cur AS DOUBLE) / tc)
+                                 / ((CAST(n_ref AS DOUBLE) / tr
+                                     + CAST(n_cur AS DOUBLE) / tc) / 2.0)) / 2.0
+                       ELSE 0.0 END, 6) AS jsd_contrib
          FROM j, t""",
     "q_davies_bouldin" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -291,6 +291,34 @@ object Similarity {
         col("rnk"))
   }
 
+  /** Hard-negative mining for contrastive training data (the DPR /
+    * sentence-encoder recipe: Karpukhin et al., EMNLP'20 — negatives that
+    * are semantically CLOSE but labeled different are the ones that move
+    * the model): per anchor, the k most-cosine-similar corpus vectors
+    * whose label differs from the anchor's. Same ranking contract as
+    * [[bruteForceTopKMulti]] (6dp-rounded cosine desc, id asc tiebreak);
+    * the label inequality also excludes the anchor itself.
+    *
+    * Scale shape: anchors broadcast (a bounded training-batch set), the
+    * corpus scanned ONCE map-side — the label filter is applied in the
+    * broadcast join condition, before any shuffle; the only shuffle is
+    * the per-anchor rank window over anchor-keyed candidates. */
+  def hardNegatives(embeddings: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queries: DataFrame, qidCol: String,
+                    qvecCol: String, qlabelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+    broadcast(queries.select(col(qidCol), col(qvecCol), col(qlabelCol)))
+      .join(embeddings, col(labelCol) =!= col(qlabelCol))
+      .withColumn("cosine_sim",
+        round(VectorFunctions.cosineSimilarity(col(vecCol), col(qvecCol)), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(qidCol).as("query_id"), col(idCol), col(labelCol),
+        col("cosine_sim"), col("rnk"))
+  }
+
   /** Multi-query IVF ANN top-k: per query, rank the literal centroids by
     * (6dp-rounded) cosine, probe the top `nprobe` cells, exact-rerank the
     * candidates. Same ranking contract as [[bruteForceTopKMulti]], so the

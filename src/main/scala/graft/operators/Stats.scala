@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Statistical model fitting over groups (SURVEY.md §2b) — the closed-form
@@ -535,5 +535,38 @@ object Stats {
         round(pRef, 6).as("p_ref"),
         round(pCur, 6).as("p_cur"),
         round((pRef - pCur) * log(pRef / pCur), 6).as("psi_contrib"))
+  }
+
+  /** Jensen–Shannon divergence per bin (nats) — the bounded, symmetric
+    * companion to [[psi]]: per bin, ½p·ln(p/m) + ½q·ln(q/m) with
+    * m = (p+q)/2; the total over bins lies in [0, ln 2], so thresholds
+    * transfer across datasets (PSI's unbounded tail doesn't). No
+    * smoothing is needed: m > 0 wherever either side has mass, and a
+    * one-sided bin contributes the finite ½p·ln 2. The standard
+    * distribution-shift readout for data-mixture work (cf. the JSD term
+    * in GAN/mixture objectives, Lin '91 for the divergence itself).
+    *
+    * Scale shape: identical to [[psi]] — one count aggregate per side
+    * (map-side combine), a #bins-sized full-outer merge, a 1-row totals
+    * broadcast; inputs are never shuffled beyond the two aggregates.
+    * Portability: two ln calls per bin on count-ratio doubles, 6dp-
+    * rounded — see PORTABILITY.md (q_psi row; same margin). */
+  def jsDivergence(ref: DataFrame, cur: DataFrame, binCol: String): DataFrame = {
+    val r = ref.groupBy(col(binCol)).agg(count(lit(1)).as("n_ref"))
+    val c = cur.groupBy(col(binCol)).agg(count(lit(1)).as("n_cur"))
+    val bins = r.join(c, Seq(binCol), "full")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val totals = bins.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    val p = col("n_ref").cast("double") / col("__tr")
+    val q = col("n_cur").cast("double") / col("__tc")
+    val m = (p + q) / lit(2.0)
+    def half(x: Column): Column =
+      when(x > lit(0.0), x * log(x / m) / lit(2.0)).otherwise(lit(0.0))
+    bins.crossJoin(broadcast(totals))
+      .select(col(binCol), col("n_ref"), col("n_cur"),
+        round(p, 6).as("p_ref"),
+        round(q, 6).as("p_cur"),
+        round(half(p) + half(q), 6).as("jsd_contrib"))
   }
 }

@@ -134,6 +134,40 @@ object TextAnalytics {
           .as("top_bigram_frac"))
   }
 
+  /** Corpus-level distinct-n diversity (the distinct-1/2/3 metric of Li
+    * et al., NAACL'16, computed per group): for each n, distinct n-grams
+    * across the WHOLE group over total n-gram occurrences. Low values
+    * flag template-generated or self-repetitive slices — the standard
+    * acceptance gate for synthetic/model-generated training data, and the
+    * corpus-level complement to [[repetitionSignals]]'s per-document view.
+    *
+    * Scale shape: wordcount-shaped — one explode per n, then a single
+    * (group, n, gram)-keyed count collapsed to (group, n): map-side
+    * combine does the heavy dedup; shuffle ∝ distinct n-grams, no
+    * window, no driver state. The n-gram column is staged once per n so
+    * the slice lambda in [[TextFunctions.shinglesOf]] doesn't re-tokenize
+    * per element. */
+  def distinctNgramRatio(docs: DataFrame, groupCol: String, textCol: String,
+                         ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 5),
+      s"n-gram widths must be within [1, 5]: $ns")
+    val toks = docs.select(col(groupCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    ns.map { n =>
+      toks
+        .select(col(groupCol),
+          explode(TextFunctions.shinglesOf(col("__toks"), n)).as("__g"))
+        .groupBy(col(groupCol), col("__g"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("distinct_ngrams"), sum(col("__c")).as("total_ngrams"))
+        .select(col(groupCol), lit(n).as("n"), col("distinct_ngrams"),
+          col("total_ngrams"),
+          round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 6)
+            .as("distinct_ratio"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Per-document unigram Shannon entropy (nats) and type-token ratio —
     * the lexical-diversity quality signals: near-zero entropy marks
     * keyword-stuffing/boilerplate, entropy ≈ ln(n_tokens) marks fully

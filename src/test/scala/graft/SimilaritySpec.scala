@@ -548,4 +548,28 @@ class SimilaritySpec extends SparkSuite {
       Similarity.kCenterSelect(e.filter($"vec_id" < 0), "vec_id", "embedding", 2)
     }
   }
+
+  test("hardNegatives: same-label (and self) excluded, rank by cosine then id, k cut") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0L),
+      (2L, Array(0.99f, 0.05f), 0L),  // closest to 1 but SAME label → excluded
+      (3L, Array(0.9f, 0.1f), 1L),    // hardest negative for anchor 1
+      (4L, Array(0.5f, 0.5f), 1L),
+      (5L, Array(0.0f, 1.0f), 2L)
+    ).toDF("vec_id", "embedding", "label")
+    val anchors = e.filter($"vec_id" === 1L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"),
+        $"label".as("qlabel"))
+    val out = Similarity.hardNegatives(e, "vec_id", "embedding", "label",
+        anchors, "query_id", "qv", "qlabel", 2)
+      .collect().map(r => (r.getLong(4), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // top-2 negatives: 3 (label 1, cos≈0.994) then 4 (cos≈0.707); vector 2
+    // never appears despite cos≈0.999 — it shares the anchor's label
+    assert(out === Seq((1L, 3L, 1L), (2L, 4L, 1L)), out.mkString(","))
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(e, "vec_id", "embedding", "label",
+        anchors, "query_id", "qv", "qlabel", 0)
+    }
+  }
 }

@@ -303,4 +303,29 @@ class StatsSpec extends SparkSuite {
     // (p−q) and ln(p/q) always share sign → every contribution ≥ 0
     assert(out.values.forall(_._5 >= 0.0))
   }
+
+  test("jsDivergence: hand-checked contributions, one-sided bin finite, total ≤ ln 2") {
+    val ref = Seq("a", "a", "b").toDF("bin")
+    val cur = Seq("a", "b", "b", "b", "c").toDF("bin")
+    val out = Stats.jsDivergence(ref, cur, "bin").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def term(p: Double, q: Double): Double = {
+      val m = (p + q) / 2
+      (if (p > 0) p * math.log(p / m) / 2 else 0.0) +
+        (if (q > 0) q * math.log(q / m) / 2 else 0.0)
+    }
+    // unsmoothed shares: totals 3 and 5
+    assert(out("a") === ((2L, 1L, r6(2.0 / 3), r6(1.0 / 5),
+      r6(term(2.0 / 3, 1.0 / 5)))))
+    // bin absent from ref: finite ½q·ln 2 contribution
+    assert(out("c")._1 === 0L &&
+      out("c")._5 === r6((1.0 / 5) * math.log(2.0) / 2))
+    // per-bin terms are ≥ 0 (log-sum inequality) and the total ≤ ln 2
+    assert(out.values.forall(_._5 >= 0.0))
+    assert(out.values.map(_._5).sum <= math.log(2.0) + 1e-9)
+  }
 }

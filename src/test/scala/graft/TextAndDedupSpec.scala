@@ -935,4 +935,28 @@ class TextAndDedupSpec extends SparkSuite {
     val d2 = out(2L)
     assert(d2.getLong(1) === 0L && d2.isNullAt(4))
   }
+
+  test("distinctNgramRatio: corpus-level distinct-n per group, hand-checked") {
+    val docs = Seq(
+      ("x", "a b a"), ("x", "a b"), ("x", ""),   // blank doc contributes 0
+      ("y", "c c c c")                           // degenerate template slice
+    ).toDF("source", "text")
+    val out = TextAnalytics.distinctNgramRatio(docs, "source", "text",
+        Seq(1, 2, 3))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("x", 1)) === ((2L, 5L, 0.4)))
+    assert(out(("x", 2)) === ((2L, 3L, r6(2.0 / 3))))
+    assert(out(("x", 3)) === ((1L, 1L, 1.0)))
+    assert(out(("y", 1)) === ((1L, 4L, 0.25)))
+    assert(out(("y", 2)) === ((1L, 3L, r6(1.0 / 3))))
+    assert(out(("y", 3)) === ((1L, 2L, 0.5)))
+    // the self-repetitive slice scores strictly lower at every n
+    assert((1 to 3).forall(n => out(("y", n))._3 < out(("x", n))._3))
+    intercept[IllegalArgumentException] {
+      TextAnalytics.distinctNgramRatio(docs, "source", "text", Seq(6))
+    }
+  }
 }
