@@ -1489,6 +1489,19 @@ object SparkEntry {
     TextAnalytics.distinctNgramRatio(Tables.documents(s, d), "source",
       "text", Seq(1, 2, 3))
 
+  /** §2b word2vec-style negative-sampling table: unigram^0.75 shares +
+    * cumulative rank-order mass over the top-100 tokens
+    * ([[TextAnalytics.negativeSamplingTable]]). */
+  private def q_negative_sampling(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.negativeSamplingTable(Tables.documents(s, d), "text", 100)
+
+  /** §2b length-grouped batching audit: per (source, 16-doc batch) dense-
+    * rectangle padding waste under length-sorted batching
+    * ([[Corpus.lengthGroupedBatches]]). */
+  private def q_padding_waste(s: SparkSession, d: String): DataFrame =
+    Corpus.lengthGroupedBatches(Tables.documents(s, d), "source", "doc_id",
+      "text", 16)
+
   /** §2b snapshot diff (T16/K3 generalized to a change feed): old = orders
     * minus keys %7==0; new = orders minus keys %11==0 with totalprice
     * bumped on %5==0 — yielding all four change types deterministically. */
@@ -2556,6 +2569,8 @@ object SparkEntry {
     "q_contamination" -> (q_contamination _),
     "q_repetition" -> (q_repetition _),
     "q_distinct_ngrams" -> (q_distinct_ngrams _),
+    "q_negative_sampling" -> (q_negative_sampling _),
+    "q_padding_waste" -> (q_padding_waste _),
     "q_snapshot_diff" -> (q_snapshot_diff _),
     "q_column_profile" -> (q_column_profile _),
     "q_apply_diff" -> (q_apply_diff _),
@@ -3602,6 +3617,42 @@ object SparkEntry {
                 CAST(sum(c) AS BIGINT) AS total_ngrams,
                 round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio
          FROM cnt GROUP BY 1, 2""",
+    "q_negative_sampling" ->
+      s"""WITH tokc AS (SELECT UNNEST(t) AS token
+                        FROM (SELECT $duckTokens AS t FROM documents)),
+              c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+                    FROM tokc GROUP BY 1),
+              r AS (SELECT token, cnt,
+                           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC)
+                             AS BIGINT) AS rank
+                    FROM c),
+              top AS (SELECT * FROM r WHERE rank <= 100),
+              z AS (SELECT sum(pow(CAST(cnt AS DOUBLE), 0.75)) AS zz FROM top)
+         SELECT rank, token, cnt,
+                round(pow(CAST(cnt AS DOUBLE), 0.75) / zz, 6) AS p_neg,
+                round(sum(pow(CAST(cnt AS DOUBLE), 0.75) / zz)
+                        OVER (ORDER BY cnt DESC, token ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW), 6) AS cum_p
+         FROM top, z""",
+    "q_padding_waste" ->
+      s"""WITH tok AS (SELECT source, doc_id, CAST(len(t) AS BIGINT) AS n
+                       FROM (SELECT source, doc_id, $duckTokens AS t
+                             FROM documents)),
+              r AS (SELECT source, n,
+                           ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY n DESC, doc_id ASC) AS rn
+                    FROM tok),
+              b AS (SELECT source,
+                           CAST(floor((rn - 1) / 16.0) AS BIGINT) AS batch, n
+                    FROM r)
+         SELECT source, batch, CAST(count(*) AS BIGINT) AS n_docs,
+                max(n) AS max_tokens, CAST(sum(n) AS BIGINT) AS sum_tokens,
+                CAST(count(*) * max(n) - sum(n) AS BIGINT) AS padding_waste,
+                CASE WHEN count(*) * max(n) > 0
+                     THEN round(CAST(count(*) * max(n) - sum(n) AS DOUBLE)
+                                / (count(*) * max(n)), 6) END AS pad_frac
+         FROM b GROUP BY 1, 2""",
     "q_lang_ngram" -> langNgramOracleSql,
     "q_simhash" -> simhashOracleSql,
     "q_simhash_neardup" -> simhashNearDupOracleSql,

@@ -168,6 +168,39 @@ object TextAnalytics {
     }.reduce(_ unionAll _)
   }
 
+  /** Unigram^0.75 negative-sampling distribution (word2vec lineage:
+    * Mikolov et al., NIPS'13 — the ¾-power flattening that keeps rare
+    * words drawable): over the top-`topV` tokens by (count desc, token
+    * asc), p_neg(t) = cnt^0.75 / Σ cnt^0.75, plus the cumulative share in
+    * rank order — exactly the table an alias/roulette sampler consumes
+    * for retrieval/embedding training negatives.
+    *
+    * Scale shape: one wordcount aggregate (map-side combine, shuffle ∝
+    * distinct tokens), then a rank window over the DISTINCT-token table
+    * (the vocabCoverage cumsum contract — vocab-sized, never corpus-
+    * sized) and a topV-row cumulative sum. Portability: pow(c, 0.75) on
+    * integer-count doubles + a ≤topV-term normalizer, 6dp-rounded — see
+    * PORTABILITY.md. */
+  def negativeSamplingTable(docs: DataFrame, textCol: String,
+                            topV: Int): DataFrame = {
+    require(topV >= 1, s"topV must be positive: $topV")
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    val top = counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topV)
+    val z = top.agg(sum(pow(col("cnt").cast("double"), 0.75)).as("__z"))
+    val p = pow(col("cnt").cast("double"), 0.75) / col("__z")
+    val wcum = Window.orderBy(col("cnt").desc, col("token").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(z))
+      .select(col("rank"), col("token"), col("cnt"),
+        round(p, 6).as("p_neg"),
+        round(sum(p).over(wcum), 6).as("cum_p"))
+  }
+
   /** Per-document unigram Shannon entropy (nats) and type-token ratio —
     * the lexical-diversity quality signals: near-zero entropy marks
     * keyword-stuffing/boilerplate, entropy ≈ ln(n_tokens) marks fully

@@ -434,4 +434,25 @@ class CorpusSpec extends SparkSuite {
     val merged = agg.merge(left, right)
     assert(merged.size <= 3 && merged.contains("x"))
   }
+
+  test("lengthGroupedBatches: length-desc batching, hand-checked waste, empty batch null") {
+    val docs = Seq(
+      (1L, "s1", "a b c d"), (2L, "s1", "a b c"), // batch 0: max 4, sum 7
+      (3L, "s1", "a b"), (4L, "s1", "a"),          // batch 1: max 2, sum 3
+      (5L, "s1", ""),                              // batch 2: lone empty doc
+      (6L, "s2", "x y")                            // separate shard
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.lengthGroupedBatches(docs, "source", "doc_id", "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) null else r.getDouble(6)))).toMap
+    assert(out(("s1", 0L)) === ((2L, 4L, 7L, 1L, 0.125)))
+    assert(out(("s1", 1L)) === ((2L, 2L, 3L, 1L, 0.25)))
+    assert(out(("s1", 2L)) === ((1L, 0L, 0L, 0L, null)),
+      "all-empty batch: zero waste, null pad_frac (0/0)")
+    assert(out(("s2", 0L))._1 === 1L && out(("s2", 0L))._4 === 0L)
+    intercept[IllegalArgumentException] {
+      Corpus.lengthGroupedBatches(docs, "source", "doc_id", "text", 0)
+    }
+  }
 }

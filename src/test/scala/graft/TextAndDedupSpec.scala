@@ -959,4 +959,25 @@ class TextAndDedupSpec extends SparkSuite {
       TextAnalytics.distinctNgramRatio(docs, "source", "text", Seq(6))
     }
   }
+
+  test("negativeSamplingTable: 3/4-power shares, rank order, cumulative mass ends at 1") {
+    // counts: a=4, b=2, c=1 → z = 4^.75 + 2^.75 + 1
+    val docs = Seq("a a b", "a a b c").toDF("text")
+    val out = TextAnalytics.negativeSamplingTable(docs, "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .sortBy(_._1)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val z = math.pow(4, 0.75) + math.pow(2, 0.75) + 1.0
+    assert(out.map(_._2._1) === Seq("a", "b", "c"), "rank = cnt desc, token asc")
+    assert(out.head._2 === (("a", 4L, r6(math.pow(4, 0.75) / z),
+      r6(math.pow(4, 0.75) / z))))
+    // ¾-power flattens: p(a)/p(c) < cnt(a)/cnt(c)
+    assert(out.head._2._3 / out.last._2._3 < 4.0)
+    assert(out.last._2._4 === 1.0, "cumulative mass over the full table is 1")
+    // topV cuts the tail and renormalizes over survivors
+    val top1 = TextAnalytics.negativeSamplingTable(docs, "text", 1).collect()
+    assert(top1.length === 1 && top1.head.getDouble(4) === 1.0)
+  }
 }
