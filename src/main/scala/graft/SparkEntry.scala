@@ -802,6 +802,14 @@ object SparkEntry {
       "cosine_sim")
   }
 
+  /** §2b dominant principal direction + explained-variance share of the
+    * embedding covariance — 8 unrolled power-iteration rounds entirely
+    * in-plan ([[Similarity.powerIterationPCA]]), the whitening /
+    * drop-dominant-direction pre-step. */
+  private def q_power_iteration(s: SparkSession, d: String): DataFrame =
+    Similarity.powerIterationPCA(Tables.embeddings(s, d), "vec_id",
+      "embedding", 8)
+
   /** §2b hard-negative mining (DPR recipe): per vec_id<10 anchor, the 5
     * most-similar vectors with a DIFFERENT label — the contrastive-
     * training batch builder ([[Similarity.hardNegatives]]). */
@@ -2515,6 +2523,7 @@ object SparkEntry {
     "q_ndcg" -> (q_ndcg _),
     "q_mutual_nn" -> (q_mutual_nn _),
     "q_hard_negatives" -> (q_hard_negatives _),
+    "q_power_iteration" -> (q_power_iteration _),
     "q_rbo" -> (q_rbo _),
     "q_matryoshka" -> (q_matryoshka _),
     "q_davies_bouldin" -> (q_davies_bouldin _),
@@ -3067,6 +3076,45 @@ object SparkEntry {
                      * (CAST(n AS DOUBLE) - tt * ($eCase))
                      / (tt * ($eCase)), 6) AS chi2_contrib
         FROM c, t"""
+  }
+
+  /** Generated power-iteration oracle: the same centered covariance and
+    * unrolled v ← C·v rounds. cov/cen/comp are MATERIALIZED — cov is
+    * referenced by every round and DuckDB would otherwise inline (and
+    * recompute) the n·d² aggregate once per reference (the q_kcore
+    * exponential-CTE lesson); the round chain itself is linear. */
+  private def powerIterOracleSql(rounds: Int): String = {
+    val vrounds = (1 to rounds).map { r =>
+      s"""v$r AS MATERIALIZED (
+            SELECT c.i, sum(c.c * v.v) AS v
+            FROM cov c JOIN v${r - 1} v ON v.i = c.j GROUP BY 1)"""
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                                FROM embeddings),
+         comp AS MATERIALIZED (
+           SELECT vec_id, u.i AS i, v[u.i] AS x
+           FROM e, UNNEST(generate_series(1, len(v))) AS u(i)),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM e),
+         mu AS MATERIALIZED (SELECT i, avg(x) AS m FROM comp GROUP BY 1),
+         cen AS MATERIALIZED (SELECT c.vec_id, c.i, c.x - m.m AS xc
+                              FROM comp c JOIN mu m ON m.i = c.i),
+         cov0 AS (SELECT l.i AS i, r.i AS j, sum(l.xc * r.xc) AS s
+                  FROM cen l JOIN cen r ON l.vec_id = r.vec_id
+                  GROUP BY 1, 2),
+         cov AS MATERIALIZED (SELECT i, j, s / nn AS c FROM cov0, n),
+         v0 AS (SELECT i, 1.0 AS v FROM mu),
+         $vrounds,
+         cv AS (SELECT c.i, sum(c.c * v.v) AS w
+                FROM cov c JOIN v$rounds v ON v.i = c.j GROUP BY 1),
+         ray AS (SELECT sum(a.v * b.w) AS vw, sum(a.v * a.v) AS vv
+                 FROM v$rounds a JOIN cv b ON a.i = b.i),
+         nrm AS (SELECT sqrt(sum(v * v)) AS nn2 FROM v$rounds),
+         tr AS (SELECT sum(c) AS t FROM cov WHERE i = j),
+         sgn AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sg
+                 FROM v$rounds ORDER BY abs(v) DESC, i ASC LIMIT 1)
+       SELECT a.i AS dim, round(sg * a.v / nn2, 6) AS loading,
+              round(vw / vv / t, 6) AS explained_var
+       FROM v$rounds a, nrm, sgn, ray, tr"""
   }
 
   /** Generated HITS oracle: the same unrolled a/h rounds, MATERIALIZED
@@ -6181,6 +6229,7 @@ object SparkEntry {
                     FROM s)
          SELECT query_id, vec_id, label, cosine_sim, rnk
          FROM r WHERE rnk <= 5""",
+    "q_power_iteration" -> powerIterOracleSql(8),
     "q_rbo" -> rboOracleSql(10, 0.9),
     "q_matryoshka" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

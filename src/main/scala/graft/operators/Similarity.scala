@@ -291,6 +291,61 @@ object Similarity {
         col("rnk"))
   }
 
+  /** Dominant principal direction of the (centered) embedding covariance
+    * via `rounds` UNROLLED power-iteration steps (v ← C·v from v₀ = 1),
+    * normalized at the end with a deterministic sign convention (the
+    * largest-|loading| dimension is made positive, lowest dim on ties) —
+    * plus the Rayleigh-quotient explained-variance share λ̂₁/tr(C). The
+    * whitening/decorrelation pre-step of embedding pipelines (Su et al.
+    * '21 whitening; drop-dominant-direction per Mu & Viswanath ICLR'18).
+    * A FIXED round count makes the output a deterministic polynomial of
+    * C — reproducible cross-engine (no convergence test, no RNG).
+    *
+    * Scale shape: the covariance is ONE self-join-per-vector aggregate —
+    * n·d² products stream into a d²-cell hash aggregate with map-side
+    * partial combine (never materialized), then `localCheckpoint` pins
+    * the d²-row C so the 9 matvec joins (64-row vector each) don't
+    * re-run the corpus pass. Everything after C is bounded by d. */
+  def powerIterationPCA(embeddings: DataFrame, idCol: String, vecCol: String,
+                        rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 12,
+      s"rounds must be in [1, 12] (fixed, unrolled plan): $rounds")
+    val comp = embeddings.select(col(idCol).as("__vid"),
+        posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .select(col("__vid"), (col("__p") + 1).as("i"),
+        col("__x").cast("double").as("x"))
+    val n = embeddings.agg(count(lit(1)).cast("double").as("__n"))
+    val mu = comp.groupBy(col("i")).agg(avg(col("x")).as("m"))
+    val centered = comp.join(broadcast(mu), Seq("i"))
+      .select(col("__vid"), col("i"), (col("x") - col("m")).as("xc"))
+    val cov = centered.as("l")
+      .join(centered.as("r"), col("l.__vid") === col("r.__vid"))
+      .select(col("l.i").as("i"), col("r.i").as("j"),
+        (col("l.xc") * col("r.xc")).as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("__s"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"), (col("__s") / col("__n")).as("c"))
+      .localCheckpoint()
+    var vec = mu.select(col("i"), lit(1.0).as("v"))
+    for (_ <- 1 to rounds)
+      vec = cov.join(broadcast(vec.select(col("i").as("j"), col("v"))), Seq("j"))
+        .groupBy(col("i")).agg(sum(col("c") * col("v")).as("v"))
+    val cv = cov.join(broadcast(vec.select(col("i").as("j"), col("v"))), Seq("j"))
+      .groupBy(col("i")).agg(sum(col("c") * col("v")).as("w"))
+    val ray = vec.join(cv, Seq("i"))
+      .agg(sum(col("v") * col("w")).as("__vw"),
+        sum(col("v") * col("v")).as("__vv"))
+    val nrm = vec.agg(sqrt(sum(col("v") * col("v"))).as("__nn"))
+    val tr = cov.filter(col("i") === col("j")).agg(sum(col("c")).as("__tr"))
+    val sgn = vec.orderBy(abs(col("v")).desc, col("i").asc).limit(1)
+      .select(when(col("v") < 0, lit(-1.0)).otherwise(lit(1.0)).as("__sg"))
+    vec.crossJoin(broadcast(nrm)).crossJoin(broadcast(sgn))
+      .crossJoin(broadcast(ray)).crossJoin(broadcast(tr))
+      .select(col("i").as("dim"),
+        round(col("__sg") * col("v") / col("__nn"), 6).as("loading"),
+        round(col("__vw") / col("__vv") / col("__tr"), 6).as("explained_var"))
+  }
+
   /** Hard-negative mining for contrastive training data (the DPR /
     * sentence-encoder recipe: Karpukhin et al., EMNLP'20 — negatives that
     * are semantically CLOSE but labeled different are the ones that move

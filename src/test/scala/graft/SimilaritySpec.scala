@@ -549,6 +549,27 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("powerIterationPCA: axis-aligned covariance recovers the dominant axis") {
+    // centered data, diagonal cov: var(x)=5/3, var(y)=1/12, trace=7/4
+    val e = Seq(
+      (1L, Array(2.0f, 0.0f)), (2L, Array(-2.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)), (4L, Array(-1.0f, 0.0f)),
+      (5L, Array(0.0f, 0.5f)), (6L, Array(0.0f, -0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.powerIterationPCA(e, "vec_id", "embedding", 8)
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // dominant axis is dim 1, sign convention makes it positive; the
+    // residual dim-2 loading is (λ2/λ1)^8 ≈ 4e-11 → 0 at 6dp
+    assert(out(1) === ((1.0, r6((5.0 / 3) / (7.0 / 4)))))
+    assert(out(2)._1 === 0.0)
+    intercept[IllegalArgumentException] {
+      Similarity.powerIterationPCA(e, "vec_id", "embedding", 0)
+    }
+  }
+
   test("hardNegatives: same-label (and self) excluded, rank by cosine then id, k cut") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f), 0L),
