@@ -1490,6 +1490,35 @@ object SparkEntry {
   private def q_repetition(s: SparkSession, d: String): DataFrame =
     TextAnalytics.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
 
+  /** §2b incremental CC: fold a deterministic batch of new pairs into a
+    * pre-existing min-rooted cluster assignment via star contraction
+    * ([[Dedup.incrementalClusters]]) — the daily-ingest dedup path whose
+    * iterative work is ∝ the batch, not the corpus. Fixture: prior
+    * clusters = runs of 4 consecutive doc_ids under 400; the batch links
+    * every 20th id to id+4 (merging adjacent clusters into chains and
+    * pulling in ≥400 ids the prior never saw). */
+  private def q_incremental_cc(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val prior = docs.filter(col("doc_id") < 400)
+      .select(col("doc_id").as("id"),
+        (col("doc_id") - col("doc_id") % 4).as("cluster"))
+    val newPairs = docs
+      .filter(col("doc_id") % 20 === 0 && col("doc_id") + 4 < 500)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 4).as("id_b"))
+    Dedup.incrementalClusters(prior, "id", "cluster", newPairs)
+      .select(col("id").as("doc_id"), col("cluster"))
+  }
+
+  /** §2b per-source quantile-rank normalization of doc length with a
+    * uniform 20%-tail gate ([[Corpus.quantileRank]]) — the calibrated
+    * quality filter: the threshold drops the same fraction per source. */
+  private def q_quantile_norm(s: SparkSession, d: String): DataFrame =
+    Corpus.quantileRank(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "n_chars")
+      .withColumn("keep_doc", col("pct_rank") >= 0.2)
+
   /** §2b corpus-level distinct-1/2/3 diversity per source — the
     * synthetic-data acceptance gate ([[TextAnalytics.distinctNgramRatio]];
     * low distinct-n marks template/self-repetitive slices). */
@@ -2580,6 +2609,8 @@ object SparkEntry {
     "q_distinct_ngrams" -> (q_distinct_ngrams _),
     "q_negative_sampling" -> (q_negative_sampling _),
     "q_padding_waste" -> (q_padding_waste _),
+    "q_incremental_cc" -> (q_incremental_cc _),
+    "q_quantile_norm" -> (q_quantile_norm _),
     "q_snapshot_diff" -> (q_snapshot_diff _),
     "q_column_profile" -> (q_column_profile _),
     "q_apply_diff" -> (q_apply_diff _),
@@ -3701,6 +3732,36 @@ object SparkEntry {
                      THEN round(CAST(count(*) * max(n) - sum(n) AS DOUBLE)
                                 / (count(*) * max(n)), 6) END AS pad_frac
          FROM b GROUP BY 1, 2""",
+    "q_incremental_cc" ->
+      """WITH RECURSIVE
+           prior AS (SELECT doc_id AS id, doc_id - (doc_id % 4) AS root
+                     FROM documents WHERE doc_id < 400),
+           newp AS (SELECT doc_id AS id_a, doc_id + 4 AS id_b
+                    FROM documents
+                    WHERE doc_id % 20 = 0 AND doc_id + 4 < 500),
+           edges AS (SELECT id AS src, root AS dst FROM prior WHERE id <> root
+                     UNION
+                     SELECT root AS src, id AS dst FROM prior WHERE id <> root
+                     UNION SELECT id_a AS src, id_b AS dst FROM newp
+                     UNION SELECT id_b AS src, id_a AS dst FROM newp),
+           nodes AS (SELECT id FROM prior
+                     UNION SELECT id_a AS id FROM newp
+                     UNION SELECT id_b AS id FROM newp),
+           walk(id, lbl) AS (
+             SELECT id, id FROM nodes
+             UNION
+             SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.id = e.src),
+           cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
+         SELECT id AS doc_id, cluster FROM cl""",
+    "q_quantile_norm" ->
+      """SELECT doc_id, source, n_chars,
+                round(percent_rank() OVER (PARTITION BY source
+                                           ORDER BY n_chars ASC), 6)
+                  AS pct_rank,
+                round(percent_rank() OVER (PARTITION BY source
+                                           ORDER BY n_chars ASC), 6) >= 0.2
+                  AS keep_doc
+         FROM documents""",
     "q_lang_ngram" -> langNgramOracleSql,
     "q_simhash" -> simhashOracleSql,
     "q_simhash_neardup" -> simhashNearDupOracleSql,

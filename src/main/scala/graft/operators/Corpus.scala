@@ -320,6 +320,24 @@ object Corpus {
         max(col(idCol)).as("last_doc"))
   }
 
+  /** Per-group quantile-rank normalization of a score column: replace the
+    * raw score by its within-group percent rank, so one global threshold
+    * filters every group at the SAME rate — the calibrated per-source
+    * quality gate (a raw-score cut silently over-prunes whichever source
+    * scores low wholesale; rank-normalizing makes "drop the worst 20%"
+    * mean the same thing in every source). percent_rank is the exact
+    * rational (rank−1)/(n−1) on integer ranks — bit-identical across
+    * engines, no libm anywhere.
+    *
+    * Scale shape: ONE group-partitioned window (rank + count, no
+    * buffering of values) — groups are sources/shards, numerous and
+    * bounded; ties share a rank (schedule-independent), single-row
+    * groups rank 0. */
+  def quantileRank(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol).asc)
+    df.withColumn("pct_rank", round(percent_rank().over(w), 6))
+  }
+
   /** Length-grouped batching audit (the fairseq/HF `group_by_length`
     * trick): per shard, sort documents by token count descending (id asc
     * tiebreak), cut into fixed `batchSize` batches, and report each

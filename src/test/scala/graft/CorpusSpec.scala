@@ -435,6 +435,20 @@ class CorpusSpec extends SparkSuite {
     assert(merged.size <= 3 && merged.contains("x"))
   }
 
+  test("quantileRank: exact (rank-1)/(n-1) percent ranks, ties share, lone row is 0") {
+    val df = Seq(("g", 10L), ("g", 20L), ("g", 20L), ("g", 30L), ("h", 99L))
+      .toDF("src", "v")
+    val out = Corpus.quantileRank(df, "src", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("g").map(t => t._2 -> t._3).toSet ===
+      Set(10L -> 0.0, 20L -> r6(1.0 / 3), 30L -> 1.0),
+      "ties share rank 2 → (2−1)/(4−1)")
+    assert(out("h").head._3 === 0.0, "single-row group ranks 0")
+  }
+
   test("lengthGroupedBatches: length-desc batching, hand-checked waste, empty batch null") {
     val docs = Seq(
       (1L, "s1", "a b c d"), (2L, "s1", "a b c"), // batch 0: max 4, sum 7

@@ -302,6 +302,25 @@ class TextAndDedupSpec extends SparkSuite {
     assert(solo === nodes.as[Long].collect().map(i => i -> i).toMap)
   }
 
+  test("incrementalClusters: star contraction merges across prior clusters, unseen ids join") {
+    // prior: {0,1} rooted 0, {4,5} rooted 4, {10} alone (min-rooted ✓)
+    val prior = Seq((0L, 0L), (1L, 0L), (4L, 4L), (5L, 4L), (10L, 10L))
+      .toDF("id", "cluster")
+    // batch: 1~5 merges the two clusters; 7~10 pulls in unseen id 7
+    val batch = Seq((1L, 5L), (7L, 10L)).toDF("id_a", "id_b")
+    val out = Dedup.incrementalClusters(prior, "id", "cluster", batch)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(0L -> 0L, 1L -> 0L, 4L -> 0L, 5L -> 0L,
+      7L -> 7L, 10L -> 7L))
+    // idempotent refold: the output is min-rooted, so an empty next batch
+    // returns it unchanged
+    val refold = Dedup.incrementalClusters(
+        out.toSeq.toDF("id", "cluster"), "id", "cluster",
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(refold === out)
+  }
+
   test("duplicateClusters: empty pair set is every-node-a-singleton, no spin") {
     import graft.operators.Dedup
     val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
