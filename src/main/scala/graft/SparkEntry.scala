@@ -1490,6 +1490,22 @@ object SparkEntry {
   private def q_repetition(s: SparkSession, d: String): DataFrame =
     TextAnalytics.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
 
+  /** §2b Fellegi–Sunter probabilistic linkage over nation-blocked
+    * customers: m-probabilities configured, u-probabilities estimated as
+    * field collision probabilities from the data; fields = market
+    * segment, acctbal kilo-bucket, 2-char name tail; threshold 6.0 keeps
+    * only pairs agreeing on (essentially) all three
+    * ([[Dedup.fellegiSunter]]). */
+  private def q_fellegi_sunter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(
+      col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000).cast("long").as("acct_kilo"),
+      expr("substring(c_name, length(c_name) - 1, 2)").as("name_tail"))
+    Dedup.fellegiSunter(c, "c_custkey", "c_nationkey",
+      Seq(("c_mktsegment", 0.9), ("acct_kilo", 0.8), ("name_tail", 0.85)),
+      6.0)
+  }
+
   /** §2b incremental CC: fold a deterministic batch of new pairs into a
     * pre-existing min-rooted cluster assignment via star contraction
     * ([[Dedup.incrementalClusters]]) — the daily-ingest dedup path whose
@@ -2611,6 +2627,7 @@ object SparkEntry {
     "q_padding_waste" -> (q_padding_waste _),
     "q_incremental_cc" -> (q_incremental_cc _),
     "q_quantile_norm" -> (q_quantile_norm _),
+    "q_fellegi_sunter" -> (q_fellegi_sunter _),
     "q_snapshot_diff" -> (q_snapshot_diff _),
     "q_column_profile" -> (q_column_profile _),
     "q_apply_diff" -> (q_apply_diff _),
@@ -3762,6 +3779,37 @@ object SparkEntry {
                                            ORDER BY n_chars ASC), 6) >= 0.2
                   AS keep_doc
          FROM documents""",
+    "q_fellegi_sunter" ->
+      """WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM customer),
+           c AS (SELECT c_custkey AS id, c_nationkey AS blk,
+                        c_mktsegment AS f0,
+                        CAST(floor(c_acctbal / 1000) AS BIGINT) AS f1,
+                        substring(c_name, length(c_name) - 1, 2) AS f2
+                 FROM customer),
+           u0 AS (SELECT CAST(sum(cc * cc) AS DOUBLE) / (nn * nn) AS u
+                  FROM (SELECT count(*) AS cc FROM c GROUP BY f0), n
+                  GROUP BY nn),
+           u1 AS (SELECT CAST(sum(cc * cc) AS DOUBLE) / (nn * nn) AS u
+                  FROM (SELECT count(*) AS cc FROM c GROUP BY f1), n
+                  GROUP BY nn),
+           u2 AS (SELECT CAST(sum(cc * cc) AS DOUBLE) / (nn * nn) AS u
+                  FROM (SELECT count(*) AS cc FROM c GROUP BY f2), n
+                  GROUP BY nn),
+           s AS (SELECT a.id AS id_a, b.id AS id_b,
+                        round(
+                          CASE WHEN a.f0 IS NOT DISTINCT FROM b.f0
+                               THEN ln(0.9 / u0.u)
+                               ELSE ln((1 - 0.9) / (1 - u0.u)) END
+                        + CASE WHEN a.f1 IS NOT DISTINCT FROM b.f1
+                               THEN ln(0.8 / u1.u)
+                               ELSE ln((1 - 0.8) / (1 - u1.u)) END
+                        + CASE WHEN a.f2 IS NOT DISTINCT FROM b.f2
+                               THEN ln(0.85 / u2.u)
+                               ELSE ln((1 - 0.85) / (1 - u2.u)) END, 6)
+                          AS fs_score
+                 FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id,
+                      u0, u1, u2)
+         SELECT id_a, id_b, fs_score FROM s WHERE fs_score >= 6.0""",
     "q_lang_ngram" -> langNgramOracleSql,
     "q_simhash" -> simhashOracleSql,
     "q_simhash_neardup" -> simhashNearDupOracleSql,

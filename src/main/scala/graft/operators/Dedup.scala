@@ -581,6 +581,57 @@ object Dedup {
         coalesce(col("cluster"), col(idCol)).as("cluster"))
   }
 
+  /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter,
+    * JASA'69): per candidate pair (same block, id_a < id_b), the
+    * log-likelihood-ratio match score Σ_f [agree → ln(m_f/u_f),
+    * disagree → ln((1−m_f)/(1−u_f))]. The m-probabilities (field agrees
+    * given a true match) are caller config — the standard practice
+    * without labeled matches; the u-probabilities (field agrees given a
+    * RANDOM pair) are ESTIMATED FROM THE DATA as the field's collision
+    * probability Σ_v (n_v/n)² — Winkler's frequency-based estimate. This
+    * is what [[matchScore]]'s ad-hoc weights converge to when done
+    * probabilistically: rare-value agreement earns more evidence.
+    * Agreement is null-safe equality (two nulls agree — mirror of SQL
+    * IS NOT DISTINCT FROM).
+    *
+    * Scale shape: one tiny aggregate per field (Σc² over the field's
+    * value histogram → a 1-row u scalar, broadcast), then ONE block-keyed
+    * self-equi-join — pair volume Σ block², the blocking contract (pick
+    * blocks numerous and bounded); the score is a map-side expression.
+    * Only pairs at/above `threshold` (on the 6dp-rounded score) return. */
+  def fellegiSunter(df: DataFrame, idCol: String, blockCol: String,
+                    fields: Seq[(String, Double)],
+                    threshold: Double): DataFrame = {
+    require(fields.nonEmpty, "at least one comparison field")
+    fields.foreach { case (f, m) =>
+      require(m > 0 && m < 1, s"m-probability for $f must be in (0,1): $m") }
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
+    val uCols = fields.zipWithIndex.map { case ((f, _), k) =>
+      df.groupBy(col(f)).agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__c") * col("__c")).cast("double").as("__s2"))
+        .crossJoin(broadcast(n))
+        .select((col("__s2") / (col("__n") * col("__n"))).as(s"__u$k"))
+    }
+    val cols = Seq(col(idCol), col(blockCol)) ++ fields.map(f => col(f._1))
+    val a = df.select(cols: _*).toDF(
+      Seq("id_a", "__blk") ++ fields.indices.map(k => s"__fa$k"): _*)
+    val b = df.select(cols: _*).toDF(
+      Seq("id_b", "__blk") ++ fields.indices.map(k => s"__fb$k"): _*)
+    val pairs0 = a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b"))
+    val withU = uCols.foldLeft(pairs0)((acc, u) => acc.crossJoin(broadcast(u)))
+    val score = fields.zipWithIndex.map { case ((_, m), k) =>
+      // (1 − m) as an IN-PLAN subtraction, not a Scala constant: the
+      // oracle writes `1 - 0.9`, and 1.0−0.9 ≠ parse("0.1") at the last
+      // bit — both engines must do the same subtraction
+      when(col(s"__fa$k") <=> col(s"__fb$k"),
+        log(lit(m) / col(s"__u$k")))
+        .otherwise(log((lit(1.0) - lit(m)) / (lit(1.0) - col(s"__u$k"))))
+    }.reduce(_ + _)
+    withU
+      .select(col("id_a"), col("id_b"), round(score, 6).as("fs_score"))
+      .filter(col("fs_score") >= threshold)
+  }
+
   /** Incremental connected components — the daily-ingest dedup path: fold
     * a batch of NEW near-dup pairs into an existing (id, cluster)
     * assignment without re-running CC over the corpus. STAR CONTRACTION:

@@ -302,6 +302,39 @@ class TextAndDedupSpec extends SparkSuite {
     assert(solo === nodes.as[Long].collect().map(i => i -> i).toMap)
   }
 
+  test("fellegiSunter: log-likelihood weights from data-estimated u, null-safe agreement") {
+    // u for every field = (3² + 1²)/4² = 0.625 by construction
+    val df = Seq(
+      (1L, 1L, "A", 5L, "01"), (2L, 1L, "A", 5L, "01"),
+      (3L, 1L, "B", 6L, "02"), (4L, 2L, "A", 5L, "01")
+    ).toDF("id", "blk", "seg", "kilo", "tail")
+    def agree(m: Double) = math.log(m / 0.625)
+    def disagree(m: Double) = math.log((1.0 - m) / (1.0 - 0.625))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Dedup.fellegiSunter(df, "id", "blk",
+        Seq(("seg", 0.9), ("kilo", 0.8), ("tail", 0.85)), 0.5)
+      .as[(Long, Long, Double)].collect()
+    // only (1,2) passes: all-agree ≈ 0.919; (1,3)/(2,3) all-disagree ≈
+    // −2.87; (4,·) is in another block
+    assert(out.toSeq === Seq((1L, 2L,
+      r6(agree(0.9) + agree(0.8) + agree(0.85)))), out.mkString(","))
+    // two nulls AGREE (IS NOT DISTINCT FROM semantics)
+    val nulls = Seq((1L, 1L, Option.empty[String]),
+        (2L, 1L, Option.empty[String]), (3L, 1L, Option("z")),
+        (4L, 1L, Option("w")))
+      .toDF("id", "blk", "seg")
+    val nOut = Dedup.fellegiSunter(nulls, "id", "blk",
+        Seq(("seg", 0.9)), 0.0)
+      .as[(Long, Long, Double)].collect().toSeq
+    // u = (2²+1+1)/16 = 0.375; only the null-null pair agrees
+    assert(nOut === Seq((1L, 2L, r6(math.log(0.9 / 0.375)))),
+      nOut.mkString(","))
+    intercept[IllegalArgumentException] {
+      Dedup.fellegiSunter(df, "id", "blk", Seq(("seg", 1.5)), 0.0)
+    }
+  }
+
   test("incrementalClusters: star contraction merges across prior clusters, unseen ids join") {
     // prior: {0,1} rooted 0, {4,5} rooted 4, {10} alone (min-rooted ✓)
     val prior = Seq((0L, 0L), (1L, 0L), (4L, 4L), (5L, 4L), (10L, 10L))
