@@ -3104,13 +3104,16 @@ object SparkEntry {
 
   /** Generated Benford oracle: the same 2⁻²⁰-snapped expected-share
     * literals as [[operators.ColumnHygiene.benfordShares]], leading digit
-    * via the identical carry-free `%.16e` formatting. */
+    * via the identical `%.10e` formatting (see benford scaladoc: 10
+    * fractional digits is the cross-engine parity sweet spot — the JVM
+    * formats from the padded shortest rep, C from the exact expansion,
+    * and they only agree while decimal granularity dwarfs one ulp). */
   private def benfordOracleSql: String = {
     val eCase = "CASE digit " + (1 to 9).map(d =>
       s"WHEN $d THEN CAST(${new java.math.BigDecimal(
         operators.ColumnHygiene.benfordShares(d - 1)).toPlainString} AS DOUBLE)")
       .mkString(" ") + " END"
-    s"""WITH c AS (SELECT CAST(substring(printf('%.16e', abs(o_totalprice)),
+    s"""WITH c AS (SELECT CAST(substring(printf('%.10e', abs(o_totalprice)),
                                1, 1) AS INTEGER) AS digit,
                           CAST(count(*) AS BIGINT) AS n
                    FROM orders

@@ -210,22 +210,28 @@ object ColumnHygiene {
     * screen for naturally-spanning numeric columns (amounts, populations):
     * per leading digit, observed count vs the log10(1+1/d) expectation
     * and the χ² contribution (O−E)²/E. The leading digit is extracted
-    * from `%.16e` scientific formatting — correctly-rounded decimal
-    * conversion in both the JVM and C printf, so the digit is
-    * engine-identical. Precision matters: at `%.10e` a double just below
-    * a power of ten (e.g. 9.99999999996) rounds clear across all ten
-    * mantissa digits and misreports digit 9 as 1; at 17 significant
-    * digits that carry is IMPOSSIBLE, because the nearest double below
-    * 10^k sits ~1.1e-16 relative away — beyond the 0.5e-16 the rounding
-    * step could bridge. Zero and NULL values are excluded (they have no
-    * leading digit).
+    * from `%.10e` scientific formatting. Precision is a deliberate
+    * PARITY choice, not an accuracy one: the JVM's Formatter renders %e
+    * from the zero-padded SHORTEST round-trip representation while C
+    * printf rounds the exact binary expansion — at ≥16 fractional
+    * digits the two visibly disagree (JVM "1.0000000000000000e-07" vs C
+    * "9.9999999999999995e-08" for the double nearest 1e-7), but at 10
+    * fractional digits the decimal granularity (~1e-10 relative) dwarfs
+    * one ulp (~1e-16), so both conversions land on the same string for
+    * every double. KNOWN BOUNDED CAVEAT: a value within 5e-11 relative
+    * of a power of ten from below (shortest rep 9.99999999995+, ≥12
+    * significant digits) rounds clear across the mantissa and reports
+    * digit 1 instead of 9 — in BOTH engines identically. That window is
+    * ~1e-10 of the value line; for a distribution-level screen the
+    * expected miscount is zero rows at any realistic cardinality. Zero
+    * and NULL values are excluded (they have no leading digit).
     *
     * Scale shape: one map-side digit projection + ONE 9-bucket hash
     * aggregate + a 1-row total broadcast — nothing else moves. */
   def benford(df: DataFrame, valCol: String): DataFrame = {
     val eArr = array(benfordShares.map(lit): _*)
     val lead = substring(
-      format_string("%.16e", abs(col(valCol))), 1, 1).cast("int")
+      format_string("%.10e", abs(col(valCol))), 1, 1).cast("int")
     val counts = df
       .filter(col(valCol).isNotNull && abs(col(valCol)) > lit(0.0))
       .select(lead.as("digit"))

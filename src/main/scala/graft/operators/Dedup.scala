@@ -605,12 +605,28 @@ object Dedup {
     require(fields.nonEmpty, "at least one comparison field")
     fields.foreach { case (f, m) =>
       require(m > 0 && m < 1, s"m-probability for $f must be in (0,1): $m") }
-    val n = df.agg(count(lit(1)).cast("double").as("__n"))
-    val uCols = fields.zipWithIndex.map { case ((f, _), k) =>
-      df.groupBy(col(f)).agg(count(lit(1)).as("__c"))
-        .agg(sum(col("__c") * col("__c")).cast("double").as("__s2"))
-        .crossJoin(broadcast(n))
-        .select((col("__s2") / (col("__n") * col("__n"))).as(s"__u$k"))
+    val hists = fields.map { case (f, _) =>
+      df.groupBy(col(f)).agg(count(lit(1)).as("__c")) }
+    // counts are squared AS DOUBLES: long c*c wraps silently past
+    // c ≈ 3.04e9 — a real cardinality for a low-cardinality field at the
+    // scale this operator targets (the sums stay exact in double until
+    // 2^53 anyway, so the oracle's exact-integer sum matches bit-for-bit
+    // at any realistic fixture). n comes from the FIRST histogram's Σc —
+    // same value as count(*), one fewer corpus pass; the 1-row base is
+    // localCheckpoint-pinned so reusing n doesn't re-run that pass.
+    val base = hists.head.agg(
+        sum(col("__c").cast("double") * col("__c")).as("__s2"),
+        sum(col("__c")).cast("double").as("__n"))
+      .localCheckpoint()
+    val n = base.select(col("__n"))
+    val uCols = fields.indices.map { k =>
+      if (k == 0)
+        base.select((col("__s2") / (col("__n") * col("__n"))).as("__u0"))
+      else
+        hists(k)
+          .agg(sum(col("__c").cast("double") * col("__c")).as("__s2"))
+          .crossJoin(broadcast(n))
+          .select((col("__s2") / (col("__n") * col("__n"))).as(s"__u$k"))
     }
     val cols = Seq(col(idCol), col(blockCol)) ++ fields.map(f => col(f._1))
     val a = df.select(cols: _*).toDF(

@@ -150,7 +150,7 @@ class ColumnHygieneSparkSpec extends SparkSuite {
     }
   }
 
-  test("benford: leading digits via %.16e, zeros/nulls excluded, chi2 hand-check") {
+  test("benford: leading digits via %.10e, zeros/nulls excluded, chi2 hand-check") {
     val df = Seq(Some(1.0), Some(1.5), Some(25.0), Some(-3.2), Some(0.0), None)
       .toDF("v")
     val out = ColumnHygiene.benford(df, "v").collect()
@@ -165,15 +165,21 @@ class ColumnHygieneSparkSpec extends SparkSuite {
     assert(out(3)._1 === 1L, "negative value contributes via abs")
   }
 
-  test("benford: no rounding carry for doubles just below a power of ten") {
-    // at %.10e these formatted as 1.0000000000e+0{1,3} and misreported
-    // digit 9 as 1; 17 significant digits cannot carry (nearest double
-    // below 10^k is ~1.1e-16 relative away, beyond the rounding step)
-    val df = Seq(9.99999999996, 999.9999999999998, 9.9999999999999982e99)
-      .toDF("v")
+  test("benford: %.10e digit behavior is the documented parity contract") {
+    // values ≥ 5e-11 relative below a power of ten keep their true digit;
+    // values INSIDE that window carry to digit 1 — deliberately, because
+    // both engines' %.10e agree there while %.16e would split them (the
+    // JVM formats from the padded shortest rep, C from the exact
+    // expansion — e.g. the double nearest 1e-7 prints digit 1 in Java
+    // and digit 9 in C at 16 fractional digits)
+    val df = Seq(
+      9.9999999996,         // 9.99999…e0, 11 sig digits: no carry → 9
+      1e-7,                 // shortest rep crosses the decade: stays 1
+      9.99999999996         // inside the 5e-11 window: documented carry → 1
+    ).toDF("v")
     val out = ColumnHygiene.benford(df, "v").collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(out === Map(9 -> 3L), out.toString)
+    assert(out === Map(9 -> 1L, 1 -> 2L), out.toString)
   }
 
   test("riOrphans: dangling FKs counted per key, null FKs excluded") {

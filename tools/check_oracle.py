@@ -24,6 +24,12 @@ def canon(df):
     the driver. No float reformatting — the repo's portability contract
     requires bit-identical doubles, so leniency here only hides bugs."""
     df = df.reindex(sorted(df.columns), axis=1)
+    # NOTE: like the driver, rows tying under sort_values but differing
+    # under str() (only the +0.0/-0.0 pair can do this) stay in input
+    # order — a theoretical order-dependence we keep deliberately,
+    # because mirroring the driver's canonicalizer exactly is this
+    # script's contract (a "fixed" local gate that diverges from the
+    # hard signal is how the round-6 reds slipped through)
     df = df.sort_values(by=list(df.columns))
     rows = ["\x1f".join(str(v) for v in row)
             for row in df.itertuples(index=False)]
@@ -44,9 +50,11 @@ for name, sql in sorted(oracle.items()):
     ok_cols = sorted(spark_df.columns) == sorted(ora_df.columns)
     try:
         ok_hash = ok_rows and ok_cols and canon(spark_df) == canon(ora_df)
-    except TypeError as e:
+    except (TypeError, ValueError) as e:
         # the driver's canonicalizer crashes on unsortable cells (raw
-        # arrays) and records the row as err — fail it here too
+        # arrays) and records the row as err — fail it here too.
+        # (pandas raises TypeError on the multi-column lexsort path but
+        # ValueError on a single array-typed column's sort_values)
         print(f"{name:24s} CANON CRASH (unsortable column): {e}")
         fails += 1
         continue
