@@ -154,7 +154,21 @@ object Scratch {
       "q_prf_expansion" -> ("PRF query expansion",
         "The BM25 stage's filters run before any shuffle; the feedback join broadcasts 3 doc ids against the term-frequency table, so candidate-term work ∝ feedback vocabulary — the corpus-sized aggregates are the same two a TF-IDF pass already pays."),
       "q_split_leakage" -> ("Train/test split leakage",
-        "Near-dup candidates come from the bounded token-Jaccard equi-join; split assignment is a pure map-side md5 expression joined in twice — the leakage filter adds no shuffle beyond the parents'."))
+        "Near-dup candidates come from the bounded token-Jaccard equi-join; split assignment is a pure map-side md5 expression joined in twice — the leakage filter adds no shuffle beyond the parents'."),
+      "q_octadesk_e2e" -> ("Reference main.py dataflow, end-to-end",
+        "The entire reference pipeline as ONE plan: nested-struct flatten and KV pivot are map-side projections over the scan; the chat merge is the single full-outer shuffle; dedup-vs-destination is a broadcast anti-join (the destination side aggregates to distinct keys first); backfill/sanitize/audit never touch a shuffle."),
+      "q_power_iteration" -> ("Power-iteration PCA",
+        "The n·d² covariance products stream into a d²-cell hash aggregate (map-side combine — the pair rows are never materialized); localCheckpoint pins the 4096-row C; each of the 9 matvec rounds is a broadcast join of a 64-row vector against C plus a d-cell aggregate — bounded by d, not n."),
+      "q_incremental_cc" -> ("Incremental connected components",
+        "The corpus appears in exactly three non-iterative equi-joins (two endpoint→root lookups, one relabel); the pointer-jumping CC loop runs on the CONTRACTED batch graph only — prior clusters enter as single super-nodes, so per-round work ∝ batch size."),
+      "q_fellegi_sunter" -> ("Fellegi–Sunter probabilistic linkage",
+        "One histogram aggregate per field collapses to 1-row u scalars (broadcast); candidate pairs come from ONE block-keyed self-equi-join (volume Σ block², the blocking contract); the log-likelihood score is a codegen'd map-side expression — no window, no second pass."),
+      "q_hard_negatives" -> ("Hard-negative mining",
+        "Anchors broadcast; the label-inequality filter sits IN the broadcast-join condition, so same-label rows die before any shuffle; the only exchange is the per-anchor rank window over surviving candidates."),
+      "q_negative_sampling" -> ("Negative-sampling table",
+        "One wordcount aggregate (map-side combine, shuffle ∝ distinct tokens); the rank window runs over the DISTINCT-token table (vocab-sized, the vocabCoverage contract) and the cumulative sum over topV rows only."),
+      "q_quantile_norm" -> ("Per-source quantile-rank gate",
+        "ONE source-partitioned window computing percent_rank — exact integer-rank rational, no libm, no buffering of values; the keep flag is a map-side comparison on the rounded rank."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans for flagship queries\n\n")
