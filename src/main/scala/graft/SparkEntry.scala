@@ -613,6 +613,49 @@ object SparkEntry {
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
   }
 
+  /** §2b count-preserving dedup: ONE canonical row per duplicate cluster
+    * (lowest id), carrying the cluster size as a repetition weight — the
+    * soft-dedup idiom that keeps downstream token/quality statistics
+    * unbiased after removal (weight 1 = unique doc). Same cluster
+    * derivation as q_dup_clusters; the weights are one extra aggregate. */
+  private def q_dedup_weights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.3)
+    Dedup.duplicateClusters(docs.select(col("doc_id")), pairs, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("weight"))
+      .select(col("cluster").as("doc_id"), col("weight"))
+  }
+
+  /** §2b LSH S-curve calibration: per exact-Jaccard decile, the observed
+    * MinHash band-collision rate vs the analytic 1−(1−j⁴)⁴ expectation
+    * for the (bands=4, rows=4) index — run this BEFORE trusting an LSH
+    * dedup config on a new corpus. The S-curve uses exact squaring
+    * chains (j², j⁴, (1−j⁴)², (1−j⁴)⁴) — no pow, bit-identical
+    * cross-engine. */
+  private def q_lsh_calibration(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", 0.05)
+    val cands = Dedup.minHashLshCandidates(
+        Dedup.minHashSignatures(docs, "doc_id", "text", 16),
+        "doc_id", bands = 4, rowsPerBand = 4)
+      .withColumn("__hit", lit(1L))
+    val j = col("jaccard")
+    val j4 = (j * j) * (j * j)
+    val y = lit(1.0) - j4
+    val y2 = y * y
+    truth.join(cands, Seq("id_a", "id_b"), "left")
+      .select(
+        least(floor(j * 10).cast("long"), lit(9L)).as("jaccard_decile"),
+        (lit(1.0) - y2 * y2).as("__exp"),
+        coalesce(col("__hit"), lit(0L)).as("__obs"))
+      .groupBy(col("jaccard_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("__exp")), 6).as("expected_rate"),
+        round(sum(col("__obs")).cast("double") / count(lit(1)), 6)
+          .as("observed_rate"))
+  }
+
   /** §2b golden-record survivorship: field-level merge over the same
     * Jaccard dup clusters as q_dup_clusters — longest text + modal lang
     * per cluster, lowest id as the canonical key (the MDM merge step). */
@@ -1493,17 +1536,22 @@ object SparkEntry {
   /** §2b Fellegi–Sunter probabilistic linkage over nation-blocked
     * customers: m-probabilities configured, u-probabilities estimated as
     * field collision probabilities from the data; fields = market
-    * segment, acctbal kilo-bucket, 2-char name tail; threshold 6.0 keeps
-    * only pairs agreeing on (essentially) all three
-    * ([[Dedup.fellegiSunter]]). */
+    * segment, acctbal kilo-bucket, 2-char name tail
+    * ([[Dedup.fellegiSunter]]). The harness emits the TOP-50 pairs by
+    * score (full (score, id_a, id_b) tiebreak → TakeOrdered) rather than
+    * a fixed threshold — at sf0.001 the block-pair volume is too small
+    * for any chance all-field agreement, so a threshold cut would go
+    * empty; a clerical-review queue is the other standard FS readout. */
   private def q_fellegi_sunter(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).select(
       col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
       floor(col("c_acctbal") / 1000).cast("long").as("acct_kilo"),
       expr("substring(c_name, length(c_name) - 1, 2)").as("name_tail"))
     Dedup.fellegiSunter(c, "c_custkey", "c_nationkey",
-      Seq(("c_mktsegment", 0.9), ("acct_kilo", 0.8), ("name_tail", 0.85)),
-      6.0)
+        Seq(("c_mktsegment", 0.9), ("acct_kilo", 0.8), ("name_tail", 0.85)),
+        threshold = -100.0)
+      .orderBy(col("fs_score").desc, col("id_a").asc, col("id_b").asc)
+      .limit(50)
   }
 
   /** §2b incremental CC: fold a deterministic batch of new pairs into a
@@ -2628,6 +2676,8 @@ object SparkEntry {
     "q_incremental_cc" -> (q_incremental_cc _),
     "q_quantile_norm" -> (q_quantile_norm _),
     "q_fellegi_sunter" -> (q_fellegi_sunter _),
+    "q_dedup_weights" -> (q_dedup_weights _),
+    "q_lsh_calibration" -> (q_lsh_calibration _),
     "q_snapshot_diff" -> (q_snapshot_diff _),
     "q_column_profile" -> (q_column_profile _),
     "q_apply_diff" -> (q_apply_diff _),
@@ -3812,7 +3862,8 @@ object SparkEntry {
                           AS fs_score
                  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id,
                       u0, u1, u2)
-         SELECT id_a, id_b, fs_score FROM s WHERE fs_score >= 6.0""",
+         SELECT id_a, id_b, fs_score FROM s
+         ORDER BY fs_score DESC, id_a ASC, id_b ASC LIMIT 50""",
     "q_lang_ngram" -> langNgramOracleSql,
     "q_simhash" -> simhashOracleSql,
     "q_simhash_neardup" -> simhashNearDupOracleSql,
@@ -4642,6 +4693,74 @@ object SparkEntry {
              SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.id = e.src),
            cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
          SELECT id AS doc_id, cluster, (id = cluster) AS is_canonical FROM cl""",
+    "q_dedup_weights" ->
+      """WITH RECURSIVE
+           tok AS (SELECT DISTINCT doc_id,
+                     UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS token
+                   FROM documents WHERE doc_id < 60),
+           sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+           inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                     FROM tok a JOIN tok b
+                       ON a.token = b.token AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+           pairs AS (SELECT i.id_a, i.id_b
+                     FROM inter i
+                     JOIN sizes sa ON i.id_a = sa.doc_id
+                     JOIN sizes sb ON i.id_b = sb.doc_id
+                     WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.3),
+           edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                     UNION
+                     SELECT id_b AS src, id_a AS dst FROM pairs),
+           nodes AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 60),
+           walk(id, lbl) AS (
+             SELECT id, id FROM nodes
+             UNION
+             SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.id = e.src),
+           cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
+         SELECT cluster AS doc_id, CAST(count(*) AS BIGINT) AS weight
+         FROM cl GROUP BY 1""",
+    "q_lsh_calibration" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+                        UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS token
+                      FROM documents WHERE doc_id < 40),
+              sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                               count(*) AS n_common
+                        FROM tok a JOIN tok b
+                          ON a.token = b.token AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              p AS (SELECT i.id_a, i.id_b,
+                           i.n_common / (sa.n + sb.n - i.n_common) AS j
+                    FROM inter i
+                    JOIN sizes sa ON i.id_a = sa.doc_id
+                    JOIN sizes sb ON i.id_b = sb.doc_id
+                    WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.05),
+              e1 AS (SELECT id_a, id_b, j, (j * j) * (j * j) AS j4 FROM p),
+              e2 AS (SELECT id_a, id_b, j, 1.0 - j4 AS y FROM e1),
+              e3 AS (SELECT id_a, id_b, j, y * y AS y2 FROM e2),
+              sig AS (SELECT doc_id, seed,
+                        min(CAST(('0x' || substring(md5(seed || ':' || token), 1, 15))
+                            AS BIGINT)) AS min_hash
+                      FROM tok, (SELECT UNNEST(generate_series(0, 15)) AS seed)
+                      GROUP BY doc_id, seed),
+              banded AS (SELECT doc_id, seed // 4 AS band,
+                           md5(string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY seed))
+                             AS band_hash
+                         FROM sig GROUP BY doc_id, band),
+              cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                       FROM banded a JOIN banded b USING (band, band_hash)
+                       WHERE a.doc_id < b.doc_id),
+              scored AS (SELECT LEAST(CAST(floor(e3.j * 10) AS BIGINT), 9)
+                                  AS jaccard_decile,
+                                1.0 - e3.y2 * e3.y2 AS exp_p,
+                                CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END
+                                  AS obs
+                         FROM e3 LEFT JOIN cand c
+                           ON e3.id_a = c.id_a AND e3.id_b = c.id_b)
+         SELECT jaccard_decile, CAST(count(*) AS BIGINT) AS n_pairs,
+                round(avg(exp_p), 6) AS expected_rate,
+                round(CAST(sum(obs) AS DOUBLE) / count(*), 6) AS observed_rate
+         FROM scored GROUP BY 1""",
     "q_golden_record" ->
       """WITH RECURSIVE
            tok AS (SELECT DISTINCT doc_id,
