@@ -1083,6 +1083,12 @@ object SparkEntry {
   private def q_burstiness(s: SparkSession, d: String): DataFrame =
     Stats.burstiness(Tables.events(s, d), "event_type", "ts")
 
+  /** §2b Theil–Sen robust slope + Mann–Kendall monotone-trend test over
+    * per-type daily event counts ([[Stats.theilSenDaily]]) — the robust
+    * companion to q_cusum (which localizes shifts; this tests drift). */
+  private def q_theil_sen(s: SparkSession, d: String): DataFrame =
+    Stats.theilSenDaily(Tables.events(s, d), "event_type", "ts")
+
   /** §2b CUSUM change-point alarm: one-sided Page statistic over the
     * daily event-count series (slack 0.5σ, threshold 4σ) — the pipeline
     * throughput drift detector, windows only over the day grid. */
@@ -2636,6 +2642,7 @@ object SparkEntry {
     "q_survival" -> (q_survival _),
     "q_cusum" -> (q_cusum _),
     "q_burstiness" -> (q_burstiness _),
+    "q_theil_sen" -> (q_theil_sen _),
     "q_benford" -> (q_benford _),
     "q_jaro_winkler" -> (q_jaro_winkler _),
     "q_psi_numeric" -> (q_psi_numeric _),
@@ -4921,6 +4928,26 @@ object SparkEntry {
                          * (CAST(c.cnt AS DOUBLE) / nu)), 6) AS lift
          FROM p JOIN it a ON p.item_a = a.event_type
                 JOIN it c ON p.item_b = c.event_type, n""",
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT event_type,
+                               CAST(date_trunc('day', ts) AS DATE) AS day,
+                               CAST(count(*) AS DOUBLE) AS y
+                        FROM events GROUP BY 1, 2),
+              d2 AS (SELECT event_type,
+                            CAST(date_diff('day', DATE '1970-01-01', day)
+                              AS DOUBLE) AS x, y
+                     FROM daily),
+              p AS (SELECT a.event_type,
+                           (b.y - a.y) / (b.x - a.x) AS slope,
+                           CASE WHEN b.y > a.y THEN 1
+                                WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+                    FROM d2 a JOIN d2 b
+                      ON a.event_type = b.event_type AND a.x < b.x)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(sgn) AS BIGINT) AS mk_s,
+                round(CAST(sum(sgn) AS DOUBLE) / count(*), 6) AS kendall_tau,
+                round(quantile_cont(slope, 0.5), 6) AS sen_slope
+         FROM p GROUP BY 1""",
     "q_burstiness" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
                                CAST(count(*) AS BIGINT) AS x

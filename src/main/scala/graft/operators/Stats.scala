@@ -537,6 +537,49 @@ object Stats {
         round((pRef - pCur) * log(pRef / pCur), 6).as("psi_contrib"))
   }
 
+  /** Theil–Sen robust trend + Mann–Kendall test per group over the daily
+    * count series: sen_slope = median of all pairwise slopes
+    * (Theil '50 / Sen '68 — a single crazy day cannot move it, unlike
+    * OLS), mk_s = Σ sign(y_j − y_i) over i<j and kendall_tau =
+    * S / (n(n−1)/2) (Mann '45 / Kendall — the distribution-free "is there
+    * a monotone trend" test; S and τ are INTEGER-EXACT cross-engine, the
+    * median interpolates identically-shaped lo + d·(hi−lo) in both).
+    * The standard throughput-drift readout next to [[TimeSeries]]' CUSUM:
+    * CUSUM localizes WHEN a shift happened, this says WHETHER a monotone
+    * drift exists and how steep, robustly.
+    *
+    * Scale shape: the raw events collapse to the (group, day) grid FIRST
+    * (one map-combined aggregate — the only corpus-sized pass); the
+    * pairwise self-join runs on the day grid, whose size is bounded by
+    * the calendar (≤366²/2 pairs per group-year), not the data. */
+  def theilSenDaily(events: DataFrame, keyCol: String, tsCol: String,
+                    roundScale: Int = 6): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col(keyCol),
+        datediff(col("__day"), lit("1970-01-01").cast("date"))
+          .cast("double").as("__x"),
+        col("__c").cast("double").as("__y"))
+    val a = daily.select(col(keyCol), col("__x").as("__xa"),
+      col("__y").as("__ya"))
+    val b = daily.select(col(keyCol), col("__x").as("__xb"),
+      col("__y").as("__yb"))
+    val pairs = a.join(b, Seq(keyCol)).filter(col("__xa") < col("__xb"))
+      .select(col(keyCol),
+        ((col("__yb") - col("__ya")) / (col("__xb") - col("__xa")))
+          .as("__slope"),
+        when(col("__yb") > col("__ya"), 1L)
+          .when(col("__yb") < col("__ya"), -1L)
+          .otherwise(0L).as("__sgn"))
+    pairs.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("__sgn")).as("mk_s"),
+      round(sum(col("__sgn")).cast("double") / count(lit(1)), roundScale)
+        .as("kendall_tau"),
+      round(expr("percentile(__slope, 0.5)"), roundScale).as("sen_slope"))
+  }
+
   /** Jensen–Shannon divergence per bin (nats) — the bounded, symmetric
     * companion to [[psi]]: per bin, ½p·ln(p/m) + ½q·ln(q/m) with
     * m = (p+q)/2; the total over bins lies in [0, ln 2], so thresholds

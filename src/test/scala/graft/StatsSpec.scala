@@ -304,6 +304,31 @@ class StatsSpec extends SparkSuite {
     assert(out.values.forall(_._5 >= 0.0))
   }
 
+  test("theilSenDaily: median pairwise slope, Mann-Kendall S and tau, outlier robustness") {
+    import java.sql.Timestamp
+    def ts(day: Int, i: Int) =
+      Timestamp.valueOf(f"2024-01-0$day%d 00:00:${i % 60}%02d")
+    // type "up": daily counts 1,2,3,4 (days 1..4) → all 6 pairs rising:
+    // S=6, tau=1, every pairwise slope 1 → sen=1
+    val up = for (d <- 1 to 4; i <- 1 to d) yield (ts(d, i), "up")
+    // type "spike": counts 2,2,8,2 — OLS would tilt, Theil–Sen holds 0:
+    // slopes: (2,2):0 (2,8):3 (2,2):0 (2,8):6 (2,2):0 (8,2):-6 →
+    // sorted -6,0,0,0,3,6 → median 0; signs: two +1, one -1 → S=1,
+    // tau = 1/6 (MK sees the spike; the slope does not move)
+    val spike = (for (i <- 1 to 2) yield (ts(1, i), "spike")) ++
+      (for (i <- 1 to 2) yield (ts(2, i), "spike")) ++
+      (for (i <- 1 to 8) yield (ts(3, i), "spike")) ++
+      (for (i <- 1 to 2) yield (ts(4, i), "spike"))
+    val events = (up ++ spike).toDF("ts", "event_type")
+    val out = Stats.theilSenDaily(events, "event_type", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("up") === ((6L, 6L, 1.0, 1.0)))
+    assert(out("spike") === ((6L, 1L, 0.166667, 0.0)),
+      "one spike day cannot tilt the Theil-Sen slope")
+  }
+
   test("jsDivergence: hand-checked contributions, one-sided bin finite, total ≤ ln 2") {
     val ref = Seq("a", "a", "b").toDF("bin")
     val cur = Seq("a", "b", "b", "b", "c").toDF("bin")
