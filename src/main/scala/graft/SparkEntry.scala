@@ -1579,6 +1579,12 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("cluster"))
   }
 
+  /** §2b leave-one-out source ablation of doc length — which source's
+    * removal moves the corpus mean most ([[Corpus.sourceAblation]]; the
+    * pre-Shapley curation readout). */
+  private def q_source_ablation(s: SparkSession, d: String): DataFrame =
+    Corpus.sourceAblation(Tables.documents(s, d), "source", "n_chars")
+
   /** §2b per-source quantile-rank normalization of doc length with a
     * uniform 20%-tail gate ([[Corpus.quantileRank]]) — the calibrated
     * quality filter: the threshold drops the same fraction per source. */
@@ -2682,6 +2688,7 @@ object SparkEntry {
     "q_padding_waste" -> (q_padding_waste _),
     "q_incremental_cc" -> (q_incremental_cc _),
     "q_quantile_norm" -> (q_quantile_norm _),
+    "q_source_ablation" -> (q_source_ablation _),
     "q_fellegi_sunter" -> (q_fellegi_sunter _),
     "q_dedup_weights" -> (q_dedup_weights _),
     "q_lsh_calibration" -> (q_lsh_calibration _),
@@ -3830,6 +3837,22 @@ object SparkEntry {
              SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.id = e.src),
            cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
          SELECT id AS doc_id, cluster FROM cl""",
+    "q_source_ablation" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                           CAST(sum(n_chars) AS BIGINT) AS s
+                    FROM documents GROUP BY 1),
+              t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tn,
+                           CAST(sum(s) AS BIGINT) AS ts FROM g)
+         SELECT source, n_rows,
+                round(CAST(s AS DOUBLE) / n_rows, 6) AS group_mean,
+                CASE WHEN tn > n_rows
+                     THEN round(CAST(ts - s AS DOUBLE) / (tn - n_rows), 6)
+                     END AS loo_mean,
+                CASE WHEN tn > n_rows
+                     THEN round(CAST(ts - s AS DOUBLE) / (tn - n_rows)
+                                - CAST(ts AS DOUBLE) / tn, 6)
+                     END AS ablation_delta
+         FROM g, t""",
     "q_quantile_norm" ->
       """SELECT doc_id, source, n_chars,
                 round(percent_rank() OVER (PARTITION BY source

@@ -320,6 +320,36 @@ object Corpus {
         max(col(idCol)).as("last_doc"))
   }
 
+  /** Leave-one-out source ablation of a per-row metric — data-valuation
+    * lite: for each group, the corpus metric mean WITHOUT that group
+    * ((T − T_g)/(N − N_g)) and the ablation delta vs the global mean. A
+    * positive delta means removing the source RAISES the average — the
+    * source drags quality down; the cheapest principled answer to "which
+    * source should the next curation pass cut", before anything
+    * Shapley-shaped. All exact-integer sums into one double division per
+    * group — engine-portable by construction.
+    *
+    * Scale shape: ONE map-combined (group, sum, count) aggregate over
+    * the corpus + a 1-row totals broadcast; every per-group readout is
+    * arithmetic on the group table. A single-group input reports null
+    * loo/delta (there is no corpus left to compare against). */
+  def sourceAblation(df: DataFrame, groupCol: String, metricCol: String,
+                     roundScale: Int = 6): DataFrame = {
+    val g = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_rows"), sum(col(metricCol)).as("__s"))
+    val tot = g.agg(sum(col("n_rows")).as("__tn"), sum(col("__s")).as("__ts"))
+    val mean = col("__s").cast("double") / col("n_rows")
+    val looMean = when(col("__tn") > col("n_rows"),
+      (col("__ts") - col("__s")).cast("double")
+        / (col("__tn") - col("n_rows")))
+    val globalMean = col("__ts").cast("double") / col("__tn")
+    g.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_rows"),
+        round(mean, roundScale).as("group_mean"),
+        round(looMean, roundScale).as("loo_mean"),
+        round(looMean - globalMean, roundScale).as("ablation_delta"))
+  }
+
   /** Per-group quantile-rank normalization of a score column: replace the
     * raw score by its within-group percent rank, so one global threshold
     * filters every group at the SAME rate — the calibrated per-source

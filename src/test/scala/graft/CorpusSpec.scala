@@ -435,6 +435,23 @@ class CorpusSpec extends SparkSuite {
     assert(merged.size <= 3 && merged.contains("x"))
   }
 
+  test("sourceAblation: hand-checked LOO means, sign convention, single-group null") {
+    // a: 2 rows sum 10 (mean 5); b: 2 rows sum 30 (mean 15); global 10
+    val df = Seq(("a", 4L), ("a", 6L), ("b", 14L), ("b", 16L))
+      .toDF("src", "m")
+    val out = Corpus.sourceAblation(df, "src", "m")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // removing the low-quality source RAISES the mean → positive delta
+    assert(out("a") === ((2L, 5.0, 15.0, 5.0)))
+    assert(out("b") === ((2L, 15.0, 5.0, -5.0)))
+    val solo = Corpus.sourceAblation(df.filter($"src" === "a"), "src", "m")
+      .collect().head
+    assert(solo.isNullAt(3) && solo.isNullAt(4),
+      "single-group corpus has no LOO comparison")
+  }
+
   test("quantileRank: exact (rank-1)/(n-1) percent ranks, ties share, lone row is 0") {
     val df = Seq(("g", 10L), ("g", 20L), ("g", 20L), ("g", 30L), ("h", 99L))
       .toDF("src", "v")
