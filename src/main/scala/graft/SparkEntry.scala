@@ -1579,6 +1579,12 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("cluster"))
   }
 
+  /** §2b per-source one-vs-rest KS drift of the doc-length distribution
+    * ([[Stats.groupKsDrift]]) — which source's shape diverges from the
+    * corpus, the KS small-multiples companion to q_psi/q_jsd_drift. */
+  private def q_ks_per_source(s: SparkSession, d: String): DataFrame =
+    Stats.groupKsDrift(Tables.documents(s, d), "source", "n_chars")
+
   /** §2b leave-one-out source ablation of doc length — which source's
     * removal moves the corpus mean most ([[Corpus.sourceAblation]]; the
     * pre-Shapley curation readout). */
@@ -2689,6 +2695,7 @@ object SparkEntry {
     "q_incremental_cc" -> (q_incremental_cc _),
     "q_quantile_norm" -> (q_quantile_norm _),
     "q_source_ablation" -> (q_source_ablation _),
+    "q_ks_per_source" -> (q_ks_per_source _),
     "q_fellegi_sunter" -> (q_fellegi_sunter _),
     "q_dedup_weights" -> (q_dedup_weights _),
     "q_lsh_calibration" -> (q_lsh_calibration _),
@@ -3837,6 +3844,35 @@ object SparkEntry {
              SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.id = e.src),
            cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
          SELECT id AS doc_id, cluster FROM cl""",
+    "q_ks_per_source" ->
+      """WITH b AS (SELECT source AS g, n_chars AS v FROM documents
+                    WHERE n_chars IS NOT NULL),
+              gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                     FROM b GROUP BY 1, 2),
+              tv AS (SELECT v, CAST(count(*) AS BIGINT) AS ct
+                     FROM b GROUP BY 1),
+              gs AS (SELECT DISTINCT g FROM b),
+              grid AS (SELECT gs.g, tv.v, tv.ct, COALESCE(gv.c, 0) AS c
+                       FROM tv CROSS JOIN gs
+                       LEFT JOIN gv ON gv.g = gs.g AND gv.v = tv.v),
+              cum AS (SELECT g,
+                             sum(c) OVER (PARTITION BY g ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cumg,
+                             sum(ct) OVER (PARTITION BY g ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cumt,
+                             sum(c) OVER (PARTITION BY g) AS ng,
+                             sum(ct) OVER (PARTITION BY g) AS nt
+                      FROM grid)
+         SELECT g AS source,
+                CAST(max(ng) AS BIGINT) AS n_group,
+                CAST(max(nt - ng) AS BIGINT) AS n_rest,
+                round(max(CASE WHEN nt > ng THEN
+                  abs(CAST(cumg AS DOUBLE) / CAST(ng AS DOUBLE)
+                      - CAST(cumt - cumg AS DOUBLE)
+                        / CAST(nt - ng AS DOUBLE)) END), 6) AS ks
+         FROM cum GROUP BY 1""",
     "q_source_ablation" ->
       """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
                            CAST(sum(n_chars) AS BIGINT) AS s

@@ -106,6 +106,49 @@ object Stats {
           - col("__cumb") / col("__nb"))), roundScale).as("ks"))
   }
 
+  /** Per-group ONE-VS-REST KS drift — [[ksStatistic]] as small multiples:
+    * for every group, max |ECDF_group − ECDF_rest| of `valCol`, flagging
+    * WHICH source's distribution diverges from the corpus (the KS
+    * companion to the PSI/JSD readouts, sensitive to any shape change,
+    * not just binned share shifts). ECDF fractions are exact integer
+    * rationals — deterministic cross-engine; nulls are excluded (engines
+    * disagree on NULL sort order, the [[ksStatistic]] contract).
+    *
+    * Scale shape: two value-count aggregates (map-side combine, shuffle
+    * ∝ distinct (group, value) pairs), a groups × distinct-values grid so
+    * every group's cumsum sees the union value line, and group-
+    * partitioned windows over that grid — bounded by groups × distinct
+    * values, never row count (bin/round a continuous column first, same
+    * as [[ksStatistic]]). A single-group corpus reports null ks. */
+  def groupKsDrift(df: DataFrame, groupCol: String, valCol: String,
+                   roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(valCol).isNotNull)
+    val gv = base.groupBy(col(groupCol).as("__g"), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val tv = base.groupBy(col(valCol).as("__v")).agg(count(lit(1)).as("__ct"))
+    val groups = gv.select(col("__g")).distinct()
+    val grid = tv.crossJoin(groups)
+      .join(gv, Seq("__g", "__v"), "left")
+      .na.fill(0L, Seq("__c"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val entire = Window.partitionBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dev = abs(col("__cumg") / col("__ng")
+      - (col("__cumt") - col("__cumg")) / (col("__nt") - col("__ng")))
+    grid
+      .withColumn("__cumg", sum(col("__c")).over(w))
+      .withColumn("__cumt", sum(col("__ct")).over(w))
+      .withColumn("__ng", sum(col("__c")).over(entire))
+      .withColumn("__nt", sum(col("__ct")).over(entire))
+      .groupBy(col("__g").as(groupCol))
+      .agg(max(col("__ng")).as("n_group"),
+        max(col("__nt") - col("__ng")).as("n_rest"),
+        round(max(when(col("__nt") > col("__ng"), dev)), roundScale)
+          .as("ks"))
+  }
+
   /** Welch's two-sample t statistic per metric group (public: Welch
     * Biometrika'47) — the A/B experiment readout: for every group in
     * `groupCol`, compare `valCol` between the `a` and `b` populations of

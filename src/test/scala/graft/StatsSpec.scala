@@ -329,6 +329,24 @@ class StatsSpec extends SparkSuite {
       "one spike day cannot tilt the Theil-Sen slope")
   }
 
+  test("groupKsDrift: one-vs-rest ECDF gaps hand-checked, single-group null") {
+    // a = {1,2}, b = {2,3}: for a-vs-rest the max gap is at v=1 or v=2,
+    // both |1/2 − 0/2| = 0.5; symmetric for b
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L)).toDF("g", "v")
+    val out = Stats.groupKsDrift(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("a") === ((2L, 2L, 0.5)))
+    assert(out("b") === ((2L, 2L, 0.5)))
+    // identical distributions → ks 0
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("g", "v")
+    assert(Stats.groupKsDrift(same, "g", "v")
+      .collect().forall(_.getDouble(3) === 0.0))
+    val solo = Stats.groupKsDrift(df.filter($"g" === "a"), "g", "v")
+      .collect().head
+    assert(solo.isNullAt(3), "no rest to compare against")
+  }
+
   test("jsDivergence: hand-checked contributions, one-sided bin finite, total ≤ ln 2") {
     val ref = Seq("a", "a", "b").toDF("bin")
     val cur = Seq("a", "b", "b", "b", "c").toDF("bin")
