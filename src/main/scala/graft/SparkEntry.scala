@@ -1847,6 +1847,26 @@ object SparkEntry {
       docs.filter(col("source") =!= "src0"), "lang")
   }
 
+  /** §2b windowed drift monitor (batch twin of the streaming
+    * composition): per 1-day tumbling window, JSD of the event-type mix
+    * vs the corpus-wide reference distribution
+    * ([[streaming.EventStreams.windowDrift]] over
+    * [[streaming.EventStreams.tumblingCounts]]-shaped counts). */
+  private def q_drift_monitor(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val counts = ev
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+    val tot = ev.agg(count(lit(1)).as("__t"))
+    val ref = ev.groupBy(col("event_type")).agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"),
+        (col("__c").cast("double") / col("__t")).as("p_ref"))
+    streaming.EventStreams.windowDrift(counts, ref)
+  }
+
   /** §2b Jensen–Shannon drift readout over the same src0-vs-rest split as
     * q_psi — bounded in [0, ln 2], so the alarm threshold transfers
     * across corpora (PSI's doesn't). */
@@ -2732,6 +2752,7 @@ object SparkEntry {
     "q_chisq_indep" -> (q_chisq_indep _),
     "q_psi" -> (q_psi _),
     "q_jsd_drift" -> (q_jsd_drift _),
+    "q_drift_monitor" -> (q_drift_monitor _),
     "q_chi2_tokens" -> (q_chi2_tokens _),
     "q_vector_moments" -> (q_vector_moments _),
     "q_er_score" -> (q_er_score _),
@@ -6690,6 +6711,35 @@ object SparkEntry {
                            / ((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 0.5 * k))),
                       6) AS psi_contrib
          FROM j, t""",
+    "q_drift_monitor" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS window_start,
+                           event_type, CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type,
+                           CAST(count(*) AS DOUBLE)
+                             / (SELECT count(*) FROM events) AS p_ref
+                    FROM events GROUP BY 1),
+              wt AS (SELECT window_start, CAST(sum(n) AS BIGINT) AS wt
+                     FROM c GROUP BY 1),
+              grid AS (SELECT w.window_start, r.event_type, r.p_ref,
+                              wt.wt, COALESCE(c.n, 0) AS n
+                       FROM (SELECT DISTINCT window_start FROM c) w
+                       CROSS JOIN r
+                       JOIN wt ON wt.window_start = w.window_start
+                       LEFT JOIN c ON c.window_start = w.window_start
+                                  AND c.event_type = r.event_type),
+              t AS (SELECT window_start, wt,
+                           CAST(n AS DOUBLE) / wt AS pw, p_ref
+                    FROM grid)
+         SELECT window_start, max(wt) AS n_events,
+                round(sum(
+                  CASE WHEN pw > 0.0
+                       THEN pw * ln(pw / ((pw + p_ref) / 2.0)) / 2.0
+                       ELSE 0.0 END
+                + CASE WHEN p_ref > 0.0
+                       THEN p_ref * ln(p_ref / ((pw + p_ref) / 2.0)) / 2.0
+                       ELSE 0.0 END), 6) AS jsd
+         FROM t GROUP BY 1""",
     "q_jsd_drift" ->
       """WITH r AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_ref
                     FROM documents WHERE source = 'src0' GROUP BY 1),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupStateTimeout
 import org.apache.spark.sql.types.StructType
@@ -57,6 +57,44 @@ object EventStreams {
       .groupBy(window(col("ts"), windowLength, slide), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Per-window distribution-drift finalizer: given window×type counts
+    * (from [[tumblingCounts]], streaming or batch) and a static reference
+    * share table `(event_type, p_ref)`, the Jensen–Shannon divergence of
+    * each window's type distribution against the reference — the live
+    * "did this hour's traffic mix shift" monitor, same arithmetic as
+    * `Stats.jsDivergence` (bounded [0, ln 2]; a type absent from a
+    * window still contributes its finite ½p_ref·ln 2 via the grid).
+    * In streaming, run it over the aggregated sink inside `foreachBatch`
+    * (the [[dedupedIngest]] composition pattern) — chaining a second
+    * aggregation inside the same streaming query is not supported;
+    * StreamingSpec pins streaming-counts→finalizer ≡ batch twin.
+    *
+    * Scale shape: one windows × reference-types grid (bounded by the
+    * calendar × type vocabulary, never event rows) + one hash aggregate
+    * back to windows. */
+  def windowDrift(counts: DataFrame, ref: DataFrame): DataFrame = {
+    // the totals frame already holds one row per window, so it IS the
+    // window list — and the probe side re-aliases every column so the
+    // wt↔counts self-lineage join cannot produce conflicting attribute
+    // references (a Deduplicate-over-view variant of this tripped
+    // Spark's resolver)
+    val wt = counts.groupBy(col("window_start")).agg(sum(col("n")).as("__wt"))
+    val probe = counts.select(col("window_start").as("__ws"),
+      col("event_type").as("__et"), col("n").as("__cn"))
+    val grid = wt.crossJoin(ref)
+      .join(probe,
+        col("window_start") === col("__ws") && col("event_type") === col("__et"),
+        "left")
+      .withColumn("n", coalesce(col("__cn"), lit(0L)))
+    val pw = col("n").cast("double") / col("__wt")
+    val m = (pw + col("p_ref")) / lit(2.0)
+    def half(x: Column): Column =
+      when(x > lit(0.0), x * log(x / m) / lit(2.0)).otherwise(lit(0.0))
+    grid.groupBy(col("window_start"))
+      .agg(max(col("__wt")).as("n_events"),
+        round(sum(half(pw) + half(col("p_ref"))), 6).as("jsd"))
+  }
 
   /** Session windows with a gap timeout (streaming-native sessionization;
     * the batch twin is SparkEntry.q_sessionize's lag/sum formulation). */

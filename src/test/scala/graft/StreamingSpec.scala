@@ -1,6 +1,7 @@
 package graft
 
 import graft.streaming.EventStreams
+import org.apache.spark.sql.functions.{broadcast, col, count, lit}
 
 /** Stream/batch parity: the same tumbling-window transform over the events
   * table must produce identical results via Structured Streaming (memory
@@ -21,6 +22,35 @@ class StreamingSpec extends SparkSuite {
     try {
       q.processAllAvailable()
       val got = spark.table("tumbling_out").collect().map(_.toSeq).toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
+  test("windowed drift monitor: streaming counts → finalizer equals batch twin") {
+    val batchEvents = Tables.events(spark, sf)
+    val tot = batchEvents.agg(count(lit(1)).as("__t"))
+    val ref = batchEvents.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"),
+        (col("__c").cast("double") / col("__t")).as("p_ref"))
+    def countsOf(df: org.apache.spark.sql.DataFrame) =
+      EventStreams.tumblingCounts(df, "1 day")
+        .select(col("window_start"), col("event_type"), col("n"))
+    val expected = EventStreams.windowDrift(countsOf(batchEvents), ref)
+      .collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty)
+
+    val stream = EventStreams.readEventStream(spark, s"$sf/events.parquet",
+      Tables.rawEventSchema(spark, sf))
+    val q = countsOf(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("drift_counts")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = EventStreams.windowDrift(spark.table("drift_counts"), ref)
+        .collect().map(_.toSeq).toSet
       assert(got === expected)
     } finally q.stop()
   }
