@@ -260,4 +260,39 @@ class PropertiesSpec extends SparkSuite {
     assert(sh.length === 9 && sh === sh.sorted.reverse)
     assert(math.abs(sh.sum - 1.0) <= 9.0 / (1 << 20))
   }
+
+  test("incrementalClusters equals full-graph CC on random graphs") {
+    import graft.operators.Dedup
+    // prior = CC over the first edge wave (so it is min-rooted, the
+    // documented contract); folding the second wave incrementally must
+    // equal one CC over BOTH waves — on random graphs, including merges
+    // across prior clusters, brand-new ids, and intra-cluster no-ops
+    val gen = for {
+      n <- Gen.chooseNum(5, 30)
+      e1 <- Gen.chooseNum(0, 25)
+      e2 <- Gen.chooseNum(1, 25)
+      edges1 <- Gen.listOfN(e1, for {
+        a <- Gen.chooseNum(0L, n.toLong); b <- Gen.chooseNum(0L, n.toLong)
+      } yield (a, b))
+      edges2 <- Gen.listOfN(e2, for {
+        a <- Gen.chooseNum(0L, n.toLong + 10); b <- Gen.chooseNum(0L, n.toLong + 10)
+      } yield (a, b))
+    } yield (n, edges1.filter(p => p._1 != p._2), edges2.filter(p => p._1 != p._2))
+    forAllSampled(gen, cases = 10) { case (n, edges1, edges2) =>
+      val nodes1 = (0L to n.toLong).toDF("id")
+      val prior = Dedup.duplicateClusters(nodes1,
+        edges1.toDF("id_a", "id_b"), "id")
+        .withColumnRenamed("cluster", "cluster")
+      val batch = edges2.toDF("id_a", "id_b")
+      val incremental = Dedup.incrementalClusters(prior, "id", "cluster", batch)
+        .as[(Long, Long)].collect().toMap
+      val allIds = ((0L to n.toLong) ++
+        edges2.flatMap(p => Seq(p._1, p._2))).distinct
+      val full = Dedup.duplicateClusters(allIds.toDF("id"),
+        (edges1 ++ edges2).toDF("id_a", "id_b"), "id")
+        .as[(Long, Long)].collect().toMap
+      assert(incremental === full,
+        s"n=$n e1=$edges1 e2=$edges2")
+    }
+  }
 }
