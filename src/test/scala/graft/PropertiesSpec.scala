@@ -261,6 +261,52 @@ class PropertiesSpec extends SparkSuite {
     assert(math.abs(sh.sum - 1.0) <= 9.0 / (1 << 20))
   }
 
+  test("jsDivergence: total in [0, ln 2] on random counts; 0 iff same distribution") {
+    import graft.operators.Stats
+    val gen = for {
+      k <- Gen.chooseNum(2, 8)
+      ref <- Gen.listOfN(k, Gen.chooseNum(0, 50))
+      cur <- Gen.listOfN(k, Gen.chooseNum(0, 50))
+    } yield (ref, cur)
+    forAllSampled(gen, cases = 10) { case (refC, curC) =>
+      val bins = refC.indices.map(i => s"b$i")
+      def expand(cs: Seq[Int]) =
+        bins.zip(cs).flatMap { case (b, c) => Seq.fill(c)(b) }
+      val (refRows, curRows) = (expand(refC), expand(curC))
+      if (refRows.nonEmpty && curRows.nonEmpty) {
+        val out = Stats.jsDivergence(refRows.toDF("bin"), curRows.toDF("bin"),
+          "bin").collect()
+        val total = out.map(_.getDouble(5)).sum
+        assert(out.forall(_.getDouble(5) >= 0.0), s"ref=$refC cur=$curC")
+        assert(total >= 0.0 && total <= math.log(2.0) + 1e-9,
+          s"total=$total ref=$refC cur=$curC")
+        // scaling a distribution does not move its JSD against itself: 0
+        val self = Stats.jsDivergence(refRows.toDF("bin"),
+          (refRows ++ refRows).toDF("bin"), "bin").collect()
+        assert(self.forall(_.getDouble(5) == 0.0))
+      }
+    }
+  }
+
+  test("quantileRank: a pct_rank >= q gate keeps ~ (1-q) of each group on distinct values") {
+    import graft.operators.Corpus
+    val gen = for {
+      n <- Gen.chooseNum(5, 60)
+      vals <- Gen.listOfN(n, Gen.chooseNum(-1000000L, 1000000L))
+    } yield vals.distinct
+    forAllSampled(gen, cases = 10) { vals =>
+      if (vals.size >= 5) {
+        val df = vals.map(("g", _)).toDF("src", "v")
+        val kept = Corpus.quantileRank(df, "src", "v")
+          .filter(col("pct_rank") >= 0.2).count()
+        // exact: ranks 0..n-1 scaled by (n-1); keep iff (r-1)/(n-1) >= 0.2
+        val n = vals.size
+        val expected = (0 until n).count(r => r.toDouble / (n - 1) >= 0.2)
+        assert(kept === expected.toLong, s"n=$n kept=$kept expected=$expected")
+      }
+    }
+  }
+
   test("incrementalClusters equals full-graph CC on random graphs") {
     import graft.operators.Dedup
     // prior = CC over the first edge wave (so it is min-rooted, the
