@@ -1585,6 +1585,14 @@ object SparkEntry {
   private def q_ks_per_source(s: SparkSession, d: String): DataFrame =
     Stats.groupKsDrift(Tables.documents(s, d), "source", "n_chars")
 
+  /** §2b length-distribution flattening: deterministic rejection sampling
+    * of docs to a uniform target over 200-char length bins — the
+    * length-bias correction pass ([[Corpus.matchDistribution]]; keep
+    * probability per bin is the exact rational n_min/n_bin). */
+  private def q_dist_match(s: SparkSession, d: String): DataFrame =
+    Corpus.matchDistribution(Tables.documents(s, d), "doc_id", "n_chars",
+      200L, "flat")
+
   /** §2b leave-one-out source ablation of doc length — which source's
     * removal moves the corpus mean most ([[Corpus.sourceAblation]]; the
     * pre-Shapley curation readout). */
@@ -2716,6 +2724,7 @@ object SparkEntry {
     "q_quantile_norm" -> (q_quantile_norm _),
     "q_source_ablation" -> (q_source_ablation _),
     "q_ks_per_source" -> (q_ks_per_source _),
+    "q_dist_match" -> (q_dist_match _),
     "q_fellegi_sunter" -> (q_fellegi_sunter _),
     "q_dedup_weights" -> (q_dedup_weights _),
     "q_lsh_calibration" -> (q_lsh_calibration _),
@@ -3865,6 +3874,30 @@ object SparkEntry {
              SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.id = e.src),
            cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
          SELECT id AS doc_id, cluster FROM cl""",
+    "q_dist_match" ->
+      """WITH b AS (SELECT doc_id AS id,
+                           CAST(floor(n_chars / 200) AS BIGINT) AS bin
+                    FROM documents),
+              c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_before
+                    FROM b GROUP BY 1),
+              m AS (SELECT CAST(min(n_before) AS BIGINT) AS mn,
+                           CAST(sum(n_before) AS BIGINT) AS tot FROM c),
+              q AS (SELECT bin, n_before, tot,
+                           CAST(mn AS DOUBLE) / n_before AS qk
+                    FROM c, m),
+              k AS (SELECT b.bin, CAST(count(*) AS BIGINT) AS n_kept
+                    FROM b JOIN q USING (bin)
+                    WHERE CAST(('0x' || substring(
+                            md5('flat:' || CAST(id AS VARCHAR)), 1, 8))
+                          AS BIGINT) / 4294967296.0 < qk
+                    GROUP BY 1),
+              tk AS (SELECT CAST(sum(n_kept) AS BIGINT) AS tkn FROM k)
+         SELECT q.bin, q.n_before, COALESCE(k.n_kept, 0) AS n_kept,
+                round(qk, 6) AS q_keep,
+                round(CAST(q.n_before AS DOUBLE) / q.tot, 6) AS share_before,
+                round(CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / tk.tkn, 6)
+                  AS share_after
+         FROM q LEFT JOIN k ON q.bin = k.bin, tk""",
     "q_ks_per_source" ->
       """WITH b AS (SELECT source AS g, n_chars AS v FROM documents
                     WHERE n_chars IS NOT NULL),

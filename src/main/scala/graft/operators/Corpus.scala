@@ -320,6 +320,48 @@ object Corpus {
         max(col(idCol)).as("last_doc"))
   }
 
+  /** Histogram flattening by deterministic rejection sampling — the
+    * length-bias correction pass: bin `valCol` into fixed-width buckets
+    * and keep each row with probability n_min/n_bin (the uniform-target
+    * rejection rate: target/current share normalized so the rarest bin
+    * keeps everything — and an EXACT integer rational, so the keep
+    * decision is engine-portable with no float subtlety). Acceptance is
+    * the deterministic [[hashUnit]] draw — same survivors on any cluster
+    * size, rerun, or incremental re-ingest. Reports per bin the
+    * before/after counts and shares; share_after ≈ uniform up to hash
+    * noise is the acceptance readout.
+    *
+    * Scale shape: one bin aggregate, a 1-row min/total broadcast, one
+    * broadcast join of the #bins-sized rate table back onto the rows
+    * (map-side keep filter), one kept-count aggregate — the corpus is
+    * read twice and never shuffled beyond the two bin-keyed aggregates. */
+  def matchDistribution(df: DataFrame, idCol: String, valCol: String,
+                        binWidth: Long, salt: String,
+                        roundScale: Int = 6): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be positive: $binWidth")
+    val binned = df.select(col(idCol).as("__id"),
+      floor(col(valCol) / binWidth).cast("long").as("bin"))
+    val counts = binned.groupBy(col("bin")).agg(count(lit(1)).as("n_before"))
+    val stats = counts.agg(min(col("n_before")).as("__mn"),
+      sum(col("n_before")).as("__tot"))
+    val rates = counts.crossJoin(broadcast(stats))
+      .select(col("bin"), col("n_before"), col("__tot"),
+        (col("__mn").cast("double") / col("n_before")).as("__q"))
+    val kept = binned.join(broadcast(rates.select(col("bin"), col("__q"))),
+        Seq("bin"))
+      .filter(hashUnit(col("__id"), salt) < col("__q"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_kept"))
+    val totKept = kept.agg(sum(col("n_kept")).as("__tk"))
+    rates.join(kept, Seq("bin"), "left").na.fill(0L, Seq("n_kept"))
+      .crossJoin(broadcast(totKept))
+      .select(col("bin"), col("n_before"), col("n_kept"),
+        round(col("__q"), roundScale).as("q_keep"),
+        round(col("n_before").cast("double") / col("__tot"), roundScale)
+          .as("share_before"),
+        round(col("n_kept").cast("double") / col("__tk"), roundScale)
+          .as("share_after"))
+  }
+
   /** Leave-one-out source ablation of a per-row metric — data-valuation
     * lite: for each group, the corpus metric mean WITHOUT that group
     * ((T − T_g)/(N − N_g)) and the ablation delta vs the global mean. A

@@ -435,6 +435,27 @@ class CorpusSpec extends SparkSuite {
     assert(merged.size <= 3 && merged.contains("x"))
   }
 
+  test("matchDistribution: rarest bin keeps all, q = n_min/n_bin, shares partition 1") {
+    // bins of width 10: bin 0 has 8 rows, bin 1 has 2 → q = 0.25 and 1.0
+    val df = ((1L to 8L).map(i => (i, 5L)) ++ Seq((9L, 15L), (10L, 16L)))
+      .toDF("id", "v")
+    val out = Corpus.matchDistribution(df, "id", "v", 10L, "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out(0L)._1 === 8L && out(0L)._3 === 0.25)
+    assert(out(1L) === ((2L, 2L, 1.0, 0.2,
+      BigDecimal(2.0 / (out(0L)._2 + 2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)),
+      "the rarest bin keeps every row")
+    // kept counts bounded by before-counts; shares partition 1
+    assert(out.values.forall(v => v._2 <= v._1))
+    assert(math.abs(out.values.map(_._5).sum - 1.0) < 1e-5)
+    intercept[IllegalArgumentException] {
+      Corpus.matchDistribution(df, "id", "v", 0L, "t")
+    }
+  }
+
   test("sourceAblation: hand-checked LOO means, sign convention, single-group null") {
     // a: 2 rows sum 10 (mean 5); b: 2 rows sum 30 (mean 15); global 10
     val df = Seq(("a", 4L), ("a", 6L), ("b", 14L), ("b", 16L))
