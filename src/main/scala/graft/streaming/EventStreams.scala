@@ -64,13 +64,18 @@ object EventStreams {
     * each window's type distribution against the reference — the live
     * "did this hour's traffic mix shift" monitor, same arithmetic as
     * `Stats.jsDivergence` (bounded [0, ln 2]; a type absent from a
-    * window still contributes its finite ½p_ref·ln 2 via the grid).
+    * window still contributes its finite ½p_ref·ln 2 via the grid, and
+    * symmetrically a type absent from the REFERENCE — a brand-new live
+    * event type, the strongest mix-shift signal — contributes its
+    * ½p_w·ln 2 term because the grid vocabulary is the union of the
+    * reference types and the types observed in any window, with p_ref
+    * coalesced to 0 for ref-absent types).
     * In streaming, run it over the aggregated sink inside `foreachBatch`
     * (the [[dedupedIngest]] composition pattern) — chaining a second
     * aggregation inside the same streaming query is not supported;
     * StreamingSpec pins streaming-counts→finalizer ≡ batch twin.
     *
-    * Scale shape: one windows × reference-types grid (bounded by the
+    * Scale shape: one windows × union-vocabulary grid (bounded by the
     * calendar × type vocabulary, never event rows) + one hash aggregate
     * back to windows. */
   def windowDrift(counts: DataFrame, ref: DataFrame): DataFrame = {
@@ -82,7 +87,15 @@ object EventStreams {
     val wt = counts.groupBy(col("window_start")).agg(sum(col("n")).as("__wt"))
     val probe = counts.select(col("window_start").as("__ws"),
       col("event_type").as("__et"), col("n").as("__cn"))
-    val grid = wt.crossJoin(ref)
+    // vocabulary = ref types ∪ observed types (full-outer on event_type,
+    // p_ref coalesced to 0): a type live traffic introduced that the
+    // reference has never seen still carries its probability mass into
+    // the JSD sum instead of being silently dropped by a ref-only grid
+    val vocab = counts.select(col("event_type")).distinct()
+      .join(ref, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("p_ref"), lit(0.0)).as("p_ref"))
+    val grid = wt.crossJoin(vocab)
       .join(probe,
         col("window_start") === col("__ws") && col("event_type") === col("__et"),
         "left")

@@ -55,6 +55,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("windowDrift counts probability mass of event types absent from the reference") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // window W: 3 "click" + 1 "novel"; reference only knows "click"
+    // (p_ref = 1.0). The correct JSD over the union vocabulary
+    // {click, novel}: p_w = (0.75, 0.25), p_ref = (1, 0), m = (0.875, 0.125)
+    //   ½[0.75·ln(0.75/0.875) + 0.25·ln(0.25/0.125)]  (window half)
+    // + ½[1.0·ln(1/0.875)]                             (ref half)
+    val counts = Seq((ts, "click", 3L), (ts, "novel", 1L))
+      .toDF("window_start", "event_type", "n")
+    val ref = Seq(("click", 1.0)).toDF("event_type", "p_ref")
+    val row = EventStreams.windowDrift(counts, ref).collect()
+    assert(row.length === 1)
+    val expected = BigDecimal(
+      0.5 * (0.75 * math.log(0.75 / 0.875) + 0.25 * math.log(0.25 / 0.125))
+        + 0.5 * (1.0 * math.log(1.0 / 0.875)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.head.getAs[Long]("n_events") === 4L)
+    assert(row.head.getAs[Double]("jsd") === expected)
+    // a ref-only grid would have dropped "novel" entirely and reported
+    // the strictly smaller divergence of {click: 0.75} vs {click: 1.0}
+    val droppedNovel = 0.5 * (0.75 * math.log(0.75 / 0.875))
+      + 0.5 * (1.0 * math.log(1.0 / 0.875))
+    assert(expected > droppedNovel)
+  }
+
   test("streaming session windows equal batch session windows") {
     val expected = EventStreams.sessionSpans(Tables.events(spark, sf))
       .collect().map(_.toSeq).toSet
