@@ -780,6 +780,25 @@ object SparkEntry {
       q, "qv", k = 10, nprobe = 2)
   }
 
+  /** §2b IVF ANN at a PRODUCTION codebook size — 256 cells × 64 dims =
+    * 16k terms, 8× past [[Similarity.LiteralTermLimit]] — so
+    * [[Similarity.ivfAssignAuto]] dispatches to the broadcast-codebook
+    * path: the centroid table rides a broadcast crossJoin as one
+    * array-of-structs row and the argmax reads it from a COLUMN, keeping
+    * generated code size constant in k (literal inlining at this k is
+    * the measured JIT-variance / 64 KB-method-limit regime). nprobe=8
+    * keeps the 1/32 scan fraction of the literal twin; assignment is
+    * bit-identical to literal [[Similarity.ivfAssign]] (SimilaritySpec). */
+  private def q_ivf_topk_bcast(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 256), "vec_id", "embedding")
+    val assigned = Similarity.ivfAssignAuto(emb, "vec_id", "embedding", cents)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    Similarity.ivfTopK(assigned, "vec_id", "embedding", cents,
+      q, "qv", k = 10, nprobe = 8)
+  }
+
   /** §2b k-means codebook training, one Lloyd iteration made auditable:
     * assign to the 8 seed centroids (vec_id < 8), per-(cell, dim) means in
     * long form. The full train loop just re-feeds these means as the next
@@ -1792,6 +1811,26 @@ object SparkEntry {
     Similarity.pqTopK(assigned, "vec_id", codebooks, q, "qv", k = 10)
   }
 
+  /** §2b product quantization at a PRODUCTION codebook size — 4 subspaces
+    * × 256 codes × 16 dims = 16k terms — through the broadcast-codebook
+    * encode ([[Similarity.pqAssignBroadcast]]) and the table-built ADC
+    * LUT ([[Similarity.pqTopKBroadcast]]): the query×codebook distances
+    * are nSub×ksub tiny rows, so nothing JIT-compiles per codebook entry
+    * (the literal twin's measured 2.7→9.3 s variance regime). Bit-
+    * identical to the literal path at equal codebooks (SimilaritySpec). */
+  private def q_pq_topk_bcast(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val seeds = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 256), "vec_id", "embedding")
+    val codebooks = Similarity.sliceCodebooks(seeds, nSub = 4)
+    val cbT = Similarity.codebooksAsTable(s, codebooks)
+    val assigned = Similarity.pqAssignBroadcast(emb, "vec_id", "embedding",
+      cbT, nSub = 4, subDim = 16)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    Similarity.pqTopKBroadcast(assigned, "vec_id", cbT, q, "qv",
+      k = 10, subDim = 16)
+  }
+
   /** §2b naive Bayes classifier audit: train multinomial NB on the
     * documents table's own language labels and self-classify — documents
     * whose label loses its own model's argmax are the mislabel/drift
@@ -2655,6 +2694,7 @@ object SparkEntry {
     "q_lsh_candidates" -> (q_lsh_candidates _),
     "q_frame_sample" -> (q_frame_sample _),
     "q_ivf_topk" -> (q_ivf_topk _),
+    "q_ivf_topk_bcast" -> (q_ivf_topk_bcast _),
     "q_kmeans_step" -> (q_kmeans_step _),
     "q_ivf_trained" -> (q_ivf_trained _),
     "q_semantic_dedup" -> (q_semantic_dedup _),
@@ -2751,6 +2791,7 @@ object SparkEntry {
     "q_label_prop" -> (q_label_prop _),
     "q_zipf_slope" -> (q_zipf_slope _),
     "q_pq_topk" -> (q_pq_topk _),
+    "q_pq_topk_bcast" -> (q_pq_topk_bcast _),
     "q_naive_bayes" -> (q_naive_bayes _),
     "q_char_pairs" -> (q_char_pairs _),
     "q_bpe_merges" -> (q_bpe_merges _),
@@ -2950,11 +2991,12 @@ object SparkEntry {
       s"($x * $x)"
     }.reduceLeft((a, b) => s"($a + $b)")
 
-  /** Generated oracle for q_pq_topk: per-subspace argmin encode (QUALIFY
-    * row_number over (dist, code) — the engine's array_min struct
-    * ordering) + ADC re-derived by joining each row's code back to the
-    * codebook. Codebooks are the vec_id<8 seed slices, rebuilt in SQL. */
-  private def pqTopkOracleSql: String = {
+  /** Generated oracle for q_pq_topk (and its broadcast-codebook twin at
+    * nCodes=256): per-subspace argmin encode (QUALIFY row_number over
+    * (dist, code) — the engine's array_min struct ordering) + ADC
+    * re-derived by joining each row's code back to the codebook.
+    * Codebooks are the vec_id<nCodes seed slices, rebuilt in SQL. */
+  private def pqTopkOracleSql(nCodes: Int = 8): String = {
     val subDim = 16
     val assigns = (0 until 4).map { m =>
       s"""a$m AS (SELECT vec_id, code FROM (
@@ -2968,7 +3010,7 @@ object SparkEntry {
       .map(m => pqDistSql("q.qv", s"c$m.embedding", m * subDim, subDim))
       .reduceLeft((a, b) => s"($a + $b)")
     s"""WITH cb AS (SELECT vec_id AS code, embedding FROM embeddings
-                    WHERE vec_id < 8),
+                    WHERE vec_id < $nCodes),
             q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             $assigns
         SELECT e.vec_id,
@@ -2987,6 +3029,26 @@ object SparkEntry {
         CROSS JOIN q
         ORDER BY adc_dist ASC, e.vec_id ASC LIMIT 10"""
   }
+
+  /** Generated oracle for q_ivf_topk_bcast: the q_ivf_topk oracle shape
+    * with the 256-cell codebook and nprobe=8 (same 1/32 scan fraction). */
+  private def ivfTopkBcastOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 256),
+            qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+            asg AS (SELECT vec_id, v, cent_id AS cell FROM (
+               SELECT e.vec_id, e.v, c.cent_id,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cent_id) AS rn
+               FROM e, c) WHERE rn = 1),
+            probe AS (SELECT cent_id AS cell FROM (
+               SELECT c.cent_id,
+                      ROW_NUMBER() OVER (ORDER BY round(${duckCos("c.cv", "qv.q")}, 6) DESC,
+                                         c.cent_id) AS rn
+               FROM c, qv) WHERE rn <= 8)
+       SELECT vec_id, cell, round(${duckCos("asg.v", "qv.q")}, 6) AS cosine_sim
+       FROM asg JOIN probe USING (cell), qv
+       ORDER BY round(${duckCos("asg.v", "qv.q")}, 6) DESC, vec_id LIMIT 10"""
 
   /** Generated k-center oracle: the greedy selection unrolled into k-1
     * MATERIALIZED 1-row rounds (round r cross-joins all previously selected
@@ -5486,7 +5548,9 @@ object SparkEntry {
                             ORDER BY ts ASC, event_id ASC))
          WHERE rn = 1
             OR (event_type IS DISTINCT FROM prev_type)""",
-    "q_pq_topk" -> pqTopkOracleSql,
+    "q_pq_topk" -> pqTopkOracleSql(),
+    "q_pq_topk_bcast" -> pqTopkOracleSql(nCodes = 256),
+    "q_ivf_topk_bcast" -> ivfTopkBcastOracleSql,
     "q_char_pairs" ->
       s"""WITH w AS (SELECT w FROM documents,
                        UNNEST($duckTokens) AS u(w)

@@ -32,6 +32,19 @@ object VectorFunctions {
     * distance): popcount of XOR, native codegen. */
   def hammingDistance(a: Column, b: Column): Column = native.hammingDistance(a, b)
 
+  /** Argmax-cosine cell over a sorted `(cell, cvec)` codebook COLUMN —
+    * native kernel with the k-loop inside, so generated code is constant
+    * in k (the broadcast-codebook ANN assignment; ties → lowest cell). */
+  def nearestCentroid(vec: Column, cents: Column): Column =
+    native.nearestCentroid(vec, cents)
+
+  /** Argmin squared-L2 code over a sorted `(code, cvec)` subspace
+    * codebook column, against the in-place `subDim`-wide slice of `vec`
+    * at element offset `off` (broadcast-codebook PQ encode). */
+  def nearestSubCentroid(vec: Column, entries: Column,
+                         off: Int, subDim: Int): Column =
+    native.nearestSubCentroid(vec, entries, off, subDim)
+
   /** Reference HOF formulation of [[dotProduct]] (interpreted; used as the
     * executable spec in tests). */
   def dotProductHof(a: Column, b: Column): Column =

@@ -140,6 +140,65 @@ object Similarity {
       (-array_max(scored).getField("negcell")).as("cell"))
   }
 
+  /** Above this many inlined terms (k centroids × dim, or nSub × ksub ×
+    * subDim for PQ), prefer the broadcast-codebook variants over literal
+    * inlining: a literal argmax chain grows the generated code linearly
+    * with k×dim, and past a few thousand terms it first loses whole-stage
+    * codegen (64 KB JVM method limit → interpreted fallback) and before
+    * that pays real JIT cost per executor (measured: the 512-term
+    * q_pq_topk literal showed 2.7 s → 9.3 s run-to-run JIT variance).
+    * 2048 keeps the sandbox codebooks (8×64 = 512, 4×8×16 = 512) on the
+    * literal path while a production k=256×64 codebook (16k terms)
+    * dispatches to broadcast. */
+  val LiteralTermLimit: Int = 2048
+
+  /** The centroid set as a (cell, cvec) DataFrame — the broadcast-side
+    * representation for [[ivfAssignBroadcast]]. Inverse of
+    * [[collectCentroids]]; kept tiny (k rows). */
+  def centroidsAsTable(spark: org.apache.spark.sql.SparkSession,
+                       centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    centroids.toDF("cell", "cvec")
+  }
+
+  /** [[ivfAssign]] with the codebook as a broadcast TABLE instead of
+    * inlined literals — the ≥~2k-term scale path (k=256+, dim 64+)
+    * where literal inlining would exceed JVM codegen limits.
+    *
+    * Shape: the k centroid rows collapse to ONE array-of-structs row
+    * (sorted by cell, like the literal path's sortBy), which rides a
+    * broadcast crossJoin onto every data row; the argmax is the native
+    * [[VectorFunctions.nearestCentroid]] kernel, whose generated code is
+    * one static call — CONSTANT in k — with the k-loop and the same
+    * single-pass cosine arithmetic inside. Still zero shuffle and zero
+    * per-row join expansion — strictly the literal plan shape with the
+    * codebook hoisted out of the generated code. (A plain broadcast
+    * join + min_by/groupBy(id) would expand n×k rows and re-shuffle on
+    * id; an HOF transform/array_max formulation is interpreted, ~10×
+    * per-row cost. This avoids all three.) Assignment is bit-identical
+    * to [[ivfAssign]] — pinned by SimilaritySpec. */
+  def ivfAssignBroadcast(embeddings: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame): DataFrame = {
+    val centsRow = centroids.agg(
+      sort_array(collect_list(struct(col("cell").cast("long").as("cell"),
+        col("cvec").as("cvec")))).as("__cents"))
+    embeddings.crossJoin(broadcast(centsRow))
+      .select(col(idCol), col(vecCol),
+        VectorFunctions.nearestCentroid(col(vecCol), col("__cents")).as("cell"))
+  }
+
+  /** Literal-vs-broadcast dispatch on codebook size: literal inlining
+    * (fully codegen'd, fastest at small k) below [[LiteralTermLimit]]
+    * total terms, broadcast table above (no codegen-size ceiling). Both
+    * branches produce bit-identical assignments. */
+  def ivfAssignAuto(embeddings: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    val terms = centroids.iterator.map(_._2.length).sum
+    if (terms <= LiteralTermLimit) ivfAssign(embeddings, idCol, vecCol, centroids)
+    else ivfAssignBroadcast(embeddings, idCol, vecCol,
+      centroidsAsTable(embeddings.sparkSession, centroids))
+  }
+
   /** IVF ANN top-k: probe the `nprobe` centroid cells nearest the query,
     * exact cosine re-rank within them. Scans only ~nprobe/k of the corpus
     * (the recall/cost dial), never materializes O(n²) pairs. Ranking uses
@@ -757,6 +816,98 @@ object Similarity {
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k)
       .select(col(idCol) +: codebooks.indices.map(m => col(s"code_$m"))
+        :+ col("adc_dist"): _*)
+  }
+
+  /** [[subDist]] with the centroid and subspace index as COLUMNS (the
+    * broadcast-codebook variants): squared L2 between the subDim-wide
+    * slice of `vecCol` at subspace `m` and the `cvec` column, accumulated
+    * left-to-right like the literal chain (aggregate's 0.0 seed is exact:
+    * 0.0 + d² == d² for the non-negative squares), so the doubles match
+    * the literal path bit-for-bit. */
+  private def subDistCol(vecCol: Column, m: Column, subDim: Int,
+                         cvec: Column): Column =
+    aggregate(
+      zip_with(slice(vecCol, m * subDim + 1, lit(subDim)), cvec,
+        (x, c) => { val d = x.cast("double") - c; d * d }),
+      lit(0.0), (a, x) => a + x)
+
+  /** The PQ codebooks as an (m, code, cvec) DataFrame — the broadcast-side
+    * representation for [[pqAssignBroadcast]]/[[pqTopKBroadcast]]. `code`
+    * is the POSITION in the label-sorted subspace codebook (0..n−1),
+    * exactly [[pqAssign]]'s code definition. nSub × ksub rows — tiny. */
+  def codebooksAsTable(spark: org.apache.spark.sql.SparkSession,
+                       codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, m) =>
+      cb.sortBy(_._1).zipWithIndex.map { case ((_, cvec), pos) =>
+        (m, pos, cvec)
+      }
+    }.toDF("m", "code", "cvec")
+  }
+
+  /** [[pqAssign]] with the codebooks as a broadcast table instead of
+    * inlined literals — the large-codebook scale path (same rationale and
+    * threshold as [[ivfAssignBroadcast]]; see [[LiteralTermLimit]]).
+    * The codebook rows collapse to one PER-SUBSPACE array-of-structs
+    * column (code-sorted) on a single broadcast row; per subspace the
+    * argmin is the native [[VectorFunctions.nearestSubCentroid]] kernel
+    * — the subspace slice is indexed in place (no per-entry slice
+    * allocation) and the generated code stays constant in ksub. Zero
+    * shuffle, zero row expansion, bit-identical codes (pinned in
+    * SimilaritySpec). */
+  def pqAssignBroadcast(embeddings: DataFrame, idCol: String, vecCol: String,
+                        codebookTable: DataFrame, nSub: Int,
+                        subDim: Int): DataFrame = {
+    require(nSub > 0 && subDim > 0, s"need nSub/subDim > 0: $nSub/$subDim")
+    val perSub = (0 until nSub).map { m =>
+      sort_array(collect_list(when(col("m") === m,
+        struct(col("code").cast("long").as("code"), col("cvec").as("cvec")))))
+        .as(s"__cb$m")
+    }
+    val cbRow = codebookTable.agg(perSub.head, perSub.tail: _*)
+    val codeCols = (0 until nSub).map { m =>
+      VectorFunctions.nearestSubCentroid(col(vecCol), col(s"__cb$m"),
+        m * subDim, subDim).as(s"code_$m")
+    }
+    embeddings.crossJoin(broadcast(cbRow))
+      .select(col("*") +: codeCols: _*)
+      .drop((0 until nSub).map(m => s"__cb$m"): _*)
+  }
+
+  /** [[pqTopK]] with the LUT built from the broadcast codebook TABLE
+    * instead of literal distance expressions: the query × codebook
+    * distances are nSub × ksub tiny ROWS (one hash-agg into per-subspace
+    * arrays, then a 1-row m→lut map), so no literal expression grows with
+    * the codebook and nothing JIT-compiles per codebook entry — the fix
+    * for the measured 2.7 s → 9.3 s literal-LUT JIT variance at large
+    * codebooks. The ADC scan side is unchanged: per row, nSub map/array
+    * lookups + adds, 6dp-rounded with id tiebreak. Bit-identical to
+    * [[pqTopK]] (same slice/fold arithmetic — pinned in SimilaritySpec). */
+  def pqTopKBroadcast(assigned: DataFrame, idCol: String,
+                      codebookTable: DataFrame, query: DataFrame,
+                      queryVecCol: String, k: Int, subDim: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val nSub = assigned.columns.count(_.startsWith("code_"))
+    require(nSub > 0, "assigned must carry code_m columns from pqAssign*")
+    val lutRow = codebookTable
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
+      .select(col("m").cast("int").as("m"), col("code").cast("int").as("code"),
+        subDistCol(col("__qv"), col("m"), subDim, col("cvec")).as("__d"))
+      .groupBy(col("m"))
+      .agg(transform(sort_array(collect_list(struct(col("code"), col("__d")))),
+        e => e.getField("__d")).as("lut"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("m"), col("lut"))))).as("__lutmap"))
+    val adc = (0 until nSub).map { m =>
+      element_at(element_at(col("__lutmap"), lit(m)),
+        col(s"code_$m").cast("int") + 1)
+    }.reduceLeft(_ + _)
+    assigned.crossJoin(broadcast(lutRow))
+      .withColumn("adc_dist", round(adc, 6))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol) +: (0 until nSub).map(m => col(s"code_$m"))
         :+ col("adc_dist"): _*)
   }
 

@@ -415,6 +415,216 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** Argmax-cosine cell over a CODEBOOK COLUMN — the broadcast-codebook
+    * ANN assignment (Similarity.ivfAssignBroadcast). The centroid table
+    * arrives as one `array<struct<cell bigint, cvec array<double>>>`
+    * value (sorted by cell) riding a broadcast crossJoin, and the loop
+    * over it lives in THIS kernel — so the generated code is a single
+    * static call whose size is CONSTANT in k, unlike the literal-inlined
+    * argmax chain that outgrows JVM codegen limits past a few thousand
+    * k×dim terms. Arithmetic is the same single-pass dot/norms
+    * accumulation as [[CosineSimilarityFloat]] and ties resolve to the
+    * first (= lowest, given sorted input) cell — bit-identical to the
+    * literal `array_max` over (cos, −cell) structs; SimilaritySpec pins
+    * it. Null on: empty codebook, dimension mismatch, null element
+    * (when the static schema allows element nulls). NaN-free vectors
+    * assumed (as everywhere in the similarity family). */
+  case class NearestCentroid(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_nearest_centroid"
+
+    private def cvecType: DataType = right.dataType match {
+      case ArrayType(st: org.apache.spark.sql.types.StructType, _) =>
+        st.fields(1).dataType.asInstanceOf[ArrayType].elementType
+      case _ => DoubleType
+    }
+    private def checkNulls: Boolean = elemNullable(left) ||
+      (right.dataType match {
+        case ArrayType(st: org.apache.spark.sql.types.StructType, _) =>
+          st.fields(1).dataType.asInstanceOf[ArrayType].containsNull
+        case _ => false
+      })
+
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = (left.dataType, right.dataType) match {
+        case (ArrayType(FloatType | DoubleType, _),
+              ArrayType(st: org.apache.spark.sql.types.StructType, _))
+            if st.fields.length == 2 =>
+          st.fields(0).dataType == LongType &&
+            (st.fields(1).dataType match {
+              case ArrayType(FloatType | DoubleType, _) => true
+              case _ => false
+            })
+        case _ => false
+      }
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<float|double>, array<struct<bigint, array<float|double>>>), " +
+          s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      expressions.nearestCentroidKernel(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], elemType(left) == FloatType,
+        cvecType == FloatType, checkNulls)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val r = ctx.freshName("r")
+        s"""
+           |java.lang.Long $r = org.apache.spark.sql.graft.expressions$$.MODULE$$
+           |  .nearestCentroidKernel($a, $b, ${elemType(left) == FloatType},
+           |    ${cvecType == FloatType}, $checkNulls);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $r.longValue(); }
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** The [[NearestCentroid]] kernel, shared by the interpreted and
+    * generated paths (one static call keeps them bit-identical). Tracks
+    * the running max with strict `>`, so equal cosines keep the FIRST
+    * (lowest) cell — the literal path's (cos, −cell) struct-max order. */
+  def nearestCentroidKernel(vec: ArrayData, cents: ArrayData,
+                            vecFloat: Boolean, cvecFloat: Boolean,
+                            checkNulls: Boolean): java.lang.Long = {
+    val k = cents.numElements()
+    if (k == 0) return null
+    val n = vec.numElements()
+    var best = 0L; var bestCos = 0.0; var found = false
+    var c = 0
+    while (c < k) {
+      val st = cents.getStruct(c, 2)
+      val cell = st.getLong(0)
+      val cv = st.getArray(1)
+      if (cv.numElements() != n) return null
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        if (checkNulls && (vec.isNullAt(i) || cv.isNullAt(i))) return null
+        val xv = if (vecFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val yv = if (cvecFloat) cv.getFloat(i).toDouble else cv.getDouble(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val cos = if (denom == 0.0) 0.0 else dot / denom
+      if (!found || cos > bestCos) { found = true; bestCos = cos; best = cell }
+      c += 1
+    }
+    java.lang.Long.valueOf(best)
+  }
+
+  /** Argmin squared-L2 CODE over a per-subspace codebook column — the
+    * broadcast-codebook PQ encode (Similarity.pqAssignBroadcast). Same
+    * constant-code-size rationale as [[NearestCentroid]]; the subspace is
+    * the `subDim`-wide slice of the vector at element offset `off`
+    * (0-based), never materialized — the kernel indexes the parent array
+    * directly, where the HOF formulation allocates a slice per codebook
+    * entry. Distance is the identical left-associative (x−c)² fold as
+    * the literal `subDist` chain (bit-equal doubles); ties keep the
+    * first (= lowest, given sorted input) code. */
+  case class NearestSubCentroid(left: Expression, right: Expression,
+                                off: Int, subDim: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_nearest_subcentroid"
+
+    private def cvecType: DataType = right.dataType match {
+      case ArrayType(st: org.apache.spark.sql.types.StructType, _) =>
+        st.fields(1).dataType.asInstanceOf[ArrayType].elementType
+      case _ => DoubleType
+    }
+    private def checkNulls: Boolean = elemNullable(left) ||
+      (right.dataType match {
+        case ArrayType(st: org.apache.spark.sql.types.StructType, _) =>
+          st.fields(1).dataType.asInstanceOf[ArrayType].containsNull
+        case _ => false
+      })
+
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = (left.dataType, right.dataType) match {
+        case (ArrayType(FloatType | DoubleType, _),
+              ArrayType(st: org.apache.spark.sql.types.StructType, _))
+            if st.fields.length == 2 =>
+          st.fields(0).dataType == LongType &&
+            (st.fields(1).dataType match {
+              case ArrayType(FloatType | DoubleType, _) => true
+              case _ => false
+            })
+        case _ => false
+      }
+      if (ok && off >= 0 && subDim > 0)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<float|double>, array<struct<bigint, " +
+          s"array<float|double>>>) and off >= 0 < subDim, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString}, $off, $subDim)")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      expressions.nearestSubCentroidKernel(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], off, subDim,
+        elemType(left) == FloatType, cvecType == FloatType, checkNulls)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val r = ctx.freshName("r")
+        s"""
+           |java.lang.Long $r = org.apache.spark.sql.graft.expressions$$.MODULE$$
+           |  .nearestSubCentroidKernel($a, $b, $off, $subDim,
+           |    ${elemType(left) == FloatType}, ${cvecType == FloatType}, $checkNulls);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $r.longValue(); }
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** The [[NearestSubCentroid]] kernel (shared interpreted/generated). */
+  def nearestSubCentroidKernel(vec: ArrayData, entries: ArrayData,
+                               off: Int, subDim: Int,
+                               vecFloat: Boolean, cvecFloat: Boolean,
+                               checkNulls: Boolean): java.lang.Long = {
+    val k = entries.numElements()
+    if (k == 0 || off + subDim > vec.numElements()) return null
+    var best = 0L; var bestD = 0.0; var found = false
+    var c = 0
+    while (c < k) {
+      val st = entries.getStruct(c, 2)
+      val code = st.getLong(0)
+      val cv = st.getArray(1)
+      if (cv.numElements() != subDim) return null
+      var s = 0.0
+      var i = 0
+      while (i < subDim) {
+        if (checkNulls && (vec.isNullAt(off + i) || cv.isNullAt(i))) return null
+        val x = (if (vecFloat) vec.getFloat(off + i).toDouble
+                 else vec.getDouble(off + i)) -
+          (if (cvecFloat) cv.getFloat(i).toDouble else cv.getDouble(i))
+        s += x * x
+        i += 1
+      }
+      if (!found || s < bestD) { found = true; bestD = s; best = code }
+      c += 1
+    }
+    java.lang.Long.valueOf(best)
+  }
+
   // -------------------------------------------------------------- wrappers
 
   import org.apache.spark.sql.classic.ExpressionUtils
@@ -470,4 +680,15 @@ object expressions {
 
   def jaroWinkler(a: Column, b: Column): Column =
     ExpressionUtils.column(JaroWinkler(toExpr(a), toExpr(b)))
+
+  /** Argmax-cosine cell over a sorted (cell, cvec) codebook column. */
+  def nearestCentroid(vec: Column, cents: Column): Column =
+    ExpressionUtils.column(NearestCentroid(toExpr(vec), toExpr(cents)))
+
+  /** Argmin squared-L2 code over a sorted (code, cvec) subspace codebook
+    * column, against the subDim-wide slice of `vec` at element `off`. */
+  def nearestSubCentroid(vec: Column, entries: Column,
+                         off: Int, subDim: Int): Column =
+    ExpressionUtils.column(
+      NearestSubCentroid(toExpr(vec), toExpr(entries), off, subDim))
 }

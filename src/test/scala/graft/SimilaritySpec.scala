@@ -270,6 +270,55 @@ class SimilaritySpec extends SparkSuite {
     assert(top.map(_._4).toSeq === Seq(0.0, 200.0, 400.0))
   }
 
+  test("ivfAssignBroadcast is bit-identical to literal ivfAssign; auto dispatches") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.collectCentroids(
+      emb.filter($"vec_id" < 8), "vec_id", "embedding")
+    val lit = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    val bc = Similarity.ivfAssignBroadcast(emb, "vec_id", "embedding",
+      Similarity.centroidsAsTable(spark, cents))
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    assert(bc === lit)
+
+    // a codebook past LiteralTermLimit (40 × 64 = 2560 terms) dispatches
+    // to the broadcast path and still matches the literal assignment
+    val bigCents = Similarity.collectCentroids(
+      emb.filter($"vec_id" < 40), "vec_id", "embedding")
+    assert(bigCents.iterator.map(_._2.length).sum > Similarity.LiteralTermLimit)
+    val litBig = Similarity.ivfAssign(emb, "vec_id", "embedding", bigCents)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    val autoBig = Similarity.ivfAssignAuto(emb, "vec_id", "embedding", bigCents)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    assert(autoBig === litBig)
+  }
+
+  test("pqAssignBroadcast / pqTopKBroadcast are bit-identical to the literal PQ path") {
+    val emb = Tables.embeddings(spark, sf)
+    val seeds = Similarity.collectCentroids(
+      emb.filter($"vec_id" < 8), "vec_id", "embedding")
+    val cbs = Similarity.sliceCodebooks(seeds, nSub = 4)
+    val subDim = cbs.head.head._2.length
+    val cbTable = Similarity.codebooksAsTable(spark, cbs)
+
+    val litAssigned = Similarity.pqAssign(emb, "vec_id", "embedding", cbs)
+    val bcAssigned = Similarity.pqAssignBroadcast(emb, "vec_id", "embedding",
+      cbTable, nSub = 4, subDim = subDim)
+    assert(bcAssigned.columns.toSeq === litAssigned.columns.toSeq)
+    def codesOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"code_0", $"code_1", $"code_2", $"code_3")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(codesOf(bcAssigned) === codesOf(litAssigned))
+
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val litTop = Similarity.pqTopK(litAssigned, "vec_id", cbs, q, "qv", k = 10)
+      .collect().map(_.toSeq).toSeq
+    val bcTop = Similarity.pqTopKBroadcast(bcAssigned, "vec_id", cbTable,
+      q, "qv", k = 10, subDim = subDim)
+      .collect().map(_.toSeq).toSeq
+    assert(bcTop === litTop) // same rows, same order, bit-equal adc_dist
+  }
+
   test("intraClassCohesion: polarization identity matches hand pairs") {
     // label 0: two x-axis + one y-axis unit vector → ordered pairs
     // (1,1,0,0,0,0) → mean = 2/6; identity: s=(2,1), ‖s‖²−n = 5−3 = 2
