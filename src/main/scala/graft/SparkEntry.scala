@@ -480,13 +480,23 @@ object SparkEntry {
       pmod(col("o_orderkey"), lit(7)).cast("long").as("key_mod7"),
       abs(col("o_totalprice") - 1000).cast("double").as("price_abs_dev"))
 
-  /** §2b approximate distinct (HLL++). No DuckDB oracle — estimator
-    * differs by design; driver does the weaker rows-only check. */
+  /** §2b approximate distinct (HLL++), hash-checkable: the estimate
+    * itself is not SQL-reproducible (estimator differs by design), so
+    * the output carries the EXACT side (oracle-computable) plus a
+    * deterministic acceptance verdict — |est − exact|/exact ≤ 3·rsd
+    * with rsd = 0.05, approx_count_distinct's default — which the
+    * oracle pins to TRUE per group. The estimate is a deterministic
+    * function of the data, so a broken sketch flips the boolean and
+    * fails the driver's hash compare instead of hiding in a rows-only
+    * row. */
   private def q_approx_distinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey")).as("__approx"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("__approx") - col("exact_parts")).cast("double")
+          / col("exact_parts") <= 0.15).as("within_bound"))
 
   // ------------------------------------------------------ text / LLM prep
 
@@ -1336,21 +1346,37 @@ object SparkEntry {
       Tables.documents(s, d).filter(col("doc_id") < 120),
       "doc_id", "text", "lang", 3)
 
-  /** §2b mergeable distinct-count state (HLL sketches): state merged
-    * across the 1998 cutoff must estimate exactly what a from-scratch
-    * sketch estimates (HLL union is lossless over sketches). Rows-only in
-    * the driver — the sketch boundary is not SQL-reproducible (same as
-    * q_approx_distinct); CorpusSpec pins merge-vs-scratch equality and
-    * the error envelope vs exact COUNT(DISTINCT). */
+  /** §2b mergeable distinct-count state (HLL sketches), hash-checkable:
+    * the sketch estimate is not SQL-reproducible, so the output carries
+    * the exact side plus TWO deterministic acceptance verdicts the
+    * oracle pins to TRUE — `merge_close_to_scratch` (state merged across
+    * the 1998 cutoff estimates within 2% of a from-scratch sketch: union
+    * is lossless in sparse mode and drifts well under the rsd after HLL
+    * promotion — measured ≤1% at 14k keys) and `within_bound`
+    * (|est − exact|/exact ≤ 0.05 ≈ 3·rsd at the default lgConfigK=12).
+    * CorpusSpec pins exact merge==scratch equality in sparse mode on a
+    * constructed fixture. */
   private def q_hll_state_merge(s: SparkSession, d: String): DataFrame = {
     val orders = Tables.orders(s, d)
     val pre = orders.filter(col("o_orderdate") < lit("1998-01-01"))
     val post = orders.filter(col("o_orderdate") >= lit("1998-01-01"))
-    Corpus.mergeDistinctState(
+    val merged = Corpus.mergeDistinctState(
       Corpus.distinctState(pre, "o_orderstatus", "o_custkey"),
       Corpus.distinctState(post, "o_orderstatus", "o_custkey"),
       "o_orderstatus")
-      .select(col("o_orderstatus"), col("n_distinct_est"))
+      .select(col("o_orderstatus"), col("n_distinct_est").as("__merged"))
+    val scratch = Corpus.distinctState(orders, "o_orderstatus", "o_custkey")
+      .select(col("o_orderstatus"),
+        hll_sketch_estimate(col("distinct_sketch")).as("__scratch"))
+    val exact = orders.groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    exact.join(merged, Seq("o_orderstatus"))
+      .join(scratch, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n_exact"),
+        (abs(col("__merged") - col("__scratch")).cast("double")
+          / col("n_exact") <= 0.02).as("merge_close_to_scratch"),
+        (abs(col("__merged") - col("n_exact")).cast("double")
+          / col("n_exact") <= 0.05).as("within_bound"))
   }
 
   /** §2b verbatim duplicated spans (the substring-dedup primitive,
@@ -1531,15 +1557,40 @@ object SparkEntry {
         max(col("ship_day")).as("last_day"))
   }
 
-  /** §2b approximate quantile filter (the scale path of q_quality_filter):
-    * per-language threshold from a percentile_approx sketch instead of a
-    * per-group window. Rows-only in the driver: the GK sketch's boundary
-    * pick is not reproducible in a SQL oracle (same reason as
-    * q_approx_distinct); CorpusSpec pins it against the exact variant. */
+  /** §2b approximate quantile filter (the scale path of q_quality_filter),
+    * hash-checkable: the GK sketch's boundary pick is not reproducible in
+    * a SQL oracle, so the output is the per-language acceptance readout
+    * the oracle CAN pin to TRUE — `kept_consistent` (the operator's
+    * survivor count equals n − |quality < threshold|, i.e. the broadcast
+    * join + filter kept exactly the suffix at its own threshold) and
+    * `rank_ok` (the threshold's rank window [|< t|+1, |≤ t|] overlaps the
+    * target rank 0.25·n within the GK guarantee ε·n = n/accuracy, +1 for
+    * rank-convention slack — tie-robust where a plain kept-count bound is
+    * not). The doc-level filtering semantics stay oracle-checked via the
+    * exact twin q_quality_filter; CorpusSpec pins approx-vs-exact
+    * survivor sets. */
   private def q_quality_filter_approx(s: SparkSession, d: String): DataFrame = {
+    val accuracy = 10000
     val staged = Tables.documents(s, d).select(col("doc_id"), col("lang"),
       round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
-    Corpus.quantileFilterApprox(staged, "lang", "quality", 0.25)
+    val kept = Corpus.quantileFilterApprox(staged, "lang", "quality",
+      0.25, accuracy)
+    // one evaluation of the sketch: the threshold is read back from the
+    // operator's own output (constant per lang), never recomputed
+    val keptAgg = kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("__n_kept"), min(col("q_threshold")).as("__t"))
+    val target = col("n_docs").cast("double") * 0.25
+    val slack = col("n_docs").cast("double") / accuracy + 1.0
+    staged.join(broadcast(keptAgg), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality") < col("__t"), 1L).otherwise(0L)).as("__lt"),
+        sum(when(col("quality") <= col("__t"), 1L).otherwise(0L)).as("__le"),
+        min(col("__n_kept")).as("__kept"))
+      .select(col("lang"), col("n_docs"),
+        (col("__kept") === col("n_docs") - col("__lt")).as("kept_consistent"),
+        ((col("__lt").cast("double") + 1.0 - slack <= target) &&
+          (col("__le").cast("double") + slack >= target)).as("rank_ok"))
   }
 
   /** §2b benchmark decontamination: docs with doc_id < 50 stand in for the
@@ -3537,11 +3588,27 @@ object SparkEntry {
          WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.3"""
 
   /** DuckDB oracle SQL per query (same tables, same column names).
-    * Omitted: q_approx_distinct (estimator differs by design → driver
-    * records the weaker rows-only check). */
+    * The three sketch-boundary queries (q_approx_distinct,
+    * q_hll_state_merge, q_quality_filter_approx) emit exact-side columns
+    * plus deterministic acceptance booleans, so their oracles pin the
+    * verdicts to TRUE — every query in the map is hash-checked. */
   def oracleSql: Map[String, String] = Map(
     "q_lsh_topk" -> lshTopkOracleSql,
     "q_lsh_topk_mp" -> lshTopkMpOracleSql,
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+                TRUE AS within_bound
+         FROM lineitem GROUP BY 1""",
+    "q_hll_state_merge" ->
+      """SELECT o_orderstatus,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+                TRUE AS merge_close_to_scratch, TRUE AS within_bound
+         FROM orders GROUP BY 1""",
+    "q_quality_filter_approx" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                TRUE AS kept_consistent, TRUE AS rank_ok
+         FROM documents GROUP BY lang""",
     "q_hash_split" ->
       """SELECT doc_id, pct AS split_pct,
                 CASE WHEN pct < 80 THEN 'train'

@@ -561,8 +561,12 @@ object Corpus {
     * COUNT(DISTINCT): exact distinct state is unbounded (the key set
     * itself), a sketch is KBs per group at any cardinality. Merge daily
     * states with [[mergeDistinctState]]; read with `hll_sketch_estimate`.
-    * HLL union is exact over sketches, so merged-then-estimated equals
-    * built-from-scratch-then-estimated — not just approximately. */
+    * While sketches are in sparse (coupon) mode the union is lossless —
+    * merged-then-estimated EQUALS built-from-scratch-then-estimated
+    * (CorpusSpec pins this on a 97-key fixture). Past the sparse→HLL
+    * promotion the union path may differ from a from-scratch sketch by
+    * a small fraction of the rsd (measured ≤1% at 14k keys); both stay
+    * inside the sketch's error envelope vs exact. */
   def distinctState(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
     df.groupBy(col(groupCol))
       .agg(hll_sketch_agg(col(keyCol)).as("distinct_sketch"))

@@ -303,7 +303,11 @@ class CorpusSpec extends SparkSuite {
     val scratch = Corpus.distinctState(df, "g", "k")
       .withColumn("n_distinct_est", hll_sketch_estimate(col("distinct_sketch")))
       .select("g", "n_distinct_est").as[(String, Long)].collect().toMap
-    assert(merged === scratch, "HLL union over sketches is lossless")
+    // 97 keys keeps both sketches in sparse (coupon) mode, where union
+    // IS lossless; past the HLL promotion (~thousands of keys at
+    // lgConfigK=12) merged and scratch may differ slightly — the harness
+    // q_hll_state_merge checks a ≤2% tolerance there instead.
+    assert(merged === scratch, "HLL union over sparse sketches is lossless")
     // error envelope vs exact distinct (97 keys, default lgConfigK=12 →
     // well under 5%)
     val exact = df.groupBy("g").agg(countDistinct(col("k")).as("n"))

@@ -17,15 +17,10 @@ class EntrySpec extends SparkSuite {
     // The round-4 judge caught 7 queries shipped without oracles (one
     // oracle even written but never registered). This pins the invariant:
     // a new query MUST land with its oracle, or be explicitly declared
-    // rows-only here with a reason.
-    val rowsOnly = Set(
-      "q_approx_distinct", // HLL++ estimate differs from exact by design
-      // GK-sketch boundary pick not reproducible in SQL; CorpusSpec pins
-      // it against the exact quantileFilter instead.
-      "q_quality_filter_approx",
-      // Datasketches HLL sketch bytes not reproducible in SQL; CorpusSpec
-      // pins merged-state == from-scratch and the error envelope instead.
-      "q_hll_state_merge")
+    // rows-only here with a reason. Since round 8 the set is EMPTY: the
+    // three sketch-boundary queries emit exact-side columns + acceptance
+    // booleans their oracles pin to TRUE, so every query is hash-checked.
+    val rowsOnly = Set.empty[String]
     val unverified = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unverified == rowsOnly,
       s"queries without an oracle (add one or declare rows-only): " +
