@@ -325,7 +325,36 @@ object Graph {
     * sound because a peel round is IDEMPOTENT at the fixpoint (peeling
     * a k-core returns the same k-core), so any unroll depth ≥ the true
     * peel depth yields the exact answer. */
-  def kCore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame =
+    kCoreRun(edges, k, maxIter).core
+
+  /** One [[kCore]] execution with its peel telemetry: `survivorsPerRound`
+    * is the surviving-node count after the initial degree filter and
+    * after each peel round (monotone non-increasing — each entry is the
+    * 1-row convergence aggregate the loop already computes, so telemetry
+    * costs nothing extra). The round count is the peel depth, which is
+    * DATA-DEPENDENT (measured 1.6 s → 10.7 s over 100× data growth on
+    * the bench graph as depth grew) — this readout is what lets an
+    * operator distinguish "deep peel structure" from "plan regression"
+    * at a glance, and `converged` makes the maxIter cap observable
+    * instead of silently returning a partially-peeled set. */
+  final case class KCoreRun(core: DataFrame, survivorsPerRound: Seq[Long],
+                            converged: Boolean) {
+    /** Peel rounds executed (excludes the initial degree filter). */
+    def rounds: Int = survivorsPerRound.length - 1
+    /** Fraction of then-surviving nodes peeled in each round — a flat,
+      * near-zero tail means rounds are being spent confirming a
+      * fixpoint; a long heavy tail means genuinely deep peel structure. */
+    def peelFractions: Seq[Double] =
+      survivorsPerRound.sliding(2).collect {
+        case Seq(a, b) if a > 0 => (a - b).toDouble / a
+        case Seq(_, _) => 0.0
+      }.toSeq
+  }
+
+  /** [[kCore]] with the per-round telemetry attached (same plan, same
+    * result — q_kcore runs through this path). */
+  def kCoreRun(edges: DataFrame, k: Int, maxIter: Int = 30): KCoreRun = {
     require(k >= 1, s"k must be >= 1: $k")
     require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
     var e = edges.select(col("src"), col("dst"))
@@ -337,6 +366,7 @@ object Graph {
     var prev = -1L
     var i = 0
     var n = survivors.count()
+    val trace = scala.collection.mutable.ArrayBuffer(n)
     while (prev != n && i < maxIter) {
       prev = n
       val keep = survivors.select(col("id"))
@@ -348,8 +378,9 @@ object Graph {
         .agg(count(lit(1)).as("degree"))
         .filter(col("degree") >= k).localCheckpoint()
       n = survivors.count()
+      trace += n
       i += 1
     }
-    survivors
+    KCoreRun(survivors, trace.toSeq, converged = prev == n)
   }
 }

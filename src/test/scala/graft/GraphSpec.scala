@@ -149,6 +149,33 @@ class GraphSpec extends SparkSuite {
     assert(core2 === core)
   }
 
+  test("kCoreRun telemetry: deep-tail peel depth, fractions, maxIter cap observable") {
+    def undirected(pairs: (Long, Long)*) =
+      pairs.toDF("src", "dst").unionByName(
+        pairs.map(_.swap).toDF("src", "dst"))
+    // triangle {1,2,3} + a 6-node chain 3—4—5—6—7—8—9: each round peels
+    // only the current chain endpoint (degree 1), so peel depth = 6
+    // cascading rounds + 1 confirming round at the fixpoint
+    val g = undirected((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L))
+    val run = Graph.kCoreRun(g, 2)
+    assert(run.converged)
+    // initial degree filter drops node 9 (deg 1) → 8 survivors; then the
+    // chain unravels one node per round down to the triangle
+    assert(run.survivorsPerRound === Seq(8L, 7L, 6L, 5L, 4L, 3L, 3L))
+    assert(run.rounds === 6)
+    // per-round peel fractions: heavy tail = genuinely deep structure;
+    // the final 0.0 is the fixpoint-confirming round
+    assert(run.peelFractions.last === 0.0)
+    assert(run.peelFractions.init.forall(_ > 0.0))
+    assert(run.core.collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
+    // a capped run surfaces non-convergence instead of silently
+    // returning a partially peeled set
+    val capped = Graph.kCoreRun(g, 2, maxIter = 2)
+    assert(!capped.converged)
+    assert(capped.survivorsPerRound === Seq(8L, 7L, 6L))
+  }
+
   test("hits: hand-traced 3 rounds on a directed bipartite graph") {
     // p1→s1, p2→s1, p2→s2: a3 = (s1:13, s2:8), h3 = (p1:13, p2:21)
     val edges = Seq(("p1", "s1"), ("p2", "s1"), ("p2", "s2"))
