@@ -134,11 +134,29 @@ object Joins {
     * inner/left equi-join since the small side is replicated across all
     * salts), the small side is replicated once per salt, and the join key
     * becomes (key, salt) — a hot key's rows now spread over `buckets`
-    * shuffle partitions instead of one straggler. Use when AQE's runtime
-    * skew-join split isn't available/enough (e.g. a hot key inside one
-    * shuffle block); result is identical to `big.join(small, key, how)`.
-    * Inner/left joins only: an outer join would emit `buckets` copies of
-    * each unmatched replicated small-side row. */
+    * shuffle partitions instead of one straggler. Result is identical to
+    * `big.join(small, key, how)` (JoinsSpec pins it against the plain
+    * join on a skewed fixture). Inner/left joins only: an outer join
+    * would emit `buckets` copies of each unmatched replicated small-side
+    * row.
+    *
+    * When to reach for which skew tool (JoinsSpec demonstrates the AQE
+    * row with plan assertions):
+    *
+    *  - Small side under the broadcast threshold → `broadcast(small)`:
+    *    no shuffle at all, skew is irrelevant. Always first choice.
+    *  - Shuffle join (SMJ/SHJ) with AQE on → DO NOTHING: AQE's
+    *    OptimizeSkewedJoin splits oversized shuffle partitions at
+    *    runtime (replicating the matching other-side partition), handles
+    *    single-hot-key skew, and unlike salting also covers outer joins.
+    *  - `saltedJoin` remains for the cases AQE can't touch: AQE disabled
+    *    or unavailable (fixed-partitioning writers, non-adaptive
+    *    engines), a skew-split suppressed because the join's output
+    *    partitioning is required downstream (e.g. the join feeds a
+    *    groupBy on the same key — splitting would force a re-shuffle, so
+    *    AQE declines; the salt survives INTO a downstream partial
+    *    aggregate), and pre-shuffled inputs (bucketed tables) where no
+    *    exchange exists for AQE to re-plan. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int, how: String = "inner"): DataFrame = {
     require(how == "inner" || how == "left" || how == "leftouter" || how == "left_outer",

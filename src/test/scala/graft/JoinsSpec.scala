@@ -251,6 +251,52 @@ class JoinsSpec extends SparkSuite {
     assert(ex.getMessage != null)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime; saltedJoin matches it bit-for-bit") {
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      // force a shuffle join: AQE skew handling never applies to broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      val pad = "x" * 64
+      // 90% of rows share key 0 → one shuffle partition ~18k × ~80B,
+      // far past the 16k threshold and 2× the median
+      val big = spark.range(0, 20000).select(
+        org.apache.spark.sql.functions.when($"id" < 18000, 0L)
+          .otherwise($"id" % 100).as("key"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit(pad), $"id").as("payload"))
+      val small = spark.range(0, 100).select($"id".as("key"), ($"id" * 2).as("v"))
+
+      val joined = big.join(small, Seq("key"))
+      val rows = joined.collect()
+      assert(rows.length === 20000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true") || finalPlan.contains("isSkewJoin=true"),
+        s"expected AQE to mark the SMJ as skew-handled; got:\n$finalPlan")
+
+      // identity contract: saltedJoin produces exactly the plain join's
+      // result — it's a physical-distribution rewrite, not a semantic one
+      val salted = Joins.saltedJoin(big, small, "key", buckets = 8)
+      assert(salted.collect().map(_.toSeq).toSet === rows.map(_.toSeq).toSet)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("joinCardEstimate: histogram count is exact, independence formula matches") {
     val left = Seq(1L, 1L, 2L, 3L).toDF("lk")
     val right = Seq(1L, 2L, 2L, 4L).toDF("rk")
