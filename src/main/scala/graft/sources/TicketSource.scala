@@ -16,6 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - server-side time-range filtering → `SupportsPushDownFilters` on
   *    created_at (the reference's `createdAt ge/le` params, ticket.py:109-115)
   *  - page-size limits → `SupportsPushDownLimit` (limit=100 cap, ticket.py:99)
+  *  - server-side sort+limit → `SupportsPushDownTopN` for ORDER BY
+  *    created_at ASC (the reference's `sort=createdAt` + limit params,
+  *    ticket.py:118-119); partial — Spark merge-limits the per-window
+  *    ascending prefixes
   *  - column selection → `SupportsPushDownRequiredColumns`
   *  - time-window partitioning → one `InputPartition` per window
   *    (`split_windows`, ticket.py:31-38): windows scan in parallel across
@@ -55,6 +59,7 @@ private[sources] class TicketScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownLimit
+    with SupportsPushDownTopN
     with SupportsPushDownRequiredColumns {
 
   private val startUs = TicketApi.parseIso(
@@ -73,6 +78,7 @@ private[sources] class TicketScanBuilder(options: CaseInsensitiveStringMap)
   private var leUs: Long = endUs
   private var pushed = Array.empty[Filter]
   private var limit: Option[Int] = None
+  private var topN: Boolean = false
   private var required: StructType = TicketApi.schema
 
   /** Accept created_at range predicates (they become API filter params);
@@ -97,22 +103,49 @@ private[sources] class TicketScanBuilder(options: CaseInsensitiveStringMap)
 
   override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
 
+  /** ORDER BY created_at ASC + LIMIT pushes to the server (the reference
+    * sends `sort=createdAt&limit=` params, ticket.py:118-119): the API
+    * already serves each window ascending, so a reader only fetches the
+    * first `l` rows of its window instead of paging it out. PARTIAL
+    * pushdown — with several window partitions the per-window prefixes
+    * must still be merge-limited, so Spark keeps its global TopN (which
+    * now sees ≤ l rows per partition, not the whole scan). Any other
+    * ordering is declined and evaluated Spark-side. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val ok = orders.length == 1 &&
+      orders.head.direction == SortDirection.ASCENDING &&
+      (orders.head.expression match {
+        case ref: NamedReference => ref.fieldNames.sameElements(Array("created_at"))
+        case _ => false
+      })
+    if (ok) {
+      limit = Some(limit.fold(l)(math.min(_, l)))
+      topN = true
+    }
+    ok
+  }
+  override def isPartiallyPushed(): Boolean = true
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def build(): Scan = new TicketScan(geUs, leUs, windowUs, pageSize,
-    limit, required, pushed)
+    limit, required, pushed, topN)
 }
 
 private[sources] class TicketScan(geUs: Long, leUs: Long, windowUs: Long,
                                   pageSize: Int, limit: Option[Int],
-                                  required: StructType, pushed: Array[Filter])
+                                  required: StructType, pushed: Array[Filter],
+                                  topN: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"TicketScan PushedFilters: [${pushed.mkString(", ")}], " +
-      s"range=[$geUs,$leUs], window=${windowUs}us, pageSize=$pageSize, limit=$limit"
+      s"range=[$geUs,$leUs], window=${windowUs}us, pageSize=$pageSize, " +
+      s"limit=$limit, topN=$topN"
 
   /** One partition per time window (split_windows, ticket.py:31-38) — the
     * unit of parallelism AND of retry isolation. Windows come from the

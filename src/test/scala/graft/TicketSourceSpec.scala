@@ -55,6 +55,34 @@ class TicketSourceSpec extends SparkSuite {
     assert(df.count() === 10)
   }
 
+  test("topN pushdown: orderBy(created_at).limit reaches the source; other orders decline") {
+    // ascending created_at matches the server's native order → pushed;
+    // each window reader fetches at most 5 rows, Spark merge-limits
+    val df = read("2024-01-01T00:00:00Z", "2024-03-01T00:00:00Z")
+      .orderBy("created_at").limit(5)
+    val desc = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }.get
+    assert(desc.contains("topN=true"), desc)
+    assert(desc.contains("limit=Some(5)"), desc)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(1)).toSeq === (0L until 5L).toSeq,
+      "global top-5 must be the first five tickets of the range")
+
+    // a descending order can't ride the ascending server sort: declined,
+    // evaluated Spark-side, result still correct
+    val down = read("2024-01-01T00:00:00Z", "2024-01-08T00:00:00Z")
+      .orderBy(col("created_at").desc).limit(1)
+    val downDesc = down.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }.get
+    assert(downDesc.contains("topN=false"), downDesc)
+    val expectLast = TicketApi.countIn(
+      TicketApi.parseIso("2024-01-01T00:00:00Z"),
+      TicketApi.parseIso("2024-01-08T00:00:00Z")) - 1
+    assert(down.collect().head.getLong(1) === expectLast)
+  }
+
   test("column pruning: reader materializes only required fields") {
     val df = read("2024-01-01T00:00:00Z", "2024-01-08T00:00:00Z").select("number")
     assert(df.columns.toSeq === Seq("number"))
