@@ -744,6 +744,25 @@ object SparkEntry {
         "doc_id", "text", 16),
       "doc_id", bands = 4, rowsPerBand = 4)
 
+  /** §2b batch twin of the streaming near-dup ingest
+    * ([[streaming.EventStreams.nearDupIngest]]): the documents table
+    * replayed as two micro-batches (doc_id < 60, then 60–119) through
+    * the SAME incremental admission — MinHash-LSH candidates + exact
+    * Jaccard ≥ 0.3 re-rank, keep-first within batch, accepted-only
+    * blocking across batches. The oracle replays band hashing, the
+    * re-rank and the admission logic in SQL; StreamingSpec pins the
+    * foreachBatch sink's surviving set equal to this twin's. */
+  private def q_neardup_admit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val b1 = docs.filter(col("doc_id") < 60)
+    val b2 = docs.filter(col("doc_id") >= 60 && col("doc_id") < 120)
+    val a1 = Dedup.admitNearDups(b1, b1.filter(lit(false)),
+      "doc_id", "text", 16, 4, 0.3)
+    val a2 = Dedup.admitNearDups(b2, a1, "doc_id", "text", 16, 4, 0.3)
+    a1.select(col("doc_id"), lit(1L).as("batch"))
+      .unionByName(a2.select(col("doc_id"), lit(2L).as("batch")))
+  }
+
   /** §2b frame sampling over a character-addressed payload (multimodal
     * frame-extraction plumbing; every 4th 32-char frame, md5 fingerprint). */
   private def q_frame_sample(s: SparkSession, d: String): DataFrame =
@@ -2743,6 +2762,7 @@ object SparkEntry {
     "q_rolling_hash" -> (q_rolling_hash _),
     "q_subword_count" -> (q_subword_count _),
     "q_lsh_candidates" -> (q_lsh_candidates _),
+    "q_neardup_admit" -> (q_neardup_admit _),
     "q_frame_sample" -> (q_frame_sample _),
     "q_ivf_topk" -> (q_ivf_topk _),
     "q_ivf_topk_bcast" -> (q_ivf_topk_bcast _),
@@ -4147,6 +4167,46 @@ object SparkEntry {
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM banded a JOIN banded b USING (band, band_hash)
          WHERE a.doc_id < b.doc_id""",
+    "q_neardup_admit" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, UNNEST($duckTokens) AS token
+                       FROM documents WHERE doc_id < 120),
+              sig AS (SELECT doc_id, seed,
+                        min(CAST(('0x' || substring(md5(seed || ':' || token), 1, 15))
+                            AS BIGINT)) AS min_hash
+                      FROM tok, (SELECT UNNEST(generate_series(0, 15)) AS seed)
+                      GROUP BY doc_id, seed),
+              banded AS (SELECT doc_id, seed // 4 AS band,
+                           md5(string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY seed))
+                             AS band_hash
+                         FROM sig GROUP BY doc_id, band),
+              cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                       FROM banded a JOIN banded b USING (band, band_hash)
+                       WHERE a.doc_id < b.doc_id),
+              sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+              inter AS (SELECT ta.doc_id AS id_a, tb.doc_id AS id_b,
+                               count(*) AS ni
+                        FROM tok ta JOIN tok tb USING (token)
+                        WHERE ta.doc_id < tb.doc_id
+                        GROUP BY 1, 2),
+              pairs AS (SELECT c.id_a, c.id_b
+                        FROM cand c
+                        JOIN sizes sa ON sa.doc_id = c.id_a
+                        JOIN sizes sb ON sb.doc_id = c.id_b
+                        JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+                        WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.3),
+              a1 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id < 60
+                     AND NOT EXISTS (SELECT 1 FROM pairs p
+                                     WHERE p.id_b = d.doc_id AND p.id_a < 60)),
+              a2 AS (SELECT d.doc_id FROM documents d
+                     WHERE d.doc_id >= 60 AND d.doc_id < 120
+                     AND NOT EXISTS (SELECT 1 FROM pairs p
+                                     JOIN a1 ON p.id_a = a1.doc_id
+                                     WHERE p.id_b = d.doc_id)
+                     AND NOT EXISTS (SELECT 1 FROM pairs p
+                                     WHERE p.id_b = d.doc_id AND p.id_a >= 60))
+         SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM a1
+         UNION ALL
+         SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM a2""",
     "q_frame_sample" ->
       """SELECT doc_id,
                 CAST(ceil(length(text) / 32.0) AS BIGINT) AS n_frames,

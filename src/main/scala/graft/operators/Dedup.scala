@@ -470,6 +470,69 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Incremental near-dup ADMISSION — the batch core of streaming
+    * near-dup ingest ([[graft.streaming.EventStreams.nearDupIngest]])
+    * and the batch twin the oracle checks (q_neardup_admit). Given a new
+    * batch of documents and the already-accepted destination corpus
+    * (ids disjoint from the batch — replays are dropped upstream by the
+    * exact-key dedup), admit the batch docs that are near-duplicates of
+    * neither (a) any ACCEPTED destination doc nor (b) a LOWER-id doc in
+    * the same batch. (b) is keep-first and non-recursive by design: a
+    * batch doc rejected against the destination still blocks its
+    * higher-id batch near-dups — deterministic, SQL-expressible, and at
+    * worst over-rejects a doc whose whole cluster is near the
+    * destination anyway. Near-dup = MinHash-LSH band collision
+    * (candidates) + exact token-Jaccard ≥ threshold (re-rank), the same
+    * two-stage contract as [[minHashLshCandidates]]+re-rank.
+    *
+    * Scale shape mirrors [[incrementalClusters]]' contract: the
+    * destination corpus is touched by exactly ONE band equi-join and one
+    * token join over candidate survivors (both ∝ collisions, and at
+    * production scale the destination's band hashes/token sets are
+    * precomputed at ingest); every other term is ∝ batch. Empty-text
+    * docs have no tokens, hence no bands and no candidates — they are
+    * always admitted here; exact duplicates of them belong to the
+    * exact-key dedup stage. */
+  def admitNearDups(batch: DataFrame, dest: DataFrame, idCol: String,
+                    textCol: String, numHashes: Int, rowsPerBand: Int,
+                    threshold: Double): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be in [0,1]: $threshold")
+    val bBand = bandHashes(
+      minHashSignatures(batch, idCol, textCol, numHashes), idCol, rowsPerBand)
+    val dBand = bandHashes(
+      minHashSignatures(dest, idCol, textCol, numHashes), idCol, rowsPerBand)
+    val candCross = bBand.select(col(idCol).as("__new"), col("band"), col("band_hash"))
+      .join(dBand.select(col(idCol).as("__old"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select(col("__new"), col("__old"))
+    val candWithin = bBand.select(col(idCol).as("__new"), col("band"), col("band_hash"))
+      .join(bBand.select(col(idCol).as("__old"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .filter(col("__old") < col("__new"))
+      .select(col("__new"), col("__old"))
+    val cand = candCross.unionByName(candWithin).distinct()
+    val bTok = tokenSets(batch, idCol, textCol)
+      .select(col(idCol).as("__new"), col("token"))
+    val oldTok = tokenSets(dest, idCol, textCol)
+      .select(col(idCol).as("__old"), col("token"))
+      .unionByName(bTok.select(col("__new").as("__old"), col("token")))
+    val sizesNew = bTok.groupBy(col("__new")).agg(count(lit(1)).as("__nn"))
+    val sizesOld = oldTok.groupBy(col("__old")).agg(count(lit(1)).as("__no"))
+    val rejected = cand
+      .join(bTok, "__new")
+      .join(oldTok, Seq("__old", "token"))
+      .groupBy(col("__new"), col("__old")).agg(count(lit(1)).as("__ni"))
+      .join(sizesNew, "__new")
+      .join(sizesOld, "__old")
+      .filter(col("__ni").cast("double")
+        / (col("__nn") + col("__no") - col("__ni")).cast("double") >= threshold)
+      .select(col("__new").as(idCol)).distinct()
+    batch.join(rejected, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-duplicate pairs: block on `bands` equal-width bit bands
     * of the 60-bit signature, equi-join within blocks, keep pairs with
     * Hamming distance ≤ `maxHamming` (native popcount expression). By

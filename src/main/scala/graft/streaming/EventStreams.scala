@@ -334,6 +334,41 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming NEAR-dup ingestion — [[dedupedIngest]]'s fuzzy sibling:
+    * each micro-batch first drops exact id replays against the
+    * destination (idempotent at-least-once ingest), then runs the
+    * incremental MinHash-LSH admission
+    * ([[graft.operators.Dedup.admitNearDups]]): batch docs that are
+    * near-duplicates of an accepted destination doc — or of a lower-id
+    * doc in the same batch — are rejected, survivors append. Per-batch
+    * work ∝ batch (the destination contributes one band equi-join +
+    * candidate token lookups), mirroring incrementalClusters'
+    * batch-incremental contract; the batch twin q_neardup_admit runs the
+    * identical admission over a 2-batch replay of the documents table
+    * and is oracle-checked end-to-end (band hashes, Jaccard re-rank,
+    * keep-first admission). StreamingSpec pins stream == batch-twin on
+    * the same split. */
+  def nearDupIngest(stream: DataFrame, destPath: String, idCol: String,
+                    textCol: String, numHashes: Int = 16,
+                    rowsPerBand: Int = 4, threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh =
+          if (new java.io.File(destPath).exists()) {
+            val dest = graft.operators.Sinks.readEvolved(spark, destPath)
+            val unseen = graft.operators.Joins.dedupAgainst(batch, dest, Seq(idCol))
+            graft.operators.Dedup.admitNearDups(unseen, dest, idCol, textCol,
+              numHashes, rowsPerBand, threshold)
+          } else
+            graft.operators.Dedup.admitNearDups(batch, batch.filter(lit(false)),
+              idCol, textCol, numHashes, rowsPerBand, threshold)
+        graft.operators.Sinks.appendEvolving(fresh, destPath)
+      }
+      .start()
+
   /** Streaming twin of [[graft.operators.TimeSeries.ewmaHalving]]: the
     * same truncated α=1/2 EWMA, but carried as keyed state so each event
     * is smoothed the moment it arrives instead of re-windowing a batch.

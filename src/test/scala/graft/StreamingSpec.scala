@@ -190,6 +190,40 @@ class StreamingSpec extends SparkSuite {
     assert(got === expected)
   }
 
+  test("nearDupIngest: streamed 2-batch admission equals the q_neardup_admit batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    val b1 = docs.filter(_._1 < 60).toSeq
+    val b2 = docs.filter(t => t._1 >= 60 && t._1 < 120).toSeq
+    val dest = java.nio.file.Files.createTempDirectory("graft-neardup-")
+      .resolve("dest").toString
+    val ms = MemoryStream[(Long, String)]
+    val input = ms.toDF().toDF("doc_id", "text")
+    val q = EventStreams.nearDupIngest(input, dest, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 4, threshold = 0.3)
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      // at-least-once replay: both batches again — exact-id dedup makes
+      // the ingest idempotent, nothing new lands
+      ms.addData((b1 ++ b2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(dest).select("doc_id").as[Long].collect()
+    assert(streamed.length === streamed.toSet.size, "replay must not duplicate")
+    val twin = SparkEntry.queries("q_neardup_admit")(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed.toSet === twin)
+    // the admission must actually reject something, or the fixture is
+    // vacuous (near-dups exist under doc_id < 120 at threshold 0.3)
+    assert(twin.size < b1.size + b2.size)
+  }
+
   test("statefulSessions streaming closes sessions via event-time timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
