@@ -23,26 +23,49 @@ import org.apache.spark.sql.types.StringType
   */
 object Pipeline {
 
-  /** main.py:46-62 rename map: dotted source path → business name. */
+  /** main.py:46-62 rename map: dotted source path → business name —
+    * VERBATIM the reference's `rename_map`, including the identity entries
+    * (createdAt/updatedAt keep their source names) and the two raw
+    * custom-field payloads (campo_custom_ticket feeds the whitelist
+    * extraction at main.py:90 and STAYS a column of the merged output,
+    * exactly as df_ticket_filtro1 keeps it). */
   val ticketRenameMap: Seq[(String, String)] = Seq(
     "id" -> "uuid",
     "number" -> "n_ticket",
     "summary" -> "titulo",
-    "tags" -> "tags",
-    "createdAt" -> "criado_em",
-    "updatedAt" -> "atualizado_em",
+    "tags" -> "tags_ticket",
+    "createdAt" -> "createdAt",
+    "updatedAt" -> "updatedAt",
     "status.name" -> "status_ticket",
     "channel.name" -> "channel_ticket",
-    "requester.name" -> "nome_do_requisitante",
-    "requester.email" -> "email_requisitante",
+    "requester.name" -> "autor_ticket",
+    "requester.email" -> "email_ticket",
     "group.id" -> "grupo_responsavel_ticket",
-    "lastHumanInteraction.propertiesChanges.status" -> "ultimo_status_humano")
+    "lastHumanInteraction.propertiesChanges.status" -> "status_ticket2",
+    "customField" -> "campo_custom_ticket",
+    "requester.customField" -> "campo_custom_ticket2")
 
   /** ticket.py:71-76 custom-field whitelist. */
   val customFieldWhitelist: Seq[String] = Seq(
     "codigo_de_rastreio", "cpf", "data_de_pagamento", "email_do_cliente",
     "motivo_de_contatos", "n_da_nota_fiscal", "n_do_pedido",
     "n_do_pedido_bling", "produto", "tipo_do_problema")
+
+  /** Is the dotted path resolvable against the frame's schema? Mirrors
+    * main.py:85-87's membership test on json_normalize's flattened dotted
+    * column names — here the dots are real nested-struct steps. */
+  private def resolvable(df: DataFrame, path: String): Boolean = {
+    import org.apache.spark.sql.types.StructType
+    def walk(dt: org.apache.spark.sql.types.DataType, parts: List[String]): Boolean =
+      (dt, parts) match {
+        case (_, Nil) => true
+        case (st: StructType, p :: rest) =>
+          st.fields.find(_.name.equalsIgnoreCase(p))
+            .exists(f => walk(f.dataType, rest))
+        case _ => false
+      }
+    walk(df.schema, path.split("\\.").toList)
+  }
 
   /** Ticket branch: backfill → select/rename (dotted paths) → whitelist
     * custom-field pivot → left join → casts → constant overwrite. */
@@ -51,20 +74,26 @@ object Pipeline {
     val expected = Seq("id", "number", "summary", "createdAt", "updatedAt")
     val backfilled = ColumnHygiene.backfill(tickets,
       expected.filterNot(tickets.columns.contains).map(_ -> StringType))
-    // T7: project dotted nested paths to business names (main.py:89)
-    val present = ticketRenameMap.filter { case (src, _) =>
-      backfilled.columns.contains(src.split("\\.").head)
-    }
-    val projected = Relational.projectRename(backfilled, present)
+    // T7: project dotted nested paths to business names (main.py:89);
+    // main.py:85-87 backfills EVERY missing rename_map key with NA, so an
+    // unresolvable dotted path (e.g. requester.customField on a payload
+    // whose requester struct never carried it) projects as a typed null
+    // rather than failing analysis.
+    val projected = backfilled.select(ticketRenameMap.map { case (src, dst) =>
+        (if (resolvable(backfilled, src)) col(src)
+         else lit(null).cast(StringType)).as(dst)
+      }.toIndexedSeq: _*)
       .withColumn("__uuid_key", col("uuid"))
-    // T8+T9: whitelist pivot carried on uuid, enrichment left join — built
-    // from the BACKFILLED frame so a payload with customField but no id
-    // flows through with null keys like the main branch (T6 guard).
+    // T8+T9: whitelist pivot carried on uuid, enrichment left join — fed
+    // from the RENAMED frame's campo_custom_ticket exactly like
+    // extrair_custom_ticket(df_ticket_filtro1) at main.py:90 (the raw
+    // payload column itself stays in `projected`, as in the reference).
     val custom =
-      if (backfilled.columns.contains("customField"))
+      if (resolvable(backfilled, "customField"))
         Nested.extractWhitelistedKV(
-          backfilled.select(col("id").as("__uuid_key"), col("customField")),
-          "customField", customFieldWhitelist, "ticket_")
+          projected.select(col("__uuid_key"),
+            col("campo_custom_ticket")),
+          "campo_custom_ticket", customFieldWhitelist, "ticket_")
       else projected.select(col("__uuid_key")).limit(0)
     val joined = Joins.enrichLeft(projected, custom, "__uuid_key").drop("__uuid_key")
     // T10 casts + T11 constant overwrite (the tab-guard bug means always-'')

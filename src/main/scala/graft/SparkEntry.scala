@@ -626,11 +626,18 @@ object SparkEntry {
   /** §2b count-preserving dedup: ONE canonical row per duplicate cluster
     * (lowest id), carrying the cluster size as a repetition weight — the
     * soft-dedup idiom that keeps downstream token/quality statistics
-    * unbiased after removal (weight 1 = unique doc). Same cluster
-    * derivation as q_dup_clusters; the weights are one extra aggregate. */
+    * unbiased after removal (weight 1 = unique doc). Clusters come from
+    * 3-gram shingle Jaccard (near-unique shingles ⇒ only genuine
+    * near-dups pair), so the fixture yields a MIX of multi-member
+    * clusters and weight-1 singletons at every SF (~14 multi + ~89
+    * singletons at sf0.01) — both the survivor-weight and the unique-doc
+    * paths are exercised and the oracle comparison is discriminating
+    * (the earlier word-token/0.3 cut chained all 60 docs into one
+    * cluster, a single-row result almost any aggregate would match). */
   private def q_dedup_weights(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.3)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 120)
+    val pairs = Dedup.jaccardPairsFrom(
+      Dedup.shingleSets(docs, "doc_id", "text"), "doc_id", 0.02)
     Dedup.duplicateClusters(docs.select(col("doc_id")), pairs, "doc_id")
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("weight"))
@@ -2638,17 +2645,24 @@ object SparkEntry {
   /** FLAGSHIP §3 composition — the reference's ENTIRE main.py dataflow as
     * ONE oracle-checked query at sf scale, through the SAME [[Pipeline.run]]
     * a reference user calls: nested-ticket scan → backfill (T6, `summary`
-    * is deliberately absent so the typed-null path fires) → dotted-path
-    * flatten/rename (T7) → whitelist custom-field pivot + enrichment join
-    * (T8/T9, one non-whitelisted key proves the filter) → casts + constant
-    * overwrite (T10/T11) → full-outer chat merge with collision suffixing
-    * (T12 — `nome_do_requisitante` exists on both sides) → key synthesis
+    * is deliberately absent so the typed-null path fires; so is
+    * `requester.customField`, firing the unresolvable-dotted-path null of
+    * main.py:85-87) → dotted-path flatten/rename (T7, the reference's
+    * rename_map VERBATIM: tags_ticket, createdAt/updatedAt kept,
+    * autor_ticket/email_ticket, status_ticket2, campo_custom_ticket/2) →
+    * whitelist custom-field pivot off campo_custom_ticket + enrichment
+    * join (T8/T9, one non-whitelisted key proves the filter) → casts +
+    * constant overwrite (T10/T11) → full-outer chat merge with collision
+    * suffixing (T12 — `autor_ticket` exists on both sides) → key synthesis
     * for chat-only rows (T13, deterministic generator) → audit stamp (T14,
     * overwritten with a pinned timestamp so the oracle can match) → name
     * sanitize + dup-column drop (T15/T17) → dedup-vs-destination (T16).
     * Tickets are orders rows re-shaped into the reference's nested JSON
     * layout; chats derive from customer with a ticketNumber that hits ~a
-    * quarter of tickets (both merge sides exercise their outer branch). */
+    * quarter of tickets (both merge sides exercise their outer branch).
+    * The raw campo_custom_ticket payload column survives to the output as
+    * in df_ticket_filtro1; it is JSON-stringified at the end ONLY because
+    * the driver's canonicalizer cannot sort raw array cells. */
   private def q_octadesk_e2e(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val tickets = o.select(
@@ -2675,11 +2689,59 @@ object SparkEntry {
       concat(lit("C"), col("c_custkey").cast("string")).as("chat_id"),
       (col("c_custkey") * 4).cast("string").as("evt_ticket_ticketNumber"),
       col("c_mktsegment").as("segmento"),
-      col("c_name").as("nome_do_requisitante"))
+      col("c_name").as("autor_ticket"))
     val dest = o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
       .select(col("o_orderkey").cast("string").as("n_ticket"))
     Pipeline.run(tickets, chats, dest,
         uuidGen = concat(lit("gen-"), col("n_ticket")))
+      .withColumn("campo_custom_ticket", to_json(col("campo_custom_ticket")))
+      .withColumn("upload", lit("2026-08-13 00:00:00").cast("timestamp"))
+  }
+
+  /** FLAGSHIP drift variant — the SAME [[Pipeline.run]] under schema
+    * evolution, the condition main.py actually runs in (live Octadesk
+    * payloads grow/lose fields between dailies): `updatedAt` is absent
+    * from the payload (T6 backfill fires ON A RENAME-MAP KEY, not just
+    * `summary`), the chat side carries an UNSEEN dynamic cf_* column with
+    * a name needing sanitation (`cf_segmento?novo` → cf_segmento_novo,
+    * T15 on never-seen-before input), and TWO chat columns that collide
+    * post-sanitize (`cf_n?mero_do_cliente` / `cf_n-mero_do_cliente` both
+    * → cf_n_mero_do_cliente) so T17's keep-first drop fires on a
+    * collision CREATED BY sanitation rather than present in the input —
+    * the exact failure mode of reference chat.py:21-31's regex rename.
+    * Oracle keeps the first (c_name) copy and the evolved null columns. */
+  private def q_octadesk_e2e_drift(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val tickets = o.select(
+      concat(lit("T"), col("o_orderkey").cast("string")).as("id"),
+      col("o_orderkey").as("number"),
+      Relational.isoFormat(col("o_orderdate")).as("createdAt"),
+      concat(col("o_orderstatus"), lit(","), col("o_orderpriority")).as("tags"),
+      struct(col("o_orderstatus").as("name")).as("status"),
+      struct(col("o_orderpriority").as("name")).as("channel"),
+      struct(concat(lit("Clerk#"), (col("o_custkey") % 1000).cast("string")).as("name"),
+        concat(lit("clerk"), (col("o_custkey") % 1000).cast("string"),
+          lit("@example.com")).as("email")).as("requester"),
+      struct((col("o_custkey") % 10).as("id")).as("group"),
+      struct(struct(col("o_orderstatus").as("status")).as("propertiesChanges"))
+        .as("lastHumanInteraction"),
+      array(
+        struct(lit("n_do_pedido").as("key"),
+          col("o_orderkey").cast("string").as("value")),
+        struct(lit("produto").as("key"), col("o_orderpriority").as("value")),
+        struct(lit("nao_listado").as("key"), lit("drop me").as("value"))
+      ).as("customField"))
+    val chats = Tables.customer(s, d).select(
+      concat(lit("C"), col("c_custkey").cast("string")).as("chat_id"),
+      (col("c_custkey") * 4).cast("string").as("evt_ticket_ticketNumber"),
+      col("c_mktsegment").as("cf_segmento?novo"),
+      col("c_name").as("cf_n?mero_do_cliente"),
+      col("c_nationkey").cast("string").as("cf_n-mero_do_cliente"))
+    val dest = o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+      .select(col("o_orderkey").cast("string").as("n_ticket"))
+    Pipeline.run(tickets, chats, dest,
+        uuidGen = concat(lit("gen-"), col("n_ticket")))
+      .withColumn("campo_custom_ticket", to_json(col("campo_custom_ticket")))
       .withColumn("upload", lit("2026-08-13 00:00:00").cast("timestamp"))
   }
 
@@ -2703,6 +2765,7 @@ object SparkEntry {
     "q_sanitize_names" -> (q_sanitize_names _),
     "q_upsert" -> (q_upsert _),
     "q_octadesk_e2e" -> (q_octadesk_e2e _),
+    "q_octadesk_e2e_drift" -> (q_octadesk_e2e_drift _),
     "q_events_pivot" -> (q_events_pivot _),
     "q_json_extract" -> (q_json_extract _),
     "q_from_json" -> (q_from_json _),
@@ -4537,15 +4600,20 @@ object SparkEntry {
            SELECT 'T' || CAST(o_orderkey AS VARCHAR) AS uuid,
                   CAST(o_orderkey AS VARCHAR) AS n_ticket,
                   CAST(NULL AS VARCHAR) AS titulo,
-                  o_orderstatus || ',' || o_orderpriority AS tags,
-                  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '+0000' AS criado_em,
-                  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '+0000' AS atualizado_em,
+                  o_orderstatus || ',' || o_orderpriority AS tags_ticket,
+                  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '+0000' AS createdAt,
+                  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '+0000' AS updatedAt,
                   o_orderstatus AS status_ticket,
                   o_orderpriority AS channel_ticket,
-                  'Clerk#' || CAST(o_custkey % 1000 AS VARCHAR) AS nome_do_requisitante_ticket,
-                  'clerk' || CAST(o_custkey % 1000 AS VARCHAR) || '@example.com' AS email_requisitante,
+                  'Clerk#' || CAST(o_custkey % 1000 AS VARCHAR) AS autor_ticket_ticket,
+                  'clerk' || CAST(o_custkey % 1000 AS VARCHAR) || '@example.com' AS email_ticket,
                   CAST(o_custkey % 10 AS BIGINT) AS grupo_responsavel_ticket,
-                  o_orderstatus AS ultimo_status_humano,
+                  o_orderstatus AS status_ticket2,
+                  to_json([{'key': 'n_do_pedido', 'value': CAST(o_orderkey AS VARCHAR)},
+                           {'key': 'produto', 'value': o_orderpriority},
+                           {'key': 'nao_listado', 'value': 'drop me'}])
+                    AS campo_custom_ticket,
+                  CAST(NULL AS VARCHAR) AS campo_custom_ticket2,
                   CAST(NULL AS VARCHAR) AS ticket_codigo_de_rastreio,
                   CAST(NULL AS VARCHAR) AS ticket_cpf,
                   CAST(NULL AS VARCHAR) AS ticket_data_de_pagamento,
@@ -4562,15 +4630,76 @@ object SparkEntry {
            SELECT 'C' || CAST(c_custkey AS VARCHAR) AS chat_id,
                   CAST(c_custkey * 4 AS VARCHAR) AS ck,
                   c_mktsegment AS segmento,
-                  c_name AS nome_do_requisitante_chat
+                  c_name AS autor_ticket_chat
            FROM customer),
          merged AS (
            SELECT COALESCE(c.ck, t.n_ticket) AS n_ticket,
-                  c.chat_id, c.segmento, c.nome_do_requisitante_chat,
-                  t.uuid, t.titulo, t.tags, t.criado_em, t.atualizado_em,
+                  c.chat_id, c.segmento, c.autor_ticket_chat,
+                  t.uuid, t.titulo, t.tags_ticket, t.createdAt, t.updatedAt,
                   t.status_ticket, t.channel_ticket,
-                  t.nome_do_requisitante_ticket, t.email_requisitante,
-                  t.grupo_responsavel_ticket, t.ultimo_status_humano,
+                  t.autor_ticket_ticket, t.email_ticket,
+                  t.grupo_responsavel_ticket, t.status_ticket2,
+                  t.campo_custom_ticket, t.campo_custom_ticket2,
+                  t.ticket_codigo_de_rastreio, t.ticket_cpf,
+                  t.ticket_data_de_pagamento, t.ticket_email_do_cliente,
+                  t.ticket_motivo_de_contatos, t.ticket_n_da_nota_fiscal,
+                  t.ticket_n_do_pedido, t.ticket_n_do_pedido_bling,
+                  t.ticket_produto, t.ticket_tipo_do_problema,
+                  t.contact_cf_n_mero_do_ticket
+           FROM chats c FULL OUTER JOIN tickets t ON c.ck = t.n_ticket)
+         SELECT * REPLACE (
+                  CASE WHEN uuid IS NULL OR trim(uuid) = ''
+                       THEN 'gen-' || n_ticket ELSE uuid END AS uuid),
+                TIMESTAMP '2026-08-13 00:00:00' AS upload
+         FROM merged m
+         WHERE NOT EXISTS (SELECT 1 FROM orders dd
+                           WHERE dd.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+                             AND CAST(dd.o_orderkey AS VARCHAR) = m.n_ticket)""",
+    "q_octadesk_e2e_drift" ->
+      """WITH tickets AS (
+           SELECT 'T' || CAST(o_orderkey AS VARCHAR) AS uuid,
+                  CAST(o_orderkey AS VARCHAR) AS n_ticket,
+                  CAST(NULL AS VARCHAR) AS titulo,
+                  o_orderstatus || ',' || o_orderpriority AS tags_ticket,
+                  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '+0000' AS createdAt,
+                  CAST(NULL AS VARCHAR) AS updatedAt,
+                  o_orderstatus AS status_ticket,
+                  o_orderpriority AS channel_ticket,
+                  'Clerk#' || CAST(o_custkey % 1000 AS VARCHAR) AS autor_ticket,
+                  'clerk' || CAST(o_custkey % 1000 AS VARCHAR) || '@example.com' AS email_ticket,
+                  CAST(o_custkey % 10 AS BIGINT) AS grupo_responsavel_ticket,
+                  o_orderstatus AS status_ticket2,
+                  to_json([{'key': 'n_do_pedido', 'value': CAST(o_orderkey AS VARCHAR)},
+                           {'key': 'produto', 'value': o_orderpriority},
+                           {'key': 'nao_listado', 'value': 'drop me'}])
+                    AS campo_custom_ticket,
+                  CAST(NULL AS VARCHAR) AS campo_custom_ticket2,
+                  CAST(NULL AS VARCHAR) AS ticket_codigo_de_rastreio,
+                  CAST(NULL AS VARCHAR) AS ticket_cpf,
+                  CAST(NULL AS VARCHAR) AS ticket_data_de_pagamento,
+                  CAST(NULL AS VARCHAR) AS ticket_email_do_cliente,
+                  CAST(NULL AS VARCHAR) AS ticket_motivo_de_contatos,
+                  CAST(NULL AS VARCHAR) AS ticket_n_da_nota_fiscal,
+                  CAST(o_orderkey AS VARCHAR) AS ticket_n_do_pedido,
+                  CAST(NULL AS VARCHAR) AS ticket_n_do_pedido_bling,
+                  o_orderpriority AS ticket_produto,
+                  CAST(NULL AS VARCHAR) AS ticket_tipo_do_problema,
+                  '' AS contact_cf_n_mero_do_ticket
+           FROM orders),
+         chats AS (
+           SELECT 'C' || CAST(c_custkey AS VARCHAR) AS chat_id,
+                  CAST(c_custkey * 4 AS VARCHAR) AS ck,
+                  c_mktsegment AS cf_segmento_novo,
+                  c_name AS cf_n_mero_do_cliente
+           FROM customer),
+         merged AS (
+           SELECT COALESCE(c.ck, t.n_ticket) AS n_ticket,
+                  c.chat_id, c.cf_segmento_novo, c.cf_n_mero_do_cliente,
+                  t.uuid, t.titulo, t.tags_ticket, t.createdAt, t.updatedAt,
+                  t.status_ticket, t.channel_ticket,
+                  t.autor_ticket, t.email_ticket,
+                  t.grupo_responsavel_ticket, t.status_ticket2,
+                  t.campo_custom_ticket, t.campo_custom_ticket2,
                   t.ticket_codigo_de_rastreio, t.ticket_cpf,
                   t.ticket_data_de_pagamento, t.ticket_email_do_cliente,
                   t.ticket_motivo_de_contatos, t.ticket_n_da_nota_fiscal,
@@ -5004,23 +5133,25 @@ object SparkEntry {
          SELECT id AS doc_id, cluster, (id = cluster) AS is_canonical FROM cl""",
     "q_dedup_weights" ->
       """WITH RECURSIVE
-           tok AS (SELECT DISTINCT doc_id,
-                     UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS token
-                   FROM documents WHERE doc_id < 60),
-           sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+           tok AS (SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
+                   FROM documents WHERE doc_id < 120),
+           sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS token
+                  FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-                     FROM tok a JOIN tok b
+                     FROM sh a JOIN sh b
                        ON a.token = b.token AND a.doc_id < b.doc_id
                      GROUP BY 1, 2),
            pairs AS (SELECT i.id_a, i.id_b
                      FROM inter i
                      JOIN sizes sa ON i.id_a = sa.doc_id
                      JOIN sizes sb ON i.id_b = sb.doc_id
-                     WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.3),
+                     WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.02),
            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                      UNION
                      SELECT id_b AS src, id_a AS dst FROM pairs),
-           nodes AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 60),
+           nodes AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 120),
            walk(id, lbl) AS (
              SELECT id, id FROM nodes
              UNION

@@ -657,6 +657,19 @@ object Dedup {
     * Agreement is null-safe equality (two nulls agree — mirror of SQL
     * IS NOT DISTINCT FROM).
     *
+    * Caveat (u is UNCONDITIONAL): u_f is the collision rate over random
+    * GLOBAL pairs, but candidate pairs are drawn only within blocks.
+    * When a field's values correlate with the blocking key (e.g. balance
+    * buckets within a nation), within-block chance agreement exceeds the
+    * global u_f, so every pair's agree-evidence ln(m/u) is inflated by
+    * the same bias — absolute fs_scores shift up and a threshold tuned
+    * on global-u assumptions over-links. The RANKING within a block is
+    * unaffected (the bias is a per-field constant given the block
+    * distribution). Where fields and blocks correlate, either pick
+    * blocking keys independent of the comparison fields, or estimate u
+    * from within-block pair collision rates (Σ_blocks Σ_v c_bv² over
+    * Σ_blocks n_b² in place of Σ_v c_v²/n²).
+    *
     * Scale shape: one tiny aggregate per field (Σc² over the field's
     * value histogram → a 1-row u scalar, broadcast), then ONE block-keyed
     * self-equi-join — pair volume Σ block², the blocking contract (pick
