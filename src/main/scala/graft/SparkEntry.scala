@@ -644,6 +644,25 @@ object SparkEntry {
       .select(col("cluster").as("doc_id"), col("weight"))
   }
 
+  /** §2b modularity audit of the near-dup clustering: Newman Q per
+    * cluster ([[Graph.modularity]]) over the SAME shingle-Jaccard pair
+    * graph and CC partition as q_dedup_weights — the acceptance readout
+    * that the dedup "clusters" are genuine communities, not random
+    * wiring (for a CC partition every edge is intra, so Q_c reduces to
+    * m_c/m − (d_c/2m)², still discriminating: big dense clusters earn
+    * less than their edge share suggests). Multi-member clusters AND
+    * zero-contribution singletons both appear at every SF. */
+  private def q_modularity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 120)
+    val pairs = Dedup.jaccardPairsFrom(
+      Dedup.shingleSets(docs, "doc_id", "text"), "doc_id", 0.02)
+    val labels = Dedup.duplicateClusters(docs.select(col("doc_id")), pairs,
+      "doc_id")
+    Graph.modularity(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      labels, "doc_id", "cluster")
+  }
+
   /** §2b LSH S-curve calibration: per exact-Jaccard decile, the observed
     * MinHash band-collision rate vs the analytic 1−(1−j⁴)⁴ expectation
     * for the (bands=4, rows=4) index — run this BEFORE trusting an LSH
@@ -1680,6 +1699,33 @@ object SparkEntry {
     * corpus, the KS small-multiples companion to q_psi/q_jsd_drift. */
   private def q_ks_per_source(s: SparkSession, d: String): DataFrame =
     Stats.groupKsDrift(Tables.documents(s, d), "source", "n_chars")
+
+  /** §2b BH-FDR-corrected drift battery: the per-source KS small
+    * multiples promoted to decision grade — a DETERMINISTIC +150-char
+    * location shift is injected into src0–src4 (known-drift validation:
+    * the synthetic corpus is drift-free, so without injection every
+    * verdict is vacuously non-significant), each source's two-sample KS
+    * becomes an asymptotic p = min(1, 2·exp(−2·D²·n_e)) with
+    * n_e = n₁n₂/(n₁+n₂), and [[Stats.bhAdjust]] turns the m=20 raw
+    * p-values into rank / adjusted-p / reject-at-α=0.05 verdicts.
+    * Shifted and unshifted sources land on BOTH sides of the verdict at
+    * every SF (3-4 rejections at sf0.001/0.01), so the oracle comparison
+    * exercises rank ordering, the suffix-min monotonization AND both
+    * verdict branches. p is 6dp-rounded before ranking (exp ulp cannot
+    * reorder) and ties break on source. */
+  private def q_fdr_bh(s: SparkSession, d: String): DataFrame = {
+    val shifted = Tables.documents(s, d).withColumn("__v",
+      col("n_chars") + when(
+        col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        lit(150L)).otherwise(lit(0L)))
+    val ks = Stats.groupKsDrift(shifted, "source", "__v")
+    val ne = col("n_group").cast("double") * col("n_rest").cast("double") /
+      (col("n_group") + col("n_rest")).cast("double")
+    val p = least(lit(1.0),
+      round(lit(2.0) * exp(lit(-2.0) * col("ks") * col("ks") * ne), 6))
+    Stats.bhAdjust(ks.withColumn("p_value", p), "p_value", Seq("source"),
+      alpha = 0.05)
+  }
 
   /** §2b length-distribution flattening: deterministic rejection sampling
     * of docs to a uniform target over 200-char length bins — the
@@ -2898,9 +2944,11 @@ object SparkEntry {
     "q_quantile_norm" -> (q_quantile_norm _),
     "q_source_ablation" -> (q_source_ablation _),
     "q_ks_per_source" -> (q_ks_per_source _),
+    "q_fdr_bh" -> (q_fdr_bh _),
     "q_dist_match" -> (q_dist_match _),
     "q_fellegi_sunter" -> (q_fellegi_sunter _),
     "q_dedup_weights" -> (q_dedup_weights _),
+    "q_modularity" -> (q_modularity _),
     "q_lsh_calibration" -> (q_lsh_calibration _),
     "q_snapshot_diff" -> (q_snapshot_diff _),
     "q_column_profile" -> (q_column_profile _),
@@ -4139,6 +4187,62 @@ object SparkEntry {
                       - CAST(cumt - cumg AS DOUBLE)
                         / CAST(nt - ng AS DOUBLE)) END), 6) AS ks
          FROM cum GROUP BY 1""",
+    "q_fdr_bh" ->
+      """WITH b AS (SELECT source AS g,
+                           n_chars + CASE WHEN source IN
+                             ('src0','src1','src2','src3','src4')
+                             THEN 150 ELSE 0 END AS v
+                    FROM documents WHERE n_chars IS NOT NULL),
+              gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                     FROM b GROUP BY 1, 2),
+              tv AS (SELECT v, CAST(count(*) AS BIGINT) AS ct
+                     FROM b GROUP BY 1),
+              gs AS (SELECT DISTINCT g FROM b),
+              grid AS (SELECT gs.g, tv.v, tv.ct, COALESCE(gv.c, 0) AS c
+                       FROM tv CROSS JOIN gs
+                       LEFT JOIN gv ON gv.g = gs.g AND gv.v = tv.v),
+              cum AS (SELECT g,
+                             sum(c) OVER (PARTITION BY g ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cumg,
+                             sum(ct) OVER (PARTITION BY g ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cumt,
+                             sum(c) OVER (PARTITION BY g) AS ng,
+                             sum(ct) OVER (PARTITION BY g) AS nt
+                      FROM grid),
+              ks AS (SELECT g AS source,
+                            CAST(max(ng) AS BIGINT) AS n_group,
+                            CAST(max(nt - ng) AS BIGINT) AS n_rest,
+                            round(max(CASE WHEN nt > ng THEN
+                              abs(CAST(cumg AS DOUBLE) / CAST(ng AS DOUBLE)
+                                  - CAST(cumt - cumg AS DOUBLE)
+                                    / CAST(nt - ng AS DOUBLE)) END), 6) AS ks
+                     FROM cum GROUP BY 1),
+              pv AS (SELECT source, n_group, n_rest, ks,
+                            least(1.0, round(2.0 * exp(-2.0 * ks * ks
+                              * (CAST(n_group AS DOUBLE) * CAST(n_rest AS DOUBLE)
+                                 / CAST(n_group + n_rest AS DOUBLE))), 6))
+                              AS p_value
+                     FROM ks),
+              ranked AS (SELECT *,
+                                CAST(count(*) OVER () AS BIGINT) AS m,
+                                CAST(row_number() OVER
+                                  (ORDER BY p_value, source) AS INTEGER)
+                                  AS bh_rank
+                         FROM pv)
+         SELECT source, n_group, n_rest, ks, p_value, bh_rank,
+                round(least(min(CAST(m AS DOUBLE) * p_value / bh_rank)
+                        OVER (ORDER BY p_value, source
+                              ROWS BETWEEN CURRENT ROW
+                                       AND UNBOUNDED FOLLOWING),
+                      1.0), 6) AS p_adj,
+                round(least(min(CAST(m AS DOUBLE) * p_value / bh_rank)
+                        OVER (ORDER BY p_value, source
+                              ROWS BETWEEN CURRENT ROW
+                                       AND UNBOUNDED FOLLOWING),
+                      1.0), 6) <= 0.05 AS significant
+         FROM ranked""",
     "q_source_ablation" ->
       """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
                            CAST(sum(n_chars) AS BIGINT) AS s
@@ -5159,6 +5263,56 @@ object SparkEntry {
            cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
          SELECT cluster AS doc_id, CAST(count(*) AS BIGINT) AS weight
          FROM cl GROUP BY 1""",
+    "q_modularity" ->
+      """WITH RECURSIVE
+           tok AS (SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
+                   FROM documents WHERE doc_id < 120),
+           sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS token
+                  FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                     FROM sh a JOIN sh b
+                       ON a.token = b.token AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+           pairs AS (SELECT i.id_a, i.id_b
+                     FROM inter i
+                     JOIN sizes sa ON i.id_a = sa.doc_id
+                     JOIN sizes sb ON i.id_b = sb.doc_id
+                     WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.02),
+           edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                     UNION
+                     SELECT id_b AS src, id_a AS dst FROM pairs),
+           nodes AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 120),
+           walk(id, lbl) AS (
+             SELECT id, id FROM nodes
+             UNION
+             SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.id = e.src),
+           cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id),
+           canon AS (SELECT id_a AS a, id_b AS b FROM pairs),
+           mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM canon),
+           intra AS (SELECT ca.cluster AS c, CAST(count(*) AS BIGINT) AS e_c
+                     FROM canon
+                     JOIN cl ca ON canon.a = ca.id
+                     JOIN cl cb ON canon.b = cb.id
+                     WHERE ca.cluster = cb.cluster
+                     GROUP BY 1),
+           deg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg
+                   FROM (SELECT a AS id FROM canon
+                         UNION ALL SELECT b AS id FROM canon)
+                   GROUP BY 1),
+           dm AS (SELECT cl.cluster AS c, CAST(count(*) AS BIGINT) AS n_nodes,
+                         CAST(COALESCE(sum(deg.dg), 0) AS BIGINT) AS d_c
+                  FROM cl LEFT JOIN deg ON cl.id = deg.id
+                  GROUP BY 1)
+         SELECT dm.c AS cluster, dm.n_nodes,
+                COALESCE(intra.e_c, 0) AS e_c, dm.d_c,
+                CASE WHEN m.m > 0 THEN
+                  round(CAST(COALESCE(intra.e_c, 0) AS DOUBLE) / m.m
+                        - (CAST(dm.d_c AS DOUBLE) / (2.0 * m.m))
+                          * (CAST(dm.d_c AS DOUBLE) / (2.0 * m.m)), 6)
+                END AS q_contrib
+         FROM dm LEFT JOIN intra ON dm.c = intra.c, mm m""",
     "q_lsh_calibration" ->
       """WITH tok AS (SELECT DISTINCT doc_id,
                         UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS token

@@ -383,4 +383,62 @@ object Graph {
     }
     KCoreRun(survivors, trace.toSeq, converged = prev == n)
   }
+
+  /** Newman modularity of a given node partition (public: Newman & Girvan
+    * PRE'04): per community c, Q_c = e_c/m − (d_c/2m)² — intra-community
+    * edge share minus the share expected under the degree-preserving null
+    * model; Q = Σ_c Q_c ∈ [−½, 1). THE acceptance readout for any
+    * community/cluster assignment over a graph (label propagation,
+    * near-dup connected components): Q ≈ 0 means the "communities" are no
+    * better than random wiring, so a dedup/community pass that reports
+    * high Q structure actually found it. Emitted PER COMMUNITY (n_nodes,
+    * intra edges e_c, degree mass d_c, 6dp-rounded contribution) so the
+    * suspicious communities are identifiable; Σ contribution = Q.
+    *
+    * `edges` is an undirected edge list in any form (either/both
+    * directions, dups, self-loops — canonicalized to a<b first);
+    * `labels` maps EVERY node id (isolated nodes included, d_c = 0 rows
+    * contribute 0) to its community. Exact integer counts everywhere;
+    * the only doubles are the two final divisions.
+    *
+    * Scale shape: canonicalize (one distinct), two label equi-joins on
+    * the edge list, one degree aggregate + label join, two community hash
+    * aggregates and a 1-row total broadcast — shuffle ∝ |E|, no
+    * iteration, no window. */
+  def modularity(edges: DataFrame, labels: DataFrame, idCol: String,
+                 communityCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val lab = labels.select(col(idCol).as("__id"),
+      col(communityCol).as("__c"))
+    val m = canon.agg(count(lit(1)).as("__m"))
+    // intra-community edges: both endpoints carry the same label
+    val intra = canon
+      .join(lab.toDF("a", "__ca"), Seq("a"))
+      .join(lab.toDF("b", "__cb"), Seq("b"))
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("__c"))
+      .agg(count(lit(1)).as("e_c"))
+    // degree mass: every canonical edge contributes 1 to each endpoint
+    val deg = canon.select(col("a").as("__id"))
+      .unionAll(canon.select(col("b").as("__id")))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__deg"))
+    val dMass = lab.join(deg, Seq("__id"), "left")
+      .groupBy(col("__c"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("__deg"), lit(0L))).as("d_c"))
+    dMass.join(intra, Seq("__c"), "left")
+      .na.fill(0L, Seq("e_c"))
+      .crossJoin(broadcast(m))
+      .select(col("__c").as(communityCol), col("n_nodes"),
+        col("e_c"), col("d_c"),
+        // edgeless graph → null contribution (never NaN/∞)
+        when(col("__m") > 0,
+          round(col("e_c").cast("double") / col("__m")
+            - (col("d_c").cast("double") / (lit(2.0) * col("__m")))
+              * (col("d_c").cast("double") / (lit(2.0) * col("__m"))), 6))
+          .as("q_contrib"))
+  }
 }

@@ -655,4 +655,44 @@ object Stats {
         round(q, 6).as("p_cur"),
         round(half(p) + half(q), 6).as("jsd_contrib"))
   }
+
+  /** Benjamini–Hochberg step-up FDR control (Benjamini & Hochberg,
+    * JRSS-B'95) over a frame of hypotheses: per row, the BH rank, the
+    * adjusted p-value p_adj(i) = min_{j≥i} m·p_(j)/j (the monotone
+    * step-up form), and the rejection verdict p_adj ≤ α. THE correction
+    * to run over a battery of per-slice drift tests (KS per source, χ²
+    * per segment): with m slices, per-test α lets ~m·α false alarms
+    * through every run, while Bonferroni's α/m kills real drift — BH
+    * bounds the expected false-discovery RATE at α with far more power.
+    *
+    * Determinism: the input p is rounded to `roundScale` BEFORE ranking
+    * (so a cross-engine exp/erfc ulp cannot reorder ties), ranking
+    * tie-breaks on `tieCols`, and p_adj is rounded before the ≤ α
+    * comparison — verdicts are engine-stable end to end.
+    *
+    * Scale shape: m = number of HYPOTHESES (slices, not rows — dozens to
+    * thousands), so the two unpartitioned windows (rank, suffix-min) run
+    * over an m-row frame in one task BY DESIGN; aggregate row-grain data
+    * to hypothesis grain first, never feed raw rows. */
+  def bhAdjust(tests: DataFrame, pCol: String, tieCols: Seq[String],
+               alpha: Double = 0.05, roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tieCols.nonEmpty, "tieCols must make the hypothesis order total")
+    val ord = col("__p").asc +: tieCols.map(col(_).asc)
+    val wRank = Window.orderBy(ord: _*)
+    val wSuffix = Window.orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tests
+      .withColumn("__p", round(col(pCol), roundScale))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("bh_rank", row_number().over(wRank))
+      .withColumn("__stat",
+        col("__m").cast("double") * col("__p") / col("bh_rank"))
+      .withColumn("p_adj",
+        round(least(min(col("__stat")).over(wSuffix), lit(1.0)), roundScale))
+      .withColumn("significant", col("p_adj") <= lit(alpha))
+      .drop("__p", "__m", "__stat")
+  }
 }

@@ -190,4 +190,34 @@ class GraphSpec extends SparkSuite {
       "p2" -> ((0.0, 1.0))))
     intercept[IllegalArgumentException] { Graph.hits(edges, 5) }
   }
+
+  test("modularity: the two-triangles-and-a-bridge hand-checked example") {
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3-4: m = 7.
+    // Partitioned into the two triangles: e_c = 3 each, degree mass
+    // d_c = 2+2+3 = 7 each → Q_c = 3/7 − (7/14)² = 0.178571, Q = 0.357143
+    // (the textbook planted-communities value). Edges fed messy on
+    // purpose: both directions for one edge, a dup, a self-loop.
+    val edges = Seq((1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4),
+      (2, 1), (4, 5), (6, 6)).toDF("src", "dst")
+    val labels = Seq(1 -> "t1", 2 -> "t1", 3 -> "t1",
+      4 -> "t2", 5 -> "t2", 6 -> "t2").toDF("id", "community")
+    val out = Graph.modularity(edges, labels, "id", "community").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out === Map(
+      "t1" -> ((3L, 3L, 7L, 0.178571)),
+      "t2" -> ((3L, 3L, 7L, 0.178571))))
+    // the all-in-one partition scores ~0 (e_c/m = 1 but (d_c/2m)² = 1):
+    // communities indistinguishable from random wiring earn nothing
+    val one = Graph.modularity(edges,
+      labels.select(col("id"), lit("all").as("community")), "id", "community")
+      .collect().head
+    assert(one.getDouble(4) === 0.0)
+    // an isolated node contributes a zero row, never null/NaN
+    val iso = Graph.modularity(edges,
+      labels.unionByName(Seq(9 -> "lone").toDF("id", "community")),
+      "id", "community").collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(iso("lone") === 0.0)
+  }
 }

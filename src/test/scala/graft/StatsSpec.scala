@@ -371,4 +371,33 @@ class StatsSpec extends SparkSuite {
     assert(out.values.forall(_._5 >= 0.0))
     assert(out.values.map(_._5).sum <= math.log(2.0) + 1e-9)
   }
+
+  test("bhAdjust: the BH'95 worked example rejects exactly the first 4") {
+    // The 15 p-values from Benjamini & Hochberg (JRSS-B'95 §4, the
+    // multiple-endpoints example). At α=0.05 the step-up rule rejects
+    // H(1)..H(4): k = 4 is the largest i with p(i) ≤ i·0.05/15
+    // (p(4)=0.0095 ≤ 0.0133 while p(5)=0.0201 > 0.0167 — note the
+    // PER-TEST rule would reject 9, Bonferroni 0.05/15 only 3).
+    val ps = Seq(0.0001, 0.0004, 0.0019, 0.0095, 0.0201, 0.0278, 0.0298,
+      0.0344, 0.0459, 0.3240, 0.4262, 0.5719, 0.6528, 0.7590, 1.0000)
+    val tests = ps.zipWithIndex.map { case (p, i) => (f"h$i%02d", p) }
+      .toDF("hyp", "p")
+    val out = Stats.bhAdjust(tests, "p", Seq("hyp"), alpha = 0.05)
+      .orderBy(col("bh_rank")).collect()
+    assert(out.map(_.getAs[Int]("bh_rank")).toSeq === (1 to 15))
+    val adj = out.map(_.getAs[Double]("p_adj"))
+    // step-up monotone, capped at 1, hand-checked head:
+    // p_adj(1) = min_j 15·p(j)/j = 15·0.0001/1 = 0.0015
+    assert(adj.head === 0.0015)
+    assert(adj.zip(adj.tail).forall { case (a, b) => a <= b })
+    assert(adj.forall(_ <= 1.0))
+    // suffix-min monotonization actually fires: raw 15·p(8)/8 = 0.0645
+    // exceeds 15·p(9)/9 = 0.0765? no — check the classic inversion at
+    // ranks 6..8: 15·p(6)/6=0.0695, 15·p(7)/7=0.0639 → p_adj(6) takes
+    // the later, smaller value
+    assert(adj(5) === adj(6))
+    assert(out.count(_.getAs[Boolean]("significant")) === 4)
+    assert(out.filter(_.getAs[Boolean]("significant"))
+      .map(_.getAs[String]("hyp")).toSet === Set("h00", "h01", "h02", "h03"))
+  }
 }
