@@ -654,8 +654,11 @@ object SparkEntry {
     * zero-contribution singletons both appear at every SF. */
   private def q_modularity(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 120)
+    // cached: the pair relation feeds the CC labels AND modularity's
+    // canon/intra/degree consumers — uncached, the token equi-join reruns
+    // per consumer
     val pairs = Dedup.jaccardPairsFrom(
-      Dedup.shingleSets(docs, "doc_id", "text"), "doc_id", 0.02)
+      Dedup.shingleSets(docs, "doc_id", "text"), "doc_id", 0.02).cache()
     val labels = Dedup.duplicateClusters(docs.select(col("doc_id")), pairs,
       "doc_id")
     Graph.modularity(
@@ -722,6 +725,21 @@ object SparkEntry {
       .filter(col("split_a") =!= col("split_b"))
       .select(col("id_a"), col("id_b"), col("jaccard"),
         col("split_a"), col("split_b"))
+  }
+
+  /** §2b leakage-SAFE split — the repair for what q_split_leakage
+    * measures: [[Corpus.leakageSafeSplit]] hashes the near-dup CLUSTER id
+    * (same shingle clusters as q_dedup_weights), so members inherit one
+    * assignment and no cluster can straddle train/test by construction.
+    * Multi-member clusters and singletons both present at every SF. */
+  private def q_leakage_safe_split(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 120)
+    val pairs = Dedup.jaccardPairsFrom(
+      Dedup.shingleSets(docs, "doc_id", "text"), "doc_id", 0.02)
+    val labels = Dedup.duplicateClusters(docs.select(col("doc_id")), pairs,
+      "doc_id")
+    Corpus.leakageSafeSplit(labels, "doc_id", "cluster",
+      Seq("train" -> 90, "test" -> 100))
   }
 
   /** §2b MinHash signatures (portable md5-derived hashes, bounded ids). */
@@ -904,6 +922,33 @@ object SparkEntry {
     val approx = Similarity.ivfTopKMulti(assigned, "vec_id", "embedding",
       cents, queries, "query_id", "qv", 10, 2)
     Similarity.recallAtK(exact, approx, "query_id", "vec_id")
+  }
+
+  /** §2b IVF recall-vs-nprobe sweep — the IVF sibling of
+    * q_lsh_calibration: recall@10 at nprobe ∈ {1,2,4,8} of 8 cells
+    * against the SAME brute-force truth, per query. The curve this emits
+    * (rising to recall 1.0 at nprobe = k, since probing every cell IS
+    * brute force) is the pre-flight readout that picks the
+    * recall/latency point BEFORE trusting an IVF config on a corpus.
+    * Truth and assignment are cached once and shared by the four probe
+    * branches (at corpus scale: persist, or the sweep re-scans 4×). */
+  private def q_ivf_nprobe_sweep(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopKMulti(
+      emb, "vec_id", "embedding", queries, "query_id", "qv", 10).cache()
+    val assigned =
+      Similarity.ivfAssign(emb, "vec_id", "embedding", cents).cache()
+    Seq(1, 2, 4, 8).map { np =>
+      Similarity.recallAtK(exact,
+        Similarity.ivfTopKMulti(assigned, "vec_id", "embedding", cents,
+          queries, "query_id", "qv", 10, np),
+        "query_id", "vec_id")
+        .withColumn("nprobe", lit(np))
+    }.reduce(_ unionByName _)
   }
 
   /** §2b mutual-nearest-neighbor pairs: exact top-1 within vec_id<100,
@@ -1255,6 +1300,17 @@ object SparkEntry {
     Corpus.hashSplit(Tables.documents(s, d), "doc_id",
       Seq("train" -> 80, "val" -> 90, "test" -> 100))
       .select(col("doc_id"), col("split_pct"), col("split"))
+
+  /** §2b token-budget epoch schedule ([[Corpus.epochSchedule]]): τ=2
+    * temperature-flattened target mix over sources at a 1×-corpus budget
+    * — small sources get upweighted past one epoch (over_epoch=true),
+    * large ones run partial epochs, so the flag splits the sources at
+    * every SF and the oracle checks shares, targets, epochs AND both
+    * verdict branches. n_chars stands in for token mass (any additive
+    * size column works). */
+  private def q_epoch_schedule(s: SparkSession, d: String): DataFrame =
+    Corpus.epochSchedule(Tables.documents(s, d), "source", "n_chars",
+      budgetFactor = 1.0, temperature = 2.0)
 
   /** §2b per-group cap (deterministic md5-ordered sample): ≤50 docs kept
     * per language. */
@@ -1653,6 +1709,18 @@ object SparkEntry {
     * fraction + top-bigram share per document. */
   private def q_repetition(s: SparkSession, d: String): DataFrame =
     TextAnalytics.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
+
+  /** §2b Gopher composite rule gate ([[TextAnalytics.gopherRules]]):
+    * thresholds tuned so EVERY rule binds on this corpus — word count ≥
+    * 50 (canonical), mean-word-length lower bound raised 3.0 → 4.4 (the
+    * corpus spans 3.7–5.3, so the canonical 3.0 would be vacuous),
+    * repetition ≤ 0.6, top-bigram ≤ 0.06 (canonical 0.2 sits above the
+    * corpus max 0.17), ≥ 2 stopwords. Keeps ≈⅓ of docs with each rule
+    * rejecting someone, so all five verdict columns are checked
+    * non-vacuously. */
+  private def q_gopher_rules(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.gopherRules(Tables.documents(s, d), "doc_id", "text",
+      minMeanWordLen = 4.4, maxTopBigramFrac = 0.06)
 
   /** §2b Fellegi–Sunter probabilistic linkage over nation-blocked
     * customers: m-probabilities configured, u-probabilities estimated as
@@ -2861,6 +2929,7 @@ object SparkEntry {
     "q_dup_clusters" -> (q_dup_clusters _),
     "q_golden_record" -> (q_golden_record _),
     "q_split_leakage" -> (q_split_leakage _),
+    "q_leakage_safe_split" -> (q_leakage_safe_split _),
     "q_minhash_signatures" -> (q_minhash_signatures _),
     "q_minhash_est" -> (q_minhash_est _),
     "q_simhash" -> (q_simhash _),
@@ -2879,6 +2948,7 @@ object SparkEntry {
     "q_ivf_trained" -> (q_ivf_trained _),
     "q_semantic_dedup" -> (q_semantic_dedup _),
     "q_ann_recall" -> (q_ann_recall _),
+    "q_ivf_nprobe_sweep" -> (q_ivf_nprobe_sweep _),
     "q_ndcg" -> (q_ndcg _),
     "q_mutual_nn" -> (q_mutual_nn _),
     "q_hard_negatives" -> (q_hard_negatives _),
@@ -2915,6 +2985,7 @@ object SparkEntry {
     "q_sessionize" -> (q_sessionize _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
     "q_hash_split" -> (q_hash_split _),
+    "q_epoch_schedule" -> (q_epoch_schedule _),
     "q_group_cap" -> (q_group_cap _),
     "q_zscore" -> (q_zscore _),
     "q_quality_filter" -> (q_quality_filter _),
@@ -2937,6 +3008,7 @@ object SparkEntry {
     "q_quality_filter_approx" -> (q_quality_filter_approx _),
     "q_contamination" -> (q_contamination _),
     "q_repetition" -> (q_repetition _),
+    "q_gopher_rules" -> (q_gopher_rules _),
     "q_distinct_ngrams" -> (q_distinct_ngrams _),
     "q_negative_sampling" -> (q_negative_sampling _),
     "q_padding_waste" -> (q_padding_waste _),
@@ -3231,6 +3303,52 @@ object SparkEntry {
        SELECT vec_id, cell, round(${duckCos("asg.v", "qv.q")}, 6) AS cosine_sim
        FROM asg JOIN probe USING (cell), qv
        ORDER BY round(${duckCos("asg.v", "qv.q")}, 6) DESC, vec_id LIMIT 10"""
+
+  /** Generated nprobe-sweep oracle: the q_ann_recall CTEs with the probe
+    * width parameterized — shared truth (ex) and assignment (asg), one
+    * probe/candidate/recall branch per nprobe, unioned with the nprobe
+    * literal. */
+  private def ivfNprobeSweepOracleSql(probes: Seq[Int]): String = {
+    val branches = probes.map { np =>
+      s"""p$np AS (SELECT query_id, cell FROM (
+               SELECT q.query_id, c.cent_id AS cell,
+                      ROW_NUMBER() OVER (PARTITION BY q.query_id
+                        ORDER BY round(${duckCos("c.cv", "q.qv")}, 6) DESC, c.cent_id) AS rn
+               FROM q, c) WHERE rn <= $np),
+           ap$np AS (SELECT query_id, vec_id FROM (
+               SELECT p.query_id, a.vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY p.query_id
+                        ORDER BY round(${duckCos("a.v", "q.qv")}, 6) DESC, a.vec_id) AS rn
+               FROM p$np p JOIN asg a ON a.cell = p.cell
+                           JOIN q ON q.query_id = p.query_id
+               WHERE a.vec_id <> p.query_id) WHERE rn <= 10),
+           r$np AS (SELECT n.query_id, n.n_exact,
+                           COALESCE(h.n_hits, 0) AS n_hits,
+                           round(COALESCE(h.n_hits, 0) / n.n_exact, 6) AS recall,
+                           $np AS nprobe
+                    FROM n LEFT JOIN (SELECT x.query_id, count(*) AS n_hits
+                                      FROM ex x JOIN ap$np a
+                                        ON x.query_id = a.query_id
+                                       AND x.vec_id = a.vec_id
+                                      GROUP BY 1) h USING (query_id))"""
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+            ex AS (SELECT query_id, vec_id FROM (
+               SELECT q.query_id, e.vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY q.query_id
+                        ORDER BY round(${duckCos("e.v", "q.qv")}, 6) DESC, e.vec_id) AS rn
+               FROM q, e WHERE e.vec_id <> q.query_id) WHERE rn <= 10),
+            asg AS (SELECT vec_id, v, cent_id AS cell FROM (
+               SELECT e.vec_id, e.v, c.cent_id,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cent_id) AS rn
+               FROM e, c) WHERE rn = 1),
+            n AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+            ${branches.mkString(",\n")}
+       ${probes.map(np => s"SELECT * FROM r$np").mkString("\n UNION ALL ")}"""
+  }
 
   /** Generated k-center oracle: the greedy selection unrolled into k-1
     * MATERIALIZED 1-row rounds (round r cross-joins all previously selected
@@ -3748,6 +3866,22 @@ object SparkEntry {
                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                    AS BIGINT) % 100 AS pct
                FROM documents)""",
+    "q_epoch_schedule" ->
+      """WITH a AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail_tokens
+                    FROM documents GROUP BY 1),
+              w AS (SELECT source, avail_tokens,
+                           sqrt(CAST(avail_tokens AS DOUBLE)) AS wt
+                    FROM a),
+              t AS (SELECT CAST(sum(CAST(wt AS DECIMAL(28,12))) AS DOUBLE) AS ws,
+                           CAST(sum(avail_tokens) AS DOUBLE) AS total FROM w)
+         SELECT source, avail_tokens,
+                round(wt / ws, 6) AS target_share,
+                round(1.0 * total * wt / ws, 6) AS target_tokens,
+                round(1.0 * total * wt / ws
+                      / CAST(avail_tokens AS DOUBLE), 6) AS epochs,
+                round(1.0 * total * wt / ws
+                      / CAST(avail_tokens AS DOUBLE), 6) > 1.0 AS over_epoch
+         FROM w, t""",
     "q_group_cap" ->
       """SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
          FROM (SELECT doc_id, lang,
@@ -4059,6 +4193,43 @@ object SparkEntry {
          SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
                 round(coalesce(CAST(a.top_c AS DOUBLE) / a.n_bg, 0.0), 6) AS top_bigram_frac
          FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id""",
+    "q_gopher_rules" ->
+      s"""WITH tok AS (SELECT doc_id, text, $duckTokens AS t FROM documents),
+              base AS (SELECT doc_id,
+                         CAST(len(t) AS BIGINT) AS n_tokens,
+                         CASE WHEN len(t) > 0
+                           THEN round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+                           ELSE 0.0 END AS dup_token_frac,
+                         CASE WHEN len(t) > 0
+                           THEN round(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / len(t), 6)
+                           ELSE 0.0 END AS mean_word_len,
+                         CAST(len(list_filter(t,
+                           x -> x IN ('the','a','an','and','or','of','to','in','is','it')))
+                           AS BIGINT) AS n_stopwords
+                       FROM tok),
+              bg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS b
+                     FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+              cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+              agg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg
+                      FROM cnt GROUP BY 1),
+              sig AS (SELECT base.doc_id, base.n_tokens, base.mean_word_len,
+                             base.dup_token_frac,
+                             round(coalesce(CAST(agg.top_c AS DOUBLE) / agg.n_bg, 0.0), 6)
+                               AS top_bigram_frac,
+                             base.n_stopwords
+                      FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id)
+         SELECT *,
+                n_tokens BETWEEN 50 AND 100000 AS r_word_count,
+                mean_word_len BETWEEN 4.4 AND 10.0 AS r_mean_word_len,
+                dup_token_frac <= 0.6 AS r_repetition,
+                top_bigram_frac <= 0.06 AS r_top_bigram,
+                n_stopwords >= 2 AS r_stopwords,
+                (n_tokens BETWEEN 50 AND 100000)
+                  AND (mean_word_len BETWEEN 4.4 AND 10.0)
+                  AND dup_token_frac <= 0.6
+                  AND top_bigram_frac <= 0.06
+                  AND n_stopwords >= 2 AS keep
+         FROM sig""",
     "q_distinct_ngrams" ->
       s"""WITH tok AS (SELECT source, $duckTokens AS t FROM documents),
               b1 AS (SELECT source, 1 AS n, UNNEST(t) AS gram FROM tok),
@@ -4501,6 +4672,7 @@ object SparkEntry {
          SELECT n.query_id, n.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
                 round(COALESCE(h.n_hits, 0) / n.n_exact, 6) AS recall
          FROM n LEFT JOIN h USING (query_id)""",
+    "q_ivf_nprobe_sweep" -> ivfNprobeSweepOracleSql(Seq(1, 2, 4, 8)),
     "q_token_entropy" ->
       s"""WITH cnt AS (
             SELECT doc_id, tok, count(*) AS c FROM (
@@ -5263,6 +5435,38 @@ object SparkEntry {
            cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
          SELECT cluster AS doc_id, CAST(count(*) AS BIGINT) AS weight
          FROM cl GROUP BY 1""",
+    "q_leakage_safe_split" ->
+      """WITH RECURSIVE
+           tok AS (SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
+                   FROM documents WHERE doc_id < 120),
+           sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS token
+                  FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                     FROM sh a JOIN sh b
+                       ON a.token = b.token AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+           pairs AS (SELECT i.id_a, i.id_b
+                     FROM inter i
+                     JOIN sizes sa ON i.id_a = sa.doc_id
+                     JOIN sizes sb ON i.id_b = sb.doc_id
+                     WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.02),
+           edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                     UNION
+                     SELECT id_b AS src, id_a AS dst FROM pairs),
+           nodes AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 120),
+           walk(id, lbl) AS (
+             SELECT id, id FROM nodes
+             UNION
+             SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.id = e.src),
+           cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
+         SELECT id AS doc_id, cluster, pct AS split_pct,
+                CASE WHEN pct < 90 THEN 'train' ELSE 'test' END AS split
+         FROM (SELECT id, cluster,
+                 CAST(('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 100 AS pct
+               FROM cl)""",
     "q_modularity" ->
       """WITH RECURSIVE
            tok AS (SELECT doc_id,

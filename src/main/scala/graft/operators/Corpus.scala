@@ -107,6 +107,74 @@ object Corpus {
     df.withColumn("split_pct", pct).withColumn("split", assign)
   }
 
+  /** Leakage-safe split: assign whole NEAR-DUP CLUSTERS to splits, never
+    * individual documents. Hashing document ids ([[hashSplit]]) puts each
+    * member of a near-dup cluster on an independent coin flip, so a
+    * cluster of n near-dups straddles train/test with probability
+    * 1−p^n−(1−p)^n — test answers leak into training and eval scores
+    * inflate (the q_split_leakage audit measures exactly this). Here the
+    * split hash runs on the CLUSTER id and members inherit, so a cluster
+    * can never straddle BY CONSTRUCTION — the standard decontaminated
+    * eval-split recipe (e.g. the dedup-before-split practice of Lee et
+    * al. ACL'22).
+    *
+    * `labels` maps every document to its cluster (e.g.
+    * [[Dedup.duplicateClusters]] output — singletons carry their own id,
+    * and hash-split of a singleton's cluster id equals the document-hash
+    * split only when id == cluster, so the assignment is cluster-stable,
+    * not doc-stable: re-clustering moves whole groups together). Pure
+    * map-side after the clustering. */
+  def leakageSafeSplit(labels: DataFrame, idCol: String, clusterCol: String,
+                       splits: Seq[(String, Int)]): DataFrame =
+    hashSplit(labels.select(col(idCol), col(clusterCol)), clusterCol, splits)
+
+  /** Token-budget epoch schedule: given per-domain available token mass
+    * A_g, a total training budget expressed as `budgetFactor`·ΣA, and a
+    * sampling temperature τ (target share ∝ A_g^(1/τ) — τ=1 proportional,
+    * τ→∞ uniform; the standard multilingual/multi-domain flattening of
+    * e.g. XLM-R), emit the mixture table a training run actually
+    * consumes: target share, target tokens, and EPOCHS = target/available
+    * — the repeat factor per domain. `over_epoch` flags domains the
+    * schedule would repeat (epochs > 1): temperature-flattening buys
+    * small-domain share by re-reading small domains, and past a few
+    * epochs repetition stops helping (Muennighoff et al. '23), so this
+    * flag is the planning readout that says WHERE the budget plan spends
+    * repetition rather than fresh text.
+    *
+    * Portability: τ=1 (identity) and τ=2 (IEEE-exact sqrt) are
+    * bit-identical cross-engine; other τ go through exp(ln A/τ) and rely
+    * on libm parity (PORTABILITY.md). The weight total is an
+    * order-independent DECIMAL(28,12) sum (the daviesBouldin pattern) so
+    * partition order cannot perturb shares; every emitted number is
+    * 6dp-rounded and the flag compares the ROUNDED epochs, so verdicts
+    * are engine-stable. Shape: one hash aggregate to domain grain + a
+    * 1-row total broadcast — domains are dozens, everything after the
+    * aggregate is trivial. */
+  def epochSchedule(df: DataFrame, groupCol: String, sizeCol: String,
+                    budgetFactor: Double = 1.0,
+                    temperature: Double = 1.0): DataFrame = {
+    require(budgetFactor > 0, s"budgetFactor must be > 0: $budgetFactor")
+    require(temperature > 0, s"temperature must be > 0: $temperature")
+    val avail = df.groupBy(col(groupCol))
+      .agg(sum(col(sizeCol)).cast("long").as("avail_tokens"))
+    val w = temperature match {
+      case 1.0 => col("avail_tokens").cast("double")
+      case 2.0 => sqrt(col("avail_tokens").cast("double"))
+      case t => exp(log(col("avail_tokens").cast("double")) / t)
+    }
+    val totals = avail.agg(
+      sum(w.cast("decimal(28,12)")).cast("double").as("__ws"),
+      sum(col("avail_tokens")).cast("double").as("__total"))
+    val target = lit(budgetFactor) * col("__total") * w / col("__ws")
+    val epochs = round(target / col("avail_tokens").cast("double"), 6)
+    avail.crossJoin(broadcast(totals))
+      .select(col(groupCol), col("avail_tokens"),
+        round(w / col("__ws"), 6).as("target_share"),
+        round(target, 6).as("target_tokens"),
+        epochs.as("epochs"),
+        (epochs > lit(1.0)).as("over_epoch"))
+  }
+
   /** Keep at most `n` rows per group, chosen by md5 order of the id — a
     * deterministic uniform-ish sample (the "cap documents per domain" op).
     * One shuffle on the group key; survivors keep their sample_rank.

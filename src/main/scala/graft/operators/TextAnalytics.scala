@@ -134,6 +134,63 @@ object TextAnalytics {
           .as("top_bigram_frac"))
   }
 
+  /** Gopher-style composite quality-rule verdict (Rae et al. '21 §A1.1 —
+    * the rule FAMILY with thresholds as caller config, since the
+    * canonical web-corpus thresholds are corpus-specific): per document,
+    * the raw signals (token count, mean word length, duplicate-token
+    * fraction, top-bigram share, stopword hits), ONE BOOLEAN PER RULE,
+    * and the conjunction `keep`. The per-rule booleans are the
+    * debugging surface — a gate that reports only `keep` cannot tell
+    * you which rule is eating the corpus, and rule-attrition dashboards
+    * are how these filters get tuned in practice. Line-grain Gopher
+    * rules (bullet-start / ellipsis-end fractions) need real newlines
+    * and are deliberately absent.
+    *
+    * Mean word length is non-whitespace chars over tokens (identical
+    * arithmetic cross-engine); every comparison runs on 6dp-rounded
+    * signals so an engine ulp cannot flip a verdict.
+    *
+    * Scale shape: reuses [[repetitionSignals]] (token stats map-side,
+    * one (doc, bigram) aggregate — shuffle ∝ distinct bigrams) plus one
+    * map-side projection and a doc-keyed join; no windows. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minTokens: Long = 50L, maxTokens: Long = 100000L,
+                  minMeanWordLen: Double = 3.0,
+                  maxMeanWordLen: Double = 10.0,
+                  maxDupTokenFrac: Double = 0.6,
+                  maxTopBigramFrac: Double = 0.2,
+                  minStopwords: Long = 2L): DataFrame = {
+    val rep = repetitionSignals(docs, idCol, textCol)
+    val base = docs.select(col(idCol),
+        TextFunctions.tokens(col(textCol)).as("__toks"),
+        trim(col(textCol)).as("__t"))
+      .select(col(idCol),
+        length(regexp_replace(col("__t"), "\\s+", ""))
+          .cast("double").as("__chars"),
+        size(filter(col("__toks"),
+          t => t.isin(TextFunctions.stopwords.map(lit): _*)))
+          .cast("long").as("n_stopwords"))
+    rep.join(base, Seq(idCol))
+      .withColumn("mean_word_len",
+        round(when(col("n_tokens") > 0, col("__chars") / col("n_tokens"))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("r_word_count",
+        col("n_tokens").between(minTokens, maxTokens))
+      .withColumn("r_mean_word_len",
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen))
+      .withColumn("r_repetition", col("dup_token_frac") <= maxDupTokenFrac)
+      .withColumn("r_top_bigram",
+        col("top_bigram_frac") <= maxTopBigramFrac)
+      .withColumn("r_stopwords", col("n_stopwords") >= minStopwords)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_repetition") && col("r_top_bigram") && col("r_stopwords"))
+      .select(col(idCol), col("n_tokens"), col("mean_word_len"),
+        col("dup_token_frac"), col("top_bigram_frac"), col("n_stopwords"),
+        col("r_word_count"), col("r_mean_word_len"), col("r_repetition"),
+        col("r_top_bigram"), col("r_stopwords"), col("keep"))
+  }
+
   /** Corpus-level distinct-n diversity (the distinct-1/2/3 metric of Li
     * et al., NAACL'16, computed per group): for each n, distinct n-grams
     * across the WHOLE group over total n-gram occurrences. Low values

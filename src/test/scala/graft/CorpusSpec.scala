@@ -511,4 +511,51 @@ class CorpusSpec extends SparkSuite {
       Corpus.lengthGroupedBatches(docs, "source", "doc_id", "text", 0)
     }
   }
+
+  test("epochSchedule: τ=2 flattening hand-checked, flags split correctly") {
+    // domains with 100 and 400 tokens: sqrt weights 10 and 20 → shares
+    // 1/3 and 2/3 of a 500-token (1×) budget → targets 166.67/333.33 →
+    // epochs 1.67 (small domain repeats) and 0.83 (large runs partial)
+    val df = Seq(("s", 60L), ("s", 40L), ("l", 400L)).toDF("dom", "toks")
+    val out = Corpus.epochSchedule(df, "dom", "toks", 1.0, 2.0).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out("s") === ((100L, 0.333333, 166.666667, 1.666667, true)))
+    assert(out("l") === ((400L, 0.666667, 333.333333, 0.833333, false)))
+    // τ=1 is proportional: everyone runs exactly one epoch at 1× budget
+    val prop = Corpus.epochSchedule(df, "dom", "toks", 1.0, 1.0).collect()
+    assert(prop.forall(r => r.getDouble(4) === 1.0 && !r.getBoolean(5)))
+    // doubling the budget doubles every epoch count
+    val x2 = Corpus.epochSchedule(df, "dom", "toks", 2.0, 2.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(x2("s") === 3.333333 && x2("l") === 1.666667)
+    intercept[IllegalArgumentException] {
+      Corpus.epochSchedule(df, "dom", "toks", 0.0, 2.0)
+    }
+  }
+
+  test("leakageSafeSplit: clusters never straddle; doc-hash split does") {
+    // one 4-member cluster, one 2-member, two singletons — cluster ids
+    // chosen so the doc-hash split DOES separate some cluster members
+    // (the failure mode being repaired) while the cluster-hash split
+    // cannot by construction
+    val labels = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L)
+      .toDF("doc_id", "cluster")
+    val safe = Corpus.leakageSafeSplit(labels, "doc_id", "cluster",
+      Seq("train" -> 50, "test" -> 100)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[String]("split")))).toMap
+    // every member inherits its cluster's assignment
+    assert(safe.values.groupBy(_._1).forall(_._2.map(_._2).toSet.size == 1))
+    // a singleton's assignment equals the plain doc-hash split (id ==
+    // cluster), so existing singleton-only pipelines are unchanged
+    val docHash = Corpus.hashSplit(labels, "doc_id",
+      Seq("train" -> 50, "test" -> 100)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(safe(20L)._2 === docHash(20L) && safe(21L)._2 === docHash(21L))
+    // and the naive split actually splits a cluster on this fixture —
+    // the leak the operator exists to prevent
+    assert(Seq(1L, 2L, 3L, 4L).map(docHash).toSet.size > 1)
+  }
 }

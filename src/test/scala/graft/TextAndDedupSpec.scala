@@ -1032,4 +1032,41 @@ class TextAndDedupSpec extends SparkSuite {
     val top1 = TextAnalytics.negativeSamplingTable(docs, "text", 1).collect()
     assert(top1.length === 1 && top1.head.getDouble(4) === 1.0)
   }
+
+  test("gopherRules: each rule rejects its designated doc, signals hand-checked") {
+    val docs = Seq(
+      1 -> "the cat sat on mat",   // passes everything (fixture thresholds)
+      2 -> "tiny doc",             // fails r_word_count (n=2 < 5)
+      3 -> "a a a a a a",          // fails repetition AND top-bigram, not stopwords
+      4 -> "strong words barked loudly here", // fails r_stopwords (0 hits)
+      // fails mean-word-len (> 6)
+      5 -> "extraordinarily magnificent hippopotamus wandered yesterday afternoon"
+    ).toDF("id", "text")
+    val out = TextAnalytics.gopherRules(docs, "id", "text",
+        minTokens = 5L, maxTokens = 10L,
+        minMeanWordLen = 2.0, maxMeanWordLen = 6.0,
+        maxDupTokenFrac = 0.5, maxTopBigramFrac = 0.9, minStopwords = 1L)
+      .collect().map(r => r.getAs[Int]("id") -> r).toMap
+    def rules(r: org.apache.spark.sql.Row) = Seq("r_word_count",
+      "r_mean_word_len", "r_repetition", "r_top_bigram", "r_stopwords")
+      .map(c => r.getAs[Boolean](c))
+    assert(rules(out(1)) === Seq(true, true, true, true, true))
+    assert(out(1).getAs[Boolean]("keep"))
+    // doc 1 signals: 5 tokens, 14 non-space chars → mwl 2.8; no dup; the
+    // 4 bigrams are all distinct → top share 1/4; one stopword ('the')
+    assert(out(1).getAs[Double]("mean_word_len") === 2.8)
+    assert(out(1).getAs[Double]("top_bigram_frac") === 0.25)
+    assert(out(1).getAs[Long]("n_stopwords") === 1L)
+    // 'tiny doc': 2 tokens fails word count; its single bigram owns its
+    // only slot (share 1.0 > 0.9) and it carries no stopword
+    assert(rules(out(2)) === Seq(false, true, true, false, false))
+    // 'a a a a a a': dup = 1 − 1/6 = 0.833333, the single bigram owns
+    // all 5 slots → top share 1.0 > 0.9, and mean word length 1.0 sits
+    // below the 2.0 floor; 'a' IS a stopword ×6
+    assert(rules(out(3)) === Seq(true, false, false, false, true))
+    assert(out(3).getAs[Double]("dup_token_frac") === 0.833333)
+    assert(rules(out(4)) === Seq(true, true, true, true, false))
+    assert(rules(out(5)) === Seq(true, false, true, true, false))
+    assert(Seq(2, 3, 4, 5).forall(i => !out(i).getAs[Boolean]("keep")))
+  }
 }
