@@ -611,6 +611,34 @@ object SparkEntry {
       "doc_id", 0.02)
       .withColumn("jaccard", round(col("jaccard"), 6))
 
+  /** §2b wide→long reshape (UNPIVOT/melt): the four lineitem money/qty
+    * measures into (metric, value) rows via Dataset.unpivot — the
+    * metric-store normalization every profiling/drift stage consumes
+    * (one 4× map-side row expansion, no shuffle, no UDF; oracle is the
+    * portable 4-way UNION ALL). */
+  private def q_unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "value")
+
+  /** §2b degree assortativity of the near-dup graph
+    * ([[Graph.assortativity]]): Pearson r of endpoint degrees over the
+    * q_shingle_pairs pair graph — the structural readout that separates
+    * hub-to-hub near-dup mats (template families chaining) from
+    * hub-to-leaf stars (one canonical doc with many variants). One row:
+    * edge count + 6dp r via the engines' shared corr aggregate. */
+  private def q_assortativity(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.jaccardPairsFrom(
+      Dedup.shingleSets(Tables.documents(s, d).filter(col("doc_id") < 300),
+        "doc_id", "text"),
+      "doc_id", 0.02)
+    Graph.assortativity(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+  }
+
   /** §2b duplicate-cluster resolution: near-dup pairs → connected
     * components (iterative min-label) → canonical survivor marker. The
     * transitive closure matters: A~B, B~C land in ONE cluster even when
@@ -3021,6 +3049,8 @@ object SparkEntry {
     "q_fellegi_sunter" -> (q_fellegi_sunter _),
     "q_dedup_weights" -> (q_dedup_weights _),
     "q_modularity" -> (q_modularity _),
+    "q_assortativity" -> (q_assortativity _),
+    "q_unpivot" -> (q_unpivot _),
     "q_lsh_calibration" -> (q_lsh_calibration _),
     "q_snapshot_diff" -> (q_snapshot_diff _),
     "q_column_profile" -> (q_column_profile _),
@@ -5435,6 +5465,50 @@ object SparkEntry {
            cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
          SELECT cluster AS doc_id, CAST(count(*) AS BIGINT) AS weight
          FROM cl GROUP BY 1""",
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                l_quantity AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+         FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+         FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
+    "q_assortativity" ->
+      """WITH tok AS (SELECT doc_id,
+                        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
+                      FROM documents WHERE doc_id < 300),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS token
+                     FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                        FROM sh a JOIN sh b
+                          ON a.token = b.token AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              pairs AS (SELECT i.id_a AS a, i.id_b AS b
+                        FROM inter i
+                        JOIN sizes sa ON i.id_a = sa.doc_id
+                        JOIN sizes sb ON i.id_b = sb.doc_id
+                        WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.02),
+              deg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg
+                      FROM (SELECT a AS id FROM pairs
+                            UNION ALL SELECT b AS id FROM pairs)
+                      GROUP BY 1),
+              bidir AS (SELECT a, b FROM pairs
+                        UNION ALL SELECT b AS a, a AS b FROM pairs)
+         SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+                CASE WHEN var_samp(CAST(da.dg AS DOUBLE)) > 0
+                      AND var_samp(CAST(db.dg AS DOUBLE)) > 0
+                     THEN round(covar_samp(CAST(da.dg AS DOUBLE),
+                                           CAST(db.dg AS DOUBLE))
+                                / sqrt(var_samp(CAST(da.dg AS DOUBLE))
+                                       * var_samp(CAST(db.dg AS DOUBLE))), 6)
+                END AS assortativity
+         FROM bidir
+         JOIN deg da ON bidir.a = da.id
+         JOIN deg db ON bidir.b = db.id""",
     "q_leakage_safe_split" ->
       """WITH RECURSIVE
            tok AS (SELECT doc_id,

@@ -384,6 +384,49 @@ object Graph {
     KCoreRun(survivors, trace.toSeq, converged = prev == n)
   }
 
+  /** Degree assortativity coefficient (public: Newman PRL'02): the
+    * Pearson correlation of the degrees at the two ends of an edge,
+    * over the edge list with both orientations (the standard symmetric
+    * form). r > 0 — hubs link to hubs (social-graph shape); r < 0 —
+    * hubs link to leaves (star/spam-hub shape, also most crawl graphs);
+    * r ≈ 0 — degree-random wiring. Alongside [[modularity]] and
+    * triangles, the third structural readout that tells a corpus
+    * pipeline WHAT KIND of link graph it ingested.
+    *
+    * Built from the engines' shared covar_samp/var_samp aggregates over
+    * exact integer degree pairs (hash-stable per the stats battery),
+    * composed as cov/√(vx·vy) IN THE SAME TREE on both engines and
+    * 6dp-rounded — `corr` itself both throws under ANSI on zero
+    * variance and composes √vx·√vy differently at the last ulp.
+    * Degenerate graphs (no edges, or degree-regular so var = 0) yield
+    * null r, never NaN. Shape: canonicalize + one degree aggregate +
+    * two equi-joins + ONE stats aggregate — shuffle ∝ |E|, no
+    * iteration. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(col("a").as("__id"))
+      .unionAll(canon.select(col("b").as("__id")))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__deg"))
+    val both = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+    val x = col("deg_a").cast("double")
+    val y = col("deg_b").cast("double")
+    both
+      .join(deg.toDF("a", "deg_a"), Seq("a"))
+      .join(deg.toDF("b", "deg_b"), Seq("b"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+        covar_samp(x, y).as("__cov"),
+        var_samp(x).as("__vx"), var_samp(y).as("__vy"))
+      // regular graphs have zero degree variance: r is undefined → null
+      // (plain corr throws DIVIDE_BY_ZERO under ANSI mode)
+      .select(col("n_edges"),
+        when(col("__vx") > 0 && col("__vy") > 0,
+          round(col("__cov") / sqrt(col("__vx") * col("__vy")), 6))
+          .as("assortativity"))
+  }
+
   /** Newman modularity of a given node partition (public: Newman & Girvan
     * PRE'04): per community c, Q_c = e_c/m − (d_c/2m)² — intra-community
     * edge share minus the share expected under the degree-preserving null

@@ -191,6 +191,23 @@ class GraphSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Graph.hits(edges, 5) }
   }
 
+  test("assortativity: star is -1, regular graph is null, mixed hand-checked") {
+    // star 0-{1,2,3}: every edge joins degree 3 to degree 1 → r = −1
+    val star = Seq((0, 1), (0, 2), (0, 3)).toDF("src", "dst")
+    val s = Graph.assortativity(star).collect().head
+    assert(s.getLong(0) === 3L && s.getDouble(1) === -1.0)
+    // 1-regular graph (two disjoint edges): zero degree variance → null
+    val regular = Seq((1, 2), (3, 4)).toDF("src", "dst")
+    val r = Graph.assortativity(regular).collect().head
+    assert(r.getLong(0) === 2L && r.isNullAt(1))
+    // triangle {1,2,3} + pendant 3-4, fed messy (dup edge, reversal,
+    // self-loop): degrees 2,2,3,1 → r = −2.5/3.5 = −0.714286 by hand
+    val mixed = Seq((1, 2), (2, 3), (1, 3), (3, 4), (2, 1), (3, 4), (4, 4))
+      .toDF("src", "dst")
+    val m = Graph.assortativity(mixed).collect().head
+    assert(m.getLong(0) === 4L && m.getDouble(1) === -0.714286)
+  }
+
   test("modularity: the two-triangles-and-a-bridge hand-checked example") {
     // triangles {1,2,3} and {4,5,6} joined by bridge 3-4: m = 7.
     // Partitioned into the two triangles: e_c = 3 each, degree mass
