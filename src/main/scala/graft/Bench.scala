@@ -25,6 +25,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same extension set as Verify, so bench plans == verified plans.
+    GraftExtensions.install(spark)
 
     // Dev-only subset filter (driver sets no SPARK_GRAFT_ONLY → full suite).
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.GroupTopKStrategy)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.GroupTopKRewrite)
   }
 }
 
@@ -66,6 +67,11 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(strategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ strategy
+    }
+    val rewrite = org.apache.spark.sql.graft.GroupTopKRewrite
+    if (!spark.experimental.extraOptimizations.contains(rewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rewrite
     }
   }
 }

@@ -18,6 +18,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Full extension set (functions, GroupTopK strategy, row_number→heap
+    // rewrite) active for EVERY query: the oracle gate doubles as the
+    // standing equivalence proof for the optimizer rule.
+    GraftExtensions.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -16,18 +16,27 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * Why Spark's built-ins aren't enough: the idiomatic formulation
   * (`row_number().over(Window.partitionBy(g).orderBy(o)) <= k`) plans
-  * Exchange → **full Sort of every group** → Window → Filter. All n rows
-  * per group are sorted and materialized to keep k. This operator plans
+  * (Spark ≥3.5 with WindowGroupLimit, verified on 4.1)
+  *
+  *   Sort(FULL input partition) → WindowGroupLimit(partial)
+  *     → Exchange → Sort → WindowGroupLimit(final) → Window → Filter
+  *
+  * — the group-limit bounds what crosses the shuffle to k rows per
+  * (group × partition), same as ours, but it is SORT-BASED: every input
+  * partition is fully sorted (O(n log n) over ALL rows, spill-eligible)
+  * before the partial limit can scan it, and the post-shuffle side sorts
+  * again. This operator plans
   *
   *   partial GroupTopKExec (map-side, bounded heaps)
   *     → Exchange(hash by group)
   *       → final GroupTopKExec (bounded heaps)
   *
   * — the per-group generalization of `TakeOrderedAndProject`: O(n log k)
-  * heap updates instead of O(n log n) sort, at most k rows per (group ×
-  * input partition) cross the shuffle, and no full-group materialization
-  * anywhere. The same two-phase shape Spark uses for aggregates, applied
-  * to ranking.
+  * heap updates instead of the two O(· log ·) sorts, no full-partition
+  * sort anywhere, and identical shuffle volume. The same two-phase shape
+  * Spark uses for aggregates, applied to ranking.
+  * [[GroupTopKRewrite]] applies it automatically to the idiomatic
+  * row_number-filter pattern.
   *
   * Semantics: rows ranked per group by `sortOrder`; the k FIRST rows of
   * each group are emitted (group-clustered, rank-ordered within a group).
@@ -41,8 +50,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   * coarse repartition) so a partition sees fewer distinct groups.
   */
 case class GroupTopKNode(groupExprs: Seq[Expression], sortOrder: Seq[SortOrder],
-                         k: Int, child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
+                         k: Int, child: LogicalPlan,
+                         rankAttr: Option[Attribute] = None) extends UnaryNode {
+  // rankAttr (when present) appends the 1-based per-group rank — REUSING
+  // the rewritten Window alias's exprId so downstream references resolve
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): GroupTopKNode =
     copy(child = newChild)
@@ -54,9 +68,14 @@ case class GroupTopKNode(groupExprs: Seq[Expression], sortOrder: Seq[SortOrder],
   * topk(P2)) == topk(P1 ∪ P2)); `partial = false` requires the group
   * clustering and produces the final answer. */
 case class GroupTopKExec(groupExprs: Seq[Expression], sortOrder: Seq[SortOrder],
-                         k: Int, partial: Boolean, child: SparkPlan)
+                         k: Int, partial: Boolean, child: SparkPlan,
+                         rankAttr: Option[Attribute] = None)
     extends UnaryExecNode {
-  override def output: Seq[Attribute] = child.output
+  require(rankAttr.isEmpty || !partial,
+    "rank emission is final-phase only (partial feeds another heap pass)")
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
     else if (groupExprs.isEmpty) AllTuples :: Nil
@@ -93,10 +112,18 @@ case class GroupTopKExec(groupExprs: Seq[Expression], sortOrder: Seq[SortOrder],
         }
       }
       import scala.jdk.CollectionConverters._
+      val emitRank = rankAttr.isDefined
       heaps.values().asScala.iterator.flatMap { h =>
         val arr = h.toArray(new Array[InternalRow](h.size()))
         java.util.Arrays.sort(arr, ord)
-        arr.iterator
+        if (!emitRank) arr.iterator
+        else {
+          // final phase sees the whole group, so index+1 IS row_number
+          val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          arr.iterator.zipWithIndex.map { case (r, i) =>
+            joined(r, InternalRow(i + 1)): InternalRow
+          }
+        }
       }
     }
   }
@@ -106,9 +133,10 @@ case class GroupTopKExec(groupExprs: Seq[Expression], sortOrder: Seq[SortOrder],
   * → final [[GroupTopKExec]]. */
 object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GroupTopKNode(g, s, k, child) =>
+    case GroupTopKNode(g, s, k, child, rank) =>
       GroupTopKExec(g, s, k, partial = false,
-        GroupTopKExec(g, s, k, partial = true, planLater(child))) :: Nil
+        GroupTopKExec(g, s, k, partial = true, planLater(child)),
+        rankAttr = rank) :: Nil
     case _ => Nil
   }
 }

@@ -56,18 +56,76 @@ class ExtensionsSpec extends SparkSuite {
   test("GroupTopK operator matches the window formulation exactly") {
     GraftExtensions.install(spark)
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.functions.{col, rank}
     import org.apache.spark.sql.graft.GroupTopK
     val df = Tables.orders(spark, sf)
     val custom = GroupTopK.topKPerGroup(df, Seq("o_orderstatus"),
       Seq(col("o_totalprice").desc, col("o_orderkey").asc), 5)
+    // baseline via rank() — GroupTopKRewrite only matches row_number, so
+    // this stays a REAL window plan (equal semantics: the order is total,
+    // so rank == row_number); a row_number baseline would itself be
+    // rewritten and the comparison would be custom-vs-custom
     val w = Window.partitionBy(col("o_orderstatus"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    val expected = df.withColumn("rn", row_number().over(w))
+    val expected = df.withColumn("rn", rank().over(w))
       .filter(col("rn") <= 5).drop("rn")
+    assert(expected.queryExecution.executedPlan.toString.contains("Window"),
+      "baseline must actually plan a Window")
     assert(custom.count() === expected.count())
     assert(custom.exceptAll(expected).count() === 0)
     assert(expected.exceptAll(custom).count() === 0)
+  }
+
+  test("GroupTopKRewrite: idiomatic row_number filter plans the heap operator") {
+    GraftExtensions.install(spark)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, rank, row_number}
+    val df = Tables.orders(spark, sf)
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    // the rank column SURVIVES the rewrite (re-emitted under the original
+    // exprId), so select it and check values, not just membership
+    val rewritten = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("rn"))
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert("GroupTopK \\[".r.findAllIn(plan).size >= 2,
+      s"expected partial+final GroupTopKExec:\n$plan")
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window("),
+      s"rewrite must replace the window path:\n$plan")
+    val baseline = df.withColumn("rn", rank().over(w))
+      .filter(col("rn") <= 4)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("rn"))
+    assert(rewritten.count() === baseline.count())
+    assert(rewritten.exceptAll(baseline).count() === 0)
+    assert(baseline.exceptAll(rewritten).count() === 0)
+    // extra conjuncts survive above the node; equality-to-1 is top-1
+    val top1even = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("o_orderkey") % 2 === 0)
+    val t1plan = top1even.queryExecution.executedPlan.toString
+    assert("GroupTopK \\[".r.findAllIn(t1plan).size >= 2)
+    val t1base = df.withColumn("rn", rank().over(w))
+      .filter(col("rn") === 1 && col("o_orderkey") % 2 === 0)
+    assert(top1even.exceptAll(t1base).count() === 0)
+    assert(t1base.exceptAll(top1even).count() === 0)
+    // guard: rank() filters do NOT rewrite (ties)
+    val rankPlan = df.withColumn("rn", rank().over(w)).filter(col("rn") <= 4)
+      .queryExecution.executedPlan.toString
+    assert(!rankPlan.contains("GroupTopK"),
+      "rank() admits ties — must stay a window plan")
+    // a CAST rank still rewrites: UnwrapCastInBinaryComparison +
+    // filter-pushdown normalize `cast(rn) <= 4L` back into the bare
+    // pattern before user rules run — verify values through the cast
+    val casted = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 4L)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("rn"))
+    assert(casted.queryExecution.executedPlan.toString.contains("GroupTopK"))
+    val castBase = df.withColumn("rn", rank().over(w).cast("long"))
+      .filter(col("rn") <= 4L)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("rn"))
+    assert(casted.exceptAll(castBase).count() === 0)
+    assert(castBase.exceptAll(casted).count() === 0)
   }
 
   test("GroupTopK plans partial+final heaps with no SortExec") {
