@@ -12,6 +12,9 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same extension set as Verify/Bench so dumped plans are the
+    // gate-verified shapes (incl. the row_number→heap rewrite)
+    GraftExtensions.install(spark)
     val d = "/root/testdata/sf0.01"
 
     val notes = Seq(
@@ -168,7 +171,19 @@ object Scratch {
       "q_negative_sampling" -> ("Negative-sampling table",
         "One wordcount aggregate (map-side combine, shuffle ∝ distinct tokens); the rank window runs over the DISTINCT-token table (vocab-sized, the vocabCoverage contract) and the cumulative sum over topV rows only."),
       "q_quantile_norm" -> ("Per-source quantile-rank gate",
-        "ONE source-partitioned window computing percent_rank — exact integer-rank rational, no libm, no buffering of values; the keep flag is a map-side comparison on the rounded rank."))
+        "ONE source-partitioned window computing percent_rank — exact integer-rank rational, no libm, no buffering of values; the keep flag is a map-side comparison on the rounded rank."),
+      "q_topk_per_group" -> ("Idiomatic window top-k under GroupTopKRewrite",
+        "The standard row_number+filter formulation — the optimizer rule replans it as partial heap → Exchange → final heap (rank re-emitted): NO Sort, NO WindowGroupLimit, NO Window anywhere in the plan; compare q_group_topk_native, which reaches the same shape through the explicit API."),
+      "q_ivf_topk_bcast" -> ("Broadcast-codebook IVF (k=256 scale path)",
+        "Codebook collapses to ONE sorted array-of-structs row riding a broadcast crossJoin; assignment is the native NearestCentroid kernel (constant-size generated code); candidates from an equi-join on the probed cells; TakeOrdered finishes — no literal-inlined codebook, no JVM codegen-size ceiling."),
+      "q_fdr_bh" -> ("BH-FDR over the per-source KS battery",
+        "The KS grid (groups × distinct values) feeds group windows; the BH stage is two UNPARTITIONED windows over the m=20-row hypothesis frame — single-task BY DESIGN (hypothesis grain, never row grain)."),
+      "q_modularity" -> ("Newman modularity of the near-dup clustering",
+        "Pair relation cached once (feeds CC labels AND canon/intra/degree); after the iterative CC rounds, modularity itself is two label equi-joins + two hash aggregates + a 1-row broadcast total — shuffle ∝ |E|, no iteration."),
+      "q_epoch_schedule" -> ("Token-budget epoch schedule",
+        "ONE hash aggregate to domain grain, a 1-row broadcast total (decimal-exact weight sum), map-side share/epoch arithmetic — nothing scales with rows after the first aggregate."),
+      "q_octadesk_e2e_drift" -> ("Reference dataflow under schema drift",
+        "Same single-shuffle plan as q_octadesk_e2e (the chat merge is the one exchange; dedup is a broadcast anti-join) with the evolved cf_* columns flowing through sanitize/dup-drop as pure metadata projections — drift costs no extra shuffle."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans for flagship queries\n\n")
