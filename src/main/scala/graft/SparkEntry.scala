@@ -556,6 +556,35 @@ object SparkEntry {
   private def q_bigram_loglik(s: SparkSession, d: String): DataFrame =
     TextAnalytics.bigramLogLik(Tables.documents(s, d), "doc_id", "text")
 
+  /** §2b Kneser–Ney smoothed bigram LM quality proxy
+    * ([[TextAnalytics.kneserNeyLogLik]]) — the production-grade smoothing
+    * (absolute discount + continuation-count backoff, the KenLM default)
+    * on top of the add-one (q_bigram_loglik) and Jelinek–Mercer
+    * (q_interp_loglik) baselines; all three rank the same docs, so the
+    * trio measures how much the smoothing choice moves a quality gate. */
+  private def q_kneser_ney(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.kneserNeyLogLik(Tables.documents(s, d), "doc_id", "text")
+
+  /** §2b CCNet-style perplexity bucketing (Wenzek et al. LREC'20;
+    * [[Corpus.perplexityBuckets]]): per language, rank docs by the
+    * corpus-unigram LM proxy (6dp-rounded BEFORE ranking, doc_id
+    * tiebreak — the engine-portable ordering contract) and ntile into
+    * head/middle/tail thirds — the equal-population quality split CCNet
+    * uses in place of per-language thresholds. One window per language,
+    * no join beyond the score computation. */
+  private def q_ccnet_buckets(s: SparkSession, d: String): DataFrame = {
+    val scored = TextAnalytics
+      .unigramLogLik(Tables.documents(s, d), "doc_id", "text")
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      // CCNet orders by perplexity ASC (best first); the loglik proxy is
+      // its negation, already rounded at 6dp by unigramLogLik
+      .withColumn("ppl_proxy", -col("mean_loglik"))
+    Corpus.perplexityBuckets(scored, "lang", "doc_id", "ppl_proxy", n = 3)
+      .select(col("doc_id"), col("lang"), col("ppl_proxy"),
+        col("bucket").cast("long").as("bucket"))
+  }
+
   /** §2b PMI collocation mining: top-100 bigrams by pointwise mutual
     * information with support >= 5. */
   private def q_ngram_pmi(s: SparkSession, d: String): DataFrame =
@@ -692,6 +721,21 @@ object SparkEntry {
     Graph.modularity(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
       labels, "doc_id", "cluster")
+  }
+
+  /** §2b Adamic–Adar link prediction ([[Graph.adamicAdar]]) over the
+    * SAME shingle-Jaccard near-dup graph as q_modularity: the top-20
+    * non-adjacent pairs sharing rare neighbors — the "duplicates the
+    * threshold probably missed" review queue (a thresholded LSH pass
+    * loses transitive pairs; AA surfaces exactly those). Wedge join on
+    * the common-neighbor center, hub-capped, TakeOrdered. */
+  private def q_adamic_adar(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 120)
+    val pairs = Dedup.jaccardPairsFrom(
+      Dedup.shingleSets(docs, "doc_id", "text"), "doc_id", 0.02)
+    Graph.adamicAdar(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      topN = 20)
   }
 
   /** §2b LSH S-curve calibration: per exact-Jaccard decile, the observed
@@ -1242,6 +1286,15 @@ object SparkEntry {
   private def q_cusum(s: SparkSession, d: String): DataFrame =
     TimeSeries.cusumDaily(Tables.events(s, d), "ts")
 
+  /** §2b hour-of-day seasonal index per event type
+    * ([[TimeSeries.seasonalIndex]]): the full 24-slot multiplicative
+    * diurnal profile (silent hours emitted as index 0) — the
+    * ingestion-gap / bot-traffic / timezone-drift sanity readout over
+    * the events stream. Two hash aggregates + a 24-slot grid join. */
+  private def q_seasonality(s: SparkSession, d: String): DataFrame =
+    TimeSeries.seasonalIndex(Tables.events(s, d), "ts", "event_type")
+      .withColumn("hour_of_day", col("hour_of_day").cast("long"))
+
   /** §2b Benford first-digit audit over order totals: observed vs
     * log10(1+1/d) shares + χ² contributions — the fabricated-data screen. */
   private def q_benford(s: SparkSession, d: String): DataFrame =
@@ -1539,6 +1592,37 @@ object SparkEntry {
     ColumnHygiene.lDiversity(staged,
       Seq("c_mktsegment", "c_nationkey"), "acctbal_band", 4)
   }
+
+  /** §2b t-closeness audit ([[ColumnHygiene.tCloseness]]), completing the
+    * k-anonymity → l-diversity → t-closeness release ladder on the SAME
+    * quasi/sensitive fixture: per quasi-group, the total-variation
+    * distance between its acctbal-band distribution and the table's
+    * (the categorical EMD of Li et al. ICDE'07), gated at t = 0.2. No
+    * group×value grid — absent values fold in arithmetically. */
+  private def q_tcloseness(s: SparkSession, d: String): DataFrame = {
+    val staged = Tables.customer(s, d).select(col("c_mktsegment"),
+      col("c_nationkey"),
+      floor(col("c_acctbal") / 1000).cast("long").as("acctbal_band"))
+    ColumnHygiene.tCloseness(staged,
+      Seq("c_mktsegment", "c_nationkey"), "acctbal_band", 0.2)
+  }
+
+  /** §2b per-group Spearman rank correlation ([[Stats.spearman]]):
+    * tie-aware monotone association of quantity vs price per return
+    * flag — the outlier/transform-robust sibling of the Pearson drift
+    * checks; heavy integer ties in l_quantity exercise the mid-rank
+    * path at every SF. */
+  private def q_spearman(s: SparkSession, d: String): DataFrame =
+    Stats.spearman(Tables.lineitem(s, d), "l_returnflag",
+      "l_quantity", "l_extendedprice")
+
+  /** §2b boilerplate-prefix audit ([[TextAnalytics.boilerplatePrefixes]]):
+    * per source, the top-3 leading-3-token prefixes and their doc share —
+    * the template-header screen (RefinedWeb/C4 curation) whose per-group
+    * top-N window is the GroupTopK-rewrite shape. */
+  private def q_boilerplate(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.boilerplatePrefixes(Tables.documents(s, d), "source",
+      "text", k = 3, topN = 3)
 
   /** §2b Z-order layout key: Morton interleave of (l_partkey, l_suppkey),
     * the two-dimensional data-skipping sort key behind Sinks.writeZOrdered
@@ -2618,6 +2702,28 @@ object SparkEntry {
     Similarity.int8TopK(Tables.embeddings(s, d), "vec_id", "embedding",
       queryId = 0L, k = 10)
 
+  /** §2b 1-bit embedding quantization ([[Similarity.binarize]]): sign
+    * bits packed into two exact 32-bit words per 64-dim vector (32×
+    * smaller than float32 — the first-pass scan format), plus the set-bit
+    * density whose corpus mean ≈ dim/2 is the centered-embedding sanity
+    * readout. Pure map-side integer arithmetic — zero shuffle. */
+  private def q_binary_quantize(s: SparkSession, d: String): DataFrame =
+    Similarity.binarize(Tables.embeddings(s, d), "vec_id", "embedding", 64)
+      .select(col("vec_id"),
+        element_at(col("bits"), 1).as("w0"),
+        element_at(col("bits"), 2).as("w1"),
+        (bit_count(element_at(col("bits"), 1)) +
+          bit_count(element_at(col("bits"), 2))).cast("long").as("n_set"))
+
+  /** §2b binary-quantization retrieval ([[Similarity.hammingTopK]]):
+    * XOR+popcount Hamming scan over the packed bits (integer-exact,
+    * memory-bandwidth bound) keeps a 50-candidate pool, exact float dot
+    * rerank returns the top 10 — the two-stage loop that makes 1-bit
+    * storage competitive in recall. Map-side + TakeOrdered twice. */
+  private def q_hamming_topk(s: SparkSession, d: String): DataFrame =
+    Similarity.hammingTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      dim = 64, queryId = 0L, k = 10, rerankPool = 50)
+
   /** §2b count-min sketch eval: 4×256 md5-bucketed sketch of the token
     * stream, point estimates vs exact counts for the top-20 tokens —
     * one-sided est ≥ truth guarantee, vocab-sized fan-out only. */
@@ -2949,6 +3055,8 @@ object SparkEntry {
     "q_unique_tokens" -> (q_unique_tokens _),
     "q_unigram_loglik" -> (q_unigram_loglik _),
     "q_bigram_loglik" -> (q_bigram_loglik _),
+    "q_kneser_ney" -> (q_kneser_ney _),
+    "q_ccnet_buckets" -> (q_ccnet_buckets _),
     "q_ngram_pmi" -> (q_ngram_pmi _),
     "q_jaccard_pairs" -> (q_jaccard_pairs _),
     "q_jaccard_prefix" -> (q_jaccard_prefix _),
@@ -2999,6 +3107,7 @@ object SparkEntry {
     "q_assoc_rules" -> (q_assoc_rules _),
     "q_survival" -> (q_survival _),
     "q_cusum" -> (q_cusum _),
+    "q_seasonality" -> (q_seasonality _),
     "q_burstiness" -> (q_burstiness _),
     "q_theil_sen" -> (q_theil_sen _),
     "q_benford" -> (q_benford _),
@@ -3049,6 +3158,7 @@ object SparkEntry {
     "q_fellegi_sunter" -> (q_fellegi_sunter _),
     "q_dedup_weights" -> (q_dedup_weights _),
     "q_modularity" -> (q_modularity _),
+    "q_adamic_adar" -> (q_adamic_adar _),
     "q_assortativity" -> (q_assortativity _),
     "q_unpivot" -> (q_unpivot _),
     "q_lsh_calibration" -> (q_lsh_calibration _),
@@ -3060,6 +3170,9 @@ object SparkEntry {
     "q_dup_spans" -> (q_dup_spans _),
     "q_kanonymity" -> (q_kanonymity _),
     "q_ldiversity" -> (q_ldiversity _),
+    "q_tcloseness" -> (q_tcloseness _),
+    "q_spearman" -> (q_spearman _),
+    "q_boilerplate" -> (q_boilerplate _),
     "q_zorder_key" -> (q_zorder_key _),
     "q_quality_classifier" -> (q_quality_classifier _),
     "q_pagerank" -> (q_pagerank _),
@@ -3127,6 +3240,8 @@ object SparkEntry {
     "q_kcore" -> (q_kcore _),
     "q_quantize_int8" -> (q_quantize_int8 _),
     "q_int8_topk" -> (q_int8_topk _),
+    "q_binary_quantize" -> (q_binary_quantize _),
+    "q_hamming_topk" -> (q_hamming_topk _),
     "q_countmin" -> (q_countmin _),
     "q_rrf" -> (q_rrf _),
     "q_int8_recall" -> (q_int8_recall _),
@@ -5338,6 +5453,185 @@ object SparkEntry {
                   AS mean_loglik
          FROM occ JOIN bc USING (bigram) JOIN uc ON occ.w1 = uc.w, v
          GROUP BY doc_id""",
+    "q_kneser_ney" ->
+      """WITH tok AS (SELECT doc_id,
+                        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
+                      FROM documents),
+              occ AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bigram
+                      FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+              bc AS (SELECT bigram, count(*) AS c_ab FROM occ GROUP BY 1),
+              sp AS (SELECT bigram, c_ab,
+                       string_split(bigram, ' ')[1] AS wa,
+                       string_split(bigram, ' ')[2] AS wb FROM bc),
+              la AS (SELECT wa, CAST(sum(c_ab) AS BIGINT) AS c_a,
+                       count(*) AS n1p_a FROM sp GROUP BY 1),
+              rb AS (SELECT wb, count(*) AS n1p_b FROM sp GROUP BY 1),
+              tt AS (SELECT count(*) AS t_types FROM bc)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(avg(ln(greatest(c_ab - 0.75, 0.0) / c_a
+                  + (0.75 * n1p_a / c_a)
+                    * (CAST(n1p_b AS DOUBLE) / t_types))), 6) AS mean_loglik
+         FROM occ JOIN sp USING (bigram)
+              JOIN la USING (wa)
+              JOIN rb USING (wb), tt
+         GROUP BY doc_id""",
+    "q_ccnet_buckets" ->
+      """WITH occ AS (SELECT doc_id,
+                        UNNEST(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS token
+                      FROM documents),
+              freqs AS (SELECT token, count(*) AS cnt FROM occ GROUP BY 1),
+              tot AS (SELECT sum(cnt) AS t_occ, count(*) AS v_size FROM freqs),
+              score AS (SELECT doc_id,
+                          round(avg(ln(CAST(cnt + 1 AS DOUBLE) / (t_occ + v_size))), 6)
+                            AS ml
+                        FROM occ JOIN freqs USING (token), tot
+                        GROUP BY doc_id),
+              scored AS (SELECT s.doc_id, d.lang, -s.ml AS ppl_proxy
+                         FROM score s JOIN documents d USING (doc_id))
+         SELECT doc_id, lang, ppl_proxy,
+                CAST(ntile(3) OVER (PARTITION BY lang
+                  ORDER BY ppl_proxy ASC, doc_id ASC) AS BIGINT) AS bucket
+         FROM scored""",
+    "q_adamic_adar" ->
+      """WITH tok AS (SELECT doc_id,
+                        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
+                      FROM documents WHERE doc_id < 120),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS token
+                     FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                        FROM sh a JOIN sh b
+                          ON a.token = b.token AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              pairs AS (SELECT i.id_a, i.id_b
+                        FROM inter i
+                        JOIN sizes sa ON i.id_a = sa.doc_id
+                        JOIN sizes sb ON i.id_b = sb.doc_id
+                        WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.02),
+              canon AS (SELECT id_a AS a, id_b AS b FROM pairs),
+              deg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg
+                      FROM (SELECT a AS id FROM canon
+                            UNION ALL SELECT b AS id FROM canon)
+                      GROUP BY 1),
+              adj AS (SELECT a AS w, b AS u FROM canon
+                      UNION ALL SELECT b AS w, a AS u FROM canon),
+              cand AS (SELECT n1.u AS u, n2.u AS v, count(*) AS n_common,
+                         sum(1.0 / ln(CAST(d.dg AS DOUBLE))) AS aa
+                       FROM adj n1
+                       JOIN deg d ON n1.w = d.id AND d.dg <= 1000
+                       JOIN adj n2 ON n1.w = n2.w AND n1.u < n2.u
+                       GROUP BY 1, 2)
+         SELECT u AS src, v AS dst, n_common, round(aa, 6) AS aa_score
+         FROM cand
+         WHERE NOT EXISTS (SELECT 1 FROM canon c
+                           WHERE c.a = cand.u AND c.b = cand.v)
+         ORDER BY aa_score DESC, src ASC, dst ASC
+         LIMIT 20""",
+    "q_seasonality" ->
+      """WITH cells AS (SELECT event_type,
+                          CAST(hour(ts) AS BIGINT) AS hour_of_day,
+                          count(*) AS n
+                        FROM events GROUP BY 1, 2),
+              totals AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+                         FROM cells GROUP BY 1),
+              grid AS (SELECT event_type, tot,
+                         UNNEST(generate_series(0, 23)) AS hour_of_day
+                       FROM totals)
+         SELECT g.event_type, g.hour_of_day,
+                CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+                round(24.0 * COALESCE(c.n, 0) / g.tot, 6) AS seasonal_index
+         FROM grid g LEFT JOIN cells c
+           ON g.event_type = c.event_type AND g.hour_of_day = c.hour_of_day""",
+    "q_binary_quantize" ->
+      """WITH b AS (SELECT vec_id,
+                      CAST(list_sum(list_transform(generate_series(0, 31), i -> CASE WHEN embedding[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+                      CAST(list_sum(list_transform(generate_series(0, 31), i -> CASE WHEN embedding[i + 33] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+                    FROM embeddings)
+         SELECT vec_id, w0, w1,
+                CAST(bit_count(w0) + bit_count(w1) AS BIGINT) AS n_set
+         FROM b""",
+    "q_hamming_topk" ->
+      """WITH b AS (SELECT vec_id, embedding,
+                      CAST(list_sum(list_transform(generate_series(0, 31), i -> CASE WHEN embedding[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+                      CAST(list_sum(list_transform(generate_series(0, 31), i -> CASE WHEN embedding[i + 33] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+                    FROM embeddings),
+              q AS (SELECT w0 AS qw0, w1 AS qw1, embedding AS qe
+                    FROM b WHERE vec_id = 0),
+              h AS (SELECT vec_id, embedding,
+                      CAST(bit_count(xor(w0, qw0)) + bit_count(xor(w1, qw1))
+                        AS BIGINT) AS hamming
+                    FROM b, q WHERE vec_id <> 0),
+              cand AS (SELECT vec_id, embedding, hamming FROM h
+                       ORDER BY hamming ASC, vec_id ASC LIMIT 50)
+         SELECT c.vec_id, c.hamming,
+                round(list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))), 6)
+                  AS exact_dot
+         FROM cand c, q
+         ORDER BY exact_dot DESC, vec_id ASC
+         LIMIT 10""",
+    "q_tcloseness" ->
+      """WITH staged AS (SELECT c_mktsegment, c_nationkey,
+                           CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band
+                         FROM customer),
+              gl AS (SELECT acctbal_band AS v, count(*) AS nv
+                     FROM staged WHERE acctbal_band IS NOT NULL GROUP BY 1),
+              tot AS (SELECT CAST(sum(nv) AS BIGINT) AS n FROM gl),
+              cells AS (SELECT c_mktsegment, c_nationkey, acctbal_band AS v,
+                          count(*) AS c
+                        FROM staged WHERE acctbal_band IS NOT NULL
+                        GROUP BY 1, 2, 3),
+              wg AS (SELECT *, CAST(sum(c) OVER (PARTITION BY c_mktsegment,
+                       c_nationkey) AS BIGINT) AS g
+                     FROM cells),
+              agg AS (SELECT c_mktsegment, c_nationkey,
+                        min(g) AS group_size, min(n) AS n,
+                        CAST(sum(abs(c * n - nv * g)) AS BIGINT) AS s1n,
+                        CAST(sum(nv) AS BIGINT) AS s2n
+                      FROM wg JOIN gl ON wg.v = gl.v, tot
+                      GROUP BY 1, 2)
+         SELECT c_mktsegment, c_nationkey, group_size,
+                round((s1n / (CAST(group_size AS DOUBLE) * n)
+                  + (1.0 - s2n / n)) / 2, 6) AS tvd,
+                round((s1n / (CAST(group_size AS DOUBLE) * n)
+                  + (1.0 - s2n / n)) / 2, 6) <= 0.2 AS is_close
+         FROM agg""",
+    "q_spearman" ->
+      """WITH r AS (SELECT l_returnflag,
+                      rank() OVER (PARTITION BY l_returnflag
+                        ORDER BY l_quantity ASC)
+                        + (count(*) OVER (PARTITION BY l_returnflag,
+                            l_quantity) - 1) / 2.0 AS rx,
+                      rank() OVER (PARTITION BY l_returnflag
+                        ORDER BY l_extendedprice ASC)
+                        + (count(*) OVER (PARTITION BY l_returnflag,
+                            l_extendedprice) - 1) / 2.0 AS ry
+                    FROM lineitem
+                    WHERE l_quantity IS NOT NULL
+                      AND l_extendedprice IS NOT NULL)
+         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                CASE WHEN var_samp(rx) > 0 AND var_samp(ry) > 0 THEN
+                  round(covar_samp(rx, ry)
+                    / sqrt(var_samp(rx) * var_samp(ry)), 6) END
+                  AS spearman_rho
+         FROM r GROUP BY 1""",
+    "q_boilerplate" ->
+      """WITH tok AS (SELECT source,
+                        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
+                      FROM documents),
+              pref AS (SELECT source, array_to_string(t[1:3], ' ') AS prefix
+                       FROM tok WHERE len(t) >= 1),
+              counts AS (SELECT source, prefix, count(*) AS n_docs
+                         FROM pref GROUP BY 1, 2),
+              totals AS (SELECT source, count(*) AS tot FROM pref GROUP BY 1),
+              ranked AS (SELECT source, prefix, n_docs,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY n_docs DESC, prefix ASC) AS rank
+                         FROM counts)
+         SELECT r.source, CAST(r.rank AS BIGINT) AS rank, r.prefix, r.n_docs,
+                round(r.n_docs / t.tot, 6) AS doc_share
+         FROM ranked r JOIN totals t USING (source)
+         WHERE r.rank <= 3""",
     "q_ngram_pmi" ->
       """WITH tok AS (SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
                       FROM documents),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataType
 
@@ -267,6 +268,60 @@ object ColumnHygiene {
       .agg(count(lit(1)).as("group_size"),
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("is_diverse", col("n_sensitive") >= l)
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian ICDE'07), completing
+    * the k-anonymity → l-diversity → t-closeness release-gate ladder: a
+    * diverse group still leaks when its sensitive-value DISTRIBUTION
+    * differs from the table's (skewness attack — "diverse but 90%
+    * positive"). For a categorical sensitive attribute under the
+    * equal-ground-distance metric, the paper's EMD reduces to total
+    * variation distance: tvd = ½·Σ_v |p_group(v) − p_global(v)|.
+    * Reports every quasi-group with its size, tvd, and `is_close`
+    * (tvd ≤ t). NULL sensitive values are excluded on both sides
+    * (matching [[lDiversity]]'s count-distinct semantics).
+    *
+    * The Σ runs over ALL global values without materializing a
+    * group×value grid: absent values contribute q_v, so
+    * tvd = ½·(Σ_{v∈group} |p_v − q_v| + (1 − Σ_{v∈group} q_v)) — only
+    * OBSERVED (quasi, v) cells are ever built. Every summed term is an
+    * EXACT INTEGER (|c·N − n_v·g| over the common denominator g·N;
+    * Σ n_v), so the aggregation is order-independent and the one
+    * engine-sensitive float division happens ONCE per group, after the
+    * sums — a naive Σ|p−q| of doubles hash-diverged at sf0.1 on a
+    * rounding boundary. Integer products bound: c·N < 2⁶³ holds to
+    * ~3·10⁹ rows per sensitive value; beyond that, pre-aggregate or
+    * widen to decimal.
+    *
+    * Scale shape: one (quasi, v) hash aggregate (map-side combined),
+    * one value-keyed join against the value-cardinality global-share
+    * table (broadcast-sized), one quasi-group aggregate, a 1-row total
+    * broadcast. Output bounded by quasi combinations. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(t > 0 && t < 1, s"t must be in (0,1): $t")
+    val rows = df.filter(col(sensitiveCol).isNotNull)
+    val global = rows.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).as("__nv"))
+    val total = global.agg(sum(col("__nv")).as("__n"))
+    val cells = rows.groupBy(quasiCols.map(col) :+
+        col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val g = Window.partitionBy(quasiCols.map(col): _*)
+    cells
+      .join(broadcast(global), Seq("__v"))
+      .crossJoin(broadcast(total))
+      .withColumn("__g", sum(col("__c")).over(g))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(min(col("__g")).as("group_size"), min(col("__n")).as("__n"),
+        sum(abs(col("__c") * col("__n") - col("__nv") * col("__g")))
+          .as("__s1n"),
+        sum(col("__nv")).as("__s2n"))
+      .select(quasiCols.map(col) :+ col("group_size") :+
+        round((col("__s1n") / (col("group_size").cast("double") * col("__n"))
+          + (lit(1.0) - col("__s2n") / col("__n"))) / 2, 6).as("tvd"): _*)
+      .withColumn("is_close", col("tvd") <= t)
   }
 
   /** Referential-integrity audit: child rows whose foreign key has no

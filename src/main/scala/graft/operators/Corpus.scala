@@ -478,6 +478,30 @@ object Corpus {
     df.withColumn("pct_rank", round(percent_rank().over(w), 6))
   }
 
+  /** CCNet-style perplexity bucketing (public: Wenzek et al. LREC'20
+    * "CCNet" §4.3): within each group (CCNet buckets PER LANGUAGE),
+    * rank documents by a quality score where ASCENDING = better (CCNet
+    * uses target-domain LM perplexity) and cut the ranking into `n`
+    * equal-population buckets with ntile — bucket 1 is CCNet's "head"
+    * (kept for training), bucket n its "tail" (discarded or
+    * down-weighted). Equal POPULATION, not equal score range, is the
+    * point: the split adapts to each language's score distribution
+    * without per-language thresholds. Ordering ties break on `idCol`,
+    * so the assignment is a deterministic, engine-portable function of
+    * the input.
+    *
+    * Scale shape: ONE group-partitioned ntile window — per-group
+    * sort, parallel across groups (languages), no join, no iteration.
+    * Same window contract as [[quantileRank]]: the partition unit is
+    * the natural curation unit, so no global sort is ever built. */
+  def perplexityBuckets(df: DataFrame, groupCol: String, idCol: String,
+                        scoreCol: String, n: Int = 3): DataFrame = {
+    require(n >= 2, s"need at least 2 buckets: $n")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    df.withColumn("bucket", ntile(n).over(w))
+  }
+
   /** Length-grouped batching audit (the fairseq/HF `group_by_length`
     * trick): per shard, sort documents by token count descending (id asc
     * tiebreak), cut into fixed `batchSize` batches, and report each

@@ -484,4 +484,54 @@ object Graph {
               * (col("d_c").cast("double") / (lit(2.0) * col("__m"))), 6))
           .as("q_contrib"))
   }
+
+  /** Adamic–Adar link prediction (public: Adamic & Adar, Social Networks
+    * '03): for each NON-adjacent pair (u,v) with ≥1 common neighbor,
+    * AA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w) — shared rare neighbors
+    * count more than shared hubs. Over the near-dup pair graph this is
+    * the "which documents are probably duplicates we MISSED" review
+    * queue: a pair joined to the same small cluster of near-dups but not
+    * yet paired directly is the classic transitive-miss of thresholded
+    * LSH. Returns the top `topN` predicted pairs
+    * (src, dst, n_common, aa_score), score desc, (src, dst) tiebreak.
+    *
+    * `maxDeg` drops hub centers (deg w > maxDeg) from the wedge join —
+    * the standard skew guard: a hub of degree h generates h² candidate
+    * wedges yet contributes only 1/ln(h) → 0 information per pair, so
+    * capping bounds the blowup at negligible score cost. Common
+    * neighbors always have deg ≥ 2, so ln(deg w) ≥ ln 2 — no division
+    * hazard.
+    *
+    * Scale shape: canonicalize (one distinct) + one degree aggregate;
+    * candidates come from ONE self-equi-join of the adjacency on the
+    * CENTER w (wedge volume Σ_{deg w ≤ maxDeg} deg(w)² — bounded by the
+    * cap, shuffled on w, never all-pairs); then one hash aggregate on
+    * (u,v), one anti-join against the edge set, and a global top-N
+    * (TakeOrdered — no full sort). */
+  def adamicAdar(edges: DataFrame, topN: Int, maxDeg: Long = 1000L): DataFrame = {
+    require(topN > 0 && maxDeg >= 2, s"need topN > 0, maxDeg >= 2: $topN/$maxDeg")
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(col("a").as("__id"))
+      .unionAll(canon.select(col("b").as("__id")))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__deg"))
+    val both = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+      .toDF("w", "u") // adjacency: center w -> neighbor u
+    val centers = deg.filter(col("__deg") <= maxDeg)
+      .select(col("__id").as("w"), col("__deg").as("deg_w"))
+    both.join(centers, Seq("w"))
+      .join(both.toDF("w", "v"), Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(lit(1.0) / log(col("deg_w").cast("double"))).as("__aa"))
+      // predicted links only: drop pairs already adjacent
+      .join(canon, col("u") === col("a") && col("v") === col("b"), "left_anti")
+      .select(col("u").as("src"), col("v").as("dst"), col("n_common"),
+        round(col("__aa"), 6).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("src").asc, col("dst").asc)
+      .limit(topN)
+  }
 }

@@ -1183,4 +1183,71 @@ object Similarity {
     }
     sel.toDF("sel_rank", "vec_id", "radius")
   }
+
+  /** 1-bit (sign) quantization: bit i of word j is set iff
+    * vec[32j + i] ≥ 0, packed into ⌈dim/32⌉ 32-bit words carried as a
+    * LONG array (public: the binary-embedding idiom of Charikar STOC'02
+    * sign-random-projection, applied to the raw coordinates as modern
+    * vector stores do for centered embeddings). 32 valid bits per word
+    * keeps every packed value < 2³², so the left-associative word sum is
+    * exact INTEGER arithmetic in any engine — no sign-bit edge case at
+    * bit 63. 32× smaller than float32 — the memory-bandwidth win that
+    * makes exhaustive first-pass scans viable at 100 TB.
+    *
+    * Pure map-side expression over the vector column: no join, no
+    * shuffle, no UDF. Appends a `bits` column; other columns pass
+    * through for downstream rerank. */
+  def binarize(emb: DataFrame, idCol: String, vecCol: String,
+               dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val nWords = (dim + 31) / 32
+    val words = (0 until nWords).map { j =>
+      val width = math.min(32, dim - j * 32)
+      (0 until width).map { i =>
+        when(element_at(col(vecCol), j * 32 + i + 1) >= 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduceLeft(_ + _)
+    }
+    emb.select(col("*"), array(words: _*).as("bits"))
+  }
+
+  /** Hamming top-k over [[binarize]]d vectors with exact float rerank —
+    * the two-stage binary-quantization retrieval loop: (1) scan the
+    * packed bits, score each row by Σ_j popcount(bits_j XOR qbits_j)
+    * (integer-exact, ~dim/32 fused ALU ops per row — memory-bandwidth
+    * bound, 32× less traffic than the float scan), keep the best
+    * `rerankPool` candidates; (2) re-score ONLY those by the exact
+    * float dot product against the query and return the top `k`.
+    * Stage-1 ranking is (hamming asc, id asc); stage-2 is
+    * (6dp-rounded dot desc, id asc) — the engine-portable ranking
+    * contract shared with int8TopK/pqTopK.
+    *
+    * Scale shape: stage 1 is map-side + TakeOrdered (query words are
+    * literals — zero shuffle, zero row expansion); stage 2 touches
+    * `rerankPool` rows (a driver-bounded constant). The query row is a
+    * legitimate tiny-collect, like int8TopK's. */
+  def hammingTopK(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  queryId: Long, k: Int, rerankPool: Int): DataFrame = {
+    require(k > 0 && rerankPool >= k,
+      s"need k > 0 and rerankPool >= k: $k/$rerankPool")
+    val packed = binarize(emb, idCol, vecCol, dim)
+      .select(col(idCol), col(vecCol), col("bits"))
+    val qRows = packed.filter(col(idCol) === queryId).take(1)
+    require(qRows.nonEmpty, s"query vector $idCol=$queryId not found")
+    val qBits = qRows.head.getSeq[Long](2)
+    val qVec = array(qRows.head.getSeq[Float](1).map(v => lit(v.toDouble)): _*)
+    val hamming = qBits.zipWithIndex.map { case (qw, j) =>
+      bit_count(element_at(col("bits"), j + 1).bitwiseXOR(lit(qw)))
+    }.reduceLeft(_ + _)
+    packed.filter(col(idCol) =!= queryId)
+      .select(col(idCol), col(vecCol), hamming.cast("long").as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(rerankPool)
+      .select(col(idCol), col("hamming"),
+        round(aggregate(zip_with(col(vecCol), qVec,
+          (x, q) => x.cast("double") * q), lit(0.0), (a, x) => a + x), 6)
+          .as("exact_dot"))
+      .orderBy(col("exact_dot").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

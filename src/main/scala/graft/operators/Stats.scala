@@ -695,4 +695,39 @@ object Stats {
       .withColumn("significant", col("p_adj") <= lit(alpha))
       .drop("__p", "__m", "__stat")
   }
+
+  /** Per-group Spearman rank correlation (Spearman 1904): Pearson on
+    * tie-averaged ranks — the monotone-association readout that survives
+    * outliers and monotone transforms, the robust sibling of the raw
+    * Pearson drift checks (a price column that went log-scaled keeps
+    * ρ_s = 1 while Pearson craters). Tie handling is the standard
+    * mid-rank: avg rank = min-rank + (|tie class| − 1)/2 — exact .5-step
+    * doubles, engine-portable. ρ is composed as cov/(√vx·√vy) in the
+    * SAME tree as [[Graph.assortativity]] (ANSI `corr` throws at zero
+    * variance; this yields null instead), 6dp-rounded.
+    *
+    * Scale shape: two rank windows per axis, all partitioned BY GROUP
+    * (the analysis unit — no global sort), then ONE stats hash
+    * aggregate. Null x or y rows are excluded pairwise first, so ranks
+    * are over complete pairs. */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def avgRank(c: String): Column = {
+      val order = Window.partitionBy(col(groupCol)).orderBy(col(c).asc)
+      val ties = Window.partitionBy(col(groupCol), col(c))
+      rank().over(order) + (count(lit(1)).over(ties) - lit(1)) / lit(2.0)
+    }
+    val ranked = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol), avgRank(xCol).as("__rx"), avgRank(yCol).as("__ry"))
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        covar_samp(col("__rx"), col("__ry")).as("__cov"),
+        var_samp(col("__rx")).as("__vx"), var_samp(col("__ry")).as("__vy"))
+      .select(col(groupCol), col("n"),
+        when(col("__vx") > 0 && col("__vy") > 0,
+          round(col("__cov") / sqrt(col("__vx") * col("__vy")), 6))
+          .as("spearman_rho"))
+  }
 }

@@ -191,6 +191,44 @@ object TextAnalytics {
         col("r_top_bigram"), col("r_stopwords"), col("keep"))
   }
 
+  /** Boilerplate-prefix audit (the RefinedWeb/C4 curation concern:
+    * template headers — cookie banners, nav bars, license stanzas —
+    * repeated verbatim at the top of many documents from one source):
+    * per group, the `topN` most frequent leading-`k`-token prefixes with
+    * the share of the group's docs carrying each. A prefix owning a
+    * large share IS the boilerplate to strip; a flat profile clears the
+    * source. Docs shorter than `k` tokens contribute their full (shorter)
+    * prefix; empty docs are excluded (no prefix to audit).
+    *
+    * Scale shape: one map-side prefix projection (slice of the token
+    * array — no explode, one row per doc), one (group, prefix) hash
+    * aggregate, a group-sized doc-count join, and a per-group top-N
+    * window over the AGGREGATED prefix table (bounded by distinct
+    * prefixes, not docs; the row_number≤N shape the GroupTopK rewrite
+    * turns into partial heaps). */
+  def boilerplatePrefixes(docs: DataFrame, groupCol: String, textCol: String,
+                          k: Int, topN: Int): DataFrame = {
+    require(k >= 1 && topN >= 1, s"need k/topN >= 1: $k/$topN")
+    val toks = docs.select(col(groupCol),
+      TextFunctions.tokens(col(textCol)).as("__t"))
+    val prefixes = toks.filter(size(col("__t")) >= 1)
+      .select(col(groupCol),
+        concat_ws(" ", slice(col("__t"), 1, k)).as("prefix"))
+    val counts = prefixes.groupBy(col(groupCol), col("prefix"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = prefixes.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__tot"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n_docs").desc, col("prefix").asc)
+    counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .join(totals, Seq(groupCol))
+      .select(col(groupCol), col("rank").cast("long").as("rank"),
+        col("prefix"), col("n_docs"),
+        round(col("n_docs") / col("__tot"), 6).as("doc_share"))
+  }
+
   /** Corpus-level distinct-n diversity (the distinct-1/2/3 metric of Li
     * et al., NAACL'16, computed per group): for each n, distinct n-grams
     * across the WHOLE group over total n-gram occurrences. Low values
@@ -434,6 +472,58 @@ object TextAnalytics {
         element_at(split(col("bigram"), " "), 2) === col("__wb"))
       .crossJoin(broadcast(totals))
       .withColumn("__logp", log(mix))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__logp")), 6).as("mean_loglik"))
+  }
+
+  /** Interpolated Kneser–Ney bigram scoring (public: Kneser & Ney
+    * ICASSP'95; Chen & Goodman '98 eq. 4.26 — the de-facto standard
+    * n-gram smoothing, and the one KenLM ships): per bigram (a,b),
+    * p(b|a) = max(c_ab − d, 0)/c_a + (d·N1+(a·)/c_a)·p_cont(b) with the
+    * CONTINUATION unigram p_cont(b) = N1+(·b)/|bigram types| — "how many
+    * contexts does b complete" rather than "how often does b occur",
+    * the fix for Francisco-after-San scoring high everywhere. Returns
+    * per-doc (n_bigrams, mean ln p).
+    *
+    * d defaults to 0.75 — DYADIC, so the discount arithmetic is exact
+    * IEEE in any engine; every other quantity is a ratio of exact
+    * integer counts (occurrence counts, distinct-continuation counts,
+    * the bigram type total). p > 0 always: c_a ≥ c_ab ≥ 1 and
+    * N1+(a·) ≥ 1 for every observed context, so ln is safe.
+    *
+    * Scale shape: identical to [[interpolatedLogLik]] — one bigram
+    * hash-aggregate, two vocab-sized aggregates (left-context totals +
+    * distinct continuations; right-context distinct preceders), a
+    * 1-row type-count broadcast, and vocab-keyed equi-joins back to the
+    * occurrence stream. Distinct-counts are exact (count_distinct over
+    * the aggregated BIGRAM TYPE table, ≤ vocab² rows but in practice
+    * corpus-sublinear), never over raw occurrences. */
+  def kneserNeyLogLik(docs: DataFrame, idCol: String, textCol: String,
+                      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
+    val toks = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+    val occ = toks.select(col(idCol),
+      explode(TextFunctions.shinglesOf(col("__t"), 2)).as("bigram"))
+    val types = occ.groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .withColumn("__wa", element_at(split(col("bigram"), " "), 1))
+      .withColumn("__wb", element_at(split(col("bigram"), " "), 2))
+    val left = types.groupBy(col("__wa"))
+      .agg(sum(col("c_ab")).as("c_a"),
+        count(lit(1)).as("n1p_a")) // distinct continuations of a
+    val right = types.groupBy(col("__wb"))
+      .agg(count(lit(1)).as("n1p_b")) // distinct contexts preceding b
+    val total = types.agg(count(lit(1)).as("t_types"))
+    val p =
+      greatest(col("c_ab") - lit(discount), lit(0.0)) / col("c_a") +
+        (lit(discount) * col("n1p_a") / col("c_a")) *
+          (col("n1p_b") / col("t_types"))
+    occ
+      .join(types, Seq("bigram"))
+      .join(left, Seq("__wa"))
+      .join(right, Seq("__wb"))
+      .crossJoin(broadcast(total))
+      .withColumn("__logp", log(p))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("__logp")), 6).as("mean_loglik"))

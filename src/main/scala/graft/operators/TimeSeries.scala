@@ -273,4 +273,37 @@ object TimeSeries {
         round(lit(hSigmas) * sigma, 6).as("threshold"))
       .withColumn("alarm", col("cusum") > col("threshold"))
   }
+
+  /** Hour-of-day multiplicative seasonal index per key (the classical
+    * ratio-to-moving-average seasonality readout, reduced to the fixed
+    * 24-slot diurnal cycle): for each key, index(h) = 24·n_h/N — how
+    * far hour h runs above (>1) or below (<1) the key's flat-rate
+    * expectation. THE sanity profile for event-time data: ingestion
+    * gaps show as craters, bot traffic as a flat line at 1.0, and a
+    * drifted timezone as a shifted curve. Every (key, hour) cell of the
+    * full 24-slot grid is emitted — silent hours carry n=0, index=0,
+    * which IS the signal (an absent row would read as "no data" rather
+    * than "no traffic").
+    *
+    * Scale shape: one (key, hour) hash aggregate over the events (24
+    * cells per key — map-side combine collapses the stream), one
+    * key-level roll-up of those CELLS (not the raw events), a
+    * sequence-literal explode to build the 24-slot grid, and a
+    * key-equi-joined fill. No window, no iteration; shuffle keys are
+    * (key, hour) then key. Index arithmetic is exact-integer ratios
+    * rounded at 6dp. */
+  def seasonalIndex(events: DataFrame, tsCol: String,
+                    keyCol: String): DataFrame = {
+    val cells = events
+      .groupBy(col(keyCol), hour(col(tsCol)).as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col(keyCol)).agg(sum(col("n")).as("__tot"))
+    val grid = totals.select(col(keyCol), col("__tot"),
+      explode(sequence(lit(0), lit(23))).as("hour_of_day"))
+    grid.join(cells, Seq(keyCol, "hour_of_day"), "left")
+      .select(col(keyCol), col("hour_of_day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(lit(24.0) * coalesce(col("n"), lit(0L)) / col("__tot"), 6)
+          .as("seasonal_index"))
+  }
 }

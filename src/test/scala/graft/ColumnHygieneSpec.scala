@@ -317,4 +317,23 @@ class ColumnHygieneSparkSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       ColumnHygiene.noisyMeans(df, "src", "v", 0.0, 10.0, 0.0, "s"))
   }
+  test("tCloseness: TVD hand-check, absent values fold in, nulls excluded") {
+    // global sensitive dist (nulls out): x:3, y:3 -> q = (1/2, 1/2).
+    // Group A = [x,x,x,y]: p=(3/4,1/4) -> tvd = (1/4+1/4)/2... computed
+    // via the gridless identity: s1 = .25+.25 = .5, s2 = 1 -> tvd = .25.
+    // Group B = [y,y]: value x ABSENT -> s1 = |1-.5| = .5, s2 = .5 ->
+    // tvd = (.5 + (1-.5))/2 = .5 -- the absent value contributes its
+    // global mass without a grid row.
+    val df = (Seq.fill(3)(("A", "x")) ++ Seq(("A", "y")) ++
+      Seq.fill(2)(("B", "y")) :+ (("A", null: String)))
+      .toDF("grp", "s")
+    val out = ColumnHygiene.tCloseness(df, Seq("grp"), "s", 0.3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out === Map("A" -> ((4L, 0.25, true)), "B" -> ((2L, 0.5, false))))
+    intercept[IllegalArgumentException](
+      ColumnHygiene.tCloseness(df, Seq("grp"), "s", 1.5))
+    intercept[IllegalArgumentException](
+      ColumnHygiene.tCloseness(df, Seq.empty, "s", 0.3))
+  }
 }

@@ -558,4 +558,19 @@ class CorpusSpec extends SparkSuite {
     // the leak the operator exists to prevent
     assert(Seq(1L, 2L, 3L, 4L).map(docHash).toSet.size > 1)
   }
+
+  test("perplexityBuckets: equal-population per-group thirds, id tiebreak") {
+    // 6 docs per group → thirds of 2; group sizes independent
+    val df = ((1 to 6).map(i => ("en", i.toLong, i.toDouble)) ++
+      (1 to 3).map(i => ("fr", i.toLong, 9.0))) // all-tied group
+      .toDF("lang", "doc_id", "score")
+    val out = Corpus.perplexityBuckets(df, "lang", "doc_id", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
+    assert((1 to 6).map(i => out(("en", i.toLong))) === Seq(1, 1, 2, 2, 3, 3))
+    // ties fall back to doc_id order → deterministic assignment
+    assert((1 to 3).map(i => out(("fr", i.toLong))) === Seq(1, 2, 3))
+    intercept[IllegalArgumentException] {
+      Corpus.perplexityBuckets(df, "lang", "doc_id", "score", n = 1)
+    }
+  }
 }

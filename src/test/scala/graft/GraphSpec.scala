@@ -237,4 +237,27 @@ class GraphSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getDouble(4)).toMap
     assert(iso("lone") === 0.0)
   }
+
+  test("adamicAdar: square hand-check, adjacency excluded, hub cap") {
+    // square 1-2-3-4-1: the two diagonals (1,3) and (2,4) each share the
+    // two degree-2 corners → AA = 2/ln 2 = 2.885390; adjacent pairs are
+    // excluded. Fed one edge duplicated + reversed to exercise canon.
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 1L), (1L, 2L))
+      .toDF("src", "dst")
+    val out = Graph.adamicAdar(sq, topN = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out === Map((1L, 3L) -> ((2L, 2.88539)), (2L, 4L) -> ((2L, 2.88539))))
+    // path 1-2-3: one common neighbor of deg 2 → 1/ln 2 = 1.442695
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = Graph.adamicAdar(path, topN = 10).collect()
+    assert(p.length === 1 &&
+      p.head.getLong(0) === 1L && p.head.getLong(1) === 3L &&
+      p.head.getDouble(3) === 1.442695)
+    // maxDeg drops hub CENTERS: star spokes share only the hub, so with
+    // the hub over the cap no candidate pair survives
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("src", "dst")
+    assert(Graph.adamicAdar(star, topN = 10, maxDeg = 2L).isEmpty)
+    assert(Graph.adamicAdar(star, topN = 10).count() === 3L) // uncapped: 3 spoke pairs
+  }
 }

@@ -664,4 +664,43 @@ class SimilaritySpec extends SparkSuite {
         anchors, "query_id", "qv", "qlabel", 0)
     }
   }
+
+  test("binarize: sign bits packed little-endian per 32-bit word, 0 counts as set") {
+    // dim 4 → one word: [1, -1, 0, -2] → bits 0 and 2 set (0 ≥ 0) → 5
+    val e = Seq((1L, Array(1.0f, -1.0f, 0.0f, -2.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.binarize(e, "vec_id", "embedding", 4)
+      .select($"bits").as[Seq[Long]].head() === Seq(5L))
+    // dim 40 → two words, second holds 8 valid bits: all-positive vector
+    // → w0 = 2³²−1, w1 = 2⁸−1 (valid-width mask, not a full word)
+    val wide = Seq((1L, Array.fill(40)(1.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.binarize(wide, "vec_id", "embedding", 40)
+      .select($"bits").as[Seq[Long]].head() === Seq((1L << 32) - 1, 255L))
+    intercept[IllegalArgumentException] {
+      Similarity.binarize(e, "vec_id", "embedding", 0)
+    }
+  }
+
+  test("hammingTopK: hamming pool then exact-dot rerank, hand-checked") {
+    val e = Seq(
+      (0L, Array(1.0f, 1.0f, 1.0f, 1.0f)),   // query: bits 1111
+      (1L, Array(1.0f, -1.0f, 1.0f, -1.0f)), // bits 0101 → hamming 2, dot 0
+      (2L, Array(-1.0f, -1.0f, -1.0f, -1.0f)), // bits 0000 → hamming 4, dot −4
+      (3L, Array(1.0f, 1.0f, 1.0f, -2.0f))  // bits 0111 → hamming 1, dot 1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hammingTopK(e, "vec_id", "embedding", dim = 4,
+        queryId = 0L, k = 3, rerankPool = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // rerank orders by exact dot desc, NOT by hamming
+    assert(out === Seq((3L, 1L, 1.0), (1L, 2L, 0.0), (2L, 4L, -4.0)),
+      out.mkString(","))
+    // pool smaller than the corpus truncates BEFORE rerank: with pool 1
+    // only the hamming-best row (id 3) survives
+    val pooled = Similarity.hammingTopK(e, "vec_id", "embedding", dim = 4,
+      queryId = 0L, k = 1, rerankPool = 1).collect()
+    assert(pooled.map(_.getLong(0)).toSeq === Seq(3L))
+    intercept[IllegalArgumentException] {
+      Similarity.hammingTopK(e, "vec_id", "embedding", 4, 0L, k = 5,
+        rerankPool = 2)
+    }
+  }
 }

@@ -400,4 +400,28 @@ class StatsSpec extends SparkSuite {
     assert(out.filter(_.getAs[Boolean]("significant"))
       .map(_.getAs[String]("hyp")).toSet === Set("h00", "h01", "h02", "h03"))
   }
+  test("spearman: monotone invariance, ties mid-ranked, zero-variance null") {
+    // y = x cubed is a nonlinear monotone map -> rho exactly 1; reversed -> -1
+    val mono = (1 to 4).map(i => ("up", i.toDouble, math.pow(i, 3))) ++
+      (1 to 4).map(i => ("dn", i.toDouble, -math.pow(i, 3)))
+    val m = Stats.spearman(mono.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(m === Map("up" -> 1.0, "dn" -> -1.0))
+    // ties: x = [1,1,2] -> rx = [1.5,1.5,3]; hand Pearson = sqrt(3)/2
+    val t = Stats.spearman(
+      Seq(("t", 1.0, 1.0), ("t", 1.0, 2.0), ("t", 2.0, 3.0))
+        .toDF("g", "x", "y"), "g", "x", "y").collect().head
+    assert(t.getLong(1) === 3L && t.getDouble(2) === 0.866025)
+    // constant x -> zero rank variance -> null, never NaN/error
+    val z = Stats.spearman(
+      Seq(("z", 5.0, 1.0), ("z", 5.0, 2.0)).toDF("g", "x", "y"),
+      "g", "x", "y").collect().head
+    assert(z.isNullAt(2))
+    // null pairs are dropped before ranking
+    val withNull = ((1 to 4).map(i =>
+      ("up", Some(i.toDouble), math.pow(i, 3))) :+
+      (("up", None: Option[Double], 9.0))).toDF("g", "x", "y")
+    val n = Stats.spearman(withNull, "g", "x", "y").collect().head
+    assert(n.getLong(1) === 4L && n.getDouble(2) === 1.0)
+  }
 }

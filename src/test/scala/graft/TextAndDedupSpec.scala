@@ -1069,4 +1069,38 @@ class TextAndDedupSpec extends SparkSuite {
     assert(rules(out(5)) === Seq(true, false, true, true, false))
     assert(Seq(2, 3, 4, 5).forall(i => !out(i).getAs[Boolean]("keep")))
   }
+
+  test("kneserNeyLogLik: hand-checked two-word corpus, discount bounds") {
+    // corpus "a b a b" + "b a": c(a b) = 2, c(b a) = 2; both contexts
+    // have c_a = 2, one distinct continuation; both continuations
+    // complete exactly 1 of the 2 bigram types → p_cont = 1/2.
+    // p = max(2−0.75,0)/2 + (0.75·1/2)·(1/2) = 0.8125 for every observed
+    // bigram; ln 0.8125 = −0.207639. (Vocab check: p(b|a) + p(a|a) =
+    // 0.8125 + [0 + (0.75·1/2)·(1/2)] = 1 — the KN mass balance.)
+    val docs = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val out = TextAnalytics.kneserNeyLogLik(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out === Map(1L -> ((3L, -0.207639)), 2L -> ((1L, -0.207639))))
+    intercept[IllegalArgumentException] {
+      TextAnalytics.kneserNeyLogLik(docs, "doc_id", "text", discount = 1.0)
+    }
+  }
+  test("boilerplatePrefixes: short docs keep their shorter prefix, share math") {
+    val docs = Seq((1L, "s1", "a b c d"), (2L, "s1", "a b c e"),
+      (3L, "s1", "x y"), (4L, "s1", ""), (5L, "s2", "q r s"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalytics.boilerplatePrefixes(docs, "source", "text",
+        k = 3, topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    // empty doc 4 excluded from s1's total of 3; the 2-token doc keeps
+    // its full shorter prefix
+    assert(out === Map(
+      ("s1", 1L) -> (("a b c", 2L, 0.666667)),
+      ("s1", 2L) -> (("x y", 1L, 0.333333)),
+      ("s2", 1L) -> (("q r s", 1L, 1.0))))
+    intercept[IllegalArgumentException](
+      TextAnalytics.boilerplatePrefixes(docs, "source", "text", 0, 3))
+  }
 }

@@ -185,4 +185,24 @@ class TimeSeriesSpec extends SparkSuite {
       assert(alarm === (cusum > threshold))
     }
   }
+
+  test("seasonalIndex: full 24-slot grid, silent hours 0, indices sum to 24") {
+    val ev = Seq("2024-01-01 03:10:00", "2024-01-01 03:50:00",
+      "2024-01-02 05:00:00")
+      .map(("x", _)) :+ (("y", "2024-01-01 12:00:00"))
+    val df = ev.toDF("k", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = TimeSeries.seasonalIndex(df, "ts", "k").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size === 48) // 24 slots × 2 keys, silent hours included
+    assert(out(("x", 3)) === ((2L, 16.0)))   // 24·2/3
+    assert(out(("x", 5)) === ((1L, 8.0)))    // 24·1/3
+    assert(out(("x", 4)) === ((0L, 0.0)))    // silent hour IS a row
+    assert(out(("y", 12)) === ((1L, 24.0)))  // single-hour key: all mass
+    // multiplicative indices average to 1 → sum to 24 per key
+    Seq("x", "y").foreach { k =>
+      val s = (0 until 24).map(h => out((k, h))._2).sum
+      assert(math.abs(s - 24.0) < 1e-6, s"$k sums to $s")
+    }
+  }
 }
