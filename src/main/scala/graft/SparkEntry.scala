@@ -660,10 +660,14 @@ object SparkEntry {
     * hub-to-leaf stars (one canonical doc with many variants). One row:
     * edge count + 6dp r via the engines' shared corr aggregate. */
   private def q_assortativity(s: SparkSession, d: String): DataFrame = {
+    // cached: assortativity's canon feeds deg, both symmetric halves and
+    // the stats join — uncached, the shingle equi-join reruns per
+    // consumer (measured 5.9 s → 1.9 s at sf0.1; same rationale as
+    // q_modularity's cache)
     val pairs = Dedup.jaccardPairsFrom(
       Dedup.shingleSets(Tables.documents(s, d).filter(col("doc_id") < 300),
         "doc_id", "text"),
-      "doc_id", 0.02)
+      "doc_id", 0.02).cache()
     Graph.assortativity(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
   }
@@ -731,8 +735,11 @@ object SparkEntry {
     * the common-neighbor center, hub-capped, TakeOrdered. */
   private def q_adamic_adar(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 120)
+    // cached: adamicAdar's canon feeds deg, both adjacency halves, the
+    // wedge join's two sides and the anti-join — five consumers of the
+    // shingle equi-join (q_modularity's cache rationale)
     val pairs = Dedup.jaccardPairsFrom(
-      Dedup.shingleSets(docs, "doc_id", "text"), "doc_id", 0.02)
+      Dedup.shingleSets(docs, "doc_id", "text"), "doc_id", 0.02).cache()
     Graph.adamicAdar(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
       topN = 20)
@@ -978,6 +985,38 @@ object SparkEntry {
     val cents = Similarity.collectCentroids(
       emb.filter(col("vec_id") < 8), "vec_id", "embedding")
     Similarity.semanticDedup(emb, "vec_id", "embedding", cents, 0.38)
+  }
+
+  /** §2b DBSCAN-style density clustering ([[Similarity.densityClusters]])
+    * on the SAME IVF cells and 0.38 cosine radius as q_semantic_dedup,
+    * minPts = 3: cores/borders/noise with deterministic lowest-core
+    * border attachment — the blob-vs-bridge refinement of single-linkage
+    * semantic dedup (the bridge point becomes noise, the chain breaks). */
+  private def q_density_clusters(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+    Similarity.densityClusters(emb, "vec_id", "embedding", cents, 0.38,
+      minPts = 3)
+  }
+
+  /** §2b green-list watermark detection ([[TextAnalytics.watermarkScore]],
+    * Kirchenbauer ICML'23): per-doc z-test of md5-parity "green" bigram
+    * excess at γ = ½ — the model-generated-text intake screen; natural
+    * text hugs |z| ≤ 2, the paper's z ≥ 4 flag would fire on watermarked
+    * output. Exact integer G/T; one wordcount-shaped aggregate. */
+  private def q_watermark_detect(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.watermarkScore(Tables.documents(s, d), "doc_id", "text")
+
+  /** §2b per-label embedding centroid drift
+    * ([[Similarity.centroidDrift]]): cosine between even-id and odd-id
+    * slice centroids per label — the embedding-space drift monitor
+    * (model-version skew shows here before any consumer metric moves).
+    * Sum-represented centroids, labels×dim shuffle. */
+  private def q_centroid_drift(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("half", (col("vec_id") % 2).cast("int"))
+    Similarity.centroidDrift(emb, "vec_id", "embedding", "label", "half")
   }
 
   /** §2b ANN quality evaluation: recall@10 of IVF (nprobe=2 of 8 cells)
@@ -3083,6 +3122,9 @@ object SparkEntry {
     "q_kmeans_step" -> (q_kmeans_step _),
     "q_ivf_trained" -> (q_ivf_trained _),
     "q_semantic_dedup" -> (q_semantic_dedup _),
+    "q_density_clusters" -> (q_density_clusters _),
+    "q_watermark_detect" -> (q_watermark_detect _),
+    "q_centroid_drift" -> (q_centroid_drift _),
     "q_ann_recall" -> (q_ann_recall _),
     "q_ivf_nprobe_sweep" -> (q_ivf_nprobe_sweep _),
     "q_ndcg" -> (q_ndcg _),
@@ -4783,6 +4825,90 @@ object SparkEntry {
                 SELECT g.dst, w.lbl FROM walk w JOIN edges g ON w.id = g.src),
               cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
          SELECT id AS vec_id, cluster, (id = cluster) AS is_canonical FROM cl""",
+    "q_density_clusters" ->
+      s"""WITH RECURSIVE
+              e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+              asg AS (SELECT vec_id, v, cent_id AS cell FROM (
+                 SELECT e.vec_id, e.v, c.cent_id,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cent_id) AS rn
+                 FROM e, c) WHERE rn = 1),
+              pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                        FROM asg a JOIN asg b
+                          ON a.cell = b.cell AND a.vec_id < b.vec_id
+                        WHERE round(${duckCos("a.v", "b.v")}, 6) >= 0.38),
+              sym AS (SELECT id_a AS id, id_b AS nb FROM pairs
+                      UNION ALL SELECT id_b AS id, id_a AS nb FROM pairs),
+              degs AS (SELECT id, CAST(count(*) AS BIGINT) AS n_neighbors
+                       FROM sym GROUP BY 1),
+              cores AS (SELECT id FROM degs WHERE n_neighbors >= 3),
+              cgraph AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                         WHERE id_a IN (SELECT id FROM cores)
+                           AND id_b IN (SELECT id FROM cores)
+                         UNION
+                         SELECT id_b AS src, id_a AS dst FROM pairs
+                         WHERE id_a IN (SELECT id FROM cores)
+                           AND id_b IN (SELECT id FROM cores)),
+              walk(id, lbl) AS (
+                SELECT id, id FROM cores
+                UNION
+                SELECT g.dst, w.lbl FROM walk w JOIN cgraph g ON w.id = g.src),
+              ccl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id),
+              border AS (SELECT s2.id, min(ccl.cluster) AS cluster
+                         FROM sym s2
+                         JOIN cores co ON s2.nb = co.id
+                         JOIN ccl ON ccl.id = s2.nb
+                         WHERE s2.id NOT IN (SELECT id FROM cores)
+                         GROUP BY 1),
+              lab AS (SELECT id, cluster, 'core' AS role FROM ccl
+                      UNION ALL
+                      SELECT id, cluster, 'border' AS role FROM border)
+         SELECT emb.vec_id,
+                COALESCE(degs.n_neighbors, 0) AS n_neighbors,
+                COALESCE(lab.role, 'noise') AS role, lab.cluster
+         FROM embeddings emb
+         LEFT JOIN degs ON emb.vec_id = degs.id
+         LEFT JOIN lab ON emb.vec_id = lab.id""",
+    "q_watermark_detect" ->
+      """WITH tok AS (SELECT doc_id,
+                        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
+                      FROM documents),
+              occ AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bigram
+                      FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+              g AS (SELECT doc_id,
+                      CASE WHEN CAST(('0x' || substring(md5(bigram), 1, 1))
+                             AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS green
+                    FROM occ),
+              a AS (SELECT doc_id, count(*) AS n_scored,
+                      CAST(sum(green) AS BIGINT) AS n_green
+                    FROM g GROUP BY 1)
+         SELECT doc_id, n_scored, n_green,
+                round(n_green / n_scored, 6) AS green_frac,
+                round((2 * n_green - n_scored) / sqrt(n_scored), 6) AS z,
+                round((2 * n_green - n_scored) / sqrt(n_scored), 6) >= 4.0
+                  AS flagged
+         FROM a""",
+    "q_centroid_drift" ->
+      """WITH ex AS (SELECT label, vec_id % 2 AS s, i AS d,
+                       CAST(embedding[i] AS DOUBLE) AS x
+                     FROM embeddings,
+                       UNNEST(generate_series(1, len(embedding))) AS u(i)),
+              dims AS (SELECT label, d,
+                         sum(CASE WHEN s = 0 THEN x END) AS sa,
+                         sum(CASE WHEN s = 1 THEN x END) AS sb
+                       FROM ex GROUP BY 1, 2),
+              agg AS (SELECT label, sum(sa * sb) AS dot,
+                        sum(sa * sa) AS qa, sum(sb * sb) AS qb
+                      FROM dims GROUP BY 1),
+              cnt AS (SELECT label,
+                        count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n_a,
+                        count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS n_b
+                      FROM embeddings GROUP BY 1)
+         SELECT agg.label, cnt.n_a, cnt.n_b,
+                CASE WHEN qa > 0 AND qb > 0 THEN
+                  round(dot / (sqrt(qa) * sqrt(qb)), 6) END AS centroid_cos
+         FROM agg JOIN cnt ON agg.label = cnt.label""",
     "q_ann_recall" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),

@@ -325,6 +325,99 @@ object Similarity {
       .withColumn("is_canonical", col(idCol) === col("cluster"))
   }
 
+  /** DBSCAN-style density clustering within IVF cells (public: Ester et
+    * al. KDD'96, composed with the SemDeDup cell-bounding trick): a point
+    * is a CORE when it has ≥ `minPts` same-cell neighbors at cosine ≥
+    * `threshold`; clusters are connected components over CORE–CORE
+    * edges; a non-core point with ≥1 core neighbor is a BORDER and joins
+    * its LOWEST core neighbor's cluster (the classic algorithm leaves
+    * border assignment visit-order-dependent — min makes it a
+    * deterministic function of the input); everything else is NOISE
+    * (null cluster). Density clustering separates dense duplicate blobs
+    * that single-linkage CC would chain together through sparse bridge
+    * points — the bridge is noise here, the chain breaks.
+    *
+    * Returns every input id: (id, n_neighbors, role core/border/noise,
+    * cluster).
+    *
+    * Scale shape: neighbor pairs come from [[semanticPairs]] (within-cell
+    * equi-join, Σ|cell|² work, never n²); degrees/cores are one hash
+    * aggregate; the CC iterates over the CORE-induced subgraph only
+    * (≤ pair volume); border attachment is one join + min-aggregate.
+    * Same cost family as [[semanticDedup]] plus one aggregate. */
+  def densityClusters(embeddings: DataFrame, idCol: String, vecCol: String,
+                      centroids: Seq[(Long, Seq[Double])], threshold: Double,
+                      minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1: $minPts")
+    val assigned = ivfAssign(embeddings, idCol, vecCol, centroids)
+    val pairs = semanticPairs(assigned, idCol, vecCol, threshold)
+      .select(col("id_a"), col("id_b"))
+    val sym = pairs.unionAll(pairs.select(col("id_b").as("id_a"),
+      col("id_a").as("id_b"))).toDF("id", "nb")
+    val degrees = sym.groupBy(col("id")).agg(count(lit(1)).as("n_neighbors"))
+    val cores = degrees.filter(col("n_neighbors") >= minPts).select(col("id"))
+    val coreEdges = pairs
+      .join(cores.toDF("id_a"), Seq("id_a"), "left_semi")
+      .join(cores.toDF("id_b"), Seq("id_b"), "left_semi")
+    val coreClusters = Dedup.duplicateClusters(
+      cores.toDF(idCol), coreEdges.select(col("id_a"), col("id_b")), idCol)
+    val borderClusters = sym
+      .join(cores.toDF("nb"), Seq("nb"), "left_semi") // neighbor is core
+      .join(cores.toDF("id"), Seq("id"), "left_anti") // self is not
+      .join(coreClusters.toDF("nb", "__c"), Seq("nb"))
+      .groupBy(col("id")).agg(min(col("__c")).as("cluster"))
+    val labeled = coreClusters.select(col(idCol).as("id"), col("cluster"),
+        lit("core").as("role"))
+      .unionByName(borderClusters.withColumn("role", lit("border")))
+    embeddings.select(col(idCol).as("id"))
+      .join(degrees, Seq("id"), "left")
+      .join(labeled, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        coalesce(col("role"), lit("noise")).as("role"), col("cluster"))
+  }
+
+  /** Per-label embedding centroid drift between two slices (the
+    * embedding-space sibling of the categorical drift monitors): for each
+    * label, the cosine between the slice-0 and slice-1 centroid vectors —
+    * 1.0 means the class occupies the same direction in both slices
+    * (batch, time window, source); a drop flags embedding-model version
+    * skew, upstream preprocessing drift, or class-semantics shift, BEFORE
+    * a trained consumer finds out. Cosine is scale-invariant, so
+    * centroids are represented by per-dimension SUMS (no count division
+    * — one fewer float op to diverge). A label absent from either slice
+    * yields null, never NaN.
+    *
+    * `sliceCol` is a binary 0/1 indicator column (precompute e.g.
+    * id % 2, or a batch flag).
+    *
+    * Scale shape: one posexplode (rows × dim — the unavoidable cost of
+    * dimension-wise aggregation), ONE (label, dim) hash aggregate with
+    * map-side combine, then a label-sized aggregate — shuffle is
+    * labels × dim cells, not rows. No window, no join beyond the
+    * label-sized count join. */
+  def centroidDrift(embeddings: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, sliceCol: String): DataFrame = {
+    val ex = embeddings.select(col(labelCol).as("label"),
+        col(sliceCol).as("__s"),
+        posexplode(col(vecCol)).as(Seq("__d", "__x")))
+    val dims = ex.groupBy(col("label"), col("__d"))
+      .agg(sum(when(col("__s") === 0, col("__x").cast("double"))).as("__sa"),
+        sum(when(col("__s") === 1, col("__x").cast("double"))).as("__sb"))
+    val counts = embeddings.groupBy(col(labelCol).as("label"))
+      .agg(count(when(col(sliceCol) === 0, lit(1))).as("n_a"),
+        count(when(col(sliceCol) === 1, lit(1))).as("n_b"))
+    dims.groupBy(col("label"))
+      .agg(sum(col("__sa") * col("__sb")).as("__dot"),
+        sum(col("__sa") * col("__sa")).as("__qa"),
+        sum(col("__sb") * col("__sb")).as("__qb"))
+      .join(counts, Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        when(col("__qa") > 0 && col("__qb") > 0,
+          round(col("__dot") / (sqrt(col("__qa")) * sqrt(col("__qb"))), 6))
+          .as("centroid_cos"))
+  }
+
   /** Multi-query exact top-k: every query row against every vector — the
     * ground-truth side of an ANN recall evaluation. O(nq·n) by design;
     * bound the query set, never the corpus. Ranking uses the 6dp-rounded

@@ -529,6 +529,42 @@ object TextAnalytics {
         round(avg(col("__logp")), 6).as("mean_loglik"))
   }
 
+  /** Green-list watermark detector (public: Kirchenbauer et al. ICML'23
+    * "A Watermark for Large Language Models"): a watermarking LLM biases
+    * each token toward a pseudorandom "green list" seeded by the previous
+    * token; the detector needs NO model — per document, count bigrams
+    * whose (prev, cur) hash lands green (γ = ½ here: md5 first-hex-digit
+    * parity) and z-test the excess over the null γ·T:
+    * z = (G − T/2)/√(T/4) = (2G − T)/√T. Unwatermarked text scores
+    * |z| ≲ 2; the paper flags at z ≥ 4 (α ≈ 3·10⁻⁵). THE
+    * model-generated-text screen a training-corpus intake runs to keep
+    * synthetic output of watermarking models out of the pretraining mix.
+    *
+    * G and T are exact integers (md5 is bit-identical everywhere);
+    * the single √ and division happen once per doc, 6dp-rounded.
+    *
+    * Scale shape: wordcount-shaped — explode to bigrams, one map-side
+    * hash + parity per bigram, ONE per-doc hash aggregate. No joins, no
+    * vocab state, no window. */
+  def watermarkScore(docs: DataFrame, idCol: String, textCol: String,
+                     zThreshold: Double = 4.0): DataFrame = {
+    require(zThreshold > 0, s"zThreshold must be positive: $zThreshold")
+    val toks = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+    val occ = toks.select(col(idCol),
+      explode(TextFunctions.shinglesOf(col("__t"), 2)).as("bigram"))
+    val green = (conv(substring(md5(col("bigram")), 1, 1), 16, 10)
+      .cast("long") % 2 === 0).cast("long")
+    occ
+      .withColumn("__g", green)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"), sum(col("__g")).as("n_green"))
+      .select(col(idCol), col("n_scored"), col("n_green"),
+        round(col("n_green") / col("n_scored"), 6).as("green_frac"),
+        round((lit(2L) * col("n_green") - col("n_scored"))
+          / sqrt(col("n_scored")), 6).as("z"))
+      .withColumn("flagged", col("z") >= zThreshold)
+  }
+
   /** Vocabulary coverage curve: corpus token frequencies ranked desc, with
     * each token's cumulative share of all token occurrences — the "how big
     * must the vocab be to cover 99% of the corpus" question a tokenizer

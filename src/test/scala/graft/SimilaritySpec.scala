@@ -703,4 +703,54 @@ class SimilaritySpec extends SparkSuite {
         rerankPool = 2)
     }
   }
+
+  test("densityClusters: cores/border/noise hand-checked at two minPts") {
+    // unit vectors by angle; cos(Δθ) ≥ 0.9 ⇔ Δθ ≤ 25.8°. Neighbor graph:
+    // 1-2, 1-3, 2-3, 3-4. Degrees: 1:2, 2:2, 3:3, 4:1, 5:0.
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val e = Seq(1L -> v(0), 2L -> v(10), 3L -> v(20), 4L -> v(40),
+      5L -> v(90)).toDF("vec_id", "embedding")
+    val cents = Seq(0L -> Seq(1.0, 0.0)) // one cell: pairs = all thresholded
+    def run(minPts: Int) =
+      Similarity.densityClusters(e, "vec_id", "embedding", cents, 0.9, minPts)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getString(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    val m2 = run(2)
+    assert(m2 === Map(
+      1L -> ((2L, "core", 1L)), 2L -> ((2L, "core", 1L)),
+      3L -> ((3L, "core", 1L)),
+      4L -> ((1L, "border", 1L)),   // attached through core 3
+      5L -> ((0L, "noise", -1L))))
+    // at minPts 3 only vertex 3 is dense enough: 1, 2, 4 demote to
+    // border (cluster = the lone core's label), the blob does NOT chain
+    val m3 = run(3)
+    assert(m3 === Map(
+      1L -> ((2L, "border", 3L)), 2L -> ((2L, "border", 3L)),
+      3L -> ((3L, "core", 3L)),
+      4L -> ((1L, "border", 3L)), 5L -> ((0L, "noise", -1L))))
+    intercept[IllegalArgumentException] {
+      Similarity.densityClusters(e, "vec_id", "embedding", cents, 0.9, 0)
+    }
+  }
+
+  test("centroidDrift: orthogonal/aligned/missing-slice hand-check") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0), // even, label 0
+      (1L, Array(0.0f, 1.0f), 0),                             // odd, label 0
+      (4L, Array(1.0f, 1.0f), 1), (5L, Array(2.0f, 2.0f), 1), // aligned
+      (6L, Array(3.0f, 0.0f), 2)                              // even only
+    ).toDF("vec_id", "embedding", "label")
+      .withColumn("half", (col("vec_id") % 2).cast("int"))
+    val out = Similarity.centroidDrift(e, "vec_id", "embedding",
+        "label", "half")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(out(0)._1 === 2L && out(0)._2 === 1L && out(0)._3 === 0.0)
+    assert(out(1) === ((1L, 1L, 1.0)))
+    assert(out(2)._1 === 1L && out(2)._2 === 0L && out(2)._3.isNaN) // null cos
+  }
 }

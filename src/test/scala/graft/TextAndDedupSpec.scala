@@ -1103,4 +1103,27 @@ class TextAndDedupSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       TextAnalytics.boilerplatePrefixes(docs, "source", "text", 0, 3))
   }
+
+  test("watermarkScore: green counts match a reference md5 parity, z exact") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isGreen(bigram: String): Boolean =
+      Integer.parseInt(md5hex(bigram).substring(0, 1), 16) % 2 == 0
+    val text = "the quick brown fox jumps over the lazy dog"
+    val bigrams = text.split(" ").sliding(2).map(_.mkString(" ")).toSeq
+    val tRef = bigrams.length.toLong
+    val gRef = bigrams.count(isGreen).toLong
+    val zRef = BigDecimal((2.0 * gRef - tRef) / math.sqrt(tRef.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq((1L, text), (2L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalytics.watermarkScore(docs, "doc_id", "text").collect()
+    // a 1-token doc has no bigrams to score → absent, not a zero row
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    val r = out.head
+    assert(r.getLong(1) === tRef && r.getLong(2) === gRef)
+    assert(r.getDouble(4) === zRef && !r.getBoolean(5))
+    intercept[IllegalArgumentException](
+      TextAnalytics.watermarkScore(docs, "doc_id", "text", zThreshold = 0.0))
+  }
 }
