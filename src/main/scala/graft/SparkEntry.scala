@@ -1655,6 +1655,21 @@ object SparkEntry {
     Stats.spearman(Tables.lineitem(s, d), "l_returnflag",
       "l_quantity", "l_extendedprice")
 
+  /** §2b split-conformal prediction radius ([[Stats.conformalRadius]]):
+    * per event type, the ⌈(n+1)(1−α)⌉-th smallest |residual| of value
+    * around the (6dp-rounded) group mean at the dyadic α = 0.125 — the
+    * distribution-free interval radius a shipped predictor needs. The
+    * predictor is rounded BEFORE residuals so the order statistic ranks
+    * engine-identical doubles. */
+  private def q_conformal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    val withResid = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .withColumn("__resid",
+        col("value") - round(avg(col("value")).over(w), 6))
+    Stats.conformalRadius(withResid, "event_type", "__resid")
+  }
+
   /** §2b boilerplate-prefix audit ([[TextAnalytics.boilerplatePrefixes]]):
     * per source, the top-3 leading-3-token prefixes and their doc share —
     * the template-header screen (RefinedWeb/C4 curation) whose per-group
@@ -3214,6 +3229,7 @@ object SparkEntry {
     "q_ldiversity" -> (q_ldiversity _),
     "q_tcloseness" -> (q_tcloseness _),
     "q_spearman" -> (q_spearman _),
+    "q_conformal" -> (q_conformal _),
     "q_boilerplate" -> (q_boilerplate _),
     "q_zorder_key" -> (q_zorder_key _),
     "q_quality_classifier" -> (q_quality_classifier _),
@@ -5758,6 +5774,22 @@ object SparkEntry {
                 round(r.n_docs / t.tot, 6) AS doc_share
          FROM ranked r JOIN totals t USING (source)
          WHERE r.rank <= 3""",
+    "q_conformal" ->
+      """WITH p AS (SELECT event_type,
+                      value - round(avg(value) OVER (PARTITION BY event_type),
+                        6) AS resid
+                    FROM events WHERE value IS NOT NULL),
+              r AS (SELECT event_type, abs(resid) AS a,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY abs(resid) ASC) AS rn
+                    FROM p),
+              st AS (SELECT event_type, count(*) AS n_cal,
+                       CAST(ceil((count(*) + 1) * 0.875) AS BIGINT) AS rank_r
+                     FROM r GROUP BY 1)
+         SELECT st.event_type, st.n_cal, st.rank_r,
+                round(r2.a, 6) AS radius
+         FROM st LEFT JOIN r r2
+           ON r2.event_type = st.event_type AND r2.rn = st.rank_r""",
     "q_ngram_pmi" ->
       """WITH tok AS (SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
                       FROM documents),

@@ -696,6 +696,46 @@ object Stats {
       .drop("__p", "__m", "__stat")
   }
 
+  /** Split-conformal prediction radius per group (public: Vovk et al.
+    * '05; Lei et al. JASA'18 "Distribution-Free Predictive Inference"):
+    * from a CALIBRATION set of residuals, the radius
+    * q̂ = the ⌈(n+1)(1−α)⌉-th smallest |residual| — intervals
+    * prediction ± q̂ then cover fresh points with probability ≥ 1−α
+    * under exchangeability alone, no distributional assumption. THE
+    * honest-uncertainty wrapper for any point predictor a pipeline
+    * ships (quality scores, cost estimates); groups with
+    * ⌈(n+1)(1−α)⌉ > n are too small to certify the level and report a
+    * null radius (the correct answer, not a clamped one).
+    *
+    * α defaults to 0.125 — DYADIC, so (n+1)·(1−α) is an exact IEEE
+    * product and the ceil is engine-portable for every n. The order
+    * statistic is exact (row_number over |resid| asc — ties share a
+    * value, so tie order can't change the selected radius).
+    *
+    * Scale shape: one group-partitioned rank window (per-group sort —
+    * the analysis unit, no global sort), one group count aggregate, one
+    * rank-probe equi-join. */
+  def conformalRadius(df: DataFrame, groupCol: String, residCol: String,
+                      alpha: Double = 0.125): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val a = abs(col(residCol))
+    val w = Window.partitionBy(col(groupCol)).orderBy(a.asc)
+    val ranked = df.filter(col(residCol).isNotNull)
+      .select(col(groupCol), a.as("__a"),
+        row_number().over(w).cast("long").as("__rn"))
+    val stats = ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_cal"))
+      .withColumn("rank_r",
+        ceil((col("n_cal") + lit(1L)) * lit(1.0 - alpha)).cast("long"))
+    val probe = ranked.select(col(groupCol).as("__g"), col("__rn"), col("__a"))
+    stats
+      .join(probe, col("__g") === col(groupCol) &&
+        col("__rn") === col("rank_r"), "left")
+      .select(col(groupCol), col("n_cal"), col("rank_r"),
+        round(col("__a"), 6).as("radius"))
+  }
+
   /** Per-group Spearman rank correlation (Spearman 1904): Pearson on
     * tie-averaged ranks — the monotone-association readout that survives
     * outliers and monotone transforms, the robust sibling of the raw

@@ -27,6 +27,14 @@ case class EwmaMemory(recent: List[Double])
 case class EwmaPoint(user_id: Long, us: Long, event_id: Long,
                      value: Double, ewma: Double)
 
+/** One shard's Misra–Gries summary emitted by
+  * [[EventStreams.streamingHeavyHitters]] after each micro-batch:
+  * `counters` holds ≤ k (item → lower-bound estimate) entries;
+  * `processed` is the shard's exact stream length (the error bound's
+  * denominator). */
+case class ShardSketch(shard: Int, counters: Map[String, Long],
+                       processed: Long)
+
 /** Structured Streaming surface over the `events` table (SURVEY.md §2b).
   *
   * The reference is daily batch; this is the north-star streaming extension.
@@ -389,6 +397,50 @@ object EventStreams {
     *
     * Null values must be filtered upstream (the batch twin does the
     * same) — a null inside the memory would misalign the weights. */
+  /** Sharded streaming Misra–Gries heavy hitters (public: Misra & Gries
+    * '82; the streaming face of [[graft.operators.Corpus.heavyHitters]],
+    * whose Aggregator supplies the IDENTICAL reduce/merge arithmetic):
+    * items are routed to `shards` keyed-state sketches by the portable
+    * md5 shard hash, each micro-batch folds its (sorted) items into the
+    * shard's ≤ k counters, and the updated [[ShardSketch]] is emitted.
+    * Because the shard hash partitions the item space, each item lives in
+    * exactly ONE shard, so the union of shard sketches inherits the MG
+    * guarantee per shard: true − processed/(k+1) ≤ estimate ≤ true —
+    * every item with frequency > processed/(k+1) is RETAINED. State is
+    * shards × k counters, constant in stream length; the decrement
+    * amortizes so per-item cost is O(1).
+    *
+    * Within an invocation the batch's items fold in sorted order — MG
+    * contents are arrival-order-dependent, and sorting makes the result
+    * a deterministic function of the batch contents (the guarantee
+    * itself holds under any order). Works identically on a static frame
+    * (single batch) — how StreamingSpec pins parity against a direct
+    * Aggregator fold. */
+  def streamingHeavyHitters(events: DataFrame, itemCol: String, k: Int,
+                            shards: Int): Dataset[ShardSketch] = {
+    import events.sparkSession.implicits._
+    require(k > 0 && shards > 0, s"need k/shards > 0: $k/$shards")
+    val agg = new graft.functions.MisraGriesAggregator(k)
+    val shard = (conv(substring(md5(col(itemCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % shards).cast("int")
+    events
+      .filter(col(itemCol).isNotNull)
+      .select(shard.as("shard"), col(itemCol).cast("string").as("item"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[ShardSketch, ShardSketch](GroupStateTimeout.NoTimeout) {
+        (shardId, rows, state) =>
+          val prev = state.getOption
+            .getOrElse(ShardSketch(shardId, Map.empty, 0L))
+          val items = rows.map(_._2).toVector.sorted
+          val folded = items.foldLeft(prev.counters)(agg.reduce)
+          val updated = ShardSketch(shardId, folded,
+            prev.processed + items.length)
+          state.update(updated)
+          updated
+      }
+  }
+
   def ewmaStream(events: DataFrame, lookback: Int = 16): Dataset[EwmaPoint] = {
     import events.sparkSession.implicits._
     require(lookback > 0 && lookback <= 62,

@@ -424,4 +424,25 @@ class StatsSpec extends SparkSuite {
     val n = Stats.spearman(withNull, "g", "x", "y").collect().head
     assert(n.getLong(1) === 4L && n.getDouble(2) === 1.0)
   }
+  test("conformalRadius: exact order statistic, dyadic alpha, small-group null") {
+    // |resid| = 1..7 in group g: n=7, r = ceil(8*0.875) = 7 -> radius 7;
+    // alpha=0.5 -> r = ceil(8*0.5) = 4 -> radius 4
+    val df = ((1 to 7).map(i => ("g", i.toDouble * (if (i % 2 == 0) -1 else 1)))
+      ++ Seq(("tiny", 1.0), ("tiny", 2.0))).toDF("grp", "resid")
+    val strict = Stats.conformalRadius(df, "grp", "resid")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    assert(strict("g") === ((7L, 7L, 7.0)))
+    // r = ceil(3*0.875) = 3 > n = 2: level not certifiable -> null radius
+    assert(strict("tiny") === ((2L, 3L, -1.0)))
+    val half = Stats.conformalRadius(df, "grp", "resid", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(half("g") === 4.0)
+    // marginal coverage on the calibration set itself: >= 1 - alpha
+    val rad = half("g")
+    val cov = (1 to 7).count(i => i.toDouble <= rad) / 7.0
+    assert(cov >= 0.5, s"coverage $cov")
+    intercept[IllegalArgumentException](
+      Stats.conformalRadius(df, "grp", "resid", alpha = 0.0))
+  }
 }

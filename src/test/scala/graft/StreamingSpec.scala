@@ -358,4 +358,54 @@ class StreamingSpec extends SparkSuite {
       assert(n === Tables.events(spark, sf).count())
     } finally q.stop()
   }
+  test("streamingHeavyHitters: sharded MG state across batches, guarantee holds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    val input = ms.toDF().toDF("item")
+    val k = 3
+    val q = EventStreams.streamingHeavyHitters(input, "item", k, shards = 2)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("hh_out").start()
+    // heavy item appears 12x across two batches amid tail noise
+    val b1 = Seq.fill(5)("hot") ++ Seq("a", "b", "c", "d")
+    val b2 = Seq.fill(7)("hot") ++ Seq("e", "f", "g", "h")
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      // update-mode memory sink keeps every per-batch emission; the
+      // shard's final state is its row with the largest `processed`
+      val last = spark.table("hh_out")
+        .select($"shard", $"processed", $"counters").collect()
+        .groupBy(_.getInt(0)).map { case (sh, rs) =>
+          val r = rs.maxBy(_.getLong(1))
+          sh -> ((r.getLong(1), r.getMap[String, Long](2).toMap))
+        }
+      val all = b1 ++ b2
+      def shardOf(item: String): Int = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(item.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2).toInt
+      }
+      val byShard = all.groupBy(shardOf)
+      byShard.foreach { case (sh, items) =>
+        val (processed, counters) = last(sh)
+        assert(processed === items.length.toLong)
+        assert(counters.size <= k)
+        val exact = items.groupBy(identity).view.mapValues(_.size.toLong)
+        // MG guarantee: true - n/(k+1) <= est <= true; heavy items retained
+        counters.foreach { case (it, est) =>
+          assert(est <= exact(it) && est >= exact(it) - processed / (k + 1))
+        }
+        exact.filter(_._2 > processed / (k + 1)).keys.foreach { it =>
+          assert(counters.contains(it), s"heavy '$it' missing from shard $sh")
+        }
+      }
+      // the heavy item's estimate survives with a cross-batch count only
+      // reachable by carrying state (one batch alone holds at most 7)
+      assert(last(shardOf("hot"))._2("hot") >= 8L)
+    } finally q.stop()
+  }
 }
