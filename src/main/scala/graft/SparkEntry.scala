@@ -745,6 +745,55 @@ object SparkEntry {
       topN = 20)
   }
 
+  /** §2b local clustering coefficient ([[Graph.clusteringCoefficient]],
+    * Watts–Strogatz) on the SAME cached shingle-Jaccard graph: per doc,
+    * the fraction of its near-dup neighbors that are near-dups of each
+    * other — clique-like template families score 1, hub-and-spoke
+    * boilerplate stars score 0; the per-node readout of what
+    * q_triangles measures in aggregate. */
+  private def q_clustering_coef(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 120)
+    val pairs = Dedup.jaccardPairsFrom(
+      Dedup.shingleSets(docs, "doc_id", "text"), "doc_id", 0.02).cache()
+    Graph.clusteringCoefficient(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+  }
+
+  /** §2b TextRank keyword extraction (Mihalcea & Tarau EMNLP'04) as a
+    * pure COMPOSITION: the word co-occurrence graph (adjacent-token
+    * pairs with support ≥ 5, undirected) fed to the SAME fixed-iteration
+    * [[Graph.pageRank]] the link queries use — graph centrality as a
+    * keyword scorer, no new operator code. Top 30 by 9dp-rounded rank. */
+  private def q_textrank(s: SparkSession, d: String): DataFrame = {
+    val occ = Tables.documents(s, d)
+      .select(explode(TextFunctions.shinglesOf(
+        TextFunctions.tokens(col("text")), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+      .select(element_at(split(col("bigram"), " "), 1).as("w1"),
+        element_at(split(col("bigram"), " "), 2).as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val und = occ.select(least(col("w1"), col("w2")).as("src"),
+      greatest(col("w1"), col("w2")).as("dst")).distinct()
+    val edges = und.unionByName(
+      und.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRank(edges, 3)
+      .select(col("id").as("keyword"), round(col("rank"), 9).as("rank"))
+      .orderBy(col("rank").desc, col("keyword").asc)
+      .limit(30)
+  }
+
+  /** §2b simplified silhouette ([[Similarity.silhouetteSimplified]],
+    * Rousseeuw '87 centroid variant) over the q_semantic_dedup cells:
+    * per-cell mean (b − a)/max(a, b) in cosine distance — the
+    * k-selection readout beside q_davies_bouldin, map-side at O(n·k). */
+  private def q_silhouette(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+    Similarity.silhouetteSimplified(emb, "vec_id", "embedding", cents)
+  }
+
   /** §2b LSH S-curve calibration: per exact-Jaccard decile, the observed
     * MinHash band-collision rate vs the analytic 1−(1−j⁴)⁴ expectation
     * for the (bands=4, rows=4) index — run this BEFORE trusting an LSH
@@ -3216,6 +3265,9 @@ object SparkEntry {
     "q_dedup_weights" -> (q_dedup_weights _),
     "q_modularity" -> (q_modularity _),
     "q_adamic_adar" -> (q_adamic_adar _),
+    "q_clustering_coef" -> (q_clustering_coef _),
+    "q_textrank" -> (q_textrank _),
+    "q_silhouette" -> (q_silhouette _),
     "q_assortativity" -> (q_assortativity _),
     "q_unpivot" -> (q_unpivot _),
     "q_lsh_calibration" -> (q_lsh_calibration _),
@@ -3377,6 +3429,43 @@ object SparkEntry {
                    FROM nodes),
             $iters
         SELECT id, round(rank, 9) AS rank FROM r3"""
+  }
+
+  /** Generated oracle for q_textrank: the SAME unrolled 3-iteration
+    * PageRank recurrence as [[pageRankOracleSql]], over the word
+    * co-occurrence graph (adjacent-token pairs with support >= 5,
+    * undirected, both directions). */
+  private def textRankOracleSql: String = {
+    val iters = (1 to 3).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i AS (SELECT e.dst AS id, SUM($prev.rank / od.outdeg) AS c
+                  FROM e JOIN $prev ON e.src = $prev.id
+                         JOIN od ON e.src = od.src
+                  GROUP BY e.dst),
+          r$i AS (SELECT nodes.id,
+                         (CAST(1 AS DOUBLE) - 0.85) / (SELECT n FROM nn)
+                           + 0.85 * COALESCE(c$i.c, CAST(0 AS DOUBLE)) AS rank
+                  FROM nodes LEFT JOIN c$i USING (id))"""
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT $duckTokens AS t
+                     FROM documents),
+            bc AS (SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c
+                   FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+                   GROUP BY 1, 2),
+            ep AS (SELECT DISTINCT least(w1, w2) AS src,
+                          greatest(w1, w2) AS dst
+                   FROM bc WHERE c >= 5 AND w1 <> w2),
+            e AS (SELECT src, dst FROM ep
+                  UNION ALL SELECT dst AS src, src AS dst FROM ep),
+            nodes AS (SELECT DISTINCT src AS id FROM e),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+            od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+                   FROM e GROUP BY src),
+            r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
+                   FROM nodes),
+            $iters
+        SELECT id AS keyword, round(rank, 9) AS rank FROM r3
+        ORDER BY rank DESC, keyword ASC LIMIT 30"""
   }
 
   /** Generated oracle for q_ppr: personalized PageRank's 3 iterations
@@ -4841,6 +4930,27 @@ object SparkEntry {
                 SELECT g.dst, w.lbl FROM walk w JOIN edges g ON w.id = g.src),
               cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
          SELECT id AS vec_id, cluster, (id = cluster) AS is_canonical FROM cl""",
+    "q_silhouette" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+              scored AS (SELECT e.vec_id, c.cent_id,
+                           ${duckCos("e.v", "c.cv")} AS cos,
+                           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                             ORDER BY ${duckCos("e.v", "c.cv")} DESC,
+                                      c.cent_id) AS rn
+                         FROM e, c),
+              ab AS (SELECT vec_id,
+                       max(CASE WHEN rn = 1 THEN cent_id END) AS cell,
+                       1.0 - max(CASE WHEN rn = 1 THEN cos END) AS a,
+                       1.0 - max(CASE WHEN rn = 2 THEN cos END) AS b
+                     FROM scored GROUP BY 1),
+              sil AS (SELECT cell,
+                        CASE WHEN greatest(a, b) > 0
+                          THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s
+                      FROM ab)
+         SELECT cell, CAST(count(*) AS BIGINT) AS n,
+                round(avg(s), 6) AS mean_silhouette
+         FROM sil GROUP BY 1""",
     "q_density_clusters" ->
       s"""WITH RECURSIVE
               e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -5790,6 +5900,42 @@ object SparkEntry {
                 round(r2.a, 6) AS radius
          FROM st LEFT JOIN r r2
            ON r2.event_type = st.event_type AND r2.rn = st.rank_r""",
+    "q_textrank" -> textRankOracleSql,
+    "q_clustering_coef" ->
+      """WITH tok AS (SELECT doc_id,
+                        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
+                      FROM documents WHERE doc_id < 120),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS token
+                     FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                        FROM sh a JOIN sh b
+                          ON a.token = b.token AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              pairs AS (SELECT i.id_a, i.id_b
+                        FROM inter i
+                        JOIN sizes sa ON i.id_a = sa.doc_id
+                        JOIN sizes sb ON i.id_b = sb.doc_id
+                        WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.02),
+              canon AS (SELECT id_a AS a, id_b AS b FROM pairs),
+              deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+                      FROM (SELECT a AS id FROM canon
+                            UNION ALL SELECT b AS id FROM canon)
+                      GROUP BY 1),
+              t3 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                     FROM canon e1 JOIN canon e2 ON e1.b = e2.a
+                     JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+              tri AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles
+                      FROM (SELECT x AS id FROM t3
+                            UNION ALL SELECT y FROM t3
+                            UNION ALL SELECT z FROM t3)
+                      GROUP BY 1)
+         SELECT deg.id, deg.degree,
+                COALESCE(tri.triangles, CAST(0 AS BIGINT)) AS triangles,
+                CASE WHEN deg.degree >= 2 THEN
+                  round(2 * COALESCE(tri.triangles, CAST(0 AS BIGINT))
+                    / (deg.degree * (deg.degree - 1)), 6) END AS lcc
+         FROM deg LEFT JOIN tri ON deg.id = tri.id""",
     "q_ngram_pmi" ->
       """WITH tok AS (SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
                       FROM documents),

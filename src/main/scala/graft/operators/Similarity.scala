@@ -1343,4 +1343,50 @@ object Similarity {
       .orderBy(col("exact_dot").desc, col(idCol).asc)
       .limit(k)
   }
+  /** Simplified silhouette per IVF cell (public: Rousseeuw JCAM'87, the
+    * centroid-distance simplification — O(n·k) instead of O(n²)): for
+    * each vector, a = cosine distance to its OWN centroid, b = distance
+    * to the nearest OTHER centroid, s = (b − a)/max(a, b) ∈ [−1, 1].
+    * Per-cell mean s is the "should k change" readout next to
+    * [[daviesBouldin]]: a cell full of s ≈ 0 sits on a boundary (split
+    * candidate), negative s means wrong assignments. A point
+    * equidistant to two centroids (a = b, including the degenerate
+    * a = b = 0) scores 0 by convention.
+    *
+    * Assignment matches [[ivfAssign]] bit-for-bit (max cosine, ties to
+    * the lowest centroid id), so the audit grades the ACTUAL index
+    * layout. Pure map-side literal-centroid arithmetic + ONE cell hash
+    * aggregate — zero shuffle beyond the k-row aggregate, same plan
+    * family as ivfAssign (and the same [[LiteralTermLimit]] caveat at
+    * large k — use the broadcast variants beyond ~1–2k literal terms). */
+  def silhouetteSimplified(embeddings: DataFrame, idCol: String,
+                           vecCol: String,
+                           centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(centroids.size >= 2, "silhouette needs >= 2 centroids")
+    val sorted = centroids.sortBy(_._1)
+    val cosCols = sorted.map { case (cid, cvec) =>
+      VectorFunctions.cosineSimilarity(col(vecCol),
+        array(cvec.map(lit): _*)).as(s"__cos_$cid")
+    }
+    val staged = ivfAssign(embeddings, idCol, vecCol, centroids)
+      .select(col(idCol) +: col("cell") +: cosCols: _*)
+    // flat coalesce of independent whens (cell matches exactly one id) —
+    // no nested otherwise-chain, so codegen stays linear in k
+    val own = coalesce(sorted.map { case (cid, _) =>
+      when(col("cell") === cid, col(s"__cos_$cid"))
+    }: _*)
+    val otherBest = array_max(array(sorted.map { case (cid, _) =>
+      when(col("cell") === cid, lit(-2.0)).otherwise(col(s"__cos_$cid"))
+    }: _*))
+    val a = lit(1.0) - own
+    val b = lit(1.0) - otherBest
+    staged
+      .withColumn("__a", a).withColumn("__b", b)
+      .withColumn("__s",
+        when(greatest(col("__a"), col("__b")) > 0,
+          (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(lit(0.0)))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), round(avg(col("__s")), 6).as("mean_silhouette"))
+  }
 }

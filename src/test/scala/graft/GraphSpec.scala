@@ -260,4 +260,22 @@ class GraphSpec extends SparkSuite {
     assert(Graph.adamicAdar(star, topN = 10, maxDeg = 2L).isEmpty)
     assert(Graph.adamicAdar(star, topN = 10).count() === 3L) // uncapped: 3 spoke pairs
   }
+  test("clusteringCoefficient: K4-minus-an-edge hand-check, deg<2 null") {
+    // edges 1-2,1-3,2-3,2-4,3-4: triangles {1,2,3},{2,3,4};
+    // lcc: 1 -> 1.0 (its two neighbors connect), 2 -> 2*2/(3*2) = 2/3
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (2L, 1L))
+      .toDF("src", "dst")
+    val out = Graph.clusteringCoefficient(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    assert(out === Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((3L, 2L, 0.666667)),
+      3L -> ((3L, 2L, 0.666667)), 4L -> ((2L, 1L, 1.0))))
+    // path: middle node's neighbors don't connect -> 0; endpoints null
+    val p = Graph.clusteringCoefficient(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    assert(p === Map(1L -> -1.0, 2L -> 0.0, 3L -> -1.0))
+  }
 }

@@ -753,4 +753,20 @@ class SimilaritySpec extends SparkSuite {
     assert(out(1) === ((1L, 1L, 1.0)))
     assert(out(2)._1 === 1L && out(2)._2 === 0L && out(2)._3.isNaN) // null cos
   }
+  test("silhouetteSimplified: separated, boundary-tie and mean hand-check") {
+    val cents = Seq(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0))
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)),  // on c0: a=0, b=1 -> s=1
+      (2L, Array(0.0f, 1.0f)),  // on c1: s=1
+      (3L, Array(1.0f, 1.0f))   // exactly equidistant: tie -> cell 0, s=0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.silhouetteSimplified(e, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out === Map(0L -> ((2L, 0.5)), 1L -> ((1L, 1.0))))
+    intercept[IllegalArgumentException] {
+      Similarity.silhouetteSimplified(e, "vec_id", "embedding",
+        cents.take(1))
+    }
+  }
 }
