@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -21,6 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    ticket.py:118-119); partial — Spark merge-limits the per-window
   *    ascending prefixes
   *  - column selection → `SupportsPushDownRequiredColumns`
+  *  - ungrouped COUNT(*)/MIN/MAX(created_at) → `SupportsPushDownAggregates`
+  *    (partial: one pre-aggregated row per window from the API's index —
+  *    a range count never pages; grouped/other aggregates decline and
+  *    page normally)
   *  - time-window partitioning → one `InputPartition` per window
   *    (`split_windows`, ticket.py:31-38): windows scan in parallel across
   *    executors instead of the reference's sequential driver loop
@@ -60,6 +65,7 @@ private[sources] class TicketScanBuilder(options: CaseInsensitiveStringMap)
     with SupportsPushDownFilters
     with SupportsPushDownLimit
     with SupportsPushDownTopN
+    with SupportsPushDownAggregates
     with SupportsPushDownRequiredColumns {
 
   private val startUs = TicketApi.parseIso(
@@ -131,21 +137,76 @@ private[sources] class TicketScanBuilder(options: CaseInsensitiveStringMap)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** COUNT(*) / MIN(created_at) / MAX(created_at) with no grouping push
+    * to the server (a real ticket API answers these from its index via a
+    * count/stats endpoint — the point is the reader never PAGES: a range
+    * count over 200k tickets costs one metadata request instead of 2000
+    * pages). PARTIAL pushdown (`supportCompletePushDown` stays false):
+    * each window partition emits one pre-aggregated row and Spark's
+    * final aggregate merges them — the same partial/final shape a
+    * parquet scan's pushed count uses, so adding windows never changes
+    * the answer. Any other aggregate (or any grouping) is declined and
+    * evaluated Spark-side on the paged rows. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def isCreatedAt(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference => r.fieldNames.sameElements(Array("created_at"))
+        case _ => false
+      }
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    val exprs = aggregation.aggregateExpressions
+    val ok = exprs.nonEmpty && exprs.forall {
+      case _: CountStar => true
+      case m: Min => isCreatedAt(m.column)
+      case m: Max => isCreatedAt(m.column)
+      case _ => false
+    }
+    if (ok) {
+      aggExprs = exprs.map {
+        case _: CountStar => TicketAgg.CountStar
+        case _: Min => TicketAgg.MinCreated
+        case _: Max => TicketAgg.MaxCreated
+      }.toSeq
+      required = StructType(aggExprs.zipWithIndex.map {
+        case (TicketAgg.CountStar, i) =>
+          StructField(s"agg_$i", LongType, nullable = false)
+        case (_, i) => StructField(s"agg_$i", TimestampType, nullable = true)
+      })
+    }
+    ok
+  }
+
+  private var aggExprs: Seq[TicketAgg] = Nil
+
   override def build(): Scan = new TicketScan(geUs, leUs, windowUs, pageSize,
-    limit, required, pushed, topN)
+    limit, required, pushed, topN, aggExprs)
+}
+
+/** The three server-answerable aggregates of [[TicketScanBuilder]]'s
+  * pushdown, as a plain enum the scan/reader can ship. */
+private[sources] sealed trait TicketAgg
+private[sources] object TicketAgg {
+  case object CountStar extends TicketAgg
+  case object MinCreated extends TicketAgg
+  case object MaxCreated extends TicketAgg
 }
 
 private[sources] class TicketScan(geUs: Long, leUs: Long, windowUs: Long,
                                   pageSize: Int, limit: Option[Int],
                                   required: StructType, pushed: Array[Filter],
-                                  topN: Boolean = false)
+                                  topN: Boolean = false,
+                                  aggExprs: Seq[TicketAgg] = Nil)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"TicketScan PushedFilters: [${pushed.mkString(", ")}], " +
       s"range=[$geUs,$leUs], window=${windowUs}us, pageSize=$pageSize, " +
-      s"limit=$limit, topN=$topN"
+      s"limit=$limit, topN=$topN" +
+      (if (aggExprs.nonEmpty) s", PushedAggregates: [${aggExprs.mkString(", ")}]"
+       else "")
 
   /** One partition per time window (split_windows, ticket.py:31-38) — the
     * unit of parallelism AND of retry isolation. Windows come from the
@@ -159,7 +220,34 @@ private[sources] class TicketScan(geUs: Long, leUs: Long, windowUs: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TicketReaderFactory(pageSize, limit, required)
+    if (aggExprs.nonEmpty) new TicketAggReaderFactory(aggExprs)
+    else new TicketReaderFactory(pageSize, limit, required)
+}
+
+/** Readers for a pushed aggregation: one pre-aggregated row per window,
+  * answered from the API's index ([[TicketApi.statsIn]] — the metadata
+  * request a real server serves from its count endpoint) with ZERO page
+  * fetches. Spark's final aggregate merges the per-window partials. */
+private[sources] class TicketAggReaderFactory(aggExprs: Seq[TicketAgg])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val part = partition.asInstanceOf[TicketWindowPartition]
+      private var served = false
+      override def next(): Boolean = { val go = !served; served = true; go }
+      override def get(): InternalRow = {
+        val (n, minUs, maxUs) = TicketApi.statsIn(part.loUs, part.hiUs)
+        val vals: Array[Any] = aggExprs.map {
+          case TicketAgg.CountStar => n.asInstanceOf[Any]
+          case TicketAgg.MinCreated =>
+            if (n > 0) minUs.asInstanceOf[Any] else null
+          case TicketAgg.MaxCreated =>
+            if (n > 0) maxUs.asInstanceOf[Any] else null
+        }.toArray
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] case class TicketWindowPartition(loUs: Long, hiUs: Long)
@@ -300,6 +388,17 @@ object TicketApi {
     val kLo = math.max(0L, ceilDiv(geUs - anchorUs, stepUs))
     val kHi = math.min(totalTickets - 1, floorDiv(leUs - anchorUs, stepUs))
     math.max(0L, kHi - kLo + 1)
+  }
+
+  /** Range stats (count, min created_at, max created_at) answered from
+    * the index — the "count endpoint" a real API serves without paging;
+    * what the pushed-aggregation readers call. min/max only meaningful
+    * when count > 0. */
+  def statsIn(geUs: Long, leUs: Long): (Long, Long, Long) = {
+    val kLo = math.max(0L, ceilDiv(geUs - anchorUs, stepUs))
+    val kHi = math.min(totalTickets - 1, floorDiv(leUs - anchorUs, stepUs))
+    if (kLo > kHi) (0L, 0L, 0L)
+    else (kHi - kLo + 1, anchorUs + kLo * stepUs, anchorUs + kHi * stepUs)
   }
 
   private def ceilDiv(a: Long, b: Long): Long = math.ceil(a.toDouble / b).toLong

@@ -37,7 +37,10 @@ class TicketSourceSpec extends SparkSuite {
   test("reader retries transient 500s with backoff and loses no rows") {
     TicketApi.attempts.clear()
     val df = read("2024-01-01T00:00:00Z", "2024-01-15T00:00:00Z")
-    val n = df.count()
+    // collect, not count(): count() now pushes to the source's index and
+    // would never page (see the aggregate-pushdown test) — the retry
+    // path under test only runs when rows are actually fetched
+    val n = df.collect().length.toLong
     assert(n === TicketApi.countIn(
       TicketApi.parseIso("2024-01-01T00:00:00Z"),
       TicketApi.parseIso("2024-01-15T00:00:00Z")))
@@ -96,5 +99,38 @@ class TicketSourceSpec extends SparkSuite {
     assert(first(0).getString(0) === "tck-0")
     assert(first(0).getLong(1) === 0L)
     assert(first(1).getString(3) === "pending") // statuses cycle
+  }
+  test("COUNT/MIN/MAX push to the source: zero page fetches, windows merge") {
+    TicketApi.attempts.clear()
+    val df = read("2024-01-01T00:00:00Z", "2024-02-01T00:00:00Z")
+      .agg(count(lit(1)).as("n"), min(col("created_at")).as("lo"),
+        max(col("created_at")).as("hi"))
+    // the aggregate plan runs under AQE, so find the scan in the
+    // OPTIMIZED logical plan (the physical BatchScanExec hides inside
+    // AdaptiveSparkPlanExec)
+    val desc = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.get
+    assert(desc.contains("PushedAggregates"), desc)
+    val row = df.collect().head
+    val geUs = TicketApi.parseIso("2024-01-01T00:00:00Z")
+    val leUs = TicketApi.parseIso("2024-02-01T00:00:00Z")
+    val (n, minUs, maxUs) = TicketApi.statsIn(geUs, leUs)
+    assert(row.getLong(0) === n)
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    assert(us(row.getTimestamp(1)) === minUs)
+    assert(us(row.getTimestamp(2)) === maxUs)
+    // the whole aggregate was answered from the index: no page was fetched
+    assert(TicketApi.attempts.isEmpty,
+      s"expected zero page fetches, saw ${TicketApi.attempts.size()}")
+    // a grouped aggregate is declined -> falls back to paging the rows
+    TicketApi.attempts.clear()
+    val grouped = read("2024-01-01T00:00:00Z", "2024-01-08T00:00:00Z")
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+    assert(grouped.collect().map(_.getLong(1)).sum ===
+      TicketApi.countIn(TicketApi.parseIso("2024-01-01T00:00:00Z"),
+        TicketApi.parseIso("2024-01-08T00:00:00Z")))
+    assert(!TicketApi.attempts.isEmpty, "grouped agg must page the rows")
   }
 }
