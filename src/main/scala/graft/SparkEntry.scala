@@ -1727,6 +1727,23 @@ object SparkEntry {
     TextAnalytics.boilerplatePrefixes(Tables.documents(s, d), "source",
       "text", k = 3, topN = 3)
 
+  /** §2b Horvitz–Thompson estimation ([[Corpus.htEstimate]]) over the
+    * deterministic stratified sample: per source, the sample-only
+    * unbiased reconstruction of the full corpus row count and n_chars
+    * total (± Poisson variance), emitted NEXT TO the true totals so the
+    * ratio column is the standing calibration check. Dyadic fractions
+    * make every summand exact — order-independent at any parallelism. */
+  private def q_horvitz_thompson(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept = Corpus.stratifiedSample(docs, "source", "doc_id",
+      Seq("src0" -> 0.5, "src1" -> 0.25), defaultFraction = 0.125)
+    val est = Corpus.htEstimate(kept, "source", "n_chars", "sample_frac")
+    val truth = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_true"), sum(col("n_chars")).as("true_total"))
+    truth.join(est, Seq("source"))
+      .withColumn("ratio", round(col("ht_total") / col("true_total"), 6))
+  }
+
   /** §2b Z-order layout key: Morton interleave of (l_partkey, l_suppkey),
     * the two-dimensional data-skipping sort key behind Sinks.writeZOrdered
     * — per-row bit arithmetic, zero shuffle. */
@@ -3283,6 +3300,7 @@ object SparkEntry {
     "q_spearman" -> (q_spearman _),
     "q_conformal" -> (q_conformal _),
     "q_boilerplate" -> (q_boilerplate _),
+    "q_horvitz_thompson" -> (q_horvitz_thompson _),
     "q_zorder_key" -> (q_zorder_key _),
     "q_quality_classifier" -> (q_quality_classifier _),
     "q_pagerank" -> (q_pagerank _),
@@ -5936,6 +5954,29 @@ object SparkEntry {
                   round(2 * COALESCE(tri.triangles, CAST(0 AS BIGINT))
                     / (deg.degree * (deg.degree - 1)), 6) END AS lcc
          FROM deg LEFT JOIN tri ON deg.id = tri.id""",
+    "q_horvitz_thompson" ->
+      """WITH f AS (SELECT source, doc_id, n_chars,
+                      CASE WHEN source = 'src0' THEN 0.5
+                           WHEN source = 'src1' THEN 0.25
+                           ELSE 0.125 END AS p,
+                      CAST(('0x' || substring(md5('strat:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        / 4294967296.0 AS u
+                    FROM documents),
+              kept AS (SELECT * FROM f WHERE u < p),
+              est AS (SELECT source, count(*) AS n_kept,
+                        round(sum(1.0 / p), 6) AS ht_count,
+                        round(sum(CAST(n_chars AS DOUBLE) / p), 6) AS ht_total,
+                        round(sum(CAST(n_chars AS DOUBLE) * n_chars
+                          * (1.0 - p) / (p * p)), 6) AS ht_variance
+                      FROM kept GROUP BY 1),
+              tru AS (SELECT source, count(*) AS n_true,
+                        CAST(sum(n_chars) AS BIGINT) AS true_total
+                      FROM documents GROUP BY 1)
+         SELECT t.source, t.n_true, t.true_total, e.n_kept, e.ht_count,
+                e.ht_total, e.ht_variance,
+                round(e.ht_total / t.true_total, 6) AS ratio
+         FROM tru t JOIN est e USING (source)""",
     "q_ngram_pmi" ->
       """WITH tok AS (SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
                       FROM documents),

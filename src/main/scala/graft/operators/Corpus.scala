@@ -36,6 +36,33 @@ object Corpus {
     conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)
 
+  /** Horvitz–Thompson estimation over a [[stratifiedSample]]-style keep
+    * rule (public: Horvitz & Thompson JASA'52): from ONLY the kept rows,
+    * each carrying its inclusion probability, the unbiased estimators
+    * total̂ = Σ x/p and n̂ = Σ 1/p, with the Poisson-sampling variance
+    * estimate v̂ = Σ x²(1−p)/p². THE audit for every downsampled
+    * pipeline stage: it answers "what does the sample say the FULL
+    * corpus total was, ± what", so a 1% sample of token counts still
+    * reports corpus-scale token budgets with honest error bars.
+    *
+    * Exactness: with dyadic sampling fractions (½, ¼, …, the
+    * [[hashUnit]] idiom's natural constants) every summand x/p and
+    * x²(1−p)/p² is an exact integer×dyadic product, so the aggregates
+    * are ORDER-INDEPENDENT — bit-identical in any engine at any
+    * parallelism, no rounding dance needed until the final emit.
+    *
+    * Scale shape: one hash aggregate over the kept rows. Nothing else. */
+  def htEstimate(kept: DataFrame, groupCol: String, valCol: String,
+                 probCol: String): DataFrame = {
+    val x = col(valCol).cast("double")
+    val p = col(probCol)
+    kept.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"),
+        round(sum(lit(1.0) / p), 6).as("ht_count"),
+        round(sum(x / p), 6).as("ht_total"),
+        round(sum(x * x * (lit(1.0) - p) / (p * p)), 6).as("ht_variance"))
+  }
+
   /** Per-group deterministic downsampling ("stratified sample"): keep each
     * row iff hashUnit(id) < its group's fraction. Pure map-side — no
     * shuffle, no state, same survivors on any cluster size / rerun /

@@ -573,4 +573,23 @@ class CorpusSpec extends SparkSuite {
       Corpus.perplexityBuckets(df, "lang", "doc_id", "score", n = 1)
     }
   }
+  test("htEstimate: exact dyadic arithmetic hand-check and calibration sanity") {
+    // kept rows with p = 1/2: total-hat = (10+20)/0.5 = 60, n-hat = 4,
+    // v-hat = 100*.5/.25 + 400*.5/.25 = 1000
+    val kept = Seq(("g", 10L, 0.5), ("g", 20L, 0.5), ("h", 7L, 0.25))
+      .toDF("grp", "x", "p")
+    val out = Corpus.htEstimate(kept, "grp", "x", "p")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("g") === ((2L, 4.0, 60.0, 1000.0)))
+    assert(out("h") === ((1L, 4.0, 28.0, 588.0))) // 49*0.75/0.0625
+    // calibration: a deterministic half-sample of 1000 unit rows
+    // reconstructs the population within 20%
+    val pop = (1L to 1000L).map(i => ("s", i, 1L)).toDF("src", "id", "one")
+    val sampled = Corpus.stratifiedSample(pop, "src", "id", Seq("s" -> 0.5))
+    val est = Corpus.htEstimate(sampled, "src", "one", "sample_frac")
+      .collect().head
+    assert(math.abs(est.getDouble(3) - 1000.0) < 200.0, est.toString)
+  }
 }
