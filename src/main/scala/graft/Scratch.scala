@@ -183,7 +183,41 @@ object Scratch {
       "q_epoch_schedule" -> ("Token-budget epoch schedule",
         "ONE hash aggregate to domain grain, a 1-row broadcast total (decimal-exact weight sum), map-side share/epoch arithmetic — nothing scales with rows after the first aggregate."),
       "q_octadesk_e2e_drift" -> ("Reference dataflow under schema drift",
-        "Same single-shuffle plan as q_octadesk_e2e (the chat merge is the one exchange; dedup is a broadcast anti-join) with the evolved cf_* columns flowing through sanitize/dup-drop as pure metadata projections — drift costs no extra shuffle."))
+        "Same single-shuffle plan as q_octadesk_e2e (the chat merge is the one exchange; dedup is a broadcast anti-join) with the evolved cf_* columns flowing through sanitize/dup-drop as pure metadata projections — drift costs no extra shuffle."),
+      "q_binary_quantize" -> ("1-bit embedding quantization",
+        "The 64 sign tests and two 32-bit word sums are ONE map-side integer projection over the scan — zero shuffle, zero join; like quantize_int8, this runs at read bandwidth, which is the point of packing at ingest."),
+      "q_hamming_topk" -> ("Binary-quantization retrieval (Hamming + rerank)",
+        "Stage 1 is XOR+popcount against literal query words inside codegen, finished by TakeOrdered (per-partition heaps, no sort, no shuffle); stage 2 reranks only the 50-row pool with the exact float dot — the corpus is touched once, bit-packed."),
+      "q_kneser_ney" -> ("Kneser–Ney smoothed bigram LM",
+        "The same wordcount-shaped plan as the JM interpolation: one bigram hash aggregate, two vocab-sized context aggregates, vocab-keyed joins back to the occurrence stream and a 1-row type-count broadcast — the continuation counts add aggregates over the TYPE table, never a second corpus pass."),
+      "q_ccnet_buckets" -> ("CCNet perplexity buckets",
+        "The LM proxy is the unigram plan (wordcount aggregates + vocab join); bucketing adds ONE language-partitioned ntile window over scored docs — per-language sort, parallel across languages, no global order."),
+      "q_adamic_adar" -> ("Adamic–Adar link prediction",
+        "Pair graph cached once (five consumers); candidates come from ONE wedge equi-join on the hub-capped center; the 1/ln(deg) scoring aggregate, adjacency anti-join and TakeOrdered all run over wedge-volume rows — never all-pairs."),
+      "q_tcloseness" -> ("t-closeness release audit",
+        "One (quasi, value) hash aggregate, a broadcast join against the value-cardinality global table, a quasi-partitioned window over CELLS (not rows) and one group aggregate of exact-integer numerators — the single float division happens once per group, after the sums."),
+      "q_spearman" -> ("Per-group Spearman correlation",
+        "Two rank windows per axis, all partitioned by the group (parallel across groups, no global sort), then ONE stats hash aggregate computing cov/var in a single pass — the assortativity tree, reused."),
+      "q_boilerplate" -> ("Boilerplate-prefix audit",
+        "The prefix is a map-side array-slice projection (no explode — one row per doc); counts and totals are two hash aggregates, and the per-source top-3 row_number filter REPLANS as the GroupTopK heap pair (partial before the exchange) under the rewrite rule."),
+      "q_density_clusters" -> ("DBSCAN density clustering",
+        "Neighbor pairs come from the same within-cell equi-join as semantic dedup (Σ|cell|², never n²); degrees/cores are one hash aggregate; the CC iterates over the CORE-induced subgraph only, and border attachment is one join + min-aggregate."),
+      "q_watermark_detect" -> ("LLM watermark detection",
+        "Wordcount-shaped: explode to bigrams, md5-parity green flag as a map-side codegen expression, ONE per-doc hash aggregate — no joins, no vocab state, no window; the z arithmetic is a post-aggregate projection."),
+      "q_centroid_drift" -> ("Per-label embedding centroid drift",
+        "posexplode feeds ONE (label, dim) hash aggregate with map-side combine — shuffle is labels×dim cells, not rows; the cosine of sums needs no count division and the label-sized count join broadcasts."),
+      "q_conformal" -> ("Split-conformal prediction radius",
+        "Residuals rank in ONE group-partitioned window (per-group sort, the analysis unit); the rank index is computed on the group-count aggregate and probed back with a single equi-join — no global sort, no second data pass."),
+      "q_seasonality" -> ("Hour-of-day seasonal index",
+        "Two hash aggregates collapse the events to 24 cells per key; the full grid is a sequence-literal explode over the key-level totals and the fill is one key-grain join — nothing row-sized past the first aggregate."),
+      "q_clustering_coef" -> ("Local clustering coefficient",
+        "Reuses the cached pair graph and the degree-ORIENTED triangle join (O(|E|^1.5) wedge bound); degree aggregate + left join + one exact-integer division per node — no new shuffle shape beyond triangleCount's."),
+      "q_textrank" -> ("TextRank keyword extraction",
+        "The co-occurrence graph collapses to support-filtered bigram types (wordcount aggregate); then the SAME cached-edge PageRank loop as the link queries — one equi-join + one hash aggregate per round over the word graph, finished by TakeOrdered top-30."),
+      "q_silhouette" -> ("Simplified silhouette per IVF cell",
+        "All k centroid cosines, the argmax assignment and the (b−a)/max(a,b) score are ONE map-side literal-centroid projection; the only aggregate is the k-row per-cell mean — zero joins, zero row expansion."),
+      "q_horvitz_thompson" -> ("Horvitz–Thompson sample calibration",
+        "The keep rule is the map-side salted-md5 filter; the HT estimators are ONE hash aggregate of exact dyadic summands over kept rows; truth totals aggregate the full table once and join at source grain."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans for flagship queries\n\n")
