@@ -2112,6 +2112,21 @@ object SparkEntry {
     TextAnalytics.bm25(Tables.documents(s, d), "doc_id", "text",
       Seq("data", "spark", "merge"), 20)
 
+  /** §2b Dirichlet query-likelihood retrieval
+    * ([[TextAnalytics.queryLikelihood]], Zhai & Lafferty SIGIR'01) on
+    * the SAME 3-term query as q_bm25 — the LM scoring member of the
+    * TF-IDF/BM25/QL trio; absent terms contribute smoothed mass, so the
+    * ranking differs from BM25 exactly where smoothing matters. */
+  private def q_query_likelihood(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.queryLikelihood(Tables.documents(s, d), "doc_id", "text",
+      Seq("data", "spark", "merge"), 20)
+
+  /** §2b Yule's K lexical richness ([[TextAnalytics.yuleK]]) per source:
+    * the closed-form frequency-spectrum constant — template/repetitive
+    * slices score high; exact integers until the final division. */
+  private def q_yule_k(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.yuleK(Tables.documents(s, d), "source", "text")
+
   /** §2b PRF query expansion: BM25 top-3 feedback docs for the same
     * query, top-10 expansion terms by feedback-tf × corpus IDF — the
     * second-pass retrieval vocabulary. */
@@ -3292,6 +3307,8 @@ object SparkEntry {
     "q_column_profile" -> (q_column_profile _),
     "q_apply_diff" -> (q_apply_diff _),
     "q_bm25" -> (q_bm25 _),
+    "q_query_likelihood" -> (q_query_likelihood _),
+    "q_yule_k" -> (q_yule_k _),
     "q_prf_expansion" -> (q_prf_expansion _),
     "q_dup_spans" -> (q_dup_spans _),
     "q_kanonymity" -> (q_kanonymity _),
@@ -5977,6 +5994,39 @@ object SparkEntry {
                 e.ht_total, e.ht_variance,
                 round(e.ht_total / t.true_total, 6) AS ratio
          FROM tru t JOIN est e USING (source)""",
+    "q_query_likelihood" ->
+      s"""WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
+              lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tok),
+              occ AS (SELECT doc_id, UNNEST(t) AS term FROM tok),
+              tot AS (SELECT CAST(count(*) AS DOUBLE) AS big_t FROM occ),
+              cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM occ
+                     WHERE term IN ('data', 'spark', 'merge') GROUP BY 1),
+              tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                     FROM occ WHERE term IN ('data', 'spark', 'merge')
+                     GROUP BY 1, 2),
+              grid AS (SELECT l.doc_id, l.dl, c.term, c.cf FROM lens l, cf c),
+              sc AS (SELECT g.doc_id,
+                       ln((COALESCE(t.tf, 0) + 2048.0 * (g.cf / big_t))
+                         / (g.dl + 2048.0)) AS lp
+                     FROM grid g
+                     LEFT JOIN tf t
+                       ON g.doc_id = t.doc_id AND g.term = t.term, tot)
+         SELECT doc_id, round(sum(lp), 6) AS score
+         FROM sc GROUP BY 1
+         ORDER BY score DESC, doc_id ASC LIMIT 20""",
+    "q_yule_k" ->
+      s"""WITH occ AS (SELECT source, UNNEST($duckTokens) AS tok
+                       FROM documents),
+              freqs AS (SELECT source, tok, count(*) AS m
+                        FROM occ GROUP BY 1, 2),
+              sp AS (SELECT source, CAST(count(*) AS BIGINT) AS v_types,
+                       CAST(sum(m) AS BIGINT) AS n_tokens,
+                       CAST(sum(m * m) AS BIGINT) AS s2
+                     FROM freqs GROUP BY 1)
+         SELECT source, v_types, n_tokens,
+                round(10000.0 * (s2 - n_tokens)
+                  / (n_tokens * n_tokens), 6) AS yule_k
+         FROM sp""",
     "q_ngram_pmi" ->
       """WITH tok AS (SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
                       FROM documents),

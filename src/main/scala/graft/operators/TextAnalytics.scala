@@ -72,6 +72,73 @@ object TextAnalytics {
       .limit(k)
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (public: Zhai &
+    * Lafferty SIGIR'01 — the LM retrieval model, completing the
+    * TF-IDF/BM25/QL scoring trio): score(d) = Σ_{w∈q}
+    * ln((tf_{w,d} + μ·p(w|C))/(|d| + μ)) with the collection model
+    * p(w|C) = cf_w/T. Unlike BM25, ABSENT query terms still contribute
+    * (the smoothed mass μ·p/(|d|+μ)) — long documents aren't rewarded
+    * for merely mentioning everything. μ defaults to 2048 (DYADIC, so
+    * μ·p(w|C) is a correctly-rounded single product in any engine);
+    * query terms absent from the whole corpus have p(w|C) = 0 = ln 0
+    * and are DROPPED (inner join), documented rather than pseudo-counted.
+    *
+    * Scale shape: the same two wordcount aggregates a BM25 pass pays
+    * (per-doc tf for query terms; collection frequencies), a 1-row
+    * total broadcast, a #query-terms × docs grid from a broadcast
+    * cross join, and TakeOrdered — no window, no global sort. */
+  def queryLikelihood(docs: DataFrame, idCol: String, textCol: String,
+                      queryTerms: Seq[String], k: Int,
+                      mu: Double = 2048.0): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0, "need queryTerms and k > 0")
+    require(mu > 0, s"mu must be positive: $mu")
+    val toks = docs.select(col(idCol),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("__t"))
+    val lengths = toks.select(col(idCol), size(col("__t")).cast("double").as("dl"))
+    val occ = toks.select(col(idCol), explode(col("__t")).as("term"))
+    val total = occ.agg(count(lit(1)).cast("double").as("big_t"))
+    val cf = occ.filter(col("term").isin(queryTerms.map(lit): _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val tf = occ.filter(col("term").isin(queryTerms.map(lit): _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val grid = lengths.crossJoin(broadcast(cf))
+    grid
+      .join(tf, Seq(idCol, "term"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__lp",
+        log((coalesce(col("tf"), lit(0L)) + lit(mu) * (col("cf") / col("big_t")))
+          / (col("dl") + lit(mu))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__lp")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Yule's characteristic K (public: Yule 1944, "The Statistical Study
+    * of Literary Vocabulary"): K = 10⁴·(Σ_m m²·V_m − N)/N² over the
+    * frequency spectrum (V_m = types occurring m times, N = tokens) —
+    * the length-insensitive lexical-richness constant. Template-generated
+    * or highly repetitive slices score HIGH (mass concentrated in few
+    * types); diverse prose sits low — the per-group repetition screen
+    * beside [[distinctNgramRatio]], but a single closed-form constant.
+    * EXACT integer arithmetic until the one final division.
+    *
+    * Scale shape: one wordcount aggregate to (group, type) grain, one
+    * group aggregate over the spectrum — shuffle ∝ distinct types. */
+  def yuleK(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val occ = docs.select(col(groupCol),
+      explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+    occ.groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__m"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("v_types"),
+        sum(col("__m")).as("n_tokens"),
+        sum(col("__m") * col("__m")).as("__s2"))
+      .select(col(groupCol), col("v_types"), col("n_tokens"),
+        round(lit(10000.0) * (col("__s2") - col("n_tokens"))
+          / (col("n_tokens") * col("n_tokens")), 6).as("yule_k"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with a benchmark/eval set — the overlap check every serious
     * training corpus runs before an eval score means anything (13-grams is

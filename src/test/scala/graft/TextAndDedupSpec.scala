@@ -1126,4 +1126,36 @@ class TextAndDedupSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       TextAnalytics.watermarkScore(docs, "doc_id", "text", zThreshold = 0.0))
   }
+  test("queryLikelihood: hand-checked Dirichlet smoothing, absent term mass") {
+    // corpus: d1 = "a a b", d2 = "c"; query = (a, c); T = 4, cf_a = 2,
+    // cf_c = 1; mu = 4 (dyadic). p(a|C) = 1/2, p(c|C) = 1/4.
+    // d1: a: (2 + 4*0.5)/(3+4) = 4/7; c: (0 + 1)/(3+4) = 1/7
+    //   score = ln(4/7) + ln(1/7)
+    // d2: a: (0+2)/5 = 0.4; c: (1+1)/5 = 0.4 -> 2*ln(0.4)
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val out = TextAnalytics.queryLikelihood(docs, "doc_id", "text",
+        Seq("a", "c"), k = 10, mu = 4.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === r6(math.log(4.0 / 7) + math.log(1.0 / 7)))
+    assert(out(2L) === r6(2 * math.log(0.4)))
+    // d2 outranks d1: ln(0.16) > ln(4/49)
+    assert(out(2L) > out(1L))
+    intercept[IllegalArgumentException](
+      TextAnalytics.queryLikelihood(docs, "doc_id", "text", Seq("a"), 5,
+        mu = 0.0))
+  }
+
+  test("yuleK: exact spectrum arithmetic; repetition scores higher") {
+    // "a a a b": spectrum V_3 = 1, V_1 = 1; N = 4
+    // K = 1e4 * (9*1 + 1*1 - 4)/16 = 3750
+    val docs = Seq(("rep", "a a a b"), ("div", "a b c d")).toDF("src", "text")
+    val out = TextAnalytics.yuleK(docs, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("rep") === ((2L, 4L, 3750.0)))
+    // all-distinct: s2 = N -> K = 0 exactly
+    assert(out("div") === ((4L, 4L, 0.0)))
+  }
 }
