@@ -2127,6 +2127,53 @@ object SparkEntry {
   private def q_yule_k(s: SparkSession, d: String): DataFrame =
     TextAnalytics.yuleK(Tables.documents(s, d), "source", "text")
 
+  /** §2b n-gram novelty curve ([[TextAnalytics.noveltyCurve]]): per
+    * doc_id-ordered ingestion batch (2000 docs), the share of distinct
+    * 3-grams first seen in that batch — the crawl-freshness decay
+    * readout; min-batch attribution needs no ordering pass. */
+  private def q_novelty_curve(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.noveltyCurve(
+      Tables.documents(s, d)
+        .withColumn("batch", floor(col("doc_id") / 2000).cast("long")),
+      "batch", "text", n = 3)
+
+  /** §2b difference-in-differences ([[Stats.diffInDiff]]): hash-assigned
+    * arms (the q_cuped assignment), post = the 2024-01-15 cutoff, over
+    * event values — the trend-netting 2×2 completing the experimentation
+    * battery (Welch: no time; CUPED: variance reduction; DiD: secular
+    * trend). One 4-cell aggregate + a pivot row. */
+  private def q_diff_in_diff(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("arm",
+        when(Corpus.hashPct(col("user_id")) < 50, "a").otherwise("b"))
+      .withColumn("post", col("ts") >= lit("2024-01-15").cast("timestamp"))
+    Stats.diffInDiff(ev, "arm", treatArm = "a", controlArm = "b",
+      "post", "value")
+  }
+
+  /** §2b shipping-priority multi-join (the TPC-H Q3 shape): segment-
+    * filtered customers broadcast into orders, the date-filtered
+    * lineitems join on the order key, revenue aggregates per order and
+    * TakeOrdered keeps the top 10 — the classic selective-dimension →
+    * fact → fact join exhibit. */
+  private def q_shipping_priority(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1996-06-30").cast("timestamp")
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
   /** §2b PRF query expansion: BM25 top-3 feedback docs for the same
     * query, top-10 expansion terms by feedback-tf × corpus IDF — the
     * second-pass retrieval vocabulary. */
@@ -3309,6 +3356,9 @@ object SparkEntry {
     "q_bm25" -> (q_bm25 _),
     "q_query_likelihood" -> (q_query_likelihood _),
     "q_yule_k" -> (q_yule_k _),
+    "q_novelty_curve" -> (q_novelty_curve _),
+    "q_diff_in_diff" -> (q_diff_in_diff _),
+    "q_shipping_priority" -> (q_shipping_priority _),
     "q_prf_expansion" -> (q_prf_expansion _),
     "q_dup_spans" -> (q_dup_spans _),
     "q_kanonymity" -> (q_kanonymity _),
@@ -6027,6 +6077,77 @@ object SparkEntry {
                 round(10000.0 * (s2 - n_tokens)
                   / (n_tokens * n_tokens), 6) AS yule_k
          FROM sp""",
+    "q_novelty_curve" ->
+      s"""WITH pairs AS (SELECT DISTINCT
+                           CAST(floor(doc_id / 2000) AS BIGINT) AS batch,
+                           array_to_string(t[i:i+2], ' ') AS g
+                         FROM (SELECT doc_id, $duckTokens AS t
+                               FROM documents),
+                           UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+              first AS (SELECT g, min(batch) AS fb FROM pairs GROUP BY 1)
+         SELECT p.batch, CAST(count(*) AS BIGINT) AS n_distinct,
+                CAST(sum(CASE WHEN f.fb = p.batch THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel,
+                round(sum(CASE WHEN f.fb = p.batch THEN 1 ELSE 0 END)
+                  / CAST(count(*) AS BIGINT), 6) AS novelty_rate
+         FROM pairs p JOIN first f ON p.g = f.g
+         GROUP BY 1""",
+    "q_diff_in_diff" ->
+      """WITH base AS (SELECT value,
+                        CASE WHEN CAST(('0x' || substring(md5(
+                            CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                            % 100 < 50
+                          THEN 'a' ELSE 'b' END AS arm,
+                        ts >= TIMESTAMP '2024-01-15' AS post
+                      FROM events WHERE value IS NOT NULL),
+              cells AS (SELECT arm, post, count(*) AS n, avg(value) AS m,
+                          var_samp(value) AS s2
+                        FROM base GROUP BY 1, 2),
+              wide AS (SELECT
+                max(CASE WHEN arm = 'a' AND NOT post THEN n END) AS n_t_pre,
+                max(CASE WHEN arm = 'a' AND post THEN n END) AS n_t_post,
+                max(CASE WHEN arm = 'b' AND NOT post THEN n END) AS n_c_pre,
+                max(CASE WHEN arm = 'b' AND post THEN n END) AS n_c_post,
+                max(CASE WHEN arm = 'a' AND NOT post THEN m END) AS m_t_pre,
+                max(CASE WHEN arm = 'a' AND post THEN m END) AS m_t_post,
+                max(CASE WHEN arm = 'b' AND NOT post THEN m END) AS m_c_pre,
+                max(CASE WHEN arm = 'b' AND post THEN m END) AS m_c_post,
+                max(CASE WHEN arm = 'a' AND NOT post THEN s2 END) AS v_t_pre,
+                max(CASE WHEN arm = 'a' AND post THEN s2 END) AS v_t_post,
+                max(CASE WHEN arm = 'b' AND NOT post THEN s2 END) AS v_c_pre,
+                max(CASE WHEN arm = 'b' AND post THEN s2 END) AS v_c_post
+                FROM cells)
+         SELECT CAST(n_t_pre AS BIGINT) AS n_t_pre,
+                CAST(n_t_post AS BIGINT) AS n_t_post,
+                CAST(n_c_pre AS BIGINT) AS n_c_pre,
+                CAST(n_c_post AS BIGINT) AS n_c_post,
+                round(m_t_pre, 6) AS m_t_pre,
+                round(m_t_post, 6) AS m_t_post,
+                round(m_c_pre, 6) AS m_c_pre,
+                round(m_c_post, 6) AS m_c_post,
+                round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did,
+                round(sqrt(v_t_post / n_t_post + v_t_pre / n_t_pre
+                  + v_c_post / n_c_post + v_c_pre / n_c_pre), 6) AS did_se,
+                CASE WHEN round(sqrt(v_t_post / n_t_post + v_t_pre / n_t_pre
+                    + v_c_post / n_c_post + v_c_pre / n_c_pre), 6) > 0 THEN
+                  round(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
+                    / sqrt(v_t_post / n_t_post + v_t_pre / n_t_pre
+                      + v_c_post / n_c_post + v_c_pre / n_c_pre), 6) END
+                  AS t_stat
+         FROM wide""",
+    "q_shipping_priority" ->
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
+                  AS revenue
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1996-06-30'
+           AND l.l_shipdate > TIMESTAMP '1996-06-30'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l.l_orderkey ASC
+         LIMIT 10""",
     "q_ngram_pmi" ->
       """WITH tok AS (SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
                       FROM documents),

@@ -696,6 +696,66 @@ object Stats {
       .drop("__p", "__m", "__stat")
   }
 
+  /** Difference-in-differences (the 2×2 natural-experiment workhorse,
+    * textbook form per Card & Krueger AER'94): with a treated and a
+    * control arm each observed pre and post an intervention,
+    * DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_control,post − ȳ_control,pre)
+    * — the control arm's delta nets out the secular trend a naive
+    * pre/post comparison would book as treatment effect. Completes the
+    * experimentation battery next to [[welchTTest]] (no time structure)
+    * and [[cupedAdjusted]] (variance reduction). Returns ONE row: the
+    * four cell (n, mean), the DiD estimate, its unpooled standard error
+    * √(Σ s²ᵢⱼ/nᵢⱼ), and the t statistic. A cell with n < 2 leaves
+    * se/t null (variance undefined); an empty cell nulls the estimate —
+    * the correct answer for a broken assignment, not a crash.
+    *
+    * Scale shape: ONE (arm, post) hash aggregate (4 cells, map-side
+    * combined) + a 4-row pivot aggregate — nothing row-sized past the
+    * first pass. */
+  def diffInDiff(df: DataFrame, armCol: String, treatArm: String,
+                 controlArm: String, postCol: String,
+                 valCol: String): DataFrame = {
+    require(treatArm != controlArm, "treat and control arms must differ")
+    val v = col(valCol).cast("double")
+    val cells = df.filter(v.isNotNull &&
+        (col(armCol) === treatArm || col(armCol) === controlArm))
+      .groupBy(col(armCol), col(postCol).cast("boolean").as("__post"))
+      .agg(count(lit(1)).as("__n"), avg(v).as("__m"), var_samp(v).as("__s2"))
+    def pick(c: String, arm: String, post: Boolean) =
+      max(when(col(armCol) === arm && col("__post") === post, col(c)))
+    val wide = cells.agg(
+      pick("__n", treatArm, false).as("n_t_pre"),
+      pick("__n", treatArm, true).as("n_t_post"),
+      pick("__n", controlArm, false).as("n_c_pre"),
+      pick("__n", controlArm, true).as("n_c_post"),
+      pick("__m", treatArm, false).as("m_t_pre"),
+      pick("__m", treatArm, true).as("m_t_post"),
+      pick("__m", controlArm, false).as("m_c_pre"),
+      pick("__m", controlArm, true).as("m_c_post"),
+      pick("__s2", treatArm, false).as("__v_t_pre"),
+      pick("__s2", treatArm, true).as("__v_t_post"),
+      pick("__s2", controlArm, false).as("__v_c_pre"),
+      pick("__s2", controlArm, true).as("__v_c_post"))
+    val did = (col("m_t_post") - col("m_t_pre")) -
+      (col("m_c_post") - col("m_c_pre"))
+    val se = sqrt(col("__v_t_post") / col("n_t_post")
+      + col("__v_t_pre") / col("n_t_pre")
+      + col("__v_c_post") / col("n_c_post")
+      + col("__v_c_pre") / col("n_c_pre"))
+    wide
+      .withColumn("did", round(did, 6))
+      .withColumn("did_se", round(se, 6))
+      .withColumn("t_stat",
+        when(round(se, 6) > 0, round(did / se, 6)))
+      .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+        col("n_c_post"),
+        round(col("m_t_pre"), 6).as("m_t_pre"),
+        round(col("m_t_post"), 6).as("m_t_post"),
+        round(col("m_c_pre"), 6).as("m_c_pre"),
+        round(col("m_c_post"), 6).as("m_c_post"),
+        col("did"), col("did_se"), col("t_stat"))
+  }
+
   /** Split-conformal prediction radius per group (public: Vovk et al.
     * '05; Lei et al. JASA'18 "Distribution-Free Predictive Inference"):
     * from a CALIBRATION set of residuals, the radius

@@ -114,6 +114,37 @@ object TextAnalytics {
       .limit(k)
   }
 
+  /** N-gram novelty curve over ordered ingestion batches: for each
+    * batch, the share of its DISTINCT n-grams first seen in that batch
+    * (min-batch attribution). The freshness readout of a rolling crawl —
+    * a healthy feed decays slowly toward a plateau of genuinely new
+    * language; a collapsing curve means the crawl is re-reading itself
+    * and marginal data buys no new coverage (the data-age/repetition
+    * concern of Muennighoff et al. '23 at the n-gram grain). Returns
+    * (batch, n_distinct, n_novel, novelty_rate).
+    *
+    * Scale shape: wordcount-shaped throughout — distinct (batch, gram)
+    * pairs from one explode+distinct, a gram-grain min aggregate, one
+    * gram-keyed join back and a batch-grain aggregate; shuffle ∝
+    * distinct n-grams, never occurrences. The curve needs no ordering
+    * pass: "earlier" is the min() aggregate. */
+  def noveltyCurve(docs: DataFrame, batchCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    require(n >= 1, s"shingle width must be positive: $n")
+    val pairs = docs.select(col(batchCol).as("batch"),
+        explode(TextFunctions.shinglesOf(
+          TextFunctions.tokens(col(textCol)), n)).as("__g"))
+      .distinct()
+    val first = pairs.groupBy(col("__g")).agg(min(col("batch")).as("__first"))
+    pairs.join(first, Seq("__g"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("__first") === col("batch"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("batch"), col("n_distinct"), col("n_novel"),
+        round(col("n_novel") / col("n_distinct"), 6).as("novelty_rate"))
+  }
+
   /** Yule's characteristic K (public: Yule 1944, "The Statistical Study
     * of Literary Vocabulary"): K = 10⁴·(Σ_m m²·V_m − N)/N² over the
     * frequency spectrum (V_m = types occurring m times, N = tokens) —

@@ -445,4 +445,29 @@ class StatsSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Stats.conformalRadius(df, "grp", "resid", alpha = 0.0))
   }
+  test("diffInDiff: hand-checked 2x2, degenerate cells null out") {
+    // treat: pre {1,3} -> m=2, post {4,8} -> m=6 (delta 4)
+    // control: pre {2,4} -> m=3, post {3,7} -> m=5 (delta 2) => did = 2
+    // each cell var_samp = 2, 8, 2, 8; se = sqrt(8/2+2/2+8/2+2/2) = sqrt(10)
+    val df = Seq(
+      ("t", false, 1.0), ("t", false, 3.0), ("t", true, 4.0), ("t", true, 8.0),
+      ("c", false, 2.0), ("c", false, 4.0), ("c", true, 3.0), ("c", true, 7.0),
+      ("ignored", true, 99.0)).toDF("arm", "post", "v")
+    val r = Stats.diffInDiff(df, "arm", "t", "c", "post", "v").collect().head
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((0 to 3).map(r.getLong) === Seq(2L, 2L, 2L, 2L))
+    assert(Seq(4, 5, 6, 7).map(r.getDouble) === Seq(2.0, 6.0, 3.0, 5.0))
+    assert(r.getDouble(8) === 2.0)                  // did
+    assert(r.getDouble(9) === r6(math.sqrt(10.0)))  // se
+    assert(r.getDouble(10) === r6(2.0 / math.sqrt(10.0)))
+    // a single-row cell leaves se/t null, never NaN
+    val tiny = Seq(("t", false, 1.0), ("t", true, 2.0),
+      ("c", false, 1.0), ("c", true, 1.0)).toDF("arm", "post", "v")
+    val t2 = Stats.diffInDiff(tiny, "arm", "t", "c", "post", "v")
+      .collect().head
+    assert(t2.getDouble(8) === 1.0 && t2.isNullAt(9) && t2.isNullAt(10))
+    intercept[IllegalArgumentException](
+      Stats.diffInDiff(df, "arm", "t", "t", "post", "v"))
+  }
 }

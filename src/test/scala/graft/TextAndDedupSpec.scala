@@ -1158,4 +1158,17 @@ class TextAndDedupSpec extends SparkSuite {
     // all-distinct: s2 = N -> K = 0 exactly
     assert(out("div") === ((4L, 4L, 0.0)))
   }
+  test("noveltyCurve: min-batch attribution, batch-0 novelty is 1") {
+    // batch 0: grams {a b c}; batch 1 repeats "a b c" and adds "x y z"
+    val docs = Seq((0L, "a b c"), (1L, "a b c x"), (1L, "x y z"))
+      .toDF("batch", "text")
+    val out = TextAnalytics.noveltyCurve(docs, "batch", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) === ((1L, 1L, 1.0)))
+    // batch 1 distinct 3-grams: "a b c", "b c x", "x y z" -> 2 of 3 novel
+    assert(out(1L) === ((3L, 2L, 0.666667)))
+    intercept[IllegalArgumentException](
+      TextAnalytics.noveltyCurve(docs, "batch", "text", 0))
+  }
 }
