@@ -170,6 +170,108 @@ object Multimodal {
     spark.createDataFrame(rows, imageStatsSchema)
   }
 
+  /** Canonical-WAV parse: RIFF/WAVE container with a 16-byte PCM fmt
+    * chunk followed by a data chunk (the 44-byte layout every WAV writer
+    * emits for 16-bit PCM). Returns (channels, sample rate, 16-bit
+    * samples interleaved) or the parse error. Strict by design: float
+    * PCM, extensible fmt, or odd chunk layouts report errors rather
+    * than misread — the per-row error-capture contract. */
+  private[graft] def parseWav(bytes: Array[Byte])
+      : Either[String, (Int, Int, Array[Short])] = {
+    if (bytes == null || bytes.length < 44) return Left("too short for wav")
+    def str(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (str(0, 4) != "RIFF" || str(8, 4) != "WAVE") return Left("not riff/wave")
+    if (str(12, 4) != "fmt " || u32(16) != 16L) return Left("unsupported fmt chunk")
+    val audioFormat = u16(20)
+    val channels = u16(22)
+    val sampleRate = u32(24).toInt
+    val bitsPerSample = u16(34)
+    if (audioFormat != 1) return Left(s"not pcm: format $audioFormat")
+    if (bitsPerSample != 16) return Left(s"unsupported bits $bitsPerSample")
+    if (channels < 1 || channels > 8) return Left(s"bad channels $channels")
+    if (str(36, 4) != "data") return Left("missing data chunk")
+    val dataLen = u32(40)
+    if (dataLen % 2 != 0 || bytes.length - 44 < dataLen)
+      return Left(s"truncated: need $dataLen data bytes, have ${bytes.length - 44}")
+    val n = (dataLen / 2).toInt
+    val samples = new Array[Short](n)
+    var j = 0
+    while (j < n) {
+      samples(j) = ((bytes(44 + 2 * j) & 0xff) |
+        ((bytes(44 + 2 * j + 1) & 0xff) << 8)).toShort
+      j += 1
+    }
+    Right((channels, sampleRate, samples))
+  }
+
+  /** Output schema of [[decodeWavPcm]]: rms/zcr are 6dp-rounded; the
+    * underlying sums are exact integers. */
+  val audioStatsSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("duration_s", DoubleType, nullable = true),
+    StructField("rms", DoubleType, nullable = true),
+    StructField("peak", IntegerType, nullable = true),
+    StructField("zero_crossing_rate", DoubleType, nullable = true),
+    StructField("decode_error", StringType, nullable = true)))
+
+  /** REAL audio decode for canonical 16-bit PCM WAV payloads: header
+    * parse + per-asset loudness/activity features — RMS level, peak
+    * |amplitude|, zero-crossing rate (the cheap voiced/unvoiced and
+    * silence screens an audio intake runs before any model). All sums
+    * are exact integer arithmetic (Σs², crossing counts); the only
+    * floats are the final divisions + sqrt, 6dp-rounded. Parse failures
+    * become `decode_error` rows, never task failures — the same
+    * partition-batched boundary as [[decodePpm]]: swapping in a real
+    * codec (mp3/flac) changes one function, not the pipeline. */
+  def decodeWavPcm(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rows = assets.select(col("asset_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (payload == null)
+          Row(id, null, null, null, null, null, null, null, "null payload")
+        else parseWav(payload) match {
+          case Left(err) =>
+            Row(id, null, null, null, null, null, null, null, err)
+          case Right((ch, sr, samples)) =>
+            val n = samples.length
+            var ssq = 0L; var peak = 0; var crossings = 0L
+            var j = 0
+            while (j < n) {
+              val s = samples(j).toInt
+              ssq += s.toLong * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              // per-channel crossings: sign change vs the previous frame's
+              // sample on the same channel (0 counts as non-negative)
+              if (j >= ch && (s < 0) != (samples(j - ch).toInt < 0))
+                crossings += 1
+              j += 1
+            }
+            def r6(x: Double) = BigDecimal(x)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            val frames = n.toLong / ch
+            Row(id, ch, sr, frames,
+              r6(frames.toDouble / sr),
+              if (n > 0) r6(math.sqrt(ssq.toDouble / n)) else null,
+              peak,
+              if (n > ch) r6(crossings.toDouble / (n - ch)) else null,
+              null)
+        }
+      }
+    }
+    spark.createDataFrame(rows, audioStatsSchema)
+  }
+
   /** Output schema of [[resizePpm]]. */
   val resizedSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),

@@ -158,4 +158,49 @@ class MultimodalSpec extends SparkSuite {
     val b = Multimodal.stubDecode(assets).collect().head.getSeq[Float](1)
     assert(a === b)
   }
+  test("decodeWavPcm: square/constant/stereo hand-checks and error capture") {
+    def wav(ch: Int, sr: Int, samples: Seq[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(ch.toShort)
+      bb.putInt(sr); bb.putInt(sr * ch * 2)
+      bb.putShort((ch * 2).toShort); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      samples.foreach(s => bb.putShort(s))
+      bb.array()
+    }
+    val square = wav(1, 8000,
+      (0 until 8).map(i => (if (i % 2 == 0) 1000 else -1000).toShort))
+    val const = wav(1, 4000, Seq.fill(4)(500.toShort))
+    // stereo: L alternates sign every frame (3 crossings), R constant (0)
+    val stereo = wav(2, 8000, Seq[Short](800, 100, -800, 100, 800, 100, -800, 100))
+    val junk = "RIFFjunk".getBytes("US-ASCII")
+    val df = Seq((1L, square), (2L, const), (3L, stereo), (4L, junk))
+      .toDF("id", "bytes")
+    val out = Multimodal.decodeWavPcm(
+        Multimodal.toAssets(df, "id", "bytes"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // square wave: rms = 1000 exactly, every adjacent pair crosses
+    val sq = out(1L)
+    assert(sq.getInt(1) === 1 && sq.getInt(2) === 8000)
+    assert(sq.getLong(3) === 8L && sq.getDouble(4) === 0.001)
+    assert(sq.getDouble(5) === 1000.0 && sq.getInt(6) === 1000)
+    assert(sq.getDouble(7) === 1.0 && sq.isNullAt(8))
+    // constant positive signal: zero crossings
+    assert(out(2L).getDouble(5) === 500.0 &&
+      out(2L).getDouble(7) === 0.0)
+    // stereo: 4 frames, crossings counted per channel: L flips 3x of 6
+    // comparable samples -> zcr = 0.5; rms over ALL samples
+    val st = out(3L)
+    assert(st.getLong(3) === 4L && st.getDouble(7) === 0.5)
+    assert(st.getDouble(5) ===
+      BigDecimal(math.sqrt((4 * 800.0 * 800 + 4 * 100.0 * 100) / 8))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // malformed payload is a decode_error row, not a task failure
+    assert(!out(4L).isNullAt(8) && out(4L).isNullAt(5))
+  }
 }
