@@ -1068,6 +1068,17 @@ object SparkEntry {
     Similarity.centroidDrift(emb, "vec_id", "embedding", "label", "half")
   }
 
+  /** §2b two-sample embedding MMD ([[Similarity.mmdTest]], Gretton
+    * JMLR'12): linear + quadratic-kernel discrepancy between the
+    * even/odd id slices via moment identities — covariance-rotation
+    * drift that leaves means untouched shows in the quadratic term;
+    * the n² pair sum never materializes. */
+  private def q_mmd(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("half", (col("vec_id") % 2).cast("int"))
+    Similarity.mmdTest(emb, "vec_id", "embedding", "half")
+  }
+
   /** §2b ANN quality evaluation: recall@10 of IVF (nprobe=2 of 8 cells)
     * against exact brute force, for query vectors vec_id < 5. */
   private def q_ann_recall(s: SparkSession, d: String): DataFrame = {
@@ -1382,6 +1393,12 @@ object SparkEntry {
   private def q_seasonality(s: SparkSession, d: String): DataFrame =
     TimeSeries.seasonalIndex(Tables.events(s, d), "ts", "event_type")
       .withColumn("hour_of_day", col("hour_of_day").cast("long"))
+
+  /** §2b daily-count autocorrelation ([[TimeSeries.autocorrelation]]):
+    * ACF at lags 1..7 — the Box–Jenkins persistence/weekly-cycle readout
+    * before any forecast or anomaly model; day-grid work only. */
+  private def q_autocorr(s: SparkSession, d: String): DataFrame =
+    TimeSeries.autocorrelation(Tables.events(s, d), "ts", maxLag = 7)
 
   /** §2b Benford first-digit audit over order totals: observed vs
     * log10(1+1/d) shares + χ² contributions — the fabricated-data screen. */
@@ -3268,6 +3285,7 @@ object SparkEntry {
     "q_density_clusters" -> (q_density_clusters _),
     "q_watermark_detect" -> (q_watermark_detect _),
     "q_centroid_drift" -> (q_centroid_drift _),
+    "q_mmd" -> (q_mmd _),
     "q_ann_recall" -> (q_ann_recall _),
     "q_ivf_nprobe_sweep" -> (q_ivf_nprobe_sweep _),
     "q_ndcg" -> (q_ndcg _),
@@ -3293,6 +3311,7 @@ object SparkEntry {
     "q_survival" -> (q_survival _),
     "q_cusum" -> (q_cusum _),
     "q_seasonality" -> (q_seasonality _),
+    "q_autocorr" -> (q_autocorr _),
     "q_burstiness" -> (q_burstiness _),
     "q_theil_sen" -> (q_theil_sen _),
     "q_benford" -> (q_benford _),
@@ -6148,6 +6167,45 @@ object SparkEntry {
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, l.l_orderkey ASC
          LIMIT 10""",
+    "q_autocorr" ->
+      """WITH days AS (SELECT datediff('day', DATE '2024-01-01',
+                         CAST(ts AS DATE)) AS day,
+                         CAST(count(*) AS DOUBLE) AS n
+                       FROM events GROUP BY 1),
+              lagged AS (SELECT day, n, UNNEST(generate_series(1, 7)) AS lag
+                         FROM days),
+              pairs AS (SELECT a.lag, a.n AS x, b.n AS y
+                        FROM lagged a JOIN lagged b
+                          ON a.day = b.day - b.lag AND a.lag = b.lag)
+         SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                CASE WHEN var_samp(x) > 0 AND var_samp(y) > 0 THEN
+                  round(covar_samp(x, y)
+                    / sqrt(var_samp(x) * var_samp(y)), 6) END AS acf
+         FROM pairs GROUP BY 1""",
+    "q_mmd" ->
+      """WITH comp AS (SELECT vec_id, CAST(vec_id % 2 AS INTEGER) AS s, i,
+                         CAST(embedding[i] AS DOUBLE) AS x
+                       FROM embeddings,
+                         UNNEST(generate_series(1, len(embedding))) AS u(i)),
+              cnt AS (SELECT
+                        count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n_a,
+                        count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS n_b
+                      FROM embeddings),
+              means AS (SELECT i,
+                          avg(CASE WHEN s = 0 THEN x END) AS ma,
+                          avg(CASE WHEN s = 1 THEN x END) AS mb
+                        FROM comp GROUP BY 1),
+              lin AS (SELECT sum((ma - mb) * (ma - mb)) AS l FROM means),
+              mom AS (SELECT a.i AS i, b.i AS j,
+                        avg(CASE WHEN a.s = 0 THEN a.x * b.x END) AS qa,
+                        avg(CASE WHEN a.s = 1 THEN a.x * b.x END) AS qb
+                      FROM comp a JOIN comp b ON a.vec_id = b.vec_id
+                      GROUP BY 1, 2),
+              quad AS (SELECT sum(qa * qa) AS eaa, sum(qb * qb) AS ebb,
+                         sum(qa * qb) AS eab FROM mom)
+         SELECT n_a, n_b, round(l, 6) AS mmd2_linear,
+                round(eaa + ebb - 2.0 * eab, 6) AS mmd2_quad
+         FROM cnt, lin, quad""",
     "q_ngram_pmi" ->
       """WITH tok AS (SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
                       FROM documents),

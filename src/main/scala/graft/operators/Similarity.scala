@@ -418,6 +418,55 @@ object Similarity {
           .as("centroid_cos"))
   }
 
+  /** Two-sample Maximum Mean Discrepancy over embeddings (public:
+    * Gretton et al. JMLR'12), the kernel distribution test that catches
+    * what per-dimension monitors miss. Biased V-statistic estimators
+    * computed WITHOUT any pairwise join, via moment identities:
+    *  - linear kernel: MMD² = ‖μ_A − μ_B‖² (a mean-shift detector, the
+    *    quantitative sibling of [[centroidDrift]]'s cosine);
+    *  - quadratic kernel k(x,y) = (xᵀy)²: E_XY[k] = Σ_ij M^X_ij·M^Y_ij
+    *    with M = E[xxᵀ], so MMD² = ⟨M_A, M_A⟩ + ⟨M_B, M_B⟩ −
+    *    2⟨M_A, M_B⟩ — sensitive to COVARIANCE rotations that leave
+    *    every mean untouched.
+    * `sliceCol` is a 0/1 indicator ([[centroidDrift]]'s contract).
+    * Returns one row: (n_a, n_b, mmd2_linear, mmd2_quad).
+    *
+    * Scale shape: the linear term is a (dim)-cell aggregate; the
+    * quadratic term streams n·d² products into a d²-cell hash aggregate
+    * with map-side combine (the [[powerIterationPCA]] covariance shape —
+    * pair rows never materialize, and the n²-pair kernel sum never
+    * exists). */
+  def mmdTest(embeddings: DataFrame, idCol: String, vecCol: String,
+              sliceCol: String): DataFrame = {
+    val comp = embeddings.select(col(idCol).as("__vid"),
+        col(sliceCol).as("__s"),
+        posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .select(col("__vid"), col("__s"), col("__p").as("i"),
+        col("__x").cast("double").as("x"))
+    val counts = embeddings.groupBy()
+      .agg(count(when(col(sliceCol) === 0, lit(1))).as("n_a"),
+        count(when(col(sliceCol) === 1, lit(1))).as("n_b"))
+    val means = comp.groupBy(col("i"))
+      .agg(avg(when(col("__s") === 0, col("x"))).as("ma"),
+        avg(when(col("__s") === 1, col("x"))).as("mb"))
+    val lin = means.agg(
+      sum((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("__lin"))
+    val moments = comp.as("l")
+      .join(comp.as("r"), col("l.__vid") === col("r.__vid"))
+      .groupBy(col("l.i").as("i"), col("r.i").as("j"))
+      .agg(avg(when(col("l.__s") === 0, col("l.x") * col("r.x"))).as("qa"),
+        avg(when(col("l.__s") === 1, col("l.x") * col("r.x"))).as("qb"))
+    val quad = moments.agg(
+      sum(col("qa") * col("qa")).as("__eaa"),
+      sum(col("qb") * col("qb")).as("__ebb"),
+      sum(col("qa") * col("qb")).as("__eab"))
+    counts.crossJoin(broadcast(lin)).crossJoin(broadcast(quad))
+      .select(col("n_a"), col("n_b"),
+        round(col("__lin"), 6).as("mmd2_linear"),
+        round(col("__eaa") + col("__ebb") - lit(2.0) * col("__eab"), 6)
+          .as("mmd2_quad"))
+  }
+
   /** Multi-query exact top-k: every query row against every vector — the
     * ground-truth side of an ANN recall evaluation. O(nq·n) by design;
     * bound the query set, never the corpus. Ranking uses the 6dp-rounded

@@ -274,6 +274,41 @@ object TimeSeries {
       .withColumn("alarm", col("cusum") > col("threshold"))
   }
 
+  /** Autocorrelation function of the daily event count at lags
+    * 1..maxLag (the Box–Jenkins identification tool): per lag L, the
+    * Pearson correlation of (n_d, n_{d+L}) over the overlapping day
+    * pairs. THE seasonality/persistence readout before any forecasting
+    * or anomaly model: a weekly cycle prints as a ρ spike at lag 7, a
+    * trend as slow decay, white noise as ≈0 everywhere. ρ is composed
+    * cov/√(vx·vy) in the [[Graph.assortativity]] tree (null at zero
+    * variance, never ANSI-thrown); pairing uses an integer day index so
+    * the lag join is a plain equi-join, portable across engines.
+    *
+    * Scale shape: events collapse to the DAY GRID in one hash
+    * aggregate; everything after (lag explode, self-join, per-lag stats
+    * aggregate) is bounded by days × maxLag, never rows. */
+  def autocorrelation(events: DataFrame, tsCol: String,
+                      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60, s"maxLag must be in [1,60]: $maxLag")
+    val days = events
+      .groupBy(datediff(to_date(col(tsCol)), lit("2024-01-01").cast("date"))
+        .as("__day"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val lagged = days.select(col("__day"), col("__n"),
+      explode(sequence(lit(1), lit(maxLag))).as("lag"))
+    lagged
+      .join(lagged.select((col("__day") - col("lag")).as("__day"),
+        col("lag"), col("__n").as("__n_lag")), Seq("__day", "lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        covar_samp(col("__n"), col("__n_lag")).as("__cov"),
+        var_samp(col("__n")).as("__vx"), var_samp(col("__n_lag")).as("__vy"))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        when(col("__vx") > 0 && col("__vy") > 0,
+          round(col("__cov") / sqrt(col("__vx") * col("__vy")), 6))
+          .as("acf"))
+  }
+
   /** Hour-of-day multiplicative seasonal index per key (the classical
     * ratio-to-moving-average seasonality readout, reduced to the fixed
     * 24-slot diurnal cycle): for each key, index(h) = 24·n_h/N — how

@@ -769,4 +769,38 @@ class SimilaritySpec extends SparkSuite {
         cents.take(1))
     }
   }
+  test("mmdTest: identical slices give 0; mean shift moves linear term") {
+    // slices identical up to pairing -> both MMD terms exactly 0
+    val same = Seq(
+      (0L, Array(1.0f, 2.0f)), (1L, Array(1.0f, 2.0f)),
+      (2L, Array(3.0f, 0.0f)), (3L, Array(3.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+      .withColumn("half", (col("vec_id") % 2).cast("int"))
+    val r0 = Similarity.mmdTest(same, "vec_id", "embedding", "half")
+      .collect().head
+    assert(r0.getLong(0) === 2L && r0.getLong(1) === 2L)
+    assert(r0.getDouble(2) === 0.0 && r0.getDouble(3) === 0.0)
+    // shift slice B by (1, 0): linear MMD = 1; quadratic reacts too
+    val shifted = Seq(
+      (0L, Array(1.0f, 2.0f)), (1L, Array(2.0f, 2.0f)),
+      (2L, Array(3.0f, 0.0f)), (3L, Array(4.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+      .withColumn("half", (col("vec_id") % 2).cast("int"))
+    val r1 = Similarity.mmdTest(shifted, "vec_id", "embedding", "half")
+      .collect().head
+    assert(r1.getDouble(2) === 1.0, r1.toString)
+    assert(r1.getDouble(3) > 0.0)
+    // covariance-only difference: means equal, quadratic term fires
+    val rot = Seq(
+      (0L, Array(1.0f, 1.0f)), (2L, Array(-1.0f, -1.0f)),   // A: corr +1
+      (1L, Array(1.0f, -1.0f)), (3L, Array(-1.0f, 1.0f))    // B: corr -1
+    ).toDF("vec_id", "embedding")
+      .withColumn("half", (col("vec_id") % 2).cast("int"))
+    val r2 = Similarity.mmdTest(rot, "vec_id", "embedding", "half")
+      .collect().head
+    assert(r2.getDouble(2) === 0.0)      // identical (zero) means
+    // M_A = [[1,1],[1,1]], M_B = [[1,-1],[-1,1]]:
+    // <A,A> = <B,B> = 4, <A,B> = 0 -> MMD2 = 8
+    assert(r2.getDouble(3) === 8.0, r2.toString)
+  }
 }

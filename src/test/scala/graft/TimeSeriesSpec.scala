@@ -205,4 +205,25 @@ class TimeSeriesSpec extends SparkSuite {
       assert(math.abs(s - 24.0) < 1e-6, s"$k sums to $s")
     }
   }
+  test("autocorrelation: alternating series gives acf(1) = -1, acf(2) = 1") {
+    // daily counts 2,1,2,1,2,1 (via event multiplicity per day)
+    val ev = (0 until 6).flatMap { d =>
+      val n = if (d % 2 == 0) 2 else 1
+      (1 to n).map(_ => f"2024-01-${d + 1}%02d 12:00:00")
+    }.toDF("s").withColumn("ts", col("s").cast("timestamp"))
+    val out = TimeSeries.autocorrelation(ev, "ts", maxLag = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))))
+      .toMap
+    assert(out(1L)._1 === 5L && out(1L)._2 === -1.0)
+    assert(out(2L)._1 === 4L && out(2L)._2 === 1.0)
+    assert(out(3L)._2 === -1.0)
+    // constant series: zero variance -> null, never NaN
+    val const = (0 until 4).map(d => f"2024-02-${d + 1}%02d 12:00:00")
+      .toDF("s").withColumn("ts", col("s").cast("timestamp"))
+    assert(TimeSeries.autocorrelation(const, "ts", 1)
+      .collect().forall(_.isNullAt(2)))
+    intercept[IllegalArgumentException](
+      TimeSeries.autocorrelation(ev, "ts", 0))
+  }
 }
