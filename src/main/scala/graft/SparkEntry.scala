@@ -3192,6 +3192,31 @@ object SparkEntry {
       .withColumn("upload", lit("2026-08-13 00:00:00").cast("timestamp"))
   }
 
+  /** §2b one-way ANOVA F: does mean event value differ across the five
+    * event types? k-arm generalization of the Welch pair test, with η²
+    * effect size — one class aggregate + a k-row reduce. */
+  private def q_anova(s: SparkSession, d: String): DataFrame =
+    Stats.anovaF(Tables.events(s, d), "event_type", "value")
+
+  /** §2b Kruskal–Wallis H: the rank-based one-way ANOVA over the same
+    * five event-type populations — outlier/monotone-transform robust,
+    * ranks assigned per DISTINCT rounded value (never per row). */
+  private def q_kruskal_wallis(s: SparkSession, d: String): DataFrame =
+    Stats.kruskalWallis(Tables.events(s, d), "event_type", "value")
+
+  /** §2b Mantel–Haenszel pooled odds ratio: click-vs-view conversion
+    * (value > 50) stratified by market segment — the report-instead
+    * estimate when q_simpsons flags stratum confounding; crude OR
+    * emitted beside OR_MH so the confounding gap is the readout. */
+  private def q_mantel_haenszel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .join(Tables.customer(s, d), col("user_id") === col("c_custkey"))
+      .withColumn("converted", col("value") > lit(50.0))
+    Stats.mantelHaenszel(e, "c_mktsegment", "event_type", "click",
+      "converted")
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3467,6 +3492,9 @@ object SparkEntry {
     "q_kcenter" -> (q_kcenter _),
     "q_dsir_select" -> (q_dsir_select _),
     "q_mmr_rerank" -> (q_mmr_rerank _),
+    "q_anova" -> (q_anova _),
+    "q_kruskal_wallis" -> (q_kruskal_wallis _),
+    "q_mantel_haenszel" -> (q_mantel_haenszel _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -8477,5 +8505,100 @@ object SparkEntry {
                         FROM sc)
          SELECT doc_id, round(s, 6) AS score, sel_key
          FROM keyed ORDER BY sel_key DESC, doc_id ASC LIMIT 50""",
+    "q_anova" ->
+      """WITH s AS (SELECT event_type AS g, COUNT(*) AS cn, avg(value) AS m,
+                           var_samp(value) AS v
+                    FROM events
+                    WHERE event_type IS NOT NULL AND value IS NOT NULL
+                    GROUP BY 1),
+              r AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                           CAST(SUM(cn) AS BIGINT) AS n,
+                           SUM(cn * m) AS sx, SUM(cn * m * m) AS sxm,
+                           SUM(CASE WHEN cn > 1 THEN (cn - 1) * v
+                                    ELSE 0.0 END) AS ssw
+                    FROM s)
+         SELECT k, n,
+                round(sxm - sx * sx / n, 6) AS ss_between,
+                round(ssw, 6) AS ss_within,
+                round(CASE WHEN k > 1 AND n > k AND ssw > 0
+                  THEN ((sxm - sx * sx / n) / (k - 1)) / (ssw / (n - k))
+                  END, 6) AS f_stat,
+                round(CASE WHEN (sxm - sx * sx / n) + ssw > 0
+                  THEN (sxm - sx * sx / n) / ((sxm - sx * sx / n) + ssw)
+                  END, 6) AS eta_sq
+         FROM r""",
+    "q_kruskal_wallis" ->
+      """WITH vc AS (SELECT round(CAST(value AS DOUBLE), 6) AS s,
+                            event_type AS g, COUNT(*) AS c
+                     FROM events
+                     WHERE event_type IS NOT NULL AND value IS NOT NULL
+                     GROUP BY 1, 2),
+              pv AS (SELECT s, CAST(SUM(c) AS BIGINT) AS cv
+                     FROM vc GROUP BY 1),
+              grid AS (SELECT s, cv,
+                         CAST(COALESCE(SUM(cv) OVER (ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS DOUBLE)
+                           + CAST(cv + 1 AS DOUBLE) / 2.0 AS mid
+                       FROM pv),
+              pc AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng,
+                            SUM(CAST(c AS DOUBLE) * mid) AS r
+                     FROM vc JOIN grid USING (s) GROUP BY 1),
+              tt AS (SELECT CAST(SUM(cv * cv * cv - cv) AS BIGINT) AS t3
+                     FROM grid),
+              agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                             CAST(SUM(ng) AS BIGINT) AS n,
+                             SUM(r * r / CAST(ng AS DOUBLE)) AS rr
+                      FROM pc),
+              fin AS (SELECT k, n,
+                        12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+                          * rr - 3.0 * CAST(n + 1 AS DOUBLE) AS h,
+                        1.0 - CAST(t3 AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS corr_
+                      FROM agg CROSS JOIN tt)
+         SELECT k, n,
+                round(CASE WHEN k > 1 AND corr_ > 0
+                  THEN h / corr_ END, 6) AS h_stat,
+                round(CASE WHEN k > 1 AND corr_ > 0 AND n > k
+                  THEN (h / corr_ - k + 1) / CAST(n - k AS DOUBLE)
+                  END, 6) AS epsilon_sq
+         FROM fin""",
+    "q_mantel_haenszel" ->
+      """WITH j AS (SELECT c.c_mktsegment AS st,
+                           e.event_type = 'click' AS t,
+                           e.value > 50.0 AS y
+                    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+                    WHERE e.event_type IN ('click', 'view')
+                      AND e.value IS NOT NULL
+                      AND c.c_mktsegment IS NOT NULL),
+              cells AS (SELECT st,
+                          CAST(SUM(CASE WHEN t AND y THEN 1 ELSE 0 END)
+                            AS BIGINT) AS a,
+                          CAST(SUM(CASE WHEN t AND NOT y THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b,
+                          CAST(SUM(CASE WHEN NOT t AND y THEN 1 ELSE 0 END)
+                            AS BIGINT) AS c,
+                          CAST(SUM(CASE WHEN NOT t AND NOT y THEN 1 ELSE 0 END)
+                            AS BIGINT) AS d
+                        FROM j GROUP BY 1),
+              r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                           CAST(SUM(a) AS BIGINT) AS ta,
+                           CAST(SUM(b) AS BIGINT) AS tb,
+                           CAST(SUM(c) AS BIGINT) AS tc,
+                           CAST(SUM(d) AS BIGINT) AS td,
+                           SUM(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                             / CAST(a + b + c + d AS DOUBLE)) AS mh_num,
+                           SUM(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                             / CAST(a + b + c + d AS DOUBLE)) AS mh_den
+                    FROM cells)
+         SELECT n_strata,
+                round(CASE WHEN tb * tc > 0
+                  THEN (CAST(ta AS DOUBLE) * CAST(td AS DOUBLE))
+                    / (CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE)) END, 6)
+                  AS or_crude,
+                round(CASE WHEN mh_den > 0 THEN mh_num / mh_den END, 6)
+                  AS or_mh
+         FROM r""",
   )
 }

@@ -830,4 +830,155 @@ object Stats {
           round(col("__cov") / sqrt(col("__vx") * col("__vy")), 6))
           .as("spearman_rho"))
   }
+
+  /** One-way ANOVA F (Fisher 1925): does a metric's MEAN differ across
+    * k class populations? F = (SSB/(k−1)) / (SSW/(N−k)) with
+    * SSB = Σ n_g (m_g − m̄)² and SSW = Σ (n_g − 1) v_g — the k-arm
+    * generalization of [[welchTTest]] (two arms, k = 2, F = t²), the
+    * first readout when an experiment or a corpus slice has MORE than
+    * two populations and per-pair t-tests would need an FDR pass
+    * ([[bhAdjust]]) before meaning anything. η² = SSB/SST is emitted as
+    * the effect size (significance without magnitude is how tiny shifts
+    * on huge corpora get over-reported).
+    *
+    * Scale shape: ONE (class) hash aggregate (count/avg/var_samp, all
+    * map-side combined) + a k-row closing reduce — aggregates-only at
+    * any corpus size. Composed from the same avg/var_samp aggregates as
+    * [[welchTTest]] (the proven 6dp-stable battery). Classes with n < 2
+    * contribute zero within-variance rows; k < 2 classes or zero SSW
+    * yield null F (never NaN/∞). */
+  def anovaF(df: DataFrame, classCol: String, valCol: String,
+             roundScale: Int = 6): DataFrame = {
+    val perClass = df
+      .filter(col(classCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(classCol))
+      .agg(count(lit(1)).as("__n"), avg(col(valCol)).as("__m"),
+        var_samp(col(valCol)).as("__v"))
+    perClass
+      .agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
+        sum(col("__n") * col("__m")).as("__sx"),
+        sum(col("__n") * col("__m") * col("__m")).as("__sxm"),
+        sum(when(col("__n") > 1, (col("__n") - 1) * col("__v"))
+          .otherwise(lit(0.0))).as("__ssw"))
+      // SSB = Σ n_g m_g² − N m̄² with m̄ = Σ n_g m_g / N (König's form
+      // over the k-row reduce — no second pass over the data)
+      .withColumn("__ssb",
+        col("__sxm") - col("__sx") * col("__sx") / col("n"))
+      .select(col("k"), col("n"),
+        round(col("__ssb"), roundScale).as("ss_between"),
+        round(col("__ssw"), roundScale).as("ss_within"),
+        round(when(col("k") > 1 && col("n") > col("k") && col("__ssw") > 0,
+          (col("__ssb") / (col("k") - 1))
+            / (col("__ssw") / (col("n") - col("k")))), roundScale)
+          .as("f_stat"),
+        round(when(col("__ssb") + col("__ssw") > 0,
+          col("__ssb") / (col("__ssb") + col("__ssw"))), roundScale)
+          .as("eta_sq"))
+  }
+
+  /** Kruskal–Wallis H (JASA 1952): the rank-based one-way ANOVA — does
+    * a metric's DISTRIBUTION sit higher/lower across k classes, robust
+    * to outliers and any monotone transform (the k-class sibling of
+    * [[rocAuc]]'s Mann–Whitney core, exactly as [[spearman]] is the
+    * robust sibling of Pearson). H = 12/(N(N+1)) Σ R_g²/n_g − 3(N+1)
+    * over tie-averaged midranks, divided by the standard tie correction
+    * C = 1 − Σ(t³−t)/(N³−N).
+    *
+    * Scale shape: ranks are NEVER assigned per row — scores collapse to
+    * per-(rounded value, class) counts first (ONE hash aggregate, the
+    * [[rocAuc]] trick), midranks come from one cumulative window over
+    * the bounded DISTINCT-VALUE grid, and rank sums are a k-row
+    * aggregate. Midranks are exact half-integers and every sum is
+    * integer/half-integer arithmetic until the closing divisions, so
+    * the statistic is engine-portable. All-tied inputs (C = 0) and
+    * k < 2 yield null. */
+  def kruskalWallis(df: DataFrame, classCol: String, valCol: String,
+                    roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = df
+      .filter(col(classCol).isNotNull && col(valCol).isNotNull)
+      .select(round(col(valCol).cast("double"), roundScale).as("__s"),
+        col(classCol).as("__g"))
+      .groupBy(col("__s"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val perValue = vc.groupBy(col("__s")).agg(sum(col("__c")).as("__cv"))
+    val below = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mid = coalesce(sum(col("__cv")).over(below), lit(0L))
+      .cast("double") + (col("__cv") + 1).cast("double") / 2.0
+    val grid = perValue.select(col("__s"), col("__cv"),
+      mid.as("__mid"))
+    val perClass = vc.join(grid, Seq("__s"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__c").cast("double") * col("__mid")).as("__r"))
+    val ties = grid
+      .agg(sum(col("__cv") * col("__cv") * col("__cv") - col("__cv"))
+        .as("__t3"))
+    perClass
+      .agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
+        sum(col("__r") * col("__r") / col("__n").cast("double"))
+          .as("__rr"))
+      .crossJoin(ties)
+      .withColumn("__h",
+        lit(12.0) / (col("n").cast("double") * (col("n") + 1).cast("double"))
+          * col("__rr") - lit(3.0) * (col("n") + 1).cast("double"))
+      .withColumn("__corr",
+        lit(1.0) - col("__t3").cast("double")
+          / (col("n").cast("double") * col("n").cast("double")
+            * col("n").cast("double") - col("n").cast("double")))
+      .select(col("k"), col("n"),
+        round(when(col("k") > 1 && col("__corr") > 0,
+          col("__h") / col("__corr")), roundScale).as("h_stat"),
+        round(when(col("k") > 1 && col("__corr") > 0 && col("n") > col("k"),
+          (col("__h") / col("__corr") - col("k") + 1)
+            / (col("n") - col("k")).cast("double")), roundScale)
+          .as("epsilon_sq"))
+  }
+
+  /** Cochran–Mantel–Haenszel pooled odds ratio (Mantel & Haenszel JNCI
+    * 1959): the stratified 2×2 estimate OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ)
+    * — what you report INSTEAD of the crude pooled odds ratio when
+    * [[simpsonsCheck]] flags confounding: each stratum contributes its
+    * own 2×2 table, so a stratum-correlated exposure can no longer
+    * manufacture (or hide) an association. Emitted beside the crude OR
+    * so the confounding magnitude is the readout (crude ≈ MH ⇒ the
+    * strata didn't matter; crude ≫/≪ MH ⇒ the pooled table was lying).
+    *
+    * Scale shape: ONE (stratum) hash aggregate of four conditional
+    * counts + a #strata-row closing reduce; input never shuffles again.
+    * All cell counts are exact integers; the per-stratum aᵢdᵢ/nᵢ terms
+    * are the first float ops. Strata with n = 0 cannot occur (they have
+    * no rows); a zero MH denominator yields null. */
+  def mantelHaenszel(df: DataFrame, strataCol: String, armCol: String,
+                     treatArm: String, outcomeCol: String,
+                     roundScale: Int = 6): DataFrame = {
+    val t = col(armCol) === treatArm
+    val y = col(outcomeCol).cast("boolean")
+    val cells = df
+      .filter(col(strataCol).isNotNull && col(armCol).isNotNull &&
+        y.isNotNull)
+      .groupBy(col(strataCol))
+      .agg(sum(when(t && y, 1L).otherwise(0L)).as("__a"),
+        sum(when(t && !y, 1L).otherwise(0L)).as("__b"),
+        sum(when(!t && y, 1L).otherwise(0L)).as("__c"),
+        sum(when(!t && !y, 1L).otherwise(0L)).as("__d"))
+    val n = (col("__a") + col("__b") + col("__c") + col("__d"))
+      .cast("double")
+    cells
+      .agg(count(lit(1)).as("n_strata"),
+        sum(col("__a")).as("__ta"), sum(col("__b")).as("__tb"),
+        sum(col("__c")).as("__tc"), sum(col("__d")).as("__td"),
+        sum(col("__a").cast("double") * col("__d").cast("double") / n)
+          .as("__mhNum"),
+        sum(col("__b").cast("double") * col("__c").cast("double") / n)
+          .as("__mhDen"))
+      .select(col("n_strata"),
+        round(when(col("__tb") * col("__tc") > 0,
+          (col("__ta").cast("double") * col("__td").cast("double"))
+            / (col("__tb").cast("double") * col("__tc").cast("double"))),
+          roundScale).as("or_crude"),
+        round(when(col("__mhDen") > 0, col("__mhNum") / col("__mhDen")),
+          roundScale).as("or_mh"))
+  }
 }

@@ -470,4 +470,66 @@ class StatsSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Stats.diffInDiff(df, "arm", "t", "t", "post", "v"))
   }
+
+  test("anovaF: hand-checked three-class example; degenerate inputs null") {
+    // A=[1,2,3] B=[2,3,4] C=[6,7,8]: means 2,3,7, grand mean 4
+    // SSB = 3·4 + 3·1 + 3·9 = 42 ; SSW = 2+2+2 = 6
+    // F = (42/2)/(6/6) = 21 ; η² = 42/48 = 0.875
+    val df = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0,
+      "b" -> 2.0, "b" -> 3.0, "b" -> 4.0,
+      "c" -> 6.0, "c" -> 7.0, "c" -> 8.0).toDF("cls", "v")
+    val r = Stats.anovaF(df, "cls", "v").collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 9L)
+    assert(r.getDouble(2) === 42.0 && r.getDouble(3) === 6.0)
+    assert(r.getDouble(4) === 21.0 && r.getDouble(5) === 0.875)
+    // two arms: F = t² of the equal-variance t — sanity on k=2
+    val two = df.filter(col("cls") =!= "c")
+    val r2 = Stats.anovaF(two, "cls", "v").collect().head
+    // SSB = 3·(2−2.5)² + 3·(3−2.5)² = 1.5 ; SSW = 4 ; F = 1.5/(4/4) = 1.5
+    assert(r2.getDouble(4) === 1.5)
+    // single class → null F; zero within-variance → null F
+    val one = Seq("a" -> 1.0, "a" -> 2.0).toDF("cls", "v")
+    assert(Stats.anovaF(one, "cls", "v").collect().head.isNullAt(4))
+    val flat = Seq("a" -> 1.0, "a" -> 1.0, "b" -> 2.0, "b" -> 2.0)
+      .toDF("cls", "v")
+    assert(Stats.anovaF(flat, "cls", "v").collect().head.isNullAt(4))
+  }
+
+  test("kruskalWallis: tie-free and tied hand examples; all-tied null") {
+    // A=[1,2,3] B=[4,5,6]: R_A=6, R_B=15
+    // H = 12/42·(12+75) − 21 = 174/7 − 21 = 27/7 ≈ 3.857143
+    val df = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0,
+      "b" -> 4.0, "b" -> 5.0, "b" -> 6.0).toDF("cls", "v")
+    val r = Stats.kruskalWallis(df, "cls", "v").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 6L)
+    assert(math.abs(r.getDouble(2) - 27.0 / 7.0) < 1e-6, r.toString)
+    // ties: A=[1,1] B=[2,2]: midranks 1.5,1.5,3.5,3.5 → R_A=3, R_B=7
+    // H_raw = 12/20·(4.5+24.5) − 15 = 17.4 − 15 = 2.4
+    // C = 1 − (6+6)/(64−4) = 0.8 → H = 3.0
+    val tied = Seq("a" -> 1.0, "a" -> 1.0, "b" -> 2.0, "b" -> 2.0)
+      .toDF("cls", "v")
+    val rt = Stats.kruskalWallis(tied, "cls", "v").collect().head
+    assert(rt.getDouble(2) === 3.0, rt.toString)
+    // every value identical → tie correction 0 → null H
+    val all = Seq("a" -> 5.0, "b" -> 5.0, "b" -> 5.0).toDF("cls", "v")
+    assert(Stats.kruskalWallis(all, "cls", "v").collect().head.isNullAt(2))
+  }
+
+  test("mantelHaenszel: stratum-confounded crude OR corrected to 4.0") {
+    // two strata, each with within-stratum OR = 4, but treatment
+    // correlates with the high-base-rate stratum → crude OR = 9
+    def rows(st: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((st, "t", true)) ++ Seq.fill(b)((st, "t", false)) ++
+        Seq.fill(c)((st, "c", true)) ++ Seq.fill(d)((st, "c", false))
+    val df = (rows("s1", 8, 2, 1, 1) ++ rows("s2", 1, 1, 2, 8))
+      .toDF("st", "arm", "y")
+    val r = Stats.mantelHaenszel(df, "st", "arm", "t", "y").collect().head
+    assert(r.getLong(0) === 2L)
+    assert(r.getDouble(1) === 9.0, "crude OR")
+    assert(r.getDouble(2) === 4.0, "MH OR")
+    // zero MH denominator (no discordant cells) → null
+    val deg = Seq(("s1", "t", true), ("s1", "c", true)).toDF("st", "arm", "y")
+    val rd = Stats.mantelHaenszel(deg, "st", "arm", "t", "y").collect().head
+    assert(rd.isNullAt(2))
+  }
 }
