@@ -3217,6 +3217,27 @@ object SparkEntry {
       "converted")
   }
 
+  /** §2b RFM segmentation: recency/frequency/monetary per user, scored
+    * 1..5 against broadcast population quantile cuts — map-side scoring,
+    * no global sort; the campaign-tooling cell code included. */
+  private def q_rfm(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.rfm(Tables.events(s, d), "user_id", "ts", "value")
+
+  /** §2b inter-arrival cadence fingerprint: per-user count/mean/median/
+    * max of consecutive-event second-gaps — the organic-vs-scripted
+    * traffic screen beside q_burstiness's daily dispersion. */
+  private def q_inter_arrival(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.interArrivalStats(Tables.events(s, d), "user_id",
+      "ts", "event_id")
+
+  /** §2b Markov stationary distribution (4 unrolled power-iteration
+    * rounds): where the event mix settles under today's transition
+    * dynamics, beside each type's raw empirical share — the
+    * accumulating-vs-draining readout per type. */
+  private def q_stationary_dist(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.stationaryDistribution(Tables.events(s, d), "user_id",
+      "ts", "event_id", "event_type", iters = 4)
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3495,6 +3516,9 @@ object SparkEntry {
     "q_anova" -> (q_anova _),
     "q_kruskal_wallis" -> (q_kruskal_wallis _),
     "q_mantel_haenszel" -> (q_mantel_haenszel _),
+    "q_rfm" -> (q_rfm _),
+    "q_inter_arrival" -> (q_inter_arrival _),
+    "q_stationary_dist" -> (q_stationary_dist _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -8600,5 +8624,100 @@ object SparkEntry {
                 round(CASE WHEN mh_den > 0 THEN mh_num / mh_den END, 6)
                   AS or_mh
          FROM r""",
+    "q_rfm" ->
+      """WITH pu AS (SELECT user_id, max(date_trunc('day', ts)) AS last_d,
+                            COUNT(*) AS frequency,
+                            round(SUM(value), 6) AS monetary
+                     FROM events GROUP BY 1),
+              anc AS (SELECT max(last_d) AS anchor FROM pu),
+              wr AS (SELECT user_id, frequency, monetary,
+                            CAST(date_diff('day', last_d, anchor) AS BIGINT)
+                              AS recency_days
+                     FROM pu CROSS JOIN anc),
+              cuts AS (SELECT
+                round(quantile_cont(recency_days, 0.2), 6) AS r20,
+                round(quantile_cont(recency_days, 0.4), 6) AS r40,
+                round(quantile_cont(recency_days, 0.6), 6) AS r60,
+                round(quantile_cont(recency_days, 0.8), 6) AS r80,
+                round(quantile_cont(frequency, 0.2), 6) AS f20,
+                round(quantile_cont(frequency, 0.4), 6) AS f40,
+                round(quantile_cont(frequency, 0.6), 6) AS f60,
+                round(quantile_cont(frequency, 0.8), 6) AS f80,
+                round(quantile_cont(monetary, 0.2), 6) AS m20,
+                round(quantile_cont(monetary, 0.4), 6) AS m40,
+                round(quantile_cont(monetary, 0.6), 6) AS m60,
+                round(quantile_cont(monetary, 0.8), 6) AS m80
+                FROM wr),
+              sc AS (SELECT user_id, recency_days, frequency, monetary,
+                       1 + (CASE WHEN recency_days < r80 THEN 1 ELSE 0 END)
+                         + (CASE WHEN recency_days < r60 THEN 1 ELSE 0 END)
+                         + (CASE WHEN recency_days < r40 THEN 1 ELSE 0 END)
+                         + (CASE WHEN recency_days < r20 THEN 1 ELSE 0 END)
+                         AS r_score,
+                       1 + (CASE WHEN frequency > f20 THEN 1 ELSE 0 END)
+                         + (CASE WHEN frequency > f40 THEN 1 ELSE 0 END)
+                         + (CASE WHEN frequency > f60 THEN 1 ELSE 0 END)
+                         + (CASE WHEN frequency > f80 THEN 1 ELSE 0 END)
+                         AS f_score,
+                       1 + (CASE WHEN monetary > m20 THEN 1 ELSE 0 END)
+                         + (CASE WHEN monetary > m40 THEN 1 ELSE 0 END)
+                         + (CASE WHEN monetary > m60 THEN 1 ELSE 0 END)
+                         + (CASE WHEN monetary > m80 THEN 1 ELSE 0 END)
+                         AS m_score
+                     FROM wr CROSS JOIN cuts)
+         SELECT user_id, recency_days, frequency, monetary,
+                r_score, f_score, m_score,
+                CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                  || CAST(m_score AS VARCHAR) AS rfm_code
+         FROM sc""",
+    "q_inter_arrival" ->
+      """WITH g AS (SELECT user_id,
+                           epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id)
+                             AS gap_us
+                    FROM events)
+         SELECT user_id, COUNT(*) AS n_gaps,
+                avg(gap_us) / 1000000.0 AS mean_gap_s,
+                quantile_cont(gap_us, 0.5) / 1000000.0 AS median_gap_s,
+                CAST(max(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
+         FROM g WHERE gap_us IS NOT NULL GROUP BY 1""",
+    "q_stationary_dist" ->
+      """WITH tc AS (SELECT prev_type, event_type AS dst, COUNT(*) AS n
+                     FROM (SELECT event_type,
+                             LAG(event_type, 1) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+                           FROM events)
+                     WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+              states AS (SELECT DISTINCT prev_type AS s FROM tc
+                         UNION SELECT DISTINCT dst FROM tc),
+              tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS t
+                      FROM tc GROUP BY 1),
+              p AS (SELECT tc.prev_type AS src, tc.dst,
+                           CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p
+                    FROM tc JOIN tot USING (prev_type)
+                    UNION ALL
+                    SELECT s, s, 1.0 FROM states
+                    WHERE s NOT IN (SELECT prev_type FROM tot)),
+              kk AS (SELECT COUNT(*) AS kn FROM states),
+              v0 AS (SELECT s, 1.0 / kn AS v FROM states CROSS JOIN kk),
+              v1 AS (SELECT dst AS s, SUM(v * p) AS v FROM v0
+                     JOIN p ON v0.s = p.src GROUP BY 1),
+              v2 AS (SELECT dst AS s, SUM(v * p) AS v FROM v1
+                     JOIN p ON v1.s = p.src GROUP BY 1),
+              v3 AS (SELECT dst AS s, SUM(v * p) AS v FROM v2
+                     JOIN p ON v2.s = p.src GROUP BY 1),
+              v4 AS (SELECT dst AS s, SUM(v * p) AS v FROM v3
+                     JOIN p ON v3.s = p.src GROUP BY 1),
+              sh AS (SELECT event_type AS s, COUNT(*) AS n
+                     FROM events GROUP BY 1),
+              t2 AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM sh),
+              va AS (SELECT states.s, COALESCE(v4.v, 0.0) AS v
+                     FROM states LEFT JOIN v4 USING (s))
+         SELECT va.s AS event_type, round(va.v, 6) AS pi,
+                round(CAST(sh.n AS DOUBLE) / CAST(t2.t AS DOUBLE), 6)
+                  AS empirical_share,
+                round(va.v - CAST(sh.n AS DOUBLE) / CAST(t2.t AS DOUBLE), 6)
+                  AS pi_minus_share
+         FROM va LEFT JOIN sh USING (s) CROSS JOIN t2""",
   )
 }

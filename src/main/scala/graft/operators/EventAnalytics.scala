@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -292,5 +292,175 @@ object EventAnalytics {
         round((col("n_ab").cast("double") / col("__n"))
           / ((col("n_a").cast("double") / col("__n"))
             * (col("n_b").cast("double") / col("__n"))), 6).as("lift"))
+  }
+
+  /** RFM segmentation (Hughes '94, the classic direct-marketing triad):
+    * per user, Recency = days since their last event relative to the
+    * corpus's newest day, Frequency = event count, Monetary = value sum —
+    * each scored 1..5 against the POPULATION's quantile thresholds
+    * (score 5 = most recent / most frequent / biggest spender), plus the
+    * concatenated "RFM cell" code the campaign tooling keys on.
+    *
+    * Scores are QUANTILE-THRESHOLD scores, not equal-count ntiles: the
+    * four exact 20/40/60/80% cuts of each metric are computed once
+    * (1-row aggregate), broadcast, and every user is scored MAP-SIDE by
+    * three threshold-comparison sums — no global sort, no unpartitioned
+    * window, any user count. Ties sitting exactly on a cut share the
+    * lower score (deterministic both engines; thresholds are 6dp-rounded
+    * before comparison so interpolation ulps can't flip a boundary).
+    *
+    * Scale shape: one (user) hash aggregate + one 1-row quantile
+    * aggregate broadcast back — the anchor day is part of the same 1-row
+    * frame (corpus max), so nothing shuffles twice. */
+  def rfm(events: DataFrame, userCol: String, tsCol: String,
+          valCol: String, roundScale: Int = 6): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(max(date_trunc("day", col(tsCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        round(sum(col(valCol)), roundScale).as("monetary"))
+    val anchor = perUser.agg(max(col("__last")).as("__anchor"))
+    val withRec = perUser.crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("__anchor"), col("__last")).cast("long"))
+    val cuts = withRec.agg(
+      round(expr("percentile(recency_days, 0.2)"), roundScale).as("__r20"),
+      round(expr("percentile(recency_days, 0.4)"), roundScale).as("__r40"),
+      round(expr("percentile(recency_days, 0.6)"), roundScale).as("__r60"),
+      round(expr("percentile(recency_days, 0.8)"), roundScale).as("__r80"),
+      round(expr("percentile(frequency, 0.2)"), roundScale).as("__f20"),
+      round(expr("percentile(frequency, 0.4)"), roundScale).as("__f40"),
+      round(expr("percentile(frequency, 0.6)"), roundScale).as("__f60"),
+      round(expr("percentile(frequency, 0.8)"), roundScale).as("__f80"),
+      round(expr("percentile(monetary, 0.2)"), roundScale).as("__m20"),
+      round(expr("percentile(monetary, 0.4)"), roundScale).as("__m40"),
+      round(expr("percentile(monetary, 0.6)"), roundScale).as("__m60"),
+      round(expr("percentile(monetary, 0.8)"), roundScale).as("__m80"))
+    def up(c: Column, t: String*) : Column =
+      t.map(q => when(c > col(q), 1).otherwise(0)).reduce(_ + _) + 1
+    def down(c: Column, t: String*) : Column =
+      t.map(q => when(c < col(q), 1).otherwise(0)).reduce(_ + _) + 1
+    withRec.crossJoin(broadcast(cuts))
+      .withColumn("r_score",
+        down(col("recency_days").cast("double"),
+          "__r80", "__r60", "__r40", "__r20"))
+      .withColumn("f_score",
+        up(col("frequency").cast("double"),
+          "__f20", "__f40", "__f60", "__f80"))
+      .withColumn("m_score",
+        up(col("monetary"), "__m20", "__m40", "__m60", "__m80"))
+      .select(col(userCol), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score"))
+          .as("rfm_code"))
+  }
+
+  /** Per-user inter-arrival gap statistics: count, mean, median and max
+    * of the second-gaps between consecutive events in each user's
+    * (ts, tiebreak)-ordered stream — the cadence fingerprint that
+    * separates organic users (heavy-tailed gaps) from schedulers and
+    * replayed traffic (near-constant gaps), the per-entity complement of
+    * [[Stats.burstiness]]'s daily-count dispersion.
+    *
+    * Scale shape: one per-user lag window (each user's series is
+    * individually bounded — the analysis unit) + ONE (user) hash
+    * aggregate. The exact per-user median buffers only that user's gaps,
+    * the same bounded-group contract as the window. Gaps are exact
+    * micro-second longs divided by 10⁶ once; users with a single event
+    * have no gaps and are dropped (join the output back against the
+    * user list if their absence is itself the signal). */
+  def interArrivalStats(events: DataFrame, userCol: String, tsCol: String,
+                        tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    events
+      .select(col(userCol),
+        (unix_micros(col(tsCol))
+          - lag(unix_micros(col(tsCol)), 1).over(w)).as("__gapUs"))
+      .filter(col("__gapUs").isNotNull)
+      .groupBy(col(userCol))
+      // aggregate on the exact micro-second LONGS and divide by 10⁶
+      // LAST: integer sums/midpoints are exact in doubles, so the one
+      // closing division is correctly rounded — dividing per row first
+      // makes the median interpolate on dividing-error doubles, which
+      // flipped a 6dp boundary in practice
+      // NOTHING here is rounded, deliberately: every statistic is an
+      // exact-integer-derived double (integer sums/midpoints of micros,
+      // then one or two IEEE divisions — bit-identical cross-engine),
+      // while ROUNDING is not: micro means/medians routinely terminate
+      // at a .xxxxxx5 shortest rep, exactly where Spark's
+      // decimal-string HALF_UP and a binary-value round disagree (both
+      // the mean and the median hit that boundary on the harness data)
+      .agg(count(lit(1)).as("n_gaps"),
+        (avg(col("__gapUs")) / 1000000.0).as("mean_gap_s"),
+        (expr("percentile(__gapUs, 0.5)") / 1000000.0)
+          .as("median_gap_s"),
+        (max(col("__gapUs")).cast("double") / 1000000.0)
+          .as("max_gap_s"))
+  }
+
+  /** Stationary distribution of the empirical first-order Markov chain
+    * (power iteration, `iters` UNROLLED rounds from the uniform vector):
+    * where the event process settles if today's transition behavior
+    * holds — emitted beside each type's raw EMPIRICAL share, so the
+    * readout is the gap between "where traffic is" and "where the
+    * dynamics push it" (a type whose π exceeds its current share is
+    * accumulating). The chain is the row-normalized
+    * [[transitionCounts]] matrix.
+    *
+    * States with no outgoing transitions (possible in a window-sliced
+    * feed whose last events are all one type) keep their mass via an
+    * implicit self-loop — the standard absorbing-state convention, and
+    * the choice that preserves Σπ = 1 exactly.
+    *
+    * Scale shape: the corpus is touched exactly twice (the transition
+    * window+aggregate, and the share aggregate); every iteration after
+    * that joins k-row vectors with the k²-row matrix — bounded by the
+    * type vocabulary, never the event count. Fixed iteration count, no
+    * convergence test (the deterministic-plan contract shared with
+    * pageRank/hits). */
+  def stationaryDistribution(events: DataFrame, userCol: String,
+                             tsCol: String, tieCol: String, typeCol: String,
+                             iters: Int = 8,
+                             roundScale: Int = 6): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val tc = transitionCounts(events, userCol, tsCol, tieCol, typeCol)
+      .withColumnRenamed(typeCol, "__dst")
+    val states = tc.select(col("prev_type").as("__s"))
+      .union(tc.select(col("__dst").as("__s"))).distinct()
+    val outTot = tc.groupBy(col("prev_type"))
+      .agg(sum(col("n_transitions")).as("__tot"))
+    val pReal = tc.join(outTot, Seq("prev_type"))
+      .select(col("prev_type").as("__src"), col("__dst"),
+        (col("n_transitions").cast("double")
+          / col("__tot").cast("double")).as("__p"))
+    // absorbing states (no out-edges) hold their mass: self-loop p = 1
+    val pSelf = states.join(outTot,
+        states("__s") === outTot("prev_type"), "left_anti")
+      .select(col("__s").as("__src"), col("__s").as("__dst"),
+        lit(1.0).as("__p"))
+    val p = pReal.unionByName(pSelf)
+    val k = states.count()
+    var v = states.select(col("__s"), (lit(1.0) / k).as("__v"))
+    for (_ <- 1 to iters) {
+      v = v.join(p, v("__s") === p("__src"))
+        .groupBy(col("__dst"))
+        .agg(sum(col("__v") * col("__p")).as("__v"))
+        .withColumnRenamed("__dst", "__s")
+    }
+    // re-anchor on the full state set: a state whose mass hit exact 0
+    // produces no aggregate row, but its π = 0 IS the readout
+    val vAll = states.join(v, Seq("__s"), "left")
+      .select(col("__s"), coalesce(col("__v"), lit(0.0)).as("__v"))
+    val shares = events.groupBy(col(typeCol).as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    val total = shares.agg(sum(col("__n")).as("__t"))
+    vAll.join(shares.crossJoin(broadcast(total))
+        .select(col("__s"), (col("__n").cast("double")
+          / col("__t").cast("double")).as("__emp")), Seq("__s"), "left")
+      .select(col("__s").as(typeCol),
+        round(col("__v"), roundScale).as("pi"),
+        round(col("__emp"), roundScale).as("empirical_share"),
+        round(col("__v") - col("__emp"), roundScale).as("pi_minus_share"))
   }
 }

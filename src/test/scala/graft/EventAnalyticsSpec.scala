@@ -171,4 +171,86 @@ class EventAnalyticsSpec extends SparkSuite {
     // c→b: conf 1, lift (1/3)/((1/3)(2/3)) = 1.5
     assert(out(("c", "b")) === ((1L, 2L, 1L, r6(1.0 / 3), 1.0, 1.5)))
   }
+
+  test("rfm: quantile-threshold scores, anchor from corpus max day") {
+    // five users, one event each except u5 (3 events, biggest spend,
+    // most recent); recency in whole days from the newest day
+    def d(day: Int, min: Int) =
+      Timestamp.valueOf(f"2024-02-$day%02d 10:$min%02d:00")
+    val ev = Seq(
+      (1L, d(1, 0), 10.0), (2L, d(2, 0), 20.0), (3L, d(3, 0), 30.0),
+      (4L, d(4, 0), 40.0),
+      (5L, d(5, 0), 25.0), (5L, d(5, 30), 25.0), (5L, d(5, 45), 25.0)
+    ).toDF("user_id", "ts", "value")
+    val out = EventAnalytics.rfm(ev, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 5)
+    // recency: u1=4 days … u5=0 days; u5 most recent+frequent+top spend
+    assert(out(1L).getLong(1) === 4L && out(5L).getLong(1) === 0L)
+    assert(out(5L).getLong(2) === 3L && out(5L).getDouble(3) === 75.0)
+    assert(out(5L).getInt(4) === 5 && out(5L).getInt(5) === 5 &&
+      out(5L).getInt(6) === 5 && out(5L).getString(7) === "555")
+    // u1: least recent (score 1), tied-low frequency, lowest monetary
+    assert(out(1L).getInt(4) === 1 && out(1L).getInt(6) === 1 &&
+      out(1L).getString(7) === "111")
+    // frequency ties (u1-u4 all 1 event) share the low score bucket
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_).getInt(5) === 1))
+    // scores stay within 1..5
+    assert(out.values.forall(r =>
+      (4 to 6).forall(i => r.getInt(i) >= 1 && r.getInt(i) <= 5)))
+  }
+
+  test("interArrivalStats: exact second gaps; single-event users dropped") {
+    def t(sec: Int) = Timestamp.valueOf(
+      f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d")
+    val ev = Seq(
+      (1L, t(0), 1L), (1L, t(10), 2L), (1L, t(40), 3L), (1L, t(100), 4L),
+      (2L, t(5), 5L),
+      (3L, t(0), 6L), (3L, t(7), 7L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = EventAnalytics.interArrivalStats(ev, "user_id", "ts", "event_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // u1 gaps: 10,30,60 → mean 100/3 (composed exactly as the engine
+    // does: micro mean first, ÷10⁶ second), median 30, max 60
+    assert(out(1L).getLong(1) === 3L)
+    assert(out(1L).getDouble(2) === (100000000.0 / 3.0) / 1000000.0)
+    assert(out(1L).getDouble(3) === 30.0 && out(1L).getDouble(4) === 60.0)
+    // u3: one gap of 7s → all stats 7
+    assert(out(3L).getDouble(2) === 7.0 && out(3L).getDouble(3) === 7.0)
+    // u2 has a single event → no gaps → absent
+    assert(!out.contains(2L))
+    // tie order: same-ts events ordered by event_id
+    val tie = Seq((9L, t(0), 2L), (9L, t(0), 1L), (9L, t(5), 3L))
+      .toDF("user_id", "ts", "event_id")
+    val tr = EventAnalytics.interArrivalStats(tie, "user_id", "ts", "event_id")
+      .collect().head
+    assert(tr.getLong(1) === 2L && tr.getDouble(4) === 5.0) // gaps 0,5
+  }
+
+  test("stationaryDistribution: two-state chain converges to exact pi") {
+    // chain: a→b always, b→a 1/2, b→b 1/2 → π = (1/3, 2/3)
+    // build per-user streams that realize those transition counts:
+    // u1: a b b a b ; u2: a b a b b  → counts: a→b 4, b→a 2, b→b 2
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val ev = Seq(
+      (1L, t(1), 1L, "a"), (1L, t(2), 2L, "b"), (1L, t(3), 3L, "b"),
+      (1L, t(4), 4L, "a"), (1L, t(5), 5L, "b"),
+      (2L, t(1), 6L, "a"), (2L, t(2), 7L, "b"), (2L, t(3), 8L, "a"),
+      (2L, t(4), 9L, "b"), (2L, t(5), 10L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.stationaryDistribution(ev, "user_id", "ts",
+        "event_id", "event_type", iters = 40)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("a") - 1.0 / 3) < 1e-6, out.toString)
+    assert(math.abs(out("b") - 2.0 / 3) < 1e-6, out.toString)
+
+    // absorbing state keeps its mass via the implicit self-loop:
+    // a→b, b has no outgoing edge → all mass ends on b
+    val abs = Seq((1L, t(1), 1L, "a"), (1L, t(2), 2L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val pa = EventAnalytics.stationaryDistribution(abs, "user_id", "ts",
+        "event_id", "event_type", iters = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pa("b") === 1.0 && pa("a") === 0.0, pa.toString)
+  }
 }
