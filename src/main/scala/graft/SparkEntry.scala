@@ -3238,6 +3238,35 @@ object SparkEntry {
     EventAnalytics.stationaryDistribution(Tables.events(s, d), "user_id",
       "ts", "event_id", "event_type", iters = 4)
 
+  /** §2b k-truss edge backbone: hash-thinned co-purchase graph peeled
+    * until every surviving edge closes ≥ 2 triangles within the
+    * survivor set (k = 4) — the edge-level community core one rung
+    * above q_kcore, with each edge's final within-truss support. */
+  private def q_ktruss(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pp = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey")
+        && col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+      .distinct()
+      .filter(Corpus.hashUnit(concat(col("x").cast("string"), lit(":"),
+        col("y").cast("string")), "ktruss") < 0.12)
+    Graph.kTruss(pp.select(col("x").as("src"), col("y").as("dst")), k = 4)
+  }
+
+  /** §2b Jaccard link prediction: size-normalized common-neighbor score
+    * for non-adjacent pairs of the near-dup shingle graph — the
+    * adamicAdar sibling where sharing MOST of a small neighborhood
+    * outranks sharing a sliver of two hubs. */
+  private def q_jaccard_link(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 120)
+    val pairs = Dedup.jaccardPairsFrom(
+      Dedup.shingleSets(docs, "doc_id", "text"), "doc_id", 0.02).cache()
+    Graph.jaccardLinkPrediction(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      topN = 20)
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3519,6 +3548,8 @@ object SparkEntry {
     "q_rfm" -> (q_rfm _),
     "q_inter_arrival" -> (q_inter_arrival _),
     "q_stationary_dist" -> (q_stationary_dist _),
+    "q_ktruss" -> (q_ktruss _),
+    "q_jaccard_link" -> (q_jaccard_link _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -4109,6 +4140,46 @@ object SparkEntry {
   /** Generated decayed-popularity oracle: the same 2⁻²⁰-snapped decay
     * weight literals as [[operators.TimeSeries.decayWeights]] as a
     * DOUBLE[] literal indexed by the month bucket. */
+  /** Generated q_ktruss oracle: `rounds` UNROLLED idempotent peel
+    * rounds over the hash-thinned co-purchase graph (convergence
+    * measured at ≤ 4 rounds on every SF; extra rounds are no-ops, the
+    * q_kcore idempotence pattern). Each round = the 3-way triangle
+    * self-join + per-edge support aggregate + the ≥ k−2 filter,
+    * MATERIALIZED so DuckDB doesn't re-derive shared CTEs. */
+  private def ktrussOracleSql(rounds: Int, k: Int, thin: Double): String = {
+    val head =
+      s"""WITH pp AS MATERIALIZED (
+                 SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+                 FROM lineitem a JOIN lineitem b
+                   ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey),
+              e0 AS MATERIALIZED (
+                 SELECT x AS a, y AS b FROM pp
+                 WHERE CAST(('0x' || substring(md5('ktruss:'
+                     || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)),
+                     1, 8)) AS BIGINT) / 4294967296.0 < $thin)"""
+    val body = (1 to rounds).map { i =>
+      val p = i - 1
+      s""",
+              t$i AS MATERIALIZED (
+                 SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                 FROM e$p e1 JOIN e$p e2 ON e1.a = e2.a AND e1.b < e2.b
+                 JOIN e$p e3 ON e3.a = e1.b AND e3.b = e2.b),
+              s$i AS MATERIALIZED (
+                 SELECT a, b, COUNT(*) AS support FROM (
+                   SELECT x AS a, y AS b FROM t$i
+                   UNION ALL SELECT x AS a, z AS b FROM t$i
+                   UNION ALL SELECT y AS a, z AS b FROM t$i)
+                 GROUP BY 1, 2),
+              e$i AS MATERIALIZED (
+                 SELECT s.a, s.b FROM s$i s WHERE s.support >= ${k - 2})"""
+    }.mkString
+    head + body +
+      s"""
+         SELECT s.a AS src, s.b AS dst, s.support
+         FROM s$rounds s WHERE s.support >= ${k - 2}"""
+  }
+
   private def decayedTopkOracleSql(halfLife: Double, k: Int,
                                    maxBuckets: Int): String = {
     val ws = operators.TimeSeries.decayWeights(maxBuckets, halfLife)
@@ -8719,5 +8790,50 @@ object SparkEntry {
                 round(va.v - CAST(sh.n AS DOUBLE) / CAST(t2.t AS DOUBLE), 6)
                   AS pi_minus_share
          FROM va LEFT JOIN sh USING (s) CROSS JOIN t2""",
+    "q_ktruss" -> ktrussOracleSql(rounds = 6, k = 4, thin = 0.12),
+    "q_jaccard_link" ->
+      """WITH tok AS (SELECT doc_id,
+                        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                             ELSE string_split_regex(trim(text), '\s+') END AS t
+                      FROM documents WHERE doc_id < 120),
+              sh AS (SELECT DISTINCT doc_id,
+                            array_to_string(t[i:i+2], ' ') AS token
+                     FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                               count(*) AS n_common
+                        FROM sh a JOIN sh b
+                          ON a.token = b.token AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              pairs AS (SELECT i.id_a, i.id_b
+                        FROM inter i
+                        JOIN sizes sa ON i.id_a = sa.doc_id
+                        JOIN sizes sb ON i.id_b = sb.doc_id
+                        WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.02),
+              canon AS (SELECT id_a AS a, id_b AS b FROM pairs),
+              deg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg
+                      FROM (SELECT a AS id FROM canon
+                            UNION ALL SELECT b AS id FROM canon)
+                      GROUP BY 1),
+              adj AS (SELECT a AS w, b AS u FROM canon
+                      UNION ALL SELECT b AS w, a AS u FROM canon),
+              cand AS (SELECT n1.u AS u, n2.u AS v, count(*) AS n_common
+                       FROM adj n1
+                       JOIN deg d ON n1.w = d.id AND d.dg <= 1000
+                       JOIN adj n2 ON n1.w = n2.w AND n1.u < n2.u
+                       GROUP BY 1, 2),
+              scored AS (SELECT cand.u, cand.v, cand.n_common,
+                           round(CAST(cand.n_common AS DOUBLE)
+                             / CAST(du.dg + dv.dg - cand.n_common AS DOUBLE),
+                             6) AS jaccard_score
+                         FROM cand
+                         JOIN deg du ON cand.u = du.id
+                         JOIN deg dv ON cand.v = dv.id)
+         SELECT u AS src, v AS dst, n_common, jaccard_score
+         FROM scored
+         WHERE NOT EXISTS (SELECT 1 FROM canon c
+                           WHERE c.a = scored.u AND c.b = scored.v)
+         ORDER BY jaccard_score DESC, src ASC, dst ASC
+         LIMIT 20""",
   )
 }

@@ -562,4 +562,117 @@ object Graph {
           round(lit(2L) * coalesce(col("triangles"), lit(0L))
             / (col("degree") * (col("degree") - lit(1L))), 6)).as("lcc"))
   }
+
+  /** Triangle list (x, y, z) of the canonical `(a < b)` edge set via the
+    * degree-oriented wedge join — each triangle exactly once. Shared by
+    * [[triangleCount]]-style aggregates and the [[kTruss]] peel. The
+    * caller owns caching of the oriented DAG via the returned pair. */
+  private def triangleListOf(canonAb: DataFrame): (DataFrame, DataFrame) = {
+    val o = orientedEdges(canonAb
+      .select(col("a").as("src"), col("b").as("dst")))
+    val tris = wedgesOf(o).join(o.as("e3"),
+      col("y") === col("e3.u") && col("z") === col("e3.v"), "left_semi")
+    (o, tris)
+  }
+
+  /** k-truss (Cohen NSA TR'08): the maximal subgraph in which every
+    * edge closes at least k−2 triangles WITHIN the subgraph — the
+    * edge-level community backbone one rung above [[kCore]] (a k-truss
+    * edge needs k−2 common neighbors that themselves survive, so
+    * bridge/spam edges that k-core keeps are peeled). Returns the
+    * surviving canonical edges with their final within-truss support.
+    *
+    * Same data-dependent fixpoint contract as [[kCoreRun]]: peel rounds
+    * continue until the edge count stabilizes (1-row monotone count per
+    * round) or `maxIter` caps — the cap returns the partially-peeled
+    * set, exactly like kCore's documented behavior. Each round is the
+    * oriented wedge join (O(|E|^1.5), hub-proof per triangleCount's
+    * Suri–Vassilvitskii orientation) + one support aggregate + one
+    * equi-join filter, with localCheckpoint truncating lineage between
+    * rounds. Support recomputation happens on the ALREADY-PEELED set,
+    * so each round's work shrinks with the graph. */
+  def kTruss(edges: DataFrame, k: Int, maxIter: Int = 20): DataFrame = {
+    require(k >= 3, s"k must be >= 3: $k")
+    require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
+    var canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .localCheckpoint()
+    var result = canon.withColumn("support", lit(0L)).limit(0)
+    var prev = -1L
+    var n = canon.count()
+    var i = 0
+    while (prev != n && i < maxIter) {
+      prev = n
+      val (o, tris) = triangleListOf(canon)
+      o.cache()
+      val supp = tris
+        .select(explode(array(
+          struct(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b")),
+          struct(least(col("x"), col("z")).as("a"),
+            greatest(col("x"), col("z")).as("b")),
+          struct(least(col("y"), col("z")).as("a"),
+            greatest(col("y"), col("z")).as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      // inner join: a zero-triangle edge has no support row and k ≥ 3
+      // requires support ≥ 1, so dropping it IS the filter
+      val filtered = canon.join(supp, Seq("a", "b"))
+        .filter(col("support") >= k - 2)
+        .localCheckpoint()
+      o.unpersist()
+      result = filtered
+      canon = filtered.select(col("a"), col("b"))
+      n = filtered.count()
+      i += 1
+    }
+    result.select(col("a").as("src"), col("b").as("dst"), col("support"))
+  }
+
+  /** Jaccard-coefficient link prediction (Liben-Nowell & Kleinberg
+    * CIKM'03 battery): for NON-adjacent pairs, |Γ(u)∩Γ(v)| over
+    * |Γ(u)∪Γ(v)| — the size-normalized sibling of [[adamicAdar]] (AA
+    * rewards rare shared neighbors; Jaccard asks what FRACTION of the
+    * combined neighborhoods is shared, so two low-degree nodes sharing
+    * most of their world outrank two hubs sharing a sliver). Top-N by
+    * (score, src, dst) — the same "duplicates the threshold missed"
+    * review-queue contract.
+    *
+    * Scale shape: identical to adamicAdar — common neighbors via the
+    * center-keyed wedge join with the `maxDeg` hub cap bounding Σdeg²
+    * (capped CENTERS only thin the common-neighbor evidence through
+    * hubs; endpoint degrees in the union stay exact), one (u,v)
+    * aggregate, two degree joins, anti-join vs adjacency, TakeOrdered.
+    * The score is an exact integer ratio — one division, 6dp. */
+  def jaccardLinkPrediction(edges: DataFrame, topN: Int,
+                            maxDeg: Long = 1000L): DataFrame = {
+    require(topN > 0 && maxDeg >= 2, s"need topN > 0, maxDeg >= 2: $topN/$maxDeg")
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(col("a").as("__id"))
+      .unionAll(canon.select(col("b").as("__id")))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__deg"))
+    val both = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+      .toDF("w", "u")
+    val centers = deg.filter(col("__deg") <= maxDeg)
+      .select(col("__id").as("w"))
+    both.join(centers, Seq("w"))
+      .join(both.toDF("w", "v"), Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(deg.select(col("__id").as("u"), col("__deg").as("__du")), Seq("u"))
+      .join(deg.select(col("__id").as("v"), col("__deg").as("__dv")), Seq("v"))
+      .join(canon, col("u") === col("a") && col("v") === col("b"), "left_anti")
+      .select(col("u").as("src"), col("v").as("dst"), col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("__du") + col("__dv") - col("n_common")).cast("double"), 6)
+          .as("jaccard_score"))
+      .orderBy(col("jaccard_score").desc, col("src").asc, col("dst").asc)
+      .limit(topN)
+  }
 }

@@ -278,4 +278,49 @@ class GraphSpec extends SparkSuite {
         (if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
     assert(p === Map(1L -> -1.0, 2L -> 0.0, 3L -> -1.0))
   }
+
+  test("kTruss: clique survives with exact supports, appendix peels off") {
+    // 4-clique {1,2,3,4} + pendant triangle {3,4,5}: at k=4 the clique
+    // edges each close exactly 2 within-truss triangles; 5's edges close
+    // 1 and peel in round one — which also drops (3,4)'s support 3 → 2
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (clique ++ Seq((3L, 5L), (4L, 5L))).toDF("src", "dst")
+    val out = Graph.kTruss(edges, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet === clique.toSet)
+    assert(out.values.forall(_ === 2L), out.toString)
+    // cascade: a triangle strip's interior edges have support 2 but lose
+    // it once the boundary peels — the truss empties over TWO rounds
+    val strip = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L)).toDF("src", "dst")
+    assert(Graph.kTruss(strip, k = 4).count() === 0L)
+    // k=3 keeps every triangle edge of the strip
+    assert(Graph.kTruss(strip, k = 3).count() === 7L)
+    // direction/duplicate tolerance: reversed + repeated edges canonize
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 1L), (2L, 3L), (1L, 4L),
+      (2L, 4L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    assert(Graph.kTruss(messy, k = 4).count() === 6L)
+    intercept[IllegalArgumentException](Graph.kTruss(strip, k = 2))
+  }
+
+  test("jaccardLinkPrediction: exact ratios, adjacency excluded, hub cap") {
+    // square 1-2-3-4-1: the two diagonals share BOTH neighbors → 1.0
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val out = Graph.jaccardLinkPrediction(sq, topN = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out === Map((1L, 3L) -> ((2L, 1.0)), (2L, 4L) -> ((2L, 1.0))))
+    // path 1-2-3-4: (1,3) share {2} of union {2}∪{2,4} → 1/2;
+    // (2,4) share {3} of {1,3}∪{3} → 1/2; (1,4) share none → absent
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val po = Graph.jaccardLinkPrediction(path, topN = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(po === Map((1L, 3L) -> 0.5, (2L, 4L) -> 0.5))
+    // hub cap: a degree-3 star center above maxDeg contributes no
+    // common-neighbor evidence → no candidates at all
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("src", "dst")
+    assert(Graph.jaccardLinkPrediction(star, topN = 10, maxDeg = 2)
+      .count() === 0L)
+    assert(Graph.jaccardLinkPrediction(star, topN = 10).count() === 3L)
+  }
 }
