@@ -3267,6 +3267,20 @@ object SparkEntry {
       topN = 20)
   }
 
+  /** §2b cross-correlation lead/lag scan: click vs purchase daily
+    * counts at every lead/lag in [−7, +7] — does click activity LEAD
+    * purchases, and by how many days (argmax lag)? */
+  private def q_ccf(s: SparkSession, d: String): DataFrame =
+    TimeSeries.crossCorrelation(Tables.events(s, d), "ts", "event_type",
+      typeA = "click", typeB = "purchase", maxLag = 7)
+
+  /** §2b seasonal-naive forecast baseline: MAE of yesterday-predicts-
+    * today vs last-week-predicts-today over the zero-filled daily
+    * series + their MASE-style ratio — the is-there-weekly-structure
+    * readout every forecast must beat. */
+  private def q_seasonal_naive(s: SparkSession, d: String): DataFrame =
+    TimeSeries.seasonalNaiveEval(Tables.events(s, d), "ts", period = 7)
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3550,6 +3564,8 @@ object SparkEntry {
     "q_stationary_dist" -> (q_stationary_dist _),
     "q_ktruss" -> (q_ktruss _),
     "q_jaccard_link" -> (q_jaccard_link _),
+    "q_ccf" -> (q_ccf _),
+    "q_seasonal_naive" -> (q_seasonal_naive _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -8835,5 +8851,56 @@ object SparkEntry {
                            WHERE c.a = scored.u AND c.b = scored.v)
          ORDER BY jaccard_score DESC, src ASC, dst ASC
          LIMIT 20""",
+    "q_ccf" ->
+      """WITH da AS (SELECT datediff('day', DATE '2024-01-01',
+                              CAST(ts AS DATE)) AS day,
+                            CAST(count(*) AS DOUBLE) AS n
+                     FROM events WHERE event_type = 'click' GROUP BY 1),
+              db AS (SELECT datediff('day', DATE '2024-01-01',
+                              CAST(ts AS DATE)) AS day,
+                            CAST(count(*) AS DOUBLE) AS n
+                     FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              lagged AS (SELECT day, n,
+                           UNNEST(generate_series(-7, 7)) AS lag
+                         FROM da),
+              pairs AS (SELECT a.lag, a.n AS x, b.n AS y
+                        FROM lagged a JOIN db b ON b.day = a.day + a.lag)
+         SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                CASE WHEN var_samp(x) > 0 AND var_samp(y) > 0 THEN
+                  round(covar_samp(x, y)
+                    / sqrt(var_samp(x) * var_samp(y)), 6) END AS ccf
+         FROM pairs GROUP BY 1""",
+    "q_seasonal_naive" ->
+      """WITH days AS (SELECT datediff('day', DATE '2024-01-01',
+                                CAST(ts AS DATE)) AS day,
+                              count(*) AS n
+                       FROM events GROUP BY 1),
+              span AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+              grid AS (SELECT g.day, COALESCE(d.n, 0) AS y
+                       FROM (SELECT UNNEST(generate_series(lo, hi)) AS day
+                             FROM span) g
+                       LEFT JOIN days d USING (day)),
+              e AS (SELECT y,
+                      abs(y - LAG(y, 1) OVER (ORDER BY day)) AS e1,
+                      abs(y - LAG(y, 7) OVER (ORDER BY day)) AS eS
+                    FROM grid),
+              agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                             CAST(COUNT(e1) AS BIGINT) AS n1,
+                             CAST(SUM(e1) AS BIGINT) AS s1,
+                             CAST(COUNT(eS) AS BIGINT) AS nS,
+                             CAST(SUM(eS) AS BIGINT) AS sS
+                      FROM e)
+         SELECT n_days,
+                round(CASE WHEN n1 > 0
+                  THEN CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) END, 6)
+                  AS naive_mae,
+                round(CASE WHEN nS > 0
+                  THEN CAST(sS AS DOUBLE) / CAST(nS AS DOUBLE) END, 6)
+                  AS seasonal_mae,
+                round(CASE WHEN n1 > 0 AND nS > 0 AND s1 > 0
+                  THEN (CAST(sS AS DOUBLE) / CAST(nS AS DOUBLE))
+                     / (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) END, 6)
+                  AS mase_ratio
+         FROM agg""",
   )
 }

@@ -341,4 +341,93 @@ object TimeSeries {
         round(lit(24.0) * coalesce(col("n"), lit(0L)) / col("__tot"), 6)
           .as("seasonal_index"))
   }
+
+  /** Cross-correlation function (Box & Jenkins '70 ch. 11): Pearson
+    * correlation between TYPE A's and TYPE B's daily counts at every
+    * lead/lag in [−maxLag, maxLag] — does one event stream LEAD the
+    * other (marketing clicks today → purchases in two days), and by how
+    * many days? `lag > 0` means A(t) is compared against B(t + lag),
+    * i.e. A leads B by `lag` days; the lag-0 row is the plain
+    * contemporaneous correlation and the argmax row is the lead-time
+    * estimate. The two-series sibling of [[autocorrelation]], sharing
+    * its contract exactly: pairs are formed over OBSERVED days (a day
+    * with no events on a side is absent, not zero — resample with a
+    * zero-filled grid first if silence should count, as
+    * [[seasonalNaiveEval]] does).
+    *
+    * Scale shape: two day-grain hash aggregates collapse the corpus;
+    * everything after is bounded by days × (2·maxLag+1) — the
+    * calendar-bounded join + one per-lag stats aggregate. Degenerate
+    * lags (< 2 pairs or zero variance) yield null, never NaN. */
+  def crossCorrelation(events: DataFrame, tsCol: String, typeCol: String,
+                       typeA: String, typeB: String,
+                       maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60, s"maxLag must be in [1,60]: $maxLag")
+    def daily(t: String) = events.filter(col(typeCol) === t)
+      .groupBy(datediff(to_date(col(tsCol)), lit("2024-01-01").cast("date"))
+        .as("__day"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val a = daily(typeA).select(col("__day"), col("__n").as("__na"),
+      explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+    val b = daily(typeB)
+    a.join(b.select(col("__day").as("__dayB"), col("__n").as("__nb")),
+        col("__dayB") === col("__day") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        covar_samp(col("__na"), col("__nb")).as("__cov"),
+        var_samp(col("__na")).as("__vx"), var_samp(col("__nb")).as("__vy"))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        when(col("__vx") > 0 && col("__vy") > 0,
+          round(col("__cov") / sqrt(col("__vx") * col("__vy")), 6))
+          .as("ccf"))
+  }
+
+  /** Seasonal-naive forecast evaluation (the MASE denominator family,
+    * Hyndman & Koehler IJF'06): over the ZERO-FILLED daily total count
+    * series, the in-sample MAE of the naive forecast (ŷ_t = y_{t−1})
+    * and of the seasonal-naive forecast (ŷ_t = y_{t−period}), plus
+    * their ratio — the scale-free baseline every fancier forecast must
+    * beat, and by itself the cleanest "is there real weekly structure"
+    * readout (ratio < 1 ⟺ last-week beats yesterday as a predictor).
+    * Unlike the correlation family this FILLS silent days with zero:
+    * a forecast line has to predict quiet days too.
+    *
+    * Scale shape: one day-grain hash aggregate collapses the corpus;
+    * the zero-filled grid comes from a 1-row min/max aggregate +
+    * `sequence` explode; the two lag comparisons run over the
+    * calendar-bounded grid (the cusumDaily window contract). Absolute
+    * errors are exact integers; the MAEs and ratio are the only
+    * divisions, 6dp-rounded. Needs > `period` days of span; otherwise
+    * the seasonal MAE (and ratio) are null. */
+  def seasonalNaiveEval(events: DataFrame, tsCol: String,
+                        period: Int = 7): DataFrame = {
+    require(period >= 2 && period <= 366, s"period must be in [2,366]: $period")
+    val daily = events
+      .groupBy(datediff(to_date(col(tsCol)), lit("2024-01-01").cast("date"))
+        .as("__day"))
+      .agg(count(lit(1)).as("__n"))
+    val span = daily.agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
+    val grid = span
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("__day"))
+      .join(daily, Seq("__day"), "left")
+      .select(col("__day"), coalesce(col("__n"), lit(0L)).as("__y"))
+    val w = Window.orderBy(col("__day"))
+    val errs = grid.select(col("__y"),
+      abs(col("__y") - lag(col("__y"), 1).over(w)).as("__e1"),
+      abs(col("__y") - lag(col("__y"), period).over(w)).as("__eS"))
+    errs.agg(count(lit(1)).as("n_days"),
+        count(col("__e1")).as("__n1"), sum(col("__e1")).as("__s1"),
+        count(col("__eS")).as("__nS"), sum(col("__eS")).as("__sS"))
+      .select(col("n_days"),
+        round(when(col("__n1") > 0,
+          col("__s1").cast("double") / col("__n1").cast("double")), 6)
+          .as("naive_mae"),
+        round(when(col("__nS") > 0,
+          col("__sS").cast("double") / col("__nS").cast("double")), 6)
+          .as("seasonal_mae"),
+        round(when(col("__n1") > 0 && col("__nS") > 0 && col("__s1") > 0,
+          (col("__sS").cast("double") / col("__nS").cast("double"))
+            / (col("__s1").cast("double") / col("__n1").cast("double"))), 6)
+          .as("mase_ratio"))
+  }
 }

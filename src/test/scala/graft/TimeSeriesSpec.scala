@@ -226,4 +226,50 @@ class TimeSeriesSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       TimeSeries.autocorrelation(ev, "ts", 0))
   }
+
+  test("crossCorrelation: a shifted copy peaks at its lead lag") {
+    // type b's daily counts are type a's shifted +2 days: perfect
+    // correlation at lag = +2 (a leads b by two days)
+    def day(d: Int, n: Int, t: String) = Seq.tabulate(n)(i =>
+      (ts(f"2024-01-${d + 1}%02d 10:${i}%02d:00"), t))
+    val ev = (day(0, 1, "a") ++ day(1, 2, "a") ++ day(2, 3, "a") ++
+      day(3, 5, "a") ++
+      day(2, 1, "b") ++ day(3, 2, "b") ++ day(4, 3, "b") ++ day(5, 5, "b"))
+      .toDF("ts", "event_type")
+    val out = TimeSeries.crossCorrelation(ev, "ts", "event_type",
+        "a", "b", maxLag = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+      .toMap
+    assert(out(2L)._1 === 4L && out(2L)._2 === 1.0, out.toString)
+    // lags with < 2 matched days produce no row or few pairs; the
+    // degenerate single-pair lag yields null ccf
+    assert(!out.contains(-3L) || out(-3L)._1 < 2 || !out(-3L)._2.isNaN)
+    intercept[IllegalArgumentException](
+      TimeSeries.crossCorrelation(ev, "ts", "event_type", "a", "b", 0))
+  }
+
+  test("seasonalNaiveEval: zero-filled grid, exact MAEs, period guard") {
+    // days 0..5 with day 4 SILENT: y = [1,2,1,2,0,2]
+    // naive errors  |Δ1| = 1,1,1,2,2 → MAE 1.4
+    // period-2 errors |Δ2| = 0,0,1,0 → MAE 0.25 ; ratio 0.25/1.4
+    def day(d: Int, n: Int) = Seq.tabulate(n)(i =>
+      Tuple1(ts(f"2024-01-${d + 1}%02d 10:${i}%02d:00")))
+    val ev = (day(0, 1) ++ day(1, 2) ++ day(2, 1) ++ day(3, 2) ++ day(5, 2))
+      .toDF("ts")
+    val r = TimeSeries.seasonalNaiveEval(ev, "ts", period = 2)
+      .collect().head
+    assert(r.getLong(0) === 6L)
+    assert(r.getDouble(1) === 1.4)
+    assert(r.getDouble(2) === 0.25)
+    assert(r.getDouble(3) === BigDecimal(0.25 / 1.4)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // span shorter than the period → null seasonal MAE and ratio
+    val short = (day(0, 1) ++ day(1, 2)).toDF("ts")
+    val sr = TimeSeries.seasonalNaiveEval(short, "ts", period = 7)
+      .collect().head
+    assert(sr.isNullAt(2) && sr.isNullAt(3))
+    intercept[IllegalArgumentException](
+      TimeSeries.seasonalNaiveEval(ev, "ts", period = 1))
+  }
 }
