@@ -3281,6 +3281,59 @@ object SparkEntry {
   private def q_seasonal_naive(s: SparkSession, d: String): DataFrame =
     TimeSeries.seasonalNaiveEval(Tables.events(s, d), "ts", period = 7)
 
+  /** §2b candidate-key discovery: exact uniqueness/null audit of four
+    * proposed key combos on orders in ONE aggregate pass — o_orderkey
+    * verifies as a real key, the others rank below it. */
+  private def q_key_candidates(s: SparkSession, d: String): DataFrame =
+    ColumnHygiene.keyCandidates(Tables.orders(s, d), Seq(
+      Seq("o_orderkey"), Seq("o_custkey"),
+      Seq("o_orderstatus", "o_orderpriority"),
+      Seq("o_custkey", "o_orderdate")))
+
+  /** §2b sketch-only audience overlap: distinct clickers ∩ viewers per
+    * market segment via HLL inclusion–exclusion, pinned against the
+    * exact counts with union-scaled acceptance booleans (the sketch
+    * stays sparse-exact at harness cardinalities; the bound is the
+    * production contract). */
+  private def q_distinct_intersection(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .join(Tables.customer(s, d), col("user_id") === col("c_custkey"))
+    val clicks = e.filter(col("event_type") === "click")
+    val views = e.filter(col("event_type") === "view")
+    val est = Corpus.distinctIntersection(clicks, views,
+      "c_mktsegment", "user_id")
+    val exactU = e.filter(col("event_type").isin("click", "view"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("user_id")).as("n_exact_union"))
+    val exactA = clicks.groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("user_id")).as("n_exact_click"))
+    val exactB = views.groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("user_id")).as("n_exact_view"))
+    val exactI = clicks.select(col("c_mktsegment"), col("user_id")).distinct()
+      .join(views.select(col("c_mktsegment"), col("user_id")).distinct(),
+        Seq("c_mktsegment", "user_id"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_exact_intersection"))
+    exactU
+      .join(exactA, Seq("c_mktsegment"), "left")
+      .join(exactB, Seq("c_mktsegment"), "left")
+      .join(exactI, Seq("c_mktsegment"), "left")
+      .join(est, Seq("c_mktsegment"))
+      .select(col("c_mktsegment"),
+        coalesce(col("n_exact_click"), lit(0L)).as("n_exact_click"),
+        coalesce(col("n_exact_view"), lit(0L)).as("n_exact_view"),
+        col("n_exact_union"),
+        coalesce(col("n_exact_intersection"), lit(0L))
+          .as("n_exact_intersection"),
+        (abs(col("est_union") - col("n_exact_union")).cast("double")
+          <= lit(0.02) * col("n_exact_union").cast("double") + lit(1.0))
+          .as("union_within_bound"),
+        (abs(col("est_intersection")
+            - coalesce(col("n_exact_intersection"), lit(0L))).cast("double")
+          <= lit(0.05) * col("n_exact_union").cast("double") + lit(1.0))
+          .as("intersection_within_bound"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3566,6 +3619,8 @@ object SparkEntry {
     "q_jaccard_link" -> (q_jaccard_link _),
     "q_ccf" -> (q_ccf _),
     "q_seasonal_naive" -> (q_seasonal_naive _),
+    "q_key_candidates" -> (q_key_candidates _),
+    "q_distinct_intersection" -> (q_distinct_intersection _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -8902,5 +8957,68 @@ object SparkEntry {
                      / (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) END, 6)
                   AS mase_ratio
          FROM agg""",
+    "q_key_candidates" ->
+      """WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+              u AS (
+         SELECT 'o_orderkey' AS candidate, n AS n_rows,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                 WHERE o_orderkey IS NULL) AS n_null_rows,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                  (SELECT DISTINCT o_orderkey FROM orders)) AS n_distinct
+         FROM base
+         UNION ALL
+         SELECT 'o_custkey', n,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                 WHERE o_custkey IS NULL),
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                  (SELECT DISTINCT o_custkey FROM orders))
+         FROM base
+         UNION ALL
+         SELECT 'o_orderstatus+o_orderpriority', n,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                 WHERE o_orderstatus IS NULL OR o_orderpriority IS NULL),
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                  (SELECT DISTINCT o_orderstatus, o_orderpriority
+                   FROM orders))
+         FROM base
+         UNION ALL
+         SELECT 'o_custkey+o_orderdate', n,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                 WHERE o_custkey IS NULL OR o_orderdate IS NULL),
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                  (SELECT DISTINCT o_custkey, o_orderdate FROM orders))
+         FROM base)
+         SELECT candidate, n_rows, n_null_rows, n_distinct,
+                round(CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+                  AS uniqueness,
+                (n_distinct = n_rows AND n_null_rows = 0) AS is_key
+         FROM u""",
+    "q_distinct_intersection" ->
+      """WITH e AS (SELECT c.c_mktsegment AS seg, e.user_id AS u,
+                           e.event_type AS t
+                    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+                    WHERE e.event_type IN ('click', 'view')),
+              ca AS (SELECT seg, CAST(COUNT(DISTINCT u) AS BIGINT) AS n_a
+                     FROM e WHERE t = 'click' GROUP BY 1),
+              cb AS (SELECT seg, CAST(COUNT(DISTINCT u) AS BIGINT) AS n_b
+                     FROM e WHERE t = 'view' GROUP BY 1),
+              cu AS (SELECT seg, CAST(COUNT(DISTINCT u) AS BIGINT) AS n_u
+                     FROM e GROUP BY 1),
+              ci AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_i FROM (
+                       SELECT DISTINCT seg, u FROM e WHERE t = 'click'
+                       INTERSECT
+                       SELECT DISTINCT seg, u FROM e WHERE t = 'view')
+                     GROUP BY 1)
+         SELECT cu.seg AS c_mktsegment,
+                COALESCE(ca.n_a, 0) AS n_exact_click,
+                COALESCE(cb.n_b, 0) AS n_exact_view,
+                cu.n_u AS n_exact_union,
+                COALESCE(ci.n_i, 0) AS n_exact_intersection,
+                TRUE AS union_within_bound,
+                TRUE AS intersection_within_bound
+         FROM cu
+         LEFT JOIN ca ON cu.seg = ca.seg
+         LEFT JOIN cb ON cu.seg = cb.seg
+         LEFT JOIN ci ON cu.seg = ci.seg""",
   )
 }

@@ -451,4 +451,48 @@ object ColumnHygiene {
       .orderBy(col("cnt").desc, col(keyCol).asc)
       .limit(topK)
   }
+
+  /** Candidate-key discovery: for each proposed column COMBINATION,
+    * exact distinct count, any-null row count and the uniqueness ratio,
+    * plus the is_key verdict (unique AND null-free) — the audit that
+    * runs before anyone declares a MERGE/dedup key ([[fdViolations]]'s
+    * sibling: FD audits a dependency you believe, this ranks the keys
+    * you're considering; the reference hard-codes `n_ticket`/`number`
+    * as identity, manutencao.py:12-62 — this is how that choice gets
+    * validated instead of assumed).
+    *
+    * Distinctness is over the combo STRUCT, so null components are
+    * distinct VALUES (two (null, 3) rows collide) rather than silently
+    * dropped like multi-arg COUNT(DISTINCT a, b) — null-key rows are a
+    * thing the is_key verdict must see, not skip.
+    *
+    * Scale shape: ONE aggregate pass computing every combo's exact
+    * countDistinct + null counter (Catalyst expands multi-distinct
+    * aggregates; cost ∝ combos × input, combos is a small literal
+    * list), materialized as one tiny row (localCheckpoint, the 1-row
+    * stats pattern) and unpivoted driver-side into one row per combo —
+    * the input is never re-scanned per combo. */
+  def keyCandidates(df: DataFrame, combos: Seq[Seq[String]]): DataFrame = {
+    require(combos.nonEmpty && combos.forall(_.nonEmpty),
+      "need at least one non-empty column combo")
+    def slug(c: Seq[String]) = c.mkString("+")
+    val aggs = combos.flatMap { c =>
+      val anyNull = c.map(col(_).isNull).reduce(_ || _)
+      Seq(
+        countDistinct(struct(c.map(col): _*)).as(s"__d_${slug(c)}"),
+        sum(when(anyNull, 1L).otherwise(0L)).as(s"__n_${slug(c)}"))
+    }
+    val allAggs = count(lit(1)).as("__rows") +: aggs
+    val one = df.agg(allAggs.head, allAggs.tail: _*).localCheckpoint()
+    combos.map { c =>
+      one.select(lit(slug(c)).as("candidate"),
+        col("__rows").as("n_rows"),
+        col(s"__n_${slug(c)}").as("n_null_rows"),
+        col(s"__d_${slug(c)}").as("n_distinct"),
+        round(col(s"__d_${slug(c)}").cast("double")
+          / col("__rows").cast("double"), 6).as("uniqueness"),
+        (col(s"__d_${slug(c)}") === col("__rows") &&
+          col(s"__n_${slug(c)}") === 0L).as("is_key"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -698,6 +698,47 @@ object Corpus {
       .withColumn("n_distinct_est",
         hll_sketch_estimate(col("distinct_sketch")))
 
+  /** Sketch-only distinct-set INTERSECTION estimate via
+    * inclusion–exclusion: per group, est(A∩B) = est(A) + est(B) −
+    * est(A∪B), where the union is one lossless-in-sparse-mode
+    * [[mergeDistinctState]]-style `hll_union_agg` — the audience-overlap
+    * / cross-slice-contamination readout ("how many distinct users did
+    * BOTH things") computed from KB sketches, never from the key sets.
+    * HLL sketches cannot intersect directly; inclusion–exclusion is the
+    * standard derived estimator, and its error compounds: three ±rsd
+    * estimates difference into an ABSOLUTE error ∝ the union size, so a
+    * small true intersection under a huge union is where the estimate
+    * degrades first — the returned `est_union`-relative error contract
+    * reflects that (clamped at 0, it cannot go negative).
+    *
+    * Scale shape: two grouped sketch aggregates (map-side combined,
+    * O(KB) state per group) + one sketch-union re-aggregate + a
+    * #groups-row join — the raw key sets never shuffle. Groups present
+    * on only one side have an empty other-side sketch: est_b = 0,
+    * intersection 0 (full-outer with empty-sketch semantics via the
+    * union aggregate; the per-side estimate joins are left joins). */
+  def distinctIntersection(dfA: DataFrame, dfB: DataFrame,
+                           groupCol: String, keyCol: String): DataFrame = {
+    val a = distinctState(dfA, groupCol, keyCol)
+    val b = distinctState(dfB, groupCol, keyCol)
+    val union = mergeDistinctState(a, b, groupCol)
+      .select(col(groupCol), col("n_distinct_est").as("est_union"))
+    val estA = a.select(col(groupCol),
+      hll_sketch_estimate(col("distinct_sketch")).as("est_a"))
+    val estB = b.select(col(groupCol),
+      hll_sketch_estimate(col("distinct_sketch")).as("est_b"))
+    union
+      .join(estA, Seq(groupCol), "left")
+      .join(estB, Seq(groupCol), "left")
+      .select(col(groupCol),
+        coalesce(col("est_a"), lit(0L)).as("est_a"),
+        coalesce(col("est_b"), lit(0L)).as("est_b"),
+        col("est_union"),
+        greatest(coalesce(col("est_a"), lit(0L))
+          + coalesce(col("est_b"), lit(0L)) - col("est_union"), lit(0L))
+          .as("est_intersection"))
+  }
+
   /** EXACT heavy hitters via the two-phase sketch-then-recount pattern:
     * items whose frequency exceeds n/(k+1), computed without ever running
     * a full distinct-item aggregation.

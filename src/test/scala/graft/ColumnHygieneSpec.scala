@@ -336,4 +336,29 @@ class ColumnHygieneSparkSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       ColumnHygiene.tCloseness(df, Seq.empty, "s", 0.3))
   }
+
+  test("keyCandidates: unique key verified, null/dup combos rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Some("a"), "x"), (2L, Some("a"), "y"),
+      (3L, None, "x"), (4L, Some("b"), "y"))
+      .toDF("id", "grp", "tag")
+    val out = ColumnHygiene.keyCandidates(df,
+        Seq(Seq("id"), Seq("grp"), Seq("grp", "tag")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    // id: 4 distinct over 4 rows, no nulls → the real key
+    assert(out("id") === ((4L, 0L, 4L, 1.0, true)))
+    // grp: one null row; the null is a DISTINCT struct value (a, b, null)
+    assert(out("grp") === ((4L, 1L, 3L, 0.75, false)))
+    // grp+tag: all four combos distinct but a null component blocks is_key
+    assert(out("grp+tag") === ((4L, 1L, 4L, 1.0, false)))
+    // duplicate struct values collapse: two (a,·) rows under grp alone
+    intercept[IllegalArgumentException](
+      ColumnHygiene.keyCandidates(df, Seq.empty))
+    intercept[IllegalArgumentException](
+      ColumnHygiene.keyCandidates(df, Seq(Seq.empty)))
+  }
 }

@@ -592,4 +592,26 @@ class CorpusSpec extends SparkSuite {
       .collect().head
     assert(math.abs(est.getDouble(3) - 1000.0) < 200.0, est.toString)
   }
+
+  test("distinctIntersection: sparse-mode sketches recover exact overlap") {
+    // A = {1..60}, B = {31..90} within one group: |A∩B| = 30 exactly —
+    // sketches stay in sparse (coupon) mode, so inclusion–exclusion is
+    // EXACT, not approximate
+    val a = (1 to 60).map(i => ("g", i.toLong)).toDF("grp", "k")
+    val b = (31 to 90).map(i => ("g", i.toLong)).toDF("grp", "k")
+    val r = Corpus.distinctIntersection(a, b, "grp", "k").collect().head
+    assert(r.getLong(1) === 60L && r.getLong(2) === 60L)
+    assert(r.getLong(3) === 90L && r.getLong(4) === 30L)
+    // disjoint sets → intersection exactly 0 (clamped, never negative)
+    val c = (1000 to 1019).map(i => ("g", i.toLong)).toDF("grp", "k")
+    val rd = Corpus.distinctIntersection(a, c, "grp", "k").collect().head
+    assert(rd.getLong(3) === 80L && rd.getLong(4) === 0L)
+    // a group present on ONE side only: other-side estimate 0, overlap 0
+    val bOnly = (1 to 5).map(i => ("h", i.toLong)).toDF("grp", "k")
+    val rg = Corpus.distinctIntersection(a, bOnly, "grp", "k")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rg("h").getLong(1) === 0L && rg("h").getLong(2) === 5L &&
+      rg("h").getLong(4) === 0L)
+    assert(rg("g").getLong(2) === 0L && rg("g").getLong(4) === 0L)
+  }
 }
