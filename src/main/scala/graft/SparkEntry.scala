@@ -3334,6 +3334,27 @@ object SparkEntry {
           .as("intersection_within_bound"))
   }
 
+  /** §2b tokenizer fertility per language: subwords-per-word and
+    * chars-per-subword under the LEARNED 8-round BPE tokenizer — which
+    * languages pay more tokens for the same text (the context-window /
+    * training-budget equity readout). */
+  private def q_tokenizer_fertility(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val rules = TextAnalytics.bpeTrainRules(docs, "text", rounds = 8)
+    val enc = TextAnalytics.bpeEncode(docs, "doc_id", "text", rules)
+    TextAnalytics.tokenizerFertility(
+      enc.join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("doc_id")),
+      "lang")
+  }
+
+  /** §2b word-frequency spectrum per source: V_m types occurring
+    * exactly m ≤ 8 times + the hapax share — WHERE the vocabulary mass
+    * sits, the table Yule's K collapses to one number. */
+  private def q_freq_spectrum(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.frequencySpectrum(Tables.documents(s, d), "source",
+      "text", maxM = 8)
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3621,6 +3642,8 @@ object SparkEntry {
     "q_seasonal_naive" -> (q_seasonal_naive _),
     "q_key_candidates" -> (q_key_candidates _),
     "q_distinct_intersection" -> (q_distinct_intersection _),
+    "q_tokenizer_fertility" -> (q_tokenizer_fertility _),
+    "q_freq_spectrum" -> (q_freq_spectrum _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -4211,6 +4234,41 @@ object SparkEntry {
   /** Generated decayed-popularity oracle: the same 2⁻²⁰-snapped decay
     * weight literals as [[operators.TimeSeries.decayWeights]] as a
     * DOUBLE[] literal indexed by the month bucket. */
+  /** Generated q_tokenizer_fertility oracle: the q_bpe_encode CTE chain
+    * (same trained merges, same wrapped-word replace encoding) joined to
+    * each doc's language + char count and aggregated per language. */
+  private def fertilityOracleSql(rounds: Int): String = {
+    val S = "chr(31)"
+    val enc = (1 to rounds).foldLeft("wd.wd")((acc, r) =>
+      s"replace($acc, $S || b$r.a || $S || $S || b$r.b || $S, " +
+        s"$S || b$r.a || b$r.b || $S)")
+    val froms = (1 to rounds).map(r => s"b$r").mkString(", ")
+    s"""WITH ${bpeCtes(rounds)},
+        wd AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_words,
+                      array_to_string(list_transform($duckTokens,
+                        w -> regexp_replace(w, '(.)', $S || '\\1' || $S, 'g')),
+                        ' ') AS wd
+               FROM documents),
+        e AS (SELECT wd.doc_id, wd.n_words,
+                     (length($enc) - length(replace($enc, $S, ''))) // 2
+                       AS n_subwords
+              FROM wd, $froms),
+        j AS (SELECT d.lang, e.n_words,
+                     CAST(e.n_subwords AS BIGINT) AS n_subwords, d.n_chars
+              FROM e JOIN documents d ON e.doc_id = d.doc_id)
+   SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_words) AS BIGINT) AS n_words,
+          CAST(SUM(n_subwords) AS BIGINT) AS n_subwords,
+          CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+          round(CASE WHEN SUM(n_words) > 0
+            THEN CAST(SUM(n_subwords) AS DOUBLE)
+               / CAST(SUM(n_words) AS DOUBLE) END, 6) AS subwords_per_word,
+          round(CASE WHEN SUM(n_subwords) > 0
+            THEN CAST(SUM(n_chars) AS DOUBLE)
+               / CAST(SUM(n_subwords) AS DOUBLE) END, 6) AS chars_per_subword
+   FROM j GROUP BY 1"""
+  }
+
   /** Generated q_ktruss oracle: `rounds` UNROLLED idempotent peel
     * rounds over the hash-thinned co-purchase graph (convergence
     * measured at ≤ 4 rounds on every SF; extra rounds are no-ops, the
@@ -9020,5 +9078,22 @@ object SparkEntry {
          LEFT JOIN ca ON cu.seg = ca.seg
          LEFT JOIN cb ON cu.seg = cb.seg
          LEFT JOIN ci ON cu.seg = ci.seg""",
+    "q_tokenizer_fertility" -> fertilityOracleSql(8),
+    "q_freq_spectrum" ->
+      """WITH occ AS (SELECT source, UNNEST(CASE WHEN trim(text) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(text), '\s+') END)
+                        AS tok
+                     FROM documents),
+              wc AS (SELECT source, tok, COUNT(*) AS m
+                     FROM occ GROUP BY 1, 2),
+              vt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+                     FROM wc GROUP BY 1),
+              sp AS (SELECT source, m, CAST(COUNT(*) AS BIGINT) AS v_m
+                     FROM wc WHERE m <= 8 GROUP BY 1, 2)
+         SELECT sp.source, sp.m, sp.v_m, vt.v AS v_types,
+                round(CAST(sp.v_m AS DOUBLE) / CAST(vt.v AS DOUBLE), 6)
+                  AS share_of_types
+         FROM sp JOIN vt ON sp.source = vt.source""",
   )
 }

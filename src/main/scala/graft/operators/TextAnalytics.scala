@@ -1289,4 +1289,65 @@ object TextAnalytics {
         round(when(col("n_words") > 0,
           col("n_subwords").cast("double") / col("n_words")), 6))
   }
+
+  /** Tokenizer fertility report (the multilingual-tokenizer equity
+    * readout, e.g. XLM-R/BLOOM tokenizer analyses): per group
+    * (language, source), aggregate subwords-per-word and
+    * chars-per-subword under the LEARNED [[bpeEncode]] tokenizer — the
+    * number that says which languages pay more tokens for the same
+    * text, i.e. whose context window and training budget a tokenizer
+    * quietly taxes. Input is bpeEncode's per-doc output joined with the
+    * grouping column and a character count.
+    *
+    * Scale shape: ONE hash aggregate over the already-map-side encode
+    * projection; exact integer sums, two closing divisions. Groups with
+    * zero subwords (all-empty text) yield nulls, never NaN. */
+  def tokenizerFertility(encoded: DataFrame, groupCol: String,
+                         charsCol: String = "n_chars"): DataFrame =
+    encoded.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"),
+        sum(col(charsCol)).as("n_chars"))
+      .select(col(groupCol), col("n_docs"), col("n_words"),
+        col("n_subwords"), col("n_chars"),
+        round(when(col("n_words") > 0,
+          col("n_subwords").cast("double") / col("n_words").cast("double")),
+          6).as("subwords_per_word"),
+        round(when(col("n_subwords") > 0,
+          col("n_chars").cast("double") / col("n_subwords").cast("double")),
+          6).as("chars_per_subword"))
+
+  /** Word-frequency spectrum (Zipf's "frequency of frequencies", the
+    * V_m table Yule's K and Good–Turing smoothing are built from): per
+    * group, the number of word TYPES occurring exactly m times for
+    * m ≤ `maxM`, plus the type count V and the hapax share V₁/V — the
+    * vocabulary-health readout that separates rich prose (heavy hapax
+    * tail is normal) from OCR noise / boilerplate (V₁/V near 1 with low
+    * V is garbage; V₁/V near 0 is template spam). Complements [[yuleK]]
+    * (which collapses this table to one number) by showing WHERE the
+    * mass sits.
+    *
+    * Scale shape: the wordcount aggregate (shuffle ∝ distinct types) +
+    * one regroup on (group, m) — the spectrum is bounded by maxM rows
+    * per group. Exact integers; one division for the share. */
+  def frequencySpectrum(docs: DataFrame, groupCol: String, textCol: String,
+                        maxM: Int = 10): DataFrame = {
+    require(maxM >= 1, s"maxM must be >= 1: $maxM")
+    val counts = docs.select(col(groupCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__m"))
+    val vTotals = counts.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__v"))
+    counts
+      .filter(col("__m") <= maxM)
+      .groupBy(col(groupCol), col("__m").as("m"))
+      .agg(count(lit(1)).as("v_m"))
+      .join(vTotals, Seq(groupCol))
+      .select(col(groupCol), col("m"), col("v_m"),
+        col("__v").as("v_types"),
+        round(col("v_m").cast("double") / col("__v").cast("double"), 6)
+          .as("share_of_types"))
+  }
 }

@@ -1171,4 +1171,40 @@ class TextAndDedupSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       TextAnalytics.noveltyCurve(docs, "batch", "text", 0))
   }
+
+  test("tokenizerFertility: exact per-group sums and ratios; empty group null") {
+    import spark.implicits._
+    val enc = Seq(
+      (1L, "pt", 4L, 10L, 20L), (2L, "pt", 6L, 10L, 30L),
+      (3L, "en", 5L, 5L, 25L),
+      (4L, "xx", 0L, 0L, 0L)
+    ).toDF("doc_id", "lang", "n_words", "n_subwords", "n_chars")
+    val out = TextAnalytics.tokenizerFertility(enc, "lang")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // pt: 10 words, 20 subwords, 50 chars → 2.0 sub/word, 2.5 chars/sub
+    assert(out("pt").getLong(1) === 2L && out("pt").getLong(2) === 10L)
+    assert(out("pt").getDouble(5) === 2.0 && out("pt").getDouble(6) === 2.5)
+    // en: 1 subword per word exactly
+    assert(out("en").getDouble(5) === 1.0 && out("en").getDouble(6) === 5.0)
+    // all-empty group: null ratios, never NaN
+    assert(out("xx").isNullAt(5) && out("xx").isNullAt(6))
+  }
+
+  test("frequencySpectrum: exact V_m table, maxM cap keeps v_types full") {
+    import spark.implicits._
+    val docs = Seq((1L, "s", "a a a b b c")).toDF("doc_id", "src", "text")
+    val out = TextAnalytics.frequencySpectrum(docs, "src", "text")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(out === Map(
+      1L -> ((1L, 3L, 0.333333)),
+      2L -> ((1L, 3L, 0.333333)),
+      3L -> ((1L, 3L, 0.333333))))
+    // maxM = 2 drops the m=3 row but v_types still counts ALL types
+    val capped = TextAnalytics.frequencySpectrum(docs, "src", "text", maxM = 2)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(capped === Set(1L, 2L))
+    intercept[IllegalArgumentException](
+      TextAnalytics.frequencySpectrum(docs, "src", "text", maxM = 0))
+  }
 }
