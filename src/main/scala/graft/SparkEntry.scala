@@ -8921,9 +8921,7 @@ object SparkEntry {
          FROM va LEFT JOIN sh USING (s) CROSS JOIN t2""",
     "q_ktruss" -> ktrussOracleSql(rounds = 6, k = 4, thin = 0.12),
     "q_jaccard_link" ->
-      """WITH tok AS (SELECT doc_id,
-                        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                             ELSE string_split_regex(trim(text), '\s+') END AS t
+      s"""WITH tok AS (SELECT doc_id, $duckTokens AS t
                       FROM documents WHERE doc_id < 120),
               sh AS (SELECT DISTINCT doc_id,
                             array_to_string(t[i:i+2], ' ') AS token
@@ -9080,10 +9078,7 @@ object SparkEntry {
          LEFT JOIN ci ON cu.seg = ci.seg""",
     "q_tokenizer_fertility" -> fertilityOracleSql(8),
     "q_freq_spectrum" ->
-      """WITH occ AS (SELECT source, UNNEST(CASE WHEN trim(text) = ''
-                        THEN CAST([] AS VARCHAR[])
-                        ELSE string_split_regex(trim(text), '\s+') END)
-                        AS tok
+      s"""WITH occ AS (SELECT source, UNNEST($duckTokens) AS tok
                      FROM documents),
               wc AS (SELECT source, tok, COUNT(*) AS m
                      FROM occ GROUP BY 1, 2),
