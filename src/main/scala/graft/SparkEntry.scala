@@ -3355,6 +3355,19 @@ object SparkEntry {
     TextAnalytics.frequencySpectrum(Tables.documents(s, d), "source",
       "text", maxM = 8)
 
+  /** §2b Good–Turing re-estimation per source: discounted counts r*,
+    * the low-frequency discount ratio and the unseen-mass p₀ — how much
+    * of each source's vocabulary the crawl hasn't seen yet. */
+  private def q_good_turing(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.goodTuring(Tables.documents(s, d), "source", "text",
+      maxR = 5)
+
+  /** §2b Mann–Whitney U: significance + rank-biserial effect size for
+    * the stopword-score separation of English vs non-English docs — the
+    * z-test companion to q_auc on the same collapse. */
+  private def q_mann_whitney(s: SparkSession, d: String): DataFrame =
+    Stats.mannWhitney(enScored(s, d), "en_score", "is_en")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3644,6 +3657,8 @@ object SparkEntry {
     "q_distinct_intersection" -> (q_distinct_intersection _),
     "q_tokenizer_fertility" -> (q_tokenizer_fertility _),
     "q_freq_spectrum" -> (q_freq_spectrum _),
+    "q_good_turing" -> (q_good_turing _),
+    "q_mann_whitney" -> (q_mann_whitney _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -9090,5 +9105,79 @@ object SparkEntry {
                 round(CAST(sp.v_m AS DOUBLE) / CAST(vt.v AS DOUBLE), 6)
                   AS share_of_types
          FROM sp JOIN vt ON sp.source = vt.source""",
+    "q_good_turing" ->
+      s"""WITH occ AS (SELECT source, UNNEST($duckTokens) AS tok
+                     FROM documents),
+              wc AS (SELECT source, tok, COUNT(*) AS m
+                     FROM occ GROUP BY 1, 2),
+              sp AS (SELECT source, m AS r, CAST(COUNT(*) AS BIGINT) AS v_r
+                     FROM wc GROUP BY 1, 2),
+              tot AS (SELECT source, CAST(SUM(m) AS BIGINT) AS n,
+                             CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS v1
+                      FROM wc GROUP BY 1)
+         SELECT sp.source, sp.r, sp.v_r,
+                round(CASE WHEN nx.v_r IS NOT NULL
+                  THEN CAST(sp.r + 1 AS DOUBLE) * CAST(nx.v_r AS DOUBLE)
+                     / CAST(sp.v_r AS DOUBLE) END, 6) AS r_star,
+                round(CASE WHEN nx.v_r IS NOT NULL
+                  THEN CAST(sp.r + 1 AS DOUBLE) * CAST(nx.v_r AS DOUBLE)
+                     / CAST(sp.v_r AS DOUBLE) / CAST(sp.r AS DOUBLE)
+                  END, 6) AS discount,
+                round(CAST(tot.v1 AS DOUBLE) / CAST(tot.n AS DOUBLE), 6)
+                  AS p0_unseen
+         FROM sp
+         LEFT JOIN sp nx ON sp.source = nx.source AND nx.r = sp.r + 1
+         JOIN tot ON sp.source = tot.source
+         WHERE sp.r <= 5""",
+    "q_mann_whitney" ->
+      s"""WITH base AS (SELECT round(CASE WHEN n > 0 THEN ns / n ELSE 0.0 END,
+                          6) AS s,
+                        (lang = 'en') AS y
+                 FROM (SELECT lang,
+                         CAST(len($duckTokens) AS DOUBLE) AS n,
+                         CAST(len(list_filter($duckTokens,
+                           t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+                           AS BIGINT) AS ns
+                       FROM documents
+                       WHERE lang IS NOT NULL)),
+              per AS (SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+                             sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cn
+                      FROM base GROUP BY s),
+              r AS (SELECT s, cp, cn,
+                           coalesce(sum(cp + cn) OVER (ORDER BY s
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS below
+                    FROM per),
+              agg AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+                             CAST(sum(cn) AS BIGINT) AS nneg,
+                             sum((CAST(below AS DOUBLE)
+                               + CAST(cp + cn + 1 AS DOUBLE) / 2.0) * cp)
+                               AS rp,
+                             CAST(sum((cp + cn) * (cp + cn) * (cp + cn)
+                               - (cp + cn)) AS BIGINT) AS t3
+                      FROM r),
+              fin AS (SELECT np, nneg, t3,
+                        rp - CAST(np AS DOUBLE)
+                          * (CAST(np AS DOUBLE) + 1.0) / 2.0 AS u,
+                        CAST(np AS DOUBLE) * CAST(nneg AS DOUBLE) / 12.0
+                          * (((CAST(np AS DOUBLE) + CAST(nneg AS DOUBLE))
+                              + 1.0)
+                            - CAST(t3 AS DOUBLE)
+                              / ((CAST(np AS DOUBLE) + CAST(nneg AS DOUBLE))
+                                * ((CAST(np AS DOUBLE)
+                                   + CAST(nneg AS DOUBLE)) - 1.0)))
+                          AS sigma2
+                      FROM agg)
+         SELECT np AS n_pos, nneg AS n_neg,
+                round(u, 6) AS u_stat,
+                round(CASE WHEN np > 0 AND nneg > 0
+                  THEN 2.0 * (u / (CAST(np AS DOUBLE)
+                    * CAST(nneg AS DOUBLE))) - 1.0 END, 6)
+                  AS rank_biserial,
+                round(CASE WHEN np > 0 AND nneg > 0 AND sigma2 > 0
+                  THEN (u - CAST(np AS DOUBLE) * CAST(nneg AS DOUBLE) / 2.0)
+                     / sqrt(sigma2) END, 6) AS z_stat
+         FROM fin""",
   )
 }

@@ -936,6 +936,50 @@ object Stats {
           .as("epsilon_sq"))
   }
 
+  /** Mann–Whitney U test (Mann & Whitney '47) with the normal
+    * approximation: U, the rank-biserial effect size r = 2·AUC − 1, and
+    * the TIE-CORRECTED z statistic — the significance companion to
+    * [[rocAuc]] (AUC = U/(n₊·n₋) is the same statistic rescaled; AUC
+    * says how separable two populations are, z says whether that
+    * separation survives the sample size). The standard two-sample
+    * location test when normality is off the table.
+    *
+    * Same scale shape as rocAuc, sharing its per-DISTINCT-ROUNDED-SCORE
+    * collapse: one hash aggregate, one bounded value-grid window, one
+    * closing reduce. U is an exact half-integer (midrank sums); the
+    * variance uses the standard tie correction
+    * σ² = (n₊n₋/12)·((N+1) − Σ(t³−t)/(N(N−1))) — exact integers until
+    * the closing divisions. All-tied inputs (σ = 0) or an empty class
+    * yield null z. */
+  def mannWhitney(df: DataFrame, scoreCol: String, labelCol: String,
+                  roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = perScoreCounts(df, scoreCol, labelCol, roundScale)
+    val below = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mid = coalesce(sum(col("__cp") + col("__cn")).over(below), lit(0L))
+      .cast("double") + (col("__cp") + col("__cn") + 1).cast("double") / 2.0
+    val agg = perScore.withColumn("__mid", mid)
+      .agg(sum(col("__cp")).as("n_pos"), sum(col("__cn")).as("n_neg"),
+        sum(col("__mid") * col("__cp")).as("__rp"),
+        sum((col("__cp") + col("__cn")) * (col("__cp") + col("__cn"))
+          * (col("__cp") + col("__cn")) - (col("__cp") + col("__cn")))
+          .as("__t3"))
+    val n1 = col("n_pos").cast("double")
+    val n2 = col("n_neg").cast("double")
+    val nn = n1 + n2
+    val u = col("__rp") - n1 * (n1 + 1.0) / 2.0
+    val sigma2 = n1 * n2 / 12.0 *
+      ((nn + 1.0) - col("__t3").cast("double") / (nn * (nn - 1.0)))
+    agg.select(col("n_pos"), col("n_neg"),
+      round(u, roundScale).as("u_stat"),
+      round(when(col("n_pos") > 0 && col("n_neg") > 0,
+        lit(2.0) * (u / (n1 * n2)) - 1.0), roundScale)
+        .as("rank_biserial"),
+      round(when(col("n_pos") > 0 && col("n_neg") > 0 && sigma2 > 0,
+        (u - n1 * n2 / 2.0) / sqrt(sigma2)), roundScale).as("z_stat"))
+  }
+
   /** Cochran–Mantel–Haenszel pooled odds ratio (Mantel & Haenszel JNCI
     * 1959): the stratified 2×2 estimate OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ)
     * — what you report INSTEAD of the crude pooled odds ratio when

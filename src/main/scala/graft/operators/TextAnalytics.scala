@@ -1350,4 +1350,50 @@ object TextAnalytics {
         round(col("v_m").cast("double") / col("__v").cast("double"), 6)
           .as("share_of_types"))
   }
+
+  /** Good–Turing frequency re-estimation (Good Biometrika'53, the
+    * Katz/KenLM-backoff foundation; simple GT, no regression fit): from
+    * the [[frequencySpectrum]] V_r table per group, the discounted
+    * count r* = (r+1)·V_{r+1}/V_r for r ≤ `maxR`, the unseen-mass
+    * estimate p₀ = V₁/N, and each r's discount ratio r_star/r — how much
+    * probability the observed low-frequency types must cede to the
+    * events the corpus has NOT seen yet. The direct answer to "how much
+    * of this domain's vocabulary is still missing from the crawl" — a
+    * p₀ that stays high as the corpus grows means the source is far
+    * from exhausted. r with an empty next class (V_{r+1} = 0) yields
+    * null r* (simple GT is undefined there; the fitted variants exist
+    * for that gap — out of scope).
+    *
+    * Scale shape: the wordcount aggregate (shuffle ∝ distinct types) +
+    * one (group, r) regroup + a self-join of the BOUNDED spectrum table
+    * on r+1 — everything after the wordcount is ≤ maxR rows per group.
+    * Exact integer counts; ratios are the only divisions, 6dp. */
+  def goodTuring(docs: DataFrame, groupCol: String, textCol: String,
+                 maxR: Int = 5): DataFrame = {
+    require(maxR >= 1, s"maxR must be >= 1: $maxR")
+    val counts = docs.select(col(groupCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__m"))
+    val spectrum = counts.groupBy(col(groupCol), col("__m").as("r"))
+      .agg(count(lit(1)).as("v_r"))
+    val totals = counts.groupBy(col(groupCol))
+      .agg(sum(col("__m")).as("__n"),
+        sum(when(col("__m") === 1, 1L).otherwise(0L)).as("__v1"))
+    spectrum
+      .filter(col("r") <= maxR)
+      .join(spectrum.select(col(groupCol), (col("r") - 1).as("r"),
+        col("v_r").as("__vNext")), Seq(groupCol, "r"), "left")
+      .join(totals, Seq(groupCol))
+      .select(col(groupCol), col("r"), col("v_r"),
+        round(when(col("__vNext").isNotNull,
+          (col("r") + 1).cast("double") * col("__vNext").cast("double")
+            / col("v_r").cast("double")), 6).as("r_star"),
+        round(when(col("__vNext").isNotNull,
+          (col("r") + 1).cast("double") * col("__vNext").cast("double")
+            / col("v_r").cast("double") / col("r").cast("double")), 6)
+          .as("discount"),
+        round(col("__v1").cast("double") / col("__n").cast("double"), 6)
+          .as("p0_unseen"))
+  }
 }

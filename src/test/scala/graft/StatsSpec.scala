@@ -532,4 +532,28 @@ class StatsSpec extends SparkSuite {
     val rd = Stats.mantelHaenszel(deg, "st", "arm", "t", "y").collect().head
     assert(rd.isNullAt(2))
   }
+
+  test("mannWhitney: hand-checked U/z; perfect separation; all-tied null") {
+    // pos = {1,2,3}, neg = {4,5,6}: rank-sum(pos) = 6 → U = 0,
+    // rank-biserial = −1 (total separation), σ² = 9/12·7 = 5.25,
+    // z = −4.5/√5.25
+    val df = Seq((1.0, true), (2.0, true), (3.0, true),
+      (4.0, false), (5.0, false), (6.0, false)).toDF("s", "y")
+    val r = Stats.mannWhitney(df, "s", "y").collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 0.0 && r.getDouble(3) === -1.0)
+    val zExp = BigDecimal(-4.5 / math.sqrt(5.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) === zExp, r.toString)
+    // ties: pos {1,1}, neg {1,1} → U = n1·n2/2 (no separation), but the
+    // tie correction zeroes the variance → null z, rank-biserial 0
+    val tied = Seq((1.0, true), (1.0, true), (1.0, false), (1.0, false))
+      .toDF("s", "y")
+    val rt = Stats.mannWhitney(tied, "s", "y").collect().head
+    assert(rt.getDouble(2) === 2.0 && rt.getDouble(3) === 0.0)
+    assert(rt.isNullAt(4))
+    // single-class input → null effect/z
+    val one = Seq((1.0, true), (2.0, true)).toDF("s", "y")
+    assert(Stats.mannWhitney(one, "s", "y").collect().head.isNullAt(4))
+  }
 }

@@ -1207,4 +1207,23 @@ class TextAndDedupSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       TextAnalytics.frequencySpectrum(docs, "src", "text", maxM = 0))
   }
+
+  test("goodTuring: exact discounted counts and unseen mass") {
+    import spark.implicits._
+    // counts a=3, b=2, c=1 → V₁=V₂=V₃=1, N=6
+    // r=1: r* = 2·V₂/V₁ = 2 (discount 2) ; r=2: r* = 3·V₃/V₂ = 3
+    // (discount 1.5) ; r=3: V₄ empty → null ; p₀ = V₁/N = 1/6
+    val docs = Seq((1L, "s", "a a a b b c")).toDF("doc_id", "src", "text")
+    val out = TextAnalytics.goodTuring(docs, "src", "text")
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(out(1L).getDouble(3) === 2.0 && out(1L).getDouble(4) === 2.0)
+    assert(out(2L).getDouble(3) === 3.0 && out(2L).getDouble(4) === 1.5)
+    assert(out(3L).isNullAt(3) && out(3L).isNullAt(4))
+    assert(out(1L).getDouble(5) === 0.166667) // p0 = 1/6
+    // maxR excludes higher r rows
+    assert(TextAnalytics.goodTuring(docs, "src", "text", maxR = 1)
+      .collect().map(_.getLong(1)).toSet === Set(1L))
+    intercept[IllegalArgumentException](
+      TextAnalytics.goodTuring(docs, "src", "text", maxR = 0))
+  }
 }
