@@ -248,12 +248,23 @@ object TimeSeries {
     * DAY GRID — bounded by the observation span, never event count. */
   def cusumDaily(events: DataFrame, tsCol: String,
                  slackSigmas: Double = 0.5,
-                 hSigmas: Double = 4.0): DataFrame = {
+                 hSigmas: Double = 4.0): DataFrame =
+    cusumOverCounts(
+      events.groupBy(date_trunc("day", col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n_events")),
+      slackSigmas, hSigmas)
+
+  /** [[cusumDaily]]'s finalizer over an ALREADY-AGGREGATED `(day,
+    * n_events)` table — exposed so the streaming monitor
+    * ([[graft.streaming.EventStreams.cusumMonitor]]) can run the
+    * IDENTICAL evaluation over its accumulated day-count state, making
+    * stream/batch parity a shared-code fact rather than a reimplementation
+    * (the windowDrift finalizer contract). */
+  def cusumOverCounts(counts: DataFrame,
+                      slackSigmas: Double = 0.5,
+                      hSigmas: Double = 4.0): DataFrame = {
     require(slackSigmas >= 0 && hSigmas > 0,
       s"need slackSigmas >= 0 and hSigmas > 0: $slackSigmas/$hSigmas")
-    val counts = events
-      .groupBy(date_trunc("day", col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("n_events"))
     val stats = counts.agg(
       sum(col("n_events")).cast("double").as("__s"),
       sum(col("n_events") * col("n_events")).cast("double").as("__ss"),

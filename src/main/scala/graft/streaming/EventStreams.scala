@@ -377,6 +377,55 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming CUSUM anomaly monitor — the live face of
+    * [[graft.operators.TimeSeries.cusumDaily]]: each micro-batch folds
+    * its per-day event counts into a persisted `(day, n_events)` state
+    * table (work ∝ batch; the state is bounded by the CALENDAR, never
+    * the stream), then re-runs
+    * [[graft.operators.TimeSeries.cusumOverCounts]] — the batch
+    * operator's OWN finalizer, shared code, not a reimplementation —
+    * over the accumulated table and overwrites `<statePath>/alarms`.
+    * After any prefix of batches, the alarm table EQUALS cusumDaily on
+    * the union of events seen so far (StreamingSpec pins it) — the
+    * windowDrift/incrementalClusters batch-incremental contract applied
+    * to change-point monitoring. Recomputing the CUSUM over the day
+    * grid per batch is deliberate: the statistic's mean/σ and prefix
+    * extrema shift with every new day, so "incremental CUSUM state"
+    * would be wrong the moment history re-baselines; over a bounded
+    * day table the recompute is trivially cheap.
+    *
+    * The day-count state is localCheckpoint-materialized before its
+    * overwrite (read-then-overwrite on the same path needs the read
+    * finished first). At-least-once caveat: day-count folding ADDS, so
+    * a replayed batch double-counts — feed this from an exactly-once
+    * source or compose with [[dedupedIngest]]'s anti-join upstream
+    * (how StreamingSpec's replay case runs it). */
+  def cusumMonitor(stream: DataFrame, statePath: String,
+                   tsCol: String = "ts", slackSigmas: Double = 0.5,
+                   hSigmas: Double = 4.0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val countsPath = s"$statePath/day_counts"
+        val bCounts = batch
+          .groupBy(date_trunc("day", col(tsCol)).as("day"))
+          .agg(count(lit(1)).as("n_events"))
+        val merged =
+          if (new java.io.File(countsPath).exists())
+            spark.read.parquet(countsPath).unionByName(bCounts)
+              .groupBy(col("day"))
+              .agg(sum(col("n_events")).as("n_events"))
+          else bCounts
+        merged.localCheckpoint().write.mode("overwrite").parquet(countsPath)
+        graft.operators.TimeSeries
+          .cusumOverCounts(spark.read.parquet(countsPath),
+            slackSigmas, hSigmas)
+          .write.mode("overwrite").parquet(s"$statePath/alarms")
+      }
+      .start()
+
   /** Streaming twin of [[graft.operators.TimeSeries.ewmaHalving]]: the
     * same truncated α=1/2 EWMA, but carried as keyed state so each event
     * is smoothed the moment it arrives instead of re-windowing a batch.

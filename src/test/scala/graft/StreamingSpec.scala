@@ -408,4 +408,38 @@ class StreamingSpec extends SparkSuite {
       assert(last(shardOf("hot"))._2("hot") >= 8L)
     } finally q.stop()
   }
+
+  test("cusumMonitor: alarms equal cusumDaily after every batch prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.events(spark, sf).select($"ts", $"event_id")
+      .as[(java.sql.Timestamp, Long)].collect()
+    val (b1, b2) = ev.partition(_._2 % 2 == 0)
+    val state = java.nio.file.Files.createTempDirectory("graft-cusum-")
+      .resolve("state").toString
+    def twin(rows: Seq[(java.sql.Timestamp, Long)]) =
+      graft.operators.TimeSeries
+        .cusumDaily(rows.toDF("ts", "event_id"), "ts")
+        .collect().map(_.toSeq).toSet
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = EventStreams.cusumMonitor(ms.toDF().toDF("ts", "event_id"), state)
+    try {
+      ms.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      // after batch 1: alarms ≡ the batch operator on batch-1 events —
+      // shared finalizer code, so equality is bit-exact, not approximate
+      val a1 = spark.read.parquet(s"$state/alarms")
+        .collect().map(_.toSeq).toSet
+      assert(a1 === twin(b1.toSeq), "prefix-1 parity")
+      ms.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      // after batch 2: the re-baselined statistic over ALL events —
+      // exactly what a from-scratch cusumDaily computes
+      val a2 = spark.read.parquet(s"$state/alarms")
+        .collect().map(_.toSeq).toSet
+      assert(a2 === twin(ev.toSeq), "prefix-2 parity")
+      assert(a2.nonEmpty)
+    } finally q.stop()
+  }
 }
