@@ -719,8 +719,11 @@ object Corpus {
     * union aggregate; the per-side estimate joins are left joins). */
   def distinctIntersection(dfA: DataFrame, dfB: DataFrame,
                            groupCol: String, keyCol: String): DataFrame = {
-    val a = distinctState(dfA, groupCol, keyCol)
-    val b = distinctState(dfB, groupCol, keyCol)
+    // cached: each side's sketch table (#groups rows of KB sketches)
+    // feeds BOTH the union aggregate and its own estimate projection —
+    // uncached, each corpus-sized sketch aggregate would run twice
+    val a = distinctState(dfA, groupCol, keyCol).cache()
+    val b = distinctState(dfB, groupCol, keyCol).cache()
     val union = mergeDistinctState(a, b, groupCol)
       .select(col(groupCol), col("n_distinct_est").as("est_union"))
     val estA = a.select(col(groupCol),

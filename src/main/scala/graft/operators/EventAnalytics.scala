@@ -314,11 +314,18 @@ object EventAnalytics {
     * frame (corpus max), so nothing shuffles twice. */
   def rfm(events: DataFrame, userCol: String, tsCol: String,
           valCol: String, roundScale: Int = 6): DataFrame = {
+    // cached: the user-grain aggregate feeds THREE consumers (the anchor
+    // 1-row max, the quantile-cut 1-row aggregate, and the scored
+    // output) — uncached, the corpus-sized events aggregate would run
+    // once per consumer (the plan showed exactly that). User grain is
+    // orders of magnitude smaller than event grain, so caching it beats
+    // re-aggregating the corpus even when it spills.
     val perUser = events
       .groupBy(col(userCol))
       .agg(max(date_trunc("day", col(tsCol))).as("__last"),
         count(lit(1)).as("frequency"),
         round(sum(col(valCol)), roundScale).as("monetary"))
+      .cache()
     val anchor = perUser.agg(max(col("__last")).as("__anchor"))
     val withRec = perUser.crossJoin(broadcast(anchor))
       .withColumn("recency_days",
