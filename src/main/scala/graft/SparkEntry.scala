@@ -3368,6 +3368,24 @@ object SparkEntry {
   private def q_mann_whitney(s: SparkSession, d: String): DataFrame =
     Stats.mannWhitney(enScored(s, d), "en_score", "is_en")
 
+  /** §2b Brown–Forsythe spread-equality test: ANOVA on absolute
+    * deviations from each event type's median value — the
+    * variance-equality gate before pooled tests, and the volatility
+    * monitor the mean contrast can't see. */
+  private def q_brown_forsythe(s: SparkSession, d: String): DataFrame =
+    Stats.brownForsythe(Tables.events(s, d), "event_type", "value")
+
+  /** §2b quantile treatment effects: click-vs-view per-segment value
+    * quantiles at p25/p50/p75/p90 and their differences — WHERE the
+    * distributions differ, not just whether (q_mann_whitney) or by how
+    * much on average (q_welch_ttest). */
+  private def q_qte(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .join(Tables.customer(s, d), col("user_id") === col("c_custkey"))
+    Stats.quantileTreatmentEffect(e, "c_mktsegment", "event_type",
+      "value", armA = "click", armB = "view")
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3659,6 +3677,8 @@ object SparkEntry {
     "q_freq_spectrum" -> (q_freq_spectrum _),
     "q_good_turing" -> (q_good_turing _),
     "q_mann_whitney" -> (q_mann_whitney _),
+    "q_brown_forsythe" -> (q_brown_forsythe _),
+    "q_qte" -> (q_qte _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -9179,5 +9199,63 @@ object SparkEntry {
                   THEN (u - CAST(np AS DOUBLE) * CAST(nneg AS DOUBLE) / 2.0)
                      / sqrt(sigma2) END, 6) AS z_stat
          FROM fin""",
+    "q_brown_forsythe" ->
+      """WITH base AS (SELECT event_type AS g, value AS v
+                       FROM events
+                       WHERE event_type IS NOT NULL AND value IS NOT NULL),
+              med AS (SELECT g, quantile_cont(v, 0.5) AS md
+                      FROM base GROUP BY 1),
+              cen AS (SELECT base.g, abs(v - md) AS av
+                      FROM base JOIN med USING (g)),
+              s AS (SELECT g, COUNT(*) AS cn, avg(av) AS m,
+                           var_samp(av) AS v
+                    FROM cen GROUP BY 1),
+              r AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                           CAST(SUM(cn) AS BIGINT) AS n,
+                           SUM(cn * m) AS sx, SUM(cn * m * m) AS sxm,
+                           SUM(CASE WHEN cn > 1 THEN (cn - 1) * v
+                                    ELSE 0.0 END) AS ssw
+                    FROM s)
+         SELECT k, n,
+                round(sxm - sx * sx / n, 6) AS ss_between,
+                round(ssw, 6) AS ss_within,
+                round(CASE WHEN k > 1 AND n > k AND ssw > 0
+                  THEN ((sxm - sx * sx / n) / (k - 1)) / (ssw / (n - k))
+                  END, 6) AS f_stat,
+                round(CASE WHEN (sxm - sx * sx / n) + ssw > 0
+                  THEN (sxm - sx * sx / n) / ((sxm - sx * sx / n) + ssw)
+                  END, 6) AS eta_sq
+         FROM r""",
+    "q_qte" ->
+      """WITH j AS (SELECT c.c_mktsegment AS g, e.event_type AS a,
+                           e.value AS v
+                    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+                    WHERE e.event_type IN ('click', 'view')
+                      AND e.value IS NOT NULL),
+              s AS (SELECT g, a, CAST(COUNT(*) AS BIGINT) AS n,
+                           quantile_cont(v, 0.25) AS q1,
+                           quantile_cont(v, 0.5) AS q2,
+                           quantile_cont(v, 0.75) AS q3,
+                           quantile_cont(v, 0.9) AS q4
+                    FROM j GROUP BY 1, 2),
+              aa AS (SELECT g, n AS n_a, q1 AS a1, q2 AS a2, q3 AS a3,
+                            q4 AS a4
+                     FROM s WHERE a = 'click'),
+              bb AS (SELECT g, n AS n_b, q1 AS b1, q2 AS b2, q3 AS b3,
+                            q4 AS b4
+                     FROM s WHERE a = 'view'),
+              ab AS (SELECT * FROM aa JOIN bb USING (g)),
+              u AS (SELECT g, n_a, n_b, CAST(0.25 AS DOUBLE) AS q,
+                           a1 AS qa, b1 AS qb FROM ab
+                    UNION ALL
+                    SELECT g, n_a, n_b, CAST(0.5 AS DOUBLE), a2, b2 FROM ab
+                    UNION ALL
+                    SELECT g, n_a, n_b, CAST(0.75 AS DOUBLE), a3, b3 FROM ab
+                    UNION ALL
+                    SELECT g, n_a, n_b, CAST(0.9 AS DOUBLE), a4, b4 FROM ab)
+         SELECT g AS c_mktsegment, n_a, n_b, q,
+                round(qa, 6) AS q_a, round(qb, 6) AS q_b,
+                round(qa - qb, 6) AS qte
+         FROM u""",
   )
 }

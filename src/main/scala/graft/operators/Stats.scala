@@ -980,6 +980,77 @@ object Stats {
         (u - n1 * n2 / 2.0) / sqrt(sigma2)), roundScale).as("z_stat"))
   }
 
+  /** Brown–Forsythe test (Brown & Forsythe JASA'74, the robust Levene
+    * variant): are the SPREADS equal across k classes? Runs [[anovaF]]
+    * on the absolute deviations from each class's MEDIAN — the
+    * variance-equality gate that decides whether a pooled-variance
+    * readout is even admissible, and by itself the "did the rollout
+    * change volatility" monitor (a treatment that leaves the mean alone
+    * but fattens the tails is invisible to [[welchTTest]] and flagged
+    * here). Median-centering (vs Levene's mean) keeps the test honest
+    * under the skewed distributions telemetry actually has.
+    *
+    * Scale shape: one per-class exact-percentile aggregate (per-class
+    * value buffer — the bounded-group contract), a broadcast join of
+    * the k-row median table back onto the input, then [[anovaF]]'s
+    * single aggregate + k-row reduce. Same degenerate-input nulls as
+    * anovaF. */
+  def brownForsythe(df: DataFrame, classCol: String, valCol: String,
+                    roundScale: Int = 6): DataFrame = {
+    val medians = df
+      .filter(col(classCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(classCol))
+      .agg(expr(s"percentile($valCol, 0.5)").as("__med"))
+    val centered = df
+      .filter(col(classCol).isNotNull && col(valCol).isNotNull)
+      .join(broadcast(medians), Seq(classCol))
+      .select(col(classCol), abs(col(valCol) - col("__med")).as("__adev"))
+    anovaF(centered, classCol, "__adev", roundScale)
+  }
+
+  /** Quantile treatment effects (the Lehmann–Doksum quantile-difference
+    * readout; standard distributional-A/B practice): per metric group,
+    * the exact per-arm quantiles at each requested probability and
+    * their difference — the distributional answer [[welchTTest]]'s mean
+    * contrast can't give (a treatment that speeds up the median but
+    * fattens p95 shows a near-zero mean shift and opposite-signed
+    * QTEs). Pairs with [[mannWhitney]]: MW says the distributions
+    * differ, QTE says WHERE.
+    *
+    * Scale shape: ONE (group, arm) exact-percentile aggregate (the
+    * per-group value-buffer contract of q_percentiles) + a self-join of
+    * the two arm rows + a per-quantile explode of the BOUNDED quantile
+    * list. Quantile interpolation parity is the established
+    * percentile/quantile_cont contract; values carry interpolation
+    * floats, so the 6dp margin rule applies (PORTABILITY.md — these are
+    * noise-carrying, not exact-integer-derived). Groups missing an arm
+    * drop via the inner join. */
+  def quantileTreatmentEffect(df: DataFrame, groupCol: String,
+                              armCol: String, valCol: String,
+                              armA: String, armB: String,
+                              qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9),
+                              roundScale: Int = 6): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
+      s"quantiles must be in (0,1): $qs")
+    val qArr = qs.map(q => s"${q}D").mkString("array(", ", ", ")")
+    val stats = df
+      .filter(col(armCol).isin(armA, armB) && col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(armCol))
+      .agg(count(lit(1)).as("__n"),
+        expr(s"percentile($valCol, $qArr)").as("__qv"))
+    def arm(tag: String, a: String) = stats.filter(col(armCol) === a)
+      .select(col(groupCol), col("__n").as(s"n_$tag"),
+        col("__qv").as(s"__qv_$tag"))
+    arm("a", armA).join(arm("b", armB), Seq(groupCol))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        posexplode(arrays_zip(col("__qv_a"), col("__qv_b"))))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        element_at(typedLit(qs), col("pos") + 1).as("q"),
+        round(col("col.__qv_a"), roundScale).as("q_a"),
+        round(col("col.__qv_b"), roundScale).as("q_b"),
+        round(col("col.__qv_a") - col("col.__qv_b"), roundScale).as("qte"))
+  }
+
   /** Cochran–Mantel–Haenszel pooled odds ratio (Mantel & Haenszel JNCI
     * 1959): the stratified 2×2 estimate OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ)
     * — what you report INSTEAD of the crude pooled odds ratio when

@@ -556,4 +556,46 @@ class StatsSpec extends SparkSuite {
     val one = Seq((1.0, true), (2.0, true)).toDF("s", "y")
     assert(Stats.mannWhitney(one, "s", "y").collect().head.isNullAt(4))
   }
+
+  test("brownForsythe: spread difference detected, equal spreads F=0") {
+    // a = [1,2,3] (adev 1,0,1), b = [10,20,30] (adev 10,0,10):
+    // SSB = 3·9 + 3·9 = 54 ; SSW = 2/3 + 200/3·… — means 2/3 vs 20/3
+    val df = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0,
+      "b" -> 10.0, "b" -> 20.0, "b" -> 30.0).toDF("cls", "v")
+    val r = Stats.brownForsythe(df, "cls", "v").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 6L)
+    assert(r.getDouble(2) === 54.0, "ss_between")
+    assert(r.getDouble(4) > 1.0, "unequal spreads must score high F")
+    // same spread at different locations → adevs identical → F = 0
+    val eq = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0,
+      "b" -> 11.0, "b" -> 12.0, "b" -> 13.0).toDF("cls", "v")
+    val re = Stats.brownForsythe(eq, "cls", "v").collect().head
+    assert(re.getDouble(2) === 0.0 && re.isNullAt(4) === false
+      || re.getDouble(2) === 0.0, re.toString)
+    assert(re.getDouble(4) === 0.0 || re.isNullAt(4), re.toString)
+  }
+
+  test("quantileTreatmentEffect: exact interpolated quantile diffs") {
+    // arm a = [1,2,3,4], arm b = [2,4,6,8] in one group: b = 2·a →
+    // every quantile of b is twice a's, qte = −q_a
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(v => ("g", "t", v)) ++
+      Seq(2.0, 4.0, 6.0, 8.0).map(v => ("g", "c", v)) ++
+      Seq(("lonely", "t", 5.0))) // group missing arm c → dropped
+      .toDF("grp", "arm", "v")
+    val out = Stats.quantileTreatmentEffect(df, "grp", "arm", "v",
+        armA = "t", armB = "c")
+      .collect().map(r => r.getDouble(3) ->
+        ((r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out.keySet === Set(0.25, 0.5, 0.75, 0.9))
+    assert(out(0.5) === ((2.5, 5.0, -2.5)))
+    assert(out(0.25) === ((1.75, 3.5, -1.75)))
+    assert(out(0.9) === ((3.7, 7.4, -3.7)))
+    // the arm-missing group is absent entirely
+    val rows = Stats.quantileTreatmentEffect(df, "grp", "arm", "v", "t", "c")
+      .select("grp").distinct().collect().map(_.getString(0)).toSet
+    assert(rows === Set("g"))
+    intercept[IllegalArgumentException](
+      Stats.quantileTreatmentEffect(df, "grp", "arm", "v", "t", "c",
+        qs = Seq(0.0)))
+  }
 }
