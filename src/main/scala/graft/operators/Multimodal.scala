@@ -272,6 +272,97 @@ object Multimodal {
     spark.createDataFrame(rows, audioStatsSchema)
   }
 
+  val toneEnergySchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("freq_hz", DoubleType, nullable = false),
+    StructField("rel_power", DoubleType, nullable = true),
+    StructField("detected", BooleanType, nullable = true),
+    StructField("decode_error", StringType, nullable = true)))
+
+  /** Goertzel single-bin tone detection (Goertzel '58 — the classic
+    * DTMF/beep detector: the power of ONE DFT bin in O(n) without an
+    * FFT): per asset and target frequency, the Goertzel power of the
+    * channel-mixed 16-bit PCM signal NORMALIZED by total signal power —
+    * `rel_power` ≈ 1 means the signal IS that tone, ≈ 0 means none of
+    * its energy sits there — plus a `detected` flag at the caller's
+    * threshold. The intake screen for dial-tones, test beeps, hum
+    * (50/60 Hz) and other synthetic-audio markers an audio corpus wants
+    * flagged before training.
+    *
+    * Same real-parse/mapPartitions boundary as [[decodeWavPcm]] (per-row
+    * error capture, no codec libs — canonical PCM WAV only). Output is
+    * assets × |freqs| rows; the frequency list is a small literal.
+    * Spec-verified on synthesized sine/square/silence fixtures
+    * (pure-JVM trig — no SQL oracle, like the other real decoders). */
+  def toneEnergies(assets: DataFrame, freqsHz: Seq[Double],
+                   detectAt: Double = 0.5): DataFrame = {
+    require(freqsHz.nonEmpty && freqsHz.forall(_ > 0),
+      s"freqsHz must be non-empty positive: $freqsHz")
+    require(detectAt > 0 && detectAt <= 1, s"detectAt in (0,1]: $detectAt")
+    val spark = assets.sparkSession
+    val freqs = freqsHz.toArray
+    val rows = assets.select(col("asset_id"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val parsed =
+            if (payload == null) Left("null payload") else parseWav(payload)
+          parsed match {
+            case Left(err) =>
+              freqs.map(f => Row(id, f, null, null, err))
+            case Right((ch, sr, samples)) =>
+              // mix to mono: per-frame channel mean
+              val nFrames = samples.length / ch
+              val mono = new Array[Double](nFrames)
+              var i = 0
+              while (i < nFrames) {
+                var s = 0.0
+                var c = 0
+                while (c < ch) { s += samples(i * ch + c); c += 1 }
+                mono(i) = s / ch
+                i += 1
+              }
+              var msq = 0.0
+              i = 0
+              while (i < nFrames) { msq += mono(i) * mono(i); i += 1 }
+              msq /= math.max(nFrames, 1)
+              freqs.map { f =>
+                if (nFrames == 0 || msq == 0.0)
+                  Row(id, f, null, null, "empty or silent signal")
+                else if (f >= sr / 2.0)
+                  Row(id, f, null, null,
+                    s"freq $f above Nyquist (sr=$sr)")
+                else {
+                  val w = 2.0 * math.Pi * f / sr
+                  val coeff = 2.0 * math.cos(w)
+                  var s1 = 0.0; var s2 = 0.0
+                  var j = 0
+                  while (j < nFrames) {
+                    val s0 = mono(j) + coeff * s1 - s2
+                    s2 = s1; s1 = s0
+                    j += 1
+                  }
+                  val power = s1 * s1 + s2 * s2 - coeff * s1 * s2
+                  // pure tone of amplitude A at f: power ≈ (A·N/2)²,
+                  // total msq = A²/2 → rel = power/(N/2)²/(2·msq) ≈ 1
+                  val rel = power / ((nFrames / 2.0) * (nFrames / 2.0)) /
+                    (2.0 * msq)
+                  val relClamped = math.min(rel, 1.0)
+                  Row(id, f,
+                    BigDecimal(relClamped)
+                      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                      .toDouble,
+                    java.lang.Boolean.valueOf(relClamped >= detectAt),
+                    null)
+                }
+              }
+          }
+        }
+      }
+    spark.createDataFrame(rows, toneEnergySchema)
+  }
+
   /** Output schema of [[resizePpm]]. */
   val resizedSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),

@@ -203,4 +203,57 @@ class MultimodalSpec extends SparkSuite {
     // malformed payload is a decode_error row, not a task failure
     assert(!out(4L).isNullAt(8) && out(4L).isNullAt(5))
   }
+
+  test("toneEnergies: Goertzel finds the sine's bin, rejects the rest") {
+    import spark.implicits._
+    def wav(ch: Int, sr: Int, samples: Seq[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(ch.toShort)
+      bb.putInt(sr); bb.putInt(sr * ch * 2)
+      bb.putShort((ch * 2).toShort); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      samples.foreach(s => bb.putShort(s))
+      bb.array()
+    }
+    val sr = 8000
+    // 1 kHz sine, one full second (integer number of cycles → clean bin)
+    val sine = wav(1, sr, (0 until sr).map(i =>
+      (8000 * math.sin(2 * math.Pi * 1000 * i / sr)).toShort))
+    // stereo version: same tone on both channels (mixing must keep it)
+    val stereo = wav(2, sr, (0 until sr).flatMap(i => {
+      val s = (8000 * math.sin(2 * math.Pi * 1000 * i / sr)).toShort
+      Seq(s, s)
+    }))
+    val silent = wav(1, sr, Seq.fill(64)(0.toShort))
+    val junk = "RIFFjunk".getBytes("US-ASCII")
+    val assets = Multimodal.toAssets(
+      Seq((1L, sine), (2L, stereo), (3L, silent), (4L, junk))
+        .toDF("id", "bytes"), "id", "bytes")
+    val out = Multimodal.toneEnergies(assets, Seq(1000.0, 1570.0, 60.0))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)) -> r).toMap
+    // the sine's bin holds ~all the power; off-bin frequencies ~none
+    assert(out((1L, 1000.0)).getDouble(2) > 0.98)
+    assert(out((1L, 1000.0)).getBoolean(3))
+    assert(out((1L, 1570.0)).getDouble(2) < 0.02)
+    assert(!out((1L, 1570.0)).getBoolean(3))
+    assert(out((1L, 60.0)).getDouble(2) < 0.05)
+    // channel mixing preserves the tone
+    assert(out((2L, 1000.0)).getDouble(2) > 0.98)
+    // silence and junk are error rows per frequency, never task failures
+    assert(!out((3L, 1000.0)).isNullAt(4) && out((3L, 1000.0)).isNullAt(2))
+    assert(!out((4L, 1000.0)).isNullAt(4))
+    // Nyquist guard: a 5 kHz probe at sr=8000 is an error row
+    val ny = Multimodal.toneEnergies(assets, Seq(5000.0))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!ny(1L).isNullAt(4) && ny(1L).getString(4).contains("Nyquist"))
+    intercept[IllegalArgumentException](
+      Multimodal.toneEnergies(assets, Seq.empty))
+    intercept[IllegalArgumentException](
+      Multimodal.toneEnergies(assets, Seq(100.0), detectAt = 0.0))
+  }
 }
