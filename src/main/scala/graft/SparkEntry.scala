@@ -3386,6 +3386,13 @@ object SparkEntry {
       "value", armA = "click", armB = "view")
   }
 
+  /** §2b cumulative gains / lift curve: deciles of the stopword
+    * en-score vs share of English docs captured — "review the top k%,
+    * catch what fraction" — the operating-point companion to q_auc on
+    * the same collapse. */
+  private def q_gain_curve(s: SparkSession, d: String): DataFrame =
+    Stats.gainCurve(enScored(s, d), "en_score", "is_en")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3679,6 +3686,7 @@ object SparkEntry {
     "q_mann_whitney" -> (q_mann_whitney _),
     "q_brown_forsythe" -> (q_brown_forsythe _),
     "q_qte" -> (q_qte _),
+    "q_gain_curve" -> (q_gain_curve _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -9257,5 +9265,49 @@ object SparkEntry {
                 round(qa, 6) AS q_a, round(qb, 6) AS q_b,
                 round(qa - qb, 6) AS qte
          FROM u""",
+    "q_gain_curve" ->
+      s"""WITH base AS (SELECT round(CASE WHEN n > 0 THEN ns / n ELSE 0.0 END,
+                          6) AS s,
+                        (lang = 'en') AS y
+                 FROM (SELECT lang,
+                         CAST(len($duckTokens) AS DOUBLE) AS n,
+                         CAST(len(list_filter($duckTokens,
+                           t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+                           AS BIGINT) AS ns
+                       FROM documents
+                       WHERE lang IS NOT NULL)),
+              per AS (SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+                             sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cn
+                      FROM base GROUP BY s),
+              tot AS (SELECT CAST(sum(cp + cn) AS BIGINT) AS nn,
+                             CAST(sum(cp) AS BIGINT) AS pp
+                      FROM per),
+              cum AS (SELECT s,
+                             CAST(sum(cp + cn) OVER (ORDER BY s DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cumN,
+                             CAST(sum(cp) OVER (ORDER BY s DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cumP
+                      FROM per),
+              bk AS (SELECT CAST(ceil(CAST(cumN AS DOUBLE) * 10
+                               / CAST(nn AS DOUBLE)) AS INTEGER) AS bucket,
+                            CAST(max(cumN) AS BIGINT) AS bN,
+                            CAST(max(cumP) AS BIGINT) AS bP,
+                            CAST(max(nn) AS BIGINT) AS nn,
+                            CAST(max(pp) AS BIGINT) AS pp
+                     FROM cum CROSS JOIN tot
+                     GROUP BY 1)
+         SELECT bucket, bN AS cum_rows, bP AS cum_positives,
+                round(CAST(bN AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+                  AS population_share,
+                round(CASE WHEN pp > 0
+                  THEN CAST(bP AS DOUBLE) / CAST(pp AS DOUBLE) END, 6)
+                  AS capture_share,
+                round(CASE WHEN pp > 0 AND bN > 0
+                  THEN (CAST(bP AS DOUBLE) / CAST(pp AS DOUBLE))
+                     / (CAST(bN AS DOUBLE) / CAST(nn AS DOUBLE)) END, 6)
+                  AS lift
+         FROM bk""",
   )
 }

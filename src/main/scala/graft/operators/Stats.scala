@@ -980,6 +980,56 @@ object Stats {
         (u - n1 * n2 / 2.0) / sqrt(sigma2)), roundScale).as("z_stat"))
   }
 
+  /** Cumulative gains / lift curve (the classic marketing-response
+    * readout, and for a corpus filter the review-budget planner): sort
+    * by score DESCENDING, cut the population into `buckets` equal
+    * slices, and report per slice the cumulative share of positives
+    * captured and the lift over random targeting — "reviewing the
+    * top-20% by classifier score catches 61% of the junk" is this
+    * table's second row. The operating-point companion to [[rocAuc]]
+    * (AUC integrates this curve; decisions happen at a budget).
+    *
+    * Scale shape: the [[rocAuc]] collapse — per-DISTINCT-ROUNDED-SCORE
+    * class counts, ONE bounded value-grid window (descending), then a
+    * bucket aggregate. A tie block spanning a bucket boundary lands in
+    * the bucket of its LAST row (ties are indivisible — the standard
+    * grouped-gains convention; bucket row counts can be uneven under
+    * heavy ties and `n_rows` reports the truth). Exact integers to the
+    * closing divisions, 6dp. */
+  def gainCurve(df: DataFrame, scoreCol: String, labelCol: String,
+                buckets: Int = 10, roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val perScore = perScoreCounts(df, scoreCol, labelCol, roundScale)
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = perScore.agg(sum(col("__cp") + col("__cn")).as("__N"),
+      sum(col("__cp")).as("__P"))
+    val cum = perScore
+      .withColumn("__cumN", sum(col("__cp") + col("__cn")).over(w))
+      .withColumn("__cumP", sum(col("__cp")).over(w))
+      .crossJoin(broadcast(totals))
+      // bucket of the tie block's LAST row: ceil(cumN·buckets/N)
+      .withColumn("bucket",
+        ceil(col("__cumN").cast("double") * buckets
+          / col("__N").cast("double")).cast("int"))
+    cum.groupBy(col("bucket"))
+      .agg(max(col("__cumN")).as("__bN"), max(col("__cumP")).as("__bP"),
+        max(col("__N")).as("__N"), max(col("__P")).as("__P"))
+      .select(col("bucket"),
+        col("__bN").as("cum_rows"),
+        col("__bP").as("cum_positives"),
+        round(col("__bN").cast("double") / col("__N").cast("double"), 6)
+          .as("population_share"),
+        round(when(col("__P") > 0,
+          col("__bP").cast("double") / col("__P").cast("double")), 6)
+          .as("capture_share"),
+        round(when(col("__P") > 0 && col("__bN") > 0,
+          (col("__bP").cast("double") / col("__P").cast("double"))
+            / (col("__bN").cast("double") / col("__N").cast("double"))), 6)
+          .as("lift"))
+  }
+
   /** Brown–Forsythe test (Brown & Forsythe JASA'74, the robust Levene
     * variant): are the SPREADS equal across k classes? Runs [[anovaF]]
     * on the absolute deviations from each class's MEDIAN — the

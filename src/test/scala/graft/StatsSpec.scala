@@ -598,4 +598,25 @@ class StatsSpec extends SparkSuite {
       Stats.quantileTreatmentEffect(df, "grp", "arm", "v", "t", "c",
         qs = Seq(0.0)))
   }
+
+  test("gainCurve: perfect ranking captures everything in the top slice") {
+    // 10 rows, scores 10..1, positives at scores 10 and 9 (the top 2):
+    // halves (buckets=2): top half captures 2/2 → lift 2.0; bottom
+    // half cumulative = all rows, capture 1.0, lift 1.0
+    val df = (1 to 10).map(i => (i.toDouble, i >= 9)).toDF("s", "y")
+    val out = Stats.gainCurve(df, "s", "y", buckets = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out(1) === ((5L, 2L, 1.0, 2.0)))
+    assert(out(2) === ((10L, 2L, 1.0, 1.0)))
+    // tie block spanning a boundary lands in its LAST row's bucket:
+    // 4 rows all score 1 → one block, bucket 2; bucket 1 has no rows
+    val tied = Seq((1.0, true), (1.0, false), (1.0, false), (1.0, false))
+      .toDF("s", "y")
+    val tout = Stats.gainCurve(tied, "s", "y", buckets = 2)
+      .collect().map(_.getInt(0)).toSet
+    assert(tout === Set(2))
+    intercept[IllegalArgumentException](Stats.gainCurve(df, "s", "y", 1))
+  }
 }
