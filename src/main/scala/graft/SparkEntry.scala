@@ -3393,6 +3393,22 @@ object SparkEntry {
   private def q_gain_curve(s: SparkSession, d: String): DataFrame =
     Stats.gainCurve(enScored(s, d), "en_score", "is_en")
 
+  /** §2b Cramér's V: the [0,1] effect size of the lang × source
+    * association — the magnitude readout beside q_chisq_indep's
+    * per-cell significance decomposition. */
+  private def q_cramers_v(s: SparkSession, d: String): DataFrame =
+    Stats.cramersV(Tables.documents(s, d), "lang", "source")
+
+  /** §2b conversion latency: per segment, view→purchase conversion
+    * rate plus p50/p90/mean first-touch→first-conversion seconds — the
+    * lag distribution funnel depth counts can't show. */
+  private def q_conversion_latency(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .join(Tables.customer(s, d), col("user_id") === col("c_custkey"))
+    EventAnalytics.conversionLatency(e, "c_mktsegment", "user_id", "ts",
+      fromType = "view", toType = "purchase")
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3687,6 +3703,8 @@ object SparkEntry {
     "q_brown_forsythe" -> (q_brown_forsythe _),
     "q_qte" -> (q_qte _),
     "q_gain_curve" -> (q_gain_curve _),
+    "q_cramers_v" -> (q_cramers_v _),
+    "q_conversion_latency" -> (q_conversion_latency _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -9309,5 +9327,56 @@ object SparkEntry {
                      / (CAST(bN AS DOUBLE) / CAST(nn AS DOUBLE)) END, 6)
                   AS lift
          FROM bk""",
+    "q_cramers_v" ->
+      """WITH cells AS (SELECT lang, source, COUNT(*) AS n
+                        FROM documents GROUP BY 1, 2),
+              rt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS ra
+                     FROM cells GROUP BY 1),
+              ct AS (SELECT source, CAST(SUM(n) AS BIGINT) AS cb
+                     FROM cells GROUP BY 1),
+              g AS (SELECT CAST(SUM(n) AS BIGINT) AS gg,
+                           CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+                           CAST(COUNT(DISTINCT source) AS BIGINT) AS c
+                    FROM cells),
+              grid AS (SELECT rt.lang, rt.ra, ct.source, ct.cb,
+                              COALESCE(cells.n, 0) AS n
+                       FROM rt CROSS JOIN ct
+                       LEFT JOIN cells ON cells.lang = rt.lang
+                         AND cells.source = ct.source),
+              s AS (SELECT gg, r, c,
+                      SUM((CAST(n AS DOUBLE) - CAST(ra AS DOUBLE) * cb / gg)
+                        * (CAST(n AS DOUBLE) - CAST(ra AS DOUBLE) * cb / gg)
+                        / (CAST(ra AS DOUBLE) * cb / gg)) AS chi2
+                    FROM grid CROSS JOIN g
+                    GROUP BY 1, 2, 3)
+         SELECT r AS n_rows_dim, c AS n_cols_dim, gg AS n,
+                round(chi2, 6) AS chi2,
+                round(CASE WHEN least(r, c) > 1
+                  THEN sqrt(chi2 / (CAST(gg AS DOUBLE)
+                    * CAST(least(r, c) - 1 AS DOUBLE))) END, 6)
+                  AS cramers_v
+         FROM s""",
+    "q_conversion_latency" ->
+      """WITH e AS (SELECT c.c_mktsegment AS g, ev.user_id AS u,
+                           ev.event_type AS t, epoch_us(ev.ts) AS us
+                    FROM events ev
+                    JOIN customer c ON ev.user_id = c.c_custkey),
+              f AS (SELECT g, u, min(us) AS t0
+                    FROM e WHERE t = 'view' GROUP BY 1, 2),
+              j AS (SELECT f.g, f.u, f.t0,
+                           min(CASE WHEN p.us > f.t0 THEN p.us END) AS tc
+                    FROM f LEFT JOIN (SELECT g, u, us FROM e
+                                      WHERE t = 'purchase') p
+                      ON f.g = p.g AND f.u = p.u
+                    GROUP BY 1, 2, 3)
+         SELECT g AS c_mktsegment,
+                CAST(COUNT(*) AS BIGINT) AS n_from_users,
+                CAST(COUNT(tc) AS BIGINT) AS n_converted,
+                round(CAST(COUNT(tc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                  6) AS conversion_rate,
+                quantile_cont(tc - t0, 0.5) / 1000000.0 AS p50_latency_s,
+                quantile_cont(tc - t0, 0.9) / 1000000.0 AS p90_latency_s,
+                avg(tc - t0) / 1000000.0 AS mean_latency_s
+         FROM j GROUP BY 1""",
   )
 }

@@ -406,6 +406,48 @@ object EventAnalytics {
           .as("max_gap_s"))
   }
 
+  /** Conversion latency: per group, how MANY of the users who did
+    * `fromType` went on to do `toType` strictly after their first
+    * `fromType`, and how LONG that took — conversion rate plus the
+    * p50/p90/mean of first-touch→first-conversion seconds. The latency
+    * distribution [[funnelSteps]]' depth counts don't give (two funnels
+    * with identical conversion can have hour-vs-week lags — the lag IS
+    * the product signal), using the funnel's own strictly-after
+    * semantics.
+    *
+    * Scale shape: two filtered (group, user) min-aggregates + one
+    * conditional-min join keyed on the user, then ONE group aggregate;
+    * the exact latency percentiles buffer per-GROUP converted-user
+    * lists (the bounded-group contract — groups are the analysis unit).
+    * Latency stats are exact-micro-derived and deliberately UNROUNDED
+    * (PORTABILITY.md rational-half rule); the conversion rate is an
+    * exact integer ratio, 6dp. */
+  def conversionLatency(events: DataFrame, groupCol: String,
+                        userCol: String, tsCol: String,
+                        fromType: String, toType: String,
+                        typeCol: String = "event_type"): DataFrame = {
+    val first = events.filter(col(typeCol) === fromType)
+      .groupBy(col(groupCol), col(userCol))
+      .agg(min(unix_micros(col(tsCol))).as("__t0"))
+    val conv = events.filter(col(typeCol) === toType)
+      .select(col(groupCol), col(userCol),
+        unix_micros(col(tsCol)).as("__t1"))
+    val joined = first
+      .join(conv, Seq(groupCol, userCol), "left")
+      .groupBy(col(groupCol), col(userCol), col("__t0"))
+      .agg(min(when(col("__t1") > col("__t0"), col("__t1"))).as("__tc"))
+    joined.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_from_users"),
+        count(col("__tc")).as("n_converted"),
+        round(count(col("__tc")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("conversion_rate"),
+        (expr("percentile(__tc - __t0, 0.5)") / 1000000.0)
+          .as("p50_latency_s"),
+        (expr("percentile(__tc - __t0, 0.9)") / 1000000.0)
+          .as("p90_latency_s"),
+        (avg(col("__tc") - col("__t0")) / 1000000.0).as("mean_latency_s"))
+  }
+
   /** Stationary distribution of the empirical first-order Markov chain
     * (power iteration, `iters` UNROLLED rounds from the uniform vector):
     * where the event process settles if today's transition behavior

@@ -506,6 +506,47 @@ object Stats {
         round(dev * dev / e, 6).as("chi2_contrib"))
   }
 
+  /** Cramér's V (Cramér '46): the [0,1] effect size for a two-way
+    * contingency — V = √(χ²/(n·(min(r,c)−1))) — the magnitude readout
+    * [[chiSquareIndependence]]'s per-cell significance decomposition
+    * doesn't give (on a large corpus EVERYTHING is significant; V says
+    * whether the association is worth acting on: ~0.1 weak, ~0.3
+    * moderate, ≥0.5 strong by the usual convention). One row:
+    * dimensions, n, χ², V.
+    *
+    * Scale shape: ONE (a,b) cell aggregate, two marginal
+    * re-aggregations, then the FULL r×c marginal grid (a bounded cross
+    * join of the two marginal tables) left-joined with the observed
+    * cells — unlike [[chiSquareIndependence]]'s per-cell decomposition
+    * (which documents dropping absent cells), the SUMMED statistic must
+    * count zero cells' (0−E)²/E = E mass or V loses its [0,1] anchor
+    * (a perfect 2×2 association would score 1/√2, not 1 — spec-pinned).
+    * Degenerate tables (r or c = 1 ⟹ no association to measure) yield
+    * null V. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String,
+               roundScale: Int = 6): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy(col(aCol)).agg(sum(col("n")).as("__ra"))
+    val colTot = cells.groupBy(col(bCol)).agg(sum(col("n")).as("__cb"))
+    val grand = cells.agg(sum(col("n")).as("__g"),
+      countDistinct(col(aCol)).as("__r"), countDistinct(col(bCol)).as("__c"))
+    val e = col("__ra").cast("double") * col("__cb") / col("__g")
+    val dev = coalesce(col("n"), lit(0L)).cast("double") - e
+    rowTot.crossJoin(colTot)
+      .join(cells, Seq(aCol, bCol), "left")
+      .crossJoin(broadcast(grand))
+      .groupBy(col("__g"), col("__r"), col("__c"))
+      .agg(sum(dev * dev / e).as("__chi2"))
+      .select(col("__r").as("n_rows_dim"), col("__c").as("n_cols_dim"),
+        col("__g").as("n"),
+        round(col("__chi2"), roundScale).as("chi2"),
+        round(when(least(col("__r"), col("__c")) > 1,
+          sqrt(col("__chi2") / (col("__g").cast("double")
+            * (least(col("__r"), col("__c")) - 1).cast("double")))),
+          roundScale).as("cramers_v"))
+  }
+
   /** Simpson's-paradox guard for a two-group rate comparison: the pooled
     * rate difference vs the stratum-size-weighted difference (the
     * crude/adjusted contrast of a stratified analysis — Cochran-style

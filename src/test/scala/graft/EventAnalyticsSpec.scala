@@ -253,4 +253,32 @@ class EventAnalyticsSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(pa("b") === 1.0 && pa("a") === 0.0, pa.toString)
   }
+
+  test("conversionLatency: strictly-after rule, exact latency stats") {
+    def t(sec: Int) = Timestamp.valueOf(
+      f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d")
+    // u1: view → purchase 10 s later (converts, 10 s)
+    // u2: view only (no conversion)
+    // u3: purchase BEFORE its only view (strictly-after ⇒ no conversion)
+    // u4: view → purchase 30 s later (converts, 30 s)
+    val ev = Seq(
+      ("g", 1L, t(0), "view"), ("g", 1L, t(10), "purchase"),
+      ("g", 2L, t(0), "view"),
+      ("g", 3L, t(5), "purchase"), ("g", 3L, t(6), "view"),
+      ("g", 4L, t(0), "view"), ("g", 4L, t(30), "purchase")
+    ).toDF("grp", "user_id", "ts", "event_type")
+    val r = EventAnalytics.conversionLatency(ev, "grp", "user_id", "ts",
+        "view", "purchase").collect().head
+    assert(r.getLong(1) === 4L && r.getLong(2) === 2L)
+    assert(r.getDouble(3) === 0.5)
+    assert(r.getDouble(4) === 20.0) // p50 of {10,30}
+    assert(r.getDouble(6) === 20.0) // mean
+    // a user whose purchase ties the first view's timestamp exactly
+    // does NOT convert (strictly after)
+    val tie = Seq(("g", 9L, t(0), "view"), ("g", 9L, t(0), "purchase"))
+      .toDF("grp", "user_id", "ts", "event_type")
+    val rt = EventAnalytics.conversionLatency(tie, "grp", "user_id", "ts",
+        "view", "purchase").collect().head
+    assert(rt.getLong(1) === 1L && rt.getLong(2) === 0L)
+  }
 }

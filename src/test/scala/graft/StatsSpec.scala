@@ -619,4 +619,19 @@ class StatsSpec extends SparkSuite {
     assert(tout === Set(2))
     intercept[IllegalArgumentException](Stats.gainCurve(df, "s", "y", 1))
   }
+
+  test("cramersV: perfect association 1.0, independence 0, degenerate null") {
+    val perfect = (Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("b", "y")))
+      .toDF("u", "v")
+    val p = Stats.cramersV(perfect, "u", "v").collect().head
+    assert(p.getLong(0) === 2L && p.getLong(1) === 2L && p.getLong(2) === 10L)
+    assert(p.getDouble(3) === 10.0 && p.getDouble(4) === 1.0) // χ²=n, V=1
+    val indep = (for (u <- Seq("a", "b"); v <- Seq("x", "y")) yield (u, v))
+      .toDF("u", "v")
+    val i = Stats.cramersV(indep, "u", "v").collect().head
+    assert(i.getDouble(3) === 0.0 && i.getDouble(4) === 0.0)
+    // one-dimensional table: nothing to associate → null V
+    val deg = Seq(("a", "x"), ("a", "y")).toDF("u", "v")
+    assert(Stats.cramersV(deg, "u", "v").collect().head.isNullAt(4))
+  }
 }
