@@ -3409,6 +3409,22 @@ object SparkEntry {
       fromType = "view", toType = "purchase")
   }
 
+  /** §2b effective sample size: per nation, how many equally-weighted
+    * suppliers its lineitem volume is actually worth — Kish ESS over
+    * per-supplier item counts, the supplier-concentration readout. */
+  private def q_ess(s: SparkSession, d: String): DataFrame = {
+    val perSupp = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("w"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+    Corpus.effectiveSampleSize(perSupp, "s_nationkey", "w")
+  }
+
+  /** §2b pairwise source-distribution JSD matrix: which sources draw
+    * from the same language mix — jsDivergence lifted to all unordered
+    * source pairs, one-sided bins contributing their finite ½p·ln 2. */
+  private def q_jsd_matrix(s: SparkSession, d: String): DataFrame =
+    Stats.jsdMatrix(Tables.documents(s, d), "source", "lang")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3705,6 +3721,8 @@ object SparkEntry {
     "q_gain_curve" -> (q_gain_curve _),
     "q_cramers_v" -> (q_cramers_v _),
     "q_conversion_latency" -> (q_conversion_latency _),
+    "q_ess" -> (q_ess _),
+    "q_jsd_matrix" -> (q_jsd_matrix _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -9378,5 +9396,52 @@ object SparkEntry {
                 quantile_cont(tc - t0, 0.9) / 1000000.0 AS p90_latency_s,
                 avg(tc - t0) / 1000000.0 AS mean_latency_s
          FROM j GROUP BY 1""",
+    "q_ess" ->
+      """WITH w AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS w
+                    FROM lineitem GROUP BY 1),
+              j AS (SELECT s.s_nationkey, CAST(w.w AS DOUBLE) AS w
+                    FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey),
+              a AS (SELECT s_nationkey,
+                           CAST(COUNT(*) AS BIGINT) AS n_units,
+                           SUM(w) AS sw, SUM(w * w) AS sww
+                    FROM j GROUP BY 1)
+         SELECT s_nationkey, n_units, sw AS sum_w,
+                CASE WHEN sww > 0 THEN sw * sw / sww END AS ess,
+                CASE WHEN sww > 0
+                  THEN (sw * sw / sww) / CAST(n_units AS DOUBLE) END
+                  AS ess_ratio
+         FROM a""",
+    "q_jsd_matrix" ->
+      """WITH counts AS (SELECT source AS g, lang AS b, COUNT(*) AS n
+                         FROM documents GROUP BY 1, 2),
+              tot AS (SELECT g, CAST(SUM(n) AS BIGINT) AS t
+                      FROM counts GROUP BY 1),
+              shares AS (SELECT counts.g, b,
+                                CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p
+                         FROM counts JOIN tot USING (g)),
+              grid AS (SELECT a.g AS g_a, b.g AS g_b
+                       FROM (SELECT DISTINCT g FROM shares) a
+                       CROSS JOIN (SELECT DISTINCT g FROM shares) b
+                       WHERE a.g < b.g),
+              ab AS (SELECT grid.g_a, grid.g_b, s.b, s.p AS pa
+                     FROM grid JOIN shares s ON s.g = grid.g_a),
+              bb AS (SELECT grid.g_a, grid.g_b, s.b, s.p AS pb
+                     FROM grid JOIN shares s ON s.g = grid.g_b),
+              f AS (SELECT COALESCE(ab.g_a, bb.g_a) AS g_a,
+                           COALESCE(ab.g_b, bb.g_b) AS g_b,
+                           COALESCE(pa, 0.0) AS pa,
+                           COALESCE(pb, 0.0) AS pb
+                    FROM ab FULL JOIN bb
+                      ON ab.g_a = bb.g_a AND ab.g_b = bb.g_b
+                     AND ab.b = bb.b)
+         SELECT g_a, g_b,
+                round(SUM(
+                  (CASE WHEN pa > 0.0
+                    THEN pa * ln(pa / ((pa + pb) / 2.0)) / 2.0
+                    ELSE 0.0 END)
+                  + (CASE WHEN pb > 0.0
+                    THEN pb * ln(pb / ((pa + pb) / 2.0)) / 2.0
+                    ELSE 0.0 END)), 6) AS jsd
+         FROM f GROUP BY 1, 2""",
   )
 }

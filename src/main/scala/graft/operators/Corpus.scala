@@ -742,6 +742,37 @@ object Corpus {
           .as("est_intersection"))
   }
 
+  /** Effective sample size under weights (Kish '65 design effect):
+    * per group, ESS = (Σw)²/Σw² and the ESS/n ratio — how many
+    * EQUALLY-WEIGHTED units a weighted collection is actually worth.
+    * The acceptance readout for every weighted stage this engine ships:
+    * count-preserving dedup weights, temperature mixes, importance
+    * weights — a source whose volume is carried by a few heavy
+    * survivors has ESS ≪ n, and statistics over it deserve the wider
+    * error bars ESS implies (also the classic concentration readout:
+    * ESS/n near 1/n means one unit IS the group).
+    *
+    * Scale shape: ONE map-side-combined hash aggregate (n, Σw, Σw²).
+    * With integer (or dyadic) weights every sum is exact, so the two
+    * closing divisions are bit-deterministic cross-engine and the
+    * outputs are deliberately UNROUNDED (PORTABILITY.md rational-half
+    * rule); float weights carry ordering noise — round at the call
+    * site if you must feed those. Zero-total groups yield null. */
+  def effectiveSampleSize(df: DataFrame, groupCol: String,
+                          weightCol: String): DataFrame = {
+    val w = col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_units"),
+        sum(w).as("__sw"), sum(w * w).as("__sww"))
+      .select(col(groupCol), col("n_units"),
+        col("__sw").as("sum_w"),
+        when(col("__sww") > 0, col("__sw") * col("__sw") / col("__sww"))
+          .as("ess"),
+        when(col("__sww") > 0, (col("__sw") * col("__sw") / col("__sww"))
+          / col("n_units").cast("double")).as("ess_ratio"))
+  }
+
   /** EXACT heavy hitters via the two-phase sketch-then-recount pattern:
     * items whose frequency exceeds n/(k+1), computed without ever running
     * a full distinct-item aggregation.

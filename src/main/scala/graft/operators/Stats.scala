@@ -697,6 +697,54 @@ object Stats {
         round(half(p) + half(q), 6).as("jsd_contrib"))
   }
 
+  /** Pairwise Jensen–Shannon divergence matrix: for every unordered
+    * pair of groups, the summed JSD between their `binCol`
+    * distributions — [[jsDivergence]] (one ref vs one cur) lifted to
+    * the all-pairs readout "which sources draw from the same mix"
+    * (the distributional sibling of the token-overlap
+    * q_source_similarity). Zero-share bins contribute the finite
+    * ½p·ln 2 exactly as jsDivergence does; bounded [0, ln 2], so one
+    * threshold transfers across corpora.
+    *
+    * Scale shape: ONE (group, bin) count aggregate collapses the
+    * corpus; the pair work is a groups×groups self-join over the
+    * BOUNDED share table (each side carrying its bins as a grid via
+    * the per-group totals join), groups² × bins rows total — for
+    * source/lang-sized domains, trivially small. */
+  def jsdMatrix(df: DataFrame, groupCol: String,
+                binCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(binCol))
+      .agg(count(lit(1)).as("__n"))
+    val totals = counts.groupBy(col(groupCol)).agg(sum(col("__n")).as("__t"))
+    // cached: the bounded share table feeds the pair grid and both
+    // sides of the per-pair bin union
+    val shares = counts.join(totals, Seq(groupCol))
+      .select(col(groupCol).as("__g"), col(binCol).as("__b"),
+        (col("__n").cast("double") / col("__t").cast("double")).as("__p"))
+      .cache()
+    val grid = shares.select(col("__g").as("g_a")).distinct()
+      .crossJoin(shares.select(col("__g").as("g_b")).distinct())
+      .filter(col("g_a") < col("g_b"))
+    // every (pair, bin) where EITHER side has mass, the other side
+    // coalesced to 0 — the full-outer that gives one-sided bins their
+    // finite ½p·ln 2 term
+    val aBins = grid.join(shares.select(col("__g").as("g_a"), col("__b"),
+      col("__p").as("__pa")), Seq("g_a"))
+    val bBins = grid.join(shares.select(col("__g").as("g_b"), col("__b"),
+      col("__p").as("__pb")), Seq("g_b"))
+    val full = aBins.join(bBins, Seq("g_a", "g_b", "__b"), "full")
+      .select(col("g_a"), col("g_b"),
+        coalesce(col("__pa"), lit(0.0)).as("__pa"),
+        coalesce(col("__pb"), lit(0.0)).as("__pb"))
+    def half(x: Column, m: Column): Column =
+      when(x > lit(0.0), x * log(x / m) / lit(2.0)).otherwise(lit(0.0))
+    val m = (col("__pa") + col("__pb")) / lit(2.0)
+    full
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(round(sum(half(col("__pa"), m) + half(col("__pb"), m)), 6)
+        .as("jsd"))
+  }
+
   /** Benjamini–Hochberg step-up FDR control (Benjamini & Hochberg,
     * JRSS-B'95) over a frame of hypotheses: per row, the BH rank, the
     * adjusted p-value p_adj(i) = min_{j≥i} m·p_(j)/j (the monotone

@@ -614,4 +614,24 @@ class CorpusSpec extends SparkSuite {
       rg("h").getLong(4) === 0L)
     assert(rg("g").getLong(2) === 0L && rg("g").getLong(4) === 0L)
   }
+
+  test("effectiveSampleSize: equal weights n, concentration shrinks ESS") {
+    val df = Seq(("eq", 1L), ("eq", 1L), ("eq", 1L), ("eq", 1L),
+      ("hot", 9L), ("hot", 1L),
+      ("zero", 2L), ("zero", 0L)).toDF("grp", "w")
+    val out = Corpus.effectiveSampleSize(df, "grp", "w")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // equal weights: ESS = n exactly
+    assert(out("eq").getLong(1) === 4L && out("eq").getDouble(3) === 4.0)
+    assert(out("eq").getDouble(4) === 1.0)
+    // 9-vs-1: ESS = 100/82 — one heavy unit carries the group
+    assert(out("hot").getDouble(3) === 100.0 / 82.0)
+    // zero weights count as units but add no mass: ESS = 4/4 = 1 of 2
+    assert(out("zero").getDouble(3) === 1.0 &&
+      out("zero").getDouble(4) === 0.5)
+    // null weights are excluded rows
+    val withNull = Seq(("g", Some(1L)), ("g", None)).toDF("grp", "w")
+    assert(Corpus.effectiveSampleSize(withNull, "grp", "w")
+      .collect().head.getLong(1) === 1L)
+  }
 }

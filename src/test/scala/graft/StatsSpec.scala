@@ -634,4 +634,20 @@ class StatsSpec extends SparkSuite {
     val deg = Seq(("a", "x"), ("a", "y")).toDF("u", "v")
     assert(Stats.cramersV(deg, "u", "v").collect().head.isNullAt(4))
   }
+
+  test("jsdMatrix: identical mixes 0, disjoint mixes ln2, all pairs") {
+    // s1 and s2 share the same 50/50 mix → JSD 0;
+    // s3 is disjoint → JSD ln 2 against both
+    val df = (Seq.fill(2)(("s1", "en")) ++ Seq.fill(2)(("s1", "pt")) ++
+      Seq.fill(3)(("s2", "en")) ++ Seq.fill(3)(("s2", "pt")) ++
+      Seq.fill(4)(("s3", "de"))).toDF("src", "lang")
+    val out = Stats.jsdMatrix(df, "src", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(out.keySet === Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    assert(out(("s1", "s2")) === 0.0)
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("s1", "s3")) === ln2 && out(("s2", "s3")) === ln2)
+  }
 }
