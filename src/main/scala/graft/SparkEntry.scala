@@ -3425,6 +3425,18 @@ object SparkEntry {
   private def q_jsd_matrix(s: SparkSession, d: String): DataFrame =
     Stats.jsdMatrix(Tables.documents(s, d), "source", "lang")
 
+  /** §2b user-activity Gini: per segment, inequality of per-user event
+    * counts — whale/bot traffic concentration, the generic-weights
+    * sibling of q_gini's vocabulary readout (pairs with q_ess: Gini
+    * says how unequal, ESS says how many units effectively remain). */
+  private def q_user_gini(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .join(Tables.customer(s, d), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    Stats.giniIndex(perUser, "c_mktsegment", "user_id", "n_events")
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3723,6 +3735,7 @@ object SparkEntry {
     "q_conversion_latency" -> (q_conversion_latency _),
     "q_ess" -> (q_ess _),
     "q_jsd_matrix" -> (q_jsd_matrix _),
+    "q_user_gini" -> (q_user_gini _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -9443,5 +9456,25 @@ object SparkEntry {
                     THEN pb * ln(pb / ((pa + pb) / 2.0)) / 2.0
                     ELSE 0.0 END)), 6) AS jsd
          FROM f GROUP BY 1, 2""",
+    "q_user_gini" ->
+      """WITH pu AS (SELECT c.c_mktsegment AS g, e.user_id AS u,
+                            CAST(COUNT(*) AS BIGINT) AS v
+                     FROM events e JOIN customer c ON e.user_id = c.c_custkey
+                     GROUP BY 1, 2),
+              rk AS (SELECT g, u, v,
+                            row_number() OVER (PARTITION BY g
+                              ORDER BY v ASC, u ASC) AS r
+                     FROM pu),
+              a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_units,
+                           CAST(SUM(v) AS BIGINT) AS total,
+                           SUM(CAST(r AS DOUBLE) * v) AS rf
+                    FROM rk GROUP BY 1)
+         SELECT g AS c_mktsegment, n_units, total,
+                round(CASE WHEN total > 0
+                  THEN 2.0 * rf / (CAST(n_units AS DOUBLE)
+                    * CAST(total AS DOUBLE))
+                    - CAST(n_units + 1 AS DOUBLE)
+                      / CAST(n_units AS DOUBLE) END, 6) AS gini
+         FROM a""",
   )
 }

@@ -697,6 +697,36 @@ object Stats {
         round(half(p) + half(q), 6).as("jsd_contrib"))
   }
 
+  /** Generic Gini index over (unit, value) rows per group — the
+    * inequality readout [[graft.operators.TextAnalytics.giniConcentration]]
+    * computes for token frequencies, generalized to ANY weighted units:
+    * per-user event counts (bot/whale concentration), per-supplier
+    * volume, per-domain crawl mass. Same sorted-rank mean-difference
+    * form: G = 2·Σ(rᵢ·vᵢ)/(n·Σv) − (n+1)/n over ranks ascending by
+    * (value, unit-tiebreak) — deterministic under ties, exact integers
+    * into doubles before the closing divisions (the documented
+    * giniConcentration overflow contract).
+    *
+    * Scale shape: one per-group rank window (group = analysis unit) +
+    * ONE group aggregate. Zero-total or empty groups yield null. */
+  def giniIndex(df: DataFrame, groupCol: String, unitCol: String,
+                valCol: String, roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valCol).asc, col(unitCol).asc)
+    df.filter(col(valCol).isNotNull)
+      .withColumn("__r", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_units"), sum(col(valCol)).as("total"),
+        sum(col("__r").cast("double") * col(valCol)).as("__rf"))
+      .select(col(groupCol), col("n_units"), col("total"),
+        round(when(col("total") > 0,
+          lit(2.0) * col("__rf")
+            / (col("n_units").cast("double") * col("total").cast("double"))
+            - (col("n_units") + 1).cast("double")
+              / col("n_units").cast("double")), roundScale).as("gini"))
+  }
+
   /** Pairwise Jensen–Shannon divergence matrix: for every unordered
     * pair of groups, the summed JSD between their `binCol`
     * distributions — [[jsDivergence]] (one ref vs one cur) lifted to

@@ -650,4 +650,31 @@ class StatsSpec extends SparkSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out(("s1", "s3")) === ln2 && out(("s2", "s3")) === ln2)
   }
+
+  test("giniIndex: equality 0, concentration near 1, hand-checked middle") {
+    val df = (Seq.fill(4)(1L).zipWithIndex.map { case (v, i) =>
+      ("flat", s"u$i", v) } ++
+      Seq(("hot", "u0", 0L), ("hot", "u1", 0L), ("hot", "u2", 0L),
+        ("hot", "u3", 100L)) ++
+      Seq(("mid", "u0", 1L), ("mid", "u1", 3L)))
+      .toDF("grp", "unit", "v")
+    val out = Stats.giniIndex(df, "grp", "unit", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // equal values → G = 0 exactly
+    assert(out("flat").getDouble(3) === 0.0)
+    // all mass on one of four units → G = (n−1)/n = 0.75
+    assert(out("hot").getDouble(3) === 0.75)
+    // [1,3]: Σr·v = 1 + 6 = 7 → G = 14/8 − 3/2 = 0.25
+    assert(out("mid").getDouble(3) === 0.25)
+    // matches the text-specific giniConcentration on the same weights
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "g", "a b b c c c c")).toDF("id", "g", "text")
+    val viaText = graft.operators.TextAnalytics
+      .giniConcentration(docs, "g", "text").collect().head.getDouble(3)
+    val weights = Seq(("g", "a", 1L), ("g", "b", 2L), ("g", "c", 4L))
+      .toDF("grp", "unit", "v")
+    val viaGeneric = Stats.giniIndex(weights, "grp", "unit", "v")
+      .collect().head.getDouble(3)
+    assert(viaText === viaGeneric)
+  }
 }
