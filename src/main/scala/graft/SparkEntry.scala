@@ -8981,7 +8981,8 @@ object SparkEntry {
                            FROM events)
                      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
               states AS (SELECT DISTINCT prev_type AS s FROM tc
-                         UNION SELECT DISTINCT dst FROM tc),
+                         UNION SELECT DISTINCT dst FROM tc
+                         UNION SELECT DISTINCT event_type FROM events),
               tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS t
                       FROM tc GROUP BY 1),
               p AS (SELECT tc.prev_type AS src, tc.dst,
@@ -9360,7 +9361,9 @@ object SparkEntry {
          FROM bk""",
     "q_cramers_v" ->
       """WITH cells AS (SELECT lang, source, COUNT(*) AS n
-                        FROM documents GROUP BY 1, 2),
+                        FROM documents
+                        WHERE lang IS NOT NULL AND source IS NOT NULL
+                        GROUP BY 1, 2),
               rt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS ra
                      FROM cells GROUP BY 1),
               ct AS (SELECT source, CAST(SUM(n) AS BIGINT) AS cb

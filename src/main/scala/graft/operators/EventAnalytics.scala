@@ -457,10 +457,13 @@ object EventAnalytics {
     * accumulating). The chain is the row-normalized
     * [[transitionCounts]] matrix.
     *
-    * States with no outgoing transitions (possible in a window-sliced
-    * feed whose last events are all one type) keep their mass via an
-    * implicit self-loop — the standard absorbing-state convention, and
-    * the choice that preserves Σπ = 1 exactly.
+    * The state set is the OBSERVED TYPE UNIVERSE (the shares table's
+    * keys), not just transition endpoints — a type seen only as
+    * single-event users' sole event still holds empirical share, and pi
+    * must cover the same support. States with no outgoing transitions
+    * (absorbing last-types, or those transition-less types) keep their
+    * mass via an implicit self-loop — the standard absorbing-state
+    * convention, and the choice that preserves Σπ = 1 exactly.
     *
     * Scale shape: the corpus is touched exactly twice (the transition
     * window+aggregate, and the share aggregate); every iteration after
@@ -475,8 +478,18 @@ object EventAnalytics {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val tc = transitionCounts(events, userCol, tsCol, tieCol, typeCol)
       .withColumnRenamed(typeCol, "__dst")
+    // shares first: its k-row key set IS the observed type universe, so
+    // the state set can include transition-less types (a type appearing
+    // only as single-event users' sole event has no endpoint in tc but
+    // holds empirical share — dropping it would make pi and
+    // empirical_share describe different supports) without a third
+    // corpus scan. Such types get the absorbing self-loop below and
+    // keep their uniform-start mass.
+    val shares = events.groupBy(col(typeCol).as("__s"))
+      .agg(count(lit(1)).as("__n"))
     val states = tc.select(col("prev_type").as("__s"))
-      .union(tc.select(col("__dst").as("__s"))).distinct()
+      .union(tc.select(col("__dst").as("__s")))
+      .union(shares.select(col("__s"))).distinct()
     val outTot = tc.groupBy(col("prev_type"))
       .agg(sum(col("n_transitions")).as("__tot"))
     val pReal = tc.join(outTot, Seq("prev_type"))
@@ -501,8 +514,6 @@ object EventAnalytics {
     // produces no aggregate row, but its π = 0 IS the readout
     val vAll = states.join(v, Seq("__s"), "left")
       .select(col("__s"), coalesce(col("__v"), lit(0.0)).as("__v"))
-    val shares = events.groupBy(col(typeCol).as("__s"))
-      .agg(count(lit(1)).as("__n"))
     val total = shares.agg(sum(col("__n")).as("__t"))
     vAll.join(shares.crossJoin(broadcast(total))
         .select(col("__s"), (col("__n").cast("double")

@@ -522,10 +522,16 @@ object Stats {
     * count zero cells' (0−E)²/E = E mass or V loses its [0,1] anchor
     * (a perfect 2×2 association would score 1/√2, not 1 — spec-pinned).
     * Degenerate tables (r or c = 1 ⟹ no association to measure) yield
-    * null V. */
+    * null V. Null categories are FILTERED (the anovaF/kruskalWallis
+    * convention): an unfiltered null level would enter N and the
+    * marginals but never match the grid's equi-join, double-counting
+    * its expected mass as pure deviation while countDistinct excludes
+    * it from r/c — a silently inflated (even >1) V. */
   def cramersV(df: DataFrame, aCol: String, bCol: String,
                roundScale: Int = 6): DataFrame = {
-    val cells = df.groupBy(col(aCol), col(bCol))
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol))
       .agg(count(lit(1)).as("n"))
     val rowTot = cells.groupBy(col(aCol)).agg(sum(col("n")).as("__ra"))
     val colTot = cells.groupBy(col(bCol)).agg(sum(col("n")).as("__cb"))
@@ -708,13 +714,18 @@ object Stats {
     * giniConcentration overflow contract).
     *
     * Scale shape: one per-group rank window (group = analysis unit) +
-    * ONE group aggregate. Zero-total or empty groups yield null. */
+    * ONE group aggregate. Zero-total or empty groups yield null.
+    * Negative-value units are FILTERED: Gini is defined over
+    * non-negative mass (the sorted-rank form yields G outside [0,1] on
+    * signed values), so admitting them would break the documented [0,1]
+    * contract silently — units with v < 0 are out of contract and
+    * excluded from n_units/total like nulls. */
   def giniIndex(df: DataFrame, groupCol: String, unitCol: String,
                 valCol: String, roundScale: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(valCol).asc, col(unitCol).asc)
-    df.filter(col(valCol).isNotNull)
+    df.filter(col(valCol).isNotNull && col(valCol) >= 0)
       .withColumn("__r", row_number().over(w))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_units"), sum(col(valCol)).as("total"),
@@ -1031,9 +1042,12 @@ object Stats {
       .groupBy(col("__g"))
       .agg(sum(col("__c")).as("__n"),
         sum(col("__c").cast("double") * col("__mid")).as("__r"))
+    // cube on DOUBLE: a Long cube wraps silently past ~2.1M-row tie
+    // groups in non-ANSI Spark while DuckDB widens to HUGEINT; doubles
+    // are exact to 2^53, far beyond any realistic tie group
     val ties = grid
-      .agg(sum(col("__cv") * col("__cv") * col("__cv") - col("__cv"))
-        .as("__t3"))
+      .agg(sum(col("__cv").cast("double") * col("__cv") * col("__cv")
+        - col("__cv")).as("__t3"))
     perClass
       .agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
         sum(col("__r") * col("__r") / col("__n").cast("double"))
@@ -1067,9 +1081,9 @@ object Stats {
     * collapse: one hash aggregate, one bounded value-grid window, one
     * closing reduce. U is an exact half-integer (midrank sums); the
     * variance uses the standard tie correction
-    * σ² = (n₊n₋/12)·((N+1) − Σ(t³−t)/(N(N−1))) — exact integers until
-    * the closing divisions. All-tied inputs (σ = 0) or an empty class
-    * yield null z. */
+    * σ² = (n₊n₋/12)·((N+1) − Σ(t³−t)/(N(N−1))) — tie cubes computed on
+    * doubles (exact to 2⁵³; a Long cube would wrap past ~2.1M-row tie
+    * groups). All-tied inputs (σ = 0) or an empty class yield null z. */
   def mannWhitney(df: DataFrame, scoreCol: String, labelCol: String,
                   roundScale: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1081,9 +1095,10 @@ object Stats {
     val agg = perScore.withColumn("__mid", mid)
       .agg(sum(col("__cp")).as("n_pos"), sum(col("__cn")).as("n_neg"),
         sum(col("__mid") * col("__cp")).as("__rp"),
-        sum((col("__cp") + col("__cn")) * (col("__cp") + col("__cn"))
-          * (col("__cp") + col("__cn")) - (col("__cp") + col("__cn")))
-          .as("__t3"))
+        // DOUBLE cube — same Long-wrap guard as kruskalWallis's __t3
+        sum((col("__cp") + col("__cn")).cast("double")
+          * (col("__cp") + col("__cn")) * (col("__cp") + col("__cn"))
+          - (col("__cp") + col("__cn"))).as("__t3"))
     val n1 = col("n_pos").cast("double")
     val n2 = col("n_neg").cast("double")
     val nn = n1 + n2

@@ -252,6 +252,18 @@ class EventAnalyticsSpec extends SparkSuite {
         "event_id", "event_type", iters = 8)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(pa("b") === 1.0 && pa("a") === 0.0, pa.toString)
+
+    // transition-less type (a single-event user's sole event) is a real
+    // state: it surfaces with its empirical share and keeps its
+    // uniform-start mass via the self-loop — a→b drains a, b and c hold
+    val tl = Seq((1L, t(1), 1L, "a"), (1L, t(2), 2L, "b"),
+      (3L, t(1), 3L, "c")).toDF("user_id", "ts", "event_id", "event_type")
+    val po = EventAnalytics.stationaryDistribution(tl, "user_id", "ts",
+        "event_id", "event_type", iters = 8).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(po.keySet === Set("a", "b", "c"), po.toString)
+    assert(po("c") === ((0.333333, 0.333333)), po.toString)
+    assert(po("a")._1 === 0.0 && po("b")._1 === 0.666667, po.toString)
   }
 
   test("conversionLatency: strictly-after rule, exact latency stats") {

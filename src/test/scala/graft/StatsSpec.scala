@@ -635,6 +635,22 @@ class StatsSpec extends SparkSuite {
     assert(Stats.cramersV(deg, "u", "v").collect().head.isNullAt(4))
   }
 
+  test("cramersV: null categories filtered — V computed on non-null subset") {
+    val clean = (Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("b", "y")))
+      .toDF("u", "v")
+    // the same table plus null-category rows on both axes: unfiltered,
+    // the null level's expected mass would enter chi2 as pure deviation
+    // (the grid equi-join never matches null keys) and V could exceed 1
+    val dirty = (Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("b", "y")) ++
+      Seq((null.asInstanceOf[String], "x"), ("a", null.asInstanceOf[String]),
+        (null.asInstanceOf[String], null.asInstanceOf[String])))
+      .toDF("u", "v")
+    val c = Stats.cramersV(clean, "u", "v").collect().head
+    val d = Stats.cramersV(dirty, "u", "v").collect().head
+    assert(c.toSeq === d.toSeq)
+    assert(d.getLong(2) === 10L && d.getDouble(4) === 1.0)
+  }
+
   test("jsdMatrix: identical mixes 0, disjoint mixes ln2, all pairs") {
     // s1 and s2 share the same 50/50 mix → JSD 0;
     // s3 is disjoint → JSD ln 2 against both
@@ -676,5 +692,16 @@ class StatsSpec extends SparkSuite {
     val viaGeneric = Stats.giniIndex(weights, "grp", "unit", "v")
       .collect().head.getDouble(3)
     assert(viaText === viaGeneric)
+  }
+
+  test("giniIndex: negative-value units are out of contract and filtered") {
+    // with the negative unit admitted, the sorted-rank form would leave
+    // [0,1]; filtered, the group is the hand-checked [1,3] case (G=0.25)
+    // with n_units/total counting only the in-contract units
+    val df = Seq(("g", "neg", -5L), ("g", "u0", 1L), ("g", "u1", 3L))
+      .toDF("grp", "unit", "v")
+    val r = Stats.giniIndex(df, "grp", "unit", "v").collect().head
+    assert(r.getLong(1) === 2L && r.getLong(2) === 4L)
+    assert(r.getDouble(3) === 0.25)
   }
 }
