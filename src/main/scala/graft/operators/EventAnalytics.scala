@@ -302,16 +302,21 @@ object EventAnalytics {
     * concatenated "RFM cell" code the campaign tooling keys on.
     *
     * Scores are QUANTILE-THRESHOLD scores, not equal-count ntiles: the
-    * four exact 20/40/60/80% cuts of each metric are computed once
-    * (1-row aggregate), broadcast, and every user is scored MAP-SIDE by
-    * three threshold-comparison sums — no global sort, no unpartitioned
+    * four exact 20/40/60/80% cuts of each metric are computed once,
+    * broadcast, and every user is scored MAP-SIDE by three
+    * threshold-comparison sums — no global sort, no unpartitioned
     * window, any user count. Ties sitting exactly on a cut share the
     * lower score (deterministic both engines; thresholds are 6dp-rounded
     * before comparison so interpolation ulps can't flip a boundary).
     *
-    * Scale shape: one (user) hash aggregate + one 1-row quantile
-    * aggregate broadcast back — the anchor day is part of the same 1-row
-    * frame (corpus max), so nothing shuffles twice. */
+    * Scale shape: one (user) hash aggregate, then per-metric VALUE
+    * HISTOGRAMS feeding frequency-weighted exact percentiles — the cut
+    * aggregate buffers one pair per distinct metric value (days span /
+    * max event count / distinct 6dp spend sums), never one entry per
+    * user, so there is no buffer-the-user-grain final task at any user
+    * count; interpolation is bit-identical to the plain exact
+    * percentile (spec-pinned). The anchor day rides the same broadcast
+    * chain, so nothing shuffles twice. */
   def rfm(events: DataFrame, userCol: String, tsCol: String,
           valCol: String, roundScale: Int = 6): DataFrame = {
     // cached: the user-grain aggregate feeds THREE consumers (the anchor
@@ -330,19 +335,30 @@ object EventAnalytics {
     val withRec = perUser.crossJoin(broadcast(anchor))
       .withColumn("recency_days",
         datediff(col("__anchor"), col("__last")).cast("long"))
-    val cuts = withRec.agg(
-      round(expr("percentile(recency_days, 0.2)"), roundScale).as("__r20"),
-      round(expr("percentile(recency_days, 0.4)"), roundScale).as("__r40"),
-      round(expr("percentile(recency_days, 0.6)"), roundScale).as("__r60"),
-      round(expr("percentile(recency_days, 0.8)"), roundScale).as("__r80"),
-      round(expr("percentile(frequency, 0.2)"), roundScale).as("__f20"),
-      round(expr("percentile(frequency, 0.4)"), roundScale).as("__f40"),
-      round(expr("percentile(frequency, 0.6)"), roundScale).as("__f60"),
-      round(expr("percentile(frequency, 0.8)"), roundScale).as("__f80"),
-      round(expr("percentile(monetary, 0.2)"), roundScale).as("__m20"),
-      round(expr("percentile(monetary, 0.4)"), roundScale).as("__m40"),
-      round(expr("percentile(monetary, 0.6)"), roundScale).as("__m60"),
-      round(expr("percentile(monetary, 0.8)"), roundScale).as("__m80"))
+    // cuts via FREQUENCY-WEIGHTED percentile over per-metric value
+    // HISTOGRAMS: percentile(v, p, cnt) interpolates bit-identically to
+    // the plain exact form but its ObjectHashAggregate buffers one
+    // (value, count) pair per DISTINCT value instead of one entry per
+    // user — recency is bounded by the corpus day span and frequency by
+    // the max event count, so the former buffer-the-whole-user-grain
+    // final task (the real 100×-scale memory cliff here) becomes a
+    // histogram reduce; the histogram aggregates themselves are
+    // map-side-combinable hash aggregates over the cached user grain.
+    def cuts4(d: DataFrame, metric: String, tag: String): DataFrame = {
+      val h = d.groupBy(col(metric)).agg(count(lit(1)).as("__cnt"))
+      h.agg(
+        round(expr(s"percentile($metric, 0.2D, __cnt)"), roundScale)
+          .as(s"__${tag}20"),
+        round(expr(s"percentile($metric, 0.4D, __cnt)"), roundScale)
+          .as(s"__${tag}40"),
+        round(expr(s"percentile($metric, 0.6D, __cnt)"), roundScale)
+          .as(s"__${tag}60"),
+        round(expr(s"percentile($metric, 0.8D, __cnt)"), roundScale)
+          .as(s"__${tag}80"))
+    }
+    val cuts = cuts4(withRec, "recency_days", "r")
+      .crossJoin(cuts4(perUser, "frequency", "f"))
+      .crossJoin(cuts4(perUser, "monetary", "m"))
     def up(c: Column, t: String*) : Column =
       t.map(q => when(c > col(q), 1).otherwise(0)).reduce(_ + _) + 1
     def down(c: Column, t: String*) : Column =
@@ -416,9 +432,12 @@ object EventAnalytics {
     * semantics.
     *
     * Scale shape: two filtered (group, user) min-aggregates + one
-    * conditional-min join keyed on the user, then ONE group aggregate;
-    * the exact latency percentiles buffer per-GROUP converted-user
-    * lists (the bounded-group contract — groups are the analysis unit).
+    * conditional-min join keyed on the user (cached — two consumers),
+    * then one group aggregate for counts/rate/mean and one
+    * (group, latency) HISTOGRAM feeding frequency-weighted exact
+    * percentiles — the per-group percentile buffer holds distinct
+    * latencies, never the converted-user list, and interpolates
+    * bit-identically to the plain exact form (spec-pinned).
     * Latency stats are exact-micro-derived and deliberately UNROUNDED
     * (PORTABILITY.md rational-half rule); the conversion rate is an
     * exact integer ratio, 6dp. */
@@ -432,20 +451,41 @@ object EventAnalytics {
     val conv = events.filter(col(typeCol) === toType)
       .select(col(groupCol), col(userCol),
         unix_micros(col(tsCol)).as("__t1"))
+    // cached: the (group, user) conversion frame feeds TWO consumers
+    // (the base rate/mean aggregate and the latency histogram) —
+    // uncached, the events scan + join would run once per consumer;
+    // user grain is orders smaller than event grain (rfm precedent)
     val joined = first
       .join(conv, Seq(groupCol, userCol), "left")
       .groupBy(col(groupCol), col(userCol), col("__t0"))
       .agg(min(when(col("__t1") > col("__t0"), col("__t1"))).as("__tc"))
-    joined.groupBy(col(groupCol))
+      .cache()
+    val base = joined.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_from_users"),
         count(col("__tc")).as("n_converted"),
         round(count(col("__tc")).cast("double")
           / count(lit(1)).cast("double"), 6).as("conversion_rate"),
-        (expr("percentile(__tc - __t0, 0.5)") / 1000000.0)
-          .as("p50_latency_s"),
-        (expr("percentile(__tc - __t0, 0.9)") / 1000000.0)
-          .as("p90_latency_s"),
         (avg(col("__tc") - col("__t0")) / 1000000.0).as("mean_latency_s"))
+    // latency percentiles via the frequency-weighted exact form over a
+    // (group, latency) histogram: interpolation is bit-identical to
+    // percentile(lat, p) (spec-pinned) but the per-group buffer holds
+    // one pair per DISTINCT latency, never the converted-user list —
+    // micro latencies rarely tie, so ALSO bucket consciously upstream
+    // (or use percentile_approx) when a single group's converted-user
+    // count is itself unbounded; groups here are the analysis unit.
+    val lat = joined.filter(col("__tc").isNotNull)
+      .select(col(groupCol), (col("__tc") - col("__t0")).as("__lat"))
+      .groupBy(col(groupCol), col("__lat"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(groupCol))
+      .agg((expr("percentile(__lat, 0.5D, __cnt)") / 1000000.0)
+          .as("p50_latency_s"),
+        (expr("percentile(__lat, 0.9D, __cnt)") / 1000000.0)
+          .as("p90_latency_s"))
+    base.join(lat, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_from_users"), col("n_converted"),
+        col("conversion_rate"), col("p50_latency_s"),
+        col("p90_latency_s"), col("mean_latency_s"))
   }
 
   /** Stationary distribution of the empirical first-order Markov chain

@@ -1201,10 +1201,10 @@ object Stats {
     * QTEs). Pairs with [[mannWhitney]]: MW says the distributions
     * differ, QTE says WHERE.
     *
-    * Scale shape: ONE (group, arm) exact-percentile aggregate (the
-    * per-group value-buffer contract of q_percentiles) + a self-join of
-    * the two arm rows + a per-quantile explode of the BOUNDED quantile
-    * list. Quantile interpolation parity is the established
+    * Scale shape: one (group, arm, value) histogram aggregate + one
+    * (group, arm) frequency-weighted exact-percentile reduce over it
+    * (buffer ∝ distinct values, never rows) + a self-join of the two
+    * arm rows + a per-quantile explode of the BOUNDED quantile list. Quantile interpolation parity is the established
     * percentile/quantile_cont contract; values carry interpolation
     * floats, so the 6dp margin rule applies (PORTABILITY.md — these are
     * noise-carrying, not exact-integer-derived). Groups missing an arm
@@ -1217,11 +1217,18 @@ object Stats {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
       s"quantiles must be in (0,1): $qs")
     val qArr = qs.map(q => s"${q}D").mkString("array(", ", ", ")")
+    // frequency-weighted exact percentile over a (group, arm, value)
+    // histogram: interpolates bit-identically to the plain exact form
+    // (spec-pinned) but the per-(group, arm) buffer holds one pair per
+    // DISTINCT metric value, never the arm's row list — the histogram
+    // itself is a map-side-combinable hash aggregate
     val stats = df
       .filter(col(armCol).isin(armA, armB) && col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(armCol), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
       .groupBy(col(groupCol), col(armCol))
-      .agg(count(lit(1)).as("__n"),
-        expr(s"percentile($valCol, $qArr)").as("__qv"))
+      .agg(sum(col("__cnt")).as("__n"),
+        expr(s"percentile(__v, $qArr, __cnt)").as("__qv"))
     def arm(tag: String, a: String) = stats.filter(col(armCol) === a)
       .select(col(groupCol), col("__n").as(s"n_$tag"),
         col("__qv").as(s"__qv_$tag"))

@@ -575,6 +575,24 @@ class StatsSpec extends SparkSuite {
     assert(re.getDouble(4) === 0.0 || re.isNullAt(4), re.toString)
   }
 
+  test("frequency-weighted percentile over a histogram == plain exact") {
+    // the binned contract rfm/conversionLatency/quantileTreatmentEffect
+    // rely on: percentile(v, p, cnt) over (value, count) interpolates
+    // bit-identically to percentile(v, p) over the raw rows — ties and
+    // interpolated (non-data-point) quantiles included
+    import org.apache.spark.sql.functions.{count, expr, lit}
+    val raw = Seq(3.0, 1.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0)
+      .toDF("v")
+    val ps = Seq(0.1, 0.2, 0.25, 0.5, 0.75, 0.9, 0.95)
+    val exact = raw.agg(
+      expr(s"percentile(v, array(${ps.map(_ + "D").mkString(",")}))"))
+      .collect().head.getSeq[Double](0)
+    val binned = raw.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .agg(expr(s"percentile(v, array(${ps.map(_ + "D").mkString(",")}), c)"))
+      .collect().head.getSeq[Double](0)
+    assert(binned === exact)
+  }
+
   test("quantileTreatmentEffect: exact interpolated quantile diffs") {
     // arm a = [1,2,3,4], arm b = [2,4,6,8] in one group: b = 2·a →
     // every quantile of b is twice a's, qte = −q_a
