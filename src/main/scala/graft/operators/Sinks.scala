@@ -27,6 +27,90 @@ object Sinks {
   def readEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  // ------------------------------------------------------- atomic commit
+  //
+  // Plain parquet append is NOT atomic: a writer that dies mid-job leaves
+  // partial part-files that directory-listing readers (readEvolved, the
+  // T16 anti-join) happily scan — the one failure mode the reference gets
+  // covered for free by BigQuery load jobs (reference/main.py:136-142
+  // blocks on job.result(); a failed load publishes nothing). The
+  // manifest protocol below restores that guarantee on a plain
+  // filesystem: data lands in a per-batch directory that no reader ever
+  // lists, and becomes visible only when a manifest file NAMING the
+  // batch's part-files appears under _manifests/ via an atomic rename
+  // (POSIX/HDFS rename-within-directory is atomic; readers see the whole
+  // batch or none of it). The manifest name is the caller's batch id, so
+  // a replayed batch (at-least-once upstream, driver retry) is detected
+  // and skipped — load-job idempotence, not just atomicity.
+
+  private def fsFor(spark: SparkSession, root: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+  /** K1 with warehouse-grade commit semantics: append `df` under `root`
+    * atomically. Data is written to `root/data/<batchId>/` (a directory
+    * readers never list directly), then published by renaming a fully
+    * written+hsynced manifest into `root/_manifests/<batchId>.manifest`.
+    * Returns false (and writes nothing new) when that manifest already
+    * exists — the idempotent-replay contract. A writer crash before the
+    * rename leaves only invisible garbage; a retry with the same batchId
+    * overwrites the orphaned data dir and publishes once. */
+  def appendAtomic(df: DataFrame, root: String, batchId: String): Boolean = {
+    require(batchId.nonEmpty && !batchId.contains("/"),
+      s"batchId must be a plain name: '$batchId'")
+    val spark = df.sparkSession
+    val fs = fsFor(spark, root)
+    val manifestDir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    val manifest = new org.apache.hadoop.fs.Path(manifestDir, s"$batchId.manifest")
+    if (fs.exists(manifest)) return false
+    val dataDir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, "data"), batchId)
+    // overwrite: a retry of a crashed attempt rewrites its own orphan dir
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val parts = fs.listStatus(dataDir).map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") || n.startsWith("part-")).sorted
+    fs.mkdirs(manifestDir)
+    val tmp = new org.apache.hadoop.fs.Path(manifestDir, s".$batchId.inprogress")
+    val out = fs.create(tmp, true)
+    try {
+      out.write(parts.map(n => s"data/$batchId/$n").mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.hsync()
+    } finally out.close()
+    // the commit point — atomic; losing a publish race to a concurrent
+    // writer of the SAME batch id is a skip, not an error
+    if (fs.rename(tmp, manifest)) true
+    else { fs.delete(tmp, false); false }
+  }
+
+  /** The committed file list under an atomic destination: every path
+    * named by a published manifest, in (batch, part) order. Empty when
+    * nothing has committed — including when partial data dirs exist. */
+  def committedFiles(spark: SparkSession, root: String): Seq[String] = {
+    val fs = fsFor(spark, root)
+    val manifestDir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    if (!fs.exists(manifestDir)) return Seq.empty
+    fs.listStatus(manifestDir).map(_.getPath)
+      .filter(_.getName.endsWith(".manifest")).sortBy(_.getName).toSeq
+      .flatMap { m =>
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+      .filter(_.nonEmpty)
+      .map(rel => new org.apache.hadoop.fs.Path(root, rel).toString)
+  }
+
+  /** [[readEvolved]] over an atomic destination: union schema across the
+    * COMMITTED batches only — torn writes, in-flight batches and orphaned
+    * data dirs are invisible because readers resolve the manifest set,
+    * never the directory listing. */
+  def readCommitted(spark: SparkSession, root: String): DataFrame = {
+    val files = committedFiles(spark, root)
+    require(files.nonEmpty, s"no committed batches under $root")
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
   /** Format round-trip helpers: the engine is format-agnostic (any
     * DataFrameReader source), but JSONL matters specifically because the
     * reference's upstream is JSON documents — landing raw API pages as

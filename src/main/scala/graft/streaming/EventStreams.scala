@@ -342,6 +342,36 @@ object EventStreams {
       }
       .start()
 
+  /** [[dedupedIngest]] with warehouse-grade commit semantics: each
+    * micro-batch anti-joins the COMMITTED destination state
+    * ([[graft.operators.Sinks.readCommitted]]) and appends via the
+    * manifest protocol ([[graft.operators.Sinks.appendAtomic]]), keyed
+    * on Structured Streaming's epoch id — which is STABLE across
+    * replays, so the two failure modes plain parquet append leaves open
+    * are both closed: a writer crash mid-append leaves only an
+    * unpublished (invisible) data dir, and the replayed epoch after
+    * recovery either rewrites-and-publishes it or, if the manifest
+    * already committed, skips entirely (exactly-once per epoch). The
+    * key anti-join stays as defense in depth against upstream replays
+    * that arrive under a NEW epoch. */
+  def dedupedIngestAtomic(stream: DataFrame, destRoot: String, keyCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        val fresh =
+          if (graft.operators.Sinks.committedFiles(spark, destRoot).nonEmpty)
+            graft.operators.Joins.dedupAgainst(
+              batch, graft.operators.Sinks.readCommitted(spark, destRoot),
+              Seq(keyCol))
+          else batch
+        graft.operators.Sinks.appendAtomic(
+          fresh, destRoot, f"epoch-$epochId%012d")
+        ()
+      }
+      .start()
+
   /** Streaming NEAR-dup ingestion — [[dedupedIngest]]'s fuzzy sibling:
     * each micro-batch first drops exact id replays against the
     * destination (idempotent at-least-once ingest), then runs the

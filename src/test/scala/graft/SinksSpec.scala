@@ -42,6 +42,44 @@ class SinksSpec extends SparkSuite {
     assert(byChat("c2") === Some("open"))
   }
 
+  test("appendAtomic: torn writes invisible, replay idempotent, schema evolves") {
+    val root = tempPath()
+    assert(Sinks.appendAtomic(
+      Seq(("c1", "t1")).toDF("chat_id", "n_ticket"), root, "b1"))
+
+    // a writer that died mid-job: partial garbage part-file in an
+    // UNPUBLISHED batch dir (no manifest) + an in-progress manifest —
+    // a directory-listing reader would scan the garbage and crash
+    val crashed = new java.io.File(s"$root/data/b2", "part-00000.parquet")
+    crashed.getParentFile.mkdirs()
+    java.nio.file.Files.write(crashed.toPath,
+      "not a parquet file".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/_manifests/.b2.inprogress"),
+      "data/b2/part-00000.parquet".getBytes("UTF-8"))
+    // the manifest view is clean while the torn write is on disk
+    assert(Sinks.readCommitted(spark, root).count() === 1)
+    intercept[Exception](
+      spark.read.parquet(s"$root/data/b2").collect()) // listing would die
+
+    // replaying a COMMITTED batch id is a no-op skip
+    assert(!Sinks.appendAtomic(
+      Seq(("dup", "dup")).toDF("chat_id", "n_ticket"), root, "b1"))
+    assert(Sinks.readCommitted(spark, root).count() === 1)
+
+    // retry of the crashed batch under its own id rewrites + publishes
+    assert(Sinks.appendAtomic(
+      Seq(("c2", "t2", "open")).toDF("chat_id", "n_ticket", "status"),
+      root, "b2"))
+    val dest = Sinks.readCommitted(spark, root)
+    assert(dest.schema.fieldNames.toSet === Set("chat_id", "n_ticket", "status"))
+    assert(dest.count() === 2)
+    val byChat = dest.collect().map(r =>
+      r.getString(r.fieldIndex("chat_id")) ->
+        Option(r.get(r.fieldIndex("status")))).toMap
+    assert(byChat("c1") === None && byChat("c2") === Some("open"))
+  }
+
   test("jsonl and csv round-trip with schema fidelity") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))

@@ -175,6 +175,30 @@ class StreamingSpec extends SparkSuite {
       "replayed batch must dedup to zero new rows")
   }
 
+  test("dedupedIngestAtomic: replayed batches dedup, torn writes stay invisible") {
+    val landing = java.nio.file.Files.createTempDirectory("graft-landing-")
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    java.nio.file.Files.copy(src, landing.resolve("batch1.parquet"))
+    java.nio.file.Files.copy(src, landing.resolve("batch2.parquet"))
+    val dest = java.nio.file.Files.createTempDirectory("graft-ingest-").toString + "/dest"
+
+    // a previous writer's crash: unpublished garbage under data/ that a
+    // directory-listing reader would scan (and die on) — the manifest
+    // protocol must never see it
+    val torn = new java.io.File(s"$dest/data/epoch-999", "part-00000.parquet")
+    torn.getParentFile.mkdirs()
+    java.nio.file.Files.write(torn.toPath, "garbage".getBytes("UTF-8"))
+
+    val stream = EventStreams.readEventStream(spark, landing.toString,
+      Tables.rawEventSchema(spark, sf), maxFilesPerTrigger = Some(1))
+    val q = EventStreams.dedupedIngestAtomic(stream, dest, "event_id")
+    try q.processAllAvailable() finally q.stop()
+
+    val n = Tables.events(spark, sf).count()
+    assert(graft.operators.Sinks.readCommitted(spark, dest).count() === n,
+      "replayed batch must dedup to zero new rows; torn write invisible")
+  }
+
   test("statefulSessions batch twin matches native session_window splits") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, sf)
