@@ -35,53 +35,103 @@ object Sinks {
   // covered for free by BigQuery load jobs (reference/main.py:136-142
   // blocks on job.result(); a failed load publishes nothing). The
   // manifest protocol below restores that guarantee on a plain
-  // filesystem: data lands in a per-batch directory that no reader ever
-  // lists, and becomes visible only when a manifest file NAMING the
-  // batch's part-files appears under _manifests/ via an atomic rename
-  // (POSIX/HDFS rename-within-directory is atomic; readers see the whole
-  // batch or none of it). The manifest name is the caller's batch id, so
-  // a replayed batch (at-least-once upstream, driver retry) is detected
-  // and skipped — load-job idempotence, not just atomicity.
+  // filesystem: each ATTEMPT writes to its own unique directory
+  // `data/<batchId>-<attemptId>/` (readers never list data/), and a batch
+  // becomes visible only when `_manifests/<batchId>.manifest` — naming
+  // that attempt's part-files — is published by a rename that FAILS if
+  // the destination exists (FileContext + Options.Rename.NONE, the
+  // create-fails-if-exists commit point lakehouse log stores use on
+  // HDFS-semantics filesystems). Consequences:
+  //   * a crash before publish leaves only an invisible orphan dir;
+  //   * a replayed batch id (at-least-once upstream, driver retry) is
+  //     detected and skipped — load-job idempotence, not just atomicity;
+  //   * two CONCURRENT attempts of the same batch id (zombie driver +
+  //     retry) cannot interfere: they write disjoint attempt dirs, and
+  //     exactly one rename wins — the loser's files are never named by
+  //     any manifest, so it can (and does) delete them. A plain
+  //     FileSystem.rename would be wrong here: on RawLocalFileSystem it
+  //     OVERWRITES an existing destination, letting both racers believe
+  //     they committed.
+  // Orphaned attempt dirs from crashed/raced attempts are reclaimed by
+  // [[vacuumUnpublished]] (age-gated so in-flight attempts survive).
 
   private def fsFor(spark: SparkSession, root: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
 
   /** K1 with warehouse-grade commit semantics: append `df` under `root`
-    * atomically. Data is written to `root/data/<batchId>/` (a directory
-    * readers never list directly), then published by renaming a fully
-    * written+hsynced manifest into `root/_manifests/<batchId>.manifest`.
-    * Returns false (and writes nothing new) when that manifest already
-    * exists — the idempotent-replay contract. A writer crash before the
-    * rename leaves only invisible garbage; a retry with the same batchId
-    * overwrites the orphaned data dir and publishes once. */
-  def appendAtomic(df: DataFrame, root: String, batchId: String): Boolean = {
+    * atomically (see the protocol comment above). Returns false — and
+    * leaves no visible state — when `batchId` already committed, whether
+    * detected up front or by losing the publish race at the rename. */
+  def appendAtomic(df: DataFrame, root: String, batchId: String): Boolean =
+    appendAtomicAttempt(df, root, batchId, fastPathCheck = true)
+
+  /** The full attempt path, with the already-committed fast-path check
+    * switchable so the race-loser branch is deterministically testable
+    * (SinksSpec pre-commits the batch id, then forces a second attempt
+    * through write → publish → lose → clean up). */
+  private[graft] def appendAtomicAttempt(df: DataFrame, root: String,
+                                         batchId: String,
+                                         fastPathCheck: Boolean): Boolean = {
     require(batchId.nonEmpty && !batchId.contains("/"),
       s"batchId must be a plain name: '$batchId'")
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
     val manifestDir = new org.apache.hadoop.fs.Path(root, "_manifests")
     val manifest = new org.apache.hadoop.fs.Path(manifestDir, s"$batchId.manifest")
-    if (fs.exists(manifest)) return false
+    if (fastPathCheck && fs.exists(manifest)) return false
+    val attemptId = java.util.UUID.randomUUID().toString
+    val attemptDirName = s"$batchId-$attemptId"
     val dataDir = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(root, "data"), batchId)
-    // overwrite: a retry of a crashed attempt rewrites its own orphan dir
-    df.write.mode("overwrite").parquet(dataDir.toString)
+      new org.apache.hadoop.fs.Path(root, "data"), attemptDirName)
+    df.write.mode("errorifexists").parquet(dataDir.toString)
     val parts = fs.listStatus(dataDir).map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") || n.startsWith("part-")).sorted
     fs.mkdirs(manifestDir)
-    val tmp = new org.apache.hadoop.fs.Path(manifestDir, s".$batchId.inprogress")
-    val out = fs.create(tmp, true)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      manifest.toUri, spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(manifestDir,
+      s".$batchId.$attemptId.inprogress")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
     try {
-      out.write(parts.map(n => s"data/$batchId/$n").mkString("\n")
+      out.write(parts.map(n => s"data/$attemptDirName/$n").mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.hsync()
     } finally out.close()
-    // the commit point — atomic; losing a publish race to a concurrent
-    // writer of the SAME batch id is a skip, not an error
-    if (fs.rename(tmp, manifest)) true
-    else { fs.delete(tmp, false); false }
+    // the commit point — rename that FAILS if the destination exists, so
+    // exactly one attempt of a batch id ever publishes
+    try {
+      fc.rename(tmp, manifest, org.apache.hadoop.fs.Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.ParentNotDirectoryException =>
+        // lost the race: another attempt of this batch id committed first.
+        // Nothing we wrote is referenced anywhere — clean up and report.
+        fs.delete(tmp, false)
+        fs.delete(dataDir, true)
+        false
+    }
   }
+
+  // Published manifests are immutable (they appear whole, by rename, and
+  // are never rewritten), so their contents are cached process-wide:
+  // each committedFiles call costs ONE directory listing plus a read of
+  // only the manifests not yet seen — per-batch reader work stays O(new
+  // batches), not O(all batches ever committed) (the long-lived-stream
+  // trap: dedupedIngestAtomic consults the committed set every
+  // micro-batch). Entries for manifests that disappear (external cleanup)
+  // are dropped on the next call. At cluster scale the same O(new) shape
+  // comes from compacting old manifests into snapshot files
+  // (Delta/Iceberg-log style); the in-process cache is the single-writer
+  // equivalent.
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentHashMap[String, Seq[String]]]()
 
   /** The committed file list under an atomic destination: every path
     * named by a published manifest, in (batch, part) order. Empty when
@@ -90,15 +140,58 @@ object Sinks {
     val fs = fsFor(spark, root)
     val manifestDir = new org.apache.hadoop.fs.Path(root, "_manifests")
     if (!fs.exists(manifestDir)) return Seq.empty
-    fs.listStatus(manifestDir).map(_.getPath)
+    val qualifiedRoot = fs.makeQualified(new org.apache.hadoop.fs.Path(root)).toString
+    val cache = manifestCache.computeIfAbsent(qualifiedRoot,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]())
+    val present = fs.listStatus(manifestDir).map(_.getPath)
       .filter(_.getName.endsWith(".manifest")).sortBy(_.getName).toSeq
+    cache.keySet().retainAll(
+      scala.jdk.CollectionConverters.SeqHasAsJava(present.map(_.getName)).asJava)
+    present
       .flatMap { m =>
-        val in = fs.open(m)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
+        cache.computeIfAbsent(m.getName, { _ =>
+          val in = fs.open(m)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        })
       }
       .filter(_.nonEmpty)
       .map(rel => new org.apache.hadoop.fs.Path(root, rel).toString)
+  }
+
+  /** Reclaim attempt directories that no published manifest names and
+    * that are older than `minAgeMs` — the maintenance half of the commit
+    * protocol: crashed attempts and race losers that never cleaned up
+    * leave invisible-but-real bytes under `data/` forever (the reference
+    * gets this for free from BigQuery load jobs, main.py:136-142). The
+    * age gate keeps IN-FLIGHT attempts safe: a dir younger than the gate
+    * may belong to a writer that has not reached its commit point yet.
+    * Also sweeps abandoned `.inprogress` manifest temps on the same
+    * gate. Committed data and published manifests are never touched, so
+    * readers are unaffected mid-vacuum. Returns the number of orphan
+    * data dirs removed. */
+  def vacuumUnpublished(spark: SparkSession, root: String, minAgeMs: Long): Int = {
+    require(minAgeMs >= 0, s"minAgeMs must be >= 0: $minAgeMs")
+    val fs = fsFor(spark, root)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    // dirs named by any committed manifest (second path segment of each
+    // `data/<attemptDir>/<part>` line) stay, regardless of age
+    val published = committedFiles(spark, root)
+      .map(p => new org.apache.hadoop.fs.Path(p).getParent.getName).toSet
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    val removed =
+      if (!fs.exists(dataDir)) 0
+      else fs.listStatus(dataDir)
+        .filter(st => st.isDirectory && !published.contains(st.getPath.getName)
+          && st.getModificationTime < cutoff)
+        .count { st => fs.delete(st.getPath, true); true }
+    val manifestDir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    if (fs.exists(manifestDir))
+      fs.listStatus(manifestDir)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".inprogress")
+          && st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, false))
+    removed
   }
 
   /** [[readEvolved]] over an atomic destination: union schema across the

@@ -1044,7 +1044,12 @@ object Stats {
         sum(col("__c").cast("double") * col("__mid")).as("__r"))
     // cube on DOUBLE: a Long cube wraps silently past ~2.1M-row tie
     // groups in non-ANSI Spark while DuckDB widens to HUGEINT; doubles
-    // are exact to 2^53, far beyond any realistic tie group
+    // keep t^3 exact up to t ~ 2^(53/3) ~ 208k rows per tie group, and
+    // past that carry only ~1e-16 relative error (absorbed by the 6dp
+    // output rounding except at adversarial half-ulp boundaries) —
+    // strictly better than the wrapping Long, and exact on every
+    // realistic grouped-rank input; full exactness would need the
+    // decimal(38,0) cube
     val ties = grid
       .agg(sum(col("__cv").cast("double") * col("__cv") * col("__cv")
         - col("__cv")).as("__t3"))
@@ -1082,8 +1087,9 @@ object Stats {
     * closing reduce. U is an exact half-integer (midrank sums); the
     * variance uses the standard tie correction
     * σ² = (n₊n₋/12)·((N+1) − Σ(t³−t)/(N(N−1))) — tie cubes computed on
-    * doubles (exact to 2⁵³; a Long cube would wrap past ~2.1M-row tie
-    * groups). All-tied inputs (σ = 0) or an empty class yield null z. */
+    * doubles (exact to ~208k-row tie groups, ~1e-16 relative beyond,
+    * absorbed by 6dp rounding; a Long cube would wrap past ~2.1M-row
+    * ties). All-tied inputs (σ = 0) or an empty class yield null z. */
   def mannWhitney(df: DataFrame, scoreCol: String, labelCol: String,
                   roundScale: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window

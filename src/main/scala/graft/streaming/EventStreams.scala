@@ -346,18 +346,28 @@ object EventStreams {
     * micro-batch anti-joins the COMMITTED destination state
     * ([[graft.operators.Sinks.readCommitted]]) and appends via the
     * manifest protocol ([[graft.operators.Sinks.appendAtomic]]), keyed
-    * on Structured Streaming's epoch id — which is STABLE across
-    * replays, so the two failure modes plain parquet append leaves open
-    * are both closed: a writer crash mid-append leaves only an
-    * unpublished (invisible) data dir, and the replayed epoch after
-    * recovery either rewrites-and-publishes it or, if the manifest
-    * already committed, skips entirely (exactly-once per epoch). The
+    * on Structured Streaming's epoch id. Epoch ids are stable across
+    * restarts ONLY under a durable checkpoint — without one Spark falls
+    * back to a temporary checkpoint, epoch ids restart at 0 with
+    * different batch composition, and the manifest's replay check turns
+    * into silent batch loss (a fresh batch skipped because a PREVIOUS
+    * run's epoch 0 already committed). `checkpointDir` is therefore a
+    * required parameter, not an option: with it, the sink-side batch id
+    * and the source-side offset log advance together, closing both
+    * failure modes plain parquet append leaves open — a writer crash
+    * mid-append leaves only an unpublished (invisible) attempt dir, and
+    * the replayed epoch after recovery (offsets committed, sink
+    * manifest committed, checkpoint commit lost) skips exactly the
+    * batch that already published (exactly-once per epoch; StreamingSpec
+    * pins the replay by deleting the checkpoint's commit record). The
     * key anti-join stays as defense in depth against upstream replays
     * that arrive under a NEW epoch. */
-  def dedupedIngestAtomic(stream: DataFrame, destRoot: String, keyCol: String)
+  def dedupedIngestAtomic(stream: DataFrame, destRoot: String, keyCol: String,
+                          checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
         val fresh =

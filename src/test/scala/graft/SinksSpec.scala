@@ -80,6 +80,86 @@ class SinksSpec extends SparkSuite {
     assert(byChat("c1") === None && byChat("c2") === Some("open"))
   }
 
+  test("appendAtomic: race loser commits nothing and cleans up after itself") {
+    val root = tempPath()
+    assert(Sinks.appendAtomic(
+      Seq(("c1", "t1")).toDF("chat_id", "n_ticket"), root, "b1"))
+    // force a second attempt of the SAME batch id past the fast-path
+    // check — the zombie-driver interleaving: it writes its attempt dir,
+    // writes its manifest temp, then LOSES the publish rename
+    assert(!Sinks.appendAtomicAttempt(
+      Seq(("zombie", "z1")).toDF("chat_id", "n_ticket"), root, "b1",
+      fastPathCheck = false))
+    val dest = Sinks.readCommitted(spark, root)
+    assert(dest.count() === 1)
+    assert(dest.collect().head.getString(0) === "c1",
+      "the winner's rows, never the zombie's")
+    // the loser removed its own attempt dir and manifest temp
+    val dataDirs = new java.io.File(s"$root/data").listFiles().map(_.getName)
+    assert(dataDirs.length === 1 && dataDirs.head.startsWith("b1-"))
+    val temps = new java.io.File(s"$root/_manifests").listFiles()
+      .map(_.getName).filter(_.endsWith(".inprogress"))
+    assert(temps.isEmpty)
+  }
+
+  test("appendAtomic: concurrent same-batch attempts — exactly one publishes") {
+    (1 to 3).foreach { round =>
+      val root = tempPath()
+      val dfA = Seq(("a", "tA")).toDF("chat_id", "n_ticket")
+      val dfB = Seq(("b", "tB")).toDF("chat_id", "n_ticket")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      def attempt(df: org.apache.spark.sql.DataFrame) =
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            gate.await()
+            // skip the fast path so both racers really reach the commit
+            Sinks.appendAtomicAttempt(df, root, s"race-$round",
+              fastPathCheck = false)
+          }
+        })
+      val (fa, fb) = (attempt(dfA), attempt(dfB))
+      gate.countDown()
+      val (ra, rb) = (fa.get(), fb.get())
+      pool.shutdown()
+      assert(ra ^ rb, s"exactly one attempt must win (got $ra/$rb)")
+      val dest = Sinks.readCommitted(spark, root)
+      assert(dest.count() === 1, "one committed copy, never torn/merged")
+      val winner = dest.collect().head.getString(0)
+      assert(winner === (if (ra) "a" else "b"),
+        "the committed rows belong to the attempt that reported success")
+    }
+  }
+
+  test("vacuumUnpublished reclaims aged orphans, spares committed and in-flight") {
+    val root = tempPath()
+    assert(Sinks.appendAtomic(
+      Seq(("c1", "t1")).toDF("chat_id", "n_ticket"), root, "b1"))
+
+    // an AGED orphan: a crashed attempt's dir + abandoned manifest temp
+    val oldOrphan = new java.io.File(s"$root/data/b9-dead", "part-00000.parquet")
+    oldOrphan.getParentFile.mkdirs()
+    java.nio.file.Files.write(oldOrphan.toPath, "garbage".getBytes("UTF-8"))
+    val oldTemp = new java.io.File(s"$root/_manifests/.b9.dead.inprogress")
+    java.nio.file.Files.write(oldTemp.toPath, "data/b9-dead/x".getBytes("UTF-8"))
+    val past = System.currentTimeMillis() - 60000
+    assert(oldOrphan.setLastModified(past) && oldOrphan.getParentFile.setLastModified(past))
+    assert(oldTemp.setLastModified(past))
+
+    // a YOUNG orphan: could be an in-flight attempt — must survive
+    val young = new java.io.File(s"$root/data/b10-live", "part-00000.parquet")
+    young.getParentFile.mkdirs()
+    java.nio.file.Files.write(young.toPath, "inflight".getBytes("UTF-8"))
+
+    assert(Sinks.vacuumUnpublished(spark, root, minAgeMs = 30000) === 1)
+    assert(!oldOrphan.getParentFile.exists(), "aged orphan reclaimed")
+    assert(!oldTemp.exists(), "abandoned manifest temp reclaimed")
+    assert(young.getParentFile.exists(), "in-flight attempt untouched")
+    val dest = Sinks.readCommitted(spark, root)
+    assert(dest.count() === 1 && dest.collect().head.getString(0) === "c1",
+      "committed data unaffected by the vacuum")
+  }
+
   test("jsonl and csv round-trip with schema fidelity") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))

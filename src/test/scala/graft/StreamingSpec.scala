@@ -191,12 +191,66 @@ class StreamingSpec extends SparkSuite {
 
     val stream = EventStreams.readEventStream(spark, landing.toString,
       Tables.rawEventSchema(spark, sf), maxFilesPerTrigger = Some(1))
-    val q = EventStreams.dedupedIngestAtomic(stream, dest, "event_id")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    val q = EventStreams.dedupedIngestAtomic(stream, dest, "event_id", ckpt)
     try q.processAllAvailable() finally q.stop()
 
     val n = Tables.events(spark, sf).count()
     assert(graft.operators.Sinks.readCommitted(spark, dest).count() === n,
       "replayed batch must dedup to zero new rows; torn write invisible")
+  }
+
+  test("dedupedIngestAtomic: crash recovery is exactly-once across restarts") {
+    val landing = java.nio.file.Files.createTempDirectory("graft-landing-")
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    java.nio.file.Files.copy(src, landing.resolve("batch1.parquet"))
+    val base = java.nio.file.Files.createTempDirectory("graft-recover-")
+    val dest = s"$base/dest"
+    val ckpt = s"$base/ckpt"
+    val schema = Tables.rawEventSchema(spark, sf)
+
+    // run 1: ingest batch 0, checkpoint and sink manifest both commit
+    val q1 = EventStreams.dedupedIngestAtomic(
+      EventStreams.readEventStream(spark, landing.toString, schema), dest,
+      "event_id", ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    val n = Tables.events(spark, sf).count()
+    assert(graft.operators.Sinks.readCommitted(spark, dest).count() === n)
+
+    // crash window 1: the sink manifest published but the CHECKPOINT
+    // commit record was lost (writer died between the two) — on restart
+    // Spark re-runs epoch 0 with the same offsets; the stable epoch id
+    // must hit the committed manifest and skip, not double-ingest
+    val commit0 = java.nio.file.Paths.get(s"$ckpt/commits/0")
+    assert(java.nio.file.Files.deleteIfExists(commit0),
+      "test setup: checkpoint commit record must exist to simulate the crash")
+    // the checksum sidecar goes with it (a real crash never wrote either)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$ckpt/commits/.0.crc"))
+
+    // crash window 2, simultaneously: a previous attempt died mid-append —
+    // part-files exist under an unpublished attempt dir, no manifest
+    val torn = new java.io.File(s"$dest/data/epoch-000000000001-dead",
+      "part-00000.parquet")
+    torn.getParentFile.mkdirs()
+    java.nio.file.Files.write(torn.toPath, "garbage".getBytes("UTF-8"))
+
+    val q2 = EventStreams.dedupedIngestAtomic(
+      EventStreams.readEventStream(spark, landing.toString, schema), dest,
+      "event_id", ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(graft.operators.Sinks.readCommitted(spark, dest).count() === n,
+      "replayed epoch after checkpoint loss must skip its committed manifest")
+
+    // run 3: NEW data after recovery still ingests (the silent-loss trap:
+    // unstable epoch ids would skip fresh batches against stale manifests)
+    java.nio.file.Files.copy(src, landing.resolve("batch2.parquet"))
+    val q3 = EventStreams.dedupedIngestAtomic(
+      EventStreams.readEventStream(spark, landing.toString, schema), dest,
+      "event_id", ckpt)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(graft.operators.Sinks.readCommitted(spark, dest).count() === n,
+      "key-level dedup drops the replayed rows arriving under a new epoch")
   }
 
   test("statefulSessions batch twin matches native session_window splits") {
