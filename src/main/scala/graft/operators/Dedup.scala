@@ -586,7 +586,30 @@ object Dedup {
     * `nodes` = one row per document id (singletons keep cluster = own id);
     * `pairs` must have id_a/id_b columns of the same type as `nodes`. */
   def duplicateClusters(nodes: DataFrame, pairs: DataFrame, idCol: String,
-                        maxIter: Int = 20): DataFrame = {
+                        maxIter: Int = 20): DataFrame =
+    duplicateClustersRun(nodes, pairs, idCol, maxIter).clusters
+
+  /** One [[duplicateClustersRun]] execution with its convergence
+    * telemetry — the [[Graph.KCoreRun]] contract for the CC loop:
+    * `changedPerRound` is how many active-node labels moved in each
+    * propagation+jump round (strictly positive until the closing
+    * round's 0 — the fixpoint witness), `activeNodes`/`directedEdges`
+    * size the edge-induced subgraph the loop actually iterates, and
+    * `converged` makes the maxIter cap observable. Data-dependent round
+    * growth (long chains from transitive drift vs. the usual
+    * diameter-2 clique blobs) reads directly off the trace length in
+    * production instead of surfacing as an opaque wall-clock shift. */
+  final case class DupClustersRun(clusters: DataFrame,
+                                  changedPerRound: Seq[Long],
+                                  activeNodes: Long, directedEdges: Long,
+                                  converged: Boolean) {
+    def rounds: Int = changedPerRound.length
+  }
+
+  /** [[duplicateClusters]] with the per-round telemetry attached (same
+    * plan, same result — q_dup_clusters runs through this path). */
+  def duplicateClustersRun(nodes: DataFrame, pairs: DataFrame, idCol: String,
+                           maxIter: Int = 20): DupClustersRun = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -599,8 +622,10 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
+    val activeNodes = labels.count()
+    val directedEdges = edges.count()
+    val trace = scala.collection.mutable.ArrayBuffer.empty[Long]
     var converged = false
-    var prevSum: java.math.BigDecimal = null
     var i = 0
     while (!converged && i < maxIter) {
       val propagated = edges.join(labels, edges("src") === labels("id"))
@@ -625,23 +650,25 @@ object Dedup {
               coalesce(lookup("__lcluster"), df("cluster"))).as("cluster"))
       }
       val next = hop(hop(combined)).localCheckpoint()
-      // convergence check without a join: labels only ever DECREASE, so
-      // the label sum strictly drops until the fixpoint. Decimal(38,0)
-      // keeps the sum exact at any node count / id magnitude.
-      val s = next.agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
-        .first().getDecimal(0)
-      // s == null ⇔ the edge-induced subgraph is empty (no pairs at all):
-      // nothing to propagate, converged immediately
-      converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
-      prevSum = s
+      // convergence = zero labels moved this round, counted exactly by a
+      // 1:1 in-memory join of the two checkpointed label frames (labels
+      // only ever decrease, so changed == 0 is the fixpoint). This is the
+      // round's one action, and it doubles as the telemetry readout.
+      val changed = next
+        .join(labels.select(col("id"), col("cluster").as("__prev")), Seq("id"))
+        .filter(col("cluster") =!= col("__prev")).count()
+      trace += changed
+      converged = changed == 0
       labels = next
       i += 1
     }
     edges.unpersist()
-    nodes.select(col(idCol))
+    val clusters = nodes.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("cluster"), col(idCol)).as("cluster"))
+    DupClustersRun(clusters, trace.toSeq, activeNodes, directedEdges,
+      converged)
   }
 
   /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter,

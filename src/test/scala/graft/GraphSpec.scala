@@ -303,6 +303,32 @@ class GraphSpec extends SparkSuite {
     intercept[IllegalArgumentException](Graph.kTruss(strip, k = 2))
   }
 
+  test("kTruss: incremental support maintenance equals per-round recompute") {
+    // deterministic pseudo-random graph, dense enough for a multi-round
+    // peel with cascades: ~60 nodes, hash-selected edges
+    val n = 60L
+    val edges = (for {
+      a <- 1L until n; b <- (a + 1) to n
+      if ((a * 2654435761L + b * 40503L) % 97) < 22
+    } yield (a, b)).toDF("src", "dst")
+    for (k <- Seq(3, 4, 5)) {
+      val inc = Graph.kTrussRun(edges, k)
+      val ref = Graph.kTrussRecompute(edges, k)
+      assert(inc.truss.exceptAll(ref).isEmpty && ref.exceptAll(inc.truss).isEmpty,
+        s"incremental != recompute at k=$k")
+      assert(inc.converged)
+      // every traced round removed something, and the removals sum to
+      // the peeled edge count — the telemetry is the audit trail
+      assert(inc.removedPerRound.forall(_ > 0))
+      val canon = edges.select(least(col("src"), col("dst")),
+        greatest(col("src"), col("dst"))).distinct().count()
+      assert(inc.removedPerRound.sum === canon - inc.truss.count())
+    }
+    // maxIter cap: partially-peeled set, observable non-convergence
+    val capped = Graph.kTrussRun(edges, k = 5, maxIter = 1)
+    assert(!capped.converged && capped.rounds === 1)
+  }
+
   test("jaccardLinkPrediction: exact ratios, adjacency excluded, hub cap") {
     // square 1-2-3-4-1: the two diagonals share BOTH neighbors → 1.0
     val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")

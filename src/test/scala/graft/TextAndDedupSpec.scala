@@ -376,6 +376,30 @@ class TextAndDedupSpec extends SparkSuite {
     assert(out.values.toSet === Set(0L), "a single path must collapse to one cluster")
   }
 
+  test("duplicateClustersRun: telemetry sizes the subgraph, traces convergence") {
+    import graft.operators.Dedup
+    // 16-chain + 2 singletons: pointer jumping closes the chain in
+    // O(log n) rounds, and the trace is the audit trail
+    val nodes = (0L until 18L).toDF("doc_id")
+    val pairs = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val run = Dedup.duplicateClustersRun(nodes, pairs, "doc_id")
+    assert(run.converged)
+    assert(run.activeNodes === 16L, "singletons never enter the loop")
+    assert(run.directedEdges === 30L)
+    assert(run.changedPerRound.last === 0L, "closing round witnesses the fixpoint")
+    assert(run.changedPerRound.init.forall(_ > 0L),
+      s"every non-closing round must move labels: ${run.changedPerRound}")
+    assert(run.rounds <= 5,
+      s"pointer jumping must close a 16-chain in O(log n) rounds: ${run.rounds}")
+    val out = run.clusters.as[(Long, Long)].collect().toMap
+    assert((0L until 16L).forall(out(_) === 0L) && out(16L) === 16L && out(17L) === 17L)
+    // empty pair set: one zero-round, immediately converged
+    val empty = Dedup.duplicateClustersRun(nodes,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "doc_id")
+    assert(empty.converged && empty.changedPerRound === Seq(0L)
+      && empty.activeNodes === 0L)
+  }
+
   test("maskPii masks url/email/phone shapes and leaves clean text alone") {
     val d = Seq(
       (1L, "mail me at jane.doe+x@corp.example.org today"),
