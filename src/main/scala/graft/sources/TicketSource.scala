@@ -33,12 +33,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (≤3 attempts, 2^(n-1) backoff on 409/500, ticket.py:123-138)
   *  - short-page termination (ticket.py:145-146).
   *
-  * The HTTP layer is [[TicketApi]], a deterministic in-memory page server
-  * (this sandbox has zero egress); swap its `fetchPage` for a real client
-  * and every Spark-side piece is unchanged. Usage:
+  * The HTTP layer is behind the [[TicketTransport]] seam, bound via the
+  * `transport` option (a class name instantiated per partition reader ON
+  * THE EXECUTOR, configured with the reader's full option map) — a live
+  * deployment binds an HTTP client class without touching any Spark-side
+  * piece; the default is [[InMemoryTicketTransport]], the deterministic
+  * in-memory page server (this sandbox has zero egress). Retry/backoff
+  * stays CLIENT-side in the partition reader, transport-agnostic, exactly
+  * as the reference keeps it in its request wrapper (ticket.py:123-138).
+  * Usage:
   * {{{
   * spark.read.format("graft.sources.TicketDataSource")
   *   .option("start", "2024-01-01T00:00:00Z").option("end", "2024-03-01T00:00:00Z")
+  *   .option("transport", "com.example.HttpTicketTransport") // live binding
   *   .load().filter($"created_at" >= ... )  // reaches the API as a filter
   * }}}
   */
@@ -48,6 +55,45 @@ class TicketDataSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new TicketTable(new CaseInsensitiveStringMap(properties))
+}
+
+/** The transport seam (ticket.py:98-149 fidelity): HOW a page of tickets
+  * or a range-stats answer reaches the reader — the ONLY part of the
+  * source a live deployment replaces. Implementations need a public
+  * no-arg constructor (they are instantiated by class name on executors,
+  * once per partition reader) and receive the reader's full option map
+  * via [[configure]] (endpoint URL, credentials reference, timeouts —
+  * whatever the binding needs). Everything else — window partitioning,
+  * filter/limit/TopN/aggregate pushdown, retry/backoff, short-page
+  * termination — is transport-agnostic and stays put. */
+trait TicketTransport extends Serializable {
+  /** Called once after instantiation with the reader's options. */
+  def configure(options: Map[String, String]): Unit = ()
+  /** One page of tickets with createdUs in [geUs, leUs], ascending. */
+  def fetchPage(geUs: Long, leUs: Long, page: Int, limit: Int): Seq[TicketApi.Ticket]
+  /** (count, min createdUs, max createdUs) in the closed range — the
+    * metadata/count endpoint behind aggregate pushdown. */
+  def statsIn(geUs: Long, leUs: Long): (Long, Long, Long)
+}
+
+object TicketTransport {
+  val OptionKey = "transport"
+  def instantiate(className: String, options: Map[String, String]): TicketTransport = {
+    val t = Class.forName(className).getDeclaredConstructor()
+      .newInstance().asInstanceOf[TicketTransport]
+    t.configure(options)
+    t
+  }
+}
+
+/** The sandbox binding: delegates to [[TicketApi]], the deterministic
+  * in-memory page server (with its simulated transient 500s, so the
+  * reader's retry path is exercised against the seam too). */
+final class InMemoryTicketTransport extends TicketTransport {
+  override def fetchPage(geUs: Long, leUs: Long, page: Int, limit: Int): Seq[TicketApi.Ticket] =
+    TicketApi.fetchPage(geUs, leUs, page, limit)
+  override def statsIn(geUs: Long, leUs: Long): (Long, Long, Long) =
+    TicketApi.statsIn(geUs, leUs)
 }
 
 private[sources] class TicketTable(options: CaseInsensitiveStringMap)
@@ -79,6 +125,16 @@ private[sources] class TicketScanBuilder(options: CaseInsensitiveStringMap)
   // short-page termination test (rows < pageSize) unsatisfiable
   private val pageSize: Int =
     math.max(1, math.min(Option(options.get("pageSize")).map(_.toInt).getOrElse(100), 100))
+  // transport binding: class name + the full option map it is configured
+  // with, both plain-serializable so readers instantiate on executors
+  private val transportClass: String =
+    Option(options.get(TicketTransport.OptionKey))
+      .getOrElse(classOf[InMemoryTicketTransport].getName)
+  private val transportOpts: Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    options.entrySet().forEach(e => m += (e.getKey -> e.getValue))
+    m.toMap
+  }
 
   private var geUs: Long = startUs
   private var leUs: Long = endUs
@@ -181,7 +237,7 @@ private[sources] class TicketScanBuilder(options: CaseInsensitiveStringMap)
   private var aggExprs: Seq[TicketAgg] = Nil
 
   override def build(): Scan = new TicketScan(geUs, leUs, windowUs, pageSize,
-    limit, required, pushed, topN, aggExprs)
+    limit, required, pushed, topN, aggExprs, transportClass, transportOpts)
 }
 
 /** The three server-answerable aggregates of [[TicketScanBuilder]]'s
@@ -197,7 +253,10 @@ private[sources] class TicketScan(geUs: Long, leUs: Long, windowUs: Long,
                                   pageSize: Int, limit: Option[Int],
                                   required: StructType, pushed: Array[Filter],
                                   topN: Boolean = false,
-                                  aggExprs: Seq[TicketAgg] = Nil)
+                                  aggExprs: Seq[TicketAgg] = Nil,
+                                  transportClass: String =
+                                    classOf[InMemoryTicketTransport].getName,
+                                  transportOpts: Map[String, String] = Map.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -220,23 +279,30 @@ private[sources] class TicketScan(geUs: Long, leUs: Long, windowUs: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    if (aggExprs.nonEmpty) new TicketAggReaderFactory(aggExprs)
-    else new TicketReaderFactory(pageSize, limit, required)
+    if (aggExprs.nonEmpty)
+      new TicketAggReaderFactory(aggExprs, transportClass, transportOpts)
+    else new TicketReaderFactory(pageSize, limit, required, transportClass,
+      transportOpts)
 }
 
 /** Readers for a pushed aggregation: one pre-aggregated row per window,
-  * answered from the API's index ([[TicketApi.statsIn]] — the metadata
-  * request a real server serves from its count endpoint) with ZERO page
-  * fetches. Spark's final aggregate merges the per-window partials. */
-private[sources] class TicketAggReaderFactory(aggExprs: Seq[TicketAgg])
+  * answered from the API's index ([[TicketTransport.statsIn]] — the
+  * metadata request a real server serves from its count endpoint) with
+  * ZERO page fetches. Spark's final aggregate merges the per-window
+  * partials. */
+private[sources] class TicketAggReaderFactory(aggExprs: Seq[TicketAgg],
+                                              transportClass: String,
+                                              transportOpts: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val part = partition.asInstanceOf[TicketWindowPartition]
+      private val transport =
+        TicketTransport.instantiate(transportClass, transportOpts)
       private var served = false
       override def next(): Boolean = { val go = !served; served = true; go }
       override def get(): InternalRow = {
-        val (n, minUs, maxUs) = TicketApi.statsIn(part.loUs, part.hiUs)
+        val (n, minUs, maxUs) = transport.statsIn(part.loUs, part.hiUs)
         val vals: Array[Any] = aggExprs.map {
           case TicketAgg.CountStar => n.asInstanceOf[Any]
           case TicketAgg.MinCreated =>
@@ -254,19 +320,25 @@ private[sources] case class TicketWindowPartition(loUs: Long, hiUs: Long)
     extends InputPartition
 
 private[sources] class TicketReaderFactory(pageSize: Int, limit: Option[Int],
-                                           required: StructType)
+                                           required: StructType,
+                                           transportClass: String,
+                                           transportOpts: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TicketPartitionReader(partition.asInstanceOf[TicketWindowPartition],
-      pageSize, limit, required)
+      pageSize, limit, required,
+      TicketTransport.instantiate(transportClass, transportOpts))
 }
 
 /** Pages through one time window with the reference's retry/backoff loop
   * (≤3 attempts, 2^(n-1) backoff, ticket.py:123-138) and short-page
-  * termination (ticket.py:145-146). */
+  * termination (ticket.py:145-146). The retry policy lives HERE — client
+  * side of the [[TicketTransport]] seam — so every binding (in-memory or
+  * live HTTP) gets the same ≤3-attempt 409/500 behavior. */
 private[sources] class TicketPartitionReader(part: TicketWindowPartition,
                                              pageSize: Int, limit: Option[Int],
-                                             required: StructType)
+                                             required: StructType,
+                                             transport: TicketTransport)
     extends PartitionReader[InternalRow] {
   private var page = 1
   private var emitted = 0
@@ -278,7 +350,7 @@ private[sources] class TicketPartitionReader(part: TicketWindowPartition,
     val maxRetries = 3
     var attempt = 1
     while (true) {
-      try return TicketApi.fetchPage(part.loUs, part.hiUs, p, pageSize)
+      try return transport.fetchPage(part.loUs, part.hiUs, p, pageSize)
       catch {
         case e: TicketApi.ApiError if attempt < maxRetries && (e.code == 409 || e.code == 500) =>
           Thread.sleep(1L << (attempt - 1)) // 2^(n-1), ms-scaled for tests

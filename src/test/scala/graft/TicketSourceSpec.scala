@@ -4,6 +4,41 @@ import graft.sources.TicketApi
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
 
+/** Seam-test transport: proves the `transport` option binds a caller
+  * class (instantiated by name, configured with the reader's options)
+  * and that the reader's retry/backoff runs against ANY binding — it
+  * serves a configurable number of synthetic tickets and fails the
+  * first-ever page fetch with a 500. */
+class CountingTestTransport extends graft.sources.TicketTransport {
+  private var n: Long = 0L
+  private var geAnchor: Long = 0L
+  override def configure(options: Map[String, String]): Unit = {
+    // CaseInsensitiveStringMap hands keys through lower-cased
+    n = options.getOrElse("testtickets", "0").toLong
+    CountingTestTransport.sawOptions.set(options.contains("testtickets"))
+  }
+  override def fetchPage(geUs: Long, leUs: Long, page: Int,
+                         limit: Int): Seq[TicketApi.Ticket] = {
+    CountingTestTransport.calls.incrementAndGet()
+    if (CountingTestTransport.failNext.compareAndSet(true, false))
+      throw TicketApi.ApiError(500)
+    geAnchor = geUs
+    val lo = (page - 1).toLong * limit
+    if (lo >= n) Nil
+    else (lo until math.min(n, lo + limit)).map { k =>
+      TicketApi.Ticket(s"seam-$k", k, geUs + k, "open", s"seam$k@example.com")
+    }
+  }
+  override def statsIn(geUs: Long, leUs: Long): (Long, Long, Long) =
+    (n, geUs, geUs + math.max(0L, n - 1))
+}
+
+object CountingTestTransport {
+  val calls = new java.util.concurrent.atomic.AtomicLong(0L)
+  val failNext = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val sawOptions = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 /** The DSv2 ticket source: pushdowns, window partitioning, retry path. */
 class TicketSourceSpec extends SparkSuite {
 
@@ -47,6 +82,34 @@ class TicketSourceSpec extends SparkSuite {
     // the deterministic fault injection fired and was retried through
     val counts = TicketApi.attempts.values()
     assert(counts.stream().anyMatch(_ >= 2), "expected at least one retried page")
+  }
+
+  test("transport seam: option-bound class serves pages, retry runs against it") {
+    CountingTestTransport.calls.set(0L)
+    CountingTestTransport.failNext.set(true)
+    CountingTestTransport.sawOptions.set(false)
+    // 1-day range → one window partition; 250 tickets at pageSize 100 →
+    // 3 pages (the last short) + 1 failed first attempt = 5 calls
+    val df = read("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z",
+      "transport" -> classOf[CountingTestTransport].getName,
+      "testtickets" -> "250")
+    val rows = df.collect()
+    assert(rows.length === 250, "the bound transport's rows, not TicketApi's")
+    assert(rows.forall(_.getString(0).startsWith("seam-")))
+    assert(CountingTestTransport.sawOptions.get(),
+      "configure must receive the reader's option map")
+    assert(!CountingTestTransport.failNext.get(), "the injected 500 fired")
+    assert(CountingTestTransport.calls.get() === 4L,
+      "retry replays exactly the failed page: 1 failed attempt + 3 served " +
+        s"pages, short page terminates (got ${CountingTestTransport.calls.get()})")
+    // aggregate pushdown answers from the SEAM's stats endpoint too
+    CountingTestTransport.calls.set(0L)
+    val n = read("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z",
+      "transport" -> classOf[CountingTestTransport].getName,
+      "testtickets" -> "250").count()
+    assert(n === 250L)
+    assert(CountingTestTransport.calls.get() === 0L,
+      "pushed COUNT must answer from statsIn with zero page fetches")
   }
 
   test("limit pushdown reaches the scan") {
