@@ -11,10 +11,17 @@ object Verify {
     val only: Set[String] =
       if (args.length > 2) args(2).split(",").toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // AQE (+ skew-join handling + partition coalescing) is ON by default
+    // in Spark 4 — the suite's standard profile IS adaptive. This knob
+    // runs the inverse profile: results must be plan-invariant, so a
+    // sweep with AQE off proves no query leans on a runtime re-plan
+    // (BASELINE.md records both profiles hash-green).
+    val aqeOff = sys.env.get("SPARK_GRAFT_AQE_OFF").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", (!aqeOff).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -69,7 +69,11 @@ object Sinks {
   /** The full attempt path, with the already-committed fast-path check
     * switchable so the race-loser branch is deterministically testable
     * (SinksSpec pre-commits the batch id, then forces a second attempt
-    * through write → publish → lose → clean up). */
+    * through write → publish → lose → clean up). The SNAPSHOT check is
+    * never skippable: once [[compactManifests]] absorbs a batch's loose
+    * manifest, the rename-no-overwrite commit point alone can no longer
+    * detect a replay of that id — the snapshot registry is the other
+    * half of the commit protocol, not an optimization. */
   private[graft] def appendAtomicAttempt(df: DataFrame, root: String,
                                          batchId: String,
                                          fastPathCheck: Boolean): Boolean = {
@@ -80,6 +84,7 @@ object Sinks {
     val manifestDir = new org.apache.hadoop.fs.Path(root, "_manifests")
     val manifest = new org.apache.hadoop.fs.Path(manifestDir, s"$batchId.manifest")
     if (fastPathCheck && fs.exists(manifest)) return false
+    if (snapshotBatches(spark, root).contains(batchId)) return false
     val attemptId = java.util.UUID.randomUUID().toString
     val attemptDirName = s"$batchId-$attemptId"
     val dataDir = new org.apache.hadoop.fs.Path(
@@ -118,45 +123,134 @@ object Sinks {
     }
   }
 
-  // Published manifests are immutable (they appear whole, by rename, and
-  // are never rewritten), so their contents are cached process-wide:
-  // each committedFiles call costs ONE directory listing plus a read of
-  // only the manifests not yet seen — per-batch reader work stays O(new
-  // batches), not O(all batches ever committed) (the long-lived-stream
-  // trap: dedupedIngestAtomic consults the committed set every
-  // micro-batch). Entries for manifests that disappear (external cleanup)
-  // are dropped on the next call. At cluster scale the same O(new) shape
-  // comes from compacting old manifests into snapshot files
-  // (Delta/Iceberg-log style); the in-process cache is the single-writer
-  // equivalent.
+  // Published manifests and snapshots are immutable (they appear whole,
+  // by rename, and are never rewritten), so their contents are cached
+  // process-wide: each committedFiles call costs ONE directory listing
+  // plus a read of only the files not yet seen — per-batch reader work
+  // stays O(new batches), not O(all batches ever committed) (the
+  // long-lived-stream trap: dedupedIngestAtomic consults the committed
+  // set every micro-batch). Entries for files that disappear (vacuum,
+  // compaction) are dropped on the next call. [[compactManifests]]
+  // bounds the LISTING too — after compaction the directory holds one
+  // snapshot plus only the manifests published since.
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, java.util.concurrent.ConcurrentHashMap[String, Seq[String]]]()
 
-  /** The committed file list under an atomic destination: every path
-    * named by a published manifest, in (batch, part) order. Empty when
-    * nothing has committed — including when partial data dirs exist. */
-  def committedFiles(spark: SparkSession, root: String): Seq[String] = {
+  /** One listing of `_manifests/`, merged through the caches into the
+    * committed registry: batchId → relative part paths, from snapshots
+    * (compacted history) and loose manifests (recent batches). A batch
+    * present in both (the compaction crash window between snapshot
+    * publish and loose-manifest deletion) dedups to the loose copy —
+    * contents are identical by construction. */
+  private def committedRegistry(spark: SparkSession, root: String)
+      : scala.collection.immutable.SortedMap[String, Seq[String]] = {
     val fs = fsFor(spark, root)
     val manifestDir = new org.apache.hadoop.fs.Path(root, "_manifests")
-    if (!fs.exists(manifestDir)) return Seq.empty
+    if (!fs.exists(manifestDir))
+      return scala.collection.immutable.SortedMap.empty
     val qualifiedRoot = fs.makeQualified(new org.apache.hadoop.fs.Path(root)).toString
     val cache = manifestCache.computeIfAbsent(qualifiedRoot,
       _ => new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]())
     val present = fs.listStatus(manifestDir).map(_.getPath)
-      .filter(_.getName.endsWith(".manifest")).sortBy(_.getName).toSeq
+      .filter(p => p.getName.endsWith(".manifest") || p.getName.endsWith(".snapshot"))
+      .sortBy(_.getName).toSeq
     cache.keySet().retainAll(
       scala.jdk.CollectionConverters.SeqHasAsJava(present.map(_.getName)).asJava)
-    present
-      .flatMap { m =>
-        cache.computeIfAbsent(m.getName, { _ =>
-          val in = fs.open(m)
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-          finally in.close()
-        })
+    def linesOf(p: org.apache.hadoop.fs.Path): Seq[String] =
+      cache.computeIfAbsent(p.getName, { _ =>
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      })
+    var reg = scala.collection.immutable.SortedMap.empty[String, Seq[String]]
+    // snapshots first (oldest to newest), loose manifests last: later
+    // writes win, and all copies of a batch id are identical anyway
+    present.filter(_.getName.endsWith(".snapshot")).foreach { s =>
+      linesOf(s).filter(_.nonEmpty).map(_.split('\t')).collect {
+        case Array(id, rel) => (id, rel)
+      }.groupBy(_._1).foreach { case (id, pairs) =>
+        reg += id -> pairs.map(_._2).toSeq
       }
-      .filter(_.nonEmpty)
+    }
+    present.filter(_.getName.endsWith(".manifest")).foreach { m =>
+      val id = m.getName.stripSuffix(".manifest")
+      reg += id -> linesOf(m).filter(_.nonEmpty)
+    }
+    reg
+  }
+
+  /** Batch ids whose loose manifests were absorbed into a snapshot —
+    * consulted by the commit path (see [[appendAtomicAttempt]]). */
+  private def snapshotBatches(spark: SparkSession, root: String): Set[String] = {
+    val fs = fsFor(spark, root)
+    val manifestDir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    if (!fs.exists(manifestDir)) return Set.empty
+    val snaps = fs.listStatus(manifestDir).map(_.getPath)
+      .filter(_.getName.endsWith(".snapshot"))
+    if (snaps.isEmpty) return Set.empty
+    committedRegistry(spark, root).keySet
+  }
+
+  /** The committed file list under an atomic destination: every path
+    * named by a published manifest or snapshot, in (batch, part) order.
+    * Empty when nothing has committed — including when partial data
+    * dirs exist. */
+  def committedFiles(spark: SparkSession, root: String): Seq[String] =
+    committedRegistry(spark, root).values.flatten.toSeq
       .map(rel => new org.apache.hadoop.fs.Path(root, rel).toString)
+
+  /** Fold every loose manifest (and prior snapshot) into ONE snapshot
+    * file — the Delta/Iceberg-log-style compaction that keeps a
+    * long-lived destination's `_manifests/` listing O(recent batches)
+    * instead of O(all batches ever committed). The snapshot records
+    * `batchId<TAB>relpath` lines, so BOTH reader resolution and the
+    * commit path's replay detection survive the loose manifests'
+    * removal. Publication is the same rename-no-overwrite commit point
+    * as appendAtomic; the crash windows are all benign: tmp-only →
+    * invisible; snapshot published but absorbed files not yet deleted →
+    * readers dedup by batch id; concurrent appendAtomic publishing a NEW
+    * manifest during compaction → it was not in the listing, stays
+    * loose, absorbed next time. Run it as single-writer maintenance
+    * (like [[vacuumUnpublished]]); a lost snapshot-name race aborts as a
+    * no-op. Returns the number of loose manifests absorbed. */
+  def compactManifests(spark: SparkSession, root: String): Int = {
+    val fs = fsFor(spark, root)
+    val manifestDir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    if (!fs.exists(manifestDir)) return 0
+    val entries = fs.listStatus(manifestDir).map(_.getPath)
+    val loose = entries.filter(_.getName.endsWith(".manifest")).sortBy(_.getName)
+    val snaps = entries.filter(_.getName.endsWith(".snapshot")).sortBy(_.getName)
+    if (loose.isEmpty) return 0
+    val reg = committedRegistry(spark, root)
+    val nextIdx = snaps.lastOption
+      .map(_.getName.stripSuffix(".snapshot").toLong + 1).getOrElse(0L)
+    val name = f"$nextIdx%012d.snapshot"
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      manifestDir.toUri, spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(manifestDir, s".$name.inprogress")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try {
+      out.write(reg.iterator.flatMap { case (id, rels) =>
+        rels.map(rel => s"$id\t$rel")
+      }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.hsync()
+    } finally out.close()
+    try fc.rename(tmp, new org.apache.hadoop.fs.Path(manifestDir, name),
+      org.apache.hadoop.fs.Options.Rename.NONE)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        return 0 // lost a concurrent compaction race: their snapshot holds
+    }
+    // the new snapshot is live — absorbed files are now redundant copies
+    loose.foreach(m => fs.delete(m, false))
+    snaps.foreach(s => fs.delete(s, false))
+    loose.length
   }
 
   /** Reclaim attempt directories that no published manifest names and

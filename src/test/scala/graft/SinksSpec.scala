@@ -131,6 +131,48 @@ class SinksSpec extends SparkSuite {
     }
   }
 
+  test("compactManifests: one snapshot replaces the loose log, replays still skip") {
+    val root = tempPath()
+    assert(Sinks.appendAtomic(
+      Seq(("c1", "t1")).toDF("chat_id", "n_ticket"), root, "b1"))
+    assert(Sinks.appendAtomic(
+      Seq(("c2", "t2", "open")).toDF("chat_id", "n_ticket", "status"), root, "b2"))
+
+    assert(Sinks.compactManifests(spark, root) === 2)
+    val names = new java.io.File(s"$root/_manifests").listFiles().map(_.getName)
+    assert(names.count(_.endsWith(".snapshot")) === 1)
+    assert(!names.exists(_.endsWith(".manifest")), "loose log absorbed")
+
+    // reads resolve through the snapshot: same rows, same evolved schema
+    val dest = Sinks.readCommitted(spark, root)
+    assert(dest.count() === 2)
+    assert(dest.schema.fieldNames.toSet === Set("chat_id", "n_ticket", "status"))
+
+    // replay detection survives the loose manifests' removal — BOTH at
+    // the fast path and at the commit point itself
+    assert(!Sinks.appendAtomic(
+      Seq(("dup", "d")).toDF("chat_id", "n_ticket"), root, "b1"))
+    assert(!Sinks.appendAtomicAttempt(
+      Seq(("dup", "d")).toDF("chat_id", "n_ticket"), root, "b2",
+      fastPathCheck = false))
+    assert(Sinks.readCommitted(spark, root).count() === 2)
+
+    // the log keeps rolling: new batches stay loose until the next
+    // compaction, which folds them INTO the prior snapshot's history
+    assert(Sinks.appendAtomic(
+      Seq(("c3", "t3")).toDF("chat_id", "n_ticket"), root, "b3"))
+    assert(Sinks.readCommitted(spark, root).count() === 3)
+    assert(Sinks.compactManifests(spark, root) === 1)
+    val names2 = new java.io.File(s"$root/_manifests").listFiles().map(_.getName)
+    assert(names2.count(_.endsWith(".snapshot")) === 1
+      && !names2.exists(_.endsWith(".manifest")))
+    assert(Sinks.readCommitted(spark, root).count() === 3)
+    assert(!Sinks.appendAtomic(
+      Seq(("dup", "d")).toDF("chat_id", "n_ticket"), root, "b3"))
+    // nothing loose left: compaction without input is a no-op
+    assert(Sinks.compactManifests(spark, root) === 0)
+  }
+
   test("vacuumUnpublished reclaims aged orphans, spares committed and in-flight") {
     val root = tempPath()
     assert(Sinks.appendAtomic(
