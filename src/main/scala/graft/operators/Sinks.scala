@@ -106,22 +106,42 @@ object Sinks {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.hsync()
     } finally out.close()
-    // the commit point — rename that FAILS if the destination exists, so
-    // exactly one attempt of a batch id ever publishes
-    try {
-      fc.rename(tmp, manifest, org.apache.hadoop.fs.Options.Rename.NONE)
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.nio.file.FileAlreadyExistsException |
-           _: org.apache.hadoop.fs.ParentNotDirectoryException =>
-        // lost the race: another attempt of this batch id committed first.
-        // Nothing we wrote is referenced anywhere — clean up and report.
-        fs.delete(tmp, false)
-        fs.delete(dataDir, true)
-        false
+    // The commit point — a rename that FAILS if the destination exists,
+    // under an in-process lock per (root, batchId). The lock matters on
+    // LOCAL filesystems, where ChecksumFs's no-overwrite rename is
+    // check-then-act over two files (data + crc) and two same-JVM racers
+    // can interleave into a torn manifest/crc pair (caught by the
+    // SinksSpec stress test); a single Spark driver is the only writer a
+    // local destination can have, so the lock covers exactly the
+    // concurrency that exists there. On HDFS-semantics filesystems the
+    // rename itself is atomic-exclusive server-side, covering racers in
+    // OTHER JVMs too — the same layering Delta's HDFS log store uses.
+    val won = Sinks.commitLockFor(root, batchId).synchronized {
+      if (fs.exists(manifest)) false
+      else {
+        try {
+          fc.rename(tmp, manifest, org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.nio.file.FileAlreadyExistsException |
+               _: org.apache.hadoop.fs.ParentNotDirectoryException => false
+        }
+      }
     }
+    if (!won) {
+      // lost the race: another attempt of this batch id committed first.
+      // Nothing we wrote is referenced anywhere — clean up and report.
+      fs.delete(tmp, false)
+      fs.delete(dataDir, true)
+    }
+    won
   }
+
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def commitLockFor(root: String, batchId: String): Object =
+    commitLocks.computeIfAbsent(s"$root#$batchId", _ => new Object)
 
   // Published manifests and snapshots are immutable (they appear whole,
   // by rename, and are never rewritten), so their contents are cached

@@ -131,6 +131,42 @@ class SinksSpec extends SparkSuite {
     }
   }
 
+  test("appendAtomic stress: racing writers over many batch ids, exactly-once each") {
+    val root = tempPath()
+    val ids = (1 to 5).map(i => s"sb$i")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    // 3 writers per id with DISTINCT payloads; a mix of fast-path-checked
+    // and forced-through attempts (the zombie shape)
+    val futures = for (id <- ids; t <- 1 to 3) yield {
+      val payload = s"$id-w$t"
+      (id, payload, pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          gate.await()
+          Sinks.appendAtomicAttempt(
+            Seq((payload, "x")).toDF("chat_id", "n_ticket"), root, id,
+            fastPathCheck = t % 2 == 0)
+        }
+      }))
+    }
+    gate.countDown()
+    val outcomes = futures.map { case (id, p, f) => (id, p, f.get()) }
+    pool.shutdown()
+    ids.foreach { id =>
+      assert(outcomes.count(o => o._1 == id && o._3) === 1,
+        s"exactly one winner for $id: $outcomes")
+    }
+    val winners = outcomes.collect { case (_, p, true) => p }.toSet
+    val dest = Sinks.readCommitted(spark, root)
+    assert(dest.count() === ids.size.toLong)
+    assert(dest.collect().map(_.getString(0)).toSet === winners,
+      "committed rows are exactly the reported winners' payloads")
+    // every loser cleaned up after itself: nothing for the vacuum even
+    // with a zero age gate
+    assert(Sinks.vacuumUnpublished(spark, root, minAgeMs = 0L) === 0)
+    assert(Sinks.readCommitted(spark, root).count() === ids.size.toLong)
+  }
+
   test("compactManifests: one snapshot replaces the loose log, replays still skip") {
     val root = tempPath()
     assert(Sinks.appendAtomic(
