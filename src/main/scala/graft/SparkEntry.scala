@@ -2636,11 +2636,14 @@ object SparkEntry {
     * (0,1) on this fixture, so the check is non-vacuous. */
   private def q_lsh_dedup_eval(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
+    // multi-consumer rule: each frame feeds its own count AND the hits
+    // semi-join — cache or the signature/shingle pipelines (and their
+    // codegen) run twice apiece; both frames are ≤ |pairs(40 docs)| rows
     val cands = Dedup.minHashLshCandidates(
       Dedup.minHashSignatures(docs, "doc_id", "text", 16),
-      "doc_id", bands = 4, rowsPerBand = 4)
+      "doc_id", bands = 4, rowsPerBand = 4).cache()
     val truth = Dedup.jaccardPairs(docs, "doc_id", "text", 0.7)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")).cache()
     val hits = cands.join(truth, Seq("id_a", "id_b"), "left_semi")
     cands.agg(count(lit(1)).as("n_candidates"))
       .crossJoin(truth.agg(count(lit(1)).as("n_true_pairs")))
