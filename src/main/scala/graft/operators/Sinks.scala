@@ -77,8 +77,12 @@ object Sinks {
   private[graft] def appendAtomicAttempt(df: DataFrame, root: String,
                                          batchId: String,
                                          fastPathCheck: Boolean): Boolean = {
-    require(batchId.nonEmpty && !batchId.contains("/"),
-      s"batchId must be a plain name: '$batchId'")
+    // strict charset: the id becomes a filename AND a field in the
+    // tab-separated snapshot format — a tab or newline would silently
+    // corrupt the compacted registry
+    require(batchId.nonEmpty && batchId.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"batchId must be [A-Za-z0-9._-]+: '$batchId'")
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
     val manifestDir = new org.apache.hadoop.fs.Path(root, "_manifests")
@@ -117,7 +121,12 @@ object Sinks {
     // rename itself is atomic-exclusive server-side, covering racers in
     // OTHER JVMs too — the same layering Delta's HDFS log store uses.
     val won = Sinks.commitLockFor(root, batchId).synchronized {
-      if (fs.exists(manifest)) false
+      // re-check BOTH halves of the committed registry inside the lock:
+      // a slow zombie that passed the pre-write checks while the rival
+      // attempt committed — and whose loose manifest compaction then
+      // absorbed — must not republish over committed data
+      if (fs.exists(manifest) || snapshotBatches(spark, root).contains(batchId))
+        false
       else {
         try {
           fc.rename(tmp, manifest, org.apache.hadoop.fs.Options.Rename.NONE)
@@ -138,10 +147,13 @@ object Sinks {
     won
   }
 
-  private val commitLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // Striped commit locks: bounded (a long-lived stream commits one fresh
+  // batch id per micro-batch forever — a per-key map would grow without
+  // end), and collisions only serialize two unrelated commits, never
+  // break exclusion.
+  private val commitLocks = Array.fill(64)(new Object)
   private def commitLockFor(root: String, batchId: String): Object =
-    commitLocks.computeIfAbsent(s"$root#$batchId", _ => new Object)
+    commitLocks(math.floorMod(s"$root#$batchId".hashCode, commitLocks.length))
 
   // Published manifests and snapshots are immutable (they appear whole,
   // by rename, and are never rewritten), so their contents are cached
@@ -200,8 +212,11 @@ object Sinks {
     reg
   }
 
-  /** Batch ids whose loose manifests were absorbed into a snapshot —
-    * consulted by the commit path (see [[appendAtomicAttempt]]). */
+  /** Batch ids recorded in snapshots (absorbed loose manifests) —
+    * consulted by the commit path (see [[appendAtomicAttempt]]). ONE
+    * directory listing + cached snapshot reads; ids still loose are
+    * covered by the commit path's own `fs.exists(manifest)` check, so
+    * this deliberately parses only `.snapshot` files. */
   private def snapshotBatches(spark: SparkSession, root: String): Set[String] = {
     val fs = fsFor(spark, root)
     val manifestDir = new org.apache.hadoop.fs.Path(root, "_manifests")
@@ -209,7 +224,16 @@ object Sinks {
     val snaps = fs.listStatus(manifestDir).map(_.getPath)
       .filter(_.getName.endsWith(".snapshot"))
     if (snaps.isEmpty) return Set.empty
-    committedRegistry(spark, root).keySet
+    val qualifiedRoot = fs.makeQualified(new org.apache.hadoop.fs.Path(root)).toString
+    val cache = manifestCache.computeIfAbsent(qualifiedRoot,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]())
+    snaps.sortBy(_.getName).iterator.flatMap { s =>
+      cache.computeIfAbsent(s.getName, { _ =>
+        val in = fs.open(s)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }).iterator.filter(_.nonEmpty).map(_.takeWhile(_ != '\t'))
+    }.toSet
   }
 
   /** The committed file list under an atomic destination: every path
@@ -248,7 +272,11 @@ object Sinks {
     val name = f"$nextIdx%012d.snapshot"
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       manifestDir.toUri, spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(manifestDir, s".$name.inprogress")
+    // attempt-unique tmp: two concurrent compactions must not truncate
+    // each other's in-progress file (they share nextIdx; only the rename
+    // is the race, and exactly one wins it)
+    val tmp = new org.apache.hadoop.fs.Path(manifestDir,
+      s".$name.${java.util.UUID.randomUUID()}.inprogress")
     val out = fc.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE),

@@ -69,7 +69,14 @@ class TicketDataSource extends TableProvider {
 trait TicketTransport extends Serializable {
   /** Called once after instantiation with the reader's options. */
   def configure(options: Map[String, String]): Unit = ()
-  /** One page of tickets with createdUs in [geUs, leUs], ascending. */
+  /** One page of tickets with createdUs in [geUs, leUs], ascending.
+    *
+    * ERROR CONTRACT: transient transport failures MUST surface as
+    * [[TicketApi.ApiError]] carrying the HTTP status — that is the type
+    * the reader's ≤3-attempt backoff loop retries (409/500, matching the
+    * reference's policy); any other exception is treated as fatal and
+    * fails the task. A live HTTP binding maps its client's error/status
+    * into ApiError in its own catch block. */
   def fetchPage(geUs: Long, leUs: Long, page: Int, limit: Int): Seq[TicketApi.Ticket]
   /** (count, min createdUs, max createdUs) in the closed range — the
     * metadata/count endpoint behind aggregate pushdown. */

@@ -44,6 +44,10 @@ class SinksSpec extends SparkSuite {
 
   test("appendAtomic: torn writes invisible, replay idempotent, schema evolves") {
     val root = tempPath()
+    // a tab or newline in the id would corrupt the tab-separated snapshot
+    // registry on compaction — rejected up front
+    intercept[IllegalArgumentException](Sinks.appendAtomic(
+      Seq(("x", "y")).toDF("chat_id", "n_ticket"), root, "b\t1"))
     assert(Sinks.appendAtomic(
       Seq(("c1", "t1")).toDF("chat_id", "n_ticket"), root, "b1"))
 
