@@ -159,10 +159,15 @@ object Dedup {
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double,
                        maxDocFreq: Option[Long] = None): DataFrame = {
+    // tf feeds df + weights; w feeds norms + both join sides — cache both
+    // (MEMORY_AND_DISK, spills rather than pins at corpus scale) or the
+    // tokenize + per-doc term aggregate re-runs once per reference (the
+    // plan audit counted 12 source scans in the uncached plan)
     val tf = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+      .cache()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.select(countDistinct(col(idCol)).cast("double").as("n_docs"))
     val w = tf.join(dfreq, Seq("term"))
@@ -170,6 +175,7 @@ object Dedup {
       .select(col(idCol), col("term"),
         (col("tf") * log(col("n_docs") / col("df"))).as("w"),
         col("df"))
+      .cache()
     val norms = w.groupBy(col(idCol)).agg(sqrt(sum(col("w") * col("w"))).as("norm"))
     val index = maxDocFreq match {
       case Some(m) => w.filter(col("df") <= m)
@@ -451,8 +457,11 @@ object Dedup {
       .distinct()
     val cTok = tokenSets(corpus, idCol, textCol)
       .select(col(idCol).as("__cid"), col("token"))
+    // bench side is the small side (it broadcasts below) and feeds both
+    // the size table and the intersection probe — cache it; the CORPUS
+    // token set's two passes stay uncached by design (corpus-sized)
     val bTok = tokenSets(bench, idCol, textCol)
-      .select(col(idCol).as("__bid"), col("token"))
+      .select(col(idCol).as("__bid"), col("token")).cache()
     val cSize = cTok.groupBy(col("__cid")).agg(count(lit(1)).as("__na"))
     val bSize = bTok.groupBy(col("__bid")).agg(count(lit(1)).as("__nb"))
     val inter = cand
@@ -500,8 +509,16 @@ object Dedup {
       s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     require(threshold >= 0.0 && threshold <= 1.0,
       s"threshold must be in [0,1]: $threshold")
+    // batch-side frames feed 2-3 consumers each (cross/within candidate
+    // joins; union + sizes + intersection) — cache them: they are bounded
+    // by the micro-batch, and uncached the tokenize+minhash pipeline
+    // re-runs per reference (the plan audit counted 36 source scans).
+    // The DEST-side token set stays uncached deliberately: it is
+    // corpus-sized at scale, and its two passes (sizes + intersection
+    // probe) are the price of not pinning the corpus in executor storage.
     val bBand = bandHashes(
       minHashSignatures(batch, idCol, textCol, numHashes), idCol, rowsPerBand)
+      .cache()
     val dBand = bandHashes(
       minHashSignatures(dest, idCol, textCol, numHashes), idCol, rowsPerBand)
     val candCross = bBand.select(col(idCol).as("__new"), col("band"), col("band_hash"))
@@ -515,7 +532,7 @@ object Dedup {
       .select(col("__new"), col("__old"))
     val cand = candCross.unionByName(candWithin).distinct()
     val bTok = tokenSets(batch, idCol, textCol)
-      .select(col(idCol).as("__new"), col("token"))
+      .select(col(idCol).as("__new"), col("token")).cache()
     val oldTok = tokenSets(dest, idCol, textCol)
       .select(col(idCol).as("__old"), col("token"))
       .unionByName(bTok.select(col("__new").as("__old"), col("token")))
@@ -780,9 +797,15 @@ object Dedup {
         .withColumn(s"__r_$side", coalesce(col("__proot"), pairs(side)))
         .drop("__pid", "__proot")
     val mapped = toRoot(toRoot(newPairs, "id_a"), "id_b")
+    // batch-bounded, but derived through TWO prior-probing joins that
+    // its three consumers (node set, CC edges, and the CC loop's own
+    // second evaluation) would re-run uncached — cache it; the PRIOR
+    // lookup itself stays uncached by design (it is the corpus-sized
+    // state table; its passes are the operator's documented cost)
     val contracted = mapped
       .select(col("__r_id_a").as("id_a"), col("__r_id_b").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
+      .cache()
     val cnodes = contracted.select(col("id_a").as(idCol))
       .unionByName(contracted.select(col("id_b").as(idCol))).distinct()
     val merged = duplicateClusters(cnodes, contracted, idCol, maxIter)

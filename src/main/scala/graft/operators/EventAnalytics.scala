@@ -516,8 +516,13 @@ object EventAnalytics {
                              iters: Int = 8,
                              roundScale: Int = 6): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    // tc/shares/states/p are all ≤ types²-row frames referenced by EVERY
+    // unrolled power iteration (and by each other) — cache them or the
+    // full events scan + transition aggregate re-runs once per reference
+    // (the plan audit counted 40 event scans in the uncached plan; at
+    // 100 TB that is 40 corpus passes for a k×k matrix)
     val tc = transitionCounts(events, userCol, tsCol, tieCol, typeCol)
-      .withColumnRenamed(typeCol, "__dst")
+      .withColumnRenamed(typeCol, "__dst").cache()
     // shares first: its k-row key set IS the observed type universe, so
     // the state set can include transition-less types (a type appearing
     // only as single-event users' sole event has no endpoint in tc but
@@ -526,10 +531,10 @@ object EventAnalytics {
     // corpus scan. Such types get the absorbing self-loop below and
     // keep their uniform-start mass.
     val shares = events.groupBy(col(typeCol).as("__s"))
-      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("__n")).cache()
     val states = tc.select(col("prev_type").as("__s"))
       .union(tc.select(col("__dst").as("__s")))
-      .union(shares.select(col("__s"))).distinct()
+      .union(shares.select(col("__s"))).distinct().cache()
     val outTot = tc.groupBy(col("prev_type"))
       .agg(sum(col("n_transitions")).as("__tot"))
     val pReal = tc.join(outTot, Seq("prev_type"))
@@ -541,7 +546,7 @@ object EventAnalytics {
         states("__s") === outTot("prev_type"), "left_anti")
       .select(col("__s").as("__src"), col("__s").as("__dst"),
         lit(1.0).as("__p"))
-    val p = pReal.unionByName(pSelf)
+    val p = pReal.unionByName(pSelf).cache()
     val k = states.count()
     var v = states.select(col("__s"), (lit(1.0) / k).as("__v"))
     for (_ <- 1 to iters) {

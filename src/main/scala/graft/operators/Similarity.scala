@@ -349,13 +349,20 @@ object Similarity {
                       centroids: Seq[(Long, Seq[Double])], threshold: Double,
                       minPts: Int): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1: $minPts")
+    // pairs/degrees/cores feed 3-4 consumers each (symmetrization, core
+    // filter, core-edge semi-joins, border resolution) — cache them or
+    // the IVF-assign + in-cell cosine pipeline re-runs once per
+    // reference (the plan audit counted 33 embedding scans uncached);
+    // all three are bounded by the above-threshold pair count, not n²
     val assigned = ivfAssign(embeddings, idCol, vecCol, centroids)
     val pairs = semanticPairs(assigned, idCol, vecCol, threshold)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")).cache()
     val sym = pairs.unionAll(pairs.select(col("id_b").as("id_a"),
       col("id_a").as("id_b"))).toDF("id", "nb")
     val degrees = sym.groupBy(col("id")).agg(count(lit(1)).as("n_neighbors"))
+      .cache()
     val cores = degrees.filter(col("n_neighbors") >= minPts).select(col("id"))
+      .cache()
     val coreEdges = pairs
       .join(cores.toDF("id_a"), Seq("id_a"), "left_semi")
       .join(cores.toDF("id_b"), Seq("id_b"), "left_semi")

@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSuite {
 
   private final case class Audit(fullWidthScans: Seq[(String, Int)],
                                  unboundedNestedLoop: Boolean,
-                                 unpartitionedWindow: Boolean)
+                                 unpartitionedWindow: Boolean,
+                                 scanCounts: Map[String, Int])
 
   /** A join side is "bounded" when the optimizer can prove a small row
     * cap: ungrouped aggregates (1 row), literal/local frames, limits —
@@ -101,7 +102,8 @@ class PlanAuditSpec extends SparkSuite {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
           if w.partitionSpec.isEmpty => w
       }.nonEmpty
-      name -> Audit(full, nlUnbounded, uw)
+      val counts = scans.toSeq.groupBy(_._1).map { case (t, s) => t -> s.size }
+      name -> Audit(full, nlUnbounded, uw, counts)
     }
   }
 
@@ -174,6 +176,73 @@ class PlanAuditSpec extends SparkSuite {
     }
     assert(offenders.isEmpty,
       s"nested-loop joins with no provably-bounded side: ${offenders.toSeq.sorted}")
+  }
+
+  // Queries allowed to scan one table more than the repeat threshold:
+  // each is a documented many-consumer composition whose repeated scans
+  // are the design, not an oversight. Families (audited round 10, after
+  // the same audit caught and fixed the real offenders — 40×/36×/33×/12×
+  // scans in q_stationary_dist / q_neardup_admit / q_density_clusters /
+  // q_cosine_pairs, all collapsed by caching their bounded shared
+  // frames):
+  //  * two-sided evals comparing an approximate path against its exact
+  //    twin on the same table (each side is its own pipeline):
+  //    q_ann_recall, q_int8_recall, q_ndcg, q_matryoshka,
+  //    q_ivf_nprobe_sweep (4-point nprobe sweep = 4 probe branches),
+  //    q_power_iteration (covariance + per-component matvec branches);
+  //  * two-population stat comparisons re-binning the same table per
+  //    side/bin-grid: q_psi_numeric, q_dist_match, q_drift_monitor,
+  //    q_ks_per_source-adjacent shapes, q_assoc_rules (antecedent /
+  //    consequent / pair legs), q_distinct_intersection (HLL + exact
+  //    twins over two tables);
+  //  * n-gram LM families building order-k and order-(k-1) tables from
+  //    the same corpus: q_kneser_ney, q_interp_loglik, q_ngram_pmi,
+  //    q_naive_bayes (per-class legs), q_dsir_select (target/proposal
+  //    legs), q_prf_expansion (first-pass retrieval + expansion pass);
+  //  * multi-stage flagship compositions where each stage re-reads the
+  //    pruned source: q_curation_pipeline, q_quota_sample (per-quota
+  //    branches), q_apply_diff (snapshot + CDC legs);
+  //  * incremental/admission operators whose STATE side is re-scanned by
+  //    design rather than pinned at corpus scale (documented in their
+  //    scaladoc): q_neardup_admit, q_incremental_cc.
+  private val allowRepeatedScans: Map[String, Set[String]] = Map(
+    "q_ann_recall" -> Set("embeddings"),
+    "q_int8_recall" -> Set("embeddings"),
+    "q_ndcg" -> Set("embeddings"),
+    "q_matryoshka" -> Set("embeddings"),
+    "q_ivf_nprobe_sweep" -> Set("embeddings"),
+    "q_power_iteration" -> Set("embeddings"),
+    "q_psi_numeric" -> Set("documents"),
+    "q_dist_match" -> Set("documents"),
+    "q_drift_monitor" -> Set("events"),
+    "q_assoc_rules" -> Set("events"),
+    "q_distinct_intersection" -> Set("customer", "events"),
+    "q_kneser_ney" -> Set("documents"),
+    "q_interp_loglik" -> Set("documents"),
+    "q_ngram_pmi" -> Set("documents"),
+    "q_naive_bayes" -> Set("documents"),
+    "q_dsir_select" -> Set("documents"),
+    "q_prf_expansion" -> Set("documents"),
+    "q_curation_pipeline" -> Set("documents"),
+    "q_quota_sample" -> Set("documents"),
+    "q_apply_diff" -> Set("orders"),
+    "q_neardup_admit" -> Set("documents"),
+    "q_incremental_cc" -> Set("documents"))
+
+  test("no query scans one parquet table excessively (multi-consumer rule)") {
+    // the q_lsh_dedup_eval lesson: a frame feeding both its own aggregate
+    // and a join re-runs its whole pipeline per consumer unless cached —
+    // repeated scans of the same table are the plan-level symptom. Self-
+    // joins and two-sided evals legitimately scan 2-4 times; beyond that
+    // cache the shared frame or document the shape above.
+    val threshold = 5
+    val offenders = audits.collect {
+      case (q, a) if a.scanCounts.exists { case (t, n) =>
+        n >= threshold && !allowRepeatedScans.getOrElse(q, Set.empty).contains(t)
+      } => q -> a.scanCounts.filter(_._2 >= threshold)
+    }
+    assert(offenders.isEmpty,
+      s"excessive repeated scans (cache the shared frame or document): $offenders")
   }
 
   test("no unpartitioned windows outside the bounded allowlist") {
