@@ -1414,6 +1414,11 @@ object SparkEntry {
     val ref = docs.filter(col("source") === "src0")
     val cur = docs.filter(col("source") =!= "src0")
     val qs = (1 to 9).map(_ / 10.0)
+    // deliberately UNcached: caching this 1-row aggregate would erase its
+    // maxRows=1 proof (InMemoryRelation reports none), demoting the two
+    // broadcast crossJoins below to unproven nested loops in the plan
+    // audit — the duplicate percentile pass (one per side) is the
+    // cheaper cost
     val edges = ref.agg(
       expr(s"percentile(n_chars, array(${qs.mkString(",")}))").as("__q"))
     def binned(df: DataFrame): DataFrame = df.crossJoin(broadcast(edges))

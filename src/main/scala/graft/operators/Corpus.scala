@@ -436,16 +436,21 @@ object Corpus {
     require(binWidth >= 1, s"binWidth must be positive: $binWidth")
     val binned = df.select(col(idCol).as("__id"),
       floor(col(valCol) / binWidth).cast("long").as("bin"))
+    // bin-grid frames (≤ #bins rows) each feed 2 consumers — cache them
+    // or every reference re-runs the corpus binning aggregate upstream
     val counts = binned.groupBy(col("bin")).agg(count(lit(1)).as("n_before"))
+      .cache()
     val stats = counts.agg(min(col("n_before")).as("__mn"),
       sum(col("n_before")).as("__tot"))
     val rates = counts.crossJoin(broadcast(stats))
       .select(col("bin"), col("n_before"), col("__tot"),
         (col("__mn").cast("double") / col("n_before")).as("__q"))
+      .cache()
     val kept = binned.join(broadcast(rates.select(col("bin"), col("__q"))),
         Seq("bin"))
       .filter(hashUnit(col("__id"), salt) < col("__q"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n_kept"))
+      .cache()
     val totKept = kept.agg(sum(col("n_kept")).as("__tk"))
     rates.join(kept, Seq("bin"), "left").na.fill(0L, Seq("n_kept"))
       .crossJoin(broadcast(totKept))

@@ -1086,7 +1086,10 @@ object TextAnalytics {
     require(fbDocs >= 1 && nTerms >= 1, s"bad params: $fbDocs/$nTerms")
     val top = bm25(docs, idCol, textCol, queryTerms, fbDocs)
       .select(col(idCol))
-    val tf = termFrequencies(docs, idCol, textCol)
+    // feeds the document-frequency table AND the feedback-doc join —
+    // cache (spillable) or the tokenize + per-doc term aggregate runs
+    // twice (bm25's internal index is its own third pass by design)
+    val tf = termFrequencies(docs, idCol, textCol).cache()
     val n = docs.select(count(lit(1)).cast("double").as("__n"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(top), Seq(idCol))

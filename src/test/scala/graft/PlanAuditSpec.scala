@@ -191,14 +191,15 @@ class PlanAuditSpec extends SparkSuite {
   //    q_ivf_nprobe_sweep (4-point nprobe sweep = 4 probe branches),
   //    q_power_iteration (covariance + per-component matvec branches);
   //  * two-population stat comparisons re-binning the same table per
-  //    side/bin-grid: q_psi_numeric, q_dist_match, q_drift_monitor,
-  //    q_ks_per_source-adjacent shapes, q_assoc_rules (antecedent /
-  //    consequent / pair legs), q_distinct_intersection (HLL + exact
-  //    twins over two tables);
+  //    side/bin-grid: q_psi_numeric (its 1-row percentile anchor stays
+  //    uncached to keep the maxRows=1 bound proof — see the query),
+  //    q_drift_monitor, q_assoc_rules (antecedent / consequent / pair
+  //    legs), q_distinct_intersection (HLL + exact twins over two
+  //    tables);
   //  * n-gram LM families building order-k and order-(k-1) tables from
   //    the same corpus: q_kneser_ney, q_interp_loglik, q_ngram_pmi,
   //    q_naive_bayes (per-class legs), q_dsir_select (target/proposal
-  //    legs), q_prf_expansion (first-pass retrieval + expansion pass);
+  //    legs);
   //  * multi-stage flagship compositions where each stage re-reads the
   //    pruned source: q_curation_pipeline, q_quota_sample (per-quota
   //    branches), q_apply_diff (snapshot + CDC legs);
@@ -213,7 +214,6 @@ class PlanAuditSpec extends SparkSuite {
     "q_ivf_nprobe_sweep" -> Set("embeddings"),
     "q_power_iteration" -> Set("embeddings"),
     "q_psi_numeric" -> Set("documents"),
-    "q_dist_match" -> Set("documents"),
     "q_drift_monitor" -> Set("events"),
     "q_assoc_rules" -> Set("events"),
     "q_distinct_intersection" -> Set("customer", "events"),
@@ -222,7 +222,6 @@ class PlanAuditSpec extends SparkSuite {
     "q_ngram_pmi" -> Set("documents"),
     "q_naive_bayes" -> Set("documents"),
     "q_dsir_select" -> Set("documents"),
-    "q_prf_expansion" -> Set("documents"),
     "q_curation_pipeline" -> Set("documents"),
     "q_quota_sample" -> Set("documents"),
     "q_apply_diff" -> Set("orders"),
