@@ -928,8 +928,14 @@ object SparkEntry {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val b1 = docs.filter(col("doc_id") < 60)
     val b2 = docs.filter(col("doc_id") >= 60 && col("doc_id") < 120)
+    // a1 feeds THREE consumers (a2's band join, a2's token join, the
+    // final union) and is batch-bounded — localCheckpoint materializes
+    // the accepted set once, exactly as the streaming twin reads its
+    // accepted state from the committed sink rather than re-deriving
+    // batch 1's admission pipeline per consumer (within-job sharing →
+    // localCheckpoint, not cache; see PLANS.md multi-consumer rule)
     val a1 = Dedup.admitNearDups(b1, b1.filter(lit(false)),
-      "doc_id", "text", 16, 4, 0.3)
+      "doc_id", "text", 16, 4, 0.3).localCheckpoint()
     val a2 = Dedup.admitNearDups(b2, a1, "doc_id", "text", 16, 4, 0.3)
     a1.select(col("doc_id"), lit(1L).as("batch"))
       .unionByName(a2.select(col("doc_id"), lit(2L).as("batch")))

@@ -459,18 +459,21 @@ object Dedup {
       .select(col(idCol).as("__cid"), col("token"))
     // bench side is the small side (it broadcasts below) and feeds both
     // the size table and the intersection probe — cache it; the CORPUS
-    // token set's two passes stay uncached by design (corpus-sized)
+    // token set is touched by ONE pass: cand ⋈ cTok carries each
+    // candidate doc's token set exactly once per (cid, bid) pair (cTok
+    // is a set), so count(*) per pair IS |A| and a broadcast left-join
+    // marker against the bench tokens counts |A∩B| in the same
+    // aggregate — no separate corpus-wide size table, no second
+    // tokenize pass over the corpus.
     val bTok = tokenSets(bench, idCol, textCol)
       .select(col(idCol).as("__bid"), col("token")).cache()
-    val cSize = cTok.groupBy(col("__cid")).agg(count(lit(1)).as("__na"))
     val bSize = bTok.groupBy(col("__bid")).agg(count(lit(1)).as("__nb"))
-    val inter = cand
+    val bMark = bTok.withColumn("__hit", lit(1))
+    cand
       .join(cTok, "__cid")
-      .join(broadcast(bTok), Seq("__bid", "token"))
+      .join(broadcast(bMark), Seq("__bid", "token"), "left")
       .groupBy(col("__cid"), col("__bid"))
-      .agg(count(lit(1)).as("__ni"))
-    inter
-      .join(cSize, "__cid")
+      .agg(count(lit(1)).as("__na"), count(col("__hit")).as("__ni"))
       .join(broadcast(bSize), "__bid")
       .withColumn("jaccard", round(col("__ni").cast("double") /
         (col("__na") + col("__nb") - col("__ni")).cast("double"), 6))
@@ -537,13 +540,18 @@ object Dedup {
       .select(col(idCol).as("__old"), col("token"))
       .unionByName(bTok.select(col("__new").as("__old"), col("token")))
     val sizesNew = bTok.groupBy(col("__new")).agg(count(lit(1)).as("__nn"))
-    val sizesOld = oldTok.groupBy(col("__old")).agg(count(lit(1)).as("__no"))
+    // ONE pass over the corpus-side token set: cand ⋈ oldTok carries each
+    // blocking doc's token set exactly once per (new, old) pair, so
+    // count(*) per pair is |B| and a broadcast left-join marker against
+    // the (cached, batch-bounded) new-side tokens counts |A∩B| in the
+    // same aggregate — the separate corpus-wide size table is gone.
+    val bMark = bTok.withColumn("__hit", lit(1))
     val rejected = cand
-      .join(bTok, "__new")
-      .join(oldTok, Seq("__old", "token"))
-      .groupBy(col("__new"), col("__old")).agg(count(lit(1)).as("__ni"))
-      .join(sizesNew, "__new")
-      .join(sizesOld, "__old")
+      .join(oldTok, "__old")
+      .join(broadcast(bMark), Seq("__new", "token"), "left")
+      .groupBy(col("__new"), col("__old"))
+      .agg(count(lit(1)).as("__no"), count(col("__hit")).as("__ni"))
+      .join(broadcast(sizesNew), "__new")
       .filter(col("__ni").cast("double")
         / (col("__nn") + col("__no") - col("__ni")).cast("double") >= threshold)
       .select(col("__new").as(idCol)).distinct()
@@ -714,56 +722,70 @@ object Dedup {
     * from within-block pair collision rates (Σ_blocks Σ_v c_bv² over
     * Σ_blocks n_b² in place of Σ_v c_v²/n²).
     *
-    * Scale shape: one tiny aggregate per field (Σc² over the field's
-    * value histogram → a 1-row u scalar, broadcast), then ONE block-keyed
-    * self-equi-join — pair volume Σ block², the blocking contract (pick
-    * blocks numerous and bounded); the score is a map-side expression.
-    * Only pairs at/above `threshold` (on the 6dp-rounded score) return. */
+    * Scale shape: ALL u-probabilities come from ONE stacked aggregate —
+    * the fields are unpivoted to (field, value) rows and a single
+    * two-level hash aggregate yields every field's Σc² and n in one
+    * corpus pass; its |fields|-row result is collected (bounded — one
+    * scalar per comparison field, the same driver-side bounded-collect
+    * contract as the centroid tables in Similarity) so the pair score
+    * compiles to conditional CONSTANTS: the log-ratio per field is
+    * constant-folded at plan time and the whole scoring pipeline is one
+    * codegen span over the block self-equi-join — pair volume Σ block²,
+    * the blocking contract (pick blocks numerous and bounded). Only
+    * pairs at/above `threshold` (on the 6dp-rounded score) return. */
   def fellegiSunter(df: DataFrame, idCol: String, blockCol: String,
                     fields: Seq[(String, Double)],
                     threshold: Double): DataFrame = {
     require(fields.nonEmpty, "at least one comparison field")
     fields.foreach { case (f, m) =>
       require(m > 0 && m < 1, s"m-probability for $f must be in (0,1): $m") }
-    val hists = fields.map { case (f, _) =>
-      df.groupBy(col(f)).agg(count(lit(1)).as("__c")) }
     // counts are squared AS DOUBLES: long c*c wraps silently past
     // c ≈ 3.04e9 — a real cardinality for a low-cardinality field at the
-    // scale this operator targets (the sums stay exact in double until
-    // 2^53 anyway, so the oracle's exact-integer sum matches bit-for-bit
-    // at any realistic fixture). n comes from the FIRST histogram's Σc —
-    // same value as count(*), one fewer corpus pass; the 1-row base is
-    // localCheckpoint-pinned so reusing n doesn't re-run that pass.
-    val base = hists.head.agg(
-        sum(col("__c").cast("double") * col("__c")).as("__s2"),
+    // scale this operator targets. The sums stay exact in double until
+    // 2^53 (each c² is an exact integer), so the stacked sum is
+    // order-independent and matches an exact-integer oracle bit-for-bit
+    // at any realistic fixture. Values stack as canonical strings
+    // (null-tagged to keep NULL distinct from "null") — only equality
+    // within a field matters, and a field never mixes types. Float
+    // fields would split −0.0/0.0 under the string render (groupBy
+    // normalizes them equal) — bucket floats before passing them as
+    // comparison fields, as the harness query does (kilo-bucket).
+    val stacked = df.select(explode(array(fields.zipWithIndex.map {
+      case ((f, _), k) =>
+        struct(lit(k).as("__k"),
+          concat_ws(" ", lit("v"), col(f).cast("string")).as("__v"))
+    }: _*)).as("__fv"))
+    val uRows = stacked
+      .groupBy(col("__fv.__k").as("__k"), col("__fv.__v").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__k"))
+      .agg(sum(col("__c").cast("double") * col("__c")).as("__s2"),
         sum(col("__c")).cast("double").as("__n"))
-      .localCheckpoint()
-    val n = base.select(col("__n"))
-    val uCols = fields.indices.map { k =>
-      if (k == 0)
-        base.select((col("__s2") / (col("__n") * col("__n"))).as("__u0"))
-      else
-        hists(k)
-          .agg(sum(col("__c").cast("double") * col("__c")).as("__s2"))
-          .crossJoin(broadcast(n))
-          .select((col("__s2") / (col("__n") * col("__n"))).as(s"__u$k"))
-    }
+      .collect()
+    val u0 = uRows.map { r =>
+      val n = r.getDouble(2)
+      r.getInt(0) -> r.getDouble(1) / (n * n)
+    }.toMap
+    // empty input: no histogram rows at all — score is vacuous (zero
+    // candidate pairs), NaN keeps the fold well-defined
+    val u = u0.withDefaultValue(Double.NaN)
     val cols = Seq(col(idCol), col(blockCol)) ++ fields.map(f => col(f._1))
     val a = df.select(cols: _*).toDF(
       Seq("id_a", "__blk") ++ fields.indices.map(k => s"__fa$k"): _*)
     val b = df.select(cols: _*).toDF(
       Seq("id_b", "__blk") ++ fields.indices.map(k => s"__fb$k"): _*)
     val pairs0 = a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b"))
-    val withU = uCols.foldLeft(pairs0)((acc, u) => acc.crossJoin(broadcast(u)))
     val score = fields.zipWithIndex.map { case ((_, m), k) =>
       // (1 − m) as an IN-PLAN subtraction, not a Scala constant: the
       // oracle writes `1 - 0.9`, and 1.0−0.9 ≠ parse("0.1") at the last
-      // bit — both engines must do the same subtraction
+      // bit — both engines must do the same subtraction. With u a
+      // literal, Catalyst constant-folds each branch to a double at plan
+      // time using the SAME JVM log/div the runtime path used before.
       when(col(s"__fa$k") <=> col(s"__fb$k"),
-        log(lit(m) / col(s"__u$k")))
-        .otherwise(log((lit(1.0) - lit(m)) / (lit(1.0) - col(s"__u$k"))))
+        log(lit(m) / lit(u(k))))
+        .otherwise(log((lit(1.0) - lit(m)) / (lit(1.0) - lit(u(k)))))
     }.reduce(_ + _)
-    withU
+    pairs0
       .select(col("id_a"), col("id_b"), round(score, 6).as("fs_score"))
       .filter(col("fs_score") >= threshold)
   }

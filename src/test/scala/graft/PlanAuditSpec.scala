@@ -203,9 +203,12 @@ class PlanAuditSpec extends SparkSuite {
   //  * multi-stage flagship compositions where each stage re-reads the
   //    pruned source: q_curation_pipeline, q_quota_sample (per-quota
   //    branches), q_apply_diff (snapshot + CDC legs);
-  //  * incremental/admission operators whose STATE side is re-scanned by
-  //    design rather than pinned at corpus scale (documented in their
-  //    scaladoc): q_neardup_admit, q_incremental_cc.
+  //  * incremental operators whose STATE side is re-scanned by design
+  //    rather than pinned at corpus scale (documented in their
+  //    scaladoc): q_incremental_cc. (q_neardup_admit left this list when
+  //    the re-rank folded |B| into the intersection aggregate — one
+  //    corpus-side pass — and the query localCheckpointed batch 1's
+  //    accepted set.)
   private val allowRepeatedScans: Map[String, Set[String]] = Map(
     "q_ann_recall" -> Set("embeddings"),
     "q_int8_recall" -> Set("embeddings"),
@@ -225,7 +228,6 @@ class PlanAuditSpec extends SparkSuite {
     "q_curation_pipeline" -> Set("documents"),
     "q_quota_sample" -> Set("documents"),
     "q_apply_diff" -> Set("orders"),
-    "q_neardup_admit" -> Set("documents"),
     "q_incremental_cc" -> Set("documents"))
 
   test("no query scans one parquet table excessively (multi-consumer rule)") {
