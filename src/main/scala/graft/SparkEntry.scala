@@ -3451,6 +3451,49 @@ object SparkEntry {
     Stats.giniIndex(perUser, "c_mktsegment", "user_id", "n_events")
   }
 
+  /** §2b Wasserstein-1 drift magnitude between click and purchase value
+    * distributions — the mass×distance companion to q_ks_statistic over
+    * the SAME per-distinct-value histogram (KS flags the worst gap, W1
+    * ranks how much moved how far). */
+  private def q_wasserstein(s: SparkSession, d: String): DataFrame =
+    Stats.wasserstein1(Tables.events(s, d), "event_type", "value",
+      sideA = "click", sideB = "purchase")
+
+  /** §2b Cliff's delta ordinal effect size for the same two-sample
+    * comparison — dominance probability on [−1,1], reported UNROUNDED
+    * (one exact-integer division; the rational-halves rule). */
+  private def q_cliffs_delta(s: SparkSession, d: String): DataFrame =
+    Stats.cliffsDelta(Tables.events(s, d), "event_type", "value",
+      sideA = "click", sideB = "purchase")
+
+  /** §2b Chao1 unseen-vocabulary estimator per source over token
+    * TRIGRAMS (the unigram space saturates at sf0.1 — f1=f2=0 — which
+    * Chao1 truthfully reports as "fully crawled" but makes a vacuous
+    * fixture; the trigram space keeps live singleton/doubleton mass at
+    * every SF). Pairs with q_good_turing: GT = unseen MASS, Chao1 =
+    * unseen TYPES. */
+  private def q_chao1(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.chao1Richness(Tables.documents(s, d), "source", "text",
+      n = 3)
+
+  /** §2b RAKE keyword extraction: stopword-delimited phrase runs,
+    * degree/frequency word scores, top-20 phrases corpus-wide. The
+    * synthetic corpus's function words ('a', 'the') are the delimiter
+    * set. */
+  private def q_rake(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.rakeKeywords(Tables.documents(s, d), "doc_id", "text",
+      stopwords = Seq("a", "the"), k = 20)
+
+  /** §2b isotonic (PAV) calibration map over the q_calibration bins —
+    * the deployable monotone fit beside the raw reliability readout;
+    * minimax form, every value an exact-integer ratio, UNROUNDED. */
+  private def q_isotonic(s: SparkSession, d: String): DataFrame =
+    Stats.isotonicCalibration(
+      Tables.documents(s, d).select(
+        round(TextFunctions.qualityScore(col("text")), 6).as("quality"),
+        (col("lang") === "en").as("is_en")),
+      "quality", "is_en", bins = 10)
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3750,6 +3793,11 @@ object SparkEntry {
     "q_ess" -> (q_ess _),
     "q_jsd_matrix" -> (q_jsd_matrix _),
     "q_user_gini" -> (q_user_gini _),
+    "q_wasserstein" -> (q_wasserstein _),
+    "q_cliffs_delta" -> (q_cliffs_delta _),
+    "q_chao1" -> (q_chao1 _),
+    "q_rake" -> (q_rake _),
+    "q_isotonic" -> (q_isotonic _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -9493,5 +9541,144 @@ object SparkEntry {
                     - CAST(n_units + 1 AS DOUBLE)
                       / CAST(n_units AS DOUBLE) END, 6) AS gini
          FROM a""",
+    "q_wasserstein" ->
+      """WITH x AS (SELECT CAST(value AS DOUBLE) AS v,
+                      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS ca,
+                      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS cb
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase')
+                      AND value IS NOT NULL
+                    GROUP BY 1),
+              c AS (SELECT v, ca, cb,
+                      SUM(ca) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cuma,
+                      SUM(cb) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cumb,
+                      LEAD(v) OVER (ORDER BY v) - v AS gap,
+                      SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+                    FROM x)
+         SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+                round(sum(abs(cuma / na - cumb / nb) * gap), 6) AS w1
+         FROM c""",
+    "q_cliffs_delta" ->
+      """WITH x AS (SELECT value AS v,
+                      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS ca,
+                      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS cb
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase')
+                      AND value IS NOT NULL
+                    GROUP BY 1),
+              c AS (SELECT v, ca, cb,
+                      SUM(cb) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cumb,
+                      SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+                    FROM x)
+         SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+                (CAST(sum(ca * (cumb - cb)) AS DOUBLE)
+                  - CAST(sum(ca * (nb - cumb)) AS DOUBLE))
+                  / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE))
+                  AS cliffs_delta
+         FROM c""",
+    "q_chao1" ->
+      s"""WITH tri AS (SELECT source, array_to_string(t[i:i+2], ' ') AS g
+                       FROM (SELECT source, $duckTokens AS t
+                             FROM documents),
+                         UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+              cnt AS (SELECT source, g, count(*) AS c FROM tri GROUP BY 1, 2),
+              r AS (SELECT source,
+                      CAST(count(*) AS BIGINT) AS distinct_tokens,
+                      CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS f1,
+                      CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS f2
+                    FROM cnt GROUP BY 1)
+         SELECT source, distinct_tokens, f1, f2,
+                CAST(distinct_tokens AS DOUBLE)
+                  + CAST(f1 * (f1 - 1) AS DOUBLE)
+                    / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1
+         FROM r""",
+    "q_rake" ->
+      s"""WITH tok AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+                       FROM (SELECT doc_id, $duckTokens AS t FROM documents),
+                         UNNEST(generate_series(1, len(t))) AS u(i)),
+              nz AS (SELECT doc_id, pos, tok,
+                       pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY pos) AS island
+                     FROM tok WHERE tok NOT IN ('a', 'the')),
+              ph AS (SELECT doc_id, island,
+                       string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                       count(*) AS len
+                     FROM nz GROUP BY 1, 2),
+              dp AS (SELECT phrase, count(*) AS n_occurrences,
+                       min(len) AS len
+                     FROM ph GROUP BY 1),
+              w AS (SELECT phrase, n_occurrences, len,
+                      UNNEST(string_split(phrase, ' ')) AS wd
+                    FROM dp),
+              ws AS (SELECT wd,
+                       CAST(sum(n_occurrences * len) AS DOUBLE)
+                         / CAST(sum(n_occurrences) AS DOUBLE) AS s
+                     FROM w GROUP BY 1),
+              ps AS (SELECT w.phrase, round(sum(ws.s), 6) AS score
+                     FROM w JOIN ws ON w.wd = ws.wd GROUP BY 1)
+         SELECT dp.phrase, CAST(dp.n_occurrences AS BIGINT) AS n_occurrences,
+                ps.score
+         FROM dp JOIN ps ON dp.phrase = ps.phrase
+         ORDER BY ps.score DESC, dp.phrase ASC LIMIT 20""",
+    "q_isotonic" ->
+      raw"""WITH scored AS (SELECT round(
+               0.4 * (CASE WHEN n BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * least((CASE WHEN n > 0 THEN ns / n ELSE 0.0 END) * 5.0,
+                 1.0)
+             + 0.3 * (CASE WHEN (CASE WHEN length(text) > 0
+                        THEN np / CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+                        < 0.2 THEN 1.0 ELSE 0.0 END), 6) AS q,
+               (lang = 'en') AS y
+             FROM (SELECT lang, text,
+                     CAST(len($duckTokens) AS DOUBLE) AS n,
+                     CAST(len(list_filter($duckTokens,
+                       t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+                       AS BIGINT) AS ns,
+                     length(text) - length(regexp_replace(text,
+                       '[.,;:!?''"()\[\]{}-]', '', 'g')) AS np
+                   FROM documents
+                   WHERE lang IS NOT NULL)),
+              clamped AS (SELECT greatest(least(q, 1.0), 0.0) AS s, y
+                          FROM scored),
+              binned AS (SELECT CAST(least(CAST(floor(s * 10) AS BIGINT), 9)
+                             AS BIGINT) AS bin,
+                           count(*) AS n,
+                           SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+                         FROM clamped GROUP BY 1),
+              pre AS (SELECT bin, n, pos,
+                        SUM(n) OVER (ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS cumn,
+                        SUM(pos) OVER (ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS cumpos
+                      FROM binned),
+              lo AS (SELECT bin AS j, cumn - n AS nlo, cumpos - pos AS plo
+                     FROM pre),
+              hi AS (SELECT bin AS k, cumn AS nhi, cumpos AS phi FROM pre),
+              grid AS (SELECT p.bin, lo.j,
+                         min(CAST(hi.phi - lo.plo AS DOUBLE)
+                           / CAST(hi.nhi - lo.nlo AS DOUBLE)) AS mn
+                       FROM pre p
+                       JOIN lo ON lo.j <= p.bin
+                       JOIN hi ON hi.k >= p.bin
+                       GROUP BY 1, 2),
+              fit AS (SELECT bin, max(mn) AS iso_rate FROM grid GROUP BY 1)
+         SELECT p.bin, CAST(p.n AS BIGINT) AS n,
+                CAST(p.pos AS DOUBLE) / CAST(p.n AS DOUBLE) AS pos_rate,
+                f.iso_rate
+         FROM pre p JOIN fit f ON p.bin = f.bin""",
   )
 }

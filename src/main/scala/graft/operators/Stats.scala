@@ -106,6 +106,148 @@ object Stats {
           - col("__cumb") / col("__nb"))), roundScale).as("ks"))
   }
 
+  /** Two-sample 1-D Wasserstein-1 (earth mover) distance:
+    * ∫ |ECDF_a(x) − ECDF_b(x)| dx over the merged observed support —
+    * the MAGNITUDE companion to [[ksStatistic]]: KS reports the worst
+    * single gap, W1 reports how much probability mass must move how far,
+    * so a small-but-everywhere drift scores high on W1 while barely
+    * registering on KS (the metric behind distribution-shift monitors
+    * that must rank drifts, not just flag them; Ramdas, García Trillos &
+    * Cuturi, Entropy'17 survey the empirical-CDF identity).
+    *
+    * Shape: identical to [[ksStatistic]] — ONE hash aggregate to
+    * per-distinct-value side counts, one cumulative window over the
+    * distinct-value table, then Σ |cdf gap| × (next value − value) via
+    * lead. Same bounded-window contract: bin/round a continuous column
+    * first at billions of distinct points. The segment products are
+    * floating sums (CDF gap × spacing) — the result is rounded, unlike
+    * the exact-rational KS fractions. Nulls are excluded (ECDF contract,
+    * NULL sort order is engine-dependent). */
+  def wasserstein1(df: DataFrame, sideCol: String, valCol: String,
+                   sideA: String, sideB: String,
+                   roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perValue = df.filter(col(sideCol).isin(sideA, sideB))
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(valCol).cast("double").as("__v"))
+      .agg(sum(when(col(sideCol) === sideA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sideCol) === sideB, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ord = Window.orderBy(col("__v"))
+    val entire = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perValue
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__gap", lead(col("__v"), 1).over(ord) - col("__v"))
+      .withColumn("__na", sum(col("__ca")).over(entire))
+      .withColumn("__nb", sum(col("__cb")).over(entire))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        round(sum(abs(col("__cuma") / col("__na")
+            - col("__cumb") / col("__nb")) * col("__gap")),
+          roundScale).as("w1"))
+  }
+
+  /** Cliff's delta ordinal effect size (Cliff, Psych. Bull. '93):
+    * δ = [#(a > b) − #(a < b)] / (n_a·n_b) over all cross pairs — the
+    * assumption-free companion to [[mannWhitney]]: U answers "is there a
+    * shift?", δ answers "how often does one group dominate?" on a
+    * [−1, 1] scale that is robust to any monotone transform of the
+    * values (report it beside the p-value; it is the standard effect
+    * size for non-normal A/B metrics).
+    *
+    * NOT a pair join: the dominance counts come from the same
+    * per-distinct-value histogram as [[ksStatistic]] —
+    * #(a > b) = Σ_v ca_v · (#b strictly below v) off the cumulative —
+    * so the cost is one hash aggregate + a distinct-value window
+    * regardless of n_a·n_b. Counts multiply as doubles: each product is
+    * an exact integer and the sums stay exact below 2^53
+    * (n_a·n_b ≤ 9·10^15 — bin values first beyond that), matching an
+    * exact-integer oracle bit-for-bit; δ itself is then ONE division of
+    * exact integers — deterministic, deliberately UNROUNDED (the
+    * rational-halves rule). */
+  def cliffsDelta(df: DataFrame, sideCol: String, valCol: String,
+                  sideA: String, sideB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perValue = df.filter(col(sideCol).isin(sideA, sideB))
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(valCol).as("__v"))
+      .agg(sum(when(col(sideCol) === sideA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sideCol) === sideB, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val entire = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perValue
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__nb", sum(col("__cb")).over(entire))
+      .withColumn("__na", sum(col("__ca")).over(entire))
+      .agg(
+        max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(col("__ca").cast("double")
+          * (col("__cumb") - col("__cb")).cast("double")).as("__gt"),
+        sum(col("__ca").cast("double")
+          * (col("__nb") - col("__cumb")).cast("double")).as("__lt"))
+      .select(col("n_a"), col("n_b"),
+        ((col("__gt") - col("__lt"))
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("cliffs_delta"))
+  }
+
+  /** Isotonic (PAV) calibration over score bins: the monotone
+    * least-squares fit of the per-bin positive rate, via the minimax
+    * identity fit_i = max_{j≤i} min_{k≥i} (Σ_{j..k} pos)/(Σ_{j..k} n)
+    * (Ayer et al., Ann. Math. Stat. '55; Zadrozny & Elkan KDD'02 for
+    * calibration use). Where [[calibrationBins]] reports raw reliability,
+    * the isotonic fit is the deployable calibration map — monotone by
+    * construction, pooling adjacent bins the raw rates leave inverted.
+    *
+    * Shape: the corpus collapses through ONE [[calibrationBins]]-style
+    * hash aggregate to ≤ `bins` rows; the minimax runs on the bins³
+    * grid (≤1000 rows at the default 10) built from prefix sums off a
+    * localCheckpoint-pinned bin table (it feeds the grid twice + the
+    * output join — the multi-consumer rule). Every interval average is
+    * one division of exact integers and min/max pick one of them —
+    * the fit is deterministic cross-engine and deliberately UNROUNDED. */
+  def isotonicCalibration(df: DataFrame, scoreCol: String, labelCol: String,
+                          bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins > 0, s"bins must be positive: $bins")
+    val s = greatest(least(col(scoreCol).cast("double"), lit(1.0)), lit(0.0))
+    val ord = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val binned = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(least(floor(s * bins).cast("long"), lit(bins - 1L)).as("bin"),
+        col(labelCol).cast("boolean").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))
+      .withColumn("__cumn", sum(col("n")).over(ord))
+      .withColumn("__cumpos", sum(col("__pos")).over(ord))
+      .localCheckpoint()
+    val lo = binned.select(col("bin").as("__j"),
+      (col("__cumn") - col("n")).as("__nlo"),
+      (col("__cumpos") - col("__pos")).as("__plo"))
+    val hi = binned.select(col("bin").as("__k"),
+      col("__cumn").as("__nhi"), col("__cumpos").as("__phi"))
+    val fit = binned.select(col("bin"))
+      .join(lo, col("__j") <= col("bin"))
+      .join(hi, col("__k") >= col("bin"))
+      .withColumn("__avg", (col("__phi") - col("__plo")).cast("double")
+        / (col("__nhi") - col("__nlo")).cast("double"))
+      .groupBy(col("bin"), col("__j"))
+      .agg(min(col("__avg")).as("__inner"))
+      .groupBy(col("bin"))
+      .agg(max(col("__inner")).as("iso_rate"))
+    binned
+      .join(fit, Seq("bin"))
+      .select(col("bin"), col("n"),
+        (col("__pos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"),
+        col("iso_rate"))
+  }
+
   /** Per-group ONE-VS-REST KS drift — [[ksStatistic]] as small multiples:
     * for every group, max |ECDF_group − ECDF_rest| of `valCol`, flagging
     * WHICH source's distribution diverges from the corpus (the KS

@@ -1399,4 +1399,97 @@ object TextAnalytics {
         round(col("__v1").cast("double") / col("__n").cast("double"), 6)
           .as("p0_unseen"))
   }
+
+  /** Chao1 vocabulary-richness estimator per group (Chao, Scand. J.
+    * Stat. '84; bias-corrected form per Colwell–Coddington '94):
+    * chao1 = D + f1(f1−1)/(2(f2+1)) where D = observed distinct tokens,
+    * f1/f2 = singleton/doubleton type counts — the "how much vocabulary
+    * have we NOT crawled yet" readout that turns a frequency spectrum
+    * into a total-richness lower bound (the corpus-coverage companion
+    * to Good–Turing's p0: GT says how much unseen MASS, Chao1 how many
+    * unseen TYPES). The bias-corrected form is total (no f2=0 blowup).
+    *
+    * Shape: one (group, shingle) hash aggregate, one per-group
+    * aggregate — shuffle ∝ distinct (group, shingle), never corpus
+    * tokens. The correction term is ONE division of exact integers —
+    * deterministic, deliberately UNROUNDED (rational-halves rule).
+    * `n` is the token n-gram width: richness over n-grams (n chosen so
+    * the type space is not saturated — a saturated space has f1=f2=0
+    * and the estimator degenerates to D, truthfully but vacuously). */
+  def chao1Richness(docs: DataFrame, groupCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    val counts = docs
+      .select(col(groupCol), TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col(groupCol),
+        explode(TextFunctions.shinglesOf(col("__t"), n)).as("__tok"))
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__m"))
+    counts.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("distinct_tokens"),
+        sum(when(col("__m") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__m") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col(groupCol), col("distinct_tokens"), col("f1"), col("f2"),
+        (col("distinct_tokens").cast("double")
+          + (col("f1") * (col("f1") - 1)).cast("double")
+          / (lit(2L) * (col("f2") + 1)).cast("double")).as("chao1"))
+  }
+
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley, ch. 1 of
+    * "Text Mining: Applications and Theory", 2010): candidate phrases
+    * are the maximal token runs between stopword delimiters; each
+    * word's score is degree/frequency where frequency counts the word's
+    * phrase-instances and degree sums the lengths of the phrases it
+    * appears in (co-occurrence credit: words that ride in long phrases
+    * score higher); a phrase scores the sum of its member words' scores.
+    * Returns the distinct top-`k` phrases corpus-wide with occurrence
+    * counts — the unsupervised keyword list.
+    *
+    * Shape: posexplode + two gaps-and-islands windows partitioned BY
+    * DOCUMENT build phrases (shuffle ∝ tokens, window partitions are
+    * single docs); word stats are one hash aggregate over phrase-word
+    * instances; the phrase score re-join is an equi-join on the word.
+    * Word scores are single exact-integer divisions; the phrase-level
+    * SUM of them is a floating sum over member words, so the final
+    * score is rounded to `roundScale` (the one noise-carrying step). */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String], k: Int = 20,
+                   roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(stopwords.nonEmpty, "RAKE needs a stopword delimiter list")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val toks = docs.select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol)))
+          .as(Seq("__pos", "__tok")))
+      .filter(!col("__tok").isin(stopwords: _*))
+      // island id: token position minus its rank among the doc's
+      // surviving (non-stop) tokens is constant within a maximal run
+      .withColumn("__island",
+        col("__pos") - row_number().over(byDoc))
+    val phrases = toks
+      .groupBy(col(idCol), col("__island"))
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(
+            struct(col("__pos"), col("__tok")))),
+            s => s.getField("__tok"))).as("phrase"),
+        count(lit(1)).as("__len"))
+    // collapse to DISTINCT phrase texts first (a phrase's words — and
+    // hence its score — are a function of its text): instance-level word
+    // stats come back via the occurrence weight, so the exploded frames
+    // stay ∝ distinct phrases, not phrase instances
+    val dp = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"), first(col("__len")).as("__len"))
+    val dpWords = dp.select(col("phrase"), col("n_occurrences"), col("__len"),
+      explode(split(col("phrase"), " ")).as("__w"))
+    val wordScore = dpWords.groupBy(col("__w"))
+      .agg((sum(col("n_occurrences") * col("__len")).cast("double")
+        / sum(col("n_occurrences")).cast("double")).as("__ws"))
+    val phraseScore = dpWords
+      .join(wordScore, Seq("__w"))
+      .groupBy(col("phrase"))
+      .agg(round(sum(col("__ws")), roundScale).as("score"))
+    dp.select(col("phrase"), col("n_occurrences"))
+      .join(phraseScore, Seq("phrase"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(k)
+  }
 }

@@ -120,7 +120,10 @@ class PlanAuditSpec extends SparkSuite {
   // bounded by distinct derived values, never raw rows):
   //  * distinct-rounded-score value grids (the rocAuc/perScoreCounts
   //    collapse): q_auc, q_pr_auc, q_mann_whitney, q_kruskal_wallis,
-  //    q_ks_statistic, q_gain_curve, q_dist_match-adjacent evals;
+  //    q_ks_statistic, q_gain_curve, q_dist_match-adjacent evals, and
+  //    the same distinct-value CDF grids in q_wasserstein /
+  //    q_cliffs_delta (one cumulative window over per-distinct-value
+  //    side counts, the ksStatistic contract);
   //  * ranked p-value / per-test grids (≤ #tests rows): q_fdr_bh;
   //  * calendar-bounded day grids: q_cusum, q_seasonal_naive, q_survival;
   //  * per-batch / per-source / per-bucket curves (≤ #groups rows):
@@ -131,7 +134,8 @@ class PlanAuditSpec extends SparkSuite {
   //    q_ivf_topk, q_ivf_topk_bcast, q_ivf_trained, q_rrf.
   private val allowUnpartitionedWindow: Set[String] = Set(
     "q_auc", "q_pr_auc", "q_mann_whitney", "q_kruskal_wallis",
-    "q_ks_statistic", "q_gain_curve", "q_fdr_bh", "q_cusum",
+    "q_ks_statistic", "q_wasserstein", "q_cliffs_delta",
+    "q_gain_curve", "q_fdr_bh", "q_cusum",
     "q_seasonal_naive", "q_survival", "q_heaps_law", "q_temperature_mix",
     "q_quota_sample", "q_vocab_coverage", "q_negative_sampling",
     "q_ivf_topk", "q_ivf_topk_bcast", "q_ivf_trained", "q_rrf")
@@ -161,14 +165,17 @@ class PlanAuditSpec extends SparkSuite {
   //    categories / days / tests — value-grid bound): q_jsd_matrix,
   //    q_cramers_v, q_naive_bayes, q_drift_monitor, q_ks_per_source,
   //    q_heaps_law, q_query_likelihood, q_fdr_bh;
-  //  * per-field collision-probability anchors onto blocked pairs
-  //    (#fields frames of #distinct-values rows): q_fellegi_sunter.
+  //  * the PAV minimax grid in q_isotonic: two range joins over the
+  //    localCheckpoint-pinned ≤bins-row bin table (bins³ ≤ 1000 rows at
+  //    the default 10; the checkpoint erases the bound from maxRows).
+  //    (q_fellegi_sunter left this list when its per-field collision
+  //    anchors became driver-collected literals.)
   private val allowNestedLoop: Set[String] = Set(
     "q_ivf_topk", "q_ivf_topk_bcast", "q_ivf_trained", "q_pq_topk",
     "q_cosine_topk", "q_int8_recall", "q_rrf", "q_jl_distortion",
     "q_embedding_pairs", "q_jsd_matrix", "q_cramers_v", "q_naive_bayes",
     "q_drift_monitor", "q_ks_per_source", "q_heaps_law",
-    "q_query_likelihood", "q_fdr_bh", "q_fellegi_sunter")
+    "q_query_likelihood", "q_fdr_bh", "q_isotonic")
 
   test("every nested-loop join proves a bounded side or is documented") {
     val offenders = audits.collect {

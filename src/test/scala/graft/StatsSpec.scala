@@ -722,4 +722,52 @@ class StatsSpec extends SparkSuite {
     assert(r.getLong(1) === 2L && r.getLong(2) === 4L)
     assert(r.getDouble(3) === 0.25)
   }
+
+  test("wasserstein1: unit translation costs 1, identical costs 0") {
+    val df = Seq(("a", 0.0), ("a", 1.0), ("b", 1.0), ("b", 2.0))
+      .toDF("side", "v")
+    val r = Stats.wasserstein1(df, "side", "v", "a", "b").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    // {0,1} shifted to {1,2}: every unit of mass moves distance 1
+    assert(r.getDouble(2) === 1.0)
+    val same = Seq(("a", 3.0), ("a", 7.0), ("b", 3.0), ("b", 7.0))
+      .toDF("side", "v")
+    assert(Stats.wasserstein1(same, "side", "v", "a", "b")
+      .collect().head.getDouble(2) === 0.0)
+  }
+
+  test("cliffsDelta: full dominance +1, symmetric 0, hand-checked middle") {
+    val dom = Seq(("a", 1.0), ("a", 2.0), ("b", 0.0)).toDF("side", "v")
+    assert(Stats.cliffsDelta(dom, "side", "v", "a", "b")
+      .collect().head.getDouble(2) === 1.0)
+    // a={3,2}, b={1,3}: pairs (3,1)>, (3,3)=, (2,1)>, (2,3)< → (2−1)/4
+    val mid = Seq(("a", 3.0), ("a", 2.0), ("b", 1.0), ("b", 3.0))
+      .toDF("side", "v")
+    val r = Stats.cliffsDelta(mid, "side", "v", "a", "b").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.25)
+  }
+
+  test("isotonicCalibration: PAV pools the inverted prefix, keeps the rest") {
+    // bin 0: rate 1/2 (w=2), bin 5: rate 0 (w=1), bin 9: rate 1 (w=1).
+    // 1/2 > 0 violates monotonicity → PAV pools bins 0+5 to (1+0)/(2+1);
+    // bin 9 stays at 1.
+    val df = Seq((0.05, true), (0.05, false), (0.55, false), (0.95, true))
+      .toDF("s", "y")
+    val out = Stats.isotonicCalibration(df, "s", "y", bins = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(0L, 5L, 9L))
+    assert(out(0L).getDouble(2) === 0.5 && out(5L).getDouble(2) === 0.0)
+    assert(out(0L).getDouble(3) === 1.0 / 3.0)
+    assert(out(5L).getDouble(3) === 1.0 / 3.0)
+    assert(out(9L).getDouble(3) === 1.0)
+    // already-monotone rates are returned untouched, and the fit is
+    // always nondecreasing
+    val mono = Seq((0.05, false), (0.55, true), (0.55, false), (0.95, true))
+      .toDF("s", "y")
+    val fit = Stats.isotonicCalibration(mono, "s", "y", bins = 10)
+      .collect().sortBy(_.getLong(0))
+    assert(fit.map(_.getDouble(3)).toSeq === Seq(0.0, 0.5, 1.0))
+    assert(fit.sliding(2).forall(p => p.head.getDouble(3) <= p.last.getDouble(3)))
+  }
 }

@@ -1250,4 +1250,46 @@ class TextAndDedupSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       TextAnalytics.goodTuring(docs, "src", "text", maxR = 0))
   }
+
+  test("chao1Richness: hand-counted trigram spectrum, bias-corrected term") {
+    val docs = Seq(
+      // trigrams: "a b c"×2, "b c a"×2, "c a b"×2, "a b d"×1
+      // → D=4, f1=1, f2=3: chao1 = 4 + 1·0/(2·4) = 4
+      (1L, "rep", "a b c a b c a b d"),
+      // all 4 trigrams singletons → D=4, f1=4, f2=0:
+      // chao1 = 4 + 4·3/(2·1) = 10
+      (2L, "uniq", "x y z w v u")).toDF("id", "src", "text")
+    val out = TextAnalytics.chao1Richness(docs, "src", "text", n = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("rep").getLong(1) === 4L && out("rep").getLong(2) === 1L &&
+      out("rep").getLong(3) === 3L)
+    assert(out("rep").getDouble(4) === 4.0)
+    assert(out("uniq").getLong(2) === 4L && out("uniq").getLong(3) === 0L)
+    assert(out("uniq").getDouble(4) === 10.0)
+    // a doc shorter than n contributes no shingles at all
+    val short = Seq((1L, "s", "a b")).toDF("id", "src", "text")
+    assert(TextAnalytics.chao1Richness(short, "src", "text", n = 3)
+      .collect().isEmpty)
+  }
+
+  test("rakeKeywords: degree/frequency scores, phrase runs, stable order") {
+    val docs = Seq(
+      (1L, "deep learning the neural network a deep learning"),
+      (2L, "keyword the deep learning a keyword extraction"))
+      .toDF("doc_id", "text")
+    val out = TextAnalytics.rakeKeywords(docs, "doc_id", "text",
+      stopwords = Seq("a", "the"), k = 10).collect()
+    val byPhrase = out.map(r => r.getString(0) -> r).toMap
+    // word scores: deep/learning deg=3·2=... freq(deep)=3, deg(deep)=6
+    // → 2.0 each; neural/network → 2.0; keyword freq=2, deg=1+2=3 → 1.5;
+    // extraction → 2.0
+    assert(byPhrase("deep learning").getLong(1) === 3L)
+    assert(byPhrase("deep learning").getDouble(2) === 4.0)
+    assert(byPhrase("neural network").getDouble(2) === 4.0)
+    assert(byPhrase("keyword extraction").getDouble(2) === 3.5)
+    assert(byPhrase("keyword").getDouble(2) === 1.5)
+    // ordering: score desc, then phrase asc on the tie
+    assert(out.map(_.getString(0)).toSeq === Seq("deep learning",
+      "neural network", "keyword extraction", "keyword"))
+  }
 }
