@@ -3494,6 +3494,43 @@ object SparkEntry {
         (col("lang") === "en").as("is_en")),
       "quality", "is_en", bins = 10)
 
+  /** §2b Cramér–von Mises L2 distribution shift for the same two-sample
+    * comparison — completes the shift trio (KS sup / W1 mass×distance /
+    * CvM pooled L2) over one shared histogram shape. */
+  private def q_cvm(s: SparkSession, d: String): DataFrame =
+    Stats.cramerVonMises(Tables.events(s, d), "event_type", "value",
+      sideA = "click", sideB = "purchase")
+
+  /** §2b McNemar paired-rates test: declared 'en' vs the stopword
+    * lang-ID's 'en' verdict on the same docs — do the two labelers call
+    * 'en' at the same MARGINAL rate (only discordant docs carry
+    * evidence; the paired companion to q_kappa's agreement readout). */
+  private def q_mcnemar(s: SparkSession, d: String): DataFrame = {
+    val li = q_lang_id(s, d).filter(col("declared_lang").isNotNull)
+    Stats.mcnemar(
+      li.select((col("declared_lang") === "en").as("a_en"),
+        (col("lang_guess") === "en").as("b_en")),
+      "a_en", "b_en")
+  }
+
+  /** §2b Kendall τ-b concordance between bucketed document length in
+    * chars and in tokens — the tie-heavy rank-correlation companion to
+    * q_spearman, computed over the distinct-cell histogram (never an
+    * n² pair join). */
+  private def q_kendall_tau(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      floor(col("n_chars") / 100).cast("long").as("len_bucket"),
+      floor(size(TextFunctions.tokens(col("text"))) / 10).cast("long")
+        .as("tok_bucket"))
+    Stats.kendallTauB(docs, "len_bucket", "tok_bucket")
+  }
+
+  /** §2b Pettitt rank change-point over the daily event counts — the
+    * distribution-free "where did the level shift" locator beside
+    * q_cusum's σ-tuned alarm. */
+  private def q_pettitt(s: SparkSession, d: String): DataFrame =
+    TimeSeries.pettittDaily(Tables.events(s, d), "ts")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3798,6 +3835,10 @@ object SparkEntry {
     "q_chao1" -> (q_chao1 _),
     "q_rake" -> (q_rake _),
     "q_isotonic" -> (q_isotonic _),
+    "q_cvm" -> (q_cvm _),
+    "q_mcnemar" -> (q_mcnemar _),
+    "q_kendall_tau" -> (q_kendall_tau _),
+    "q_pettitt" -> (q_pettitt _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -9680,5 +9721,111 @@ object SparkEntry {
                 CAST(p.pos AS DOUBLE) / CAST(p.n AS DOUBLE) AS pos_rate,
                 f.iso_rate
          FROM pre p JOIN fit f ON p.bin = f.bin""",
+    "q_cvm" ->
+      """WITH x AS (SELECT value AS v,
+                      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS ca,
+                      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS cb
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase')
+                      AND value IS NOT NULL
+                    GROUP BY 1),
+              c AS (SELECT v, ca, cb,
+                      SUM(ca) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cuma,
+                      SUM(cb) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cumb,
+                      SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+                    FROM x)
+         SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+                round(CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)
+                  / ((CAST(max(na) AS DOUBLE) + CAST(max(nb) AS DOUBLE))
+                    * (CAST(max(na) AS DOUBLE) + CAST(max(nb) AS DOUBLE)))
+                  * sum(CAST(ca + cb AS DOUBLE)
+                    * (cuma / na - cumb / nb)
+                    * (cuma / na - cumb / nb)), 6) AS cvm
+         FROM c""",
+    "q_mcnemar" ->
+      s"""WITH li AS (SELECT lang AS declared_lang,
+                        CASE WHEN (CASE WHEN n > 0 THEN ns / n ELSE 0.0 END)
+                               >= 0.05
+                             THEN 'en' ELSE 'unknown' END AS lang_guess
+                      FROM (SELECT lang,
+                              CAST(len($duckTokens) AS DOUBLE) AS n,
+                              CAST(len(list_filter($duckTokens,
+                                t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+                                AS BIGINT) AS ns
+                            FROM documents
+                            WHERE lang IS NOT NULL)),
+              f AS (SELECT (declared_lang = 'en') AS a,
+                           (lang_guess = 'en') AS b
+                    FROM li),
+              agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                          AS BIGINT) AS b_only,
+                        CAST(sum(CASE WHEN (NOT a) AND b THEN 1 ELSE 0 END)
+                          AS BIGINT) AS c_only
+                      FROM f)
+         SELECT n, b_only, c_only,
+                CASE WHEN b_only + c_only > 0 THEN
+                  CAST((b_only - c_only) * (b_only - c_only) AS DOUBLE)
+                    / CAST(b_only + c_only AS DOUBLE) END AS mcnemar_chi2
+         FROM agg""",
+    "q_kendall_tau" ->
+      s"""WITH d AS (SELECT CAST(floor(n_chars / 100) AS BIGINT) AS x,
+                       CAST(floor(len($duckTokens) / 10) AS BIGINT) AS y
+                     FROM documents),
+              cells AS (SELECT x, y, count(*) AS c FROM d GROUP BY 1, 2),
+              pr AS (SELECT
+                       sum(CASE WHEN b.y > a.y
+                           THEN CAST(a.c AS DOUBLE) * b.c ELSE 0.0 END)
+                         AS cc,
+                       sum(CASE WHEN b.y < a.y
+                           THEN CAST(a.c AS DOUBLE) * b.c ELSE 0.0 END)
+                         AS dd
+                     FROM cells a JOIN cells b ON b.x > a.x),
+              m AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+              mx AS (SELECT sum(CAST(t AS DOUBLE) * t) AS sx2
+                     FROM (SELECT sum(c) AS t FROM cells GROUP BY x)),
+              my AS (SELECT sum(CAST(t AS DOUBLE) * t) AS sy2
+                     FROM (SELECT sum(c) AS t FROM cells GROUP BY y))
+         SELECT n, CAST(cc AS BIGINT) AS concordant,
+                CAST(dd AS BIGINT) AS discordant,
+                round((cc - dd) / sqrt(
+                  ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    - CAST(n AS DOUBLE)) / 2.0
+                    - (sx2 - CAST(n AS DOUBLE)) / 2.0)
+                  * ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    - CAST(n AS DOUBLE)) / 2.0
+                    - (sy2 - CAST(n AS DOUBLE)) / 2.0)), 6) AS tau_b
+         FROM pr, m, mx, my""",
+    "q_pettitt" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS day,
+                      CAST(count(*) AS BIGINT) AS n_events
+                    FROM events GROUP BY 1),
+              r AS (SELECT day, n_events,
+                      2 * RANK() OVER (ORDER BY n_events)
+                        + COUNT(*) OVER (PARTITION BY n_events) - 1 AS r2,
+                      COUNT(*) OVER () AS t
+                    FROM c),
+              u AS (SELECT day, t,
+                      SUM(r2 - (t + 1)) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS ut,
+                      ROW_NUMBER() OVER (ORDER BY day) AS rn
+                    FROM r)
+         SELECT day AS change_day, CAST(t AS BIGINT) AS n_days,
+                CAST(abs(ut) AS BIGINT) AS k_stat,
+                round(least(1.0, 2.0 * exp(-6.0
+                  * (CAST(abs(ut) AS DOUBLE) * CAST(abs(ut) AS DOUBLE))
+                  / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                      * CAST(t AS DOUBLE)
+                    + CAST(t AS DOUBLE) * CAST(t AS DOUBLE)))), 6)
+                  AS p_approx
+         FROM u WHERE rn < t
+         ORDER BY abs(ut) DESC, day ASC LIMIT 1""",
   )
 }

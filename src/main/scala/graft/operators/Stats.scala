@@ -195,6 +195,132 @@ object Stats {
           .as("cliffs_delta"))
   }
 
+  /** Two-sample Cramér–von Mises criterion (Anderson, Ann. Math.
+    * Stat.'62 two-sample form): T = n·m/(n+m)² · Σ_pooled
+    * (ECDF_a − ECDF_b)² — the L2 member of the distribution-shift trio
+    * this engine now carries in one shape (KS = sup gap, W1 = L1
+    * mass×distance, CvM = L2 over the pooled sample): CvM weights
+    * persistent mid-distribution separation KS's single-point sup
+    * ignores, without W1's dependence on the value scale.
+    *
+    * Shape: the [[ksStatistic]] contract verbatim — one hash aggregate
+    * to per-distinct-value side counts, one cumulative window, a 1-row
+    * reduction; each pooled observation contributes via its value's
+    * (ca+cb) weight. The squared-gap products are floating sums, so the
+    * statistic is rounded (KS's exact rationals don't survive
+    * squaring+weighting). Nulls excluded per the ECDF contract. */
+  def cramerVonMises(df: DataFrame, sideCol: String, valCol: String,
+                     sideA: String, sideB: String,
+                     roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perValue = df.filter(col(sideCol).isin(sideA, sideB))
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(valCol).as("__v"))
+      .agg(sum(when(col(sideCol) === sideA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sideCol) === sideB, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val entire = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perValue
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__na", sum(col("__ca")).over(entire))
+      .withColumn("__nb", sum(col("__cb")).over(entire))
+      .withColumn("__d",
+        col("__cuma") / col("__na") - col("__cumb") / col("__nb"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum((col("__ca") + col("__cb")).cast("double")
+          * col("__d") * col("__d")).as("__s"))
+      .select(col("n_a"), col("n_b"),
+        round(col("n_a").cast("double") * col("n_b").cast("double")
+          / ((col("n_a") + col("n_b")).cast("double")
+            * (col("n_a") + col("n_b")).cast("double"))
+          * col("__s"), roundScale).as("cvm"))
+  }
+
+  /** McNemar's test on paired binary flags (McNemar, Psychometrika'47):
+    * given two boolean verdicts on the SAME units (two quality gates,
+    * two classifiers, declared-vs-guessed labels), only the DISCORDANT
+    * counts b = #(A ∧ ¬B) and c = #(¬A ∧ B) carry evidence that the
+    * marginal rates differ; χ² = (b−c)²/(b+c) on 1 df. This is the
+    * paired-data companion to [[chiSquareIndependence]] — the unpaired
+    * test wastes the pairing and answers a different question.
+    *
+    * ONE hash aggregate over the paired frame; χ² is a single division
+    * of exact integers — deterministic, deliberately UNROUNDED (the
+    * rational-halves rule); null when b+c = 0 (no discordant pairs, no
+    * evidence either way). Rows where either flag is null are excluded
+    * (no verdict, no pair). */
+  def mcnemar(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val a = col(colA).cast("boolean")
+    val b = col(colB).cast("boolean")
+    df.filter(a.isNotNull && b.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("b_only"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("c_only"))
+      .select(col("n"), col("b_only"), col("c_only"),
+        when(col("b_only") + col("c_only") > 0,
+          ((col("b_only") - col("c_only"))
+            * (col("b_only") - col("c_only"))).cast("double")
+            / (col("b_only") + col("c_only")).cast("double"))
+          .as("mcnemar_chi2"))
+  }
+
+  /** Kendall's τ-b rank correlation (Kendall, Biometrika'38; τ-b tie
+    * correction per Kendall'45): (C − D)/√((n0−n1)(n0−n2)) with
+    * concordant/discordant pair counts C/D and tie terms n1/n2 — the
+    * pair-dominance companion to [[spearmanRho]]: ρ correlates ranks,
+    * τ-b is the probability-scale concordance readout, robust to any
+    * monotone transform and exact under heavy ties.
+    *
+    * NOT an n² pair join: the data collapses to the distinct
+    * (x, y) CELL histogram in one hash aggregate; C and D are sums of
+    * cell-count products over strictly-dominating cell pairs (work ∝
+    * cells², the binning contract — bucket continuous columns first),
+    * and the tie terms come off the marginals. Products are
+    * exact-integer doubles (exact to 2^53); the final √ is the one
+    * libm step, so τ-b is rounded while n/C/D stay exact. */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String,
+                  roundScale: Int = 6): DataFrame = {
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val other = cells.select(col("__x").as("__x2"), col("__y").as("__y2"),
+      col("__c").as("__c2"))
+    val pairs = cells.join(other, col("__x2") > col("__x"))
+      .agg(
+        sum(when(col("__y2") > col("__y"),
+          col("__c").cast("double") * col("__c2")).otherwise(0.0))
+          .as("__cc"),
+        sum(when(col("__y2") < col("__y"),
+          col("__c").cast("double") * col("__c2")).otherwise(0.0))
+          .as("__dd"))
+    val marg = cells.agg(
+      sum(col("__c")).as("__n"),
+      sum(col("__c").cast("double") * col("__c")).as("__sxy2"))
+    val tx = cells.groupBy(col("__x")).agg(sum(col("__c")).as("__t"))
+      .agg(sum(col("__t").cast("double") * col("__t")).as("__sx2"))
+    val ty = cells.groupBy(col("__y")).agg(sum(col("__c")).as("__t"))
+      .agg(sum(col("__t").cast("double") * col("__t")).as("__sy2"))
+    // n0 = n(n−1)/2; n1 = Σ_x t(t−1)/2 = (Σt² − n)/2; n2 likewise
+    pairs.crossJoin(broadcast(marg))
+      .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .select(col("__n").as("n"),
+        col("__cc").cast("long").as("concordant"),
+        col("__dd").cast("long").as("discordant"),
+        round((col("__cc") - col("__dd"))
+          / sqrt(
+            ((col("__n").cast("double") * col("__n").cast("double")
+              - col("__n").cast("double")) / 2.0
+              - (col("__sx2") - col("__n").cast("double")) / 2.0)
+            * ((col("__n").cast("double") * col("__n").cast("double")
+              - col("__n").cast("double")) / 2.0
+              - (col("__sy2") - col("__n").cast("double")) / 2.0)),
+          roundScale).as("tau_b"))
+  }
+
   /** Isotonic (PAV) calibration over score bins: the monotone
     * least-squares fit of the per-bin positive rate, via the minimax
     * identity fit_i = max_{j≤i} min_{k≥i} (Σ_{j..k} pos)/(Σ_{j..k} n)

@@ -285,6 +285,61 @@ object TimeSeries {
       .withColumn("alarm", col("cusum") > col("threshold"))
   }
 
+  /** Pettitt change-point test (Pettitt, JRSS-C'79) over the daily
+    * event-count series: the rank-based (distribution-free) single
+    * change-point locator — U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j), the
+    * change day is argmax |U_t| and K = max |U_t| carries the
+    * significance p ≈ 2·exp(−6K²/(T³+T²)). Complements [[cusumDaily]]:
+    * CUSUM is a mean-shift ALARM tuned by σ-slack, Pettitt is the
+    * assumption-free "WHERE did the level shift" locator, robust to
+    * outlier days because only ranks enter.
+    *
+    * The double sum is re-expressed through midranks (tie-safe):
+    * Σ_j sgn(x_i − x_j) = 2r_i − (T+1), so U_t is ONE cumulative sum of
+    * (2·rank + (ties−1) − (T+1)) in day order — exact integers
+    * end-to-end; the only float is the exp in the p-value (rounded).
+    *
+    * Scale shape: one day-grain count aggregate, then rank + cumsum
+    * windows over the DAY GRID — bounded by the observation span,
+    * never event count ([[cusumDaily]]'s contract). The last day's
+    * U_T = 0 is excluded from the argmax (no "change after everything"
+    * degenerate). */
+  def pettittDaily(events: DataFrame, tsCol: String,
+                   roundScale: Int = 6): DataFrame =
+    pettittOverCounts(
+      events.groupBy(date_trunc("day", col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n_events")), roundScale)
+
+  /** [[pettittDaily]]'s finalizer over an already-aggregated
+    * `(day, n_events)` grid — the shared-finalizer contract
+    * ([[cusumOverCounts]]). */
+  def pettittOverCounts(counts: DataFrame,
+                        roundScale: Int = 6): DataFrame = {
+    val byVal = Window.orderBy(col("n_events"))
+    val byDay = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val entire = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    counts
+      // 2·midrank as an integer: 2·rank + (#equal − 1)
+      .withColumn("__r2", lit(2L) * rank().over(byVal)
+        + count(lit(1)).over(Window.partitionBy(col("n_events"))) - 1L)
+      .withColumn("__t", count(lit(1)).over(entire))
+      .withColumn("__u", sum(col("__r2") - (col("__t") + 1L)).over(byDay))
+      .withColumn("__rn", row_number().over(Window.orderBy(col("day"))))
+      .filter(col("__rn") < col("__t")) // drop U_T = 0
+      .orderBy(abs(col("__u")).desc, col("day").asc)
+      .limit(1)
+      .select(col("day").as("change_day"), col("__t").as("n_days"),
+        abs(col("__u")).as("k_stat"),
+        round(least(lit(1.0), lit(2.0) * exp(lit(-6.0)
+          * (abs(col("__u")).cast("double") * abs(col("__u")).cast("double"))
+          / (col("__t").cast("double") * col("__t").cast("double")
+            * col("__t").cast("double")
+            + col("__t").cast("double") * col("__t").cast("double")))),
+          roundScale).as("p_approx"))
+  }
+
   /** Autocorrelation function of the daily event count at lags
     * 1..maxLag (the Box–Jenkins identification tool): per lag L, the
     * Pearson correlation of (n_d, n_{d+L}) over the overlapping day

@@ -122,10 +122,11 @@ class PlanAuditSpec extends SparkSuite {
   //    collapse): q_auc, q_pr_auc, q_mann_whitney, q_kruskal_wallis,
   //    q_ks_statistic, q_gain_curve, q_dist_match-adjacent evals, and
   //    the same distinct-value CDF grids in q_wasserstein /
-  //    q_cliffs_delta (one cumulative window over per-distinct-value
-  //    side counts, the ksStatistic contract);
+  //    q_cliffs_delta / q_cvm (one cumulative window over
+  //    per-distinct-value side counts, the ksStatistic contract);
   //  * ranked p-value / per-test grids (≤ #tests rows): q_fdr_bh;
-  //  * calendar-bounded day grids: q_cusum, q_seasonal_naive, q_survival;
+  //  * calendar-bounded day grids: q_cusum, q_seasonal_naive,
+  //    q_survival, q_pettitt (rank + cumsum windows over the day grid);
   //  * per-batch / per-source / per-bucket curves (≤ #groups rows):
   //    q_heaps_law, q_temperature_mix, q_quota_sample, q_vocab_coverage,
   //    q_negative_sampling (vocab ranking — capped by the query's own
@@ -134,9 +135,10 @@ class PlanAuditSpec extends SparkSuite {
   //    q_ivf_topk, q_ivf_topk_bcast, q_ivf_trained, q_rrf.
   private val allowUnpartitionedWindow: Set[String] = Set(
     "q_auc", "q_pr_auc", "q_mann_whitney", "q_kruskal_wallis",
-    "q_ks_statistic", "q_wasserstein", "q_cliffs_delta",
+    "q_ks_statistic", "q_wasserstein", "q_cliffs_delta", "q_cvm",
     "q_gain_curve", "q_fdr_bh", "q_cusum",
-    "q_seasonal_naive", "q_survival", "q_heaps_law", "q_temperature_mix",
+    "q_seasonal_naive", "q_survival", "q_pettitt",
+    "q_heaps_law", "q_temperature_mix",
     "q_quota_sample", "q_vocab_coverage", "q_negative_sampling",
     "q_ivf_topk", "q_ivf_topk_bcast", "q_ivf_trained", "q_rrf")
 
@@ -165,6 +167,9 @@ class PlanAuditSpec extends SparkSuite {
   //    categories / days / tests — value-grid bound): q_jsd_matrix,
   //    q_cramers_v, q_naive_bayes, q_drift_monitor, q_ks_per_source,
   //    q_heaps_law, q_query_likelihood, q_fdr_bh;
+  //  * the strictly-dominating cell-pair grid in q_kendall_tau (work ∝
+  //    distinct (x,y) cells², the operator's documented binning
+  //    contract; the cell table is localCheckpoint-pinned);
   //  * the PAV minimax grid in q_isotonic: two range joins over the
   //    localCheckpoint-pinned ≤bins-row bin table (bins³ ≤ 1000 rows at
   //    the default 10; the checkpoint erases the bound from maxRows).
@@ -175,7 +180,7 @@ class PlanAuditSpec extends SparkSuite {
     "q_cosine_topk", "q_int8_recall", "q_rrf", "q_jl_distortion",
     "q_embedding_pairs", "q_jsd_matrix", "q_cramers_v", "q_naive_bayes",
     "q_drift_monitor", "q_ks_per_source", "q_heaps_law",
-    "q_query_likelihood", "q_fdr_bh", "q_isotonic")
+    "q_query_likelihood", "q_fdr_bh", "q_isotonic", "q_kendall_tau")
 
   test("every nested-loop join proves a bounded side or is documented") {
     val offenders = audits.collect {

@@ -748,6 +748,40 @@ class StatsSpec extends SparkSuite {
     assert(r.getDouble(2) === 0.25)
   }
 
+  test("cramerVonMises: identical 0, hand-checked disjoint singletons") {
+    val same = Seq(("a", 0.0), ("a", 1.0), ("b", 0.0), ("b", 1.0))
+      .toDF("side", "v")
+    assert(Stats.cramerVonMises(same, "side", "v", "a", "b")
+      .collect().head.getDouble(2) === 0.0)
+    // a={0}, b={1}: pooled point 0 has gap 1 (weight 1), point 1 gap 0
+    // → T = (1·1/2²)·1 = 0.25
+    val disj = Seq(("a", 0.0), ("b", 1.0)).toDF("side", "v")
+    assert(Stats.cramerVonMises(disj, "side", "v", "a", "b")
+      .collect().head.getDouble(2) === 0.25)
+  }
+
+  test("mcnemar: discordant-only evidence, null on full concordance") {
+    val df = Seq((true, true), (true, false), (true, false), (false, true))
+      .toDF("a", "b")
+    val r = Stats.mcnemar(df, "a", "b").collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 2L && r.getLong(2) === 1L)
+    assert(r.getDouble(3) === 1.0 / 3.0)
+    val conc = Seq((true, true), (false, false)).toDF("a", "b")
+    assert(Stats.mcnemar(conc, "a", "b").collect().head.isNullAt(3))
+  }
+
+  test("kendallTauB: perfect concordance 1, tie-grid 0, n/C/D exact") {
+    val mono = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val r1 = Stats.kendallTauB(mono, "x", "y").collect().head
+    assert(r1.getLong(1) === 3L && r1.getLong(2) === 0L)
+    assert(r1.getDouble(3) === 1.0)
+    // x=[1,1,2,2], y=[1,2,1,2]: C=1, D=1, n1=n2=2 → τb = 0
+    val grid = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("x", "y")
+    val r2 = Stats.kendallTauB(grid, "x", "y").collect().head
+    assert(r2.getLong(0) === 4L && r2.getLong(1) === 1L && r2.getLong(2) === 1L)
+    assert(r2.getDouble(3) === 0.0)
+  }
+
   test("isotonicCalibration: PAV pools the inverted prefix, keeps the rest") {
     // bin 0: rate 1/2 (w=2), bin 5: rate 0 (w=1), bin 9: rate 1 (w=1).
     // 1/2 > 0 violates monotonicity → PAV pools bins 0+5 to (1+0)/(2+1);

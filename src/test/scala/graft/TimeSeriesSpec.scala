@@ -272,4 +272,25 @@ class TimeSeriesSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       TimeSeries.seasonalNaiveEval(ev, "ts", period = 1))
   }
+
+  test("pettittOverCounts: locates the level shift, midrank-exact U") {
+    // [1,1,1,5,5,5]: midranks 2 and 5 → U_t = −3,−6,−9,−6,−3 (U_6 = 0
+    // dropped) — argmax |U| at day 3, K = 9
+    val counts = (1 to 6).map(d =>
+      (ts(f"2024-01-0$d 00:00:00"), if (d <= 3) 1L else 5L))
+      .toDF("day", "n_events")
+    val r = TimeSeries.pettittOverCounts(counts).collect().head
+    assert(r.getTimestamp(0) === ts("2024-01-03 00:00:00"))
+    assert(r.getLong(1) === 6L && r.getLong(2) === 9L)
+    val expP = BigDecimal(2.0 * math.exp(-6.0 * 81.0 / (216.0 + 36.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) === expP)
+    // constant series: all midranks equal → every U_t = 0, K = 0, p
+    // capped at 1; earliest day wins the argmax tiebreak
+    val flat = (1 to 4).map(d =>
+      (ts(f"2024-01-0$d 00:00:00"), 7L)).toDF("day", "n_events")
+    val fr = TimeSeries.pettittOverCounts(flat).collect().head
+    assert(fr.getLong(2) === 0L && fr.getDouble(3) === 1.0)
+    assert(fr.getTimestamp(0) === ts("2024-01-01 00:00:00"))
+  }
 }
