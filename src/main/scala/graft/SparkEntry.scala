@@ -3531,6 +3531,31 @@ object SparkEntry {
   private def q_pettitt(s: SparkSession, d: String): DataFrame =
     TimeSeries.pettittDaily(Tables.events(s, d), "ts")
 
+  /** §2b forecast-quality decomposition over the calibration fixture:
+    * row-exact Brier + Murphy reliability/resolution/uncertainty + ECE
+    * in one row — "how good is the quality score as an is-en
+    * probability, and why". */
+  private def q_ece(s: SparkSession, d: String): DataFrame =
+    Stats.forecastDecomposition(
+      Tables.documents(s, d).select(
+        round(TextFunctions.qualityScore(col("text")), 6).as("quality"),
+        (col("lang") === "en").as("is_en")),
+      "quality", "is_en", bins = 10)
+
+  /** §2b Hurst exponent of the daily event-count series by R/S analysis
+    * (block sizes 5/10/15 over the 30-day grid) — long-memory /
+    * self-similarity beside q_autocorr's fixed lags and q_burstiness. */
+  private def q_hurst(s: SparkSession, d: String): DataFrame =
+    TimeSeries.hurstDaily(Tables.events(s, d), "ts",
+      blockSizes = Seq(5, 10, 15))
+
+  /** §2b Burrows' Delta stylometric source-pair matrix over the top-30
+    * corpus words — variance-normalized function-word style distance
+    * beside q_jsd_matrix's distributional overlap. */
+  private def q_burrows_delta(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.burrowsDelta(Tables.documents(s, d), "source", "text",
+      topM = 30)
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3839,6 +3864,9 @@ object SparkEntry {
     "q_mcnemar" -> (q_mcnemar _),
     "q_kendall_tau" -> (q_kendall_tau _),
     "q_pettitt" -> (q_pettitt _),
+    "q_ece" -> (q_ece _),
+    "q_hurst" -> (q_hurst _),
+    "q_burrows_delta" -> (q_burrows_delta _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -9827,5 +9855,122 @@ object SparkEntry {
                   AS p_approx
          FROM u WHERE rn < t
          ORDER BY abs(ut) DESC, day ASC LIMIT 1""",
+    "q_ece" ->
+      raw"""WITH scored AS (SELECT round(
+               0.4 * (CASE WHEN n BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * least((CASE WHEN n > 0 THEN ns / n ELSE 0.0 END) * 5.0,
+                 1.0)
+             + 0.3 * (CASE WHEN (CASE WHEN length(text) > 0
+                        THEN np / CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+                        < 0.2 THEN 1.0 ELSE 0.0 END), 6) AS q,
+               (lang = 'en') AS y
+             FROM (SELECT lang, text,
+                     CAST(len($duckTokens) AS DOUBLE) AS n,
+                     CAST(len(list_filter($duckTokens,
+                       t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+                       AS BIGINT) AS ns,
+                     length(text) - length(regexp_replace(text,
+                       '[.,;:!?''"()\[\]{}-]', '', 'g')) AS np
+                   FROM documents
+                   WHERE lang IS NOT NULL)),
+              clamped AS (SELECT greatest(least(q, 1.0), 0.0) AS s, y
+                          FROM scored),
+              binned AS (SELECT CAST(least(CAST(floor(s * 10) AS BIGINT), 9)
+                             AS BIGINT) AS bin,
+                           CAST(count(*) AS DOUBLE) AS nb,
+                           avg(s) AS conf,
+                           avg(CASE WHEN y THEN 1.0 ELSE 0.0 END) AS acc
+                         FROM clamped GROUP BY 1),
+              tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+                          AS pos,
+                        sum((s - (CASE WHEN y THEN 1.0 ELSE 0.0 END))
+                          * (s - (CASE WHEN y THEN 1.0 ELSE 0.0 END)))
+                          AS sqsum
+                      FROM clamped)
+         SELECT n,
+                round(sqsum / CAST(n AS DOUBLE), 6) AS brier,
+                round(sum(nb / CAST(n AS DOUBLE) * abs(acc - conf)), 6)
+                  AS ece,
+                round(sum(nb / CAST(n AS DOUBLE) * (conf - acc)
+                  * (conf - acc)), 6) AS reliability,
+                round(sum(nb / CAST(n AS DOUBLE)
+                  * (acc - pos / CAST(n AS DOUBLE))
+                  * (acc - pos / CAST(n AS DOUBLE))), 6) AS resolution,
+                round(pos / CAST(n AS DOUBLE)
+                  * (1.0 - pos / CAST(n AS DOUBLE)), 6) AS uncertainty
+         FROM binned, tot GROUP BY n, sqsum, pos""",
+    "q_hurst" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS day,
+                      CAST(count(*) AS BIGINT) AS x
+                    FROM events GROUP BY 1),
+              idx AS (SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn
+                      FROM c),
+              e AS (SELECT day, x, rn, m,
+                      CAST(floor((rn - 1) / m) AS BIGINT) AS blk
+                    FROM idx, UNNEST([5, 10, 15]) AS u(m)),
+              f AS (SELECT day, x, m, blk,
+                      COUNT(*) OVER (PARTITION BY m, blk) AS cnt,
+                      SUM(x) OVER (PARTITION BY m, blk) AS sx,
+                      SUM(x * x) OVER (PARTITION BY m, blk) AS sxx,
+                      SUM(x) OVER (PARTITION BY m, blk ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cx,
+                      ROW_NUMBER() OVER (PARTITION BY m, blk ORDER BY day)
+                        AS t
+                    FROM e),
+              g AS (SELECT m, blk,
+                      max(CAST(cx AS DOUBLE) - CAST(t AS DOUBLE)
+                        * (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)))
+                      - min(CAST(cx AS DOUBLE) - CAST(t AS DOUBLE)
+                        * (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))) AS r,
+                      sqrt(greatest(CAST(max(sxx) AS DOUBLE)
+                          / CAST(m AS DOUBLE)
+                        - (CAST(max(sx) AS DOUBLE) / CAST(m AS DOUBLE))
+                          * (CAST(max(sx) AS DOUBLE) / CAST(m AS DOUBLE)),
+                        0.0)) AS sd
+                    FROM f WHERE cnt = m GROUP BY m, blk),
+              h AS (SELECT CAST(m AS BIGINT) AS block_size,
+                      CAST(count(*) AS BIGINT) AS n_blocks,
+                      round(avg(r / sd), 6) AS mean_rs
+                    FROM g WHERE sd > 0.0 GROUP BY 1),
+              fit AS (SELECT CASE WHEN k * suu - su * su > 0.0
+                          THEN round((k * suv - su * sv)
+                            / (k * suu - su * su), 6) END AS hurst
+                      FROM (SELECT CAST(count(*) AS DOUBLE) AS k,
+                              sum(u) AS su, sum(v) AS sv,
+                              sum(u * v) AS suv, sum(u * u) AS suu
+                            FROM (SELECT ln(CAST(block_size AS DOUBLE)) AS u,
+                                    ln(mean_rs) AS v FROM h)))
+         SELECT h.block_size, h.n_blocks, h.mean_rs, fit.hurst
+         FROM h, fit""",
+    "q_burrows_delta" ->
+      s"""WITH tok AS (SELECT source AS g, UNNEST($duckTokens) AS w
+                       FROM documents),
+              gw AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
+                     FROM tok GROUP BY 1, 2),
+              top AS (SELECT w FROM (SELECT w, sum(c) AS tot
+                                     FROM gw GROUP BY 1)
+                      ORDER BY tot DESC, w ASC LIMIT 30),
+              gt AS (SELECT g, sum(c) AS n FROM gw GROUP BY 1),
+              grid AS (SELECT gt.g, top.w,
+                         CAST(coalesce(gw.c, 0) AS DOUBLE)
+                           / CAST(gt.n AS DOUBLE) AS f
+                       FROM gt CROSS JOIN top
+                       LEFT JOIN gw ON gw.g = gt.g AND gw.w = top.w),
+              kk AS (SELECT CAST(count(DISTINCT g) AS DOUBLE) AS k
+                     FROM grid),
+              st AS (SELECT w, sum(f) / k AS mu, sum(f * f) / k AS m2
+                     FROM grid, kk GROUP BY w, k),
+              sd AS (SELECT w, mu,
+                       sqrt(greatest(m2 - mu * mu, 0.0)) AS sd
+                     FROM st),
+              z AS (SELECT grid.w, grid.g, (grid.f - sd.mu) / sd.sd AS z
+                    FROM grid JOIN sd ON grid.w = sd.w WHERE sd.sd > 0.0)
+         SELECT a.g AS source_a, b.g AS source_b,
+                CAST(count(*) AS BIGINT) AS n_words,
+                round(avg(abs(a.z - b.z)), 6) AS delta
+         FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
+         GROUP BY 1, 2""",
   )
 }

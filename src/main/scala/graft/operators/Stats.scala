@@ -321,6 +321,59 @@ object Stats {
           roundScale).as("tau_b"))
   }
 
+  /** Probabilistic-forecast quality decomposition: row-exact Brier score
+    * plus the binned Murphy decomposition (Murphy, J. Appl. Met.'73)
+    * reliability − resolution + uncertainty, and the expected
+    * calibration error ECE = Σ (n_b/n)·|acc_b − conf_b| (Naeini et al.,
+    * AAAI'15) — ONE row that answers "how good, and why": reliability
+    * isolates miscalibration (lower better), resolution rewards
+    * discriminating bins (higher better), uncertainty is the label
+    * base-rate floor no forecaster can beat. Complements
+    * [[calibrationBins]] (the per-bin curve) and
+    * [[isotonicCalibration]] (the fix).
+    *
+    * Shape: one row-level aggregate (Brier, n, base rate) + one
+    * ≤`bins`-row binned aggregate, merged by a 1-row broadcast cross
+    * join. Binned terms and the Brier are floating sums → rounded;
+    * the decomposition identity holds exactly only when scores are
+    * constant within bins, so brier and rel−res+unc are BOTH reported
+    * (their gap is the within-bin variance term, a data readout, not an
+    * error). */
+  def forecastDecomposition(df: DataFrame, scoreCol: String,
+                            labelCol: String, bins: Int = 10,
+                            roundScale: Int = 6): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    val s = greatest(least(col(scoreCol).cast("double"), lit(1.0)), lit(0.0))
+    val base = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(s.as("__s"),
+        when(col(labelCol).cast("boolean"), 1.0).otherwise(0.0).as("__y"),
+        least(floor(s * bins).cast("long"), lit(bins - 1L)).as("__bin"))
+    val row = base.agg(count(lit(1)).as("n"),
+      sum(col("__y")).cast("double").as("__pos"),
+      sum(((col("__s") - col("__y")) * (col("__s") - col("__y"))))
+        .as("__sqsum"))
+    val perBin = base.groupBy(col("__bin"))
+      .agg(count(lit(1)).cast("double").as("__nb"),
+        avg(col("__s")).as("__conf"), avg(col("__y")).as("__acc"))
+    perBin.crossJoin(broadcast(row))
+      .agg(
+        max(col("n")).as("n"),
+        round(max(col("__sqsum") / col("n").cast("double")), roundScale)
+          .as("brier"),
+        round(sum(col("__nb") / col("n").cast("double")
+          * abs(col("__acc") - col("__conf"))), roundScale).as("ece"),
+        round(sum(col("__nb") / col("n").cast("double")
+          * (col("__conf") - col("__acc"))
+          * (col("__conf") - col("__acc"))), roundScale).as("reliability"),
+        round(sum(col("__nb") / col("n").cast("double")
+          * (col("__acc") - col("__pos") / col("n").cast("double"))
+          * (col("__acc") - col("__pos") / col("n").cast("double"))),
+          roundScale).as("resolution"),
+        round(max(col("__pos") / col("n").cast("double")
+          * (lit(1.0) - col("__pos") / col("n").cast("double"))),
+          roundScale).as("uncertainty"))
+  }
+
   /** Isotonic (PAV) calibration over score bins: the monotone
     * least-squares fit of the per-bin positive rate, via the minimax
     * identity fit_i = max_{j≤i} min_{k≥i} (Σ_{j..k} pos)/(Σ_{j..k} n)

@@ -1434,6 +1434,60 @@ object TextAnalytics {
           / (lit(2L) * (col("f2") + 1)).cast("double")).as("chao1"))
   }
 
+  /** Burrows' Delta stylometric distance (Burrows, LLC'02; Evert et
+    * al., DSH'17 for the formalization): over the corpus's `topM`
+    * most frequent words, each group's relative word frequency is
+    * z-scored against the across-group mean/σ, and
+    * Delta(g1, g2) = mean_w |z1 − z2| — THE authorship/style
+    * attribution baseline, here as a source-pair matrix: which sources
+    * write alike once topic words are dominated by function-word rates.
+    * Complements the JSD matrix (distribution overlap) with a
+    * variance-normalized stylistic view.
+    *
+    * Shape: one (group, token) aggregate; the top-M vocabulary is a
+    * bounded TakeOrdered (count desc, token asc — total order);
+    * everything after lives on the ≤ M×|groups| z-table (word stats
+    * across groups, pair equi-join on word). Zero-σ words (identical
+    * rate everywhere) carry no style signal and are excluded. Rel-freqs
+    * are exact ratios; the across-group moments and the final mean are
+    * float sums → delta is rounded. */
+  def burrowsDelta(docs: DataFrame, groupCol: String, textCol: String,
+                   topM: Int = 30, roundScale: Int = 6): DataFrame = {
+    require(topM > 0, s"topM must be positive: $topM")
+    val toks = docs.select(col(groupCol).as("__g"),
+      explode(TextFunctions.tokens(col(textCol))).as("__w"))
+    val gw = toks.groupBy(col("__g"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val top = gw.groupBy(col("__w")).agg(sum(col("__c")).as("__tot"))
+      .orderBy(col("__tot").desc, col("__w").asc).limit(topM)
+      .select(col("__w"))
+    val gTotals = gw.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    // group × top-word grid (absent words are rate 0, they still count)
+    val grid = gTotals.crossJoin(broadcast(top))
+      .join(gw, Seq("__g", "__w"), "left")
+      .withColumn("__f", coalesce(col("__c"), lit(0L)).cast("double")
+        / col("__n").cast("double"))
+    val k = grid.select(col("__g")).distinct().count().toDouble
+    val stats = grid.groupBy(col("__w"))
+      .agg((sum(col("__f")) / lit(k)).as("__mu"),
+        (sum(col("__f") * col("__f")) / lit(k)).as("__m2"))
+      .withColumn("__sd",
+        sqrt(greatest(col("__m2") - col("__mu") * col("__mu"), lit(0.0))))
+      .filter(col("__sd") > 0.0)
+    val z = grid.join(stats, Seq("__w"))
+      .select(col("__w"), col("__g"),
+        ((col("__f") - col("__mu")) / col("__sd")).as("__z"))
+      .localCheckpoint()
+    z.select(col("__w"), col("__g").as("source_a"), col("__z").as("__za"))
+      .join(z.select(col("__w"), col("__g").as("source_b"),
+        col("__z").as("__zb")), Seq("__w"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_words"),
+        round(avg(abs(col("__za") - col("__zb"))), roundScale).as("delta"))
+  }
+
   /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley, ch. 1 of
     * "Text Mining: Applications and Theory", 2010): candidate phrases
     * are the maximal token runs between stopword delimiters; each

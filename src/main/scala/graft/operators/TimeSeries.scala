@@ -340,6 +340,81 @@ object TimeSeries {
           roundScale).as("p_approx"))
   }
 
+  /** Hurst exponent by rescaled-range (R/S) analysis (Hurst, Trans.
+    * ASCE'51; Mandelbrot & Wallis'69) over the daily event counts: for
+    * each block size m the day series splits into ⌊T/m⌋ complete
+    * blocks; per block R = range of the cumulative deviations from the
+    * block mean and S = population σ; H is the log–log slope of the
+    * mean R/S against m. H ≈ 0.5 says the day-to-day fluctuation is
+    * memoryless; H → 1 flags long-range persistence (trends,
+    * self-similar bursts) that [[acfDaily]]'s fixed lags can miss —
+    * the long-memory companion to the burstiness/ACF readouts.
+    *
+    * Determinism: the cumulative deviation is computed as
+    * (integer prefix sum) − t·mean — never a float cumsum, whose
+    * engine-side association differs — so Z_t is bit-identical
+    * cross-engine; per-m mean R/S is the one cross-block float sum and
+    * is rounded BEFORE the slope regression, making the regression
+    * input exactly reproducible. Zero-σ blocks (constant counts) are
+    * excluded from the mean.
+    *
+    * Shape: one day-grain aggregate, then explode × |blockSizes| and
+    * windows over the day grid — bounded by days × block sizes. Output:
+    * one row per block size (m, n_blocks, mean_rs) with the fitted
+    * `hurst` slope repeated (a 1-row regression over ≤|blockSizes|
+    * points, broadcast back). */
+  def hurstDaily(events: DataFrame, tsCol: String,
+                 blockSizes: Seq[Int] = Seq(8, 16, 32),
+                 roundScale: Int = 6): DataFrame = {
+    require(blockSizes.nonEmpty && blockSizes.forall(_ >= 2),
+      s"need block sizes >= 2: $blockSizes")
+    val counts = events
+      .groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("__rn", row_number().over(Window.orderBy(col("day"))))
+      .withColumn("__m", explode(array(blockSizes.map(lit): _*)))
+      .withColumn("__blk", ((col("__rn") - 1) / col("__m")).cast("long"))
+    val wBlk = Window.partitionBy(col("__m"), col("__blk"))
+    val wCum = wBlk.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val blocks = counts
+      .withColumn("__cnt", count(lit(1)).over(wBlk))
+      .filter(col("__cnt") === col("__m")) // complete blocks only
+      .withColumn("__sx", sum(col("x")).over(wBlk))
+      .withColumn("__sxx", sum(col("x") * col("x")).over(wBlk))
+      .withColumn("__t", row_number().over(wBlk.orderBy(col("day"))))
+      // Z_t = (exact integer prefix sum) − t · mean
+      .withColumn("__z", sum(col("x")).over(wCum).cast("double")
+        - col("__t").cast("double")
+          * (col("__sx").cast("double") / col("__m").cast("double")))
+      .groupBy(col("__m"), col("__blk"))
+      .agg((max(col("__z")) - min(col("__z"))).as("__r"),
+        sqrt(greatest(
+          max(col("__sxx")).cast("double") / max(col("__m")).cast("double")
+            - (max(col("__sx")).cast("double")
+              / max(col("__m")).cast("double"))
+            * (max(col("__sx")).cast("double")
+              / max(col("__m")).cast("double")), lit(0.0))).as("__sd"))
+      .filter(col("__sd") > 0.0)
+    val perM = blocks.groupBy(col("__m").cast("long").as("block_size"))
+      .agg(count(lit(1)).as("n_blocks"),
+        round(avg(col("__r") / col("__sd")), roundScale).as("mean_rs"))
+    // least-squares slope over (ln m, ln mean_rs) — ≤|blockSizes| points
+    val fit = perM
+      .select(log(col("block_size").cast("double")).as("__u"),
+        log(col("mean_rs")).as("__v"))
+      .agg(count(lit(1)).cast("double").as("__k"),
+        sum(col("__u")).as("__su"), sum(col("__v")).as("__sv"),
+        sum(col("__u") * col("__v")).as("__suv"),
+        sum(col("__u") * col("__u")).as("__suu"))
+      .select(round(
+        when(col("__k") * col("__suu") - col("__su") * col("__su") > 0.0,
+          (col("__k") * col("__suv") - col("__su") * col("__sv"))
+            / (col("__k") * col("__suu") - col("__su") * col("__su"))),
+        roundScale).as("hurst"))
+    perM.crossJoin(broadcast(fit))
+  }
+
   /** Autocorrelation function of the daily event count at lags
     * 1..maxLag (the Box–Jenkins identification tool): per lag L, the
     * Pearson correlation of (n_d, n_{d+L}) over the overlapping day

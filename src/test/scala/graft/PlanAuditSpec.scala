@@ -126,7 +126,9 @@ class PlanAuditSpec extends SparkSuite {
   //    per-distinct-value side counts, the ksStatistic contract);
   //  * ranked p-value / per-test grids (≤ #tests rows): q_fdr_bh;
   //  * calendar-bounded day grids: q_cusum, q_seasonal_naive,
-  //    q_survival, q_pettitt (rank + cumsum windows over the day grid);
+  //    q_survival, q_pettitt (rank + cumsum windows over the day grid),
+  //    q_hurst (day-index row_number before the per-block-partitioned
+  //    R/S windows);
   //  * per-batch / per-source / per-bucket curves (≤ #groups rows):
   //    q_heaps_law, q_temperature_mix, q_quota_sample, q_vocab_coverage,
   //    q_negative_sampling (vocab ranking — capped by the query's own
@@ -137,7 +139,7 @@ class PlanAuditSpec extends SparkSuite {
     "q_auc", "q_pr_auc", "q_mann_whitney", "q_kruskal_wallis",
     "q_ks_statistic", "q_wasserstein", "q_cliffs_delta", "q_cvm",
     "q_gain_curve", "q_fdr_bh", "q_cusum",
-    "q_seasonal_naive", "q_survival", "q_pettitt",
+    "q_seasonal_naive", "q_survival", "q_pettitt", "q_hurst",
     "q_heaps_law", "q_temperature_mix",
     "q_quota_sample", "q_vocab_coverage", "q_negative_sampling",
     "q_ivf_topk", "q_ivf_topk_bcast", "q_ivf_trained", "q_rrf")

@@ -782,6 +782,24 @@ class StatsSpec extends SparkSuite {
     assert(r2.getDouble(3) === 0.0)
   }
 
+  test("forecastDecomposition: Murphy identity exact on bin-constant scores") {
+    // bin 0: conf .05, acc .5 (w=2); bin 9: conf .95, acc 1 (w=2);
+    // base rate .75 — Brier .2275, ECE .25, rel .1025, res .0625,
+    // unc .1875; scores constant within bins → brier = rel−res+unc
+    val df = Seq((0.05, false), (0.05, true), (0.95, true), (0.95, true))
+      .toDF("s", "y")
+    val r = Stats.forecastDecomposition(df, "s", "y", bins = 10)
+      .collect().head
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === 0.2275)
+    assert(r.getDouble(2) === 0.25)
+    assert(r.getDouble(3) === 0.1025)
+    assert(r.getDouble(4) === 0.0625)
+    assert(r.getDouble(5) === 0.1875)
+    assert(math.abs(r.getDouble(3) - r.getDouble(4) + r.getDouble(5)
+      - r.getDouble(1)) < 1e-12)
+  }
+
   test("isotonicCalibration: PAV pools the inverted prefix, keeps the rest") {
     // bin 0: rate 1/2 (w=2), bin 5: rate 0 (w=1), bin 9: rate 1 (w=1).
     // 1/2 > 0 violates monotonicity → PAV pools bins 0+5 to (1+0)/(2+1);

@@ -1272,6 +1272,26 @@ class TextAndDedupSpec extends SparkSuite {
       .collect().isEmpty)
   }
 
+  test("burrowsDelta: hand-computed 3-source z-distances, 2-source pin") {
+    // fx = .75/.25/.5 across A/B/C (fy complements): σ = √(1/24), so
+    // z ∈ {±√1.5, 0} per word → Δ(A,B) = 2√1.5, Δ(A,C) = Δ(B,C) = √1.5
+    val docs = Seq((1L, "A", "x x x y"), (2L, "B", "x y y y"),
+      (3L, "C", "x y")).toDF("id", "src", "text")
+    val out = TextAnalytics.burrowsDelta(docs, "src", "text", topM = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(out(("A", "B")).getLong(2) === 2L)
+    assert(out(("A", "B")).getDouble(3) === 2.44949)  // 2√1.5 @6dp
+    assert(out(("A", "C")).getDouble(3) === 1.224745) // √1.5 @6dp
+    assert(out(("B", "C")).getDouble(3) === 1.224745)
+    // with exactly two groups every non-constant word gives |z1−z2| = 2:
+    // Δ is identically 2 — the degenerate-k pin
+    val two = Seq((1L, "A", "x x y"), (2L, "B", "x y y"))
+      .toDF("id", "src", "text")
+    assert(TextAnalytics.burrowsDelta(two, "src", "text", topM = 2)
+      .collect().map(_.getDouble(3)).toSeq === Seq(2.0))
+  }
+
   test("rakeKeywords: degree/frequency scores, phrase runs, stable order") {
     val docs = Seq(
       (1L, "deep learning the neural network a deep learning"),

@@ -293,4 +293,25 @@ class TimeSeriesSpec extends SparkSuite {
     assert(fr.getLong(2) === 0L && fr.getDouble(3) === 1.0)
     assert(fr.getTimestamp(0) === ts("2024-01-01 00:00:00"))
   }
+
+  test("hurstDaily: hand-checked R/S blocks, incomplete block dropped") {
+    // 10 days alternating 1,2 events: every complete block of 4 (and of
+    // 2) has mean 1.5, cumulative deviations {−0.5, 0}, R = 0.5,
+    // σ = 0.5 → R/S = 1 for every block; mean_rs = 1 at both sizes and
+    // the log–log slope through (ln m, 0) points is 0. Days 9–10 form an
+    // incomplete block of 4 and must be dropped.
+    val ev = (1 to 10).flatMap { d =>
+      val n = if (d % 2 == 1) 1 else 2
+      Seq.fill(n)(Tuple1(ts(f"2024-01-$d%02d 12:00:00")))
+    }.toDF("t")
+    val out = TimeSeries.hurstDaily(ev, "t", blockSizes = Seq(2, 4))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(2L).getLong(1) === 5L && out(4L).getLong(1) === 2L)
+    assert(out(2L).getDouble(2) === 1.0 && out(4L).getDouble(2) === 1.0)
+    assert(out(2L).getDouble(3) === 0.0)
+    // constant series: every block has σ = 0 → no usable blocks at all
+    val flat = (1 to 8).map(d => Tuple1(ts(f"2024-01-0$d 12:00:00")))
+      .toDF("t")
+    assert(TimeSeries.hurstDaily(flat, "t", Seq(4)).collect().isEmpty)
+  }
 }
