@@ -3556,6 +3556,20 @@ object SparkEntry {
     TextAnalytics.burrowsDelta(Tables.documents(s, d), "source", "text",
       topM = 30)
 
+  /** §2b Yuen trimmed-mean test (20% trim) on the click-vs-purchase
+    * values — the heavy-tail-robust rung of the experimentation ladder
+    * beside Welch (mean), Mann–Whitney (rank) and QTE (quantile). */
+  private def q_yuen(s: SparkSession, d: String): DataFrame =
+    Stats.yuenTrimmedTest(Tables.events(s, d), "event_type", "value",
+      armA = "click", armB = "purchase", trimFrac = 0.2)
+
+  /** §2b DoReMi-style domain reweighting step over the sources: unigram
+    * cross-entropy excess → multiplicative weight update — the
+    * principled mixture move beside q_temperature_mix's hand exponent. */
+  private def q_doremi(s: SparkSession, d: String): DataFrame =
+    Corpus.domainReweight(Tables.documents(s, d), "source", "text",
+      eta = 1.0)
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3867,6 +3881,8 @@ object SparkEntry {
     "q_ece" -> (q_ece _),
     "q_hurst" -> (q_hurst _),
     "q_burrows_delta" -> (q_burrows_delta _),
+    "q_yuen" -> (q_yuen _),
+    "q_doremi" -> (q_doremi _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -9972,5 +9988,81 @@ object SparkEntry {
                 round(avg(abs(a.z - b.z)), 6) AS delta
          FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
          GROUP BY 1, 2""",
+    "q_yuen" ->
+      """WITH v AS (SELECT event_type AS arm, CAST(value AS DOUBLE) AS x
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase')
+                      AND value IS NOT NULL),
+              r AS (SELECT arm, x,
+                      ROW_NUMBER() OVER (PARTITION BY arm ORDER BY x) AS rr,
+                      COUNT(*) OVER (PARTITION BY arm) AS n
+                    FROM v),
+              r2 AS (SELECT arm, x, rr, n,
+                       CAST(floor(CAST(n AS DOUBLE) * 0.2) AS BIGINT) AS g
+                     FROM r),
+              r3 AS (SELECT arm, x, rr, n, g,
+                       max(CASE WHEN rr = g + 1 THEN x END)
+                         OVER (PARTITION BY arm) AS lo,
+                       max(CASE WHEN rr = n - g THEN x END)
+                         OVER (PARTITION BY arm) AS hi
+                     FROM r2),
+              agg AS (SELECT arm, max(n) AS na,
+                        max(n) - 2 * max(g) AS h,
+                        sum(CASE WHEN rr > g AND rr <= n - g
+                            THEN x ELSE 0.0 END)
+                          / CAST(max(n) - 2 * max(g) AS DOUBLE) AS tm,
+                        sum(CASE WHEN rr <= g THEN lo
+                            WHEN rr > n - g THEN hi ELSE x END) AS sw,
+                        sum((CASE WHEN rr <= g THEN lo
+                            WHEN rr > n - g THEN hi ELSE x END)
+                          * (CASE WHEN rr <= g THEN lo
+                            WHEN rr > n - g THEN hi ELSE x END)) AS sww
+                      FROM r3 GROUP BY 1),
+              dd AS (SELECT arm, h, tm,
+                       CAST(na - 1 AS DOUBLE)
+                         * ((sww - sw * sw / CAST(na AS DOUBLE))
+                           / CAST(na - 1 AS DOUBLE))
+                         / (CAST(h AS DOUBLE) * CAST(h - 1 AS DOUBLE))
+                         AS dj
+                     FROM agg)
+         SELECT CAST(a.h AS BIGINT) AS h_a, CAST(b.h AS BIGINT) AS h_b,
+                round(a.tm, 6) AS trimmed_mean_a,
+                round(b.tm, 6) AS trimmed_mean_b,
+                round((a.tm - b.tm) / sqrt(a.dj + b.dj), 6) AS yuen_t,
+                round(1.0 / ((a.dj / (a.dj + b.dj))
+                    * (a.dj / (a.dj + b.dj)) / CAST(a.h - 1 AS DOUBLE)
+                  + (1.0 - a.dj / (a.dj + b.dj))
+                    * (1.0 - a.dj / (a.dj + b.dj))
+                    / CAST(b.h - 1 AS DOUBLE)), 6) AS df
+         FROM (SELECT * FROM dd WHERE arm = 'click') a,
+              (SELECT * FROM dd WHERE arm = 'purchase') b""",
+    "q_doremi" ->
+      s"""WITH tok AS (SELECT source AS g, UNNEST($duckTokens) AS w
+                       FROM documents),
+              st AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
+                     FROM tok GROUP BY 1, 2),
+              vocab AS (SELECT w, CAST(sum(c) AS BIGINT) AS ct
+                        FROM st GROUP BY 1),
+              tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nn FROM st),
+              ps AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       -sum(CAST(c AS DOUBLE)
+                           * ln(CAST(ct AS DOUBLE) / nn))
+                         / CAST(sum(c) AS DOUBLE) AS loss
+                     FROM st JOIN vocab USING (w), tot GROUP BY g, nn),
+              corp AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt,
+                         sum(loss * CAST(n_tokens AS DOUBLE))
+                           / CAST(sum(n_tokens) AS DOUBLE) AS base
+                       FROM ps),
+              sc AS (SELECT g, n_tokens, loss, base,
+                       CAST(n_tokens AS DOUBLE) / tt AS share,
+                       CAST(n_tokens AS DOUBLE) / tt
+                         * exp(1.0 * (loss - base)) AS raw
+                     FROM ps, corp),
+              z AS (SELECT sum(raw) AS zz FROM sc)
+         SELECT g AS source, n_tokens, round(loss, 6) AS loss,
+                round(loss - base, 6) AS excess_loss,
+                round(share, 6) AS share_before,
+                round(raw / zz, 6) AS weight_after
+         FROM sc, z""",
   )
 }

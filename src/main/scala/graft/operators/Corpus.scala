@@ -973,4 +973,61 @@ object Corpus {
           col("__wsum").cast("double") / col("n_eff").cast("double")),
           roundScale).as("boot_mean"))
   }
+
+  /** One domain-reweighting step, DoReMi-style (Xie et al., NeurIPS'23:
+    * Group-DRO multiplicative-weights over domains; this is the
+    * proxy-free single step): each source's mixture weight is its token
+    * share scaled by exp(η · excess loss) and renormalized —
+    * up-weighting domains the reference model finds HARD relative to
+    * the corpus average, the principled alternative to hand-tuned
+    * [[temperatureMix]] exponents. Loss here is the per-token
+    * cross-entropy of the corpus-wide unigram LM (the same
+    * add-nothing MLE the loglik family scores with): domains whose
+    * token mix diverges from the corpus read as high-loss and gain
+    * weight; boilerplate-heavy domains lose it.
+    *
+    * Per source: n_tokens, loss_s = −Σ_t c_st·ln(c_t/N) / n_s, excess =
+    * loss_s − corpus loss, weight ∝ share_s·exp(η·excess). ln runs per
+    * DISTINCT (source, token) — vocabulary-sized, never token-instance
+    * work; the probabilities are exact integer ratios and the log-sum
+    * is the one float accumulation (outputs rounded).
+    *
+    * Shape: one (source, token) aggregate, one vocab aggregate off it,
+    * an equi-join back, one per-source aggregate, a 1-row corpus
+    * broadcast — shuffle ∝ distinct (source, token). */
+  def domainReweight(docs: DataFrame, groupCol: String, textCol: String,
+                     eta: Double = 1.0, roundScale: Int = 6): DataFrame = {
+    val st = docs.select(col(groupCol).as("__g"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("__w"))
+      .groupBy(col("__g"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val vocab = st.groupBy(col("__w")).agg(sum(col("__c")).as("__ct"))
+    val total = st.agg(sum(col("__c")).cast("double").as("__nn"))
+    val perSrc = st.join(vocab, Seq("__w"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        (-sum(col("__c").cast("double")
+          * log(col("__ct").cast("double") / col("__nn")))
+          / sum(col("__c")).cast("double")).as("__loss"))
+    val corpus = perSrc.agg(
+      sum(col("n_tokens")).cast("double").as("__tot"),
+      (sum(col("__loss") * col("n_tokens").cast("double"))
+        / sum(col("n_tokens")).cast("double")).as("__base"))
+    val scored = perSrc.crossJoin(broadcast(corpus))
+      .withColumn("__share",
+        col("n_tokens").cast("double") / col("__tot"))
+      .withColumn("__raw",
+        col("__share") * exp(lit(eta) * (col("__loss") - col("__base"))))
+      .localCheckpoint()
+    val norm = scored.agg(sum(col("__raw")).as("__z"))
+    scored.crossJoin(broadcast(norm))
+      .select(col("__g").as(groupCol), col("n_tokens"),
+        round(col("__loss"), roundScale).as("loss"),
+        round(col("__loss") - col("__base"), roundScale).as("excess_loss"),
+        round(col("__share"), roundScale).as("share_before"),
+        round(col("__raw") / col("__z"), roundScale).as("weight_after"))
+  }
 }

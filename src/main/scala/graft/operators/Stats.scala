@@ -374,6 +374,84 @@ object Stats {
           roundScale).as("uncertainty"))
   }
 
+  /** Yuen's trimmed-mean two-sample test (Yuen, Biometrika'74): Welch's
+    * t on `trimFrac`-trimmed means with winsorized variances — the
+    * heavy-tail-robust member of the experimentation ladder
+    * ([[welchTTest]] mean / [[mannWhitney]] rank / Yuen trimmed /
+    * [[quantileTreatmentEffect]] quantile): a handful of whale users
+    * moves Welch's t arbitrarily but touches Yuen's only through the
+    * clamp. Per arm g = ⌊trim·n⌋ rows leave each tail (by rank; equal
+    * values make the trimmed multiset order-independent), the trimmed
+    * mean averages the middle h = n−2g, the winsorized variance clamps
+    * the tails to the retained extremes; t = (m̄₁−m̄₂)/√(d₁+d₂) with
+    * d = (n−1)s²w/(h(h−1)) and Welch–Satterthwaite df on (h₁−1, h₂−1).
+    *
+    * Shape: one rank window per arm (partitioned by arm, shuffle ∝
+    * rows), one conditional per-arm aggregate, a 2-row pivot. Variance
+    * and means are float sums → t and df are rounded; h counts stay
+    * exact. */
+  def yuenTrimmedTest(df: DataFrame, armCol: String, valCol: String,
+                      armA: String, armB: String, trimFrac: Double = 0.2,
+                      roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trimFrac >= 0 && trimFrac < 0.5,
+      s"trimFrac must be in [0, 0.5): $trimFrac")
+    val byArm = Window.partitionBy(col("__arm"))
+    val ranked = df.filter(col(armCol).isin(armA, armB))
+      .filter(col(valCol).isNotNull)
+      .select(col(armCol).as("__arm"), col(valCol).cast("double").as("__x"))
+      .withColumn("__r", row_number().over(byArm.orderBy(col("__x"))))
+      .withColumn("__n", count(lit(1)).over(byArm))
+      .withColumn("__gg", floor(col("__n").cast("double") * trimFrac)
+        .cast("long"))
+    val arm = ranked
+      .withColumn("__keep",
+        col("__r") > col("__gg") && col("__r") <= col("__n") - col("__gg"))
+      // winsorized value: tail rows clamp to the retained extremes
+      .withColumn("__lo",
+        max(when(col("__r") === col("__gg") + 1, col("__x"))).over(byArm))
+      .withColumn("__hi",
+        max(when(col("__r") === col("__n") - col("__gg"), col("__x")))
+          .over(byArm))
+      .withColumn("__wv",
+        when(col("__r") <= col("__gg"), col("__lo"))
+          .when(col("__r") > col("__n") - col("__gg"), col("__hi"))
+          .otherwise(col("__x")))
+      .groupBy(col("__arm"))
+      .agg(max(col("__n")).as("__na"),
+        (max(col("__n")) - lit(2L) * max(col("__gg"))).as("__h"),
+        (sum(when(col("__keep"), col("__x")).otherwise(0.0))
+          / (max(col("__n")) - lit(2L) * max(col("__gg"))).cast("double"))
+          .as("__tm"),
+        sum(col("__wv")).as("__sw"), sum(col("__wv") * col("__wv"))
+          .as("__sww"))
+      // winsorized sample variance s²w = (Σw² − (Σw)²/n)/(n−1)
+      .withColumn("__s2w", (col("__sww") - col("__sw") * col("__sw")
+        / col("__na").cast("double")) / (col("__na") - 1L).cast("double"))
+      // d = (n−1)s²w / (h(h−1))
+      .withColumn("__d", (col("__na") - 1L).cast("double") * col("__s2w")
+        / (col("__h").cast("double") * (col("__h") - 1L).cast("double")))
+    // one row per arm by construction; the explicit limit(1) carries the
+    // bound into maxRows so the cross join is PROVABLY 1×1 in the plan
+    val a = arm.filter(col("__arm") === armA).select(
+      col("__h").as("h_a"), col("__tm").as("__tma"), col("__d").as("__da"))
+      .limit(1)
+    val b = arm.filter(col("__arm") === armB).select(
+      col("__h").as("h_b"), col("__tm").as("__tmb"), col("__d").as("__db"))
+      .limit(1)
+    a.crossJoin(broadcast(b))
+      .withColumn("__c", col("__da") / (col("__da") + col("__db")))
+      .select(col("h_a"), col("h_b"),
+        round(col("__tma"), roundScale).as("trimmed_mean_a"),
+        round(col("__tmb"), roundScale).as("trimmed_mean_b"),
+        round((col("__tma") - col("__tmb"))
+          / sqrt(col("__da") + col("__db")), roundScale).as("yuen_t"),
+        round(lit(1.0) / (col("__c") * col("__c")
+            / (col("h_a") - 1L).cast("double")
+          + (lit(1.0) - col("__c")) * (lit(1.0) - col("__c"))
+            / (col("h_b") - 1L).cast("double")), roundScale).as("df"))
+  }
+
   /** Isotonic (PAV) calibration over score bins: the monotone
     * least-squares fit of the per-bin positive rate, via the minimax
     * identity fit_i = max_{j≤i} min_{k≥i} (Σ_{j..k} pos)/(Σ_{j..k} n)

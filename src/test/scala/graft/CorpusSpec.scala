@@ -634,4 +634,28 @@ class CorpusSpec extends SparkSuite {
     assert(Corpus.effectiveSampleSize(withNull, "grp", "w")
       .collect().head.getLong(1) === 1L)
   }
+
+  test("domainReweight: hard domain gains weight, hand-checked losses") {
+    // A = "x x y", B = "y y y"; corpus x:2 y:4 N=6 → A's mix diverges
+    // from the corpus (higher cross-entropy) and must gain weight
+    val docs = Seq((1L, "A", "x x y"), (2L, "B", "y y y"))
+      .toDF("id", "src", "text")
+    val out = Corpus.domainReweight(docs, "src", "text", eta = 1.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lx = math.log(2.0 / 6.0); val ly = math.log(4.0 / 6.0)
+    val lossA = -(2.0 * lx + 1.0 * ly) / 3.0
+    val lossB = -(3.0 * ly) / 3.0
+    val base = (lossA * 3.0 + lossB * 3.0) / 6.0
+    val rawA = 0.5 * math.exp(lossA - base)
+    val rawB = 0.5 * math.exp(lossB - base)
+    assert(out("A").getLong(1) === 3L && out("B").getLong(1) === 3L)
+    assert(out("A").getDouble(2) === r6(lossA))
+    assert(out("B").getDouble(2) === r6(lossB))
+    assert(out("A").getDouble(3) === r6(lossA - base))
+    assert(out("A").getDouble(4) === 0.5 && out("B").getDouble(4) === 0.5)
+    assert(out("A").getDouble(5) === r6(rawA / (rawA + rawB)))
+    assert(out("A").getDouble(5) > 0.5 && out("B").getDouble(5) < 0.5)
+  }
 }

@@ -800,6 +800,22 @@ class StatsSpec extends SparkSuite {
       - r.getDouble(1)) < 1e-12)
   }
 
+  test("yuenTrimmedTest: hand-checked trim/winsorize, whale-proof") {
+    // a = [0,1,2,3,100]: g=1, h=3, trimmed mean 2, winsorized
+    // [1,1,2,3,3] → s²w = 1, d = 4/6; b = [4,5,6,7,1000]: mean 6,
+    // s²w = 1, d = 4/6 → t = −4/√(4/3) = −2√3, c = ½ → df = 4.
+    // The 100/1000 whales never touch the statistic beyond the clamp.
+    val df = (Seq(0.0, 1.0, 2.0, 3.0, 100.0).map(("a", _)) ++
+      Seq(4.0, 5.0, 6.0, 7.0, 1000.0).map(("b", _))).toDF("arm", "v")
+    val r = Stats.yuenTrimmedTest(df, "arm", "v", "a", "b").collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 2.0 && r.getDouble(3) === 6.0)
+    val expT = BigDecimal(-2.0 * math.sqrt(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) === expT)
+    assert(r.getDouble(5) === 4.0)
+  }
+
   test("isotonicCalibration: PAV pools the inverted prefix, keeps the rest") {
     // bin 0: rate 1/2 (w=2), bin 5: rate 0 (w=1), bin 9: rate 1 (w=1).
     // 1/2 > 0 violates monotonicity → PAV pools bins 0+5 to (1+0)/(2+1);
