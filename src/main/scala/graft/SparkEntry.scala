@@ -3570,6 +3570,21 @@ object SparkEntry {
     Corpus.domainReweight(Tables.documents(s, d), "source", "text",
       eta = 1.0)
 
+  /** §2b TwoNN intrinsic-dimension estimate of the embedding column over
+    * the same bounded brute-force id range as q_embedding_pairs — the
+    * "how many dims does this space actually use" readout that prices
+    * the matryoshka/quantization trade. */
+  private def q_twonn(s: SparkSession, d: String): DataFrame =
+    Similarity.twoNN(Tables.embeddings(s, d).filter(col("vec_id") < 150),
+      "vec_id", "embedding")
+
+  /** §2b Schuster periodogram of the daily counts at candidate periods
+    * 7/10/15 over the 30-day grid — ranks candidate seasonalities by
+    * variance share beside q_autocorr's per-lag memory. */
+  private def q_periodogram(s: SparkSession, d: String): DataFrame =
+    TimeSeries.periodogramDaily(Tables.events(s, d), "ts",
+      periods = Seq(7, 10, 15))
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3883,6 +3898,8 @@ object SparkEntry {
     "q_burrows_delta" -> (q_burrows_delta _),
     "q_yuen" -> (q_yuen _),
     "q_doremi" -> (q_doremi _),
+    "q_twonn" -> (q_twonn _),
+    "q_periodogram" -> (q_periodogram _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -10064,5 +10081,56 @@ object SparkEntry {
                 round(share, 6) AS share_before,
                 round(raw / zz, 6) AS weight_after
          FROM sc, z""",
+    "q_twonn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id < 150),
+              d AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                      list_dot_product(a.v, a.v)
+                        + list_dot_product(b.v, b.v)
+                        - 2.0 * list_dot_product(a.v, b.v) AS d2
+                    FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+              r AS (SELECT ia, d2,
+                      ROW_NUMBER() OVER (PARTITION BY ia
+                        ORDER BY d2 ASC, ib ASC) AS rn
+                    FROM d),
+              nn AS (SELECT ia,
+                       min(CASE WHEN rn = 1 THEN d2 END) AS d1,
+                       min(CASE WHEN rn = 2 THEN d2 END) AS dd2
+                     FROM r WHERE rn <= 2 GROUP BY 1),
+              agg AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+                        CAST(sum(CASE WHEN d1 > 0.0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_used,
+                        sum(CASE WHEN d1 > 0.0 THEN ln(dd2 / d1) END)
+                          AS slog
+                      FROM nn)
+         SELECT n_points, n_used,
+                round(CASE WHEN slog > 0.0
+                  THEN 2.0 * CAST(n_used AS DOUBLE) / slog END, 6)
+                  AS intrinsic_dim
+         FROM agg""",
+    "q_periodogram" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS day,
+                      CAST(count(*) AS BIGINT) AS x
+                    FROM events GROUP BY 1),
+              i AS (SELECT x,
+                      CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS t,
+                      COUNT(*) OVER () AS n,
+                      CAST(SUM(x) OVER () AS DOUBLE)
+                        / CAST(COUNT(*) OVER () AS DOUBLE) AS mu
+                    FROM c),
+              p AS (SELECT x, t, n, mu, period
+                    FROM i, UNNEST([7, 10, 15]) AS u(period))
+         SELECT CAST(period AS BIGINT) AS period,
+                CAST(max(n) AS BIGINT) AS n_days,
+                round((sum((CAST(x AS DOUBLE) - mu)
+                    * cos(2.0 * pi() / CAST(period AS DOUBLE) * t))
+                  * sum((CAST(x AS DOUBLE) - mu)
+                    * cos(2.0 * pi() / CAST(period AS DOUBLE) * t))
+                  + sum((CAST(x AS DOUBLE) - mu)
+                    * sin(2.0 * pi() / CAST(period AS DOUBLE) * t))
+                  * sum((CAST(x AS DOUBLE) - mu)
+                    * sin(2.0 * pi() / CAST(period AS DOUBLE) * t)))
+                  / CAST(max(n) AS DOUBLE), 6) AS power
+         FROM p GROUP BY period""",
   )
 }

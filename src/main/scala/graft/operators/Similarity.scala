@@ -286,6 +286,54 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }
 
+  /** TwoNN intrinsic-dimension estimator (Facco, d'Errico, Rodriguez &
+    * Laio, Sci. Rep.'17): the MLE d̂ = n_used / Σ ln(r₂/r₁) over each
+    * point's first/second nearest-neighbor distance ratio — the
+    * embedding-space health readout: a 768-dim embedding column whose
+    * intrinsic dimension is 8 wastes 760 dims (quantize/truncate it — see
+    * matryoshka), while d̂ near the ambient dim says compression will
+    * cost recall. Uses only the 2NN ratio, so it is insensitive to
+    * density variation (the paper's point) and needs no binning.
+    *
+    * Squared Euclidean distances via the identity |a−b|² =
+    * ⟨a,a⟩+⟨b,b⟩−2⟨a,b⟩ (three fixed-order native dot products —
+    * deterministic cross-engine, no libm); since r₂/r₁ = √(d₂/d₁), the
+    * estimator folds the √ into d̂ = 2·n_used / Σ ln(d₂²-ratio).
+    * Points with d₁ ≤ 0 (exact duplicates, or cancellation-negative
+    * zeros) carry no ratio information and are excluded, reported in
+    * n_points vs n_used.
+    *
+    * O(n²) brute force BY DESIGN — bound the input like [[exactPairs]];
+    * the scale path runs it on a deterministic sample (intrinsic dim is
+    * a population property; a few hundred points suffice per the
+    * paper). */
+  def twoNN(embeddings: DataFrame, idCol: String, vecCol: String,
+            roundScale: Int = 6): DataFrame = {
+    val a = embeddings.select(col(idCol).as("__ida"), col(vecCol).as("__va"))
+    val b = embeddings.select(col(idCol).as("__idb"), col(vecCol).as("__vb"))
+    val d2 = a.crossJoin(b)
+      .filter(col("__ida") =!= col("__idb"))
+      .withColumn("__d2",
+        VectorFunctions.dotProduct(col("__va"), col("__va"))
+          + VectorFunctions.dotProduct(col("__vb"), col("__vb"))
+          - lit(2.0) * VectorFunctions.dotProduct(col("__va"), col("__vb")))
+    val byPoint = Window.partitionBy(col("__ida"))
+      .orderBy(col("__d2").asc, col("__idb").asc)
+    val nn = d2.withColumn("__rn", row_number().over(byPoint))
+      .filter(col("__rn") <= 2)
+      .groupBy(col("__ida"))
+      .agg(min(when(col("__rn") === 1, col("__d2"))).as("__d1"),
+        min(when(col("__rn") === 2, col("__d2"))).as("__d2nd"))
+    nn.agg(count(lit(1)).as("n_points"),
+        sum(when(col("__d1") > 0.0, 1L).otherwise(0L)).as("n_used"),
+        sum(when(col("__d1") > 0.0, log(col("__d2nd") / col("__d1"))))
+          .as("__slog"))
+      .select(col("n_points"), col("n_used"),
+        round(when(col("__slog") > 0.0,
+          lit(2.0) * col("n_used").cast("double") / col("__slog")),
+          roundScale).as("intrinsic_dim"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs: all (id_a < id_b) pairs
     * WITHIN an IVF cell whose embedding cosine ≥ threshold (rounded to 6dp
     * first so the cut is engine-reproducible). Pairs straddling cells are

@@ -415,6 +415,50 @@ object TimeSeries {
     perM.crossJoin(broadcast(fit))
   }
 
+  /** Schuster periodogram of the daily event counts at candidate
+    * periods (Schuster, Terr. Mag.'1898; the classical DFT power
+    * readout): for each period p, I(p) = [(Σ x_t cos ω t)² +
+    * (Σ x_t sin ω t)²]/T with ω = 2π/p — the spectral companion to
+    * [[acfDaily]]: ACF answers "is there memory at lag L", the
+    * periodogram answers "HOW MUCH of the variance lives at cycle p"
+    * and ranks candidate seasonalities (weekly vs biweekly vs monthly)
+    * in one table. Mean-centered first so the DC component doesn't
+    * drown the cycles.
+    *
+    * Shape: one day-grain aggregate, explode × |periods|, one per-period
+    * aggregate — bounded by days × periods. cos/sin are the libm steps
+    * and the projections are float sums → power is rounded. */
+  def periodogramDaily(events: DataFrame, tsCol: String,
+                       periods: Seq[Int] = Seq(7, 14, 30),
+                       roundScale: Int = 6): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2),
+      s"need periods >= 2: $periods")
+    val counts = events
+      .groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("__t",
+        row_number().over(Window.orderBy(col("day"))).cast("double"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("__mu", (sum(col("x")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing))).cast("double")
+        / col("__n").cast("double"))
+      .withColumn("period", explode(array(periods.map(lit): _*)))
+    counts
+      .withColumn("__w", lit(2.0) * lit(math.Pi) / col("period")
+        .cast("double"))
+      .withColumn("__xc", col("x").cast("double") - col("__mu"))
+      .groupBy(col("period").cast("long").as("period"))
+      .agg(max(col("__n")).as("n_days"),
+        round((sum(col("__xc") * cos(col("__w") * col("__t")))
+          * sum(col("__xc") * cos(col("__w") * col("__t")))
+          + sum(col("__xc") * sin(col("__w") * col("__t")))
+          * sum(col("__xc") * sin(col("__w") * col("__t"))))
+          / max(col("__n")).cast("double"), roundScale).as("power"))
+  }
+
   /** Autocorrelation function of the daily event count at lags
     * 1..maxLag (the Box–Jenkins identification tool): per lag L, the
     * Pearson correlation of (n_d, n_{d+L}) over the overlapping day

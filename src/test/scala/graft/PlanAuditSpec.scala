@@ -128,7 +128,7 @@ class PlanAuditSpec extends SparkSuite {
   //  * calendar-bounded day grids: q_cusum, q_seasonal_naive,
   //    q_survival, q_pettitt (rank + cumsum windows over the day grid),
   //    q_hurst (day-index row_number before the per-block-partitioned
-  //    R/S windows);
+  //    R/S windows), q_periodogram (day-index + mean windows);
   //  * per-batch / per-source / per-bucket curves (≤ #groups rows):
   //    q_heaps_law, q_temperature_mix, q_quota_sample, q_vocab_coverage,
   //    q_negative_sampling (vocab ranking — capped by the query's own
@@ -140,6 +140,7 @@ class PlanAuditSpec extends SparkSuite {
     "q_ks_statistic", "q_wasserstein", "q_cliffs_delta", "q_cvm",
     "q_gain_curve", "q_fdr_bh", "q_cusum",
     "q_seasonal_naive", "q_survival", "q_pettitt", "q_hurst",
+    "q_periodogram",
     "q_heaps_law", "q_temperature_mix",
     "q_quota_sample", "q_vocab_coverage", "q_negative_sampling",
     "q_ivf_topk", "q_ivf_topk_bcast", "q_ivf_trained", "q_rrf")
@@ -164,7 +165,9 @@ class PlanAuditSpec extends SparkSuite {
   //    q_ivf_topk_bcast, q_ivf_trained, q_pq_topk, q_cosine_topk,
   //    q_int8_recall, q_rrf, q_jl_distortion;
   //  * deliberate brute-force baseline over an id-filtered subset (the
-  //    documented exact twin of the LSH path): q_embedding_pairs;
+  //    documented exact twin of the LSH path): q_embedding_pairs, and
+  //    the same bounded brute-force contract in q_twonn (intrinsic-dim
+  //    estimate needs every pairwise distance on the sampled range);
   //  * per-group aggregate matrices (pairwise over distinct sources /
   //    categories / days / tests — value-grid bound): q_jsd_matrix,
   //    q_cramers_v, q_naive_bayes, q_drift_monitor, q_ks_per_source,
@@ -180,7 +183,8 @@ class PlanAuditSpec extends SparkSuite {
   private val allowNestedLoop: Set[String] = Set(
     "q_ivf_topk", "q_ivf_topk_bcast", "q_ivf_trained", "q_pq_topk",
     "q_cosine_topk", "q_int8_recall", "q_rrf", "q_jl_distortion",
-    "q_embedding_pairs", "q_jsd_matrix", "q_cramers_v", "q_naive_bayes",
+    "q_embedding_pairs", "q_twonn", "q_jsd_matrix", "q_cramers_v",
+    "q_naive_bayes",
     "q_drift_monitor", "q_ks_per_source", "q_heaps_law",
     "q_query_likelihood", "q_fdr_bh", "q_isotonic", "q_kendall_tau")
 

@@ -803,4 +803,26 @@ class SimilaritySpec extends SparkSuite {
     // <A,A> = <B,B> = 4, <A,B> = 0 -> MMD2 = 8
     assert(r2.getDouble(3) === 8.0, r2.toString)
   }
+
+  test("twoNN: hand-checked line estimate, duplicate exclusion") {
+    // colinear points 0,1,3,7,15 — squared 2NN ratios per point:
+    // 0:(1,9)→9, 1:(1,4)→4, 3:(4,9)→9/4, 7:(16,36)→9/4,
+    // 15:(64,144)→9/4; d̂ = 2·5/Σln
+    val line = Seq(0.0f, 1.0f, 3.0f, 7.0f, 15.0f).zipWithIndex.map {
+      case (x, i) => (i.toLong, Array(x, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.twoNN(line, "vec_id", "embedding").collect().head
+    assert(r.getLong(0) === 5L && r.getLong(1) === 5L)
+    val slog = math.log(9.0) + math.log(4.0) + 3.0 * math.log(2.25)
+    val exp = BigDecimal(10.0 / slog)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) === exp)
+    // exact duplicates have d1 = 0 on both members → excluded from the
+    // estimate but counted in n_points
+    val dup = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f)), (3L, Array(4.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rd = Similarity.twoNN(dup, "vec_id", "embedding").collect().head
+    assert(rd.getLong(0) === 4L && rd.getLong(1) === 2L)
+  }
 }

@@ -314,4 +314,21 @@ class TimeSeriesSpec extends SparkSuite {
       .toDF("t")
     assert(TimeSeries.hurstDaily(flat, "t", Seq(4)).collect().isEmpty)
   }
+
+  test("periodogramDaily: pure cycle concentrates power at its period") {
+    // 12 days alternating counts 1,3 — an exact period-2 cycle: after
+    // mean-centering the series is ±1 and every unit of spectral mass
+    // sits at p=2, none at p=3
+    val ev = (1 to 12).flatMap { d =>
+      val n = if (d % 2 == 0) 3 else 1
+      Seq.fill(n)(Tuple1(ts(f"2024-01-$d%02d 12:00:00")))
+    }.toDF("t")
+    val out = TimeSeries.periodogramDaily(ev, "t", periods = Seq(2, 3))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(2L).getLong(1) === 12L)
+    // alternating ±1 around the mean IS the period-2 cycle: power at
+    // p=2 is n·1² = 12, power at p=3 is ~0
+    assert(math.abs(out(2L).getDouble(2) - 12.0) < 1e-6)
+    assert(math.abs(out(3L).getDouble(2)) < 1e-6)
+  }
 }
