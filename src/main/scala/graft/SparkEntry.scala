@@ -3585,6 +3585,34 @@ object SparkEntry {
     TimeSeries.periodogramDaily(Tables.events(s, d), "ts",
       periods = Seq(7, 10, 15))
 
+  /** §2b Ljung–Box portmanteau over daily counts at lags 1..7 — the
+    * joint "white noise at all?" gate (cumulative Q(h) ~ χ²_h) that
+    * calibrates how far the i.i.d.-assuming daily monitors can be
+    * trusted; biased global-mean ACF per the canonical form. */
+  private def q_ljung_box(s: SparkSession, d: String): DataFrame =
+    TimeSeries.ljungBoxDaily(Tables.events(s, d), "ts", maxLag = 7)
+
+  /** §2b two-sample energy distance between click and purchase value
+    * distributions — the squared-L2 (2∫(F−G)²dx) rung completing the
+    * p = ∞/1/2 drift profile beside q_ks_statistic and q_wasserstein,
+    * on the SAME per-distinct-value histogram shape. */
+  private def q_energy_dist(s: SparkSession, d: String): DataFrame =
+    Stats.energyDistance(Tables.events(s, d), "event_type", "value",
+      sideA = "click", sideB = "purchase")
+
+  /** §2b Theil T inequality of document length across sources with the
+    * exact between/within decomposition — "few sources dominate" vs
+    * "each source lopsided", the rebalance-vs-dedup decider Gini can't
+    * give. */
+  private def q_theil(s: SparkSession, d: String): DataFrame =
+    Stats.theilDecomposition(Tables.documents(s, d), "source", "n_chars")
+
+  /** §2b Hill-number diversity profile (q=0,1,2 effective vocabulary +
+    * Pielou evenness) per source — the three-point diversity readout
+    * beside q_token_entropy's per-doc signal and q_zipf's slope. */
+  private def q_hill_diversity(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.hillDiversity(Tables.documents(s, d), "source", "text")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3900,6 +3928,10 @@ object SparkEntry {
     "q_doremi" -> (q_doremi _),
     "q_twonn" -> (q_twonn _),
     "q_periodogram" -> (q_periodogram _),
+    "q_ljung_box" -> (q_ljung_box _),
+    "q_energy_dist" -> (q_energy_dist _),
+    "q_theil" -> (q_theil _),
+    "q_hill_diversity" -> (q_hill_diversity _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -10132,5 +10164,100 @@ object SparkEntry {
                     * sin(2.0 * pi() / CAST(period AS DOUBLE) * t)))
                   / CAST(max(n) AS DOUBLE), 6) AS power
          FROM p GROUP BY period""",
+    "q_ljung_box" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS day,
+                      CAST(count(*) AS BIGINT) AS x
+                    FROM events GROUP BY 1),
+              i AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT)
+                        AS t,
+                      COUNT(*) OVER () AS n,
+                      CAST(x AS DOUBLE) - CAST(SUM(x) OVER () AS DOUBLE)
+                        / CAST(COUNT(*) OVER () AS DOUBLE) AS cv
+                    FROM c),
+              l AS (SELECT t, n, cv, UNNEST(generate_series(1, 7)) AS lag
+                    FROM i),
+              p AS (SELECT a.lag AS lag, sum(a.cv * b.cv) AS num
+                    FROM l a JOIN l b
+                      ON b.t = a.t - a.lag AND b.lag = a.lag
+                    GROUP BY 1),
+              d AS (SELECT sum(cv * cv) AS den, max(n) AS n0 FROM i),
+              r AS (SELECT lag, n0,
+                      CASE WHEN den > 0 THEN num / den END AS rho,
+                      CASE WHEN den > 0 THEN (num / den) * (num / den)
+                        / CAST(n0 - lag AS DOUBLE) END AS term
+                    FROM p, d)
+         SELECT CAST(lag AS BIGINT) AS lag, CAST(n0 AS BIGINT) AS n_days,
+                round(rho, 6) AS rho,
+                round(CAST(n0 AS DOUBLE) * CAST(n0 + 2 AS DOUBLE)
+                  * SUM(term) OVER (ORDER BY lag
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  6) AS q_cum
+         FROM r""",
+    "q_energy_dist" ->
+      """WITH x AS (SELECT CAST(value AS DOUBLE) AS v,
+                      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS ca,
+                      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS cb
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase')
+                      AND value IS NOT NULL
+                    GROUP BY 1),
+              c AS (SELECT v, ca, cb,
+                      SUM(ca) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cuma,
+                      SUM(cb) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cumb,
+                      LEAD(v) OVER (ORDER BY v) - v AS gap,
+                      SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+                    FROM x)
+         SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+                round(sum(2.0 * (cuma / na - cumb / nb)
+                  * (cuma / na - cumb / nb) * gap), 6) AS e_dist
+         FROM c""",
+    "q_theil" ->
+      """WITH p AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS x
+                    FROM documents
+                    WHERE n_chars IS NOT NULL AND n_chars > 0),
+              pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+                       sum(x * ln(x)) AS sxl
+                     FROM p GROUP BY 1),
+              pg2 AS (SELECT g, n, sx, sx / CAST(n AS DOUBLE) AS mu_g,
+                        sxl / sx - ln(sx / CAST(n AS DOUBLE)) AS tg
+                      FROM pg),
+              tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(sx) AS tx
+                      FROM pg2),
+              sh AS (SELECT g, n, mu_g, tg, sx / tx AS s,
+                       tx / CAST(nn AS DOUBLE) AS mu
+                     FROM pg2, tot),
+              dec AS (SELECT round(sum(s * ln(mu_g / mu)), 6) AS t_between,
+                        round(sum(s * tg), 6) AS t_within,
+                        round(sum(s * (ln(mu_g / mu) + tg)), 6) AS t_total
+                      FROM sh)
+         SELECT g AS source, n, mu_g AS mean_val, s AS value_share,
+                round(tg, 6) AS t_group, t_between, t_within, t_total
+         FROM sh, dec""",
+    "q_hill_diversity" ->
+      s"""WITH cnt AS (
+            SELECT source, tok, count(*) AS c FROM (
+              SELECT source, UNNEST($duckTokens) AS tok FROM documents)
+            GROUP BY source, tok),
+              agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                        CAST(count(*) AS BIGINT) AS hill_0,
+                        sum(c * ln(c)) AS scl,
+                        CAST(sum(c * c) AS BIGINT) AS sc2
+                      FROM cnt GROUP BY 1),
+              h AS (SELECT source, n_tokens, hill_0,
+                      ln(n_tokens) - scl / CAST(n_tokens AS DOUBLE) AS hh,
+                      sc2
+                    FROM agg)
+         SELECT source, n_tokens, hill_0, round(exp(hh), 6) AS hill_1,
+                CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)
+                  / CAST(sc2 AS DOUBLE) AS hill_2,
+                CASE WHEN hill_0 > 1 THEN round(hh / ln(hill_0), 6) END
+                  AS pielou
+         FROM h""",
   )
 }

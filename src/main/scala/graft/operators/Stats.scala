@@ -149,6 +149,101 @@ object Stats {
           roundScale).as("w1"))
   }
 
+  /** Two-sample 1-D energy distance (Székely & Rizzo, InterStat '04):
+    * E = 2·E|X−Y| − E|X−X'| − E|Y−Y'|, which on the real line collapses
+    * by the ECDF identity E|X−Y| = ∫ F(1−G) + G(1−F) dx to
+    * E = 2·∫ (F_a − F_b)² dx — the SQUARED-L2 sibling of
+    * [[wasserstein1]]'s L1: W1 weighs every gap linearly (a long thin
+    * tail gap dominates), energy distance weighs gaps quadratically so
+    * it rewards concentrated body shifts and underweights diffuse tail
+    * noise; together with [[ksStatistic]] (L∞) the three give the full
+    * p = ∞/1/2 drift profile on ONE shared histogram shape. E = 0 iff
+    * the distributions coincide (it is a true metric, unlike CvM's
+    * mixture-weighted criterion).
+    *
+    * Shape: identical to [[wasserstein1]] — one hash aggregate to
+    * per-distinct-value side counts, one cumulative window, Σ (CDF
+    * gap)² × spacing via lead. Segment products are floating sums →
+    * rounded. Nulls excluded (ECDF contract). */
+  def energyDistance(df: DataFrame, sideCol: String, valCol: String,
+                     sideA: String, sideB: String,
+                     roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perValue = df.filter(col(sideCol).isin(sideA, sideB))
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(valCol).cast("double").as("__v"))
+      .agg(sum(when(col(sideCol) === sideA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sideCol) === sideB, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ord = Window.orderBy(col("__v"))
+    val entire = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perValue
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__gap", lead(col("__v"), 1).over(ord) - col("__v"))
+      .withColumn("__na", sum(col("__ca")).over(entire))
+      .withColumn("__nb", sum(col("__cb")).over(entire))
+      .withColumn("__d", col("__cuma") / col("__na")
+        - col("__cumb") / col("__nb"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        round(sum(lit(2.0) * col("__d") * col("__d") * col("__gap")),
+          roundScale).as("e_dist"))
+  }
+
+  /** Theil T inequality index with exact between/within-group
+    * decomposition (Theil, "Economics and Information Theory" '67):
+    * T = (1/N) Σ_i (x_i/μ) ln(x_i/μ) over positive values, and —
+    * uniquely among inequality indices (Gini does NOT decompose) —
+    * T = T_between + T_within with
+    * T_between = Σ_g s_g ln(μ_g/μ) and T_within = Σ_g s_g T_g, where
+    * s_g = (N_g μ_g)/(N μ) is group g's VALUE share. The corpus-balance
+    * readout [[giniIndex]] can't give: "is token mass unequal because a
+    * few sources dominate (between), or because each source is itself
+    * lopsided (within)?" — the number that decides whether rebalancing
+    * should reweight sources or dedup within them.
+    *
+    * Emits one row per group (n, mean, value share s_g, within-group
+    * T_g) with the corpus-level decomposition replicated via a 1-row
+    * broadcast — the [[TimeSeries.forecastDaily]] fit-frame shape.
+    * Non-positive values are excluded (ln; same contract as
+    * [[giniIndex]]'s negative filter).
+    *
+    * Scale shape: one per-group hash aggregate over (x, x ln x) partials
+    * — T_g folds from Σx and Σ x ln x via T_g = Σ(x/Σx)ln(x/μ_g) =
+    * (Σ x ln x)/(N_g μ_g) − ln μ_g — then a ≤#groups-row rollup; no
+    * window, no pair work, shuffle ∝ groups. */
+  def theilDecomposition(df: DataFrame, groupCol: String, valCol: String,
+                         roundScale: Int = 6): DataFrame = {
+    val pos = df.filter(col(valCol).isNotNull && col(valCol) > 0)
+      .select(col(groupCol).as("__g"), col(valCol).cast("double").as("__x"))
+    val perGroup = pos.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+        sum(col("__x") * log(col("__x"))).as("__sxl"))
+      .withColumn("__mu_g", col("__sx") / col("n").cast("double"))
+      .withColumn("__tg", col("__sxl") / col("__sx") - log(col("__mu_g")))
+    val tot = perGroup.agg(sum(col("n")).as("__nn"), sum(col("__sx")).as("__tx"))
+      .withColumn("__mu", col("__tx") / col("__nn").cast("double"))
+    val shared = perGroup.crossJoin(broadcast(tot))
+      .withColumn("__s", col("__sx") / col("__tx"))
+    val decomp = shared.agg(
+      round(sum(col("__s") * log(col("__mu_g") / col("__mu"))),
+        roundScale).as("t_between"),
+      round(sum(col("__s") * col("__tg")), roundScale).as("t_within"),
+      round(sum(col("__s") * (log(col("__mu_g") / col("__mu"))
+        + col("__tg"))), roundScale).as("t_total"))
+    // mean_val / value_share are exact-integer ratios for integer value
+    // columns — deliberately UNROUNDED (the rational-halves rule); only
+    // the ln-carrying Theil terms round.
+    shared
+      .select(col("__g").as(groupCol), col("n"),
+        col("__mu_g").as("mean_val"),
+        col("__s").as("value_share"),
+        round(col("__tg"), roundScale).as("t_group"))
+      .crossJoin(broadcast(decomp))
+  }
+
   /** Cliff's delta ordinal effect size (Cliff, Psych. Bull. '93):
     * δ = [#(a > b) − #(a < b)] / (n_a·n_b) over all cross pairs — the
     * assumption-free companion to [[mannWhitney]]: U answers "is there a

@@ -418,6 +418,43 @@ object TextAnalytics {
         round(count(lit(1)).cast("double") / sum(col("c")), 6)
           .as("type_token_ratio"))
 
+  /** Per-source Hill-number diversity profile (Hill, Ecology '73; the
+    * ecology-standard "effective number of species" at orders q=0,1,2)
+    * over unigram frequencies: hill_0 = S (richness: distinct types),
+    * hill_1 = exp(Shannon H) (perplexity: effective vocab weighting
+    * types by use), hill_2 = 1/Σp² (inverse Simpson: effective vocab
+    * dominated by the head), plus Pielou evenness J = H/ln S ∈ (0,1].
+    * The three-point profile beats any single number: hill_0 ≫ hill_1 ≫
+    * hill_2 marks a long-tail corpus riding on few stop-words (dedup the
+    * head), all three close marks uniform usage. The per-SOURCE
+    * companion to [[tokenEntropy]]'s per-document signal and the
+    * diversity face of [[zipfFit]]'s decay slope.
+    *
+    * Scale shape: the classic wordcount — explode + (source, token) hash
+    * aggregate, then a per-source fold; shuffle ∝ distinct (source,
+    * token) pairs. hill_2 = N²/Σc² is an exact-integer ratio —
+    * deliberately UNROUNDED below the 2^53 exactness bar (N < ~9·10^7
+    * tokens per source; round it beyond); the libm-carrying hill_1 and
+    * pielou round. */
+  def hillDiversity(docs: DataFrame, sourceCol: String, textCol: String,
+                    roundScale: Int = 6): DataFrame =
+    docs
+      .select(col(sourceCol), explode(TextFunctions.tokens(col(textCol)))
+        .as("tok"))
+      .groupBy(col(sourceCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(sourceCol))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("hill_0"),
+        sum(col("c").cast("double") * log(col("c"))).as("__scl"),
+        sum(col("c") * col("c")).as("__sc2"))
+      .withColumn("__h", log(col("n_tokens"))
+        - col("__scl") / col("n_tokens").cast("double"))
+      .select(col(sourceCol), col("n_tokens"), col("hill_0"),
+        round(exp(col("__h")), roundScale).as("hill_1"),
+        (col("n_tokens").cast("double") * col("n_tokens").cast("double")
+          / col("__sc2").cast("double")).as("hill_2"),
+        when(col("hill_0") > 1,
+          round(col("__h") / log(col("hill_0")), roundScale)).as("pielou"))
+
   /** Per-document mean unigram log-likelihood under the corpus's own
     * add-one-smoothed unigram LM — the cheapest perplexity proxy: documents
     * of common words score high, documents of rare/garbled tokens score

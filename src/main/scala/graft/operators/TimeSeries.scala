@@ -459,6 +459,58 @@ object TimeSeries {
           / max(col("__n")).cast("double"), roundScale).as("power"))
   }
 
+  /** Ljung–Box portmanteau statistic over the daily event counts
+    * (Ljung & Box, Biometrika '78): per lag k ≤ h, the BIASED global-mean
+    * ACF estimate ρ̂_k = Σ_t (x_t−x̄)(x_{t−k}−x̄) / Σ_t (x_t−x̄)², and the
+    * cumulative Q(h) = n(n+2) Σ_{k≤h} ρ̂_k²/(n−k) — the "is this series
+    * white noise AT ALL" gate that [[autocorrelation]]'s per-lag view
+    * doesn't answer (seven individually-insignificant ρ's can jointly
+    * reject): run it before trusting i.i.d.-assuming monitors (CUSUM
+    * thresholds, Poisson alarms) on the daily grid. Under H0, Q(h) ~ χ²_h;
+    * emitted per lag so the whole profile Q(1..h) reads in one table.
+    * Uses the canonical biased estimator (denominator n, global x̄), NOT
+    * [[autocorrelation]]'s per-pair Pearson — the χ² calibration assumes
+    * this form.
+    *
+    * Scale shape: events collapse to the DAY GRID in one hash aggregate;
+    * the lag pairing is an equi-join on the dense row_number index bounded
+    * by days × h, and Q's cumulative sum is a window over h rows. The
+    * day-grid windows are the documented calendar-bounded exception. */
+  def ljungBoxDaily(events: DataFrame, tsCol: String,
+                    maxLag: Int, roundScale: Int = 6): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60, s"maxLag must be in [1,60]: $maxLag")
+    val entire = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val days = events
+      .groupBy(date_trunc("day", col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__x"))
+      .withColumn("__t", row_number().over(Window.orderBy(col("__day"))))
+      .withColumn("__n", count(lit(1)).over(entire))
+      .withColumn("__mu", sum(col("__x")).over(entire).cast("double")
+        / count(lit(1)).over(entire).cast("double"))
+      .withColumn("__c", col("__x").cast("double") - col("__mu"))
+    val lagged = days.select(col("__t"), col("__n"), col("__c"),
+      explode(sequence(lit(1), lit(maxLag))).as("lag"))
+    val perLag = lagged
+      .join(lagged.select((col("__t") - col("lag")).as("__t"), col("lag"),
+        col("__c").as("__cl")), Seq("__t", "lag"))
+      .groupBy(col("lag"))
+      .agg(sum(col("__c") * col("__cl")).as("__num"))
+    val denom = days.agg(sum(col("__c") * col("__c")).as("__den"),
+      max(col("__n")).as("__n0"))
+    val cum = Window.orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perLag.crossJoin(broadcast(denom))
+      .withColumn("__rho", when(col("__den") > 0, col("__num") / col("__den")))
+      .withColumn("__term", col("__rho") * col("__rho")
+        / (col("__n0") - col("lag")).cast("double"))
+      .select(col("lag").cast("long").as("lag"),
+        col("__n0").cast("long").as("n_days"),
+        round(col("__rho"), roundScale).as("rho"),
+        round(col("__n0").cast("double") * (col("__n0") + 2).cast("double")
+          * sum(col("__term")).over(cum), roundScale).as("q_cum"))
+  }
+
   /** Autocorrelation function of the daily event count at lags
     * 1..maxLag (the Box–Jenkins identification tool): per lag L, the
     * Pearson correlation of (n_d, n_{d+L}) over the overlapping day

@@ -128,7 +128,10 @@ class PlanAuditSpec extends SparkSuite {
   //  * calendar-bounded day grids: q_cusum, q_seasonal_naive,
   //    q_survival, q_pettitt (rank + cumsum windows over the day grid),
   //    q_hurst (day-index row_number before the per-block-partitioned
-  //    R/S windows), q_periodogram (day-index + mean windows);
+  //    R/S windows), q_periodogram (day-index + mean windows),
+  //    q_ljung_box (day-index + lag-bounded cumulative Q);
+  //  * distinct-value histogram CDFs (same contract as q_wasserstein):
+  //    q_energy_dist;
   //  * per-batch / per-source / per-bucket curves (≤ #groups rows):
   //    q_heaps_law, q_temperature_mix, q_quota_sample, q_vocab_coverage,
   //    q_negative_sampling (vocab ranking — capped by the query's own
@@ -140,7 +143,7 @@ class PlanAuditSpec extends SparkSuite {
     "q_ks_statistic", "q_wasserstein", "q_cliffs_delta", "q_cvm",
     "q_gain_curve", "q_fdr_bh", "q_cusum",
     "q_seasonal_naive", "q_survival", "q_pettitt", "q_hurst",
-    "q_periodogram",
+    "q_periodogram", "q_ljung_box", "q_energy_dist",
     "q_heaps_law", "q_temperature_mix",
     "q_quota_sample", "q_vocab_coverage", "q_negative_sampling",
     "q_ivf_topk", "q_ivf_topk_bcast", "q_ivf_trained", "q_rrf")

@@ -838,4 +838,50 @@ class StatsSpec extends SparkSuite {
     assert(fit.map(_.getDouble(3)).toSeq === Seq(0.0, 0.5, 1.0))
     assert(fit.sliding(2).forall(p => p.head.getDouble(3) <= p.last.getDouble(3)))
   }
+
+  test("energyDistance: unit translation, identical, and metric scaling") {
+    // {0,0} vs {1,1}: F−G = 1 on [0,1) → E = 2·∫1² = 2 (= 2E|X−Y| −
+    // E|X−X'| − E|Y−Y'| = 2·1 − 0 − 0)
+    val shift = Seq(("a", 0.0), ("a", 0.0), ("b", 1.0), ("b", 1.0))
+      .toDF("side", "v")
+    val r = Stats.energyDistance(shift, "side", "v", "a", "b").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 2.0)
+    // identical distributions → exactly 0 (metric property)
+    val same = Seq(("a", 3.0), ("a", 7.0), ("b", 3.0), ("b", 7.0))
+      .toDF("side", "v")
+    assert(Stats.energyDistance(same, "side", "v", "a", "b")
+      .collect().head.getDouble(2) === 0.0)
+    // half-overlap: a={0,1}, b={1,2} → F−G = 1/2 on [0,1)∪[1,2) →
+    // E = 2·(0.25+0.25) = 1
+    val half = Seq(("a", 0.0), ("a", 1.0), ("b", 1.0), ("b", 2.0))
+      .toDF("side", "v")
+    assert(Stats.energyDistance(half, "side", "v", "a", "b")
+      .collect().head.getDouble(2) === 1.0)
+  }
+
+  test("theilDecomposition: equal within, hand-checked between, exclusions") {
+    // g1 = {1,1}, g2 = {2,2}: T_g = 0 both; μ = 1.5, s1 = 1/3, s2 = 2/3;
+    // T_between = (1/3)ln(2/3) + (2/3)ln(4/3)
+    val df = Seq(("g1", 1L), ("g1", 1L), ("g2", 2L), ("g2", 2L))
+      .toDF("g", "v")
+    val rows = Stats.theilDecomposition(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g1 = rows("g1"); val g2 = rows("g2")
+    assert(g1.getLong(1) === 2L && g1.getDouble(2) === 1.0)
+    assert(g2.getDouble(2) === 2.0)
+    assert(g1.getDouble(3) === 1.0 / 3.0 && g2.getDouble(3) === 2.0 / 3.0)
+    assert(g1.getDouble(4) === 0.0 && g2.getDouble(4) === 0.0)
+    val tb = BigDecimal(math.log(2.0 / 3.0) / 3.0
+      + 2.0 * math.log(4.0 / 3.0) / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g1.getDouble(5) === tb, "t_between")
+    assert(g1.getDouble(6) === 0.0, "t_within")
+    assert(g1.getDouble(7) === tb, "t_total")
+    // non-positive values are excluded (ln contract), like giniIndex
+    val mixed = Seq(("g", 0L), ("g", -5L), ("g", 1L), ("g", 1L))
+      .toDF("g", "v")
+    val m = Stats.theilDecomposition(mixed, "g", "v").collect().head
+    assert(m.getLong(1) === 2L && m.getDouble(7) === 0.0)
+  }
 }

@@ -1312,4 +1312,30 @@ class TextAndDedupSpec extends SparkSuite {
     assert(out.map(_.getString(0)).toSeq === Seq("deep learning",
       "neural network", "keyword extraction", "keyword"))
   }
+
+  test("hillDiversity: hand-checked orders, evenness bounds") {
+    // uniform: "a a b b" → S=2, N=4, H=ln2 → hill_1 = hill_2 = 2, J = 1
+    // skewed:  "a a a b" → H = ln4 − (3ln3)/4; hill_2 = 16/10 = 1.6
+    // single type: pielou null (ln S = 0)
+    val docs = Seq(("u", "a a b b"), ("s", "a a a b"), ("m", "z z z"))
+      .toDF("source", "text")
+    val out = TextAnalytics.hillDiversity(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u = out("u")
+    assert(u.getLong(1) === 4L && u.getLong(2) === 2L)
+    assert(u.getDouble(3) === 2.0 && u.getDouble(4) === 2.0)
+    assert(u.getDouble(5) === 1.0)
+    val sk = out("s")
+    val h = math.log(4.0) - 3.0 * math.log(3.0) / 4.0
+    assert(sk.getDouble(3) === BigDecimal(math.exp(h))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(sk.getDouble(4) === 1.6)
+    assert(sk.getDouble(5) === BigDecimal(h / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // effective-number ordering: hill_0 ≥ hill_1 ≥ hill_2 everywhere
+    assert(out.values.forall(r =>
+      r.getLong(2).toDouble >= r.getDouble(3) - 1e-9
+        && r.getDouble(3) >= r.getDouble(4) - 1e-9))
+    assert(out("m").isNullAt(5))
+  }
 }

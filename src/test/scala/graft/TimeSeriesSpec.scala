@@ -331,4 +331,27 @@ class TimeSeriesSpec extends SparkSuite {
     assert(math.abs(out(2L).getDouble(2) - 12.0) < 1e-6)
     assert(math.abs(out(3L).getDouble(2)) < 1e-6)
   }
+
+  test("ljungBoxDaily: hand-checked alternating series") {
+    // daily counts 1,2,1,2,1,2 (n=6, x̄=1.5, centered ∓0.5):
+    // den = 6·0.25 = 1.5
+    // lag1: 5 products of (−0.25) → ρ₁ = −1.25/1.5 = −5/6
+    // lag2: 4 products of (+0.25) → ρ₂ = 1.0/1.5 = 2/3
+    // Q(1) = 6·8·ρ₁²/5 = 48·(25/36)/5 = 20/3; Q(2) = Q(1)+48·(4/9)/4 = 12
+    val ev = (1 to 6).flatMap { d =>
+      Seq.fill(if (d % 2 == 0) 2 else 1)(Tuple1(ts(f"2024-01-0$d 12:00:00")))
+    }.toDF("t")
+    val out = TimeSeries.ljungBoxDaily(ev, "t", maxLag = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L).getLong(1) === 6L)
+    assert(out(1L).getDouble(2) === -0.833333)
+    assert(out(2L).getDouble(2) === 0.666667)
+    assert(out(1L).getDouble(3) === 6.666667)
+    assert(out(2L).getDouble(3) === 12.0)
+    // a constant series has zero denominator → null rho/q, not NaN
+    val flat = (1 to 5).map(d => Tuple1(ts(f"2024-01-0$d 12:00:00"))).toDF("t")
+    val fr = TimeSeries.ljungBoxDaily(flat, "t", maxLag = 2).collect()
+    assert(fr.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
 }
