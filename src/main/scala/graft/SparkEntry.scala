@@ -3613,6 +3613,45 @@ object SparkEntry {
   private def q_hill_diversity(s: SparkSession, d: String): DataFrame =
     TextAnalytics.hillDiversity(Tables.documents(s, d), "source", "text")
 
+  /** §2b Markov-chain entropy: per-state conditional next-type entropy,
+    * the chain entropy rate, zeroth-order marginal, and the
+    * predictability gain H₀−H — how much knowing the current event type
+    * tells you about the next (≈0 ⇒ memoryless, sequence features
+    * worthless). */
+  private def q_markov_entropy(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.markovEntropy(Tables.events(s, d),
+      "user_id", "ts", "event_id", "event_type")
+
+  /** §2b Wald SPRT daily trajectory testing H₀: purchase share = 0.18
+    * vs H₁: 0.22 at α=.05, β=.2 — the anytime-valid early-stopping
+    * monitor whose error rates hold at every boundary crossing (unlike
+    * daily peeks at a fixed-horizon z-test). */
+  private def q_sprt(s: SparkSession, d: String): DataFrame =
+    Stats.sprtDaily(Tables.events(s, d), "ts", "event_type",
+      successType = "purchase", p0 = 0.18, p1 = 0.22)
+
+  /** §2b empirical-Bayes beta–binomial shrinkage of per-user purchase
+    * rates — MoM Beta prior over unit rates, posterior-mean rates that
+    * stop 2-for-2 users outranking 950-for-1000 ones. */
+  private def q_eb_shrinkage(s: SparkSession, d: String): DataFrame =
+    Stats.ebBetaBinomial(Tables.events(s, d), "user_id",
+      col("event_type") === "purchase")
+
+  /** §2b Chapman capture–recapture estimate of the total user
+    * population from the two half-month observation windows — the
+    * coverage audit turning two distinct-counts + overlap into a "how
+    * many users exist that we never saw" estimate. */
+  private def q_capture_recapture(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.captureRecapture(Tables.events(s, d), "user_id", "ts",
+      splitTs = "2024-01-16 00:00:00")
+
+  /** §2b ARI + NMI between the lang and source partitions of the
+    * document corpus — permutation-invariant partition agreement (the
+    * measure for comparing cluster assignments that share no label
+    * names, e.g. LSH buckets vs exact dup clusters). */
+  private def q_cluster_agreement(s: SparkSession, d: String): DataFrame =
+    Stats.clusterAgreement(Tables.documents(s, d), "lang", "source")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3932,6 +3971,11 @@ object SparkEntry {
     "q_energy_dist" -> (q_energy_dist _),
     "q_theil" -> (q_theil _),
     "q_hill_diversity" -> (q_hill_diversity _),
+    "q_markov_entropy" -> (q_markov_entropy _),
+    "q_sprt" -> (q_sprt _),
+    "q_eb_shrinkage" -> (q_eb_shrinkage _),
+    "q_capture_recapture" -> (q_capture_recapture _),
+    "q_cluster_agreement" -> (q_cluster_agreement _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -10259,5 +10303,139 @@ object SparkEntry {
                 CASE WHEN hill_0 > 1 THEN round(hh / ln(hill_0), 6) END
                   AS pielou
          FROM h""",
+    "q_markov_entropy" ->
+      """WITH tc AS (SELECT prev_type, event_type AS dst,
+                       CAST(count(*) AS BIGINT) AS n
+                     FROM (SELECT event_type,
+                             LAG(event_type, 1) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+                           FROM events)
+                     WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+              ps AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_out,
+                       sum(CAST(n AS DOUBLE) * ln(n)) AS snl
+                     FROM tc GROUP BY 1),
+              ps2 AS (SELECT prev_type, n_out,
+                        ln(n_out) - snl / CAST(n_out AS DOUBLE) AS h
+                      FROM ps),
+              mg AS (SELECT CAST(sum(m) AS BIGINT) AS nt,
+                       sum(CAST(m AS DOUBLE) * ln(m)) AS sml
+                     FROM (SELECT dst, CAST(sum(n) AS BIGINT) AS m
+                           FROM tc GROUP BY 1)),
+              hm AS (SELECT ln(nt) - sml / CAST(nt AS DOUBLE) AS hmv
+                     FROM mg),
+              hr AS (SELECT sum(CAST(n_out AS DOUBLE) * h)
+                         / CAST(sum(n_out) AS DOUBLE) AS hrv
+                     FROM ps2)
+         SELECT prev_type, n_out, round(h, 6) AS h_state,
+                round(hrv, 6) AS h_rate, round(hmv, 6) AS h_marginal,
+                round(hmv - hrv, 6) AS info_gain
+         FROM ps2, hr, hm""",
+    "q_sprt" ->
+      """WITH d AS (SELECT date_trunc('day', ts) AS day,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS k
+                    FROM events GROUP BY 1),
+              c AS (SELECT day,
+                      SUM(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS n_cum,
+                      SUM(k) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS k_cum
+                    FROM d),
+              l AS (SELECT day, CAST(n_cum AS BIGINT) AS n_cum,
+                      CAST(k_cum AS BIGINT) AS k_cum,
+                      CAST(k_cum AS DOUBLE) * ln(0.22 / 0.18)
+                        + CAST(n_cum - k_cum AS DOUBLE)
+                          * ln((1.0 - 0.22) / (1.0 - 0.18)) AS llr
+                    FROM c)
+         SELECT day, n_cum, k_cum, round(llr, 6) AS llr,
+                CASE WHEN llr >= ln((1.0 - 0.2) / 0.05) THEN 'accept_h1'
+                     WHEN llr <= ln(0.2 / (1.0 - 0.05)) THEN 'accept_h0'
+                     ELSE 'continue' END AS decision
+         FROM l""",
+    "q_eb_shrinkage" ->
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_trials,
+                       CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_success
+                     FROM events GROUP BY 1),
+              pr AS (SELECT user_id, n_trials, n_success,
+                       CAST(n_success AS DOUBLE)
+                         / CAST(n_trials AS DOUBLE) AS r
+                     FROM pu),
+              fit AS (SELECT avg(r) AS mu, var_samp(r) AS v FROM pr),
+              ab AS (SELECT
+                       CASE WHEN v > 0 AND mu * (1 - mu) / v - 1 > 0
+                         THEN mu * (mu * (1 - mu) / v - 1) END AS alpha,
+                       CASE WHEN v > 0 AND mu * (1 - mu) / v - 1 > 0
+                         THEN (1 - mu) * (mu * (1 - mu) / v - 1) END AS beta
+                     FROM fit)
+         SELECT user_id, n_trials, n_success, r AS rate_raw,
+                round(alpha, 6) AS prior_alpha, round(beta, 6) AS prior_beta,
+                round(coalesce((CAST(n_success AS DOUBLE) + alpha)
+                    / (CAST(n_trials AS DOUBLE) + alpha + beta), r), 6)
+                  AS rate_shrunk
+         FROM pr, ab""",
+    "q_capture_recapture" ->
+      """WITH pu AS (SELECT user_id,
+                      max(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 1 ELSE 0 END) AS c1,
+                      max(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 1 ELSE 0 END) AS c2
+                    FROM events GROUP BY 1),
+              t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                      CAST(sum(c2) AS BIGINT) AS n2,
+                      CAST(sum(c1 * c2) AS BIGINT) AS m_both
+                    FROM pu)
+         SELECT n1, n2, m_both,
+                CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+                  / CAST(m_both + 1 AS DOUBLE) - 1.0 AS n_hat,
+                round(sqrt(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+                  * CAST(n1 - m_both AS DOUBLE)
+                  * CAST(n2 - m_both AS DOUBLE)
+                  / (CAST(m_both + 1 AS DOUBLE) * CAST(m_both + 1 AS DOUBLE)
+                    * CAST(m_both + 2 AS DOUBLE))), 6) AS se_hat
+         FROM t""",
+    "q_cluster_agreement" ->
+      """WITH cont AS (SELECT CAST(lang AS VARCHAR) AS a,
+                        CAST(source AS VARCHAR) AS b,
+                        CAST(count(*) AS BIGINT) AS c
+                      FROM documents
+                      WHERE lang IS NOT NULL AND source IS NOT NULL
+                      GROUP BY 1, 2),
+              t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                      sum(CAST(c AS DOUBLE) * CAST(c - 1 AS DOUBLE) / 2.0)
+                        AS idx,
+                      sum(CAST(c AS DOUBLE) * ln(c)) AS hlc
+                    FROM cont),
+              ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca
+                     FROM cont GROUP BY 1),
+              mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb
+                     FROM cont GROUP BY 1),
+              sa AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters_a,
+                       sum(CAST(ca AS DOUBLE) * CAST(ca - 1 AS DOUBLE)
+                         / 2.0) AS sa2,
+                       sum(CAST(ca AS DOUBLE) * ln(ca)) AS hla
+                     FROM ma),
+              sb AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters_b,
+                       sum(CAST(cb AS DOUBLE) * CAST(cb - 1 AS DOUBLE)
+                         / 2.0) AS sb2,
+                       sum(CAST(cb AS DOUBLE) * ln(cb)) AS hlb
+                     FROM mb),
+              y AS (SELECT n, n_clusters_a, n_clusters_b, idx,
+                      CAST(n AS DOUBLE) AS nd,
+                      ln(CAST(n AS DOUBLE)) - hla / CAST(n AS DOUBLE) AS ha,
+                      ln(CAST(n AS DOUBLE)) - hlb / CAST(n AS DOUBLE) AS hb,
+                      ln(CAST(n AS DOUBLE))
+                        + (hlc - hla - hlb) / CAST(n AS DOUBLE) AS mi,
+                      sa2 * sb2 / (CAST(n AS DOUBLE)
+                        * CAST(n - 1 AS DOUBLE) / 2.0) AS expd,
+                      (sa2 + sb2) / 2.0 AS mx
+                    FROM t, sa, sb)
+         SELECT n, n_clusters_a, n_clusters_b,
+                CASE WHEN abs(mx - expd) > 0
+                  THEN round((idx - expd) / (mx - expd), 6) END AS ari,
+                CASE WHEN ha + hb > 0
+                  THEN round(2.0 * mi / (ha + hb), 6) END AS nmi
+         FROM y""",
   )
 }

@@ -568,4 +568,99 @@ object EventAnalytics {
         round(col("__emp"), roundScale).as("empirical_share"),
         round(col("__v") - col("__emp"), roundScale).as("pi_minus_share"))
   }
+
+  /** Entropy of the empirical first-order Markov chain (Shannon, BSTJ
+    * '48 §6's "entropy of the source"): per state s, the conditional
+    * next-type entropy h(s) = −Σ_d P(d|s) ln P(d|s), the chain entropy
+    * rate H = Σ_s w_s h(s) with w_s = state s's share of observed
+    * transitions, the zeroth-order marginal H₀ = −Σ_d m_d ln m_d over
+    * next-event shares, and the predictability gain H₀ − H — how many
+    * nats of next-event uncertainty knowing the CURRENT type removes.
+    * The information-theoretic readout on [[transitionCounts]]'s matrix:
+    * gain ≈ 0 says the process is memoryless (sequence features are
+    * worthless), h(s) ≈ 0 flags deterministic states (bot loops,
+    * forced navigation).
+    *
+    * Scale shape: the corpus is touched ONCE (the transition
+    * window+aggregate, cached — the types²-row matrix feeds both the
+    * per-state fold and the destination marginal); everything after is
+    * ≤ types² rows. Entropies fold from (Σn, Σ n ln n) partials —
+    * h = ln N − (Σ n ln n)/N — one pass, no per-share division. */
+  def markovEntropy(events: DataFrame, userCol: String, tsCol: String,
+                    tieCol: String, typeCol: String,
+                    roundScale: Int = 6): DataFrame = {
+    val tc = transitionCounts(events, userCol, tsCol, tieCol, typeCol)
+      .withColumnRenamed(typeCol, "__dst").cache()
+    val perState = tc.groupBy(col("prev_type"))
+      .agg(sum(col("n_transitions")).as("n_out"),
+        sum(col("n_transitions").cast("double")
+          * log(col("n_transitions"))).as("__snl"))
+      .withColumn("__h", log(col("n_out"))
+        - col("__snl") / col("n_out").cast("double"))
+    val marg = tc.groupBy(col("__dst"))
+      .agg(sum(col("n_transitions")).as("__m"))
+      .agg(sum(col("__m")).as("__nt"),
+        sum(col("__m").cast("double") * log(col("__m"))).as("__sml"))
+      .select((log(col("__nt"))
+        - col("__sml") / col("__nt").cast("double")).as("__hm"))
+    val rate = perState
+      .agg(sum(col("n_out")).as("__n2"),
+        sum(col("n_out").cast("double") * col("__h")).as("__sh"))
+      .select((col("__sh") / col("__n2").cast("double")).as("__hr"))
+    // every output rounds independently from the UNROUNDED folds —
+    // info_gain from rounded h values would re-round a near-boundary
+    // decimal difference, which is engine-divergent
+    perState
+      .select(col("prev_type"), col("n_out"),
+        round(col("__h"), roundScale).as("h_state"))
+      .crossJoin(broadcast(rate))
+      .crossJoin(broadcast(marg))
+      .select(col("prev_type"), col("n_out"), col("h_state"),
+        round(col("__hr"), roundScale).as("h_rate"),
+        round(col("__hm"), roundScale).as("h_marginal"),
+        round(col("__hm") - col("__hr"), roundScale).as("info_gain"))
+  }
+
+  /** Lincoln–Petersen capture–recapture population estimate with the
+    * Chapman '51 bias correction: treat two observation windows as
+    * capture occasions — n₁ users seen before the split, n₂ after,
+    * m in both — and estimate the TOTAL user population
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1, with Seber's SE. The "how many did we
+    * NOT see" estimator: observed distinct counts only lower-bound a
+    * population (users, near-dup clusters, crawl hosts); two
+    * independent-ish samples + overlap turn the bound into an estimate
+    * — the same mark-recapture logic ecologists use, applied to
+    * coverage auditing ("our crawl window saw 80k users; capture
+    * overlap says the reachable population is ~110k").
+    *
+    * Assumes closure (no arrivals/departures between windows) and
+    * independent capture — report beside, not instead of, the raw
+    * distincts. N̂ is an exact-integer ratio — deliberately UNROUNDED
+    * (rational-halves rule); the √-carrying SE rounds.
+    *
+    * Scale shape: ONE per-user aggregate (two conditional max flags),
+    * then one fold to the 2×2 capture table — shuffle ∝ users, no
+    * window, no join. */
+  def captureRecapture(events: DataFrame, userCol: String, tsCol: String,
+                       splitTs: String, roundScale: Int = 6): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(max(when(col(tsCol) < lit(splitTs).cast("timestamp"), 1L)
+          .otherwise(0L)).as("__c1"),
+        max(when(col(tsCol) >= lit(splitTs).cast("timestamp"), 1L)
+          .otherwise(0L)).as("__c2"))
+    perUser.agg(sum(col("__c1")).as("n1"), sum(col("__c2")).as("n2"),
+        sum(col("__c1") * col("__c2")).as("m_both"))
+      .select(col("n1"), col("n2"), col("m_both"),
+        ((col("n1") + 1).cast("double") * (col("n2") + 1).cast("double")
+          / (col("m_both") + 1).cast("double") - 1.0).as("n_hat"),
+        round(sqrt((col("n1") + 1).cast("double")
+          * (col("n2") + 1).cast("double")
+          * (col("n1") - col("m_both")).cast("double")
+          * (col("n2") - col("m_both")).cast("double")
+          / ((col("m_both") + 1).cast("double")
+            * (col("m_both") + 1).cast("double")
+            * (col("m_both") + 2).cast("double"))), roundScale)
+          .as("se_hat"))
+  }
 }

@@ -892,6 +892,102 @@ object Stats {
           roundScale).as("var_reduction"))
   }
 
+  /** Wald's sequential probability ratio test over the daily
+    * success-rate stream (Wald, AMS '45): per day, the cumulative
+    * log-likelihood ratio LLR = k·ln(p₁/p₀) + (n−k)·ln((1−p₁)/(1−p₀))
+    * of H₁: rate = p₁ against H₀: rate = p₀, compared to the exact Wald
+    * boundaries A = ln((1−β)/α), B = ln(β/(1−α)) — the ORIGINAL
+    * early-stopping design: unlike a fixed-horizon z-test peeked daily
+    * (which inflates α badly), SPRT's error rates hold at EVERY
+    * crossing, and it decides in ~½ the samples on average. Emits the
+    * whole daily trajectory (cum trials/successes, LLR, per-day
+    * boundary state) so the monitoring table IS the test; the first
+    * `accept_h1`/`accept_h0` row is the stopping day.
+    *
+    * LLR is (exact cumulative integers) × (two ln constants) — rounded
+    * (libm); the boundary comparison uses the unrounded value.
+    *
+    * Scale shape: one day-grain conditional aggregate over the events,
+    * then cumulative windows on the ≤days-row grid (the documented
+    * calendar-bounded exception). */
+  def sprtDaily(events: DataFrame, tsCol: String, typeCol: String,
+                successType: String, p0: Double, p1: Double,
+                alpha: Double = 0.05, beta: Double = 0.2,
+                roundScale: Int = 6): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"need distinct rates in (0,1): p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"need error rates in (0,1): alpha=$alpha beta=$beta")
+    import org.apache.spark.sql.expressions.Window
+    val lS = math.log(p1 / p0)
+    val lF = math.log((1.0 - p1) / (1.0 - p0))
+    val a = math.log((1.0 - beta) / alpha)
+    val b = math.log(beta / (1.0 - alpha))
+    val cum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(typeCol) === successType, 1L).otherwise(0L)).as("__k"))
+      .withColumn("n_cum", sum(col("__n")).over(cum))
+      .withColumn("k_cum", sum(col("__k")).over(cum))
+      .withColumn("__llr", col("k_cum").cast("double") * lit(lS)
+        + (col("n_cum") - col("k_cum")).cast("double") * lit(lF))
+      .select(col("day"), col("n_cum"), col("k_cum"),
+        round(col("__llr"), roundScale).as("llr"),
+        when(col("__llr") >= a, "accept_h1")
+          .when(col("__llr") <= b, "accept_h0")
+          .otherwise("continue").as("decision"))
+  }
+
+  /** Empirical-Bayes beta–binomial shrinkage of per-unit success rates
+    * (Robbins '56 lineage; the method-of-moments recipe popularized for
+    * batting averages): fit Beta(α,β) to the observed per-unit rates by
+    * moments — α+β = μ(1−μ)/v − 1 over the unit-level rate mean/variance
+    * — then report each unit's posterior mean (k+α)/(n+α+β). THE
+    * small-sample stabilizer for per-entity rate tables: a 2-for-2 user
+    * no longer outranks a 950-for-1000 one, because 2 trials barely move
+    * the prior — rank by `rate_shrunk`, never raw, whenever n varies by
+    * orders of magnitude (per-source quality pass rates, per-domain
+    * click-through, per-author dedup rates).
+    *
+    * Degenerate fits (rate variance 0, or v ≥ μ(1−μ) making α+β ≤ 0)
+    * emit null priors and shrunk = raw — the honest fallback. Raw rate
+    * is an exact-integer ratio, UNROUNDED; the float-carrying prior and
+    * posterior round.
+    *
+    * Scale shape: one per-unit conditional aggregate (shuffle ∝ units),
+    * one 1-row moment fold over unit rates, one broadcast crossJoin —
+    * no window, no pair work. */
+  def ebBetaBinomial(df: DataFrame, unitCol: String, successCol: Column,
+                     roundScale: Int = 6): DataFrame = {
+    val perUnit = df.groupBy(col(unitCol))
+      .agg(count(lit(1)).as("n_trials"),
+        sum(when(successCol, 1L).otherwise(0L)).as("n_success"))
+      .withColumn("__r", col("n_success").cast("double")
+        / col("n_trials").cast("double"))
+    val fit = perUnit
+      .agg(avg(col("__r")).as("__mu"), var_samp(col("__r")).as("__v"))
+      .select(col("__mu"), col("__v"),
+        when(col("__v") > 0,
+          col("__mu") * (lit(1.0) - col("__mu")) / col("__v") - 1.0)
+          .as("__s"))
+      .select(
+        when(col("__s") > 0, col("__mu") * col("__s")).as("__alpha"),
+        when(col("__s") > 0, (lit(1.0) - col("__mu")) * col("__s"))
+          .as("__beta"))
+    perUnit.crossJoin(broadcast(fit))
+      .select(col(unitCol), col("n_trials"), col("n_success"),
+        col("__r").as("rate_raw"),
+        round(col("__alpha"), roundScale).as("prior_alpha"),
+        round(col("__beta"), roundScale).as("prior_beta"),
+        round(coalesce(
+          (col("n_success").cast("double") + col("__alpha"))
+            / (col("n_trials").cast("double") + col("__alpha")
+              + col("__beta")),
+          col("__r")), roundScale).as("rate_shrunk"))
+  }
+
   /** Cohen's kappa between two categorical labelings (public: Cohen '60)
     * — chance-corrected agreement, the standard answer to "do the
     * heuristic labeler and the declared label actually agree beyond what
@@ -936,6 +1032,66 @@ object Stats {
         round(pe, roundScale).as("p_expected"),
         round(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), roundScale)
           .as("kappa"))
+  }
+
+  /** Adjusted Rand index + normalized mutual information between two
+    * partitions of the same rows (Hubert & Arabie, J. Classif. '85;
+    * Strehl & Ghosh, JMLR '02) — the PERMUTATION-INVARIANT agreement
+    * measures [[cohenKappa]] is not: κ needs the two labelings to share
+    * label NAMES, ARI/NMI only ask whether they group the same rows
+    * together, which is the right question when comparing cluster
+    * ASSIGNMENTS (LSH buckets vs exact dup clusters, IVF cells vs
+    * declared labels, lang vs source). ARI: pair-counting agreement,
+    * chance-corrected to 0, 1 = identical partitions. NMI = 2I/(H_a+H_b)
+    * (arithmetic normalization): shared information fraction in [0,1].
+    * Degenerate cases (a constant partition → H = 0; ARI's null model
+    * collapsing, e.g. both sides all-singletons) emit null — the honest
+    * fallback, not a forced 0/1.
+    *
+    * Scale shape: ONE data-sized pass builds the clustersA×clustersB
+    * contingency (the [[cohenKappa]] shape); totals, marginals, and all
+    * four index terms re-aggregate that bounded table. Pair counts
+    * C(x,2) multiply as doubles (exact to 2^53; the ratio is immediate,
+    * exactness beyond is not needed). */
+  def clusterAgreement(df: DataFrame, colA: String, colB: String,
+                       roundScale: Int = 6): DataFrame = {
+    def comb2(c: Column): Column =
+      c.cast("double") * (c - 1).cast("double") / 2.0
+    val cont = df
+      .select(col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__cnt"))
+      .cache()
+    val margA = cont.groupBy(col("__a")).agg(sum(col("__cnt")).as("__ca"))
+    val margB = cont.groupBy(col("__b")).agg(sum(col("__cnt")).as("__cb"))
+    // I(A;B) folds from the same (Σ c ln c) partials: I = ln n +
+    //   [Σ cij ln cij − Σ ca ln ca − Σ cb ln cb] / n  (all logs over
+    // counts, no per-cell share division)
+    val totals = cont.agg(sum(col("__cnt")).as("n"),
+      sum(comb2(col("__cnt"))).as("__index"),
+      sum(col("__cnt").cast("double") * log(col("__cnt"))).as("__hlc"))
+    val aSide = margA.agg(count(lit(1)).as("n_clusters_a"),
+      sum(comb2(col("__ca"))).as("__sa"),
+      sum(col("__ca").cast("double") * log(col("__ca"))).as("__hla"))
+    val bSide = margB.agg(count(lit(1)).as("n_clusters_b"),
+      sum(comb2(col("__cb"))).as("__sb"),
+      sum(col("__cb").cast("double") * log(col("__cb"))).as("__hlb"))
+    totals.crossJoin(aSide).crossJoin(bSide)
+      .withColumn("__nd", col("n").cast("double"))
+      .withColumn("__ha", log(col("__nd")) - col("__hla") / col("__nd"))
+      .withColumn("__hb", log(col("__nd")) - col("__hlb") / col("__nd"))
+      .withColumn("__mi", log(col("__nd"))
+        + (col("__hlc") - col("__hla") - col("__hlb")) / col("__nd"))
+      .withColumn("__exp", col("__sa") * col("__sb") / comb2(col("n")))
+      .withColumn("__max", (col("__sa") + col("__sb")) / 2.0)
+      .select(col("n"), col("n_clusters_a"), col("n_clusters_b"),
+        round(when(abs(col("__max") - col("__exp")) > 0,
+          (col("__index") - col("__exp")) / (col("__max") - col("__exp"))),
+          roundScale).as("ari"),
+        round(when(col("__ha") + col("__hb") > 0,
+          lit(2.0) * col("__mi") / (col("__ha") + col("__hb"))),
+          roundScale).as("nmi"))
   }
 
   /** Burstiness audit: per-key variance-to-mean ratio (index of

@@ -293,4 +293,48 @@ class EventAnalyticsSpec extends SparkSuite {
         "view", "purchase").collect().head
     assert(rt.getLong(1) === 1L && rt.getLong(2) === 0L)
   }
+
+  test("markovEntropy: deterministic states, hand-checked mixed state") {
+    // u1: A B A B → A→B ×2, B→A ×1; u2: B A → B→A ×1; u3: A C → A→C ×1
+    // state A: {B:2, C:1} → h = ln3 − 2ln2/3; state B: {A:2} → h = 0
+    // h_rate = 3·h_A/5; marginal dst {B:2, A:2, C:1} →
+    // h_marg = ln5 − 4ln2/5
+    val ev = Seq(
+      (1L, ts(1), 1L, "A"), (1L, ts(2), 2L, "B"),
+      (1L, ts(3), 3L, "A"), (1L, ts(4), 4L, "B"),
+      (2L, ts(1), 5L, "B"), (2L, ts(2), 6L, "A"),
+      (3L, ts(1), 7L, "A"), (3L, ts(2), 8L, "C")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.markovEntropy(ev, "user_id", "ts",
+      "event_id", "event_type").collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("A", "B"))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hA = math.log(3.0) - 2.0 * math.log(2.0) / 3.0
+    assert(out("A").getLong(1) === 3L && out("B").getLong(1) === 2L)
+    assert(out("A").getDouble(2) === r6(hA))
+    assert(out("B").getDouble(2) === 0.0)
+    val hRate = 3.0 * hA / 5.0
+    val hMarg = math.log(5.0) - (2.0 * math.log(2.0)
+      + 2.0 * math.log(2.0)) / 5.0
+    assert(out("A").getDouble(3) === r6(hRate))
+    assert(out("A").getDouble(4) === r6(hMarg))
+    assert(out("A").getDouble(5) === r6(hMarg - hRate))
+  }
+
+  test("captureRecapture: hand-checked Chapman estimate") {
+    // 4 users before only, 2 in both windows, 3 after only:
+    // n1=6, n2=5, m=2 → N̂ = 7·6/3 − 1 = 13; SE = √(7·6·4·3/(9·4)) = √14
+    val before = (1 to 6).map(u =>
+      (u.toLong, Timestamp.valueOf("2024-01-05 10:00:00")))
+    val after = (5 to 9).map(u =>
+      (u.toLong, Timestamp.valueOf("2024-01-20 10:00:00")))
+    val ev = (before ++ after).toDF("user_id", "t")
+    val r = EventAnalytics.captureRecapture(ev, "user_id", "t",
+      "2024-01-16 00:00:00").collect().head
+    assert(r.getLong(0) === 6L && r.getLong(1) === 5L && r.getLong(2) === 2L)
+    assert(r.getDouble(3) === 13.0)
+    assert(r.getDouble(4) === BigDecimal(math.sqrt(14.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }

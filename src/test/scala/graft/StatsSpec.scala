@@ -884,4 +884,67 @@ class StatsSpec extends SparkSuite {
     val m = Stats.theilDecomposition(mixed, "g", "v").collect().head
     assert(m.getLong(1) === 2L && m.getDouble(7) === 0.0)
   }
+
+  test("sprtDaily: hand-checked LLR trajectory and boundary decisions") {
+    import java.sql.Timestamp
+    // p0=0.2 vs p1=0.8 (lS = ln4, lF = ln¼), α=β=0.05 → a = ln19,
+    // b = −ln19. day1: 2/10 → llr = (2−8)·ln4 ≤ b → accept_h0;
+    // day2 adds 5/5 → cum 7/15 → llr = (7−8)·ln4, inside → continue
+    def t(d: Int, i: Int) = Timestamp.valueOf(f"2024-01-0$d 10:$i%02d:00")
+    val day1 = (1 to 10).map(i => (t(1, i), if (i <= 2) "s" else "f"))
+    val day2 = (1 to 5).map(i => (t(2, i), "s"))
+    val ev = (day1 ++ day2).toDF("ts", "et")
+    val out = Stats.sprtDaily(ev, "ts", "et", "s", p0 = 0.2, p1 = 0.8,
+        alpha = 0.05, beta = 0.05)
+      .collect().sortBy(_.getTimestamp(0).getTime)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val l4 = math.log(0.8 / 0.2); val lq = math.log(0.2 / 0.8)
+    assert(out(0).getLong(1) === 10L && out(0).getLong(2) === 2L)
+    assert(out(0).getDouble(3) === r6(2.0 * l4 + 8.0 * lq))
+    assert(out(0).getString(4) === "accept_h0")
+    assert(out(1).getLong(1) === 15L && out(1).getLong(2) === 7L)
+    assert(out(1).getDouble(3) === r6(7.0 * l4 + 8.0 * lq))
+    assert(out(1).getString(4) === "continue")
+  }
+
+  test("ebBetaBinomial: hand-checked MoM fit and degenerate fallback") {
+    // units: A 1/4 (r=.25), B 3/4 (r=.75): μ=.5, v=.125 → α+β = 1 →
+    // α = β = 0.5; shrunk A = 1.5/5 = 0.3, B = 3.5/5 = 0.7
+    val df = Seq(("A", true), ("A", false), ("A", false), ("A", false),
+      ("B", true), ("B", true), ("B", true), ("B", false))
+      .toDF("u", "s")
+    val out = Stats.ebBetaBinomial(df, "u", col("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getLong(1) === 4L && out("A").getLong(2) === 1L)
+    assert(out("A").getDouble(3) === 0.25)
+    assert(out("A").getDouble(4) === 0.5 && out("A").getDouble(5) === 0.5)
+    assert(out("A").getDouble(6) === 0.3)
+    assert(out("B").getDouble(6) === 0.7)
+    // zero rate variance → no fit: null priors, shrunk = raw
+    val flat = Seq(("A", true), ("A", false), ("B", true), ("B", false))
+      .toDF("u", "s")
+    val f = Stats.ebBetaBinomial(flat, "u", col("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(f("A").isNullAt(4) && f("A").isNullAt(5))
+    assert(f("A").getDouble(6) === 0.5)
+  }
+
+  test("clusterAgreement: identical 1/1, crossed −0.5/0, degenerate null") {
+    // identical partitions of 4 rows
+    val same = Seq((1, "x", "p"), (2, "x", "p"), (3, "y", "q"), (4, "y", "q"))
+      .toDF("id", "a", "b")
+    val s = Stats.clusterAgreement(same, "a", "b").collect().head
+    assert(s.getLong(0) === 4L && s.getLong(1) === 2L && s.getLong(2) === 2L)
+    assert(s.getDouble(3) === 1.0 && s.getDouble(4) === 1.0)
+    // fully crossed 2×2: every contingency cell 1 → ARI = −0.5, NMI = 0
+    val crossed = Seq((1, "x", "p"), (2, "x", "q"), (3, "y", "p"), (4, "y", "q"))
+      .toDF("id", "a", "b")
+    val c = Stats.clusterAgreement(crossed, "a", "b").collect().head
+    assert(c.getDouble(3) === -0.5 && c.getDouble(4) === 0.0)
+    // both partitions constant → null model collapses, H = 0 → nulls
+    val const = Seq((1, "x", "p"), (2, "x", "p")).toDF("id", "a", "b")
+    val k = Stats.clusterAgreement(const, "a", "b").collect().head
+    assert(k.isNullAt(3) && k.isNullAt(4))
+  }
 }
