@@ -3652,6 +3652,36 @@ object SparkEntry {
   private def q_cluster_agreement(s: SparkSession, d: String): DataFrame =
     Stats.clusterAgreement(Tables.documents(s, d), "lang", "source")
 
+  /** §2b Anderson–Darling two-sample statistic for the same
+    * click-vs-purchase comparison — the tail-sensitive rung of the
+    * drift ladder (1/(Ĥ(1−Ĥ)) weighting diverges at both CDF ends),
+    * completing KS/W1/energy on the shared histogram shape. */
+  private def q_anderson_darling(s: SparkSession, d: String): DataFrame =
+    Stats.andersonDarling(Tables.events(s, d), "event_type", "value",
+      sideA = "click", sideB = "purchase")
+
+  /** §2b Cochran–Armitage trend z for purchase share across the
+    * ordered hour-of-day scores — monotone-rate-drift power a plain
+    * independence χ² can't concentrate. */
+  private def q_cochran_armitage(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    Stats.cochranArmitage(ev.withColumn("hr", hour(col("ts"))), "hr",
+      col("event_type") === "purchase")
+  }
+
+  /** §2b Durbin–Watson lag-1 serial-correlation screen over the daily
+    * counts (≈2 independent, →0 persistent, →4 alternating) — the
+    * one-number companion to q_ljung_box's joint profile. */
+  private def q_durbin_watson(s: SparkSession, d: String): DataFrame =
+    TimeSeries.durbinWatsonDaily(Tables.events(s, d), "ts")
+
+  /** §2b GPD peaks-over-threshold tail fit of event values above 150 —
+    * MoM ξ/β + the extrapolated p99.9 return level; ξ > 0 flags a
+    * heavy tail that "mean + kσ" fences cannot bound. */
+  private def q_gpd_tail(s: SparkSession, d: String): DataFrame =
+    Stats.gpdTailFit(Tables.events(s, d), "value", threshold = 150.0,
+      p = 0.999)
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3976,6 +4006,10 @@ object SparkEntry {
     "q_eb_shrinkage" -> (q_eb_shrinkage _),
     "q_capture_recapture" -> (q_capture_recapture _),
     "q_cluster_agreement" -> (q_cluster_agreement _),
+    "q_anderson_darling" -> (q_anderson_darling _),
+    "q_cochran_armitage" -> (q_cochran_armitage _),
+    "q_durbin_watson" -> (q_durbin_watson _),
+    "q_gpd_tail" -> (q_gpd_tail _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -10437,5 +10471,96 @@ object SparkEntry {
                 CASE WHEN ha + hb > 0
                   THEN round(2.0 * mi / (ha + hb), 6) END AS nmi
          FROM y""",
+    "q_anderson_darling" ->
+      """WITH x AS (SELECT CAST(value AS DOUBLE) AS v,
+                      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS ca,
+                      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS cb
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase')
+                      AND value IS NOT NULL
+                    GROUP BY 1),
+              c AS (SELECT v, ca, cb,
+                      SUM(ca) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cuma,
+                      SUM(cb) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cumb,
+                      SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+                    FROM x),
+              t AS (SELECT na, nb, CAST(na + nb AS DOUBLE) AS nn,
+                      CAST(cuma + cumb AS DOUBLE)
+                        / CAST(na + nb AS DOUBLE) AS h,
+                      CAST(cuma AS DOUBLE) / na
+                        - CAST(cumb AS DOUBLE) / nb AS d,
+                      ca + cb AS l
+                    FROM c)
+         SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+                round(CAST(max(na) AS DOUBLE) * max(nb)
+                  / (max(nn) * max(nn))
+                  * sum(CASE WHEN h < 1.0 THEN CAST(l AS DOUBLE) * d * d
+                      / (h * (1.0 - h)) END), 6) AS a2
+         FROM t""",
+    "q_cochran_armitage" ->
+      """WITH ps AS (SELECT CAST(hour(ts) AS DOUBLE) AS w,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS k
+                     FROM events GROUP BY 1),
+              f AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                      CAST(sum(k) AS BIGINT) AS n_success,
+                      sum(w * k) AS t, sum(w * n) AS wn,
+                      sum(w * w * n) AS w2n
+                    FROM ps),
+              g AS (SELECT *, CAST(n_success AS DOUBLE)
+                        / CAST(n_total AS DOUBLE) AS p
+                    FROM f),
+              h AS (SELECT *, p * (1.0 - p)
+                        * (w2n - wn * wn / CAST(n_total AS DOUBLE)) AS vr
+                    FROM g)
+         SELECT n_total, n_success, t AS t_stat, p * wn AS t_expected,
+                CASE WHEN vr > 0
+                  THEN round((t - p * wn) / sqrt(vr), 6) END AS z
+         FROM h""",
+    "q_durbin_watson" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS day,
+                      CAST(count(*) AS BIGINT) AS x
+                    FROM events GROUP BY 1),
+              e AS (SELECT day, CAST(x AS DOUBLE)
+                        - CAST(SUM(x) OVER () AS DOUBLE)
+                          / CAST(COUNT(*) OVER () AS DOUBLE) AS ev
+                    FROM c),
+              d AS (SELECT ev, ev - LAG(ev) OVER (ORDER BY day) AS de
+                    FROM e)
+         SELECT CAST(count(*) AS BIGINT) AS n_days,
+                CASE WHEN sum(ev * ev) > 0
+                  THEN round(sum(de * de) / sum(ev * ev), 6) END AS dw
+         FROM d""",
+    "q_gpd_tail" ->
+      """WITH x AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+                    WHERE value IS NOT NULL),
+              a AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                      CAST(count(CASE WHEN x > 150.0 THEN 1 END) AS BIGINT)
+                        AS n_exceed,
+                      avg(CASE WHEN x > 150.0 THEN x - 150.0 END) AS m,
+                      var_samp(CASE WHEN x > 150.0 THEN x - 150.0 END) AS v
+                    FROM x),
+              b AS (SELECT *, m * m / v AS r FROM a),
+              c AS (SELECT *,
+                      CASE WHEN v > 0 THEN 0.5 * (1.0 - r) END AS xi,
+                      CASE WHEN v > 0 THEN 0.5 * m * (r + 1.0) END AS beta,
+                      CAST(n_exceed AS DOUBLE)
+                        / CAST(n_total AS DOUBLE) AS zeta
+                    FROM b)
+         SELECT n_total, n_exceed, round(m, 6) AS mean_excess,
+                round(xi, 6) AS xi, round(beta, 6) AS beta,
+                round(CASE WHEN xi IS NOT NULL AND abs(xi) > 1e-12
+                        AND xi < 0.5 AND zeta > (1.0 - 0.999)
+                  THEN 150.0 + beta / xi
+                    * (pow((1.0 - 0.999) / zeta, -xi) - 1.0) END, 6)
+                  AS q_est
+         FROM c""",
   )
 }

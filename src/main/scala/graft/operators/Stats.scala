@@ -192,6 +192,142 @@ object Stats {
           roundScale).as("e_dist"))
   }
 
+  /** Two-sample Anderson–Darling statistic (Pettitt, Biometrika '76),
+    * in the right-continuous discrete form over the observed support:
+    * A² = (n_a·n_b/N²) Σ_j l_j (F_a−F_b)²_j / (Ĥ_j(1−Ĥ_j)), the pooled
+    * ECDF Ĥ weighting each gap by 1/(Ĥ(1−Ĥ)) — the TAIL-SENSITIVE rung
+    * of the drift ladder: KS (L∞) and W1/energy (body-weighted) barely
+    * see a drift confined to the top 0.1%, while AD's weight diverges
+    * at both CDF ends, so tail shifts (the ones that break p99 SLOs and
+    * outlier filters) dominate the statistic. Reduces exactly to the
+    * classical Σ (M_i N − n i)²/(nm·i(N−i)) when values are distinct
+    * (spec-pinned); the Ĥ = 1 block carries F_a−F_b = 0 and is
+    * excluded (its weight is singular).
+    *
+    * Shape: identical to [[ksStatistic]]/[[wasserstein1]] — one hash
+    * aggregate to per-distinct-value side counts, cumulative windows
+    * over the distinct-value table, one fold. Floating term sums →
+    * rounded. */
+  def andersonDarling(df: DataFrame, sideCol: String, valCol: String,
+                      sideA: String, sideB: String,
+                      roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perValue = df.filter(col(sideCol).isin(sideA, sideB))
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(valCol).cast("double").as("__v"))
+      .agg(sum(when(col(sideCol) === sideA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sideCol) === sideB, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val entire = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perValue
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__na", sum(col("__ca")).over(entire))
+      .withColumn("__nb", sum(col("__cb")).over(entire))
+      .withColumn("__nn", (col("__na") + col("__nb")).cast("double"))
+      .withColumn("__h", (col("__cuma") + col("__cumb")).cast("double")
+        / col("__nn"))
+      .withColumn("__d", col("__cuma").cast("double") / col("__na")
+        - col("__cumb").cast("double") / col("__nb"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        round(max(col("__na")).cast("double") * max(col("__nb"))
+          / (max(col("__nn")) * max(col("__nn")))
+          * sum(when(col("__h") < 1.0,
+            (col("__ca") + col("__cb")).cast("double")
+              * col("__d") * col("__d")
+              / (col("__h") * (lit(1.0) - col("__h"))))),
+          roundScale).as("a2"))
+  }
+
+  /** Cochran–Armitage trend test (Cochran, Biometrics '54; Armitage
+    * '55): z for a LINEAR trend in success rate across ORDERED groups —
+    * the "does the rate climb with the dose" question a per-group χ²
+    * can't answer (χ² sees any difference; CA concentrates power on the
+    * monotone alternative — rate drift across hours, positions,
+    * quality deciles). T = Σ w_i k_i with the group score as weight;
+    * z = (T − p̄ Σ w n)/√(p̄(1−p̄)(Σ w²n − (Σ wn)²/N)).
+    *
+    * Shape: one per-score conditional aggregate (shuffle ∝ scores),
+    * one fold over the score table. All moments are exact-integer
+    * sums; p̄ and the weighted sums mix into a √ → z rounds. Null z on
+    * degenerate inputs (all success, none, or a single score). */
+  def cochranArmitage(df: DataFrame, scoreCol: String, successCol: Column,
+                      roundScale: Int = 6): DataFrame = {
+    val perScore = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("double").as("__w"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("__k"))
+    perScore
+      .agg(sum(col("__n")).as("n_total"), sum(col("__k")).as("n_success"),
+        sum(col("__w") * col("__k")).as("__t"),
+        sum(col("__w") * col("__n")).as("__wn"),
+        sum(col("__w") * col("__w") * col("__n")).as("__w2n"))
+      .withColumn("__p", col("n_success").cast("double")
+        / col("n_total").cast("double"))
+      .withColumn("__var", col("__p") * (lit(1.0) - col("__p"))
+        * (col("__w2n") - col("__wn") * col("__wn")
+          / col("n_total").cast("double")))
+    // t_stat / t_expected are exact-integer sums and rationals —
+    // deliberately UNROUNDED (rational-halves rule); only the √-mixing
+    // z rounds
+      .select(col("n_total"), col("n_success"),
+        col("__t").as("t_stat"),
+        (col("__p") * col("__wn")).as("t_expected"),
+        round(when(col("__var") > 0,
+          (col("__t") - col("__p") * col("__wn")) / sqrt(col("__var"))),
+          roundScale).as("z"))
+  }
+
+  /** Peaks-over-threshold GPD tail fit by method of moments (Pickands,
+    * AnnStat '75 for the GPD limit; Hosking & Wallis, Technometrics '87
+    * for the MoM recipe): over excesses y = x−u of a high threshold u,
+    * ξ̂ = ½(1 − m²/v), β̂ = ½m(m²/v + 1) from the excess mean/variance,
+    * and the return-level estimate x_p = u + (β/ξ)((( (1−p)/ζ_u )^−ξ) − 1)
+    * with ζ_u = n_exc/N — EXTRAPOLATED tail quantiles: an empirical
+    * p99.99 needs 10⁴+ tail points, the GPD fit prices it from however
+    * many exceedances exist (latency SLOs, value caps, outlier fences
+    * beyond observed data). ξ > 0 flags a heavy (Pareto-like) tail —
+    * the single number that says whether "mean + 6σ" bounds anything.
+    *
+    * Honest-fallback contract: v ≤ 0, ξ ≥ ½ (infinite MoM variance),
+    * or |ξ| below machine-zero → null fit columns rather than a wild
+    * extrapolation; the ξ→0 exponential limit is the caller's explicit
+    * regime, not a silent branch.
+    *
+    * Shape: one filtered 1-row moment aggregate + arithmetic — no
+    * window, no join; the corpus is touched once. */
+  def gpdTailFit(df: DataFrame, valCol: String, threshold: Double,
+                 p: Double = 0.999, roundScale: Int = 6): DataFrame = {
+    require(p > 0 && p < 1, s"quantile must be in (0,1): $p")
+    val x = df.filter(col(valCol).isNotNull)
+      .select(col(valCol).cast("double").as("__x"))
+    x.agg(count(lit(1)).as("n_total"),
+        count(when(col("__x") > threshold, 1)).as("n_exceed"),
+        avg(when(col("__x") > threshold, col("__x") - threshold))
+          .as("__m"),
+        var_samp(when(col("__x") > threshold, col("__x") - threshold))
+          .as("__v"))
+      .withColumn("__r", col("__m") * col("__m") / col("__v"))
+      .withColumn("__xi", when(col("__v") > 0,
+        lit(0.5) * (lit(1.0) - col("__r"))))
+      .withColumn("__beta", when(col("__v") > 0,
+        lit(0.5) * col("__m") * (col("__r") + 1.0)))
+      .withColumn("__zeta", col("n_exceed").cast("double")
+        / col("n_total").cast("double"))
+      .select(col("n_total"), col("n_exceed"),
+        round(col("__m"), roundScale).as("mean_excess"),
+        round(col("__xi"), roundScale).as("xi"),
+        round(col("__beta"), roundScale).as("beta"),
+        round(when(col("__xi").isNotNull
+            && abs(col("__xi")) > 1e-12 && col("__xi") < 0.5
+            && col("__zeta") > (lit(1.0) - p),
+          lit(threshold) + col("__beta") / col("__xi")
+            * (pow((lit(1.0) - p) / col("__zeta"), -col("__xi")) - 1.0)),
+          roundScale).as("q_est"))
+  }
+
   /** Theil T inequality index with exact between/within-group
     * decomposition (Theil, "Economics and Information Theory" '67):
     * T = (1/N) Σ_i (x_i/μ) ln(x_i/μ) over positive values, and —

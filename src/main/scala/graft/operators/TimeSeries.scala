@@ -511,6 +511,35 @@ object TimeSeries {
           * sum(col("__term")).over(cum), roundScale).as("q_cum"))
   }
 
+  /** Durbin–Watson statistic over the mean-centered daily counts
+    * (Durbin & Watson, Biometrika '50): DW = Σ(e_t − e_{t−1})²/Σe_t² —
+    * the one-number lag-1 serial-correlation screen (DW ≈ 2(1−ρ₁):
+    * ≈2 independent, →0 positive persistence, →4 alternation) that
+    * regression residual checks reach for first; cheaper than the full
+    * [[ljungBoxDaily]] profile when only lag-1 matters. Residuals here
+    * are deviations from the grand mean (the intercept-only model), the
+    * right null for a count monitor.
+    *
+    * Shape: one day-grain aggregate, one lag-1 window over the day
+    * grid, one fold — the documented calendar-bounded exception. */
+  def durbinWatsonDaily(events: DataFrame, tsCol: String,
+                        roundScale: Int = 6): DataFrame = {
+    val entire = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ord = Window.orderBy(col("__day"))
+    events
+      .groupBy(date_trunc("day", col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__x"))
+      .withColumn("__e", col("__x").cast("double")
+        - sum(col("__x")).over(entire).cast("double")
+          / count(lit(1)).over(entire).cast("double"))
+      .withColumn("__d", col("__e") - lag(col("__e"), 1).over(ord))
+      .agg(count(lit(1)).as("n_days"),
+        round(when(sum(col("__e") * col("__e")) > 0,
+          sum(col("__d") * col("__d")) / sum(col("__e") * col("__e"))),
+          roundScale).as("dw"))
+  }
+
   /** Autocorrelation function of the daily event count at lags
     * 1..maxLag (the Box–Jenkins identification tool): per lag L, the
     * Pearson correlation of (n_d, n_{d+L}) over the overlapping day

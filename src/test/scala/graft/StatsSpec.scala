@@ -947,4 +947,55 @@ class StatsSpec extends SparkSuite {
     val k = Stats.clusterAgreement(const, "a", "b").collect().head
     assert(k.isNullAt(3) && k.isNullAt(4))
   }
+
+  test("andersonDarling: classical no-ties identity, identical zero") {
+    // a={1,3}, b={2,4}: A² = (1/nm)Σ(M_iN−ni)²/(i(N−i))
+    //   = ¼(4/3 + 0 + 4/3) = 2/3
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 4.0))
+      .toDF("side", "v")
+    val r = Stats.andersonDarling(df, "side", "v", "a", "b").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === BigDecimal(2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // identical distributions (with ties) → exactly 0
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("side", "v")
+    assert(Stats.andersonDarling(same, "side", "v", "a", "b")
+      .collect().head.getDouble(2) === 0.0)
+  }
+
+  test("cochranArmitage: perfect linear trend, degenerate null") {
+    // scores 0,1,2 with successes 0/2, 1/2, 2/2: T=5, E=3, Var=1 → z=2
+    val df = Seq((0, false), (0, false), (1, true), (1, false),
+      (2, true), (2, true)).toDF("s", "y")
+    val r = Stats.cochranArmitage(df, "s", col("y")).collect().head
+    assert(r.getLong(0) === 6L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 5.0 && r.getDouble(3) === 3.0)
+    assert(r.getDouble(4) === 2.0)
+    // all-success rates: p̄(1−p̄) = 0 → null z
+    val allS = Seq((0, true), (1, true)).toDF("s", "y")
+    assert(Stats.cochranArmitage(allS, "s", col("y"))
+      .collect().head.isNullAt(4))
+  }
+
+  test("gpdTailFit: hand-checked MoM fit, degenerate null") {
+    // excesses {1,2,3} over u=0: m=2, v=1 → r=4, ξ=−1.5, β=5;
+    // ζ=1 → q.999 = (β/ξ)(0.001^1.5 − 1)
+    val df = Seq(1.0, 2.0, 3.0, -1.0).map(Tuple1(_)).toDF("v")
+    val r = Stats.gpdTailFit(df, "v", threshold = 0.0, p = 0.999)
+      .collect().head
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) === 4L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 2.0)
+    assert(r.getDouble(3) === -1.5 && r.getDouble(4) === 5.0)
+    val zeta = 3.0 / 4.0
+    assert(r.getDouble(5) ===
+      r6(5.0 / -1.5 * (math.pow(0.001 / zeta, 1.5) - 1.0)))
+    // a single exceedance has no variance → null fit, null return level
+    val one = Seq(5.0, -1.0).map(Tuple1(_)).toDF("v")
+    val o = Stats.gpdTailFit(one, "v", threshold = 0.0).collect().head
+    assert(o.getLong(1) === 1L && o.isNullAt(3) && o.isNullAt(4)
+      && o.isNullAt(5))
+  }
 }

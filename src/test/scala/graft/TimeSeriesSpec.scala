@@ -354,4 +354,16 @@ class TimeSeriesSpec extends SparkSuite {
     val fr = TimeSeries.ljungBoxDaily(flat, "t", maxLag = 2).collect()
     assert(fr.forall(r => r.isNullAt(2) && r.isNullAt(3)))
   }
+
+  test("durbinWatsonDaily: alternating series, constant null") {
+    // counts 1,3,1,3: e = ∓1, Σe² = 4; diffs ±2 ×3 → DW = 12/4 = 3
+    val ev = (1 to 4).flatMap { d =>
+      Seq.fill(if (d % 2 == 0) 3 else 1)(Tuple1(ts(f"2024-01-0$d 12:00:00")))
+    }.toDF("t")
+    val r = TimeSeries.durbinWatsonDaily(ev, "t").collect().head
+    assert(r.getLong(0) === 4L && r.getDouble(1) === 3.0)
+    // constant series → zero residual energy → null, not NaN
+    val flat = (1 to 4).map(d => Tuple1(ts(f"2024-01-0$d 12:00:00"))).toDF("t")
+    assert(TimeSeries.durbinWatsonDaily(flat, "t").collect().head.isNullAt(1))
+  }
 }
