@@ -3682,6 +3682,27 @@ object SparkEntry {
     Stats.gpdTailFit(Tables.events(s, d), "value", threshold = 150.0,
       p = 0.999)
 
+  /** §2b Wilson score intervals for the per-source share of English
+    * documents — the edge-honest binomial CI (a 2-for-2 source prints
+    * [0.34, 1.0], not "100%"), the column every rate table should
+    * carry. */
+  private def q_wilson(s: SparkSession, d: String): DataFrame =
+    Stats.wilsonInterval(Tables.documents(s, d), "source",
+      col("lang") === "en")
+
+  /** §2b conditional-binomial Poisson rate test between the two
+    * half-month windows (15-day exposures) — "did the event rate
+    * change", base rate conditioned away. */
+  private def q_poisson_rate(s: SparkSession, d: String): DataFrame =
+    Stats.poissonRateTest(Tables.events(s, d), "ts",
+      splitTs = "2024-01-16 00:00:00", t1 = 15.0, t2 = 15.0)
+
+  /** §2b Jarque–Bera normality screen of event values per type — the
+    * skew/kurtosis gate that routes each metric to the parametric or
+    * robust rung of the experimentation ladder. */
+  private def q_jarque_bera(s: SparkSession, d: String): DataFrame =
+    Stats.jarqueBera(Tables.events(s, d), "event_type", "value")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4010,6 +4031,9 @@ object SparkEntry {
     "q_cochran_armitage" -> (q_cochran_armitage _),
     "q_durbin_watson" -> (q_durbin_watson _),
     "q_gpd_tail" -> (q_gpd_tail _),
+    "q_wilson" -> (q_wilson _),
+    "q_poisson_rate" -> (q_poisson_rate _),
+    "q_jarque_bera" -> (q_jarque_bera _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -10562,5 +10586,67 @@ object SparkEntry {
                     * (pow((1.0 - 0.999) / zeta, -xi) - 1.0) END, 6)
                   AS q_est
          FROM c""",
+    "q_wilson" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_trials,
+                      CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_success
+                    FROM documents GROUP BY 1),
+              w AS (SELECT source, n_trials, n_success,
+                      CAST(n_trials AS DOUBLE) AS n,
+                      CAST(n_success AS DOUBLE)
+                        / CAST(n_trials AS DOUBLE) AS p
+                    FROM g),
+              x AS (SELECT *,
+                      1.0 + 1.96 * 1.96 / n AS den,
+                      p + 1.96 * 1.96 / (2.0 * n) AS ctr,
+                      1.96 * sqrt(p * (1.0 - p) / n
+                        + 1.96 * 1.96 / (4.0 * n * n)) AS hw
+                    FROM w)
+         SELECT source, n_trials, n_success, p AS rate,
+                round((ctr - hw) / den, 6) AS ci_low,
+                round((ctr + hw) / den, 6) AS ci_high
+         FROM x""",
+    "q_poisson_rate" ->
+      """WITH a AS (SELECT
+                      CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+                      CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS k2
+                    FROM events),
+              b AS (SELECT k1, k2, CAST(k1 + k2 AS DOUBLE) AS k,
+                      15.0 / (15.0 + 15.0) AS pi
+                    FROM a)
+         SELECT k1, k2,
+                CASE WHEN k2 > 0 THEN (CAST(k1 AS DOUBLE) / 15.0)
+                  / (CAST(k2 AS DOUBLE) / 15.0) END AS rate_ratio,
+                k * pi AS k1_expected,
+                CASE WHEN k > 0 THEN round((CAST(k1 AS DOUBLE) - k * pi)
+                  / sqrt(k * pi * (1.0 - pi)), 6) END AS z
+         FROM b""",
+    "q_jarque_bera" ->
+      """WITH x AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+                    FROM events WHERE value IS NOT NULL),
+              m AS (SELECT g, avg(x) AS mu, CAST(count(*) AS BIGINT) AS n
+                    FROM x GROUP BY 1),
+              c AS (SELECT x.g, m.n,
+                      sum((x.x - mu) * (x.x - mu)) AS m2,
+                      sum((x.x - mu) * (x.x - mu) * (x.x - mu)) AS m3,
+                      sum((x.x - mu) * (x.x - mu) * (x.x - mu) * (x.x - mu))
+                        AS m4
+                    FROM x JOIN m ON x.g = m.g
+                    GROUP BY 1, 2),
+              d AS (SELECT g, n, CAST(n AS DOUBLE) AS nd,
+                      m2 / CAST(n AS DOUBLE) AS v, m3, m4
+                    FROM c),
+              e AS (SELECT g, n, nd,
+                      CASE WHEN v > 0
+                        THEN m3 / nd / pow(v, 1.5) END AS s,
+                      CASE WHEN v > 0 THEN m4 / nd / (v * v) END AS k
+                    FROM d)
+         SELECT g AS event_type, n, round(s, 6) AS skewness,
+                round(k, 6) AS kurtosis,
+                round(nd * (s * s / 6.0 + (k - 3.0) * (k - 3.0) / 24.0), 6)
+                  AS jb
+         FROM e""",
   )
 }

@@ -1124,6 +1124,118 @@ object Stats {
           col("__r")), roundScale).as("rate_shrunk"))
   }
 
+  /** Per-group Wilson score interval for a success rate (Wilson, JASA
+    * '27): [p̂ + z²/2n ± z√(p̂(1−p̂)/n + z²/4n²)] / (1 + z²/n) — the
+    * binomial CI that behaves at the edges where the Wald interval
+    * collapses (p̂ = 0 or 1 gives a degenerate [p̂, p̂] Wald CI; Wilson
+    * still brackets honestly, which is why it is the recommended
+    * default per Brown–Cai–DasGupta '01). THE companion column for any
+    * per-source/per-domain rate table: a 2-for-2 source prints
+    * [0.34, 1.0], not "100%".
+    *
+    * z defaults to 1.96 (the conventional 95% two-sided score). Rate is
+    * an exact-integer ratio, UNROUNDED; the √-carrying bounds round.
+    *
+    * Shape: one per-group conditional aggregate + arithmetic — shuffle
+    * ∝ groups, no window, no join. */
+  def wilsonInterval(df: DataFrame, groupCol: String, successCol: Column,
+                     z: Double = 1.96, roundScale: Int = 6): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val z2 = z * z
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_trials"),
+        sum(when(successCol, 1L).otherwise(0L)).as("n_success"))
+      .withColumn("__n", col("n_trials").cast("double"))
+      .withColumn("__p", col("n_success").cast("double") / col("__n"))
+      .withColumn("__den", lit(1.0) + lit(z2) / col("__n"))
+      .withColumn("__ctr", col("__p") + lit(z2) / (lit(2.0) * col("__n")))
+      .withColumn("__hw", lit(z) * sqrt(col("__p") * (lit(1.0) - col("__p"))
+        / col("__n") + lit(z2) / (lit(4.0) * col("__n") * col("__n"))))
+      .select(col(groupCol), col("n_trials"), col("n_success"),
+        col("__p").as("rate"),
+        round((col("__ctr") - col("__hw")) / col("__den"), roundScale)
+          .as("ci_low"),
+        round((col("__ctr") + col("__hw")) / col("__den"), roundScale)
+          .as("ci_high"))
+  }
+
+  /** Two-window Poisson rate-ratio test via the conditional binomial
+    * (Przyborowski & Wilenski, Biometrika '40 — the C-test): given k₁
+    * events in exposure t₁ and k₂ in t₂, under H₀ (equal rates)
+    * k₁ | k₁+k₂ ~ Binomial(k, π = t₁/(t₁+t₂)); the score z =
+    * (k₁ − kπ)/√(kπ(1−π)) screens "did the event rate actually change
+    * between the windows" with exposure imbalance priced in — the
+    * conditioning removes the unknown base rate entirely, which is why
+    * this beats comparing raw counts or per-window means. Rate ratio
+    * (k₁/t₁)/(k₂/t₂) is reported beside z.
+    *
+    * Shape: ONE conditional 1-row aggregate over the events — no
+    * window, no join; exposures are caller-supplied constants (window
+    * lengths), counts exact integers. The ratio is exact-rational,
+    * UNROUNDED; z mixes a √ and rounds. */
+  def poissonRateTest(events: DataFrame, tsCol: String, splitTs: String,
+                      t1: Double, t2: Double,
+                      roundScale: Int = 6): DataFrame = {
+    require(t1 > 0 && t2 > 0, s"exposures must be positive: $t1, $t2")
+    val pi = t1 / (t1 + t2)
+    events
+      .agg(sum(when(col(tsCol) < lit(splitTs).cast("timestamp"), 1L)
+          .otherwise(0L)).as("k1"),
+        sum(when(col(tsCol) >= lit(splitTs).cast("timestamp"), 1L)
+          .otherwise(0L)).as("k2"))
+      .withColumn("__k", (col("k1") + col("k2")).cast("double"))
+      .select(col("k1"), col("k2"),
+        when(col("k2") > 0, (col("k1").cast("double") / t1)
+          / (col("k2").cast("double") / t2)).as("rate_ratio"),
+        (col("__k") * pi).as("k1_expected"),
+        round(when(col("__k") > 0,
+          (col("k1").cast("double") - col("__k") * pi)
+            / sqrt(col("__k") * pi * (1.0 - pi))), roundScale).as("z"))
+  }
+
+  /** Per-group Jarque–Bera normality screen (Jarque & Bera, Econ.
+    * Lett. '80): JB = n(S²/6 + (K−3)²/24) from sample skewness S and
+    * kurtosis K — the gate that decides which rung of the
+    * experimentation ladder applies (t/CUPED assume near-normal tails;
+    * heavy-K or skewed groups should route to Mann–Whitney / Yuen /
+    * trimmed estimators). Under H₀, JB ~ χ²₂ — JB ≳ 6 rejects at ~5%.
+    *
+    * TWO-PASS central moments: the grand mean joins back (broadcast)
+    * and Σ(x−μ)^k accumulate directly — computing m₃/m₄ from raw
+    * power sums cancels catastrophically at large |μ| (Σx⁴ ~ n·μ⁴
+    * swamps the centered signal), the same reason rollingFeatures
+    * clamps its variance identity. Moments are float sums → S, K, JB
+    * all round.
+    *
+    * Shape: one per-group mean aggregate, one broadcast join back, one
+    * per-group moment aggregate — shuffle ∝ groups both passes, no
+    * window. */
+  def jarqueBera(df: DataFrame, groupCol: String, valCol: String,
+                 roundScale: Int = 6): DataFrame = {
+    val x = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valCol).cast("double").as("__x"))
+    val means = x.groupBy(col("__g"))
+      .agg(avg(col("__x")).as("__mu"), count(lit(1)).as("n"))
+    val cent = x.join(broadcast(means), Seq("__g"))
+      .withColumn("__d", col("__x") - col("__mu"))
+      .groupBy(col("__g"), col("n"))
+      .agg(sum(col("__d") * col("__d")).as("__m2"),
+        sum(col("__d") * col("__d") * col("__d")).as("__m3"),
+        sum(col("__d") * col("__d") * col("__d") * col("__d")).as("__m4"))
+      .withColumn("__nd", col("n").cast("double"))
+      .withColumn("__v", col("__m2") / col("__nd"))
+      .withColumn("__s", when(col("__v") > 0, col("__m3") / col("__nd")
+        / pow(col("__v"), 1.5)))
+      .withColumn("__k", when(col("__v") > 0, col("__m4") / col("__nd")
+        / (col("__v") * col("__v"))))
+    cent.select(col("__g").as(groupCol), col("n"),
+      round(col("__s"), roundScale).as("skewness"),
+      round(col("__k"), roundScale).as("kurtosis"),
+      round(col("__nd") * (col("__s") * col("__s") / 6.0
+        + (col("__k") - 3.0) * (col("__k") - 3.0) / 24.0), roundScale)
+        .as("jb"))
+  }
+
   /** Cohen's kappa between two categorical labelings (public: Cohen '60)
     * — chance-corrected agreement, the standard answer to "do the
     * heuristic labeler and the declared label actually agree beyond what

@@ -998,4 +998,60 @@ class StatsSpec extends SparkSuite {
     assert(o.getLong(1) === 1L && o.isNullAt(3) && o.isNullAt(4)
       && o.isNullAt(5))
   }
+
+  test("wilsonInterval: edge-honest 2-for-2, hand-checked half") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 2-for-2 at z=1.96: the classic [0.342, 1.0], NOT the Wald [1, 1]
+    val df = Seq(("a", true), ("a", true), ("b", true), ("b", false))
+      .toDF("g", "y")
+    val out = Stats.wilsonInterval(df, "g", col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val z2 = 1.96 * 1.96
+    val den = 1.0 + z2 / 2.0
+    assert(out("a").getDouble(3) === 1.0)
+    assert(out("a").getDouble(4) ===
+      r6((1.0 + z2 / 4.0 - 1.96 * math.sqrt(z2 / 16.0)) / den))
+    assert(out("a").getDouble(5) === 1.0)
+    // p̂ = ½ is symmetric about the shifted center
+    val b = out("b")
+    assert(b.getDouble(3) === 0.5)
+    assert(b.getDouble(4) ===
+      r6((0.5 + z2 / 4.0 - 1.96 * math.sqrt(0.125 + z2 / 16.0)) / den))
+    assert(b.getDouble(5) ===
+      r6((0.5 + z2 / 4.0 + 1.96 * math.sqrt(0.125 + z2 / 16.0)) / den))
+  }
+
+  test("poissonRateTest: hand-checked conditional z, equal exposures") {
+    import java.sql.Timestamp
+    // 30 before vs 10 after, equal exposure: π=½, z = 10/√10 = √10
+    val before = (1 to 30).map(i =>
+      Tuple1(Timestamp.valueOf(f"2024-01-05 10:$i%02d:00")))
+    val after = (1 to 10).map(i =>
+      Tuple1(Timestamp.valueOf(f"2024-01-20 10:$i%02d:00")))
+    val ev = (before ++ after).toDF("t")
+    val r = Stats.poissonRateTest(ev, "t", "2024-01-16 00:00:00",
+      t1 = 1.0, t2 = 1.0).collect().head
+    assert(r.getLong(0) === 30L && r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 3.0)
+    assert(r.getDouble(3) === 20.0)
+    assert(r.getDouble(4) === BigDecimal(math.sqrt(10.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("jarqueBera: symmetric two-point mass, constant null") {
+    // {−1,−1,1,1}: S=0, K=1 → JB = 4·(1−3)²/24 = 2/3
+    val df = Seq(("g", -1.0), ("g", -1.0), ("g", 1.0), ("g", 1.0),
+      ("c", 5.0), ("c", 5.0)).toDF("grp", "v")
+    val out = Stats.jarqueBera(df, "grp", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getLong(1) === 4L)
+    assert(g.getDouble(2) === 0.0 && g.getDouble(3) === 1.0)
+    assert(g.getDouble(4) === BigDecimal(2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // constant group: zero variance → null S/K/JB, not NaN
+    assert(out("c").isNullAt(2) && out("c").isNullAt(3)
+      && out("c").isNullAt(4))
+  }
 }
