@@ -3703,6 +3703,17 @@ object SparkEntry {
   private def q_jarque_bera(s: SparkSession, d: String): DataFrame =
     Stats.jarqueBera(Tables.events(s, d), "event_type", "value")
 
+  /** §2b Jonckheere–Terpstra ordered-alternative test: does the event
+    * value distribution shift monotonically across the six 5-day
+    * buckets of the month — dose-response power Kruskal–Wallis
+    * diffuses; midrank ties + the Hollander–Wolfe tie-corrected
+    * variance. */
+  private def q_jonckheere(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("bucket", floor((dayofmonth(col("ts")) - 1) / 5))
+    Stats.jonckheereTerpstra(ev, "bucket", "value")
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4034,6 +4045,7 @@ object SparkEntry {
     "q_wilson" -> (q_wilson _),
     "q_poisson_rate" -> (q_poisson_rate _),
     "q_jarque_bera" -> (q_jarque_bera _),
+    "q_jonckheere" -> (q_jonckheere _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -10648,5 +10660,52 @@ object SparkEntry {
                 round(nd * (s * s / 6.0 + (k - 3.0) * (k - 3.0) / 24.0), 6)
                   AS jb
          FROM e""",
+    "q_jonckheere" ->
+      """WITH h AS (SELECT CAST(floor((day(ts) - 1) / 5) AS BIGINT) AS g,
+                      CAST(value AS DOUBLE) AS v,
+                      CAST(count(*) AS BIGINT) AS h
+                    FROM events WHERE value IS NOT NULL
+                    GROUP BY 1, 2),
+              grid AS (SELECT gs.g, vs.v, coalesce(h.h, 0) AS hi
+                       FROM (SELECT DISTINCT g FROM h) gs
+                       CROSS JOIN (SELECT DISTINCT v FROM h) vs
+                       LEFT JOIN h ON h.g = gs.g AND h.v = vs.v),
+              cg AS (SELECT g, v, hi,
+                       SUM(hi) OVER (PARTITION BY g ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - hi AS below
+                     FROM grid),
+              jt AS (SELECT sum(CAST(b.h AS DOUBLE) * a.below
+                         + 0.5 * CAST(a.hi AS DOUBLE) * b.h) AS j_stat
+                     FROM cg a JOIN h b ON a.v = b.v AND a.g < b.g),
+              sz AS (SELECT g, CAST(sum(h) AS BIGINT) AS n
+                     FROM h GROUP BY 1),
+              szf AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                        CAST(sum(n * n) AS BIGINT) AS sn2,
+                        sum(CAST(n AS DOUBLE) * (n - 1) * (2.0 * n + 5))
+                          AS sn_a,
+                        sum(CAST(n AS DOUBLE) * (n - 1) * (n - 2)) AS sn_b,
+                        sum(CAST(n AS DOUBLE) * (n - 1)) AS sn_c
+                      FROM sz),
+              tf AS (SELECT
+                       sum(CAST(t AS DOUBLE) * (t - 1) * (2.0 * t + 5))
+                         AS st_a,
+                       sum(CAST(t AS DOUBLE) * (t - 1) * (t - 2)) AS st_b,
+                       sum(CAST(t AS DOUBLE) * (t - 1)) AS st_c
+                     FROM (SELECT v, CAST(sum(h) AS BIGINT) AS t
+                           FROM h GROUP BY 1)),
+              fin AS (SELECT nn, j_stat,
+                        CAST(nn * nn - sn2 AS DOUBLE) / 4.0 AS e,
+                        (CAST(nn AS DOUBLE) * (nn - 1) * (2.0 * nn + 5)
+                          - sn_a - st_a) / 72.0
+                          + sn_b * st_b / (36.0 * CAST(nn AS DOUBLE)
+                            * (nn - 1) * (nn - 2))
+                          + sn_c * st_c / (8.0 * CAST(nn AS DOUBLE)
+                            * (nn - 1)) AS vr
+                      FROM jt, szf, tf)
+         SELECT nn AS n_total, j_stat, e AS j_expected,
+                CASE WHEN vr > 0
+                  THEN round((j_stat - e) / sqrt(vr), 6) END AS z
+         FROM fin""",
   )
 }

@@ -1124,6 +1124,92 @@ object Stats {
           col("__r")), roundScale).as("rate_shrunk"))
   }
 
+  /** Jonckheere–Terpstra test for an ORDERED k-sample alternative
+    * (Jonckheere, Biometrika '54; Terpstra '52; tie-corrected null
+    * variance per Hollander & Wolfe §6.2): J = Σ_{i<j} U_ij with
+    * midrank ties (U counts a<b as 1, a=b as ½ over cross pairs of
+    * ordered groups), E[J] = (N² − Σnᵢ²)/4, and the three-term
+    * tie-corrected variance
+    *   [N(N−1)(2N+5) − Σn(n−1)(2n+5) − Σt(t−1)(2t+5)]/72
+    *   + [Σn(n−1)(n−2)][Σt(t−1)(t−2)]/(36·N(N−1)(N−2))
+    *   + [Σn(n−1)][Σt(t−1)]/(8·N(N−1))
+    * (t = pooled tie-group sizes; reduces exactly to the classical
+    * [N²(2N+3) − Σn²(2n+3)]/72 when ties vanish — spec-pinned). THE
+    * dose-response test for a CONTINUOUS response across ordered
+    * groups: [[kruskalWallis]] spends power on any difference,
+    * [[cochranArmitage]] needs a binary outcome; JT concentrates on
+    * "does the value distribution shift monotonically with the bucket".
+    *
+    * NOT a pair join over rows: U folds from the per-(group, value)
+    * histogram — U_ij = Σ_v h_j(v)·A_i(v⁻) + ½Σ_v h_i(v)h_j(v) with
+    * A_i(v⁻) the group-i count strictly below v off a per-group
+    * cumulative over the POOLED distinct-value grid — so the cost is
+    * |distinct values|·k² histogram rows, never n². Bin/round a
+    * continuous column first at billions of distinct points, and mind
+    * the exactness bar: the variance's N³-scale integer products stay
+    * exact to 2^53 (N ≲ 1.6·10⁵ exact; beyond, ~1-ulp error absorbed
+    * by the 6dp rounding). J and E[J] are exact halves/quarters —
+    * deliberately UNROUNDED; z rounds.
+    *
+    * Group order is `groupCol`'s natural ascending order. */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String, valCol: String,
+                         roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(valCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__h"))
+      .cache()
+    val groups = h.select(col("__g")).distinct()
+    val values = h.select(col("__v")).distinct()
+    // dense (value × group) grid: A_i(v⁻) must exist even where group i
+    // has no mass AT v (its below-v count still weights U)
+    val grid = values.crossJoin(groups)
+      .join(h, Seq("__g", "__v"), "left")
+      .withColumn("__hi", coalesce(col("__h"), lit(0L)))
+      .withColumn("__cum", sum(col("__hi")).over(Window.partitionBy(col("__g"))
+        .orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__below", col("__cum") - col("__hi"))
+      .select(col("__g").as("__gi"), col("__v"),
+        col("__hi"), col("__below"))
+    val j = grid
+      .join(h.select(col("__g").as("__gj"), col("__v"),
+        col("__h").as("__hj")), Seq("__v"))
+      .filter(col("__gi") < col("__gj"))
+      .agg(sum(col("__hj").cast("double") * col("__below")
+        + lit(0.5) * col("__hi").cast("double") * col("__hj")).as("j_stat"))
+    val sizes = h.groupBy(col("__g")).agg(sum(col("__h")).as("__n"))
+      .agg(sum(col("__n")).as("__nn"),
+        sum(col("__n") * col("__n")).as("__sn2"),
+        sum(col("__n").cast("double") * (col("__n") - 1)
+          * (lit(2.0) * col("__n") + 5)).as("__sn_a"),
+        sum(col("__n").cast("double") * (col("__n") - 1)
+          * (col("__n") - 2)).as("__sn_b"),
+        sum(col("__n").cast("double") * (col("__n") - 1)).as("__sn_c"))
+    val ties = h.groupBy(col("__v")).agg(sum(col("__h")).as("__t"))
+      .agg(sum(col("__t").cast("double") * (col("__t") - 1)
+          * (lit(2.0) * col("__t") + 5)).as("__st_a"),
+        sum(col("__t").cast("double") * (col("__t") - 1)
+          * (col("__t") - 2)).as("__st_b"),
+        sum(col("__t").cast("double") * (col("__t") - 1)).as("__st_c"))
+    j.crossJoin(broadcast(sizes)).crossJoin(broadcast(ties))
+      .withColumn("__nd", col("__nn").cast("double"))
+      .withColumn("__e", (col("__nn") * col("__nn") - col("__sn2"))
+        .cast("double") / 4.0)
+      .withColumn("__var",
+        (col("__nd") * (col("__nd") - 1) * (lit(2.0) * col("__nd") + 5)
+          - col("__sn_a") - col("__st_a")) / 72.0
+          + col("__sn_b") * col("__st_b")
+            / (lit(36.0) * col("__nd") * (col("__nd") - 1)
+              * (col("__nd") - 2))
+          + col("__sn_c") * col("__st_c")
+            / (lit(8.0) * col("__nd") * (col("__nd") - 1)))
+      .select(col("__nn").as("n_total"), col("j_stat"),
+        col("__e").as("j_expected"),
+        round(when(col("__var") > 0,
+          (col("j_stat") - col("__e")) / sqrt(col("__var"))), roundScale)
+          .as("z"))
+  }
+
   /** Per-group Wilson score interval for a success rate (Wilson, JASA
     * '27): [p̂ + z²/2n ± z√(p̂(1−p̂)/n + z²/4n²)] / (1 + z²/n) — the
     * binomial CI that behaves at the edges where the Wald interval

@@ -175,7 +175,8 @@ class PlanAuditSpec extends SparkSuite {
   //    the same bounded brute-force contract in q_twonn (intrinsic-dim
   //    estimate needs every pairwise distance on the sampled range);
   //  * per-group aggregate matrices (pairwise over distinct sources /
-  //    categories / days / tests — value-grid bound): q_jsd_matrix,
+  //    categories / days / tests — value-grid bound; q_jonckheere's
+  //    distinct-values × groups grid is the same contract): q_jsd_matrix,
   //    q_cramers_v, q_naive_bayes, q_drift_monitor, q_ks_per_source,
   //    q_heaps_law, q_query_likelihood, q_fdr_bh;
   //  * the strictly-dominating cell-pair grid in q_kendall_tau (work ∝
@@ -190,7 +191,7 @@ class PlanAuditSpec extends SparkSuite {
     "q_ivf_topk", "q_ivf_topk_bcast", "q_ivf_trained", "q_pq_topk",
     "q_cosine_topk", "q_int8_recall", "q_rrf", "q_jl_distortion",
     "q_embedding_pairs", "q_twonn", "q_jsd_matrix", "q_cramers_v",
-    "q_naive_bayes",
+    "q_naive_bayes", "q_jonckheere",
     "q_drift_monitor", "q_ks_per_source", "q_heaps_law",
     "q_query_likelihood", "q_fdr_bh", "q_isotonic", "q_kendall_tau")
 

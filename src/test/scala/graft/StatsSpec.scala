@@ -1054,4 +1054,23 @@ class StatsSpec extends SparkSuite {
     assert(out("c").isNullAt(2) && out("c").isNullAt(3)
       && out("c").isNullAt(4))
   }
+
+  test("jonckheereTerpstra: classical no-ties case and midrank ties") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // perfectly separated groups {1,2}<{3,4}<{5,6}: J = 12, E = 6,
+    // no-ties Var = [N²(2N+3) − Σn²(2n+3)]/72 = 456/72
+    val sep = Seq((1, 1.0), (1, 2.0), (2, 3.0), (2, 4.0), (3, 5.0),
+      (3, 6.0)).toDF("g", "v")
+    val r = Stats.jonckheereTerpstra(sep, "g", "v").collect().head
+    assert(r.getLong(0) === 6L)
+    assert(r.getDouble(1) === 12.0 && r.getDouble(2) === 6.0)
+    assert(r.getDouble(3) === r6(6.0 / math.sqrt(456.0 / 72.0)))
+    // ties: g1={1,2}, g2={2,3} → J = 3 + ½ = 3.5, E = 2; tie-corrected
+    // Var = 102/72 + 0 + 4·2/(8·12) = 1.5 (Hollander–Wolfe three-term)
+    val tied = Seq((1, 1.0), (1, 2.0), (2, 2.0), (2, 3.0)).toDF("g", "v")
+    val t = Stats.jonckheereTerpstra(tied, "g", "v").collect().head
+    assert(t.getDouble(1) === 3.5 && t.getDouble(2) === 2.0)
+    assert(t.getDouble(3) === r6(1.5 / math.sqrt(1.5)))
+  }
 }
