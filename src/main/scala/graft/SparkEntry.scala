@@ -3714,6 +3714,14 @@ object SparkEntry {
     Stats.jonckheereTerpstra(ev, "bucket", "value")
   }
 
+  /** §2b mixture-SPRT always-valid p for the purchase share vs p₀=0.2
+    * (τ=0.05 mixing) — the peeking-safe daily monitor: report p every
+    * day, stop at any crossing, validity holds by the running-min
+    * construction. */
+  private def q_msprt(s: SparkSession, d: String): DataFrame =
+    Stats.msprtDaily(Tables.events(s, d), "ts", "event_type",
+      successType = "purchase", p0 = 0.2, tau = 0.05)
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4046,6 +4054,7 @@ object SparkEntry {
     "q_poisson_rate" -> (q_poisson_rate _),
     "q_jarque_bera" -> (q_jarque_bera _),
     "q_jonckheere" -> (q_jonckheere _),
+    "q_msprt" -> (q_msprt _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -10707,5 +10716,35 @@ object SparkEntry {
                 CASE WHEN vr > 0
                   THEN round((j_stat - e) / sqrt(vr), 6) END AS z
          FROM fin""",
+    "q_msprt" ->
+      """WITH d AS (SELECT date_trunc('day', ts) AS day,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS k
+                    FROM events GROUP BY 1),
+              c AS (SELECT day,
+                      CAST(SUM(n) OVER w AS BIGINT) AS n_cum,
+                      CAST(SUM(k) OVER w AS BIGINT) AS k_cum
+                    FROM d
+                    WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW)),
+              l AS (SELECT day, n_cum, k_cum,
+                      CAST(n_cum AS DOUBLE) AS nd,
+                      CAST(k_cum AS DOUBLE) / CAST(n_cum AS DOUBLE)
+                        - 0.2 AS dev,
+                      0.2 * (1.0 - 0.2) AS s2, 0.05 * 0.05 AS t2
+                    FROM c),
+              m AS (SELECT day, n_cum, k_cum,
+                      sqrt(s2 / (s2 + nd * t2))
+                        * exp(nd * nd * t2 * dev * dev
+                          / (2.0 * s2 * (s2 + nd * t2))) AS lam
+                    FROM l),
+              p AS (SELECT day, n_cum, k_cum, lam,
+                      least(1.0, 1.0 / lam) AS praw
+                    FROM m)
+         SELECT day, n_cum, k_cum, round(lam, 6) AS lambda,
+                round(MIN(praw) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW), 6) AS p_always_valid
+         FROM p""",
   )
 }

@@ -1076,6 +1076,53 @@ object Stats {
           .otherwise("continue").as("decision"))
   }
 
+  /** Mixture SPRT always-valid p-value over the daily success-rate
+    * stream (Johari, Koomen, Pekelis & Walsh, KDD '17 "Peeking at A/B
+    * tests"): with plug-in σ² = p₀(1−p₀) and a N(p₀, τ²) mixing prior,
+    *   Λ_n = √(σ²/(σ²+nτ²)) · exp(n²τ²(x̄−p₀)²/(2σ²(σ²+nτ²)))
+    * and p_n = min_{m≤n} 1/Λ_m (clamped at 1) — a p-value that is
+    * VALID AT EVERY LOOK: report it on a live dashboard daily and stop
+    * whenever it crosses α, no schedule needed. The modern companion to
+    * [[sprtDaily]]: Wald's test needs a committed alternative p₁;
+    * mSPRT prices ALL alternatives through the mixture and pays only a
+    * √-factor for it. The running min is what makes peeking safe —
+    * today's p never un-rejects yesterday's.
+    *
+    * The min folds over UNROUNDED Λ (rounding first could flip which
+    * day attains it); λ and p then round (exp/√ noise).
+    *
+    * Shape: one day-grain conditional aggregate, cumulative + running-
+    * min windows on the ≤days-row grid (the calendar-bounded
+    * exception). */
+  def msprtDaily(events: DataFrame, tsCol: String, typeCol: String,
+                 successType: String, p0: Double, tau: Double,
+                 roundScale: Int = 6): DataFrame = {
+    require(p0 > 0 && p0 < 1, s"null rate must be in (0,1): $p0")
+    require(tau > 0, s"mixing sd must be positive: $tau")
+    import org.apache.spark.sql.expressions.Window
+    val s2 = p0 * (1.0 - p0)
+    val t2 = tau * tau
+    val cum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(typeCol) === successType, 1L).otherwise(0L)).as("__k"))
+      .withColumn("n_cum", sum(col("__n")).over(cum))
+      .withColumn("k_cum", sum(col("__k")).over(cum))
+      .withColumn("__nd", col("n_cum").cast("double"))
+      .withColumn("__dev", col("k_cum").cast("double") / col("__nd")
+        - lit(p0))
+      .withColumn("__lam",
+        sqrt(lit(s2) / (lit(s2) + col("__nd") * t2))
+          * exp(col("__nd") * col("__nd") * t2 * col("__dev") * col("__dev")
+            / (lit(2.0) * s2 * (lit(s2) + col("__nd") * t2))))
+      .withColumn("__praw", least(lit(1.0), lit(1.0) / col("__lam")))
+      .select(col("day"), col("n_cum"), col("k_cum"),
+        round(col("__lam"), roundScale).as("lambda"),
+        round(min(col("__praw")).over(cum), roundScale).as("p_always_valid"))
+  }
+
   /** Empirical-Bayes beta–binomial shrinkage of per-unit success rates
     * (Robbins '56 lineage; the method-of-moments recipe popularized for
     * batting averages): fit Beta(α,β) to the observed per-unit rates by

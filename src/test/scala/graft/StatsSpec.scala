@@ -1073,4 +1073,28 @@ class StatsSpec extends SparkSuite {
     assert(t.getDouble(1) === 3.5 && t.getDouble(2) === 2.0)
     assert(t.getDouble(3) === r6(1.5 / math.sqrt(1.5)))
   }
+
+  test("msprtDaily: null day stays p=1, effect day drops the running min") {
+    import java.sql.Timestamp
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def t(d: Int, i: Int) = Timestamp.valueOf(f"2024-01-0$d 10:$i%02d:00")
+    // day1: 2/10 = p0 exactly → dev 0, Λ = √(σ²/(σ²+10τ²)) < 1 → p = 1
+    // day2: +10/10 → cum 12/20, dev 0.4 → Λ ≫ 1 → p = 1/Λ < 1
+    val day1 = (1 to 10).map(i => (t(1, i), if (i <= 2) "s" else "f"))
+    val day2 = (1 to 10).map(i => (t(2, i), "s"))
+    val ev = (day1 ++ day2).toDF("ts", "et")
+    val out = Stats.msprtDaily(ev, "ts", "et", "s", p0 = 0.2, tau = 0.5)
+      .collect().sortBy(_.getTimestamp(0).getTime)
+    val s2 = 0.2 * (1.0 - 0.2); val t2 = 0.5 * 0.5
+    val lam1 = math.sqrt(s2 / (s2 + 10.0 * t2))
+    assert(out(0).getDouble(3) === r6(lam1))
+    assert(out(0).getDouble(4) === 1.0)
+    val dev = 12.0 / 20.0 - 0.2
+    val lam2 = math.sqrt(s2 / (s2 + 20.0 * t2)) *
+      math.exp(20.0 * 20.0 * t2 * dev * dev / (2.0 * s2 * (s2 + 20.0 * t2)))
+    assert(lam2 > 1.0)
+    assert(out(1).getDouble(3) === r6(lam2))
+    assert(out(1).getDouble(4) === r6(1.0 / lam2))
+  }
 }
