@@ -3722,6 +3722,23 @@ object SparkEntry {
     Stats.msprtDaily(Tables.events(s, d), "ts", "event_type",
       successType = "purchase", p0 = 0.2, tau = 0.05)
 
+  /** §2b Wald–Wolfowitz runs test on the above/below-mean sign pattern
+    * of daily counts — the outlier-immune randomness screen (too few
+    * runs = regime persistence, too many = oscillation). */
+  private def q_runs_test(s: SparkSession, d: String): DataFrame =
+    TimeSeries.runsTestDaily(Tables.events(s, d), "ts")
+
+  /** §2b Friedman test (Conover tie-robust form) of event-type value
+    * levels BLOCKED by day — day-level shifts cancel inside each
+    * block, isolating the treatment contrast KW would drown. */
+  private def q_friedman(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(avg(col("value")).as("mean_value"))
+    Stats.friedmanTest(cells, "day", "event_type", "mean_value")
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4055,6 +4072,8 @@ object SparkEntry {
     "q_jarque_bera" -> (q_jarque_bera _),
     "q_jonckheere" -> (q_jonckheere _),
     "q_msprt" -> (q_msprt _),
+    "q_runs_test" -> (q_runs_test _),
+    "q_friedman" -> (q_friedman _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -10746,5 +10765,79 @@ object SparkEntry {
                 round(MIN(praw) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
                   PRECEDING AND CURRENT ROW), 6) AS p_always_valid
          FROM p""",
+    "q_runs_test" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS day,
+                      CAST(count(*) AS BIGINT) AS x
+                    FROM events GROUP BY 1),
+              s AS (SELECT day,
+                      CASE WHEN CAST(x AS DOUBLE) > mu THEN 1
+                           WHEN CAST(x AS DOUBLE) < mu THEN 0 END AS sg
+                    FROM (SELECT day, x,
+                            CAST(SUM(x) OVER () AS DOUBLE)
+                              / CAST(COUNT(*) OVER () AS DOUBLE) AS mu
+                          FROM c)),
+              f AS (SELECT sg,
+                      CASE WHEN LAG(sg) OVER (ORDER BY day) IS NULL
+                             OR LAG(sg) OVER (ORDER BY day) <> sg
+                        THEN 1 ELSE 0 END AS chg
+                    FROM s WHERE sg IS NOT NULL),
+              a AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                      CAST(sum(sg) AS BIGINT) AS n_above,
+                      CAST(count(*) - sum(sg) AS BIGINT) AS n_below,
+                      CAST(sum(chg) AS BIGINT) AS n_runs
+                    FROM f),
+              g AS (SELECT *, CAST(n_days AS DOUBLE) AS nn,
+                      2.0 * CAST(n_above AS DOUBLE)
+                        * CAST(n_below AS DOUBLE) AS p
+                    FROM a),
+              h AS (SELECT *, p * (p - nn) / (nn * nn * (nn - 1)) AS vr
+                    FROM g)
+         SELECT n_days, n_above, n_below, n_runs,
+                1.0 + p / nn AS runs_expected,
+                CASE WHEN vr > 0 THEN round((CAST(n_runs AS DOUBLE)
+                  - (1.0 + p / nn)) / sqrt(vr), 6) END AS z
+         FROM h""",
+    "q_friedman" ->
+      """WITH cells AS (SELECT date_trunc('day', ts) AS b,
+                          event_type AS t, avg(value) AS v
+                        FROM events WHERE value IS NOT NULL
+                        GROUP BY 1, 2),
+              cb AS (SELECT b, t, v FROM cells WHERE v IS NOT NULL),
+              kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k
+                     FROM cb),
+              comp AS (SELECT cb.b, cb.t, cb.v
+                       FROM cb
+                       JOIN (SELECT b, count(*) AS c FROM cb GROUP BY 1) bc
+                         ON cb.b = bc.b, kk
+                       WHERE bc.c = kk.k),
+              rk AS (SELECT b, t,
+                       CAST(rank() OVER (PARTITION BY b ORDER BY v)
+                         AS DOUBLE)
+                         + (CAST(count(*) OVER (PARTITION BY b, v)
+                           AS DOUBLE) - 1.0) / 2.0 AS r
+                     FROM comp),
+              pt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_blocks,
+                       sum(r) AS rsum
+                     FROM rk GROUP BY 1),
+              ft AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS bb,
+                       sum(r * r) AS sr2
+                     FROM rk),
+              tt AS (SELECT bb AS n_blocks_used, kk.k AS k_treatments,
+                       CASE WHEN sr2 - CAST(bb AS DOUBLE)
+                           * CAST(kk.k AS DOUBLE) * (kk.k + 1) * (kk.k + 1)
+                           / 4.0 > 0
+                         THEN round((CAST(kk.k AS DOUBLE) - 1)
+                           * (srj2 - CAST(bb AS DOUBLE)
+                             * (CAST(bb AS DOUBLE) * CAST(kk.k AS DOUBLE)
+                               * (kk.k + 1) * (kk.k + 1) / 4.0))
+                           / (sr2 - CAST(bb AS DOUBLE)
+                             * CAST(kk.k AS DOUBLE) * (kk.k + 1)
+                             * (kk.k + 1) / 4.0), 6) END AS t1
+                     FROM (SELECT sum(rsum * rsum) AS srj2 FROM pt),
+                       ft, kk)
+         SELECT t AS event_type, n_blocks, rsum AS rank_sum,
+                rsum / CAST(n_blocks AS DOUBLE) AS mean_rank,
+                n_blocks_used, k_treatments, t1
+         FROM pt, tt""",
   )
 }

@@ -1076,6 +1076,77 @@ object Stats {
           .otherwise("continue").as("decision"))
   }
 
+  /** Friedman test for k treatments over b blocks, in Conover's
+    * tie-robust form (Friedman, JASA '37; Conover, "Practical
+    * Nonparametric Statistics" §5.8): midrank the k responses WITHIN
+    * each block, then
+    *   T₁ = (k−1)·[Σ_j R_j² − b²k(k+1)²/4] / [Σ_ij r_ij² − bk(k+1)²/4]
+    * (R_j = treatment j's rank sum; denominator = observed rank
+    * dispersion, so ties need no separate correction factor; reduces to
+    * the textbook 12/(bk(k+1))·ΣR_j² − 3b(k+1) when ties vanish,
+    * spec-pinned). THE repeated-measures companion to [[kruskalWallis]]:
+    * KW assumes independent groups, Friedman BLOCKS by day/user/segment
+    * first, so a day-level level shift (traffic, seasonality) cancels
+    * instead of drowning the treatment contrast. Under H₀, T₁ ~ χ²_{k−1}.
+    *
+    * Only COMPLETE blocks enter (a block missing a treatment can't be
+    * ranked 1..k; dropped blocks are visible via n_blocks). Emits one
+    * row per treatment (rank sum, mean rank — exact halves/rationals,
+    * UNROUNDED) with the 1-row (b, k, T₁) fit broadcast alongside.
+    *
+    * Shape: one (block, treatment) cell aggregate over the data, ranks
+    * via block-partitioned windows on the bounded b×k cell grid, two
+    * folds — shuffle ∝ cells, never rows. */
+  def friedmanTest(cells: DataFrame, blockCol: String, treatCol: String,
+                   valCol: String, roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val base = cells
+      .filter(col(valCol).isNotNull)
+      .select(col(blockCol).as("__b"), col(treatCol).as("__t"),
+        col(valCol).cast("double").as("__v"))
+      .withColumn("__k", size(collect_set(col("__t")).over(kAll)))
+    val complete = base
+      .withColumn("__bk", count(lit(1)).over(
+        Window.partitionBy(col("__b"))))
+      .filter(col("__bk") === col("__k"))
+    val ranked = complete
+      .withColumn("__minr", rank().over(Window.partitionBy(col("__b"))
+        .orderBy(col("__v"))))
+      .withColumn("__ties", count(lit(1)).over(
+        Window.partitionBy(col("__b"), col("__v"))))
+      // midrank = min-rank + (t−1)/2 — the mean of the tied positions
+      .withColumn("__r", col("__minr").cast("double")
+        + (col("__ties") - 1).cast("double") / 2.0)
+      // cached: the bounded b×k rank grid feeds the per-treatment fold,
+      // the dispersion fold, AND the final select — uncached, the
+      // caller's cell aggregate (data-sized) would re-run per consumer
+      .cache()
+    val perTreat = ranked.groupBy(col("__t"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("__r")).as("__rsum"))
+    val fit = ranked
+      .agg(max(col("__k")).as("__kk"),
+        countDistinct(col("__b")).as("__bb"),
+        sum(col("__r") * col("__r")).as("__sr2"))
+    val t1 = perTreat.agg(sum(col("__rsum") * col("__rsum")).as("__srj2"))
+      .crossJoin(broadcast(fit))
+      .withColumn("__kd", col("__kk").cast("double"))
+      .withColumn("__bd", col("__bb").cast("double"))
+      .withColumn("__c", col("__bd") * col("__kd")
+        * (col("__kd") + 1) * (col("__kd") + 1) / 4.0)
+      .select(col("__bb").as("n_blocks_used"),
+        col("__kk").cast("long").as("k_treatments"),
+        round(when(col("__sr2") - col("__c") > 0,
+          (col("__kd") - 1) * (col("__srj2") - col("__bd") * col("__c"))
+            / (col("__sr2") - col("__c"))), roundScale).as("t1"))
+    perTreat
+      .select(col("__t").as(treatCol), col("n_blocks"),
+        col("__rsum").as("rank_sum"),
+        (col("__rsum") / col("n_blocks").cast("double")).as("mean_rank"))
+      .crossJoin(broadcast(t1))
+  }
+
   /** Mixture SPRT always-valid p-value over the daily success-rate
     * stream (Johari, Koomen, Pekelis & Walsh, KDD '17 "Peeking at A/B
     * tests"): with plug-in σ² = p₀(1−p₀) and a N(p₀, τ²) mixing prior,

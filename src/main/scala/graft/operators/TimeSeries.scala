@@ -511,6 +511,54 @@ object TimeSeries {
           * sum(col("__term")).over(cum), roundScale).as("q_cum"))
   }
 
+  /** Wald–Wolfowitz runs test over the daily counts dichotomized at
+    * the grand mean (Wald & Wolfowitz, AMS '40): R = number of runs of
+    * consecutive above/below-mean days, E[R] = 1 + 2n₁n₂/N,
+    * Var = 2n₁n₂(2n₁n₂−N)/(N²(N−1)), z = (R−E)/√Var — the
+    * NONPARAMETRIC randomness screen: too FEW runs flags clustering/
+    * regime persistence, too MANY flags oscillation, and unlike
+    * [[durbinWatsonDaily]]/[[ljungBoxDaily]] it sees only the SIGN
+    * pattern, so a single outlier day can't buy or hide a rejection.
+    * Days exactly AT the mean carry no sign and are dropped (possible
+    * only when the mean lands on an integer; reported via n_days vs
+    * n_above+n_below).
+    *
+    * R/E are exact integers/rationals — UNROUNDED (rational-halves
+    * rule); z mixes the √ and rounds.
+    *
+    * Shape: one day-grain aggregate, one mean window, one lag-1 window
+    * over the day grid, one fold — the calendar-bounded exception. */
+  def runsTestDaily(events: DataFrame, tsCol: String,
+                    roundScale: Int = 6): DataFrame = {
+    val entire = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ord = Window.orderBy(col("__day"))
+    events
+      .groupBy(date_trunc("day", col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__x"))
+      .withColumn("__mu", sum(col("__x")).over(entire).cast("double")
+        / count(lit(1)).over(entire).cast("double"))
+      .withColumn("__s", when(col("__x") > col("__mu"), 1)
+        .when(col("__x") < col("__mu"), 0))
+      .filter(col("__s").isNotNull)
+      .withColumn("__chg", when(lag(col("__s"), 1).over(ord).isNull
+        || lag(col("__s"), 1).over(ord) =!= col("__s"), 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__s").cast("long")).as("n_above"),
+        (count(lit(1)) - sum(col("__s").cast("long"))).as("n_below"),
+        sum(col("__chg")).as("n_runs"))
+      .withColumn("__nn", col("n_days").cast("double"))
+      .withColumn("__p", lit(2.0) * col("n_above").cast("double")
+        * col("n_below").cast("double"))
+      .withColumn("__var", col("__p") * (col("__p") - col("__nn"))
+        / (col("__nn") * col("__nn") * (col("__nn") - 1)))
+      .select(col("n_days"), col("n_above"), col("n_below"), col("n_runs"),
+        (lit(1.0) + col("__p") / col("__nn")).as("runs_expected"),
+        round(when(col("__var") > 0,
+          (col("n_runs").cast("double") - (lit(1.0) + col("__p")
+            / col("__nn"))) / sqrt(col("__var"))), roundScale).as("z"))
+  }
+
   /** Durbin–Watson statistic over the mean-centered daily counts
     * (Durbin & Watson, Biometrika '50): DW = Σ(e_t − e_{t−1})²/Σe_t² —
     * the one-number lag-1 serial-correlation screen (DW ≈ 2(1−ρ₁):

@@ -1097,4 +1097,31 @@ class StatsSpec extends SparkSuite {
     assert(out(1).getDouble(3) === r6(lam2))
     assert(out(1).getDouble(4) === r6(1.0 / lam2))
   }
+
+  test("friedmanTest: textbook no-ties, midrank ties, incomplete drop") {
+    // 2 complete blocks, consistent order t1<t2<t3: R = (2,4,6) →
+    // T1 = 12·56/(2·3·4) − 3·2·4 = 4 (the Conover form's reduction);
+    // block3 misses t3 → dropped, b stays 2
+    val cells = Seq(
+      ("b1", "t1", 1.0), ("b1", "t2", 2.0), ("b1", "t3", 3.0),
+      ("b2", "t1", 4.0), ("b2", "t2", 5.0), ("b2", "t3", 6.0),
+      ("b3", "t1", 7.0), ("b3", "t2", 8.0)
+    ).toDF("blk", "trt", "v")
+    val out = Stats.friedmanTest(cells, "blk", "trt", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("t1").getLong(1) === 2L)
+    assert(out("t1").getDouble(2) === 2.0 && out("t3").getDouble(2) === 6.0)
+    assert(out("t2").getDouble(3) === 2.0)
+    assert(out("t1").getLong(4) === 2L && out("t1").getLong(5) === 3L)
+    assert(out("t1").getDouble(6) === 4.0)
+    // block2 fully tied → midranks 2,2,2: R = (3,4,5), T1 = 2·2/2 = 2
+    val tied = Seq(
+      ("b1", "t1", 1.0), ("b1", "t2", 2.0), ("b1", "t3", 3.0),
+      ("b2", "t1", 9.0), ("b2", "t2", 9.0), ("b2", "t3", 9.0)
+    ).toDF("blk", "trt", "v")
+    val t = Stats.friedmanTest(tied, "blk", "trt", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(t("t1").getDouble(2) === 3.0 && t("t3").getDouble(2) === 5.0)
+    assert(t("t1").getDouble(6) === 2.0)
+  }
 }

@@ -366,4 +366,29 @@ class TimeSeriesSpec extends SparkSuite {
     val flat = (1 to 4).map(d => Tuple1(ts(f"2024-01-0$d 12:00:00"))).toDF("t")
     assert(TimeSeries.durbinWatsonDaily(flat, "t").collect().head.isNullAt(1))
   }
+
+  test("runsTestDaily: oscillation, clustering, at-mean exclusion") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def mk(counts: Seq[Int]) = counts.zipWithIndex.flatMap { case (n, i) =>
+      Seq.fill(n)(Tuple1(ts(f"2024-01-${i + 1}%02d 12:00:00")))
+    }.toDF("t")
+    // alternating 1,3,…: max runs (6); E = 4, Var = 1.2
+    val osc = TimeSeries.runsTestDaily(mk(Seq(1, 3, 1, 3, 1, 3)), "t")
+      .collect().head
+    assert(osc.getLong(0) === 6L && osc.getLong(1) === 3L
+      && osc.getLong(2) === 3L && osc.getLong(3) === 6L)
+    assert(osc.getDouble(4) === 4.0)
+    assert(osc.getDouble(5) === r6(2.0 / math.sqrt(1.2)))
+    // clustered 1,1,1,3,3,3: minimum 2 runs → z mirrors negative
+    val clu = TimeSeries.runsTestDaily(mk(Seq(1, 1, 1, 3, 3, 3)), "t")
+      .collect().head
+    assert(clu.getLong(3) === 2L)
+    assert(clu.getDouble(5) === r6(-2.0 / math.sqrt(1.2)))
+    // 1,2,3: the at-mean day carries no sign → dropped, variance 0 → null
+    val atMean = TimeSeries.runsTestDaily(mk(Seq(1, 2, 3)), "t")
+      .collect().head
+    assert(atMean.getLong(0) === 2L && atMean.getLong(3) === 2L)
+    assert(atMean.isNullAt(5))
+  }
 }
