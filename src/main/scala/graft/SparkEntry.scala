@@ -3739,6 +3739,31 @@ object SparkEntry {
     Stats.friedmanTest(cells, "day", "event_type", "mean_value")
   }
 
+  /** §2b Cohen's d + Hedges' g for click vs purchase values — the
+    * parametric magnitude column beside q_cliffs_delta's ordinal one;
+    * report an effect size with every p-value. */
+  private def q_effect_size(s: SparkSession, d: String): DataFrame =
+    Stats.effectSize(Tables.events(s, d), "event_type", "value",
+      sideA = "click", sideB = "purchase")
+
+  /** §2b Page's L: does mean event value TREND upward across the four
+    * six-hour buckets, blocked by day — the ordered/blocked cell of the
+    * KW/JT/Friedman/Page 2×2. */
+  private def q_page_trend(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(date_trunc("day", col("ts")).as("day"),
+        floor(hour(col("ts")) / 6).as("slot"))
+      .agg(avg(col("value")).as("mean_value"))
+    Stats.pageTrendTest(cells, "day", "slot", "mean_value")
+  }
+
+  /** §2b Western Electric zone rules over the daily-count control
+    * chart — the pattern alarms (2-of-3 beyond 2σ, 4-of-5 beyond 1σ,
+    * 8 one side) that catch drifts a lone 3σ rule misses. */
+  private def q_control_rules(s: SparkSession, d: String): DataFrame =
+    TimeSeries.controlRulesDaily(Tables.events(s, d), "ts")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4074,6 +4099,9 @@ object SparkEntry {
     "q_msprt" -> (q_msprt _),
     "q_runs_test" -> (q_runs_test _),
     "q_friedman" -> (q_friedman _),
+    "q_effect_size" -> (q_effect_size _),
+    "q_page_trend" -> (q_page_trend _),
+    "q_control_rules" -> (q_control_rules _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -10839,5 +10867,107 @@ object SparkEntry {
                 rsum / CAST(n_blocks AS DOUBLE) AS mean_rank,
                 n_blocks_used, k_treatments, t1
          FROM pt, tt""",
+    "q_effect_size" ->
+      """WITH x AS (SELECT event_type AS s, CAST(value AS DOUBLE) AS x
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase')
+                      AND value IS NOT NULL),
+              a AS (SELECT
+                      CAST(count(CASE WHEN s = 'click' THEN 1 END)
+                        AS BIGINT) AS n_a,
+                      CAST(count(CASE WHEN s = 'purchase' THEN 1 END)
+                        AS BIGINT) AS n_b,
+                      avg(CASE WHEN s = 'click' THEN x END) AS ma,
+                      avg(CASE WHEN s = 'purchase' THEN x END) AS mb,
+                      var_samp(CASE WHEN s = 'click' THEN x END) AS va,
+                      var_samp(CASE WHEN s = 'purchase' THEN x END) AS vb
+                    FROM x),
+              b AS (SELECT *, sqrt((CAST(n_a - 1 AS DOUBLE) * va
+                        + CAST(n_b - 1 AS DOUBLE) * vb)
+                      / CAST(n_a + n_b - 2 AS DOUBLE)) AS sp
+                    FROM a),
+              c AS (SELECT *, CASE WHEN sp > 0
+                      THEN (ma - mb) / sp END AS d
+                    FROM b)
+         SELECT n_a, n_b, round(ma - mb, 6) AS mean_diff,
+                round(sp, 6) AS sd_pooled, round(d, 6) AS cohens_d,
+                round(d * (1.0 - 3.0
+                  / (4.0 * CAST(n_a + n_b AS DOUBLE) - 9.0)), 6)
+                  AS hedges_g
+         FROM c""",
+    "q_page_trend" ->
+      """WITH cells AS (SELECT date_trunc('day', ts) AS b,
+                          CAST(floor(hour(ts) / 6) AS BIGINT) AS t,
+                          avg(value) AS v
+                        FROM events WHERE value IS NOT NULL
+                        GROUP BY 1, 2),
+              cb AS (SELECT b, t, v FROM cells WHERE v IS NOT NULL),
+              kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k
+                     FROM cb),
+              comp AS (SELECT cb.b, cb.t, cb.v
+                       FROM cb
+                       JOIN (SELECT b, count(*) AS c FROM cb GROUP BY 1) bc
+                         ON cb.b = bc.b, kk
+                       WHERE bc.c = kk.k),
+              rk AS (SELECT b, t,
+                       CAST(rank() OVER (PARTITION BY b ORDER BY v)
+                         AS DOUBLE)
+                         + (CAST(count(*) OVER (PARTITION BY b, v)
+                           AS DOUBLE) - 1.0) / 2.0 AS r,
+                       dense_rank() OVER (ORDER BY t) AS w
+                     FROM comp),
+              ft AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS bb,
+                       sum(CAST(w AS DOUBLE) * r) AS l
+                     FROM rk),
+              fin AS (SELECT bb AS n_blocks_used, kk.k AS k_treatments,
+                        l, CAST(bb AS DOUBLE) AS bd,
+                        CAST(kk.k AS DOUBLE) AS kd
+                      FROM ft, kk),
+              g AS (SELECT n_blocks_used, k_treatments, l,
+                      bd * kd * (kd + 1) * (kd + 1) / 4.0 AS e,
+                      bd * (kd * kd * kd - kd) * (kd * kd * kd - kd)
+                        / (144.0 * (kd - 1)) AS vr
+                    FROM fin)
+         SELECT n_blocks_used, k_treatments, l AS l_stat, e AS l_expected,
+                CASE WHEN vr > 0 THEN round((l - e) / sqrt(vr), 6) END AS z
+         FROM g""",
+    "q_control_rules" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS day,
+                      CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1),
+              z AS (SELECT day, n,
+                      CASE WHEN stddev_samp(n) OVER () > 0
+                        THEN (CAST(n AS DOUBLE) - avg(n) OVER ())
+                          / stddev_samp(n) OVER () END AS z
+                    FROM c),
+              w AS (SELECT day, n, z,
+                      COUNT(*) OVER w3 AS c3, COUNT(*) OVER w5 AS c5,
+                      COUNT(*) OVER w8 AS c8,
+                      SUM(CASE WHEN z > 2.0 THEN 1 ELSE 0 END) OVER w3
+                        AS hi2,
+                      SUM(CASE WHEN z < -2.0 THEN 1 ELSE 0 END) OVER w3
+                        AS lo2,
+                      SUM(CASE WHEN z > 1.0 THEN 1 ELSE 0 END) OVER w5
+                        AS hi1,
+                      SUM(CASE WHEN z < -1.0 THEN 1 ELSE 0 END) OVER w5
+                        AS lo1,
+                      SUM(CASE WHEN z > 0.0 THEN 1 ELSE 0 END) OVER w8
+                        AS hi0,
+                      SUM(CASE WHEN z < 0.0 THEN 1 ELSE 0 END) OVER w8
+                        AS lo0
+                    FROM z
+                    WINDOW
+                      w3 AS (ORDER BY day ROWS BETWEEN 2 PRECEDING
+                        AND CURRENT ROW),
+                      w5 AS (ORDER BY day ROWS BETWEEN 4 PRECEDING
+                        AND CURRENT ROW),
+                      w8 AS (ORDER BY day ROWS BETWEEN 7 PRECEDING
+                        AND CURRENT ROW))
+         SELECT day, n, round(z, 6) AS z,
+                abs(z) > 3.0 AS r1_beyond_3s,
+                c3 = 3 AND (hi2 >= 2 OR lo2 >= 2) AS r2_two_of_three_2s,
+                c5 = 5 AND (hi1 >= 4 OR lo1 >= 4) AS r3_four_of_five_1s,
+                c8 = 8 AND (hi0 = 8 OR lo0 = 8) AS r4_eight_one_side
+         FROM w""",
   )
 }

@@ -1147,6 +1147,108 @@ object Stats {
       .crossJoin(broadcast(t1))
   }
 
+  /** Two-sample standardized effect sizes (Cohen '88; Hedges, JEBS
+    * '81): Cohen's d = (x̄₁−x̄₂)/s_pooled with the (n−1)-weighted pooled
+    * SD, and Hedges' g = J·d with the small-sample bias factor
+    * J = 1 − 3/(4(n₁+n₂)−9) — the PARAMETRIC magnitude column beside
+    * [[cliffsDelta]]'s ordinal one: report an effect size WITH every
+    * p-value (a micro-effect goes significant at scale; d says whether
+    * anyone should care — 0.2/0.5/0.8 small/medium/large). g over d
+    * whenever either arm is small.
+    *
+    * Shape: ONE conditional 1-row aggregate (count/avg/var per side in
+    * a single pass) — no window, no join. Zero pooled variance → null
+    * d/g (the honest constant-arms fallback); float moments → all
+    * rounded. */
+  def effectSize(df: DataFrame, sideCol: String, valCol: String,
+                 sideA: String, sideB: String,
+                 roundScale: Int = 6): DataFrame = {
+    val x = df.filter(col(sideCol).isin(sideA, sideB))
+      .filter(col(valCol).isNotNull)
+      .select(col(sideCol).as("__s"), col(valCol).cast("double").as("__x"))
+    x.agg(
+        count(when(col("__s") === sideA, 1)).as("n_a"),
+        count(when(col("__s") === sideB, 1)).as("n_b"),
+        avg(when(col("__s") === sideA, col("__x"))).as("__ma"),
+        avg(when(col("__s") === sideB, col("__x"))).as("__mb"),
+        var_samp(when(col("__s") === sideA, col("__x"))).as("__va"),
+        var_samp(when(col("__s") === sideB, col("__x"))).as("__vb"))
+      .withColumn("__sp", sqrt(
+        ((col("n_a") - 1).cast("double") * col("__va")
+          + (col("n_b") - 1).cast("double") * col("__vb"))
+          / (col("n_a") + col("n_b") - 2).cast("double")))
+      .withColumn("__d", when(col("__sp") > 0,
+        (col("__ma") - col("__mb")) / col("__sp")))
+      .select(col("n_a"), col("n_b"),
+        round(col("__ma") - col("__mb"), roundScale).as("mean_diff"),
+        round(col("__sp"), roundScale).as("sd_pooled"),
+        round(col("__d"), roundScale).as("cohens_d"),
+        round(col("__d") * (lit(1.0) - lit(3.0)
+          / (lit(4.0) * (col("n_a") + col("n_b")).cast("double") - 9.0)),
+          roundScale).as("hedges_g"))
+  }
+
+  /** Page's trend test for ORDERED treatments over blocks (Page, JASA
+    * '63): L = Σ_j w_j R_j with w_j the treatment's rank in the
+    * hypothesized order and R_j its within-block midrank sum,
+    * z = (L − E)/√Var with E = b·k(k+1)²/4 and the classical no-ties
+    * Var = b(k³−k)²/(144(k−1)) — [[friedmanTest]]'s ORDERED sibling,
+    * completing the 2×2 the ladder needs: unordered/unblocked KW,
+    * ordered/unblocked [[jonckheereTerpstra]], unordered/blocked
+    * Friedman, ordered/blocked Page. Midranks keep L well-defined under
+    * ties; the variance is the standard no-ties form (ties make the
+    * test slightly conservative — documented, and per-cell continuous
+    * responses rarely tie).
+    *
+    * Only complete blocks enter (the [[friedmanTest]] contract).
+    * Treatment order is `treatCol`'s natural ascending order. L and
+    * E[L] are exact halves/quarters — UNROUNDED; z rounds.
+    *
+    * Shape: identical to [[friedmanTest]] — one bounded b×k rank grid
+    * (cached), dense-rank for treatment weights, two folds. */
+  def pageTrendTest(cells: DataFrame, blockCol: String, treatCol: String,
+                    valCol: String, roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val base = cells
+      .filter(col(valCol).isNotNull)
+      .select(col(blockCol).as("__b"), col(treatCol).as("__t"),
+        col(valCol).cast("double").as("__v"))
+      .withColumn("__k", size(collect_set(col("__t")).over(kAll)))
+    val complete = base
+      .withColumn("__bk", count(lit(1)).over(
+        Window.partitionBy(col("__b"))))
+      .filter(col("__bk") === col("__k"))
+    val ranked = complete
+      .withColumn("__minr", rank().over(Window.partitionBy(col("__b"))
+        .orderBy(col("__v"))))
+      .withColumn("__ties", count(lit(1)).over(
+        Window.partitionBy(col("__b"), col("__v"))))
+      .withColumn("__r", col("__minr").cast("double")
+        + (col("__ties") - 1).cast("double") / 2.0)
+      .withColumn("__w", dense_rank().over(Window.orderBy(col("__t"))))
+      .cache()
+    val fit = ranked.agg(max(col("__k")).as("__kk"),
+      countDistinct(col("__b")).as("__bb"),
+      sum(col("__w").cast("double") * col("__r")).as("__l"))
+    fit
+      .withColumn("__kd", col("__kk").cast("double"))
+      .withColumn("__bd", col("__bb").cast("double"))
+      .withColumn("__e", col("__bd") * col("__kd")
+        * (col("__kd") + 1) * (col("__kd") + 1) / 4.0)
+      .withColumn("__k3", col("__kd") * col("__kd") * col("__kd")
+        - col("__kd"))
+      .withColumn("__var", col("__bd") * col("__k3") * col("__k3")
+        / (lit(144.0) * (col("__kd") - 1)))
+      .select(col("__bb").as("n_blocks_used"),
+        col("__kk").cast("long").as("k_treatments"),
+        col("__l").as("l_stat"), col("__e").as("l_expected"),
+        round(when(col("__var") > 0,
+          (col("__l") - col("__e")) / sqrt(col("__var"))), roundScale)
+          .as("z"))
+  }
+
   /** Mixture SPRT always-valid p-value over the daily success-rate
     * stream (Johari, Koomen, Pekelis & Walsh, KDD '17 "Peeking at A/B
     * tests"): with plug-in σ² = p₀(1−p₀) and a N(p₀, τ²) mixing prior,

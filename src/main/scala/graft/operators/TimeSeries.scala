@@ -559,6 +559,66 @@ object TimeSeries {
             / col("__nn"))) / sqrt(col("__var"))), roundScale).as("z"))
   }
 
+  /** Western Electric zone rules over the daily-count control chart
+    * (Western Electric SQC Handbook '56; the classic four): per day,
+    * z = (x−x̄)/s against the whole-series center line, then
+    *   R1: |z| > 3 (a point outside the control limits),
+    *   R2: ≥2 of the trailing 3 days beyond 2σ on the SAME side,
+    *   R3: ≥4 of the trailing 5 days beyond 1σ on the SAME side,
+    *   R4: all of the trailing 8 days on the same side of center.
+    * The PATTERN alarms a 3σ rule misses: a process drifting 1.5σ never
+    * trips R1 but lights R4 within a week — run them beside
+    * [[TimeSeries.cusumOverCounts]]-style monitors as the
+    * chart-reading layer. Each rule requires its FULL trailing window
+    * (no vacuous early-day alarms); rules evaluate on the UNROUNDED z,
+    * the emitted z rounds.
+    *
+    * Retrospective form: center/σ come from the charted series itself
+    * (a live deployment freezes them from a reference window — swap the
+    * mean/sd frame, the rule windows are unchanged).
+    *
+    * Shape: one day-grain aggregate, one mean/sd window, four bounded
+    * trailing windows over the day grid — the calendar-bounded
+    * exception. */
+  def controlRulesDaily(events: DataFrame, tsCol: String,
+                        roundScale: Int = 6): DataFrame = {
+    val entire = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    def trail(n: Int) = Window.orderBy(col("day")).rowsBetween(-(n - 1), 0)
+    val z = events
+      .groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__mu", avg(col("n")).over(entire))
+      .withColumn("__sd", stddev_samp(col("n")).over(entire))
+      .withColumn("__z", when(col("__sd") > 0,
+        (col("n").cast("double") - col("__mu")) / col("__sd")))
+    z
+      .withColumn("__c3", count(lit(1)).over(trail(3)))
+      .withColumn("__c5", count(lit(1)).over(trail(5)))
+      .withColumn("__c8", count(lit(1)).over(trail(8)))
+      .withColumn("__hi2", sum(when(col("__z") > 2.0, 1).otherwise(0))
+        .over(trail(3)))
+      .withColumn("__lo2", sum(when(col("__z") < -2.0, 1).otherwise(0))
+        .over(trail(3)))
+      .withColumn("__hi1", sum(when(col("__z") > 1.0, 1).otherwise(0))
+        .over(trail(5)))
+      .withColumn("__lo1", sum(when(col("__z") < -1.0, 1).otherwise(0))
+        .over(trail(5)))
+      .withColumn("__hi0", sum(when(col("__z") > 0.0, 1).otherwise(0))
+        .over(trail(8)))
+      .withColumn("__lo0", sum(when(col("__z") < 0.0, 1).otherwise(0))
+        .over(trail(8)))
+      .select(col("day"), col("n"),
+        round(col("__z"), roundScale).as("z"),
+        (abs(col("__z")) > 3.0).as("r1_beyond_3s"),
+        (col("__c3") === 3 && (col("__hi2") >= 2 || col("__lo2") >= 2))
+          .as("r2_two_of_three_2s"),
+        (col("__c5") === 5 && (col("__hi1") >= 4 || col("__lo1") >= 4))
+          .as("r3_four_of_five_1s"),
+        (col("__c8") === 8 && (col("__hi0") === 8 || col("__lo0") === 8))
+          .as("r4_eight_one_side"))
+  }
+
   /** Durbin–Watson statistic over the mean-centered daily counts
     * (Durbin & Watson, Biometrika '50): DW = Σ(e_t − e_{t−1})²/Σe_t² —
     * the one-number lag-1 serial-correlation screen (DW ≈ 2(1−ρ₁):

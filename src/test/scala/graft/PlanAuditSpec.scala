@@ -132,8 +132,10 @@ class PlanAuditSpec extends SparkSuite {
   //    q_ljung_box (day-index + lag-bounded cumulative Q), q_sprt and
   //    q_msprt (cumulative trials/successes + running min over the day
   //    grid), q_durbin_watson and q_runs_test (mean + lag-1 over the
-  //    day grid), q_friedman (global k + block-partitioned ranks over
-  //    the day×type cell grid);
+  //    day grid), q_friedman and q_page_trend (global k / treatment
+  //    weights + block-partitioned ranks over the day×type cell grid),
+  //    q_control_rules (center line + trailing rule windows over the
+  //    day grid);
   //  * distinct-value histogram CDFs (same contract as q_wasserstein):
   //    q_energy_dist, q_anderson_darling;
   //  * per-batch / per-source / per-bucket curves (≤ #groups rows):
@@ -149,7 +151,7 @@ class PlanAuditSpec extends SparkSuite {
     "q_seasonal_naive", "q_survival", "q_pettitt", "q_hurst",
     "q_periodogram", "q_ljung_box", "q_energy_dist", "q_sprt",
     "q_durbin_watson", "q_anderson_darling", "q_msprt", "q_runs_test",
-    "q_friedman",
+    "q_friedman", "q_page_trend", "q_control_rules",
     "q_heaps_law", "q_temperature_mix",
     "q_quota_sample", "q_vocab_coverage", "q_negative_sampling",
     "q_ivf_topk", "q_ivf_topk_bcast", "q_ivf_trained", "q_rrf")

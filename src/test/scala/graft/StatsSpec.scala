@@ -1124,4 +1124,42 @@ class StatsSpec extends SparkSuite {
     assert(t("t1").getDouble(2) === 3.0 && t("t3").getDouble(2) === 5.0)
     assert(t("t1").getDouble(6) === 2.0)
   }
+
+  test("effectSize: hand-checked d and g, constant-arms null") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a={0,2}, b={4,6}: s_p = √2, d = −4/√2, g = d·(1 − 3/7)
+    val df = Seq(("a", 0.0), ("a", 2.0), ("b", 4.0), ("b", 6.0))
+      .toDF("side", "v")
+    val r = Stats.effectSize(df, "side", "v", "a", "b").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === -4.0)
+    assert(r.getDouble(3) === r6(math.sqrt(2.0)))
+    assert(r.getDouble(4) === r6(-4.0 / math.sqrt(2.0)))
+    assert(r.getDouble(5) === r6(-4.0 / math.sqrt(2.0) * (1.0 - 3.0 / 7.0)))
+    // both arms constant → zero pooled SD → null d/g
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+      .toDF("side", "v")
+    val c = Stats.effectSize(const, "side", "v", "a", "b").collect().head
+    assert(c.isNullAt(4) && c.isNullAt(5))
+  }
+
+  test("pageTrendTest: perfect up-trend z=2, reversed z=-2") {
+    // b=2, k=3, response rising with treatment: L = 28, E = 24, Var = 4
+    val up = Seq(
+      ("b1", 1, 1.0), ("b1", 2, 2.0), ("b1", 3, 3.0),
+      ("b2", 1, 4.0), ("b2", 2, 5.0), ("b2", 3, 6.0)
+    ).toDF("blk", "trt", "v")
+    val r = Stats.pageTrendTest(up, "blk", "trt", "v").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 28.0 && r.getDouble(3) === 24.0)
+    assert(r.getDouble(4) === 2.0)
+    // reversed responses: L = 20 → z = −2
+    val down = Seq(
+      ("b1", 1, 3.0), ("b1", 2, 2.0), ("b1", 3, 1.0),
+      ("b2", 1, 6.0), ("b2", 2, 5.0), ("b2", 3, 4.0)
+    ).toDF("blk", "trt", "v")
+    val d = Stats.pageTrendTest(down, "blk", "trt", "v").collect().head
+    assert(d.getDouble(2) === 20.0 && d.getDouble(4) === -2.0)
+  }
 }

@@ -391,4 +391,26 @@ class TimeSeriesSpec extends SparkSuite {
     assert(atMean.getLong(0) === 2L && atMean.getLong(3) === 2L)
     assert(atMean.isNullAt(5))
   }
+
+  test("controlRulesDaily: spike trips R1, steady low side trips R4") {
+    // 11 days of 1, then a 100-spike: z₁₂ > 3 (R1); days 8–11 complete
+    // an 8-day negative run (R4); R2/R3 never fire (low days |z| < 1,
+    // only ONE day beyond 2σ)
+    val counts = Seq.fill(11)(1) :+ 100
+    val ev = counts.zipWithIndex.flatMap { case (n, i) =>
+      Seq.fill(n)(Tuple1(ts(f"2024-01-${i + 1}%02d 12:00:00")))
+    }.toDF("t")
+    val out = TimeSeries.controlRulesDaily(ev, "t")
+      .collect().sortBy(_.getTimestamp(0).getTime)
+    assert(out.length === 12)
+    val mu = counts.sum.toDouble / 12.0
+    val sd = math.sqrt(counts.map(c => (c - mu) * (c - mu)).sum / 11.0)
+    assert(out(11).getDouble(2) === BigDecimal((100.0 - mu) / sd)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(11).getBoolean(3), "spike beyond 3 sigma")
+    assert(out.take(11).forall(!_.getBoolean(3)))
+    // R4 lights exactly on days 8..11 (first full 8-day one-side window)
+    assert((0 to 11).filter(out(_).getBoolean(6)) === Seq(7, 8, 9, 10))
+    assert(out.forall(r => !r.getBoolean(4) && !r.getBoolean(5)))
+  }
 }
