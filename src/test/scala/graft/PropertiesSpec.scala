@@ -341,4 +341,107 @@ class PropertiesSpec extends SparkSuite {
         s"n=$n e1=$edges1 e2=$edges2")
     }
   }
+
+  test("friedmanTest T1 is invariant to per-block level shifts") {
+    // The operator's whole selling point vs Kruskal–Wallis: adding an
+    // arbitrary constant to every response IN A BLOCK (a day-level
+    // traffic shift) must leave within-block ranks — hence T1 — intact.
+    import graft.operators.Stats
+    val gen = for {
+      b <- Gen.chooseNum(2, 5)
+      vals <- Gen.listOfN(b * 3, Gen.chooseNum(0, 9))
+      shifts <- Gen.listOfN(b, Gen.chooseNum(-1000, 1000))
+    } yield (b, vals, shifts)
+    forAllSampled(gen, cases = 12) { case (b, vals, shifts) =>
+      val cells = for {
+        blk <- 0 until b; trt <- 0 until 3
+      } yield (blk, trt, vals(blk * 3 + trt).toDouble)
+      val shifted = cells.map { case (blk, trt, v) =>
+        (blk, trt, v + shifts(blk))
+      }
+      val t0 = Stats.friedmanTest(cells.toDF("b", "t", "v"), "b", "t", "v")
+        .select("t1").distinct().collect().map(r => r.get(0)).toSeq
+      val t1 = Stats.friedmanTest(shifted.toDF("b", "t", "v"), "b", "t", "v")
+        .select("t1").distinct().collect().map(r => r.get(0)).toSeq
+      assert(t0 === t1, s"b=$b vals=$vals shifts=$shifts")
+    }
+  }
+
+  test("clusterAgreement is invariant to relabeling either partition") {
+    // ARI/NMI must depend only on the grouping, never the label names —
+    // the permutation-invariance contract that distinguishes them from
+    // Cohen's kappa.
+    import graft.operators.Stats
+    val gen = for {
+      n <- Gen.chooseNum(4, 24)
+      a <- Gen.listOfN(n, Gen.chooseNum(0, 3))
+      b <- Gen.listOfN(n, Gen.chooseNum(0, 3))
+    } yield (a, b)
+    forAllSampled(gen, cases = 15) { case (a, b) =>
+      val relabelA = Map(0 -> "x9", 1 -> "q", 2 -> "zz", 3 -> "m")
+      val relabelB = Map(0 -> 70, 1 -> 7, 2 -> 700, 3 -> 77)
+      val base = a.zip(b).toDF("a", "b")
+      val renamed = a.zip(b).map { case (x, y) => (relabelA(x), relabelB(y)) }
+        .toDF("a", "b")
+      val r0 = Stats.clusterAgreement(base, "a", "b").collect().head
+      val r1 = Stats.clusterAgreement(renamed, "a", "b").collect().head
+      assert(r0.get(3) === r1.get(3) && r0.get(4) === r1.get(4),
+        s"a=$a b=$b")
+      // and swapping the two partitions is symmetric
+      val r2 = Stats.clusterAgreement(base.select(col("b").as("a"),
+        col("a").as("b")), "a", "b").collect().head
+      assert(r0.get(3) === r2.get(3) && r0.get(4) === r2.get(4))
+    }
+  }
+
+  test("energyDistance: nonnegative, zero iff identical histograms") {
+    import graft.operators.Stats
+    val gen = for {
+      na <- Gen.chooseNum(2, 12)
+      nb <- Gen.chooseNum(2, 12)
+      a <- Gen.listOfN(na, Gen.chooseNum(0, 6))
+      b <- Gen.listOfN(nb, Gen.chooseNum(0, 6))
+    } yield (a, b)
+    // a single shared support point has no gap segments → null, the
+    // wasserstein1 family convention; read through it as 0
+    def eDist(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = Stats.energyDistance(df, "s", "v", "a", "b").collect().head
+      if (r.isNullAt(2)) 0.0 else r.getDouble(2)
+    }
+    forAllSampled(gen, cases = 15) { case (a, b) =>
+      val df = (a.map(("a", _)) ++ b.map(("b", _)))
+        .map { case (s, v) => (s, v.toDouble) }.toDF("s", "v")
+      assert(eDist(df) >= 0.0, s"a=$a b=$b")
+      // identical DISTRIBUTIONS (same normalized histogram) → exactly 0;
+      // use each sample against itself to pin the metric's identity axiom
+      val self = (a.map(("a", _)) ++ a.map(("b", _)))
+        .map { case (s, v) => (s, v.toDouble) }.toDF("s", "v")
+      assert(eDist(self) === 0.0)
+    }
+  }
+
+  test("jonckheereTerpstra J + reversed-order J is n_a*n_b-complete") {
+    // Reversing the group order maps every strict pair to its mirror
+    // and fixes ties, so J(order) + J(reverse) = Σ_{i<j} n_i·n_j —
+    // pinning both the pair accounting and the midrank ½-weights.
+    import graft.operators.Stats
+    val gen = for {
+      sizes <- Gen.listOfN(3, Gen.chooseNum(1, 6))
+      vals <- Gen.listOfN(18, Gen.chooseNum(0, 4))
+    } yield (sizes, vals)
+    forAllSampled(gen, cases = 12) { case (sizes, vals) =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, g) =>
+        (0 until n).map(i => (g, vals((g * 6 + i) % vals.size).toDouble))
+      }
+      val fwd = Stats.jonckheereTerpstra(rows.toDF("g", "v"), "g", "v")
+        .collect().head.getDouble(1)
+      val rev = Stats.jonckheereTerpstra(
+        rows.map { case (g, v) => (-g, v) }.toDF("g", "v"), "g", "v")
+        .collect().head.getDouble(1)
+      val pairs = (for {
+        i <- sizes.indices; j <- sizes.indices if i < j
+      } yield sizes(i).toLong * sizes(j)).sum.toDouble
+      assert(fwd + rev === pairs, s"sizes=$sizes vals=$vals")
+    }
+  }
 }
