@@ -3764,6 +3764,22 @@ object SparkEntry {
   private def q_control_rules(s: SparkSession, d: String): DataFrame =
     TimeSeries.controlRulesDaily(Tables.events(s, d), "ts")
 
+  /** §2b Brunner–Munzel test for click vs purchase values — the
+    * heteroscedasticity-robust Mann–Whitney replacement (each sample's
+    * own placement variance + Welch–Satterthwaite df), folded from the
+    * same distinct-value histogram. */
+  private def q_brunner_munzel(s: SparkSession, d: String): DataFrame =
+    Stats.brunnerMunzel(Tables.events(s, d), "event_type", "value",
+      sideA = "click", sideB = "purchase")
+
+  /** §2b water-filling allocation of a 50% token budget across
+    * sources — max-min-fair hard-budget capping (every source below
+    * the level keeps all; giants cut to a common level), the budgeted
+    * companion to q_temperature_mix. */
+  private def q_water_fill(s: SparkSession, d: String): DataFrame =
+    Corpus.waterFill(Tables.documents(s, d), "source", col("n_chars"),
+      budgetFrac = 0.5)
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4102,6 +4118,8 @@ object SparkEntry {
     "q_effect_size" -> (q_effect_size _),
     "q_page_trend" -> (q_page_trend _),
     "q_control_rules" -> (q_control_rules _),
+    "q_brunner_munzel" -> (q_brunner_munzel _),
+    "q_water_fill" -> (q_water_fill _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -10969,5 +10987,87 @@ object SparkEntry {
                 c5 = 5 AND (hi1 >= 4 OR lo1 >= 4) AS r3_four_of_five_1s,
                 c8 = 8 AND (hi0 = 8 OR lo0 = 8) AS r4_eight_one_side
          FROM w""",
+    "q_brunner_munzel" ->
+      """WITH x AS (SELECT CAST(value AS DOUBLE) AS v,
+                      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS ca,
+                      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS cb
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase')
+                      AND value IS NOT NULL
+                    GROUP BY 1),
+              c AS (SELECT v, ca, cb,
+                      SUM(ca) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cuma,
+                      SUM(cb) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cumb,
+                      SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+                    FROM x),
+              p AS (SELECT *,
+                      CAST(cuma + cumb - (ca + cb) AS DOUBLE)
+                        + CAST(ca + cb + 1 AS DOUBLE) / 2.0
+                        - (CAST(cuma - ca AS DOUBLE)
+                          + CAST(ca + 1 AS DOUBLE) / 2.0) AS da,
+                      CAST(cuma + cumb - (ca + cb) AS DOUBLE)
+                        + CAST(ca + cb + 1 AS DOUBLE) / 2.0
+                        - (CAST(cumb - cb AS DOUBLE)
+                          + CAST(cb + 1 AS DOUBLE) / 2.0) AS db
+                    FROM c),
+              a AS (SELECT CAST(max(na) AS BIGINT) AS n_a,
+                      CAST(max(nb) AS BIGINT) AS n_b,
+                      sum(CAST(ca AS DOUBLE) * da) AS sda,
+                      sum(CAST(cb AS DOUBLE) * db) AS sdb,
+                      sum(CAST(ca AS DOUBLE) * da * da) AS sda2,
+                      sum(CAST(cb AS DOUBLE) * db * db) AS sdb2
+                    FROM p),
+              b AS (SELECT *, CAST(n_a AS DOUBLE) AS nad,
+                      CAST(n_b AS DOUBLE) AS nbd,
+                      sda / CAST(n_a AS DOUBLE) AS ma,
+                      sdb / CAST(n_b AS DOUBLE) AS mb
+                    FROM a),
+              d AS (SELECT *,
+                      CASE WHEN n_a > 1 THEN (sda2 - nad * ma * ma)
+                        / (nad - 1) END AS va,
+                      CASE WHEN n_b > 1 THEN (sdb2 - nbd * mb * mb)
+                        / (nbd - 1) END AS vb
+                    FROM b),
+              e AS (SELECT *, nad * va + nbd * vb AS s2, mb / nad AS ph
+                    FROM d)
+         SELECT n_a, n_b, ph AS p_hat,
+                CASE WHEN s2 > 0 THEN round(nad * nbd * (ph - 0.5)
+                  / sqrt(s2), 6) END AS w_bm,
+                CASE WHEN s2 > 0 THEN round(s2 * s2
+                  / (nad * va * nad * va / (nad - 1)
+                    + nbd * vb * nbd * vb / (nbd - 1)), 6) END AS df
+         FROM e""",
+    "q_water_fill" ->
+      """WITH ps AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS supply
+                     FROM documents GROUP BY 1),
+              t AS (SELECT source, supply,
+                      SUM(supply) OVER () AS tot, COUNT(*) OVER () AS n,
+                      ROW_NUMBER() OVER (ORDER BY supply, source) AS k,
+                      COALESCE(SUM(supply) OVER (ORDER BY supply, source
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cumb
+                    FROM ps),
+              l AS (SELECT *, (CAST(tot AS DOUBLE) * 0.5
+                        - CAST(cumb AS DOUBLE))
+                      / CAST(n - k + 1 AS DOUBLE) AS lamk
+                    FROM t),
+              lev AS (SELECT arg_min(lamk, k) AS lambda
+                      FROM l WHERE lamk <= CAST(supply AS DOUBLE)),
+              f AS (SELECT source, supply, lambda,
+                      CASE WHEN lambda IS NOT NULL
+                        THEN least(CAST(supply AS DOUBLE), lambda)
+                        ELSE CAST(supply AS DOUBLE) END AS alloc
+                    FROM l, lev)
+         SELECT source, supply, lambda AS water_level,
+                alloc AS allocation,
+                CASE WHEN supply > 0
+                  THEN alloc / CAST(supply AS DOUBLE) END AS share_kept
+         FROM f""",
   )
 }

@@ -1030,4 +1030,66 @@ object Corpus {
         round(col("__share"), roundScale).as("share_before"),
         round(col("__raw") / col("__z"), roundScale).as("weight_after"))
   }
+
+  /** Water-filling budget allocation across sources (the classical
+    * max-min-fair / water-filling solution, e.g. Bertsekas & Gallager
+    * "Data Networks" §6.5.2): given each source's token supply s_i and
+    * a total budget B, allocate a_i = min(s_i, λ) with the water level
+    * λ chosen so Σa_i = B — EVERY source below the level keeps all its
+    * tokens, every source above is capped at the same level. THE
+    * principled "cap the giants, keep the tails" mixture move:
+    * [[temperatureMix]] reshapes shares smoothly, water-filling
+    * enforces a hard budget with max-min fairness (no source is cut
+    * before every larger source is cut to its size), which is what a
+    * fixed training-token budget actually requires.
+    *
+    * λ in closed form, no iteration: sort sources by supply ascending;
+    * at the first k where the remaining budget spread over the
+    * remaining sources, λ_k = (B − Σ_{j<k} s_j)/(n−k+1), does not
+    * exceed s_k, that λ_k IS the level. At the exact-budget boundary
+    * (B = Σs) the level lands on the largest supply and cuts nothing;
+    * B beyond every supply is impossible for a fraction ≤ 1, but a
+    * null level still means "nothing binds". Allocations are exact arithmetic
+    * over the supply table — UNROUNDED (deterministic division of
+    * exact operands); only the ratio share_kept is unrounded-exact too.
+    *
+    * Shape: one per-source supply aggregate, one sort window + prefix
+    * sums over the ≤#sources-row table, a 1-row λ broadcast — nothing
+    * row-sized past the first aggregate. */
+  def waterFill(docs: DataFrame, groupCol: String, supplyCol: Column,
+                budgetFrac: Double): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"budgetFrac must be in (0,1]: $budgetFrac")
+    val entire = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val bySupply = Window.orderBy(col("supply").asc, col(groupCol).asc)
+    val perSource = docs.groupBy(col(groupCol))
+      .agg(sum(supplyCol).as("supply"))
+      .withColumn("__tot", sum(col("supply")).over(entire))
+      .withColumn("__n", count(lit(1)).over(entire))
+      .withColumn("__b", col("__tot").cast("double") * budgetFrac)
+      .withColumn("__k", row_number().over(bySupply))
+      .withColumn("__cumBelow",
+        sum(col("supply")).over(bySupply
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__lamK",
+        (col("__b") - coalesce(col("__cumBelow"), lit(0L)).cast("double"))
+          / (col("__n") - col("__k") + 1).cast("double"))
+    // the level is λ at the FIRST (smallest-k) feasible position — later
+    // feasible λ_k are artifacts of "pretending" capped sources kept all;
+    // none feasible ⇔ budget covers every supply ⇒ nothing binds
+    val level = perSource
+      .filter(col("__lamK") <= col("supply").cast("double"))
+      .agg(min_by(col("__lamK"), col("__k")).as("__lambda"))
+    val alloc = when(col("__lambda").isNotNull,
+      least(col("supply").cast("double"), col("__lambda")))
+      .otherwise(col("supply").cast("double"))
+    perSource
+      .crossJoin(broadcast(level))
+      .select(col(groupCol), col("supply"),
+        col("__lambda").as("water_level"),
+        alloc.as("allocation"),
+        when(col("supply") > 0, alloc / col("supply").cast("double"))
+          .as("share_kept"))
+  }
 }

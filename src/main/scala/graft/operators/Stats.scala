@@ -1147,6 +1147,91 @@ object Stats {
       .crossJoin(broadcast(t1))
   }
 
+  /** Brunner–Munzel test (Brunner & Munzel, Biometrical J. '00): the
+    * heteroscedasticity-robust replacement for [[mannWhitney]] — MW's
+    * variance assumes the two distributions differ only by shift, and
+    * under unequal spreads its level breaks; BM studentizes the
+    * placement estimator p̂ = P(X<Y) + ½P(X=Y) with EACH sample's own
+    * placement variance and Welch–Satterthwaite df (the rank-world
+    * Welch test; recommended default over MW in modern guidance).
+    *   W = n_a·n_b·(R̄_b − R̄_a) / (N·√(n_a·S_a² + n_b·S_b²)),
+    * S_i² the sample variance of placements R_ij − V_ij (pooled minus
+    * within-sample midranks).
+    *
+    * NOT a rank over rows: pooled and within-sample midranks both fold
+    * from the per-distinct-value histogram (the [[ksStatistic]]
+    * collapse) — placements depend only on the VALUE, so their weighted
+    * moments over distinct values equal the row-level ones exactly.
+    * p̂ is exact-rational (midranks are halves) — UNROUNDED; W and df
+    * mix √ and round. Degenerate placement variances (both samples
+    * constant) → null W/df. */
+  def brunnerMunzel(df: DataFrame, sideCol: String, valCol: String,
+                    sideA: String, sideB: String,
+                    roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perValue = df.filter(col(sideCol).isin(sideA, sideB))
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(valCol).cast("double").as("__v"))
+      .agg(sum(when(col(sideCol) === sideA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sideCol) === sideB, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val entire = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val placed = perValue
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__na", sum(col("__ca")).over(entire))
+      .withColumn("__nb", sum(col("__cb")).over(entire))
+      // pooled midrank at v: #below + (t+1)/2; within-sample likewise —
+      // placement d = pooled − within, constant across the tied block
+      .withColumn("__t", col("__ca") + col("__cb"))
+      .withColumn("__r", (col("__cuma") + col("__cumb") - col("__t"))
+        .cast("double") + (col("__t") + 1).cast("double") / 2.0)
+      .withColumn("__da", col("__r") - ((col("__cuma") - col("__ca"))
+        .cast("double") + (col("__ca") + 1).cast("double") / 2.0))
+      .withColumn("__db", col("__r") - ((col("__cumb") - col("__cb"))
+        .cast("double") + (col("__cb") + 1).cast("double") / 2.0))
+    val agg = placed.agg(
+      max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+      sum(col("__ca").cast("double") * col("__da")).as("__sda"),
+      sum(col("__cb").cast("double") * col("__db")).as("__sdb"),
+      sum(col("__ca").cast("double") * col("__da") * col("__da"))
+        .as("__sda2"),
+      sum(col("__cb").cast("double") * col("__db") * col("__db"))
+        .as("__sdb2"))
+    agg
+      .withColumn("__nad", col("n_a").cast("double"))
+      .withColumn("__nbd", col("n_b").cast("double"))
+      .withColumn("__ma", col("__sda") / col("__nad"))
+      .withColumn("__mb", col("__sdb") / col("__nbd"))
+      // S² with the (n−1) denominator off weighted moments
+      .withColumn("__va", when(col("n_a") > 1,
+        (col("__sda2") - col("__nad") * col("__ma") * col("__ma"))
+          / (col("__nad") - 1)))
+      .withColumn("__vb", when(col("n_b") > 1,
+        (col("__sdb2") - col("__nbd") * col("__mb") * col("__mb"))
+          / (col("__nbd") - 1)))
+      .withColumn("__s2", col("__nad") * col("__va")
+        + col("__nbd") * col("__vb"))
+      // p̂ = P(A<B)+½P(A=B) = mean placement of B against A over n_a;
+      // the pooled-rank-mean gap collapses to R̄_b − R̄_a = N(p̂ − ½),
+      // so W = n_a·n_b·(p̂ − ½)/√(n_a S_a² + n_b S_b²)
+      .withColumn("__ph", col("__mb") / col("__nad"))
+      .withColumn("__w", when(col("__s2") > 0,
+        col("__nad") * col("__nbd") * (col("__ph") - 0.5)
+          / sqrt(col("__s2"))))
+      .select(col("n_a"), col("n_b"),
+        col("__ph").as("p_hat"),
+        round(col("__w"), roundScale).as("w_bm"),
+        round(when(col("__s2") > 0,
+          col("__s2") * col("__s2")
+            / (col("__nad") * col("__va") * col("__nad") * col("__va")
+                / (col("__nad") - 1)
+              + col("__nbd") * col("__vb") * col("__nbd") * col("__vb")
+                / (col("__nbd") - 1))), roundScale).as("df"))
+  }
+
   /** Two-sample standardized effect sizes (Cohen '88; Hedges, JEBS
     * '81): Cohen's d = (x̄₁−x̄₂)/s_pooled with the (n−1)-weighted pooled
     * SD, and Hedges' g = J·d with the small-sample bias factor

@@ -658,4 +658,32 @@ class CorpusSpec extends SparkSuite {
     assert(out("A").getDouble(5) === r6(rawA / (rawA + rawB)))
     assert(out("A").getDouble(5) > 0.5 && out("B").getDouble(5) < 0.5)
   }
+
+  test("waterFill: hand-checked level, exact budget, no-binding null") {
+    import org.apache.spark.sql.functions.col
+    // supplies 2/9/9, budget 50% of 20 = 10: small source keeps all,
+    // level λ = (10−2)/2 = 4 caps both giants → allocations 2+4+4 = 10
+    val docs = Seq(("a", 2L), ("b", 9L), ("c", 9L)).toDF("src", "s")
+    val out = Corpus.waterFill(docs, "src", col("s"), budgetFrac = 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) === 2L)
+    assert(out.values.forall(_.getDouble(2) === 4.0))
+    assert(out("a").getDouble(3) === 2.0 && out("b").getDouble(3) === 4.0)
+    assert(out.values.map(_.getDouble(3)).sum === 10.0)
+    assert(out("a").getDouble(4) === 1.0)
+    assert(out("b").getDouble(4) === 4.0 / 9.0)
+    // full budget: the boundary level equals the tied largest supply —
+    // nothing is actually cut, every source kept whole
+    val free = Corpus.waterFill(docs, "src", col("s"), budgetFrac = 1.0)
+      .collect()
+    assert(free.forall(r => r.getDouble(4) === 1.0))
+    assert(free.forall(r => r.getDouble(3) === r.getLong(1).toDouble))
+    // max-min fairness: no source is ever cut below a smaller source's
+    // allocation
+    val skew = Seq(("t", 1L), ("u", 5L), ("v", 100L)).toDF("src", "s")
+    val sk = Corpus.waterFill(skew, "src", col("s"), budgetFrac = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // B = 53: t keeps 1, u keeps 5, v capped at 47
+    assert(sk("t") === 1.0 && sk("u") === 5.0 && sk("v") === 47.0)
+  }
 }

@@ -137,7 +137,9 @@ class PlanAuditSpec extends SparkSuite {
   //    q_control_rules (center line + trailing rule windows over the
   //    day grid);
   //  * distinct-value histogram CDFs (same contract as q_wasserstein):
-  //    q_energy_dist, q_anderson_darling;
+  //    q_energy_dist, q_anderson_darling, q_brunner_munzel;
+  //  * per-source supply tables (≤ #sources rows): q_water_fill (sort +
+  //    prefix sums over the bounded supply table);
   //  * per-batch / per-source / per-bucket curves (≤ #groups rows):
   //    q_heaps_law, q_temperature_mix, q_quota_sample, q_vocab_coverage,
   //    q_negative_sampling (vocab ranking — capped by the query's own
@@ -151,7 +153,8 @@ class PlanAuditSpec extends SparkSuite {
     "q_seasonal_naive", "q_survival", "q_pettitt", "q_hurst",
     "q_periodogram", "q_ljung_box", "q_energy_dist", "q_sprt",
     "q_durbin_watson", "q_anderson_darling", "q_msprt", "q_runs_test",
-    "q_friedman", "q_page_trend", "q_control_rules",
+    "q_friedman", "q_page_trend", "q_control_rules", "q_brunner_munzel",
+    "q_water_fill",
     "q_heaps_law", "q_temperature_mix",
     "q_quota_sample", "q_vocab_coverage", "q_negative_sampling",
     "q_ivf_topk", "q_ivf_topk_bcast", "q_ivf_trained", "q_rrf")

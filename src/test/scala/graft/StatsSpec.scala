@@ -1162,4 +1162,38 @@ class StatsSpec extends SparkSuite {
     val d = Stats.pageTrendTest(down, "blk", "trt", "v").collect().head
     assert(d.getDouble(2) === 20.0 && d.getDouble(4) === -2.0)
   }
+
+  test("brunnerMunzel: matches a direct row-level placement computation") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the Brunner–Munzel '00 / scipy reference example (unequal sizes,
+    // heavy ties)
+    val xa = Seq(1.0, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1)
+    val xb = Seq(3.0, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4)
+    // direct mirror: per-observation placements against the OTHER sample
+    def placements(self: Seq[Double], other: Seq[Double]) = self.map { v =>
+      other.count(_ < v) + 0.5 * other.count(_ == v)
+    }
+    def varS(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val (na, nb) = (xa.size.toDouble, xb.size.toDouble)
+    val pb = placements(xb, xa)
+    val ph = pb.sum / pb.size / na
+    val s2 = na * varS(placements(xa, xb)) + nb * varS(pb)
+    val expW = na * nb * (ph - 0.5) / math.sqrt(s2)
+    val df = (xa.map(("a", _)) ++ xb.map(("b", _))).toDF("s", "v")
+    val r = Stats.brunnerMunzel(df, "s", "v", "a", "b").collect().head
+    assert(r.getLong(0) === 14L && r.getLong(1) === 11L)
+    assert(r.getDouble(2) === ph)
+    assert(r.getDouble(3) === r6(expW))
+    // the published statistic for this data (scipy/lawstat): ≈ 3.137467
+    assert(math.abs(r.getDouble(3) - 3.137467) < 1e-5)
+    // both samples constant and equal → zero placement variance → null
+    val flat = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0))
+      .toDF("s", "v")
+    val f = Stats.brunnerMunzel(flat, "s", "v", "a", "b").collect().head
+    assert(f.getDouble(2) === 0.5 && f.isNullAt(3) && f.isNullAt(4))
+  }
 }
