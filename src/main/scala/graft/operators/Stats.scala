@@ -1354,7 +1354,24 @@ object Stats {
     * exception). */
   def msprtDaily(events: DataFrame, tsCol: String, typeCol: String,
                  successType: String, p0: Double, tau: Double,
-                 roundScale: Int = 6): DataFrame = {
+                 roundScale: Int = 6): DataFrame =
+    msprtOverCounts(
+      events.groupBy(date_trunc("day", col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col(typeCol) === successType, 1L).otherwise(0L))
+            .as("n_success")),
+      p0, tau, roundScale)
+
+  /** The [[msprtDaily]] finalizer over an already-folded (day,
+    * n_events, n_success) table — the seam the STREAMING monitor
+    * shares ([[graft.streaming.EventStreams.msprtMonitor]] folds
+    * per-day counts into state and re-runs THIS code), so stream and
+    * batch answers are equal by construction after any prefix, the
+    * [[TimeSeries.cusumOverCounts]] contract. Deliberate recompute
+    * over the day grid each call: the running min re-bases with every
+    * new day, and the grid is calendar-bounded. */
+  def msprtOverCounts(counts: DataFrame, p0: Double, tau: Double,
+                      roundScale: Int = 6): DataFrame = {
     require(p0 > 0 && p0 < 1, s"null rate must be in (0,1): $p0")
     require(tau > 0, s"mixing sd must be positive: $tau")
     import org.apache.spark.sql.expressions.Window
@@ -1362,12 +1379,9 @@ object Stats {
     val t2 = tau * tau
     val cum = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    events
-      .groupBy(date_trunc("day", col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("__n"),
-        sum(when(col(typeCol) === successType, 1L).otherwise(0L)).as("__k"))
-      .withColumn("n_cum", sum(col("__n")).over(cum))
-      .withColumn("k_cum", sum(col("__k")).over(cum))
+    counts
+      .withColumn("n_cum", sum(col("n_events")).over(cum))
+      .withColumn("k_cum", sum(col("n_success")).over(cum))
       .withColumn("__nd", col("n_cum").cast("double"))
       .withColumn("__dev", col("k_cum").cast("double") / col("__nd")
         - lit(p0))

@@ -466,6 +466,48 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming mixture-SPRT monitor: the always-valid-p twin of
+    * [[cusumMonitor]], same architecture — foreachBatch folds per-day
+    * (trials, successes) into calendar-bounded parquet state, then
+    * re-runs [[graft.operators.Stats.msprtOverCounts]] — the BATCH
+    * operator's OWN finalizer, shared code — so after ANY batch prefix
+    * the monitor table bit-equals `msprtDaily` on the events seen so
+    * far (StreamingSpec-pinned on both prefixes). Deliberate recompute:
+    * the running-min p re-bases as days fill in, and the state is one
+    * row per day. Peeking safety carries over verbatim: p_always_valid
+    * is monotone, so the stream can alarm at ANY micro-batch without
+    * α-inflation. Same at-least-once caveat as [[cusumMonitor]]:
+    * count folding adds, so route replays through [[dedupedIngest]]
+    * upstream. */
+  def msprtMonitor(stream: DataFrame, statePath: String,
+                   tsCol: String = "ts", typeCol: String = "event_type",
+                   successType: String = "purchase",
+                   p0: Double = 0.2, tau: Double = 0.05)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val countsPath = s"$statePath/day_counts"
+        val bCounts = batch
+          .groupBy(date_trunc("day", col(tsCol)).as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col(typeCol) === successType, 1L).otherwise(0L))
+              .as("n_success"))
+        val merged =
+          if (new java.io.File(countsPath).exists())
+            spark.read.parquet(countsPath).unionByName(bCounts)
+              .groupBy(col("day"))
+              .agg(sum(col("n_events")).as("n_events"),
+                sum(col("n_success")).as("n_success"))
+          else bCounts
+        merged.localCheckpoint().write.mode("overwrite").parquet(countsPath)
+        graft.operators.Stats
+          .msprtOverCounts(spark.read.parquet(countsPath), p0, tau)
+          .write.mode("overwrite").parquet(s"$statePath/monitor")
+      }
+      .start()
+
   /** Streaming twin of [[graft.operators.TimeSeries.ewmaHalving]]: the
     * same truncated α=1/2 EWMA, but carried as keyed state so each event
     * is smoothed the moment it arrives instead of re-windowing a batch.

@@ -520,4 +520,41 @@ class StreamingSpec extends SparkSuite {
       assert(a2.nonEmpty)
     } finally q.stop()
   }
+
+  test("msprtMonitor: always-valid p equals msprtDaily after every prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.events(spark, sf).select($"ts", $"event_type")
+      .as[(java.sql.Timestamp, String)].collect()
+    val (b1, b2) = ev.partition(_._1.getTime % 2 == 0)
+    val state = java.nio.file.Files.createTempDirectory("graft-msprt-")
+      .resolve("state").toString
+    def twin(rows: Seq[(java.sql.Timestamp, String)]) =
+      graft.operators.Stats
+        .msprtDaily(rows.toDF("ts", "event_type"), "ts", "event_type",
+          "purchase", p0 = 0.2, tau = 0.05)
+        .collect().map(_.toSeq).toSet
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val q = EventStreams.msprtMonitor(ms.toDF().toDF("ts", "event_type"),
+      state)
+    try {
+      ms.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      // prefix-1 parity: shared finalizer ⇒ bit-equal, not approximate
+      val m1 = spark.read.parquet(s"$state/monitor")
+        .collect().map(_.toSeq).toSet
+      assert(m1 === twin(b1.toSeq), "prefix-1 parity")
+      ms.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val m2 = spark.read.parquet(s"$state/monitor")
+        .collect().map(_.toSeq).toSet
+      assert(m2 === twin(ev.toSeq), "prefix-2 parity")
+      assert(m2.nonEmpty)
+      // the anytime-validity invariant itself: p is nonincreasing in day
+      val ps = spark.read.parquet(s"$state/monitor")
+        .orderBy("day").collect().map(_.getDouble(4))
+      assert(ps.sliding(2).forall(p => p.head >= p.last - 1e-12))
+    } finally q.stop()
+  }
 }
