@@ -264,7 +264,7 @@ private[sources] class TicketScan(geUs: Long, leUs: Long, windowUs: Long,
                                   transportClass: String =
                                     classOf[InMemoryTicketTransport].getName,
                                   transportOpts: Map[String, String] = Map.empty)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -272,16 +272,58 @@ private[sources] class TicketScan(geUs: Long, leUs: Long, windowUs: Long,
       s"range=[$geUs,$leUs], window=${windowUs}us, pageSize=$pageSize, " +
       s"limit=$limit, topN=$topN" +
       (if (aggExprs.nonEmpty) s", PushedAggregates: [${aggExprs.mkString(", ")}]"
-       else "")
+       else "") +
+      runtimeInUs.map(s => s", RuntimeFilteredKeys: ${s.size}").getOrElse("")
+
+  // ---- runtime (DPP-style) filtering ---------------------------------
+  // When the scan sits under a join keyed on created_at, Spark hands the
+  // build side's key set here AT RUNTIME (SupportsRuntimeFiltering) and
+  // whole time-window partitions with no matching key are never fetched —
+  // the API-source analogue of dynamic partition pruning. Dropping a
+  // window is only done on an EXACT key set (In/EqualTo); surviving
+  // windows still emit all their rows, which the contract allows (the
+  // runtime filter may be under-applied, never over-applied).
+  private var runtimeInUs: Option[Set[Long]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("created_at"))
+
+  private def toMicros(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+    case _ => None
+  }
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case org.apache.spark.sql.sources.In("created_at", vs) =>
+      val us = vs.toSeq.flatMap(toMicros)
+      // only act on a fully-decoded key set — a partially-understood
+      // set could prune a window that actually matches
+      if (us.size == vs.length)
+        runtimeInUs = Some(runtimeInUs.fold(us.toSet)(_ intersect us.toSet))
+    case org.apache.spark.sql.sources.EqualTo("created_at", v) =>
+      toMicros(v).foreach { u =>
+        runtimeInUs = Some(runtimeInUs.fold(Set(u))(_ intersect Set(u)))
+      }
+    case _ => () // unknown runtime filters are advisory — skip safely
+  }
 
   /** One partition per time window (split_windows, ticket.py:31-38) — the
     * unit of parallelism AND of retry isolation. Windows come from the
     * shared splitter (half-open [lo, hi)), converted to the reader's
-    * inclusive [lo, hi] bounds. */
+    * inclusive [lo, hi] bounds. Runtime-filtered keys drop windows
+    * containing none of them before any fetch is issued. */
   override def planInputPartitions(): Array[InputPartition] = {
     if (geUs > leUs) return Array.empty
-    graft.operators.Relational.splitWindows(geUs, leUs + 1, windowUs)
+    val wins = graft.operators.Relational.splitWindows(geUs, leUs + 1, windowUs)
       .map { case (lo, hi) => TicketWindowPartition(lo, hi - 1) }
+    runtimeInUs
+      .fold(wins)(ks => wins.filter(w => ks.exists(u => u >= w.loUs && u <= w.hiUs)))
       .toArray[InputPartition]
   }
 

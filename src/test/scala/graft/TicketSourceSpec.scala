@@ -196,4 +196,56 @@ class TicketSourceSpec extends SparkSuite {
         TicketApi.parseIso("2024-01-08T00:00:00Z")))
     assert(!TicketApi.attempts.isEmpty, "grouped agg must page the rows")
   }
+
+  test("runtime filtering drops windows with no build-side key (DPP seam)") {
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.sources.In
+    // 7-day range, 1-day windows → 7 partitions before runtime filtering
+    val df = read("2024-01-01T00:00:00Z", "2024-01-08T00:00:00Z",
+        "windowDays" -> "1")
+      .filter(col("created_at") >= "2024-01-01" &&
+        col("created_at") < "2024-01-08")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.get
+    val rf = scan.asInstanceOf[SupportsRuntimeFiltering]
+    assert(rf.filterAttributes().map(_.describe()).toSeq ===
+      Seq("created_at"))
+    val before = scan.toBatch.planInputPartitions().length
+    assert(before === 7, s"expected 7 daily windows, got $before")
+    // the join build side delivered two keys, both inside day 3 —
+    // every other window must be pruned BEFORE any fetch
+    val day3 = TicketApi.parseIso("2024-01-03T06:00:00Z")
+    rf.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("created_at",
+        Array(java.time.Instant.ofEpochSecond(day3 / 1000000L),
+          java.time.Instant.ofEpochSecond(day3 / 1000000L + 3600)))))
+    val after = scan.toBatch.planInputPartitions()
+    assert(after.length === 1, s"expected 1 surviving window: $after")
+    // undecodable key sets must NOT prune (under-apply, never over-apply)
+    val scan2 = read("2024-01-01T00:00:00Z", "2024-01-08T00:00:00Z",
+        "windowDays" -> "1")
+      .filter(col("created_at") >= "2024-01-01" &&
+        col("created_at") < "2024-01-08")
+      .queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.get.asInstanceOf[SupportsRuntimeFiltering]
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("created_at", Array("not-a-timestamp"))))
+    assert(scan2.asInstanceOf[org.apache.spark.sql.connector.read.Scan]
+      .toBatch.planInputPartitions().length === 7)
+    // e2e: a join keyed on created_at stays correct under the planner's
+    // own runtime-filter decisions
+    import spark.implicits._
+    val full = read("2024-01-01T00:00:00Z", "2024-01-08T00:00:00Z")
+      .select(col("created_at"), col("number")).collect()
+    val probeKeys = full.take(3).map(_.getTimestamp(0))
+    val probe = probeKeys.toSeq.toDF("created_at")
+    val joined = read("2024-01-01T00:00:00Z", "2024-01-08T00:00:00Z")
+      .join(probe, Seq("created_at"))
+    assert(joined.count() ===
+      full.count(r => probeKeys.contains(r.getTimestamp(0))))
+  }
 }
