@@ -3780,6 +3780,12 @@ object SparkEntry {
     Corpus.waterFill(Tables.documents(s, d), "source", col("n_chars"),
       budgetFrac = 0.5)
 
+  /** §2b Dunn's post-hoc pairwise z after the KW omnibus, BH-adjusted
+    * over the event-type pair battery — WHICH groups differ, not just
+    * "some do"; A&S normal tails mirrored in the oracle. */
+  private def q_dunn(s: SparkSession, d: String): DataFrame =
+    Stats.dunnPostHoc(Tables.events(s, d), "event_type", "value")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4120,6 +4126,7 @@ object SparkEntry {
     "q_control_rules" -> (q_control_rules _),
     "q_brunner_munzel" -> (q_brunner_munzel _),
     "q_water_fill" -> (q_water_fill _),
+    "q_dunn" -> (q_dunn _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -11069,5 +11076,69 @@ object SparkEntry {
                 CASE WHEN supply > 0
                   THEN alloc / CAST(supply AS DOUBLE) END AS share_kept
          FROM f""",
+    "q_dunn" ->
+      """WITH b AS (SELECT event_type AS g,
+                      round(CAST(value AS DOUBLE), 6) AS s
+                    FROM events
+                    WHERE event_type IS NOT NULL AND value IS NOT NULL),
+              vc AS (SELECT s, g, CAST(count(*) AS BIGINT) AS c
+                     FROM b GROUP BY 1, 2),
+              pv AS (SELECT s, CAST(sum(c) AS BIGINT) AS cv
+                     FROM vc GROUP BY 1),
+              grid AS (SELECT s, cv,
+                         CAST(COALESCE(SUM(cv) OVER (ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS DOUBLE)
+                           + CAST(cv + 1 AS DOUBLE) / 2.0 AS mid
+                       FROM pv),
+              pc AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                       sum(CAST(c AS DOUBLE) * mid)
+                         / CAST(sum(c) AS DOUBLE) AS rbar
+                     FROM vc JOIN grid USING (s) GROUP BY 1),
+              tot AS (SELECT CAST(sum(cv) AS BIGINT) AS nn,
+                        sum(CAST(cv AS DOUBLE) * cv * cv - cv) AS t3
+                      FROM grid),
+              pr AS (SELECT a.g AS group_a, b2.g AS group_b,
+                       a.n AS n_a, b2.n AS n_b,
+                       a.rbar AS mean_rank_a, b2.rbar AS mean_rank_b,
+                       nn, t3
+                     FROM pc a JOIN pc b2 ON a.g < b2.g, tot),
+              zz AS (SELECT *, CAST(nn AS DOUBLE)
+                         * (CAST(nn AS DOUBLE) + 1) / 12.0
+                         - t3 / (12.0 * (CAST(nn AS DOUBLE) - 1)) AS s2
+                     FROM pr),
+              z2 AS (SELECT group_a, group_b, n_a, n_b,
+                       mean_rank_a, mean_rank_b,
+                       CASE WHEN s2 > 0 THEN (mean_rank_a - mean_rank_b)
+                         / sqrt(s2 * (1.0 / CAST(n_a AS DOUBLE)
+                           + 1.0 / CAST(n_b AS DOUBLE))) END AS zv
+                     FROM zz),
+              ps AS (SELECT *, abs(zv) / sqrt(2.0) AS x,
+                       1.0 / (1.0 + 0.3275911
+                         * (abs(zv) / sqrt(2.0))) AS t
+                     FROM z2),
+              p2 AS (SELECT group_a, group_b, n_a, n_b,
+                       mean_rank_a, mean_rank_b, round(zv, 6) AS z,
+                       round(CASE WHEN zv IS NOT NULL THEN least(1.0,
+                         (((((1.061405429 * t - 1.453152027) * t)
+                           + 1.421413741) * t - 0.284496736) * t
+                           + 0.254829592) * t * exp(-x * x)) END, 6)
+                         AS p_value
+                     FROM ps),
+              ranked AS (SELECT *, CAST(count(*) OVER () AS BIGINT) AS m,
+                           CAST(row_number() OVER (ORDER BY p_value,
+                             group_a, group_b) AS INTEGER) AS bh_rank
+                         FROM p2)
+         SELECT group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b,
+                z, p_value, bh_rank,
+                round(least(min(CAST(m AS DOUBLE) * p_value / bh_rank)
+                    OVER (ORDER BY p_value, group_a, group_b
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                  1.0), 6) AS p_adj,
+                round(least(min(CAST(m AS DOUBLE) * p_value / bh_rank)
+                    OVER (ORDER BY p_value, group_a, group_b
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                  1.0), 6) <= 0.05 AS significant
+         FROM ranked""",
   )
 }

@@ -2129,6 +2129,82 @@ object Stats {
       .drop("__p", "__m", "__stat")
   }
 
+  /** Dunn's post-hoc pairwise comparisons after [[kruskalWallis]]
+    * (Dunn, Technometrics '64), with the tie-corrected variance and
+    * BH-FDR adjustment over the pair battery: a significant H says
+    * SOME group differs — Dunn says WHICH pairs, via
+    * z_ij = (R̄_i − R̄_j)/√(σ²(1/n_i + 1/n_j)) on the pooled midranks,
+    * σ² = N(N+1)/12 − Σ(t³−t)/(12(N−1)). Pair p-values route through
+    * [[bhAdjust]] (the repo's standard multiple-testing gate; Dunn's
+    * original Bonferroni is strictly dominated by it).
+    *
+    * Normal tails use the Abramowitz–Stegun 7.1.26 polynomial
+    * (|ε| < 1.5·10⁻⁷, far below the 6dp rounding), evaluated with the
+    * IDENTICAL expression in the DuckDB oracle — the repo has no libm
+    * erf dependency to diverge on.
+    *
+    * Scale shape: the [[kruskalWallis]] distinct-value midrank collapse
+    * (one hash aggregate + one bounded value-grid window), a k-row
+    * per-class fold, then a k²-row pair self-join and the m = k(k−1)/2
+    * row BH windows — nothing row-sized past the first aggregate.
+    * Mean ranks are exact rationals of midrank halves — UNROUNDED. */
+  def dunnPostHoc(df: DataFrame, classCol: String, valCol: String,
+                  alpha: Double = 0.05, roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cached: the bounded (value, class) histogram feeds the midrank
+    // grid, the per-class fold (both pair sides), and the tie fold —
+    // uncached, each consumer re-scans the events (the plan audit
+    // counted 5 scans)
+    val vc = df
+      .filter(col(classCol).isNotNull && col(valCol).isNotNull)
+      .select(round(col(valCol).cast("double"), roundScale).as("__s"),
+        col(classCol).as("__g"))
+      .groupBy(col("__s"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .cache()
+    val perValue = vc.groupBy(col("__s")).agg(sum(col("__c")).as("__cv"))
+    val below = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = perValue.select(col("__s"), col("__cv"),
+      (coalesce(sum(col("__cv")).over(below), lit(0L)).cast("double")
+        + (col("__cv") + 1).cast("double") / 2.0).as("__mid"))
+    val perClass = vc.join(grid, Seq("__s"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"),
+        (sum(col("__c").cast("double") * col("__mid"))
+          / sum(col("__c")).cast("double")).as("__rbar"))
+    val totals = grid.agg(sum(col("__cv")).as("__nn"),
+      sum(col("__cv").cast("double") * col("__cv") * col("__cv")
+        - col("__cv")).as("__t3"))
+    val a = perClass.select(col("__g").as("group_a"), col("__n").as("n_a"),
+      col("__rbar").as("mean_rank_a"))
+    val b = perClass.select(col("__g").as("group_b"), col("__n").as("n_b"),
+      col("__rbar").as("mean_rank_b"))
+    val pairs = a.join(b, col("group_a") < col("group_b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__nd", col("__nn").cast("double"))
+      .withColumn("__s2", col("__nd") * (col("__nd") + 1) / 12.0
+        - col("__t3") / (lit(12.0) * (col("__nd") - 1)))
+      .withColumn("__z", when(col("__s2") > 0,
+        (col("mean_rank_a") - col("mean_rank_b"))
+          / sqrt(col("__s2") * (lit(1.0) / col("n_a").cast("double")
+            + lit(1.0) / col("n_b").cast("double")))))
+    // two-sided normal p = erfc(|z|/√2) via Abramowitz–Stegun 7.1.26,
+    // mirrored verbatim in the oracle SQL
+    val x = abs(col("__z")) / math.sqrt(2.0)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = (((((lit(1.061405429) * t - 1.453152027) * t)
+      + 1.421413741) * t - 0.284496736) * t + 0.254829592) * t
+    val scored = pairs
+      .withColumn("p_value", round(when(col("__z").isNotNull,
+        least(lit(1.0), poly * exp(-x * x))), roundScale))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("mean_rank_a"), col("mean_rank_b"),
+        round(col("__z"), roundScale).as("z"), col("p_value"))
+    bhAdjust(scored, "p_value", Seq("group_a", "group_b"), alpha,
+      roundScale)
+  }
+
   /** Difference-in-differences (the 2×2 natural-experiment workhorse,
     * textbook form per Card & Krueger AER'94): with a treated and a
     * control arm each observed pre and post an intervention,

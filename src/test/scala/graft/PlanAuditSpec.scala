@@ -140,6 +140,8 @@ class PlanAuditSpec extends SparkSuite {
   //    q_energy_dist, q_anderson_darling, q_brunner_munzel;
   //  * per-source supply tables (≤ #sources rows): q_water_fill (sort +
   //    prefix sums over the bounded supply table);
+  //  * hypothesis-grain BH windows + distinct-value midrank grid
+  //    (the q_fdr_bh / q_kruskal_wallis contracts combined): q_dunn;
   //  * per-batch / per-source / per-bucket curves (≤ #groups rows):
   //    q_heaps_law, q_temperature_mix, q_quota_sample, q_vocab_coverage,
   //    q_negative_sampling (vocab ranking — capped by the query's own
@@ -154,7 +156,7 @@ class PlanAuditSpec extends SparkSuite {
     "q_periodogram", "q_ljung_box", "q_energy_dist", "q_sprt",
     "q_durbin_watson", "q_anderson_darling", "q_msprt", "q_runs_test",
     "q_friedman", "q_page_trend", "q_control_rules", "q_brunner_munzel",
-    "q_water_fill",
+    "q_water_fill", "q_dunn",
     "q_heaps_law", "q_temperature_mix",
     "q_quota_sample", "q_vocab_coverage", "q_negative_sampling",
     "q_ivf_topk", "q_ivf_topk_bcast", "q_ivf_trained", "q_rrf")
@@ -199,7 +201,7 @@ class PlanAuditSpec extends SparkSuite {
     "q_ivf_topk", "q_ivf_topk_bcast", "q_ivf_trained", "q_pq_topk",
     "q_cosine_topk", "q_int8_recall", "q_rrf", "q_jl_distortion",
     "q_embedding_pairs", "q_twonn", "q_jsd_matrix", "q_cramers_v",
-    "q_naive_bayes", "q_jonckheere",
+    "q_naive_bayes", "q_jonckheere", "q_dunn",
     "q_drift_monitor", "q_ks_per_source", "q_heaps_law",
     "q_query_likelihood", "q_fdr_bh", "q_isotonic", "q_kendall_tau")
 

@@ -1196,4 +1196,37 @@ class StatsSpec extends SparkSuite {
     val f = Stats.brunnerMunzel(flat, "s", "v", "a", "b").collect().head
     assert(f.getDouble(2) === 0.5 && f.isNullAt(3) && f.isNullAt(4))
   }
+
+  test("dunnPostHoc: hand-checked z, A&S tail mirror, BH over pairs") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def erfcAS(x: Double): Double = {
+      val t = 1.0 / (1.0 + 0.3275911 * x)
+      (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+        - 0.284496736) * t + 0.254829592) * t * math.exp(-x * x)
+    }
+    // separated groups {1,2} < {3,4} < {5,6}: midranks 1..6, R̄ =
+    // 1.5/3.5/5.5, σ² = 6·7/12 = 3.5 → z_ab = z_bc = −2/√3.5,
+    // z_ac = −4/√3.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val out = Stats.dunnPostHoc(df, "g", "v").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = out(("a", "b")); val ac = out(("a", "c"))
+    assert(ab.getDouble(4) === 1.5 && ab.getDouble(5) === 3.5)
+    assert(ab.getDouble(6) === r6(-2.0 / math.sqrt(3.5)))
+    assert(ac.getDouble(6) === r6(-4.0 / math.sqrt(3.5)))
+    val pAb = r6(math.min(1.0,
+      erfcAS(2.0 / math.sqrt(3.5) / math.sqrt(2.0))))
+    val pAc = r6(math.min(1.0,
+      erfcAS(4.0 / math.sqrt(3.5) / math.sqrt(2.0))))
+    assert(ab.getDouble(7) === pAb && ac.getDouble(7) === pAc)
+    // BH ranks: ac carries the smallest p (rank 1), ab/bc tie behind it
+    assert(ac.getInt(8) === 1)
+    assert(ab.getInt(8) === 2 && out(("b", "c")).getInt(8) === 3)
+    // p_adj is monotone: a pair can never be MORE significant than one
+    // with a smaller raw p
+    assert(ac.getDouble(9) <= ab.getDouble(9) + 1e-12)
+  }
 }
