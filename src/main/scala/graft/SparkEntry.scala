@@ -3786,6 +3786,12 @@ object SparkEntry {
   private def q_dunn(s: SparkSession, d: String): DataFrame =
     Stats.dunnPostHoc(Tables.events(s, d), "event_type", "value")
 
+  /** §2b seasonal Mann–Kendall per event type: monotone drift with the
+    * weekly cycle stratified OUT (same-weekday pairs only) — plain MK
+    * floods on the Mon<Fri pulse; this only sees cross-week trend. */
+  private def q_seasonal_mk(s: SparkSession, d: String): DataFrame =
+    Stats.seasonalMannKendall(Tables.events(s, d), "event_type", "ts")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4127,6 +4133,7 @@ object SparkEntry {
     "q_brunner_munzel" -> (q_brunner_munzel _),
     "q_water_fill" -> (q_water_fill _),
     "q_dunn" -> (q_dunn _),
+    "q_seasonal_mk" -> (q_seasonal_mk _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -11140,5 +11147,42 @@ object SparkEntry {
                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
                   1.0), 6) <= 0.05 AS significant
          FROM ranked""",
+    "q_seasonal_mk" ->
+      """WITH d AS (SELECT event_type AS k, date_trunc('day', ts) AS day,
+                      CAST(count(*) AS BIGINT) AS y
+                    FROM events GROUP BY 1, 2),
+              g AS (SELECT k, dayofweek(day) AS dow,
+                      datediff('day', DATE '1970-01-01',
+                        CAST(day AS DATE)) AS x, y
+                    FROM d),
+              sp AS (SELECT a.k AS k,
+                       CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                                     WHEN b.y < a.y THEN -1
+                                     ELSE 0 END) AS BIGINT) AS s_stat
+                     FROM g a JOIN g b
+                       ON a.k = b.k AND a.dow = b.dow AND a.x < b.x
+                     GROUP BY 1),
+              vs AS (SELECT k, dow, CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(*) AS DOUBLE) * (count(*) - 1)
+                         * (2.0 * count(*) + 5) AS base
+                     FROM g GROUP BY 1, 2),
+              tc AS (SELECT k, dow,
+                       sum(CAST(t AS DOUBLE) * (t - 1) * (2.0 * t + 5))
+                         AS tcorr
+                     FROM (SELECT k, dow, y, CAST(count(*) AS BIGINT) AS t
+                           FROM g GROUP BY 1, 2, 3)
+                     GROUP BY 1, 2),
+              vk AS (SELECT vs.k AS k, CAST(sum(n) AS BIGINT) AS n_days,
+                       sum(base - tcorr) / 18.0 AS var_s
+                     FROM vs JOIN tc ON vs.k = tc.k AND vs.dow = tc.dow
+                     GROUP BY 1)
+         SELECT sp.k AS event_type, n_days, s_stat, var_s,
+                round(CASE WHEN var_s > 0 THEN
+                  CASE WHEN s_stat > 0
+                         THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+                       WHEN s_stat < 0
+                         THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+                       ELSE 0.0 END END, 6) AS z
+         FROM sp JOIN vk ON sp.k = vk.k""",
   )
 }

@@ -1973,6 +1973,68 @@ object Stats {
       round(expr("percentile(__slope, 0.5)"), roundScale).as("sen_slope"))
   }
 
+  /** Seasonal Mann–Kendall trend test (Hirsch & Slack, WRR '84) over
+    * per-key daily counts with day-of-week strata: S = Σ_dow S_dow,
+    * where S_dow sums sgn(y_j − y_i) only over day pairs sharing a
+    * weekday — so the weekly cycle that would flood plain MK with
+    * within-week "trends" (Mon < Fri every week, forever) contributes
+    * NOTHING, and only cross-week monotone drift counts. Per-stratum
+    * tie-corrected variance [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18 sums
+    * across strata, and z carries the standard ±1 continuity
+    * correction. Run it beside [[theilSenDaily]] whenever the series
+    * has a weekly pulse — which event streams always do.
+    *
+    * S and the variance are INTEGER-EXACT cross-engine (unrounded);
+    * only z's √ rounds. S = 0 → z = 0 by the continuity convention;
+    * zero variance (all strata constant) → null z.
+    *
+    * Scale shape: the corpus collapses to the (key, day) grid first;
+    * pair work is per (key, weekday) stratum — ≤ (days/7)² pairs per
+    * stratum, calendar-bounded like the plain MK. */
+  def seasonalMannKendall(events: DataFrame, keyCol: String, tsCol: String,
+                          roundScale: Int = 6): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__y"))
+      .select(col(keyCol), dayofweek(col("__day")).as("__dow"),
+        datediff(col("__day"), lit("1970-01-01").cast("date")).as("__x"),
+        col("__y"))
+      .cache()
+    val a = daily.select(col(keyCol), col("__dow"), col("__x").as("__xa"),
+      col("__y").as("__ya"))
+    val b = daily.select(col(keyCol), col("__dow"), col("__x").as("__xb"),
+      col("__y").as("__yb"))
+    val sPerKey = a.join(b, Seq(keyCol, "__dow"))
+      .filter(col("__xa") < col("__xb"))
+      .groupBy(col(keyCol))
+      .agg(sum(when(col("__yb") > col("__ya"), 1L)
+        .when(col("__yb") < col("__ya"), -1L).otherwise(0L)).as("s_stat"))
+    val varPerStratum = daily.groupBy(col(keyCol), col("__dow"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__base", col("__n").cast("double") * (col("__n") - 1)
+        * (lit(2.0) * col("__n") + 5))
+    val tiesPerStratum = daily
+      .groupBy(col(keyCol), col("__dow"), col("__y"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col(keyCol), col("__dow"))
+      .agg(sum(col("__t").cast("double") * (col("__t") - 1)
+        * (lit(2.0) * col("__t") + 5)).as("__tcorr"))
+    val varPerKey = varPerStratum
+      .join(tiesPerStratum, Seq(keyCol, "__dow"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n_days"),
+        (sum(col("__base") - col("__tcorr")) / 18.0).as("__var"))
+    sPerKey.join(varPerKey, Seq(keyCol))
+      .select(col(keyCol), col("n_days"), col("s_stat"),
+        col("__var").as("var_s"),
+        round(when(col("__var") > 0,
+          when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") / sqrt(col("__var")))
+            .when(col("s_stat") < 0,
+              (col("s_stat") + 1).cast("double") / sqrt(col("__var")))
+            .otherwise(lit(0.0))), roundScale).as("z"))
+  }
+
   /** Jensen–Shannon divergence per bin (nats) — the bounded, symmetric
     * companion to [[psi]]: per bin, ½p·ln(p/m) + ½q·ln(q/m) with
     * m = (p+q)/2; the total over bins lies in [0, ln 2], so thresholds

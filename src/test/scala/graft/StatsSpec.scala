@@ -1229,4 +1229,27 @@ class StatsSpec extends SparkSuite {
     // with a smaller raw p
     assert(ac.getDouble(9) <= ab.getDouble(9) + 1e-12)
   }
+
+  test("seasonalMannKendall: cross-week drift counts, pure cycle doesn't") {
+    import java.sql.Timestamp
+    def day(d: Int, n: Int) = Seq.fill(n)(
+      ("k", Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")))
+    // week1 all 1/day, week2 all 2/day: each of 7 weekday strata has one
+    // rising pair → S = 7; Var = 7·[2·1·9]/18 = 7; z = 6/√7
+    val drift = (1 to 7).flatMap(day(_, 1)) ++ (8 to 14).flatMap(day(_, 2))
+    val r = Stats.seasonalMannKendall(drift.toDF("k", "ts"), "k", "ts")
+      .collect().head
+    assert(r.getLong(1) === 14L && r.getLong(2) === 7L)
+    assert(r.getDouble(3) === 7.0)
+    assert(r.getDouble(4) === BigDecimal(6.0 / math.sqrt(7.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a pure weekly cycle repeated identically: every same-weekday pair
+    // ties → S = 0 AND the tie correction removes all variance → null z
+    // (the honest "no usable signal", where plain MK would see 49 rising
+    // within-week pairs and scream trend)
+    val cycle = (1 to 14).flatMap(d => day(d, 1 + ((d - 1) % 7)))
+    val c = Stats.seasonalMannKendall(cycle.toDF("k", "ts"), "k", "ts")
+      .collect().head
+    assert(c.getLong(2) === 0L && c.getDouble(3) === 0.0 && c.isNullAt(4))
+  }
 }
