@@ -3792,6 +3792,24 @@ object SparkEntry {
   private def q_seasonal_mk(s: SparkSession, d: String): DataFrame =
     Stats.seasonalMannKendall(Tables.events(s, d), "event_type", "ts")
 
+  /** §2b log-rank test: do signup-first users convert (terminal
+    * purchase) on a different survival curve than the rest — the
+    * KM companion that says whether the curve gap is real, risk-set
+    * weighted per event time. */
+  private def q_log_rank(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val perUser = ev.groupBy(col("user_id")).agg(
+      datediff(date_trunc("day", max(col("ts"))),
+        date_trunc("day", min(col("ts")))).cast("long").as("dur"),
+      (max(struct(col("ts"), col("event_id"), col("event_type")))
+        .getField("event_type") === "purchase").as("ev"),
+      when(min(struct(col("ts"), col("event_id"), col("event_type")))
+        .getField("event_type") === "signup", "signup_first")
+        .otherwise("other").as("grp"))
+    EventAnalytics.logRank(perUser, "grp", "dur", col("ev"),
+      sideA = "signup_first", sideB = "other")
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4134,6 +4152,7 @@ object SparkEntry {
     "q_water_fill" -> (q_water_fill _),
     "q_dunn" -> (q_dunn _),
     "q_seasonal_mk" -> (q_seasonal_mk _),
+    "q_log_rank" -> (q_log_rank _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -11184,5 +11203,62 @@ object SparkEntry {
                          THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
                        ELSE 0.0 END END, 6) AS z
          FROM sp JOIN vk ON sp.k = vk.k""",
+    "q_log_rank" ->
+      """WITH fe AS (SELECT user_id, event_type AS first_type FROM (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS rn
+                FROM events) WHERE rn = 1),
+              le AS (SELECT user_id, event_type AS last_type FROM (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1),
+              u AS (SELECT e.user_id,
+                      CAST(date_diff('day', date_trunc('day', min(e.ts)),
+                        date_trunc('day', max(e.ts))) AS BIGINT) AS dur,
+                      max(l.last_type) = 'purchase' AS ev,
+                      CASE WHEN max(f.first_type) = 'signup'
+                        THEN 'signup_first' ELSE 'other' END AS grp
+                    FROM events e
+                    JOIN le l USING (user_id) JOIN fe f USING (user_id)
+                    GROUP BY e.user_id),
+              pd AS (SELECT dur AS t,
+                       CAST(SUM(CASE WHEN grp = 'signup_first'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                       CAST(SUM(CASE WHEN grp = 'other'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+                       CAST(SUM(CASE WHEN grp = 'signup_first' AND ev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS da,
+                       CAST(SUM(CASE WHEN grp = 'other' AND ev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS db
+                     FROM u GROUP BY 1),
+              rk AS (SELECT *,
+                       SUM(ca) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING) AS na,
+                       SUM(cb) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING) AS nb
+                     FROM pd),
+              x AS (SELECT *, na + nb AS n, da + db AS d,
+                      CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE) AS pa
+                    FROM rk),
+              y AS (SELECT *, CAST(d AS DOUBLE) * pa AS e,
+                      CASE WHEN n > 1 THEN CAST(d AS DOUBLE) * pa
+                        * (1.0 - pa) * CAST(n - d AS DOUBLE)
+                        / CAST(n - 1 AS DOUBLE) ELSE 0.0 END AS v
+                    FROM x),
+              f2 AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                       CAST(sum(cb) AS BIGINT) AS n_b,
+                       CAST(sum(da) AS BIGINT) AS observed_a,
+                       round(sum(CASE WHEN d > 0 THEN e ELSE 0.0 END), 6)
+                         AS expected_a,
+                       sum(CASE WHEN d > 0 THEN CAST(da AS DOUBLE) - e
+                         ELSE 0.0 END) AS oe,
+                       sum(CASE WHEN d > 0 THEN v ELSE 0.0 END) AS sv
+                     FROM y)
+         SELECT n_a, n_b, observed_a, expected_a,
+                CASE WHEN sv > 0 THEN round(oe / sqrt(sv), 6) END AS z,
+                CASE WHEN sv > 0 THEN round(oe * oe / sv, 6) END AS chi2
+         FROM f2""",
   )
 }

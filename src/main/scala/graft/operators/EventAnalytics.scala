@@ -569,6 +569,66 @@ object EventAnalytics {
         round(col("__v") - col("__emp"), roundScale).as("pi_minus_share"))
   }
 
+  /** Two-group log-rank test (Mantel, Cancer Chemother. Rep. '66; Peto
+    * & Peto, JRSS-A '72) over per-subject (group, duration, event)
+    * rows: at each distinct event time, observed group-A deaths vs the
+    * hypergeometric expectation E = d·n_A/n given the at-risk sets,
+    * pooled into z = Σ(O−E)/√ΣV and χ² = z² — THE test for "do these
+    * two survival curves differ", weighting every event time by its
+    * risk set (so early-time differences with full cohorts count more
+    * than tail noise). Run it beside [[kaplanMeier]]: KM draws the
+    * curves, log-rank says whether the gap is real. Censored subjects
+    * leave the risk set at their duration without contributing an
+    * event — exactly the KM convention.
+    *
+    * Sign: z > 0 ⇔ group A dies MORE than expected (worse survival).
+    *
+    * Scale shape: subjects collapse to the (group, duration) grid in
+    * one hash aggregate; risk sets are suffix sums over the
+    * calendar-bounded duration grid and the O/E/V folds are one closing
+    * reduce. Observed/expected are float-summed rationals → rounded;
+    * χ² degenerate (zero variance) → null. */
+  def logRank(units: DataFrame, groupCol: String, durCol: String,
+              eventCol: Column, sideA: String, sideB: String,
+              roundScale: Int = 6): DataFrame = {
+    val perDur = units
+      .filter(col(groupCol).isin(sideA, sideB) && col(durCol).isNotNull)
+      .groupBy(col(durCol).cast("long").as("__t"))
+      .agg(sum(when(col(groupCol) === sideA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === sideB, 1L).otherwise(0L)).as("__cb"),
+        sum(when(col(groupCol) === sideA && eventCol, 1L).otherwise(0L))
+          .as("__da"),
+        sum(when(col(groupCol) === sideB && eventCol, 1L).otherwise(0L))
+          .as("__db"))
+    val atRisk = Window.orderBy(col("__t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    perDur
+      .withColumn("__na", sum(col("__ca")).over(atRisk))
+      .withColumn("__nb", sum(col("__cb")).over(atRisk))
+      .withColumn("__n", col("__na") + col("__nb"))
+      .withColumn("__d", col("__da") + col("__db"))
+      .withColumn("__pa", col("__na").cast("double") / col("__n"))
+      .withColumn("__e", col("__d").cast("double") * col("__pa"))
+      .withColumn("__v", when(col("__n") > 1,
+        col("__d").cast("double") * col("__pa") * (lit(1.0) - col("__pa"))
+          * (col("__n") - col("__d")).cast("double")
+          / (col("__n") - 1).cast("double")).otherwise(lit(0.0)))
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum(col("__da")).as("observed_a"),
+        round(sum(when(col("__d") > 0, col("__e")).otherwise(lit(0.0))),
+          roundScale).as("expected_a"),
+        sum(when(col("__d") > 0, col("__da").cast("double") - col("__e"))
+          .otherwise(lit(0.0))).as("__oe"),
+        sum(when(col("__d") > 0, col("__v")).otherwise(lit(0.0)))
+          .as("__sv"))
+      .select(col("n_a"), col("n_b"), col("observed_a"), col("expected_a"),
+        round(when(col("__sv") > 0, col("__oe") / sqrt(col("__sv"))),
+          roundScale).as("z"),
+        round(when(col("__sv") > 0,
+          col("__oe") * col("__oe") / col("__sv")), roundScale)
+          .as("chi2"))
+  }
+
   /** Entropy of the empirical first-order Markov chain (Shannon, BSTJ
     * '48 §6's "entropy of the source"): per state s, the conditional
     * next-type entropy h(s) = −Σ_d P(d|s) ln P(d|s), the chain entropy

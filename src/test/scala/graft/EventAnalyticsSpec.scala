@@ -337,4 +337,30 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(r.getDouble(4) === BigDecimal(math.sqrt(14.0))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("logRank: hand-checked O/E/V ladder, symmetric zero") {
+    import org.apache.spark.sql.functions.col
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // A: events at 1,3; B: event at 2, censored at 4.
+    // t=1: n=4, E=½, V=¼; t=2: n=3, E=⅓, V=2⁄9; t=3: n=2, E=½, V=¼
+    // O_A=2, E_A=4/3, ΣV=13/18 → z = (2/3)/√(13/18)
+    val units = Seq(("a", 1L, true), ("a", 3L, true),
+      ("b", 2L, true), ("b", 4L, false)).toDF("g", "dur", "ev")
+    val r = EventAnalytics.logRank(units, "g", "dur", col("ev"), "a", "b")
+      .collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 2L)
+    assert(r.getDouble(3) === r6(4.0 / 3.0))
+    val sv = 0.25 + 2.0 / 9.0 + 0.25
+    assert(r.getDouble(4) === r6((2.0 - 4.0 / 3.0) / math.sqrt(sv)))
+    assert(r.getDouble(5) ===
+      r6((2.0 - 4.0 / 3.0) * (2.0 - 4.0 / 3.0) / sv))
+    // identical curves → O = E at every time → z = 0 exactly
+    val same = Seq(("a", 1L, true), ("a", 2L, true),
+      ("b", 1L, true), ("b", 2L, true)).toDF("g", "dur", "ev")
+    val s = EventAnalytics.logRank(same, "g", "dur", col("ev"), "a", "b")
+      .collect().head
+    assert(s.getDouble(4) === 0.0 && s.getDouble(5) === 0.0)
+  }
 }
