@@ -3810,6 +3810,25 @@ object SparkEntry {
       sideA = "signup_first", sideB = "other")
   }
 
+  /** §2b Wilcoxon signed-rank: per-user mean value, first half-month vs
+    * second — the paired pre/post rung (pairing nets out between-user
+    * variance that unpaired MW/Welch drown in). */
+  private def q_wilcoxon(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d).filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(avg(when(col("ts") < lit("2024-01-16 00:00:00")
+        .cast("timestamp"), col("value"))).as("x"),
+        avg(when(col("ts") >= lit("2024-01-16 00:00:00")
+          .cast("timestamp"), col("value"))).as("y"))
+    Stats.wilcoxonSignedRank(perUser, "x", "y")
+  }
+
+  /** §2b Cochran's Q over the users × event-type touch matrix — do the
+    * k types' reach rates differ once per-user propensity is blocked
+    * out; sparse fold, no dense grid. */
+  private def q_cochran_q(s: SparkSession, d: String): DataFrame =
+    Stats.cochranQ(Tables.events(s, d), "user_id", "event_type")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4153,6 +4172,8 @@ object SparkEntry {
     "q_dunn" -> (q_dunn _),
     "q_seasonal_mk" -> (q_seasonal_mk _),
     "q_log_rank" -> (q_log_rank _),
+    "q_wilcoxon" -> (q_wilcoxon _),
+    "q_cochran_q" -> (q_cochran_q _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -11260,5 +11281,63 @@ object SparkEntry {
                 CASE WHEN sv > 0 THEN round(oe / sqrt(sv), 6) END AS z,
                 CASE WHEN sv > 0 THEN round(oe * oe / sv, 6) END AS chi2
          FROM f2""",
+    "q_wilcoxon" ->
+      """WITH pu AS (SELECT user_id,
+                      avg(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN value END) AS x,
+                      avg(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN value END) AS y
+                    FROM events WHERE value IS NOT NULL GROUP BY 1),
+              dd AS (SELECT d FROM (
+                       SELECT round(y - x, 6) AS d FROM pu
+                       WHERE x IS NOT NULL AND y IS NOT NULL)
+                     WHERE d <> 0.0),
+              pa AS (SELECT abs(d) AS a,
+                       CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS cp,
+                       CAST(count(*) AS BIGINT) AS ct
+                     FROM dd GROUP BY 1),
+              rk AS (SELECT *,
+                       CAST(COALESCE(SUM(ct) OVER (ORDER BY a
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS DOUBLE)
+                         + CAST(ct + 1 AS DOUBLE) / 2.0 AS mid
+                     FROM pa),
+              ag AS (SELECT CAST(sum(ct) AS BIGINT) AS n_pairs,
+                       CAST(sum(cp) AS BIGINT) AS n_positive,
+                       sum(CAST(cp AS DOUBLE) * mid) AS w_plus,
+                       sum(CAST(ct AS DOUBLE) * ct * ct - ct) AS t3
+                     FROM rk),
+              g AS (SELECT n_pairs, n_positive, w_plus, t3,
+                      CAST(n_pairs AS DOUBLE) AS nd
+                    FROM ag),
+              h AS (SELECT n_pairs, n_positive, w_plus,
+                      nd * (nd + 1) / 4.0 AS w_expected,
+                      nd * (nd + 1) * (2.0 * nd + 1) / 24.0
+                        - t3 / 48.0 AS vr
+                    FROM g)
+         SELECT n_pairs, n_positive, w_plus, w_expected,
+                CASE WHEN vr > 0
+                  THEN round((w_plus - w_expected) / sqrt(vr), 6) END AS z
+         FROM h""",
+    "q_cochran_q" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS b, event_type AS t
+                     FROM events
+                     WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+              kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM ut),
+              cs AS (SELECT CAST(sum(c) AS BIGINT) AS nn,
+                       CAST(sum(c * c) AS BIGINT) AS sc2
+                     FROM (SELECT t, CAST(count(*) AS BIGINT) AS c
+                           FROM ut GROUP BY 1)),
+              rs AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                       CAST(sum(r * r) AS BIGINT) AS sr2
+                     FROM (SELECT b, CAST(count(*) AS BIGINT) AS r
+                           FROM ut GROUP BY 1))
+         SELECT n_blocks, kk.k AS k_treatments, nn AS n_successes,
+                CASE WHEN CAST(kk.k * nn - sr2 AS DOUBLE) > 0
+                  THEN round(CAST(kk.k - 1 AS DOUBLE)
+                    * CAST(kk.k * sc2 - nn * nn AS DOUBLE)
+                    / CAST(kk.k * nn - sr2 AS DOUBLE), 6) END AS q_stat
+         FROM cs, kk, rs""",
   )
 }

@@ -1076,6 +1076,100 @@ object Stats {
           .otherwise("continue").as("decision"))
   }
 
+  /** Wilcoxon signed-rank test for PAIRED samples (Wilcoxon,
+    * Biometrics Bull. '45): over per-pair differences d = y − x, rank
+    * |d| with midranks (zeros dropped — the classical convention),
+    * W⁺ = Σ ranks of positive d, E = n(n+1)/4, tie-corrected
+    * Var = n(n+1)(2n+1)/24 − Σ(t³−t)/48, z = (W⁺−E)/√Var (no
+    * continuity correction — the scipy default; document the choice,
+    * don't hide it). The PAIRED rung the ladder was missing: Welch/MW/
+    * Brunner–Munzel compare independent arms, Friedman needs k
+    * treatments — for before-vs-after on the SAME units (pre/post mean
+    * value per user), pairing removes the between-unit variance that
+    * drowns unpaired tests.
+    *
+    * NOT a rank over rows: |d| midranks fold from the per-distinct-|d|
+    * histogram ([[ksStatistic]] collapse) carrying positive/negative
+    * counts per value — W⁺ and the tie sums are exact halves,
+    * UNROUNDED; z rounds. n = 0 (all zero differences) → null z. */
+  def wilcoxonSignedRank(pairs: DataFrame, xCol: String, yCol: String,
+                         roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // differences round BEFORE the histogram (the kruskalWallis value
+    // convention): x/y are usually float aggregates, and a 1-ulp
+    // cross-engine wobble must not split a distinct-|d| tie group
+    val d = pairs
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(round(col(yCol).cast("double") - col(xCol).cast("double"),
+        roundScale).as("__d"))
+      .filter(col("__d") =!= 0.0)
+    val perAbs = d.groupBy(abs(col("__d")).as("__a"))
+      .agg(sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__cp"),
+        count(lit(1)).as("__ct"))
+    val below = Window.orderBy(col("__a"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perAbs.withColumn("__mid",
+      coalesce(sum(col("__ct")).over(below), lit(0L)).cast("double")
+        + (col("__ct") + 1).cast("double") / 2.0)
+    ranked.agg(sum(col("__ct")).as("n_pairs"),
+        sum(col("__cp")).as("n_positive"),
+        sum(col("__cp").cast("double") * col("__mid")).as("w_plus"),
+        sum(col("__ct").cast("double") * col("__ct") * col("__ct")
+          - col("__ct")).as("__t3"))
+      .withColumn("__nd", col("n_pairs").cast("double"))
+      .withColumn("__e", col("__nd") * (col("__nd") + 1) / 4.0)
+      .withColumn("__var", col("__nd") * (col("__nd") + 1)
+        * (lit(2.0) * col("__nd") + 1) / 24.0 - col("__t3") / 48.0)
+      .select(col("n_pairs"), col("n_positive"), col("w_plus"),
+        col("__e").as("w_expected"),
+        round(when(col("__var") > 0,
+          (col("w_plus") - col("__e")) / sqrt(col("__var"))), roundScale)
+          .as("z"))
+  }
+
+  /** Cochran's Q test (Cochran, Biometrika '50): k binary treatments
+    * over b blocks — "do the k success RATES differ, netting out
+    * per-block propensity" — the k-treatment generalization of
+    * [[mcnemar]] and the binary face of [[friedmanTest]]:
+    * Q = (k−1)(kΣC_j² − N²)/(kN − ΣR_i²) with C_j = treatment totals,
+    * R_i = block totals, N = ΣR; under H₀, Q ~ χ²_{k−1}. The "which
+    * event types does a user touch" contrast that a naive per-type
+    * rate table gets wrong when heavy users inflate every type at
+    * once.
+    *
+    * SPARSE by construction: absent (block, treatment) cells are 0 and
+    * contribute to NO sum, so the statistic folds from the distinct
+    * (block, treatment) pair table — no dense b×k grid, no cross join.
+    * All-zero/all-one blocks cancel algebraically (the textbook note) —
+    * no filtering needed. Everything integer-exact until the final
+    * division; Q rounds, the totals don't. Degenerate denominator
+    * (every block hits every treatment) → null. */
+  def cochranQ(df: DataFrame, blockCol: String, treatCol: String,
+               roundScale: Int = 6): DataFrame = {
+    val ut = df
+      .filter(col(blockCol).isNotNull && col(treatCol).isNotNull)
+      .select(col(blockCol).as("__b"), col(treatCol).as("__t"))
+      .distinct()
+      .cache()
+    val k = ut.select(col("__t")).distinct()
+      .agg(count(lit(1)).as("__k"))
+    val cSums = ut.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c")).as("__nn"),
+        sum(col("__c") * col("__c")).as("__sc2"))
+    val rSums = ut.groupBy(col("__b")).agg(count(lit(1)).as("__r"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("__r") * col("__r")).as("__sr2"))
+    cSums.crossJoin(broadcast(k)).crossJoin(broadcast(rSums))
+      .withColumn("__den", (col("__k") * col("__nn") - col("__sr2"))
+        .cast("double"))
+      .select(col("n_blocks"), col("__k").as("k_treatments"),
+        col("__nn").as("n_successes"),
+        round(when(col("__den") > 0,
+          (col("__k") - 1).cast("double")
+            * (col("__k") * col("__sc2") - col("__nn") * col("__nn"))
+              .cast("double") / col("__den")), roundScale).as("q_stat"))
+  }
+
   /** Friedman test for k treatments over b blocks, in Conover's
     * tie-robust form (Friedman, JASA '37; Conover, "Practical
     * Nonparametric Statistics" §5.8): midrank the k responses WITHIN

@@ -144,6 +144,8 @@ class PlanAuditSpec extends SparkSuite {
   //    (the q_fdr_bh / q_kruskal_wallis contracts combined): q_dunn;
   //  * duration-grid risk-set suffix sums (the q_survival contract):
   //    q_log_rank;
+  //  * distinct-|d| midrank grid (the q_kruskal_wallis collapse over
+  //    paired differences): q_wilcoxon;
   //  * per-batch / per-source / per-bucket curves (≤ #groups rows):
   //    q_heaps_law, q_temperature_mix, q_quota_sample, q_vocab_coverage,
   //    q_negative_sampling (vocab ranking — capped by the query's own
@@ -158,7 +160,7 @@ class PlanAuditSpec extends SparkSuite {
     "q_periodogram", "q_ljung_box", "q_energy_dist", "q_sprt",
     "q_durbin_watson", "q_anderson_darling", "q_msprt", "q_runs_test",
     "q_friedman", "q_page_trend", "q_control_rules", "q_brunner_munzel",
-    "q_water_fill", "q_dunn", "q_log_rank",
+    "q_water_fill", "q_dunn", "q_log_rank", "q_wilcoxon",
     "q_heaps_law", "q_temperature_mix",
     "q_quota_sample", "q_vocab_coverage", "q_negative_sampling",
     "q_ivf_topk", "q_ivf_topk_bcast", "q_ivf_trained", "q_rrf")

@@ -1230,6 +1230,42 @@ class StatsSpec extends SparkSuite {
     assert(ac.getDouble(9) <= ab.getDouble(9) + 1e-12)
   }
 
+  test("wilcoxonSignedRank: hand-checked W+, midrank ties, zeros dropped") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // d = +1, +2, −3, +4: ranks 1..4, W⁺ = 7, E = 5, Var = 7.5
+    val p1 = Seq((0.0, 1.0), (0.0, 2.0), (3.0, 0.0), (0.0, 4.0))
+      .toDF("x", "y")
+    val r = Stats.wilcoxonSignedRank(p1, "x", "y").collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 7.0 && r.getDouble(3) === 5.0)
+    assert(r.getDouble(4) === r6(2.0 / math.sqrt(7.5)))
+    // ties + a zero pair: d = +1, −1, +2 (and one 0 dropped):
+    // |d| midranks 1.5, 1.5, 3 → W⁺ = 4.5; Var = 3.5 − 6/48
+    val p2 = Seq((0.0, 1.0), (1.0, 0.0), (0.0, 2.0), (5.0, 5.0))
+      .toDF("x", "y")
+    val t = Stats.wilcoxonSignedRank(p2, "x", "y").collect().head
+    assert(t.getLong(0) === 3L)
+    assert(t.getDouble(2) === 4.5 && t.getDouble(3) === 3.0)
+    assert(t.getDouble(4) === r6(1.5 / math.sqrt(3.375)))
+  }
+
+  test("cochranQ: textbook 4x3 table, duplicate rows collapse") {
+    // blocks touch {t1}, {t1,t2}, {t1,t2,t3}, {t2}: C=(3,3,1), N=7,
+    // ΣR²=15 → Q = 2·(3·19−49)/(3·7−15) = 8/3
+    val rows = Seq((1, "t1"), (2, "t1"), (2, "t2"), (3, "t1"), (3, "t2"),
+      (3, "t3"), (4, "t2"),
+      (1, "t1"), (3, "t2")) // duplicates must not double-count
+      .toDF("b", "t")
+    val r = Stats.cochranQ(rows, "b", "t").collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 3L && r.getLong(2) === 7L)
+    assert(r.getDouble(3) === BigDecimal(8.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // every block touching every treatment → zero denominator → null
+    val full = Seq((1, "a"), (1, "b"), (2, "a"), (2, "b")).toDF("b", "t")
+    assert(Stats.cochranQ(full, "b", "t").collect().head.isNullAt(3))
+  }
+
   test("seasonalMannKendall: cross-week drift counts, pure cycle doesn't") {
     import java.sql.Timestamp
     def day(d: Int, n: Int) = Seq.fill(n)(
