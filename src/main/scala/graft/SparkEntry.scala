@@ -3829,6 +3829,12 @@ object SparkEntry {
   private def q_cochran_q(s: SparkSession, d: String): DataFrame =
     Stats.cochranQ(Tables.events(s, d), "user_id", "event_type")
 
+  /** §2b Mood's median test of event values across types — the
+    * maximally-robust location screen (above/below the pooled median
+    * only), the blunt-but-outlier-proof rung beside KW. */
+  private def q_mood_median(s: SparkSession, d: String): DataFrame =
+    Stats.moodMedianTest(Tables.events(s, d), "event_type", "value")
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4174,6 +4180,7 @@ object SparkEntry {
     "q_log_rank" -> (q_log_rank _),
     "q_wilcoxon" -> (q_wilcoxon _),
     "q_cochran_q" -> (q_cochran_q _),
+    "q_mood_median" -> (q_mood_median _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -11339,5 +11346,37 @@ object SparkEntry {
                     * CAST(kk.k * sc2 - nn * nn AS DOUBLE)
                     / CAST(kk.k * nn - sr2 AS DOUBLE), 6) END AS q_stat
          FROM cs, kk, rs""",
+    "q_mood_median" ->
+      """WITH x AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                    FROM events
+                    WHERE event_type IS NOT NULL AND value IS NOT NULL),
+              md AS (SELECT quantile_cont(v, 0.5) AS m FROM x),
+              pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN v > m THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_above
+                     FROM x, md GROUP BY 1),
+              t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                      CAST(sum(n_above) AS BIGINT) AS ta,
+                      CAST(count(*) AS BIGINT) AS k
+                    FROM pg),
+              sh AS (SELECT g, n, n_above,
+                       CAST(n AS DOUBLE) * CAST(ta AS DOUBLE)
+                         / CAST(nn AS DOUBLE) AS ea,
+                       CAST(n AS DOUBLE) * CAST(nn - ta AS DOUBLE)
+                         / CAST(nn AS DOUBLE) AS eb,
+                       k
+                     FROM pg, t),
+              ch AS (SELECT CAST(max(k) - 1 AS BIGINT) AS df_chi,
+                       round(CASE WHEN max(CASE WHEN ea <= 0 OR eb <= 0
+                           THEN 1 ELSE 0 END) = 0
+                         THEN sum((CAST(n_above AS DOUBLE) - ea)
+                             * (CAST(n_above AS DOUBLE) - ea) / ea
+                           + (CAST(n - n_above AS DOUBLE) - eb)
+                             * (CAST(n - n_above AS DOUBLE) - eb) / eb)
+                         END, 6) AS chi2
+                     FROM sh)
+         SELECT g AS event_type, n, n_above, ea AS expected_above,
+                df_chi, chi2
+         FROM sh, ch""",
   )
 }

@@ -1076,6 +1076,68 @@ object Stats {
           .otherwise("continue").as("decision"))
   }
 
+  /** Mood's median test (Mood, "Introduction to the Theory of
+    * Statistics" '50 §16.6): k-group χ² on the 2×k table of counts
+    * above vs ≤ the POOLED median — the maximally-robust (and
+    * correspondingly blunt) location screen: it only asks "does each
+    * group put the expected half of its mass above the common
+    * median", so arbitrary outliers and any monotone transform leave
+    * it untouched. Use when [[kruskalWallis]]'s rank machinery is
+    * overkill or its equal-shape assumption is suspect; report beside,
+    * not instead (Mood discards within-half information — that
+    * bluntness is the price of the robustness).
+    *
+    * Values equal to the median count in the ≤ half (the standard
+    * convention; the interpolated pooled median is the repo's
+    * bit-identical exact percentile). Emits one row per group (n,
+    * n_above, expected_above — exact-rational UNROUNDED) with the
+    * 1-row (χ²_{k−1}, df) fit broadcast alongside; a degenerate half
+    * (every value on one side) → null χ².
+    *
+    * Scale shape: one exact-percentile aggregate (1-row broadcast),
+    * one per-group conditional aggregate, a k-row fold — shuffle ∝
+    * groups. */
+  def moodMedianTest(df: DataFrame, classCol: String, valCol: String,
+                     roundScale: Int = 6): DataFrame = {
+    val x = df.filter(col(classCol).isNotNull && col(valCol).isNotNull)
+      .select(col(classCol).as("__g"), col(valCol).cast("double").as("__v"))
+    val med = x.agg(expr("percentile(__v, 0.5D)").as("__m"))
+    // cached: the k-row count table feeds the totals fold, the χ² fold,
+    // AND the final select — uncached, each consumer re-runs the
+    // median + group aggregate over the events (the plan audit counted
+    // 8 scans)
+    val perGroup = x.crossJoin(broadcast(med))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__v") > col("__m"), 1L).otherwise(0L)).as("n_above"))
+      .cache()
+    val totals = perGroup.agg(sum(col("n")).as("__nn"),
+      sum(col("n_above")).as("__ta"), count(lit(1)).as("__k"))
+    val shared = perGroup.crossJoin(broadcast(totals))
+      .withColumn("__ea", col("n").cast("double") * col("__ta").cast("double")
+        / col("__nn").cast("double"))
+      .withColumn("__eb", col("n").cast("double")
+        * (col("__nn") - col("__ta")).cast("double")
+        / col("__nn").cast("double"))
+    val chi = shared
+      .agg(max(col("__k")).as("__kk"),
+        sum(when(col("__ea") > 0 && col("__eb") > 0,
+          (col("n_above").cast("double") - col("__ea"))
+            * (col("n_above").cast("double") - col("__ea")) / col("__ea")
+            + ((col("n") - col("n_above")).cast("double") - col("__eb"))
+              * ((col("n") - col("n_above")).cast("double") - col("__eb"))
+              / col("__eb"))).as("__chi"),
+        max(when(col("__ea") <= 0 || col("__eb") <= 0, 1L).otherwise(0L))
+          .as("__degen"))
+      .select((col("__kk") - 1).cast("long").as("df_chi"),
+        round(when(col("__degen") === 0, col("__chi")), roundScale)
+          .as("chi2"))
+    shared
+      .select(col("__g").as(classCol), col("n"), col("n_above"),
+        col("__ea").as("expected_above"))
+      .crossJoin(broadcast(chi))
+  }
+
   /** Wilcoxon signed-rank test for PAIRED samples (Wilcoxon,
     * Biometrics Bull. '45): over per-pair differences d = y − x, rank
     * |d| with midranks (zeros dropped — the classical convention),

@@ -1250,6 +1250,36 @@ class StatsSpec extends SparkSuite {
     assert(t.getDouble(4) === r6(1.5 / math.sqrt(3.375)))
   }
 
+  test("moodMedianTest: hand-checked 2x2, median-tie convention") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a = {1,2,3,4}, b = {5,6,7,8}: pooled median 4.5; above: a 0/4,
+    // b 4/4, E = 2 everywhere → χ² = 4·(2²/2) = 8 with df 1
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 5.0), ("b", 6.0), ("b", 7.0), ("b", 8.0)).toDF("g", "v")
+    val out = Stats.moodMedianTest(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) === 4L && out("a").getLong(2) === 0L)
+    assert(out("b").getLong(2) === 4L)
+    assert(out("a").getDouble(3) === 2.0)
+    assert(out("a").getLong(4) === 1L)
+    assert(out("a").getDouble(5) === 8.0)
+    // values AT the median count in the ≤ half: {1,2,2} vs {2,3,4} —
+    // median 2; above: a 0, b 2; and identical groups → χ² ≈ 0
+    val tied = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "v")
+    val t = Stats.moodMedianTest(tied, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(t("a").getLong(2) === 0L && t("b").getLong(2) === 2L)
+    assert(t("a").getDouble(3) === 1.0)
+    assert(t("a").getDouble(5) === r6(2.0 * (1.0 + 0.5)))
+    // every value above is impossible; every value ≤ median in BOTH
+    // groups → degenerate "above" half → null χ²
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    assert(Stats.moodMedianTest(const, "g", "v")
+      .collect().head.isNullAt(5))
+  }
+
   test("cochranQ: textbook 4x3 table, duplicate rows collapse") {
     // blocks touch {t1}, {t1,t2}, {t1,t2,t3}, {t2}: C=(3,3,1), N=7,
     // ΣR²=15 → Q = 2·(3·19−49)/(3·7−15) = 8/3
