@@ -3835,6 +3835,52 @@ object SparkEntry {
   private def q_mood_median(s: SparkSession, d: String): DataFrame =
     Stats.moodMedianTest(Tables.events(s, d), "event_type", "value")
 
+  /** §2b Fleiss' kappa — each user's first 5 events read as 5 "ratings"
+    * of the user by event-type "category"; chance-corrected multi-rater
+    * agreement, the labeling-QA gate. Exact integer ratio, unrounded. */
+  private def q_fleiss_kappa(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val rated = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 5)
+    Agreement.fleissKappa(rated, "user_id", "event_type", raters = 5)
+  }
+
+  /** §2b Krippendorff's nominal alpha over the full (user, event_type)
+    * rating table — the variable-raters-per-item agreement coefficient
+    * (users contribute however many events they have; <2 dropped). */
+  private def q_krippendorff(s: SparkSession, d: String): DataFrame =
+    Agreement.krippendorffAlpha(Tables.events(s, d), "user_id",
+      "event_type")
+
+  /** §2b Kendall's W — do the k event types "rank" the days of the
+    * window concordantly by daily volume; raters = types, items = days,
+    * value = the day's event count (integer, so ranks are cross-engine
+    * exact). */
+  private def q_kendall_w(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .groupBy(col("event_type").as("rater"),
+        to_date(col("ts")).as("item"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    Agreement.kendallW(cells, "rater", "item", "cnt")
+  }
+
+  /** §2b Majority-vote label aggregation — collapse each user's events
+    * to the modal event type with support fraction; deterministic
+    * lexicographic tiebreak (the reproducible-corpus contract). */
+  private def q_majority_label(s: SparkSession, d: String): DataFrame =
+    Agreement.majorityLabel(Tables.events(s, d), "user_id", "event_type")
+
+  /** §2b Levene's test (mean-centered) of spread homogeneity across
+    * event types — the dispersion-drift alarm beside the ANOVA mean
+    * contrast. */
+  private def q_levene(s: SparkSession, d: String): DataFrame =
+    Stats.leveneTest(Tables.events(s, d), "event_type", "value")
+
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4143,7 +4189,6 @@ object SparkEntry {
     "q_mcnemar" -> (q_mcnemar _),
     "q_kendall_tau" -> (q_kendall_tau _),
     "q_pettitt" -> (q_pettitt _),
-    "q_ece" -> (q_ece _),
     "q_hurst" -> (q_hurst _),
     "q_burrows_delta" -> (q_burrows_delta _),
     "q_yuen" -> (q_yuen _),
@@ -4181,6 +4226,12 @@ object SparkEntry {
     "q_wilcoxon" -> (q_wilcoxon _),
     "q_cochran_q" -> (q_cochran_q _),
     "q_mood_median" -> (q_mood_median _),
+    "q_fleiss_kappa" -> (q_fleiss_kappa _),
+    "q_krippendorff" -> (q_krippendorff _),
+    "q_kendall_w" -> (q_kendall_w _),
+    "q_majority_label" -> (q_majority_label _),
+    "q_levene" -> (q_levene _),
+    "q_ece" -> (q_ece _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -11378,5 +11429,156 @@ object SparkEntry {
          SELECT g AS event_type, n, n_above, ea AS expected_above,
                 df_chi, chi2
          FROM sh, ch""",
+    "q_fleiss_kappa" ->
+      """WITH ev AS (SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                     FROM events
+                     WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+              r AS (SELECT user_id AS i, event_type AS j
+                    FROM ev WHERE rn <= 5),
+              cells AS (SELECT i, j, CAST(count(*) AS BIGINT) AS nij
+                        FROM r GROUP BY 1, 2),
+              pi AS (SELECT i, CAST(sum(nij) AS BIGINT) AS m,
+                       CAST(sum(nij * nij) AS BIGINT) AS s2i
+                     FROM cells GROUP BY 1),
+              ok AS (SELECT * FROM pi WHERE m = 5),
+              s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                       CAST(sum(s2i) AS BIGINT) AS s2v
+                     FROM ok),
+              cj AS (SELECT c.j, CAST(sum(c.nij) AS BIGINT) AS cjv
+                     FROM cells c JOIN ok ON c.i = ok.i GROUP BY 1),
+              sc AS (SELECT CAST(count(*) AS BIGINT) AS k_categories,
+                       CAST(sum(cjv * cjv) AS BIGINT) AS sc2
+                     FROM cj)
+         SELECT n_items, CAST(5 AS BIGINT) AS n_raters, k_categories,
+                CAST(s2v - n_items * 5 AS DOUBLE)
+                  / CAST((n_items * 5) * 4 AS DOUBLE) AS p_bar,
+                CAST(sc2 AS DOUBLE)
+                  / CAST((n_items * 5) * (n_items * 5) AS DOUBLE) AS p_e,
+                CASE WHEN (n_items * 5) * (n_items * 5) <> sc2
+                  THEN CAST((s2v - n_items * 5) * (n_items * 5)
+                         - sc2 * 4 AS DOUBLE)
+                    / CAST(4 * ((n_items * 5) * (n_items * 5) - sc2)
+                        AS DOUBLE) END AS kappa
+         FROM s2, sc""",
+    "q_krippendorff" ->
+      """WITH cells AS (SELECT user_id AS i, event_type AS c,
+                          CAST(count(*) AS BIGINT) AS nic
+                        FROM events
+                        WHERE user_id IS NOT NULL
+                          AND event_type IS NOT NULL
+                        GROUP BY 1, 2),
+              pi AS (SELECT i, CAST(sum(nic) AS BIGINT) AS mi
+                     FROM cells GROUP BY 1
+                     HAVING CAST(sum(nic) AS BIGINT) >= 2),
+              j AS (SELECT cells.i, cells.c, cells.nic, pi.mi
+                    FROM cells JOIN pi USING (i)),
+              oan AS (SELECT CAST(sum(nic) AS BIGINT) AS n,
+                        sum(CAST(nic AS DOUBLE) * CAST(nic - 1 AS DOUBLE)
+                          / CAST(mi - 1 AS DOUBLE)) AS o
+                      FROM j),
+              nc AS (SELECT c, CAST(sum(nic) AS BIGINT) AS ncv
+                     FROM j GROUP BY 1),
+              n2 AS (SELECT CAST(count(*) AS BIGINT) AS k_categories,
+                       CAST(sum(ncv * ncv) AS BIGINT) AS snc2
+                     FROM nc),
+              it AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM pi)
+         SELECT n_items, k_categories, n AS n_pairable,
+                round(o, 6) AS observed_coincidence,
+                round(CASE WHEN n * n <> snc2
+                  THEN 1.0 - CAST(n - 1 AS DOUBLE)
+                    * (CAST(n AS DOUBLE) - o)
+                    / CAST(n * n - snc2 AS DOUBLE) END, 6) AS alpha
+         FROM oan, n2, it""",
+    "q_kendall_w" ->
+      """WITH cells AS (SELECT event_type AS r, CAST(ts AS DATE) AS it,
+                          CAST(count(*) AS DOUBLE) AS v
+                        FROM events
+                        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                        GROUP BY 1, 2),
+              m AS (SELECT CAST(count(DISTINCT r) AS BIGINT) AS mv
+                    FROM cells),
+              comp AS (SELECT c.r, c.it, c.v
+                       FROM cells c
+                       JOIN (SELECT it, CAST(count(*) AS BIGINT) AS cnt
+                             FROM cells GROUP BY 1) g ON c.it = g.it, m
+                       WHERE g.cnt = m.mv),
+              ranked AS (SELECT r, it, v,
+                           CAST(rank() OVER (PARTITION BY r ORDER BY v)
+                             AS DOUBLE)
+                           + (CAST(count(*) OVER (PARTITION BY r, v)
+                               AS DOUBLE) - 1) / 2.0 AS rk
+                         FROM comp),
+              shape AS (SELECT CAST(count(DISTINCT it) AS BIGINT) AS nn,
+                          CAST(count(DISTINCT r) AS BIGINT) AS mm
+                        FROM ranked),
+              rs AS (SELECT it, sum(rk) AS ri FROM ranked GROUP BY 1),
+              s AS (SELECT sum((ri - CAST(mm AS DOUBLE)
+                        * CAST(nn + 1 AS DOUBLE) / 2.0)
+                      * (ri - CAST(mm AS DOUBLE)
+                        * CAST(nn + 1 AS DOUBLE) / 2.0)) AS sv
+                    FROM rs, shape),
+              t AS (SELECT sum(tg * tg * tg - tg) AS tt
+                    FROM (SELECT r, v, CAST(count(*) AS BIGINT) AS tg
+                          FROM ranked GROUP BY 1, 2))
+         SELECT nn AS n_items, mm AS n_raters, sv AS s_stat,
+                CASE WHEN CAST(mm * mm * (nn * nn * nn - nn) - mm * tt
+                    AS DOUBLE) > 0
+                  THEN 12.0 * sv
+                    / CAST(mm * mm * (nn * nn * nn - nn) - mm * tt
+                        AS DOUBLE) END AS w
+         FROM shape, s, t""",
+    "q_majority_label" ->
+      """WITH cells AS (SELECT user_id, event_type,
+                          CAST(count(*) AS BIGINT) AS votes
+                        FROM events
+                        WHERE user_id IS NOT NULL
+                          AND event_type IS NOT NULL
+                        GROUP BY 1, 2),
+              w AS (SELECT user_id, event_type, votes,
+                      CAST(sum(votes) OVER (PARTITION BY user_id)
+                        AS BIGINT) AS n_ratings,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY votes DESC,
+                                                  event_type ASC) AS rn
+                    FROM cells)
+         SELECT user_id, event_type AS majority_label, votes, n_ratings,
+                CAST(votes AS DOUBLE) / CAST(n_ratings AS DOUBLE)
+                  AS support
+         FROM w WHERE rn = 1""",
+    "q_levene" ->
+      """WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                       FROM events
+                       WHERE event_type IS NOT NULL
+                         AND value IS NOT NULL),
+              c AS (SELECT g, avg(v) AS cm FROM base GROUP BY 1),
+              z AS (SELECT base.g, abs(base.v - c.cm) AS zv
+                    FROM base JOIN c USING (g)),
+              pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                       sum(zv) AS sz, sum(zv * zv) AS sz2
+                     FROM z GROUP BY 1),
+              fit AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                        CAST(sum(n) AS BIGINT) AS nn,
+                        sum(sz) AS gsz,
+                        sum(CAST(n AS DOUBLE) * (sz / CAST(n AS DOUBLE))
+                          * (sz / CAST(n AS DOUBLE))) AS nzb2,
+                        sum(sz2 - CAST(n AS DOUBLE)
+                          * (sz / CAST(n AS DOUBLE))
+                          * (sz / CAST(n AS DOUBLE))) AS withinv
+                      FROM pg),
+              f2 AS (SELECT k AS k_groups, nn AS n_total,
+                       round(CASE WHEN withinv > 0 AND k > 1
+                         THEN CAST(nn - k AS DOUBLE)
+                           / CAST(k - 1 AS DOUBLE)
+                           * (nzb2 - CAST(nn AS DOUBLE)
+                             * (gsz / CAST(nn AS DOUBLE))
+                             * (gsz / CAST(nn AS DOUBLE)))
+                           / withinv END, 6) AS w_stat
+                     FROM fit)
+         SELECT g AS event_type, n,
+                round(sz / CAST(n AS DOUBLE), 6) AS z_mean,
+                k_groups, n_total, w_stat
+         FROM pg, f2""",
   )
 }

@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Inter-annotator agreement and label-aggregation operators
+  * (SURVEY.md §2b) — the labeling-QA layer of a training-data pipeline:
+  * before a labeled corpus is trusted, measure how much the raters agree
+  * beyond chance (Fleiss' kappa, Krippendorff's alpha, Kendall's W) and
+  * collapse multi-rated items to a single label with an explicit support
+  * fraction (majority vote).
+  *
+  * All four fold from the sparse (item, label) [or (rater, item)] cell
+  * aggregate — one shuffle on the item key, partial aggregation map-side,
+  * never a dense item×category grid — so they run at corpus scale. The
+  * chance-corrected statistics are EXACT integer (or half-integer) ratios
+  * up to the single final division wherever the design is balanced, and
+  * are emitted UNROUNDED there (both engines divide the same two doubles);
+  * only the variable-raters-per-item alpha carries order-dependent float
+  * terms and rounds.
+  */
+object Agreement {
+
+  /** Fleiss' kappa (Fleiss, Psych. Bull. '71): chance-corrected agreement
+    * for N items each rated by exactly m raters over k categories.
+    * With n_ij = raters assigning category j to item i, T = N·m,
+    * S2 = Σ_ij n_ij², C_j = Σ_i n_ij, SC2 = Σ_j C_j²:
+    *   P̄  = (S2 − T) / (T(m−1))          observed pairwise agreement
+    *   P̄e = SC2 / T²                      chance agreement
+    *   κ  = [(S2 − T)·T − SC2·(m−1)] / [(m−1)·(T² − SC2)]
+    * The last form clears denominators, so every sum is an INTEGER and κ
+    * is one exact integer ratio — emitted unrounded (both engines divide
+    * the same two longs-as-doubles). Items whose rating count ≠ m are
+    * DROPPED (the statistic is undefined for them; visible via n_items
+    * against the caller's expectation), null items/labels filtered.
+    *
+    * Shape: one sparse groupBy(item, label) cell count, one per-item fold
+    * to enforce m, two bounded folds for S2/SC2 — shuffle ∝ distinct
+    * cells. Long arithmetic holds to ~3·10⁹ total ratings (T² < 2⁶³);
+    * beyond that, swap the two products to DECIMAL(38,0). */
+  def fleissKappa(ratings: DataFrame, itemCol: String, labelCol: String,
+                  raters: Int): DataFrame = {
+    require(raters >= 2, s"fleissKappa needs m >= 2 raters, got $raters")
+    val cells = ratings
+      .filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(labelCol).as("__j"))
+      .agg(count(lit(1)).as("__nij"))
+    val perItem = cells.groupBy(col("__i"))
+      .agg(sum(col("__nij")).as("__m"), sum(col("__nij") * col("__nij"))
+        .as("__s2i"))
+      .filter(col("__m") === raters.toLong)
+      // the balanced item set feeds BOTH the S2 fold and the per-category
+      // C_j fold below (via semi join); cached so the cell aggregate runs
+      // once, not per consumer
+      .cache()
+    val s2 = perItem.agg(count(lit(1)).as("n_items"),
+      sum(col("__s2i")).as("__s2"))
+    val sc2 = cells
+      .join(perItem.select(col("__i")), Seq("__i"), "left_semi")
+      .groupBy(col("__j")).agg(sum(col("__nij")).as("__cj"))
+      .agg(count(lit(1)).as("k_categories"),
+        sum(col("__cj") * col("__cj")).as("__sc2"))
+    val m = lit(raters.toLong)
+    s2.crossJoin(broadcast(sc2))
+      .withColumn("__t", col("n_items") * m)
+      .select(col("n_items"), m.as("n_raters"), col("k_categories"),
+        ((col("__s2") - col("__t")).cast("double")
+          / (col("__t") * (m - 1L)).cast("double")).as("p_bar"),
+        (col("__sc2").cast("double")
+          / (col("__t") * col("__t")).cast("double")).as("p_e"),
+        when(col("__t") * col("__t") =!= col("__sc2"),
+          ((col("__s2") - col("__t")) * col("__t")
+            - col("__sc2") * (m - 1L)).cast("double")
+            / ((m - 1L) * (col("__t") * col("__t") - col("__sc2")))
+              .cast("double")).as("kappa"))
+  }
+
+  /** Krippendorff's alpha, nominal metric (Krippendorff, "Content
+    * Analysis" §12): chance-corrected agreement that, unlike
+    * [[fleissKappa]], accepts a VARIABLE number of ratings per item —
+    * the common real shape where some items got 2 raters and some 5.
+    * From the coincidence-matrix identities, with m_i = ratings on item
+    * i (items with m_i < 2 dropped — no pairable values), n = Σ m_i,
+    * n_c = Σ_i n_ic, and o = Σ_i Σ_c n_ic(n_ic−1)/(m_i−1) the observed
+    * same-same coincidence mass:
+    *   α = 1 − (n−1)(n − o) / (n² − Σ_c n_c²)
+    * n and n_c are integers, but o divides by a per-item (m_i−1), so its
+    * sum is order-dependent float noise → α ROUNDS at `roundScale`
+    * (convention: round noise-carrying values only).
+    *
+    * Shape: the same sparse (item, label) cell count as kappa, a per-item
+    * m_i fold joined back broadcast-small per item... no — joined by key
+    * (items are data-sized); both sides are the SAME cell aggregate, so
+    * it is computed once (cached) and self-joined on the item key —
+    * shuffle ∝ distinct cells either way. */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+                        labelCol: String, roundScale: Int = 6): DataFrame = {
+    val cells = ratings
+      .filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(labelCol).as("__c"))
+      .agg(count(lit(1)).as("__nic"))
+      // consumed by the per-item fold AND the joined coincidence fold
+      .cache()
+    val perItem = cells.groupBy(col("__i"))
+      .agg(sum(col("__nic")).as("__mi"))
+      .filter(col("__mi") >= 2L)
+    val joined = cells.join(perItem, Seq("__i"))
+    val oAndN = joined.agg(
+      sum(col("__nic")).as("__n"),
+      sum(col("__nic").cast("double") * (col("__nic") - 1L).cast("double")
+        / (col("__mi") - 1L).cast("double")).as("__o"))
+    val nc2 = joined.groupBy(col("__c"))
+      .agg(sum(col("__nic")).as("__nc"))
+      .agg(count(lit(1)).as("k_categories"),
+        sum(col("__nc") * col("__nc")).as("__snc2"))
+    val items = perItem.agg(count(lit(1)).as("n_items"))
+    oAndN.crossJoin(broadcast(nc2)).crossJoin(broadcast(items))
+      .select(col("n_items"), col("k_categories"),
+        col("__n").as("n_pairable"),
+        round(col("__o"), roundScale).as("observed_coincidence"),
+        round(when(col("__n") * col("__n") =!= col("__snc2"),
+          lit(1.0) - (col("__n") - 1L).cast("double")
+            * (col("__n").cast("double") - col("__o"))
+            / (col("__n") * col("__n") - col("__snc2")).cast("double")),
+          roundScale).as("alpha"))
+  }
+
+  /** Kendall's coefficient of concordance W, tie-corrected (Kendall &
+    * Babington Smith, Ann. Math. Stat. '39; Siegel & Castellan §9.5):
+    * m raters each rank the same n items — how concordant are the m
+    * rankings as a whole (the k-rater generalization of rank
+    * correlation; W = 1 is identical orderings). With midranks r_ij,
+    * item rank sums R_i, and per-rater tie groups of size t:
+    *   S = Σ_i (R_i − m(n+1)/2)²
+    *   W = 12·S / (m²(n³−n) − m·Σ_j Σ_t (t³−t))
+    * Only items ranked by ALL m raters enter (an incomplete column makes
+    * the rank sums incomparable; dropped items visible via n_items).
+    * Midranks are exact halves, so S sums exact quarters and both sides
+    * of the division are exact — W emitted UNROUNDED.
+    *
+    * Shape: one sparse (rater, item, value) cell aggregate from the
+    * caller, completeness by a windowed count against the global rater
+    * count, midranks via rater-partitioned windows on the bounded m×n
+    * grid, one fold per sum — shuffle ∝ cells, never input rows. */
+  def kendallW(cells: DataFrame, raterCol: String, itemCol: String,
+               valCol: String): DataFrame = {
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val base = cells
+      .filter(col(raterCol).isNotNull && col(itemCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(raterCol).as("__r"), col(itemCol).as("__it"),
+        col(valCol).cast("double").as("__v"))
+      .withColumn("__m", size(collect_set(col("__r")).over(all))
+        .cast("long"))
+    val complete = base
+      .withColumn("__cnt", count(lit(1)).over(
+        Window.partitionBy(col("__it"))))
+      .filter(col("__cnt") === col("__m"))
+    val ranked = complete
+      .withColumn("__minr", rank().over(Window.partitionBy(col("__r"))
+        .orderBy(col("__v"))))
+      .withColumn("__t", count(lit(1)).over(
+        Window.partitionBy(col("__r"), col("__v"))))
+      .withColumn("__rank", col("__minr").cast("double")
+        + (col("__t") - 1).cast("double") / 2.0)
+      // the bounded m×n rank grid feeds the per-item rank-sum fold AND
+      // the per-rater tie fold; cached so the caller's cell aggregate
+      // runs once
+      .cache()
+    val shape = ranked.agg(max(col("__m")).as("__mm"),
+      countDistinct(col("__it")).as("__nn"))
+    val rankSums = ranked.groupBy(col("__it"))
+      .agg(sum(col("__rank")).as("__ri"))
+      .crossJoin(broadcast(shape))
+      .agg(max(col("__mm")).as("__mm"), max(col("__nn")).as("__nn"),
+        sum((col("__ri") - col("__mm").cast("double")
+          * (col("__nn") + 1L).cast("double") / 2.0)
+          * (col("__ri") - col("__mm").cast("double")
+            * (col("__nn") + 1L).cast("double") / 2.0)).as("__s"))
+    val ties = ranked.groupBy(col("__r"), col("__v"))
+      .agg(count(lit(1)).as("__tg"))
+      .agg(sum(col("__tg") * col("__tg") * col("__tg") - col("__tg"))
+        .as("__tt"))
+    rankSums.crossJoin(broadcast(ties))
+      .withColumn("__den",
+        (col("__mm") * col("__mm")
+          * (col("__nn") * col("__nn") * col("__nn") - col("__nn"))
+          - col("__mm") * col("__tt")).cast("double"))
+      .select(col("__nn").as("n_items"), col("__mm").as("n_raters"),
+        col("__s").as("s_stat"),
+        when(col("__den") > 0, lit(12.0) * col("__s") / col("__den"))
+          .as("w"))
+  }
+
+  /** Majority-vote label aggregation: collapse an (item, label) rating
+    * table to one row per item — the winning label, its vote count, the
+    * item's total ratings, and the support fraction votes/total (an
+    * exact integer ratio, UNROUNDED). Ties break deterministically to
+    * the lexicographically smallest label (the reproducibility contract
+    * a training-data build needs; a random tiebreak would change the
+    * corpus between runs). The per-item confidence column is what a
+    * downstream quality gate thresholds on (e.g. keep support ≥ 2/3).
+    *
+    * Shape: sparse (item, label) count, then a per-item argmax by
+    * (votes desc, label asc) via one window row_number — two shuffles on
+    * the item key, both ∝ distinct cells. */
+  def majorityLabel(ratings: DataFrame, itemCol: String,
+                    labelCol: String): DataFrame = {
+    val cells = ratings
+      .filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col(itemCol))
+    cells
+      .withColumn("n_ratings", sum(col("votes")).over(w))
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("votes").desc, col(labelCol).asc)))
+      .filter(col("__rn") === 1)
+      .select(col(itemCol), col(labelCol).as("majority_label"),
+        col("votes"), col("n_ratings"),
+        (col("votes").cast("double") / col("n_ratings").cast("double"))
+          .as("support"))
+  }
+}

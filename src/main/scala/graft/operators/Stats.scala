@@ -2890,4 +2890,66 @@ object Stats {
         round(when(col("__mhDen") > 0, col("__mhNum") / col("__mhDen")),
           roundScale).as("or_mh"))
   }
+
+  /** Levene's test of variance homogeneity (Levene '60; Brown & Forsythe
+    * JASA '74 for the median-centered variant): are the k groups' SPREADS
+    * equal — the assumption [[anova]] and Bartlett lean on, and a drift
+    * alarm in its own right (a segment whose dispersion doubled is news
+    * even when its mean held). Center each value within its group,
+    * z_ij = |x_ij − c_j|, then one-way-ANOVA the z's:
+    *   W = ((N−k)/(k−1)) · Σ_j n_j(z̄_j − z̄)² / Σ_ij (z_ij − z̄_j)²
+    * Under H₀, W ~ F(k−1, N−k). `center`: "mean" (classic Levene; the
+    * cross-engine-safe default here — group means are plain aggregates)
+    * or "median" (Brown–Forsythe, more robust; uses exact percentile —
+    * NOTE interpolated medians of continuous doubles are NOT pinned
+    * bit-identical across engines, so oracle queries use "mean").
+    * W and the z̄ columns carry order-dependent float sums → rounded.
+    *
+    * Shape: per-group center (one aggregate), broadcast-join the k-row
+    * center table back, then ONE second aggregate for all sums — two
+    * passes over the data, shuffle on the group key only, never a
+    * row-level window. Emits one row per group plus the broadcast 1-row
+    * (k, N, W) fit. */
+  def leveneTest(df: DataFrame, groupCol: String, valCol: String,
+                 center: String = "mean", roundScale: Int = 6): DataFrame = {
+    require(center == "mean" || center == "median",
+      s"center must be mean|median, got $center")
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valCol).cast("double").as("__v"))
+    val centers = base.groupBy(col("__g")).agg(
+      (if (center == "mean") avg(col("__v"))
+       else percentile(col("__v"), lit(0.5))).as("__c"))
+    val z = base.join(broadcast(centers), Seq("__g"))
+      .withColumn("__z", abs(col("__v") - col("__c")))
+    val perGroup = z.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__z")).as("__sz"),
+        sum(col("__z") * col("__z")).as("__sz2"))
+      // feeds the grand fold AND the per-group output rows
+      .cache()
+    val fit = perGroup
+      .withColumn("__zbar", col("__sz") / col("n").cast("double"))
+      .agg(count(lit(1)).as("__k"), sum(col("n")).as("__nn"),
+        sum(col("__sz")).as("__gsz"),
+        sum(col("n").cast("double") * col("__zbar") * col("__zbar"))
+          .as("__nzb2"),
+        sum(col("__sz2") - col("n").cast("double") * col("__zbar")
+          * col("__zbar")).as("__within"))
+      .withColumn("__zg", col("__gsz") / col("__nn").cast("double"))
+      // between = Σ n_j z̄_j² − N z̄², algebraically Σ n_j(z̄_j − z̄)²
+      .withColumn("__between", col("__nzb2")
+        - col("__nn").cast("double") * col("__zg") * col("__zg"))
+      .select(col("__k").as("k_groups"), col("__nn").as("n_total"),
+        round(when(col("__within") > 0 && col("__k") > 1,
+          (col("__nn") - col("__k")).cast("double")
+            / (col("__k") - 1).cast("double")
+            * col("__between") / col("__within")), roundScale)
+          .as("w_stat"))
+    perGroup
+      .select(col("__g").as(groupCol), col("n"),
+        round(col("__sz") / col("n").cast("double"), roundScale)
+          .as("z_mean"))
+      .crossJoin(broadcast(fit))
+  }
+
 }

@@ -1,0 +1,170 @@
+package graft
+
+import graft.operators.{Agreement, Stats}
+import org.apache.spark.sql.Row
+
+class AgreementSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- Fleiss
+
+  test("fleissKappa: Fleiss '71 textbook example (N=10, m=14, k=5)") {
+    // the canonical worked example: n_ij per (item, category); expanding
+    // counts to rating rows gives S2=828, SC2=4170, P̄=.3780, P̄e=.2128,
+    // κ = .20993070442195524 (exact ratio 2752/13109... verified by
+    // clearing denominators by hand)
+    val counts = Seq(
+      Seq(0, 0, 0, 0, 14), Seq(0, 2, 6, 4, 2), Seq(0, 0, 3, 5, 6),
+      Seq(0, 3, 9, 2, 0), Seq(2, 2, 8, 1, 1), Seq(7, 7, 0, 0, 0),
+      Seq(3, 2, 6, 3, 0), Seq(2, 5, 3, 2, 2), Seq(6, 5, 2, 1, 0),
+      Seq(0, 2, 2, 3, 7))
+    val rows = for {
+      (row, i) <- counts.zipWithIndex
+      (c, j) <- row.zipWithIndex
+      _ <- 0 until c
+    } yield (i.toLong, s"cat$j")
+    val r = Agreement.fleissKappa(rows.toDF("item", "label"), "item",
+      "label", raters = 14).collect().head
+    assert(r.getLong(0) === 10L)    // n_items
+    assert(r.getLong(1) === 14L)    // n_raters
+    assert(r.getLong(2) === 5L)     // k_categories
+    assert(math.abs(r.getDouble(3) - 0.378021978021978) < 1e-15)
+    assert(math.abs(r.getDouble(4) - 0.21275510204081632) < 1e-15)
+    assert(math.abs(r.getDouble(5) - 0.20993070442195524) < 1e-15)
+  }
+
+  test("fleissKappa: items without exactly m ratings are dropped; " +
+       "perfect agreement gives kappa 1") {
+    val df = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "b"), (2L, "b"), (2L, "b"),
+      (3L, "a"), (3L, "a"),            // only 2 ratings — dropped
+      (4L, "a"), (4L, "a"), (4L, "a"), (4L, "a")) // 4 ratings — dropped
+      .toDF("item", "label")
+    val r = Agreement.fleissKappa(df, "item", "label", raters = 3)
+      .collect().head
+    assert(r.getLong(0) === 2L)
+    assert(r.getDouble(5) === 1.0)
+  }
+
+  test("fleissKappa: uniform single-category table degenerates to null") {
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("item", "label")
+    val r = Agreement.fleissKappa(df, "item", "label", raters = 2)
+      .collect().head
+    assert(r.isNullAt(5))           // 1 − P̄e = 0 → undefined
+  }
+
+  // ---------------------------------------------------------- Krippendorff
+
+  test("krippendorffAlpha: Krippendorff 2011 nominal example = 0.7434") {
+    // 4 observers × 12 units with missing cells; unit 12 has a single
+    // value (unpairable, dropped) → n=40, o=32, Σn_c²=384, α=0.743421…
+    val units = Map(
+      1 -> Seq("1", "1", "1"), 2 -> Seq("2", "2", "3", "2"),
+      3 -> Seq("3", "3", "3", "3"), 4 -> Seq("3", "3", "3", "3"),
+      5 -> Seq("2", "2", "2", "2"), 6 -> Seq("1", "2", "3", "4"),
+      7 -> Seq("4", "4", "4", "4"), 8 -> Seq("1", "1", "2", "1"),
+      9 -> Seq("2", "2", "2", "2"), 10 -> Seq("5", "5", "5"),
+      11 -> Seq("1", "1"), 12 -> Seq("3"))
+    val rows = units.toSeq.flatMap { case (u, vs) =>
+      vs.map(v => (u.toLong, v)) }
+    val r = Agreement.krippendorffAlpha(rows.toDF("unit", "v"), "unit", "v")
+      .collect().head
+    assert(r.getLong(0) === 11L)    // n_items (unit 12 dropped)
+    assert(r.getLong(2) === 40L)    // n_pairable
+    assert(r.getDouble(3) === 32.0) // observed coincidence mass
+    assert(r.getDouble(4) === 0.743421)
+  }
+
+  test("krippendorffAlpha: perfect two-rater agreement gives alpha 1") {
+    val df = Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "y"),
+      (3L, "x"), (3L, "x")).toDF("unit", "v")
+    val r = Agreement.krippendorffAlpha(df, "unit", "v").collect().head
+    assert(r.getDouble(4) === 1.0)
+  }
+
+  test("krippendorffAlpha: single shared category degenerates to null") {
+    val df = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x"))
+      .toDF("unit", "v")
+    assert(Agreement.krippendorffAlpha(df, "unit", "v").collect()
+      .head.isNullAt(4))            // n² = Σn_c² → division undefined
+  }
+
+  // -------------------------------------------------------------- KendallW
+
+  test("kendallW: identical untied rankings give W = 1") {
+    val df = (for (r <- 1 to 3; i <- 1 to 4)
+      yield (s"r$r", s"i$i", i.toDouble)).toDF("rater", "item", "v")
+    val out = Agreement.kendallW(df, "rater", "item", "v").collect().head
+    assert(out.getLong(0) === 4L && out.getLong(1) === 3L)
+    assert(out.getDouble(3) === 1.0)
+  }
+
+  test("kendallW: tie-corrected hand example (S=42.5, ΣT=6, W=0.97701…)") {
+    // raters 1,2 rank items 1<2<3<4; rater 3 ties items 1,2 (values
+    // 5,5,6,7) → midranks 1.5,1.5,3,4; R = (3.5,5.5,9,12),
+    // S = 42.5, ΣT = 2³−2 = 6, W = 12·42.5/(9·60 − 3·6) = 85/87
+    val df = Seq(
+      ("r1", "i1", 1.0), ("r1", "i2", 2.0), ("r1", "i3", 3.0), ("r1", "i4", 4.0),
+      ("r2", "i1", 1.0), ("r2", "i2", 2.0), ("r2", "i3", 3.0), ("r2", "i4", 4.0),
+      ("r3", "i1", 5.0), ("r3", "i2", 5.0), ("r3", "i3", 6.0), ("r3", "i4", 7.0))
+      .toDF("rater", "item", "v")
+    val out = Agreement.kendallW(df, "rater", "item", "v").collect().head
+    assert(out.getDouble(2) === 42.5)
+    assert(out.getDouble(3) === 85.0 / 87.0)
+  }
+
+  test("kendallW: items missing a rater are dropped before ranking") {
+    val df = Seq(
+      ("r1", "i1", 1.0), ("r1", "i2", 2.0), ("r1", "i3", 3.0),
+      ("r2", "i1", 1.0), ("r2", "i2", 2.0)) // r2 never saw i3
+      .toDF("rater", "item", "v")
+    val out = Agreement.kendallW(df, "rater", "item", "v").collect().head
+    assert(out.getLong(0) === 2L)   // i3 dropped
+    assert(out.getDouble(3) === 1.0)
+  }
+
+  // --------------------------------------------------------- majorityLabel
+
+  test("majorityLabel: modal label, exact support, lexicographic tiebreak") {
+    val df = Seq(
+      (1L, "b"), (1L, "b"), (1L, "a"),            // clear majority b, 2/3
+      (2L, "z"), (2L, "a"),                        // tie → a (lex smallest)
+      (3L, "c")).toDF("item", "label")
+    val out = Agreement.majorityLabel(df, "item", "label")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) === "b")
+    assert(out(1L).getLong(2) === 2L && out(1L).getLong(3) === 3L)
+    assert(out(1L).getDouble(4) === 2.0 / 3.0)
+    assert(out(2L).getString(1) === "a" && out(2L).getDouble(4) === 0.5)
+    assert(out(3L).getString(1) === "c" && out(3L).getDouble(4) === 1.0)
+  }
+
+  // ---------------------------------------------------------------- Levene
+
+  test("leveneTest: hand example W = 2.4 (mean centering)") {
+    // g1 = 1,2,3,4 (z̄=1.0); g2 = 1,1.5,2,2.5 (z̄=0.5) → between = 0.5·2...
+    // full hand fold: between = Σ n_j(z̄_j−z̄)² = 4(.25)²·2 = 0.5,
+    // within = 1.25, W = (8−2)/(2−1) · 0.5/(1.25+1.25/4)... = 2.4
+    val df = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0), ("g1", 4.0),
+      ("g2", 1.0), ("g2", 1.5), ("g2", 2.0), ("g2", 2.5))
+      .toDF("g", "v")
+    val out = Stats.leveneTest(df, "g", "v").collect()
+    assert(out.length === 2)
+    // column order: g, n, z_mean, k_groups, n_total, w_stat
+    val r = out.head
+    assert(r.getLong(3) === 2L && r.getLong(4) === 8L)
+    assert(out.forall(_.getDouble(5) === 2.4))
+  }
+
+  test("leveneTest: identical groups give W = 0; median centering runs") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    assert(Stats.leveneTest(df, "g", "v").collect()
+      .forall(_.getDouble(5) === 0.0))
+    // Brown–Forsythe path: same symmetric data → medians = means → W = 0
+    assert(Stats.leveneTest(df, "g", "v", center = "median").collect()
+      .forall(_.getDouble(5) === 0.0))
+  }
+}
