@@ -3838,15 +3838,39 @@ object SparkEntry {
   /** §2b Fleiss' kappa — each user's first 5 events read as 5 "ratings"
     * of the user by event-type "category"; chance-corrected multi-rater
     * agreement, the labeling-QA gate. Exact integer ratio, unrounded. */
-  private def q_fleiss_kappa(s: SparkSession, d: String): DataFrame = {
+  /** Each user's first 5 events as 5 "ratings" of the user by the
+    * event-type "category" — the balanced-design frame the m-rater
+    * agreement statistics share. */
+  private def ratingsFirst5(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val rated = Tables.events(s, d)
+    Tables.events(s, d)
       .filter(col("user_id").isNotNull && col("event_type").isNotNull)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= 5)
-    Agreement.fleissKappa(rated, "user_id", "event_type", raters = 5)
   }
+
+  private def q_fleiss_kappa(s: SparkSession, d: String): DataFrame =
+    Agreement.fleissKappa(ratingsFirst5(s, d), "user_id", "event_type",
+      raters = 5)
+
+  /** §2b Gwet's AC1 on the same frame as q_fleiss_kappa — the
+    * prevalence-robust agreement twin (kappa-paradox guard); exact
+    * integer ratio, unrounded. */
+  private def q_gwet_ac1(s: SparkSession, d: String): DataFrame =
+    Agreement.gwetsAC1(ratingsFirst5(s, d), "user_id", "event_type",
+      raters = 5)
+
+  /** §2b ICC(1) of event values clustered by user — what share of value
+    * variance is between-user (the continuous-measurement reliability
+    * companion to the categorical agreement family). */
+  private def q_icc(s: SparkSession, d: String): DataFrame =
+    Stats.icc1(Tables.events(s, d), "user_id", "value")
+
+  /** §2b Bartlett's likelihood-ratio variance-homogeneity test across
+    * event types — the normal-theory rung beside q_levene's robust W. */
+  private def q_bartlett(s: SparkSession, d: String): DataFrame =
+    Stats.bartlettTest(Tables.events(s, d), "event_type", "value")
 
   /** §2b Krippendorff's nominal alpha over the full (user, event_type)
     * rating table — the variable-raters-per-item agreement coefficient
@@ -4227,6 +4251,9 @@ object SparkEntry {
     "q_cochran_q" -> (q_cochran_q _),
     "q_mood_median" -> (q_mood_median _),
     "q_fleiss_kappa" -> (q_fleiss_kappa _),
+    "q_gwet_ac1" -> (q_gwet_ac1 _),
+    "q_icc" -> (q_icc _),
+    "q_bartlett" -> (q_bartlett _),
     "q_krippendorff" -> (q_krippendorff _),
     "q_kendall_w" -> (q_kendall_w _),
     "q_majority_label" -> (q_majority_label _),
@@ -11462,6 +11489,114 @@ object SparkEntry {
                     / CAST(4 * ((n_items * 5) * (n_items * 5) - sc2)
                         AS DOUBLE) END AS kappa
          FROM s2, sc""",
+    "q_gwet_ac1" ->
+      """WITH ev AS (SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                     FROM events
+                     WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+              r AS (SELECT user_id AS i, event_type AS j
+                    FROM ev WHERE rn <= 5),
+              cells AS (SELECT i, j, CAST(count(*) AS BIGINT) AS nij
+                        FROM r GROUP BY 1, 2),
+              pi AS (SELECT i, CAST(sum(nij) AS BIGINT) AS m,
+                       CAST(sum(nij * nij) AS BIGINT) AS s2i
+                     FROM cells GROUP BY 1),
+              ok AS (SELECT * FROM pi WHERE m = 5),
+              s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                       CAST(sum(s2i) AS BIGINT) AS s2v
+                     FROM ok),
+              cj AS (SELECT c.j, CAST(sum(c.nij) AS BIGINT) AS cjv
+                     FROM cells c JOIN ok ON c.i = ok.i GROUP BY 1),
+              sc AS (SELECT CAST(count(*) AS BIGINT) AS k_categories,
+                       CAST(sum(cjv * cjv) AS BIGINT) AS sc2
+                     FROM cj)
+         SELECT n_items, CAST(5 AS BIGINT) AS n_raters, k_categories,
+                CAST(s2v - n_items * 5 AS DOUBLE)
+                  / CAST((n_items * 5) * 4 AS DOUBLE) AS p_bar,
+                CAST((n_items * 5) * (n_items * 5) - sc2 AS DOUBLE)
+                  / CAST((k_categories - 1) * (n_items * 5)
+                      * (n_items * 5) AS DOUBLE) AS p_e_gamma,
+                CASE WHEN k_categories >= 2
+                       AND 4 * ((k_categories - 2) * (n_items * 5)
+                         * (n_items * 5) + sc2) <> 0
+                  THEN CAST((s2v - n_items * 5) * (k_categories - 1)
+                         * (n_items * 5)
+                         - ((n_items * 5) * (n_items * 5) - sc2) * 4
+                        AS DOUBLE)
+                    / CAST(4 * ((k_categories - 2) * (n_items * 5)
+                        * (n_items * 5) + sc2) AS DOUBLE) END AS ac1
+         FROM s2, sc""",
+    "q_icc" ->
+      """WITH pg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(value AS DOUBLE)) AS sy,
+                       sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE))
+                         AS sy2
+                     FROM events
+                     WHERE user_id IS NOT NULL AND value IS NOT NULL
+                     GROUP BY 1),
+              f AS (SELECT CAST(count(*) AS BIGINT) AS j,
+                      CAST(sum(n) AS BIGINT) AS nn,
+                      sum(sy) AS gsy,
+                      sum(sy * sy / CAST(n AS DOUBLE)) AS sb,
+                      sum(sy2 - sy * sy / CAST(n AS DOUBLE)) AS ssw,
+                      CAST(sum(n * n) AS BIGINT) AS sn2
+                    FROM pg)
+         SELECT j AS n_groups, nn AS n_total,
+                round(CASE WHEN j > 1
+                  THEN (sb - gsy * gsy / CAST(nn AS DOUBLE))
+                    / CAST(j - 1 AS DOUBLE) END, 6) AS msb,
+                round(CASE WHEN nn > j
+                  THEN ssw / CAST(nn - j AS DOUBLE) END, 6) AS msw,
+                round(CASE WHEN j > 1
+                  THEN (CAST(nn AS DOUBLE)
+                    - CAST(sn2 AS DOUBLE) / CAST(nn AS DOUBLE))
+                    / CAST(j - 1 AS DOUBLE) END, 6) AS k0,
+                round(CASE WHEN j > 1 AND nn > j AND
+                    abs((sb - gsy * gsy / CAST(nn AS DOUBLE))
+                        / CAST(j - 1 AS DOUBLE)
+                      + ((CAST(nn AS DOUBLE)
+                          - CAST(sn2 AS DOUBLE) / CAST(nn AS DOUBLE))
+                          / CAST(j - 1 AS DOUBLE) - 1.0)
+                        * (ssw / CAST(nn - j AS DOUBLE))) > 0.0
+                  THEN ((sb - gsy * gsy / CAST(nn AS DOUBLE))
+                        / CAST(j - 1 AS DOUBLE)
+                      - ssw / CAST(nn - j AS DOUBLE))
+                    / ((sb - gsy * gsy / CAST(nn AS DOUBLE))
+                        / CAST(j - 1 AS DOUBLE)
+                      + ((CAST(nn AS DOUBLE)
+                          - CAST(sn2 AS DOUBLE) / CAST(nn AS DOUBLE))
+                          / CAST(j - 1 AS DOUBLE) - 1.0)
+                        * (ssw / CAST(nn - j AS DOUBLE))) END, 6) AS icc
+         FROM f""",
+    "q_bartlett" ->
+      """WITH pg AS (SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(value AS DOUBLE)) AS sy,
+                       sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE))
+                         AS sy2
+                     FROM events
+                     WHERE event_type IS NOT NULL AND value IS NOT NULL
+                     GROUP BY 1),
+              pv AS (SELECT n,
+                       (sy2 - sy * sy / CAST(n AS DOUBLE))
+                         / CAST(n - 1 AS DOUBLE) AS s2
+                     FROM pg WHERE n >= 2),
+              pv2 AS (SELECT * FROM pv WHERE s2 > 0.0),
+              f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                      CAST(sum(n) AS BIGINT) AS nn,
+                      sum(CAST(n - 1 AS DOUBLE) * s2) AS pool,
+                      sum(CAST(n - 1 AS DOUBLE) * ln(s2)) AS slog,
+                      sum(1.0 / CAST(n - 1 AS DOUBLE)) AS sinv
+                    FROM pv2)
+         SELECT k AS k_groups, nn AS n_total,
+                round(CASE WHEN k >= 2 AND nn > k
+                  THEN (CAST(nn - k AS DOUBLE)
+                      * ln(pool / CAST(nn - k AS DOUBLE)) - slog)
+                    / (1.0 + (sinv - 1.0 / CAST(nn - k AS DOUBLE))
+                        / (3.0 * CAST(k - 1 AS DOUBLE))) END, 6)
+                  AS bartlett_stat
+         FROM f""",
     "q_krippendorff" ->
       """WITH cells AS (SELECT user_id AS i, event_type AS c,
                           CAST(count(*) AS BIGINT) AS nic

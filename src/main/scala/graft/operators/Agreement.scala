@@ -76,6 +76,61 @@ object Agreement {
               .cast("double")).as("kappa"))
   }
 
+  /** Gwet's AC1 (Gwet, Br. J. Math. Stat. Psych. '08): the
+    * prevalence-robust companion to [[fleissKappa]]. Kappa's chance term
+    * Σπ_j² EXPLODES when one category dominates (the "kappa paradox":
+    * 95% raw agreement can score κ ≈ 0 on a 95/5 label split — exactly
+    * the shape of a rare-defect labeling task). AC1 replaces it with
+    * P_e(γ) = Σ_j π_j(1−π_j)/(k−1), the probability of agreeing BY
+    * ACCIDENT on a category a random rater is ambivalent about, which
+    * stays bounded as prevalence skews. Same m-raters-per-item design as
+    * kappa; with T = N·m, S2 = Σn_ij², SC2 = ΣC_j²:
+    *   AC1 = [(S2−T)(k−1)T − (T²−SC2)(m−1)] / [(m−1)((k−2)T² + SC2)]
+    * — denominators cleared, every sum an INTEGER, one exact final
+    * division, emitted UNROUNDED. k is the OBSERVED category count
+    * (AC1's chance model is defined over the categories in use).
+    *
+    * Shape: identical to [[fleissKappa]] — sparse cell count, per-item
+    * m-filter, two bounded folds; shuffle ∝ distinct cells. Long
+    * arithmetic holds to T ≈ 2·10⁶ ((k−1)T³-scale products past that →
+    * DECIMAL(38,0)). */
+  def gwetsAC1(ratings: DataFrame, itemCol: String, labelCol: String,
+               raters: Int): DataFrame = {
+    require(raters >= 2, s"gwetsAC1 needs m >= 2 raters, got $raters")
+    val cells = ratings
+      .filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(labelCol).as("__j"))
+      .agg(count(lit(1)).as("__nij"))
+    val perItem = cells.groupBy(col("__i"))
+      .agg(sum(col("__nij")).as("__m"),
+        sum(col("__nij") * col("__nij")).as("__s2i"))
+      .filter(col("__m") === raters.toLong)
+      .cache()
+    val s2 = perItem.agg(count(lit(1)).as("n_items"),
+      sum(col("__s2i")).as("__s2"))
+    val sc2 = cells
+      .join(perItem.select(col("__i")), Seq("__i"), "left_semi")
+      .groupBy(col("__j")).agg(sum(col("__nij")).as("__cj"))
+      .agg(count(lit(1)).as("__k"), sum(col("__cj") * col("__cj"))
+        .as("__sc2"))
+    val m = lit(raters.toLong)
+    s2.crossJoin(broadcast(sc2))
+      .withColumn("__t", col("n_items") * m)
+      .withColumn("__den", (m - 1L) * ((col("__k") - 2L) * col("__t")
+        * col("__t") + col("__sc2")))
+      .select(col("n_items"), m.as("n_raters"),
+        col("__k").as("k_categories"),
+        ((col("__s2") - col("__t")).cast("double")
+          / (col("__t") * (m - 1L)).cast("double")).as("p_bar"),
+        ((col("__t") * col("__t") - col("__sc2")).cast("double")
+          / ((col("__k") - 1L) * col("__t") * col("__t")).cast("double"))
+          .as("p_e_gamma"),
+        when(col("__k") >= 2L && col("__den") =!= 0L,
+          ((col("__s2") - col("__t")) * (col("__k") - 1L) * col("__t")
+            - (col("__t") * col("__t") - col("__sc2")) * (m - 1L))
+            .cast("double") / col("__den").cast("double")).as("ac1"))
+  }
+
   /** Krippendorff's alpha, nominal metric (Krippendorff, "Content
     * Analysis" §12): chance-corrected agreement that, unlike
     * [[fleissKappa]], accepts a VARIABLE number of ratings per item —

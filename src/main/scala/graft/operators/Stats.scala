@@ -2891,6 +2891,97 @@ object Stats {
           roundScale).as("or_mh"))
   }
 
+  /** Intraclass correlation ICC(1) — one-way random effects (Shrout &
+    * Fleiss, Psych. Bull. '79; unequal group sizes per Donner, Int.
+    * Stat. Rev. '86): what share of total variance in a CONTINUOUS
+    * measurement is BETWEEN groups — the reliability number for "do
+    * repeated measurements of the same unit cluster" (same-user score
+    * stability, same-document rescore consistency). From the one-way
+    * ANOVA decomposition with J groups of sizes n_j, N = Σn_j:
+    *   MSB = SSB/(J−1), MSW = SSW/(N−J),
+    *   k₀  = (N − Σn_j²/N)/(J−1)            (average group size,
+    *                                         unbalanced-design form)
+    *   ICC = (MSB − MSW)/(MSB + (k₀−1)·MSW)
+    * Order-dependent float sums throughout → MSB/MSW/ICC rounded; k₀ is
+    * an exact integer ratio composite but rounds with them for a
+    * uniform contract (it mixes into the rounded ICC anyway).
+    *
+    * Shape: ONE per-group aggregate (n, Σy, Σy²) then one fold over the
+    * J-row group table — SSW = Σ(Σy² − (Σy)²/n), SSB = Σ(Σy)²/n −
+    * (ΣΣy)²/N — a single shuffle on the group key. Degenerate designs
+    * (J < 2, N ≤ J, zero denominator) → null ICC. */
+  def icc1(df: DataFrame, groupCol: String, valCol: String,
+           roundScale: Int = 6): DataFrame = {
+    val pg = df
+      .filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(col(valCol).cast("double"))
+        .as("__sy"), sum(col(valCol).cast("double")
+        * col(valCol).cast("double")).as("__sy2"))
+    val fold = pg.agg(count(lit(1)).as("__j"), sum(col("__n")).as("__nn"),
+      sum(col("__sy")).as("__gsy"),
+      sum(col("__sy") * col("__sy") / col("__n").cast("double"))
+        .as("__sb"),
+      sum(col("__sy2") - col("__sy") * col("__sy")
+        / col("__n").cast("double")).as("__ssw"),
+      sum(col("__n") * col("__n")).as("__sn2"))
+    val ssb = col("__sb") - (col("__gsy") * col("__gsy")
+      / col("__nn").cast("double"))
+    val msb = ssb / (col("__j") - 1L).cast("double")
+    val msw = col("__ssw") / (col("__nn") - col("__j")).cast("double")
+    val k0 = ((col("__nn").cast("double")
+      - col("__sn2").cast("double") / col("__nn").cast("double"))
+      / (col("__j") - 1L).cast("double"))
+    fold.select(col("__j").as("n_groups"), col("__nn").as("n_total"),
+      round(when(col("__j") > 1L, msb), roundScale).as("msb"),
+      round(when(col("__nn") > col("__j"), msw), roundScale).as("msw"),
+      round(when(col("__j") > 1L, k0), roundScale).as("k0"),
+      round(when(col("__j") > 1L && col("__nn") > col("__j") &&
+        abs(msb + (k0 - 1.0) * msw) > 0.0,
+        (msb - msw) / (msb + (k0 - 1.0) * msw)), roundScale).as("icc"))
+  }
+
+  /** Bartlett's test of equal variances (Bartlett, Proc. R. Soc. '37):
+    * the LIKELIHOOD-RATIO rung beside [[leveneTest]] — more powerful
+    * when the data really are normal, famously fragile when they are
+    * not (kurtosis reads as variance heterogeneity; run both). With
+    * pooled S_p² = Σ(n_j−1)S_j²/(N−k):
+    *   T = (N−k)·ln S_p² − Σ(n_j−1)·ln S_j²
+    *   C = 1 + [Σ 1/(n_j−1) − 1/(N−k)] / (3(k−1))
+    *   stat = T/C ~ χ²_{k−1} under H₀.
+    * S_j² via the (Σy² − (Σy)²/n)/(n−1) form mirrored verbatim in the
+    * oracle; ln is libm and sums are order-dependent → stat rounded.
+    * Groups with n_j < 2 or zero variance are DROPPED (their ln is
+    * undefined; visible via k_groups), k < 2 → null.
+    *
+    * Shape: one per-group aggregate, one fold over the k-row table —
+    * single shuffle on the group key. */
+  def bartlettTest(df: DataFrame, groupCol: String, valCol: String,
+                   roundScale: Int = 6): DataFrame = {
+    val v = col(valCol).cast("double")
+    val pg = df
+      .filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(v).as("__sy"),
+        sum(v * v).as("__sy2"))
+      .withColumn("__s2", (col("__sy2") - col("__sy") * col("__sy")
+        / col("__n").cast("double")) / (col("__n") - 1L).cast("double"))
+      .filter(col("__n") >= 2L && col("__s2") > 0.0)
+    val fold = pg.agg(count(lit(1)).as("__k"), sum(col("__n")).as("__nn"),
+      sum((col("__n") - 1L).cast("double") * col("__s2")).as("__pool"),
+      sum((col("__n") - 1L).cast("double") * log(col("__s2")))
+        .as("__slog"),
+      sum(lit(1.0) / (col("__n") - 1L).cast("double")).as("__sinv"))
+    fold.select(col("__k").as("k_groups"), col("__nn").as("n_total"),
+      round(when(col("__k") >= 2L && col("__nn") > col("__k"), {
+        val nk = (col("__nn") - col("__k")).cast("double")
+        val t = nk * log(col("__pool") / nk) - col("__slog")
+        val c = lit(1.0) + ((col("__sinv") - lit(1.0) / nk)
+          / (lit(3.0) * (col("__k") - 1L).cast("double")))
+        t / c
+      }), roundScale).as("bartlett_stat"))
+  }
+
   /** Levene's test of variance homogeneity (Levene '60; Brown & Forsythe
     * JASA '74 for the median-centered variant): are the k groups' SPREADS
     * equal — the assumption [[anova]] and Bartlett lean on, and a drift

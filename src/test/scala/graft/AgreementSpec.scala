@@ -55,6 +55,95 @@ class AgreementSpec extends SparkSuite {
     assert(r.isNullAt(5))           // 1 − P̄e = 0 → undefined
   }
 
+  // ------------------------------------------------------------- Gwet AC1
+
+  test("gwetsAC1: Fleiss '71 example gives AC1 = 0.22561… (exact ratio)") {
+    // same expansion as the kappa test; cleared-denominator form gives
+    // num = 184690, den = 818610 → AC1 = 0.2256141508166282 (vs κ = .210
+    // — AC1 sits above kappa here because the category prevalences are
+    // mildly skewed)
+    val counts = Seq(
+      Seq(0, 0, 0, 0, 14), Seq(0, 2, 6, 4, 2), Seq(0, 0, 3, 5, 6),
+      Seq(0, 3, 9, 2, 0), Seq(2, 2, 8, 1, 1), Seq(7, 7, 0, 0, 0),
+      Seq(3, 2, 6, 3, 0), Seq(2, 5, 3, 2, 2), Seq(6, 5, 2, 1, 0),
+      Seq(0, 2, 2, 3, 7))
+    val rows = for {
+      (row, i) <- counts.zipWithIndex
+      (c, j) <- row.zipWithIndex
+      _ <- 0 until c
+    } yield (i.toLong, s"cat$j")
+    val r = Agreement.gwetsAC1(rows.toDF("item", "label"), "item",
+      "label", raters = 14).collect().head
+    assert(r.getLong(0) === 10L && r.getLong(2) === 5L)
+    assert(r.getDouble(5) === 184690.0 / 818610.0)
+  }
+
+  test("gwetsAC1: survives the kappa paradox (skewed prevalence)") {
+    // 9 items unanimously 'ok', 1 item split 1/1: raw agreement 90%+,
+    // kappa collapses toward 0 on the 95/5 split, AC1 stays high
+    val rows = (1 to 9).flatMap(i => Seq((i.toLong, "ok"), (i.toLong, "ok"))) ++
+      Seq((10L, "ok"), (10L, "bad"))
+    val kappa = Agreement.fleissKappa(rows.toDF("item", "label"), "item",
+      "label", raters = 2).collect().head.getDouble(5)
+    val ac1 = Agreement.gwetsAC1(rows.toDF("item", "label"), "item",
+      "label", raters = 2).collect().head.getDouble(5)
+    assert(kappa < 0.0)   // the paradox: near-total agreement, κ ≤ 0
+    assert(ac1 > 0.85)    // AC1 reads it as the agreement it is
+  }
+
+  // ---------------------------------------------------------------- ICC(1)
+
+  test("icc1: unbalanced hand example (J=3, sizes 3/3/2) → 0.936937") {
+    // groups (9,10,11), (1,2,3), (5,7): MSB = 48, MSW = 1.2,
+    // k0 = 2.625, ICC = 46.8/49.95 = 0.9369…
+    val df = Seq(("a", 9.0), ("a", 10.0), ("a", 11.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0),
+      ("c", 5.0), ("c", 7.0)).toDF("g", "v")
+    val r = Stats.icc1(df, "g", "v").collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 8L)
+    assert(r.getDouble(2) === 48.0)      // msb
+    assert(r.getDouble(3) === 1.2)       // msw
+    assert(r.getDouble(4) === 2.625)     // k0
+    assert(r.getDouble(5) === 0.936937)
+  }
+
+  test("icc1: no between-group structure gives icc ~ negative/zero; " +
+       "single group gives nulls") {
+    val flat = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val r = Stats.icc1(flat, "g", "v").collect().head
+    assert(r.getDouble(5) <= 0.0)        // identical groups → ICC ≤ 0
+    val solo = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val s = Stats.icc1(solo, "g", "v").collect().head
+    assert(s.isNullAt(2) && s.isNullAt(5))
+  }
+
+  // --------------------------------------------------------------- Bartlett
+
+  test("bartlettTest: hand example = 4.386666; degenerate groups dropped") {
+    // groups (1,2,3,4), (2,4,6,8), (1,1.5,2,2.5): hand fold (verified
+    // against the closed form) → T/C = 4.386665692…
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0), ("b", 8.0),
+      ("c", 1.0), ("c", 1.5), ("c", 2.0), ("c", 2.5)).toDF("g", "v")
+    val r = Stats.bartlettTest(df, "g", "v").collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 12L)
+    assert(r.getDouble(2) === 4.386666)
+    // constant group (zero variance) and singleton are dropped, not NaN
+    val withBad = df.union(Seq(("d", 5.0), ("d", 5.0), ("e", 1.0))
+      .toDF("g", "v"))
+    val r2 = Stats.bartlettTest(withBad, "g", "v").collect().head
+    assert(r2.getLong(0) === 3L)
+    assert(r2.getDouble(2) === 4.386666)
+  }
+
+  test("bartlettTest: equal variances give a near-zero statistic") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 11.0), ("b", 12.0), ("b", 13.0)).toDF("g", "v")
+    val r = Stats.bartlettTest(df, "g", "v").collect().head
+    assert(r.getDouble(2) === 0.0)       // identical spreads, shifted mean
+  }
+
   // ---------------------------------------------------------- Krippendorff
 
   test("krippendorffAlpha: Krippendorff 2011 nominal example = 0.7434") {
