@@ -3872,6 +3872,19 @@ object SparkEntry {
   private def q_bartlett(s: SparkSession, d: String): DataFrame =
     Stats.bartlettTest(Tables.events(s, d), "event_type", "value")
 
+  /** §2b Dawid–Skene hard-EM (2 iterations) over the first-5 frame with
+    * pseudo-raters event_id mod 3 — confusion-weighted label aggregation
+    * that can override majority vote once a rater's reliability is
+    * learned; exact integer scoring end-to-end, so the argmax is
+    * bit-deterministic across engines and partition orders. */
+  private def q_dawid_skene(s: SparkSession, d: String): DataFrame = {
+    val rated = ratingsFirst5(s, d)
+      .select(col("user_id"), (col("event_id") % 3L).as("rater"),
+        col("event_type"), col("__rn"))
+    Agreement.dawidSkene(rated, "user_id", "rater", "event_type", "__rn",
+      iters = 2, maxRatings = 5)
+  }
+
   /** §2b Krippendorff's nominal alpha over the full (user, event_type)
     * rating table — the variable-raters-per-item agreement coefficient
     * (users contribute however many events they have; <2 dropped). */
@@ -4252,6 +4265,7 @@ object SparkEntry {
     "q_mood_median" -> (q_mood_median _),
     "q_fleiss_kappa" -> (q_fleiss_kappa _),
     "q_gwet_ac1" -> (q_gwet_ac1 _),
+    "q_dawid_skene" -> (q_dawid_skene _),
     "q_icc" -> (q_icc _),
     "q_bartlett" -> (q_bartlett _),
     "q_krippendorff" -> (q_krippendorff _),
@@ -11597,6 +11611,115 @@ object SparkEntry {
                         / (3.0 * CAST(k - 1 AS DOUBLE))) END, 6)
                   AS bartlett_stat
          FROM f""",
+    "q_dawid_skene" ->
+      """WITH ev AS (SELECT user_id, event_type,
+                       CAST(event_id % 3 AS BIGINT) AS rater,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                     FROM events
+                     WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+              r AS (SELECT user_id AS i, rater AS rr, event_type AS j,
+                      CAST(rn AS BIGINT) AS o
+                    FROM ev WHERE rn <= 5),
+              cls AS (SELECT DISTINCT j AS c FROM r),
+              kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM cls),
+              rt AS (SELECT DISTINCT rr FROM r),
+              l0 AS (SELECT i, j AS cur FROM (
+                       SELECT i, j, row_number() OVER (PARTITION BY i
+                           ORDER BY count(*) DESC, j ASC) AS rn
+                       FROM r GROUP BY i, j) WHERE rn = 1),
+              nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM l0),
+              j1 AS (SELECT r.i, r.rr, r.j, r.o, l0.cur
+                     FROM r JOIN l0 USING (i)),
+              c1 AS (SELECT rr, cur, j, CAST(count(*) AS BIGINT) AS cnt
+                     FROM j1 GROUP BY 1, 2, 3),
+              d1 AS (SELECT rr, cur, CAST(sum(cnt) AS BIGINT) AS den
+                     FROM c1 GROUP BY 1, 2),
+              g1 AS (SELECT rt.rr, a.c AS cur, b.c AS j,
+                       CAST(floor((coalesce(c1.cnt, 0) + 1) * 1000000
+                         / (coalesce(d1.den, 0) + kk.k)) AS BIGINT)
+                         AS theta
+                     FROM rt CROSS JOIN cls a CROSS JOIN cls b
+                       CROSS JOIN kk
+                     LEFT JOIN c1 ON c1.rr = rt.rr AND c1.cur = a.c
+                       AND c1.j = b.c
+                     LEFT JOIN d1 ON d1.rr = rt.rr AND d1.cur = a.c),
+              p1 AS (SELECT cls.c,
+                       CAST(floor((coalesce(pc.pc, 0) + 1) * 1000000
+                         / (nn.n + kk.k)) AS BIGINT) AS p
+                     FROM cls CROSS JOIN nn CROSS JOIN kk
+                     LEFT JOIN (SELECT cur AS c,
+                         CAST(count(*) AS BIGINT) AS pc
+                       FROM l0 GROUP BY 1) pc ON pc.c = cls.c),
+              s1 AS (SELECT i, c,
+                       max(CASE WHEN o = 1 THEN theta END) AS f1,
+                       max(CASE WHEN o = 2 THEN theta END) AS f2,
+                       max(CASE WHEN o = 3 THEN theta END) AS f3,
+                       max(CASE WHEN o = 4 THEN theta END) AS f4,
+                       max(CASE WHEN o = 5 THEN theta END) AS f5
+                     FROM (SELECT r.i, cls.c, r.o, g1.theta
+                           FROM r CROSS JOIN cls
+                           JOIN g1 ON g1.rr = r.rr AND g1.cur = cls.c
+                             AND g1.j = r.j)
+                     GROUP BY 1, 2),
+              l1 AS (SELECT i, c AS cur FROM (
+                       SELECT s1.i, s1.c,
+                         row_number() OVER (PARTITION BY s1.i ORDER BY
+                           CAST(p1.p AS HUGEINT)
+                           * CAST(coalesce(f1, 1) AS HUGEINT)
+                           * CAST(coalesce(f2, 1) AS HUGEINT)
+                           * CAST(coalesce(f3, 1) AS HUGEINT)
+                           * CAST(coalesce(f4, 1) AS HUGEINT)
+                           * CAST(coalesce(f5, 1) AS HUGEINT) DESC,
+                           s1.c ASC) AS rn
+                       FROM s1 JOIN p1 ON p1.c = s1.c) WHERE rn = 1),
+              j2 AS (SELECT r.i, r.rr, r.j, r.o, l1.cur
+                     FROM r JOIN l1 USING (i)),
+              c2 AS (SELECT rr, cur, j, CAST(count(*) AS BIGINT) AS cnt
+                     FROM j2 GROUP BY 1, 2, 3),
+              d2 AS (SELECT rr, cur, CAST(sum(cnt) AS BIGINT) AS den
+                     FROM c2 GROUP BY 1, 2),
+              g2 AS (SELECT rt.rr, a.c AS cur, b.c AS j,
+                       CAST(floor((coalesce(c2.cnt, 0) + 1) * 1000000
+                         / (coalesce(d2.den, 0) + kk.k)) AS BIGINT)
+                         AS theta
+                     FROM rt CROSS JOIN cls a CROSS JOIN cls b
+                       CROSS JOIN kk
+                     LEFT JOIN c2 ON c2.rr = rt.rr AND c2.cur = a.c
+                       AND c2.j = b.c
+                     LEFT JOIN d2 ON d2.rr = rt.rr AND d2.cur = a.c),
+              p2 AS (SELECT cls.c,
+                       CAST(floor((coalesce(pc.pc, 0) + 1) * 1000000
+                         / (nn.n + kk.k)) AS BIGINT) AS p
+                     FROM cls CROSS JOIN nn CROSS JOIN kk
+                     LEFT JOIN (SELECT cur AS c,
+                         CAST(count(*) AS BIGINT) AS pc
+                       FROM l1 GROUP BY 1) pc ON pc.c = cls.c),
+              s2 AS (SELECT i, c,
+                       max(CASE WHEN o = 1 THEN theta END) AS f1,
+                       max(CASE WHEN o = 2 THEN theta END) AS f2,
+                       max(CASE WHEN o = 3 THEN theta END) AS f3,
+                       max(CASE WHEN o = 4 THEN theta END) AS f4,
+                       max(CASE WHEN o = 5 THEN theta END) AS f5
+                     FROM (SELECT r.i, cls.c, r.o, g2.theta
+                           FROM r CROSS JOIN cls
+                           JOIN g2 ON g2.rr = r.rr AND g2.cur = cls.c
+                             AND g2.j = r.j)
+                     GROUP BY 1, 2),
+              l2 AS (SELECT i, c AS cur FROM (
+                       SELECT s2.i, s2.c,
+                         row_number() OVER (PARTITION BY s2.i ORDER BY
+                           CAST(p2.p AS HUGEINT)
+                           * CAST(coalesce(f1, 1) AS HUGEINT)
+                           * CAST(coalesce(f2, 1) AS HUGEINT)
+                           * CAST(coalesce(f3, 1) AS HUGEINT)
+                           * CAST(coalesce(f4, 1) AS HUGEINT)
+                           * CAST(coalesce(f5, 1) AS HUGEINT) DESC,
+                           s2.c ASC) AS rn
+                       FROM s2 JOIN p2 ON p2.c = s2.c) WHERE rn = 1)
+         SELECT l0.i AS user_id, l0.cur AS majority_label,
+                l2.cur AS ds_label, l0.cur <> l2.cur AS changed
+         FROM l0 JOIN l2 USING (i)""",
     "q_krippendorff" ->
       """WITH cells AS (SELECT user_id AS i, event_type AS c,
                           CAST(count(*) AS BIGINT) AS nic

@@ -249,6 +249,114 @@ object Agreement {
           .as("w"))
   }
 
+  /** Dawid–Skene label model, hard-EM form (Dawid & Skene, JRSS-C '79;
+    * classification-EM variant): the "beyond majority vote" label
+    * aggregator — learn each RATER's confusion matrix from the data and
+    * re-score every item by how much each rater's vote is actually worth,
+    * so two colluding spammers stop outvoting one reliable annotator.
+    * Init = majority vote (lexicographic tiebreak); each iteration then
+    * (1) counts confusion n(r, c→j) and class priors against the current
+    * labels, (2) Laplace-smooths and re-labels every item with the
+    * maximum-a-posteriori class under the plug-in model
+    * p(c)·Π_ratings θ(r, c→j).
+    *
+    * EXACT ARITHMETIC, no floats anywhere: probabilities are scaled to
+    * integers θ_int = ⌊(n+1)·10⁶/(den+K)⌋ (a floor of an exact rational —
+    * identical in any engine), and the per-item score is the INTEGER
+    * product prior·θ₁…θ_m carried in DECIMAL(38,0) — at most
+    * (10⁶)^(m+1) ≤ 10³⁶ for m ≤ 5, inside decimal128 — compared exactly.
+    * A float product/log-sum would make the argmax flip on last-ulp noise
+    * between engines and between partition orders; the integer form makes
+    * the whole fixed-point iteration bit-deterministic. `maxRatings ≤ 5`
+    * ratings per item enter (the caller supplies 1-based `ordCol`; the
+    * decimal-width bound, documented above, is why).
+    *
+    * Shape per iteration: one join ratings⋈labels on the item key (the
+    * only data-sized shuffle), confusion/prior folds to R·K² ≤ tiny rows,
+    * the dense θ grid and priors BROADCAST back, candidate scores via a
+    * ×K fan-out + one (item, class) aggregate, argmax via an item-
+    * partitioned window over K rows. Ratings and each iteration's labels
+    * are localCheckpoint'ed — the standard iterative-op seam here
+    * (pageRank, kCore): without it iteration t's plan re-embeds t−1's
+    * whole DAG and the scan count grows geometrically. Emits one row per
+    * item: majority_label, ds_label, changed. */
+  def dawidSkene(ratings: DataFrame, itemCol: String, raterCol: String,
+                 labelCol: String, ordCol: String, iters: Int = 2,
+                 maxRatings: Int = 5): DataFrame = {
+    require(iters >= 1, s"need >= 1 iteration, got $iters")
+    require(maxRatings >= 1 && maxRatings <= 5,
+      s"maxRatings must be 1..5 (decimal-width bound), got $maxRatings")
+    val scale = 1000000L
+    val r = ratings
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull &&
+        col(labelCol).isNotNull && col(ordCol) <= maxRatings)
+      .select(col(itemCol).as("__i"), col(raterCol).as("__r"),
+        col(labelCol).as("__j"), col(ordCol).as("__o"))
+      .localCheckpoint()
+    val classes = r.select(col("__j").as("__c")).distinct()
+      .localCheckpoint()
+    val raters = r.select(col("__r")).distinct()
+    val kN = classes.agg(count(lit(1)).as("__k"))
+    // majority init — votes desc, label asc (the reproducible tiebreak)
+    val w0 = Window.partitionBy(col("__i"))
+    val lab0 = r.groupBy(col("__i"), col("__j"))
+      .agg(count(lit(1)).as("__v"))
+      .withColumn("__rn", row_number().over(
+        w0.orderBy(col("__v").desc, col("__j").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("__i"), col("__j").as("__cur"))
+      .localCheckpoint()
+
+    var labels = lab0
+    for (_ <- 1 to iters) {
+      val joined = r.join(labels, Seq("__i"))
+      val conf = joined.groupBy(col("__r"), col("__cur"), col("__j"))
+        .agg(count(lit(1)).as("__cnt"))
+      val den = conf.groupBy(col("__r"), col("__cur"))
+        .agg(sum(col("__cnt")).as("__den"))
+      val grid = raters
+        .crossJoin(classes.select(col("__c").as("__cur")))
+        .crossJoin(classes.select(col("__c").as("__j")))
+        .join(conf, Seq("__r", "__cur", "__j"), "left")
+        .join(den, Seq("__r", "__cur"), "left")
+        .crossJoin(broadcast(kN))
+        .select(col("__r"), col("__cur").as("__c"), col("__j"),
+          floor((coalesce(col("__cnt"), lit(0L)) + 1L) * scale
+            / (coalesce(col("__den"), lit(0L)) + col("__k")))
+            .cast("long").as("__theta"))
+      val nItems = labels.agg(count(lit(1)).as("__n"))
+      val priors = classes.select(col("__c"))
+        .join(labels.groupBy(col("__cur").as("__c"))
+          .agg(count(lit(1)).as("__pc")), Seq("__c"), "left")
+        .crossJoin(broadcast(nItems)).crossJoin(broadcast(kN))
+        .select(col("__c"),
+          floor((coalesce(col("__pc"), lit(0L)) + 1L) * scale
+            / (col("__n") + col("__k"))).cast("long").as("__p"))
+      val cand = r
+        .crossJoin(broadcast(classes.select(col("__c"))))
+        .join(broadcast(grid), Seq("__r", "__c", "__j"))
+      val factors = (1 to maxRatings).map(k =>
+        max(when(col("__o") === k, col("__theta"))).as(s"__f$k"))
+      val score = (1 to maxRatings)
+        .map(k => coalesce(col(s"__f$k"), lit(1L)).cast("decimal(7,0)"))
+        .foldLeft(col("__p").cast("decimal(7,0)"))(_ * _)
+      labels = cand.groupBy(col("__i"), col("__c"))
+        .agg(factors.head, factors.tail: _*)
+        .join(broadcast(priors), Seq("__c"))
+        .withColumn("__s", score)
+        .withColumn("__rn", row_number().over(
+          w0.orderBy(col("__s").desc, col("__c").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("__i"), col("__c").as("__cur"))
+        .localCheckpoint()
+    }
+    lab0.select(col("__i").as(itemCol),
+        col("__cur").as("majority_label"))
+      .join(labels.select(col("__i").as(itemCol),
+        col("__cur").as("ds_label")), Seq(itemCol))
+      .withColumn("changed", col("majority_label") =!= col("ds_label"))
+  }
+
   /** Majority-vote label aggregation: collapse an (item, label) rating
     * table to one row per item — the winning label, its vote count, the
     * item's total ratings, and the support fraction votes/total (an

@@ -214,6 +214,45 @@ class AgreementSpec extends SparkSuite {
     assert(out.getDouble(3) === 1.0)
   }
 
+  // ----------------------------------------------------------- Dawid–Skene
+
+  test("dawidSkene: learned rater reliability overrides majority vote") {
+    // raters A,B,C reliable on items 1-8; D,E systematically wrong.
+    // item 9 is rated only by A (x) vs D,E (y): majority says y, but
+    // after one EM pass D,E's confusion matrices are learned as
+    // inverted and A wins — label x. Pinned against an independent
+    // python implementation of the same integer-scaled hard EM.
+    val truth = Map(1 -> "x", 2 -> "x", 3 -> "x", 4 -> "y", 5 -> "y",
+      6 -> "y", 7 -> "x", 8 -> "y")
+    val rows = truth.toSeq.flatMap { case (i, t) =>
+      val w = if (t == "x") "y" else "x"
+      Seq((i.toLong, "A", t, 1), (i.toLong, "B", t, 2),
+        (i.toLong, "C", t, 3), (i.toLong, "D", w, 4), (i.toLong, "E", w, 5))
+    } ++ Seq((9L, "A", "x", 1), (9L, "D", "y", 2), (9L, "E", "y", 3))
+    val out = Agreement.dawidSkene(rows.toDF("item", "rater", "label",
+      "ord"), "item", "rater", "label", "ord", iters = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(9L).getString(1) === "y")      // majority
+    assert(out(9L).getString(2) === "x")      // DS corrects it
+    assert(out(9L).getBoolean(3))
+    truth.foreach { case (i, t) =>
+      assert(out(i.toLong).getString(2) === t,
+        s"item $i should keep its consensus label $t")
+      assert(!out(i.toLong).getBoolean(3))
+    }
+  }
+
+  test("dawidSkene: unanimous raters leave majority labels unchanged") {
+    val rows = for (i <- 1 to 6; r <- Seq("A", "B", "C"))
+      yield (i.toLong, r, if (i % 2 == 0) "p" else "q",
+        Seq("A", "B", "C").indexOf(r) + 1)
+    val out = Agreement.dawidSkene(rows.toDF("item", "rater", "label",
+      "ord"), "item", "rater", "label", "ord", iters = 2).collect()
+    assert(out.length === 6)
+    assert(out.forall(!_.getBoolean(3)))
+    assert(out.forall(r => r.getString(1) === r.getString(2)))
+  }
+
   // --------------------------------------------------------- majorityLabel
 
   test("majorityLabel: modal label, exact support, lexicographic tiebreak") {
