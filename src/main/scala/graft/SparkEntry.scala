@@ -136,6 +136,15 @@ object SparkEntry {
     Tables.orders(s, d).select(col("o_orderkey"),
       Relational.isoFormat(col("o_orderdate")).as("created_iso"))
 
+  /** T14: audit timestamp with a pinned clock (VERDICT r10 task 7) — the
+    * oracle-checkable variant of the reference's constant-per-run upload
+    * stamp (reference/main.py:110-112); production default (fixedClock =
+    * None → current_timestamp) is unchanged and spec-covered. */
+  private def q_audit_timestamp(s: SparkSession, d: String): DataFrame =
+    Relational.auditTimestamp(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
+      "upload", Some("2024-01-15 12:00:00"))
+
   /** T13: null-or-blank key synthesis (deterministic generator for oracle). */
   private def q_key_synthesis(s: SparkSession, d: String): DataFrame = {
     val base = Tables.orders(s, d).select(col("o_orderkey"),
@@ -3934,6 +3943,7 @@ object SparkEntry {
     "q_union_slices" -> (q_union_slices _),
     "q_window_bucket" -> (q_window_bucket _),
     "q_iso_format" -> (q_iso_format _),
+    "q_audit_timestamp" -> (q_audit_timestamp _),
     "q_key_synthesis" -> (q_key_synthesis _),
     "q_sanitize_names" -> (q_sanitize_names _),
     "q_upsert" -> (q_upsert _),
@@ -6232,6 +6242,10 @@ object SparkEntry {
     "q_iso_format" ->
       """SELECT o_orderkey,
                 strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '+0000' AS created_iso
+         FROM orders""",
+    "q_audit_timestamp" ->
+      """SELECT o_orderkey, o_orderstatus,
+                TIMESTAMP '2024-01-15 12:00:00' AS upload
          FROM orders""",
     "q_key_synthesis" ->
       """SELECT o_orderkey,

@@ -209,10 +209,19 @@ object Agreement {
         col(valCol).cast("double").as("__v"))
       .withColumn("__m", size(collect_set(col("__r")).over(all))
         .cast("long"))
+    // completeness is enforced on DISTINCT raters, with the row count
+    // required to agree: an item missing a rater but carrying a
+    // duplicate (rater, item) cell has rows == m yet distinct < m —
+    // row-count alone would pass it and corrupt the ranks. Malformed
+    // items (dup cells or missing raters) degrade to DROPPED items,
+    // never to a wrong statistic (documented cell-aggregate contract,
+    // now enforced).
     val complete = base
       .withColumn("__cnt", count(lit(1)).over(
         Window.partitionBy(col("__it"))))
-      .filter(col("__cnt") === col("__m"))
+      .withColumn("__dr", size(collect_set(col("__r")).over(
+        Window.partitionBy(col("__it")))).cast("long"))
+      .filter(col("__cnt") === col("__m") && col("__dr") === col("__m"))
     val ranked = complete
       .withColumn("__minr", rank().over(Window.partitionBy(col("__r"))
         .orderBy(col("__v"))))

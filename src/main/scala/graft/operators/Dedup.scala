@@ -753,7 +753,7 @@ object Dedup {
     val stacked = df.select(explode(array(fields.zipWithIndex.map {
       case ((f, _), k) =>
         struct(lit(k).as("__k"),
-          concat_ws(" ", lit("v"), col(f).cast("string")).as("__v"))
+          concat_ws("\u0000", lit("v"), col(f).cast("string")).as("__v"))
     }: _*)).as("__fv"))
     val uRows = stacked
       .groupBy(col("__fv.__k").as("__k"), col("__fv.__v").as("__v"))

@@ -312,14 +312,32 @@ object Graph {
     * pageRank). Self-loops and duplicate edges are dropped up front —
     * both would inflate degrees.
     *
-    * The loop is data-dependent (peel → recompute degrees on the induced
-    * subgraph → repeat to fixpoint), so rounds follow the CC pattern,
-    * not the fixed-unroll pattern: localCheckpoint each round to keep
-    * the plan flat, converge when the surviving-node count stops
-    * falling (the set shrinks monotonically, so equal counts ⇔ equal
-    * sets — a 1-row aggregate, no join). Per round: ONE degree hash
-    * aggregate + two semi-joins, shuffle ∝ surviving |E|. Round count
-    * is the peel depth — small for real graphs, bounded by maxIter.
+    * INCREMENTAL degree maintenance (the kTruss trick applied one rung
+    * down): degrees are aggregated ONCE up front; each peel round then
+    * decrements only the NEIGHBORS of that round's peeled nodes — one
+    * broadcast semi-join of the edge list against the removed ids plus
+    * a tiny (≤ Σdeg(removed)-row) aggregate, never a re-aggregation
+    * over all surviving edges. Per-round shuffle is ∝ the affected set
+    * (removed nodes + their incident edges); the edge state is pruned
+    * by map-side broadcast anti-joins so scans shrink with the graph.
+    *
+    * ADAPTIVE direction, same as [[kTrussRun]]: a round that peels the
+    * MAJORITY of surviving nodes (typical for round one, where most
+    * nodes never had k neighbors) instead re-aggregates degrees over
+    * the small survivor-induced subgraph directly — decrementing
+    * through a removed set that is most of the graph costs more than
+    * one hash aggregate over the few survivors. Per-round cost is
+    * min(agg(survivors), decrement(removed)). [[kCoreRecompute]] keeps
+    * the pure recompute-per-round form as the spec oracle; GraphSpec
+    * pins incremental ≡ recompute across fixtures that exercise both
+    * branches.
+    *
+    * The loop is data-dependent (peel depth), localCheckpoint'd each
+    * round to keep the plan flat; convergence, direction choice, and
+    * the broadcast-size bound all come from ONE 1-row aggregate per
+    * round (alive count, below-k count, Σ below-k degree) — a round
+    * with zero removals ends the loop without executing any subgraph
+    * work, so there is no fixpoint-confirming round.
     *
     * The DuckDB oracle unrolls a FIXED number of peel rounds; that is
     * sound because a peel round is IDEMPOTENT at the fixpoint (peeling
@@ -331,13 +349,14 @@ object Graph {
   /** One [[kCore]] execution with its peel telemetry: `survivorsPerRound`
     * is the surviving-node count after the initial degree filter and
     * after each peel round (monotone non-increasing — each entry is the
-    * 1-row convergence aggregate the loop already computes, so telemetry
-    * costs nothing extra). The round count is the peel depth, which is
-    * DATA-DEPENDENT (measured 1.6 s → 10.7 s over 100× data growth on
-    * the bench graph as depth grew) — this readout is what lets an
-    * operator distinguish "deep peel structure" from "plan regression"
-    * at a glance, and `converged` makes the maxIter cap observable
-    * instead of silently returning a partially-peeled set. */
+    * 1-row stats aggregate the loop already computes, so telemetry
+    * costs nothing extra). The round count is the peel
+    * depth, which is DATA-DEPENDENT (measured 1.6 s → 10.7 s over 100×
+    * data growth on the bench graph as depth grew) — this readout is
+    * what lets an operator distinguish "deep peel structure" from
+    * "plan regression" at a glance, and `converged` makes the maxIter
+    * cap observable instead of silently returning a partially-peeled
+    * set. */
   final case class KCoreRun(core: DataFrame, survivorsPerRound: Seq[Long],
                             converged: Boolean) {
     /** Peel rounds executed (excludes the initial degree filter). */
@@ -357,6 +376,84 @@ object Graph {
   def kCoreRun(edges: DataFrame, k: Int, maxIter: Int = 30): KCoreRun = {
     require(k >= 1, s"k must be >= 1: $k")
     require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
+    // broadcast the removed ids / decrement table only while provably
+    // small (same discipline as kTrussRun)
+    val bcastLimit = 1000000L
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    var deg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
+    // (alive, below-k count, Σ below-k degree) in ONE action: the
+    // convergence check, the adaptive direction choice, and the
+    // decrement-table broadcast bound for the same round
+    def stats(): (Long, Long, Long) = {
+      val r = deg.agg(count(lit(1)),
+        count(when(col("degree") < k, 1)),
+        coalesce(sum(when(col("degree") < k, col("degree"))), lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var (alive, rCount, rDegSum) = stats()
+    // trace entries are post-filter survivor counts (alive − below-k),
+    // matching the recompute loop's telemetry shape exactly — including
+    // the duplicated final entry a converged run records
+    val trace = scala.collection.mutable.ArrayBuffer(alive - rCount)
+    var i = 0
+    while (rCount > 0 && i < maxIter) {
+      val survivors = deg.filter(col("degree") >= k)
+      if (rCount > alive - rCount) {
+        // majority peeled (typical round one): one degree aggregate
+        // over the small survivor-induced subgraph beats decrementing
+        // through a removed set that is most of the graph
+        val keep = survivors.select(col("id"))
+        e = e
+          .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+          .localCheckpoint()
+        deg = e.groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("degree"))
+          .localCheckpoint()
+      } else {
+        // minority peeled: decrement only the neighbors of the peeled
+        // nodes — a broadcast semi-join against the removed ids plus a
+        // ≤ Σdeg(removed)-row aggregate; the edge state shrinks by
+        // map-side broadcast anti-joins, never a full re-aggregation
+        val removedIds0 = deg.filter(col("degree") < k).select(col("id"))
+        val removedIds =
+          if (rCount <= bcastLimit) broadcast(removedIds0) else removedIds0
+        val dec0 = e
+          .join(removedIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+          .groupBy(col("src").as("id")).agg(count(lit(1)).as("__dec"))
+        val dec = if (rDegSum <= bcastLimit) broadcast(dec0) else dec0
+        deg = survivors.join(dec, Seq("id"), "left")
+          .select(col("id"),
+            (col("degree") - coalesce(col("__dec"), lit(0L))).as("degree"))
+          .localCheckpoint()
+        e = e
+          .join(removedIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+          .join(removedIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+          .localCheckpoint()
+      }
+      i += 1
+      val next = stats()
+      alive = next._1; rCount = next._2; rDegSum = next._3
+      trace += alive - rCount
+    }
+    KCoreRun(deg.filter(col("degree") >= k), trace.toSeq,
+      converged = rCount == 0)
+  }
+
+  /** The pre-round-11 recompute-per-round k-core — degree aggregate +
+    * two semi-joins + filter every round. Kept as the independent
+    * oracle for [[kCoreRun]]'s incremental degree maintenance
+    * (GraphSpec pins result equality across both adaptive branches);
+    * O(rounds · E), so never the production path. */
+  private[graft] def kCoreRecompute(edges: DataFrame, k: Int,
+                                    maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
     var e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint()
@@ -366,7 +463,6 @@ object Graph {
     var prev = -1L
     var i = 0
     var n = survivors.count()
-    val trace = scala.collection.mutable.ArrayBuffer(n)
     while (prev != n && i < maxIter) {
       prev = n
       val keep = survivors.select(col("id"))
@@ -378,10 +474,9 @@ object Graph {
         .agg(count(lit(1)).as("degree"))
         .filter(col("degree") >= k).localCheckpoint()
       n = survivors.count()
-      trace += n
       i += 1
     }
-    KCoreRun(survivors, trace.toSeq, converged = prev == n)
+    survivors
   }
 
   /** Degree assortativity coefficient (public: Newman PRL'02): the

@@ -44,9 +44,17 @@ object Relational {
       when(col(keyCol).isNull || trim(col(keyCol)) === "", generator)
         .otherwise(col(keyCol)))
 
-  /** Audit timestamp constant per run (reference/main.py:110-112). */
-  def auditTimestamp(df: DataFrame, colName: String = "upload"): DataFrame =
-    df.withColumn(colName, current_timestamp())
+  /** Audit timestamp constant per run (reference/main.py:110-112).
+    *
+    * `fixedClock` (an ISO `yyyy-MM-dd HH:mm:ss` literal) pins the stamp for
+    * reproducible runs / oracle checks; None (the default, matching the
+    * reference) stamps the query-start `current_timestamp()`, which Spark
+    * already evaluates once per query, not per row — constant-per-run either
+    * way. */
+  def auditTimestamp(df: DataFrame, colName: String = "upload",
+                     fixedClock: Option[String] = None): DataFrame =
+    df.withColumn(colName,
+      fixedClock.map(ts => lit(ts).cast("timestamp")).getOrElse(current_timestamp()))
 
   /** ISO-8601 formatting with numeric offset, offset rendered without colon —
     * the reference's `format_iso` / strftime('%Y-%m-%dT%H:%M:%S%z')

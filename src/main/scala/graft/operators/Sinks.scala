@@ -125,9 +125,23 @@ object Sinks {
       // a slow zombie that passed the pre-write checks while the rival
       // attempt committed — and whose loose manifest compaction then
       // absorbed — must not republish over committed data
+      // guard against the vacuum race: if this attempt outlived
+      // vacuumUnpublished's minAgeMs, the data dir (and any of the parts
+      // the manifest names) may be gone — publishing the manifest anyway
+      // would commit a batch whose files were deleted (silent data loss
+      // on read). The age gate is probabilistic; this existence re-check
+      // inside the commit lock is the deterministic backstop. See the
+      // minAgeMs contract note on [[vacuumUnpublished]].
       if (fs.exists(manifest) || snapshotBatches(spark, root).contains(batchId))
         false
-      else {
+      else if (!fs.exists(dataDir)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"appendAtomic attempt for batch '$batchId' lost its data dir " +
+          s"$dataDir before publish (vacuumUnpublished minAgeMs too low " +
+          "for this attempt's duration?) — aborting instead of committing " +
+          "a manifest over deleted files")
+      } else {
         try {
           fc.rename(tmp, manifest, org.apache.hadoop.fs.Options.Rename.NONE)
           true
@@ -169,6 +183,24 @@ object Sinks {
     new java.util.concurrent.ConcurrentHashMap[
       String, java.util.concurrent.ConcurrentHashMap[String, Seq[String]]]()
 
+  // Cache key carries length + modification time from the listing, not
+  // just the file name: published files are immutable while they exist,
+  // but a destination root can be wiped and recreated in the same JVM
+  // with a reused batch id — a name-only key would then serve the OLD
+  // file's contents (wrong committed list, false replay-skip). A
+  // recreated same-named file differs in mtime (or length) and misses.
+  private def manifestCacheKey(st: org.apache.hadoop.fs.FileStatus): String =
+    s"${st.getPath.getName}#${st.getLen}#${st.getModificationTime}"
+
+  private def cachedLines(fs: org.apache.hadoop.fs.FileSystem,
+                          cache: java.util.concurrent.ConcurrentHashMap[String, Seq[String]],
+                          st: org.apache.hadoop.fs.FileStatus): Seq[String] =
+    cache.computeIfAbsent(manifestCacheKey(st), { _ =>
+      val in = fs.open(st.getPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    })
+
   /** One listing of `_manifests/`, merged through the caches into the
     * committed registry: batchId → relative part paths, from snapshots
     * (compacted history) and loose manifests (recent batches). A batch
@@ -184,30 +216,26 @@ object Sinks {
     val qualifiedRoot = fs.makeQualified(new org.apache.hadoop.fs.Path(root)).toString
     val cache = manifestCache.computeIfAbsent(qualifiedRoot,
       _ => new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]())
-    val present = fs.listStatus(manifestDir).map(_.getPath)
-      .filter(p => p.getName.endsWith(".manifest") || p.getName.endsWith(".snapshot"))
-      .sortBy(_.getName).toSeq
+    val present = fs.listStatus(manifestDir)
+      .filter(st => st.getPath.getName.endsWith(".manifest") ||
+        st.getPath.getName.endsWith(".snapshot"))
+      .sortBy(_.getPath.getName).toSeq
     cache.keySet().retainAll(
-      scala.jdk.CollectionConverters.SeqHasAsJava(present.map(_.getName)).asJava)
-    def linesOf(p: org.apache.hadoop.fs.Path): Seq[String] =
-      cache.computeIfAbsent(p.getName, { _ =>
-        val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      })
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        present.map(manifestCacheKey)).asJava)
     var reg = scala.collection.immutable.SortedMap.empty[String, Seq[String]]
     // snapshots first (oldest to newest), loose manifests last: later
     // writes win, and all copies of a batch id are identical anyway
-    present.filter(_.getName.endsWith(".snapshot")).foreach { s =>
-      linesOf(s).filter(_.nonEmpty).map(_.split('\t')).collect {
+    present.filter(_.getPath.getName.endsWith(".snapshot")).foreach { s =>
+      cachedLines(fs, cache, s).filter(_.nonEmpty).map(_.split('\t')).collect {
         case Array(id, rel) => (id, rel)
       }.groupBy(_._1).foreach { case (id, pairs) =>
         reg += id -> pairs.map(_._2).toSeq
       }
     }
-    present.filter(_.getName.endsWith(".manifest")).foreach { m =>
-      val id = m.getName.stripSuffix(".manifest")
-      reg += id -> linesOf(m).filter(_.nonEmpty)
+    present.filter(_.getPath.getName.endsWith(".manifest")).foreach { m =>
+      val id = m.getPath.getName.stripSuffix(".manifest")
+      reg += id -> cachedLines(fs, cache, m).filter(_.nonEmpty)
     }
     reg
   }
@@ -221,18 +249,15 @@ object Sinks {
     val fs = fsFor(spark, root)
     val manifestDir = new org.apache.hadoop.fs.Path(root, "_manifests")
     if (!fs.exists(manifestDir)) return Set.empty
-    val snaps = fs.listStatus(manifestDir).map(_.getPath)
-      .filter(_.getName.endsWith(".snapshot"))
+    val snaps = fs.listStatus(manifestDir)
+      .filter(_.getPath.getName.endsWith(".snapshot"))
     if (snaps.isEmpty) return Set.empty
     val qualifiedRoot = fs.makeQualified(new org.apache.hadoop.fs.Path(root)).toString
     val cache = manifestCache.computeIfAbsent(qualifiedRoot,
       _ => new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]())
-    snaps.sortBy(_.getName).iterator.flatMap { s =>
-      cache.computeIfAbsent(s.getName, { _ =>
-        val in = fs.open(s)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      }).iterator.filter(_.nonEmpty).map(_.takeWhile(_ != '\t'))
+    snaps.sortBy(_.getPath.getName).iterator.flatMap { s =>
+      cachedLines(fs, cache, s).iterator
+        .filter(_.nonEmpty).map(_.takeWhile(_ != '\t'))
     }.toSet
   }
 
@@ -311,7 +336,15 @@ object Sinks {
     * Also sweeps abandoned `.inprogress` manifest temps on the same
     * gate. Committed data and published manifests are never touched, so
     * readers are unaffected mid-vacuum. Returns the number of orphan
-    * data dirs removed. */
+    * data dirs removed.
+    *
+    * CONTRACT: `minAgeMs` must exceed the longest possible attempt
+    * duration (write + list + manifest publish), or vacuum can delete a
+    * slow attempt's data dir between its part listing and its rename.
+    * The commit path carries a deterministic backstop — it re-checks the
+    * data dir exists inside the commit lock and ABORTS (throws) rather
+    * than publish a manifest over deleted files — so an undersized gate
+    * degrades to a retried task, never to silent data loss. */
   def vacuumUnpublished(spark: SparkSession, root: String, minAgeMs: Long): Int = {
     require(minAgeMs >= 0, s"minAgeMs must be >= 0: $minAgeMs")
     val fs = fsFor(spark, root)

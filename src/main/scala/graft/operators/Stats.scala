@@ -1263,10 +1263,17 @@ object Stats {
       .select(col(blockCol).as("__b"), col(treatCol).as("__t"),
         col(valCol).cast("double").as("__v"))
       .withColumn("__k", size(collect_set(col("__t")).over(kAll)))
+    // completeness requires BOTH the row count and the distinct
+    // treatment count per block to equal k: a duplicate (block,
+    // treatment) cell can make a block missing a treatment pass a
+    // row-count-only check (same enforcement as Agreement.kendallW) —
+    // malformed blocks drop instead of skewing the ranks
     val complete = base
       .withColumn("__bk", count(lit(1)).over(
         Window.partitionBy(col("__b"))))
-      .filter(col("__bk") === col("__k"))
+      .withColumn("__dk", size(collect_set(col("__t")).over(
+        Window.partitionBy(col("__b")))))
+      .filter(col("__bk") === col("__k") && col("__dk") === col("__k"))
     val ranked = complete
       .withColumn("__minr", rank().over(Window.partitionBy(col("__b"))
         .orderBy(col("__v"))))
@@ -1457,10 +1464,17 @@ object Stats {
       .select(col(blockCol).as("__b"), col(treatCol).as("__t"),
         col(valCol).cast("double").as("__v"))
       .withColumn("__k", size(collect_set(col("__t")).over(kAll)))
+    // completeness requires BOTH the row count and the distinct
+    // treatment count per block to equal k: a duplicate (block,
+    // treatment) cell can make a block missing a treatment pass a
+    // row-count-only check (same enforcement as Agreement.kendallW) —
+    // malformed blocks drop instead of skewing the ranks
     val complete = base
       .withColumn("__bk", count(lit(1)).over(
         Window.partitionBy(col("__b"))))
-      .filter(col("__bk") === col("__k"))
+      .withColumn("__dk", size(collect_set(col("__t")).over(
+        Window.partitionBy(col("__b")))))
+      .filter(col("__bk") === col("__k") && col("__dk") === col("__k"))
     val ranked = complete
       .withColumn("__minr", rank().over(Window.partitionBy(col("__b"))
         .orderBy(col("__v"))))

@@ -176,6 +176,42 @@ class GraphSpec extends SparkSuite {
     assert(capped.survivorsPerRound === Seq(8L, 7L, 6L))
   }
 
+  test("kCore incremental maintenance ≡ recompute across both adaptive branches") {
+    def undirected(pairs: (Long, Long)*) =
+      pairs.toDF("src", "dst").unionByName(
+        pairs.map(_.swap).toDF("src", "dst"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // MINORITY-peel fixture: chain off a triangle — every round removes
+    // one chain endpoint (1 of many survivors), driving the decrement
+    // branch for the whole cascade
+    val chain = undirected((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L))
+    assert(asMap(Graph.kCoreRun(chain, 2).core) ===
+      asMap(Graph.kCoreRecompute(chain, 2)))
+    // MAJORITY-peel fixture: a 5-clique with 20 degree-1 leaves hanging
+    // off node 1 — round one peels 20 of 25 nodes (recompute branch),
+    // and the follow-up rounds (if any) go incremental
+    val leaves = (100L to 119L).map(l => (1L, l))
+    val clique = for {
+      a <- 1L to 5L; b <- 1L to 5L if a < b
+    } yield (a, b)
+    val hub = undirected((clique ++ leaves): _*)
+    assert(asMap(Graph.kCoreRun(hub, 4).core) ===
+      asMap(Graph.kCoreRecompute(hub, 4)))
+    assert(asMap(Graph.kCoreRun(hub, 2).core) ===
+      asMap(Graph.kCoreRecompute(hub, 2)))
+    // MIXED fixture: two 4-cliques bridged by a path whose interior
+    // nodes have degree 2 — k=3 first peels the bridge (minority),
+    // cascades, and the cores keep their within-core degrees
+    val cliqueA = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val cliqueB = for { a <- 11L to 14L; b <- 11L to 14L if a < b } yield (a, b)
+    val bridge = Seq((4L, 21L), (21L, 22L), (22L, 11L))
+    val mixed = undirected((cliqueA ++ cliqueB ++ bridge): _*)
+    assert(asMap(Graph.kCoreRun(mixed, 3).core) ===
+      asMap(Graph.kCoreRecompute(mixed, 3)))
+  }
+
   test("hits: hand-traced 3 rounds on a directed bipartite graph") {
     // p1→s1, p2→s1, p2→s2: a3 = (s1:13, s2:8), h3 = (p1:13, p2:21)
     val edges = Seq(("p1", "s1"), ("p2", "s1"), ("p2", "s2"))
