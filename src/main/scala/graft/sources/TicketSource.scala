@@ -132,6 +132,18 @@ private[sources] class TicketScanBuilder(options: CaseInsensitiveStringMap)
   // short-page termination test (rows < pageSize) unsatisfiable
   private val pageSize: Int =
     math.max(1, math.min(Option(options.get("pageSize")).map(_.toInt).getOrElse(100), 100))
+  // opt-in adaptive window bisection (reference ticket.py:41-67): on
+  // retry-exhausted 5xx the reader splits the unseen remainder of its
+  // window in half down to a floor (default 1 hour, the reference's)
+  // instead of failing the task. Default OFF — fail-fast + Spark task
+  // retry — because the reference's floor behavior silently degrades
+  // to an empty slice (ticket.py:66-67); at the floor this reader
+  // still throws. See [[TicketPartitionReader]].
+  private val splitOnError: Boolean =
+    Option(options.get("splitOnError")).exists(_.toBoolean)
+  private val splitFloorUs: Long =
+    Option(options.get("splitFloorHours")).map(_.toLong).getOrElse(1L) *
+      3600L * 1000000L
   // transport binding: class name + the full option map it is configured
   // with, both plain-serializable so readers instantiate on executors
   private val transportClass: String =
@@ -244,7 +256,8 @@ private[sources] class TicketScanBuilder(options: CaseInsensitiveStringMap)
   private var aggExprs: Seq[TicketAgg] = Nil
 
   override def build(): Scan = new TicketScan(geUs, leUs, windowUs, pageSize,
-    limit, required, pushed, topN, aggExprs, transportClass, transportOpts)
+    limit, required, pushed, topN, aggExprs, transportClass, transportOpts,
+    splitOnError, splitFloorUs)
 }
 
 /** The three server-answerable aggregates of [[TicketScanBuilder]]'s
@@ -263,7 +276,9 @@ private[sources] class TicketScan(geUs: Long, leUs: Long, windowUs: Long,
                                   aggExprs: Seq[TicketAgg] = Nil,
                                   transportClass: String =
                                     classOf[InMemoryTicketTransport].getName,
-                                  transportOpts: Map[String, String] = Map.empty)
+                                  transportOpts: Map[String, String] = Map.empty,
+                                  splitOnError: Boolean = false,
+                                  splitFloorUs: Long = 3600L * 1000000L)
     extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -331,7 +346,7 @@ private[sources] class TicketScan(geUs: Long, leUs: Long, windowUs: Long,
     if (aggExprs.nonEmpty)
       new TicketAggReaderFactory(aggExprs, transportClass, transportOpts)
     else new TicketReaderFactory(pageSize, limit, required, transportClass,
-      transportOpts)
+      transportOpts, splitOnError, splitFloorUs)
 }
 
 /** Readers for a pushed aggregation: one pre-aggregated row per window,
@@ -371,35 +386,50 @@ private[sources] case class TicketWindowPartition(loUs: Long, hiUs: Long)
 private[sources] class TicketReaderFactory(pageSize: Int, limit: Option[Int],
                                            required: StructType,
                                            transportClass: String,
-                                           transportOpts: Map[String, String])
+                                           transportOpts: Map[String, String],
+                                           splitOnError: Boolean = false,
+                                           splitFloorUs: Long = 3600L * 1000000L)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TicketPartitionReader(partition.asInstanceOf[TicketWindowPartition],
       pageSize, limit, required,
-      TicketTransport.instantiate(transportClass, transportOpts))
+      TicketTransport.instantiate(transportClass, transportOpts),
+      splitOnError, splitFloorUs)
 }
 
 /** Pages through one time window with the reference's retry/backoff loop
   * (≤3 attempts, 2^(n-1) backoff, ticket.py:123-138) and short-page
   * termination (ticket.py:145-146). The retry policy lives HERE — client
   * side of the [[TicketTransport]] seam — so every binding (in-memory or
-  * live HTTP) gets the same ≤3-attempt 409/500 behavior. */
+  * live HTTP) gets the same ≤3-attempt 409/500 behavior.
+  *
+  * With `splitOnError` (opt-in, reference ticket.py:41-67): when the
+  * retry budget exhausts on a 5xx, the reader bisects the UNSEEN
+  * remainder of its window — `[last emitted created_at + 1, hi]`, so
+  * rows already emitted are never re-fetched (exactly-once preserved;
+  * the resume bound assumes the failure point doesn't fall inside a run
+  * of equal created_at values spanning a page boundary — the reference
+  * has no such guarantee at all: it DISCARDS prior pages on split,
+  * ticket.py:134-136) — and pages each half recursively, halving down
+  * to the `splitFloorUs` floor (1 hour by default, like the
+  * reference). At the floor the reader THROWS rather than degrade to
+  * an empty slice, deliberately replacing the reference's silent data
+  * loss (ticket.py:66-67) with task failure + Spark retry. */
 private[sources] class TicketPartitionReader(part: TicketWindowPartition,
                                              pageSize: Int, limit: Option[Int],
                                              required: StructType,
-                                             transport: TicketTransport)
+                                             transport: TicketTransport,
+                                             splitOnError: Boolean = false,
+                                             splitFloorUs: Long = 3600L * 1000000L)
     extends PartitionReader[InternalRow] {
-  private var page = 1
   private var emitted = 0
-  private var buffer: Iterator[TicketApi.Ticket] = Iterator.empty
-  private var exhausted = false
   private var current: TicketApi.Ticket = _
 
-  private def fetchWithRetry(p: Int): Seq[TicketApi.Ticket] = {
+  private def fetchWithRetry(loUs: Long, hiUs: Long, p: Int): Seq[TicketApi.Ticket] = {
     val maxRetries = 3
     var attempt = 1
     while (true) {
-      try return transport.fetchPage(part.loUs, part.hiUs, p, pageSize)
+      try return transport.fetchPage(loUs, hiUs, p, pageSize)
       catch {
         case e: TicketApi.ApiError if attempt < maxRetries && (e.code == 409 || e.code == 500) =>
           Thread.sleep(1L << (attempt - 1)) // 2^(n-1), ms-scaled for tests
@@ -410,16 +440,54 @@ private[sources] class TicketPartitionReader(part: TicketWindowPartition,
     Nil
   }
 
+  /** Lazy ascending row stream over [loUs, hiUs]: pages until a short
+    * page; on retry-exhausted 5xx with splitOnError, swaps itself for
+    * the concatenation of two recursive halves of the unseen remainder
+    * (see the class doc). Non-5xx errors, and any error with
+    * splitOnError off, propagate and fail the task. */
+  private def windowRows(loUs: Long, hiUs: Long): Iterator[TicketApi.Ticket] =
+    new Iterator[TicketApi.Ticket] {
+      private var page = 1
+      private var buf: Iterator[TicketApi.Ticket] = Iterator.empty
+      private var done = false
+      private var lastUs = loUs - 1
+      private var fallback: Iterator[TicketApi.Ticket] = null
+      private def refill(): Unit =
+        while (fallback == null && !buf.hasNext && !done) {
+          try {
+            val rows = fetchWithRetry(loUs, hiUs, page)
+            if (rows.size < pageSize) done = true // short page → last page
+            page += 1
+            buf = rows.iterator
+          } catch {
+            case e: TicketApi.ApiError if splitOnError && e.code >= 500 =>
+              val resumeLo = math.max(loUs, lastUs + 1)
+              if (hiUs - resumeLo + 1 <= splitFloorUs) throw e // at the floor
+              val mid = resumeLo + (hiUs - resumeLo) / 2
+              fallback = windowRows(resumeLo, mid) ++ windowRows(mid + 1, hiUs)
+          }
+        }
+      override def hasNext: Boolean = {
+        refill()
+        if (fallback != null) fallback.hasNext else buf.hasNext
+      }
+      override def next(): TicketApi.Ticket = {
+        refill()
+        if (fallback != null) fallback.next()
+        else {
+          val t = buf.next()
+          lastUs = t.createdUs
+          t
+        }
+      }
+    }
+
+  private lazy val rows = windowRows(part.loUs, part.hiUs)
+
   override def next(): Boolean = {
     if (limit.exists(emitted >= _)) return false
-    while (!buffer.hasNext && !exhausted) {
-      val rows = fetchWithRetry(page)
-      if (rows.size < pageSize) exhausted = true // short page → last page
-      page += 1
-      buffer = rows.iterator
-    }
-    if (!buffer.hasNext) return false
-    current = buffer.next()
+    if (!rows.hasNext) return false
+    current = rows.next()
     emitted += 1
     true
   }

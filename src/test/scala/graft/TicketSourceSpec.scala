@@ -39,6 +39,50 @@ object CountingTestTransport {
   val sawOptions = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
 
+/** Bisection-test transport: a deterministic dataset (ticket k at
+  * anchor + k·step) served page-by-page, with an injectable failure
+  * policy keyed on the REQUESTED span — `maxspanminutes` makes any
+  * wider window 500 (mode "whole": every page; mode "page2": page 1
+  * serves, later pages 500, exercising the mid-pagination resume
+  * bound). Stateless per request, so recursive halves replay cleanly. */
+class BisectTestTransport extends graft.sources.TicketTransport {
+  private var n = 0L
+  private var stepUs = 0L
+  private var anchorUs = 0L
+  private var maxSpanUs = Long.MaxValue
+  private var failMode = "whole"
+  override def configure(options: Map[String, String]): Unit = {
+    n = options.getOrElse("testtickets", "0").toLong
+    stepUs = options.getOrElse("stepminutes", "30").toLong * 60L * 1000000L
+    anchorUs = TicketApi.parseIso(
+      options.getOrElse("anchoriso", "2024-01-01T00:00:00Z"))
+    maxSpanUs = options.get("maxspanminutes")
+      .map(_.toLong * 60L * 1000000L).getOrElse(Long.MaxValue)
+    failMode = options.getOrElse("failmode", "whole")
+  }
+  private def inRange(geUs: Long, leUs: Long): Seq[TicketApi.Ticket] =
+    (0L until n).map(k => TicketApi.Ticket(s"bsct-$k", k,
+        anchorUs + k * stepUs, "open", s"b$k@example.com"))
+      .filter(t => t.createdUs >= geUs && t.createdUs <= leUs)
+  override def fetchPage(geUs: Long, leUs: Long, page: Int,
+                         limit: Int): Seq[TicketApi.Ticket] = {
+    BisectTestTransport.calls.incrementAndGet()
+    val wide = (leUs - geUs) > maxSpanUs
+    if (wide && (failMode == "whole" || page >= 2)) throw TicketApi.ApiError(500)
+    val lo = (page - 1) * limit
+    inRange(geUs, leUs).slice(lo, lo + limit)
+  }
+  override def statsIn(geUs: Long, leUs: Long): (Long, Long, Long) = {
+    val rows = inRange(geUs, leUs)
+    if (rows.isEmpty) (0L, 0L, 0L)
+    else (rows.size.toLong, rows.head.createdUs, rows.last.createdUs)
+  }
+}
+
+object BisectTestTransport {
+  val calls = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 /** The DSv2 ticket source: pushdowns, window partitioning, retry path. */
 class TicketSourceSpec extends SparkSuite {
 
@@ -110,6 +154,72 @@ class TicketSourceSpec extends SparkSuite {
     assert(n === 250L)
     assert(CountingTestTransport.calls.get() === 0L,
       "pushed COUNT must answer from statsIn with zero page fetches")
+  }
+
+  test("splitOnError: whole-window 5xx bisects down to served halves, rows ≡ clean run") {
+    // 40 tickets every 30 min over one 24 h window partition
+    val base = Seq(
+      "transport" -> classOf[BisectTestTransport].getName,
+      "testtickets" -> "40", "stepminutes" -> "30")
+    val clean = read("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z", base: _*)
+      .collect().map(_.getLong(1)).toSeq
+    assert(clean === (0L until 40L), "clean-run sanity")
+
+    // any window wider than 6 h 500s EVERY page → the 24 h partition
+    // fails, splitOnError bisects 24→12→6 h and the 6 h quarters serve
+    BisectTestTransport.calls.set(0L)
+    val healed = read("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z",
+      (base ++ Seq("maxspanminutes" -> "360", "splitOnError" -> "true")): _*)
+      .collect()
+    assert(healed.map(_.getLong(1)).toSeq === clean,
+      "bisected read must yield exactly the clean run's rows, in order")
+    assert(healed.map(_.getString(0)).distinct.length === 40, "no duplicates")
+    assert(BisectTestTransport.calls.get() > 4L,
+      "the healed run must actually have walked the bisection tree")
+  }
+
+  test("splitOnError: mid-pagination 5xx resumes past emitted rows (no dupes, no loss)") {
+    // pageSize 10: a wide window serves page 1 (10 rows) then 500s page
+    // 2, so every bisection level emits a prefix before splitting — the
+    // resume bound [last emitted + 1, hi] is what keeps exactly-once
+    val healed = read("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z",
+      "transport" -> classOf[BisectTestTransport].getName,
+      "testtickets" -> "40", "stepminutes" -> "30", "pageSize" -> "10",
+      "maxspanminutes" -> "360", "failmode" -> "page2",
+      "splitOnError" -> "true").collect()
+    assert(healed.map(_.getLong(1)).toSeq === (0L until 40L),
+      "all 40 rows exactly once, ascending — emitted prefixes never replayed")
+  }
+
+  test("splitOnError is opt-in: default fails the task on retry-exhausted 5xx") {
+    val ex = intercept[org.apache.spark.SparkException] {
+      read("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z",
+        "transport" -> classOf[BisectTestTransport].getName,
+        "testtickets" -> "40", "maxspanminutes" -> "360").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists {
+      case TicketApi.ApiError(500) => true
+      case _ => false
+    }, s"expected the 500 to propagate, got: $ex")
+  }
+
+  test("splitOnError: at the floor the reader throws, never degrades to empty") {
+    // maxspanminutes=0 → every request 500s; bisection halves down to the
+    // 1 h floor and then rethrows (the reference degrades to an empty
+    // slice here — silent data loss we deliberately refuse)
+    BisectTestTransport.calls.set(0L)
+    intercept[org.apache.spark.SparkException] {
+      read("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z",
+        "transport" -> classOf[BisectTestTransport].getName,
+        "testtickets" -> "40", "maxspanminutes" -> "0",
+        "splitOnError" -> "true").collect()
+    }
+    // lazy leftmost descent: depth ≈ log2(24) ≈ 5 levels × ≤3 retry
+    // attempts — bounded, no exponential fan-out before failing
+    assert(BisectTestTransport.calls.get() < 40L,
+      s"floor failure must be a bounded descent, saw ${BisectTestTransport.calls.get()} calls")
   }
 
   test("limit pushdown reaches the scan") {
