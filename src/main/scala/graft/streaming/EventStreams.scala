@@ -44,6 +44,23 @@ case class ShardSketch(shard: Int, counters: Map[String, Long],
   *
   * Scale posture: watermark bounds state; tumbling windows shuffle once on
   * (window, event_type); `dropDuplicatesWithinWatermark` bounds dedup state.
+  *
+  * STATE-STORE posture: Spark's default HDFSBackedStateStoreProvider keeps
+  * every partition's state as an in-heap map — fine for the bounded states
+  * here at test scale, but an executor-memory cliff when key cardinality
+  * grows with the corpus. Per-operator state sizes (each also noted on the
+  * operator): [[statefulSessions]] ONE 4-scalar record per OPEN session
+  * (watermark-timeout bounded); [[runningUserStats]] one 3-scalar record
+  * per distinct user (unbounded in users — pair with a TTL policy);
+  * [[ewmaStream]] ≤ `lookback` doubles per user; [[streamingHeavyHitters]]
+  * shards × k counters, CONSTANT in stream length; dedup state = event ids
+  * inside the watermark. At 100-TB user cardinality, run the unbounded-key
+  * operators under the RocksDB provider
+  * (`spark.sql.streaming.stateStore.providerClass =
+  * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`,
+  * native off-heap + spill-to-disk, incremental checkpointing) — results
+  * are provider-invariant, pinned bit-for-bit by StreamingSpec's RocksDB
+  * profile test across all three keyed-state shapes.
   */
 object EventStreams {
 

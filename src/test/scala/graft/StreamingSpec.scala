@@ -557,4 +557,110 @@ class StreamingSpec extends SparkSuite {
       assert(ps.sliding(2).forall(p => p.head >= p.last - 1e-12))
     } finally q.stop()
   }
+
+  test("RocksDB state store: stateful operators bit-match the default provider") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    val prev = spark.conf.getOption(key)
+    var qn = 0
+    // One scenario covering all three keyed-state shapes — ewmaStream
+    // (flatMapGroupsWithState, NoTimeout, cross-batch memory),
+    // statefulSessions (EventTimeTimeout flush) and streamingHeavyHitters
+    // (mapGroupsWithState sketch) — run under whichever provider the
+    // session conf names at query start. Returns the collected outputs
+    // plus whether any query's state operator reported RocksDB custom
+    // metrics (proof the provider actually engaged).
+    def scenario(): (Map[Long, Double], Set[Seq[Any]], Map[String, Long], Boolean) = {
+      val t0 = 1700000000000000L
+      val min = 60L * 1000000L
+      var sawRocks = false
+      def progressHasRocks(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+        if (Option(q.lastProgress).exists(p => p.stateOperators.exists(
+          _.customMetrics.keySet().stream().anyMatch(_.contains("rocksdb")))))
+          sawRocks = true
+
+      // ewma: 2 batches, third event must see [6,4,2] across the batch seam
+      val ms1 = MemoryStream[(Long, Long, Long, Double)]
+      val in1 = ms1.toDF().toDF("user_id", "us", "event_id", "value")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      qn += 1
+      val q1 = EventStreams.ewmaStream(in1).writeStream
+        .outputMode("append").format("memory").queryName(s"rocks_ewma_$qn").start()
+      val ewma = try {
+        ms1.addData((1L, t0, 1L, 2.0), (1L, t0 + min, 2L, 4.0))
+        q1.processAllAvailable()
+        ms1.addData((1L, t0 + 2 * min, 3L, 6.0))
+        q1.processAllAvailable()
+        progressHasRocks(q1)
+        spark.table(s"rocks_ewma_$qn").select($"event_id", $"ewma")
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      } finally q1.stop()
+
+      // sessions: timeout-flushed close across batches
+      val ms2 = MemoryStream[(Long, Long, Long, Double)]
+      val in2 = ms2.toDF().toDF("user_id", "us", "event_id", "value")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+        .withWatermark("ts", "1 minute")
+      qn += 1
+      val q2 = EventStreams.statefulSessions(in2, gapMinutes = 30).writeStream
+        .outputMode("append").format("memory").queryName(s"rocks_sess_$qn").start()
+      val sessions = try {
+        ms2.addData((1L, t0, 1L, 1.0), (1L, t0 + 5 * min, 2L, 2.0))
+        q2.processAllAvailable()
+        ms2.addData((2L, t0 + 180 * min, 3L, 5.0))
+        q2.processAllAvailable()
+        ms2.addData((2L, t0 + 181 * min, 4L, 1.0))
+        q2.processAllAvailable()
+        progressHasRocks(q2)
+        spark.table(s"rocks_sess_$qn")
+          .select("user_id", "session_start_us", "session_end_us", "n_events")
+          .collect().map(_.toSeq).toSet
+      } finally q2.stop()
+
+      // heavy hitters: 2-shard MG sketch folded across 2 batches
+      val ms3 = MemoryStream[String]
+      qn += 1
+      val q3 = EventStreams.streamingHeavyHitters(
+        ms3.toDF().toDF("item"), "item", k = 3, shards = 2).writeStream
+        .outputMode("update").format("memory").queryName(s"rocks_hh_$qn").start()
+      val hh = try {
+        ms3.addData("a", "a", "b", "c", "a", "d")
+        q3.processAllAvailable()
+        ms3.addData("a", "b", "b", "e")
+        q3.processAllAvailable()
+        progressHasRocks(q3)
+        // last update per shard, merged: counter map of the final sketches
+        spark.table(s"rocks_hh_$qn")
+          .select($"shard", $"processed", $"counters")
+          .as[(Int, Long, Map[String, Long])].collect()
+          .groupBy(_._1).values
+          .flatMap(_.maxBy(_._2)._3).toMap
+      } finally q3.stop()
+
+      (ewma, sessions, hh, sawRocks)
+    }
+
+    try {
+      spark.conf.unset(key) // default HDFSBackedStateStoreProvider
+      val (e1, s1, h1, r1) = scenario()
+      assert(!r1, "default provider must not report rocksdb metrics")
+      spark.conf.set(key, rocks)
+      val (e2, s2, h2, r2) = scenario()
+      assert(r2, "RocksDB provider must engage and report rocksdb custom metrics")
+      assert(e2 === e1, "ewma cross-batch state must be provider-invariant")
+      assert(s2 === s1, "session timeout flushes must be provider-invariant")
+      assert(h2 === h1, "MG sketch folds must be provider-invariant")
+      assert(e1.nonEmpty && s1.nonEmpty && h1.nonEmpty, "non-vacuous scenario")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
