@@ -40,7 +40,31 @@ class PlanAuditSpec extends SparkSuite {
   private final case class Audit(fullWidthScans: Seq[(String, Int)],
                                  unboundedNestedLoop: Boolean,
                                  unpartitionedWindow: Boolean,
+                                 uncollapsedWindow: Boolean,
                                  scanCounts: Map[String, Int])
+
+  /** Structural bound proof for an unpartitioned Window's input: every
+    * path from the window to a leaf must cross a row-collapsing node —
+    * a grouped Aggregate / Distinct (cardinality = #distinct groups:
+    * the value-grid / calendar-grid / per-source contracts), or a node
+    * with a provable small `maxRows` (limits, 1-row stat anchors,
+    * literal frames). A Generate (explode) UNDOES a collapse — arrays
+    * can re-expand to raw-row cardinality — so it blocks the proof
+    * unless something below it is still collapsed. This is the check
+    * that actually guards the 100-TB hazard: a regression that drops
+    * the pre-aggregation under a global window now fails the audit even
+    * for a query that used to be allowlisted by name. */
+  private def collapsedInput(p: LogicalPlan): Boolean = p match {
+    case _ if p.maxRows.exists(_ <= 4096L) => true
+    case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+    case _: org.apache.spark.sql.catalyst.plans.logical.Distinct => true
+    case _: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+      false // explode re-expands: whatever was collapsed below is undone
+    case l: org.apache.spark.sql.catalyst.plans.logical.LeafNode =>
+      l.maxRows.exists(_ <= 4096L)
+    case j: Join => collapsedInput(j.left) && collapsedInput(j.right)
+    case other => other.children.nonEmpty && other.children.forall(collapsedInput)
+  }
 
   /** A join side is "bounded" when the optimizer can prove a small row
     * cap: ungrouped aggregates (1 row), literal/local frames, limits —
@@ -98,12 +122,13 @@ class PlanAuditSpec extends SparkSuite {
       val nlUnbounded = nlPhysical && qe.optimizedPlan.collect {
         case j: Join if !hasEquiKeys(j) && !bounded(j.left) && !bounded(j.right) => j
       }.nonEmpty
-      val uw = qe.optimizedPlan.collect {
+      val uws = qe.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
           if w.partitionSpec.isEmpty => w
-      }.nonEmpty
+      }
+      val uncollapsed = uws.exists(w => !collapsedInput(w.child))
       val counts = scans.toSeq.groupBy(_._1).map { case (t, s) => t -> s.size }
-      name -> Audit(full, nlUnbounded, uw, counts)
+      name -> Audit(full, nlUnbounded, uws.nonEmpty, uncollapsed, counts)
     }
   }
 
@@ -115,55 +140,18 @@ class PlanAuditSpec extends SparkSuite {
     "q_anti_dedup" -> Set("orders"),
     "q_anti_dedup_bloom" -> Set("orders"))
 
-  // Queries with an unpartitioned Window over DOCUMENTED bounded input.
-  // Families (each window's input is an aggregate whose cardinality is
-  // bounded by distinct derived values, never raw rows):
-  //  * distinct-rounded-score value grids (the rocAuc/perScoreCounts
-  //    collapse): q_auc, q_pr_auc, q_mann_whitney, q_kruskal_wallis,
-  //    q_ks_statistic, q_gain_curve, q_dist_match-adjacent evals, and
-  //    the same distinct-value CDF grids in q_wasserstein /
-  //    q_cliffs_delta / q_cvm (one cumulative window over
-  //    per-distinct-value side counts, the ksStatistic contract);
-  //  * ranked p-value / per-test grids (≤ #tests rows): q_fdr_bh;
-  //  * calendar-bounded day grids: q_cusum, q_seasonal_naive,
-  //    q_survival, q_pettitt (rank + cumsum windows over the day grid),
-  //    q_hurst (day-index row_number before the per-block-partitioned
-  //    R/S windows), q_periodogram (day-index + mean windows),
-  //    q_ljung_box (day-index + lag-bounded cumulative Q), q_sprt and
-  //    q_msprt (cumulative trials/successes + running min over the day
-  //    grid), q_durbin_watson and q_runs_test (mean + lag-1 over the
-  //    day grid), q_friedman and q_page_trend (global k / treatment
-  //    weights + block-partitioned ranks over the day×type cell grid),
-  //    q_control_rules (center line + trailing rule windows over the
-  //    day grid);
-  //  * distinct-value histogram CDFs (same contract as q_wasserstein):
-  //    q_energy_dist, q_anderson_darling, q_brunner_munzel;
-  //  * per-source supply tables (≤ #sources rows): q_water_fill (sort +
-  //    prefix sums over the bounded supply table);
-  //  * hypothesis-grain BH windows + distinct-value midrank grid
-  //    (the q_fdr_bh / q_kruskal_wallis contracts combined): q_dunn;
-  //  * duration-grid risk-set suffix sums (the q_survival contract):
-  //    q_log_rank;
-  //  * distinct-|d| midrank grid (the q_kruskal_wallis collapse over
-  //    paired differences): q_wilcoxon;
-  //  * per-batch / per-source / per-bucket curves (≤ #groups rows):
-  //    q_heaps_law, q_temperature_mix, q_quota_sample, q_vocab_coverage,
-  //    q_negative_sampling (vocab ranking — capped by the query's own
-  //    table-size parameter before the window);
-  //  * k-row ANN rankings (top-k per probe unions, k fixed):
-  //    q_ivf_topk, q_ivf_topk_bcast, q_ivf_trained, q_rrf.
+  // Queries with an unpartitioned Window whose input bound the
+  // STRUCTURAL proof ([[collapsedInput]]) cannot see — kept to the bare
+  // residue (round 11 burned the 40-name list down to ONE; the other 39
+  // value-grid / calendar-grid / k-row-ranking entries all prove their
+  // collapse structurally, and the stale-entry test below keeps it that
+  // way):
+  //  * q_seasonal_naive: the day grid is REBUILT by a sequence()+explode
+  //    over the [min(day), max(day)] 1-row span (zero-filled calendar —
+  //    its cardinality is the date range, bounded by the calendar not by
+  //    any aggregate the proof can certify post-explode).
   private val allowUnpartitionedWindow: Set[String] = Set(
-    "q_auc", "q_pr_auc", "q_mann_whitney", "q_kruskal_wallis",
-    "q_ks_statistic", "q_wasserstein", "q_cliffs_delta", "q_cvm",
-    "q_gain_curve", "q_fdr_bh", "q_cusum",
-    "q_seasonal_naive", "q_survival", "q_pettitt", "q_hurst",
-    "q_periodogram", "q_ljung_box", "q_energy_dist", "q_sprt",
-    "q_durbin_watson", "q_anderson_darling", "q_msprt", "q_runs_test",
-    "q_friedman", "q_page_trend", "q_control_rules", "q_brunner_munzel",
-    "q_water_fill", "q_dunn", "q_log_rank", "q_wilcoxon",
-    "q_heaps_law", "q_temperature_mix",
-    "q_quota_sample", "q_vocab_coverage", "q_negative_sampling",
-    "q_ivf_topk", "q_ivf_topk_bcast", "q_ivf_trained", "q_rrf")
+    "q_seasonal_naive")
 
   test("column pruning reaches every wide-table parquet scan") {
     val offenders = audits.collect {
@@ -285,12 +273,24 @@ class PlanAuditSpec extends SparkSuite {
       s"excessive repeated scans (cache the shared frame or document): $offenders")
   }
 
-  test("no unpartitioned windows outside the bounded allowlist") {
+  test("every unpartitioned window proves a collapsed input or is documented") {
+    // primary gate is STRUCTURAL (collapsedInput); the name list above is
+    // only for shapes whose bound the proof can't see
     val offenders = audits.collect {
-      case (q, a) if a.unpartitionedWindow &&
+      case (q, a) if a.unpartitionedWindow && a.uncollapsedWindow &&
         !allowUnpartitionedWindow.contains(q) => q
     }
     assert(offenders.isEmpty,
-      s"undocumented unpartitioned windows: ${offenders.toSeq.sorted}")
+      s"unpartitioned windows with no structural input bound: ${offenders.toSeq.sorted}")
+  }
+
+  test("the unpartitioned-window name allowlist carries no stale entries") {
+    // burn-down enforcement: a name belongs on the list ONLY while the
+    // structural proof cannot cover it — once a query's window input
+    // collapses provably, its entry must be deleted
+    val stale = allowUnpartitionedWindow.filter(q =>
+      !audits.get(q).exists(a => a.unpartitionedWindow && a.uncollapsedWindow))
+    assert(stale.isEmpty,
+      s"allowlist entries now covered by the structural proof (remove): ${stale.toSeq.sorted}")
   }
 }
