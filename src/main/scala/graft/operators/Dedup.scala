@@ -739,17 +739,30 @@ object Dedup {
     require(fields.nonEmpty, "at least one comparison field")
     fields.foreach { case (f, m) =>
       require(m > 0 && m < 1, s"m-probability for $f must be in (0,1): $m") }
-    // counts are squared AS DOUBLES: long c*c wraps silently past
-    // c ≈ 3.04e9 — a real cardinality for a low-cardinality field at the
-    // scale this operator targets. The sums stay exact in double until
-    // 2^53 (each c² is an exact integer), so the stacked sum is
-    // order-independent and matches an exact-integer oracle bit-for-bit
-    // at any realistic fixture. Values stack as canonical strings
-    // (null-tagged to keep NULL distinct from "null") — only equality
-    // within a field matters, and a field never mixes types. Float
-    // fields would split −0.0/0.0 under the string render (groupBy
-    // normalizes them equal) — bucket floats before passing them as
-    // comparison fields, as the harness query does (kilo-bucket).
+    val u = fsCollisionRates(df, fields)
+    val (rows, gp) = fsScoredGroupPairs(df, idCol, blockCol, fields, u)
+    fsExpand(rows, gp.filter(col("fs_score") >= threshold))
+  }
+
+  /** Winkler frequency-based u-probabilities, one per comparison field:
+    * the field's global collision rate SUM_v (n_v/n)^2, from ONE stacked
+    * two-level hash aggregate whose |fields|-row result is collected
+    * (bounded: one scalar per field, the standard driver-side
+    * bounded-collect contract).
+    *
+    * Counts are squared AS DOUBLES: long c*c wraps silently past
+    * c ≈ 3.04e9 — a real cardinality for a low-cardinality field at the
+    * scale this operator targets. The sums stay exact in double until
+    * 2^53 (each c² is an exact integer), so the stacked sum is
+    * order-independent and matches an exact-integer oracle bit-for-bit
+    * at any realistic fixture. Values stack as canonical strings
+    * (null-tagged to keep NULL distinct from "null") — only equality
+    * within a field matters, and a field never mixes types. Float
+    * fields would split −0.0/0.0 under the string render (groupBy
+    * normalizes them equal) — bucket floats before passing them as
+    * comparison fields, as the harness query does (kilo-bucket). */
+  private def fsCollisionRates(df: DataFrame,
+                               fields: Seq[(String, Double)]): Map[Int, Double] = {
     val stacked = df.select(explode(array(fields.zipWithIndex.map {
       case ((f, _), k) =>
         struct(lit(k).as("__k"),
@@ -768,26 +781,184 @@ object Dedup {
     }.toMap
     // empty input: no histogram rows at all — score is vacuous (zero
     // candidate pairs), NaN keeps the fold well-defined
-    val u = u0.withDefaultValue(Double.NaN)
-    val cols = Seq(col(idCol), col(blockCol)) ++ fields.map(f => col(f._1))
-    val a = df.select(cols: _*).toDF(
-      Seq("id_a", "__blk") ++ fields.indices.map(k => s"__fa$k"): _*)
-    val b = df.select(cols: _*).toDF(
-      Seq("id_b", "__blk") ++ fields.indices.map(k => s"__fb$k"): _*)
-    val pairs0 = a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b"))
-    val score = fields.zipWithIndex.map { case ((_, m), k) =>
+    u0.withDefaultValue(Double.NaN)
+  }
+
+  /** The value-collapsed core both Fellegi–Sunter entry points share:
+    * rows are grouped to DISTINCT field vectors per block (groupBy
+    * normalizes nulls and ±0.0 exactly like the `<=>` agreement test
+    * below, so two rows land in one group iff they agree on every
+    * field), and the quadratic join runs over GROUPS, not rows — the
+    * score of a group pair is the score of every member pair, because
+    * the FS log-ratio depends only on the agreement pattern. Pair work
+    * is Σ_block (distinct vectors)² instead of Σ_block rows²: invariant
+    * under duplication, which is precisely the regime that explodes at
+    * corpus scale (measured 10× data → 12.8× wall on row-pairs vs flat
+    * on group-pairs — duplicate-heavy data makes blocks GROW, it never
+    * diversifies them). Worst case (all vectors distinct) degrades to
+    * the old row-pair cost plus one aggregate.
+    *
+    * Returns (rows, scored unordered group pairs): rows carry
+    * (id, __blk, __v struct); group pairs carry (__blk, __va, __vb,
+    * __ga, __gb, __mult, fs_score) with __va ≤ __vb under struct
+    * ordering — each unordered group pair once, self-pairs included,
+    * `__mult` the EXACT number of id pairs the group pair expands to
+    * (g·(g−1)/2 within a group, g_a·g_b across — requires unique ids,
+    * the operator's standing contract). Groups are localCheckpointed:
+    * ~distinct-vector rows, consumed by both join sides. */
+  private def fsScoredGroupPairs(df: DataFrame, idCol: String,
+                                 blockCol: String,
+                                 fields: Seq[(String, Double)],
+                                 u: Map[Int, Double])
+      : (DataFrame, DataFrame) = {
+    val rows = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
+      struct(fields.map(f => col(f._1)): _*).as("__v"))
+    // __gid: a stable surrogate long per group (frozen by the
+    // localCheckpoint) — the pair grid orders and self-tests on LONG
+    // compares instead of struct ordering/equality, which the 8M-pair
+    // filter otherwise pays per row (measured ~2× on the join stage)
+    val groups = rows.groupBy(col("__blk"), col("__v"))
+      .agg(count(lit(1)).as("__g"))
+      .withColumn("__gid", monotonically_increasing_id())
+      .localCheckpoint()
+    val ga = groups.select(col("__blk"), col("__v").as("__va"),
+      col("__g").as("__ga"), col("__gid").as("__gida"))
+    val gb = groups.select(col("__blk"), col("__v").as("__vb"),
+      col("__g").as("__gb"), col("__gid").as("__gidb"))
+    val score = fields.zipWithIndex.map { case ((f, m), k) =>
       // (1 − m) as an IN-PLAN subtraction, not a Scala constant: the
       // oracle writes `1 - 0.9`, and 1.0−0.9 ≠ parse("0.1") at the last
       // bit — both engines must do the same subtraction. With u a
       // literal, Catalyst constant-folds each branch to a double at plan
       // time using the SAME JVM log/div the runtime path used before.
-      when(col(s"__fa$k") <=> col(s"__fb$k"),
+      when(col("__va").getField(f) <=> col("__vb").getField(f),
         log(lit(m) / lit(u(k))))
         .otherwise(log((lit(1.0) - lit(m)) / (lit(1.0) - lit(u(k)))))
     }.reduce(_ + _)
-    pairs0
-      .select(col("id_a"), col("id_b"), round(score, 6).as("fs_score"))
+    val gp = ga.join(gb, Seq("__blk"))
+      .filter(col("__gida") <= col("__gidb")) // each unordered pair once
+      .select(col("__blk"), col("__va"), col("__vb"),
+        col("__gida"), col("__gidb"),
+        when(col("__gida") === col("__gidb"),
+          shiftright(col("__ga") * (col("__ga") - 1), 1))
+          .otherwise(col("__ga") * col("__gb")).as("__mult"),
+        round(score, 6).as("fs_score"))
+      .filter(col("__mult") > 0)
+    (rows, gp)
+  }
+
+  /** Expand surviving group pairs back to (id_a, id_b, fs_score) rows:
+    * two equi-joins of the row set against the kept pairs' vectors —
+    * cost ∝ the EXPANDED OUTPUT, not the candidate space. Within a
+    * group ids pair ordered (ida < idb); across groups every member
+    * pair appears once and is emitted as (least, greatest). */
+  private def fsExpand(rows: DataFrame, kept: DataFrame): DataFrame =
+    kept
+      .join(rows.select(col("__blk"), col("__v").as("__va"),
+        col("__id").as("__ida")), Seq("__blk", "__va"))
+      .join(rows.select(col("__blk"), col("__v").as("__vb"),
+        col("__id").as("__idb")), Seq("__blk", "__vb"))
+      .filter((col("__gida") === col("__gidb") && col("__ida") < col("__idb")) ||
+        (col("__gida") =!= col("__gidb") && col("__ida") =!= col("__idb")))
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"), col("fs_score"))
+
+  /** Exact top-k Fellegi–Sunter review queue — [[fellegiSunter]] ordered
+    * by (fs_score desc, id_a, id_b) and limited to `k`, WITHOUT expanding
+    * the full candidate pair space. The FS score over |fields|
+    * comparisons takes at most 2^|fields| distinct values (each field
+    * contributes one of two constants), and the total PAIR MASS at each
+    * score is countable without enumerating a single pair: an
+    * inclusion–exclusion sweep over field subsets (one stacked map-side
+    * aggregate + exact-long Möbius inversion) yields the pairs agreeing
+    * on exactly each pattern. A prefix sum over the per-score masses in
+    * score-descending order keeps exactly the scores whose preceding
+    * mass is < k (an entire tie level is kept or dropped TOGETHER, so
+    * the (id_a, id_b) tiebreak inside the boundary score stays exact);
+    * the group grid then streams ONCE against the broadcast kept-score
+    * set and only surviving group pairs expand — O(k + boundary tie
+    * level) id pairs instead of Σ block². The final TakeOrdered applies
+    * the full ordering. Requires unique ids (multiplicities are
+    * counts). */
+  def fellegiSunterTopK(df: DataFrame, idCol: String, blockCol: String,
+                        fields: Seq[(String, Double)], threshold: Double,
+                        k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(fields.nonEmpty && fields.size <= 8,
+      s"1..8 comparison fields (subset sweep is 2^|fields|): ${fields.size}")
+    fields.foreach { case (f, m) =>
+      require(m > 0 && m < 1, s"m-probability for $f must be in (0,1): $m") }
+    val spark = df.sparkSession
+    val u = fsCollisionRates(df, fields)
+    val (rows, gp0) = fsScoredGroupPairs(df, idCol, blockCol, fields, u)
+    val nf = fields.size
+
+    // (1) Pair mass per agreement pattern WITHOUT enumerating pairs:
+    // for every field subset S, the same-block pairs agreeing on AT
+    // LEAST S are Σ_(block, S-values) C(c, 2) — ONE stacked map-side
+    // explode (2^|fields| subset keys per row, hence the field cap) and
+    // a two-level aggregate. Keys are ARRAYS of the null-tagged
+    // canonical field strings, so key equality is injective per field
+    // (no separator ambiguity) and matches the `<=>` agreement of the
+    // group grid. The 2^|fields|-row result is collected (bounded) and
+    // Möbius-inverted in EXACT LONG arithmetic to pairs agreeing on
+    // EXACTLY pattern p.
+    val subsetKeys = array((0 until (1 << nf)).map { s =>
+      struct(lit(s).as("__s"),
+        array(fields.zipWithIndex.collect {
+          case ((f, _), j) if ((s >> j) & 1) == 1 =>
+            concat_ws(" ", lit("v"), col(f).cast("string"))
+        }: _*).as("__key"))
+    }: _*)
+    val atLeast = df
+      .select(col(blockCol).as("__blk"), explode(subsetKeys).as("__sk"))
+      .groupBy(col("__sk.__s").as("__s"), col("__blk"),
+        col("__sk.__key").as("__key"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__s"))
+      .agg(sum(shiftright(col("__c") * (col("__c") - 1), 1)).as("__pairs"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+      .toMap.withDefaultValue(0L)
+    val exact = (0 until (1 << nf)).map { p =>
+      var total = 0L
+      (0 until (1 << nf)).foreach { t =>
+        if ((t & p) == p)
+          total += (if (java.lang.Integer.bitCount(t ^ p) % 2 == 0)
+            atLeast(t) else -atLeast(t))
+      }
+      p -> total
+    }.filter(_._2 > 0)
+
+    // (2) Per-pattern scores rebuilt IN-PLAN over the ≤2^|fields|-row
+    // local pattern frame with the IDENTICAL literal expression tree the
+    // group grid scores with — Catalyst folds log(lit(m)/lit(u)) to the
+    // same double on both sides and Round is the same expression, so the
+    // kept-score set matches the grid's fs_score values bit-for-bit (no
+    // driver-side float math anywhere in the cutoff).
+    import spark.implicits._
+    val pat = exact.toDF("__p", "__mult")
+    val pscore = fields.zipWithIndex.map { case ((_, m), j) =>
+      when(shiftright(col("__p"), j).bitwiseAND(lit(1)) === 1,
+        log(lit(m) / lit(u(j))))
+        .otherwise(log((lit(1.0) - lit(m)) / (lit(1.0) - lit(u(j)))))
+    }.reduce(_ + _)
+    val w = Window.orderBy(col("fs_score").desc)
+    val keptScores = pat
+      .select(round(pscore, 6).as("fs_score"), col("__mult"))
       .filter(col("fs_score") >= threshold)
+      .groupBy(col("fs_score")).agg(sum(col("__mult")).as("__mt"))
+      .withColumn("__before", coalesce(sum(col("__mt")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__before") < k)
+      .select(col("fs_score"))
+
+    // (3) ONE stream of the group grid, filtered to the kept tie levels
+    // by a broadcast join, then expansion — O(k + boundary tie level)
+    // id pairs; the grid is never materialized or re-streamed.
+    fsExpand(rows, gp0.filter(col("fs_score") >= threshold)
+        .join(broadcast(keptScores), Seq("fs_score")))
+      .orderBy(col("fs_score").desc, col("id_a").asc, col("id_b").asc)
+      .limit(k)
   }
 
   /** Incremental connected components — the daily-ingest dedup path: fold

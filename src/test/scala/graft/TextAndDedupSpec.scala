@@ -335,6 +335,58 @@ class TextAndDedupSpec extends SparkSuite {
     }
   }
 
+  test("fellegiSunter group-collapse ≡ brute row pairs; topK ≡ ordered limit at tie cuts") {
+    // duplicate-heavy fixture (the regime the group-collapse targets):
+    // small field domains + periodic nulls → many rows share a vector,
+    // and both within-group and cross-group pairs occur in every block
+    val rows = (0L until 60L).map { i =>
+      (i, i % 2,
+        if (i % 7 == 0) Option.empty[String]
+        else Some(Seq("A", "B", "A")((i % 3).toInt)),
+        i / 10, (i % 5).toString)
+    }
+    val df = rows.toDF("id", "blk", "seg", "kilo", "tail")
+    val fields = Seq(("seg", 0.9), ("kilo", 0.8), ("tail", 0.85))
+    // Scala mirror of the operator's math over ROW pairs (the pre-r11
+    // brute-force shape): u from global collision rates, null-safe
+    // agreement (None == None), per-pair log-ratio sum, 6dp HALF_UP
+    val n = rows.size.toDouble
+    val u = Seq[Seq[Any]](rows.map(_._3), rows.map(_._4), rows.map(_._5))
+      .map(vs => vs.groupBy(identity).values
+        .map(g => g.size.toDouble * g.size).sum / (n * n))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (for {
+      a <- rows; b <- rows
+      if a._2 == b._2 && a._1 < b._1
+    } yield {
+      val terms = Seq((a._3 == b._3, 0.9, u(0)), (a._4 == b._4, 0.8, u(1)),
+        (a._5 == b._5, 0.85, u(2)))
+      val sc = terms.map { case (eq, m, uf) =>
+        if (eq) math.log(m / uf) else math.log((1.0 - m) / (1.0 - uf))
+      }.sum
+      (a._1, b._1, r6(sc))
+    }).toSet
+    val got = Dedup.fellegiSunter(df, "id", "blk", fields, -100.0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === expected)
+    assert(expected.size === 870, "every same-block pair scored (2 × C(30,2))")
+    // topK must equal the exact prefix of the fully-ordered queue for ks
+    // that cut INSIDE a tie level (scores take ≤ 2^3 distinct values
+    // here, so most ks do) and past the end
+    val full = expected.toSeq.sortBy { case (ia, ib, s) => (-s, ia, ib) }
+    for (k <- Seq(1, 7, 50, full.size, full.size + 10)) {
+      val topk = Dedup.fellegiSunterTopK(df, "id", "blk", fields, -100.0, k)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(topk === full.take(k), s"k=$k")
+    }
+    // a selective threshold prunes at the GROUP level before expansion
+    val hi = full.head._3
+    val thresholded = Dedup.fellegiSunter(df, "id", "blk", fields, hi)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(thresholded === expected.filter(_._3 >= hi) && thresholded.nonEmpty)
+  }
+
   test("incrementalClusters: star contraction merges across prior clusters, unseen ids join") {
     // prior: {0,1} rooted 0, {4,5} rooted 4, {10} alone (min-rooted ✓)
     val prior = Seq((0L, 0L), (1L, 0L), (4L, 4L), (5L, 4L), (10L, 10L))
