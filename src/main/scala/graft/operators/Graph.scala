@@ -316,10 +316,13 @@ object Graph {
     * down): degrees are aggregated ONCE up front; each peel round then
     * decrements only the NEIGHBORS of that round's peeled nodes — one
     * broadcast semi-join of the edge list against the removed ids plus
-    * a tiny (≤ Σdeg(removed)-row) aggregate, never a re-aggregation
-    * over all surviving edges. Per-round shuffle is ∝ the affected set
-    * (removed nodes + their incident edges); the edge state is pruned
-    * by map-side broadcast anti-joins so scans shrink with the graph.
+    * a tiny aggregate, never a re-aggregation over all surviving edges.
+    * Edge pruning is DEFERRED: a minority round leaves the edge state
+    * stale (dead-endpoint edges are provably inert — a node is removed
+    * exactly once and dead srcs drop in the survivors join) and only a
+    * majority round reconciles it, so a minority round is ONE deg-update
+    * job. Per-round shuffle is ∝ the affected set (removed nodes +
+    * their incident edges).
     *
     * ADAPTIVE direction, same as [[kTrussRun]]: a round that peels the
     * MAJORITY of surviving nodes (typical for round one, where most
@@ -406,7 +409,10 @@ object Graph {
       if (rCount > alive - rCount) {
         // majority peeled (typical round one): one degree aggregate
         // over the small survivor-induced subgraph beats decrementing
-        // through a removed set that is most of the graph
+        // through a removed set that is most of the graph. This branch
+        // also RECONCILES the deferred edge pruning (see below): the
+        // semi-joins against the true survivor set drop every edge any
+        // earlier minority round left stale.
         val keep = survivors.select(col("id"))
         e = e
           .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
@@ -417,23 +423,27 @@ object Graph {
           .localCheckpoint()
       } else {
         // minority peeled: decrement only the neighbors of the peeled
-        // nodes — a broadcast semi-join against the removed ids plus a
-        // ≤ Σdeg(removed)-row aggregate; the edge state shrinks by
-        // map-side broadcast anti-joins, never a full re-aggregation
+        // nodes — a semi-join against the broadcast removed ids plus a
+        // tiny aggregate. The edge state is deliberately NOT rewritten:
+        // a node is removed exactly once, so a later round never probes
+        // this round's dst again, and stale edges whose src is already
+        // dead only produce dec rows the survivors join drops — pruning
+        // e every round cost a full anti-join + localCheckpoint
+        // materialization per round and measurably LOST to plain
+        // recompute on deep peels (BASELINE.md round-11 kCore table);
+        // deferring it makes a minority round ONE deg update job.
         val removedIds0 = deg.filter(col("degree") < k).select(col("id"))
         val removedIds =
           if (rCount <= bcastLimit) broadcast(removedIds0) else removedIds0
-        val dec0 = e
+        // dec rows ≤ distinct neighbors of the removed set in the stale
+        // edge state (dead srcs included) — not provably ≤ rDegSum, so
+        // no broadcast hint: AQE sizes the join at runtime
+        val dec = e
           .join(removedIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
           .groupBy(col("src").as("id")).agg(count(lit(1)).as("__dec"))
-        val dec = if (rDegSum <= bcastLimit) broadcast(dec0) else dec0
         deg = survivors.join(dec, Seq("id"), "left")
           .select(col("id"),
             (col("degree") - coalesce(col("__dec"), lit(0L))).as("degree"))
-          .localCheckpoint()
-        e = e
-          .join(removedIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
-          .join(removedIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
           .localCheckpoint()
       }
       i += 1
