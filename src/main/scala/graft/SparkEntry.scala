@@ -3903,6 +3903,58 @@ object SparkEntry {
     Agreement.krippendorffAlpha(Tables.events(s, d), "user_id",
       "event_type")
 
+  /** §2b Cronbach's alpha over the first-5 frame — each user's 5 rating
+    * slots read as a 5-item scale of the value measurement; the
+    * continuous internal-consistency rung beside q_icc (variance
+    * decomposition) and q_fleiss_kappa (categorical agreement). */
+  private def q_cronbach_alpha(s: SparkSession, d: String): DataFrame =
+    Agreement.cronbachAlpha(ratingsFirst5(s, d), "user_id", "__rn",
+      "value", items = 5)
+
+  /** §2b weighted Cohen's kappa — each user's even- vs odd-indexed
+    * event volumes capped to an ordinal 0..4 scale, read as two "raters"
+    * scoring the same subject: do the two halves agree beyond chance,
+    * with near-misses partially credited (quadratic κ_w ≈ ICC). Counts
+    * are integer-exact; both weight families emitted. */
+  private def q_weighted_kappa(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(least(sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)),
+        lit(4L)).as("even_vol"),
+        least(sum(when(col("event_id") % 2 === 1, 1L).otherwise(0L)),
+          lit(4L)).as("odd_vol"))
+    Stats.weightedKappa(per, "even_vol", "odd_vol")
+  }
+
+  /** §2b Pearson χ² independence test — event type × day-of-week index
+    * (calendar-anchored `datediff % 7`, engine-neutral): is the event
+    * mix independent of weekday. 5×7 grid ⇒ df = 24 (even), so the
+    * closed-form Poisson-sum p-value applies, unrolled identically in
+    * both engines. */
+  private def q_chi_square(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("event_type").isNotNull)
+      .select(col("event_type"),
+        (datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) % 7)
+          .cast("string").as("dow"))
+    Stats.chiSquareTest(ev, "event_type", "dow")
+  }
+
+  /** §2b Cochran–Mantel–Haenszel test — exposure = even event id,
+    * outcome = above-typical value, stratified by weekday: is the
+    * association significant AFTER the per-stratum adjustment (the
+    * significance rung beside q_mantel_haenszel's pooled OR and
+    * q_simpsons). */
+  private def q_cmh(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(
+        (datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) % 7)
+          .cast("string").as("dow"),
+        when(col("event_id") % 2 === 0, 1).otherwise(0).as("exposed"),
+        when(col("value") > 50.0, 1).otherwise(0).as("outcome"))
+    Stats.cmhTest(ev, "dow", "exposed", "outcome")
+  }
+
   /** §2b Kendall's W — do the k event types "rank" the days of the
     * window concordantly by daily volume; raters = types, items = days,
     * value = the day's event count (integer, so ranks are cross-engine
@@ -4278,6 +4330,10 @@ object SparkEntry {
     "q_fleiss_kappa" -> (q_fleiss_kappa _),
     "q_gwet_ac1" -> (q_gwet_ac1 _),
     "q_dawid_skene" -> (q_dawid_skene _),
+    "q_cronbach_alpha" -> (q_cronbach_alpha _),
+    "q_weighted_kappa" -> (q_weighted_kappa _),
+    "q_chi_square" -> (q_chi_square _),
+    "q_cmh" -> (q_cmh _),
     "q_icc" -> (q_icc _),
     "q_bartlett" -> (q_bartlett _),
     "q_krippendorff" -> (q_krippendorff _),
@@ -11627,6 +11683,165 @@ object SparkEntry {
                         / (3.0 * CAST(k - 1 AS DOUBLE))) END, 6)
                   AS bartlett_stat
          FROM f""",
+    "q_cmh" ->
+      """WITH ev AS (SELECT
+                       CAST(datediff('day', DATE '2024-01-01',
+                         CAST(ts AS DATE)) % 7 AS VARCHAR) AS s,
+                       CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS e,
+                       CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS o
+                     FROM events
+                     WHERE event_type IS NOT NULL AND value IS NOT NULL),
+              cells AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(CASE WHEN e = 1 AND o = 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                          CAST(sum(CASE WHEN e = 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+                          CAST(sum(CASE WHEN o = 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS c1
+                        FROM ev GROUP BY 1 HAVING count(*) >= 2),
+              folded AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                           CAST(sum(a) AS BIGINT) AS sum_a,
+                           sum(CAST(r1 AS DOUBLE) * c1
+                             / CAST(n AS DOUBLE)) AS se,
+                           sum(((CAST(r1 AS DOUBLE) * (n - r1)) * c1)
+                             * (n - c1)
+                             / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                               * (CAST(n AS DOUBLE) - 1.0))) AS sv
+                         FROM cells),
+              chi AS (SELECT *,
+                        CASE WHEN sv > 0 THEN
+                          greatest(abs(CAST(sum_a AS DOUBLE) - se) - 0.5, 0.0)
+                            * greatest(abs(CAST(sum_a AS DOUBLE) - se) - 0.5, 0.0)
+                            / sv END AS c2
+                      FROM folded),
+              ps AS (SELECT *, sqrt(c2) / sqrt(2.0) AS x,
+                       1.0 / (1.0 + 0.3275911 * (sqrt(c2) / sqrt(2.0))) AS t
+                     FROM chi)
+         SELECT n_strata, sum_a, round(se, 6) AS sum_expected,
+                round(sv, 6) AS sum_var, round(c2, 6) AS chi2_cmh,
+                round(CASE WHEN c2 IS NOT NULL THEN least(1.0,
+                  (((((1.061405429 * t - 1.453152027) * t)
+                    + 1.421413741) * t - 0.284496736) * t
+                    + 0.254829592) * t * exp(-x * x)) END, 6) AS p_value
+         FROM ps""",
+    "q_cronbach_alpha" ->
+      """WITH ev AS (SELECT user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                     FROM events
+                     WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+              cells AS (SELECT user_id AS s, CAST(rn AS VARCHAR) AS i,
+                          CAST(value AS DOUBLE) AS x
+                        FROM ev WHERE rn <= 5 AND value IS NOT NULL),
+              subj AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+                         CAST(count(DISTINCT i) AS BIGINT) AS di,
+                         sum(x) AS tot
+                       FROM cells GROUP BY 1),
+              ok AS (SELECT * FROM subj WHERE cnt = 5 AND di = 5),
+              okc AS (SELECT c.i, c.x FROM cells c JOIN ok ON c.s = ok.s),
+              item AS (SELECT i, CAST(count(*) AS BIGINT) AS n,
+                         sum(x) AS sx, sum(x * x) AS sxx
+                       FROM okc GROUP BY 1),
+              iv AS (SELECT sum(CASE WHEN n > 1
+                         THEN (sxx - sx * sx / CAST(n AS DOUBLE))
+                           / (CAST(n AS DOUBLE) - 1.0) END) AS siv
+                     FROM item),
+              tv AS (SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+                       sum(tot) AS st, sum(tot * tot) AS stt
+                     FROM ok),
+              tvv AS (SELECT n_subjects,
+                        CASE WHEN n_subjects > 1
+                          THEN (stt - st * st / CAST(n_subjects AS DOUBLE))
+                            / (CAST(n_subjects AS DOUBLE) - 1.0) END AS vt
+                      FROM tv)
+         SELECT n_subjects, CAST(5 AS BIGINT) AS k_items,
+                round(siv, 6) AS sum_item_var,
+                round(vt, 6) AS total_var,
+                round(CASE WHEN vt > 0
+                  THEN 5.0 / (5.0 - 1.0) * (1.0 - siv / vt) END, 6) AS alpha
+         FROM iv, tvv""",
+    "q_weighted_kappa" ->
+      """WITH per AS (SELECT user_id,
+                       least(CAST(sum(CASE WHEN event_id % 2 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT), 4) AS a,
+                       least(CAST(sum(CASE WHEN event_id % 2 = 1
+                           THEN 1 ELSE 0 END) AS BIGINT), 4) AS b
+                     FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+              cont AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+                       FROM per GROUP BY 1, 2),
+              tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                        CAST(sum(cnt * abs(a - b)) AS BIGINT) AS dlin,
+                        CAST(sum(cnt * (a - b) * (a - b)) AS BIGINT) AS dquad
+                      FROM cont),
+              ma AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS ca
+                     FROM cont GROUP BY 1),
+              mb AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cb
+                     FROM cont GROUP BY 1),
+              ew AS (SELECT sum(CAST(ca AS DOUBLE) * cb * abs(a - b)) AS elin,
+                       sum(CAST(ca AS DOUBLE) * cb
+                         * ((a - b) * (a - b))) AS equad
+                     FROM ma, mb)
+         SELECT n,
+                round(CASE WHEN elin > 0
+                  THEN 1.0 - CAST(dlin AS DOUBLE) * n / elin END, 6)
+                  AS kappa_linear,
+                round(CASE WHEN equad > 0
+                  THEN 1.0 - CAST(dquad AS DOUBLE) * n / equad END, 6)
+                  AS kappa_quadratic
+         FROM tot, ew""",
+    "q_chi_square" ->
+      """WITH ev AS (SELECT event_type AS a,
+                       CAST(datediff('day', DATE '2024-01-01',
+                         CAST(ts AS DATE)) % 7 AS VARCHAR) AS b
+                     FROM events WHERE event_type IS NOT NULL),
+              cont AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+                       FROM ev GROUP BY 1, 2),
+              tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                        CAST(count(DISTINCT a) AS BIGINT) AS r_levels,
+                        CAST(count(DISTINCT b) AS BIGINT) AS c_levels
+                      FROM cont),
+              ma AS (SELECT a, CAST(sum(o) AS BIGINT) AS ca
+                     FROM cont GROUP BY 1),
+              mb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb
+                     FROM cont GROUP BY 1),
+              obs AS (SELECT sum((od - e) * (od - e) / e) AS chi_obs,
+                        sum(e) AS e_obs
+                      FROM (SELECT CAST(o AS DOUBLE) AS od,
+                              CAST(ca AS DOUBLE) * cb / n AS e
+                            FROM cont JOIN ma USING (a)
+                              JOIN mb USING (b), tot)),
+              stat AS (SELECT n, r_levels, c_levels,
+                         (r_levels - 1) * (c_levels - 1) AS dof,
+                         chi_obs + (CAST(n AS DOUBLE) - e_obs) AS c2
+                       FROM tot, obs),
+              un AS (SELECT n, r_levels, c_levels, dof, c2,
+                       c2 * 0.5 AS h, dof / 2 AS m,
+                       1.0 AS t0,
+                       t0 * h / 1.0 AS t1,
+                       t1 * h / 2.0 AS t2,
+                       t2 * h / 3.0 AS t3,
+                       t3 * h / 4.0 AS t4,
+                       t4 * h / 5.0 AS t5,
+                       t5 * h / 6.0 AS t6,
+                       t6 * h / 7.0 AS t7,
+                       t7 * h / 8.0 AS t8,
+                       t8 * h / 9.0 AS t9,
+                       t9 * h / 10.0 AS t10,
+                       t10 * h / 11.0 AS t11,
+                       t11 * h / 12.0 AS t12,
+                       t12 * h / 13.0 AS t13,
+                       t13 * h / 14.0 AS t14,
+                       t14 * h / 15.0 AS t15,
+                       t15 * h / 16.0 AS t16,
+                       t16 * h / 17.0 AS t17,
+                       t17 * h / 18.0 AS t18,
+                       t18 * h / 19.0 AS t19
+                     FROM stat)
+         SELECT n, r_levels, c_levels, dof, round(c2, 6) AS chi2,
+                round(CASE WHEN dof % 2 = 0 AND dof >= 2 AND dof <= 40
+                    AND c2 IS NOT NULL
+                  THEN least(1.0, exp(-h) * (t0 + CASE WHEN 1.0 < m THEN t1 ELSE 0.0 END + CASE WHEN 2.0 < m THEN t2 ELSE 0.0 END + CASE WHEN 3.0 < m THEN t3 ELSE 0.0 END + CASE WHEN 4.0 < m THEN t4 ELSE 0.0 END + CASE WHEN 5.0 < m THEN t5 ELSE 0.0 END + CASE WHEN 6.0 < m THEN t6 ELSE 0.0 END + CASE WHEN 7.0 < m THEN t7 ELSE 0.0 END + CASE WHEN 8.0 < m THEN t8 ELSE 0.0 END + CASE WHEN 9.0 < m THEN t9 ELSE 0.0 END + CASE WHEN 10.0 < m THEN t10 ELSE 0.0 END + CASE WHEN 11.0 < m THEN t11 ELSE 0.0 END + CASE WHEN 12.0 < m THEN t12 ELSE 0.0 END + CASE WHEN 13.0 < m THEN t13 ELSE 0.0 END + CASE WHEN 14.0 < m THEN t14 ELSE 0.0 END + CASE WHEN 15.0 < m THEN t15 ELSE 0.0 END + CASE WHEN 16.0 < m THEN t16 ELSE 0.0 END + CASE WHEN 17.0 < m THEN t17 ELSE 0.0 END + CASE WHEN 18.0 < m THEN t18 ELSE 0.0 END + CASE WHEN 19.0 < m THEN t19 ELSE 0.0 END)) END, 6) AS p_value
+         FROM un""",
     "q_dawid_skene" ->
       """WITH ev AS (SELECT user_id, event_type,
                        CAST(event_id % 3 AS BIGINT) AS rater,

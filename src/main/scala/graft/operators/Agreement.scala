@@ -395,4 +395,66 @@ object Agreement {
         (col("votes").cast("double") / col("n_ratings").cast("double"))
           .as("support"))
   }
+
+  /** Cronbach's alpha (public: Cronbach, Psychometrika '51) — internal
+    * consistency of a k-item scale over continuous measurements:
+    *   α = k/(k−1) · (1 − Σ_i s²_i / s²_T)
+    * with s²_i the sample variance of item i across subjects and s²_T
+    * the sample variance of the subject TOTALS. The continuous
+    * reliability readout beside [[fleissKappa]] (categorical) and
+    * ICC(1): "do the k probes of one construct move together" — for a
+    * labeling pipeline, whether a rubric's sub-scores are coherent
+    * enough to sum into one quality score.
+    *
+    * Complete-case: subjects with exactly `items` cells AND `items`
+    * DISTINCT item keys (the kendallW duplicate-cell enforcement —
+    * malformed subjects drop, never skew). Variances use the exact
+    * sum/sum-of-squares identity with the SAME association both engines
+    * evaluate: (Σx² − Σx·Σx/n)/(n−1).
+    *
+    * Shape: one data-sized cell pass; the per-subject completeness fold
+    * and per-item folds are shuffle ∝ subjects / items; the k item
+    * variances then fold to one row. Outputs round 6dp (the item-sum and
+    * the variances carry order-dependent float addition).
+    * Degenerate s²_T = 0 (or < 2 complete subjects) yields null alpha. */
+  def cronbachAlpha(df: DataFrame, subjectCol: String, itemCol: String,
+                    valCol: String, items: Int,
+                    roundScale: Int = 6): DataFrame = {
+    require(items >= 2, s"items must be >= 2: $items")
+    val cells = df
+      .filter(col(subjectCol).isNotNull && col(itemCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(subjectCol).as("__s"), col(itemCol).cast("string").as("__i"),
+        col(valCol).cast("double").as("__x"))
+    val subj = cells.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__cnt"),
+        countDistinct(col("__i")).cast("long").as("__di"),
+        sum(col("__x")).as("__tot"))
+      .filter(col("__cnt") === items && col("__di") === items)
+    val okCells = cells.join(subj.select(col("__s")), Seq("__s"), "left_semi")
+    val nD = col("__n").cast("double")
+    val itemVar = okCells.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(when(col("__n") > 1,
+        (col("__sxx") - col("__sx") * col("__sx") / nD) / (nD - 1.0))
+        .as("__vi"))
+      .agg(sum(col("__vi")).as("__sumItemVar"))
+    val totVar = subj
+      .agg(count(lit(1)).as("n_subjects"), sum(col("__tot")).as("__st"),
+        sum(col("__tot") * col("__tot")).as("__stt"))
+      .select(col("n_subjects"),
+        when(col("n_subjects") > 1,
+          (col("__stt") - col("__st") * col("__st")
+            / col("n_subjects").cast("double"))
+            / (col("n_subjects").cast("double") - 1.0)).as("__vt"))
+    val k = lit(items.toDouble)
+    totVar.crossJoin(itemVar)
+      .select(col("n_subjects"), lit(items.toLong).as("k_items"),
+        round(col("__sumItemVar"), roundScale).as("sum_item_var"),
+        round(col("__vt"), roundScale).as("total_var"),
+        round(when(col("__vt") > 0,
+          k / (k - 1.0) * (lit(1.0) - col("__sumItemVar") / col("__vt"))),
+          roundScale).as("alpha"))
+  }
 }

@@ -3057,4 +3057,170 @@ object Stats {
       .crossJoin(broadcast(fit))
   }
 
+  /** Weighted Cohen's kappa (public: Cohen, Psych. Bull. '68) over
+    * ORDINAL integer categories — partial credit for near-misses, the
+    * right agreement measure when labels are a severity/quality scale
+    * and confusing 4 with 3 is not as bad as 4 with 0. With
+    * disagreement weights w_ij, κ_w = 1 − Σ n_ij·w_ij · n / Σ ĉ_i·ĉ_j·w_ij
+    * (the marginal-product chance normalizer); emitted for BOTH the
+    * linear (|i−j|) and quadratic ((i−j)²) weight families — quadratic
+    * κ_w is the one equivalent to an ICC.
+    *
+    * Shape: the [[cohenKappa]] contingency collapse — ONE data-sized
+    * pass to the labels² cell table (localCheckpointed: four bounded
+    * consumers), then marginal folds and one labels²-sized weight cross
+    * — never a data-sized pair. Observed disagreement sums are exact
+    * longs; the chance side multiplies marginals as doubles (ĉ_i·ĉ_j
+    * approaches n²). Constant identical labelings (zero chance
+    * disagreement) yield null kappa. */
+  def weightedKappa(df: DataFrame, colA: String, colB: String,
+                    roundScale: Int = 6): DataFrame = {
+    val cont = df
+      .select(col(colA).cast("long").as("__a"), col(colB).cast("long").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint()
+    val totals = cont.agg(coalesce(sum(col("__cnt")), lit(0L)).as("n"),
+      coalesce(sum(col("__cnt") * abs(col("__a") - col("__b"))), lit(0L))
+        .as("__dLin"),
+      coalesce(sum(col("__cnt") * (col("__a") - col("__b"))
+        * (col("__a") - col("__b"))), lit(0L)).as("__dQuad"))
+    val margA = cont.groupBy(col("__a")).agg(sum(col("__cnt")).as("__ca"))
+    val margB = cont.groupBy(col("__b")).agg(sum(col("__cnt")).as("__cb"))
+    // labels² grid: bounded by the ordinal scale's cardinality, not data
+    val ew = margA.crossJoin(margB)
+      .agg(coalesce(sum(col("__ca").cast("double") * col("__cb")
+        * abs(col("__a") - col("__b"))), lit(0.0)).as("__eLin"),
+        coalesce(sum(col("__ca").cast("double") * col("__cb")
+          * ((col("__a") - col("__b")) * (col("__a") - col("__b")))),
+          lit(0.0)).as("__eQuad"))
+    totals.crossJoin(ew).select(col("n"),
+      round(when(col("__eLin") > 0, lit(1.0)
+        - col("__dLin").cast("double") * col("n") / col("__eLin")),
+        roundScale).as("kappa_linear"),
+      round(when(col("__eQuad") > 0, lit(1.0)
+        - col("__dQuad").cast("double") * col("n") / col("__eQuad")),
+        roundScale).as("kappa_quadratic"))
+  }
+
+  /** Cochran–Mantel–Haenszel test (public: Mantel & Haenszel, JNCI '59;
+    * Cochran '54) — IS there an exposure→outcome association after
+    * stratifying, the significance rung beside the pooled-OR estimate
+    * (mantelHaenszel) and the Simpson's-paradox screen: per 2×2 stratum
+    * with a = n(1,1), E = r₁c₁/n, V = r₁r₀c₁c₀ / (n²(n−1)),
+    * χ²_CMH = (|Σa − ΣE| − ½)² / ΣV on 1 df (continuity-corrected);
+    * two-sided p = erfc(√χ²/√2) via the A&S 7.1.26 polynomial mirrored
+    * verbatim in the oracle. Strata with n < 2 are dropped (V
+    * undefined); ΣV = 0 yields null.
+    *
+    * Shape: ONE data-sized pass to per-stratum conditional counts
+    * (integer-exact), then a strata-sized fold — the E/V float terms
+    * sum over ≤ #strata rows, rounded 6dp. */
+  def cmhTest(df: DataFrame, stratumCol: String, exposureCol: String,
+              outcomeCol: String, roundScale: Int = 6): DataFrame = {
+    val cells = df
+      .select(col(stratumCol).cast("string").as("__s"),
+        col(exposureCol).cast("int").as("__e"),
+        col(outcomeCol).cast("int").as("__o"))
+      .filter(col("__s").isNotNull && col("__e").isNotNull &&
+        col("__o").isNotNull)
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(when(col("__e") === 1 && col("__o") === 1, 1L)
+          .otherwise(0L)), lit(0L)).as("__a"),
+        coalesce(sum(when(col("__e") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("__r1"),
+        coalesce(sum(when(col("__o") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("__c1"))
+      .filter(col("__n") >= 2)
+    val nD = col("__n").cast("double")
+    val folded = cells
+      .select(col("__a"),
+        (col("__r1").cast("double") * col("__c1") / nD).as("__ev"),
+        (((col("__r1").cast("double") * (col("__n") - col("__r1")))
+          * col("__c1")) * (col("__n") - col("__c1"))
+          / ((nD * nD) * (nD - 1.0))).as("__vv"))
+      .agg(count(lit(1)).as("n_strata"),
+        coalesce(sum(col("__a")), lit(0L)).as("sum_a"),
+        coalesce(sum(col("__ev")), lit(0.0)).as("__sumE"),
+        coalesce(sum(col("__vv")), lit(0.0)).as("__sumV"))
+    val chi = when(col("__sumV") > 0,
+      greatest(abs(col("sum_a").cast("double") - col("__sumE")) - 0.5,
+        lit(0.0))
+        * greatest(abs(col("sum_a").cast("double") - col("__sumE")) - 0.5,
+          lit(0.0)) / col("__sumV"))
+    val x = sqrt(chi) / math.sqrt(2.0)
+    val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = (((((lit(1.061405429) * tt - 1.453152027) * tt)
+      + 1.421413741) * tt - 0.284496736) * tt + 0.254829592) * tt
+    folded.select(col("n_strata"), col("sum_a"),
+      round(col("__sumE"), roundScale).as("sum_expected"),
+      round(col("__sumV"), roundScale).as("sum_var"),
+      round(chi, roundScale).as("chi2_cmh"),
+      round(when(chi.isNotNull, least(lit(1.0), poly * exp(-x * x))),
+        roundScale).as("p_value"))
+  }
+
+  /** Pearson χ² test of independence over an r×c contingency (public:
+    * Pearson 1900) — the categorical association screen ("is event mix
+    * independent of weekday", "is label independent of source").
+    * χ² = Σ_full-grid (o−e)²/e with e_ij = ĉ_i·ĉ_j/n; ZERO cells
+    * contribute their expected mass via the identity
+    * Σ_unobserved e = n − Σ_observed e (the q_cramers_v full-grid
+    * contract — an observed-cells-only sum understates χ²).
+    * df = (r−1)(c−1).
+    *
+    * The p-value uses the EVEN-df closed form (the χ²_2m survival
+    * function is a truncated Poisson sum): p = e^(−x/2) Σ_{j<m} (x/2)^j/j!
+    * — built as an UNROLLED multiplication chain (t_j = t_{j−1}·h/j, no
+    * pow), mirrored term-for-term in the oracle via lateral column
+    * aliases, so both engines run the identical float sequence. Odd df
+    * or df > 40 emit null p (stat and df still exact) — the honest
+    * boundary, not a wrong approximation.
+    *
+    * Shape: ONE data-sized pass to the r×c cell table
+    * (localCheckpointed: totals/marginals/χ² are four bounded
+    * consumers); everything downstream is cells-sized. */
+  def chiSquareTest(df: DataFrame, colA: String, colB: String,
+                    roundScale: Int = 6): DataFrame = {
+    val maxHalfDf = 20
+    val cont = df
+      .select(col(colA).cast("string").as("__a"), col(colB).cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__o"))
+      .localCheckpoint()
+    val totals = cont.agg(coalesce(sum(col("__o")), lit(0L)).as("n"),
+      countDistinct(col("__a")).cast("long").as("r_levels"),
+      countDistinct(col("__b")).cast("long").as("c_levels"))
+    val margA = cont.groupBy(col("__a")).agg(sum(col("__o")).as("__ca"))
+    val margB = cont.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val obs = cont.join(margA, Seq("__a")).join(margB, Seq("__b"))
+      .crossJoin(broadcast(totals.select(col("n").as("__nn"))))
+      .select((col("__ca").cast("double") * col("__cb") / col("__nn"))
+        .as("__e"), col("__o").cast("double").as("__od"))
+      .agg(coalesce(sum((col("__od") - col("__e")) * (col("__od") - col("__e"))
+        / col("__e")), lit(0.0)).as("__chiObs"),
+        coalesce(sum(col("__e")), lit(0.0)).as("__eObs"))
+    val stat = totals.crossJoin(obs)
+      .withColumn("dof", (col("r_levels") - 1) * (col("c_levels") - 1))
+      .withColumn("__chi2",
+        col("__chiObs") + (col("n").cast("double") - col("__eObs")))
+      .withColumn("__h", col("__chi2") * 0.5)
+      .withColumn("__m", col("dof") / lit(2))
+    // t_j = t_{j-1} * h / j, unrolled: identical association both engines
+    val h = col("__h")
+    val termCols = (1 until maxHalfDf).scanLeft(lit(1.0): org.apache.spark.sql.Column) {
+      (t, j) => t * h / lit(j.toDouble)
+    }
+    val pSum = termCols.zipWithIndex.map { case (t, j) =>
+      if (j == 0) t else when(lit(j.toDouble) < col("__m"), t).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    // least() skips nulls in BOTH engines, so it must sit INSIDE the
+    // even-df guard or an odd-df null p would collapse to 1.0
+    val p = when(col("dof") % 2 === 0 && col("dof") >= 2 &&
+      col("dof") <= maxHalfDf * 2, least(lit(1.0), exp(-h) * pSum))
+    stat.select(col("n"), col("r_levels"), col("c_levels"), col("dof"),
+      round(col("__chi2"), roundScale).as("chi2"),
+      round(when(col("__chi2").isNotNull, p), roundScale).as("p_value"))
+  }
 }

@@ -295,4 +295,30 @@ class AgreementSpec extends SparkSuite {
     assert(Stats.leveneTest(df, "g", "v", center = "median").collect()
       .forall(_.getDouble(5) === 0.0))
   }
+
+  test("cronbachAlpha: hand-computed scale, incomplete and malformed subjects drop") {
+    import spark.implicits._
+    // 3 subjects × 3 perfectly-correlated items: item variances 1, 4, 9
+    // (Σ = 14), totals (6, 12, 18) variance 36 → α = 3/2 · (1 − 14/36)
+    // = 11/12
+    val base = Seq(
+      (1L, "i1", 1.0), (1L, "i2", 2.0), (1L, "i3", 3.0),
+      (2L, "i1", 2.0), (2L, "i2", 4.0), (2L, "i3", 6.0),
+      (3L, "i1", 3.0), (3L, "i2", 6.0), (3L, "i3", 9.0))
+    val extra = Seq(
+      (4L, "i1", 5.0), (4L, "i2", 5.0), // incomplete: 2 of 3 items
+      (5L, "i1", 1.0), (5L, "i1", 2.0), (5L, "i2", 3.0)) // dup cell, no i3
+    val df = (base ++ extra).toDF("s", "i", "x")
+    val r = Agreement.cronbachAlpha(df, "s", "i", "x", items = 3).collect().head
+    assert(r.getLong(0) === 3L, "only the 3 complete well-formed subjects")
+    assert(r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 14.0)
+    assert(r.getDouble(3) === 36.0)
+    assert(math.abs(r.getDouble(4) - 11.0 / 12.0) < 1e-6)
+    // zero total variance (all subjects identical) → null alpha
+    val flat = Seq((1L, "i1", 1.0), (1L, "i2", 1.0),
+      (2L, "i1", 1.0), (2L, "i2", 1.0)).toDF("s", "i", "x")
+    assert(Agreement.cronbachAlpha(flat, "s", "i", "x", items = 2)
+      .collect().head.isNullAt(4))
+  }
 }

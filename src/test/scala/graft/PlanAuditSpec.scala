@@ -189,11 +189,14 @@ class PlanAuditSpec extends SparkSuite {
   //    the default 10; the checkpoint erases the bound from maxRows).
   //    (q_fellegi_sunter left this list when its per-field collision
   //    anchors became driver-collected literals.)
+  //  * the ordinal-labels² weight grid in q_weighted_kappa (marginal ×
+  //    marginal cross over the checkpointed contingency — bounded by the
+  //    ordinal scale's cardinality, the q_cramers_v contract).
   private val allowNestedLoop: Set[String] = Set(
     "q_ivf_topk", "q_ivf_topk_bcast", "q_ivf_trained", "q_pq_topk",
     "q_cosine_topk", "q_int8_recall", "q_rrf", "q_jl_distortion",
     "q_embedding_pairs", "q_twonn", "q_jsd_matrix", "q_cramers_v",
-    "q_naive_bayes", "q_jonckheere", "q_dunn",
+    "q_naive_bayes", "q_jonckheere", "q_dunn", "q_weighted_kappa",
     "q_drift_monitor", "q_ks_per_source", "q_heaps_law",
     "q_query_likelihood", "q_fdr_bh", "q_isotonic", "q_kendall_tau")
 

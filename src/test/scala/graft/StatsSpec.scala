@@ -1318,4 +1318,81 @@ class StatsSpec extends SparkSuite {
       .collect().head
     assert(c.getLong(2) === 0L && c.getDouble(3) === 0.0 && c.isNullAt(4))
   }
+
+  test("weightedKappa: binary case equals unweighted Cohen kappa; quadratic credits near-misses") {
+    import spark.implicits._
+    // binary 2×2 where linear ≡ quadratic ≡ unweighted κ: (0,0)×2,
+    // (1,1)×2, (0,1)×1 → κ = (0.8 − 0.48)/0.52 = 8/13
+    val bin = Seq((0, 0), (0, 0), (1, 1), (1, 1), (0, 1)).toDF("a", "b")
+    val r = Stats.weightedKappa(bin, "a", "b").collect().head
+    assert(r.getLong(0) === 5L)
+    assert(math.abs(r.getDouble(1) - 8.0 / 13.0) < 1e-6)
+    assert(math.abs(r.getDouble(2) - 8.0 / 13.0) < 1e-6)
+    // ordinal near-miss vs far-miss: quadratic punishes the far miss
+    // harder, so a near-miss-only table scores HIGHER quadratic than
+    // linear relative to a far-miss table
+    val near = Seq((0, 1), (1, 0), (0, 0), (4, 4), (2, 2)).toDF("a", "b")
+    val far = Seq((0, 4), (4, 0), (0, 0), (4, 4), (2, 2)).toDF("a", "b")
+    val rn = Stats.weightedKappa(near, "a", "b").collect().head
+    val rf = Stats.weightedKappa(far, "a", "b").collect().head
+    assert(rn.getDouble(2) > rf.getDouble(2),
+      "quadratic kappa must rank near-miss agreement above far-miss")
+    // perfect constant agreement: zero chance disagreement → null
+    val const = Seq((1, 1), (1, 1)).toDF("a", "b")
+    val rc = Stats.weightedKappa(const, "a", "b").collect().head
+    assert(rc.isNullAt(1) && rc.isNullAt(2))
+  }
+
+  test("cmhTest: single-stratum hand check, n<2 strata dropped, zero-variance null") {
+    import spark.implicits._
+    // one stratum: (1,1)=3, (1,0)=1, (0,1)=1, (0,0)=3 → a=3, E=2,
+    // V = 256/448 = 4/7, χ² = (1−0.5)²/(4/7) = 0.4375, p ≈ 0.508
+    val one = (Seq.fill(3)(("s1", 1, 1)) ++ Seq(("s1", 1, 0), ("s1", 0, 1)) ++
+      Seq.fill(3)(("s1", 0, 0))).toDF("s", "e", "o")
+    val r = Stats.cmhTest(one, "s", "e", "o").collect().head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 3L)
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 0.4375) < 1e-9)
+    assert(math.abs(r.getDouble(5) - 0.5083) < 1e-3)
+    // an n=1 stratum is dropped, not folded with an undefined V
+    val withTiny = one.unionByName(Seq(("s2", 1, 1)).toDF("s", "e", "o"))
+    val rt = Stats.cmhTest(withTiny, "s", "e", "o").collect().head
+    assert(rt.getLong(0) === 1L, "n<2 stratum must drop")
+    assert(math.abs(rt.getDouble(4) - 0.4375) < 1e-9)
+    // constant exposure in every stratum → V = 0 → null chi2/p
+    val flat = Seq(("s1", 1, 1), ("s1", 1, 0)).toDF("s", "e", "o")
+    val rf = Stats.cmhTest(flat, "s", "e", "o").collect().head
+    assert(rf.isNullAt(4) && rf.isNullAt(5))
+  }
+
+  test("chiSquareTest: full-grid stat, even-df closed-form p, odd-df null boundary") {
+    import spark.implicits._
+    def grid(counts: Seq[((String, String), Int)]) =
+      counts.flatMap { case (c, n) => Seq.fill(n)(c) }.toDF("a", "b")
+    // 2×2: o = 10/20/20/10, all e = 15 → χ² = 4·(25/15) = 20/3; df = 1
+    // (odd) → stat exact, p NULL (the honest boundary)
+    val odd = grid(Seq(("x", "u") -> 10, ("x", "v") -> 20,
+      ("y", "u") -> 20, ("y", "v") -> 10))
+    val ro = Stats.chiSquareTest(odd, "a", "b").collect().head
+    assert(ro.getLong(0) === 60L && ro.getLong(3) === 1L)
+    assert(math.abs(ro.getDouble(4) - 20.0 / 3.0) < 1e-6)
+    assert(ro.isNullAt(5))
+    // 2×3 → df = 2, m = 1: closed form collapses to p = e^(−χ²/2)
+    val df2 = grid(Seq(("x", "u") -> 10, ("x", "v") -> 10, ("x", "w") -> 10,
+      ("y", "u") -> 10, ("y", "v") -> 10, ("y", "w") -> 40))
+    val r2 = Stats.chiSquareTest(df2, "a", "b").collect().head
+    assert(r2.getLong(3) === 2L)
+    assert(math.abs(r2.getDouble(5) - math.exp(-r2.getDouble(4) / 2.0)) < 1e-5)
+    // 3×3 uniform → χ² = 0, df = 4 → p = 1; and a ZERO observed cell
+    // must still contribute its expected mass (full-grid contract)
+    val uni = grid(for (a <- Seq("x", "y", "z"); b <- Seq("u", "v", "w"))
+      yield (a, b) -> 10)
+    val ru = Stats.chiSquareTest(uni, "a", "b").collect().head
+    assert(ru.getDouble(4) === 0.0 && ru.getDouble(5) === 1.0)
+    val hole = grid(Seq(("x", "u") -> 10, ("x", "v") -> 10,
+      ("y", "u") -> 10, ("y", "v") -> 10, ("z", "u") -> 10)) // (z,v) = 0
+    val rh = Stats.chiSquareTest(hole, "a", "b").collect().head
+    // e(z,v) = 10·20/50 = 4 → zero-cell mass 4 plus observed terms > 0
+    assert(rh.getDouble(4) > 4.0 - 1e-9)
+  }
 }
