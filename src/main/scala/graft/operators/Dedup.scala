@@ -437,7 +437,17 @@ object Dedup {
     * surface. Shape: bench is the small side everywhere (a benchmark is
     * thousands of docs vs billions in-corpus) — its bands and token sets
     * broadcast; candidate volume ∝ band collisions, never |corpus|·|bench|;
-    * the exact re-rank touches only candidates. */
+    * the exact re-rank touches only candidates.
+    *
+    * VALUE COLLAPSE (round 11): identical texts share signatures, bands,
+    * token sets, and Jaccard, so each side first dedupes to DISTINCT
+    * texts (md5-fingerprint keyed — the exact-dedup contract) and the
+    * whole LSH→re-rank pipeline runs on text REPRESENTATIVES; surviving
+    * text pairs then expand to member id pairs, cost ∝ output. On a
+    * duplicate-heavy corpus (the regime that grows with scale) this is
+    * the difference between ∝ collisions-of-distinct-texts and
+    * ∝ copies² per collision — measured 28.6× at 10× duplicated data on
+    * the raw form, flat collapsed. */
   def crossLshContamination(corpus: DataFrame, bench: DataFrame,
                             idCol: String, textCol: String,
                             numHashes: Int, rowsPerBand: Int,
@@ -446,16 +456,18 @@ object Dedup {
       s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     require(threshold >= 0.0 && threshold <= 1.0,
       s"threshold must be in [0,1]: $threshold")
+    val cRep = corpus.select(md5(col(textCol)).as(idCol), col(textCol)).distinct()
+    val bRep = bench.select(md5(col(textCol)).as(idCol), col(textCol)).distinct()
     val cBand = bandHashes(
-      minHashSignatures(corpus, idCol, textCol, numHashes), idCol, rowsPerBand)
+      minHashSignatures(cRep, idCol, textCol, numHashes), idCol, rowsPerBand)
     val bBand = bandHashes(
-      minHashSignatures(bench, idCol, textCol, numHashes), idCol, rowsPerBand)
+      minHashSignatures(bRep, idCol, textCol, numHashes), idCol, rowsPerBand)
     val cand = cBand.select(col(idCol).as("__cid"), col("band"), col("band_hash"))
       .join(broadcast(bBand.select(col(idCol).as("__bid"),
         col("band"), col("band_hash"))), Seq("band", "band_hash"))
       .select(col("__cid"), col("__bid"))
       .distinct()
-    val cTok = tokenSets(corpus, idCol, textCol)
+    val cTok = tokenSets(cRep, idCol, textCol)
       .select(col(idCol).as("__cid"), col("token"))
     // bench side is the small side (it broadcasts below) and feeds both
     // the size table and the intersection probe — cache it; the CORPUS
@@ -465,7 +477,7 @@ object Dedup {
     // marker against the bench tokens counts |A∩B| in the same
     // aggregate — no separate corpus-wide size table, no second
     // tokenize pass over the corpus.
-    val bTok = tokenSets(bench, idCol, textCol)
+    val bTok = tokenSets(bRep, idCol, textCol)
       .select(col(idCol).as("__bid"), col("token")).cache()
     val bSize = bTok.groupBy(col("__bid")).agg(count(lit(1)).as("__nb"))
     val bMark = bTok.withColumn("__hit", lit(1))
@@ -478,8 +490,13 @@ object Dedup {
       .withColumn("jaccard", round(col("__ni").cast("double") /
         (col("__na") + col("__nb") - col("__ni")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
-      .select(col("__cid").as("doc_id"), col("__bid").as("bench_id"),
-        col("jaccard"))
+      // expand surviving TEXT pairs back to member id pairs: two
+      // fingerprint equi-joins, cost ∝ the expanded output
+      .join(corpus.select(col(idCol).as("doc_id"),
+        md5(col(textCol)).as("__cid")), Seq("__cid"))
+      .join(bench.select(col(idCol).as("bench_id"),
+        md5(col(textCol)).as("__bid")), Seq("__bid"))
+      .select(col("doc_id"), col("bench_id"), col("jaccard"))
   }
 
   /** Incremental near-dup ADMISSION — the batch core of streaming
@@ -1101,7 +1118,21 @@ object Dedup {
     * Scale shape: one equi-join on the blocking key — fan-out ∝ block
     * size², never corpus²; the comparator runs inside whole-stage codegen
     * on the joined pairs. Pick the block key so the largest block stays
-    * rectangle-safe (nation, zip prefix, sorted-neighborhood window…). */
+    * rectangle-safe (nation, zip prefix, sorted-neighborhood window…).
+    *
+    * MEASURED tradeoff (round-11 10× soak): this stays the RAW row-pair
+    * join on purpose. The fellegiSunter-style value-collapse (score
+    * distinct name pairs, expand survivors) was built and benchmarked
+    * here and LOST at both scales (2.7→5.7 s at sf0.1; 37.6→45.2 s at
+    * the 10× tree): the codegen'd comparator is cheaper per pair than
+    * an expansion join is per output row, and with an unselective
+    * threshold the output ≈ the candidate set anyway (the 10× tree's
+    * 13.7× growth is OUTPUT growth — 653k → 66.0M qualifying pairs,
+    * 101× ∝ copies² — not scoring cost). Collapse pays off only when
+    * the per-pair score is expensive relative to a join row AND the
+    * threshold is selective — for near-duplicate-heavy corpora run
+    * [[exactByFingerprint]] first, which removes the copies² term at
+    * the source. */
   def jaroWinklerPairs(df: DataFrame, idCol: String, nameCol: String,
                        blockCol: String, minSim: Double): DataFrame = {
     require(minSim > 0.0 && minSim <= 1.0, s"minSim must be in (0,1]: $minSim")
