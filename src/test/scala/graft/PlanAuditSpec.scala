@@ -235,7 +235,12 @@ class PlanAuditSpec extends SparkSuite {
   //    branches), q_apply_diff (snapshot + CDC legs);
   //  * incremental operators whose STATE side is re-scanned by design
   //    rather than pinned at corpus scale (documented in their
-  //    scaladoc): q_incremental_cc. (q_neardup_admit left this list when
+  //    scaladoc): q_incremental_cc; same contract for the corpus side of
+  //    q_fuzzy_contamination after the round-11 distinct-text collapse —
+  //    five single-purpose passes (rep bands, rep tokens, two member
+  //    expansions ∝ output, bench derivation), none a recompute blowup;
+  //    the distinct-text frame is corpus-sized at scale so pinning it
+  //    would cache the corpus. (q_neardup_admit left this list when
   //    the re-rank folded |B| into the intersection aggregate — one
   //    corpus-side pass — and the query localCheckpointed batch 1's
   //    accepted set.)
@@ -258,7 +263,8 @@ class PlanAuditSpec extends SparkSuite {
     "q_curation_pipeline" -> Set("documents"),
     "q_quota_sample" -> Set("documents"),
     "q_apply_diff" -> Set("orders"),
-    "q_incremental_cc" -> Set("documents"))
+    "q_incremental_cc" -> Set("documents"),
+    "q_fuzzy_contamination" -> Set("documents"))
 
   test("no query scans one parquet table excessively (multi-consumer rule)") {
     // the q_lsh_dedup_eval lesson: a frame feeding both its own aggregate
