@@ -3939,6 +3939,35 @@ object SparkEntry {
     Stats.chiSquareTest(ev, "event_type", "dow")
   }
 
+  /** §2b G-test (likelihood-ratio χ²) on the SAME event-type × weekday
+    * grid as q_chi_square — the additive independence statistic
+    * (sub-tables sum to the total), sharing the even-df closed-form p. */
+  private def q_g_test(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("event_type").isNotNull)
+      .select(col("event_type"),
+        (datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) % 7)
+          .cast("string").as("dow"))
+    Stats.gTest(ev, "event_type", "dow")
+  }
+
+  /** §2b Benjamini–Yekutieli FDR over the SAME per-source KS battery as
+    * q_fdr_bh — the dependence-robust adjustment (these drift tests
+    * share the pooled rest-side, exactly the correlation BY tolerates
+    * and BH's PRDS assumption does not). */
+  private def q_fdr_by(s: SparkSession, d: String): DataFrame = {
+    val shifted = Tables.documents(s, d).withColumn("__v",
+      col("n_chars") + when(
+        col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        lit(150L)).otherwise(lit(0L)))
+    val ks = Stats.groupKsDrift(shifted, "source", "__v")
+    val ne = col("n_group").cast("double") * col("n_rest").cast("double") /
+      (col("n_group") + col("n_rest")).cast("double")
+    val p = least(lit(1.0),
+      round(lit(2.0) * exp(lit(-2.0) * col("ks") * col("ks") * ne), 6))
+    Stats.byAdjust(ks.withColumn("p_value", p), "p_value", Seq("source"),
+      alpha = 0.05)
+  }
+
   /** §2b Cochran–Mantel–Haenszel test — exposure = even event id,
     * outcome = above-typical value, stratified by weekday: is the
     * association significant AFTER the per-stratum adjustment (the
@@ -4334,6 +4363,8 @@ object SparkEntry {
     "q_weighted_kappa" -> (q_weighted_kappa _),
     "q_chi_square" -> (q_chi_square _),
     "q_cmh" -> (q_cmh _),
+    "q_g_test" -> (q_g_test _),
+    "q_fdr_by" -> (q_fdr_by _),
     "q_icc" -> (q_icc _),
     "q_bartlett" -> (q_bartlett _),
     "q_krippendorff" -> (q_krippendorff _),
@@ -11683,6 +11714,120 @@ object SparkEntry {
                         / (3.0 * CAST(k - 1 AS DOUBLE))) END, 6)
                   AS bartlett_stat
          FROM f""",
+    "q_g_test" ->
+      """WITH ev AS (SELECT event_type AS a,
+                       CAST(datediff('day', DATE '2024-01-01',
+                         CAST(ts AS DATE)) % 7 AS VARCHAR) AS b
+                     FROM events WHERE event_type IS NOT NULL),
+              cont AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+                       FROM ev GROUP BY 1, 2),
+              tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                        CAST(count(DISTINCT a) AS BIGINT) AS r_levels,
+                        CAST(count(DISTINCT b) AS BIGINT) AS c_levels
+                      FROM cont),
+              ma AS (SELECT a, CAST(sum(o) AS BIGINT) AS ca
+                     FROM cont GROUP BY 1),
+              mb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb
+                     FROM cont GROUP BY 1),
+              obs AS (SELECT sum(od * ln(od / e)) AS lsum
+                      FROM (SELECT CAST(o AS DOUBLE) AS od,
+                              CAST(ca AS DOUBLE) * cb / n AS e
+                            FROM cont JOIN ma USING (a)
+                              JOIN mb USING (b), tot)),
+              stat AS (SELECT n, r_levels, c_levels,
+                         (r_levels - 1) * (c_levels - 1) AS dof,
+                         2.0 * lsum AS gv
+                       FROM tot, obs),
+              un AS (SELECT n, r_levels, c_levels, dof, gv,
+                       gv * 0.5 AS h, dof / 2 AS m,
+                       1.0 AS t0,
+                       t0 * h / 1.0 AS t1,
+                       t1 * h / 2.0 AS t2,
+                       t2 * h / 3.0 AS t3,
+                       t3 * h / 4.0 AS t4,
+                       t4 * h / 5.0 AS t5,
+                       t5 * h / 6.0 AS t6,
+                       t6 * h / 7.0 AS t7,
+                       t7 * h / 8.0 AS t8,
+                       t8 * h / 9.0 AS t9,
+                       t9 * h / 10.0 AS t10,
+                       t10 * h / 11.0 AS t11,
+                       t11 * h / 12.0 AS t12,
+                       t12 * h / 13.0 AS t13,
+                       t13 * h / 14.0 AS t14,
+                       t14 * h / 15.0 AS t15,
+                       t15 * h / 16.0 AS t16,
+                       t16 * h / 17.0 AS t17,
+                       t17 * h / 18.0 AS t18,
+                       t18 * h / 19.0 AS t19
+                     FROM stat)
+         SELECT n, r_levels, c_levels, dof, round(gv, 6) AS g_stat,
+                round(CASE WHEN dof % 2 = 0 AND dof >= 2 AND dof <= 40
+                    AND gv IS NOT NULL
+                  THEN least(1.0, exp(-h) * (t0 + CASE WHEN 1.0 < m THEN t1 ELSE 0.0 END + CASE WHEN 2.0 < m THEN t2 ELSE 0.0 END + CASE WHEN 3.0 < m THEN t3 ELSE 0.0 END + CASE WHEN 4.0 < m THEN t4 ELSE 0.0 END + CASE WHEN 5.0 < m THEN t5 ELSE 0.0 END + CASE WHEN 6.0 < m THEN t6 ELSE 0.0 END + CASE WHEN 7.0 < m THEN t7 ELSE 0.0 END + CASE WHEN 8.0 < m THEN t8 ELSE 0.0 END + CASE WHEN 9.0 < m THEN t9 ELSE 0.0 END + CASE WHEN 10.0 < m THEN t10 ELSE 0.0 END + CASE WHEN 11.0 < m THEN t11 ELSE 0.0 END + CASE WHEN 12.0 < m THEN t12 ELSE 0.0 END + CASE WHEN 13.0 < m THEN t13 ELSE 0.0 END + CASE WHEN 14.0 < m THEN t14 ELSE 0.0 END + CASE WHEN 15.0 < m THEN t15 ELSE 0.0 END + CASE WHEN 16.0 < m THEN t16 ELSE 0.0 END + CASE WHEN 17.0 < m THEN t17 ELSE 0.0 END + CASE WHEN 18.0 < m THEN t18 ELSE 0.0 END + CASE WHEN 19.0 < m THEN t19 ELSE 0.0 END)) END, 6) AS p_value
+         FROM un""",
+    "q_fdr_by" ->
+      """WITH b AS (SELECT source AS g,
+                           n_chars + CASE WHEN source IN
+                             ('src0','src1','src2','src3','src4')
+                             THEN 150 ELSE 0 END AS v
+                    FROM documents WHERE n_chars IS NOT NULL),
+              gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                     FROM b GROUP BY 1, 2),
+              tv AS (SELECT v, CAST(count(*) AS BIGINT) AS ct
+                     FROM b GROUP BY 1),
+              gs AS (SELECT DISTINCT g FROM b),
+              grid AS (SELECT gs.g, tv.v, tv.ct, COALESCE(gv.c, 0) AS c
+                       FROM tv CROSS JOIN gs
+                       LEFT JOIN gv ON gv.g = gs.g AND gv.v = tv.v),
+              cum AS (SELECT g,
+                             sum(c) OVER (PARTITION BY g ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cumg,
+                             sum(ct) OVER (PARTITION BY g ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cumt,
+                             sum(c) OVER (PARTITION BY g) AS ng,
+                             sum(ct) OVER (PARTITION BY g) AS nt
+                      FROM grid),
+              ks AS (SELECT g AS source,
+                            CAST(max(ng) AS BIGINT) AS n_group,
+                            CAST(max(nt - ng) AS BIGINT) AS n_rest,
+                            round(max(CASE WHEN nt > ng THEN
+                              abs(CAST(cumg AS DOUBLE) / CAST(ng AS DOUBLE)
+                                  - CAST(cumt - cumg AS DOUBLE)
+                                    / CAST(nt - ng AS DOUBLE)) END), 6) AS ks
+                     FROM cum GROUP BY 1),
+              pv AS (SELECT source, n_group, n_rest, ks,
+                            least(1.0, round(2.0 * exp(-2.0 * ks * ks
+                              * (CAST(n_group AS DOUBLE) * CAST(n_rest AS DOUBLE)
+                                 / CAST(n_group + n_rest AS DOUBLE))), 6))
+                              AS p_value
+                     FROM ks),
+              ranked AS (SELECT *,
+                                CAST(count(*) OVER () AS BIGINT) AS m,
+                                CAST(row_number() OVER
+                                  (ORDER BY p_value, source) AS INTEGER)
+                                  AS by_rank
+                         FROM pv),
+              withc AS (SELECT *,
+                               sum(1.0 / by_rank)
+                                 OVER (ORDER BY p_value, source
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND UNBOUNDED FOLLOWING) AS cm
+                        FROM ranked)
+         SELECT source, n_group, n_rest, ks, p_value, by_rank,
+                round(least(min(cm * CAST(m AS DOUBLE) * p_value / by_rank)
+                        OVER (ORDER BY p_value, source
+                              ROWS BETWEEN CURRENT ROW
+                                       AND UNBOUNDED FOLLOWING),
+                      1.0), 6) AS p_adj,
+                round(least(min(cm * CAST(m AS DOUBLE) * p_value / by_rank)
+                        OVER (ORDER BY p_value, source
+                              ROWS BETWEEN CURRENT ROW
+                                       AND UNBOUNDED FOLLOWING),
+                      1.0), 6) <= 0.05 AS significant
+         FROM withc""",
     "q_cmh" ->
       """WITH ev AS (SELECT
                        CAST(datediff('day', DATE '2024-01-01',

@@ -2361,6 +2361,41 @@ object Stats {
       .drop("__p", "__m", "__stat")
   }
 
+  /** Benjamini–Yekutieli FDR adjustment (public: Benjamini & Yekutieli,
+    * Ann. Stat. '01) — the [[bhAdjust]] step-up with the harmonic
+    * correction c(m) = Σ_{i≤m} 1/i, valid under ARBITRARY dependence
+    * among the hypotheses where plain BH assumes positive regression
+    * dependence (correlated drift tests over overlapping windows, the
+    * usual monitoring reality). p_adj = min over the suffix of
+    * c(m)·m·p/rank; the power price is the ln(m)+γ factor.
+    *
+    * Same battery-sized shape as bhAdjust; the harmonic sum folds over
+    * the SAME (p, tie) ordering in both engines (full-frame ordered
+    * window), so the float fold is order-mirrored. */
+  def byAdjust(tests: DataFrame, pCol: String, tieCols: Seq[String],
+               alpha: Double = 0.05, roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tieCols.nonEmpty, "tieCols must make the hypothesis order total")
+    val ord = col("__p").asc +: tieCols.map(col(_).asc)
+    val wRank = Window.orderBy(ord: _*)
+    val wSuffix = Window.orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wAllOrdered = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tests
+      .withColumn("__p", round(col(pCol), roundScale))
+      .withColumn("__m", count(lit(1)).over(wAllOrdered))
+      .withColumn("by_rank", row_number().over(wRank))
+      .withColumn("__cm",
+        sum(lit(1.0) / col("by_rank").cast("double")).over(wAllOrdered))
+      .withColumn("__stat", col("__cm") * col("__m").cast("double")
+        * col("__p") / col("by_rank"))
+      .withColumn("p_adj",
+        round(least(min(col("__stat")).over(wSuffix), lit(1.0)), roundScale))
+      .withColumn("significant", col("p_adj") <= lit(alpha))
+      .drop("__p", "__m", "__cm", "__stat")
+  }
+
   /** Dunn's post-hoc pairwise comparisons after [[kruskalWallis]]
     * (Dunn, Technometrics '64), with the tie-corrected variance and
     * BH-FDR adjustment over the pair battery: a significant H says
@@ -3183,7 +3218,6 @@ object Stats {
     * consumers); everything downstream is cells-sized. */
   def chiSquareTest(df: DataFrame, colA: String, colB: String,
                     roundScale: Int = 6): DataFrame = {
-    val maxHalfDf = 20
     val cont = df
       .select(col(colA).cast("string").as("__a"), col(colB).cast("string").as("__b"))
       .filter(col("__a").isNotNull && col("__b").isNotNull)
@@ -3205,22 +3239,71 @@ object Stats {
       .withColumn("dof", (col("r_levels") - 1) * (col("c_levels") - 1))
       .withColumn("__chi2",
         col("__chiObs") + (col("n").cast("double") - col("__eObs")))
-      .withColumn("__h", col("__chi2") * 0.5)
-      .withColumn("__m", col("dof") / lit(2))
-    // t_j = t_{j-1} * h / j, unrolled: identical association both engines
-    val h = col("__h")
+    stat.select(col("n"), col("r_levels"), col("c_levels"), col("dof"),
+      round(col("__chi2"), roundScale).as("chi2"),
+      round(when(col("__chi2").isNotNull,
+        evenDfChi2P(col("__chi2"), col("dof"))), roundScale).as("p_value"))
+  }
+
+  /** Survival P[χ²_df > x] for EVEN df in [2, 40] as the truncated
+    * Poisson sum e^(−x/2)·Σ_{j<df/2}(x/2)^j/j!, built as an UNROLLED
+    * multiplication chain t_j = t_{j−1}·h/j (no pow), mirrored
+    * term-for-term in the oracles via lateral column aliases so both
+    * engines run the identical float sequence. Odd df or df > 40 →
+    * null (least() skips nulls in BOTH engines, so the clamp sits
+    * INSIDE the even-df guard or an odd-df null would collapse to
+    * 1.0). Shared by [[chiSquareTest]] and [[gTest]]. */
+  private def evenDfChi2P(chi2: org.apache.spark.sql.Column,
+                          dof: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val maxHalfDf = 20
+    val h = chi2 * 0.5
+    val m = dof / lit(2)
     val termCols = (1 until maxHalfDf).scanLeft(lit(1.0): org.apache.spark.sql.Column) {
       (t, j) => t * h / lit(j.toDouble)
     }
     val pSum = termCols.zipWithIndex.map { case (t, j) =>
-      if (j == 0) t else when(lit(j.toDouble) < col("__m"), t).otherwise(lit(0.0))
+      if (j == 0) t else when(lit(j.toDouble) < m, t).otherwise(lit(0.0))
     }.reduce(_ + _)
-    // least() skips nulls in BOTH engines, so it must sit INSIDE the
-    // even-df guard or an odd-df null p would collapse to 1.0
-    val p = when(col("dof") % 2 === 0 && col("dof") >= 2 &&
-      col("dof") <= maxHalfDf * 2, least(lit(1.0), exp(-h) * pSum))
+    when(dof % 2 === 0 && dof >= 2 && dof <= maxHalfDf * 2,
+      least(lit(1.0), exp(-h) * pSum))
+  }
+
+  /** G-test of independence (public: the likelihood-ratio χ², Sokal &
+    * Rohlf) — G = 2·Σ o·ln(o/e) over the r×c contingency, the additive
+    * companion to [[chiSquareTest]]'s Pearson form: G decomposes
+    * exactly across partitions of the table (sub-tests SUM to the
+    * total, the property meta-analyses lean on) and is the better-
+    * calibrated statistic when expected counts are small-ish. Zero
+    * cells contribute 0 (the o·ln(o/e) limit), so only observed cells
+    * fold; df = (r−1)(c−1) and the p-value shares [[evenDfChi2P]].
+    *
+    * Shape: identical to chiSquareTest — one data-sized pass to the
+    * localCheckpointed cell table, bounded folds after. */
+  def gTest(df: DataFrame, colA: String, colB: String,
+            roundScale: Int = 6): DataFrame = {
+    val cont = df
+      .select(col(colA).cast("string").as("__a"), col(colB).cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__o"))
+      .localCheckpoint()
+    val totals = cont.agg(coalesce(sum(col("__o")), lit(0L)).as("n"),
+      countDistinct(col("__a")).cast("long").as("r_levels"),
+      countDistinct(col("__b")).cast("long").as("c_levels"))
+    val margA = cont.groupBy(col("__a")).agg(sum(col("__o")).as("__ca"))
+    val margB = cont.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val obs = cont.join(margA, Seq("__a")).join(margB, Seq("__b"))
+      .crossJoin(broadcast(totals.select(col("n").as("__nn"))))
+      .select((col("__ca").cast("double") * col("__cb") / col("__nn"))
+        .as("__e"), col("__o").cast("double").as("__od"))
+      .agg(coalesce(sum(col("__od") * log(col("__od") / col("__e"))),
+        lit(0.0)).as("__lSum"))
+    val stat = totals.crossJoin(obs)
+      .withColumn("dof", (col("r_levels") - 1) * (col("c_levels") - 1))
+      .withColumn("__g", lit(2.0) * col("__lSum"))
     stat.select(col("n"), col("r_levels"), col("c_levels"), col("dof"),
-      round(col("__chi2"), roundScale).as("chi2"),
-      round(when(col("__chi2").isNotNull, p), roundScale).as("p_value"))
+      round(col("__g"), roundScale).as("g_stat"),
+      round(when(col("__g").isNotNull,
+        evenDfChi2P(col("__g"), col("dof"))), roundScale).as("p_value"))
   }
 }

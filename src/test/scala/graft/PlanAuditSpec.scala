@@ -180,7 +180,8 @@ class PlanAuditSpec extends SparkSuite {
   //    categories / days / tests — value-grid bound; q_jonckheere's
   //    distinct-values × groups grid is the same contract): q_jsd_matrix,
   //    q_cramers_v, q_naive_bayes, q_drift_monitor, q_ks_per_source,
-  //    q_heaps_law, q_query_likelihood, q_fdr_bh;
+  //    q_heaps_law, q_query_likelihood, q_fdr_bh, q_fdr_by (the same KS
+  //    battery grid as q_fdr_bh, through the BY adjustment);
   //  * the strictly-dominating cell-pair grid in q_kendall_tau (work ∝
   //    distinct (x,y) cells², the operator's documented binning
   //    contract; the cell table is localCheckpoint-pinned);
@@ -198,7 +199,8 @@ class PlanAuditSpec extends SparkSuite {
     "q_embedding_pairs", "q_twonn", "q_jsd_matrix", "q_cramers_v",
     "q_naive_bayes", "q_jonckheere", "q_dunn", "q_weighted_kappa",
     "q_drift_monitor", "q_ks_per_source", "q_heaps_law",
-    "q_query_likelihood", "q_fdr_bh", "q_isotonic", "q_kendall_tau")
+    "q_query_likelihood", "q_fdr_bh", "q_fdr_by", "q_isotonic",
+    "q_kendall_tau")
 
   test("every nested-loop join proves a bounded side or is documented") {
     val offenders = audits.collect {

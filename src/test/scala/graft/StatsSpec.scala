@@ -1343,6 +1343,49 @@ class StatsSpec extends SparkSuite {
     assert(rc.isNullAt(1) && rc.isNullAt(2))
   }
 
+  test("gTest: zero on independence, even-df self-consistency, odd-df null") {
+    import spark.implicits._
+    def grid(counts: Seq[((String, String), Int)]) =
+      counts.flatMap { case (c, n) => Seq.fill(n)(c) }.toDF("a", "b")
+    val uni = grid(for (a <- Seq("x", "y", "z"); b <- Seq("u", "v", "w"))
+      yield (a, b) -> 10)
+    val ru = Stats.gTest(uni, "a", "b").collect().head
+    assert(math.abs(ru.getDouble(4)) < 1e-9 && ru.getDouble(5) === 1.0)
+    // 2×3 → df = 2: closed form collapses to p = e^(−G/2)
+    val df2 = grid(Seq(("x", "u") -> 10, ("x", "v") -> 10, ("x", "w") -> 10,
+      ("y", "u") -> 10, ("y", "v") -> 10, ("y", "w") -> 40))
+    val r2 = Stats.gTest(df2, "a", "b").collect().head
+    assert(r2.getLong(3) === 2L && r2.getDouble(4) > 0)
+    assert(math.abs(r2.getDouble(5) - math.exp(-r2.getDouble(4) / 2.0)) < 1e-5)
+    // 2×2 → df = 1 (odd): stat exact, p null
+    val odd = grid(Seq(("x", "u") -> 10, ("x", "v") -> 20,
+      ("y", "u") -> 20, ("y", "v") -> 10))
+    val ro = Stats.gTest(odd, "a", "b").collect().head
+    assert(ro.getLong(3) === 1L && !ro.isNullAt(4) && ro.isNullAt(5))
+  }
+
+  test("byAdjust: dominates bhAdjust by the harmonic factor, equal at m=1") {
+    import spark.implicits._
+    val battery = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.2), ("t4", 0.9))
+      .toDF("test_id", "p_value")
+    val bh = Stats.bhAdjust(battery, "p_value", Seq("test_id"))
+      .select("test_id", "p_adj").as[(String, Double)].collect().toMap
+    val by = Stats.byAdjust(battery, "p_value", Seq("test_id"))
+      .select("test_id", "p_adj").as[(String, Double)].collect().toMap
+    // c(4) = 1 + 1/2 + 1/3 + 1/4 = 25/12
+    val cm = 25.0 / 12.0
+    bh.foreach { case (t, pBh) =>
+      assert(by(t) >= pBh - 1e-9, s"$t: BY must not be smaller than BH")
+      assert(by(t) <= math.min(1.0, pBh * cm) + 1e-6,
+        s"$t: BY is at most the harmonic blowup of BH")
+    }
+    assert(math.abs(by("t1") - math.min(1.0, 4.0 * cm * 0.01 / 1.0)) < 1e-6)
+    // single test: c(1) = 1 → BY ≡ BH ≡ p
+    val one = Seq(("only", 0.3)).toDF("test_id", "p_value")
+    assert(Stats.byAdjust(one, "p_value", Seq("test_id"))
+      .select("p_adj").as[Double].collect().head === 0.3)
+  }
+
   test("cmhTest: single-stratum hand check, n<2 strata dropped, zero-variance null") {
     import spark.implicits._
     // one stratum: (1,1)=3, (1,0)=1, (0,1)=1, (0,0)=3 → a=3, E=2,
