@@ -828,8 +828,14 @@ object Dedup {
                                  fields: Seq[(String, Double)],
                                  u: Map[Int, Double])
       : (DataFrame, DataFrame) = {
-    val rows = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
-      struct(fields.map(f => col(f._1)): _*).as("__v"))
+    // NULL blocks pair with nothing (the grid and the expansion are
+    // equi-joins on __blk, which drop nulls) — filter them up front so
+    // the group table doesn't carry rows that can never join, and so
+    // the pair-mass accounting in [[fellegiSunterTopK]] (which must
+    // agree with this grid exactly) has one rule: null block ⇒ no pairs.
+    val rows = df.filter(col(blockCol).isNotNull)
+      .select(col(idCol).as("__id"), col(blockCol).as("__blk"),
+        struct(fields.map(f => col(f._1)): _*).as("__v"))
     // __gid: a stable surrogate long per group (frozen by the
     // localCheckpoint) — the pair grid orders and self-tests on LONG
     // compares instead of struct ordering/equality, which the 8M-pair
@@ -927,7 +933,13 @@ object Dedup {
             concat_ws(" ", lit("v"), col(f).cast("string"))
         }: _*).as("__key"))
     }: _*)
-    val atLeast = df
+    // Null-block rows are EXCLUDED here exactly as the group grid
+    // excludes them (its __blk equi-join drops nulls): Spark's groupBy
+    // would otherwise gather all null blocks into ONE group and count
+    // pair mass the grid never produces — inflated per-score masses
+    // make the prefix cutoff drop a tie level early and return fewer
+    // than k genuine pairs.
+    val atLeast = df.filter(col(blockCol).isNotNull)
       .select(col(blockCol).as("__blk"), explode(subsetKeys).as("__sk"))
       .groupBy(col("__sk.__s").as("__s"), col("__blk"),
         col("__sk.__key").as("__key"))

@@ -3235,10 +3235,15 @@ object Stats {
       .agg(coalesce(sum((col("__od") - col("__e")) * (col("__od") - col("__e"))
         / col("__e")), lit(0.0)).as("__chiObs"),
         coalesce(sum(col("__e")), lit(0.0)).as("__eObs"))
+    // Vacuous contingency (empty/all-null input): n = 0 would otherwise
+    // emit chi2 = 0 with dof = (0−1)·(0−1) = 1 — reads as a valid
+    // "perfect independence" result. Null statistic/dof/p instead, like
+    // the other degenerate boundaries (odd df, df > 40).
     val stat = totals.crossJoin(obs)
-      .withColumn("dof", (col("r_levels") - 1) * (col("c_levels") - 1))
-      .withColumn("__chi2",
-        col("__chiObs") + (col("n").cast("double") - col("__eObs")))
+      .withColumn("dof", when(col("n") > 0,
+        (col("r_levels") - 1) * (col("c_levels") - 1)))
+      .withColumn("__chi2", when(col("n") > 0,
+        col("__chiObs") + (col("n").cast("double") - col("__eObs"))))
     stat.select(col("n"), col("r_levels"), col("c_levels"), col("dof"),
       round(col("__chi2"), roundScale).as("chi2"),
       round(when(col("__chi2").isNotNull,
@@ -3298,9 +3303,12 @@ object Stats {
         .as("__e"), col("__o").cast("double").as("__od"))
       .agg(coalesce(sum(col("__od") * log(col("__od") / col("__e"))),
         lit(0.0)).as("__lSum"))
+    // Same vacuous-input guard as [[chiSquareTest]]: n = 0 nulls the
+    // statistic, dof and p rather than reporting G = 0 at dof = 1.
     val stat = totals.crossJoin(obs)
-      .withColumn("dof", (col("r_levels") - 1) * (col("c_levels") - 1))
-      .withColumn("__g", lit(2.0) * col("__lSum"))
+      .withColumn("dof", when(col("n") > 0,
+        (col("r_levels") - 1) * (col("c_levels") - 1)))
+      .withColumn("__g", when(col("n") > 0, lit(2.0) * col("__lSum")))
     stat.select(col("n"), col("r_levels"), col("c_levels"), col("dof"),
       round(col("__g"), roundScale).as("g_stat"),
       round(when(col("__g").isNotNull,

@@ -404,17 +404,20 @@ private[sources] class TicketReaderFactory(pageSize: Int, limit: Option[Int],
   * live HTTP) gets the same ≤3-attempt 409/500 behavior.
   *
   * With `splitOnError` (opt-in, reference ticket.py:41-67): when the
-  * retry budget exhausts on a 5xx, the reader bisects the UNSEEN
-  * remainder of its window — `[last emitted created_at + 1, hi]`, so
-  * rows already emitted are never re-fetched (exactly-once preserved;
-  * the resume bound assumes the failure point doesn't fall inside a run
-  * of equal created_at values spanning a page boundary — the reference
-  * has no such guarantee at all: it DISCARDS prior pages on split,
-  * ticket.py:134-136) — and pages each half recursively, halving down
-  * to the `splitFloorUs` floor (1 hour by default, like the
-  * reference). At the floor the reader THROWS rather than degrade to
-  * an empty slice, deliberately replacing the reference's silent data
-  * loss (ticket.py:66-67) with task failure + Spark retry. */
+  * retry budget exhausts on a 5xx, the reader bisects the remainder of
+  * its window resuming from the LAST EMITTED created_at INCLUSIVE —
+  * rows at that timestamp are re-fetched and the already-emitted ones
+  * skipped by uuid, so a failure landing inside a run of equal
+  * created_at values spanning a page boundary loses nothing and
+  * duplicates nothing (exactly-once preserved; the skip set holds only
+  * the uuids of the CURRENT equal-timestamp run, bounded by the tie
+  * width at one microsecond — the reference has no such guarantee at
+  * all: it DISCARDS prior pages on split, ticket.py:134-136) — and
+  * pages each half recursively, halving down to the `splitFloorUs`
+  * floor (1 hour by default, like the reference). At the floor the
+  * reader THROWS rather than degrade to an empty slice, deliberately
+  * replacing the reference's silent data loss (ticket.py:66-67) with
+  * task failure + Spark retry. */
 private[sources] class TicketPartitionReader(part: TicketWindowPartition,
                                              pageSize: Int, limit: Option[Int],
                                              required: StructType,
@@ -451,6 +454,14 @@ private[sources] class TicketPartitionReader(part: TicketWindowPartition,
       private var buf: Iterator[TicketApi.Ticket] = Iterator.empty
       private var done = false
       private var lastUs = loUs - 1
+      // uuids emitted at exactly lastUs — the current equal-timestamp
+      // run. Resuming INCLUSIVE of lastUs re-fetches that run and skips
+      // these by id, so a 5xx landing mid-run of equal created_at
+      // values spanning a page boundary cannot drop the not-yet-emitted
+      // tail of the run (the old `lastUs + 1` resume bound silently
+      // did). Bounded by the run width (ties at one microsecond), reset
+      // every time the timestamp advances.
+      private val seenAtLastUs = scala.collection.mutable.HashSet.empty[String]
       private var fallback: Iterator[TicketApi.Ticket] = null
       private def refill(): Unit =
         while (fallback == null && !buf.hasNext && !done) {
@@ -461,10 +472,16 @@ private[sources] class TicketPartitionReader(part: TicketWindowPartition,
             buf = rows.iterator
           } catch {
             case e: TicketApi.ApiError if splitOnError && e.code >= 500 =>
-              val resumeLo = math.max(loUs, lastUs + 1)
+              val resumeLo = math.max(loUs, lastUs)
               if (hiUs - resumeLo + 1 <= splitFloorUs) throw e // at the floor
               val mid = resumeLo + (hiUs - resumeLo) / 2
-              fallback = windowRows(resumeLo, mid) ++ windowRows(mid + 1, hiUs)
+              // freeze the skip set at the failure point: the fallback
+              // owns emission from here on, so this level's run of
+              // already-emitted lastUs rows is final
+              val skipUs = lastUs
+              val skip = seenAtLastUs.toSet
+              fallback = (windowRows(resumeLo, mid) ++ windowRows(mid + 1, hiUs))
+                .filter(t => !(t.createdUs == skipUs && skip.contains(t.uuid)))
           }
         }
       override def hasNext: Boolean = {
@@ -476,7 +493,9 @@ private[sources] class TicketPartitionReader(part: TicketWindowPartition,
         if (fallback != null) fallback.next()
         else {
           val t = buf.next()
+          if (t.createdUs != lastUs) seenAtLastUs.clear()
           lastUs = t.createdUs
+          seenAtLastUs += t.uuid
           t
         }
       }

@@ -1438,4 +1438,22 @@ class StatsSpec extends SparkSuite {
     // e(z,v) = 10·20/50 = 4 → zero-cell mass 4 plus observed terms > 0
     assert(rh.getDouble(4) > 4.0 - 1e-9)
   }
+
+  test("chiSquareTest/gTest: vacuous contingency yields null stat, dof and p") {
+    import spark.implicits._
+    // empty and all-null inputs used to emit chi2 = 0 with
+    // dof = (0−1)·(0−1) = 1 — a fake "perfect independence" verdict
+    val empty = Seq.empty[(String, String)].toDF("a", "b")
+    val allNull = Seq((null: String, "x"), ("y", null: String)).toDF("a", "b")
+    for (d <- Seq(empty, allNull)) {
+      val rc = Stats.chiSquareTest(d, "a", "b").collect().head
+      assert(rc.getLong(0) === 0L, "n")
+      assert(rc.isNullAt(3) && rc.isNullAt(4) && rc.isNullAt(5),
+        "dof, chi2 and p must all be null on a vacuous contingency")
+      val rg = Stats.gTest(d, "a", "b").collect().head
+      assert(rg.getLong(0) === 0L, "n")
+      assert(rg.isNullAt(3) && rg.isNullAt(4) && rg.isNullAt(5),
+        "dof, g and p must all be null on a vacuous contingency")
+    }
+  }
 }

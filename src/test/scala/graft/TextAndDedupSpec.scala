@@ -387,6 +387,29 @@ class TextAndDedupSpec extends SparkSuite {
     assert(thresholded === expected.filter(_._3 >= hi) && thresholded.nonEmpty)
   }
 
+  test("fellegiSunterTopK: null blocks carry no pair mass in the cutoff") {
+    // 8 null-block rows IDENTICAL on every field: Spark's groupBy used
+    // to gather them into ONE block in the subset sweep and count their
+    // C(8,2) = 28 pairs at the TOP score, even though the __blk
+    // equi-join grid never pairs null blocks — the inflated prefix mass
+    // dropped the second tie level early and returned fewer than k
+    // genuine pairs. Non-null blocks produce exactly two tie levels
+    // (agree-both: 60 pairs, agree-seg-only: 150), so k = 61 cuts
+    // inside the second level — the k the old accounting starved.
+    val rows = (0L until 30L).map { i =>
+      (i, Option(i % 2), Seq("A", "B")((i % 2).toInt), (i % 3).toString)
+    } ++ (30L until 38L).map(i => (i, Option.empty[Long], "A", "0"))
+    val df = rows.toDF("id", "blk", "seg", "tail")
+    val fields = Seq(("seg", 0.9), ("tail", 0.8))
+    val full = Dedup.fellegiSunter(df, "id", "blk", fields, -100.0)
+      .as[(Long, Long, Double)].collect().toSeq
+      .sortBy { case (a, b, s) => (-s, a, b) }
+    assert(full.size === 210, "C(15,2) per non-null block, nulls pair-free")
+    for (k <- Seq(1, 61, full.size, full.size + 5))
+      assert(Dedup.fellegiSunterTopK(df, "id", "blk", fields, -100.0, k)
+        .as[(Long, Long, Double)].collect().toSeq === full.take(k), s"k=$k")
+  }
+
   test("incrementalClusters: star contraction merges across prior clusters, unseen ids join") {
     // prior: {0,1} rooted 0, {4,5} rooted 4, {10} alone (min-rooted ✓)
     val prior = Seq((0L, 0L), (1L, 0L), (4L, 4L), (5L, 4L), (10L, 10L))

@@ -51,6 +51,7 @@ class BisectTestTransport extends graft.sources.TicketTransport {
   private var anchorUs = 0L
   private var maxSpanUs = Long.MaxValue
   private var failMode = "whole"
+  private var tieSize = 1L
   override def configure(options: Map[String, String]): Unit = {
     n = options.getOrElse("testtickets", "0").toLong
     stepUs = options.getOrElse("stepminutes", "30").toLong * 60L * 1000000L
@@ -59,10 +60,14 @@ class BisectTestTransport extends graft.sources.TicketTransport {
     maxSpanUs = options.get("maxspanminutes")
       .map(_.toLong * 60L * 1000000L).getOrElse(Long.MaxValue)
     failMode = options.getOrElse("failmode", "whole")
+    // tiesize > 1: tickets arrive in runs of `tiesize` sharing ONE
+    // created_at — the equal-timestamp regime the inclusive resume
+    // bound exists for
+    tieSize = options.getOrElse("tiesize", "1").toLong
   }
   private def inRange(geUs: Long, leUs: Long): Seq[TicketApi.Ticket] =
     (0L until n).map(k => TicketApi.Ticket(s"bsct-$k", k,
-        anchorUs + k * stepUs, "open", s"b$k@example.com"))
+        anchorUs + (k / tieSize) * stepUs, "open", s"b$k@example.com"))
       .filter(t => t.createdUs >= geUs && t.createdUs <= leUs)
   override def fetchPage(geUs: Long, leUs: Long, page: Int,
                          limit: Int): Seq[TicketApi.Ticket] = {
@@ -181,7 +186,8 @@ class TicketSourceSpec extends SparkSuite {
   test("splitOnError: mid-pagination 5xx resumes past emitted rows (no dupes, no loss)") {
     // pageSize 10: a wide window serves page 1 (10 rows) then 500s page
     // 2, so every bisection level emits a prefix before splitting — the
-    // resume bound [last emitted + 1, hi] is what keeps exactly-once
+    // inclusive resume bound [last emitted ts, hi] plus the per-run uuid
+    // skip set is what keeps exactly-once
     val healed = read("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z",
       "transport" -> classOf[BisectTestTransport].getName,
       "testtickets" -> "40", "stepminutes" -> "30", "pageSize" -> "10",
@@ -189,6 +195,22 @@ class TicketSourceSpec extends SparkSuite {
       "splitOnError" -> "true").collect()
     assert(healed.map(_.getLong(1)).toSeq === (0L until 40L),
       "all 40 rows exactly once, ascending — emitted prefixes never replayed")
+  }
+
+  test("splitOnError: 5xx inside an equal-timestamp run loses nothing, dupes nothing") {
+    // tiesize 4 with pageSize 10: page 1 of the wide window ends at
+    // ticket 9, INSIDE the run [8..11] that shares one created_at. The
+    // resume bound is inclusive of the last emitted timestamp with the
+    // emitted uuids skipped by id — the old exclusive bound (lastUs + 1)
+    // silently dropped tickets 10 and 11 here.
+    val healed = read("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z",
+      "transport" -> classOf[BisectTestTransport].getName,
+      "testtickets" -> "40", "stepminutes" -> "30", "tiesize" -> "4",
+      "pageSize" -> "10", "maxspanminutes" -> "360", "failmode" -> "page2",
+      "splitOnError" -> "true").collect()
+    assert(healed.map(_.getLong(1)).toSeq === (0L until 40L),
+      "all 40 rows exactly once, ascending — the equal-timestamp run " +
+        "spanning the failed page boundary must neither drop nor replay")
   }
 
   test("splitOnError is opt-in: default fails the task on retry-exhausted 5xx") {
