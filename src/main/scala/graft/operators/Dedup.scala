@@ -1144,10 +1144,42 @@ object Dedup {
     * the per-pair score is expensive relative to a join row AND the
     * threshold is selective — for near-duplicate-heavy corpora run
     * [[exactByFingerprint]] first, which removes the copies² term at
-    * the source. */
+    * the source.
+    *
+    * `maxPairs` (opt-in, 0 = off): the operator otherwise trusts the
+    * caller's blocker entirely — one degenerate block (a null-heavy
+    * zip, an "UNKNOWN" city) silently turns the join quadratic. With a
+    * budget set, ONE preflight aggregate counts the exact candidate
+    * mass Σ_block C(n,2) and FAILS FAST — naming the hottest block —
+    * when it exceeds the budget, before a single pair materializes.
+    * Cost when on: one extra block-count pass; when off: zero (plan
+    * byte-identical to the unguarded form). */
   def jaroWinklerPairs(df: DataFrame, idCol: String, nameCol: String,
-                       blockCol: String, minSim: Double): DataFrame = {
+                       blockCol: String, minSim: Double,
+                       maxPairs: Long = 0L): DataFrame = {
     require(minSim > 0.0 && minSim <= 1.0, s"minSim must be in (0,1]: $minSim")
+    require(maxPairs >= 0L, s"maxPairs must be >= 0 (0 disables): $maxPairs")
+    if (maxPairs > 0L) {
+      // exact candidate mass + hottest block in ONE bounded-output job
+      // (sum + struct-argmax over the per-block counts)
+      val r = df.filter(col(blockCol).isNotNull)
+        .groupBy(col(blockCol)).agg(count(lit(1)).as("__n"))
+        .select(col(blockCol).cast("string").as("__blk"),
+          shiftright(col("__n") * (col("__n") - 1), 1).as("__p"))
+        .agg(coalesce(sum(col("__p")), lit(0L)).as("__total"),
+          max(struct(col("__p"), col("__blk"))).as("__top"))
+        .collect().head
+      val total = r.getLong(0)
+      if (total > maxPairs) {
+        val top = r.getStruct(1)
+        throw new IllegalStateException(
+          s"jaroWinklerPairs blocker '$blockCol' yields $total candidate " +
+          s"pairs (budget $maxPairs); hottest block '${top.getString(1)}' " +
+          s"alone contributes ${top.getLong(0)} - refine the blocking key " +
+          "(finer key, sorted-neighborhood window) or dedup exact copies " +
+          "first (exactByFingerprint)")
+      }
+    }
     val a = df.select(col(blockCol).as("__blk"), col(idCol).as("id_a"),
       col(nameCol).as("__na"))
     val b = df.select(col(blockCol).as("__blk"), col(idCol).as("id_b"),

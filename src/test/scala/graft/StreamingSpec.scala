@@ -663,4 +663,75 @@ class StreamingSpec extends SparkSuite {
       }
     }
   }
+
+  test("state telemetry: state rows track KEYS, not stream length (measured)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000000L
+    val min = 60L * 1000000L
+    // The scaladoc state-size claims (sessions: one record per OPEN
+    // session; ewma: ≤ lookback doubles per user; heavy hitters:
+    // shards × k counters, CONSTANT in stream length) become
+    // measurements here via StateOperatorProgress.
+    def lastState(q: org.apache.spark.sql.streaming.StreamingQuery)
+        : (Long, Long) = {
+      val so = q.recentProgress.flatMap(_.stateOperators).lastOption
+        .getOrElse(fail("no state operator progress reported"))
+      (so.numRowsTotal, so.memoryUsedBytes)
+    }
+
+    // ewma: 3 users; a second batch triples the EVENTS for the same
+    // users — state rows must stay 3 (∝ keys, not events)
+    val ms1 = MemoryStream[(Long, Long, Long, Double)]
+    val in1 = ms1.toDF().toDF("user_id", "us", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val q1 = EventStreams.ewmaStream(in1).writeStream
+      .outputMode("append").format("memory").queryName("st_ewma").start()
+    try {
+      ms1.addData((1L, t0, 1L, 1.0), (2L, t0, 2L, 2.0), (3L, t0, 3L, 3.0))
+      q1.processAllAvailable()
+      assert(lastState(q1)._1 === 3L, "one state row per user")
+      ms1.addData((1 to 9).map(i =>
+        ((i % 3 + 1).toLong, t0 + i * min, 100L + i, i.toDouble)): _*)
+      q1.processAllAvailable()
+      val (rows, mem) = lastState(q1)
+      assert(rows === 3L, "3× the events, same 3 users → same 3 state rows")
+      assert(mem > 0L, "memoryUsedBytes reported")
+    } finally q1.stop()
+
+    // sessions: two users inside their gap → exactly 2 OPEN-session rows
+    val ms2 = MemoryStream[(Long, Long, Long, Double)]
+    val in2 = ms2.toDF().toDF("user_id", "us", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .withWatermark("ts", "1 minute")
+    val q2 = EventStreams.statefulSessions(in2, gapMinutes = 30).writeStream
+      .outputMode("append").format("memory").queryName("st_sess").start()
+    try {
+      ms2.addData((1L, t0, 1L, 1.0), (1L, t0 + 5 * min, 2L, 2.0),
+        (2L, t0 + 5 * min, 3L, 3.0))
+      q2.processAllAvailable()
+      val (rows, mem) = lastState(q2)
+      assert(rows === 2L, "one state row per open session")
+      assert(mem > 0L)
+    } finally q2.stop()
+
+    // heavy hitters, shards = 1: 6 items then 12 MORE items — state
+    // stays ONE row (the k-counter sketch), constant in stream length
+    val ms3 = MemoryStream[String]
+    val q3 = EventStreams.streamingHeavyHitters(
+      ms3.toDF().toDF("item"), "item", k = 3, shards = 1).writeStream
+      .outputMode("update").format("memory").queryName("st_hh").start()
+    try {
+      ms3.addData("a", "a", "b", "c", "a", "d")
+      q3.processAllAvailable()
+      assert(lastState(q3)._1 === 1L, "single shard → single state row")
+      ms3.addData((1 to 12).map(i => s"item$i"): _*)
+      q3.processAllAvailable()
+      val (rows, mem) = lastState(q3)
+      assert(rows === 1L, "12 more distinct items → STILL one state row")
+      assert(mem > 0L)
+    } finally q3.stop()
+  }
 }

@@ -387,6 +387,27 @@ class TextAndDedupSpec extends SparkSuite {
     assert(thresholded === expected.filter(_._3 >= hi) && thresholded.nonEmpty)
   }
 
+  test("jaroWinklerPairs: maxPairs guard fails fast on a hot block, off by default") {
+    // blocks: "hot" 20 rows (C(20,2) = 190 pairs), "cold" 3 rows (3),
+    // plus null-block rows that never pair → exact mass 193
+    val rows = (0L until 20L).map(i => (i, Option("hot"), s"Customer#$i")) ++
+      (20L until 23L).map(i => (i, Option("cold"), s"Customer#$i")) ++
+      Seq((23L, Option.empty[String], "Customer#23"))
+    val df = rows.toDF("id", "blk", "name")
+    val ex = intercept[IllegalStateException] {
+      Dedup.jaroWinklerPairs(df, "id", "name", "blk", 0.5, maxPairs = 100L)
+    }
+    assert(ex.getMessage.contains("193") && ex.getMessage.contains("'hot'") &&
+      ex.getMessage.contains("190"), s"guard must report exact mass and " +
+        s"the hottest block: ${ex.getMessage}")
+    // a sufficient budget passes and returns exactly the unguarded rows
+    val unguarded = Dedup.jaroWinklerPairs(df, "id", "name", "blk", 0.5)
+      .collect().toSet
+    val guarded = Dedup.jaroWinklerPairs(df, "id", "name", "blk", 0.5,
+      maxPairs = 193L).collect().toSet
+    assert(guarded === unguarded && unguarded.nonEmpty)
+  }
+
   test("fellegiSunterTopK: null blocks carry no pair mass in the cutoff") {
     // 8 null-block rows IDENTICAL on every field: Spark's groupBy used
     // to gather them into ONE block in the subset sweep and count their
