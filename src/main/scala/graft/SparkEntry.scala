@@ -9461,28 +9461,41 @@ object SparkEntry {
                         FROM sc)
          SELECT doc_id, round(s, 6) AS score, sel_key
          FROM keyed ORDER BY sel_key DESC, doc_id ASC LIMIT 50""",
+    // Exact-integer mirror of the order-independent anovaF: data-sized
+    // sums are HUGEINT over 1e-6-quantized values (parallel-agg-proof),
+    // the only float reduction is the ORDERED k-row list_reduce fold —
+    // same bits, same order as the engine's sorted aggregate() fold.
     "q_anova" ->
-      """WITH s AS (SELECT event_type AS g, COUNT(*) AS cn, avg(value) AS m,
-                           var_samp(value) AS v
-                    FROM events
-                    WHERE event_type IS NOT NULL AND value IS NOT NULL
-                    GROUP BY 1),
-              r AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      """WITH base AS (SELECT event_type AS g,
+                              CAST(round(value * 1000000.0) AS BIGINT) AS v
+                       FROM events
+                       WHERE event_type IS NOT NULL AND value IS NOT NULL),
+              s AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cn,
+                           CAST(SUM(v) AS HUGEINT) AS sx,
+                           SUM(CAST(v AS HUGEINT) * v) AS sxx
+                    FROM base GROUP BY 1),
+              t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
                            CAST(SUM(cn) AS BIGINT) AS n,
-                           SUM(cn * m) AS sx, SUM(cn * m * m) AS sxm,
-                           SUM(CASE WHEN cn > 1 THEN (cn - 1) * v
-                                    ELSE 0.0 END) AS ssw
-                    FROM s)
+                           CAST(SUM(sx) AS DOUBLE) AS dsx,
+                           CAST(SUM(sxx) AS DOUBLE) AS dsxx,
+                           list_reduce(list_apply(
+                             list(struct_pack(g := g,
+                               t := CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                    / CAST(cn AS DOUBLE)) ORDER BY g),
+                             x -> x.t), (a, b) -> a + b) AS tt
+                    FROM s),
+              fin AS (SELECT k, n, dsxx - tt AS ssw,
+                             tt - dsx * dsx / CAST(n AS DOUBLE) AS ssb
+                      FROM t)
          SELECT k, n,
-                round(sxm - sx * sx / n, 6) AS ss_between,
-                round(ssw, 6) AS ss_within,
+                round(CASE WHEN k > 0 THEN ssb / 1e12 END, 6) AS ss_between,
+                round(CASE WHEN k > 0 THEN ssw / 1e12 END, 6) AS ss_within,
                 round(CASE WHEN k > 1 AND n > k AND ssw > 0
-                  THEN ((sxm - sx * sx / n) / (k - 1)) / (ssw / (n - k))
-                  END, 6) AS f_stat,
-                round(CASE WHEN (sxm - sx * sx / n) + ssw > 0
-                  THEN (sxm - sx * sx / n) / ((sxm - sx * sx / n) + ssw)
-                  END, 6) AS eta_sq
-         FROM r""",
+                  THEN (ssb / CAST(k - 1 AS DOUBLE))
+                       / (ssw / CAST(n - k AS DOUBLE)) END, 6) AS f_stat,
+                round(CASE WHEN k > 0 AND ssb + ssw > 0
+                  THEN ssb / (ssb + ssw) END, 6) AS eta_sq
+         FROM fin""",
     "q_kruskal_wallis" ->
       """WITH vc AS (SELECT round(CAST(value AS DOUBLE), 6) AS s,
                             event_type AS g, COUNT(*) AS c
@@ -9897,33 +9910,45 @@ object SparkEntry {
                   THEN (u - CAST(np AS DOUBLE) * CAST(nneg AS DOUBLE) / 2.0)
                      / sqrt(sigma2) END, 6) AS z_stat
          FROM fin""",
+    // Same exact-integer ANOVA tail as q_anova, over the 1e-6-quantized
+    // absolute deviations from each group's median (quantile_cont ≡
+    // Spark percentile bit-for-bit on these inputs, the pinned parity).
     "q_brown_forsythe" ->
-      """WITH base AS (SELECT event_type AS g, value AS v
-                       FROM events
-                       WHERE event_type IS NOT NULL AND value IS NOT NULL),
-              med AS (SELECT g, quantile_cont(v, 0.5) AS md
-                      FROM base GROUP BY 1),
-              cen AS (SELECT base.g, abs(v - md) AS av
-                      FROM base JOIN med USING (g)),
-              s AS (SELECT g, COUNT(*) AS cn, avg(av) AS m,
-                           var_samp(av) AS v
-                    FROM cen GROUP BY 1),
-              r AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      """WITH b0 AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v0
+                     FROM events
+                     WHERE event_type IS NOT NULL AND value IS NOT NULL),
+              med AS (SELECT g, quantile_cont(v0, 0.5) AS md
+                      FROM b0 GROUP BY 1),
+              base AS (SELECT b0.g,
+                              CAST(round(abs(v0 - md) * 1000000.0) AS BIGINT)
+                                AS v
+                       FROM b0 JOIN med USING (g)),
+              s AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cn,
+                           CAST(SUM(v) AS HUGEINT) AS sx,
+                           SUM(CAST(v AS HUGEINT) * v) AS sxx
+                    FROM base GROUP BY 1),
+              t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
                            CAST(SUM(cn) AS BIGINT) AS n,
-                           SUM(cn * m) AS sx, SUM(cn * m * m) AS sxm,
-                           SUM(CASE WHEN cn > 1 THEN (cn - 1) * v
-                                    ELSE 0.0 END) AS ssw
-                    FROM s)
+                           CAST(SUM(sx) AS DOUBLE) AS dsx,
+                           CAST(SUM(sxx) AS DOUBLE) AS dsxx,
+                           list_reduce(list_apply(
+                             list(struct_pack(g := g,
+                               t := CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                    / CAST(cn AS DOUBLE)) ORDER BY g),
+                             x -> x.t), (a, b) -> a + b) AS tt
+                    FROM s),
+              fin AS (SELECT k, n, dsxx - tt AS ssw,
+                             tt - dsx * dsx / CAST(n AS DOUBLE) AS ssb
+                      FROM t)
          SELECT k, n,
-                round(sxm - sx * sx / n, 6) AS ss_between,
-                round(ssw, 6) AS ss_within,
+                round(CASE WHEN k > 0 THEN ssb / 1e12 END, 6) AS ss_between,
+                round(CASE WHEN k > 0 THEN ssw / 1e12 END, 6) AS ss_within,
                 round(CASE WHEN k > 1 AND n > k AND ssw > 0
-                  THEN ((sxm - sx * sx / n) / (k - 1)) / (ssw / (n - k))
-                  END, 6) AS f_stat,
-                round(CASE WHEN (sxm - sx * sx / n) + ssw > 0
-                  THEN (sxm - sx * sx / n) / ((sxm - sx * sx / n) + ssw)
-                  END, 6) AS eta_sq
-         FROM r""",
+                  THEN (ssb / CAST(k - 1 AS DOUBLE))
+                       / (ssw / CAST(n - k AS DOUBLE)) END, 6) AS f_stat,
+                round(CASE WHEN k > 0 AND ssb + ssw > 0
+                  THEN ssb / (ssb + ssw) END, 6) AS eta_sq
+         FROM fin""",
     "q_qte" ->
       """WITH j AS (SELECT c.c_mktsegment AS g, e.event_type AS a,
                            e.value AS v

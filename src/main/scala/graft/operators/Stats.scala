@@ -2617,39 +2617,60 @@ object Stats {
     * the effect size (significance without magnitude is how tiny shifts
     * on huge corpora get over-reported).
     *
-    * Scale shape: ONE (class) hash aggregate (count/avg/var_samp, all
-    * map-side combined) + a k-row closing reduce — aggregates-only at
-    * any corpus size. Composed from the same avg/var_samp aggregates as
-    * [[welchTTest]] (the proven 6dp-stable battery). Classes with n < 2
-    * contribute zero within-variance rows; k < 2 classes or zero SSW
-    * yield null F (never NaN/∞). */
+    * Scale shape: ONE (class) hash aggregate (count + two exact
+    * integer sums over 1e-6-quantized values, all map-side combined)
+    * + a k-row closing reduce — aggregates-only at any corpus size.
+    * k < 2 classes or zero SSW yield null F (never NaN/∞); empty
+    * input yields k = 0 with null statistics. */
   def anovaF(df: DataFrame, classCol: String, valCol: String,
              roundScale: Int = 6): DataFrame = {
+    // ORDER-INDEPENDENT construction (the standing-sf1-gate contract):
+    // values quantize to exact 1e-6-unit integers, so every DATA-SIZED
+    // aggregate below is an exact integer sum — invariant under
+    // partition/file/merge order in BOTH engines (a raw double sum is
+    // not: DuckDB's parallel aggregation over a multi-file layout was
+    // measured run-to-run nondeterministic at 1 ulp, and at sf1
+    // magnitudes round(·,6) is the identity, so a flap there reaches
+    // the hash). Doubles appear only downstream of the exact integers:
+    // per-group terms are identical IEEE expressions on both sides,
+    // and the ONE order-sensitive reduction — Σ_g sx_g²/n_g over the
+    // k-row group table — is an explicitly ORDERED left fold (sorted
+    // by group key, mirrored by DuckDB list_reduce over a list(...
+    // ORDER BY g)), so both engines add the same bits in the same
+    // order. Quantization is semantics, not noise: analysis runs on
+    // values rounded to 1e-6 (the kruskalWallis convention).
+    val v = round(col(valCol).cast("double") * lit(1e6)).cast("decimal(20,0)")
     val perClass = df
       .filter(col(classCol).isNotNull && col(valCol).isNotNull)
-      .groupBy(col(classCol))
-      .agg(count(lit(1)).as("__n"), avg(col(valCol)).as("__m"),
-        var_samp(col(valCol)).as("__v"))
-    perClass
+      .groupBy(col(classCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"), sum(v).as("__sx"),
+        sum(v * v).as("__sxx"))
+    val tg = col("__sx").cast("double") * col("__sx").cast("double") /
+      col("__n").cast("double")
+    val folded = perClass
       .agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
-        sum(col("__n") * col("__m")).as("__sx"),
-        sum(col("__n") * col("__m") * col("__m")).as("__sxm"),
-        sum(when(col("__n") > 1, (col("__n") - 1) * col("__v"))
-          .otherwise(lit(0.0))).as("__ssw"))
-      // SSB = Σ n_g m_g² − N m̄² with m̄ = Σ n_g m_g / N (König's form
-      // over the k-row reduce — no second pass over the data)
-      .withColumn("__ssb",
-        col("__sxm") - col("__sx") * col("__sx") / col("n"))
-      .select(col("k"), col("n"),
-        round(col("__ssb"), roundScale).as("ss_between"),
-        round(col("__ssw"), roundScale).as("ss_within"),
-        round(when(col("k") > 1 && col("n") > col("k") && col("__ssw") > 0,
-          (col("__ssb") / (col("k") - 1))
-            / (col("__ssw") / (col("n") - col("k")))), roundScale)
-          .as("f_stat"),
-        round(when(col("__ssb") + col("__ssw") > 0,
-          col("__ssb") / (col("__ssb") + col("__ssw"))), roundScale)
-          .as("eta_sq"))
+        sum(col("__sx")).as("__SX"), sum(col("__sxx")).as("__SXX"),
+        // T = Σ_g sx_g²/n_g as an ordered fold: aggregate() over the
+        // group-key-sorted list left-folds sequentially from 0.0
+        // (0.0 + t₁ = t₁ exactly, matching DuckDB's first-element-init
+        // list_reduce), so the fold order is pinned on both engines
+        aggregate(array_sort(collect_list(struct(col("__g").as("g"),
+            tg.as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("__T"))
+    // SSW = ΣΣx² − T and SSB = T − (Σx)²/N, all in 1e-12-scaled units;
+    // the unit cancels inside F and η², and the SS columns rescale once
+    val ssw = col("__SXX").cast("double") - col("__T")
+    val ssb = col("__T") - col("__SX").cast("double") *
+      col("__SX").cast("double") / col("n").cast("double")
+    folded.select(col("k"), col("n"),
+      round(when(col("k") > 0, ssb / lit(1e12)), roundScale).as("ss_between"),
+      round(when(col("k") > 0, ssw / lit(1e12)), roundScale).as("ss_within"),
+      round(when(col("k") > 1 && col("n") > col("k") && ssw > 0,
+        (ssb / (col("k") - 1).cast("double"))
+          / (ssw / (col("n") - col("k")).cast("double"))), roundScale)
+        .as("f_stat"),
+      round(when(col("k") > 0 && ssb + ssw > 0,
+        ssb / (ssb + ssw)), roundScale).as("eta_sq"))
   }
 
   /** Kruskal–Wallis H (JASA 1952): the rank-based one-way ANOVA — does
