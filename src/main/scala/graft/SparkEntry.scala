@@ -241,16 +241,29 @@ object SparkEntry {
   // ------------------------------------------------- aggregation / window
 
   /** §2b hash aggregate: TPC-H Q1 pricing summary. */
-  private def q1_pricing_summary(s: SparkSession, d: String): DataFrame =
+  private def q1_pricing_summary(s: SparkSession, d: String): DataFrame = {
+    // EXACT DECIMAL sums: the money/quantity columns are 2-dec fixed
+    // point by semantics, and raw double sums stop surviving the 2dp
+    // round once group mass passes ~1e11 (measured: the sf10 soak's
+    // 60M-row groups flap engine-vs-oracle by ~0.3 — √n·ε·Σ|x| beats
+    // the round step). Decimal aggregation is order-independent at ANY
+    // scale; outputs cast back to double (correctly-rounded, identical
+    // in both engines) to keep the column contract.
+    val qty = col("l_quantity").cast("decimal(20,2)")
+    val price = col("l_extendedprice").cast("decimal(20,2)")
+    val disc = col("l_discount").cast("decimal(4,2)")
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        sum(qty).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        (sum(price * (lit(1).cast("decimal(3,2)") - disc))).cast("double")
+          .as("sum_disc_price"),
+        round(sum(qty).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("avg_qty"),
         count(lit(1)).as("count_order"))
+  }
 
   /** §2b per-group top-k via row_number window. */
   private def q_topk_per_group(s: SparkSession, d: String): DataFrame = {
@@ -6560,12 +6573,22 @@ object SparkEntry {
            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                        ORDER BY tf_idf DESC, term) AS rnk
            FROM scored) WHERE rnk <= 5""",
+    // Exact DECIMAL sums mirroring the engine (see q1's comment): the
+    // 2-dec fixed-point columns aggregate order-independently at any
+    // scale; double casts of the exact decimals are correctly rounded
+    // in both engines.
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-                round(sum(l_quantity), 2) AS sum_qty,
-                round(sum(l_extendedprice), 2) AS sum_base_price,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                round(avg(l_quantity), 4) AS avg_qty,
+                CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE)
+                  AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE)
+                  AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))
+                         * (CAST(1 AS DECIMAL(3,2))
+                            - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                  AS sum_disc_price,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 4) AS avg_qty,
                 count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
