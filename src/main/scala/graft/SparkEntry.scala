@@ -4022,6 +4022,58 @@ object SparkEntry {
   private def q_levene(s: SparkSession, d: String): DataFrame =
     Stats.leveneTest(Tables.events(s, d), "event_type", "value")
 
+  /** §2b ordinal association: Goodman–Kruskal γ and Somers' D between
+    * weekday index and spend bucket — does later-in-week skew to
+    * bigger carts, with D_y|x charging y-ties against the weekday
+    * predictor. Exact pair masses from the bounded cell grid
+    * ([[Stats.gammaSomers]]); the calendar-anchored `datediff % 7`
+    * weekday is the engine-neutral ordinal (the q_chi_square anchor). */
+  private def q_gk_gamma(s: SparkSession, d: String): DataFrame =
+    Stats.gammaSomers(
+      Tables.events(s, d).select(
+        (datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) % 7)
+          .cast("long").as("dow_ix"),
+        floor(col("value") / 50.0).cast("long").as("spend_bucket")),
+      "dow_ix", "spend_bucket")
+
+  /** §2b Ansari–Bradley rank scale test: are click values dispersed
+    * like non-click values around a common center — the rank-robust
+    * companion to q_levene/q_brown_forsythe ([[Stats.ansariBradley]];
+    * exact integer score masses, midrank ties). */
+  private def q_ansari(s: SparkSession, d: String): DataFrame =
+    Stats.ansariBradley(
+      Tables.events(s, d)
+        .withColumn("is_click", col("event_type") === lit("click")),
+      "value", "is_click")
+
+  /** §2b weighted median: the quantity-weighted center of line-item
+    * price — "the median sold UNIT sits at this price", not the median
+    * line item ([[Stats.weightedMedian]]; exact integer cumulative
+    * weights, both half-mass conventions emitted). */
+  private def q_weighted_median(s: SparkSession, d: String): DataFrame =
+    Stats.weightedMedian(Tables.lineitem(s, d), "l_extendedprice",
+      "l_quantity")
+
+  /** §2b partial correlation: quantity–price association controlling
+    * for discount ([[Stats.partialCorr]]) — the continuous confounder
+    * screen beside q_simpsons' categorical flag. */
+  private def q_partial_corr(s: SparkSession, d: String): DataFrame =
+    Stats.partialCorr(Tables.lineitem(s, d), "l_quantity",
+      "l_extendedprice", "l_discount")
+
+  /** §2b Lin's concordance (CCC): do the token-count and chars/5 length
+    * scorers AGREE (not merely correlate) on documents — the
+    * continuous-agreement face of the κ family ([[Agreement.linCcc]];
+    * C_b isolates systematic location/scale shift from correlation
+    * loss). */
+  private def q_lin_ccc(s: SparkSession, d: String): DataFrame =
+    Agreement.linCcc(
+      Tables.documents(s, d).select(
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("double").as("len_score"),
+        (col("n_chars").cast("double") / 5.0).as("char_score")),
+      "len_score", "char_score")
+
 
   // --------------------------------------------------------------- wiring
 
@@ -4385,6 +4437,11 @@ object SparkEntry {
     "q_majority_label" -> (q_majority_label _),
     "q_levene" -> (q_levene _),
     "q_ece" -> (q_ece _),
+    "q_gk_gamma" -> (q_gk_gamma _),
+    "q_ansari" -> (q_ansari _),
+    "q_weighted_median" -> (q_weighted_median _),
+    "q_partial_corr" -> (q_partial_corr _),
+    "q_lin_ccc" -> (q_lin_ccc _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -12262,5 +12319,144 @@ object SparkEntry {
                 round(sz / CAST(n AS DOUBLE), 6) AS z_mean,
                 k_groups, n_total, w_stat
          FROM pg, f2""",
+    // Exact integer pair masses over the bounded cell grid — the
+    // kendallTauB oracle pattern with gamma/Somers' closing divisions.
+    "q_gk_gamma" ->
+      """WITH base AS (SELECT CAST(datediff('day', DATE '2024-01-01',
+                         CAST(ts AS DATE)) % 7 AS BIGINT) AS x,
+                       CAST(floor(value / 50.0) AS BIGINT) AS y
+                       FROM events
+                       WHERE ts IS NOT NULL AND value IS NOT NULL),
+              cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+                        FROM base GROUP BY 1, 2),
+              pairs AS (SELECT
+                  COALESCE(SUM(CASE WHEN b.y > a.y
+                    THEN CAST(a.c AS DOUBLE) * b.c ELSE 0.0 END), 0.0) AS cc,
+                  COALESCE(SUM(CASE WHEN b.y < a.y
+                    THEN CAST(a.c AS DOUBLE) * b.c ELSE 0.0 END), 0.0) AS dd
+                FROM cells a JOIN cells b ON b.x > a.x),
+              marg AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+              tx AS (SELECT SUM(CAST(t AS DOUBLE) * t) AS sx2
+                     FROM (SELECT SUM(c) AS t FROM cells GROUP BY x))
+         SELECT n, CAST(cc AS BIGINT) AS concordant,
+                CAST(dd AS BIGINT) AS discordant,
+                round(CASE WHEN cc + dd > 0
+                  THEN (cc - dd) / (cc + dd) END, 6) AS gamma,
+                round(CASE WHEN n > 1
+                    AND (CAST(n AS DOUBLE) * n - sx2) > 0
+                  THEN (cc - dd)
+                       / ((CAST(n AS DOUBLE) * n - sx2) / 2.0) END, 6)
+                  AS somers_d_yx
+         FROM pairs, marg, tx""",
+    // Ansari-Bradley: exact arithmetic-series score masses per tie
+    // block, quotient/remainder-exact T, linear-rank-statistic moments.
+    "q_ansari" ->
+      """WITH ps AS (SELECT round(CAST(value AS DOUBLE), 6) AS s,
+                       CAST(SUM(CASE WHEN event_type = 'click'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                       CAST(SUM(CASE WHEN event_type = 'click'
+                         THEN 0 ELSE 1 END) AS BIGINT) AS cn
+                     FROM events
+                     WHERE value IS NOT NULL AND event_type IS NOT NULL
+                     GROUP BY 1),
+              tot AS (SELECT CAST(SUM(cp + cn) AS BIGINT) AS nn FROM ps),
+              blk AS (SELECT cp, cn, cp + cn AS sz,
+                        CAST(COALESCE(SUM(cp + cn) OVER (ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS lo, nn
+                      FROM ps, tot),
+              sc AS (SELECT cp, cn, sz, nn, lo + 1 AS a, lo + sz AS b,
+                            nn + 1 AS m, (nn + 1) // 2 AS k
+                     FROM blk),
+              sc2 AS (SELECT cp, cn, sz, nn,
+                        (CASE WHEN a <= least(b, k)
+                          THEN ((a + least(b, k)) * (least(b, k) - a + 1)) // 2
+                          ELSE 0 END)
+                      + (CASE WHEN greatest(a, k + 1) <= b
+                          THEN ((m * 2 - greatest(a, k + 1) - b)
+                            * (b - greatest(a, k + 1) + 1)) // 2
+                          ELSE 0 END) AS bs
+                      FROM sc),
+              ag AS (SELECT CAST(SUM(cp) AS BIGINT) AS n_x,
+                            CAST(SUM(cn) AS BIGINT) AS n_y,
+                            CAST(MAX(nn) AS BIGINT) AS nn,
+                            CAST(SUM((cp * bs) // sz) AS DOUBLE)
+                              + SUM(CAST((cp * bs) % sz AS DOUBLE)
+                                / CAST(sz AS DOUBLE)) AS t,
+                            CAST(SUM(bs) AS DOUBLE) AS sa,
+                            SUM(CAST(bs AS DOUBLE) / CAST(sz AS DOUBLE)
+                              * CAST(bs AS DOUBLE)) AS sa2
+                     FROM sc2),
+              fin AS (SELECT n_x, n_y, t,
+                        CAST(n_x AS DOUBLE) * sa / CAST(nn AS DOUBLE) AS e,
+                        CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)
+                          * (CAST(nn AS DOUBLE) * sa2 - sa * sa)
+                          / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                            * (CAST(nn AS DOUBLE) - 1.0)) AS v
+                      FROM ag)
+         SELECT n_x, n_y, round(t, 6) AS ab_stat,
+                round(CASE WHEN n_x > 0 AND n_y > 0 AND v > 0
+                  THEN (t - e) / sqrt(v) END, 6) AS z_stat
+         FROM fin""",
+    // Exact integer cumulative weights; both half-mass conventions.
+    "q_weighted_median" ->
+      """WITH grid AS (SELECT round(CAST(l_extendedprice AS DOUBLE), 6) AS v,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+                       FROM lineitem
+                       WHERE l_extendedprice IS NOT NULL
+                         AND l_quantity IS NOT NULL
+                         AND CAST(l_quantity AS BIGINT) > 0
+                       GROUP BY 1),
+              tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw,
+                             CAST(COUNT(*) AS BIGINT) AS n_values
+                      FROM grid),
+              cum AS (SELECT v, CAST(SUM(w) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS c
+                      FROM grid)
+         SELECT tw AS total_weight, n_values,
+                (SELECT min(v) FROM cum, tot WHERE c * 2 >= tw) AS wm_lower,
+                (SELECT min(v) FROM cum, tot WHERE c * 2 > tw) AS wm_upper
+         FROM tot""",
+    "q_partial_corr" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      corr(l_quantity, l_extendedprice) AS rxy,
+                      corr(l_quantity, l_discount) AS rxz,
+                      corr(l_extendedprice, l_discount) AS ryz
+                    FROM lineitem
+                    WHERE l_quantity IS NOT NULL
+                      AND l_extendedprice IS NOT NULL
+                      AND l_discount IS NOT NULL)
+         SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+                round(ryz, 6) AS r_yz,
+                round(CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
+                  THEN (rxy - rxz * ryz)
+                       / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+                  END, 6) AS r_xy_given_z
+         FROM m""",
+    "q_lin_ccc" ->
+      s"""WITH sc AS (SELECT CAST(len($duckTokens) AS DOUBLE) AS x,
+                        CAST(n_chars AS DOUBLE) / 5.0 AS y
+                      FROM documents
+                      WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+               m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       avg(x) AS mx, avg(y) AS my, avg(x * x) AS mxx,
+                       avg(y * y) AS myy, avg(x * y) AS mxy
+                     FROM sc),
+               d AS (SELECT n, mx, my,
+                       mxx - mx * mx AS vx, myy - my * my AS vy,
+                       mxy - mx * my AS cov,
+                       mxx - mx * mx + (myy - my * my)
+                         + (mx - my) * (mx - my) AS den
+                     FROM m)
+          SELECT n, round(mx, 6) AS mean_x, round(my, 6) AS mean_y,
+                 round(CASE WHEN den > 0 THEN 2.0 * cov / den END, 6)
+                   AS ccc,
+                 round(CASE WHEN vx > 0 AND vy > 0
+                   THEN cov / sqrt(vx * vy) END, 6) AS pearson_r,
+                 round(CASE WHEN vx > 0 AND vy > 0 AND cov <> 0
+                   THEN (2.0 * cov / den) / (cov / sqrt(vx * vy)) END, 6)
+                   AS c_b
+          FROM d""",
   )
 }

@@ -457,4 +457,46 @@ object Agreement {
           k / (k - 1.0) * (lit(1.0) - col("__sumItemVar") / col("__vt"))),
           roundScale).as("alpha"))
   }
+
+  /** Lin's concordance correlation coefficient (public: Lin,
+    * Biometrics'89) — agreement between two CONTINUOUS measurements of
+    * the same items: CCC = 2·cov/(σx² + σy² + (μx − μy)²), Pearson r
+    * discounted by the location shift (μx − μy) and the scale mismatch
+    * (σx vs σy). The continuous face of this module's κ family: two
+    * quality scorers can correlate at r = 0.99 and still disagree
+    * systematically — CCC is the number that catches it. Uses Lin's
+    * original population (n-denominator) moments.
+    *
+    * Scale shape: ONE aggregate of five moments; all outputs are
+    * ratios/means of fixed magnitude, so the float sums' relative
+    * error (~√n·ε) stays far below 6dp at any corpus size. Degenerate
+    * denominator (both spreads zero AND equal means) yields null. */
+  def linCcc(df: DataFrame, xCol: String, yCol: String,
+             roundScale: Int = 6): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    val m = base.agg(count(lit(1)).as("n"),
+      avg(col("__x")).as("__mx"), avg(col("__y")).as("__my"),
+      avg(col("__x") * col("__x")).as("__mxx"),
+      avg(col("__y") * col("__y")).as("__myy"),
+      avg(col("__x") * col("__y")).as("__mxy"))
+    val vx = col("__mxx") - col("__mx") * col("__mx")
+    val vy = col("__myy") - col("__my") * col("__my")
+    val cov = col("__mxy") - col("__mx") * col("__my")
+    val dm = col("__mx") - col("__my")
+    val den = vx + vy + dm * dm
+    m.select(col("n"),
+      round(col("__mx"), roundScale).as("mean_x"),
+      round(col("__my"), roundScale).as("mean_y"),
+      round(when(den > 0, lit(2.0) * cov / den), roundScale).as("ccc"),
+      round(when(vx > 0 && vy > 0, cov / sqrt(vx * vy)), roundScale)
+        .as("pearson_r"),
+      // the bias-correction factor C_b = CCC / r isolates HOW the
+      // scorers disagree: 1 = pure correlation loss, < 1 = systematic
+      // location/scale shift
+      round(when(vx > 0 && vy > 0 && cov =!= 0.0,
+        (lit(2.0) * cov / den) / (cov / sqrt(vx * vy))), roundScale)
+        .as("c_b"))
+  }
 }

@@ -552,6 +552,57 @@ object Stats {
           roundScale).as("tau_b"))
   }
 
+  /** Goodman–Kruskal γ and Somers' D (public: Goodman & Kruskal JASA'54;
+    * Somers ASR'62) — the ordinal-association pair beside
+    * [[kendallTauB]]: γ = (C−D)/(C+D) ignores ALL ties (the
+    * strength-of-monotone-trend readout for ordered categories), and
+    * the asymmetric Somers' D_y|x = (C−D)/(n₀−n_x) charges y-ties
+    * against a designated predictor x (the ordinal effect size behind
+    * ROC: D_y|x over a binary y IS 2·AUC−1). Both derive from the same
+    * concordant/discordant/tie masses.
+    *
+    * Scale shape: the kendallTauB pattern — rows collapse to the
+    * (x, y) cell grid (ONE hash aggregate; grid ≤ |x-levels|·|y-levels|,
+    * the bounded-contingency contract), the pair masses come from a
+    * grid self-join in EXACT integer arithmetic (counts as doubles stay
+    * exact to 2^53), and the statistics are two divisions — every input
+    * to the final expressions is an exact integer, so the output is
+    * engine-portable at any corpus size. */
+  def gammaSomers(df: DataFrame, xCol: String, yCol: String,
+                  roundScale: Int = 6): DataFrame = {
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val other = cells.select(col("__x").as("__x2"), col("__y").as("__y2"),
+      col("__c").as("__c2"))
+    val pairs = cells.join(other, col("__x2") > col("__x"))
+      .agg(
+        sum(when(col("__y2") > col("__y"),
+          col("__c").cast("double") * col("__c2")).otherwise(0.0))
+          .as("__cc"),
+        sum(when(col("__y2") < col("__y"),
+          col("__c").cast("double") * col("__c2")).otherwise(0.0))
+          .as("__dd"))
+    val marg = cells.agg(sum(col("__c")).as("__n"))
+    val tx = cells.groupBy(col("__x")).agg(sum(col("__c")).as("__t"))
+      .agg(sum(col("__t").cast("double") * col("__t")).as("__sx2"))
+    pairs.crossJoin(broadcast(marg)).crossJoin(broadcast(tx))
+      .select(col("__n").as("n"),
+        col("__cc").cast("long").as("concordant"),
+        col("__dd").cast("long").as("discordant"),
+        round(when(col("__cc") + col("__dd") > 0,
+          (col("__cc") - col("__dd")) / (col("__cc") + col("__dd"))),
+          roundScale).as("gamma"),
+        // n₀ − n_x = (n² − Σ_x t_x²)/2: unordered pairs differing on x
+        round(when(col("__n") > 1 &&
+            (col("__n").cast("double") * col("__n").cast("double")
+              - col("__sx2")) > 0,
+          (col("__cc") - col("__dd"))
+            / ((col("__n").cast("double") * col("__n").cast("double")
+              - col("__sx2")) / 2.0)), roundScale).as("somers_d_yx"))
+  }
+
   /** Probabilistic-forecast quality decomposition: row-exact Brier score
     * plus the binned Murphy decomposition (Murphy, J. Appl. Met.'73)
     * reliability − resolution + uncertainty, and the expected
@@ -2787,6 +2838,80 @@ object Stats {
         (u - n1 * n2 / 2.0) / sqrt(sigma2)), roundScale).as("z_stat"))
   }
 
+  /** Ansari–Bradley two-sample SCALE test (public: Ansari & Bradley,
+    * AMS'60) — are the two samples equally DISPERSED around a common
+    * center? The rank-based sibling of [[leveneTest]]/[[brownForsythe]]
+    * (no variance estimate, outlier-robust) and the scale counterpart
+    * of [[mannWhitney]]'s location test: rank all N values, score each
+    * row min(rank, N+1−rank) (small scores at the extremes, large in
+    * the middle), and compare sample X's score mass T against its
+    * permutation moments. Tied rows take the block-average score (the
+    * midrank convention); the variance uses the general linear-rank
+    * form Var = mn·(N·Σa² − (Σa)²)/(N²(N−1)), which IS the
+    * tie-corrected AB variance.
+    *
+    * Scale shape: the [[rocAuc]] collapse — per-DISTINCT-ROUNDED-SCORE
+    * class counts, ONE bounded value-grid window, then a grid
+    * aggregate. A tie block's summed score mass S is a closed-form
+    * arithmetic series in EXACT LONG arithmetic; T = Σ cp·S/sz folds
+    * through an exact quotient/remainder split (Σq exact long, the
+    * sub-1 remainders' double sum sits far below T's ulp), so the
+    * statistic is order-independent and engine-portable at any corpus
+    * size. Overflow contract: largest tie block sz must satisfy
+    * sz²·(N+1)/2 < 2^63 (a ~1.7M-row tie block at N = 6M — far beyond
+    * any real continuous score). */
+  def ansariBradley(df: DataFrame, scoreCol: String, labelCol: String,
+                    roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = perScoreCounts(df, scoreCol, labelCol, roundScale)
+    val below = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = perScore.agg(sum(col("__cp") + col("__cn")).as("__N"))
+    val blocks = perScore
+      .withColumn("__sz", col("__cp") + col("__cn"))
+      .withColumn("__lo", coalesce(sum(col("__cp") + col("__cn"))
+        .over(below), lit(0L)))
+      .crossJoin(broadcast(totals))
+      // block ranks [a, b]; scores min(r, m−r) with m = N+1 sum to an
+      // exact two-piece arithmetic series split at k = ⌊m/2⌋
+      .withColumn("__a", col("__lo") + 1L)
+      .withColumn("__b", col("__lo") + col("__sz"))
+      .withColumn("__m", col("__N") + 1L)
+      .withColumn("__k", shiftright(col("__m"), 1))
+      .withColumn("__hi1", least(col("__b"), col("__k")))
+      .withColumn("__s1", when(col("__a") <= col("__hi1"),
+        shiftright((col("__a") + col("__hi1"))
+          * (col("__hi1") - col("__a") + 1L), 1)).otherwise(0L))
+      .withColumn("__lo2", greatest(col("__a"), col("__k") + 1L))
+      .withColumn("__s2", when(col("__lo2") <= col("__b"),
+        shiftright((col("__m") * 2L - col("__lo2") - col("__b"))
+          * (col("__b") - col("__lo2") + 1L), 1)).otherwise(0L))
+      .withColumn("__S", col("__s1") + col("__s2"))
+      // T = Σ cp·S/sz exactly: quotient in longs, remainders sub-1
+      .withColumn("__p", col("__cp") * col("__S"))
+      .withColumn("__q", expr("__p div __sz"))
+      .withColumn("__r", pmod(col("__p"), col("__sz")))
+    val agg = blocks.agg(
+      sum(col("__cp")).as("n_x"), sum(col("__cn")).as("n_y"),
+      max(col("__N")).as("__NN"),
+      (sum(col("__q")).cast("double")
+        + sum(col("__r").cast("double") / col("__sz").cast("double")))
+        .as("__T"),
+      sum(col("__S")).cast("double").as("__sa"),
+      sum(col("__S").cast("double") / col("__sz").cast("double")
+        * col("__S").cast("double")).as("__sa2"))
+    val dm = col("n_x").cast("double")
+    val dn = col("n_y").cast("double")
+    val dN = col("__NN").cast("double")
+    val e = dm * col("__sa") / dN
+    val v = dm * dn * (dN * col("__sa2") - col("__sa") * col("__sa")) /
+      (dN * dN * (dN - 1.0))
+    agg.select(col("n_x"), col("n_y"),
+      round(col("__T"), roundScale).as("ab_stat"),
+      round(when(col("n_x") > 0 && col("n_y") > 0 && v > 0,
+        (col("__T") - e) / sqrt(v)), roundScale).as("z_stat"))
+  }
+
   /** Cumulative gains / lift curve (the classic marketing-response
     * readout, and for a corpus filter the review-budget planner): sort
     * by score DESCENDING, cut the population into `buckets` equal
@@ -3215,6 +3340,74 @@ object Stats {
       round(chi, roundScale).as("chi2_cmh"),
       round(when(chi.isNotNull, least(lit(1.0), poly * exp(-x * x))),
         roundScale).as("p_value"))
+  }
+
+  /** Weighted median (lower and upper) — the robust center of a
+    * weighted population (row weights from dedup multiplicities,
+    * sampling weights, quantities): the smallest value whose cumulative
+    * weight reaches half the total. Emits BOTH conventions (lower:
+    * 2·cum ≥ W; upper: 2·cum > W) — they differ exactly when the half
+    * mass splits on a value boundary, and reporting both makes the
+    * boundary case visible instead of convention-buried.
+    *
+    * Scale shape: ONE hash aggregate to the distinct-value grid with
+    * exact LONG weight sums (weights cast to long — the integer-weight
+    * contract; fractional weights should be pre-scaled), one bounded
+    * cumulative window, two guarded mins. Exact integer comparisons
+    * throughout (2·cum vs W) — engine-portable at any size. */
+  def weightedMedian(df: DataFrame, valCol: String, weightCol: String,
+                     roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .filter(col(valCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol).cast("long") > 0)
+      .groupBy(round(col(valCol).cast("double"), roundScale).as("__v"))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    // both windows run over the aggregate-collapsed value grid (the
+    // mannWhitney/kendallW bounded-window contract)
+    val cum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    grid.withColumn("__cum", sum(col("__w")).over(cum))
+      .withColumn("__W", sum(col("__w")).over(all))
+      .agg(coalesce(max(col("__W")), lit(0L)).as("total_weight"),
+        count(lit(1)).cast("long").as("n_values"),
+        min(when(col("__cum") * 2L >= col("__W"), col("__v")))
+          .as("wm_lower"),
+        min(when(col("__cum") * 2L > col("__W"), col("__v")))
+          .as("wm_upper"))
+  }
+
+  /** First-order partial correlation r_xy·z (public: Yule 1907) — the
+    * linear x–y association with z's influence removed:
+    * (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)). The confounder screen
+    * beside [[simpsons]]' categorical flag: "quantity and price
+    * correlate — but does the correlation survive controlling for
+    * discount?"
+    *
+    * Scale shape: ONE aggregate computing the three Pearson
+    * correlations (corr is a ratio of co-moments, so its relative
+    * error stays ~√n·ε regardless of magnitude — 6dp-stable at any
+    * corpus size, the q_stats_agg-pinned parity) + scalar algebra.
+    * Degenerate denominators (|r| = 1) yield null. */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String, zCol: String,
+                  roundScale: Int = 6): DataFrame = {
+    val a = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        corr(col(xCol), col(yCol)).as("__rxy"),
+        corr(col(xCol), col(zCol)).as("__rxz"),
+        corr(col(yCol), col(zCol)).as("__ryz"))
+    val den = (lit(1.0) - col("__rxz") * col("__rxz")) *
+      (lit(1.0) - col("__ryz") * col("__ryz"))
+    a.select(col("n"),
+      round(col("__rxy"), roundScale).as("r_xy"),
+      round(col("__rxz"), roundScale).as("r_xz"),
+      round(col("__ryz"), roundScale).as("r_yz"),
+      round(when(den > 0,
+        (col("__rxy") - col("__rxz") * col("__ryz")) / sqrt(den)),
+        roundScale).as("r_xy_given_z"))
   }
 
   /** Pearson χ² test of independence over an r×c contingency (public:

@@ -321,4 +321,22 @@ class AgreementSpec extends SparkSuite {
     assert(Agreement.cronbachAlpha(flat, "s", "i", "x", items = 2)
       .collect().head.isNullAt(4))
   }
+
+  test("linCcc: identity is 1; a pure shift keeps r = 1 but drops CCC to C_b") {
+    import spark.implicits._
+    val same = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("x", "y")
+    val rs = Agreement.linCcc(same, "x", "y").collect().head
+    assert(rs.getDouble(3) === 1.0 && rs.getDouble(4) === 1.0 &&
+      rs.getDouble(5) === 1.0)
+    // y = x + 1: vx = vy = 2/3, cov = 2/3, shift² = 1 →
+    // CCC = (4/3)/(7/3) = 4/7; r stays 1 → C_b = 4/7 (pure shift)
+    val shift = Seq((1.0, 2.0), (2.0, 3.0), (3.0, 4.0)).toDF("x", "y")
+    val rt = Agreement.linCcc(shift, "x", "y").collect().head
+    assert(math.abs(rt.getDouble(3) - 4.0 / 7.0) < 1e-6)
+    assert(rt.getDouble(4) === 1.0)
+    assert(math.abs(rt.getDouble(5) - 4.0 / 7.0) < 1e-6)
+    // both constant: zero spread and zero shift → null CCC (0/0)
+    val const = Seq((2.0, 2.0), (2.0, 2.0)).toDF("x", "y")
+    assert(Agreement.linCcc(const, "x", "y").collect().head.isNullAt(3))
+  }
 }

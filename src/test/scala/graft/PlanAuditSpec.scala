@@ -184,7 +184,9 @@ class PlanAuditSpec extends SparkSuite {
   //    battery grid as q_fdr_bh, through the BY adjustment);
   //  * the strictly-dominating cell-pair grid in q_kendall_tau (work ∝
   //    distinct (x,y) cells², the operator's documented binning
-  //    contract; the cell table is localCheckpoint-pinned);
+  //    contract; the cell table is localCheckpoint-pinned) — q_gk_gamma
+  //    runs the IDENTICAL grid self-join through Stats.gammaSomers
+  //    (7 weekdays × ≤10 spend buckets ⇒ ≤70 cells);
   //  * the PAV minimax grid in q_isotonic: two range joins over the
   //    localCheckpoint-pinned ≤bins-row bin table (bins³ ≤ 1000 rows at
   //    the default 10; the checkpoint erases the bound from maxRows).
@@ -200,7 +202,7 @@ class PlanAuditSpec extends SparkSuite {
     "q_naive_bayes", "q_jonckheere", "q_dunn", "q_weighted_kappa",
     "q_drift_monitor", "q_ks_per_source", "q_heaps_law",
     "q_query_likelihood", "q_fdr_bh", "q_fdr_by", "q_isotonic",
-    "q_kendall_tau")
+    "q_kendall_tau", "q_gk_gamma")
 
   test("every nested-loop join proves a bounded side or is documented") {
     val offenders = audits.collect {

@@ -1439,6 +1439,71 @@ class StatsSpec extends SparkSuite {
     assert(rh.getDouble(4) > 4.0 - 1e-9)
   }
 
+  test("gammaSomers: hand-checked 2x2 masses; all-tied input nulls gamma") {
+    import spark.implicits._
+    // cells (0,0):3 (0,1):1 (1,0):1 (1,1):3 → C = 9, D = 1 →
+    // γ = 8/10; x-tie mass Σt² = 32 → n₀−n_x = (64−32)/2 = 16 →
+    // D_y|x = 8/16
+    val rows = Seq.fill(3)((0, 0)) ++ Seq((0, 1)) ++ Seq((1, 0)) ++
+      Seq.fill(3)((1, 1))
+    val r = Stats.gammaSomers(rows.toDF("x", "y"), "x", "y").collect().head
+    assert(r.getLong(0) === 8L)
+    assert(r.getLong(1) === 9L && r.getLong(2) === 1L)
+    assert(r.getDouble(3) === 0.8 && r.getDouble(4) === 0.5)
+    // constant y: no concordant or discordant pairs → γ null, D = 0
+    val const = Seq((0, 1), (1, 1), (2, 1)).toDF("x", "y")
+    val rc = Stats.gammaSomers(const, "x", "y").collect().head
+    assert(rc.isNullAt(3) && rc.getDouble(4) === 0.0)
+  }
+
+  test("ansariBradley: hand-checked scores with and without ties") {
+    import spark.implicits._
+    // X = {1,4}, Y = {2,3}: scores 1,2,2,1 → T = 2, E = 3,
+    // Var = 2·2·(4·10 − 36)/(16·3) = 1/3 → z = −√3
+    val a = Seq((1.0, true), (4.0, true), (2.0, false), (3.0, false))
+      .toDF("v", "lbl")
+    val ra = Stats.ansariBradley(a, "v", "lbl").collect().head
+    assert(ra.getLong(0) === 2L && ra.getLong(1) === 2L)
+    assert(ra.getDouble(2) === 2.0)
+    assert(math.abs(ra.getDouble(3) - (-math.sqrt(3.0))) < 1e-6)
+    // tie across the samples: X = {1,2}, Y = {2,3} — the tied block
+    // [ranks 2,3] averages to score 2 → T = 3 = E → z = 0
+    val t = Seq((1.0, true), (2.0, true), (2.0, false), (3.0, false))
+      .toDF("v", "lbl")
+    val rt = Stats.ansariBradley(t, "v", "lbl").collect().head
+    assert(rt.getDouble(2) === 3.0 && rt.getDouble(3) === 0.0)
+  }
+
+  test("weightedMedian: boundary split reports both conventions") {
+    import spark.implicits._
+    // W = 8, cum(3) reaches half only at the last value → both = 3
+    val r = Stats.weightedMedian(
+      Seq((1.0, 1L), (2.0, 2L), (3.0, 5L)).toDF("v", "w"), "v", "w")
+      .collect().head
+    assert(r.getLong(0) === 8L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 3.0 && r.getDouble(3) === 3.0)
+    // exact half-mass boundary: cum(1)·2 = W → lower 1, upper 2
+    val b = Stats.weightedMedian(
+      Seq((1.0, 2L), (2.0, 2L)).toDF("v", "w"), "v", "w").collect().head
+    assert(b.getDouble(2) === 1.0 && b.getDouble(3) === 2.0)
+    // zero/negative weights drop; fractional weights truncate to long
+    val z = Stats.weightedMedian(
+      Seq((1.0, 0L), (5.0, 3L)).toDF("v", "w"), "v", "w").collect().head
+    assert(z.getLong(0) === 3L && z.getDouble(2) === 5.0)
+  }
+
+  test("partialCorr: perfect xy survives any z; y = z degenerates to null") {
+    import spark.implicits._
+    val df = Seq((1.0, 1.0, 1.0), (2.0, 2.0, 3.0), (3.0, 3.0, 2.0),
+      (4.0, 4.0, 4.0)).toDF("x", "y", "z")
+    val r = Stats.partialCorr(df, "x", "y", "z").collect().head
+    assert(r.getDouble(1) === 1.0 && r.getDouble(4) === 1.0)
+    val deg = Seq((1.0, 1.0, 1.0), (2.0, 3.0, 3.0), (3.0, 2.0, 2.0))
+      .toDF("x", "y", "z")
+    val rd = Stats.partialCorr(deg, "x", "y", "z").collect().head
+    assert(rd.isNullAt(4), "r_yz = 1 → zero denominator → null")
+  }
+
   test("chiSquareTest/gTest: vacuous contingency yields null stat, dof and p") {
     import spark.implicits._
     // empty and all-null inputs used to emit chi2 = 0 with
