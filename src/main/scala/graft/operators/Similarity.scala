@@ -359,17 +359,79 @@ object Similarity {
       .select(col("cell"), col("id_a"), col("id_b"), col("cosine_sim"))
   }
 
+  /** Distinct-vector collapse of an IVF-assigned frame — the
+    * Fellegi–Sunter group trick applied to embedding cells: rows
+    * sharing (cell, vector) form ONE group carrying multiplicity, the
+    * minimum member id (the CC label representative) and whether the
+    * group is SELF-CONNECTED (its self-cosine qualifies — false only
+    * for degenerate zero/NaN vectors, whose copies never pair even
+    * with themselves). The quadratic cell join then runs over groups:
+    * pair work is Σ_cell (distinct vectors)², INVARIANT under
+    * duplication — exactly the regime a duplicate-heavy corpus (or
+    * the verbatim-copy scale soak) presents, where the raw row join
+    * grows copies². Groups are localCheckpointed: ~distinct-vector
+    * rows, consumed by both join sides plus the row relabel. */
+  private def vectorGroups(assigned: DataFrame, idCol: String,
+                           vecCol: String, threshold: Double): DataFrame =
+    assigned
+      .groupBy(col("cell"), col(vecCol).as("__v"))
+      .agg(count(lit(1)).as("__g"), min(col(idCol)).as("__gmin"))
+      .withColumn("__self",
+        coalesce(round(VectorFunctions.cosineSimilarity(col("__v"),
+          col("__v")), 6) >= threshold, lit(false)))
+      .localCheckpoint()
+
+  /** Qualifying unordered DISTINCT-VECTOR pairs within a cell, with
+    * group multiplicities and representatives on both sides. */
+  private def vectorGroupPairs(groups: DataFrame,
+                               threshold: Double): DataFrame = {
+    val ga = groups.select(col("cell"), col("__v").as("__va"),
+      col("__g").as("__ga"), col("__gmin").as("__mina"))
+    val gb = groups.select(col("cell"), col("__v").as("__vb"),
+      col("__g").as("__gb"), col("__gmin").as("__minb"))
+    ga.join(gb, Seq("cell"))
+      .filter(col("__mina") < col("__minb"))
+      .withColumn("cosine_sim",
+        round(VectorFunctions.cosineSimilarity(col("__va"), col("__vb")), 6))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
   /** Semantic dedup end-to-end: IVF-assign → within-cell cosine pairs →
     * connected components → per-cluster canonical survivor (lowest id).
     * Returns every input id with its cluster label and survivor flag —
-    * filter `is_canonical` to materialize the deduplicated corpus. */
+    * filter `is_canonical` to materialize the deduplicated corpus.
+    *
+    * Scale shape (re-shaped after the 100× soak): rows collapse to
+    * DISTINCT (cell, vector) groups first ([[vectorGroups]]), the
+    * quadratic join and the CC run over GROUPS (a group is internally
+    * a clique — identical vectors score cosine 1 — so the group graph's
+    * components blow up to exactly the row graph's), and one final join
+    * relabels rows. Duplicate copies add ZERO pair work; the raw
+    * row-pair form measured copies² (the sf10 tree ground >30 min where
+    * this runs in seconds). Output is bit-identical: group labels ARE
+    * min member ids. */
   def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[(Long, Seq[Double])],
                     threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0: $threshold")
     val assigned = ivfAssign(embeddings, idCol, vecCol, centroids)
-    val pairs = semanticPairs(assigned, idCol, vecCol, threshold)
-    Dedup.duplicateClusters(embeddings.select(col(idCol)),
-        pairs.select(col("id_a"), col("id_b")), idCol)
+    val groups = vectorGroups(assigned, idCol, vecCol, threshold)
+    val gp = vectorGroupPairs(groups, threshold)
+    val groupCC = Dedup.duplicateClusters(
+      groups.select(col("__gmin").as(idCol)),
+      gp.select(col("__mina").as("id_a"), col("__minb").as("id_b")), idCol)
+      .select(col(idCol).as("__gmin"), col("cluster").as("__gc"))
+    val gmap = groups.select(col("cell").as("__gcell"), col("__v"),
+      col("__gmin"), col("__self"))
+    assigned.select(col(idCol), col("cell"), col(vecCol).as("__rv"))
+      .join(gmap, col("cell") <=> col("__gcell") &&
+        col("__rv") <=> col("__v"))
+      .join(groupCC, Seq("__gmin"))
+      // a group that cannot pair with ITSELF (degenerate vector) leaves
+      // each member a singleton — exactly the row-graph semantics
+      .select(col(idCol),
+        when(col("__self"), col("__gc")).otherwise(col(idCol))
+          .as("cluster"))
       .withColumn("is_canonical", col(idCol) === col("cluster"))
   }
 
@@ -388,48 +450,73 @@ object Similarity {
     * Returns every input id: (id, n_neighbors, role core/border/noise,
     * cluster).
     *
-    * Scale shape: neighbor pairs come from [[semanticPairs]] (within-cell
-    * equi-join, Σ|cell|² work, never n²); degrees/cores are one hash
-    * aggregate; the CC iterates over the CORE-induced subgraph only
-    * (≤ pair volume); border attachment is one join + min-aggregate.
-    * Same cost family as [[semanticDedup]] plus one aggregate. */
+    * Scale shape (re-shaped after the 100× soak, like [[semanticDedup]]):
+    * rows collapse to DISTINCT (cell, vector) groups, the quadratic
+    * join runs over groups ([[vectorGroupPairs]], invariant under
+    * duplication), and ALL of degrees, core status, core CC and border
+    * attachment are computed at the GROUP level — every member of a
+    * group has the same neighbor count ((g−1) in-group + Σ neighbor
+    * multiplicities), hence the same role and cluster, so one relabel
+    * join restores row-level output bit-identically. Duplicate copies
+    * add zero pair work (the raw row form measured copies²). */
   def densityClusters(embeddings: DataFrame, idCol: String, vecCol: String,
                       centroids: Seq[(Long, Seq[Double])], threshold: Double,
                       minPts: Int): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1: $minPts")
-    // pairs/degrees/cores feed 3-4 consumers each (symmetrization, core
-    // filter, core-edge semi-joins, border resolution) — cache them or
-    // the IVF-assign + in-cell cosine pipeline re-runs once per
-    // reference (the plan audit counted 33 embedding scans uncached);
-    // all three are bounded by the above-threshold pair count, not n²
+    require(threshold > 0, s"threshold must be > 0: $threshold")
     val assigned = ivfAssign(embeddings, idCol, vecCol, centroids)
-    val pairs = semanticPairs(assigned, idCol, vecCol, threshold)
-      .select(col("id_a"), col("id_b")).cache()
-    val sym = pairs.unionAll(pairs.select(col("id_b").as("id_a"),
-      col("id_a").as("id_b"))).toDF("id", "nb")
-    val degrees = sym.groupBy(col("id")).agg(count(lit(1)).as("n_neighbors"))
-      .cache()
-    val cores = degrees.filter(col("n_neighbors") >= minPts).select(col("id"))
-      .cache()
-    val coreEdges = pairs
-      .join(cores.toDF("id_a"), Seq("id_a"), "left_semi")
-      .join(cores.toDF("id_b"), Seq("id_b"), "left_semi")
+    val groups = vectorGroups(assigned, idCol, vecCol, threshold)
+    // qualifying group pairs feed the adjacency (both directions) and
+    // the core-edge stream — checkpoint the bounded distinct-pair frame
+    val gp = vectorGroupPairs(groups, threshold)
+      .select(col("__mina"), col("__minb"), col("__ga"), col("__gb"))
+      .localCheckpoint()
+    val adj = gp.select(col("__mina").as("__gm"), col("__minb").as("__nb"),
+        col("__gb").as("__nc"))
+      .unionAll(gp.select(col("__minb").as("__gm"),
+        col("__mina").as("__nb"), col("__ga").as("__nc")))
+    val nbMass = adj.groupBy(col("__gm")).agg(sum(col("__nc")).as("__ext"))
+    // per-group degree = in-group clique neighbors (self-connected
+    // groups only — degenerate vectors pair with nothing, not even
+    // their own copies) + all members of qualifying neighbor groups
+    val gdeg = groups.select(col("__gmin").as("__gm"), col("__g"),
+        col("__self"))
+      .join(nbMass, Seq("__gm"), "left")
+      .withColumn("__deg",
+        when(col("__self"), col("__g") - 1L).otherwise(0L)
+          + coalesce(col("__ext"), lit(0L)))
+      .withColumn("__core", col("__deg") >= minPts)
+      .localCheckpoint()
+    val coreG = gdeg.filter(col("__core")).select(col("__gm"))
+    val coreEdges = gp
+      .join(coreG.toDF("__mina"), Seq("__mina"), "left_semi")
+      .join(coreG.toDF("__minb"), Seq("__minb"), "left_semi")
+      .select(col("__mina").as("id_a"), col("__minb").as("id_b"))
     val coreClusters = Dedup.duplicateClusters(
-      cores.toDF(idCol), coreEdges.select(col("id_a"), col("id_b")), idCol)
-    val borderClusters = sym
-      .join(cores.toDF("nb"), Seq("nb"), "left_semi") // neighbor is core
-      .join(cores.toDF("id"), Seq("id"), "left_anti") // self is not
-      .join(coreClusters.toDF("nb", "__c"), Seq("nb"))
-      .groupBy(col("id")).agg(min(col("__c")).as("cluster"))
-    val labeled = coreClusters.select(col(idCol).as("id"), col("cluster"),
-        lit("core").as("role"))
-      .unionByName(borderClusters.withColumn("role", lit("border")))
-    embeddings.select(col(idCol).as("id"))
-      .join(degrees, Seq("id"), "left")
-      .join(labeled, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
-        coalesce(col("role"), lit("noise")).as("role"), col("cluster"))
+        coreG.toDF(idCol), coreEdges, idCol)
+      .select(col(idCol).as("__gm"), col("cluster").as("__gc"))
+    val borderG = adj
+      .join(coreG.toDF("__nb"), Seq("__nb"), "left_semi") // neighbor core
+      .join(coreG.toDF("__gm"), Seq("__gm"), "left_anti") // self is not
+      .join(coreClusters.select(col("__gm").as("__nb"), col("__gc")),
+        Seq("__nb"))
+      .groupBy(col("__gm")).agg(min(col("__gc")).as("__bc"))
+    val gmap = groups.select(col("cell").as("__gcell"), col("__v"),
+      col("__gmin").as("__gm"))
+    assigned.select(col(idCol), col("cell"), col(vecCol).as("__rv"))
+      .join(gmap, col("cell") <=> col("__gcell") &&
+        col("__rv") <=> col("__v"))
+      .join(gdeg.select(col("__gm"), col("__deg"), col("__core")),
+        Seq("__gm"))
+      .join(coreClusters, Seq("__gm"), "left")
+      .join(borderG, Seq("__gm"), "left")
+      .select(col(idCol),
+        col("__deg").as("n_neighbors"),
+        when(col("__core"), lit("core"))
+          .when(col("__bc").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("__core"), col("__gc")).otherwise(col("__bc"))
+          .as("cluster"))
   }
 
   /** Per-label embedding centroid drift between two slices (the
