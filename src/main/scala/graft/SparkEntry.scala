@@ -7016,25 +7016,48 @@ object SparkEntry {
                 round((s1n / (CAST(group_size AS DOUBLE) * n)
                   + (1.0 - s2n / n)) / 2, 6) <= 0.2 AS is_close
          FROM agg""",
+    // Exact-integer mirror of the grid-collapsed spearman: doubled
+    // midranks from cumulative windows over the per-group value grids,
+    // HUGEINT moments, one closing double ratio (the 2x scale cancels).
     "q_spearman" ->
-      """WITH r AS (SELECT l_returnflag,
-                      rank() OVER (PARTITION BY l_returnflag
-                        ORDER BY l_quantity ASC)
-                        + (count(*) OVER (PARTITION BY l_returnflag,
-                            l_quantity) - 1) / 2.0 AS rx,
-                      rank() OVER (PARTITION BY l_returnflag
-                        ORDER BY l_extendedprice ASC)
-                        + (count(*) OVER (PARTITION BY l_returnflag,
-                            l_extendedprice) - 1) / 2.0 AS ry
-                    FROM lineitem
-                    WHERE l_quantity IS NOT NULL
-                      AND l_extendedprice IS NOT NULL)
-         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-                CASE WHEN var_samp(rx) > 0 AND var_samp(ry) > 0 THEN
-                  round(covar_samp(rx, ry)
-                    / sqrt(var_samp(rx) * var_samp(ry)), 6) END
+      """WITH cells AS (SELECT l_returnflag AS grp, l_quantity AS x,
+                          l_extendedprice AS y,
+                          CAST(count(*) AS BIGINT) AS c
+                        FROM lineitem
+                        WHERE l_quantity IS NOT NULL
+                          AND l_extendedprice IS NOT NULL
+                        GROUP BY 1, 2, 3),
+              gx AS (SELECT grp, x,
+                       CAST(COALESCE(SUM(cv) OVER (PARTITION BY grp
+                         ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) * 2 + cv + 1 AS BIGINT)
+                         AS rx2
+                     FROM (SELECT grp, x, CAST(SUM(c) AS BIGINT) AS cv
+                           FROM cells GROUP BY 1, 2)),
+              gy AS (SELECT grp, y,
+                       CAST(COALESCE(SUM(cv) OVER (PARTITION BY grp
+                         ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) * 2 + cv + 1 AS BIGINT)
+                         AS ry2
+                     FROM (SELECT grp, y, CAST(SUM(c) AS BIGINT) AS cv
+                           FROM cells GROUP BY 1, 2)),
+              m AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n,
+                      SUM(CAST(c AS HUGEINT) * rx2) AS sx,
+                      SUM(CAST(c AS HUGEINT) * ry2) AS sy,
+                      SUM(CAST(c AS HUGEINT) * rx2 * ry2) AS sxy,
+                      SUM(CAST(c AS HUGEINT) * rx2 * rx2) AS sxx,
+                      SUM(CAST(c AS HUGEINT) * ry2 * ry2) AS syy
+                    FROM cells JOIN gx USING (grp, x)
+                      JOIN gy USING (grp, y)
+                    GROUP BY 1)
+         SELECT grp AS l_returnflag, n,
+                CASE WHEN (n * sxx - sx * sx) > 0
+                      AND (n * syy - sy * sy) > 0 THEN
+                  round(CAST(n * sxy - sx * sy AS DOUBLE)
+                    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6) END
                   AS spearman_rho
-         FROM r GROUP BY 1""",
+         FROM m""",
     "q_boilerplate" ->
       """WITH tok AS (SELECT source,
                         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t

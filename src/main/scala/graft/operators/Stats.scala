@@ -2633,29 +2633,59 @@ object Stats {
     * SAME tree as [[Graph.assortativity]] (ANSI `corr` throws at zero
     * variance; this yields null instead), 6dp-rounded.
     *
-    * Scale shape: two rank windows per axis, all partitioned BY GROUP
-    * (the analysis unit — no global sort), then ONE stats hash
-    * aggregate. Null x or y rows are excluded pairwise first, so ranks
-    * are over complete pairs. */
+    * Scale shape (re-shaped after the 100× soak): ranks are NEVER
+    * assigned per row. Rows collapse to distinct (group, x, y) CELLS
+    * (one hash aggregate); doubled midranks 2r = 2·cumBefore + t + 1
+    * are EXACT INTEGERS from one cumulative window per axis over the
+    * bounded per-group VALUE grid (the kruskalWallis trick — the old
+    * per-row rank windows sorted every group's full row set in one
+    * task, 80 s at the 100× tree); all five moments are exact integer
+    * sums in decimal (the 2× scaling cancels in ρ), so the statistic
+    * is order-independent and engine-portable at any scale. Work ∝
+    * distinct cells — invariant under duplication. Null x or y rows
+    * are excluded pairwise first, so ranks are over complete pairs. */
   def spearman(df: DataFrame, groupCol: String, xCol: String,
                yCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def avgRank(c: String): Column = {
-      val order = Window.partitionBy(col(groupCol)).orderBy(col(c).asc)
-      val ties = Window.partitionBy(col(groupCol), col(c))
-      rank().over(order) + (count(lit(1)).over(ties) - lit(1)) / lit(2.0)
-    }
-    val ranked = df
+    val cells = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
-      .select(col(groupCol), avgRank(xCol).as("__rx"), avgRank(yCol).as("__ry"))
-    ranked.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"),
-        covar_samp(col("__rx"), col("__ry")).as("__cov"),
-        var_samp(col("__rx")).as("__vx"), var_samp(col("__ry")).as("__vy"))
-      .select(col(groupCol), col("n"),
-        when(col("__vx") > 0 && col("__vy") > 0,
-          round(col("__cov") / sqrt(col("__vx") * col("__vy")), 6))
-          .as("spearman_rho"))
+      .groupBy(col(groupCol).as("__grp"), col(xCol).as("__x"),
+        col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // feeds both axis grids and the moment join
+    def axisRanks(vc: String, rn: String): DataFrame = {
+      val w = Window.partitionBy(col("__grp")).orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cells.groupBy(col("__grp"), col(vc)).agg(sum(col("__c")).as("__cv"))
+        .select(col("__grp"), col(vc),
+          (coalesce(sum(col("__cv")).over(w), lit(0L)) * 2L
+            + col("__cv") + 1L).as(rn))
+    }
+    val dec = (c: Column) => c.cast("decimal(20,0)")
+    val m = cells
+      .join(axisRanks("__x", "__rx2"), Seq("__grp", "__x"))
+      .join(axisRanks("__y", "__ry2"), Seq("__grp", "__y"))
+      .groupBy(col("__grp"))
+      .agg(sum(col("__c")).as("n"),
+        sum(dec(col("__c")) * dec(col("__rx2"))).as("__sx"),
+        sum(dec(col("__c")) * dec(col("__ry2"))).as("__sy"),
+        sum(dec(col("__c")) * dec(col("__rx2")) * dec(col("__ry2")))
+          .as("__sxy"),
+        sum(dec(col("__c")) * dec(col("__rx2")) * dec(col("__rx2")))
+          .as("__sxx"),
+        sum(dec(col("__c")) * dec(col("__ry2")) * dec(col("__ry2")))
+          .as("__syy"))
+    // ρ = (n·Sxy − Sx·Sy)/√((n·Sxx − Sx²)(n·Syy − Sy²)) — every operand
+    // an exact integer (decimal), so both engines see identical bits
+    val dn = dec(col("n"))
+    val num = dn * col("__sxy") - col("__sx") * col("__sy")
+    val dx = dn * col("__sxx") - col("__sx") * col("__sx")
+    val dy = dn * col("__syy") - col("__sy") * col("__sy")
+    m.select(col("__grp").as(groupCol), col("n"),
+      when(dx > 0 && dy > 0,
+        round(num.cast("double")
+          / sqrt(dx.cast("double") * dy.cast("double")), 6))
+        .as("spearman_rho"))
   }
 
   /** One-way ANOVA F (Fisher 1925): does a metric's MEAN differ across

@@ -737,6 +737,88 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("semantic collapse: duplicate-heavy fixture equals row-level brute force") {
+    // The group-collapse forms must be bit-equal to row-pair semantics
+    // in the regime they exist for: duplicate copies (identical vectors
+    // pair each other at cosine 1), plus the degenerate zero vector
+    // whose copies pair with NOTHING — not even each other.
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val vecs: Seq[(Long, Array[Float])] =
+      Seq(1L -> v(0), 2L -> v(0), 3L -> v(0),        // 3 copies
+        4L -> v(10), 5L -> v(10),                     // 2 copies, near 0°
+        6L -> v(40),                                  // border-ish via 10°?
+        7L -> v(90),                                  // isolated
+        8L -> Array(0f, 0f), 9L -> Array(0f, 0f))     // zero copies
+    val e = vecs.toDF("vec_id", "embedding")
+    val cents = Seq(0L -> Seq(1.0, 0.0))
+    // row-level brute force (the pre-collapse semantics)
+    def cos(a: Array[Float], b: Array[Float]): Option[Double] = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na > 0 && nb > 0)
+        Some(BigDecimal(dot / (na * nb))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    }
+    val thr = 0.9
+    val ids = vecs.map(_._1)
+    val nbrs = ids.map { i =>
+      i -> ids.filter(j => j != i && cos(vecs.find(_._1 == i).get._2,
+        vecs.find(_._1 == j).get._2).exists(_ >= thr))
+    }.toMap
+    // CC over the qualifying pair graph, min-id labels
+    def ccLabel(seed: Long): Long = {
+      var comp = Set(seed); var frontier = Set(seed)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(nbrs(_)).diff(comp)
+        comp ++= next; frontier = next
+      }
+      comp.min
+    }
+    val expectedClusters = ids.map(i => i -> ccLabel(i)).toMap
+    val gotDedup = Similarity.semanticDedup(e, "vec_id", "embedding",
+        cents, thr)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDedup === expectedClusters,
+      "collapsed semanticDedup must equal row-level CC (zero copies stay singletons)")
+    // density at minPts = 2: brute-force roles/degrees/clusters
+    val minPts = 2
+    val deg = ids.map(i => i -> nbrs(i).size.toLong).toMap
+    val cores = ids.filter(deg(_) >= minPts).toSet
+    def coreCc(seed: Long): Long = {
+      var comp = Set(seed); var frontier = Set(seed)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(i => nbrs(i).filter(cores)).diff(comp)
+        comp ++= next; frontier = next
+      }
+      comp.min
+    }
+    val expectedDensity = ids.map { i =>
+      val role =
+        if (cores(i)) "core"
+        else if (nbrs(i).exists(cores)) "border"
+        else "noise"
+      val cluster: Option[Long] =
+        if (cores(i)) Some(coreCc(i))
+        else if (nbrs(i).exists(cores))
+          Some(nbrs(i).filter(cores).map(coreCc).min)
+        else None
+      i -> ((deg(i), role, cluster.getOrElse(-1L)))
+    }.toMap
+    val gotDensity = Similarity.densityClusters(e, "vec_id", "embedding",
+        cents, thr, minPts)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(gotDensity === expectedDensity,
+      "collapsed densityClusters must equal row-level DBSCAN semantics")
+    assert(deg(8L) === 0L && gotDensity(8L)._2 === "noise",
+      "zero-vector copies see no neighbors, not even each other")
+  }
+
   test("centroidDrift: orthogonal/aligned/missing-slice hand-check") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0), // even, label 0
