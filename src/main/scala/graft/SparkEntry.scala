@@ -1932,10 +1932,19 @@ object SparkEntry {
       .select(col("o_orderkey"),
         datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("lo_day"))
       .withColumn("hi_day", col("lo_day") + 90)
-    Joins.rangeJoinBucketed(points, "ship_day", intervals,
+    // Partial aggregate PUSHED BELOW the range join: the consumer is a
+    // per-interval count/min/max over a contiguous day range, so points
+    // collapse to the bounded per-DAY grid first and the range join
+    // carries day weights — work ∝ intervals × days-in-range instead of
+    // intervals × points (the raw form's intermediate grew
+    // points × intervals = 100× at the sf10 tree: 77.7 s → this).
+    // The raw row-level range join stays exercised by q_interval_join.
+    val dayCounts = points.groupBy(col("ship_day"))
+      .agg(count(lit(1)).as("__n_pts"))
+    Joins.rangeJoinBucketed(dayCounts, "ship_day", intervals,
         "lo_day", "hi_day", 7L)
       .groupBy(col("o_orderkey"))
-      .agg(count(lit(1)).as("n_shipped"),
+      .agg(sum(col("__n_pts")).as("n_shipped"),
         min(col("ship_day")).as("first_day"),
         max(col("ship_day")).as("last_day"))
   }
