@@ -307,13 +307,19 @@ object SparkEntry {
   private def q_rollup(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      // exact DECIMAL sum: the grand-total row's mass crosses the
+      // float-sum rounding cliff at scale (the q1 sf10 lesson)
+      .agg(sum(col("l_quantity").cast("decimal(20,2)")).cast("double")
+        .as("sum_qty"), count(lit(1)).as("n"))
 
   /** §2b cube. */
   private def q_cube(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      // exact DECIMAL sum (grand-total mass; the q1 sf10 lesson)
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(20,2)")).cast("double")
+          .as("revenue"))
 
   /** §2b grouping sets (SQL surface). */
   private def q_grouping_sets(s: SparkSession, d: String): DataFrame = {
@@ -444,7 +450,10 @@ object SparkEntry {
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
-      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+      // exact DECIMAL sum: 5-region groups carry ~n/5 of the corpus
+      // each - float-sum noise beats the 2dp round at scale
+      .agg(sum(col("o_totalprice").cast("decimal(20,2)")).cast("double")
+        .as("revenue"),
         countDistinct(col("o_custkey")).as("n_custs"))
 
   /** §2b statistical aggregates: sample stddev/variance, correlation and
@@ -6680,12 +6689,15 @@ object SparkEntry {
                       (array_agg(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS t
                FROM orders GROUP BY o_custkey)""",
     "q_rollup" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE)
+                  AS sum_qty,
                 count(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                round(sum(o_totalprice), 2) AS revenue
+                CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+                  AS revenue
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n
@@ -6770,7 +6782,9 @@ object SparkEntry {
                 array_to_string([o_orderstatus, o_orderpriority], ',') AS flat_pair
          FROM orders""",
     "q_join_agg_region" ->
-      """SELECT r_name, round(sum(o_totalprice), 2) AS revenue,
+      """SELECT r_name,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+                  AS revenue,
                 count(DISTINCT o_custkey) AS n_custs
          FROM orders
          JOIN customer ON o_custkey = c_custkey
