@@ -4079,6 +4079,47 @@ object SparkEntry {
     Stats.partialCorr(Tables.lineitem(s, d), "l_quantity",
       "l_extendedprice", "l_discount")
 
+  /** §2b Holm step-down FWER adjustment over the SAME per-source KS
+    * drift battery as q_fdr_bh — the zero-false-positive release gate
+    * beside BH/BY's discovery-rate budgets ([[Stats.holmAdjust]]). */
+  private def q_holm(s: SparkSession, d: String): DataFrame = {
+    val shifted = Tables.documents(s, d).withColumn("__v",
+      col("n_chars") + when(
+        col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        lit(150L)).otherwise(lit(0L)))
+    val ks = Stats.groupKsDrift(shifted, "source", "__v")
+    val ne = col("n_group").cast("double") * col("n_rest").cast("double") /
+      (col("n_group") + col("n_rest")).cast("double")
+    val p = least(lit(1.0),
+      round(lit(2.0) * exp(lit(-2.0) * col("ks") * col("ks") * ne), 6))
+    Stats.holmAdjust(ks.withColumn("p_value", p), "p_value", Seq("source"),
+      alpha = 0.05)
+  }
+
+  /** §2b Dickey–Fuller unit-root screen per event type over the daily
+    * count series ([[Stats.adfDaily]]) — the stationarity gate in front
+    * of the CUSUM/EWMA drift monitors; exact integer OLS moments over
+    * the calendar-bounded grid. */
+  private def q_adf(s: SparkSession, d: String): DataFrame =
+    Stats.adfDaily(Tables.events(s, d), "event_type", "ts")
+
+  /** §2b sharp regression-discontinuity jump at quantity 25.5 (±20):
+    * local linear price fits each side of the cutoff
+    * ([[Stats.regressionDiscontinuity]]) — the threshold-causal readout;
+    * exact cent-unit moments. */
+  private def q_rdd(s: SparkSession, d: String): DataFrame =
+    Stats.regressionDiscontinuity(Tables.lineitem(s, d), "l_quantity",
+      "l_extendedprice", cutoff = 25.5, bandwidth = 20.0)
+
+  /** §2b Hellinger drift distance: src0's language mix vs the rest of
+    * the corpus ([[Stats.hellinger]]) — the bounded [0,1] metric beside
+    * q_psi's unbounded log form; no zero-bin smoothing needed. */
+  private def q_hellinger(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Stats.hellinger(docs.filter(col("source") === "src0"),
+      docs.filter(col("source") =!= "src0"), "lang")
+  }
+
   /** §2b Lin's concordance (CCC): do the token-count and chars/5 length
     * scorers AGREE (not merely correlate) on documents — the
     * continuous-agreement face of the κ family ([[Agreement.linCcc]];
@@ -4460,6 +4501,10 @@ object SparkEntry {
     "q_weighted_median" -> (q_weighted_median _),
     "q_partial_corr" -> (q_partial_corr _),
     "q_lin_ccc" -> (q_lin_ccc _),
+    "q_holm" -> (q_holm _),
+    "q_adf" -> (q_adf _),
+    "q_rdd" -> (q_rdd _),
+    "q_hellinger" -> (q_hellinger _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -12504,5 +12549,177 @@ object SparkEntry {
                    THEN (2.0 * cov / den) / (cov / sqrt(vx * vy)) END, 6)
                    AS c_b
           FROM d""",
+    // Same KS battery as q_fdr_bh; the adjustment is the Holm step-down
+    // prefix cummax of (m-rank+1)*p.
+    "q_holm" ->
+      """WITH b AS (SELECT source AS g,
+                           n_chars + CASE WHEN source IN
+                             ('src0','src1','src2','src3','src4')
+                             THEN 150 ELSE 0 END AS v
+                    FROM documents WHERE n_chars IS NOT NULL),
+              gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                     FROM b GROUP BY 1, 2),
+              tv AS (SELECT v, CAST(count(*) AS BIGINT) AS ct
+                     FROM b GROUP BY 1),
+              gs AS (SELECT DISTINCT g FROM b),
+              grid AS (SELECT gs.g, tv.v, tv.ct, COALESCE(gv.c, 0) AS c
+                       FROM tv CROSS JOIN gs
+                       LEFT JOIN gv ON gv.g = gs.g AND gv.v = tv.v),
+              cum AS (SELECT g,
+                             sum(c) OVER (PARTITION BY g ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cumg,
+                             sum(ct) OVER (PARTITION BY g ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cumt,
+                             sum(c) OVER (PARTITION BY g) AS ng,
+                             sum(ct) OVER (PARTITION BY g) AS nt
+                      FROM grid),
+              ks AS (SELECT g AS source,
+                            CAST(max(ng) AS BIGINT) AS n_group,
+                            CAST(max(nt - ng) AS BIGINT) AS n_rest,
+                            round(max(CASE WHEN nt > ng THEN
+                              abs(CAST(cumg AS DOUBLE) / CAST(ng AS DOUBLE)
+                                  - CAST(cumt - cumg AS DOUBLE)
+                                    / CAST(nt - ng AS DOUBLE)) END), 6) AS ks
+                     FROM cum GROUP BY 1),
+              pv AS (SELECT source, n_group, n_rest, ks,
+                            least(1.0, round(2.0 * exp(-2.0 * ks * ks
+                              * (CAST(n_group AS DOUBLE) * CAST(n_rest AS DOUBLE)
+                                 / CAST(n_group + n_rest AS DOUBLE))), 6))
+                              AS p_value
+                     FROM ks),
+              ranked AS (SELECT *,
+                                CAST(count(*) OVER () AS BIGINT) AS m,
+                                CAST(row_number() OVER
+                                  (ORDER BY p_value, source) AS INTEGER)
+                                  AS holm_rank
+                         FROM pv)
+         SELECT source, n_group, n_rest, ks, p_value, holm_rank,
+                round(least(max(CAST(m - holm_rank + 1 AS DOUBLE) * p_value)
+                        OVER (ORDER BY p_value, source
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW),
+                      1.0), 6) AS p_adj,
+                round(least(max(CAST(m - holm_rank + 1 AS DOUBLE) * p_value)
+                        OVER (ORDER BY p_value, source
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW),
+                      1.0), 6) <= 0.05 AS significant
+         FROM ranked""",
+    // Exact integer OLS moments over the calendar-bounded daily grid;
+    // the closing algebra mirrors adfDaily term for term.
+    "q_adf" ->
+      """WITH daily AS (SELECT event_type AS g, date_trunc('day', ts) AS d,
+                               CAST(count(*) AS BIGINT) AS y
+                        FROM events WHERE ts IS NOT NULL
+                        GROUP BY 1, 2),
+              lagd AS (SELECT g, y,
+                              lag(y) OVER (PARTITION BY g ORDER BY d) AS x
+                       FROM daily),
+              d2 AS (SELECT g, x, y - x AS dy FROM lagd
+                     WHERE x IS NOT NULL),
+              m AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days,
+                           CAST(SUM(x) AS HUGEINT) AS sx,
+                           CAST(SUM(dy) AS HUGEINT) AS sy,
+                           SUM(CAST(x AS HUGEINT) * dy) AS sxy,
+                           SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                           SUM(CAST(dy AS HUGEINT) * dy) AS syy
+                    FROM d2 GROUP BY 1),
+              f AS (SELECT g, n_days,
+                           CAST(n_days * sxx - sx * sx AS DOUBLE) AS sxxc,
+                           CAST(n_days * sxy - sx * sy AS DOUBLE) AS sxyc,
+                           CAST(n_days * syy - sy * sy AS DOUBLE) AS syyc
+                    FROM m)
+         SELECT g AS event_type, n_days,
+                round(CASE WHEN sxxc > 0 THEN sxyc / sxxc END, 6) AS gamma,
+                round(CASE WHEN n_days > 2 AND sxxc > 0
+                        AND (syyc - (sxyc / sxxc) * sxyc) > 0
+                  THEN (sxyc / sxxc)
+                       / sqrt((syyc - (sxyc / sxxc) * sxyc)
+                           / CAST(n_days AS DOUBLE)
+                           / (CAST(n_days AS DOUBLE) - 2.0)
+                           / (sxxc / CAST(n_days AS DOUBLE))) END, 6)
+                  AS adf_stat
+         FROM f""",
+    // Exact cent-unit moments per side; closing algebra mirrors
+    // regressionDiscontinuity term for term.
+    "q_rdd" ->
+      """WITH base AS (SELECT (CAST(l_quantity AS DOUBLE) >= 25.5) AS r,
+                         CAST(round(CAST(l_quantity AS DOUBLE) * 100.0)
+                           - 2550 AS BIGINT) AS x,
+                         CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0)
+                           AS BIGINT) AS y
+                       FROM lineitem
+                       WHERE l_quantity IS NOT NULL
+                         AND l_extendedprice IS NOT NULL
+                         AND abs(CAST(l_quantity AS DOUBLE) - 25.5) <= 20.0),
+              m AS (SELECT
+                      CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nl,
+                      SUM(CASE WHEN NOT r THEN CAST(x AS HUGEINT)
+                        ELSE 0 END) AS sxl,
+                      SUM(CASE WHEN NOT r THEN CAST(y AS HUGEINT)
+                        ELSE 0 END) AS syl,
+                      SUM(CASE WHEN NOT r THEN CAST(x AS HUGEINT) * y
+                        ELSE 0 END) AS sxyl,
+                      SUM(CASE WHEN NOT r THEN CAST(x AS HUGEINT) * x
+                        ELSE 0 END) AS sxxl,
+                      CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nr,
+                      SUM(CASE WHEN r THEN CAST(x AS HUGEINT)
+                        ELSE 0 END) AS sxr,
+                      SUM(CASE WHEN r THEN CAST(y AS HUGEINT)
+                        ELSE 0 END) AS syr,
+                      SUM(CASE WHEN r THEN CAST(x AS HUGEINT) * y
+                        ELSE 0 END) AS sxyr,
+                      SUM(CASE WHEN r THEN CAST(x AS HUGEINT) * x
+                        ELSE 0 END) AS sxxr
+                    FROM base),
+              f AS (SELECT nl, nr,
+                      CASE WHEN nl > 1 AND (nl * sxxl - sxl * sxl) > 0
+                        THEN CAST(nl * sxyl - sxl * syl AS DOUBLE)
+                             / CAST(nl * sxxl - sxl * sxl AS DOUBLE)
+                        END AS sll,
+                      CASE WHEN nr > 1 AND (nr * sxxr - sxr * sxr) > 0
+                        THEN CAST(nr * sxyr - sxr * syr AS DOUBLE)
+                             / CAST(nr * sxxr - sxr * sxr AS DOUBLE)
+                        END AS slr,
+                      sxl, syl, sxr, syr
+                    FROM m),
+              g AS (SELECT nl, nr, sll, slr,
+                      CASE WHEN sll IS NOT NULL THEN
+                        (CAST(syl AS DOUBLE) - sll * CAST(sxl AS DOUBLE))
+                          / CAST(nl AS DOUBLE) / 100.0 END AS il,
+                      CASE WHEN slr IS NOT NULL THEN
+                        (CAST(syr AS DOUBLE) - slr * CAST(sxr AS DOUBLE))
+                          / CAST(nr AS DOUBLE) / 100.0 END AS ir
+                    FROM f)
+         SELECT nl AS n_left, nr AS n_right,
+                round(sll, 6) AS slope_left, round(slr, 6) AS slope_right,
+                round(il, 6) AS intercept_left,
+                round(ir, 6) AS intercept_right,
+                round(ir - il, 6) AS rd_jump
+         FROM g""",
+    "q_hellinger" ->
+      """WITH r AS (SELECT lang, CAST(count(*) AS BIGINT) AS nr
+                    FROM documents WHERE source = 'src0' GROUP BY 1),
+              c AS (SELECT lang, CAST(count(*) AS BIGINT) AS nc
+                    FROM documents WHERE source <> 'src0' GROUP BY 1),
+              bins AS (SELECT COALESCE(nr, 0) AS nr, COALESCE(nc, 0) AS nc
+                       FROM r FULL JOIN c USING (lang)),
+              a AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+                           CAST(COALESCE(SUM(nr), 0) AS BIGINT) AS tr,
+                           CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS tc,
+                           SUM(sqrt(CAST(nr AS DOUBLE) * nc)) AS sq
+                    FROM bins)
+         SELECT n_bins, tr AS n_ref, tc AS n_cur,
+                round(CASE WHEN tr > 0 AND tc > 0
+                  THEN sq / sqrt(CAST(tr AS DOUBLE) * tc) END, 6) AS bc_coef,
+                round(CASE WHEN tr > 0 AND tc > 0
+                  THEN sqrt(greatest(0.0, 1.0
+                    - sq / sqrt(CAST(tr AS DOUBLE) * tc))) END, 6)
+                  AS hellinger
+         FROM a""",
   )
 }

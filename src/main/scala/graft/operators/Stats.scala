@@ -2412,6 +2412,188 @@ object Stats {
       .drop("__p", "__m", "__stat")
   }
 
+  /** Holm step-DOWN adjustment (public: Holm, Scand. J. Stat. '79) —
+    * the FWER companion to [[bhAdjust]]'s FDR step-up: orders p
+    * ascending and takes the running MAX of (m−rank+1)·p over the
+    * PREFIX, clipped at 1 — controls the familywise error under
+    * arbitrary dependence with zero distributional assumptions,
+    * uniformly more powerful than plain Bonferroni. Use when ONE false
+    * positive is unacceptable (release gates), BH/BY when a false
+    * discovery RATE is the budget (monitoring sweeps).
+    *
+    * Same battery-sized shape as bhAdjust: one bounded window pass over
+    * the test battery, never the data. */
+  def holmAdjust(tests: DataFrame, pCol: String, tieCols: Seq[String],
+                 alpha: Double = 0.05, roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tieCols.nonEmpty, "tieCols must make the hypothesis order total")
+    val ord = col("__p").asc +: tieCols.map(col(_).asc)
+    val wRank = Window.orderBy(ord: _*)
+    val wPrefix = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tests
+      .withColumn("__p", round(col(pCol), roundScale))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("holm_rank", row_number().over(wRank))
+      .withColumn("__stat",
+        (col("__m") - col("holm_rank") + 1).cast("double") * col("__p"))
+      .withColumn("p_adj",
+        round(least(max(col("__stat")).over(wPrefix), lit(1.0)), roundScale))
+      .withColumn("significant", col("p_adj") <= lit(alpha))
+      .drop("__p", "__m", "__stat")
+  }
+
+  /** Augmented-free Dickey–Fuller unit-root screen per group (public:
+    * Dickey & Fuller JASA'79, the lag-0 constant-mean form): regress
+    * Δy_t on y_{t−1} over the daily count series; γ̂ near 0 (adf_stat
+    * above the ~−2.9 critical region) means shocks PERSIST (unit root —
+    * don't mean-revert this metric's alerting), strongly negative means
+    * the series mean-reverts. The stationarity gate in front of the
+    * drift monitors: CUSUM/EWMA baselines assume reversion this test
+    * checks. Critical values are tabulated constants, deliberately not
+    * emitted — the statistic is the comparable number.
+    *
+    * Scale shape: the [[theilSenDaily]] collapse — the corpus folds to
+    * the bounded (group, day) grid in ONE map-combined aggregate; the
+    * lag is a window over the calendar-bounded grid; all OLS moments
+    * are EXACT integer sums in decimal (counts are integers), so the
+    * statistic is order-independent and engine-portable at any scale.
+    * Groups need ≥ 3 days and non-constant y_{t−1}, else null. */
+  def adfDaily(events: DataFrame, keyCol: String, tsCol: String,
+               roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("__g"),
+        date_trunc("day", col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__y"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__day"))
+    val dec = (c: Column) => c.cast("decimal(20,0)")
+    val m = daily
+      .withColumn("__x", lag(col("__y"), 1).over(w))
+      .filter(col("__x").isNotNull)
+      .withColumn("__dy", col("__y") - col("__x"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(dec(col("__x"))).as("__sx"), sum(dec(col("__dy"))).as("__sy"),
+        sum(dec(col("__x")) * dec(col("__dy"))).as("__sxy"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"),
+        sum(dec(col("__dy")) * dec(col("__dy"))).as("__syy"))
+    val dn = dec(col("n_days"))
+    val sxxc = (dn * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val sxyc = (dn * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val syyc = (dn * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    val nd = col("n_days").cast("double")
+    val gamma = sxyc / sxxc
+    // SSE = Syy_c − γ̂·Sxy_c in (n-scaled)/n units; se² = (SSE/(n−2))/Sxx_c
+    val sse = (syyc - gamma * sxyc) / nd
+    val se = sqrt(sse / (nd - 2.0) / (sxxc / nd))
+    m.select(col("__g").as(keyCol), col("n_days"),
+      round(when(sxxc > 0, gamma), roundScale).as("gamma"),
+      round(when(col("n_days") > 2 && sxxc > 0 && syyc - gamma * sxyc > 0,
+        gamma / se), roundScale).as("adf_stat"))
+  }
+
+  /** Sharp regression-discontinuity jump estimate (public: Thistlethwaite
+    * & Campbell '60; Imbens & Lemieux '08 practice): local linear fits
+    * of y on (x − cutoff) on each side within `bandwidth`, jump = the
+    * intercept gap at the cutoff — the causal-effect readout when
+    * treatment switches at a threshold (spend tiers, score cutoffs,
+    * rate limits). Rectangular kernel (the transparent default;
+    * weighting is a caller-side transform).
+    *
+    * Scale shape: ONE aggregate per side over the bandwidth-filtered
+    * rows; x and y quantize to exact 1e-2-unit integers so the OLS
+    * moments are exact integer sums (order-independent, engine-portable
+    * at any scale — the q1/anova convention); the closing algebra
+    * rescales once. Sides need ≥ 2 rows and non-constant x, else null
+    * columns. */
+  def regressionDiscontinuity(df: DataFrame, xCol: String, yCol: String,
+                              cutoff: Double, bandwidth: Double,
+                              roundScale: Int = 6): DataFrame = {
+    require(bandwidth > 0, s"bandwidth must be > 0: $bandwidth")
+    val dec = (c: Column) => c.cast("decimal(20,0)")
+    // exact cent-units relative to the cutoff
+    val xC = (round(col(xCol).cast("double") * lit(100.0))
+      - lit(math.round(cutoff * 100.0))).cast("decimal(20,0)")
+    val yC = round(col(yCol).cast("double") * lit(100.0)).cast("decimal(20,0)")
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        abs(col(xCol).cast("double") - lit(cutoff)) <= lit(bandwidth))
+      .select((col(xCol).cast("double") >= lit(cutoff)).as("__right"),
+        xC.as("__x"), yC.as("__y"))
+    // ONE conditional aggregate carries both sides (a missing side
+    // yields null columns, never an empty frame)
+    def s(right: Boolean, e: Column) =
+      sum(when(col("__right") === right, e).otherwise(dec(lit(0))))
+    def n(right: Boolean) =
+      sum(when(col("__right") === right, 1L).otherwise(0L))
+    val m = base.agg(
+      n(false).as("__nl"), s(false, col("__x")).as("__sxl"),
+      s(false, col("__y")).as("__syl"),
+      s(false, col("__x") * col("__y")).as("__sxyl"),
+      s(false, col("__x") * col("__x")).as("__sxxl"),
+      n(true).as("__nr"), s(true, col("__x")).as("__sxr"),
+      s(true, col("__y")).as("__syr"),
+      s(true, col("__x") * col("__y")).as("__sxyr"),
+      s(true, col("__x") * col("__x")).as("__sxxr"))
+    def fit(p: String): (Column, Column) = {
+      val dn = dec(col(s"__n$p"))
+      val den = (dn * col(s"__sxx$p") - col(s"__sx$p") * col(s"__sx$p"))
+        .cast("double")
+      val num = (dn * col(s"__sxy$p") - col(s"__sx$p") * col(s"__sy$p"))
+        .cast("double")
+      val slope = when(col(s"__n$p") > 1 && den > 0, num / den)
+      val intercept = when(col(s"__n$p") > 1 && den > 0,
+        (col(s"__sy$p").cast("double") - slope * col(s"__sx$p").cast("double"))
+          / col(s"__n$p").cast("double") / 100.0)
+      (slope, intercept)
+    }
+    val (sl, il) = fit("l")
+    val (sr, ir) = fit("r")
+    m.select(col("__nl").as("n_left"), col("__nr").as("n_right"),
+      round(sl, roundScale).as("slope_left"),
+      round(sr, roundScale).as("slope_right"),
+      round(il, roundScale).as("intercept_left"),
+      round(ir, roundScale).as("intercept_right"),
+      round(ir - il, roundScale).as("rd_jump"))
+  }
+
+  /** Hellinger distance between a reference and a current categorical
+    * distribution (public: Hellinger 1909): H = √(1 − BC) with the
+    * Bhattacharyya coefficient BC = Σ√(p·q) — the bounded-metric drift
+    * readout beside [[psi]]'s unbounded log form (H ∈ [0,1] is
+    * comparable ACROSS metrics and needs no zero-bin smoothing: absent
+    * bins contribute exactly 0). √ is IEEE-exact per cell and the fold
+    * is over the bounded bin grid, so the 6dp round is stable at any
+    * corpus size.
+    *
+    * Scale shape: two bin aggregates + one full outer join on the
+    * bounded bin key, one closing fold. */
+  def hellinger(ref: DataFrame, cur: DataFrame, binCol: String,
+                roundScale: Int = 6): DataFrame = {
+    val r = ref.groupBy(col(binCol)).agg(count(lit(1)).as("__nr"))
+    val c = cur.groupBy(col(binCol)).agg(count(lit(1)).as("__nc"))
+    val bins = r.join(c, Seq(binCol), "full")
+      .na.fill(0L, Seq("__nr", "__nc"))
+    bins
+      .agg(count(lit(1)).as("n_bins"),
+        coalesce(sum(col("__nr")), lit(0L)).as("__tr"),
+        coalesce(sum(col("__nc")), lit(0L)).as("__tc"),
+        sum(sqrt(col("__nr").cast("double") * col("__nc")))
+          .as("__sqSum"))
+      .select(col("n_bins"), col("__tr").as("n_ref"), col("__tc").as("n_cur"),
+        round(when(col("__tr") > 0 && col("__tc") > 0,
+          col("__sqSum") / sqrt(col("__tr").cast("double") * col("__tc"))),
+          roundScale).as("bc_coef"),
+        round(when(col("__tr") > 0 && col("__tc") > 0,
+          sqrt(greatest(lit(0.0), lit(1.0)
+            - col("__sqSum") / sqrt(col("__tr").cast("double")
+              * col("__tc"))))), roundScale).as("hellinger"))
+  }
+
   /** Benjamini–Yekutieli FDR adjustment (public: Benjamini & Yekutieli,
     * Ann. Stat. '01) — the [[bhAdjust]] step-up with the harmonic
     * correction c(m) = Σ_{i≤m} 1/i, valid under ARBITRARY dependence

@@ -180,8 +180,9 @@ class PlanAuditSpec extends SparkSuite {
   //    categories / days / tests — value-grid bound; q_jonckheere's
   //    distinct-values × groups grid is the same contract): q_jsd_matrix,
   //    q_cramers_v, q_naive_bayes, q_drift_monitor, q_ks_per_source,
-  //    q_heaps_law, q_query_likelihood, q_fdr_bh, q_fdr_by (the same KS
-  //    battery grid as q_fdr_bh, through the BY adjustment);
+  //    q_heaps_law, q_query_likelihood, q_fdr_bh, q_fdr_by, q_holm (the
+  //    same KS battery grid as q_fdr_bh, through the BY/Holm
+  //    adjustments);
   //  * the strictly-dominating cell-pair grid in q_kendall_tau (work ∝
   //    distinct (x,y) cells², the operator's documented binning
   //    contract; the cell table is localCheckpoint-pinned) — q_gk_gamma
@@ -201,7 +202,7 @@ class PlanAuditSpec extends SparkSuite {
     "q_embedding_pairs", "q_twonn", "q_jsd_matrix", "q_cramers_v",
     "q_naive_bayes", "q_jonckheere", "q_dunn", "q_weighted_kappa",
     "q_drift_monitor", "q_ks_per_source", "q_heaps_law",
-    "q_query_likelihood", "q_fdr_bh", "q_fdr_by", "q_isotonic",
+    "q_query_likelihood", "q_fdr_bh", "q_fdr_by", "q_holm", "q_isotonic",
     "q_kendall_tau", "q_gk_gamma")
 
   test("every nested-loop join proves a bounded side or is documented") {

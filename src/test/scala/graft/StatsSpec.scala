@@ -1439,6 +1439,78 @@ class StatsSpec extends SparkSuite {
     assert(rh.getDouble(4) > 4.0 - 1e-9)
   }
 
+  test("holmAdjust: prefix cummax of (m-rank+1)p, clipped; step-down order") {
+    import spark.implicits._
+    val t = Seq(("a", 0.01), ("b", 0.02), ("c", 0.02), ("d", 0.5))
+      .toDF("id", "p")
+    val out = Stats.holmAdjust(t, "p", Seq("id")).collect()
+      .map(r => r.getString(0) -> ((r.getInt(2), r.getDouble(3),
+        r.getBoolean(4)))).toMap
+    // 0.01·4 = .04; 0.02·3 = .06 (cummax holds); 0.5·1 = .5
+    assert(out("a") === ((1, 0.04, true)))
+    assert(out("b") === ((2, 0.06, false)))
+    assert(out("c") === ((3, 0.06, false)))
+    assert(out("d") === ((4, 0.5, false)))
+  }
+
+  test("adfDaily: hand-computed AR(1) moments on a 4-day series") {
+    import spark.implicits._
+    // daily counts 1,2,3,2 → (x,dy) = (1,1),(2,1),(3,−1): γ̂ = −1,
+    // adf = −√3 (se² = (2/3)/1/2)
+    val base = 1700000000000000L
+    val day = 86400L * 1000000L
+    val rows = (Seq.fill(1)(0) ++ Seq.fill(2)(1) ++ Seq.fill(3)(2) ++
+      Seq.fill(2)(3)).zipWithIndex.map { case (d, i) =>
+      (s"a", base + d * day + i, i.toLong)
+    }
+    val df = rows.toDF("event_type", "us", "event_id")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(us)")).drop("us")
+    val r = Stats.adfDaily(df, "event_type", "ts").collect().head
+    assert(r.getString(0) === "a" && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === -1.0)
+    assert(math.abs(r.getDouble(3) - (-math.sqrt(3.0))) < 1e-6)
+    // constant series: Sxx_c = 0 → nulls
+    val const = (0 to 3).map(d => ("b", base + d * day, d.toLong))
+      .toDF("event_type", "us", "event_id")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(us)")).drop("us")
+    val rc = Stats.adfDaily(const, "event_type", "ts").collect().head
+    assert(rc.isNullAt(2) && rc.isNullAt(3))
+  }
+
+  test("regressionDiscontinuity: hand-fit lines each side, jump = 7") {
+    import spark.implicits._
+    // left (20,10),(24,12): slope .5, intercept at 25.5 = 12.75;
+    // right (26,20),(30,22): slope .5, intercept 19.75 → jump 7
+    val df = Seq((20.0, 10.0), (24.0, 12.0), (26.0, 20.0), (30.0, 22.0),
+      (100.0, 999.0)) // outside the bandwidth, must be ignored
+      .toDF("x", "y")
+    val r = Stats.regressionDiscontinuity(df, "x", "y", 25.5, 20.0)
+      .collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.5 && r.getDouble(3) === 0.5)
+    assert(r.getDouble(4) === 12.75 && r.getDouble(5) === 19.75)
+    assert(r.getDouble(6) === 7.0)
+    // a one-point side fits no line → null columns, row still emitted
+    val one = Seq((20.0, 10.0), (26.0, 20.0), (30.0, 22.0)).toDF("x", "y")
+    val ro = Stats.regressionDiscontinuity(one, "x", "y", 25.5, 20.0)
+      .collect().head
+    assert(ro.getLong(0) === 1L && ro.isNullAt(2) && ro.isNullAt(6))
+  }
+
+  test("hellinger: hand-checked disjoint mass; identical mix scores 0") {
+    import spark.implicits._
+    val ref = Seq.fill(4)("a").toDF("lang")
+    val cur = Seq("a", "b").toDF("lang")
+    val r = Stats.hellinger(ref, cur, "lang").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 4L && r.getLong(2) === 2L)
+    // BC = √(4·1)/√(4·2) = 1/√2; H = √(1 − 1/√2)
+    assert(math.abs(r.getDouble(3) - 1.0 / math.sqrt(2.0)) < 1e-6)
+    assert(math.abs(r.getDouble(4) -
+      math.sqrt(1.0 - 1.0 / math.sqrt(2.0))) < 1e-6)
+    val same = Stats.hellinger(ref, ref, "lang").collect().head
+    assert(same.getDouble(3) === 1.0 && same.getDouble(4) === 0.0)
+  }
+
   test("gammaSomers: hand-checked 2x2 masses; all-tied input nulls gamma") {
     import spark.implicits._
     // cells (0,0):3 (0,1):1 (1,0):1 (1,1):3 → C = 9, D = 1 →
