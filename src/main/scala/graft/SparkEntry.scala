@@ -4120,6 +4120,27 @@ object SparkEntry {
       docs.filter(col("source") =!= "src0"), "lang")
   }
 
+  /** §2b Kuiper cyclic drift: per event type, V = D⁺ + D⁻ of its
+    * weekday-index mix vs the rest ([[Stats.groupKuiperDrift]]) — the
+    * rotation-sensitive drift screen KS under-weights on cyclic
+    * supports (a shifted weekly peak cancels at any single point). */
+  private def q_kuiper(s: SparkSession, d: String): DataFrame =
+    Stats.groupKuiperDrift(
+      Tables.events(s, d).select(col("event_type"),
+        (datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) % 7)
+          .cast("long").as("dow_ix")),
+      "event_type", "dow_ix")
+
+  /** §2b Cucconi joint location-scale test on click vs non-click values
+    * ([[Stats.cucconiTest]]) — one rank statistic for "did the
+    * distribution move OR change spread", where Mann–Whitney + Ansari
+    * separately would need a multiplicity correction. */
+  private def q_cucconi(s: SparkSession, d: String): DataFrame =
+    Stats.cucconiTest(
+      Tables.events(s, d)
+        .withColumn("is_click", col("event_type") === lit("click")),
+      "value", "is_click")
+
   /** §2b Lin's concordance (CCC): do the token-count and chars/5 length
     * scorers AGREE (not merely correlate) on documents — the
     * continuous-agreement face of the κ family ([[Agreement.linCcc]];
@@ -4505,6 +4526,8 @@ object SparkEntry {
     "q_adf" -> (q_adf _),
     "q_rdd" -> (q_rdd _),
     "q_hellinger" -> (q_hellinger _),
+    "q_kuiper" -> (q_kuiper _),
+    "q_cucconi" -> (q_cucconi _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -12721,5 +12744,91 @@ object SparkEntry {
                     - sq / sqrt(CAST(tr AS DOUBLE) * tc))) END, 6)
                   AS hellinger
          FROM a""",
+    // The q_ks_per_source grid with SIGNED deviations: V = D+ + D-.
+    "q_kuiper" ->
+      """WITH b AS (SELECT event_type AS g,
+                           CAST(datediff('day', DATE '2024-01-01',
+                             CAST(ts AS DATE)) % 7 AS BIGINT) AS v
+                    FROM events WHERE ts IS NOT NULL),
+              gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                     FROM b GROUP BY 1, 2),
+              tv AS (SELECT v, CAST(count(*) AS BIGINT) AS ct
+                     FROM b GROUP BY 1),
+              gs AS (SELECT DISTINCT g FROM b),
+              grid AS (SELECT gs.g, tv.v, tv.ct, COALESCE(gv.c, 0) AS c
+                       FROM tv CROSS JOIN gs
+                       LEFT JOIN gv ON gv.g = gs.g AND gv.v = tv.v),
+              cum AS (SELECT g,
+                             sum(c) OVER (PARTITION BY g ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cumg,
+                             sum(ct) OVER (PARTITION BY g ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cumt,
+                             sum(c) OVER (PARTITION BY g) AS ng,
+                             sum(ct) OVER (PARTITION BY g) AS nt
+                      FROM grid)
+         SELECT g AS event_type,
+                CAST(max(ng) AS BIGINT) AS n_group,
+                CAST(max(nt - ng) AS BIGINT) AS n_rest,
+                round(greatest(max(CASE WHEN nt > ng THEN
+                    CAST(cumg AS DOUBLE) / CAST(ng AS DOUBLE)
+                      - CAST(cumt - cumg AS DOUBLE)
+                        / CAST(nt - ng AS DOUBLE) END), 0.0)
+                  + greatest(max(CASE WHEN nt > ng THEN
+                    -(CAST(cumg AS DOUBLE) / CAST(ng AS DOUBLE)
+                      - CAST(cumt - cumg AS DOUBLE)
+                        / CAST(nt - ng AS DOUBLE)) END), 0.0), 6)
+                  AS kuiper_v
+         FROM cum GROUP BY 1""",
+    // Exact 4*sum(rank^2) integer moments (midranks are half-integers);
+    // the closing algebra mirrors cucconiTest term for term.
+    "q_cucconi" ->
+      """WITH ps AS (SELECT round(CAST(value AS DOUBLE), 6) AS s,
+                       CAST(SUM(CASE WHEN event_type = 'click'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                       CAST(SUM(CASE WHEN event_type = 'click'
+                         THEN 0 ELSE 1 END) AS BIGINT) AS cn
+                     FROM events
+                     WHERE value IS NOT NULL AND event_type IS NOT NULL
+                     GROUP BY 1),
+              blk AS (SELECT cp, cn, cp + cn AS sz,
+                        CAST(COALESCE(SUM(cp + cn) OVER (ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS lo,
+                        CAST(SUM(cp + cn) OVER () AS BIGINT) AS nn
+                      FROM ps),
+              rk AS (SELECT cp, cn, nn, lo * 2 + sz + 1 AS r2,
+                            (nn + 1) * 2 - (lo * 2 + sz + 1) AS q2
+                     FROM blk),
+              ag AS (SELECT CAST(SUM(cp) AS BIGINT) AS n_x,
+                            CAST(SUM(cn) AS BIGINT) AS n_y,
+                            CAST(MAX(nn) AS BIGINT) AS nn,
+                            SUM(CAST(cp AS HUGEINT) * r2 * r2) AS s4,
+                            SUM(CAST(cp AS HUGEINT) * q2 * q2) AS c4
+                     FROM rk),
+              f AS (SELECT n_x, n_y,
+                      CAST(n_x AS DOUBLE) AS dm, CAST(n_y AS DOUBLE) AS dny,
+                      CAST(nn AS DOUBLE) AS dbn,
+                      CAST(s4 AS DOUBLE) AS ds4, CAST(c4 AS DOUBLE) AS dc4
+                    FROM ag),
+              g AS (SELECT n_x, n_y,
+                      (6.0 * ds4 / 4.0 - dm * (dbn + 1.0) * (2.0 * dbn + 1.0))
+                        / sqrt(dm * dny * (dbn + 1.0) * (2.0 * dbn + 1.0)
+                          * (8.0 * dbn + 11.0) / 5.0) AS u,
+                      (6.0 * dc4 / 4.0 - dm * (dbn + 1.0) * (2.0 * dbn + 1.0))
+                        / sqrt(dm * dny * (dbn + 1.0) * (2.0 * dbn + 1.0)
+                          * (8.0 * dbn + 11.0) / 5.0) AS v,
+                      2.0 * (dbn * dbn - 4.0)
+                        / ((2.0 * dbn + 1.0) * (8.0 * dbn + 11.0)) - 1.0
+                        AS rho
+                    FROM f)
+         SELECT n_x, n_y,
+                round(CASE WHEN n_x > 0 AND n_y > 0 THEN u END, 6) AS u_stat,
+                round(CASE WHEN n_x > 0 AND n_y > 0 THEN v END, 6) AS v_stat,
+                round(CASE WHEN n_x > 0 AND n_y > 0 AND rho * rho < 1.0
+                  THEN (u * u + v * v - 2.0 * rho * u * v)
+                       / (2.0 * (1.0 - rho * rho)) END, 6) AS cucconi_c
+         FROM g""",
   )
 }

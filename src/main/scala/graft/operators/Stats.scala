@@ -830,6 +830,106 @@ object Stats {
           .as("ks"))
   }
 
+  /** Per-group Kuiper drift V = D⁺ + D⁻ (public: Kuiper 1960) — the
+    * CYCLIC-sensitive sibling of [[groupKsDrift]]: KS's single max |F−G|
+    * under-weights distributions that differ by a rotation (hour-of-day
+    * mixes, day-of-week cycles — a shifted peak moves mass both ways and
+    * the signed deviations partly cancel at any single point); Kuiper
+    * sums the largest positive and largest negative deviation, making
+    * the statistic invariant under cyclic shifts of the support. Same
+    * group-vs-rest contract and value-grid shape as groupKsDrift (one
+    * grid, one cumulative window, one fold). */
+  def groupKuiperDrift(df: DataFrame, groupCol: String, valCol: String,
+                       roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(valCol).isNotNull)
+    val gv = base.groupBy(col(groupCol).as("__g"), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val tv = base.groupBy(col(valCol).as("__v")).agg(count(lit(1)).as("__ct"))
+    val groups = gv.select(col("__g")).distinct()
+    val grid = tv.crossJoin(groups)
+      .join(gv, Seq("__g", "__v"), "left")
+      .na.fill(0L, Seq("__c"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val entire = Window.partitionBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dev = col("__cumg") / col("__ng") -
+      (col("__cumt") - col("__cumg")) / (col("__nt") - col("__ng"))
+    grid
+      .withColumn("__cumg", sum(col("__c")).over(w))
+      .withColumn("__cumt", sum(col("__ct")).over(w))
+      .withColumn("__ng", sum(col("__c")).over(entire))
+      .withColumn("__nt", sum(col("__ct")).over(entire))
+      .groupBy(col("__g").as(groupCol))
+      .agg(max(col("__ng")).as("n_group"),
+        max(col("__nt") - col("__ng")).as("n_rest"),
+        round(
+          greatest(max(when(col("__nt") > col("__ng"), dev)), lit(0.0))
+            + greatest(max(when(col("__nt") > col("__ng"), -dev)),
+              lit(0.0)), roundScale).as("kuiper_v"))
+  }
+
+  /** Cucconi joint location-scale test (public: Cucconi, Giorn. Econom.
+    * 1968; Marozzi '09 revival) — ONE rank statistic sensitive to BOTH
+    * a mean shift and a spread change: U standardizes Σ(rank²) of
+    * sample X, V the contrary ranks Σ((N+1−rank)²), and
+    * C = (U² + V² − 2ρUV)/(2(1−ρ²)) combines them with their known
+    * correlation — the single-number screen where running
+    * [[mannWhitney]] + [[ansariBradley]] would need a multiplicity
+    * correction. Tied ranks take midranks.
+    *
+    * Scale shape: the [[rocAuc]] collapse — distinct-rounded-score
+    * class counts, one bounded cumulative window; Σrank² folds as
+    * EXACT integer sums of cp·(2·midrank)² in decimal (midranks are
+    * half-integers, so 4·Σ S² is an exact integer), making the
+    * statistic order-independent and engine-portable at any scale. */
+  def cucconiTest(df: DataFrame, scoreCol: String, labelCol: String,
+                  roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = perScoreCounts(df, scoreCol, labelCol, roundScale)
+    val below = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val entire = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val dec = (c: Column) => c.cast("decimal(20,0)")
+    val blocks = perScore
+      .withColumn("__sz", col("__cp") + col("__cn"))
+      .withColumn("__lo", coalesce(sum(col("__cp") + col("__cn"))
+        .over(below), lit(0L)))
+      .withColumn("__N", sum(col("__cp") + col("__cn")).over(entire))
+      // doubled midrank and doubled contrary rank — both exact longs
+      .withColumn("__r2", col("__lo") * 2L + col("__sz") + 1L)
+      .withColumn("__q2", (col("__N") + 1L) * 2L - col("__r2"))
+    val agg = blocks.agg(
+      sum(col("__cp")).as("n_x"), sum(col("__cn")).as("n_y"),
+      max(col("__N")).as("__NN"),
+      sum(dec(col("__cp")) * dec(col("__r2")) * dec(col("__r2")))
+        .as("__s4"),  // 4·Σ S²  (exact)
+      sum(dec(col("__cp")) * dec(col("__q2")) * dec(col("__q2")))
+        .as("__c4")) // 4·Σ (N+1−S)²  (exact)
+    val dm = col("n_x").cast("double")
+    val dn = col("n_y").cast("double")
+    val dN = col("__NN").cast("double")
+    val den = sqrt(dm * dn * (dN + 1.0) * (lit(2.0) * dN + 1.0)
+      * (lit(8.0) * dN + 11.0) / 5.0)
+    val u = (lit(6.0) * col("__s4").cast("double") / 4.0
+      - dm * (dN + 1.0) * (lit(2.0) * dN + 1.0)) / den
+    val v = (lit(6.0) * col("__c4").cast("double") / 4.0
+      - dm * (dN + 1.0) * (lit(2.0) * dN + 1.0)) / den
+    val rho = lit(2.0) * (dN * dN - 4.0) /
+      ((lit(2.0) * dN + 1.0) * (lit(8.0) * dN + 11.0)) - 1.0
+    val c = (u * u + v * v - lit(2.0) * rho * u * v) /
+      (lit(2.0) * (lit(1.0) - rho * rho))
+    agg.select(col("n_x"), col("n_y"),
+      round(when(col("n_x") > 0 && col("n_y") > 0, u), roundScale)
+        .as("u_stat"),
+      round(when(col("n_x") > 0 && col("n_y") > 0, v), roundScale)
+        .as("v_stat"),
+      round(when(col("n_x") > 0 && col("n_y") > 0 && rho * rho < 1.0, c),
+        roundScale).as("cucconi_c"))
+  }
+
   /** Welch's two-sample t statistic per metric group (public: Welch
     * Biometrika'47) — the A/B experiment readout: for every group in
     * `groupCol`, compare `valCol` between the `a` and `b` populations of

@@ -201,7 +201,7 @@ class PlanAuditSpec extends SparkSuite {
     "q_cosine_topk", "q_int8_recall", "q_rrf", "q_jl_distortion",
     "q_embedding_pairs", "q_twonn", "q_jsd_matrix", "q_cramers_v",
     "q_naive_bayes", "q_jonckheere", "q_dunn", "q_weighted_kappa",
-    "q_drift_monitor", "q_ks_per_source", "q_heaps_law",
+    "q_drift_monitor", "q_ks_per_source", "q_kuiper", "q_heaps_law",
     "q_query_likelihood", "q_fdr_bh", "q_fdr_by", "q_holm", "q_isotonic",
     "q_kendall_tau", "q_gk_gamma")
 

@@ -1439,6 +1439,60 @@ class StatsSpec extends SparkSuite {
     assert(rh.getDouble(4) > 4.0 - 1e-9)
   }
 
+  test("groupKuiperDrift: V sums both deviation signs where KS keeps one") {
+    import spark.implicits._
+    // group a = {0,2}, rest = {1}: F_a − F_rest = +.5 at 0, −.5 at 1 →
+    // V = 1.0 while KS would report only 0.5 (the cyclic-shift blind
+    // spot this statistic exists for)
+    val df = Seq(("a", 0L), ("a", 2L), ("b", 1L)).toDF("g", "v")
+    val out = Stats.groupKuiperDrift(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("a") === 1.0)
+    assert(out("b") === 1.0) // b vs rest is the mirror image
+    // identical mixes → V = 0
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("g", "v")
+    val so = Stats.groupKuiperDrift(same, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(so("a") === 0.0 && so("b") === 0.0)
+  }
+
+  test("cucconiTest: Scala-mirrored U/V/C with and without ties") {
+    import spark.implicits._
+    def expected(xs: Seq[Double], ys: Seq[Double]): (Double, Double, Double) = {
+      val all = (xs.map((_, true)) ++ ys.map((_, false))).sortBy(_._1)
+      val n = all.size
+      // midranks
+      val ranks = all.zipWithIndex.groupBy(_._1._1).toSeq.flatMap {
+        case (_, g) =>
+          val mid = g.map(_._2 + 1).sum.toDouble / g.size
+          g.map { case ((_, lbl), _) => (lbl, mid) }
+      }
+      val m = xs.size.toDouble; val nn = ys.size.toDouble; val dN = n.toDouble
+      val s2 = ranks.collect { case (true, r) => r * r }.sum
+      val c2 = ranks.collect { case (true, r) => (dN + 1 - r) * (dN + 1 - r) }.sum
+      val den = math.sqrt(m * nn * (dN + 1) * (2 * dN + 1) * (8 * dN + 11) / 5.0)
+      val u = (6 * s2 - m * (dN + 1) * (2 * dN + 1)) / den
+      val v = (6 * c2 - m * (dN + 1) * (2 * dN + 1)) / den
+      val rho = 2 * (dN * dN - 4) / ((2 * dN + 1) * (8 * dN + 11)) - 1
+      (u, v, (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho)))
+    }
+    def run(xs: Seq[Double], ys: Seq[Double]) = {
+      val df = (xs.map((_, true)) ++ ys.map((_, false))).toDF("v", "lbl")
+      val r = Stats.cucconiTest(df, "v", "lbl").collect().head
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    }
+    // spread case, no ties: X wraps Y
+    val (u1, v1, c1) = expected(Seq(1, 4), Seq(2, 3))
+    val (gu1, gv1, gc1) = run(Seq(1, 4), Seq(2, 3))
+    assert(math.abs(gu1 - u1) < 1e-6 && math.abs(gv1 - v1) < 1e-6 &&
+      math.abs(gc1 - c1) < 1e-6)
+    // tie across the samples
+    val (u2, v2, c2) = expected(Seq(1, 2), Seq(2, 3))
+    val (gu2, gv2, gc2) = run(Seq(1, 2), Seq(2, 3))
+    assert(math.abs(gu2 - u2) < 1e-6 && math.abs(gv2 - v2) < 1e-6 &&
+      math.abs(gc2 - c2) < 1e-6)
+  }
+
   test("holmAdjust: prefix cummax of (m-rank+1)p, clipped; step-down order") {
     import spark.implicits._
     val t = Seq(("a", 0.01), ("b", 0.02), ("c", 0.02), ("d", 0.5))
