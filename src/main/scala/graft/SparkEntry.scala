@@ -4120,6 +4120,21 @@ object SparkEntry {
       docs.filter(col("source") =!= "src0"), "lang")
   }
 
+  /** §2b rich-club coefficient over the doc-similarity graph
+    * ([[Graph.richClub]]): do the highly-duplicated documents
+    * near-duplicate EACH OTHER (template cliques) or bridge disjoint
+    * regions — φ(k) at k ∈ {1, 2, 4} beside q_assortativity's single
+    * correlation. Same cached pair graph as q_assortativity. */
+  private def q_rich_club(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.jaccardPairsFrom(
+      Dedup.shingleSets(Tables.documents(s, d).filter(col("doc_id") < 300),
+        "doc_id", "text"),
+      "doc_id", 0.02).cache()
+    Graph.richClub(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      Seq(1, 2, 4))
+  }
+
   /** §2b Kuiper cyclic drift: per event type, V = D⁺ + D⁻ of its
     * weekday-index mix vs the rest ([[Stats.groupKuiperDrift]]) — the
     * rotation-sensitive drift screen KS under-weights on cyclic
@@ -4528,6 +4543,7 @@ object SparkEntry {
     "q_hellinger" -> (q_hellinger _),
     "q_kuiper" -> (q_kuiper _),
     "q_cucconi" -> (q_cucconi _),
+    "q_rich_club" -> (q_rich_club _),
   )
 
   /** Guarded DuckDB tokenizer matching TextFunctions.tokens (empty/blank
@@ -12830,5 +12846,47 @@ object SparkEntry {
                   THEN (u * u + v * v - 2.0 * rho * u * v)
                        / (2.0 * (1.0 - rho * rho)) END, 6) AS cucconi_c
          FROM g""",
+    // The q_assortativity pair graph with exact integer club counts.
+    "q_rich_club" ->
+      """WITH tok AS (SELECT doc_id,
+                        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS t
+                      FROM documents WHERE doc_id < 300),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS token
+                     FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                               count(*) AS n_common
+                        FROM sh a JOIN sh b
+                          ON a.token = b.token AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              pairs AS (SELECT i.id_a AS a, i.id_b AS b
+                        FROM inter i
+                        JOIN sizes sa ON i.id_a = sa.doc_id
+                        JOIN sizes sb ON i.id_b = sb.doc_id
+                        WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.02),
+              deg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg
+                      FROM (SELECT a AS id FROM pairs
+                            UNION ALL SELECT b AS id FROM pairs)
+                      GROUP BY 1),
+              rc AS (SELECT CAST(k AS BIGINT) AS k
+                     FROM (VALUES (1), (2), (4)) v(k)),
+              nk AS (SELECT rc.k,
+                            CAST(SUM(CASE WHEN deg.dg > rc.k
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_nodes
+                     FROM rc CROSS JOIN deg GROUP BY 1),
+              pd AS (SELECT p.a, p.b, da.dg AS dga, db.dg AS dgb
+                     FROM pairs p
+                     JOIN deg da ON p.a = da.id
+                     JOIN deg db ON p.b = db.id),
+              ek AS (SELECT rc.k,
+                            CAST(SUM(CASE WHEN dga > rc.k AND dgb > rc.k
+                              THEN 1 ELSE 0 END) AS BIGINT) AS e_club
+                     FROM rc CROSS JOIN pd GROUP BY 1)
+         SELECT nk.k, nk.n_nodes, COALESCE(ek.e_club, 0) AS e_club,
+                round(CASE WHEN nk.n_nodes >= 2 THEN
+                  2.0 * CAST(COALESCE(ek.e_club, 0) AS DOUBLE)
+                    / (CAST(nk.n_nodes AS DOUBLE)
+                       * (CAST(nk.n_nodes AS DOUBLE) - 1.0)) END, 6) AS phi
+         FROM nk LEFT JOIN ek ON nk.k = ek.k""",
   )
 }

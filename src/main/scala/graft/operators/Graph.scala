@@ -532,6 +532,51 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** Rich-club coefficient φ(k) (public: Zhou & Mondragón, Nat. Phys.
+    * lineage '04): among the nodes of degree > k, the realized edge
+    * density 2·E_k/(N_k(N_k−1)) — "do the hubs wire to each other".
+    * φ(k) → 1 marks an elite clique (in a dedup graph: a block of
+    * templates all near-duplicating each other); low φ at high k marks
+    * hubs that bridge disjoint regions. The hub-structure readout
+    * beside [[assortativity]]'s single correlation number, emitted for
+    * each requested k.
+    *
+    * Scale shape: canonicalize + ONE degree aggregate + one
+    * degree-annotated edge pass exploded over the literal k list —
+    * work ∝ |E|·|ks|, all counts exact integers; the closing division
+    * is one double op per k row. */
+  def richClub(edges: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "at least one k")
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // feeds the degree aggregate AND the edge pass
+    val deg = canon.select(col("a").as("__id"))
+      .unionAll(canon.select(col("b").as("__id")))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint() // feeds nk and both endpoint joins
+    val ksArr = array(ks.map(k => lit(k.toLong)): _*)
+    val nk = deg.select(explode(ksArr).as("k"), col("__deg"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("__deg") > col("k"), 1L).otherwise(0L))
+        .as("n_nodes"))
+    val ek = canon
+      .join(deg.toDF("a", "__dga"), Seq("a"))
+      .join(deg.toDF("b", "__dgb"), Seq("b"))
+      .select(explode(ksArr).as("k"), col("__dga"), col("__dgb"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("__dga") > col("k") && col("__dgb") > col("k"),
+        1L).otherwise(0L)).as("e_club"))
+    val n = col("n_nodes").cast("double")
+    nk.join(ek, Seq("k"), "left")
+      .select(col("k"), col("n_nodes"),
+        coalesce(col("e_club"), lit(0L)).as("e_club"),
+        round(when(col("n_nodes") >= 2,
+          lit(2.0) * coalesce(col("e_club"), lit(0L)).cast("double")
+            / (n * (n - 1.0))), 6).as("phi"))
+  }
+
   /** Newman modularity of a given node partition (public: Newman & Girvan
     * PRE'04): per community c, Q_c = e_c/m − (d_c/2m)² — intra-community
     * edge share minus the share expected under the degree-preserving null

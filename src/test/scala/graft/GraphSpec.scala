@@ -227,6 +227,23 @@ class GraphSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Graph.hits(edges, 5) }
   }
 
+  test("richClub: clique-plus-pendant hand-check, empty club nulls phi") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4–1: degrees 3,2,2,1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val out = Graph.richClub(edges, Seq(0, 1, 2)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    // k=0: all 4 nodes, 4 edges → φ = 8/12
+    assert(out(0L)._1 === 4L && out(0L)._2 === 4L &&
+      math.abs(out(0L)._3 - 2.0 / 3.0) < 1e-6)
+    // k=1: the triangle is a perfect club
+    assert(out(1L) === ((3L, 3L, 1.0)))
+    // k=2: only node 1 qualifies → no pairs → null φ
+    assert(out(2L)._1 === 1L && out(2L)._2 === 0L && out(2L)._3.isNaN)
+  }
+
   test("assortativity: star is -1, regular graph is null, mixed hand-checked") {
     // star 0-{1,2,3}: every edge joins degree 3 to degree 1 → r = −1
     val star = Seq((0, 1), (0, 2), (0, 3)).toDF("src", "dst")

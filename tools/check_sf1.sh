@@ -19,7 +19,11 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SF1=/root/repo/data_sf1
-SAMPLE=q1_pricing_summary,q_anova,q_audit_timestamp,q_brown_forsythe,q_chi_square,q_cmh,q_contamination,q_cronbach_alpha,q_curation_pipeline,q_dedup_exact,q_fdr_by,q_filter_project,q_g_test,q_golden_record,q_gopher_rules,q_keep_best,q_key_synthesis,q_left_join,q_mann_whitney,q_octadesk_e2e,q_open_tickets,q_semi_join,q_simhash,q_sort_limit,q_stats_agg,q_tfidf,q_token_stats,q_union_slices,q_upsert,q_weighted_kappa,q_window_bucket
+# round-12 additions: the reshaped collapse queries (semantic_dedup,
+# density_clusters, spearman, range_join_bucketed) + the grand-total
+# decimal aggregates (rollup, cube, join_agg_region) — the exact
+# families the 100× soak caught, now gated at 10× every round
+SAMPLE=q1_pricing_summary,q_anova,q_audit_timestamp,q_brown_forsythe,q_chi_square,q_cmh,q_contamination,q_cronbach_alpha,q_curation_pipeline,q_dedup_exact,q_fdr_by,q_filter_project,q_g_test,q_golden_record,q_gopher_rules,q_keep_best,q_key_synthesis,q_left_join,q_mann_whitney,q_octadesk_e2e,q_open_tickets,q_semi_join,q_simhash,q_sort_limit,q_stats_agg,q_tfidf,q_token_stats,q_union_slices,q_upsert,q_weighted_kappa,q_window_bucket,q_semantic_dedup,q_density_clusters,q_spearman,q_range_join_bucketed,q_rollup,q_cube,q_join_agg_region
 GROWTH=q_density_clusters,q_hits,q_label_prop,q_semantic_dedup,q_triangles,q_ktruss,q_pagerank,q_ppr,q_kcore,q_golden_record,q_fellegi_sunter,q_dup_clusters,q_winnowing,q_textrank,q_tokenizer_fertility,q_neardup_admit,q_dup_spans,q_incremental_cc,q_jaccard_pairs,q_shipping_priority,q_lsh_dedup_eval,q_simhash,q_silhouette
 
 if [ ! -d "$SF1" ]; then
