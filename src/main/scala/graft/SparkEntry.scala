@@ -12531,11 +12531,13 @@ object SparkEntry {
     // Exact integer cumulative weights; both half-mass conventions.
     "q_weighted_median" ->
       """WITH grid AS (SELECT round(CAST(l_extendedprice AS DOUBLE), 6) AS v,
-                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+                       CAST(SUM(CAST(floor(CAST(l_quantity AS DOUBLE))
+                         AS BIGINT)) AS BIGINT) AS w
                        FROM lineitem
                        WHERE l_extendedprice IS NOT NULL
                          AND l_quantity IS NOT NULL
-                         AND CAST(l_quantity AS BIGINT) > 0
+                         AND CAST(floor(CAST(l_quantity AS DOUBLE))
+                           AS BIGINT) > 0
                        GROUP BY 1),
               tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw,
                              CAST(COUNT(*) AS BIGINT) AS n_values
@@ -12649,10 +12651,16 @@ object SparkEntry {
     // Exact integer OLS moments over the calendar-bounded daily grid;
     // the closing algebra mirrors adfDaily term for term.
     "q_adf" ->
-      """WITH daily AS (SELECT event_type AS g, date_trunc('day', ts) AS d,
+      """WITH obs AS (SELECT event_type AS g, date_trunc('day', ts) AS d,
                                CAST(count(*) AS BIGINT) AS y
                         FROM events WHERE ts IS NOT NULL
                         GROUP BY 1, 2),
+              cal AS (SELECT g, unnest(generate_series(min(d), max(d),
+                               INTERVAL 1 DAY)) AS d
+                      FROM obs GROUP BY g),
+              daily AS (SELECT cal.g, cal.d, COALESCE(obs.y, 0) AS y
+                        FROM cal LEFT JOIN obs
+                          ON obs.g = cal.g AND obs.d = cal.d),
               lagd AS (SELECT g, y,
                               lag(y) OVER (PARTITION BY g ORDER BY d) AS x
                        FROM daily),
@@ -12787,6 +12795,7 @@ object SparkEntry {
          SELECT g AS event_type,
                 CAST(max(ng) AS BIGINT) AS n_group,
                 CAST(max(nt - ng) AS BIGINT) AS n_rest,
+                CASE WHEN max(nt - ng) > 0 THEN
                 round(greatest(max(CASE WHEN nt > ng THEN
                     CAST(cumg AS DOUBLE) / CAST(ng AS DOUBLE)
                       - CAST(cumt - cumg AS DOUBLE)
@@ -12795,7 +12804,7 @@ object SparkEntry {
                     -(CAST(cumg AS DOUBLE) / CAST(ng AS DOUBLE)
                       - CAST(cumt - cumg AS DOUBLE)
                         / CAST(nt - ng AS DOUBLE)) END), 0.0), 6)
-                  AS kuiper_v
+                END AS kuiper_v
          FROM cum GROUP BY 1""",
     // Exact 4*sum(rank^2) integer moments (midranks are half-integers);
     // the closing algebra mirrors cucconiTest term for term.

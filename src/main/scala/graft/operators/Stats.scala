@@ -576,14 +576,17 @@ object Stats {
       .localCheckpoint()
     val other = cells.select(col("__x").as("__x2"), col("__y").as("__y2"),
       col("__c").as("__c2"))
+    // coalesce: with <= 1 distinct x level the pair join is empty and
+    // sum() yields null -- both masses are genuinely 0 there, matching
+    // the oracle's COALESCE (ADVICE r12: degenerate-grid parity)
     val pairs = cells.join(other, col("__x2") > col("__x"))
       .agg(
-        sum(when(col("__y2") > col("__y"),
-          col("__c").cast("double") * col("__c2")).otherwise(0.0))
-          .as("__cc"),
-        sum(when(col("__y2") < col("__y"),
-          col("__c").cast("double") * col("__c2")).otherwise(0.0))
-          .as("__dd"))
+        coalesce(sum(when(col("__y2") > col("__y"),
+          col("__c").cast("double") * col("__c2")).otherwise(0.0)),
+          lit(0.0)).as("__cc"),
+        coalesce(sum(when(col("__y2") < col("__y"),
+          col("__c").cast("double") * col("__c2")).otherwise(0.0)),
+          lit(0.0)).as("__dd"))
     val marg = cells.agg(sum(col("__c")).as("__n"))
     val tx = cells.groupBy(col("__x")).agg(sum(col("__c")).as("__t"))
       .agg(sum(col("__t").cast("double") * col("__t")).as("__sx2"))
@@ -862,12 +865,16 @@ object Stats {
       .withColumn("__ng", sum(col("__c")).over(entire))
       .withColumn("__nt", sum(col("__ct")).over(entire))
       .groupBy(col("__g").as(groupCol))
+      // n_rest = 0 (the group IS the corpus): the deviation is undefined,
+      // not zero -- greatest() would swallow the null max and read as "no
+      // drift"; gate to null like groupKsDrift (ADVICE r12)
       .agg(max(col("__ng")).as("n_group"),
         max(col("__nt") - col("__ng")).as("n_rest"),
-        round(
-          greatest(max(when(col("__nt") > col("__ng"), dev)), lit(0.0))
-            + greatest(max(when(col("__nt") > col("__ng"), -dev)),
-              lit(0.0)), roundScale).as("kuiper_v"))
+        when(max(col("__nt") - col("__ng")) > 0,
+          round(
+            greatest(max(when(col("__nt") > col("__ng"), dev)), lit(0.0))
+              + greatest(max(when(col("__nt") > col("__ng"), -dev)),
+                lit(0.0)), roundScale)).as("kuiper_v"))
   }
 
   /** Cucconi joint location-scale test (public: Cucconi, Giorn. Econom.
@@ -2557,18 +2564,29 @@ object Stats {
     *
     * Scale shape: the [[theilSenDaily]] collapse — the corpus folds to
     * the bounded (group, day) grid in ONE map-combined aggregate; the
-    * lag is a window over the calendar-bounded grid; all OLS moments
-    * are EXACT integer sums in decimal (counts are integers), so the
-    * statistic is order-independent and engine-portable at any scale.
+    * per-group calendar is DENSIFIED (zero-count days materialized from
+    * min to max day, so lag(1) always pairs consecutive calendar days —
+    * a true daily count series, ADVICE r12); the lag is a window over
+    * the calendar-bounded grid; all OLS moments are EXACT integer sums
+    * in decimal (counts are integers), so the statistic is
+    * order-independent and engine-portable at any scale.
     * Groups need ≥ 3 days and non-constant y_{t−1}, else null. */
   def adfDaily(events: DataFrame, keyCol: String, tsCol: String,
                roundScale: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = events
+    val observed = events
       .filter(col(tsCol).isNotNull)
       .groupBy(col(keyCol).as("__g"),
         date_trunc("day", col(tsCol)).as("__day"))
       .agg(count(lit(1)).as("__y"))
+    // densify: every calendar day in the group's [min, max] span, zero
+    // where no events landed (bounded: groups x span days)
+    val cal = observed.groupBy(col("__g"))
+      .agg(min(col("__day")).as("__d0"), max(col("__day")).as("__d1"))
+      .select(col("__g"), explode(sequence(col("__d0"), col("__d1"),
+        expr("interval 1 day"))).as("__day"))
+    val daily = cal.join(observed, Seq("__g", "__day"), "left")
+      .na.fill(0L, Seq("__y"))
     val w = Window.partitionBy(col("__g")).orderBy(col("__day"))
     val dec = (c: Column) => c.cast("decimal(20,0)")
     val m = daily
@@ -3675,11 +3693,16 @@ object Stats {
   def weightedMedian(df: DataFrame, valCol: String, weightCol: String,
                      roundScale: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // explicit floor BEFORE the long cast: Spark's cast("long") truncates
+    // toward zero but DuckDB's CAST(.. AS BIGINT) rounds to nearest, so
+    // fractional weights would silently disagree (ADVICE r12); floor()
+    // is identical on both engines and a no-op for integral weights
+    val wQuant = floor(col(weightCol).cast("double")).cast("long")
     val grid = df
       .filter(col(valCol).isNotNull && col(weightCol).isNotNull &&
-        col(weightCol).cast("long") > 0)
+        wQuant > 0)
       .groupBy(round(col(valCol).cast("double"), roundScale).as("__v"))
-      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .agg(sum(wQuant).as("__w"))
     // both windows run over the aggregate-collapsed value grid (the
     // mannWhitney/kendallW bounded-window contract)
     val cum = Window.orderBy(col("__v"))
