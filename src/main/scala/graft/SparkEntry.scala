@@ -1520,6 +1520,42 @@ object SparkEntry {
         length(col("payload")).cast("long").as("n_bytes"),
         substring(col("text"), 1, 4).as("magic"))
 
+  /** §2b REAL image decode via `javax.imageio` (closes the r12 stub
+    * gap): per document, a deterministic closed-form PNG fixture is
+    * synthesized ([[graft.operators.Multimodal.synthImages]]), pushed
+    * through the JDK's real PNG writer, then DECODED back with the
+    * registered ImageIO reader — format, intrinsic dimensions and exact
+    * per-channel sRGB means. PNG is lossless, so the decoded means must
+    * reproduce the closed form bit-for-bit; the oracle computes them in
+    * SQL with no codec at all (generate_series pixel grid). Scale
+    * shape: two chained map-side partition batches, zero shuffles. */
+  private def q_image_decode(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeImage(
+      Multimodal.synthImages(Tables.documents(s, d), "doc_id", "png"))
+      .select(col("asset_id"), col("format"), col("width"), col("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+
+  /** §2b JPEG decode through the same real ImageIO boundary: lossy
+    * codec, so the oracle pins the exact invariants (format name and
+    * intrinsic dimensions survive any conformant JPEG roundtrip) while
+    * channel-mean fidelity is spec-checked with a tolerance
+    * (MultimodalSpec). */
+  private def q_image_decode_jpeg(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeImage(
+      Multimodal.synthImages(Tables.documents(s, d), "doc_id", "jpg"))
+      .select(col("asset_id"), col("format"), col("width"), col("height"))
+
+  /** §2b perceptual average-hash over the REAL PNG decode
+    * ([[graft.operators.Multimodal.aHashImage]]), emitted as unsigned
+    * 32-bit halves so both engines carry exact BIGINTs (no signed-bit-63
+    * convention to disagree on). Map-side only. */
+  private def q_image_ahash(s: SparkSession, d: String): DataFrame =
+    Multimodal.aHashImage(
+      Multimodal.synthImages(Tables.documents(s, d), "doc_id", "png"))
+      .select(col("asset_id"),
+        expr("shiftrightunsigned(ahash, 32)").as("ahash_hi"),
+        col("ahash").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"))
+
   // ------------------------------------------------- corpus curation ops
 
   /** §2b deterministic train/val/test split: md5-derived percentage bucket,
@@ -4304,6 +4340,9 @@ object SparkEntry {
     "q_rolling_stats" -> (q_rolling_stats _),
     "q_sessionize" -> (q_sessionize _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
+    "q_image_decode" -> (q_image_decode _),
+    "q_image_decode_jpeg" -> (q_image_decode_jpeg _),
+    "q_image_ahash" -> (q_image_ahash _),
     "q_hash_split" -> (q_hash_split _),
     "q_epoch_schedule" -> (q_epoch_schedule _),
     "q_group_cap" -> (q_group_cap _),
@@ -8078,6 +8117,60 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 substring(text, 1, 4) AS magic
          FROM documents""",
+    // Closed-form pixel grid: the oracle needs NO codec — PNG is
+    // lossless so the engine's real ImageIO roundtrip must land on the
+    // formula exactly (sums are exact ints; one double division each).
+    "q_image_decode" ->
+      """WITH ids AS (SELECT doc_id AS id, CAST(8 + doc_id % 9 AS INTEGER) AS w,
+                        CAST(8 + doc_id % 7 AS INTEGER) AS h
+                      FROM documents),
+              px AS (SELECT id, w, h, xs.x, ys.y
+                     FROM ids,
+                          UNNEST(generate_series(0, CAST(w - 1 AS BIGINT)))
+                            AS xs(x),
+                          UNNEST(generate_series(0, CAST(h - 1 AS BIGINT)))
+                            AS ys(y))
+         SELECT id AS asset_id, 'png' AS format, w AS width, h AS height,
+                CAST(SUM((7*id + 3*x + 5*y) % 256) AS DOUBLE) / (w*h)
+                  AS mean_r,
+                CAST(SUM((11*id + 2*x + 7*y) % 256) AS DOUBLE) / (w*h)
+                  AS mean_g,
+                CAST(SUM((13*id + 4*x + y) % 256) AS DOUBLE) / (w*h)
+                  AS mean_b
+         FROM px GROUP BY 1, 2, 3, 4""",
+    // JPEG is lossy: the oracle pins what any conformant codec
+    // preserves (format, intrinsic dimensions).
+    "q_image_decode_jpeg" ->
+      """SELECT doc_id AS asset_id, 'jpeg' AS format,
+                CAST(8 + doc_id % 9 AS INTEGER) AS width,
+                CAST(8 + doc_id % 7 AS INTEGER) AS height
+         FROM documents""",
+    // aHash from the same closed form: 8x8 nearest-neighbor cells,
+    // integer Rec.601 luma, integer mean, unsigned 32-bit halves.
+    "q_image_ahash" ->
+      """WITH ids AS (SELECT doc_id AS id, CAST(8 + doc_id % 9 AS INTEGER) AS w,
+                        CAST(8 + doc_id % 7 AS INTEGER) AS h
+                      FROM documents),
+              cells AS (SELECT id, w, h, cxs.cx, cys.cy,
+                          (cx * w) // 8 AS sx, (cy * h) // 8 AS sy
+                        FROM ids,
+                             UNNEST(generate_series(0, 7)) AS cxs(cx),
+                             UNNEST(generate_series(0, 7)) AS cys(cy)),
+              luma AS (SELECT id, cy*8 + cx AS bit,
+                         (299*((7*id + 3*sx + 5*sy) % 256)
+                          + 587*((11*id + 2*sx + 7*sy) % 256)
+                          + 114*((13*id + 4*sx + sy) % 256)) // 1000 AS l
+                       FROM cells),
+              m AS (SELECT id, CAST(SUM(l) // 64 AS BIGINT) AS mn
+                    FROM luma GROUP BY 1)
+         SELECT luma.id AS asset_id,
+                CAST(SUM(CASE WHEN l > mn AND bit >= 32
+                  THEN CAST(1 AS BIGINT) << CAST(bit - 32 AS INTEGER)
+                  ELSE 0 END) AS BIGINT) AS ahash_hi,
+                CAST(SUM(CASE WHEN l > mn AND bit < 32
+                  THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER)
+                  ELSE 0 END) AS BIGINT) AS ahash_lo
+         FROM luma JOIN m ON m.id = luma.id GROUP BY 1""",
     "q_dup_spans" ->
       s"""WITH t AS (SELECT doc_id, $duckTokens AS toks FROM documents),
               s AS (SELECT doc_id, toks, len(toks) AS n FROM t

@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata, and run decode /
   * feature-extract as distributed per-partition batch transforms.
   *
-  * Decode is REAL for PPM/P6 ([[decodePpm]]/[[resizePpm]]: pure-JVM pixel
-  * parsing, exact channel stats, nearest-neighbor resize emitting valid
-  * P6 — no codec library needed, so nothing is faked). For formats that
-  * DO need a native codec (jpeg/png/audio — not in this sandbox),
-  * [[stubDecode]]/[[stubResize]] keep the identical partition-batched
-  * boundary with a deterministic stand-in payload: swap the parser call,
-  * nothing else changes.
+  * Decode is REAL for JPEG/PNG/GIF/BMP/TIFF ([[decodeImage]]/
+  * [[aHashImage]]: `javax.imageio` ships those readers in every JDK —
+  * no native codec needed) and for PPM/P6 + canonical PCM WAV
+  * ([[decodePpm]]/[[resizePpm]]/[[decodeWavPcm]]: pure-JVM parsing,
+  * exact channel/sample stats). Only formats whose codecs the JDK
+  * genuinely lacks (MP3/AAC audio, video containers) keep the
+  * [[stubDecode]]/[[stubResize]] stand-ins at the identical
+  * partition-batched boundary: swap the parser call, nothing else
+  * changes.
   */
 object Multimodal {
 
@@ -68,8 +70,10 @@ object Multimodal {
 
   /** STUB resize: compute the real target geometry (fit inside maxDim
     * preserving aspect ratio — the part a production resize shares) and
-    * derive a deterministic stand-in payload of the scaled size (real
-    * codecs aren't in this sandbox). Schema/null handling mirror a real
+    * derive a deterministic stand-in payload of the scaled size, for
+    * formats with no JDK codec (video frames, compressed audio) — image
+    * resizes are REAL via [[resizePpm]] and decodable formats via
+    * [[decodeImage]]. Schema/null handling mirror a real
     * partition-batched resize; swap the payload expression for a codec
     * call and nothing else changes. Expects (asset_id, payload, width,
     * height) columns. */
@@ -419,12 +423,16 @@ object Multimodal {
     StructField("feature", ArrayType(FloatType), nullable = true),
     StructField("decode_error", StringType, nullable = true)))
 
-  /** STUB decode: a real implementation would hand each partition's payload
-    * batch to a codec (that boundary is exactly here — mapPartitions gives
-    * amortized per-batch setup, the Scala analogue of mapInPandas batches).
-    * The stub emits a deterministic `featureDim`-float vector derived from
-    * payload bytes, and a decode_error column instead of failing the task
-    * (per-row error capture, reference/chat.py:289-291 shape). */
+  /** STUB decode for formats whose codecs the JDK genuinely lacks
+    * (MP3/AAC audio, video containers — image formats are REAL via
+    * [[decodeImage]]'s `javax.imageio` path, audio WAV via
+    * [[decodeWavPcm]]): a real implementation would hand each
+    * partition's payload batch to a codec (that boundary is exactly
+    * here — mapPartitions gives amortized per-batch setup, the Scala
+    * analogue of mapInPandas batches). The stub emits a deterministic
+    * `featureDim`-float vector derived from payload bytes, and a
+    * decode_error column instead of failing the task (per-row error
+    * capture, reference/chat.py:289-291 shape). */
   def stubDecode(assets: DataFrame, featureDim: Int = 8): DataFrame = {
     val spark = assets.sparkSession
     val rows = assets.select(col("asset_id"), col("payload")).rdd.mapPartitions { it =>
@@ -446,6 +454,187 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rows, decodedSchema)
+  }
+
+  // --------------------------------------- real decode: javax.imageio
+
+  /** Decode a payload with the JDK's registered ImageIO readers
+    * (JPEG/PNG/GIF/BMP/TIFF/WBMP ship with every JDK — pure Java, no
+    * native codec). Returns (lowercased format name, image) or the
+    * parse error; never throws. ImageIO's disk cache is disabled so
+    * executor tasks stay off local scratch. */
+  private[graft] def decodeWithImageIO(bytes: Array[Byte])
+      : Either[String, (String, java.awt.image.BufferedImage)] = {
+    import javax.imageio.ImageIO
+    if (bytes == null || bytes.length == 0) return Left("empty payload")
+    ImageIO.setUseCache(false)
+    val iis = ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) Left("no registered reader for payload")
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+          Right((fmt, reader.read(0)))
+        } catch {
+          case e: Exception =>
+            Left(s"decode failed: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
+        } finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Output schema of [[decodeImage]]. */
+  val imageIoStatsSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("mean_r", DoubleType, nullable = true),
+    StructField("mean_g", DoubleType, nullable = true),
+    StructField("mean_b", DoubleType, nullable = true),
+    StructField("decode_error", StringType, nullable = true)))
+
+  /** REAL image decode via `javax.imageio` — JPEG, PNG, GIF, BMP, TIFF
+    * and WBMP payloads (the readers every JDK registers): format name,
+    * intrinsic dimensions, per-channel sRGB means. Channel sums are
+    * exact integer accumulations over the decoded raster, so for a
+    * LOSSLESS format (PNG/BMP) the means are exact rationals —
+    * oracle-checkable bit-for-bit; for JPEG the dimensions and format
+    * are exact and the means carry codec quantization. Decode failures
+    * become `decode_error` rows (per-row error capture,
+    * reference/chat.py:289-291 shape), never task failures. Same
+    * partition-batched boundary as [[decodePpm]]. */
+  def decodeImage(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rows = assets.select(col("asset_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (payload == null)
+          Row(id, null, null, null, null, null, null, "null payload")
+        else decodeWithImageIO(payload) match {
+          case Left(err) => Row(id, null, null, null, null, null, null, err)
+          case Right((fmt, img)) =>
+            val w = img.getWidth
+            val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            Row(id, fmt, w, h, sr.toDouble / n, sg.toDouble / n,
+              sb.toDouble / n, null)
+        }
+      }
+    }
+    spark.createDataFrame(rows, imageIoStatsSchema)
+  }
+
+  /** Deterministic image-fixture synthesis: per id, a (8 + id%9) x
+    * (8 + id%7) image whose pixel (x, y) is the closed-form
+    * r = (7·id + 3x + 5y) mod 256, g = (11·id + 2x + 7y) mod 256,
+    * b = (13·id + 4x + y) mod 256 — encoded through the REAL ImageIO
+    * writer for `format` ("png", "jpg", "bmp", "gif"). The closed form
+    * is what makes the decode oracle-checkable: a SQL engine can
+    * compute the expected channel means without any codec, and for
+    * lossless formats the ImageIO roundtrip must reproduce them
+    * exactly. Ids must be non-negative. Output: (asset_id, payload). */
+  def synthImages(df: DataFrame, idCol: String, format: String): DataFrame = {
+    import javax.imageio.ImageIO
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val rows = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rr = ((7 * id + 3 * x + 5 * y) % 256).toInt
+            val gg = ((11 * id + 2 * x + 7 * y) % 256).toInt
+            val bb = ((13 * id + 4 * x + y) % 256).toInt
+            img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        ImageIO.write(img, format, bos)
+        Row(id, bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Shared aHash core: 8x8 nearest-neighbor downsample to integer
+    * Rec.601 luma, bit (cy·8+cx) set iff the cell's luma exceeds the
+    * integer 64-cell mean. `rgbAt` returns packed 0xRRGGBB. */
+  private def aHash64(w: Int, h: Int, rgbAt: (Int, Int) => Int): Long = {
+    val luma = new Array[Long](64)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val sx = cx * w / 8
+        val sy = cy * h / 8
+        val p = rgbAt(sx, sy)
+        luma(cy * 8 + cx) =
+          (299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+            114L * (p & 0xff)) / 1000L
+        cx += 1
+      }
+      cy += 1
+    }
+    val mean = luma.sum / 64L // integer mean: deterministic
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (luma(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Perceptual average-hash for ImageIO-decodable payloads (JPEG/PNG/
+    * GIF/BMP/TIFF) — the same 8x8 integer-luma fingerprint as
+    * [[aHashPpm]] over the REAL `javax.imageio` decode: images
+    * differing by recompression land within a few bits; compare with
+    * `hammingDistance` and block like SimHash. Decode failures surface
+    * per row. */
+  def aHashImage(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rows = assets.select(col("asset_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (payload == null) Row(id, null, "null payload")
+        else decodeWithImageIO(payload) match {
+          case Left(err) => Row(id, null, err)
+          case Right((_, img)) =>
+            Row(id, aHash64(img.getWidth, img.getHeight,
+              (x, y) => img.getRGB(x, y)), null)
+        }
+      }
+    }
+    spark.createDataFrame(rows, aHashSchema)
   }
 
   /** Output schema of [[aHashPpm]]. */
@@ -475,30 +664,11 @@ object Multimodal {
         else parsePpm(payload) match {
           case Left(err) => Row(id, null, err)
           case Right((w, h, px)) =>
-            val luma = new Array[Long](64)
-            var cy = 0
-            while (cy < 8) {
-              var cx = 0
-              while (cx < 8) {
-                val sx = cx * w / 8
-                val sy = cy * h / 8
-                val o = (sy * w + sx) * 3
-                // integer Rec.601: (299 R + 587 G + 114 B) / 1000
-                luma(cy * 8 + cx) =
-                  (299L * (px(o) & 0xff) + 587L * (px(o + 1) & 0xff) +
-                    114L * (px(o + 2) & 0xff)) / 1000L
-                cx += 1
-              }
-              cy += 1
-            }
-            val mean = luma.sum / 64L // integer mean: deterministic
-            var hash = 0L
-            var i = 0
-            while (i < 64) {
-              if (luma(i) > mean) hash |= (1L << i)
-              i += 1
-            }
-            Row(id, hash, null)
+            Row(id, aHash64(w, h, (x, y) => {
+              val o = (y * w + x) * 3
+              ((px(o) & 0xff) << 16) | ((px(o + 1) & 0xff) << 8) |
+                (px(o + 2) & 0xff)
+            }), null)
         }
       }
     }

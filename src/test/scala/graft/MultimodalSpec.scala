@@ -256,4 +256,95 @@ class MultimodalSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Multimodal.toneEnergies(assets, Seq(100.0), detectAt = 0.0))
   }
+
+  // --------------------------------------------- real ImageIO decode
+
+  /** Closed-form fixture means (the synthImages pixel formula). */
+  private def formulaMeans(id: Long): (Int, Int, Double, Double, Double) = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + id % 7).toInt
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      sr += (7 * id + 3 * x + 5 * y) % 256
+      sg += (11 * id + 2 * x + 7 * y) % 256
+      sb += (13 * id + 4 * x + y) % 256
+    }
+    val n = (w.toLong * h).toDouble
+    (w, h, sr / n, sg / n, sb / n)
+  }
+
+  test("decodeImage: real PNG roundtrip reproduces the closed form exactly") {
+    val ids = Seq(0L, 3L, 17L, 100L).toDF("id")
+    val out = Multimodal.decodeImage(Multimodal.synthImages(ids, "id", "png"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(0L, 3L, 17L, 100L)) {
+      val (w, h, mr, mg, mb) = formulaMeans(id)
+      val r = out(id)
+      assert(r.getString(1) === "png")
+      assert(r.getInt(2) === w && r.getInt(3) === h)
+      assert(r.getDouble(4) === mr && r.getDouble(5) === mg
+        && r.getDouble(6) === mb)
+      assert(r.isNullAt(7))
+    }
+  }
+
+  test("decodeImage: real JPEG decode preserves dims; means within codec noise") {
+    val ids = Seq(1L, 42L).toDF("id")
+    val out = Multimodal.decodeImage(Multimodal.synthImages(ids, "id", "jpg"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 42L)) {
+      val (w, h, mr, mg, mb) = formulaMeans(id)
+      val r = out(id)
+      assert(r.getString(1) === "jpeg")
+      assert(r.getInt(2) === w && r.getInt(3) === h)
+      // lossy: overall brightness survives even when pixels move
+      assert(math.abs(r.getDouble(4) - mr) < 16.0)
+      assert(math.abs(r.getDouble(5) - mg) < 16.0)
+      assert(math.abs(r.getDouble(6) - mb) < 16.0)
+    }
+  }
+
+  test("decodeImage: BMP is lossless too; junk and null stay error rows") {
+    val ids = Seq(7L).toDF("id")
+    val bmp = Multimodal.decodeImage(Multimodal.synthImages(ids, "id", "bmp"))
+      .collect().head
+    val (w, h, mr, _, _) = formulaMeans(7L)
+    assert(bmp.getString(1) === "bmp" && bmp.getInt(2) === w
+      && bmp.getInt(3) === h && bmp.getDouble(4) === mr)
+    val bad = Seq((1L, "not an image".getBytes),
+      (2L, null.asInstanceOf[Array[Byte]]),
+      // PNG magic but truncated body: reader exists, decode fails
+      (3L, Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 1)))
+      .toDF("asset_id", "payload")
+    val errs = Multimodal.decodeImage(bad).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(errs(1L).getString(7).contains("no registered reader"))
+    assert(errs(2L).getString(7) === "null payload")
+    assert(!errs(3L).isNullAt(7) && errs(3L).isNullAt(2))
+  }
+
+  test("aHashImage over PNG equals aHashPpm over the same pixels") {
+    val ids = Seq(5L, 23L).toDF("id")
+    val viaPng = Multimodal.aHashImage(
+      Multimodal.synthImages(ids, "id", "png"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same formula pixels as raw P6 bytes
+    def ppm(id: Long): Array[Byte] = {
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        px(o) = ((7 * id + 3 * x + 5 * y) % 256).toByte
+        px(o + 1) = ((11 * id + 2 * x + 7 * y) % 256).toByte
+        px(o + 2) = ((13 * id + 4 * x + y) % 256).toByte
+      }
+      header ++ px
+    }
+    val viaPpm = Multimodal.aHashPpm(
+      Seq((5L, ppm(5L)), (23L, ppm(23L))).toDF("asset_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPng === viaPpm)
+  }
 }
