@@ -659,6 +659,31 @@ object SparkEntry {
     Dedup.jaroWinklerPairs(Tables.customer(s, d),
       "c_custkey", "c_name", "c_nationkey", 0.95)
 
+  /** End-to-end exercise of the [[graft.operators.Dedup.jaroWinklerPairs]]
+    * pair-budget guard (r12 verdict task): a deliberately tiny budget
+    * must FAIL FAST with the exact-diagnostic exception before any pair
+    * materializes, and the guard's preflight aggregate
+    * ([[graft.operators.Dedup.pairBlockMass]]) is emitted AS DATA —
+    * total Σ_block C(n,2) candidate mass, hottest block, its mass, and
+    * whether the guard tripped. The oracle recomputes all three from
+    * the same grouping. */
+  private def q_jw_guard(s: SparkSession, d: String): DataFrame = {
+    val customers = Tables.customer(s, d)
+    val tripped =
+      try {
+        // preflight runs eagerly at plan-construction time: the throw
+        // happens here, before a single candidate pair exists
+        Dedup.jaroWinklerPairs(customers, "c_custkey", "c_name",
+          "c_nationkey", 0.95, maxPairs = 10L)
+        false
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("budget") =>
+          true
+      }
+    Dedup.pairBlockMass(customers, "c_nationkey")
+      .withColumn("guard_tripped", lit(tripped))
+  }
+
   /** §2b word-shingle (3-gram) Jaccard near-dup pairs — the n-gram variant:
     * shingles are near-unique so the inverted index barely fans out. */
   private def q_shingle_pairs(s: SparkSession, d: String): DataFrame =
@@ -4331,6 +4356,7 @@ object SparkEntry {
     "q_theil_sen" -> (q_theil_sen _),
     "q_benford" -> (q_benford _),
     "q_jaro_winkler" -> (q_jaro_winkler _),
+    "q_jw_guard" -> (q_jw_guard _),
     "q_psi_numeric" -> (q_psi_numeric _),
     "q_dp_contrib_hist" -> (q_dp_contrib_hist _),
     "q_decayed_topk" -> (q_decayed_topk _),
@@ -7968,6 +7994,21 @@ object SparkEntry {
          FROM customer a JOIN customer b
            ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
          WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.95""",
+    // The guard's preflight mass recomputed from the same grouping; the
+    // budget of 10 is below any SF's pair mass, so tripped is always true.
+    "q_jw_guard" ->
+      """WITH n AS (SELECT CAST(c_nationkey AS VARCHAR) AS blk,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM customer WHERE c_nationkey IS NOT NULL
+                    GROUP BY 1),
+              p AS (SELECT blk, (n * (n - 1)) // 2 AS p FROM n),
+              t AS (SELECT CAST(SUM(p) AS BIGINT) AS total_pairs FROM p),
+              h AS (SELECT blk AS hottest_block,
+                           CAST(p AS BIGINT) AS hottest_pairs
+                    FROM p ORDER BY p DESC, blk DESC LIMIT 1)
+         SELECT total_pairs, hottest_block, hottest_pairs,
+                TRUE AS guard_tripped
+         FROM t, h""",
     "q_survival" ->
       """WITH lastev AS (SELECT user_id, event_type AS last_type FROM (
                 SELECT user_id, event_type,

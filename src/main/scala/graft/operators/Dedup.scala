@@ -1119,6 +1119,27 @@ object Dedup {
       .select(col(idCol).as("id_a"), col("id_b"), col("edit_distance"))
   }
 
+  /** Exact blocked-pair-mass preflight — the guard aggregate behind
+    * [[jaroWinklerPairs]]' `maxPairs` budget, exposed as data: ONE
+    * bounded-output job (sum + struct-argmax over per-block counts)
+    * returning `(total_pairs, hottest_block, hottest_pairs)` — the
+    * Σ_block C(n,2) candidate mass a blocked pair join would
+    * materialize, and the single hottest block (ties broken by max
+    * block key, the struct-argmax convention). The pre-launch scale
+    * check every blocked pair operator should run at 100 TB: it costs
+    * one count aggregate and names the degenerate block BEFORE paying
+    * a quadratic join. */
+  def pairBlockMass(df: DataFrame, blockCol: String): DataFrame =
+    df.filter(col(blockCol).isNotNull)
+      .groupBy(col(blockCol)).agg(count(lit(1)).as("__n"))
+      .select(col(blockCol).cast("string").as("__blk"),
+        shiftright(col("__n") * (col("__n") - 1), 1).as("__p"))
+      .agg(coalesce(sum(col("__p")), lit(0L)).as("total_pairs"),
+        max(struct(col("__p"), col("__blk"))).as("__top"))
+      .select(col("total_pairs"),
+        col("__top").getField("__blk").as("hottest_block"),
+        col("__top").getField("__p").as("hottest_pairs"))
+
   /** Blocked Jaro-Winkler near-match pairs: all (id_a < id_b) pairs within
     * a blocking key whose names score ≥ `minSim` under the native
     * [[graft.functions.TextFunctions.jaroWinkler]] expression — the
@@ -1161,21 +1182,13 @@ object Dedup {
     require(maxPairs >= 0L, s"maxPairs must be >= 0 (0 disables): $maxPairs")
     if (maxPairs > 0L) {
       // exact candidate mass + hottest block in ONE bounded-output job
-      // (sum + struct-argmax over the per-block counts)
-      val r = df.filter(col(blockCol).isNotNull)
-        .groupBy(col(blockCol)).agg(count(lit(1)).as("__n"))
-        .select(col(blockCol).cast("string").as("__blk"),
-          shiftright(col("__n") * (col("__n") - 1), 1).as("__p"))
-        .agg(coalesce(sum(col("__p")), lit(0L)).as("__total"),
-          max(struct(col("__p"), col("__blk"))).as("__top"))
-        .collect().head
+      val r = pairBlockMass(df, blockCol).collect().head
       val total = r.getLong(0)
       if (total > maxPairs) {
-        val top = r.getStruct(1)
         throw new IllegalStateException(
           s"jaroWinklerPairs blocker '$blockCol' yields $total candidate " +
-          s"pairs (budget $maxPairs); hottest block '${top.getString(1)}' " +
-          s"alone contributes ${top.getLong(0)} - refine the blocking key " +
+          s"pairs (budget $maxPairs); hottest block '${r.getString(1)}' " +
+          s"alone contributes ${r.getLong(2)} - refine the blocking key " +
           "(finer key, sorted-neighborhood window) or dedup exact copies " +
           "first (exactByFingerprint)")
       }
