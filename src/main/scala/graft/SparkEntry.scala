@@ -1892,25 +1892,65 @@ object SparkEntry {
     * workhorse next to connected components. Prefixed string node ids
     * keep the two key spaces disjoint; both edge directions satisfy
     * Graph.pageRank's every-node-is-a-src contract. */
+  /** DIRECTED part→supplier purchase edges with prefixed string ids —
+    * shared input of the graph-family queries. The distinct runs on the
+    * LONG key pair BEFORE the string ids are built (r13: the 100×-soak
+    * profile put ~2/3 of q_pagerank's sf10 wall clock in this edge
+    * build — the |lineitem|-row exchange was hashing/comparing built
+    * strings; long→string prefixing is injective, so distinct-then-
+    * concat is the same edge set with a far cheaper exchange). */
+  private def partSupplierEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_partkey").as("__pk"), col("l_suppkey").as("__sk"))
+      .distinct()
+      .select(concat(lit("p"), col("__pk").cast("string")).as("src"),
+        concat(lit("s"), col("__sk").cast("string")).as("dst"))
+
+  /** Both directions of [[partSupplierEdges]] (the undirected contract
+    * of pageRank/labelPropagation: every node appears as src). */
+  private def partSupplierUndirected(s: SparkSession, d: String): DataFrame = {
+    val ps = partSupplierEdges(s, d)
+    ps.unionByName(ps.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** LONG-id encoding of the same graph for the float-rank families
+    * (r13 sf10 probe: every pageRank/HITS round was shuffling BUILT
+    * STRINGS): parts ↦ 2·pk, suppliers ↦ 2·sk+1 — injective into
+    * disjoint even/odd spaces, so the iteration loop joins and
+    * aggregates 8-byte longs and the ids decode to the pinned
+    * "p…"/"s…" strings only at the |V|-row output
+    * ([[decodeGraphId]]). NOT used for q_label_prop: its min-label
+    * tie-break is defined over the STRING id ordering, which the
+    * even/odd long encoding does not preserve. */
+  private def partSupplierPairsLong(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_partkey").as("__pk"), col("l_suppkey").as("__sk"))
+      .distinct()
+      .select((col("__pk") * 2).as("src"), (col("__sk") * 2 + 1).as("dst"))
+
+  private def decodeGraphId(c: Column): Column =
+    when(c % 2 === 0,
+      concat(lit("p"), shiftright(c, 1).cast("string")))
+      .otherwise(concat(lit("s"), shiftright(c, 1).cast("string")))
+
   private def q_pagerank(s: SparkSession, d: String): DataFrame = {
-    val ps = Tables.lineitem(s, d).select(
-      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
-      concat(lit("s"), col("l_suppkey").cast("string")).as("dst")).distinct()
+    val ps = partSupplierPairsLong(s, d)
     val edges = ps.unionByName(
       ps.select(col("dst").as("src"), col("src").as("dst")))
     Graph.pageRank(edges, 3)
-      .select(col("id"), round(col("rank"), 9).as("rank"))
+      .select(decodeGraphId(col("id")).as("id"),
+        round(col("rank"), 9).as("rank"))
   }
 
   /** §2b HITS hubs & authorities: 3 unrolled rounds over the DIRECTED
     * part→supplier purchase graph — parts score as hubs, suppliers as
     * authorities; integer-exact sums, max-normalized once at the end. */
-  private def q_hits(s: SparkSession, d: String): DataFrame = {
-    val edges = Tables.lineitem(s, d).select(
-      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
-      concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-    Graph.hits(edges, 3)
-  }
+  private def q_hits(s: SparkSession, d: String): DataFrame =
+    // long-id iteration (see partSupplierPairsLong); pre-distinct on the
+    // long keys makes hits' internal distinct a no-op at 100×
+    Graph.hits(partSupplierPairsLong(s, d), 3)
+      .select(decodeGraphId(col("id")).as("id"),
+        col("authority"), col("hub"))
 
   /** §2b hot-key skew report: top-10 suppliers by lineitem row count with
     * share and skew factor — the pre-flight check before keying a shuffle
@@ -2396,12 +2436,14 @@ object SparkEntry {
     * as joins + argmax aggregates, deterministic via the (count desc,
     * label asc) tie-break. */
   private def q_label_prop(s: SparkSession, d: String): DataFrame = {
-    val ps = Tables.lineitem(s, d).select(
-      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
-      concat(lit("s"), col("l_suppkey").cast("string")).as("dst")).distinct()
+    // long-id edges, STRING labels: the min-label tie-break is defined
+    // over the "p…"/"s…" string ordering, so labels are seeded as the
+    // decoded strings while every join/exchange keys on 8-byte longs
+    val ps = partSupplierPairsLong(s, d)
     val edges = ps.unionByName(
       ps.select(col("dst").as("src"), col("src").as("dst")))
-    Graph.labelPropagation(edges, 3)
+    Graph.labelPropagation(edges, 3, decodeGraphId)
+      .select(decodeGraphId(col("id")).as("id"), col("label"))
   }
 
   /** §2b Zipf-law fit: per-language ln(freq) ~ ln(rank) OLS over the
@@ -2718,16 +2760,15 @@ object SparkEntry {
     * five s0–s4 supplier seeds — proximity-to-seeds ordering over the
     * same part↔supplier graph as q_pagerank. */
   private def q_ppr(s: SparkSession, d: String): DataFrame = {
-    val ps = Tables.lineitem(s, d).select(
-      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
-      concat(lit("s"), col("l_suppkey").cast("string")).as("dst")).distinct()
+    val ps = partSupplierPairsLong(s, d)
     val edges = ps.unionByName(
       ps.select(col("dst").as("src"), col("src").as("dst")))
     val seeds = Tables.lineitem(s, d).filter(col("l_suppkey") < 5)
-      .select(concat(lit("s"), col("l_suppkey").cast("string")).as("id"))
-      .distinct()
+      .select(col("l_suppkey")).distinct()
+      .select((col("l_suppkey") * 2 + 1).as("id"))
     Graph.personalizedPageRank(edges, seeds, 3)
-      .select(col("id"), round(col("rank"), 9).as("rank"))
+      .select(decodeGraphId(col("id")).as("id"),
+        round(col("rank"), 9).as("rank"))
   }
 
   /** §2b Kolmogorov–Smirnov distribution shift: click vs purchase event

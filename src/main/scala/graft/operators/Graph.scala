@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph algorithms over edge-list DataFrames (SURVEY.md §2b). The dedup
@@ -117,21 +117,23 @@ object Graph {
     // |V|-sized weight table, never |E| again
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).cache()
-    // nodes/outdeg are |V|-sized and referenced by EVERY unrolled
-    // iteration — cache them or each iteration re-runs the |E|-sized
-    // distinct/aggregate that derives them
-    val nodes = e.select(col("src").as("id")).distinct().cache()
-    // contract: every node appears as src (see scaladoc) — so `nodes`
-    // from src alone covers the graph, and outdeg is never 0/null
-    val n = nodes.count()
+    // the node table CARRIES outdeg (r13: fused — outdeg is static, so
+    // joining a separate |V| outdeg table against the rank table every
+    // round paid one |V|-vs-|V| join per iteration for nothing); it is
+    // |V|-sized and referenced by EVERY unrolled iteration — cache it or
+    // each iteration re-runs the |E|-sized aggregate that derives it.
+    // contract: every node appears as src (see scaladoc) — so src alone
+    // covers the graph, and outdeg is never 0/null
+    val nodesDeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("__outdeg")).cache()
+    val n = nodesDeg.count()
     require(n > 0, "pageRank needs a non-empty edge list")
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")).cache()
     // teleport computed as (1 - damping) in BOTH engines: 1.0 - 0.85 is
     // NOT the double 0.15, so the oracle must spell the same subtraction
     val teleport = (1.0 - damping) / n
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var ranks = nodesDeg.withColumn("rank", lit(1.0 / n))
     (1 to iters).foreach { _ =>
-      val weight = ranks.join(outdeg, ranks("id") === outdeg("src"))
+      val weight = ranks
         .select(col("id").as("__u"), (col("rank") / col("__outdeg")).as("__w"))
       // SHUFFLE_HASH on the weight side: hash-build the |V| rows, probe
       // the pre-partitioned edges — no |E|-sized sort (SMJ would re-sort
@@ -140,16 +142,19 @@ object Graph {
       val contrib = e.join(weight.hint("shuffle_hash"), e("src") === col("__u"))
         .groupBy(col("dst")).agg(sum(col("__w")).as("__c"))
         .withColumnRenamed("dst", "id")
-      ranks = nodes.join(contrib, Seq("id"), "left")
-        .select(col("id"),
+      // left join keeps zero-indegree nodes; shuffle-hash build on the
+      // aggregated contrib side — both sides are id-hashed |V| tables,
+      // so no sort and no re-exchange
+      ranks = nodesDeg.join(contrib.hint("shuffle_hash"), Seq("id"), "left")
+        .select(col("id"), col("__outdeg"),
           (lit(teleport) + lit(damping) * coalesce(col("__c"), lit(0.0)))
             .as("rank"))
     }
     // materialize the |V|-row result, then release the caches — a long
     // session (the harness runs ~160 queries in one SparkSession) would
     // otherwise accumulate a pinned edge table per graph call
-    val out = ranks.localCheckpoint()
-    Seq(e, nodes, outdeg).foreach(_.unpersist())
+    val out = ranks.select(col("id"), col("rank")).localCheckpoint()
+    Seq(e, nodesDeg).foreach(_.unpersist())
     out
   }
 
@@ -228,29 +233,32 @@ object Graph {
     require(damping > 0 && damping < 1, s"damping must be in (0, 1): $damping")
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).cache()
-    val nodes = e.select(col("src").as("id")).distinct().cache()
     val seedIds = seeds.select(col("id")).distinct().cache()
     val nSeeds = seedIds.count()
     require(nSeeds > 0, "personalizedPageRank needs a non-empty seed set")
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")).cache()
-    val withTele = nodes.join(seedIds.withColumn("__s", lit(1.0)),
-        Seq("id"), "left")
-      .select(col("id"),
+    // fused static node table (r13, same as pageRank): outdeg AND the
+    // per-node teleport mass ride along with the rank column, so a round
+    // is one edge join + one aggregate + one co-partitioned |V| join —
+    // no separate outdeg or teleport join per iteration
+    val withTele = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("__outdeg"))
+      .join(seedIds.withColumn("__s", lit(1.0)), Seq("id"), "left")
+      .select(col("id"), col("__outdeg"),
         (coalesce(col("__s"), lit(0.0)) / nSeeds).as("__tele")).cache()
-    var ranks = withTele.select(col("id"), col("__tele").as("rank"))
+    var ranks = withTele.withColumn("rank", col("__tele"))
     (1 to iters).foreach { _ =>
-      val weight = ranks.join(outdeg, ranks("id") === outdeg("src"))
+      val weight = ranks
         .select(col("id").as("__u"), (col("rank") / col("__outdeg")).as("__w"))
       val contrib = e.join(weight.hint("shuffle_hash"), e("src") === col("__u"))
         .groupBy(col("dst")).agg(sum(col("__w")).as("__c"))
         .withColumnRenamed("dst", "id")
-      ranks = withTele.join(contrib, Seq("id"), "left")
-        .select(col("id"),
+      ranks = withTele.join(contrib.hint("shuffle_hash"), Seq("id"), "left")
+        .select(col("id"), col("__outdeg"), col("__tele"),
           (lit(1.0 - damping) * col("__tele")
             + lit(damping) * coalesce(col("__c"), lit(0.0))).as("rank"))
     }
-    val out = ranks.localCheckpoint()
-    Seq(e, nodes, seedIds, outdeg, withTele).foreach(_.unpersist())
+    val out = ranks.select(col("id"), col("rank")).localCheckpoint()
+    Seq(e, seedIds, withTele).foreach(_.unpersist())
     out
   }
 
@@ -275,7 +283,8 @@ object Graph {
     * list + TWO hash aggregates (label counts per dst, then argmax via
     * `min_by` over (−count, label) — no window, no per-node sort).
     * Shuffle ∝ |E|; the label table never exceeds |V| rows. */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       labelOf: Column => Column = identity): DataFrame = {
     require(iters >= 1 && iters <= 8,
       s"iters must be in [1, 8] (fixed, unrolled plan): $iters")
     // same iteration shape as pageRank: edges pre-partitioned on the join
@@ -284,11 +293,26 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).cache()
     val nodes = e.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("label", col("id"))
+    // labelOf (r13): seed labels as a FUNCTION of the node id — callers
+    // with an expensive id domain (built strings) can run every join and
+    // exchange on a cheap surrogate id while the label values (whose
+    // ORDERING defines the min-label tie-break) stay in the original
+    // domain; identity preserves the classic labels-start-as-ids form
+    var labels = nodes.withColumn("label", labelOf(col("id")))
     (1 to iters).foreach { _ =>
+      // ONE exchange per round (r13): repartition the joined stream by
+      // dst BEFORE aggregating — dst-hash co-locates every (dst, label)
+      // AND every dst, so both the count and the argmax aggregate run
+      // exchange-free on top of it. The old shape paid two exchanges
+      // ((dst,label) partials, then dst), and in the early rounds labels
+      // are near-distinct so the (dst,label) partial aggregation
+      // collapsed nothing — the first exchange carried ~|E| rows either
+      // way, plus a second ~|E|-row exchange the fused shape skips.
       val counts = e.join(
           labels.select(col("id").as("__u"), col("label")).hint("shuffle_hash"),
           e("src") === col("__u"))
+        .select(col("dst"), col("label"))
+        .repartition(col("dst"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("__c"))
       labels = counts.groupBy(col("dst"))
         .agg(min_by(col("label"),
