@@ -19,6 +19,14 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# ORACLE_OVERRIDES: json file of {query: sql} merged over the dump's
+# oracle_sql.json — used by the sf10 gate, whose pair-CC queries need
+# COLLAPSE-AWARE oracle SQL (the row-level mirrors pay the copies^2 the
+# engine collapsed away; the distinct-(cell,vector) twins mirror the
+# engine's collapse, equivalence pinned engine-side in SimilaritySpec
+# and cross-checked against the row-level SQL at sf0.1/sf1).
+if os.environ.get("ORACLE_OVERRIDES"):
+    oracle.update(json.load(open(os.environ["ORACLE_OVERRIDES"])))
 
 def canon(df):
     """Driver-strict canonicalization: sort_values over ALL columns (raises
