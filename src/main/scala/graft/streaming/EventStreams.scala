@@ -301,9 +301,25 @@ object EventStreams {
               out += SessionOut(user, o.start_us, o.end_us, o.n, o.v)
               state.remove()
             } else {
-              state.update(o)
               // timeout is in millis event time; fires once watermark > it
-              state.setTimeoutTimestamp(o.end_us / 1000L + gapMinutes.toLong * 60000L)
+              val flushAtMs = o.end_us / 1000L + gapMinutes.toLong * 60000L
+              val wm =
+                try state.getCurrentWatermarkMs()
+                catch { case _: UnsupportedOperationException => Long.MinValue }
+              if (flushAtMs <= wm) {
+                // the watermark has ALREADY passed end + gap — a new key
+                // whose events sit behind the global watermark (bulk
+                // ingest of historical files: other keys advanced the
+                // watermark before this key's first batch). A timeout in
+                // the past is illegal to register; flush now, which is
+                // exactly what the timeout branch would have done
+                // (r13: found by the sf1 StreamScale 10x probe)
+                out += SessionOut(user, o.start_us, o.end_us, o.n, o.v)
+                state.remove()
+              } else {
+                state.update(o)
+                state.setTimeoutTimestamp(flushAtMs)
+              }
             }
           }
           out.result().iterator

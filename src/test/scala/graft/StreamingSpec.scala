@@ -336,6 +336,48 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("statefulSessions: new key entirely behind the watermark flushes, never crashes") {
+    // bulk-historical ingest (the StreamScale 10x probe): other keys
+    // advance the watermark, then a later batch introduces a NEW key
+    // whose whole session sits behind it — end+gap is already past the
+    // watermark, so registering that timeout would throw; the operator
+    // must emit the closed session immediately instead (same output the
+    // timeout branch would have produced)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, Double)]
+    val input = ms.toDF().toDF("user_id", "us", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .withWatermark("ts", "1 minute")
+    val q = EventStreams.statefulSessions(input, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stateful_wm_behind")
+      .start()
+    try {
+      val t0 = 1700000000000000L
+      val min = 60L * 1000000L
+      // batch 1: user 1 at t0 — late-events watermark lands ~t0-1min
+      ms.addData((1L, t0, 1L, 1.0))
+      q.processAllAvailable()
+      // batch 2: user 2's events are AFTER the late-events watermark
+      // (so they reach the function), but the same batch carries a fresh
+      // user-1 row that advances the EVICTION watermark far past user
+      // 2's end+gap — registering that timeout is illegal (the exact
+      // StreamScale sf1 crash); the operator must flush user 2's closed
+      // session in THIS batch instead
+      ms.addData((2L, t0 + 1 * min, 2L, 1.0), (2L, t0 + 5 * min, 3L, 2.0),
+        (1L, t0 + 300 * min, 4L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("stateful_wm_behind")
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .collect().map(_.toSeq)
+      assert(rows.contains(Seq(2L, t0 + 1 * min, t0 + 5 * min, 2L)),
+        s"behind-watermark session must flush immediately, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("statefulSessions: cross-batch out-of-order event extends start, never shrinks end") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
