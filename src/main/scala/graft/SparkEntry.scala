@@ -4205,6 +4205,70 @@ object SparkEntry {
   private def q_adf(s: SparkSession, d: String): DataFrame =
     Stats.adfDaily(Tables.events(s, d), "event_type", "ts")
 
+  /** §2b Grubbs max-outlier screen per event type over daily counts:
+    * exact-integer arg-max deviation + moments
+    * ([[Stats.grubbsDaily]]). */
+  private def q_grubbs(s: SparkSession, d: String): DataFrame =
+    Stats.grubbsDaily(Tables.events(s, d), "event_type", "ts")
+
+  /** §2b paired sign test: per-user first-half vs second-half activity
+    * ([[Stats.signTestHalves]]) — all-integer inputs to z. */
+  private def q_sign_test(s: SparkSession, d: String): DataFrame =
+    Stats.signTestHalves(Tables.events(s, d), "user_id", "ts")
+
+  /** §2b Mood's median test across event types on value
+    * ([[Stats.moodsMedianTest]]): global-median 2×k contingency. */
+  private def q_moods_median(s: SparkSession, d: String): DataFrame =
+    Stats.moodsMedianTest(Tables.events(s, d), "event_type", "value")
+
+  /** §2b order-3 permutation entropy of the daily series per event type
+    * ([[TimeSeries.permutationEntropyDaily]]): ordinal-pattern
+    * complexity — exact integer patterns, bounded entropy fold. */
+  private def q_perm_entropy(s: SparkSession, d: String): DataFrame =
+    TimeSeries.permutationEntropyDaily(Tables.events(s, d),
+      "event_type", "ts")
+
+  /** §2b ROUGE-1 between consecutive documents
+    * ([[TextAnalytics.rouge1Pairs]]): clipped unigram overlap P/R/F1 —
+    * the summarization metric as a sequential-redundancy screen. */
+  private def q_rouge_pair(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.rouge1Pairs(Tables.documents(s, d), "doc_id", "text")
+
+  /** §2b degree-resolved assortativity curve k_nn(k) over the
+    * part↔supplier graph ([[Graph.avgNeighborDegree]]) — exact-integer
+    * class sums, long-id edges (ids never reach the output). */
+  private def q_knn_degree(s: SparkSession, d: String): DataFrame = {
+    val ps = partSupplierPairsLong(s, d)
+    Graph.avgNeighborDegree(ps.unionByName(
+      ps.select(col("dst").as("src"), col("src").as("dst"))))
+  }
+
+  /** §2b reciprocity of the SIGNIFICANT event-type transition graph:
+    * per-user consecutive transitions, edges kept when their count
+    * exceeds the mean pair count (exact integer c·k > Σc comparison —
+    * no float threshold), then [[Graph.reciprocity]]'s L↔/L ratio —
+    * "is the journey graph conversational or one-way". */
+  private def q_reciprocity(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .withColumn("__next", lead(col("event_type"), 1).over(w))
+      .filter(col("__next").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type").as("src"), col("__next").as("dst"))
+    // bounded (type x type) grid, consumed by the threshold total AND
+    // the significant-edge filter AND reciprocity's self-semi-join —
+    // localCheckpoint or each consumer re-scans events (plan audit)
+    val counts = trans.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val tot = counts.agg(sum(col("__c")).as("__t"),
+      count(lit(1)).as("__k"))
+    val sig = counts.crossJoin(broadcast(tot))
+      .filter(col("__c") * col("__k") > col("__t"))
+      .select(col("src"), col("dst"))
+    Graph.reciprocity(sig)
+  }
+
   /** §2b sharp regression-discontinuity jump at quantity 25.5 (±20):
     * local linear price fits each side of the cutoff
     * ([[Stats.regressionDiscontinuity]]) — the threshold-causal readout;
@@ -4645,6 +4709,13 @@ object SparkEntry {
     "q_lin_ccc" -> (q_lin_ccc _),
     "q_holm" -> (q_holm _),
     "q_adf" -> (q_adf _),
+    "q_grubbs" -> (q_grubbs _),
+    "q_sign_test" -> (q_sign_test _),
+    "q_moods_median" -> (q_moods_median _),
+    "q_knn_degree" -> (q_knn_degree _),
+    "q_reciprocity" -> (q_reciprocity _),
+    "q_perm_entropy" -> (q_perm_entropy _),
+    "q_rouge_pair" -> (q_rouge_pair _),
     "q_rdd" -> (q_rdd _),
     "q_hellinger" -> (q_hellinger _),
     "q_kuiper" -> (q_kuiper _),
@@ -12825,6 +12896,210 @@ object SparkEntry {
          FROM ranked""",
     // Exact integer OLS moments over the calendar-bounded daily grid;
     // the closing algebra mirrors adfDaily term for term.
+    // Exact integer ordinal patterns (ties: earlier index first);
+    // entropy in the single-log fold form on both engines.
+    "q_perm_entropy" ->
+      """WITH daily AS (SELECT event_type AS g, date_trunc('day', ts) AS d,
+                               CAST(count(*) AS BIGINT) AS y
+                        FROM events WHERE ts IS NOT NULL
+                        GROUP BY 1, 2),
+              tri AS (SELECT g, y AS a,
+                             lead(y, 1) OVER (PARTITION BY g ORDER BY d) AS b,
+                             lead(y, 2) OVER (PARTITION BY g ORDER BY d) AS c
+                      FROM daily),
+              pat AS (SELECT g, CASE WHEN a <= b AND b <= c THEN 0
+                                     WHEN a <= b AND b > c AND a <= c THEN 1
+                                     WHEN a <= b AND b > c AND a > c THEN 2
+                                     WHEN a > b AND b <= c AND a <= c THEN 3
+                                     WHEN a > b AND b <= c AND a > c THEN 4
+                                     ELSE 5 END AS p
+                      FROM tri WHERE c IS NOT NULL),
+              cnt AS (SELECT g, p, CAST(count(*) AS BIGINT) AS c
+                      FROM pat GROUP BY 1, 2),
+              ag AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_windows,
+                            CAST(count(*) AS BIGINT) AS n_patterns,
+                            SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                              AS clogc
+                     FROM cnt GROUP BY 1)
+         SELECT g AS event_type, n_windows, n_patterns,
+                round(CASE WHEN n_windows > 0 THEN
+                  (ln(CAST(n_windows AS DOUBLE)) - clogc / n_windows)
+                    / ln(6.0) END, 6) AS perm_entropy
+         FROM ag""",
+    // Clipped unigram overlap on the (id+1, token) equi-join; exact
+    // integer min sums; F1 = 2*ov/(|A|+|B|).
+    "q_rouge_pair" ->
+      s"""WITH tf AS (SELECT doc_id AS id, token AS w,
+                             CAST(count(*) AS BIGINT) AS c
+                      FROM documents, UNNEST($duckTokens) AS u(token)
+                      GROUP BY 1, 2),
+              lens AS (SELECT doc_id AS id,
+                              CAST(len($duckTokens) AS BIGINT) AS l
+                       FROM documents),
+              pairs AS (SELECT a.id AS doc_a, a.l AS len_a, b.l AS len_b
+                        FROM lens a JOIN lens b ON b.id = a.id + 1),
+              ov AS (SELECT a.id AS doc_a,
+                            CAST(SUM(least(a.c, b.c)) AS BIGINT) AS ovl
+                     FROM tf a JOIN tf b ON b.id = a.id + 1 AND b.w = a.w
+                     GROUP BY 1)
+         SELECT doc_a, doc_a + 1 AS doc_b, len_a, len_b,
+                COALESCE(ovl, 0) AS overlap,
+                round(CASE WHEN len_a > 0 THEN
+                  CAST(COALESCE(ovl, 0) AS DOUBLE) / len_a END, 6)
+                  AS rouge1_recall,
+                round(CASE WHEN len_b > 0 THEN
+                  CAST(COALESCE(ovl, 0) AS DOUBLE) / len_b END, 6)
+                  AS rouge1_precision,
+                round(CASE WHEN len_a + len_b > 0 THEN
+                  2.0 * COALESCE(ovl, 0) / (len_a + len_b) END, 6)
+                  AS rouge1_f1
+         FROM pairs LEFT JOIN ov USING (doc_a)""",
+    // Exact-integer class sums: knn(k) = sum(nbr degrees)/(k*n_k).
+    "q_knn_degree" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+                        FROM lineitem),
+              e AS (SELECT pk * 2 AS src, sk * 2 + 1 AS dst FROM pairs
+                    UNION ALL
+                    SELECT sk * 2 + 1 AS src, pk * 2 AS dst FROM pairs),
+              deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+                      FROM e GROUP BY 1),
+              pn AS (SELECT e.src,
+                            CAST(SUM(dd.d) AS BIGINT) AS sumnbr,
+                            CAST(count(*) AS BIGINT) AS k
+                     FROM e JOIN deg dd ON dd.id = e.dst
+                     GROUP BY 1)
+         SELECT k AS degree, CAST(count(*) AS BIGINT) AS n_nodes,
+                round(CAST(SUM(sumnbr) AS DOUBLE)
+                  / CAST(k * count(*) AS DOUBLE), 6) AS avg_knn
+         FROM pn GROUP BY 1""",
+    // Significant-transition graph (exact c*k > sum threshold), then
+    // L_mutual / L with self-loops excluded.
+    "q_reciprocity" ->
+      """WITH tr AS (SELECT event_type AS src,
+                            lead(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS dst
+                     FROM events WHERE event_type IS NOT NULL),
+              cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+                      FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+              tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t,
+                             CAST(count(*) AS BIGINT) AS k
+                      FROM cnt),
+              sig AS (SELECT src, dst FROM cnt, tot WHERE c * k > t),
+              e AS (SELECT DISTINCT src, dst FROM sig
+                    WHERE src IS NOT NULL AND dst IS NOT NULL
+                      AND src <> dst),
+              m AS (SELECT count(*) AS n_mut FROM e a
+                    WHERE EXISTS (SELECT 1 FROM e b
+                                  WHERE b.src = a.dst AND b.dst = a.src))
+         SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                CAST(max(m.n_mut) AS BIGINT) AS n_reciprocated,
+                round(CASE WHEN count(*) > 0
+                  THEN CAST(max(m.n_mut) AS DOUBLE) / count(*) END, 6)
+                  AS reciprocity
+         FROM e, m""",
+    // Exact integer |n*y - sy| under the arg-max (ties -> earliest day);
+    // s mirrors the engine's division order term for term.
+    "q_grubbs" ->
+      """WITH daily AS (SELECT event_type AS g, date_trunc('day', ts) AS d,
+                               CAST(count(*) AS BIGINT) AS y
+                        FROM events WHERE ts IS NOT NULL
+                        GROUP BY 1, 2),
+              m AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days,
+                           CAST(SUM(y) AS HUGEINT) AS sy,
+                           SUM(CAST(y AS HUGEINT) * y) AS syy
+                    FROM daily GROUP BY 1),
+              top AS (SELECT daily.g, d,
+                             abs(CAST(y AS HUGEINT) * n_days - sy) AS sdev,
+                             ROW_NUMBER() OVER (PARTITION BY daily.g
+                               ORDER BY abs(CAST(y AS HUGEINT) * n_days - sy)
+                                 DESC, d ASC) AS rn
+                      FROM daily JOIN m ON m.g = daily.g)
+         SELECT m.g AS event_type, n_days, top.d AS worst_day,
+                round(CASE WHEN n_days > 2
+                        AND CAST(n_days * syy - sy * sy AS DOUBLE) > 0
+                  THEN CAST(sdev AS DOUBLE) / CAST(n_days AS DOUBLE)
+                       / sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)
+                           / CAST(n_days AS DOUBLE)
+                           / (CAST(n_days AS DOUBLE) - 1.0)) END, 6)
+                  AS g_stat
+         FROM m JOIN top ON top.g = m.g AND rn = 1""",
+    // Exact integer half counts (2*us <= lo+hi puts boundary events in
+    // the first half on both engines).
+    "q_sign_test" ->
+      """WITH sp AS (SELECT user_id AS u,
+                            min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1),
+              h AS (SELECT e.user_id AS u,
+                      CAST(SUM(CASE WHEN epoch_us(e.ts) * 2 <= sp.lo + sp.hi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                      CAST(SUM(CASE WHEN epoch_us(e.ts) * 2 > sp.lo + sp.hi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n2
+                    FROM events e JOIN sp ON sp.u = e.user_id
+                    WHERE e.ts IS NOT NULL
+                    GROUP BY 1),
+              sg AS (SELECT u, CAST(sign(n2 - n1) AS INTEGER) AS s FROM h),
+              ag AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                       CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_plus,
+                       CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_minus,
+                       CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_tie
+                     FROM sg)
+         SELECT n_users, n_plus, n_minus, n_tie,
+                round(CASE WHEN n_plus + n_minus > 0
+                  THEN CAST(n_plus - n_minus AS DOUBLE)
+                       / sqrt(CAST(n_plus + n_minus AS DOUBLE)) END, 6)
+                  AS z_stat
+         FROM ag""",
+    // Global lower median from the distinct-value grid; chi2 from exact
+    // integer O/E arithmetic; ties at-or-below on both engines.
+    "q_moods_median" ->
+      """WITH base AS (SELECT event_type AS g,
+                              round(CAST(value AS DOUBLE), 6) AS v
+                       FROM events
+                       WHERE value IS NOT NULL AND event_type IS NOT NULL),
+              grid AS (SELECT v, CAST(count(*) AS BIGINT) AS w
+                       FROM base GROUP BY 1),
+              cum AS (SELECT v, CAST(SUM(w) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS c,
+                             CAST(SUM(w) OVER () AS BIGINT) AS tw
+                      FROM grid),
+              med AS (SELECT min(v) AS m FROM cum WHERE c * 2 >= tw),
+              cont AS (SELECT g,
+                         CAST(SUM(CASE WHEN v > m THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_above,
+                         CAST(SUM(CASE WHEN v <= m THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_at_or_below
+                       FROM base, med GROUP BY 1),
+              tot AS (SELECT CAST(SUM(n_above) AS BIGINT) AS ta,
+                             CAST(SUM(n_at_or_below) AS BIGINT) AS tb,
+                             CAST(count(*) AS BIGINT) AS k_groups
+                      FROM cont),
+              chi AS (SELECT max(k_groups) AS k_groups,
+                        CAST(SUM(n_above + n_at_or_below) AS BIGINT) AS n,
+                        SUM((CASE WHEN CAST(n_above + n_at_or_below AS DOUBLE)
+                                * ta / (ta + tb) > 0
+                          THEN (n_above - CAST(n_above + n_at_or_below
+                                AS DOUBLE) * ta / (ta + tb))
+                             * (n_above - CAST(n_above + n_at_or_below
+                                AS DOUBLE) * ta / (ta + tb))
+                             / (CAST(n_above + n_at_or_below AS DOUBLE)
+                                * ta / (ta + tb)) ELSE 0.0 END)
+                          + (CASE WHEN CAST(n_above + n_at_or_below
+                                AS DOUBLE) * tb / (ta + tb) > 0
+                          THEN (n_at_or_below - CAST(n_above + n_at_or_below
+                                AS DOUBLE) * tb / (ta + tb))
+                             * (n_at_or_below - CAST(n_above + n_at_or_below
+                                AS DOUBLE) * tb / (ta + tb))
+                             / (CAST(n_above + n_at_or_below AS DOUBLE)
+                                * tb / (ta + tb)) ELSE 0.0 END)) AS chi2
+                      FROM cont, tot)
+         SELECT n, k_groups, m AS global_median,
+                CAST(k_groups - 1 AS BIGINT) AS dof,
+                round(CASE WHEN k_groups > 1 THEN chi2 END, 6) AS chi2
+         FROM chi, med""",
     "q_adf" ->
       """WITH obs AS (SELECT event_type AS g, date_trunc('day', ts) AS d,
                                CAST(count(*) AS BIGINT) AS y

@@ -990,4 +990,66 @@ object Graph {
       .orderBy(col("jaccard_score").desc, col("src").asc, col("dst").asc)
       .limit(topN)
   }
+
+  /** Average-nearest-neighbor-degree curve k_nn(k) (public: Pastor-
+    * Satorras, Vázquez & Vespignani PRL'01) — the degree-resolved
+    * assortativity readout beside [[assortativity]]'s single
+    * coefficient: for each degree class k, the mean over k-degree nodes
+    * of their neighbors' average degree. Rising curve = assortative
+    * hubs-with-hubs, falling = disassortative hub-and-spoke (the shape
+    * says WHERE mixing happens, which the one-number correlation
+    * can't).
+    *
+    * `edges` must carry both directions (the pageRank contract), so
+    * degree = src count. EXACT-integer class formulation: every node in
+    * class k shares the same denominator, so
+    * k_nn(k) = (Σ_v Σ_{u~v} deg u) / (k · n_k) — one double division of
+    * exact longs per class, no per-node rational sums to drift
+    * (order-independent, engine-portable at any scale). Shape: one
+    * degree aggregate, one |E| join carrying the neighbor degree, two
+    * bounded aggregates. */
+  def avgNeighborDegree(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src").as("__id"))
+      .agg(count(lit(1)).as("__deg"))
+    val perNode = e
+      .join(deg.withColumnRenamed("__id", "dst").hint("shuffle_hash"),
+        Seq("dst"))
+      .groupBy(col("src"))
+      .agg(sum(col("__deg")).as("__sumNbrDeg"), count(lit(1)).as("__k"))
+    perNode.groupBy(col("__k").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("__sumNbrDeg")).as("__classSum"))
+      .select(col("degree"), col("n_nodes"),
+        round(col("__classSum").cast("double")
+          / (col("degree") * col("n_nodes")).cast("double"), 6)
+          .as("avg_knn"))
+  }
+
+  /** Directed-graph reciprocity (public: Garlaschelli & Loffredo
+    * PRL'04, the unweighted ratio form): r = L↔ / L — the fraction of
+    * directed edges whose reverse edge also exists. The one-number
+    * answer to "is this interaction graph conversational or
+    * broadcast-shaped" (crawl link graphs, reply graphs, here the
+    * event-type transition graph). Self-loops are excluded from both
+    * counts by convention.
+    *
+    * Scale shape: edges collapse to the DISTINCT (src, dst) set in one
+    * aggregate; L↔ is a self-semi-join on the reversed key — both
+    * bounded by the distinct edge count, never the row count. Exact
+    * integers throughout. */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val mutual = e.join(rev, Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(mutual.agg(count(lit(1)).as("n_reciprocated"))))
+      .select(col("n_edges"), col("n_reciprocated"),
+        round(when(col("n_edges") > 0,
+          col("n_reciprocated").cast("double") / col("n_edges")), 6)
+          .as("reciprocity"))
+  }
 }

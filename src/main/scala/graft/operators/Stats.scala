@@ -3868,4 +3868,165 @@ object Stats {
       round(when(col("__g").isNotNull,
         evenDfChi2P(col("__g"), col("dof"))), roundScale).as("p_value"))
   }
+
+  /** Grubbs' max-normed-residual outlier statistic per group (public:
+    * Grubbs, Technometrics '69): G = max|y − ȳ| / s over the group's
+    * daily count series — the "is the worst day a real outlier" screen
+    * in front of alerting (compare G against the tabulated t-based
+    * critical value for n; the statistic is the comparable number, the
+    * table is a constant). Emits the arg-max day so the flagged
+    * observation is actionable.
+    *
+    * Scale shape: the [[adfDaily]] collapse — the corpus folds to the
+    * bounded (group, day) grid in ONE map-combined aggregate; moments
+    * are EXACT integer sums in decimal, and the arg-max runs on the
+    * exact integer |n·y − Σy| (no float under the max, day tie → the
+    * earliest day), so the statistic is order-independent and
+    * engine-portable at any scale. Groups need ≥ 3 days and
+    * non-constant counts, else a null statistic. */
+  def grubbsDaily(events: DataFrame, keyCol: String, tsCol: String,
+                  roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(20,0)")
+    val daily = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("__g"),
+        date_trunc("day", col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__y"))
+    // group moments ride along every grid row via a bounded window over
+    // the calendar-sized grid (the kendallW totals-frame pattern), so
+    // the exact arg-max folds in the SAME aggregate as the moments
+    val w = Window.partitionBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val m = daily
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sy", sum(dec(col("__y"))).over(w))
+      .withColumn("__syy", sum(dec(col("__y")) * dec(col("__y"))).over(w))
+      .groupBy(col("__g"))
+      .agg(max(col("__n")).as("n_days"),
+        max(col("__sy")).as("__sy"), max(col("__syy")).as("__syy"),
+        max(struct(
+          abs(dec(col("__y")) * dec(col("__n")) - col("__sy")).as("__sdev"),
+          (lit(0L) - unix_micros(col("__day"))).as("__nt"),
+          col("__day").as("__d"))).as("__top"))
+    val dn = dec(col("n_days"))
+    val ssn = (dn * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    val nd = col("n_days").cast("double")
+    val sSample = sqrt(ssn / nd / (nd - 1.0))
+    m.select(col("__g").as(keyCol), col("n_days"),
+      col("__top").getField("__d").as("worst_day"),
+      round(when(col("n_days") > 2 && ssn > 0,
+        col("__top").getField("__sdev").cast("double") / nd / sSample),
+        roundScale).as("g_stat"))
+  }
+
+  /** Paired sign test per user (public: Arbuthnott 1710 by way of every
+    * nonparametrics text): split each user's events at the midpoint of
+    * their own [first, last] span and compare ACTIVITY (event counts)
+    * between the halves — the direction-only answer to "did engagement
+    * rise or fall within user", robust to any value distribution. Emits
+    * plus/minus/tie counts and the normal-approximation
+    * z = (n⁺ − n⁻)/√(n⁺ + n⁻).
+    *
+    * Scale shape: one |V|-row span aggregate, one shuffle-hash join
+    * back onto the stream, one counting aggregate — every input to z is
+    * an exact integer (midpoint compared as 2·us ≤ lo + hi in exact
+    * micros; boundary events land in the first half on both engines).
+    * Single-event users are + signs by construction (n₁ = 1, n₂ = 0);
+    * callers wanting them out filter upstream. */
+  def signTestHalves(events: DataFrame, userCol: String, tsCol: String,
+                     roundScale: Int = 6): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val spans = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(us).as("__lo"), max(us).as("__hi"))
+    val halves = events
+      .filter(col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), us.as("__us"))
+      .join(spans.hint("shuffle_hash"), Seq("__u"))
+      .groupBy(col("__u"))
+      .agg(
+        sum(when(col("__us") * 2 <= col("__lo") + col("__hi"), 1L)
+          .otherwise(0L)).as("__n1"),
+        sum(when(col("__us") * 2 > col("__lo") + col("__hi"), 1L)
+          .otherwise(0L)).as("__n2"))
+      .select(col("__u"),
+        signum((col("__n2") - col("__n1")).cast("double")).cast("int")
+          .as("__sign"))
+    halves
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("__sign") === 1, 1L).otherwise(0L)).as("n_plus"),
+        sum(when(col("__sign") === -1, 1L).otherwise(0L)).as("n_minus"),
+        sum(when(col("__sign") === 0, 1L).otherwise(0L)).as("n_tie"))
+      .select(col("n_users"), col("n_plus"), col("n_minus"), col("n_tie"),
+        round(when(col("n_plus") + col("n_minus") > 0,
+          (col("n_plus") - col("n_minus")).cast("double")
+            / sqrt((col("n_plus") + col("n_minus")).cast("double"))),
+          roundScale).as("z_stat"))
+  }
+
+  /** Mood's median test (public: Mood 1950): the 2 × k contingency of
+    * per-group counts strictly above vs at-or-below the GLOBAL median,
+    * with the chi-square statistic — the coarse "do these groups share
+    * a center" screen that stays valid under wildly non-normal values
+    * (it uses only position relative to one global cut).
+    *
+    * Scale shape: the [[weightedMedian]] grid gives the global lower
+    * median from ONE distinct-value aggregate + a bounded cumulative
+    * window; the contingency is a second small aggregate; chi² is exact
+    * integer O/E arithmetic in doubles. Ties sit in the at-or-below
+    * row on both engines (6dp-rounded values, exact comparisons). */
+  def moodsMedianTest(df: DataFrame, groupCol: String, valCol: String,
+                      roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = round(col(valCol).cast("double"), roundScale)
+    val base = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+    val grid = base.groupBy(v.as("__v")).agg(count(lit(1)).as("__w"))
+    val cum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val med = grid.withColumn("__cum", sum(col("__w")).over(cum))
+      .withColumn("__W", sum(col("__w")).over(all))
+      .agg(min(when(col("__cum") * 2 >= col("__W"), col("__v")))
+        .as("__med"))
+    // the contingency CARRIES the median and is localCheckpoint'd: the
+    // three downstream consumers (margins, chi2, final select) would
+    // otherwise each re-derive the corpus-sized base + median lineage
+    // (PlanAuditSpec multi-consumer rule — it caught a 5x events scan
+    // in this operator's first shape)
+    val cont = base
+      .crossJoin(broadcast(med))
+      .groupBy(col(groupCol).as("__g"))
+      .agg(sum(when(v > col("__med"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(v <= col("__med"), 1L).otherwise(0L)).as("n_at_or_below"),
+        max(col("__med")).as("__medv"))
+      .localCheckpoint()
+    val tot = cont.agg(sum(col("n_above")).as("__ta"),
+      sum(col("n_at_or_below")).as("__tb"),
+      count(lit(1)).as("k_groups"),
+      max(col("__medv")).as("__gmed"))
+    val chi = cont.crossJoin(broadcast(tot))
+      .select(col("k_groups"), col("__gmed"),
+        ((col("n_above") + col("n_at_or_below")).cast("double")
+          * col("__ta") / (col("__ta") + col("__tb"))).as("__ea"),
+        ((col("n_above") + col("n_at_or_below")).cast("double")
+          * col("__tb") / (col("__ta") + col("__tb"))).as("__eb"),
+        col("n_above"), col("n_at_or_below"))
+      .agg(max(col("k_groups")).as("k_groups"),
+        max(col("__gmed")).as("__gmed"),
+        sum(col("n_above") + col("n_at_or_below")).as("n"),
+        sum(when(col("__ea") > 0,
+          (col("n_above") - col("__ea")) * (col("n_above") - col("__ea"))
+            / col("__ea")).otherwise(0.0)
+          + when(col("__eb") > 0,
+            (col("n_at_or_below") - col("__eb"))
+              * (col("n_at_or_below") - col("__eb")) / col("__eb"))
+            .otherwise(0.0)).as("__chi"))
+    chi.select(col("n"), col("k_groups"), col("__gmed").as("global_median"),
+      (col("k_groups") - 1).cast("long").as("dof"),
+      round(when(col("k_groups") > 1, col("__chi")), roundScale)
+        .as("chi2"))
+  }
 }

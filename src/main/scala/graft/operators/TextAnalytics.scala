@@ -1583,4 +1583,51 @@ object TextAnalytics {
       .orderBy(col("score").desc, col("phrase").asc)
       .limit(k)
   }
+
+  /** ROUGE-1 overlap between consecutive documents (public: Lin,
+    * ACL'04 workshop): clipped unigram overlap Σ_w min(c_A(w), c_B(w))
+    * between doc i (reference) and doc i+1 (candidate) — recall,
+    * precision and F1. The summarization-eval metric doubling as a
+    * sequential-redundancy screen: a run of high-F1 consecutive ids
+    * marks a crawl that kept near-identical revisions adjacent (the
+    * cheap complement to MinHash, which compares SETS and misses
+    * multiplicity).
+    *
+    * Scale shape: per-doc term counts (one hash aggregate), the pair
+    * overlap via a self-equi-join on (id+1, token) — fan-out bounded by
+    * shared vocabulary per adjacent pair, never corpus² — and exact
+    * integer clipped sums; F1 = 2·ov/(|A|+|B|) is one division. Pairs
+    * with no shared tokens still appear (overlap 0). */
+  def rouge1Pairs(docs: DataFrame, idCol: String, textCol: String,
+                  roundScale: Int = 6): DataFrame = {
+    val tf = docs
+      .select(col(idCol).cast("long").as("__id"),
+        explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__id"), col("__w")).agg(count(lit(1)).as("__c"))
+    val lens = docs.select(col(idCol).cast("long").as("__id"),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("__len"))
+    val pairs = lens.select(col("__id").as("doc_a"), col("__len").as("len_a"))
+      .join(lens.select((col("__id") - 1).as("doc_a"),
+        col("__len").as("len_b")), Seq("doc_a"))
+    val ov = tf.select(col("__id").as("doc_a"), col("__w"),
+        col("__c").as("__ca"))
+      .join(tf.select((col("__id") - 1).as("doc_a"), col("__w"),
+        col("__c").as("__cb")), Seq("doc_a", "__w"))
+      .groupBy(col("doc_a"))
+      .agg(sum(least(col("__ca"), col("__cb"))).as("overlap"))
+    pairs.join(ov, Seq("doc_a"), "left")
+      .na.fill(0L, Seq("overlap"))
+      .select(col("doc_a"), (col("doc_a") + 1).as("doc_b"),
+        col("len_a"), col("len_b"), col("overlap"),
+        round(when(col("len_a") > 0,
+          col("overlap").cast("double") / col("len_a")), roundScale)
+          .as("rouge1_recall"),
+        round(when(col("len_b") > 0,
+          col("overlap").cast("double") / col("len_b")), roundScale)
+          .as("rouge1_precision"),
+        round(when(col("len_a") + col("len_b") > 0,
+          lit(2.0) * col("overlap") / (col("len_a") + col("len_b"))),
+          roundScale).as("rouge1_f1"))
+  }
+
 }

@@ -804,4 +804,58 @@ object TimeSeries {
             / (col("__s1").cast("double") / col("__n1").cast("double"))), 6)
           .as("mase_ratio"))
   }
+
+  /** Normalized permutation entropy of order 3 per group (public: Bandt
+    * & Pompe PRL'02): the entropy of ORDINAL PATTERNS — which of the 6
+    * rank orders each consecutive day-count triple takes — over the
+    * daily series. 1.0 = pattern-free noise, low values = strong
+    * temporal structure (monotone drifts, strict cycles); the
+    * model-free complexity dial beside [[acfDaily]]'s linear lags
+    * (ordinal patterns see nonlinear structure autocorrelation can't).
+    * Ties take the Bandt–Pompe earlier-index-first convention, so the
+    * pattern of a triple is an exact integer function of two-way
+    * comparisons — no ranks, no floats until the closing entropy.
+    *
+    * Scale shape: the calendar-bounded daily grid (one map-combined
+    * aggregate), two lead windows over it, ONE ≤6-row-per-group pattern
+    * aggregate; the entropy folds 6 bounded terms. */
+  def permutationEntropyDaily(events: DataFrame, keyCol: String,
+                              tsCol: String, roundScale: Int = 6)
+      : DataFrame = {
+    val daily = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("__g"),
+        date_trunc("day", col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__y"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__day"))
+    val tri = daily
+      .withColumn("__b", lead(col("__y"), 1).over(w))
+      .withColumn("__c", lead(col("__y"), 2).over(w))
+      .filter(col("__c").isNotNull)
+    val ab = col("__y") <= col("__b")
+    val ac = col("__y") <= col("__c")
+    val bc = col("__b") <= col("__c")
+    // the three pairwise order bits determine the permutation (ties →
+    // earlier index first, so "before" is <= along the index order)
+    val pat = when(ab && bc, 0)
+      .when(ab && !bc && ac, 1)
+      .when(ab && !bc && !ac, 2)
+      .when(!ab && bc && ac, 3)
+      .when(!ab && bc && !ac, 4)
+      .otherwise(5)
+    val counts = tri.groupBy(col("__g"), pat.as("__p"))
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(col("__g").as(keyCol))
+      .agg(sum(col("__c")).as("n_windows"),
+        count(lit(1)).as("n_patterns"),
+        sum(col("__c").cast("double")
+          * log(col("__c").cast("double"))).as("__clogc"))
+      .select(col(keyCol), col("n_windows"), col("n_patterns"),
+        // H = ln n − (Σ c·ln c)/n, normalized by ln 6; the single-log
+        // form folds exactly the same way on both engines
+        round(when(col("n_windows") > 0,
+          (log(col("n_windows").cast("double"))
+            - col("__clogc") / col("n_windows")) / log(lit(6.0))),
+          roundScale).as("perm_entropy"))
+  }
 }
