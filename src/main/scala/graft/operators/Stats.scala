@@ -3932,8 +3932,8 @@ object Stats {
     * back onto the stream, one counting aggregate — every input to z is
     * an exact integer (midpoint compared as 2·us ≤ lo + hi in exact
     * micros; boundary events land in the first half on both engines).
-    * Single-event users are + signs by construction (n₁ = 1, n₂ = 0);
-    * callers wanting them out filter upstream. */
+    * Single-event users are − signs by construction (n₁ = 1, n₂ = 0 →
+    * n₂ − n₁ < 0); callers wanting them out filter upstream. */
   def signTestHalves(events: DataFrame, userCol: String, tsCol: String,
                      roundScale: Int = 6): DataFrame = {
     val us = unix_micros(col(tsCol))

@@ -402,4 +402,22 @@ class GraphSpec extends SparkSuite {
       .count() === 0L)
     assert(Graph.jaccardLinkPrediction(star, topN = 10).count() === 3L)
   }
+  test("avgNeighborDegree: star graph gives the two exact degree classes") {
+    val star = Seq(("c", "l1"), ("c", "l2"), ("c", "l3"),
+      ("l1", "c"), ("l2", "c"), ("l3", "c")).toDF("src", "dst")
+    val out = Graph.avgNeighborDegree(star).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(3L).getLong(1) === 1L && out(3L).getDouble(2) === 1.0)
+    assert(out(1L).getLong(1) === 3L && out(1L).getDouble(2) === 3.0)
+  }
+
+  test("reciprocity: mutual fraction, self-loops and duplicates excluded") {
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "c"), ("c", "c"))
+      .toDF("src", "dst")
+    val r = Graph.reciprocity(e).collect().head
+    assert(r.getLong(0) === 3L, "distinct non-loop edges")
+    assert(r.getLong(1) === 2L, "a<->b both directions")
+    assert(r.getDouble(2) === 0.666667)
+  }
+
 }

@@ -1647,4 +1647,55 @@ class StatsSpec extends SparkSuite {
         "dof, g and p must all be null on a vacuous contingency")
     }
   }
+  test("grubbsDaily: hand-computed outlier day, null on constant/short series") {
+    import org.apache.spark.sql.functions._
+    val day = 86400000000L
+    // group a: day counts 1,1,1,10,1 -> mean 2.8, G = 7.2/s with
+    // ssn = 5*104 - 196 = 324, s = sqrt(324/5/4) -> G = 1.788854
+    val rows =
+      (Seq(0, 1, 2, 4).map(d => ("a", d.toLong * day)) ++
+        (1 to 10).map(_ => ("a", 3L * day)) ++
+        Seq(0, 1, 2).map(d => ("c", d.toLong * day))) // constant counts
+    val df = rows.toDF("g", "us")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val out = Stats.grubbsDaily(df, "g", "ts").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) === 5L)
+    assert(out("a").getTimestamp(2).getTime === 3L * 86400000L)
+    assert(out("a").getDouble(3) === 1.788854)
+    // constant series: ssn = 0 -> null statistic, never NaN
+    assert(out("c").isNullAt(3))
+  }
+
+  test("signTestHalves: plus/minus/tie users and the single-event minus convention") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, 0L), (1L, 0L), (1L, 100L), (1L, 100L), (1L, 100L), // + (2 vs 3)
+      (2L, 0L), (2L, 0L), (2L, 0L), (2L, 100L),               // - (3 vs 1)
+      (3L, 0L), (3L, 100L),                                    // tie (1 vs 1)
+      (4L, 50L))                                               // single -> -
+    val df = rows.toDF("user_id", "us")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val r = Stats.signTestHalves(df, "user_id", "ts").collect().head
+    assert(r.getLong(0) === 4L)
+    assert(r.getLong(1) === 1L, "one plus user")
+    assert(r.getLong(2) === 2L, "minus user + single-event user")
+    assert(r.getLong(3) === 1L, "one tie")
+    val zExp = BigDecimal(-1.0 / math.sqrt(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) === zExp)
+  }
+
+  test("moodsMedianTest: hand-computed 2x2 contingency chi-square") {
+    // A = {1,2,3}, B = {3,4,5}: global lower median 3; above = (0, 2),
+    // at-or-below = (3, 1) -> chi2 = 1.5 + 1.5 = 3.0, dof 1
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 3.0), ("B", 4.0), ("B", 5.0)).toDF("g", "v")
+    val r = Stats.moodsMedianTest(df, "g", "v").collect().head
+    assert(r.getLong(0) === 6L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 3.0) // global median
+    assert(r.getLong(3) === 1L)
+    assert(r.getDouble(4) === 3.0) // chi2
+  }
+
 }

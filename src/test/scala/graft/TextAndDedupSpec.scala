@@ -1434,4 +1434,20 @@ class TextAndDedupSpec extends SparkSuite {
         && r.getDouble(3) >= r.getDouble(4) - 1e-9))
     assert(out("m").isNullAt(5))
   }
+  test("rouge1Pairs: clipped overlap, identical docs score 1, disjoint 0") {
+    val docs = Seq((1L, "a b a"), (2L, "a b c"), (3L, "x y z"),
+      (4L, "x y z")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalytics.rouge1Pairs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // pair (1,2): overlap = min(2,1)[a] + min(1,1)[b] = 2 of 3 and 3
+    assert(out(1L).getLong(4) === 2L)
+    assert(out(1L).getDouble(5) === 0.666667)
+    assert(out(1L).getDouble(6) === 0.666667)
+    assert(out(1L).getDouble(7) === 0.666667)
+    // pair (2,3): disjoint -> overlap 0 row still present
+    assert(out(2L).getLong(4) === 0L && out(2L).getDouble(7) === 0.0)
+    // pair (3,4): identical -> F1 = 1
+    assert(out(3L).getLong(4) === 3L && out(3L).getDouble(7) === 1.0)
+  }
+
 }

@@ -413,4 +413,25 @@ class TimeSeriesSpec extends SparkSuite {
     assert((0 to 11).filter(out(_).getBoolean(6)) === Seq(7, 8, 9, 10))
     assert(out.forall(r => !r.getBoolean(4) && !r.getBoolean(5)))
   }
+  test("permutationEntropyDaily: monotone series has zero entropy, mixed rises") {
+    import org.apache.spark.sql.functions._
+    val day = 86400000000L
+    // counts 1,2,3,4,5 -> every triple is pattern abc -> H = 0
+    val mono = (0 until 5).flatMap(d => Seq.fill(d + 1)(("m", d.toLong * day)))
+    // counts 2,1,2,1 -> patterns (2,1,2)->(b,a,c)? and (1,2,1): two
+    // distinct patterns over 2 windows -> H = ln2/ln6
+    val zig = Seq(("z", 0L * day), ("z", 0L * day), ("z", 1L * day),
+      ("z", 2L * day), ("z", 2L * day), ("z", 3L * day))
+    val df = (mono ++ zig).toDF("g", "us")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val out = graft.operators.TimeSeries.permutationEntropyDaily(df, "g", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("m").getLong(1) === 3L && out("m").getLong(2) === 1L)
+    assert(out("m").getDouble(3) === 0.0)
+    assert(out("z").getLong(1) === 2L && out("z").getLong(2) === 2L)
+    val h = BigDecimal(math.log(2.0) / math.log(6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("z").getDouble(3) === h)
+  }
+
 }
