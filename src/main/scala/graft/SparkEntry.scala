@@ -1570,6 +1570,31 @@ object SparkEntry {
       Multimodal.synthImages(Tables.documents(s, d), "doc_id", "jpg"))
       .select(col("asset_id"), col("format"), col("width"), col("height"))
 
+  /** §2b image near-duplicate detection over the REAL codec path — the
+    * multimodal leg of the dedup stack, end-to-end: each document yields
+    * an original PNG and a re-exposed copy (+4 clamped brightness,
+    * [[graft.operators.Multimodal.synthImages]]'s closed-form knob), both
+    * decoded with real ImageIO, aHashed, and compared with the codegen'd
+    * bit_count(xor) Hamming distance — near-dup iff ≤ 8 of 64 bits
+    * differ. The oracle recomputes BOTH hashes from the closed form (the
+    * brightened twin via LEAST(255, ·+4)) with no codec. Map-side
+    * everywhere; the pair join is per-document (id = id), never a
+    * blocking fan-out. */
+  private def q_image_neardup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val orig = Multimodal.aHashImage(
+      Multimodal.synthImages(docs, "doc_id", "png"))
+      .select(col("asset_id").as("doc_id"), col("ahash").as("__ha"))
+    val bright = Multimodal.aHashImage(
+      Multimodal.synthImages(docs, "doc_id", "png", brighten = 4))
+      .select(col("asset_id").as("doc_id"), col("ahash").as("__hb"))
+    orig.join(bright, Seq("doc_id"))
+      .select(col("doc_id"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long")
+          .as("hamming"))
+      .withColumn("is_near_dup", col("hamming") <= 8)
+  }
+
   /** §2b perceptual average-hash over the REAL PNG decode
     * ([[graft.operators.Multimodal.aHashImage]]), emitted as unsigned
     * 32-bit halves so both engines carry exact BIGINTs (no signed-bit-63
@@ -4474,6 +4499,7 @@ object SparkEntry {
     "q_image_decode" -> (q_image_decode _),
     "q_image_decode_jpeg" -> (q_image_decode_jpeg _),
     "q_image_ahash" -> (q_image_ahash _),
+    "q_image_neardup" -> (q_image_neardup _),
     "q_hash_split" -> (q_hash_split _),
     "q_epoch_schedule" -> (q_epoch_schedule _),
     "q_group_cap" -> (q_group_cap _),
@@ -8298,6 +8324,49 @@ object SparkEntry {
                 CAST(8 + doc_id % 9 AS INTEGER) AS width,
                 CAST(8 + doc_id % 7 AS INTEGER) AS height
          FROM documents""",
+    // Both aHashes from the closed form (brightened twin via
+    // LEAST(255, .+4)); hamming = bit_count(xor) over the two halves.
+    "q_image_neardup" ->
+      """WITH ids AS (SELECT doc_id AS id, CAST(8 + doc_id % 9 AS INTEGER) AS w,
+                        CAST(8 + doc_id % 7 AS INTEGER) AS h
+                      FROM documents),
+              cells AS (SELECT id, w, h, cxs.cx, cys.cy,
+                          (cx * w) // 8 AS sx, (cy * h) // 8 AS sy
+                        FROM ids,
+                             UNNEST(generate_series(0, 7)) AS cxs(cx),
+                             UNNEST(generate_series(0, 7)) AS cys(cy)),
+              luma AS (SELECT id, cy*8 + cx AS bit,
+                         (299*((7*id + 3*sx + 5*sy) % 256)
+                          + 587*((11*id + 2*sx + 7*sy) % 256)
+                          + 114*((13*id + 4*sx + sy) % 256)) // 1000 AS la,
+                         (299*least(255, (7*id + 3*sx + 5*sy) % 256 + 4)
+                          + 587*least(255, (11*id + 2*sx + 7*sy) % 256 + 4)
+                          + 114*least(255, (13*id + 4*sx + sy) % 256 + 4))
+                           // 1000 AS lb
+                       FROM cells),
+              m AS (SELECT id, CAST(SUM(la) // 64 AS BIGINT) AS ma,
+                           CAST(SUM(lb) // 64 AS BIGINT) AS mb
+                    FROM luma GROUP BY 1),
+              hsh AS (SELECT luma.id,
+                        CAST(SUM(CASE WHEN la > ma AND bit >= 32
+                          THEN CAST(1 AS BIGINT) << CAST(bit - 32 AS INTEGER)
+                          ELSE 0 END) AS BIGINT) AS ha_hi,
+                        CAST(SUM(CASE WHEN la > ma AND bit < 32
+                          THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER)
+                          ELSE 0 END) AS BIGINT) AS ha_lo,
+                        CAST(SUM(CASE WHEN lb > mb AND bit >= 32
+                          THEN CAST(1 AS BIGINT) << CAST(bit - 32 AS INTEGER)
+                          ELSE 0 END) AS BIGINT) AS hb_hi,
+                        CAST(SUM(CASE WHEN lb > mb AND bit < 32
+                          THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER)
+                          ELSE 0 END) AS BIGINT) AS hb_lo
+                      FROM luma JOIN m ON m.id = luma.id GROUP BY 1)
+         SELECT id AS doc_id,
+                CAST(bit_count(xor(ha_hi, hb_hi))
+                  + bit_count(xor(ha_lo, hb_lo)) AS BIGINT) AS hamming,
+                (bit_count(xor(ha_hi, hb_hi))
+                  + bit_count(xor(ha_lo, hb_lo))) <= 8 AS is_near_dup
+         FROM hsh""",
     // aHash from the same closed form: 8x8 nearest-neighbor cells,
     // integer Rec.601 luma, integer mean, unsigned 32-bit halves.
     "q_image_ahash" ->

@@ -550,7 +550,8 @@ object Multimodal {
     * compute the expected channel means without any codec, and for
     * lossless formats the ImageIO roundtrip must reproduce them
     * exactly. Ids must be non-negative. Output: (asset_id, payload). */
-  def synthImages(df: DataFrame, idCol: String, format: String): DataFrame = {
+  def synthImages(df: DataFrame, idCol: String, format: String,
+                  brighten: Int = 0): DataFrame = {
     import javax.imageio.ImageIO
     val spark = df.sparkSession
     val schema = StructType(Seq(
@@ -568,9 +569,13 @@ object Multimodal {
         while (y < h) {
           var x = 0
           while (x < w) {
-            val rr = ((7 * id + 3 * x + 5 * y) % 256).toInt
-            val gg = ((11 * id + 2 * x + 7 * y) % 256).toInt
-            val bb = ((13 * id + 4 * x + y) % 256).toInt
+            // `brighten` adds a clamped offset per channel — the
+            // near-duplicate fixture knob (a re-exposed copy of the
+            // same image), still a closed form a SQL oracle can mirror
+            def ch(v: Long): Int = math.min(255L, v % 256 + brighten).toInt
+            val rr = ch(7 * id + 3 * x + 5 * y)
+            val gg = ch(11 * id + 2 * x + 7 * y)
+            val bb = ch(13 * id + 4 * x + y)
             img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
             x += 1
           }
