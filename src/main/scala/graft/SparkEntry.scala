@@ -4294,6 +4294,69 @@ object SparkEntry {
     Graph.reciprocity(sig)
   }
 
+  /** §2b Matthews correlation of the stopword lang-ID guess vs the
+    * declared label ([[Stats.matthewsCorr]]) — the balanced one-number
+    * verdict beside q_kappa's chance correction: exact-integer
+    * confusion counts, four-√-factor denominator. */
+  private def q_mcc(s: SparkSession, d: String): DataFrame =
+    Stats.matthewsCorr(q_lang_id(s, d), "declared_lang", "lang_guess",
+      positive = "en")
+
+  /** §2b Hodges–Lehmann shift of quantity, returned vs accepted lines
+    * ([[Stats.hodgesLehmannShift]]) — "how BIG is the shift q_mann_whitney
+    * tests for", as the median of all n_a·n_b pairwise differences
+    * generated on the V_a×V_b distinct-value grid (never row²). */
+  private def q_hodges_lehmann(s: SparkSession, d: String): DataFrame =
+    Stats.hodgesLehmannShift(Tables.lineitem(s, d), "l_returnflag",
+      "l_quantity", classA = "R", classB = "A")
+
+  /** §2b Chatterjee's ξ of extendedprice against quantity per return
+    * flag ([[Stats.chatterjeeXi]]) — detects ANY functional dependence,
+    * not just the monotone kind q_spearman sees; the y-run telescoping
+    * form over the distinct-(x,y) cell grid (no per-row rank sort). */
+  private def q_chatterjee(s: SparkSession, d: String): DataFrame =
+    Stats.chatterjeeXi(Tables.lineitem(s, d), "l_returnflag",
+      "l_quantity", "l_extendedprice")
+
+  /** §2b Quade test across event types on daily mean values
+    * ([[Stats.quadeTest]]) — friedman's blocked comparison with blocks
+    * weighted by their range rank; same complete-block day×type cells
+    * as q_friedman. */
+  private def q_quade(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(avg(col("value")).as("mean_value"))
+    Stats.quadeTest(cells, "day", "event_type", "mean_value")
+  }
+
+  /** §2b Nelson–Aalen cumulative hazard of user lifetimes ending in
+    * purchase ([[EventAnalytics.nelsonAalen]]) — the hazard-side view of
+    * q_survival's Kaplan–Meier curve, identical lifetime/censoring
+    * semantics. */
+  private def q_nelson_aalen(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.nelsonAalen(Tables.events(s, d),
+      "user_id", "ts", "event_id", "event_type", "purchase")
+
+  /** §2b skip-gram training pairs at offsets 1–2 with the word2vec
+    * vocabulary floor ([[TextAnalytics.skipgramPairs]]) — the embedding
+    * training-data generator; one window pass, one count aggregate. */
+  private def q_skipgrams(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.skipgramPairs(Tables.documents(s, d), "doc_id", "text",
+      maxOffset = 2, minCount = 3L)
+
+  /** §2b landmark BFS over the part↔supplier graph
+    * ([[Graph.landmarkDistances]]): exact distances from the 4 smallest
+    * node ids, depth ≤ 4 — reach, eccentricity-within-horizon and
+    * harmonic centrality per landmark; the distance family the
+    * iterative-join suite (pagerank/kcore/CC) did not yet cover. */
+  private def q_landmark_bfs(s: SparkSession, d: String): DataFrame = {
+    val ps = partSupplierPairsLong(s, d)
+    Graph.landmarkDistances(ps.unionByName(
+      ps.select(col("dst").as("src"), col("src").as("dst"))),
+      numLandmarks = 4, maxDepth = 4)
+  }
+
   /** §2b sharp regression-discontinuity jump at quantity 25.5 (±20):
     * local linear price fits each side of the cutoff
     * ([[Stats.regressionDiscontinuity]]) — the threshold-causal readout;
@@ -4740,6 +4803,13 @@ object SparkEntry {
     "q_moods_median" -> (q_moods_median _),
     "q_knn_degree" -> (q_knn_degree _),
     "q_reciprocity" -> (q_reciprocity _),
+    "q_mcc" -> (q_mcc _),
+    "q_hodges_lehmann" -> (q_hodges_lehmann _),
+    "q_chatterjee" -> (q_chatterjee _),
+    "q_quade" -> (q_quade _),
+    "q_nelson_aalen" -> (q_nelson_aalen _),
+    "q_skipgrams" -> (q_skipgrams _),
+    "q_landmark_bfs" -> (q_landmark_bfs _),
     "q_perm_entropy" -> (q_perm_entropy _),
     "q_rouge_pair" -> (q_rouge_pair _),
     "q_rdd" -> (q_rdd _),
@@ -13066,6 +13136,266 @@ object SparkEntry {
                   THEN CAST(max(m.n_mut) AS DOUBLE) / count(*) END, 6)
                   AS reciprocity
          FROM e, m""",
+    // Same lang-guess frame as q_kappa; exact-integer confusion counts,
+    // the MCC numerator stays exact (HUGEINT) before its single double
+    // cast and the denominator multiplies four exact square roots.
+    "q_mcc" ->
+      s"""WITH li AS (SELECT lang AS declared_lang,
+                        CASE WHEN (CASE WHEN n > 0 THEN ns / n ELSE 0.0 END)
+                               >= 0.05
+                             THEN 'en' ELSE 'unknown' END AS lang_guess
+                      FROM (SELECT lang,
+                              CAST(len($duckTokens) AS DOUBLE) AS n,
+                              CAST(len(list_filter($duckTokens,
+                                t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+                                AS BIGINT) AS ns
+                            FROM documents
+                            WHERE lang IS NOT NULL)),
+              cm AS (SELECT
+                       CAST(sum(CASE WHEN declared_lang = 'en'
+                         AND lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                         AS tp,
+                       CAST(sum(CASE WHEN declared_lang <> 'en'
+                         AND lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                         AS fp,
+                       CAST(sum(CASE WHEN declared_lang = 'en'
+                         AND lang_guess <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                         AS fn,
+                       CAST(sum(CASE WHEN declared_lang <> 'en'
+                         AND lang_guess <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                         AS tn
+                     FROM li)
+         SELECT tp, fp, fn, tn,
+                round(CASE WHEN tp + fp + fn + tn > 0 THEN
+                  CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+                  END, 6) AS accuracy,
+                round(CASE WHEN tp + fp > 0 THEN
+                  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6)
+                  AS precision,
+                round(CASE WHEN tp + fn > 0 THEN
+                  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END, 6)
+                  AS recall,
+                round(CASE WHEN 2 * tp + fp + fn > 0 THEN
+                  CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+                  END, 6) AS f1,
+                round(CASE WHEN (tp + fp) > 0 AND (tp + fn) > 0
+                    AND (tn + fp) > 0 AND (tn + fn) > 0 THEN
+                  CAST(CAST(tp AS HUGEINT) * tn
+                       - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+                  / (sqrt(CAST(tp + fp AS DOUBLE))
+                     * sqrt(CAST(tp + fn AS DOUBLE))
+                     * sqrt(CAST(tn + fp AS DOUBLE))
+                     * sqrt(CAST(tn + fn AS DOUBLE))) END, 6) AS mcc
+         FROM cm""",
+    // V_a x V_b distinct-value difference grid with multiplicity
+    // c_a*c_b; weighted median in the wm_lower/upper (cum*2 >=/> W)
+    // convention of q_weighted_median.
+    "q_hodges_lehmann" ->
+      """WITH a AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM lineitem
+                    WHERE l_returnflag = 'R' AND l_quantity IS NOT NULL
+                    GROUP BY 1),
+              b AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM lineitem
+                    WHERE l_returnflag = 'A' AND l_quantity IS NOT NULL
+                    GROUP BY 1),
+              d AS (SELECT round(a.v - b.v, 6) AS d,
+                           CAST(SUM(a.c * b.c) AS BIGINT) AS w
+                    FROM a CROSS JOIN b GROUP BY 1),
+              cum AS (SELECT d, w,
+                             sum(w) OVER (ORDER BY d
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cw,
+                             sum(w) OVER () AS tw
+                      FROM d)
+         SELECT COALESCE(CAST(max(tw) AS BIGINT), 0) AS n_pairs,
+                CAST(count(*) AS BIGINT) AS n_diffs,
+                min(CASE WHEN cw * 2 >= tw THEN d END) AS hl_lower,
+                min(CASE WHEN cw * 2 > tw THEN d END) AS hl_upper,
+                round((min(CASE WHEN cw * 2 >= tw THEN d END)
+                       + min(CASE WHEN cw * 2 > tw THEN d END)) / 2.0, 6)
+                  AS hl_shift
+         FROM cum""",
+    // y-CDF + per-x-run telescoping: sum|dr| needs only cum(y) at each
+    // run's min/max y; denominator mass cy*l*(n-l) in exact HUGEINT.
+    "q_chatterjee" ->
+      """WITH base AS (SELECT l_returnflag AS g,
+                              CAST(l_quantity AS DOUBLE) AS x,
+                              CAST(l_extendedprice AS DOUBLE) AS y
+                       FROM lineitem
+                       WHERE l_quantity IS NOT NULL
+                         AND l_extendedprice IS NOT NULL),
+              yg AS (SELECT g, y, CAST(count(*) AS BIGINT) AS cy
+                     FROM base GROUP BY 1, 2),
+              ycdf AS (SELECT g, y, cy,
+                              sum(cy) OVER (PARTITION BY g ORDER BY y
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum,
+                              sum(cy) OVER (PARTITION BY g) AS n
+                       FROM yg),
+              den AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+                             SUM(CAST(cy AS HUGEINT)
+                               * (n - cum + cy)
+                               * (n - (n - cum + cy))) AS den
+                      FROM ycdf GROUP BY 1),
+              runs AS (SELECT c.g, c.x,
+                              CAST(min(yc.cum) AS BIGINT) AS lo,
+                              CAST(max(yc.cum) AS BIGINT) AS hi
+                       FROM (SELECT DISTINCT g, x, y FROM base) c
+                       JOIN ycdf yc ON yc.g = c.g AND yc.y = c.y
+                       GROUP BY 1, 2),
+              sweep AS (SELECT g, hi - lo
+                               + COALESCE(abs(lo - lag(hi) OVER
+                                   (PARTITION BY g ORDER BY x)), 0) AS dr
+                        FROM runs),
+              s AS (SELECT g, CAST(SUM(dr) AS BIGINT) AS s
+                    FROM sweep GROUP BY 1)
+         SELECT den.g AS l_returnflag, den.n AS n, s.s AS sum_abs_dr,
+                round(CASE WHEN den.den > 0 THEN
+                  1.0 - CAST(den.n AS DOUBLE) * CAST(s.s AS DOUBLE)
+                    / (2.0 * CAST(den.den AS DOUBLE)) END, 6) AS xi
+         FROM den JOIN s ON s.g = den.g""",
+    // friedman's complete-block cells, block ranks weighted by the
+    // midrank of each block's range; every S term is a dyadic rational
+    // (the friedman exactness contract), T mirrored term for term.
+    "q_quade" ->
+      """WITH cells AS (SELECT date_trunc('day', ts) AS b,
+                          event_type AS t, avg(value) AS v
+                        FROM events WHERE value IS NOT NULL
+                        GROUP BY 1, 2),
+              cb AS (SELECT b, t, v FROM cells WHERE v IS NOT NULL),
+              kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k
+                     FROM cb),
+              comp AS (SELECT cb.b, cb.t, cb.v, kk.k
+                       FROM cb
+                       JOIN (SELECT b, count(*) AS c FROM cb GROUP BY 1) bc
+                         ON cb.b = bc.b, kk
+                       WHERE bc.c = kk.k),
+              rk AS (SELECT b, t, k,
+                       CAST(rank() OVER (PARTITION BY b ORDER BY v)
+                         AS DOUBLE)
+                         + (CAST(count(*) OVER (PARTITION BY b, v)
+                           AS DOUBLE) - 1.0) / 2.0 AS r,
+                       max(v) OVER (PARTITION BY b)
+                         - min(v) OVER (PARTITION BY b) AS rng
+                     FROM comp),
+              wq AS (SELECT b, t, k, r,
+                       (CAST(rank() OVER (ORDER BY rng) AS DOUBLE) - 1.0)
+                         / k + 1.0
+                         + (CAST(count(*) OVER (PARTITION BY rng)
+                             AS DOUBLE) / k - 1.0) / 2.0 AS q
+                     FROM rk),
+              sij AS (SELECT b, t, k,
+                        q * (r - CAST(k + 1 AS DOUBLE) / 2.0) AS s
+                      FROM wq),
+              pt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_blocks,
+                       sum(s) AS sj
+                     FROM sij GROUP BY 1),
+              ft AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS bb,
+                       CAST(max(k) AS BIGINT) AS kt, sum(s * s) AS a
+                     FROM sij),
+              tt AS (SELECT bb AS n_blocks_used, kt AS k_treatments,
+                       CASE WHEN a - sj2 / bb > 0
+                         THEN round(CAST(bb - 1 AS DOUBLE) * (sj2 / bb)
+                           / (a - sj2 / bb), 6) END AS quade_t
+                     FROM (SELECT sum(sj * sj) AS sj2 FROM pt), ft)
+         SELECT t AS event_type, n_blocks, round(sj, 6) AS s_j,
+                n_blocks_used, k_treatments, quade_t
+         FROM pt, tt""",
+    // q_survival's lifetime grid verbatim; the hazard-side folds are
+    // ordered-prefix cumsums (the ks/ewma contract).
+    "q_nelson_aalen" ->
+      """WITH lastev AS (SELECT user_id, event_type AS last_type FROM (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1),
+              u AS (SELECT e.user_id,
+                           CAST(date_diff('day', date_trunc('day', min(e.ts)),
+                                date_trunc('day', max(e.ts))) AS BIGINT) AS dur,
+                           max(l.last_type) = 'purchase' AS ev
+                    FROM events e JOIN lastev l USING (user_id)
+                    GROUP BY e.user_id),
+              g AS (SELECT dur,
+                           CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_events,
+                           CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT)
+                             AS n_censored
+                    FROM u GROUP BY 1),
+              w AS (SELECT dur, n_events, n_censored,
+                           sum(n_events + n_censored) OVER ()
+                             - COALESCE(sum(n_events + n_censored) OVER
+                                 (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS n_risk
+                    FROM g),
+              s AS (SELECT dur, n_events, n_censored, n_risk,
+                           sum(CAST(n_events AS DOUBLE) / n_risk) OVER
+                             (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS h,
+                           sum(CAST(n_events AS DOUBLE)
+                               / (CAST(n_risk AS DOUBLE) * n_risk)) OVER
+                             (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS v
+                    FROM w)
+         SELECT dur AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+                n_events, n_censored,
+                round(h, 6) AS cum_hazard,
+                round(v, 6) AS hazard_var,
+                round(exp(0.0 - h), 6) AS breslow_survival
+         FROM s WHERE n_events > 0""",
+    // Aligned-unnest positions (no WITH ORDINALITY in DuckDB), one lead
+    // window per offset, exact integer pair counts with the minCount=3
+    // vocabulary floor.
+    "q_skipgrams" ->
+      s"""WITH pos AS (SELECT doc_id, unnest($duckTokens) AS w,
+                              unnest(generate_series(1,
+                                len($duckTokens))) AS p
+                       FROM documents),
+              pairs AS (SELECT w AS center,
+                               lead(w, 1) OVER (PARTITION BY doc_id
+                                 ORDER BY p) AS context,
+                               1 AS dist
+                        FROM pos
+                        UNION ALL
+                        SELECT w,
+                               lead(w, 2) OVER (PARTITION BY doc_id
+                                 ORDER BY p),
+                               2
+                        FROM pos)
+         SELECT center, context, CAST(dist AS INT) AS dist,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM pairs WHERE context IS NOT NULL
+         GROUP BY 1, 2, 3
+         HAVING count(*) >= 3""",
+    // Min-distance BFS as a depth-capped recursive CTE (UNION dedups
+    // (l, node, d) rows; min(d) = first-discovery depth = the engine's
+    // frontier anti-join). Harmonic sum folds as the exact integer
+    // lcm(1..4)/d before its single division.
+    "q_landmark_bfs" ->
+      """WITH RECURSIVE pairs AS (SELECT DISTINCT l_partkey * 2 AS src,
+                                         l_suppkey * 2 + 1 AS dst
+                                  FROM lineitem),
+              e AS (SELECT src, dst FROM pairs
+                    UNION SELECT dst, src FROM pairs),
+              lm AS (SELECT src AS l FROM (SELECT DISTINCT src FROM e)
+                     ORDER BY src LIMIT 4),
+              reach(l, node, d) AS (
+                SELECT l, l, 0 FROM lm
+                UNION
+                SELECT r.l, e.dst, r.d + 1
+                FROM reach r JOIN e ON e.src = r.node
+                WHERE r.d < 4),
+              best AS (SELECT l, node, min(d) AS d
+                       FROM reach GROUP BY 1, 2)
+         SELECT l AS landmark,
+                CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_reached,
+                CAST(max(d) AS BIGINT) AS max_dist,
+                round(CAST(sum(CASE WHEN d > 0 THEN 12 // d ELSE 0 END)
+                    AS DOUBLE) / 12.0, 6) AS harmonic_centrality
+         FROM best GROUP BY 1""",
     // Exact integer |n*y - sy| under the arg-max (ties -> earliest day);
     // s mirrors the engine's division order term for term.
     "q_grubbs" ->

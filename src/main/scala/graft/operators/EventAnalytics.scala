@@ -254,6 +254,59 @@ object EventAnalytics {
           .otherwise(exp(col("__lnsum"))), 6).as("survival"))
   }
 
+  /** Nelson–Aalen cumulative-hazard estimator (public: Nelson '72,
+    * Aalen '78) over the same observation lifetimes as [[kaplanMeier]]:
+    * Ĥ(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ with variance Σ dᵢ/nᵢ² (the Poisson-count
+    * form), plus the Breslow survival exp(−Ĥ) — the hazard-side view KM
+    * does not give: a straightening Ĥ(t) reads directly as a constant
+    * event rate, and Ĥ is the additive quantity hazard models consume.
+    * Lifetime/censoring semantics are IDENTICAL to kaplanMeier (a
+    * user's final event of `terminalType` marks an event, anything else
+    * right-censors) so the two curves are comparable row for row.
+    *
+    * Scale shape: same two user-level aggregates + duration-grid
+    * cumulative windows as kaplanMeier — the window runs over the
+    * distinct-duration grid (bounded by the observation span in days),
+    * and the float cumsum accumulates in dur order on both engines (the
+    * ks/ewma ordered-prefix contract). */
+  def nelsonAalen(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, typeCol: String,
+                  terminalType: String): DataFrame = {
+    val perUser = events.groupBy(col(userCol)).agg(
+      date_trunc("day", min(col(tsCol))).as("__first"),
+      date_trunc("day", max(col(tsCol))).as("__last"),
+      max(struct(col(tsCol), col(idCol), col(typeCol))).getField(typeCol)
+        .as("__lastType"))
+    val grid = perUser
+      .select(datediff(col("__last"), col("__first")).cast("long").as("dur"),
+        (col("__lastType") === terminalType).as("__ev"))
+      .groupBy(col("dur"))
+      .agg(sum(when(col("__ev"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("__ev"), 0L).otherwise(1L)).as("n_censored"))
+    val wPrev = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val atRisk = grid
+      .withColumn("__n_risk",
+        sum(col("n_events") + col("n_censored")).over(wAll)
+          - coalesce(sum(col("n_events") + col("n_censored")).over(wPrev),
+            lit(0L)))
+    val d = col("n_events").cast("double")
+    val nr = col("__n_risk").cast("double")
+    atRisk
+      .withColumn("__h", sum(d / nr).over(wCum))
+      .withColumn("__v", sum(d / (nr * nr)).over(wCum))
+      .filter(col("n_events") > 0)
+      .select(col("dur").as("duration_days"), col("__n_risk").as("n_risk"),
+        col("n_events"), col("n_censored"),
+        round(col("__h"), 6).as("cum_hazard"),
+        round(col("__v"), 6).as("hazard_var"),
+        round(exp(lit(0.0) - col("__h")), 6).as("breslow_survival"))
+  }
+
   /** Pairwise association rules over per-user item baskets (the classic
     * market-basket support/confidence/lift readout, Agrawal et al.
     * SIGMOD'93 measures): for every ordered pair A→B of co-occurring

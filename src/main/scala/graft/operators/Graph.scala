@@ -1052,4 +1052,75 @@ object Graph {
           col("n_reciprocated").cast("double") / col("n_edges")), 6)
           .as("reciprocity"))
   }
+
+  /** Multi-source BFS from deterministic landmarks (public: the
+    * landmark/pivot method for distance estimation on massive graphs —
+    * Potamias et al. CIKM'09; harmonic centrality per Boldi & Vigna
+    * "Axioms for centrality" '14). Exact all-pairs distances are
+    * infeasible at 100 TB; per-landmark BFS IS the scale method: state
+    * is one (landmark, node, d) row per reached pair, each round is one
+    * equi-join of the current frontier against the pre-partitioned edge
+    * list plus one anti-join against the visited set — shuffle ∝
+    * landmarks·|E| worst case, never N². First discovery is minimal
+    * depth by BFS construction, so no min-recomputation is needed.
+    *
+    * `edges` must contain both directions for an undirected graph (the
+    * pageRank contract). Landmarks are the `numLandmarks` SMALLEST node
+    * ids — a deterministic, oracle-checkable choice (the published
+    * method samples; a fixed seed set is the same estimator). Depth is
+    * capped at `maxDepth`, with early exit once a round discovers
+    * nothing new (identical output to the uncapped run when the graph's
+    * eccentricity from the landmarks is smaller).
+    *
+    * Emits per landmark: nodes reached (excluding itself), max
+    * distance, and harmonic centrality Σ_{d>0} 1/d — accumulated as the
+    * exact integer Σ lcm(1..maxDepth)/d and divided ONCE, so the float
+    * is a single deterministic rounding on both engines. */
+  def landmarkDistances(edges: DataFrame, numLandmarks: Int = 4,
+                        maxDepth: Int = 4, roundScale: Int = 6): DataFrame = {
+    require(numLandmarks >= 1 && numLandmarks <= 64,
+      s"numLandmarks must be in [1, 64]: $numLandmarks")
+    require(maxDepth >= 1 && maxDepth <= 12,
+      s"maxDepth must be in [1, 12]: $maxDepth")
+    // the edge list is the invariant side of every round's frontier
+    // join: pre-partition on the join key once and cache (the pageRank
+    // contract — InMemoryRelation preserves the partitioning, so each
+    // round shuffles only the frontier)
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).cache()
+    val seeds = e.select(col("src")).distinct()
+      .orderBy(col("src")).limit(numLandmarks)
+    var dist = seeds.select(col("src").as("landmark"),
+      col("src").as("node"), lit(0).as("d")).localCheckpoint()
+    var frontier = dist
+    var depth = 0
+    var exhausted = false
+    while (depth < maxDepth && !exhausted) {
+      depth += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("landmark"), col("dst").as("node"))
+        .distinct()
+        .join(dist, Seq("landmark", "node"), "left_anti")
+        .select(col("landmark"), col("node"), lit(depth).as("d"))
+        .localCheckpoint()
+      if (next.isEmpty) exhausted = true
+      else {
+        dist = dist.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    e.unpersist()
+    val lcmAll = (1 to maxDepth).foldLeft(1L) { (a, b) =>
+      a / BigInt(a).gcd(BigInt(b)).toLong * b
+    }
+    dist.groupBy(col("landmark"))
+      .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_reached"),
+        max(col("d")).cast("long").as("max_dist"),
+        sum(when(col("d") > 0,
+          floor(lit(lcmAll.toDouble) / col("d")).cast("long"))
+          .otherwise(0L)).as("__hsum"))
+      .select(col("landmark"), col("n_reached"), col("max_dist"),
+        round(col("__hsum").cast("double") / lcmAll.toDouble, roundScale)
+          .as("harmonic_centrality"))
+  }
 }

@@ -4029,4 +4029,254 @@ object Stats {
       round(when(col("k_groups") > 1, col("__chi")), roundScale)
         .as("chi2"))
   }
+
+  /** Matthews correlation coefficient (public: Matthews '75, the
+    * binary-classification standard beside κ) plus the confusion-matrix
+    * readouts a filter gate actually tunes on: accuracy, precision,
+    * recall, F1. Unlike accuracy, MCC only rewards a classifier that is
+    * right on BOTH classes — the balanced one-number verdict for a
+    * quality/lang filter where the positive class is a minority.
+    *
+    * `positive` defines the positive class in BOTH columns; any other
+    * (non-null) value is negative. Output is one row of exact-integer
+    * confusion counts; MCC's denominator is computed as a product of
+    * four square roots (√a·√b·√c·√d) rather than √(a·b·c·d) — the
+    * four-factor product overflows a long at ~60k rows and loses
+    * integer exactness as a double, while each factor alone stays
+    * exact well past 10¹⁵ rows. Degenerate margins (any factor 0) →
+    * null MCC, per the standard convention. */
+  def matthewsCorr(df: DataFrame, labelCol: String, predCol: String,
+                   positive: String, roundScale: Int = 6): DataFrame = {
+    val lab = col(labelCol) === positive
+    val prd = col(predCol) === positive
+    val cm = df
+      .filter(col(labelCol).isNotNull && col(predCol).isNotNull)
+      .agg(sum(when(lab && prd, 1L).otherwise(0L)).as("tp"),
+        sum(when(!lab && prd, 1L).otherwise(0L)).as("fp"),
+        sum(when(lab && !prd, 1L).otherwise(0L)).as("fn"),
+        sum(when(!lab && !prd, 1L).otherwise(0L)).as("tn"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val num = (d38(col("tp")) * d38(col("tn"))
+      - d38(col("fp")) * d38(col("fn"))).cast("double")
+    val den = sqrt((col("tp") + col("fp")).cast("double")) *
+      sqrt((col("tp") + col("fn")).cast("double")) *
+      sqrt((col("tn") + col("fp")).cast("double")) *
+      sqrt((col("tn") + col("fn")).cast("double"))
+    val n = (col("tp") + col("fp") + col("fn") + col("tn")).cast("double")
+    cm.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      round(when(n > 0, (col("tp") + col("tn")).cast("double") / n),
+        roundScale).as("accuracy"),
+      round(when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double")),
+        roundScale).as("precision"),
+      round(when(col("tp") + col("fn") > 0,
+        col("tp").cast("double") / (col("tp") + col("fn")).cast("double")),
+        roundScale).as("recall"),
+      round(when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+        (lit(2L) * col("tp")).cast("double")
+          / (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")),
+        roundScale).as("f1"),
+      round(when(den > 0, num / den), roundScale).as("mcc"))
+  }
+
+  /** Two-sample Hodges–Lehmann location shift (public: Hodges & Lehmann
+    * '63) — the median of ALL pairwise differences x_i − y_j between the
+    * two samples: the robust, distribution-free companion to
+    * [[mannWhitney]] (MW answers "is there a shift?", HL answers "how
+    * big is it?"), resistant to outliers where mean-difference is not.
+    *
+    * Scale shape: each sample collapses to its distinct-VALUE histogram
+    * first, so the "all n_a·n_b pairwise differences" are generated as a
+    * V_a×V_b value grid with multiplicity c_a·c_b — never a row-level
+    * cross join (the [[mannWhitney]]/spearman grid discipline: under the
+    * verbatim-duplication regime of a 100 TB corpus V stays constant
+    * while n grows 100×). The weighted median over the difference grid
+    * uses the same lower/upper convention as [[weightedMedian]]
+    * (cum·2 ≥/> W), reported as both bounds plus their midpoint. Pair
+    * weights c_a·c_b and the total n_a·n_b stay in exact longs
+    * (≤ 9·10¹⁵ at 60M rows/side). */
+  def hodgesLehmannShift(df: DataFrame, classCol: String, valCol: String,
+                         classA: String, classB: String,
+                         roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def grid(cls: String, v: String, c: String): DataFrame = df
+      .filter(col(classCol) === cls && col(valCol).isNotNull)
+      .groupBy(col(valCol).cast("double").as(v))
+      .agg(count(lit(1)).as(c))
+    // V_b distinct values broadcast: the difference grid is a broadcast
+    // nested loop over two value histograms, never a row-level shuffle
+    val diffs = grid(classA, "__va", "__ca")
+      .crossJoin(broadcast(grid(classB, "__vb", "__cb")))
+      .groupBy(round(col("__va") - col("__vb"), roundScale).as("__d"))
+      .agg(sum(col("__ca") * col("__cb")).as("__w"))
+    val cum = Window.orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    diffs
+      .withColumn("__cum", sum(col("__w")).over(cum))
+      .withColumn("__W", sum(col("__w")).over(all))
+      .agg(coalesce(max(col("__W")), lit(0L)).as("n_pairs"),
+        count(lit(1)).cast("long").as("n_diffs"),
+        min(when(col("__cum") * 2L >= col("__W"), col("__d")))
+          .as("hl_lower"),
+        min(when(col("__cum") * 2L > col("__W"), col("__d")))
+          .as("hl_upper"))
+      .withColumn("hl_shift",
+        round((col("hl_lower") + col("hl_upper")) / 2.0, roundScale))
+  }
+
+  /** Chatterjee's ξ rank correlation (public: Chatterjee, JASA '21
+    * "A new coefficient of correlation") per group — detects ANY
+    * functional dependence of y on x (not just monotone, Spearman's
+    * blind spot): ξ→1 iff y is a measurable function of x, ξ≈0 under
+    * independence. General tie-aware form:
+    *   ξ = 1 − n·Σᵢ|r_{i+1} − r_i| / (2·Σᵢ lᵢ(n − lᵢ)),
+    * rows sorted by x, r_i = #{j: y_j ≤ y_i}, l_i = #{j: y_j ≥ y_i}.
+    *
+    * Deterministic variant: the published estimator breaks x-ties
+    * uniformly at random; here x-ties are ordered by y ascending — the
+    * canonical order that MINIMIZES Σ|Δr| within each tie run — so the
+    * result is a pure function of the data (the oracle-checkable choice,
+    * same spirit as pageRank's fixed iteration count). Documented
+    * consequence: with heavy x-ties this reads as an upper-bound
+    * estimate vs the randomized form.
+    *
+    * Scale shape: the y-order sweep NEVER sorts rows. Within an x-run
+    * sorted by y, r is nondecreasing, so Σ|Δr| telescopes to
+    * cum(y_max) − cum(y_min); across runs the boundary contributes
+    * |cum(y_min^{next}) − cum(y_max^{prev})|. Both need only the
+    * per-(x,y)-CELL grid joined to the y-value CDF — distinct-value
+    * collapse (the spearman r12 lesson), windows over the cell grid
+    * only. All counts exact integers (decimal(38,0) for the l(n−l)
+    * mass); the single division happens once at the end. */
+  def chatterjeeXi(df: DataFrame, groupCol: String, xCol: String,
+                   yCol: String, roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    // y-value CDF per group: cum = #{y' <= y}, l = n - cum + cy
+    val yGrid = base.groupBy(col("__g"), col("__y"))
+      .agg(count(lit(1)).as("__cy"))
+    val wy = Window.partitionBy(col("__g")).orderBy(col("__y"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wg = Window.partitionBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val yCdf = yGrid
+      .withColumn("__cum", sum(col("__cy")).over(wy))
+      .withColumn("__n", sum(col("__cy")).over(wg))
+      // the CDF feeds the denominator fold AND the cell join below —
+      // localCheckpoint or the data-sized grid aggregate re-runs twice
+      .localCheckpoint()
+    val denom = yCdf
+      .select(col("__g"), col("__n"),
+        (dec(col("__cy")) * dec(col("__n") - col("__cum") + col("__cy"))
+          * dec(col("__n") - (col("__n") - col("__cum") + col("__cy"))))
+          .as("__mass"))
+      .groupBy(col("__g"))
+      .agg(max(col("__n")).as("__n"), sum(col("__mass")).as("__den"))
+    // per-(x,y) cells carry the y-CDF; per-x runs keep only the cum at
+    // their min/max y (cum is monotone in y, so min/max cum suffice)
+    val cells = base.groupBy(col("__g"), col("__x"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .join(yCdf.select(col("__g"), col("__y"), col("__cum")),
+        Seq("__g", "__y"))
+    val runs = cells.groupBy(col("__g"), col("__x"))
+      .agg(min(col("__cum")).as("__lo"), max(col("__cum")).as("__hi"))
+    val wx = Window.partitionBy(col("__g")).orderBy(col("__x"))
+    val sweep = runs
+      .withColumn("__prevHi", lag(col("__hi"), 1).over(wx))
+      .select(col("__g"),
+        (col("__hi") - col("__lo")
+          + coalesce(abs(col("__lo") - col("__prevHi")), lit(0L)))
+          .as("__dr"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__dr")).as("__s"))
+    denom.join(sweep, Seq("__g"))
+      .select(col("__g").as(groupCol), col("__n").as("n"),
+        col("__s").as("sum_abs_dr"),
+        round(when(col("__den") > 0,
+          lit(1.0) - dec(col("__n")).cast("double")
+            * col("__s").cast("double")
+            / (lit(2.0) * col("__den").cast("double"))), roundScale)
+          .as("xi"))
+  }
+
+  /** Quade test (public: Quade, JASA '79) — the block-weighted upgrade
+    * of [[friedmanTest]]: blocks with a LARGER within-block range carry
+    * more evidence about treatment differences, so each block's ranks
+    * are weighted by the rank of its range. More powerful than Friedman
+    * at small treatment counts (k ≤ 5, the classic guidance).
+    *   S_ij = Q_b·(r_ij − (k+1)/2),  Q_b = midrank of block b's range;
+    *   T = (b−1)·B/(A − B),  A = ΣS_ij²,  B = (Σ_j S_j²)/b.
+    * Emits per-treatment weighted rank sums S_j plus the shared T (A=B,
+    * the perfect-separation edge, → null T per the F-limit convention).
+    *
+    * Scale shape: same bounded b×k cell grid as friedmanTest (complete
+    * blocks only — both the row count AND distinct-treatment count must
+    * equal k), two rank windows over it, one aggregate. Midranks step in
+    * exact halves and every S term is a dyadic rational well inside
+    * 2⁵³, so all sums are order-independent — the friedman exactness
+    * contract. */
+  def quadeTest(cells: DataFrame, blockCol: String, treatCol: String,
+                valCol: String, roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val base = cells
+      .filter(col(valCol).isNotNull)
+      .select(col(blockCol).as("__b"), col(treatCol).as("__t"),
+        col(valCol).cast("double").as("__v"))
+      .withColumn("__k", size(collect_set(col("__t")).over(kAll)))
+    val complete = base
+      .withColumn("__bk", count(lit(1)).over(
+        Window.partitionBy(col("__b"))))
+      .withColumn("__dk", size(collect_set(col("__t")).over(
+        Window.partitionBy(col("__b")))))
+      .filter(col("__bk") === col("__k") && col("__dk") === col("__k"))
+    // within-block midranks + per-block range, then range midranks Q_b
+    val ranked = complete
+      .withColumn("__minr", rank().over(Window.partitionBy(col("__b"))
+        .orderBy(col("__v"))))
+      .withColumn("__ties", count(lit(1)).over(
+        Window.partitionBy(col("__b"), col("__v"))))
+      .withColumn("__r", col("__minr").cast("double")
+        + (col("__ties") - 1).cast("double") / 2.0)
+      .withColumn("__range", max(col("__v")).over(
+        Window.partitionBy(col("__b")))
+        - min(col("__v")).over(Window.partitionBy(col("__b"))))
+    val withQ = ranked
+      .withColumn("__qmin", rank().over(Window.orderBy(col("__range"))))
+      .withColumn("__qties", count(lit(1)).over(
+        Window.partitionBy(col("__range"))))
+      // block-range ranks count ROWS (k per block): midrank over blocks
+      // = ((row-min-rank - 1)/k + 1) + (row-ties/k - 1)/2 in block units
+      .withColumn("__q", (col("__qmin") - 1).cast("double") / col("__k")
+        + 1.0 + (col("__qties").cast("double") / col("__k") - 1.0) / 2.0)
+      .withColumn("__sij", col("__q")
+        * (col("__r") - (col("__k") + 1).cast("double") / 2.0))
+      // bounded b×k grid feeds the per-treatment fold AND the global
+      // dispersion fold (the friedmanTest cache contract)
+      .cache()
+    val perTreat = withQ.groupBy(col("__t"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("__sij")).as("__sj"))
+    val fit = withQ.agg(max(col("__k")).as("__kk"),
+      countDistinct(col("__b")).as("__bb"),
+      sum(col("__sij") * col("__sij")).as("__a"))
+    val t = perTreat.agg(sum(col("__sj") * col("__sj")).as("__sj2"))
+      .crossJoin(broadcast(fit))
+      .select(col("__bb").as("n_blocks_used"),
+        col("__kk").cast("long").as("k_treatments"),
+        round(when(col("__a") - col("__sj2") / col("__bb") > 0,
+          (col("__bb") - 1).cast("double")
+            * (col("__sj2") / col("__bb"))
+            / (col("__a") - col("__sj2") / col("__bb"))),
+          roundScale).as("quade_t"))
+    perTreat
+      .select(col("__t").as(treatCol), col("n_blocks"),
+        round(col("__sj"), roundScale).as("s_j"))
+      .crossJoin(broadcast(t))
+  }
 }

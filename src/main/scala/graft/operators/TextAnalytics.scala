@@ -1630,4 +1630,48 @@ object TextAnalytics {
           roundScale).as("rouge1_f1"))
   }
 
+  /** Skip-gram context-pair extraction (public: the word2vec
+    * training-pair generator, Mikolov et al. NIPS'13): every ordered
+    * (center, context) token pair within a forward window of
+    * `maxOffset` positions, counted corpus-wide with the offset kept as
+    * a column — the raw material for embedding training, co-occurrence
+    * PMI at distance > 1 (q_ngram_pmi stops at adjacency), and
+    * collocation mining. `minCount` drops the long tail (the standard
+    * word2vec vocabulary floor) so output is vocabulary-pair-sized, not
+    * corpus-sized.
+    *
+    * Scale shape: ALL offsets come out of ONE window pass —
+    * `lead(token, o)` for o = 1..maxOffset share a single
+    * partition-by-document sort (bounded by doc length — never a
+    * position self-join), unpivoted with one explode — then ONE
+    * map-side-combining count aggregate; every count is an exact
+    * integer. Output is vocabulary-pair-sized. */
+  def skipgramPairs(docs: DataFrame, idCol: String, textCol: String,
+                    maxOffset: Int = 2, minCount: Long = 3L): DataFrame = {
+    require(maxOffset >= 1 && maxOffset <= 8,
+      s"maxOffset must be in [1, 8]: $maxOffset")
+    require(minCount >= 1, s"minCount must be positive: $minCount")
+    import org.apache.spark.sql.expressions.Window
+    val positioned = docs
+      .select(col(idCol).as("__id"),
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as(Seq("__pos", "__w")))
+    val wDoc = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    // leads materialize in a plain select first (window expressions are
+    // not allowed inside a generator), then ONE explode unpivots them
+    val withLeads = positioned.select(col("__w") +: (1 to maxOffset).map {
+      o => lead(col("__w"), o).over(wDoc).as(s"__l$o")
+    }: _*)
+    val contexts = array((1 to maxOffset).map { o =>
+      struct(lit(o).as("dist"), col(s"__l$o").as("ctx"))
+    }: _*)
+    withLeads
+      .select(col("__w").as("center"), explode(contexts).as("__c"))
+      .filter(col("__c.ctx").isNotNull)
+      .groupBy(col("center"), col("__c.ctx").as("context"),
+        col("__c.dist").as("dist"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minCount)
+  }
+
 }

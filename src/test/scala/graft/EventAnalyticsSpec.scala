@@ -155,6 +155,27 @@ class EventAnalyticsSpec extends SparkSuite {
       5L -> ((1L, 1L, 0L, 0.0))))
   }
 
+  test("nelsonAalen: hand-computed cumulative hazard, KM-identical risk grid") {
+    // u1: dies day0; u2: censored day2; u3: dies day2 ->
+    // H(0) = 1/3, H(2) = 1/3 + 1/2; var 1/9, 1/9 + 1/4
+    val ev = Seq(
+      (1L, "2024-01-01 09:00:00", 1L, "purchase"),
+      (2L, "2024-01-01 09:00:00", 2L, "view"),
+      (2L, "2024-01-03 09:00:00", 3L, "error"),
+      (3L, "2024-01-01 09:00:00", 4L, "view"),
+      (3L, "2024-01-03 09:00:00", 5L, "purchase")
+    ).toDF("user_id", "s", "event_id", "event_type")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val out = EventAnalytics.nelsonAalen(ev, "user_id", "ts", "event_id",
+      "event_type", "purchase")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out === Map(
+      0L -> ((3L, 1L, 0L, 0.333333, 0.111111, 0.716531)),
+      2L -> ((2L, 1L, 1L, 0.833333, 0.361111, 0.434598))))
+  }
+
   test("associationRules: hand-checked support/confidence/lift, duplicates collapse") {
     // u1:{a,b}, u2:{a,b,c}, u3:{a} — the repeated (u1,a) row must not count twice
     val ev = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),

@@ -420,4 +420,26 @@ class GraphSpec extends SparkSuite {
     assert(r.getDouble(2) === 0.666667)
   }
 
+  test("landmarkDistances: exact path-graph distances, early exit = capped run") {
+    // path 1-2-3-4-5 (both directions), landmarks = two smallest ids
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val e = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val out = Graph.landmarkDistances(e, numLandmarks = 2, maxDepth = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // L1: d = 1,2,3,4 -> harmonic (12+6+4+3)/12; L2: d = 1,1,2,3
+    assert(out === Map(
+      1L -> ((4L, 4L, 2.083333)),
+      2L -> ((4L, 3L, 2.833333))))
+    // a generous depth cap early-exits to the identical result
+    val deep = Graph.landmarkDistances(e, numLandmarks = 2, maxDepth = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(deep === Map(1L -> ((4L, 4L)), 2L -> ((4L, 3L))))
+    // depth cap binds: maxDepth=2 sees only the 2-hop ball
+    val near = Graph.landmarkDistances(e, numLandmarks = 1, maxDepth = 2)
+      .collect().head
+    assert(near.getLong(1) === 2L && near.getLong(2) === 2L)
+  }
+
 }

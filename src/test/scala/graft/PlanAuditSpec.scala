@@ -196,6 +196,10 @@ class PlanAuditSpec extends SparkSuite {
   //  * the ordinal-labels² weight grid in q_weighted_kappa (marginal ×
   //    marginal cross over the checkpointed contingency — bounded by the
   //    ordinal scale's cardinality, the q_cramers_v contract).
+  //  * the V_a×V_b distinct-value difference grid in q_hodges_lehmann
+  //    (quantity has 50 distinct values per class; the grouped value
+  //    histograms report maxRows None — the q_kendall_tau cell-grid
+  //    contract, with the small side broadcast).
   private val allowNestedLoop: Set[String] = Set(
     "q_ivf_topk", "q_ivf_topk_bcast", "q_ivf_trained", "q_pq_topk",
     "q_cosine_topk", "q_int8_recall", "q_rrf", "q_jl_distortion",
@@ -203,7 +207,7 @@ class PlanAuditSpec extends SparkSuite {
     "q_naive_bayes", "q_jonckheere", "q_dunn", "q_weighted_kappa",
     "q_drift_monitor", "q_ks_per_source", "q_kuiper", "q_heaps_law",
     "q_query_likelihood", "q_fdr_bh", "q_fdr_by", "q_holm", "q_isotonic",
-    "q_kendall_tau", "q_gk_gamma")
+    "q_kendall_tau", "q_gk_gamma", "q_hodges_lehmann")
 
   test("every nested-loop join proves a bounded side or is documented") {
     val offenders = audits.collect {

@@ -1698,4 +1698,85 @@ class StatsSpec extends SparkSuite {
     assert(r.getDouble(4) === 3.0) // chi2
   }
 
+  test("matthewsCorr: hand-computed confusion, degenerate margin -> null") {
+    // tp=2 fp=1 fn=1 tn=3: mcc = (6-1)/sqrt(3*3*4*4) = 5/12
+    val df = Seq(("en", "en"), ("en", "en"), ("de", "en"),
+      ("en", "de"), ("de", "de"), ("de", "de"), ("de", "de"))
+      .toDF("lab", "prd")
+    val r = Stats.matthewsCorr(df, "lab", "prd", "en").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 1L, 1L, 3L)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) === r6(5.0 / 7)) // accuracy
+    assert(r.getDouble(5) === r6(2.0 / 3)) // precision
+    assert(r.getDouble(6) === r6(2.0 / 3)) // recall
+    assert(r.getDouble(7) === r6(2.0 / 3)) // f1
+    assert(r.getDouble(8) === r6(5.0 / 12))
+    // all-positive predictions: tn+fn margin = 0 -> null mcc
+    val deg = Seq(("en", "en"), ("de", "en")).toDF("lab", "prd")
+    assert(Stats.matthewsCorr(deg, "lab", "prd", "en").collect().head
+      .isNullAt(8))
+  }
+
+  test("hodgesLehmannShift: grid-weighted median of pairwise differences") {
+    // A={1,2}, B={0,1}: diffs 0(w1), 1(w2), 2(w1) -> median 1
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 0.0), ("B", 1.0))
+      .toDF("cls", "v")
+    val r = Stats.hodgesLehmannShift(df, "cls", "v", "A", "B")
+      .collect().head
+    assert(r.getLong(0) === 4L, "n_pairs = n_a * n_b")
+    assert(r.getLong(1) === 3L, "distinct differences")
+    assert(r.getDouble(2) === 1.0 && r.getDouble(3) === 1.0)
+    assert(r.getDouble(4) === 1.0)
+    // even split: A={0,2}, B={0}: diffs 0,2 w1 each -> lower 0, upper 2
+    val ev = Seq(("A", 0.0), ("A", 2.0), ("B", 0.0)).toDF("cls", "v")
+    val e = Stats.hodgesLehmannShift(ev, "cls", "v", "A", "B")
+      .collect().head
+    assert(e.getDouble(2) === 0.0 && e.getDouble(3) === 2.0)
+    assert(e.getDouble(4) === 1.0)
+  }
+
+  test("chatterjeeXi: exact small-n values and the constant-y null") {
+    // monotone y=x, n=4 no ties: xi = 1 - 3*3/(16-1) = 0.4
+    val mono = Seq(("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 3.0, 3.0),
+      ("g", 4.0, 4.0)).toDF("grp", "x", "y")
+    val m = Stats.chatterjeeXi(mono, "grp", "x", "y").collect().head
+    assert(m.getLong(1) === 4L && m.getLong(2) === 3L)
+    assert(m.getDouble(3) === 0.4)
+    // reversed y: |dr| telescopes identically under the y-CDF -> same xi
+    val anti = Seq(("g", 1.0, 4.0), ("g", 2.0, 3.0), ("g", 3.0, 2.0),
+      ("g", 4.0, 1.0)).toDF("grp", "x", "y")
+    assert(Stats.chatterjeeXi(anti, "grp", "x", "y").collect()
+      .head.getDouble(3) === 0.4)
+    // constant y: denominator mass 0 -> null xi, never NaN
+    val const = Seq(("g", 1.0, 7.0), ("g", 2.0, 7.0)).toDF("grp", "x", "y")
+    assert(Stats.chatterjeeXi(const, "grp", "x", "y").collect()
+      .head.isNullAt(3))
+  }
+
+  test("quadeTest: hand-computed range-weighted statistic") {
+    // b=3 blocks, k=3; ranges 2,4,2 -> Q = 1.5, 3, 1.5
+    // S_j = (-4.5, -1.5, 6); A=27, B=19.5, T = 2*19.5/7.5 = 5.2
+    val cells = Seq(
+      ("b1", "t1", 1.0), ("b1", "t2", 2.0), ("b1", "t3", 3.0),
+      ("b2", "t1", 1.0), ("b2", "t2", 3.0), ("b2", "t3", 5.0),
+      ("b3", "t1", 2.0), ("b3", "t2", 1.0), ("b3", "t3", 3.0))
+      .toDF("blk", "trt", "v")
+    val out = Stats.quadeTest(cells, "blk", "trt", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("t1").getDouble(2) === -4.5)
+    assert(out("t2").getDouble(2) === -1.5)
+    assert(out("t3").getDouble(2) === 6.0)
+    assert(out("t1").getLong(3) === 3L && out("t1").getLong(4) === 3L)
+    assert(out("t1").getDouble(5) === 5.2)
+    // incomplete block (b4 missing t3) is dropped, stats unchanged
+    val extra = cells.unionByName(
+      Seq(("b4", "t1", 9.0), ("b4", "t2", 8.0)).toDF("blk", "trt", "v"))
+    val out2 = Stats.quadeTest(extra, "blk", "trt", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out2("t1").getLong(3) === 3L)
+    assert(out2("t1").getDouble(5) === 5.2)
+  }
+
 }

@@ -1449,5 +1449,23 @@ class TextAndDedupSpec extends SparkSuite {
     // pair (3,4): identical -> F1 = 1
     assert(out(3L).getLong(4) === 3L && out(3L).getDouble(7) === 1.0)
   }
+  test("skipgramPairs: exact offset-tagged counts, vocabulary floor, doc boundary") {
+    // "a b a b a": offset1 (a,b)x2 (b,a)x2; offset2 (a,a)x2 (b,b)x1
+    val docs = Seq((1L, "a b a b a"), (2L, "z q")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalytics
+      .skipgramPairs(docs, "doc_id", "text", maxOffset = 2, minCount = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        r.getLong(3)).toMap
+    assert(out === Map(
+      ("a", "b", 1) -> 2L, ("b", "a", 1) -> 2L, ("a", "a", 2) -> 2L))
+    // minCount=1 keeps the singletons — incl. (z,q) but NO cross-doc pair
+    val all = graft.operators.TextAnalytics
+      .skipgramPairs(docs, "doc_id", "text", maxOffset = 2, minCount = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(all.contains(("z", "q", 1)))
+    assert(!all.exists(p => p._1 == "a" && p._2 == "z"))
+  }
 
 }
