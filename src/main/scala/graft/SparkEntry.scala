@@ -4345,6 +4345,97 @@ object SparkEntry {
     TextAnalytics.skipgramPairs(Tables.documents(s, d), "doc_id", "text",
       maxOffset = 2, minCount = 3L)
 
+  /** §2b BLEU-2 between consecutive documents
+    * ([[TextAnalytics.bleuPairs]]) — the precision-side rephrase screen
+    * beside q_rouge_pair's recall; clipped n-gram overlaps + brevity
+    * penalty. */
+  private def q_bleu_pair(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.bleuPairs(Tables.documents(s, d), "doc_id", "text")
+
+  /** §2b CART decision stump: best n_chars threshold separating lang=en
+    * by Gini gain ([[Stats.decisionStump]]) — the quality-filter
+    * cutoff chooser with its induced confusion. */
+  private def q_decision_stump(s: SparkSession, d: String): DataFrame =
+    Stats.decisionStump(
+      Tables.documents(s, d).select(col("n_chars"),
+        (col("lang") === "en").as("is_en")),
+      "n_chars", "is_en")
+
+  /** §2b Page–Hinkley drift detector per event type over daily counts
+    * ([[TimeSeries.pageHinkleyDaily]]) — the running-mean excursion
+    * statistic beside q_cusum/q_pettitt, with the alarm day. */
+  private def q_page_hinkley(s: SparkSession, d: String): DataFrame =
+    TimeSeries.pageHinkleyDaily(Tables.events(s, d), "event_type", "ts")
+
+  /** §2b Cochran's C variance-outlier screen across event types on
+    * value ([[Stats.cochranC]]) — "is one group's spread dominating",
+    * the pre-flight for q_tukey_hsd's pooled MSE. */
+  private def q_cochran_c(s: SparkSession, d: String): DataFrame =
+    Stats.cochranC(Tables.events(s, d), "event_type", "value")
+
+  /** §2b Tukey–Kramer HSD pairwise contrasts across event types on
+    * value ([[Stats.tukeyHsd]]) — the parametric post-hoc beside
+    * q_dunn's rank-based one. */
+  private def q_tukey_hsd(s: SparkSession, d: String): DataFrame =
+    Stats.tukeyHsd(Tables.events(s, d), "event_type", "value")
+
+  /** User-level frame for the causal diagnostics: treated =
+    * purchase-HEAVY user (purchase share above the 20% corpus base
+    * rate, as the exact integer 5·purchases > events — nearly every
+    * user has ≥1 purchase, so mere presence would leave no control
+    * arm); exact cent-quantized activity covariates. Shared
+    * construction for q_smd_balance / q_strat_ate (each query runs it
+    * independently — one aggregate over events). */
+  private def userUnits(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("value").cast("decimal(20,2)") * 100)
+      .cast("decimal(38,0)")
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        * 5 > count(lit(1))).as("treated"),
+        count(lit(1)).as("n_events"),
+        (sum(cents).cast("double") / 100.0).as("total_value"),
+        datediff(date_trunc("day", max(col("ts"))),
+          date_trunc("day", min(col("ts")))).cast("long").as("span_days"),
+        (coalesce(sum(when(col("event_type") === "view", cents)),
+          lit(0).cast("decimal(38,0)")).cast("double") / 100.0)
+          .as("view_value"))
+  }
+
+  /** §2b covariate-balance SMD table: purchase-users vs the rest on
+    * activity covariates ([[Stats.smdBalance]]) — the |SMD| < 0.1
+    * pre-flight in front of q_strat_ate. */
+  private def q_smd_balance(s: SparkSession, d: String): DataFrame =
+    Stats.smdBalance(userUnits(s, d), "treated",
+      Seq("n_events", "total_value", "span_days"))
+
+  /** §2b stratified ATE of purchasing on view-spend, sub-classified by
+    * activity quartile ([[Stats.stratifiedAte]]): strata assigned from
+    * the distinct-count grid (integer cum·4/N arithmetic — no
+    * unit-frame sort), overall effect = stratum-weighted mean over
+    * two-arm strata. */
+  private def q_strat_ate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val units = userUnits(s, d)
+    val grid = units.groupBy(col("n_events").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val strata = grid
+      .withColumn("__prev", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .select(col("__v"),
+        least(lit(4L), floor((col("__prev") * 4).cast("double")
+          / col("__n").cast("double")).cast("long") + 1).as("stratum"))
+    Stats.stratifiedAte(
+      units.join(strata.hint("broadcast"),
+        units("n_events") === strata("__v")),
+      "treated", "view_value", "stratum")
+  }
+
   /** §2b landmark BFS over the part↔supplier graph
     * ([[Graph.landmarkDistances]]): exact distances from the 4 smallest
     * node ids, depth ≤ 4 — reach, eccentricity-within-horizon and
@@ -4810,6 +4901,13 @@ object SparkEntry {
     "q_nelson_aalen" -> (q_nelson_aalen _),
     "q_skipgrams" -> (q_skipgrams _),
     "q_landmark_bfs" -> (q_landmark_bfs _),
+    "q_bleu_pair" -> (q_bleu_pair _),
+    "q_decision_stump" -> (q_decision_stump _),
+    "q_page_hinkley" -> (q_page_hinkley _),
+    "q_cochran_c" -> (q_cochran_c _),
+    "q_tukey_hsd" -> (q_tukey_hsd _),
+    "q_smd_balance" -> (q_smd_balance _),
+    "q_strat_ate" -> (q_strat_ate _),
     "q_perm_entropy" -> (q_perm_entropy _),
     "q_rouge_pair" -> (q_rouge_pair _),
     "q_rdd" -> (q_rdd _),
@@ -13396,6 +13494,393 @@ object SparkEntry {
                 round(CAST(sum(CASE WHEN d > 0 THEN 12 // d ELSE 0 END)
                     AS DOUBLE) / 12.0, 6) AS harmonic_centrality
          FROM best GROUP BY 1""",
+    // Clipped uni/bigram overlaps on the (id+1, gram) equi-join (the
+    // rouge construction); BP and the sqrt geometric mean mirrored
+    // term for term.
+    "q_bleu_pair" ->
+      s"""WITH tok AS (SELECT doc_id AS id, $duckTokens AS t
+                       FROM documents),
+              tf1 AS (SELECT id, w, CAST(count(*) AS BIGINT) AS c
+                      FROM (SELECT id, unnest(t) AS w FROM tok)
+                      GROUP BY 1, 2),
+              tf2 AS (SELECT id, g, CAST(count(*) AS BIGINT) AS c
+                      FROM (SELECT id, array_to_string(t[i:i+1], ' ') AS g
+                            FROM tok,
+                              UNNEST(generate_series(1, len(t) - 1)) AS u(i))
+                      GROUP BY 1, 2),
+              lens AS (SELECT id, CAST(len(t) AS BIGINT) AS l FROM tok),
+              ov1 AS (SELECT a.id AS doc_a,
+                             CAST(SUM(least(a.c, b.c)) AS BIGINT) AS o1
+                      FROM tf1 a JOIN tf1 b
+                        ON b.id = a.id + 1 AND b.w = a.w
+                      GROUP BY 1),
+              ov2 AS (SELECT a.id AS doc_a,
+                             CAST(SUM(least(a.c, b.c)) AS BIGINT) AS o2
+                      FROM tf2 a JOIN tf2 b
+                        ON b.id = a.id + 1 AND b.g = a.g
+                      GROUP BY 1),
+              pairs AS (SELECT a.id AS doc_a, a.l AS len_ref,
+                               b.l AS len_cand
+                        FROM lens a JOIN lens b ON b.id = a.id + 1),
+              j AS (SELECT doc_a, len_ref, len_cand,
+                           COALESCE(o1, 0) AS overlap1,
+                           COALESCE(o2, 0) AS overlap2,
+                           CASE WHEN len_cand > 0 THEN
+                             CAST(COALESCE(o1, 0) AS DOUBLE) / len_cand
+                             END AS p1,
+                           CASE WHEN len_cand > 1 THEN
+                             CAST(COALESCE(o2, 0) AS DOUBLE)
+                               / (len_cand - 1) END AS p2,
+                           CASE WHEN len_cand >= len_ref THEN 1.0
+                                WHEN len_cand > 0 THEN exp(1.0
+                                  - CAST(len_ref AS DOUBLE) / len_cand)
+                                END AS bp
+                    FROM pairs LEFT JOIN ov1 USING (doc_a)
+                               LEFT JOIN ov2 USING (doc_a))
+         SELECT doc_a, doc_a + 1 AS doc_b, len_ref, len_cand,
+                overlap1, overlap2,
+                round(p1, 6) AS p1, round(p2, 6) AS p2,
+                round(bp, 6) AS brevity_penalty,
+                round(bp * sqrt(p1 * p2), 6) AS bleu2
+         FROM j""",
+    // Cumulative class counts over the distinct-value grid; the Gini
+    // algebra uses only correctly-rounded ops so the arg-max is
+    // bit-portable; ties break to the smaller threshold.
+    "q_decision_stump" ->
+      """WITH base AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+                              (lang = 'en') AS y
+                       FROM documents
+                       WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+              grid AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+                              CAST(sum(CASE WHEN y THEN 1 ELSE 0 END)
+                                AS BIGINT) AS p
+                       FROM base GROUP BY 1),
+              cw AS (SELECT v,
+                            sum(c) OVER (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS tl,
+                            sum(p) OVER (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS pl,
+                            sum(c) OVER () AS n, sum(p) OVER () AS pp
+                     FROM grid),
+              cand AS (SELECT v, tl, pl, n, pp,
+                         (1.0 - (CAST(pp AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(pp AS DOUBLE) / CAST(n AS DOUBLE))
+                              - (CAST(n - pp AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(n - pp AS DOUBLE) / CAST(n AS DOUBLE)))
+                         - (CAST(tl AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (1.0
+                              - (CAST(pl AS DOUBLE) / CAST(tl AS DOUBLE))
+                              * (CAST(pl AS DOUBLE) / CAST(tl AS DOUBLE))
+                              - (CAST(tl - pl AS DOUBLE)
+                                 / CAST(tl AS DOUBLE))
+                              * (CAST(tl - pl AS DOUBLE)
+                                 / CAST(tl AS DOUBLE)))
+                         - (CAST(n - tl AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (1.0
+                              - (CAST(pp - pl AS DOUBLE)
+                                 / CAST(n - tl AS DOUBLE))
+                              * (CAST(pp - pl AS DOUBLE)
+                                 / CAST(n - tl AS DOUBLE))
+                              - (CAST((n - tl) - (pp - pl) AS DOUBLE)
+                                 / CAST(n - tl AS DOUBLE))
+                              * (CAST((n - tl) - (pp - pl) AS DOUBLE)
+                                 / CAST(n - tl AS DOUBLE))) AS g
+                       FROM cw WHERE tl < n),
+              best AS (SELECT * FROM cand ORDER BY g DESC, v ASC LIMIT 1),
+              root AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                              CAST(sum(p) AS BIGINT) AS n_pos
+                       FROM grid)
+         SELECT root.n AS n, root.n_pos AS n_pos,
+                round(1.0
+                  - (CAST(n_pos AS DOUBLE) / CAST(root.n AS DOUBLE))
+                  * (CAST(n_pos AS DOUBLE) / CAST(root.n AS DOUBLE))
+                  - (CAST(root.n - n_pos AS DOUBLE)
+                     / CAST(root.n AS DOUBLE))
+                  * (CAST(root.n - n_pos AS DOUBLE)
+                     / CAST(root.n AS DOUBLE)), 6) AS gini_root,
+                best.v AS threshold, round(best.g, 6) AS gini_gain,
+                CAST(best.tl AS BIGINT) AS n_left,
+                CAST(best.pl AS BIGINT) AS pos_left,
+                CAST(root.n - best.tl AS BIGINT) AS n_right,
+                CAST(root.n_pos - best.pl AS BIGINT) AS pos_right
+         FROM root, best""",
+    // Running mean -> deviation cumsum -> running min, all ordered
+    // prefix folds on the (group, day) grid; arg-max ties break to the
+    // earliest day.
+    "q_page_hinkley" ->
+      """WITH daily AS (SELECT event_type AS g, date_trunc('day', ts) AS d,
+                               CAST(count(*) AS BIGINT) AS y
+                        FROM events WHERE ts IS NOT NULL
+                        GROUP BY 1, 2),
+              r AS (SELECT g, d, y,
+                      count(*) OVER w AS i, sum(y) OVER w AS cum
+                    FROM daily
+                    WINDOW w AS (PARTITION BY g ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              dv AS (SELECT g, d,
+                       CAST(y AS DOUBLE)
+                         - CAST(cum AS DOUBLE) / CAST(i AS DOUBLE) AS dev
+                     FROM r),
+              mm AS (SELECT g, d, sum(dev) OVER (PARTITION BY g ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS m
+                     FROM dv),
+              ph AS (SELECT g, d,
+                       m - min(m) OVER (PARTITION BY g ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS ph
+                     FROM mm),
+              pick AS (SELECT g, d, ph,
+                         CAST(count(*) OVER (PARTITION BY g) AS BIGINT)
+                           AS n_days,
+                         row_number() OVER (PARTITION BY g
+                           ORDER BY ph DESC, d ASC) AS rn
+                       FROM ph)
+         SELECT g AS event_type, n_days, round(ph, 6) AS ph_stat,
+                d AS alarm_day
+         FROM pick WHERE rn = 1""",
+    // Exact cent-quantized per-group variances; the cross-group total
+    // folds by ordered prefix (max prefix = total for nonneg terms).
+    "q_cochran_c" ->
+      """WITH per AS (SELECT event_type AS g,
+                        CAST(count(*) AS BIGINT) AS n,
+                        SUM(CAST(CAST(value AS DECIMAL(20,2)) * 100
+                          AS HUGEINT)) AS sq,
+                        SUM(CAST(CAST(value AS DECIMAL(20,2)) * 100
+                              AS HUGEINT)
+                            * CAST(CAST(value AS DECIMAL(20,2)) * 100
+                              AS HUGEINT)) AS sqq
+                      FROM events WHERE value IS NOT NULL
+                      GROUP BY 1 HAVING count(*) > 1),
+              v AS (SELECT g, CAST(n * sqq - sq * sq AS DOUBLE)
+                      / CAST(n * (n - 1) AS DOUBLE) / 10000.0 AS var
+                    FROM per),
+              c AS (SELECT g, var, sum(var) OVER (ORDER BY g
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum
+                    FROM v),
+              top AS (SELECT g, var FROM v
+                      ORDER BY var DESC, g DESC LIMIT 1),
+              tot AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                             max(cum) AS tot
+                      FROM c)
+         SELECT k_groups, top.g AS max_var_group,
+                round(top.var, 6) AS max_variance,
+                round(tot, 6) AS sum_variance,
+                round(CASE WHEN tot > 0 THEN top.var / tot END, 6)
+                  AS cochran_c
+         FROM tot, top""",
+    // Pooled MSE from exact per-group SS (ordered-prefix total), then
+    // the k^2 Tukey-Kramer pair grid, q mirrored term for term.
+    "q_tukey_hsd" ->
+      """WITH per AS (SELECT event_type AS g,
+                        CAST(count(*) AS BIGINT) AS n,
+                        SUM(CAST(CAST(value AS DECIMAL(20,2)) * 100
+                          AS HUGEINT)) AS sq,
+                        SUM(CAST(CAST(value AS DECIMAL(20,2)) * 100
+                              AS HUGEINT)
+                            * CAST(CAST(value AS DECIMAL(20,2)) * 100
+                              AS HUGEINT)) AS sqq
+                      FROM events WHERE value IS NOT NULL
+                      GROUP BY 1),
+              s AS (SELECT g, n, sq,
+                      CAST(n * sqq - sq * sq AS DOUBLE)
+                        / CAST(n AS DOUBLE) / 10000.0 AS ss
+                    FROM per),
+              c AS (SELECT g, ss, sum(ss) OVER (ORDER BY g
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum
+                    FROM s),
+              tot AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM per)
+                        AS nn,
+                        CAST(count(*) AS BIGINT) AS k_groups,
+                        max(cum) AS sse
+                      FROM c),
+              t2 AS (SELECT k_groups, nn - k_groups AS df_err,
+                       CASE WHEN nn - k_groups > 0 THEN
+                         sse / CAST(nn - k_groups AS DOUBLE) END AS mse
+                     FROM tot),
+              m AS (SELECT g, n,
+                      CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mc
+                    FROM per)
+         SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+                round(a.mc / 100.0, 6) AS mean_a,
+                round(b.mc / 100.0, 6) AS mean_b,
+                round(a.mc / 100.0 - b.mc / 100.0, 6) AS mean_diff,
+                k_groups, df_err,
+                round(sqrt(mse / 2.0 * (1.0 / CAST(a.n AS DOUBLE)
+                  + 1.0 / CAST(b.n AS DOUBLE))), 6) AS se,
+                round(CASE WHEN sqrt(mse / 2.0
+                    * (1.0 / CAST(a.n AS DOUBLE)
+                       + 1.0 / CAST(b.n AS DOUBLE))) > 0 THEN
+                  (a.mc / 100.0 - b.mc / 100.0)
+                    / sqrt(mse / 2.0 * (1.0 / CAST(a.n AS DOUBLE)
+                      + 1.0 / CAST(b.n AS DOUBLE))) END, 6) AS q_stat
+         FROM m a JOIN m b ON a.g < b.g, t2""",
+    // User-unit frame (treated = has purchase), exact cent-quantized
+    // per-arm moments per covariate, SMD mirrored term for term.
+    "q_smd_balance" ->
+      """WITH u AS (SELECT user_id,
+                      sum(CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END) * 5 > count(*) AS treated,
+                      CAST(count(*) AS BIGINT) AS n_events,
+                      CAST(SUM(CAST(CAST(value AS DECIMAL(20,2)) * 100
+                        AS HUGEINT)) AS DOUBLE) / 100.0 AS total_value,
+                      CAST(date_diff('day', date_trunc('day', min(ts)),
+                        date_trunc('day', max(ts))) AS BIGINT)
+                        AS span_days
+                    FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                    GROUP BY 1),
+              mom AS (
+                SELECT 'n_events' AS covariate,
+                  CAST(sum(CASE WHEN treated AND n_events IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                  SUM(CASE WHEN treated THEN
+                    CAST(CAST(n_events AS DECIMAL(20,2)) * 100 AS HUGEINT)
+                    END) AS st,
+                  SUM(CASE WHEN treated THEN
+                    CAST(CAST(n_events AS DECIMAL(20,2)) * 100 AS HUGEINT)
+                    * CAST(CAST(n_events AS DECIMAL(20,2)) * 100
+                      AS HUGEINT) END) AS sst,
+                  CAST(sum(CASE WHEN NOT treated AND n_events IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                  SUM(CASE WHEN NOT treated THEN
+                    CAST(CAST(n_events AS DECIMAL(20,2)) * 100 AS HUGEINT)
+                    END) AS sc,
+                  SUM(CASE WHEN NOT treated THEN
+                    CAST(CAST(n_events AS DECIMAL(20,2)) * 100 AS HUGEINT)
+                    * CAST(CAST(n_events AS DECIMAL(20,2)) * 100
+                      AS HUGEINT) END) AS ssc
+                FROM u
+                UNION ALL
+                SELECT 'total_value',
+                  CAST(sum(CASE WHEN treated AND total_value IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT),
+                  SUM(CASE WHEN treated THEN
+                    CAST(CAST(total_value AS DECIMAL(20,2)) * 100
+                      AS HUGEINT) END),
+                  SUM(CASE WHEN treated THEN
+                    CAST(CAST(total_value AS DECIMAL(20,2)) * 100
+                      AS HUGEINT)
+                    * CAST(CAST(total_value AS DECIMAL(20,2)) * 100
+                      AS HUGEINT) END),
+                  CAST(sum(CASE WHEN NOT treated
+                    AND total_value IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+                  SUM(CASE WHEN NOT treated THEN
+                    CAST(CAST(total_value AS DECIMAL(20,2)) * 100
+                      AS HUGEINT) END),
+                  SUM(CASE WHEN NOT treated THEN
+                    CAST(CAST(total_value AS DECIMAL(20,2)) * 100
+                      AS HUGEINT)
+                    * CAST(CAST(total_value AS DECIMAL(20,2)) * 100
+                      AS HUGEINT) END)
+                FROM u
+                UNION ALL
+                SELECT 'span_days',
+                  CAST(sum(CASE WHEN treated AND span_days IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT),
+                  SUM(CASE WHEN treated THEN
+                    CAST(CAST(span_days AS DECIMAL(20,2)) * 100
+                      AS HUGEINT) END),
+                  SUM(CASE WHEN treated THEN
+                    CAST(CAST(span_days AS DECIMAL(20,2)) * 100
+                      AS HUGEINT)
+                    * CAST(CAST(span_days AS DECIMAL(20,2)) * 100
+                      AS HUGEINT) END),
+                  CAST(sum(CASE WHEN NOT treated AND span_days IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT),
+                  SUM(CASE WHEN NOT treated THEN
+                    CAST(CAST(span_days AS DECIMAL(20,2)) * 100
+                      AS HUGEINT) END),
+                  SUM(CASE WHEN NOT treated THEN
+                    CAST(CAST(span_days AS DECIMAL(20,2)) * 100
+                      AS HUGEINT)
+                    * CAST(CAST(span_days AS DECIMAL(20,2)) * 100
+                      AS HUGEINT) END)
+                FROM u),
+              alg AS (SELECT covariate, nt AS n_treat, nc AS n_ctrl,
+                        CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) / 100.0
+                          AS mt,
+                        CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) / 100.0
+                          AS mc,
+                        CAST(nt * sst - st * st AS DOUBLE)
+                          / CAST(nt * (nt - 1) AS DOUBLE) / 10000.0 AS vt,
+                        CAST(nc * ssc - sc * sc AS DOUBLE)
+                          / CAST(nc * (nc - 1) AS DOUBLE) / 10000.0 AS vc
+                      FROM mom)
+         SELECT covariate, n_treat, n_ctrl,
+                round(mt, 6) AS mean_treat, round(mc, 6) AS mean_ctrl,
+                round(CASE WHEN n_treat > 1 AND n_ctrl > 1
+                    AND (vt + vc) / 2.0 > 0 THEN
+                  (mt - mc) / sqrt((vt + vc) / 2.0) END, 6) AS smd
+         FROM alg""",
+    // Grid-assigned activity quartiles (integer cum*4/N), per-stratum
+    // exact cent outcome means, overall ATE = ordered-prefix weighted
+    // fold read at the last stratum.
+    "q_strat_ate" ->
+      """WITH u AS (SELECT user_id,
+                      sum(CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END) * 5 > count(*) AS treated,
+                      CAST(count(*) AS BIGINT) AS n_events,
+                      CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN
+                        CAST(CAST(value AS DECIMAL(20,2)) * 100
+                          AS HUGEINT) END), 0) AS DOUBLE) / 100.0
+                        AS view_value
+                    FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                    GROUP BY 1),
+              g2 AS (SELECT n_events AS v, CAST(count(*) AS BIGINT) AS c
+                     FROM u GROUP BY 1),
+              st AS (SELECT v, least(4, CAST(floor(
+                       CAST(prev * 4 AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS BIGINT) + 1) AS stratum
+                     FROM (SELECT v, c,
+                             COALESCE(sum(c) OVER (ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS prev,
+                             sum(c) OVER () AS n
+                           FROM g2)),
+              sg AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_s,
+                       CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_treat,
+                       CAST(sum(CASE WHEN treated THEN 0 ELSE 1 END)
+                         AS BIGINT) AS n_ctrl,
+                       SUM(CASE WHEN treated THEN vq END) AS yt,
+                       SUM(CASE WHEN NOT treated THEN vq END) AS yc
+                     FROM (SELECT u.treated, st.stratum,
+                             CAST(CAST(u.view_value AS DECIMAL(20,2))
+                               * 100 AS HUGEINT) AS vq
+                           FROM u JOIN st ON u.n_events = st.v
+                           WHERE u.view_value IS NOT NULL)
+                     GROUP BY 1
+                     HAVING sum(CASE WHEN treated THEN 1 ELSE 0 END) > 0
+                        AND sum(CASE WHEN treated THEN 0 ELSE 1 END) > 0),
+              f AS (SELECT stratum, n_s, n_treat, n_ctrl,
+                      CAST(yt AS DOUBLE) / CAST(n_treat AS DOUBLE)
+                        / 100.0 AS mt,
+                      CAST(yc AS DOUBLE) / CAST(n_ctrl AS DOUBLE)
+                        / 100.0 AS mc,
+                      sum(n_s) OVER () AS nu
+                    FROM sg),
+              f2 AS (SELECT *, sum((CAST(n_s AS DOUBLE)
+                       / CAST(nu AS DOUBLE)) * (mt - mc))
+                       OVER (ORDER BY stratum
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+                     FROM f),
+              tot AS (SELECT CAST(count(*) AS BIGINT) AS k_strata,
+                        CAST(max(nu) AS BIGINT) AS n_used,
+                        round((SELECT cum FROM f2
+                               ORDER BY stratum DESC LIMIT 1), 6) AS ate
+                      FROM f2)
+         SELECT stratum, n_s, n_treat, n_ctrl,
+                round(mt, 6) AS mean_treat, round(mc, 6) AS mean_ctrl,
+                round(mt - mc, 6) AS diff, k_strata, n_used, ate
+         FROM f2, tot""",
     // Exact integer |n*y - sy| under the arg-max (ties -> earliest day);
     // s mirrors the engine's division order term for term.
     "q_grubbs" ->

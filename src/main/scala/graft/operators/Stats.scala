@@ -4204,6 +4204,279 @@ object Stats {
           .as("xi"))
   }
 
+  /** Best single-feature threshold split by Gini gain (public: the CART
+    * decision-stump criterion, Breiman et al. '84) — "which cutoff on
+    * this column best separates the label": the 1-node readout behind
+    * every quality-filter threshold choice, reported with the full
+    * confusion it induces. Split semantics: left = feature ≤ t.
+    *
+    * Scale shape: candidates are the DISTINCT-value grid with
+    * cumulative class counts (one aggregate + two bounded windows over
+    * the collapsed grid — the weightedMedian contract); every count is
+    * an exact integer and the Gini algebra uses only IEEE
+    * correctly-rounded ops (÷ × −), so the arg-max is engine-portable
+    * bit for bit. Gain ties break toward the SMALLER threshold. */
+  def decisionStump(df: DataFrame, featureCol: String, labelCol: String,
+                    roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .filter(col(featureCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(featureCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("__p"))
+    val wCum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val c = grid
+      .withColumn("__tl", sum(col("__c")).over(wCum))
+      .withColumn("__pl", sum(col("__p")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__pp", sum(col("__p")).over(wAll))
+    def gini(pos: Column, tot: Column): Column = {
+      val pr = pos.cast("double") / tot.cast("double")
+      val nr = (tot - pos).cast("double") / tot.cast("double")
+      lit(1.0) - pr * pr - nr * nr
+    }
+    val tr = col("__n") - col("__tl")
+    val pr = col("__pp") - col("__pl")
+    val gain = gini(col("__pp"), col("__n")) -
+      (col("__tl").cast("double") / col("__n").cast("double")) *
+        gini(col("__pl"), col("__tl")) -
+      (tr.cast("double") / col("__n").cast("double")) * gini(pr, tr)
+    val best = c.filter(col("__tl") < col("__n"))
+      .agg(max(struct(gain.as("g"), (lit(0.0) - col("__v")).as("nv"),
+        col("__v").as("v"), col("__tl").as("tl"), col("__pl").as("pl"),
+        col("__n").as("n"), col("__pp").as("pp"))).as("__b"))
+    val root = grid.agg(sum(col("__c")).as("n"), sum(col("__p")).as("n_pos"))
+    root.crossJoin(broadcast(best))
+      .select(col("n"), col("n_pos"),
+        round(gini(col("n_pos"), col("n")), roundScale).as("gini_root"),
+        col("__b").getField("v").as("threshold"),
+        round(col("__b").getField("g"), roundScale).as("gini_gain"),
+        col("__b").getField("tl").as("n_left"),
+        col("__b").getField("pl").as("pos_left"),
+        (col("n") - col("__b").getField("tl")).as("n_right"),
+        (col("n_pos") - col("__b").getField("pl")).as("pos_right"))
+  }
+
+  /** Cochran's C test statistic (public: Cochran '41) — the
+    * variance-outlier screen: C = max_j s_j² / Σ_j s_j², "is one group's
+    * spread dominating the pooled picture", the dispersion-side
+    * companion to grubbsDaily's mean-outlier screen and the pre-flight
+    * for the equal-variance assumption behind [[tukeyHsd]].
+    *
+    * Scale shape: per-group variances fold from exact cent-quantized
+    * integer moments (n, Σq, Σq² in decimal — the q1-lesson
+    * construction), each variance one deterministic double division;
+    * the cross-group total is an ORDERED prefix fold over the k-row
+    * group frame (max prefix = total for the nonnegative variances) —
+    * the ks/ewma ordered-prefix contract, never an unordered float
+    * sum. */
+  def cochranC(df: DataFrame, groupCol: String, valCol: String,
+               roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = (col(valCol).cast("decimal(20,2)") * 100).cast("decimal(38,0)")
+    val per = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"), sum(q).as("__sq"),
+        sum(q * q).as("__sqq"))
+      .filter(col("__n") > 1)
+    val varc = ((col("__n").cast("decimal(38,0)") * col("__sqq")
+      - col("__sq") * col("__sq")).cast("double") /
+      (col("__n") * (col("__n") - 1)).cast("double")) / 10000.0
+    val wCum = Window.orderBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    per.withColumn("__var", varc)
+      .withColumn("__cum", sum(col("__var")).over(wCum))
+      .agg(count(lit(1)).as("k_groups"),
+        max(struct(col("__var").as("v"), col("__g").as("g"))).as("__top"),
+        max(col("__cum")).as("__tot"))
+      .select(col("k_groups"),
+        col("__top").getField("g").as("max_var_group"),
+        round(col("__top").getField("v"), roundScale).as("max_variance"),
+        round(col("__tot"), roundScale).as("sum_variance"),
+        round(when(col("__tot") > 0,
+          col("__top").getField("v") / col("__tot")), roundScale)
+          .as("cochran_c"))
+  }
+
+  /** Tukey–Kramer HSD contrasts (public: Tukey '49; Kramer '56 for
+    * unequal n) — every pairwise mean difference studentized against
+    * the one-way ANOVA's pooled MSE: q = (m_a − m_b)/√(MSE/2·(1/n_a +
+    * 1/n_b)). The parametric post-hoc beside [[dunnPostHoc]]'s
+    * rank-based one (q_anova says "some group differs", this says
+    * WHICH pairs). Critical values are studentized-range quantiles
+    * (table lookup downstream); the statistic itself is the portable
+    * part.
+    *
+    * Scale shape: one exact cent-quantized moment aggregate per group
+    * (k rows), SSE folded over the k-row frame by ordered prefix
+    * (nonnegative per-group SS — the [[cochranC]] contract), then the
+    * k² pair grid — bounded by the group vocabulary, never data-sized
+    * (the q_jsd_matrix contract). */
+  def tukeyHsd(df: DataFrame, groupCol: String, valCol: String,
+               roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = (col(valCol).cast("decimal(20,2)") * 100).cast("decimal(38,0)")
+    val per = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"), sum(q).as("__sq"),
+        sum(q * q).as("__sqq"))
+    // the k-row group frame feeds the SSE fold AND both pair sides —
+    // re-aggregating 3x is cheaper than a checkpoint AND keeps the
+    // Aggregate visible to the plan audit's structural window proof
+    val ss = ((col("__n").cast("decimal(38,0)") * col("__sqq")
+      - col("__sq") * col("__sq")).cast("double") /
+      col("__n").cast("double")) / 10000.0
+    val wCum = Window.orderBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = per.withColumn("__ss", ss)
+      .withColumn("__cum", sum(col("__ss")).over(wCum))
+      .agg(sum(col("__n")).as("__nn"), count(lit(1)).as("k_groups"),
+        max(col("__cum")).as("__sse"))
+      .select(col("k_groups"), (col("__nn") - col("k_groups")).as("df_err"),
+        when(col("__nn") - col("k_groups") > 0,
+          col("__sse") / (col("__nn") - col("k_groups")).cast("double"))
+          .as("__mse"))
+    val mean = (c: Column) => c.cast("double") / 100.0
+    val a = per.select(col("__g").as("group_a"), col("__n").as("n_a"),
+      (col("__sq").cast("double") / col("__n").cast("double"))
+        .as("__ma"))
+    val b = per.select(col("__g").as("group_b"), col("__n").as("n_b"),
+      (col("__sq").cast("double") / col("__n").cast("double"))
+        .as("__mb"))
+    val se = sqrt(col("__mse") / 2.0
+      * (lit(1.0) / col("n_a").cast("double")
+        + lit(1.0) / col("n_b").cast("double")))
+    a.join(b, col("group_a") < col("group_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        round(mean(col("__ma")), roundScale).as("mean_a"),
+        round(mean(col("__mb")), roundScale).as("mean_b"),
+        round(mean(col("__ma")) - mean(col("__mb")), roundScale)
+          .as("mean_diff"),
+        col("k_groups"), col("df_err"),
+        round(se, roundScale).as("se"),
+        round(when(se > 0, (mean(col("__ma")) - mean(col("__mb"))) / se),
+          roundScale).as("q_stat"))
+  }
+
+  /** Standardized-mean-difference covariate balance table (public: the
+    * standard observational-study diagnostic, e.g. Austin, Stat. Med.
+    * '09): per covariate, SMD = (m_t − m_c)/√((v_t + v_c)/2) between the
+    * treated and control units — |SMD| < 0.1 is the conventional
+    * "balanced" bar before trusting any treatment-effect estimate
+    * ([[stratifiedAte]] downstream). Input is a UNIT-level frame (one
+    * row per unit with a boolean treatment column).
+    *
+    * Scale shape: covariates are cent-quantized (decimal(20,2)·100) so
+    * every per-arm moment is an exact integer fold; one aggregate per
+    * covariate over the (cached, caller-supplied) unit frame, each
+    * mean/variance a single deterministic division. Degenerate arms
+    * (n ≤ 1 or zero pooled variance) → null SMD. */
+  def smdBalance(units: DataFrame, treatCol: String,
+                 covCols: Seq[String], roundScale: Int = 6): DataFrame = {
+    require(covCols.nonEmpty, "at least one covariate required")
+    val t = col(treatCol).cast("boolean")
+    def row(cov: String): DataFrame = {
+      val q = (col(cov).cast("decimal(20,2)") * 100).cast("decimal(38,0)")
+      val arm = (treated: Boolean) => if (treated) t else !t
+      def nOf(b: Boolean) =
+        sum(when(arm(b) && col(cov).isNotNull, 1L).otherwise(0L))
+      def sOf(b: Boolean) =
+        sum(when(arm(b), q).otherwise(lit(null).cast("decimal(38,0)")))
+      def ssOf(b: Boolean) =
+        sum(when(arm(b), q * q).otherwise(lit(null).cast("decimal(38,0)")))
+      units.filter(t.isNotNull)
+        .agg(nOf(true).as("__nt"), sOf(true).as("__st"),
+          ssOf(true).as("__sst"),
+          nOf(false).as("__nc"), sOf(false).as("__sc"),
+          ssOf(false).as("__ssc"))
+        .select(lit(cov).as("covariate"), col("__nt").as("n_treat"),
+          col("__nc").as("n_ctrl"),
+          (col("__st").cast("double") / col("__nt").cast("double")
+            / 100.0).as("__mt"),
+          (col("__sc").cast("double") / col("__nc").cast("double")
+            / 100.0).as("__mc"),
+          ((col("__nt").cast("decimal(38,0)") * col("__sst")
+            - col("__st") * col("__st")).cast("double")
+            / (col("__nt") * (col("__nt") - 1)).cast("double") / 10000.0)
+            .as("__vt"),
+          ((col("__nc").cast("decimal(38,0)") * col("__ssc")
+            - col("__sc") * col("__sc")).cast("double")
+            / (col("__nc") * (col("__nc") - 1)).cast("double") / 10000.0)
+            .as("__vc"))
+    }
+    covCols.map(row).reduce(_.unionByName(_))
+      .select(col("covariate"), col("n_treat"), col("n_ctrl"),
+        round(col("__mt"), roundScale).as("mean_treat"),
+        round(col("__mc"), roundScale).as("mean_ctrl"),
+        round(when(col("n_treat") > 1 && col("n_ctrl") > 1
+          && (col("__vt") + col("__vc")) / 2.0 > 0,
+          (col("__mt") - col("__mc"))
+            / sqrt((col("__vt") + col("__vc")) / 2.0)), roundScale)
+          .as("smd"))
+  }
+
+  /** Stratified (sub-classification) average treatment effect (public:
+    * Cochran '68's sub-classification estimator, the textbook
+    * propensity-stratification form): within each stratum the arms are
+    * compared directly, and the overall ATE is the stratum-size-weighted
+    * mean of the within-stratum differences over strata containing BOTH
+    * arms — the simplest confounder control that needs no model. Input
+    * is a unit frame with a precomputed integer stratum column
+    * (quantile bins of a confounder, [[smdBalance]] upstream checks the
+    * residual imbalance).
+    *
+    * Scale shape: one hash aggregate to the stratum grid (exact
+    * cent-quantized outcome moments), weighted differences folded by
+    * ORDERED prefix over the ≤k-row grid with the last prefix read back
+    * via struct-argmax — never an unordered float sum. */
+  def stratifiedAte(units: DataFrame, treatCol: String, outcomeCol: String,
+                    strataCol: String, roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col(treatCol).cast("boolean")
+    val q = (col(outcomeCol).cast("decimal(20,2)") * 100)
+      .cast("decimal(38,0)")
+    val grid = units
+      .filter(t.isNotNull && col(outcomeCol).isNotNull &&
+        col(strataCol).isNotNull)
+      .groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("n_s"),
+        sum(when(t, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(!t, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(t, q)).as("__yt"), sum(when(!t, q)).as("__yc"))
+      .filter(col("n_treat") > 0 && col("n_ctrl") > 0)
+    val mt = (col("__yt").cast("double") /
+      col("n_treat").cast("double")) / 100.0
+    val mc = (col("__yc").cast("double") /
+      col("n_ctrl").cast("double")) / 100.0
+    val wCum = Window.orderBy(col("stratum"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val folded = grid
+      .withColumn("__mt", mt).withColumn("__mc", mc)
+      .withColumn("__nu", sum(col("n_s")).over(wAll))
+      .withColumn("__cum", sum((col("n_s").cast("double")
+        / col("__nu").cast("double"))
+        * (col("__mt") - col("__mc"))).over(wCum))
+    val tot = folded
+      .agg(count(lit(1)).as("k_strata"), max(col("__nu")).as("n_used"),
+        max(struct(col("stratum").as("s"), col("__cum").as("c")))
+          .as("__last"))
+      .select(col("k_strata"), col("n_used"),
+        round(col("__last").getField("c"), roundScale).as("ate"))
+    folded.select(col("stratum"), col("n_s"), col("n_treat"),
+        col("n_ctrl"),
+        round(col("__mt"), roundScale).as("mean_treat"),
+        round(col("__mc"), roundScale).as("mean_ctrl"),
+        round(col("__mt") - col("__mc"), roundScale).as("diff"))
+      .crossJoin(broadcast(tot))
+  }
+
   /** Quade test (public: Quade, JASA '79) — the block-weighted upgrade
     * of [[friedmanTest]]: blocks with a LARGER within-block range carry
     * more evidence about treatment differences, so each block's ranks

@@ -1630,6 +1630,62 @@ object TextAnalytics {
           roundScale).as("rouge1_f1"))
   }
 
+  /** BLEU-2 between consecutive documents (public: Papineni et al.
+    * ACL'02), the precision-side companion to [[rouge1Pairs]]'s recall:
+    * doc i is the REFERENCE and doc i+1 the CANDIDATE; modified n-gram
+    * precisions p₁/p₂ clip each candidate n-gram's count at the
+    * reference's, the brevity penalty exp(1 − r/c) (capped at 1)
+    * punishes short candidates, and BLEU-2 = BP·√(p₁·p₂). As a corpus
+    * screen this reads "how much of each document is a re-phrasing of
+    * its neighbor" — boilerplate chains score high even when exact
+    * dedup misses them.
+    *
+    * Scale shape: the tokenized frame is cached once (three consumers:
+    * unigram TF, bigram TF, lengths); clipped overlaps are the same
+    * (id+1, gram) equi-join as rouge1Pairs — shuffle ∝ distinct
+    * (doc, gram), never pairwise in the corpus. Overlap counts are
+    * exact integers; p₁/p₂/BLEU are single-rounding ratios (√ and ×
+    * are IEEE-exact given identical inputs). */
+  def bleuPairs(docs: DataFrame, idCol: String, textCol: String,
+                roundScale: Int = 6): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = docs.select(col(idCol).cast("long").as("__id"),
+      TextFunctions.tokens(col(textCol)).as("__t")).cache()
+    val tf1 = toks.select(col("__id"), explode(col("__t")).as("__g"))
+      .groupBy(col("__id"), col("__g")).agg(count(lit(1)).as("__c"))
+    val tf2 = toks.select(col("__id"),
+        explode(TextFunctions.shinglesOf(col("__t"), 2)).as("__g"))
+      .groupBy(col("__id"), col("__g")).agg(count(lit(1)).as("__c"))
+    val lens = toks.select(col("__id"), size(col("__t")).cast("long")
+      .as("__len"))
+    def clipped(tf: DataFrame, out: String): DataFrame = tf
+      .select(col("__id").as("doc_a"), col("__g"), col("__c").as("__cr"))
+      .join(tf.select((col("__id") - 1).as("doc_a"), col("__g"),
+        col("__c").as("__cc")), Seq("doc_a", "__g"))
+      .groupBy(col("doc_a"))
+      .agg(sum(least(col("__cr"), col("__cc"))).as(out))
+    val pairs = lens
+      .select(col("__id").as("doc_a"), col("__len").as("len_ref"))
+      .join(lens.select((col("__id") - 1).as("doc_a"),
+        col("__len").as("len_cand")), Seq("doc_a"))
+      .join(clipped(tf1, "overlap1"), Seq("doc_a"), "left")
+      .join(clipped(tf2, "overlap2"), Seq("doc_a"), "left")
+      .na.fill(0L, Seq("overlap1", "overlap2"))
+    val p1 = when(col("len_cand") > 0,
+      col("overlap1").cast("double") / col("len_cand"))
+    val p2 = when(col("len_cand") > 1,
+      col("overlap2").cast("double") / (col("len_cand") - 1))
+    val bp = when(col("len_cand") >= col("len_ref"), lit(1.0))
+      .otherwise(when(col("len_cand") > 0,
+        exp(lit(1.0) - col("len_ref").cast("double") / col("len_cand"))))
+    pairs.select(col("doc_a"), (col("doc_a") + 1).as("doc_b"),
+      col("len_ref"), col("len_cand"), col("overlap1"), col("overlap2"),
+      round(p1, roundScale).as("p1"),
+      round(p2, roundScale).as("p2"),
+      round(bp, roundScale).as("brevity_penalty"),
+      round(bp * sqrt(p1 * p2), roundScale).as("bleu2"))
+  }
+
   /** Skip-gram context-pair extraction (public: the word2vec
     * training-pair generator, Mikolov et al. NIPS'13): every ordered
     * (center, context) token pair within a forward window of

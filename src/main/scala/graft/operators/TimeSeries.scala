@@ -858,4 +858,45 @@ object TimeSeries {
             - col("__clogc") / col("n_windows")) / log(lit(6.0))),
           roundScale).as("perm_entropy"))
   }
+
+  /** Page–Hinkley change detector (public: Page, Biometrika '54; the
+    * Hinkley '71 running-mean form every stream-drift library ships)
+    * over each group's daily count series: mₜ = Σᵢ(yᵢ − ȳᵢ) accumulates
+    * deviations from the RUNNING mean, and PH = max(mₜ − min m) is the
+    * largest upward excursion — a mean shift shows as a ramp, noise
+    * cancels. The batch twin of the streaming CUSUM monitors
+    * (EventStreams), reporting the alarm day beside the statistic.
+    *
+    * Scale shape: one hash aggregate to the (group, day) grid, then
+    * three ordered prefix windows over that calendar-bounded grid
+    * (running mean, deviation cumsum, running min) — the ks/ewma
+    * ordered-prefix contract; the arg-max ties break to the EARLIEST
+    * day. Gap days are absent rows, not zeros (the pre-densify
+    * adfDaily convention, documented). */
+  def pageHinkleyDaily(events: DataFrame, keyCol: String, tsCol: String,
+                       roundScale: Int = 6): DataFrame = {
+    val daily = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("__g"),
+        date_trunc("day", col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__y"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val m = daily
+      .withColumn("__i", count(lit(1)).over(w))
+      .withColumn("__cum", sum(col("__y")).over(w))
+      .withColumn("__dev", col("__y").cast("double")
+        - col("__cum").cast("double") / col("__i").cast("double"))
+      .withColumn("__m", sum(col("__dev")).over(w))
+      .withColumn("__mmin", min(col("__m")).over(w))
+      .withColumn("__ph", col("__m") - col("__mmin"))
+    m.groupBy(col("__g").as(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        max(struct(col("__ph").as("ph"),
+          (lit(0L) - unix_micros(col("__day"))).as("nt"),
+          col("__day").as("d"))).as("__top"))
+      .select(col(keyCol), col("n_days"),
+        round(col("__top").getField("ph"), roundScale).as("ph_stat"),
+        col("__top").getField("d").as("alarm_day"))
+  }
 }

@@ -200,6 +200,9 @@ class PlanAuditSpec extends SparkSuite {
   //    (quantity has 50 distinct values per class; the grouped value
   //    histograms report maxRows None — the q_kendall_tau cell-grid
   //    contract, with the small side broadcast).
+  //  * the k² Tukey–Kramer pair grid in q_tukey_hsd (both sides the
+  //    same k-row per-group moment aggregate — the q_jsd_matrix
+  //    group-matrix contract).
   private val allowNestedLoop: Set[String] = Set(
     "q_ivf_topk", "q_ivf_topk_bcast", "q_ivf_trained", "q_pq_topk",
     "q_cosine_topk", "q_int8_recall", "q_rrf", "q_jl_distortion",
@@ -207,7 +210,7 @@ class PlanAuditSpec extends SparkSuite {
     "q_naive_bayes", "q_jonckheere", "q_dunn", "q_weighted_kappa",
     "q_drift_monitor", "q_ks_per_source", "q_kuiper", "q_heaps_law",
     "q_query_likelihood", "q_fdr_bh", "q_fdr_by", "q_holm", "q_isotonic",
-    "q_kendall_tau", "q_gk_gamma", "q_hodges_lehmann")
+    "q_kendall_tau", "q_gk_gamma", "q_hodges_lehmann", "q_tukey_hsd")
 
   test("every nested-loop join proves a bounded side or is documented") {
     val offenders = audits.collect {

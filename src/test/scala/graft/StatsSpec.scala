@@ -1755,6 +1755,74 @@ class StatsSpec extends SparkSuite {
       .head.isNullAt(3))
   }
 
+  test("decisionStump: exact best split, perfect-separation gain") {
+    // v=1 rows all positive, v>=2 all negative: split at 1 -> gain 0.5
+    val df = Seq((1.0, true), (1.0, true), (2.0, false), (3.0, false))
+      .toDF("v", "y")
+    val r = Stats.decisionStump(df, "v", "y").collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.5) // root gini
+    assert(r.getDouble(3) === 1.0) // threshold
+    assert(r.getDouble(4) === 0.5) // gain
+    assert((r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)) ===
+      ((2L, 2L, 2L, 0L)))
+  }
+
+  test("cochranC: max-variance share with exact cent moments") {
+    // A={1,3} var 2; B={1,5} var 8; C={2,2} var 0 -> C = 8/10
+    val df = Seq(("A", 1.0), ("A", 3.0), ("B", 1.0), ("B", 5.0),
+      ("C", 2.0), ("C", 2.0)).toDF("g", "v")
+    val r = Stats.cochranC(df, "g", "v").collect().head
+    assert(r.getLong(0) === 3L)
+    assert(r.getString(1) === "B")
+    assert(r.getDouble(2) === 8.0 && r.getDouble(3) === 10.0)
+    assert(r.getDouble(4) === 0.8)
+  }
+
+  test("tukeyHsd: studentized pair contrast against the pooled MSE") {
+    // A={1,3} B={5,7}: SSE 4, MSE 2, se = 1, q = -4
+    val df = Seq(("A", 1.0), ("A", 3.0), ("B", 5.0), ("B", 7.0))
+      .toDF("g", "v")
+    val r = Stats.tukeyHsd(df, "g", "v").collect()
+    assert(r.length === 1)
+    val p = r.head
+    assert(p.getString(0) === "A" && p.getString(1) === "B")
+    assert(p.getDouble(4) === 2.0 && p.getDouble(5) === 6.0)
+    assert(p.getDouble(6) === -4.0)
+    assert(p.getLong(7) === 2L && p.getLong(8) === 2L, "k, df_err")
+    assert(p.getDouble(9) === 1.0 && p.getDouble(10) === -4.0)
+  }
+
+  test("smdBalance: hand-computed standardized difference") {
+    // treat x={1,3} (m 2, v 2); ctrl x={5,9} (m 7, v 8):
+    // smd = -5/sqrt(5)
+    val df = Seq((true, 1.0), (true, 3.0), (false, 5.0), (false, 9.0))
+      .toDF("t", "x")
+    val r = Stats.smdBalance(df, "t", Seq("x")).collect().head
+    assert(r.getString(0) === "x")
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L)
+    assert(r.getDouble(3) === 2.0 && r.getDouble(4) === 7.0)
+    val exp = BigDecimal(-5.0 / math.sqrt(5.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) === exp)
+  }
+
+  test("stratifiedAte: weighted two-arm strata, single-arm stratum dropped") {
+    // s1: t={2,4} c={1} diff 2 (n 3); s2: t={5} c={3} diff 2 (n 2);
+    // s3: treated only -> dropped; ate = (3/5)*2 + (2/5)*2 = 2
+    val df = Seq((1, true, 2.0), (1, true, 4.0), (1, false, 1.0),
+      (2, true, 5.0), (2, false, 3.0), (3, true, 9.0))
+      .toDF("s", "t", "y")
+    val rows = Stats.stratifiedAte(df, "t", "y", "s").collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows.keySet === Set(1, 2))
+    assert(rows(1).getLong(1) === 3L && rows(1).getDouble(6) === 2.0)
+    assert(rows(2).getDouble(4) === 5.0 && rows(2).getDouble(5) === 3.0)
+    assert(rows(1).getLong(7) === 2L, "k_strata")
+    assert(rows(1).getLong(8) === 5L, "n_used")
+    assert(rows(1).getDouble(9) === 2.0, "overall ate")
+  }
+
   test("quadeTest: hand-computed range-weighted statistic") {
     // b=3 blocks, k=3; ranges 2,4,2 -> Q = 1.5, 3, 1.5
     // S_j = (-4.5, -1.5, 6); A=27, B=19.5, T = 2*19.5/7.5 = 5.2

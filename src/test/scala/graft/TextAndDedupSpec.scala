@@ -1449,6 +1449,26 @@ class TextAndDedupSpec extends SparkSuite {
     // pair (3,4): identical -> F1 = 1
     assert(out(3L).getLong(4) === 3L && out(3L).getDouble(7) === 1.0)
   }
+  test("bleuPairs: clipped precisions, brevity penalty, identity scores 1") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b x"), (3L, "a b x"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalytics.bleuPairs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // pair (1,2): p1 = 2/3, p2 = 1/2, BP = exp(1 - 4/3)
+    val p = out(1L)
+    assert((p.getLong(2), p.getLong(3), p.getLong(4), p.getLong(5)) ===
+      ((4L, 3L, 2L, 1L)))
+    assert(p.getDouble(6) === r6(2.0 / 3))
+    assert(p.getDouble(7) === 0.5)
+    assert(p.getDouble(8) === r6(math.exp(1.0 - 4.0 / 3.0)))
+    assert(p.getDouble(9) ===
+      r6(math.exp(1.0 - 4.0 / 3.0) * math.sqrt((2.0 / 3.0) * 0.5)))
+    // pair (2,3): identical docs -> BP 1, p1 = p2 = 1, BLEU 1
+    val q = out(2L)
+    assert(q.getDouble(8) === 1.0 && q.getDouble(9) === 1.0)
+  }
   test("skipgramPairs: exact offset-tagged counts, vocabulary floor, doc boundary") {
     // "a b a b a": offset1 (a,b)x2 (b,a)x2; offset2 (a,a)x2 (b,b)x1
     val docs = Seq((1L, "a b a b a"), (2L, "z q")).toDF("doc_id", "text")

@@ -434,4 +434,23 @@ class TimeSeriesSpec extends SparkSuite {
     assert(out("z").getDouble(3) === h)
   }
 
+  test("pageHinkleyDaily: ramp excursion and alarm day, flat series reads 0") {
+    import org.apache.spark.sql.functions._
+    val day = 86400000000L
+    // group a: daily counts 1,1,1,4 -> dev at day3 = 4 - 7/4 = 2.25
+    val rows = (Seq(0, 1, 2).map(d => ("a", d.toLong * day)) ++
+      (1 to 4).map(_ => ("a", 3L * day)) ++
+      Seq(0, 1).map(d => ("f", d.toLong * day))) // flat 1,1
+    val df = rows.toDF("g", "us")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val out = TimeSeries.pageHinkleyDaily(df, "g", "ts").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) === 4L)
+    assert(out("a").getDouble(2) === 2.25)
+    assert(out("a").getTimestamp(3).getTime === 3L * 86400000L)
+    // flat series: every deviation 0 -> PH 0, alarm = earliest day
+    assert(out("f").getDouble(2) === 0.0)
+    assert(out("f").getTimestamp(3).getTime === 0L)
+  }
+
 }
