@@ -4436,6 +4436,43 @@ object SparkEntry {
       "treated", "view_value", "stratum")
   }
 
+  /** §2b Welch's heteroscedastic one-way ANOVA across event types on
+    * value ([[Stats.welchAnova]]) — the unequal-variance F beside
+    * q_anova, with Welch–Satterthwaite df. */
+  private def q_welch_anova(s: SparkSession, d: String): DataFrame =
+    Stats.welchAnova(Tables.events(s, d), "event_type", "value")
+
+  /** §2b Fisher's exact 2×2 test: lang=en × source=src0 independence
+    * ([[Stats.fisherExact]]) — hypergeometric-exact p via the
+    * anchored ratio recurrence (no factorials, no lgamma). */
+  private def q_fisher_exact(s: SparkSession, d: String): DataFrame =
+    Stats.fisherExact(
+      Tables.documents(s, d).select((col("lang") === "en").as("is_en"),
+        (col("source") === "src0").as("is_src0")),
+      "is_en", "is_src0")
+
+  /** §2b Cohen's h: arcsine effect size of the en-share gap, src0 vs
+    * the rest ([[Stats.cohensH]]) — the power-analysis currency for
+    * "is this rate shift big". */
+  private def q_cohens_h(s: SparkSession, d: String): DataFrame =
+    Stats.cohensH(
+      Tables.documents(s, d).select((col("source") === "src0").as("in_src0"),
+        (col("lang") === "en").as("is_en")),
+      "in_src0", "is_en")
+
+  /** §2b Holt linear smoothing of daily counts per event type
+    * ([[TimeSeries.holtLinear]]) — the sequential recurrence as an
+    * in-codegen array fold; forecast + in-sample RMSE. */
+  private def q_holt_linear(s: SparkSession, d: String): DataFrame =
+    TimeSeries.holtLinear(Tables.events(s, d), "event_type", "ts")
+
+  /** §2b pinball-loss eval of the week-over-week seasonal-naive
+    * forecast at τ ∈ {0.1, 0.5, 0.9}
+    * ([[TimeSeries.pinballEval]]) — exact tenth-scaled integer
+    * losses. */
+  private def q_pinball(s: SparkSession, d: String): DataFrame =
+    TimeSeries.pinballEval(Tables.events(s, d), "event_type", "ts")
+
   /** §2b landmark BFS over the part↔supplier graph
     * ([[Graph.landmarkDistances]]): exact distances from the 4 smallest
     * node ids, depth ≤ 4 — reach, eccentricity-within-horizon and
@@ -4908,6 +4945,11 @@ object SparkEntry {
     "q_tukey_hsd" -> (q_tukey_hsd _),
     "q_smd_balance" -> (q_smd_balance _),
     "q_strat_ate" -> (q_strat_ate _),
+    "q_welch_anova" -> (q_welch_anova _),
+    "q_fisher_exact" -> (q_fisher_exact _),
+    "q_cohens_h" -> (q_cohens_h _),
+    "q_holt_linear" -> (q_holt_linear _),
+    "q_pinball" -> (q_pinball _),
     "q_perm_entropy" -> (q_perm_entropy _),
     "q_rouge_pair" -> (q_rouge_pair _),
     "q_rdd" -> (q_rdd _),
@@ -13818,6 +13860,200 @@ object SparkEntry {
                     AND (vt + vc) / 2.0 > 0 THEN
                   (mt - mc) / sqrt((vt + vc) / 2.0) END, 6) AS smd
          FROM alg""",
+    // Per-group exact cent moments; two ordered folds over the k-row
+    // grid (weights+weighted means, then the centered dispersion), the
+    // grand weighted mean broadcast between them; algebra mirrored
+    // term for term.
+    "q_welch_anova" ->
+      """WITH per AS (SELECT event_type AS g,
+                        CAST(count(*) AS BIGINT) AS n,
+                        SUM(CAST(CAST(value AS DECIMAL(20,2)) * 100
+                          AS HUGEINT)) AS sq,
+                        SUM(CAST(CAST(value AS DECIMAL(20,2)) * 100
+                              AS HUGEINT)
+                            * CAST(CAST(value AS DECIMAL(20,2)) * 100
+                              AS HUGEINT)) AS sqq
+                      FROM events WHERE value IS NOT NULL
+                      GROUP BY 1 HAVING count(*) > 1),
+              mv AS (SELECT g, n,
+                       CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                         AS m,
+                       CAST(n * sqq - sq * sq AS DOUBLE)
+                         / CAST(n * (n - 1) AS DOUBLE) / 10000.0 AS v
+                     FROM per),
+              w1 AS (SELECT g, n, m, v, CAST(n AS DOUBLE) / v AS w
+                     FROM mv WHERE v > 0),
+              c1 AS (SELECT *, sum(w) OVER ow AS cw,
+                       sum(w * m) OVER ow AS cwm
+                     FROM w1
+                     WINDOW ow AS (ORDER BY g ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW)),
+              t1 AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                       CAST(SUM(n) AS BIGINT) AS n_total,
+                       (SELECT cw FROM c1 ORDER BY g DESC LIMIT 1) AS tw,
+                       (SELECT cwm FROM c1 ORDER BY g DESC LIMIT 1)
+                         AS twm
+                     FROM c1),
+              c2 AS (SELECT c1.*, t1.k, t1.n_total, t1.tw,
+                       t1.twm / t1.tw AS mw
+                     FROM c1, t1),
+              c3 AS (SELECT *,
+                       sum(w * (m - mw) * (m - mw)) OVER ow AS cnum,
+                       sum(((1.0 - w / tw) * (1.0 - w / tw))
+                         / CAST(n - 1 AS DOUBLE)) OVER ow AS clam
+                     FROM c2
+                     WINDOW ow AS (ORDER BY g ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW)),
+              t2 AS (SELECT max(k) AS k_groups, max(n_total) AS n_total,
+                       (SELECT cnum FROM c3 ORDER BY g DESC LIMIT 1)
+                         AS a,
+                       (SELECT clam FROM c3 ORDER BY g DESC LIMIT 1)
+                         AS l
+                     FROM c3)
+         SELECT k_groups, n_total, k_groups - 1 AS df1,
+                round(CASE WHEN l > 0 THEN
+                  CAST(k_groups * k_groups - 1 AS DOUBLE) / (3.0 * l)
+                  END, 6) AS df2,
+                round(CASE WHEN k_groups > 1 AND l >= 0 THEN
+                  (a / CAST(k_groups - 1 AS DOUBLE))
+                    / (1.0 + 2.0 * CAST(k_groups - 2 AS DOUBLE)
+                      / CAST(k_groups * k_groups - 1 AS DOUBLE) * l)
+                  END, 6) AS welch_f
+         FROM t2""",
+    // Hypergeometric support rebuilt by generate_series; probabilities
+    // relative to the observed table via the exact rational ln-step
+    // recurrence, anchored, exp'd, and summed by ordered prefix.
+    "q_fisher_exact" ->
+      """WITH cm AS (SELECT
+                  CAST(sum(CASE WHEN lang = 'en' AND source = 'src0'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(sum(CASE WHEN lang = 'en' AND source <> 'src0'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                  CAST(sum(CASE WHEN lang <> 'en' AND source = 'src0'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN lang <> 'en' AND source <> 'src0'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d
+                FROM documents
+                WHERE lang IS NOT NULL AND source IS NOT NULL),
+              g AS (SELECT a, b, c, d, a + b + c + d AS n,
+                      a + b AS r1, a + c AS c1,
+                      greatest(0, (a + b) + (a + c) - (a + b + c + d))
+                        AS kmin,
+                      least(a + b, a + c) AS kmax
+                    FROM cm),
+              grid AS (SELECT g.*, u.k
+                       FROM g, UNNEST(generate_series(kmin, kmax))
+                         AS u(k)),
+              st AS (SELECT *, CASE WHEN k < kmax THEN
+                       ln(CAST((r1 - k) * (c1 - k) AS DOUBLE)
+                         / CAST((k + 1) * (n - r1 - c1 + k + 1)
+                           AS DOUBLE)) ELSE 0.0 END AS step
+                     FROM grid),
+              cu AS (SELECT *, COALESCE(sum(step) OVER (ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0.0) AS cum
+                     FROM st),
+              an AS (SELECT *, max(CASE WHEN k = a THEN cum END)
+                       OVER () AS anchor
+                     FROM cu),
+              ra AS (SELECT *, exp(cum - anchor) AS ratio FROM an),
+              f2 AS (SELECT *, sum(ratio) OVER ow AS ct,
+                       sum(CASE WHEN ratio <= 1.0 + 1e-7 THEN ratio
+                           ELSE 0.0 END) OVER ow AS ce,
+                       sum(CASE WHEN k >= a THEN ratio ELSE 0.0 END)
+                         OVER ow AS cr,
+                       sum(CASE WHEN k <= a THEN ratio ELSE 0.0 END)
+                         OVER ow AS cl
+                     FROM ra
+                     WINDOW ow AS (ORDER BY k ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT max(a) AS a, max(b) AS b, max(c) AS c, max(d) AS d,
+                round(CASE WHEN max(b) * max(c) > 0 THEN
+                  CAST(max(a) * max(d) AS DOUBLE)
+                    / CAST(max(b) * max(c) AS DOUBLE) END, 6)
+                  AS odds_ratio,
+                round(least(max(ce) / max(ct), 1.0), 6) AS p_two_sided,
+                round(least(max(cr) / max(ct), 1.0), 6) AS p_greater,
+                round(least(max(cl) / max(ct), 1.0), 6) AS p_less
+         FROM f2""",
+    // Exact integer counts into two single-rounding asin calls.
+    "q_cohens_h" ->
+      """WITH a AS (SELECT
+                  CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN source = 'src0' AND lang = 'en'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+                  CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+                  CAST(sum(CASE WHEN source <> 'src0' AND lang = 'en'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS k2
+                FROM documents
+                WHERE source IS NOT NULL AND lang IS NOT NULL)
+         SELECT n1, n2,
+                round(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+                round(CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS p2,
+                round(CASE WHEN n1 > 0 AND n2 > 0 THEN
+                  2.0 * asin(sqrt(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+                    - 2.0 * asin(sqrt(CAST(k2 AS DOUBLE)
+                      / CAST(n2 AS DOUBLE))) END, 6) AS cohens_h
+         FROM a""",
+    // The engine's in-codegen array fold replayed as a recursive CTE:
+    // identical seed (l = y2, b = y2 - y1), identical update order.
+    "q_holt_linear" ->
+      """WITH RECURSIVE daily AS (SELECT event_type AS g,
+                          date_trunc('day', ts) AS d,
+                          CAST(count(*) AS DOUBLE) AS y
+                        FROM events WHERE ts IS NOT NULL
+                        GROUP BY 1, 2),
+              s AS (SELECT g, y, row_number() OVER (PARTITION BY g
+                      ORDER BY d) AS rn
+                    FROM daily),
+              gn AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+                     FROM s GROUP BY 1),
+              init AS (SELECT a.g, b.y AS l, b.y - a.y AS b
+                       FROM s a JOIN s b
+                         ON b.g = a.g AND a.rn = 1 AND b.rn = 2),
+              st(g, rn, l, b, sse) AS (
+                SELECT g, CAST(2 AS BIGINT), l, b,
+                       CAST(0.0 AS DOUBLE) FROM init
+                UNION ALL
+                SELECT st.g, st.rn + 1,
+                       0.5 * s.y + 0.5 * (st.l + st.b),
+                       0.25 * ((0.5 * s.y + 0.5 * (st.l + st.b)) - st.l)
+                         + 0.75 * st.b,
+                       st.sse + (s.y - (st.l + st.b))
+                         * (s.y - (st.l + st.b))
+                FROM st JOIN s ON s.g = st.g AND s.rn = st.rn + 1),
+              fin AS (SELECT st.g, st.l, st.b, st.sse
+                      FROM st JOIN gn ON gn.g = st.g AND st.rn = gn.n)
+         SELECT gn.g AS event_type, gn.n AS n_days,
+                round(fin.l, 6) AS level, round(fin.b, 6) AS trend,
+                round(fin.l + fin.b, 6) AS forecast_next,
+                round(CASE WHEN gn.n > 2 THEN
+                  sqrt(fin.sse / CAST(gn.n - 2 AS DOUBLE)) END, 6)
+                  AS rmse
+         FROM gn LEFT JOIN fin ON fin.g = gn.g""",
+    // Calendar self-join on day-7, tenth-scaled integer losses, one
+    // exact division per (group, tau).
+    "q_pinball" ->
+      """WITH daily AS (SELECT event_type AS g, date_trunc('day', ts)
+                          AS d, CAST(count(*) AS BIGINT) AS y
+                        FROM events WHERE ts IS NOT NULL
+                        GROUP BY 1, 2),
+              j AS (SELECT c.g, c.y, p.y AS f
+                    FROM daily c JOIN daily p
+                      ON p.g = c.g AND c.d = p.d + INTERVAL 7 DAY),
+              t AS (SELECT g, y, f, unnest([1, 5, 9]) AS t10 FROM j),
+              l AS (SELECT g, t10,
+                      CASE WHEN y >= f THEN t10 * (y - f)
+                           ELSE (10 - t10) * (f - y) END AS loss10
+                    FROM t)
+         SELECT g AS event_type,
+                CAST(t10 AS DOUBLE) / 10.0 AS tau,
+                CAST(count(*) AS BIGINT) AS n_days,
+                round(CAST(SUM(loss10) AS DOUBLE)
+                  / CAST(10 * count(*) AS DOUBLE), 6) AS mean_pinball
+         FROM l GROUP BY 1, t10""",
     // Grid-assigned activity quartiles (integer cum*4/N), per-stratum
     // exact cent outcome means, overall ATE = ordered-prefix weighted
     // fold read at the last stratum.

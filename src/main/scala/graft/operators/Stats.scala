@@ -4477,6 +4477,174 @@ object Stats {
       .crossJoin(broadcast(tot))
   }
 
+  /** Welch's heteroscedastic one-way ANOVA (public: Welch, Biometrika
+    * '51) — the unequal-variance replacement for the classic F:
+    * each group is weighted by n_j/s_j² so a high-variance group cannot
+    * drown the others (the ANOVA-side analogue of [[welchTTest]] and
+    * [[brunnerMunzel]]'s escape from homoscedasticity). Emits W, df₁ =
+    * k−1 and the Welch–Satterthwaite df₂.
+    *
+    * Scale shape: one exact cent-quantized moment aggregate per group,
+    * then TWO ordered folds over the k-row grid (weights+weighted means
+    * first, the mean-centered dispersion second, the grand weighted
+    * mean broadcast between them) — cross-group float sums always
+    * accumulate in group order (the [[cochranC]] contract; the signed
+    * folds read back at the last prefix via struct-argmax). */
+  def welchAnova(df: DataFrame, groupCol: String, valCol: String,
+                 roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = (col(valCol).cast("decimal(20,2)") * 100).cast("decimal(38,0)")
+    val per = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"), sum(q).as("__sq"),
+        sum(q * q).as("__sqq"))
+      .filter(col("__n") > 1)
+    val mj = (col("__sq").cast("double") / col("__n").cast("double")) / 100.0
+    val vj = ((col("__n").cast("decimal(38,0)") * col("__sqq")
+      - col("__sq") * col("__sq")).cast("double") /
+      (col("__n") * (col("__n") - 1)).cast("double")) / 10000.0
+    val wj = col("__n").cast("double") / col("__v")
+    val wCum = Window.orderBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lastOf = (c: Column) =>
+      max(struct(col("__g").as("g"), c.as("c"))).getField("c")
+    val g1 = per.withColumn("__m", mj).withColumn("__v", vj)
+      .filter(col("__v") > 0)
+      .withColumn("__w", wj)
+      .withColumn("__cw", sum(col("__w")).over(wCum))
+      .withColumn("__cwm", sum(col("__w") * col("__m")).over(wCum))
+    val tot1 = g1.agg(count(lit(1)).as("k_groups"),
+      sum(col("__n")).as("n_total"),
+      lastOf(col("__cw")).as("__tw"), lastOf(col("__cwm")).as("__twm"))
+      .withColumn("__mw", col("__twm") / col("__tw"))
+    val g2 = g1.crossJoin(broadcast(tot1))
+      .withColumn("__num",
+        col("__w") * (col("__m") - col("__mw"))
+          * (col("__m") - col("__mw")))
+      .withColumn("__lam", ((lit(1.0) - col("__w") / col("__tw"))
+        * (lit(1.0) - col("__w") / col("__tw")))
+        / (col("__n") - 1).cast("double"))
+      .withColumn("__cnum", sum(col("__num")).over(wCum))
+      .withColumn("__clam", sum(col("__lam")).over(wCum))
+    g2.agg(max(col("k_groups")).as("k_groups"),
+        max(col("n_total")).as("n_total"),
+        lastOf(col("__cnum")).as("__A"), lastOf(col("__clam")).as("__L"))
+      .select(col("k_groups"), col("n_total"),
+        (col("k_groups") - 1).as("df1"),
+        round(when(col("__L") > 0,
+          (col("k_groups") * col("k_groups") - 1).cast("double")
+            / (lit(3.0) * col("__L"))), roundScale).as("df2"),
+        round(when(col("k_groups") > 1 && col("__L") >= 0,
+          (col("__A") / (col("k_groups") - 1).cast("double"))
+            / (lit(1.0) + lit(2.0) * (col("k_groups") - 2).cast("double")
+              / (col("k_groups") * col("k_groups") - 1).cast("double")
+              * col("__L"))), roundScale).as("welch_f"))
+  }
+
+  /** Fisher's exact test on a 2×2 contingency (public: Fisher '35) —
+    * the hypergeometric-exact independence p-value where chi-square's
+    * approximation is off (small or skewed cells), emitted two-sided
+    * and one-sided with the odds ratio. Two-sided rule: sum every table
+    * whose probability ≤ the observed one (the standard "method of
+    * small p-values", with the customary 1+1e-7 tolerance).
+    *
+    * Scale shape: the data collapses to ONE count row; the
+    * hypergeometric support [k_min, k_max] is rebuilt by
+    * sequence+explode and every probability is expressed RELATIVE to
+    * the observed table via the exact rational recurrence
+    * p(k+1)/p(k) = (r₁−k)(c₁−k)/((k+1)(n−r₁−c₁+k+1)) — ln-steps folded
+    * by ordered prefix, the anchor subtracted, exp'd back, and the
+    * ratio sums again folded in k order (max prefix = total for the
+    * nonnegative ratios). No factorial, no lgamma, no overflow — the
+    * largest intermediate is n². */
+  def fisherExact(df: DataFrame, aCol: String, bCol: String,
+                  roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ta = col(aCol).cast("boolean")
+    val tb = col(bCol).cast("boolean")
+    val cm = df.filter(ta.isNotNull && tb.isNotNull)
+      .agg(sum(when(ta && tb, 1L).otherwise(0L)).as("a"),
+        sum(when(ta && !tb, 1L).otherwise(0L)).as("b"),
+        sum(when(!ta && tb, 1L).otherwise(0L)).as("c"),
+        sum(when(!ta && !tb, 1L).otherwise(0L)).as("d"))
+      .withColumn("__n", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("__r1", col("a") + col("b"))
+      .withColumn("__c1", col("a") + col("c"))
+      .withColumn("__kmin", greatest(lit(0L),
+        col("__r1") + col("__c1") - col("__n")))
+      .withColumn("__kmax", least(col("__r1"), col("__c1")))
+    val grid = cm.select(col("a"), col("b"), col("c"), col("d"),
+      col("__n"), col("__r1"), col("__c1"), col("__kmax"),
+      explode(sequence(col("__kmin"), col("__kmax"))).as("__k"))
+    // ln of the exact rational step k -> k+1 (products <= n^2, exact)
+    val step = log(((col("__r1") - col("__k"))
+      * (col("__c1") - col("__k"))).cast("double")
+      / ((col("__k") + 1)
+        * (col("__n") - col("__r1") - col("__c1") + col("__k") + 1))
+        .cast("double"))
+    val wPrev = Window.orderBy(col("__k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("__k"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val withRatio = grid
+      .withColumn("__step", when(col("__k") < col("__kmax"), step)
+        .otherwise(lit(0.0)))
+      .withColumn("__cum", coalesce(sum(col("__step")).over(wPrev),
+        lit(0.0)))
+      .withColumn("__anchor",
+        max(when(col("__k") === col("a"), col("__cum"))).over(wAll))
+      .withColumn("__ratio", exp(col("__cum") - col("__anchor")))
+    val folded = withRatio
+      .withColumn("__ct", sum(col("__ratio")).over(wCum))
+      .withColumn("__ce", sum(when(col("__ratio") <= 1.0 + 1e-7,
+        col("__ratio")).otherwise(lit(0.0))).over(wCum))
+      .withColumn("__cr", sum(when(col("__k") >= col("a"),
+        col("__ratio")).otherwise(lit(0.0))).over(wCum))
+      .withColumn("__cl", sum(when(col("__k") <= col("a"),
+        col("__ratio")).otherwise(lit(0.0))).over(wCum))
+    folded.agg(max(col("a")).as("a"), max(col("b")).as("b"),
+        max(col("c")).as("c"), max(col("d")).as("d"),
+        max(col("__ct")).as("__t"), max(col("__ce")).as("__e"),
+        max(col("__cr")).as("__r"), max(col("__cl")).as("__l"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        round(when(col("b") * col("c") > 0,
+          (col("a") * col("d")).cast("double")
+            / (col("b") * col("c")).cast("double")), roundScale)
+          .as("odds_ratio"),
+        round(least(col("__e") / col("__t"), lit(1.0)), roundScale)
+          .as("p_two_sided"),
+        round(least(col("__r") / col("__t"), lit(1.0)), roundScale)
+          .as("p_greater"),
+        round(least(col("__l") / col("__t"), lit(1.0)), roundScale)
+          .as("p_less"))
+  }
+
+  /** Cohen's h (public: Cohen '88) — the arcsine-stabilized effect size
+    * for two proportions, h = 2·asin√p₁ − 2·asin√p₂: unlike the raw
+    * difference, equal h means equal detectability at any baseline (the
+    * power-analysis currency for "is this rate shift big"). One
+    * aggregate; exact integer counts into two single-rounding asin
+    * calls. */
+  def cohensH(df: DataFrame, condCol: String, flagCol: String,
+              roundScale: Int = 6): DataFrame = {
+    val cond = col(condCol).cast("boolean")
+    val flag = col(flagCol).cast("boolean")
+    val agg = df.filter(cond.isNotNull && flag.isNotNull)
+      .agg(sum(when(cond, 1L).otherwise(0L)).as("n1"),
+        sum(when(cond && flag, 1L).otherwise(0L)).as("__k1"),
+        sum(when(!cond, 1L).otherwise(0L)).as("n2"),
+        sum(when(!cond && flag, 1L).otherwise(0L)).as("__k2"))
+    val p1 = col("__k1").cast("double") / col("n1").cast("double")
+    val p2 = col("__k2").cast("double") / col("n2").cast("double")
+    agg.select(col("n1"), col("n2"),
+      round(p1, roundScale).as("p1"), round(p2, roundScale).as("p2"),
+      round(when(col("n1") > 0 && col("n2") > 0,
+        lit(2.0) * asin(sqrt(p1)) - lit(2.0) * asin(sqrt(p2))),
+        roundScale).as("cohens_h"))
+  }
+
   /** Quade test (public: Quade, JASA '79) — the block-weighted upgrade
     * of [[friedmanTest]]: blocks with a LARGER within-block range carry
     * more evidence about treatment differences, so each block's ranks

@@ -873,6 +873,110 @@ object TimeSeries {
     * ordered-prefix contract; the arg-max ties break to the EARLIEST
     * day. Gap days are absent rows, not zeros (the pre-densify
     * adfDaily convention, documented). */
+  /** Holt's linear (double-exponential) smoothing over each group's
+    * daily count series (public: Holt '57 / Winters '60, the
+    * trend-aware upgrade of the EWMA): level and trend update as
+    * ℓ' = α·y + (1−α)(ℓ+b), b' = β(ℓ'−ℓ) + (1−β)b, seeded with
+    * ℓ = y₁, b = y₂−y₁. Emits the final state, the one-step-ahead
+    * forecast ℓ+b and the in-sample RMSE of the one-step forecasts —
+    * the capacity-planning readout beside [[pageHinkleyDaily]]'s alarm.
+    *
+    * Scale shape: the inherently SEQUENTIAL recursion never becomes a
+    * driver loop — each group's day series collects into one ordered
+    * array (bounded by the calendar span) and `functions.aggregate`
+    * folds the state through it inside codegen; one hash aggregate,
+    * one map-side fold, no shuffle beyond the grouping. The fold's
+    * float ops replay identically in the oracle's recursive CTE (same
+    * order, correctly-rounded ops), the ks/ewma ordered-fold contract
+    * extended to a recurrence. */
+  def holtLinear(events: DataFrame, keyCol: String, tsCol: String,
+                 alpha: Double = 0.5, beta: Double = 0.25,
+                 roundScale: Int = 6): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(beta > 0 && beta < 1, s"beta must be in (0,1): $beta")
+    val series = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("__g"),
+        date_trunc("day", col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__y"))
+      .groupBy(col("__g"))
+      .agg(array_sort(collect_list(struct(col("__day").as("d"),
+        col("__y").cast("double").as("y")))).as("__s"))
+      .withColumn("__n", size(col("__s")))
+    // seed consumes the first two points: l = y2, b = y2 - y1 (one of
+    // the standard Holt initializations; pinned by the oracle mirror)
+    val init = struct(
+      element_at(col("__s"), 2).getField("y").as("l"),
+      (element_at(col("__s"), 2).getField("y")
+        - element_at(col("__s"), 1).getField("y")).as("b"),
+      lit(0.0).as("sse"))
+    val folded = aggregate(
+      slice(col("__s"), lit(3), greatest(col("__n") - 2, lit(0))),
+      init,
+      (acc, x) => {
+        val f = acc.getField("l") + acc.getField("b")
+        val e = x.getField("y") - f
+        val l2 = lit(alpha) * x.getField("y") + lit(1.0 - alpha) * f
+        struct(
+          l2.as("l"),
+          (lit(beta) * (l2 - acc.getField("l"))
+            + lit(1.0 - beta) * acc.getField("b")).as("b"),
+          (acc.getField("sse") + e * e).as("sse"))
+      })
+    series
+      .withColumn("__f", when(col("__n") >= 2, folded))
+      .select(col("__g").as(keyCol), col("__n").cast("long").as("n_days"),
+        round(col("__f").getField("l"), roundScale).as("level"),
+        round(col("__f").getField("b"), roundScale).as("trend"),
+        round(col("__f").getField("l") + col("__f").getField("b"),
+          roundScale).as("forecast_next"),
+        round(when(col("__n") > 2,
+          sqrt(col("__f").getField("sse") / (col("__n") - 2)
+            .cast("double"))), roundScale).as("rmse"))
+  }
+
+  /** Pinball (quantile) loss of the week-over-week seasonal-naive
+    * forecast (public: the quantile-regression loss, Koenker & Bassett
+    * '78; the M5/forecast-eval standard): forecast each day's count by
+    * the SAME WEEKDAY one week earlier, scored at τ ∈ {0.1, 0.5, 0.9} —
+    * under-forecasting hurts τ·(y−f), over-forecasting (1−τ)(f−y), so
+    * the three rows read as the cost profile of planning low, median
+    * and high.
+    *
+    * Scale shape: one (group, day) count aggregate, one calendar
+    * self-join on day−7 (equi-join, no window), a 3-row τ explode, one
+    * final aggregate. EXACT arithmetic throughout: τ is carried in
+    * tenths so every per-day loss is the integer (10τ)·|y−f| or
+    * (10−10τ)·|f−y| — the mean divides the exact integer sum by 10·n
+    * once. */
+  def pinballEval(events: DataFrame, keyCol: String, tsCol: String,
+                  roundScale: Int = 6): DataFrame = {
+    val daily = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("__g"),
+        date_trunc("day", col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__y"))
+    val joined = daily.as("cur")
+      .join(daily.as("prev"),
+        col("cur.__g") === col("prev.__g") &&
+          col("cur.__day") === col("prev.__day") + expr("INTERVAL 7 DAYS"))
+      .select(col("cur.__g").as("__g"), col("cur.__y").as("__y"),
+        col("prev.__y").as("__f"))
+    val tau = explode(array(lit(1L), lit(5L), lit(9L)))
+    joined.select(col("__g"), col("__y"), col("__f"), tau.as("__t10"))
+      .withColumn("__loss10", when(col("__y") >= col("__f"),
+        col("__t10") * (col("__y") - col("__f")))
+        .otherwise((lit(10L) - col("__t10"))
+          * (col("__f") - col("__y"))))
+      .groupBy(col("__g").as(keyCol), col("__t10"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__loss10")).as("__s"))
+      .select(col(keyCol), (col("__t10").cast("double") / 10.0).as("tau"),
+        col("n_days"),
+        round(col("__s").cast("double")
+          / (lit(10L) * col("n_days")).cast("double"), roundScale)
+          .as("mean_pinball"))
+  }
+
   def pageHinkleyDaily(events: DataFrame, keyCol: String, tsCol: String,
                        roundScale: Int = 6): DataFrame = {
     val daily = events

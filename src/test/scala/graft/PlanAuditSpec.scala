@@ -150,8 +150,11 @@ class PlanAuditSpec extends SparkSuite {
   //    over the [min(day), max(day)] 1-row span (zero-filled calendar —
   //    its cardinality is the date range, bounded by the calendar not by
   //    any aggregate the proof can certify post-explode).
+  //  * q_fisher_exact: the hypergeometric support [k_min, k_max] is the
+  //    same sequence()+explode of a 1-row count aggregate — bounded by
+  //    min(r1, c1), invisible to the proof post-explode.
   private val allowUnpartitionedWindow: Set[String] = Set(
-    "q_seasonal_naive")
+    "q_seasonal_naive", "q_fisher_exact")
 
   test("column pruning reaches every wide-table parquet scan") {
     val offenders = audits.collect {

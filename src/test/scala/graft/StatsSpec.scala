@@ -1823,6 +1823,54 @@ class StatsSpec extends SparkSuite {
     assert(rows(1).getDouble(9) === 2.0, "overall ate")
   }
 
+  test("welchAnova: hand-computed heteroscedastic F and Satterthwaite df") {
+    // A={1,3} (m2 v2, w1), B={5,9} (m7 v8, w.25): W=1.25, mw=3,
+    // A=5, L=0.68 -> F=5 (k=2 kills the denominator), df2=1/0.68
+    val df = Seq(("A", 1.0), ("A", 3.0), ("B", 5.0), ("B", 9.0))
+      .toDF("g", "v")
+    val r = Stats.welchAnova(df, "g", "v").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 4L)
+    assert(r.getLong(2) === 1L, "df1")
+    val df2 = BigDecimal(3.0 / (3.0 * 0.68))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) === df2)
+    assert(r.getDouble(4) === 5.0)
+  }
+
+  test("fisherExact: closed-form hypergeometric 4/4 margins") {
+    // a=3 b=1 c=1 d=3: support C(8,4)=70 -> p = (1,16,36,16,1)/70
+    // two-sided = 34/70, greater = 17/70, less = 69/70, OR = 9
+    val rows = Seq.fill(3)((true, true)) ++ Seq((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(3)((false, false))
+    val df = rows.toDF("x", "y")
+    val r = Stats.fisherExact(df, "x", "y").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 1L, 1L, 3L)))
+    assert(r.getDouble(4) === 9.0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) === r6(34.0 / 70))
+    assert(r.getDouble(6) === r6(17.0 / 70))
+    assert(r.getDouble(7) === r6(69.0 / 70))
+  }
+
+  test("cohensH: exact arcsine effect size at p=1/4 vs 3/4") {
+    // h = 2asin(.5) - 2asin(sqrt(.75)) = pi/3 - 2pi/3 = -pi/3
+    val rows = Seq((true, true), (true, false), (true, false),
+      (true, false), (false, true), (false, true), (false, true),
+      (false, false))
+    val df = rows.toDF("cond", "flag")
+    val r = Stats.cohensH(df, "cond", "flag").collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 0.25 && r.getDouble(3) === 0.75)
+    // mirror the engine's op sequence (asin ulps shift -pi/3 past 6dp)
+    val h = BigDecimal(2.0 * math.asin(math.sqrt(0.25))
+      - 2.0 * math.asin(math.sqrt(0.75)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) === h)
+    assert(math.abs(r.getDouble(4) - (-math.Pi / 3)) < 1e-6)
+  }
+
   test("quadeTest: hand-computed range-weighted statistic") {
     // b=3 blocks, k=3; ranges 2,4,2 -> Q = 1.5, 3, 1.5
     // S_j = (-4.5, -1.5, 6); A=27, B=19.5, T = 2*19.5/7.5 = 5.2

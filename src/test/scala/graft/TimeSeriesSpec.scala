@@ -434,6 +434,41 @@ class TimeSeriesSpec extends SparkSuite {
     assert(out("z").getDouble(3) === h)
   }
 
+  test("holtLinear: perfect trend locks level/trend, zero RMSE") {
+    import org.apache.spark.sql.functions._
+    val day = 86400000000L
+    // daily counts 1,2,3,4: seed l=2 b=1; every forecast exact ->
+    // level 4, trend 1, forecast 5, rmse 0
+    val rows = (0 to 3).flatMap(d => Seq.fill(d + 1)(("a", d.toLong * day)))
+    val df = rows.toDF("g", "us")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val r = TimeSeries.holtLinear(df, "g", "ts").collect().head
+    assert(r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 4.0 && r.getDouble(3) === 1.0)
+    assert(r.getDouble(4) === 5.0)
+    assert(r.getDouble(5) === 0.0)
+    // single-day group: no seed -> null state, no crash
+    val one = Seq(("b", 0L)).toDF("g", "us")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val s = TimeSeries.holtLinear(one, "g", "ts").collect().head
+    assert(s.getLong(1) === 1L && s.isNullAt(2) && s.isNullAt(5))
+  }
+
+  test("pinballEval: exact tenth-scaled losses, symmetric under/over") {
+    import org.apache.spark.sql.functions._
+    val day = 86400000000L
+    // day0 count 2 -> day7 count 5 (under by 3); day1 count 5 ->
+    // day8 count 2 (over by 3): tau .1 mean (3*1+3*9)/20 = 1.5, etc.
+    val rows = Seq.fill(2)(("a", 0L)) ++ Seq.fill(5)(("a", 7L * day)) ++
+      Seq.fill(5)(("a", 1L * day)) ++ Seq.fill(2)(("a", 8L * day))
+    val df = rows.toDF("g", "us")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val out = TimeSeries.pinballEval(df, "g", "ts").collect()
+      .map(r => r.getDouble(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out === Map(0.1 -> ((2L, 1.5)), 0.5 -> ((2L, 1.5)),
+      0.9 -> ((2L, 1.5))))
+  }
+
   test("pageHinkleyDaily: ramp excursion and alarm day, flat series reads 0") {
     import org.apache.spark.sql.functions._
     val day = 86400000000L
