@@ -4473,6 +4473,49 @@ object SparkEntry {
   private def q_pinball(s: SparkSession, d: String): DataFrame =
     TimeSeries.pinballEval(Tables.events(s, d), "event_type", "ts")
 
+  /** §2b TOST equivalence bounds: click vs view value within ±2.0
+    * ([[Stats.tostEquivalence]]) — "are the arms the same", which a
+    * failed difference test cannot conclude. */
+  private def q_tost(s: SparkSession, d: String): DataFrame =
+    Stats.tostEquivalence(Tables.events(s, d), "event_type", "value",
+      armA = "click", armB = "view", delta = 2.0)
+
+  /** §2b Bland–Altman agreement: per-user first-half vs second-half
+    * activity counts ([[Agreement.blandAltman]]) — bias ± 1.96σ limits
+    * with the share outside; the method-comparison readout beside
+    * q_sign_test's direction-only verdict (same midpoint split). */
+  private def q_bland_altman(s: SparkSession, d: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+    val spans = ev.groupBy(col("user_id"))
+      .agg(min(us).as("__lo"), max(us).as("__hi"))
+    val units = ev.select(col("user_id"), us.as("__us"))
+      .join(spans.hint("shuffle_hash"), Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("__us") * 2 <= col("__lo") + col("__hi"), 1L)
+        .otherwise(0L)).as("m1"),
+        sum(when(col("__us") * 2 > col("__lo") + col("__hi"), 1L)
+          .otherwise(0L)).as("m2"))
+    Agreement.blandAltman(units, "m1", "m2")
+  }
+
+  /** §2b Borda rank aggregation: each language "votes" a ranking of the
+    * sources by doc count ([[Agreement.bordaCount]]) — the consensus
+    * order beside q_kendall_w's agreement coefficient. */
+  private def q_borda(s: SparkSession, d: String): DataFrame =
+    Agreement.bordaCount(
+      Tables.documents(s, d)
+        .filter(col("lang").isNotNull && col("source").isNotNull)
+        .groupBy(col("lang").as("voter"), col("source"))
+        .agg(count(lit(1)).as("score")),
+      "voter", "source", "score")
+
+  /** §2b Hampel robust outlier filter over daily counts per event type
+    * ([[TimeSeries.hampelFilter]]) — rolling median/MAD flags with
+    * dyadic-exact medians; every interior day emitted with its flag. */
+  private def q_hampel(s: SparkSession, d: String): DataFrame =
+    TimeSeries.hampelFilter(Tables.events(s, d), "event_type", "ts")
+
   /** §2b landmark BFS over the part↔supplier graph
     * ([[Graph.landmarkDistances]]): exact distances from the 4 smallest
     * node ids, depth ≤ 4 — reach, eccentricity-within-horizon and
@@ -4948,6 +4991,10 @@ object SparkEntry {
     "q_welch_anova" -> (q_welch_anova _),
     "q_fisher_exact" -> (q_fisher_exact _),
     "q_cohens_h" -> (q_cohens_h _),
+    "q_tost" -> (q_tost _),
+    "q_bland_altman" -> (q_bland_altman _),
+    "q_borda" -> (q_borda _),
+    "q_hampel" -> (q_hampel _),
     "q_holt_linear" -> (q_holt_linear _),
     "q_pinball" -> (q_pinball _),
     "q_perm_entropy" -> (q_perm_entropy _),
@@ -14054,6 +14101,146 @@ object SparkEntry {
                 round(CAST(SUM(loss10) AS DOUBLE)
                   / CAST(10 * count(*) AS DOUBLE), 6) AS mean_pinball
          FROM l GROUP BY 1, t10""",
+    // Welch moments per arm from exact cent integers; TOST shifts the
+    // numerator by +/-delta, algebra mirrored term for term.
+    "q_tost" ->
+      """WITH m AS (SELECT
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_a,
+                  SUM(CASE WHEN event_type = 'click' THEN c END) AS sa,
+                  SUM(CASE WHEN event_type = 'click' THEN c * c END)
+                    AS ssa,
+                  CAST(sum(CASE WHEN event_type = 'view' THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_b,
+                  SUM(CASE WHEN event_type = 'view' THEN c END) AS sb,
+                  SUM(CASE WHEN event_type = 'view' THEN c * c END)
+                    AS ssb
+                FROM (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(20,2)) * 100
+                          AS HUGEINT) AS c
+                      FROM events
+                      WHERE value IS NOT NULL
+                        AND event_type IN ('click', 'view'))),
+              alg AS (SELECT n_a, n_b,
+                        CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0
+                          - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)
+                            / 100.0 AS d,
+                        (CAST(n_a * ssa - sa * sa AS DOUBLE)
+                          / CAST(n_a * (n_a - 1) AS DOUBLE) / 10000.0)
+                          / CAST(n_a AS DOUBLE) AS ra,
+                        (CAST(n_b * ssb - sb * sb AS DOUBLE)
+                          / CAST(n_b * (n_b - 1) AS DOUBLE) / 10000.0)
+                          / CAST(n_b AS DOUBLE) AS rb
+                      FROM m),
+              fin AS (SELECT *, sqrt(ra + rb) AS se,
+                        (ra + rb) * (ra + rb)
+                          / (ra * ra / CAST(n_a - 1 AS DOUBLE)
+                            + rb * rb / CAST(n_b - 1 AS DOUBLE)) AS dfw
+                      FROM alg)
+         SELECT n_a, n_b, round(d, 6) AS mean_diff, 2.0 AS delta,
+                round(se, 6) AS se,
+                round(CASE WHEN se > 0 THEN dfw END, 6) AS df_welch,
+                round(CASE WHEN se > 0 THEN (d + 2.0) / se END, 6)
+                  AS t_lower,
+                round(CASE WHEN se > 0 THEN (d - 2.0) / se END, 6)
+                  AS t_upper
+         FROM fin""",
+    // q_sign_test's midpoint half-split as the two measurements; exact
+    // integer difference moments, limits broadcast, outside recount.
+    "q_bland_altman" ->
+      """WITH sp AS (SELECT user_id AS u,
+                            min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1),
+              h AS (SELECT e.user_id AS u,
+                      CAST(SUM(CASE WHEN epoch_us(e.ts) * 2 <= sp.lo + sp.hi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+                      CAST(SUM(CASE WHEN epoch_us(e.ts) * 2 > sp.lo + sp.hi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS m2
+                    FROM events e JOIN sp ON sp.u = e.user_id
+                    WHERE e.ts IS NOT NULL
+                    GROUP BY 1),
+              dd AS (SELECT CAST(m1 AS HUGEINT) - m2 AS d FROM h),
+              mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        SUM(d) AS s, SUM(d * d) AS ss
+                      FROM dd),
+              lim AS (SELECT n,
+                        CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                        sqrt(CAST(n * ss - s * s AS DOUBLE)
+                          / CAST(n * (n - 1) AS DOUBLE)) AS sd
+                      FROM mom),
+              lim2 AS (SELECT n, m, sd, m - 1.96 * sd AS lo,
+                         m + 1.96 * sd AS hi
+                       FROM lim)
+         SELECT max(l.n) AS n, round(max(l.m), 6) AS bias,
+                round(max(l.sd), 6) AS sd_diff,
+                round(max(l.lo), 6) AS loa_lower,
+                round(max(l.hi), 6) AS loa_upper,
+                CAST(sum(CASE WHEN CAST(dd.d AS DOUBLE) < l.lo
+                  OR CAST(dd.d AS DOUBLE) > l.hi THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_outside,
+                round(CAST(sum(CASE WHEN CAST(dd.d AS DOUBLE) < l.lo
+                  OR CAST(dd.d AS DOUBLE) > l.hi THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(max(l.n) AS DOUBLE), 6)
+                  AS pct_outside
+         FROM dd, lim2 l""",
+    // Midrank Borda points over the voter x candidate grid; dyadic
+    // point sums, final rank tie-broken by candidate.
+    "q_borda" ->
+      """WITH b AS (SELECT lang AS voter, source AS cand,
+                           CAST(count(*) AS BIGINT) AS score
+                    FROM documents
+                    WHERE lang IS NOT NULL AND source IS NOT NULL
+                    GROUP BY 1, 2),
+              r AS (SELECT voter, cand,
+                      rank() OVER (PARTITION BY voter
+                        ORDER BY score DESC) AS minr,
+                      count(*) OVER (PARTITION BY voter, score) AS ties,
+                      count(*) OVER (PARTITION BY voter) AS k
+                    FROM b),
+              p AS (SELECT cand, CAST(count(*) AS BIGINT) AS n_ballots,
+                      round(SUM(CAST(k AS DOUBLE)
+                        - (CAST(minr AS DOUBLE)
+                          + CAST(ties - 1 AS DOUBLE) / 2.0)), 6)
+                        AS borda_points
+                    FROM r GROUP BY 1)
+         SELECT cand AS source, n_ballots, borda_points,
+                CAST(rank() OVER (ORDER BY borda_points DESC, cand)
+                  AS INTEGER) AS borda_rank
+         FROM p""",
+    // 7-row sliding list windows, sorted element picks (dyadic medians
+    // of ints), flag constant folded identically.
+    "q_hampel" ->
+      """WITH daily AS (SELECT event_type AS g, date_trunc('day', ts)
+                          AS d, CAST(count(*) AS BIGINT) AS y
+                        FROM events WHERE ts IS NOT NULL
+                        GROUP BY 1, 2),
+              wn AS (SELECT g, d, y,
+                       list_sort(list(y) OVER (PARTITION BY g ORDER BY d
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+                         AS win
+                     FROM daily),
+              f AS (SELECT * FROM wn WHERE len(win) = 7),
+              m AS (SELECT *,
+                      (CAST(win[(len(win) + 1) // 2] AS DOUBLE)
+                        + CAST(win[len(win) // 2 + 1] AS DOUBLE)) / 2.0
+                        AS med
+                    FROM f),
+              m2 AS (SELECT *, list_sort(list_transform(win,
+                       v -> abs(CAST(v AS DOUBLE) - med))) AS dv
+                     FROM m),
+              m3 AS (SELECT *,
+                       (dv[(len(dv) + 1) // 2]
+                         + dv[len(dv) // 2 + 1]) / 2.0 AS mad
+                     FROM m2)
+         SELECT g AS event_type, d AS day, y AS n_events,
+                round(med, 6) AS local_median,
+                round(mad, 6) AS local_mad,
+                round(CASE WHEN mad > 0 THEN
+                  abs(CAST(y AS DOUBLE) - med) / (1.4826 * mad) END, 6)
+                  AS robust_z,
+                abs(CAST(y AS DOUBLE) - med) > 3.0 * 1.4826 * mad
+                  AS is_outlier
+         FROM m3""",
     // Grid-assigned activity quartiles (integer cum*4/N), per-stratum
     // exact cent outcome means, overall ATE = ordered-prefix weighted
     // fold read at the last stratum.

@@ -499,4 +499,81 @@ object Agreement {
         (lit(2.0) * cov / den) / (cov / sqrt(vx * vy))), roundScale)
         .as("c_b"))
   }
+
+  /** Bland–Altman limits of agreement (public: Bland & Altman, Lancet
+    * '86 — THE method-comparison statistic): for paired measurements of
+    * the same unit, the bias (mean difference), the limits
+    * bias ± 1.96·sd, and the share of units falling outside them —
+    * "can method B replace method A", which correlation famously cannot
+    * answer (two methods can correlate at 0.99 and still disagree by a
+    * constant). Input is a unit frame with two INTEGER-valued
+    * measurement columns (counts, cents — the caller quantizes), so
+    * every moment is an exact integer fold.
+    *
+    * Scale shape: one exact moment aggregate over the differences, the
+    * 1-row limits broadcast back, one outside-count aggregate — two
+    * passes, no window, no sort. */
+  def blandAltman(units: DataFrame, m1Col: String, m2Col: String,
+                  roundScale: Int = 6): DataFrame = {
+    val d = (col(m1Col).cast("decimal(38,0)")
+      - col(m2Col).cast("decimal(38,0)"))
+    val base = units
+      .filter(col(m1Col).isNotNull && col(m2Col).isNotNull)
+      .select(d.as("__d"))
+    val mom = base.agg(count(lit(1)).as("n"), sum(col("__d")).as("__s"),
+      sum(col("__d") * col("__d")).as("__ss"))
+    val nD = col("n").cast("double")
+    val meanD = col("__s").cast("double") / nD
+    val sdD = sqrt((col("n").cast("decimal(38,0)") * col("__ss")
+      - col("__s") * col("__s")).cast("double") /
+      (col("n") * (col("n") - 1)).cast("double"))
+    val lim = mom.select(col("n"), meanD.as("__m"), sdD.as("__sd"),
+      (meanD - lit(1.96) * sdD).as("__lo"),
+      (meanD + lit(1.96) * sdD).as("__hi"))
+    base.crossJoin(broadcast(lim))
+      .agg(max(col("n")).as("n"),
+        round(max(col("__m")), roundScale).as("bias"),
+        round(max(col("__sd")), roundScale).as("sd_diff"),
+        round(max(col("__lo")), roundScale).as("loa_lower"),
+        round(max(col("__hi")), roundScale).as("loa_upper"),
+        sum(when(col("__d").cast("double") < col("__lo")
+          || col("__d").cast("double") > col("__hi"), 1L).otherwise(0L))
+          .as("n_outside"))
+      .withColumn("pct_outside", round(col("n_outside").cast("double")
+        / col("n").cast("double"), roundScale))
+  }
+
+  /** Borda-count rank aggregation (public: Borda 1781; the baseline
+    * every rank-fusion paper compares against): each voter ranks the
+    * candidates, a candidate earns (k − rank) points per ballot
+    * (midrank on ties, so tied candidates split the points), and the
+    * consensus is the point order. The multi-judge consensus beside
+    * [[kendallW]]'s agreement COEFFICIENT — W says "do the voters
+    * agree", Borda says "on what".
+    *
+    * Input is a (voter, candidate, score) frame — higher score = better.
+    * Scale shape: rank-within-voter over the bounded voter×candidate
+    * grid (the kendallW window contract), one candidate aggregate,
+    * one final rank over the ≤k-row result. Midranks are dyadic, sums
+    * exact. */
+  def bordaCount(ballots: DataFrame, voterCol: String, candCol: String,
+                 scoreCol: String, roundScale: Int = 6): DataFrame = {
+    val wv = Window.partitionBy(col(voterCol)).orderBy(col(scoreCol).desc)
+    val ranked = ballots
+      .filter(col(scoreCol).isNotNull)
+      .withColumn("__minr", rank().over(wv))
+      .withColumn("__ties", count(lit(1)).over(
+        Window.partitionBy(col(voterCol), col(scoreCol))))
+      .withColumn("__k", count(lit(1)).over(
+        Window.partitionBy(col(voterCol))))
+      // midrank -> points = k - midrank (tied candidates split points)
+      .withColumn("__pts", col("__k").cast("double")
+        - (col("__minr").cast("double")
+          + (col("__ties") - 1).cast("double") / 2.0))
+    ranked.groupBy(col(candCol))
+      .agg(count(lit(1)).as("n_ballots"),
+        round(sum(col("__pts")), roundScale).as("borda_points"))
+      .withColumn("borda_rank", rank().over(
+        Window.orderBy(col("borda_points").desc, col(candCol))))
+  }
 }

@@ -4621,6 +4621,54 @@ object Stats {
           .as("p_less"))
   }
 
+  /** TOST equivalence bounds (public: Schuirmann '87, the two
+    * one-sided-tests procedure every bioequivalence / A-B "no harm"
+    * analysis runs): unlike a failed difference test — which proves
+    * nothing — TOST actively tests |μ_a − μ_b| < δ by requiring BOTH
+    * t₁ = (d̄ + δ)/se > t_crit and t₂ = (d̄ − δ)/se < −t_crit. Emits the
+    * Welch-based t statistics, se and Welch–Satterthwaite df (the
+    * critical value is a t-table lookup downstream, the [[tukeyHsd]]
+    * convention), plus the plain mean difference.
+    *
+    * Scale shape: one exact cent-quantized moment aggregate per arm
+    * (single hash agg with conditional sums), pure scalar algebra
+    * after — the welchTTest shape with the shifted numerators. */
+  def tostEquivalence(df: DataFrame, classCol: String, valCol: String,
+                      armA: String, armB: String, delta: Double,
+                      roundScale: Int = 6): DataFrame = {
+    require(delta > 0, s"equivalence bound delta must be positive: $delta")
+    val q = (col(valCol).cast("decimal(20,2)") * 100).cast("decimal(38,0)")
+    val isA = col(classCol) === armA
+    val isB = col(classCol) === armB
+    val mom = df.filter(col(valCol).isNotNull && (isA || isB))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(isA, q)).as("__sa"), sum(when(isA, q * q)).as("__ssa"),
+        sum(when(isB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(isB, q)).as("__sb"), sum(when(isB, q * q)).as("__ssb"))
+    def mean(s: String, n: String) =
+      (col(s).cast("double") / col(n).cast("double")) / 100.0
+    def variance(s: String, ss: String, n: String) =
+      ((col(n).cast("decimal(38,0)") * col(ss) - col(s) * col(s))
+        .cast("double") /
+        (col(n) * (col(n) - 1)).cast("double")) / 10000.0
+    val d = mean("__sa", "n_a") - mean("__sb", "n_b")
+    val va = variance("__sa", "__ssa", "n_a")
+    val vb = variance("__sb", "__ssb", "n_b")
+    val ra = va / col("n_a").cast("double")
+    val rb = vb / col("n_b").cast("double")
+    val se = sqrt(ra + rb)
+    val dfw = (ra + rb) * (ra + rb) /
+      (ra * ra / (col("n_a") - 1).cast("double")
+        + rb * rb / (col("n_b") - 1).cast("double"))
+    mom.select(col("n_a"), col("n_b"),
+      round(d, roundScale).as("mean_diff"),
+      lit(delta).as("delta"),
+      round(se, roundScale).as("se"),
+      round(when(se > 0, dfw), roundScale).as("df_welch"),
+      round(when(se > 0, (d + lit(delta)) / se), roundScale).as("t_lower"),
+      round(when(se > 0, (d - lit(delta)) / se), roundScale).as("t_upper"))
+  }
+
   /** Cohen's h (public: Cohen '88) — the arcsine-stabilized effect size
     * for two proportions, h = 2·asin√p₁ − 2·asin√p₂: unlike the raw
     * difference, equal h means equal detectability at any baseline (the

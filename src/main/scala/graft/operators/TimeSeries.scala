@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -975,6 +975,62 @@ object TimeSeries {
         round(col("__s").cast("double")
           / (lit(10L) * col("n_days")).cast("double"), roundScale)
           .as("mean_pinball"))
+  }
+
+  /** Hampel outlier filter over each group's daily count series
+    * (public: Hampel '74 / the Pearson '02 process-data form every
+    * signal-cleaning library ships): a day is flagged when it sits more
+    * than 3 robust sigmas (1.4826·MAD) from the MEDIAN of its ±3-day
+    * window — the median/MAD pair survives the very outliers a rolling
+    * mean/σ would absorb. Emits flagged interior days with the local
+    * median, MAD and robust z.
+    *
+    * Scale shape: one (group, day) count aggregate, ONE 7-row sliding
+    * window collecting the neighborhood per day (bounded by the window
+    * width, partitioned by group), array sort + element picks — medians
+    * of ≤7 integers are dyadic-exact, so flag decisions are
+    * bit-portable; only full windows are judged (the standard interior
+    * convention). Every interior day is emitted with its flag (output
+    * bounded by the calendar grid); callers filter `is_outlier` for the
+    * alarm stream. */
+  def hampelFilter(events: DataFrame, keyCol: String, tsCol: String,
+                   windowRadius: Int = 3, nSigma: Double = 3.0,
+                   roundScale: Int = 6): DataFrame = {
+    require(windowRadius >= 1 && windowRadius <= 30,
+      s"windowRadius must be in [1, 30]: $windowRadius")
+    val width = 2 * windowRadius + 1
+    val daily = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("__g"),
+        date_trunc("day", col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__y"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__day"))
+      .rowsBetween(-windowRadius, windowRadius)
+    // lower/upper element average = exact dyadic median; indices are
+    // Scala-side ints (every judged window has exactly `width` rows)
+    val loIdx = (width + 1) / 2
+    val hiIdx = width / 2 + 1
+    def medianOf(arr: Column): Column =
+      (element_at(arr, loIdx).cast("double")
+        + element_at(arr, hiIdx).cast("double")) / 2.0
+    val withMed = daily
+      .withColumn("__win", sort_array(collect_list(col("__y")).over(w)))
+      .filter(size(col("__win")) === width)
+      .withColumn("__med", medianOf(col("__win")))
+      .withColumn("__mad", medianOf(sort_array(
+        transform(col("__win"),
+          v => abs(v.cast("double") - col("__med"))))))
+    withMed
+      .withColumn("__dev", abs(col("__y").cast("double") - col("__med")))
+      .select(col("__g").as(keyCol), col("__day").as("day"),
+        col("__y").as("n_events"),
+        round(col("__med"), roundScale).as("local_median"),
+        round(col("__mad"), roundScale).as("local_mad"),
+        round(when(col("__mad") > 0,
+          col("__dev") / (lit(1.4826) * col("__mad"))), roundScale)
+          .as("robust_z"),
+        (col("__dev") > lit(nSigma) * lit(1.4826) * col("__mad"))
+          .as("is_outlier"))
   }
 
   def pageHinkleyDaily(events: DataFrame, keyCol: String, tsCol: String,

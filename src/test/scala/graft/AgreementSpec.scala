@@ -339,4 +339,32 @@ class AgreementSpec extends SparkSuite {
     val const = Seq((2.0, 2.0), (2.0, 2.0)).toDF("x", "y")
     assert(Agreement.linCcc(const, "x", "y").collect().head.isNullAt(3))
   }
+
+  test("blandAltman: hand-computed bias/limits and outside count") {
+    // d = 2, -1, 4: bias 5/3, var 38/6, none outside the 1.96 band
+    val units = Seq((3L, 1L), (1L, 2L), (5L, 1L)).toDF("m1", "m2")
+    val r = Agreement.blandAltman(units, "m1", "m2").collect().head
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sd = math.sqrt(38.0 / 6)
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(1) === r6(5.0 / 3))
+    assert(r.getDouble(2) === r6(sd))
+    assert(r.getDouble(3) === r6(5.0 / 3 - 1.96 * sd))
+    assert(r.getDouble(4) === r6(5.0 / 3 + 1.96 * sd))
+    assert(r.getLong(5) === 0L && r.getDouble(6) === 0.0)
+  }
+
+  test("bordaCount: midrank point split on ties, consensus rank") {
+    // v1: a>b>c (2,1,0); v2: b=c tied first (1.5 each), a last (0)
+    val ballots = Seq(("v1", "a", 3.0), ("v1", "b", 2.0), ("v1", "c", 1.0),
+      ("v2", "a", 1.0), ("v2", "b", 5.0), ("v2", "c", 5.0))
+      .toDF("voter", "cand", "score")
+    val out = Agreement.bordaCount(ballots, "voter", "cand", "score")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    assert(out("a") === ((2L, 2.0, 2)))
+    assert(out("b") === ((2L, 2.5, 1)))
+    assert(out("c") === ((2L, 1.5, 3)))
+  }
 }

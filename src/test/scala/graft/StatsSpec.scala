@@ -1871,6 +1871,23 @@ class StatsSpec extends SparkSuite {
     assert(math.abs(r.getDouble(4) - (-math.Pi / 3)) < 1e-6)
   }
 
+  test("tostEquivalence: hand-computed Welch TOST bounds") {
+    // A={1,3} B={3,5}, delta 3: d=-2, se=sqrt(2), df=2,
+    // t_lower = 1/sqrt(2), t_upper = -5/sqrt(2)
+    val df = Seq(("A", 1.0), ("A", 3.0), ("B", 3.0), ("B", 5.0))
+      .toDF("g", "v")
+    val r = Stats.tostEquivalence(df, "g", "v", "A", "B", delta = 3.0)
+      .collect().head
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === -2.0 && r.getDouble(3) === 3.0)
+    assert(r.getDouble(4) === r6(math.sqrt(2.0)))
+    assert(r.getDouble(5) === 2.0, "Welch df, equal arms")
+    assert(r.getDouble(6) === r6(1.0 / math.sqrt(2.0)))
+    assert(r.getDouble(7) === r6(-5.0 / math.sqrt(2.0)))
+  }
+
   test("quadeTest: hand-computed range-weighted statistic") {
     // b=3 blocks, k=3; ranges 2,4,2 -> Q = 1.5, 3, 1.5
     // S_j = (-4.5, -1.5, 6); A=27, B=19.5, T = 2*19.5/7.5 = 5.2

@@ -469,6 +469,29 @@ class TimeSeriesSpec extends SparkSuite {
       0.9 -> ((2L, 1.5))))
   }
 
+  test("hampelFilter: spike flags through zero MAD, smooth ramp does not") {
+    import org.apache.spark.sql.functions._
+    val day = 86400000000L
+    // group a: 5,5,5,50,5,5,5 -> interior day 3: med 5, mad 0, outlier
+    // group r: 1..7 ramp -> day 3: med 4, dev 0, not an outlier
+    val rows =
+      (0 to 6).flatMap(dd => Seq.fill(if (dd == 3) 50 else 5)(
+        ("a", dd.toLong * day))) ++
+        (0 to 6).flatMap(dd => Seq.fill(dd + 1)(("r", dd.toLong * day)))
+    val df = rows.toDF("g", "us")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val out = TimeSeries.hampelFilter(df, "g", "ts").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size === 2, "one interior day per group")
+    assert(out("a").getLong(2) === 50L)
+    assert(out("a").getDouble(3) === 5.0 && out("a").getDouble(4) === 0.0)
+    assert(out("a").isNullAt(5) && out("a").getBoolean(6),
+      "zero MAD: z null but the spike still flags")
+    assert(out("r").getLong(2) === 4L)
+    assert(out("r").getDouble(3) === 4.0 && out("r").getDouble(4) === 2.0)
+    assert(out("r").getDouble(5) === 0.0 && !out("r").getBoolean(6))
+  }
+
   test("pageHinkleyDaily: ramp excursion and alarm day, flat series reads 0") {
     import org.apache.spark.sql.functions._
     val day = 86400000000L
