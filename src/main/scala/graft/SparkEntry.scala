@@ -4516,6 +4516,36 @@ object SparkEntry {
   private def q_hampel(s: SparkSession, d: String): DataFrame =
     TimeSeries.hampelFilter(Tables.events(s, d), "event_type", "ts")
 
+  /** §2b Gumbel block-maxima fit of weekly daily-count peaks per event
+    * type ([[TimeSeries.gumbelBlockMax]]) — EVT capacity planning with
+    * the 1-in-100-week return level; maxima-side beside q_gpd_tail. */
+  private def q_gumbel_fit(s: SparkSession, d: String): DataFrame =
+    TimeSeries.gumbelBlockMax(Tables.events(s, d), "event_type", "ts")
+
+  /** §2b weekly seasonal strength per event type
+    * ([[TimeSeries.seasonalStrength]]) — how much daily-count variance
+    * the weekday cycle explains; the one-number screen before
+    * q_seasonality's table. */
+  private def q_seasonal_strength(s: SparkSession, d: String): DataFrame =
+    TimeSeries.seasonalStrength(Tables.events(s, d), "event_type", "ts")
+
+  /** §2b circular time-of-day statistics per event type
+    * ([[TimeSeries.circularHours]]) — resultant concentration + mean
+    * hour, correct across the midnight wrap; snapped-dyadic hour
+    * angles keep the sums exact in any order. */
+  private def q_circular_hours(s: SparkSession, d: String): DataFrame =
+    TimeSeries.circularHours(Tables.events(s, d), "event_type", "ts")
+
+  /** §2b leave-one-fold-out CV of the lang=en n_chars stump
+    * ([[Stats.stumpCv]]) — per-fold learned threshold + held-out
+    * accuracy; training grids by global-minus-fold subtraction. */
+  private def q_stump_cv(s: SparkSession, d: String): DataFrame =
+    Stats.stumpCv(
+      Tables.documents(s, d).select(col("n_chars"),
+        (col("lang") === "en").as("is_en"),
+        (col("doc_id") % 4).as("fold")),
+      "n_chars", "is_en", "fold")
+
   /** §2b landmark BFS over the part↔supplier graph
     * ([[Graph.landmarkDistances]]): exact distances from the 4 smallest
     * node ids, depth ≤ 4 — reach, eccentricity-within-horizon and
@@ -4995,6 +5025,10 @@ object SparkEntry {
     "q_bland_altman" -> (q_bland_altman _),
     "q_borda" -> (q_borda _),
     "q_hampel" -> (q_hampel _),
+    "q_gumbel_fit" -> (q_gumbel_fit _),
+    "q_seasonal_strength" -> (q_seasonal_strength _),
+    "q_circular_hours" -> (q_circular_hours _),
+    "q_stump_cv" -> (q_stump_cv _),
     "q_holt_linear" -> (q_holt_linear _),
     "q_pinball" -> (q_pinball _),
     "q_perm_entropy" -> (q_perm_entropy _),
@@ -14241,6 +14275,173 @@ object SparkEntry {
                 abs(CAST(y AS DOUBLE) - med) > 3.0 * 1.4826 * mad
                   AS is_outlier
          FROM m3""",
+    // Weekly block maxima -> exact integer moments; the three
+    // transcendental constants are the SAME driver-side doubles
+    // interpolated into both plans (shortest-round-trip printing).
+    "q_gumbel_fit" ->
+      s"""WITH daily AS (SELECT event_type AS g, date_trunc('day', ts)
+                           AS d, CAST(count(*) AS BIGINT) AS y
+                         FROM events WHERE ts IS NOT NULL
+                         GROUP BY 1, 2),
+              weekly AS (SELECT g, date_trunc('week', d) AS wk,
+                           max(y) AS m
+                         FROM daily GROUP BY 1, 2),
+              mom AS (SELECT g, CAST(count(*) AS BIGINT) AS n_blocks,
+                        SUM(CAST(m AS HUGEINT)) AS s,
+                        SUM(CAST(m AS HUGEINT) * m) AS ss
+                      FROM weekly GROUP BY 1 HAVING count(*) > 1),
+              alg AS (SELECT g, n_blocks,
+                        CAST(s AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+                          AS mean,
+                        sqrt(CAST(n_blocks * ss - s * s AS DOUBLE)
+                          / CAST(n_blocks * (n_blocks - 1) AS DOUBLE))
+                          AS sd
+                      FROM mom),
+              fit AS (SELECT *, sd * ${TimeSeries.GumbelC.sqrt6OverPi}
+                        AS beta
+                      FROM alg),
+              fit2 AS (SELECT *, mean
+                         - ${TimeSeries.GumbelC.eulerGamma} * beta AS mu
+                       FROM fit)
+         SELECT g AS event_type, n_blocks,
+                round(mean, 6) AS block_mean, round(sd, 6) AS block_sd,
+                round(beta, 6) AS gumbel_beta, round(mu, 6) AS gumbel_mu,
+                round(mu - beta * ${TimeSeries.GumbelC.lnln99}, 6)
+                  AS return_level_100
+         FROM fit2""",
+    // Weekday-mean residuals; BOTH variance folds are ordered prefix
+    // cumsums over the per-group day grid, read at the last day.
+    "q_seasonal_strength" ->
+      """WITH daily AS (SELECT event_type AS g, date_trunc('day', ts)
+                          AS d, CAST(count(*) AS BIGINT) AS y
+                        FROM events WHERE ts IS NOT NULL
+                        GROUP BY 1, 2),
+              dw AS (SELECT g, dayofweek(d) AS w, SUM(y) AS sd,
+                       CAST(count(*) AS BIGINT) AS nd
+                     FROM daily GROUP BY 1, 2),
+              j AS (SELECT daily.g, daily.d, CAST(y AS DOUBLE) AS yd,
+                      CAST(y AS DOUBLE)
+                        - CAST(sd AS DOUBLE) / CAST(nd AS DOUBLE) AS r
+                    FROM daily JOIN dw
+                      ON dw.g = daily.g AND dw.w = dayofweek(daily.d)),
+              f AS (SELECT g, d,
+                      count(*) OVER w AS cn, sum(yd) OVER w AS cy,
+                      sum(yd * yd) OVER w AS cyy, sum(r * r) OVER w AS crr
+                    FROM j
+                    WINDOW w AS (PARTITION BY g ORDER BY d ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND CURRENT ROW)),
+              last AS (SELECT * FROM (SELECT *, row_number() OVER
+                         (PARTITION BY g ORDER BY d DESC) AS rn FROM f)
+                       WHERE rn = 1),
+              alg AS (SELECT g, CAST(cn AS BIGINT) AS n_days,
+                        (cyy - cy * cy / CAST(cn AS DOUBLE))
+                          / CAST(cn AS DOUBLE) AS vy,
+                        crr / CAST(cn AS DOUBLE) AS vr
+                      FROM last)
+         SELECT g AS event_type, n_days,
+                round(vy, 6) AS var_total, round(vr, 6) AS var_residual,
+                round(CASE WHEN vy > 0 THEN
+                  greatest(0.0, 1.0 - vr / vy) END, 6)
+                  AS seasonal_strength
+         FROM alg""",
+    // Snapped-dyadic hour angles (exact integer x dyadic sums in any
+    // order); one atan2 + sqrt, constants interpolated.
+    "q_circular_hours" ->
+      s"""WITH cnt AS (SELECT event_type AS g, hour(ts) AS h,
+                         CAST(count(*) AS BIGINT) AS c
+                       FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+              m AS (SELECT g, c,
+                      (CAST([${TimeSeries.circularCos24.mkString(", ")}]
+                        AS DOUBLE[]))[h + 1] AS cs,
+                      (CAST([${TimeSeries.circularSin24.mkString(", ")}]
+                        AS DOUBLE[]))[h + 1] AS sn
+                    FROM cnt),
+              a AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_events,
+                      SUM(c * cs) AS sc, SUM(c * sn) AS ss
+                    FROM m GROUP BY 1)
+         SELECT g AS event_type, n_events,
+                round(sqrt(sc * sc + ss * ss)
+                  / CAST(n_events AS DOUBLE), 6) AS resultant,
+                round(1.0 - sqrt(sc * sc + ss * ss)
+                  / CAST(n_events AS DOUBLE), 6) AS circular_variance,
+                round(atan2(ss, sc) * ${TimeSeries.twelveOverPi}, 6)
+                  AS mean_hour_signed
+         FROM a""",
+    // Leave-one-fold-out training grids by global-minus-fold
+    // subtraction over the densified fold x value grid; per-fold
+    // argmax carries the held-out confusion.
+    "q_stump_cv" ->
+      """WITH base AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+                         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                         doc_id % 4 AS f
+                       FROM documents
+                       WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+                         AND doc_id IS NOT NULL),
+              gf AS (SELECT f, v, CAST(count(*) AS BIGINT) AS c,
+                       CAST(sum(y) AS BIGINT) AS p
+                     FROM base GROUP BY 1, 2),
+              vg AS (SELECT v, CAST(count(*) AS BIGINT) AS ca,
+                       CAST(sum(y) AS BIGINT) AS pa
+                     FROM base GROUP BY 1),
+              fl AS (SELECT DISTINCT f FROM base),
+              dense AS (SELECT fl.f, vg.v, vg.ca, vg.pa,
+                          COALESCE(gf.c, 0) AS c, COALESCE(gf.p, 0) AS p
+                        FROM vg CROSS JOIN fl
+                        LEFT JOIN gf ON gf.f = fl.f AND gf.v = vg.v),
+              cw AS (SELECT f, v,
+                       sum(ca) OVER wv - sum(c) OVER wv AS tl,
+                       sum(pa) OVER wv - sum(p) OVER wv AS pl,
+                       sum(ca) OVER wf - sum(c) OVER wf AS n,
+                       sum(pa) OVER wf - sum(p) OVER wf AS pp,
+                       sum(c) OVER wv AS hc, sum(p) OVER wv AS hp,
+                       sum(c) OVER wf AS hn, sum(p) OVER wf AS hpp
+                     FROM dense
+                     WINDOW wv AS (PARTITION BY f ORDER BY v ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wf AS (PARTITION BY f ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+              cand AS (SELECT *,
+                         (1.0 - (CAST(pp AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(pp AS DOUBLE) / CAST(n AS DOUBLE))
+                            - (CAST(n - pp AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(n - pp AS DOUBLE) / CAST(n AS DOUBLE)))
+                         - (CAST(tl AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (1.0
+                              - (CAST(pl AS DOUBLE) / CAST(tl AS DOUBLE))
+                              * (CAST(pl AS DOUBLE) / CAST(tl AS DOUBLE))
+                              - (CAST(tl - pl AS DOUBLE)
+                                 / CAST(tl AS DOUBLE))
+                              * (CAST(tl - pl AS DOUBLE)
+                                 / CAST(tl AS DOUBLE)))
+                         - (CAST(n - tl AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (1.0
+                              - (CAST(pp - pl AS DOUBLE)
+                                 / CAST(n - tl AS DOUBLE))
+                              * (CAST(pp - pl AS DOUBLE)
+                                 / CAST(n - tl AS DOUBLE))
+                              - (CAST((n - tl) - (pp - pl) AS DOUBLE)
+                                 / CAST(n - tl AS DOUBLE))
+                              * (CAST((n - tl) - (pp - pl) AS DOUBLE)
+                                 / CAST(n - tl AS DOUBLE))) AS g
+                       FROM cw WHERE tl > 0 AND tl < n),
+              best AS (SELECT * FROM (SELECT *, row_number() OVER
+                         (PARTITION BY f ORDER BY g DESC, v ASC) AS rn
+                       FROM cand) WHERE rn = 1),
+              fin AS (SELECT f AS fold, v AS threshold,
+                        round(g, 6) AS train_gain,
+                        CAST(hn AS BIGINT) AS test_n,
+                        CAST((CASE WHEN pl * 2 > tl THEN hp
+                              ELSE hc - hp END)
+                          + (CASE WHEN (pp - pl) * 2 > (n - tl)
+                             THEN hpp - hp
+                             ELSE (hn - hc) - (hpp - hp) END) AS BIGINT)
+                          AS test_correct
+                      FROM best)
+         SELECT fold, threshold, train_gain, test_n, test_correct,
+                round(CASE WHEN test_n > 0 THEN
+                  CAST(test_correct AS DOUBLE) / CAST(test_n AS DOUBLE)
+                  END, 6) AS test_accuracy
+         FROM fin""",
     // Grid-assigned activity quartiles (integer cum*4/N), per-stratum
     // exact cent outcome means, overall ATE = ordered-prefix weighted
     // fold read at the last stratum.

@@ -4261,6 +4261,97 @@ object Stats {
         (col("n_pos") - col("__b").getField("pl")).as("pos_right"))
   }
 
+  /** Leave-one-fold-out cross-validation of the [[decisionStump]]
+    * (public: standard k-fold CV, Stone '74): per fold, the best
+    * threshold is learned on the OTHER folds and scored on the held-out
+    * one — the honest generalization estimate a train=test stump
+    * overstates. Fold labels are a caller-supplied deterministic
+    * integer column (id mod k — never engine-specific hashing).
+    *
+    * Scale shape: the leave-one-out training grids are NEVER
+    * materialized per fold — training cumulative counts at every
+    * candidate split are GLOBAL cumulative minus the fold's own
+    * (one densified fold×value grid, two window passes, exact
+    * integers); per-fold argmax via struct-max carries the held-out
+    * confusion along, so test scoring needs no second pass. Majority
+    * ties inside a train partition read negative (2p > t strictly). */
+  def stumpCv(df: DataFrame, featureCol: String, labelCol: String,
+              foldCol: String, roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(featureCol).isNotNull && col(labelCol).isNotNull &&
+        col(foldCol).isNotNull)
+      .select(col(featureCol).cast("double").as("__v"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"),
+        col(foldCol).cast("long").as("__f"))
+    val gridF = base.groupBy(col("__f"), col("__v"))
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
+    val vGrid = base.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__ca"), sum(col("__y")).as("__pa"))
+    val folds = base.select(col("__f")).distinct()
+    // densified fold x value grid: every fold sees every candidate split
+    val dense = vGrid.crossJoin(broadcast(folds))
+      .join(gridF, Seq("__f", "__v"), "left")
+      .na.fill(0L, Seq("__c", "__p"))
+    val wv = Window.partitionBy(col("__f")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wf = Window.partitionBy(col("__f"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = dense
+      .withColumn("__cumAc", sum(col("__ca")).over(wv))
+      .withColumn("__cumAp", sum(col("__pa")).over(wv))
+      .withColumn("__cumFc", sum(col("__c")).over(wv))
+      .withColumn("__cumFp", sum(col("__p")).over(wv))
+      .withColumn("__nA", sum(col("__ca")).over(wf))
+      .withColumn("__pA", sum(col("__pa")).over(wf))
+      .withColumn("__nF", sum(col("__c")).over(wf))
+      .withColumn("__pF", sum(col("__p")).over(wf))
+      // training = everything except the fold
+      .withColumn("__tl", col("__cumAc") - col("__cumFc"))
+      .withColumn("__pl", col("__cumAp") - col("__cumFp"))
+      .withColumn("__n", col("__nA") - col("__nF"))
+      .withColumn("__pp", col("__pA") - col("__pF"))
+    def gini(pos: Column, tot: Column): Column = {
+      val pr = pos.cast("double") / tot.cast("double")
+      val nr = (tot - pos).cast("double") / tot.cast("double")
+      lit(1.0) - pr * pr - nr * nr
+    }
+    val tr = col("__n") - col("__tl")
+    val pr = col("__pp") - col("__pl")
+    val gain = gini(col("__pp"), col("__n")) -
+      (col("__tl").cast("double") / col("__n").cast("double")) *
+        gini(col("__pl"), col("__tl")) -
+      (tr.cast("double") / col("__n").cast("double")) * gini(pr, tr)
+    val best = c.filter(col("__tl") > 0 && col("__tl") < col("__n"))
+      .groupBy(col("__f"))
+      .agg(max(struct(gain.as("g"), (lit(0.0) - col("__v")).as("nv"),
+        col("__v").as("v"),
+        col("__tl").as("tl"), col("__pl").as("pl"),
+        col("__n").as("n"), col("__pp").as("pp"),
+        col("__cumFc").as("hc"), col("__cumFp").as("hp"),
+        col("__nF").as("hn"), col("__pF").as("hpp"))).as("__b"))
+    val b = col("__b")
+    // train-side majority labels; held-out confusion from the carried
+    // fold cumulatives at the winning threshold
+    val leftPos = b.getField("pl") * 2 > b.getField("tl")
+    val rightPos = (b.getField("pp") - b.getField("pl")) * 2 >
+      (b.getField("n") - b.getField("tl"))
+    val correct =
+      when(leftPos, b.getField("hp"))
+        .otherwise(b.getField("hc") - b.getField("hp")) +
+      when(rightPos, b.getField("hpp") - b.getField("hp"))
+        .otherwise((b.getField("hn") - b.getField("hc"))
+          - (b.getField("hpp") - b.getField("hp")))
+    best.select(col("__f").as("fold"),
+        b.getField("v").as("threshold"),
+        round(b.getField("g"), roundScale).as("train_gain"),
+        b.getField("hn").as("test_n"),
+        correct.as("test_correct"),
+        round(when(b.getField("hn") > 0,
+          correct.cast("double") / b.getField("hn").cast("double")),
+          roundScale).as("test_accuracy"))
+  }
+
   /** Cochran's C test statistic (public: Cochran '41) — the
     * variance-outlier screen: C = max_j s_j² / Σ_j s_j², "is one group's
     * spread dominating the pooled picture", the dispersion-side

@@ -1033,6 +1033,162 @@ object TimeSeries {
           .as("is_outlier"))
   }
 
+  /** Gumbel fit of weekly block maxima by method of moments (public:
+    * Gumbel '58; the Fisher–Tippett type-I EVT limit for maxima of
+    * light-tailed series): weekly maxima of the daily counts per group,
+    * fitted as β = σ√6/π, μ = x̄ − γβ, with the 1-in-100-week return
+    * level μ − β·ln(−ln(0.99)) — "how big a daily spike should capacity
+    * planning expect", the maxima-side EVT view beside the q_gpd_tail
+    * exceedance fit.
+    *
+    * Scale shape: two bounded grid aggregates (daily → weekly max →
+    * exact integer moments over the block-maxima grid); the three
+    * transcendental constants (√6/π, Euler γ, ln(−ln .99)) are
+    * DRIVER-side literals serialized identically into the plan and the
+    * oracle SQL (the JL/IVF literal contract), so the fit is exact
+    * integer moments × shared constants. */
+  def gumbelBlockMax(events: DataFrame, keyCol: String, tsCol: String,
+                     roundScale: Int = 6): DataFrame = {
+    val daily = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("__g"),
+        date_trunc("day", col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__y"))
+    val weekly = daily
+      .groupBy(col("__g"), date_trunc("week", col("__day")).as("__wk"))
+      .agg(max(col("__y")).as("__m"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val mom = weekly.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_blocks"), sum(dec(col("__m"))).as("__s"),
+        sum(dec(col("__m")) * dec(col("__m"))).as("__ss"))
+      .filter(col("n_blocks") > 1)
+    val mean = col("__s").cast("double") / col("n_blocks").cast("double")
+    val sd = sqrt((dec(col("n_blocks")) * col("__ss")
+      - col("__s") * col("__s")).cast("double") /
+      (col("n_blocks") * (col("n_blocks") - 1)).cast("double"))
+    val beta = sd * lit(GumbelC.sqrt6OverPi)
+    val mu = mean - lit(GumbelC.eulerGamma) * beta
+    mom.select(col("__g").as(keyCol), col("n_blocks"),
+      round(mean, roundScale).as("block_mean"),
+      round(sd, roundScale).as("block_sd"),
+      round(beta, roundScale).as("gumbel_beta"),
+      round(mu, roundScale).as("gumbel_mu"),
+      round(mu - beta * lit(GumbelC.lnln99), roundScale)
+        .as("return_level_100"))
+  }
+
+  /** Driver-side Gumbel constants, shared verbatim with the oracle SQL
+    * (shortest-round-trip double printing parses back bit-identical). */
+  private[graft] object GumbelC {
+    val sqrt6OverPi: Double = math.sqrt(6.0) / math.Pi
+    val eulerGamma: Double = 0.5772156649015329
+    val lnln99: Double = math.log(-math.log(0.99))
+  }
+
+  /** Seasonal-strength decomposition (public: the STL-based strength
+    * measure of Wang, Smith & Hyndman '06, on the weekday-means
+    * seasonal component): 1 − var(y − s_dow)/var(y) per group — how
+    * much of the daily-count variance the weekly cycle explains; ≈0
+    * reads "no weekly seasonality", ≈1 "all cycle". The one-number
+    * screen in front of q_seasonality's per-weekday table.
+    *
+    * Scale shape: one daily aggregate, one weekday-mean aggregate
+    * joined back (broadcast — 7·groups rows), then BOTH variance folds
+    * as ordered prefix cumsums over the per-group day grid (residuals
+    * are floats; unordered sums would flap — the cochranC contract). */
+  def seasonalStrength(events: DataFrame, keyCol: String, tsCol: String,
+                       roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("__g"),
+        date_trunc("day", col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__y"))
+    val dow = daily
+      .groupBy(col("__g"), dayofweek(col("__day")).as("__dow"))
+      .agg(sum(col("__y")).as("__sd"), count(lit(1)).as("__nd"))
+      .select(col("__g"), col("__dow"),
+        (col("__sd").cast("double") / col("__nd").cast("double"))
+          .as("__smean"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lastOf = (c: Column) => max(struct(col("__day").as("d"),
+      c.as("c"))).getField("c")
+    val folded = daily.as("dl")
+      .join(dow.hint("broadcast").as("dw"),
+        col("dl.__g") === col("dw.__g")
+          && dayofweek(col("dl.__day")) === col("dw.__dow"))
+      .select(col("dl.__g").as("__g"), col("dl.__day").as("__day"),
+        col("dl.__y").cast("double").as("__yd"),
+        (col("dl.__y").cast("double") - col("dw.__smean")).as("__r"))
+      .withColumn("__cn", count(lit(1)).over(wCum))
+      .withColumn("__cy", sum(col("__yd")).over(wCum))
+      .withColumn("__cyy", sum(col("__yd") * col("__yd")).over(wCum))
+      .withColumn("__crr", sum(col("__r") * col("__r")).over(wCum))
+    val agg = folded.groupBy(col("__g").as(keyCol))
+      .agg(lastOf(col("__cn")).as("n_days"),
+        lastOf(col("__cy")).as("__sy"), lastOf(col("__cyy")).as("__syy"),
+        lastOf(col("__crr")).as("__srr"))
+    val nD = col("n_days").cast("double")
+    val varY = (col("__syy") - col("__sy") * col("__sy") / nD) / nD
+    val varR = col("__srr") / nD
+    agg.select(col(keyCol), col("n_days"),
+      round(varY, roundScale).as("var_total"),
+      round(varR, roundScale).as("var_residual"),
+      round(when(varY > 0, greatest(lit(0.0), lit(1.0) - varR / varY)),
+        roundScale).as("seasonal_strength"))
+  }
+
+  /** Circular statistics of event time-of-day (public: Mardia & Jupp,
+    * Directional Statistics '00): hours map to angles 2πh/24, the
+    * resultant R̄ = |Σe^{iθ}|/n measures CONCENTRATION (R̄→1: all
+    * activity at one hour; →0: uniform around the clock), with the
+    * circular mean hour and circular variance 1−R̄ — the readout a
+    * linear mean-of-hours gets wrong at the midnight wrap (23:00 and
+    * 01:00 average to noon linearly, to midnight circularly).
+    *
+    * Scale shape: ONE (group, hour) count aggregate; cos/sin of the 24
+    * angles are DRIVER-side constants snapped to 2⁻²⁰ dyadics, so the
+    * S/C sums are exact integer×dyadic in ANY order (the PORTABILITY
+    * snap contract — no ordered-fold needed); one atan2 + sqrt at the
+    * end. */
+  /** 2⁻²⁰-snapped hour-angle constants, shared verbatim with the oracle
+    * SQL (dyadics print and parse exactly). */
+  private[graft] val circularCos24: Seq[Double] = {
+    val snap = (x: Double) => math.round(x * (1 << 20)).toDouble / (1 << 20)
+    (0 until 24).map(h => snap(math.cos(2 * math.Pi * h / 24)))
+  }
+  private[graft] val circularSin24: Seq[Double] = {
+    val snap = (x: Double) => math.round(x * (1 << 20)).toDouble / (1 << 20)
+    (0 until 24).map(h => snap(math.sin(2 * math.Pi * h / 24)))
+  }
+  private[graft] val twelveOverPi: Double = 12.0 / math.Pi
+
+  def circularHours(events: DataFrame, keyCol: String, tsCol: String,
+                    roundScale: Int = 6): DataFrame = {
+    val cosA = circularCos24
+    val sinA = circularSin24
+    val counts = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("__g"), hour(col(tsCol)).as("__h"))
+      .agg(count(lit(1)).as("__c"))
+    val agg = counts
+      .select(col("__g"), col("__c"),
+        element_at(typedLit(cosA), col("__h") + 1).as("__cos"),
+        element_at(typedLit(sinA), col("__h") + 1).as("__sin"))
+      .groupBy(col("__g").as(keyCol))
+      .agg(sum(col("__c")).as("n_events"),
+        sum(col("__c") * col("__cos")).as("__sumc"),
+        sum(col("__c") * col("__sin")).as("__sums"))
+    val r = sqrt(col("__sumc") * col("__sumc")
+      + col("__sums") * col("__sums")) / col("n_events").cast("double")
+    agg.select(col(keyCol), col("n_events"),
+      round(r, roundScale).as("resultant"),
+      round(lit(1.0) - r, roundScale).as("circular_variance"),
+      round(atan2(col("__sums"), col("__sumc")) * lit(twelveOverPi),
+        roundScale).as("mean_hour_signed"))
+  }
+
   def pageHinkleyDaily(events: DataFrame, keyCol: String, tsCol: String,
                        roundScale: Int = 6): DataFrame = {
     val daily = events

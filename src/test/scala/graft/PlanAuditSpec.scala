@@ -206,6 +206,9 @@ class PlanAuditSpec extends SparkSuite {
   //  * the k² Tukey–Kramer pair grid in q_tukey_hsd (both sides the
   //    same k-row per-group moment aggregate — the q_jsd_matrix
   //    group-matrix contract).
+  //  * the value-grid × fold-set densification in q_stump_cv (folds is
+  //    a broadcast DISTINCT over the integer fold column — ≤ k rows by
+  //    construction, invisible to maxRows).
   private val allowNestedLoop: Set[String] = Set(
     "q_ivf_topk", "q_ivf_topk_bcast", "q_ivf_trained", "q_pq_topk",
     "q_cosine_topk", "q_int8_recall", "q_rrf", "q_jl_distortion",
@@ -213,7 +216,8 @@ class PlanAuditSpec extends SparkSuite {
     "q_naive_bayes", "q_jonckheere", "q_dunn", "q_weighted_kappa",
     "q_drift_monitor", "q_ks_per_source", "q_kuiper", "q_heaps_law",
     "q_query_likelihood", "q_fdr_bh", "q_fdr_by", "q_holm", "q_isotonic",
-    "q_kendall_tau", "q_gk_gamma", "q_hodges_lehmann", "q_tukey_hsd")
+    "q_kendall_tau", "q_gk_gamma", "q_hodges_lehmann", "q_tukey_hsd",
+    "q_stump_cv")
 
   test("every nested-loop join proves a bounded side or is documented") {
     val offenders = audits.collect {

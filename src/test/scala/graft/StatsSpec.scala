@@ -1888,6 +1888,29 @@ class StatsSpec extends SparkSuite {
     assert(r.getDouble(7) === r6(-5.0 / math.sqrt(2.0)))
   }
 
+  test("stumpCv: leave-one-fold-out thresholds and held-out accuracy") {
+    // fold 0: clean (1->pos, 2->neg); fold 1: same + one noisy (2, pos)
+    val df = Seq(
+      (1.0, true, 0L), (2.0, false, 0L),
+      (1.0, true, 1L), (2.0, false, 1L), (2.0, true, 1L))
+      .toDF("v", "y", "f")
+    val out = Stats.stumpCv(df, "v", "y", "f").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // fold 0 trains on the noisy fold: gain 4/9 - (2/3)*0.5 = 1/9,
+    // but classifies the clean fold perfectly
+    assert(out(0L).getDouble(1) === 1.0)
+    assert(out(0L).getDouble(2) === r6(1.0 / 9))
+    assert(out(0L).getLong(3) === 2L && out(0L).getLong(4) === 2L)
+    assert(out(0L).getDouble(5) === 1.0)
+    // fold 1 trains clean (gain 0.5) and misses its own noise row
+    assert(out(1L).getDouble(1) === 1.0)
+    assert(out(1L).getDouble(2) === 0.5)
+    assert(out(1L).getLong(3) === 3L && out(1L).getLong(4) === 2L)
+    assert(out(1L).getDouble(5) === r6(2.0 / 3))
+  }
+
   test("quadeTest: hand-computed range-weighted statistic") {
     // b=3 blocks, k=3; ranges 2,4,2 -> Q = 1.5, 3, 1.5
     // S_j = (-4.5, -1.5, 6); A=27, B=19.5, T = 2*19.5/7.5 = 5.2

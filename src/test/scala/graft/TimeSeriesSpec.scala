@@ -492,6 +492,62 @@ class TimeSeriesSpec extends SparkSuite {
     assert(out("r").getDouble(5) === 0.0 && !out("r").getBoolean(6))
   }
 
+  test("gumbelBlockMax: exact block moments, mirrored constant algebra") {
+    import org.apache.spark.sql.functions._
+    val day = 86400000000L
+    // one active day per week, maxima 4,6,8,10: mean 7, var 80/12
+    val rows = (0 to 3).flatMap(w =>
+      Seq.fill(4 + 2 * w)(("a", (w * 7L + 1) * day)))
+    val df = rows.toDF("g", "us")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val r = TimeSeries.gumbelBlockMax(df, "g", "ts").collect().head
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 7.0)
+    val sd = math.sqrt(80.0 / 12)
+    assert(r.getDouble(3) === r6(sd))
+    val beta = sd * TimeSeries.GumbelC.sqrt6OverPi
+    val mu = 7.0 - TimeSeries.GumbelC.eulerGamma * beta
+    assert(r.getDouble(4) === r6(beta))
+    assert(r.getDouble(5) === r6(mu))
+    assert(r.getDouble(6) === r6(mu - beta * TimeSeries.GumbelC.lnln99))
+  }
+
+  test("seasonalStrength: perfect weekly cycle reads 1, constant reads null") {
+    import org.apache.spark.sql.functions._
+    val day = 86400000000L
+    // two exact repeats of a 7-day pattern -> residuals 0 -> strength 1
+    val rows = (0 to 13).flatMap(dd =>
+      Seq.fill(dd % 7 + 1)(("a", dd.toLong * day))) ++
+      (0 to 13).map(dd => ("c", dd.toLong * day)) // constant 1/day
+    val df = rows.toDF("g", "us")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val out = TimeSeries.seasonalStrength(df, "g", "ts").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) === 14L)
+    assert(out("a").getDouble(3) === 0.0, "zero residual variance")
+    assert(out("a").getDouble(4) === 1.0)
+    assert(out("c").getDouble(2) === 0.0 && out("c").isNullAt(4),
+      "constant series: zero total variance -> null strength")
+  }
+
+  test("circularHours: point mass at hour 6 concentrates fully") {
+    import org.apache.spark.sql.functions._
+    val df = Seq.fill(5)(("a", 6L * 3600000000L))
+      .toDF("g", "us")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val r = TimeSeries.circularHours(df, "g", "ts").collect().head
+    assert(r.getLong(1) === 5L)
+    assert(r.getDouble(2) === 1.0, "resultant 1 at a point mass")
+    assert(r.getDouble(3) === 0.0)
+    val exp = BigDecimal(math.atan2(5.0 * TimeSeries.circularSin24(6),
+      5.0 * TimeSeries.circularCos24(6)) * TimeSeries.twelveOverPi)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) === exp)
+    assert(math.abs(r.getDouble(4) - 6.0) < 1e-5, "mean hour ~ 6")
+  }
+
   test("pageHinkleyDaily: ramp excursion and alarm day, flat series reads 0") {
     import org.apache.spark.sql.functions._
     val day = 86400000000L
