@@ -4546,6 +4546,25 @@ object SparkEntry {
         (col("doc_id") % 4).as("fold")),
       "n_chars", "is_en", "fold")
 
+  /** §2b B-cubed clustering precision/recall: sources as predicted
+    * clusters vs lang gold ([[Stats.bcubed]]) — the item-weighted
+    * entity-resolution eval beside q_cluster_agreement's pair-counting
+    * ARI on the same pairing. */
+  private def q_bcubed(s: SparkSession, d: String): DataFrame =
+    Stats.bcubed(Tables.documents(s, d), "lang", "source")
+
+  /** §2b V-measure: homogeneity/completeness of the same pairing
+    * ([[Stats.vMeasure]]) — the interpretable axis-pair NMI blends
+    * away. */
+  private def q_v_measure(s: SparkSession, d: String): DataFrame =
+    Stats.vMeasure(Tables.documents(s, d), "lang", "source")
+
+  /** §2b Theil's U₂ of the week-over-week seasonal naive vs the
+    * last-value naive per event type ([[TimeSeries.theilsU2]]) — "is
+    * there exploitable weekly structure" as one ratio. */
+  private def q_theils_u2(s: SparkSession, d: String): DataFrame =
+    TimeSeries.theilsU2(Tables.events(s, d), "event_type", "ts")
+
   /** §2b landmark BFS over the part↔supplier graph
     * ([[Graph.landmarkDistances]]): exact distances from the 4 smallest
     * node ids, depth ≤ 4 — reach, eccentricity-within-horizon and
@@ -5029,6 +5048,9 @@ object SparkEntry {
     "q_seasonal_strength" -> (q_seasonal_strength _),
     "q_circular_hours" -> (q_circular_hours _),
     "q_stump_cv" -> (q_stump_cv _),
+    "q_bcubed" -> (q_bcubed _),
+    "q_v_measure" -> (q_v_measure _),
+    "q_theils_u2" -> (q_theils_u2 _),
     "q_holt_linear" -> (q_holt_linear _),
     "q_pinball" -> (q_pinball _),
     "q_perm_entropy" -> (q_perm_entropy _),
@@ -14442,6 +14464,118 @@ object SparkEntry {
                   CAST(test_correct AS DOUBLE) / CAST(test_n AS DOUBLE)
                   END, 6) AS test_accuracy
          FROM fin""",
+    // (gold, pred) contingency; per-cell masses n^2/margin folded by
+    // ordered prefix over the vocabulary-bounded cell grid.
+    "q_bcubed" ->
+      """WITH cont AS (SELECT lang AS g, source AS p,
+                         CAST(count(*) AS BIGINT) AS n
+                       FROM documents
+                       WHERE lang IS NOT NULL AND source IS NOT NULL
+                       GROUP BY 1, 2),
+              mp AS (SELECT p, CAST(SUM(n) AS BIGINT) AS np
+                     FROM cont GROUP BY 1),
+              mg AS (SELECT g, CAST(SUM(n) AS BIGINT) AS ng
+                     FROM cont GROUP BY 1),
+              f AS (SELECT cont.g, cont.p, n,
+                      sum(CAST(n * n AS DOUBLE) / CAST(np AS DOUBLE))
+                        OVER w AS pm,
+                      sum(CAST(n * n AS DOUBLE) / CAST(ng AS DOUBLE))
+                        OVER w AS rm
+                    FROM cont JOIN mp USING (p) JOIN mg USING (g)
+                    WINDOW w AS (ORDER BY g, p ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND CURRENT ROW)),
+              a AS (SELECT CAST(SUM(n) AS BIGINT) AS n_items,
+                      CAST(count(DISTINCT p) AS BIGINT)
+                        AS n_pred_clusters,
+                      CAST(count(DISTINCT g) AS BIGINT)
+                        AS n_gold_classes,
+                      (SELECT pm FROM f ORDER BY g DESC, p DESC LIMIT 1)
+                        AS sp,
+                      (SELECT rm FROM f ORDER BY g DESC, p DESC LIMIT 1)
+                        AS sr
+                    FROM f)
+         SELECT n_items, n_pred_clusters, n_gold_classes,
+                round(sp / CAST(n_items AS DOUBLE), 6)
+                  AS bcubed_precision,
+                round(sr / CAST(n_items AS DOUBLE), 6) AS bcubed_recall,
+                round(CASE WHEN sp / CAST(n_items AS DOUBLE)
+                    + sr / CAST(n_items AS DOUBLE) > 0 THEN
+                  2.0 * (sp / CAST(n_items AS DOUBLE))
+                    * (sr / CAST(n_items AS DOUBLE))
+                    / (sp / CAST(n_items AS DOUBLE)
+                      + sr / CAST(n_items AS DOUBLE)) END, 6)
+                  AS bcubed_f1
+         FROM a""",
+    // Entropy partials in the single-log fold form over the bounded
+    // contingency and margins; h/c/V mirrored term for term.
+    "q_v_measure" ->
+      """WITH cont AS (SELECT lang AS g, source AS p,
+                         CAST(count(*) AS BIGINT) AS n
+                       FROM documents
+                       WHERE lang IS NOT NULL AND source IS NOT NULL
+                       GROUP BY 1, 2),
+              cells AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                          SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
+                            AS scell
+                        FROM cont),
+              mp AS (SELECT SUM(CAST(c AS DOUBLE)
+                         * ln(CAST(c AS DOUBLE))) AS sp2,
+                       CAST(count(*) AS BIGINT) AS n_pred_clusters
+                     FROM (SELECT p, CAST(SUM(n) AS BIGINT) AS c
+                           FROM cont GROUP BY 1)),
+              mg AS (SELECT SUM(CAST(c AS DOUBLE)
+                         * ln(CAST(c AS DOUBLE))) AS sg2,
+                       CAST(count(*) AS BIGINT) AS n_gold_classes
+                     FROM (SELECT g, CAST(SUM(n) AS BIGINT) AS c
+                           FROM cont GROUP BY 1)),
+              alg AS (SELECT nn, n_pred_clusters, n_gold_classes,
+                        ln(CAST(nn AS DOUBLE))
+                          - sg2 / CAST(nn AS DOUBLE) AS hg,
+                        ln(CAST(nn AS DOUBLE))
+                          - sp2 / CAST(nn AS DOUBLE) AS hp,
+                        (sp2 - scell) / CAST(nn AS DOUBLE) AS hggp,
+                        (sg2 - scell) / CAST(nn AS DOUBLE) AS hpgg
+                      FROM cells, mp, mg),
+              hc AS (SELECT *,
+                       CASE WHEN hg > 0 THEN 1.0 - hggp / hg
+                            ELSE 1.0 END AS hom,
+                       CASE WHEN hp > 0 THEN 1.0 - hpgg / hp
+                            ELSE 1.0 END AS comp
+                     FROM alg)
+         SELECT nn AS n_items, n_pred_clusters, n_gold_classes,
+                round(hom, 6) AS homogeneity,
+                round(comp, 6) AS completeness,
+                round(CASE WHEN hom + comp > 0 THEN
+                  2.0 * hom * comp / (hom + comp) END, 6) AS v_measure
+         FROM hc""",
+    // Two calendar equi-joins (day-7, day-1); exact integer squared
+    // errors; two sqrt + one division.
+    "q_theils_u2" ->
+      """WITH daily AS (SELECT event_type AS g, date_trunc('day', ts)
+                          AS d, CAST(count(*) AS BIGINT) AS y
+                        FROM events WHERE ts IS NOT NULL
+                        GROUP BY 1, 2),
+              j AS (SELECT c.g, c.y, w.y AS fm, p.y AS fn
+                    FROM daily c
+                    JOIN daily w ON w.g = c.g
+                      AND c.d = w.d + INTERVAL 7 DAY
+                    JOIN daily p ON p.g = c.g
+                      AND c.d = p.d + INTERVAL 1 DAY),
+              a AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days,
+                      SUM(CAST(fm - y AS HUGEINT) * (fm - y)) AS sm,
+                      SUM(CAST(fn - y AS HUGEINT) * (fn - y)) AS sn2
+                    FROM j GROUP BY 1)
+         SELECT g AS event_type, n_days,
+                round(sqrt(CAST(sm AS DOUBLE)
+                  / CAST(n_days AS DOUBLE)), 6) AS rmse_seasonal,
+                round(sqrt(CAST(sn2 AS DOUBLE)
+                  / CAST(n_days AS DOUBLE)), 6) AS rmse_naive,
+                round(CASE WHEN sqrt(CAST(sn2 AS DOUBLE)
+                    / CAST(n_days AS DOUBLE)) > 0 THEN
+                  sqrt(CAST(sm AS DOUBLE) / CAST(n_days AS DOUBLE))
+                    / sqrt(CAST(sn2 AS DOUBLE)
+                      / CAST(n_days AS DOUBLE)) END, 6) AS theils_u2
+         FROM a""",
     // Grid-assigned activity quartiles (integer cum*4/N), per-stratum
     // exact cent outcome means, overall ATE = ordered-prefix weighted
     // fold read at the last stratum.

@@ -4352,6 +4352,106 @@ object Stats {
           roundScale).as("test_accuracy"))
   }
 
+  /** B-cubed clustering precision/recall (public: Bagga & Baldwin '98;
+    * the entity-resolution eval standard — Amigó et al. '09 showed it
+    * is the only common metric satisfying all four clustering-eval
+    * constraints): per ITEM, precision is the fraction of its predicted
+    * cluster sharing its gold class, recall the fraction of its gold
+    * class in its predicted cluster, averaged over items. Unlike the
+    * pair-counting ARI (see [[clusterAgreement]]), B-cubed weighs every
+    * item equally — one giant wrong cluster cannot hide behind many
+    * correct singletons.
+    *
+    * Scale shape: items collapse to the (gold, pred) contingency in one
+    * hash aggregate; per-cell masses n²/n_pred and n²/n_gold then fold
+    * by ordered prefix over the vocabulary-bounded cell grid (the
+    * cochranC contract for the float sums). */
+  def bcubed(df: DataFrame, goldCol: String, predCol: String,
+             roundScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cont = df
+      .select(col(goldCol).cast("string").as("__g"),
+        col(predCol).cast("string").as("__p"))
+      .filter(col("__g").isNotNull && col("__p").isNotNull)
+      .groupBy(col("__g"), col("__p")).agg(count(lit(1)).as("__n"))
+    // three consumers re-aggregate rather than checkpoint — keeps the
+    // Aggregate visible to the plan audit's structural window proof
+    val margP = cont.groupBy(col("__p")).agg(sum(col("__n")).as("__np"))
+    val margG = cont.groupBy(col("__g")).agg(sum(col("__n")).as("__ng"))
+    val wCum = Window.orderBy(col("__g"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lastOf = (c: Column) => max(struct(col("__g").as("g"),
+      col("__p").as("p"), c.as("c"))).getField("c")
+    val folded = cont
+      .join(margP.hint("broadcast"), Seq("__p"))
+      .join(margG.hint("broadcast"), Seq("__g"))
+      .withColumn("__pm", sum((col("__n") * col("__n")).cast("double")
+        / col("__np").cast("double")).over(wCum))
+      .withColumn("__rm", sum((col("__n") * col("__n")).cast("double")
+        / col("__ng").cast("double")).over(wCum))
+    val agg = folded.agg(sum(col("__n")).as("n_items"),
+      countDistinct(col("__p")).as("n_pred_clusters"),
+      countDistinct(col("__g")).as("n_gold_classes"),
+      lastOf(col("__pm")).as("__sp"), lastOf(col("__rm")).as("__sr"))
+    val nD = col("n_items").cast("double")
+    val p = col("__sp") / nD
+    val r = col("__sr") / nD
+    agg.select(col("n_items"), col("n_pred_clusters"),
+      col("n_gold_classes"),
+      round(p, roundScale).as("bcubed_precision"),
+      round(r, roundScale).as("bcubed_recall"),
+      round(when(p + r > 0, lit(2.0) * p * r / (p + r)), roundScale)
+        .as("bcubed_f1"))
+  }
+
+  /** V-measure (public: Rosenberg & Hirschberg, EMNLP '07) —
+    * homogeneity ("each predicted cluster holds ONE gold class") and
+    * completeness ("each gold class lands in ONE cluster") as
+    * conditional-entropy ratios, combined harmonically: the
+    * interpretable axis-pair the single NMI number ([[clusterAgreement]])
+    * blends away; same contingency input as [[bcubed]].
+    *
+    * Scale shape: the (gold, pred) contingency + two margins, entropy
+    * partials Σ c·ln c in the single-log fold form over the
+    * vocabulary-bounded grids (the clusterAgreement construction). */
+  def vMeasure(df: DataFrame, goldCol: String, predCol: String,
+               roundScale: Int = 6): DataFrame = {
+    val cont = df
+      .select(col(goldCol).cast("string").as("__g"),
+        col(predCol).cast("string").as("__p"))
+      .filter(col("__g").isNotNull && col("__p").isNotNull)
+      .groupBy(col("__g"), col("__p")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val clogc = (c: Column) =>
+      sum(c.cast("double") * log(c.cast("double")))
+    val cells = cont.agg(sum(col("__n")).as("__nn"),
+      clogc(col("__n")).as("__scell"))
+    val mp = cont.groupBy(col("__p")).agg(sum(col("__n")).as("__c"))
+      .agg(clogc(col("__c")).as("__sp"),
+        count(lit(1)).as("n_pred_clusters"))
+    val mg = cont.groupBy(col("__g")).agg(sum(col("__n")).as("__c"))
+      .agg(clogc(col("__c")).as("__sg"),
+        count(lit(1)).as("n_gold_classes"))
+    val j = cells.crossJoin(broadcast(mp)).crossJoin(broadcast(mg))
+    val nD = col("__nn").cast("double")
+    val lnN = log(nD)
+    // H(G) = ln n − Σ cg·ln cg / n, etc.; H(G|P) = (Σ cp·ln cp −
+    // Σ cell·ln cell)/n — all from the same partials
+    val hG = lnN - col("__sg") / nD
+    val hP = lnN - col("__sp") / nD
+    val hGgP = (col("__sp") - col("__scell")) / nD
+    val hPgG = (col("__sg") - col("__scell")) / nD
+    val hom = when(hG > 0, lit(1.0) - hGgP / hG).otherwise(lit(1.0))
+    val comp = when(hP > 0, lit(1.0) - hPgG / hP).otherwise(lit(1.0))
+    j.select(col("__nn").as("n_items"), col("n_pred_clusters"),
+      col("n_gold_classes"),
+      round(hom, roundScale).as("homogeneity"),
+      round(comp, roundScale).as("completeness"),
+      round(when(hom + comp > 0,
+        lit(2.0) * hom * comp / (hom + comp)), roundScale)
+        .as("v_measure"))
+  }
+
   /** Cochran's C test statistic (public: Cochran '41) — the
     * variance-outlier screen: C = max_j s_j² / Σ_j s_j², "is one group's
     * spread dominating the pooled picture", the dispersion-side

@@ -1189,6 +1189,47 @@ object TimeSeries {
         roundScale).as("mean_hour_signed"))
   }
 
+  /** Theil's U₂ forecast-quality ratio (public: Theil '66, the
+    * forecast-eval standard): RMSE(candidate)/RMSE(naive last-value) —
+    * U₂ < 1 means the candidate beats "predict yesterday", ≥ 1 means
+    * the model adds nothing; here the candidate is the week-over-week
+    * seasonal naive (the [[pinballEval]] forecaster), so the number
+    * reads "is there exploitable weekly structure". Scored only on
+    * days where BOTH forecasts exist.
+    *
+    * Scale shape: one daily aggregate + two calendar equi-joins
+    * (day−7 and day−1); squared errors of integer counts are exact
+    * integers, folded per group in one hash aggregate; two sqrt + one
+    * division at the end. */
+  def theilsU2(events: DataFrame, keyCol: String, tsCol: String,
+               roundScale: Int = 6): DataFrame = {
+    val daily = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("__g"),
+        date_trunc("day", col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__y"))
+    val joined = daily.as("cur")
+      .join(daily.as("wk"), col("cur.__g") === col("wk.__g") &&
+        col("cur.__day") === col("wk.__day") + expr("INTERVAL 7 DAYS"))
+      .join(daily.as("pv"), col("cur.__g") === col("pv.__g") &&
+        col("cur.__day") === col("pv.__day") + expr("INTERVAL 1 DAYS"))
+      .select(col("cur.__g").as("__g"), col("cur.__y").as("__y"),
+        col("wk.__y").as("__fm"), col("pv.__y").as("__fn"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val em = dec(col("__fm") - col("__y"))
+    val en = dec(col("__fn") - col("__y"))
+    val agg = joined.groupBy(col("__g").as(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(em * em).as("__sm"), sum(en * en).as("__sn"))
+    val nD = col("n_days").cast("double")
+    val rm = sqrt(col("__sm").cast("double") / nD)
+    val rn = sqrt(col("__sn").cast("double") / nD)
+    agg.select(col(keyCol), col("n_days"),
+      round(rm, roundScale).as("rmse_seasonal"),
+      round(rn, roundScale).as("rmse_naive"),
+      round(when(rn > 0, rm / rn), roundScale).as("theils_u2"))
+  }
+
   def pageHinkleyDaily(events: DataFrame, keyCol: String, tsCol: String,
                        roundScale: Int = 6): DataFrame = {
     val daily = events

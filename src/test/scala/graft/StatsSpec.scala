@@ -1911,6 +1911,38 @@ class StatsSpec extends SparkSuite {
     assert(out(1L).getDouble(5) === r6(2.0 / 3))
   }
 
+  test("bcubed: hand-computed item-weighted precision/recall") {
+    // G={x,x,y,y}, P={1,1,1,2}: P=2/3, R=3/4, F=12/17
+    val df = Seq(("x", "1"), ("x", "1"), ("y", "1"), ("y", "2"))
+      .toDF("g", "p")
+    val r = Stats.bcubed(df, "g", "p").collect().head
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) === 4L)
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L)
+    assert(r.getDouble(3) === r6(2.0 / 3))
+    assert(r.getDouble(4) === 0.75)
+    assert(r.getDouble(5) === r6(12.0 / 17))
+    // perfect clustering scores 1 on all three
+    val perf = Seq(("x", "1"), ("x", "1"), ("y", "2")).toDF("g", "p")
+    val q = Stats.bcubed(perf, "g", "p").collect().head
+    assert(q.getDouble(3) === 1.0 && q.getDouble(4) === 1.0 &&
+      q.getDouble(5) === 1.0)
+  }
+
+  test("vMeasure: perfect = 1, one-cluster collapse = homogeneity 0") {
+    val perf = Seq(("x", "1"), ("x", "1"), ("y", "2")).toDF("g", "p")
+    val p = Stats.vMeasure(perf, "g", "p").collect().head
+    assert(p.getDouble(3) === 1.0 && p.getDouble(4) === 1.0 &&
+      p.getDouble(5) === 1.0)
+    // two gold classes into one cluster: hom 0, comp 1 (H(P)=0), V 0
+    val coll = Seq(("x", "1"), ("y", "1")).toDF("g", "p")
+    val c = Stats.vMeasure(coll, "g", "p").collect().head
+    assert(c.getDouble(3) === 0.0)
+    assert(c.getDouble(4) === 1.0)
+    assert(c.getDouble(5) === 0.0)
+  }
+
   test("quadeTest: hand-computed range-weighted statistic") {
     // b=3 blocks, k=3; ranges 2,4,2 -> Q = 1.5, 3, 1.5
     // S_j = (-4.5, -1.5, 6); A=27, B=19.5, T = 2*19.5/7.5 = 5.2

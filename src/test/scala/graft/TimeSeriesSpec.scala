@@ -548,6 +548,21 @@ class TimeSeriesSpec extends SparkSuite {
     assert(math.abs(r.getDouble(4) - 6.0) < 1e-5, "mean hour ~ 6")
   }
 
+  test("theilsU2: exact RMSE ratio on the doubly-forecastable day") {
+    import org.apache.spark.sql.functions._
+    val day = 86400000000L
+    // counts d0=2 d1=4 d7=2 d8=6: only day 8 has both forecasts;
+    // seasonal err -2, naive err -4 -> U2 = 0.5
+    val rows = Seq.fill(2)(("a", 0L)) ++ Seq.fill(4)(("a", 1L * day)) ++
+      Seq.fill(2)(("a", 7L * day)) ++ Seq.fill(6)(("a", 8L * day))
+    val df = rows.toDF("g", "us")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val r = TimeSeries.theilsU2(df, "g", "ts").collect().head
+    assert(r.getLong(1) === 1L)
+    assert(r.getDouble(2) === 2.0 && r.getDouble(3) === 4.0)
+    assert(r.getDouble(4) === 0.5)
+  }
+
   test("pageHinkleyDaily: ramp excursion and alarm day, flat series reads 0") {
     import org.apache.spark.sql.functions._
     val day = 86400000000L
