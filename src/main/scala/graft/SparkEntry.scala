@@ -14221,22 +14221,26 @@ object SparkEntry {
                       FROM dd),
               lim AS (SELECT n,
                         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
-                        sqrt(CAST(n * ss - s * s AS DOUBLE)
-                          / CAST(n * (n - 1) AS DOUBLE)) AS sd
+                        CASE WHEN n > 1 THEN
+                          sqrt(CAST(n * ss - s * s AS DOUBLE)
+                            / CAST(n * (n - 1) AS DOUBLE)) END AS sd
                       FROM mom),
-              lim2 AS (SELECT n, m, sd, m - 1.96 * sd AS lo,
-                         m + 1.96 * sd AS hi
+              lim2 AS (SELECT n, m, sd,
+                         CASE WHEN n > 1 THEN m - 1.96 * sd END AS lo,
+                         CASE WHEN n > 1 THEN m + 1.96 * sd END AS hi
                        FROM lim)
          SELECT max(l.n) AS n, round(max(l.m), 6) AS bias,
                 round(max(l.sd), 6) AS sd_diff,
                 round(max(l.lo), 6) AS loa_lower,
                 round(max(l.hi), 6) AS loa_upper,
-                CAST(sum(CASE WHEN CAST(dd.d AS DOUBLE) < l.lo
-                  OR CAST(dd.d AS DOUBLE) > l.hi THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_outside,
-                round(CAST(sum(CASE WHEN CAST(dd.d AS DOUBLE) < l.lo
-                  OR CAST(dd.d AS DOUBLE) > l.hi THEN 1 ELSE 0 END)
-                  AS DOUBLE) / CAST(max(l.n) AS DOUBLE), 6)
+                CASE WHEN max(l.n) > 1 THEN
+                  CAST(sum(CASE WHEN CAST(dd.d AS DOUBLE) < l.lo
+                    OR CAST(dd.d AS DOUBLE) > l.hi THEN 1 ELSE 0 END)
+                    AS BIGINT) END AS n_outside,
+                CASE WHEN max(l.n) > 1 THEN
+                  round(CAST(sum(CASE WHEN CAST(dd.d AS DOUBLE) < l.lo
+                    OR CAST(dd.d AS DOUBLE) > l.hi THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(max(l.n) AS DOUBLE), 6) END
                   AS pct_outside
          FROM dd, lim2 l""",
     // Midrank Borda points over the voter x candidate grid; dyadic

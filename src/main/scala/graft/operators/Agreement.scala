@@ -527,17 +527,23 @@ object Agreement {
     val sdD = sqrt((col("n").cast("decimal(38,0)") * col("__ss")
       - col("__s") * col("__s")).cast("double") /
       (col("n") * (col("n") - 1)).cast("double"))
-    val lim = mom.select(col("n"), meanD.as("__m"), sdD.as("__sd"),
-      (meanD - lit(1.96) * sdD).as("__lo"),
-      (meanD + lit(1.96) * sdD).as("__hi"))
+    // n > 1 guard: a single paired unit has no sd (0/0 → NaN, which
+    // propagates into the limits and diverges across engines) — null
+    // out sd, the limits, and the outside counts like the sibling
+    // degenerate-count operators (cochranC, smdBalance)
+    val lim = mom.select(col("n"), meanD.as("__m"),
+      when(col("n") > 1, sdD).as("__sd"),
+      when(col("n") > 1, meanD - lit(1.96) * sdD).as("__lo"),
+      when(col("n") > 1, meanD + lit(1.96) * sdD).as("__hi"))
     base.crossJoin(broadcast(lim))
       .agg(max(col("n")).as("n"),
         round(max(col("__m")), roundScale).as("bias"),
         round(max(col("__sd")), roundScale).as("sd_diff"),
         round(max(col("__lo")), roundScale).as("loa_lower"),
         round(max(col("__hi")), roundScale).as("loa_upper"),
-        sum(when(col("__d").cast("double") < col("__lo")
-          || col("__d").cast("double") > col("__hi"), 1L).otherwise(0L))
+        when(max(col("n")) > 1,
+          sum(when(col("__d").cast("double") < col("__lo")
+            || col("__d").cast("double") > col("__hi"), 1L).otherwise(0L)))
           .as("n_outside"))
       .withColumn("pct_outside", round(col("n_outside").cast("double")
         / col("n").cast("double"), roundScale))

@@ -274,19 +274,38 @@ object Graph {
     * iteration every node adopts the most frequent label among its
     * neighbors, ties broken by the SMALLEST label — argmax count then min
     * label makes the update a total function, so the unrolled result is
-    * oracle-checkable. Fixed synchronous rounds rather than
-    * run-to-convergence: convergence-tested LPA is order-dependent (and
-    * can oscillate on bipartite structure — a known property, not a bug);
-    * fixed rounds make the output a deterministic function of the input.
+    * oracle-checkable. Synchronous rounds up to a FIXED cap, with a
+    * zero-change early exit (r14): each round is a deterministic function
+    * of the label table, so a round that changes NO label is a fixed
+    * point and every remaining round is an identical no-op — stopping
+    * there returns bit-for-bit the fixed-round result (spec-pinned
+    * against the lazily-unrolled twin in GraphSpec). Convergence-tested
+    * LPA in the order-dependent/asynchronous sense stays out: bipartite
+    * structure can oscillate forever (a known property, not a bug), so
+    * the cap still bounds the loop and the output stays a deterministic
+    * function of the input.
     *
     * Scale shape per iteration: ONE equi-join of labels onto the edge
     * list + TWO hash aggregates (label counts per dst, then argmax via
-    * `min_by` over (−count, label) — no window, no per-node sort).
+    * `min_by` over (−count, label) — no window, no per-node sort), then a
+    * |V|-row change count on the checkpointed label tables (both sides
+    * id-hash partitioned — the kCoreRun 1-row monotone check shape).
     * Shuffle ∝ |E|; the label table never exceeds |V| rows. */
   def labelPropagation(edges: DataFrame, iters: Int,
-                       labelOf: Column => Column = identity): DataFrame = {
+                       labelOf: Column => Column = identity): DataFrame =
+    labelPropagationRun(edges, iters, labelOf).labels
+
+  /** Telemetry carrier for [[labelPropagation]]: the final label table
+    * plus the number of rounds actually executed (< iters when the
+    * zero-change early exit fired). */
+  final case class LabelPropRun(labels: DataFrame, rounds: Int)
+
+  /** [[labelPropagation]] with round telemetry — same contract, same
+    * result; see the scaladoc there. */
+  def labelPropagationRun(edges: DataFrame, iters: Int,
+                          labelOf: Column => Column = identity): LabelPropRun = {
     require(iters >= 1 && iters <= 8,
-      s"iters must be in [1, 8] (fixed, unrolled plan): $iters")
+      s"iters must be in [1, 8] (fixed cap, bounded loop): $iters")
     // same iteration shape as pageRank: edges pre-partitioned on the join
     // key and cached (shuffled once), the |V|-sized label table joins via
     // shuffle-hash — no per-iteration |E| sort, no broadcast assumption
@@ -299,7 +318,10 @@ object Graph {
     // ORDERING defines the min-label tie-break) stay in the original
     // domain; identity preserves the classic labels-start-as-ids form
     var labels = nodes.withColumn("label", labelOf(col("id")))
-    (1 to iters).foreach { _ =>
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
       // ONE exchange per round (r13): repartition the joined stream by
       // dst BEFORE aggregating — dst-hash co-locates every (dst, label)
       // AND every dst, so both the count and the argmax aggregate run
@@ -314,15 +336,26 @@ object Graph {
         .select(col("dst"), col("label"))
         .repartition(col("dst"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("__c"))
-      labels = counts.groupBy(col("dst"))
+      val next = counts.groupBy(col("dst"))
         .agg(min_by(col("label"),
           struct((-col("__c")).as("nc"), col("label").as("lb"))).as("label"))
         .select(col("dst").as("id"), col("label"))
+        .localCheckpoint()
+      round += 1
+      if (round < iters) {
+        // zero-change fixed-point check: both sides are checkpointed
+        // |V|-row tables (labels seeded/aggregated on id — non-null), so
+        // the probe is one small equi-join, never touches |E|
+        val changed = next
+          .join(labels.withColumnRenamed("label", "__prev"), Seq("id"))
+          .filter(col("label") =!= col("__prev"))
+          .limit(1).count()
+        converged = changed == 0L
+      }
+      labels = next
     }
-    // same cache discipline as pageRank: materialize, then release
-    val out = labels.localCheckpoint()
     e.unpersist()
-    out
+    LabelPropRun(labels, round)
   }
 
   /** k-core: the maximal subgraph where every node keeps degree ≥ k

@@ -859,25 +859,11 @@ object TimeSeries {
           roundScale).as("perm_entropy"))
   }
 
-  /** Page–Hinkley change detector (public: Page, Biometrika '54; the
-    * Hinkley '71 running-mean form every stream-drift library ships)
-    * over each group's daily count series: mₜ = Σᵢ(yᵢ − ȳᵢ) accumulates
-    * deviations from the RUNNING mean, and PH = max(mₜ − min m) is the
-    * largest upward excursion — a mean shift shows as a ramp, noise
-    * cancels. The batch twin of the streaming CUSUM monitors
-    * (EventStreams), reporting the alarm day beside the statistic.
-    *
-    * Scale shape: one hash aggregate to the (group, day) grid, then
-    * three ordered prefix windows over that calendar-bounded grid
-    * (running mean, deviation cumsum, running min) — the ks/ewma
-    * ordered-prefix contract; the arg-max ties break to the EARLIEST
-    * day. Gap days are absent rows, not zeros (the pre-densify
-    * adfDaily convention, documented). */
   /** Holt's linear (double-exponential) smoothing over each group's
     * daily count series (public: Holt '57 / Winters '60, the
     * trend-aware upgrade of the EWMA): level and trend update as
     * ℓ' = α·y + (1−α)(ℓ+b), b' = β(ℓ'−ℓ) + (1−β)b, seeded with
-    * ℓ = y₁, b = y₂−y₁. Emits the final state, the one-step-ahead
+    * ℓ = y₂, b = y₂−y₁. Emits the final state, the one-step-ahead
     * forecast ℓ+b and the in-sample RMSE of the one-step forecasts —
     * the capacity-planning readout beside [[pageHinkleyDaily]]'s alarm.
     *
@@ -1230,6 +1216,20 @@ object TimeSeries {
       round(when(rn > 0, rm / rn), roundScale).as("theils_u2"))
   }
 
+  /** Page–Hinkley change detector (public: Page, Biometrika '54; the
+    * Hinkley '71 running-mean form every stream-drift library ships)
+    * over each group's daily count series: mₜ = Σᵢ(yᵢ − ȳᵢ) accumulates
+    * deviations from the RUNNING mean, and PH = max(mₜ − min m) is the
+    * largest upward excursion — a mean shift shows as a ramp, noise
+    * cancels. The batch twin of the streaming CUSUM monitors
+    * (EventStreams), reporting the alarm day beside the statistic.
+    *
+    * Scale shape: one hash aggregate to the (group, day) grid, then
+    * three ordered prefix windows over that calendar-bounded grid
+    * (running mean, deviation cumsum, running min) — the ks/ewma
+    * ordered-prefix contract; the arg-max ties break to the EARLIEST
+    * day. Gap days are absent rows, not zeros (the pre-densify
+    * adfDaily convention, documented). */
   def pageHinkleyDaily(events: DataFrame, keyCol: String, tsCol: String,
                        roundScale: Int = 6): DataFrame = {
     val daily = events

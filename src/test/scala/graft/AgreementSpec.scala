@@ -355,6 +355,16 @@ class AgreementSpec extends SparkSuite {
     assert(r.getLong(5) === 0L && r.getDouble(6) === 0.0)
   }
 
+  test("blandAltman: single paired unit yields null sd/limits/outside " +
+    "(no NaN propagation)") {
+    val one = Seq((3L, 1L)).toDF("m1", "m2")
+    val r = Agreement.blandAltman(one, "m1", "m2").collect().head
+    assert(r.getLong(0) === 1L)
+    assert(r.getDouble(1) === 2.0) // bias is still well-defined
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+    assert(r.isNullAt(5) && r.isNullAt(6))
+  }
+
   test("bordaCount: midrank point split on ties, consensus rank") {
     // v1: a>b>c (2,1,0); v2: b=c tied first (1.5 each), a last (0)
     val ballots = Seq(("v1", "a", 3.0), ("v1", "b", 2.0), ("v1", "c", 1.0),

@@ -114,6 +114,40 @@ class GraphSpec extends SparkSuite {
       Graph.personalizedPageRank(edges, seeds.filter($"id" === "zz"), 3))
   }
 
+  test("labelPropagation: zero-change early exit returns the fixed-round " +
+    "result bit-for-bit (unrolled twin) and reports the short round count") {
+    // a single triangle converges: r1 = (a→b, b→a, c→a), r2 = all "a",
+    // r3 = r2 → the zero-change probe fires after round 3 and rounds 4-8
+    // are skipped as provable no-ops
+    val und = Seq(("a", "b"), ("a", "c"), ("b", "c"))
+    val tri = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val run = Graph.labelPropagationRun(tri, 8)
+    assert(run.rounds === 3, s"expected early exit after round 3: $run")
+    // lazily-unrolled 8-round twin: the same round body folded with no
+    // checkpoint and no exit — the pre-r14 fixed-round plan
+    import org.apache.spark.sql.functions._
+    val e = tri.select(col("src"), col("dst"))
+    var twin = e.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    (1 to 8).foreach { _ =>
+      val counts = e.join(
+          twin.select(col("id").as("__u"), col("label")), e("src") === col("__u"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("__c"))
+      twin = counts.groupBy(col("dst"))
+        .agg(min_by(col("label"),
+          struct((-col("__c")).as("nc"), col("label").as("lb"))).as("label"))
+        .select(col("dst").as("id"), col("label"))
+    }
+    val got = run.labels.as[(String, String)].collect().toMap
+    val want = twin.as[(String, String)].collect().toMap
+    assert(got === want, s"early-exit result diverged from unrolled twin")
+
+    // a 2-node oscillator never reaches a fixed point: the cap holds and
+    // every round runs (the bipartite-oscillation contract in the doc)
+    val osc = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    assert(Graph.labelPropagationRun(osc, 4).rounds === 4)
+  }
+
   test("labelPropagation validates its arguments") {
     val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.labelPropagation(edges, 0))

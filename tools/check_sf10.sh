@@ -23,7 +23,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SF10=/root/repo/data_sf10
-SAMPLE=q1_pricing_summary,q_anova,q_dedup_exact,q_golden_record,q_fellegi_sunter,q_incremental_cc,q_semantic_dedup,q_density_clusters,q_spearman,q_range_join_bucketed,q_stats_agg,q_filter_project
+# r14: +4 heaviest round-13 session-2 shapes (iterative BFS, distinct-
+# cell grid, in-codegen array fold, V_a x V_b grid) -> 16-query sample
+SAMPLE=q1_pricing_summary,q_anova,q_dedup_exact,q_golden_record,q_fellegi_sunter,q_incremental_cc,q_semantic_dedup,q_density_clusters,q_spearman,q_range_join_bucketed,q_stats_agg,q_filter_project,q_landmark_bfs,q_chatterjee,q_holt_linear,q_hodges_lehmann
 HEAVY=q_pagerank,q_hits,q_label_prop,q_ppr,q_triangles,q_ktruss,q_kcore,q_semantic_dedup,q_density_clusters,q_spearman,q_range_join_bucketed,q_fellegi_sunter,q_golden_record,q_incremental_cc
 
 if [ ! -d "$SF10" ]; then
