@@ -317,8 +317,9 @@ object Graph {
     // exchange on a cheap surrogate id while the label values (whose
     // ORDERING defines the min-label tie-break) stay in the original
     // domain; identity preserves the classic labels-start-as-ids form
+    // the seed stays LAZY: round 1's job folds the distinct + seed into
+    // its own join (the r13 fused shape) — no separate |V| job for it
     var labels = nodes.withColumn("label", labelOf(col("id")))
-      .localCheckpoint()
     var round = 0
     var converged = false
     while (round < iters && !converged) {
@@ -342,10 +343,14 @@ object Graph {
         .select(col("dst").as("id"), col("label"))
         .localCheckpoint()
       round += 1
-      if (round < iters) {
-        // zero-change fixed-point check: both sides are checkpointed
-        // |V|-row tables (labels seeded/aggregated on id — non-null), so
-        // the probe is one small equi-join, never touches |E|
+      // zero-change fixed-point check: both sides are checkpointed
+      // |V|-row tables (labels seeded/aggregated on id — non-null), so
+      // the probe is one small equi-join, never touches |E|. Skipped
+      // after round 1: labels start pairwise-distinct, so on any
+      // self-loop-free graph round 1 relabels every node with an edge
+      // and the check cannot fire (a pure-self-loop graph just runs its
+      // remaining no-op rounds — same result, no wrong exit).
+      if (round >= 2 && round < iters) {
         val changed = next
           .join(labels.withColumnRenamed("label", "__prev"), Seq("id"))
           .filter(col("label") =!= col("__prev"))
