@@ -32,12 +32,18 @@ object GraphScale {
     val workDir = args(2)
     val family = if (args.length > 3) args(3) else "all"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // partition sizing is the 100-TB knob under test: at sf100 the
+    // per-round |E| exchange is ~19 GB — 32 partitions put ~37M rows in
+    // each sort/hash and spill-thrash; scale partitions with the data so
+    // each stays executor-memory-sized (the BASELINE.md cliff diagnosis)
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    println(s"GRAPHSCALE shuffle.partitions=$shuffleParts")
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
 

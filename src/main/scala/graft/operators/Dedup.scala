@@ -529,6 +529,27 @@ object Dedup {
       s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     require(threshold >= 0.0 && threshold <= 1.0,
       s"threshold must be in [0,1]: $threshold")
+    // exact-copy collapse (r14): identical tokenizable texts share every
+    // band and re-rank at Jaccard 1.0, so every copy above the MIN id of
+    // its text group is rejected UNCONDITIONALLY (rejection-by-lower-id
+    // never requires the lower-id doc itself to survive), and that min-id
+    // copy participates in every other candidate pair exactly as its
+    // copies would (same token set, same bands, same id-order cases) —
+    // so admitting over the representatives is outcome-identical while
+    // the candidate/intersection work drops from Σ c² band pairs per
+    // c-copy group to ∝ DISTINCT texts. A replicated crawl is exactly
+    // this regime: the r14 StreamScale probe measured ~100 s/batch on a
+    // 10×-verbatim corpus before the collapse. Zero-token docs are
+    // exempt (they produce no bands, so ALL copies admit today — the
+    // collapse must not invent a rejection for them).
+    val hasTok = size(TextFunctions.tokens(col(textCol))) >= 1
+    val collapsed = batch
+      .join(batch.filter(hasTok)
+          .groupBy(xxhash64(col(textCol)).as("__fp"))
+          .agg(min(col(idCol)).as(idCol))
+          .select(col(idCol)),
+        Seq(idCol), "left_semi")
+      .unionByName(batch.filter(!hasTok))
     // batch-side frames feed 2-3 consumers each (cross/within candidate
     // joins; union + sizes + intersection) — cache them: they are bounded
     // by the micro-batch, and uncached the tokenize+minhash pipeline
@@ -537,7 +558,7 @@ object Dedup {
     // corpus-sized at scale, and its two passes (sizes + intersection
     // probe) are the price of not pinning the corpus in executor storage.
     val bBand = bandHashes(
-      minHashSignatures(batch, idCol, textCol, numHashes), idCol, rowsPerBand)
+      minHashSignatures(collapsed, idCol, textCol, numHashes), idCol, rowsPerBand)
       .cache()
     val dBand = bandHashes(
       minHashSignatures(dest, idCol, textCol, numHashes), idCol, rowsPerBand)
@@ -551,7 +572,7 @@ object Dedup {
       .filter(col("__old") < col("__new"))
       .select(col("__new"), col("__old"))
     val cand = candCross.unionByName(candWithin).distinct()
-    val bTok = tokenSets(batch, idCol, textCol)
+    val bTok = tokenSets(collapsed, idCol, textCol)
       .select(col(idCol).as("__new"), col("token")).cache()
     val oldTok = tokenSets(dest, idCol, textCol)
       .select(col(idCol).as("__old"), col("token"))
@@ -572,7 +593,9 @@ object Dedup {
       .filter(col("__ni").cast("double")
         / (col("__nn") + col("__no") - col("__ni")).cast("double") >= threshold)
       .select(col("__new").as(idCol)).distinct()
-    batch.join(rejected, Seq(idCol), "left_anti")
+    // anti-join over the COLLAPSED frame: non-representative exact copies
+    // are already out (they are rejected by their group's min id)
+    collapsed.join(rejected, Seq(idCol), "left_anti")
   }
 
   /** SimHash near-duplicate pairs: block on `bands` equal-width bit bands

@@ -442,8 +442,13 @@ object Graph {
     require(k >= 1, s"k must be >= 1: $k")
     require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
     // broadcast the removed ids / decrement table only while provably
-    // small (same discipline as kTrussRun)
-    val bcastLimit = 1000000L
+    // small (same discipline as kTrussRun). 8M rows ≈ 64 MB of longs —
+    // comfortably inside Spark's broadcast ceiling and any executor
+    // heap, and far cheaper than the alternative: the r14 sf100 soak
+    // caught round 1's ~2M-row removed set falling off the old 1M-row
+    // bound and paying two full-|E| exchanges for a set a map-side
+    // semi-join handles (the broadcast-bound crossing WAS the cliff)
+    val bcastLimit = 8000000L
     var e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint()
@@ -886,8 +891,10 @@ object Graph {
     require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
     // broadcast the removed set / decrement table only while provably
     // small — a first round that peels most of a sparse graph must not
-    // be forced through a driver-sized broadcast
-    val bcastLimit = 1000000L
+    // be forced through a driver-sized broadcast. 8M rows ≈ 64 MB of
+    // edge pairs: see the kCoreRun note — the r14 sf100 soak showed the
+    // bound crossing, not the peel, sets the wall clock
+    val bcastLimit = 8000000L
     val canon = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
