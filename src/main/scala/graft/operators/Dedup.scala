@@ -543,6 +543,9 @@ object Dedup {
     // exempt (they produce no bands, so ALL copies admit today — the
     // collapse must not invent a rejection for them).
     val hasTok = size(TextFunctions.tokens(col(textCol))) >= 1
+    // cached like bBand/bTok below: batch-bounded, three consumers
+    // (signatures, token sets, final anti-join) — uncached each would
+    // re-run the collapse subtree and triple the batch scans
     val collapsed = batch
       .join(batch.filter(hasTok)
           .groupBy(xxhash64(col(textCol)).as("__fp"))
@@ -550,6 +553,7 @@ object Dedup {
           .select(col(idCol)),
         Seq(idCol), "left_semi")
       .unionByName(batch.filter(!hasTok))
+      .cache()
     // batch-side frames feed 2-3 consumers each (cross/within candidate
     // joins; union + sizes + intersection) — cache them: they are bounded
     // by the micro-batch, and uncached the tokenize+minhash pipeline
