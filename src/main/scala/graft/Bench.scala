@@ -60,6 +60,12 @@ object Bench {
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
+    // The driver's BENCH_rN.json keeps only a ~2 KB tail of stdout, and
+    // the full per-query line above is ~20 KB — so the round record used
+    // to carry a fragment. Print a compact total/errors summary as the
+    // LAST stdout line so the tail always carries the headline numbers;
+    // bench_summary.json (below) stays the full per-query record.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries_n":${results.length},"errors":$errs,"sf":"$sfDir","full_record":"bench_summary.json"}""")
     // Also persist the line verbatim: the driver's BENCH_r*.json records
     // only a truncated stdout tail ("parsed": null), so without this the
     // round record carries fragments instead of exact totals. Path

@@ -99,6 +99,46 @@ object GraphScale {
       run.labels.unpersist()
     }
 
+    // r15 (r14 verdict task #4): the remaining iterative leaders on the
+    // SAME persisted pair parquet as labelprop — pagerank/ppr run both
+    // directions of the (2·pk, 2·sk+1) long graph, hits the directed
+    // form, exactly the q_pagerank/q_hits/q_ppr constructions.
+    if (family == "pagerank" || family == "hits" || family == "ppr") {
+      val pairs = persisted("lp_pairs") {
+        replicate(li.select(col("l_partkey").as("pk"),
+          col("l_suppkey").as("sk")).distinct(), Seq("pk", "sk"))
+      }
+      val ps = pairs.select((col("pk") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      lazy val und = ps.unionByName(
+        ps.select(col("dst").as("src"), col("src").as("dst")))
+      if (family == "pagerank") {
+        println(s"GRAPHSCALE pagerank edges=${und.count()}")
+        timed("pagerank") {
+          val n = graft.operators.Graph.pageRank(und, 3).count()
+          println(s"GRAPHSCALE pagerank nodes=$n")
+        }
+      }
+      if (family == "hits") {
+        println(s"GRAPHSCALE hits edges=${ps.count()}")
+        timed("hits") {
+          val n = graft.operators.Graph.hits(ps, 3).count()
+          println(s"GRAPHSCALE hits nodes=$n")
+        }
+      }
+      if (family == "ppr") {
+        // q_ppr's exact seed set: the five base s0–s4 suppliers — fixed
+        // personalization over a growing graph, the production regime
+        val seeds = li.filter(col("l_suppkey") < 5)
+          .select(col("l_suppkey")).distinct()
+          .select((col("l_suppkey") * 2 + 1).as("id"))
+        println(s"GRAPHSCALE ppr edges=${und.count()} seeds=5")
+        timed("ppr") {
+          val n = graft.operators.Graph.personalizedPageRank(und, seeds, 3).count()
+          println(s"GRAPHSCALE ppr nodes=$n")
+        }
+      }
+    }
+
     if (family == "all" || family == "kcore") {
       // exact q_kcore pair build (co-ordered parts, 7% hash sample)
       val pp = persisted("kcore_pairs") {

@@ -519,9 +519,10 @@ object Dedup {
     * token join over candidate survivors (both ∝ collisions, and at
     * production scale the destination's band hashes/token sets are
     * precomputed at ingest); every other term is ∝ batch. Empty-text
-    * docs have no tokens, hence no bands and no candidates — they are
-    * always admitted here; exact duplicates of them belong to the
-    * exact-key dedup stage. */
+    * docs (null included — the tokenizer's NULL result is coalesced to
+    * the same exempt branch) have no tokens, hence no bands and no
+    * candidates — they are always admitted here; exact duplicates of
+    * them belong to the exact-key dedup stage. */
   def admitNearDups(batch: DataFrame, dest: DataFrame, idCol: String,
                     textCol: String, numHashes: Int, rowsPerBand: Int,
                     threshold: Double): DataFrame = {
@@ -542,13 +543,24 @@ object Dedup {
     // 10×-verbatim corpus before the collapse. Zero-token docs are
     // exempt (they produce no bands, so ALL copies admit today — the
     // collapse must not invent a rejection for them).
-    val hasTok = size(TextFunctions.tokens(col(textCol))) >= 1
+    // null-safe (r15): under ANSI semantics tokens(null) is NULL, so a
+    // bare `size(...) >= 1` is NULL on null-text rows and they would
+    // fail BOTH branches below — vanishing from the output instead of
+    // taking the always-admitted exempt path the contract promises for
+    // un-tokenizable docs. coalesce routes them with the empty-text rows.
+    val hasTok = coalesce(size(TextFunctions.tokens(col(textCol))) >= 1,
+      lit(false))
     // cached like bBand/bTok below: batch-bounded, three consumers
     // (signatures, token sets, final anti-join) — uncached each would
-    // re-run the collapse subtree and triple the batch scans
+    // re-run the collapse subtree and triple the batch scans.
+    // The collapse groups on the house md5 fingerprint (r15): a 64-bit
+    // xxhash64 collision between two DISTINCT texts would have silently
+    // dropped one of them with no Jaccard re-rank backstop; at 128 bits
+    // an accidental merge is practically impossible, and the fingerprint
+    // matches benchContamination's exact-copy expansion convention.
     val collapsed = batch
       .join(batch.filter(hasTok)
-          .groupBy(xxhash64(col(textCol)).as("__fp"))
+          .groupBy(md5(col(textCol)).as("__fp"))
           .agg(min(col(idCol)).as(idCol))
           .select(col(idCol)),
         Seq(idCol), "left_semi")

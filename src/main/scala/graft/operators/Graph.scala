@@ -11,6 +11,43 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Data-proportional shuffle width for the iterative graph family
+    * (r15). The session default is sized for the bench SF; at |E| ≳ 10⁸
+    * the per-round |E|-scale exchanges put tens of millions of rows in
+    * each task and spill-thrash — the r14 sf100 experiment measured
+    * 32 → 256 partitions = −32% wall on labelPropagation. AQE coalesces
+    * partitions DOWN but never splits them up, so the width has to be
+    * right before the first exchange, from the operator itself — not a
+    * probe-time env knob. Derived from the SUM OF LEAF SCAN BYTES of the
+    * input's optimized plan (zero-cost, no action: parquet scans report
+    * file bytes) at ~32 MB per partition — on the sf100 label-prop graph
+    * (1.18 B edge rows read from a persisted pair parquet) this lands
+    * near the experimentally-best 256. Leaf bytes, NOT full-plan stats:
+    * the size-only estimator multiplies through joins (a bench-SF
+    * self-join "estimates" terabytes and would pin 2048 tiny
+    * partitions), while leaf sums can only UNDER-estimate a computed
+    * blow-up — degrading to the session default, i.e. exactly the r14
+    * shape. Floors at the session default (bench-scale plans stay
+    * byte-identical: callers keep the ADAPTIVE no-width repartition
+    * there), caps at 2048, and treats a saturated sum (≥ 2⁴⁷ bytes —
+    * the default-size sentinel of stat-less leaves like checkpoints)
+    * as unknown → session default. */
+  private[graft] def edgeWidth(edges: DataFrame): Int = {
+    val base = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val bytes = edges.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    if (bytes >= (BigInt(1) << 47)) base
+    else math.max(base, math.min(2048L, (bytes / (32L << 20)).toLong + 1L).toInt)
+  }
+
+  /** `repartition` that stays ADAPTIVE (no pinned width, AQE-coalescible
+    * — the bench-SF plan of every caller, unchanged from r14) unless the
+    * sized width exceeds the session default. */
+  private def repartitionBy(df: DataFrame, width: Int, cols: Column*): DataFrame = {
+    val base = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (width > base) df.repartition(width, cols: _*) else df.repartition(cols: _*)
+  }
+
   /** PageRank with a FIXED iteration count (public: Page et al. '99) —
     * fixed rather than convergence-tested so the result is a
     * deterministic, oracle-checkable function of the input.
@@ -114,9 +151,11 @@ object Graph {
     // the edge list is the big invariant side of every iteration's join:
     // pre-partition it on the join key ONCE and cache — InMemoryRelation
     // preserves the partitioning, so each iteration shuffles only the
-    // |V|-sized weight table, never |E| again
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).cache()
+    // |V|-sized weight table, never |E| again. Width is data-sized (r15,
+    // see edgeWidth): every iteration's probe side runs in these
+    // partitions, so an under-partitioned cache spills 10× per run.
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = repartitionBy(e0, edgeWidth(e0), col("src")).cache()
     // the node table CARRIES outdeg (r13: fused — outdeg is static, so
     // joining a separate |V| outdeg table against the rank table every
     // round paid one |V|-vs-|V| join per iteration for nothing); it is
@@ -178,9 +217,10 @@ object Graph {
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 4,
       s"iters must be in [1, 4] (integer-exact growth bound): $iters")
-    val eSrc = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("src")).cache()
-    val eDst = eSrc.repartition(col("dst")).cache()
+    val e0 = edges.select(col("src"), col("dst")).distinct()
+    val w = edgeWidth(e0)
+    val eSrc = repartitionBy(e0, w, col("src")).cache()
+    val eDst = repartitionBy(eSrc, w, col("dst")).cache()
     val nodes = eSrc.select(col("src").as("id"))
       .unionByName(eSrc.select(col("dst").as("id"))).distinct().cache()
     var h = nodes.withColumn("val", lit(1.0))
@@ -231,8 +271,9 @@ object Graph {
     require(iters >= 1 && iters <= 10,
       s"iters must be in [1, 10] (fixed, unrolled plan): $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1): $damping")
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).cache()
+    // same data-sized width as pageRank (r15, see edgeWidth)
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = repartitionBy(e0, edgeWidth(e0), col("src")).cache()
     val seedIds = seeds.select(col("id")).distinct().cache()
     val nSeeds = seedIds.count()
     require(nSeeds > 0, "personalizedPageRank needs a non-empty seed set")
@@ -308,9 +349,12 @@ object Graph {
       s"iters must be in [1, 8] (fixed cap, bounded loop): $iters")
     // same iteration shape as pageRank: edges pre-partitioned on the join
     // key and cached (shuffled once), the |V|-sized label table joins via
-    // shuffle-hash — no per-iteration |E| sort, no broadcast assumption
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).cache()
+    // shuffle-hash — no per-iteration |E| sort, no broadcast assumption.
+    // Width is data-sized (r15, edgeWidth): the sf100 probe measured the
+    // session default costing +47% on this exact operator.
+    val e0 = edges.select(col("src"), col("dst"))
+    val w = edgeWidth(e0)
+    val e = repartitionBy(e0, w, col("src")).cache()
     val nodes = e.select(col("src").as("id")).distinct()
     // labelOf (r13): seed labels as a FUNCTION of the node id — callers
     // with an expensive id domain (built strings) can run every join and
@@ -331,11 +375,11 @@ object Graph {
       // are near-distinct so the (dst,label) partial aggregation
       // collapsed nothing — the first exchange carried ~|E| rows either
       // way, plus a second ~|E|-row exchange the fused shape skips.
-      val counts = e.join(
+      val counts0 = e.join(
           labels.select(col("id").as("__u"), col("label")).hint("shuffle_hash"),
           e("src") === col("__u"))
         .select(col("dst"), col("label"))
-        .repartition(col("dst"))
+      val counts = repartitionBy(counts0, w, col("dst"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("__c"))
       val next = counts.groupBy(col("dst"))
         .agg(min_by(col("label"),
@@ -344,16 +388,27 @@ object Graph {
         .localCheckpoint()
       round += 1
       // zero-change fixed-point check: both sides are checkpointed
-      // |V|-row tables (labels seeded/aggregated on id — non-null), so
-      // the probe is one small equi-join, never touches |E|. Skipped
-      // after round 1: labels start pairwise-distinct, so on any
-      // self-loop-free graph round 1 relabels every node with an edge
-      // and the check cannot fire (a pure-self-loop graph just runs its
-      // remaining no-op rounds — same result, no wrong exit).
+      // |V|-row tables, so the probe is one small join, never touches
+      // |E|. FULL-OUTER + null-safe (r15): the next round's label table
+      // is a deterministic function of this round's, so exiting is sound
+      // iff next ≡ labels as a MAP — on directed inputs source-only
+      // nodes drop out of the table after round 1, so an intersection-
+      // only (inner) probe can fire while the id set is still shrinking
+      // and miss the flip a later round would apply (advisor
+      // counterexample: m→{u1,u2,b}, u1→b, u2→b, v→v, v→b with m
+      // minimal — rounds 1 and 2 agree on the surviving {b,v} but round
+      // 3 flips b to v; pinned in GraphSpec). The full-outer join counts
+      // one-sided ids as mismatches, and <=> keeps a null-producing
+      // labelOf from masking a change. Skipped after round 1: labels
+      // start pairwise-distinct, so on any self-loop-free graph round 1
+      // relabels every node with an edge and the check cannot fire (a
+      // pure-self-loop graph just runs its remaining no-op rounds —
+      // same result, no wrong exit).
       if (round >= 2 && round < iters) {
         val changed = next
-          .join(labels.withColumnRenamed("label", "__prev"), Seq("id"))
-          .filter(col("label") =!= col("__prev"))
+          .join(labels.withColumnRenamed("label", "__prev"),
+            Seq("id"), "full_outer")
+          .filter(not(col("label") <=> col("__prev")))
           .limit(1).count()
         converged = changed == 0L
       }
@@ -449,8 +504,20 @@ object Graph {
     // bound and paying two full-|E| exchanges for a set a map-side
     // semi-join handles (the broadcast-bound crossing WAS the cliff)
     val bcastLimit = 8000000L
-    var e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+    // data-sized width for the one full-|E| exchange (the dedup
+    // aggregate): at the bench SF the sized width equals the session
+    // default and the plan keeps its r14 shape (partial-agg → exchange);
+    // above it, pre-clustering on (src,dst) sets the exchange width the
+    // aggregate then reuses — the lost pre-exchange combine only ever
+    // collapsed duplicate edges, which the contract says are rare
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val w = edgeWidth(e0)
+    val eSized =
+      if (w > e0.sparkSession.sessionState.conf.numShufflePartitions)
+        e0.repartition(w, col("src"), col("dst"))
+      else e0
+    var e = eSized.distinct()
       .localCheckpoint()
     var deg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("degree"))
@@ -784,13 +851,15 @@ object Graph {
     * degree-oriented wedge join — each triangle exactly once. Shared by
     * [[triangleCount]]-style aggregates and the [[kTruss]] peel. The
     * caller owns caching of the oriented DAG via the returned pair. */
-  private def triangleListOf(canonAb: DataFrame): (DataFrame, DataFrame) = {
+  private def triangleListOf(canonAb: DataFrame,
+                             width: Int = 0): (DataFrame, DataFrame) = {
     // input is already DISTINCT canonical a<b (the kTruss loop maintains
     // it) — orient by degree directly, skipping orientedEdges'
     // canonicalize+distinct shuffle (one exchange saved PER PEEL ROUND)
+    val base = canonAb.sparkSession.sessionState.conf.numShufflePartitions
     val deg = canonAb.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    val o = canonAb
+    val o0 = canonAb
       .join(deg.select(col("id").as("a"), col("deg").as("__da"))
         .hint("shuffle_hash"), "a")
       .join(deg.select(col("id").as("b"), col("deg").as("__db"))
@@ -800,16 +869,34 @@ object Graph {
         when(col("__da") <= col("__db"), col("b")).otherwise(col("a")).as("v"),
         when(col("__da") <= col("__db"), col("__db")).otherwise(col("__da"))
           .as("dv"))
-    val tris = wedgesOf(o).join(o.as("e3"),
-      col("y") === col("e3.u") && col("z") === col("e3.v"), "left_semi")
-    (o, tris)
+    // r15 scale path (width > session default — the bench-SF plan is the
+    // r14 shape, unchanged): (a) pre-cluster the cached DAG on the wedge
+    // join key so both self-join sides read it exchange-free; (b) the
+    // closing-edge probe gets the WEDGE-VOLUME treatment — the wedge
+    // stream is Σ outdeg² ≫ |E|, so its exchange is re-widened 8× (cap
+    // 2048) and the semi-join hash-builds on the |E|-sized o partition
+    // instead of default SMJ, which externally SORTS the wedge volume —
+    // the sf100 soak's "spill hierarchy" 18.5× was exactly that sort
+    if (width > base) {
+      val o = o0.repartition(width, col("u"))
+      val wWedge = math.min(2048, width * 8)
+      val tris = wedgesOf(o)
+        .repartition(wWedge, col("y"), col("z"))
+        .join(o.as("e3").hint("shuffle_hash"),
+          col("y") === col("e3.u") && col("z") === col("e3.v"), "left_semi")
+      (o, tris)
+    } else {
+      val tris = wedgesOf(o0).join(o0.as("e3"),
+        col("y") === col("e3.u") && col("z") === col("e3.v"), "left_semi")
+      (o0, tris)
+    }
   }
 
   /** Per-edge triangle support of a canonical `(a < b)` edge frame via
     * ONE oriented wedge join — the O(|E|^1.5) step both truss paths pay
     * exactly once. Zero-triangle edges get support 0. */
-  private def supportOf(canonAb: DataFrame): DataFrame = {
-    val (o, tris) = triangleListOf(canonAb)
+  private def supportOf(canonAb: DataFrame, width: Int = 0): DataFrame = {
+    val (o, tris) = triangleListOf(canonAb, width)
     o.cache()
     val supp = tris
       .select(explode(array(
@@ -891,17 +978,30 @@ object Graph {
     require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
     // broadcast the removed set / decrement table only while provably
     // small — a first round that peels most of a sparse graph must not
-    // be forced through a driver-sized broadcast. 8M rows ≈ 64 MB of
-    // edge pairs: see the kCoreRun note — the r14 sf100 soak showed the
-    // bound crossing, not the peel, sets the wall clock
-    val bcastLimit = 8000000L
-    val canon = edges
+    // be forced through a driver-sized broadcast. These rows are edge
+    // PAIRS (two longs, ~16 B raw each — HALF the id-shaped kCore
+    // bound's headroom, and a hash-relation in memory is several × raw),
+    // so the bound is 4M pairs ≈ 64 MB raw: the same byte budget as
+    // kCoreRun's 8M single-long ids under the 8 GB local driver (r15,
+    // fixing the r14 comment that understated pair bytes 2×). The r14
+    // sf100 soak showed the bound CROSSING, not the peel, sets the wall
+    // clock, so the budget is spent where it pays: per-round removed
+    // sets, which shrink fast after round one.
+    val bcastLimit = 4000000L
+    val canon0 = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") < col("b")).distinct()
+      .filter(col("a") < col("b"))
+    // data-sized width for the full-|E| exchanges (r15, see edgeWidth):
+    // the dedup aggregate here, then every wedge-volume exchange inside
+    // supportOf — at the bench SF both keep their r14 shapes
+    val w = edgeWidth(canon0)
+    val base = canon0.sparkSession.sessionState.conf.numShufflePartitions
+    val canon = (if (w > base) canon0.repartition(w, col("a"), col("b"))
+                 else canon0).distinct()
       .localCheckpoint()
     var aliveCount = canon.count()
-    var supp = supportOf(canon)
+    var supp = supportOf(canon, w)
     val trace = scala.collection.mutable.ArrayBuffer.empty[Long]
     var i = 0
     // (count, Σsupport) of the edges failing the threshold — one action;
@@ -917,8 +1017,12 @@ object Graph {
       val survivors = supp.filter(col("support") >= k - 2)
       if (rCount > aliveCount - rCount) {
         // majority peeled: one wedge join over the (small) survivor set
-        // beats probing triangles through a removed set that is most of E
-        supp = supportOf(survivors.select(col("a"), col("b")))
+        // beats probing triangles through a removed set that is most of
+        // E. Width scales with the SURVIVOR share of the entry width —
+        // the survivor set is ≤ (alive − removed)/alive of the graph
+        val wSurv = math.max(base,
+          (w.toLong * (aliveCount - rCount) / math.max(1L, aliveCount)).toInt)
+        supp = supportOf(survivors.select(col("a"), col("b")), wSurv)
       } else {
         val removed0 = supp.filter(col("support") < k - 2)
           .select(col("a"), col("b"))

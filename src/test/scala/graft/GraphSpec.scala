@@ -148,6 +148,54 @@ class GraphSpec extends SparkSuite {
     assert(Graph.labelPropagationRun(osc, 4).rounds === 4)
   }
 
+  test("labelPropagation: directed shrinking id set must not fire the " +
+    "early exit (r15 advisor counterexample)") {
+    import org.apache.spark.sql.functions._
+    // m→{u1,u2,b}, u1→b, u2→b, v→v, v→b with m the minimal label:
+    // source-only nodes drop out of the label table after round 1, so
+    // rounds 1 and 2 AGREE on the surviving intersection {b, v} (b = m
+    // both rounds) — an inner-join probe fires there — but the true
+    // fixed point (round 3+) flips b to v once m's influence is gone.
+    val m = "a_m"; val u1 = "b_u1"; val u2 = "c_u2"; val b = "d_b"; val v = "e_v"
+    val edges = Seq(m -> u1, m -> u2, m -> b, u1 -> b, u2 -> b,
+      v -> v, v -> b).toDF("src", "dst")
+    val run = Graph.labelPropagationRun(edges, 8)
+    val got = run.labels.as[(String, String)].collect().toMap
+    // unrolled twin (no probe, no exit): the pre-r14 fixed-round plan
+    val e = edges.select(col("src"), col("dst"))
+    var twin = e.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    (1 to 8).foreach { _ =>
+      val counts = e.join(
+          twin.select(col("id").as("__u"), col("label")), e("src") === col("__u"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("__c"))
+      twin = counts.groupBy(col("dst"))
+        .agg(min_by(col("label"),
+          struct((-col("__c")).as("nc"), col("label").as("lb"))).as("label"))
+        .select(col("dst").as("id"), col("label"))
+    }
+    val want = twin.as[(String, String)].collect().toMap
+    assert(got === want,
+      s"directed early exit returned a non-fixed-point: $got vs $want")
+    assert(got(b) === v, s"b must converge to v's label, got ${got(b)}")
+  }
+
+  test("edgeWidth: floors at the session default for bench-scale and " +
+    "join-derived inputs, scales with leaf bytes") {
+    import org.apache.spark.sql.functions._
+    val base = spark.sessionState.conf.numShufflePartitions
+    val small = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(Graph.edgeWidth(small) === base, "tiny input must keep the default")
+    // a self-join: the size-only estimator multiplies children — the
+    // leaf-sum estimator must NOT inherit that blow-up (q_kcore's edge
+    // build is exactly this shape at bench SF)
+    val joined = small.as("a").join(small.as("b"),
+        col("a.dst") === col("b.src"))
+      .select(col("a.src").as("src"), col("b.dst").as("dst"))
+    assert(Graph.edgeWidth(joined) === base,
+      "join-derived bench input must keep the default width")
+  }
+
   test("labelPropagation validates its arguments") {
     val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.labelPropagation(edges, 0))

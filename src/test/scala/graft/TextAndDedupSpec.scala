@@ -626,6 +626,25 @@ class TextAndDedupSpec extends SparkSuite {
     assert(out === Set((0L, 3L), (3L, 1L)))
   }
 
+  test("admitNearDups: null/empty texts always admit; exact copies " +
+    "collapse to the min id (r15 null-safety + md5 key)") {
+    val batch = Seq(
+      (1L, Some("the quick brown fox jumps over the lazy dog")),
+      (2L, Some("the quick brown fox jumps over the lazy dog")), // exact copy
+      (3L, None: Option[String]),                                // null text
+      (4L, Some("")),                                            // empty text
+      (5L, Some("entirely different content about spark shuffles")))
+      .toDF("doc_id", "text")
+    val dest = batch.filter(lit(false))
+    val admitted = Dedup.admitNearDups(batch, dest, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 4, threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    // 2 is the only rejection: the exact copy of lower-id 1. The null
+    // and empty docs take the exempt branch (pre-r15, ANSI null made
+    // doc 3 vanish from BOTH branches).
+    assert(admitted === Set(1L, 3L, 4L, 5L))
+  }
+
   test("containmentPairs scores a subset at 1.0 where Jaccard stays low") {
     val d = Seq(
       (0L, "alpha beta"),

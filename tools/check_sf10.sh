@@ -25,7 +25,10 @@ cd "$(dirname "$0")/.."
 SF10=/root/repo/data_sf10
 # r14: +4 heaviest round-13 session-2 shapes (iterative BFS, distinct-
 # cell grid, in-codegen array fold, V_a x V_b grid) -> 16-query sample
-SAMPLE=q1_pricing_summary,q_anova,q_dedup_exact,q_golden_record,q_fellegi_sunter,q_incremental_cc,q_semantic_dedup,q_density_clusters,q_spearman,q_range_join_bucketed,q_stats_agg,q_filter_project,q_landmark_bfs,q_chatterjee,q_holt_linear,q_hodges_lehmann
+# r15: +q_kneser_ney (the r14 bench-spike headline -- its big codegen
+# expression tree must stay correct AND sane at 100x) and
+# q_dedup_weights (heavy, never sf10-sampled) -> 18-query sample
+SAMPLE=q1_pricing_summary,q_anova,q_dedup_exact,q_golden_record,q_fellegi_sunter,q_incremental_cc,q_semantic_dedup,q_density_clusters,q_spearman,q_range_join_bucketed,q_stats_agg,q_filter_project,q_landmark_bfs,q_chatterjee,q_holt_linear,q_hodges_lehmann,q_kneser_ney,q_dedup_weights
 HEAVY=q_pagerank,q_hits,q_label_prop,q_ppr,q_triangles,q_ktruss,q_kcore,q_semantic_dedup,q_density_clusters,q_spearman,q_range_join_bucketed,q_fellegi_sunter,q_golden_record,q_incremental_cc
 
 if [ ! -d "$SF10" ]; then
