@@ -252,6 +252,11 @@ object SparkEntry {
     val qty = col("l_quantity").cast("decimal(20,2)")
     val price = col("l_extendedprice").cast("decimal(20,2)")
     val disc = col("l_discount").cast("decimal(4,2)")
+    // NOT widened (r15): the FanOut.widen fan-out was tried before the
+    // decimal partial aggregate and interleaved-A/B'd at 1.15× (1.33 →
+    // 1.54 s) — shuffling 600k raw rows costs more than the wide
+    // partial aggregate saves; map-side combine before the tiny 6-group
+    // exchange is already the right shape (guide §2.3).
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -560,7 +565,10 @@ object SparkEntry {
     // column so nothing non-cheap is re-evaluated inside a lambda or the
     // argmax when-chain (inlined, the regexp re-runs per trigram: 50×+).
     val profiles = TextFunctions.trigramProfiles
-    val staged = Tables.documents(s, d)
+    // pure map-side regexp + profile scoring — widen the unsplittable
+    // scan so it runs at session width (r15, guide §2.5)
+    val staged = graft.operators.FanOut
+      .widen(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), col("lang").as("declared_lang"),
         TextFunctions.letterNormalize(col("text")).as("__norm"))
       .withColumn("__tri", TextFunctions.charTrigramsOf(col("__norm")))
@@ -821,7 +829,8 @@ object SparkEntry {
     * [[Graph.pageRank]] the link queries use — graph centrality as a
     * keyword scorer, no new operator code. Top 30 by 9dp-rounded rank. */
   private def q_textrank(s: SparkSession, d: String): DataFrame = {
-    val occ = Tables.documents(s, d)
+    // widen before the tokenize+shingle explode (r15, guide §2.5)
+    val occ = graft.operators.FanOut.widen(Tables.documents(s, d))
       .select(explode(TextFunctions.shinglesOf(
         TextFunctions.tokens(col("text")), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
@@ -1949,8 +1958,14 @@ object SparkEntry {
     * encoding does NOT preserve — it layers the order-isomorphic
     * digit-string embedding on top (see q_label_prop). */
   private def partSupplierPairsLong(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .select(col("l_partkey").as("__pk"), col("l_suppkey").as("__sk"))
+    // widen on the distinct key BEFORE the distinct (r15, guide §2.5 +
+    // §2.4): the repartition's exchange is hash-compatible with the
+    // aggregate, so the distinct runs wide with NO extra shuffle — the
+    // single-row-group scan otherwise runs the partial agg in one task
+    graft.operators.FanOut.widen(
+        Tables.lineitem(s, d)
+          .select(col("l_partkey").as("__pk"), col("l_suppkey").as("__sk")),
+        col("__pk"), col("__sk"))
       .distinct()
       .select((col("__pk") * 2).as("src"), (col("__sk") * 2 + 1).as("dst"))
 
@@ -2383,8 +2398,14 @@ object SparkEntry {
     * triangle participation — ordered wedge join + closing-edge semi-join,
     * no cross product. */
   private def q_triangles(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 3 === 0)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // widen on the join key before distinct + self-join (r15, §2.5 +
+    // §2.4): hash(ok) satisfies the distinct's (ok, pk) clustering AND
+    // co-partitions both self-join sides — one exchange, all wide
+    val li = graft.operators.FanOut.widen(
+        Tables.lineitem(s, d).filter(col("l_orderkey") % 3 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+        col("ok"))
+      .distinct()
     val edges = li.as("l").join(li.as("r"),
         col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
       .select(col("l.pk").as("src"), col("r.pk").as("dst"))
@@ -3010,7 +3031,13 @@ object SparkEntry {
     * rounds: sound for any true depth ≤ 8 because peeling is idempotent
     * at the fixpoint. */
   private def q_kcore(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    // fan the unsplittable scan out on the join key BEFORE the pair
+    // build: the self-join's wedge expansion + distinct partial is the
+    // query's CPU (a 3.6 s single-threaded stage at sf0.1, r15 probe),
+    // and one co-partitioned exchange serves BOTH join sides
+    val li = graft.operators.FanOut.widen(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+      col("l_orderkey"))
     val pp = li.as("a")
       .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey")
         && col("a.l_partkey") < col("b.l_partkey"))

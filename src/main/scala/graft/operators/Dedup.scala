@@ -67,18 +67,22 @@ object Dedup {
       .select(col("cluster").as(idCol), col("n_members"))
 
   /** Distinct word-token set per document (exploded form). Exploded rather
-    * than array-valued so downstream similarity joins are equi-joins. */
+    * than array-valued so downstream similarity joins are equi-joins.
+    * Tokenize+explode is the CPU-dense step of every Jaccard pipeline and
+    * runs BEFORE the first exchange — [[FanOut.widen]] keeps it at session
+    * width over unsplittable (single-row-group) inputs (r15, guide §2.5). */
   def tokenSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
+    FanOut.widen(docs, col(idCol))
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
       .distinct()
 
   /** Distinct word n-gram (shingle) set per document — the n-gram Jaccard
     * basis. Shingles are near-unique across documents, so the inverted
     * index barely fans out (no stop-token problem) at the cost of missing
-    * reordered near-dups. Documents with < n tokens contribute nothing. */
+    * reordered near-dups. Documents with < n tokens contribute nothing.
+    * Same [[FanOut.widen]] rationale as [[tokenSets]] (r15). */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    docs
+    FanOut.widen(docs, col(idCol))
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
         explode(TextFunctions.shinglesOf(col("__toks"), n)).as("token"))
@@ -163,7 +167,7 @@ object Dedup {
     // (MEMORY_AND_DISK, spills rather than pins at corpus scale) or the
     // tokenize + per-doc term aggregate re-runs once per reference (the
     // plan audit counted 12 source scans in the uncached plan)
-    val tf = docs
+    val tf = FanOut.widen(docs, col(idCol))
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
@@ -258,7 +262,9 @@ object Dedup {
                             k: Int = 5, w: Int = 4, seed: Int = 17): DataFrame = {
     require(k >= 2, s"shingle width k must be >= 2 (got $k)")
     require(w >= 1, s"window width w must be >= 1 (got $w)")
-    val hs = docs
+    // tokenize+shingle+hash+window-min is all map-side — widen over
+    // unsplittable scans so it runs at session width (r15, guide §2.5)
+    val hs = FanOut.widen(docs, col(idCol))
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), TextFunctions.shinglesOf(col("__toks"), k).as("__sh"))
       .select(col(idCol),
@@ -942,7 +948,7 @@ object Dedup {
     * level) id pairs instead of Σ block². The final TakeOrdered applies
     * the full ordering. Requires unique ids (multiplicities are
     * counts). */
-  def fellegiSunterTopK(df: DataFrame, idCol: String, blockCol: String,
+  def fellegiSunterTopK(df0: DataFrame, idCol: String, blockCol: String,
                         fields: Seq[(String, Double)], threshold: Double,
                         k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
@@ -950,6 +956,13 @@ object Dedup {
       s"1..8 comparison fields (subset sweep is 2^|fields|): ${fields.size}")
     fields.foreach { case (f, m) =>
       require(m > 0 && m < 1, s"m-probability for $f must be in (0,1): $m") }
+    // NOT widened (r15): the FanOut.widen entry fan-out was built and
+    // interleaved-A/B'd here like the other §2.5 sites and LOST (5.37 →
+    // 6.55 s at sf0.1): the map-side work over `df` (collision rates,
+    // 2^|fields| subset explode) is cheap relative to the group grid,
+    // whose inputs are already localCheckpoint'd at exchange width — the
+    // extra exchange is pure overhead for this operator.
+    val df = df0
     val spark = df.sparkSession
     val u = fsCollisionRates(df, fields)
     val (rows, gp0) = fsScoredGroupPairs(df, idCol, blockCol, fields, u)
@@ -1232,8 +1245,14 @@ object Dedup {
           "first (exactByFingerprint)")
       }
     }
-    val a = df.select(col(blockCol).as("__blk"), col(idCol).as("id_a"),
-      col(nameCol).as("__na"))
+    // widen the PROBE side of the block join (r15, guide §2.5): the
+    // build side broadcasts either way, but the probe inherits the scan
+    // width — over a single-row-group input the whole codegen'd
+    // comparator ran in ONE task. Round-robin (no key): the block key
+    // has too few distinct values to spread by hash.
+    val a = FanOut.widen(df)
+      .select(col(blockCol).as("__blk"), col(idCol).as("id_a"),
+        col(nameCol).as("__na"))
     val b = df.select(col(blockCol).as("__blk"), col(idCol).as("id_b"),
       col(nameCol).as("__nb"))
     a.join(b, Seq("__blk"))

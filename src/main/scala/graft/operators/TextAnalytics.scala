@@ -590,6 +590,10 @@ object TextAnalytics {
   def interpolatedLogLik(docs: DataFrame, idCol: String, textCol: String,
                          lambda: Double = 0.75): DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    // NOT widened (r15): FanOut.widen here A/B'd at 1.21× (1.23 →
+    // 1.49 s) — the tokenize is cheap relative to the bigram joins, so
+    // the extra exchange is pure overhead (same verdict for the
+    // Kneser–Ney sibling below).
     val toks = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
     val occ = toks.select(col(idCol),
       explode(TextFunctions.shinglesOf(col("__t"), 2)).as("bigram"))
@@ -637,6 +641,7 @@ object TextAnalytics {
   def kneserNeyLogLik(docs: DataFrame, idCol: String, textCol: String,
                       discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
+    // NOT widened (r15): see interpolatedLogLik — A/B'd ~1.1× slower.
     val toks = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
     val occ = toks.select(col(idCol),
       explode(TextFunctions.shinglesOf(col("__t"), 2)).as("bigram"))
@@ -1258,7 +1263,9 @@ object TextAnalytics {
                     rounds: Int): Seq[(Long, String, String, Long)] = {
     require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64]: $rounds")
     val sep = bpeSep
-    val wrapped = docs
+    // widen the scan before the tokenize+explode (r15, guide §2.5 —
+    // single-row-group inputs otherwise run it in one task)
+    val wrapped = graft.operators.FanOut.widen(docs)
       .select(explode(TextFunctions.tokens(col(textCol))).as("__word"))
       .filter(length(col("__word")) > 0 && !col("__word").contains(sep))
       .groupBy(col("__word")).agg(count(lit(1)).as("c"))
@@ -1319,7 +1326,9 @@ object TextAnalytics {
         replace(acc, lit(s"$sep$a$sep$sep$b$sep"), lit(s"$sep$a$b$sep"))
     }
     val nWords = TextFunctions.tokenCount(col(textCol)).cast("long")
-    docs
+    // the per-char wrap + rules.size replace passes are the query's CPU
+    // and purely map-side — widen the unsplittable scan (r15, §2.5)
+    graft.operators.FanOut.widen(docs, col(idCol))
       .select(col(idCol), nWords.as("n_words"), encoded.as("__enc"))
       .select(col(idCol), col("n_words"),
         ((length(col("__enc"))
